@@ -83,10 +83,24 @@ object CoreOps {
       coalesce(col(c).cast("string"), lit("")).as(c)).toSeq: _*)
 
   /** Rounding applied to every floating-point output column of a graded query
-    * (both the Spark side and the DuckDB oracle SQL round identically), so
-    * bit-level differences from summation order / interpolation association
-    * cannot flip the driver's hash compare. 6 dp keeps ~1e-6 absolute
-    * agreement, far above double accumulation error at these scales.
+    * — as `floor(x * 10^4 + 0.5) / 10^4`, spelled out identically in the
+    * DuckDB oracle SQL. Built-in `round` is NOT engine-portable on doubles:
+    * Spark rounds the exact decimal expansion (BigDecimal HALF_UP) while
+    * DuckDB multiplies-then-rounds in floating point, and money-like averages
+    * routinely land exactly on `.5` boundaries where the two disagree. The
+    * floor formula is a fixed chain of IEEE-deterministic ops (multiply, add,
+    * floor, divide), so identical input doubles produce bit-identical output
+    * in every engine — boundaries included. Half-values round toward +inf.
     */
-  def r6(c: Column): Column = round(c, 6)
+  val RoundDp = 4
+  def rnd(c: Column): Column = floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+
+  /** Exact integer cents for 2-dp money columns (all price-like testdata
+    * columns are exact cent multiples). Summing longs is associative, so
+    * money aggregates become independent of partition count, merge order,
+    * and engine — floating-point `avg` is NOT reproducible even between two
+    * Spark plan shapes of the same query, which flipped grid-boundary values
+    * between `weekly_agg_orders` and the densified pipeline reusing it.
+    */
+  def moneyCents(c: Column): Column = floor(c * 100 + 0.5)
 }

@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join operators (SURVEY.md §2.C) and join-adjacent QA aggregates.
+  *
+  * Scale posture: J1-style lookups are dimension joins — the lookup side is
+  * always broadcast so the fact side never shuffles. J2/J3 operate on
+  * already-aggregated data (weeks × dims), far below broadcast thresholds.
+  */
+object Joins {
+
+  /** J1 — left-enrichment lookup join (reference etl/etl_main.py:184-186).
+    * The lookup is explicitly broadcast: at 100 TB the facts must not
+    * shuffle for a dimension join. Duplicate lookup keys fan out rows —
+    * identical to pandas merge semantics.
+    */
+  def lookupJoin(facts: DataFrame, lookup: DataFrame, cond: Column): DataFrame =
+    facts.join(broadcast(lookup), cond, "left")
+
+  /** A10 — enrichment coverage percent (etl/etl_main.py:194-196):
+    * 100 * count(non-null enriched) / count(*), 0.0 on empty input.
+    * `count(col)` skips nulls, `count(*)` does not — exactly pandas'
+    * `notna().sum() / len(df)`.
+    */
+  def coveragePct(enriched: Column): Column =
+    CoreOps.rnd(coalesce(avg(enriched.isNotNull.cast("int")) * 100.0, lit(0.0)))
+
+  /** A11 — one-row QA rollup (etl/etl_main.py:344-351). */
+  def qaSummary(df: DataFrame, week: Column, dim: Column): DataFrame =
+    df.agg(
+      count(lit(1)).as("rows_raw"),
+      count_distinct(dim).as("dims"),
+      coveragePct(dim).as("coverage_pct"),
+      max(week).as("latest_week"))
+}

@@ -28,18 +28,33 @@ object WeeklyAgg {
     *             null-skipping, null on all-null groups — pandas NaN parity)
     */
   def weeklyStats(df: DataFrame, ts: Column, dim: Column, id: Column,
-                  price: Column): DataFrame = {
-    import CoreOps.r6
+                  price: Column): DataFrame =
+    weeklyStatsCore(df, ts, dim, id, price).orderBy("week", "dim")
+
+  /** Unsorted variant for composition — downstream densify/rolling stages
+    * re-partition anyway, so a mid-plan sort would be pure waste.
+    */
+  def weeklyStatsCore(df: DataFrame, ts: Column, dim: Column, id: Column,
+                      price: Column): DataFrame = {
+    import CoreOps.rnd
+    // Aggregate over exact integer cents (see CoreOps.moneyCents): the mean
+    // becomes an exact long sum + fixed double divisions, reproducible across
+    // partitionings and engines; order statistics interpolate between exact
+    // integers. Null prices stay null (cents of null is null), preserving the
+    // pandas null-skipping semantics of mean/median/percentile.
+    val cents = col("__cents")
     df.withColumn("week", CoreOps.weekStart(ts))
       .withColumn("dim", dim)
+      .withColumn("__cents", CoreOps.moneyCents(price))
       .groupBy("week", "dim")
       .agg(
         count_distinct(id).as("transactions"),
-        r6(avg(price)).as("price_mean"),
-        r6(median(price)).as("price_median"),
-        r6(percentile(price, lit(0.10))).as("price_p10"),
-        r6(percentile(price, lit(0.90))).as("price_p90"))
-      .orderBy("week", "dim")
+        when(count(cents) === 0, lit(null).cast("double"))
+          .otherwise(rnd(sum(cents).cast("double") / 100.0 / count(cents)))
+          .as("price_mean"),
+        rnd(median(cents) / 100.0).as("price_median"),
+        rnd(percentile(cents, lit(0.10)) / 100.0).as("price_p10"),
+        rnd(percentile(cents, lit(0.90)) / 100.0).as("price_p90"))
   }
 
   /** A5 — per (week, dim, category) row count (etl/etl_main.py:221-225).
