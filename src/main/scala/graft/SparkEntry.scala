@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops._
+import graft.functions.{Similarity, TextFunctions}
 
 /** Driver contract — see SURVEY.md §7.1.
   *
@@ -171,6 +172,100 @@ object SparkEntry {
       Rolling.yoy(Pipeline.denseOrders(s, d), "transactions")
         .select("week", "dim", "transactions", "prev_year", "yoy_change")
         .orderBy("dim", "week")),
+
+    // ---- training-data extension tier: text analysis ----
+    "token_count" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_calc"))
+        .orderBy("doc_id")),
+    "text_stats" -> ((s, d) => {
+      import CoreOps.rnd
+      Tables.documents(s, d)
+        .withColumn("ntok", TextFunctions.tokenCount(col("text")))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("ntok").as("tok_total"),
+          rnd(sum(col("n_chars")).cast("double") / count(lit(1))).as("chars_avg"),
+          rnd(percentile(col("n_chars"), lit(0.90))).as("chars_p90"))
+        .orderBy("lang")
+    }),
+    "lang_id" -> ((s, d) => {
+      val scored = TextFunctions.LangWordlists.foldLeft(Tables.documents(s, d)) {
+        case (df, (l, ws)) =>
+          df.withColumn(s"s_$l", TextFunctions.wordlistHits(col("text"), ws))
+      }
+      scored.withColumn("lang_pred", TextFunctions.langPredict(col("text")))
+        .select("doc_id", "s_en", "s_de", "s_es", "s_fr", "lang_pred")
+        .orderBy("doc_id")
+    }),
+    "quality_score" -> ((s, d) => {
+      import CoreOps.rnd
+      val nt = TextFunctions.tokenCount(col("text"))
+      Tables.documents(s, d)
+        .withColumn("n_tokens", nt)
+        .withColumn("stop_ratio", rnd(
+          TextFunctions.wordlistHits(col("text"),
+            TextFunctions.LangWordlists.head._2).cast("double")
+            / greatest(col("n_tokens"), lit(1L))))
+        .withColumn("digit_ratio", rnd(TextFunctions.charRatio(col("text"), "[0-9]")))
+        .withColumn("quality", rnd(
+          least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.5
+            + col("stop_ratio") * 0.3 + (lit(1.0) - col("digit_ratio")) * 0.2))
+        .select("doc_id", "n_tokens", "stop_ratio", "digit_ratio", "quality")
+        .orderBy("doc_id")
+    }),
+    "doc_fingerprint" -> ((s, d) =>
+      TextFunctions.fingerprint(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ---- training-data extension tier: dedup ----
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("keep_id")),
+    "near_dup_jaccard" -> ((s, d) =>
+      Dedup.jaccardPairs(
+        Tables.documents(s, d).where(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", "text", "lang", threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+    // MinHash LSH + SimHash use Spark's xxhash64 — not reproducible in
+    // DuckDB SQL, so these carry no oracle entry (driver rows-only check);
+    // their semantics are pinned by unit tests instead.
+    "minhash_lsh_pairs" -> ((s, d) =>
+      Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("id_a", "id_b")),
+    "simhash_hamming" -> ((s, d) =>
+      Dedup.simhashPairs(
+        Tables.documents(s, d).where(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", "text", "lang", maxHamming = 16)
+        .orderBy("id_a", "id_b")),
+
+    // ---- training-data extension tier: similarity search ----
+    "knn_cosine_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.knnBrute(e.where(col("vec_id") < 10), e, k = 3)
+        .withColumn("rnk", col("rnk").cast("long"))
+        .orderBy("qid", "rnk")
+    }),
+    "knn_lsh_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.knnLsh(e.where(col("vec_id") < 10), e, k = 3)
+        .withColumn("rnk", col("rnk").cast("long"))
+        .orderBy("qid", "rnk")
+    }),
+
+    // ---- training-data extension tier: semi-structured extraction ----
+    "events_json" -> ((s, d) => {
+      import CoreOps.rnd
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          min("k").as("k_min"), max("k").as("k_max"),
+          rnd(sum("k").cast("double") / count("k")).as("k_avg"))
+        .orderBy("event_type")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -265,5 +360,74 @@ object SparkEntry {
           |  lag(transactions, 52) OVER (PARTITION BY dim ORDER BY week) AS prev_year,
           |  transactions - lag(transactions, 52) OVER (PARTITION BY dim ORDER BY week) AS yoy_change
           |FROM dense ORDER BY dim, week""".stripMargin),
+    "token_count" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_calc
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_stats" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok_total,
+        |  floor((CAST(sum(n_chars) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS chars_avg,
+        |  floor((quantile_cont(n_chars, 0.90)) * 10000 + 0.5) / 10000 AS chars_p90
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "lang_id" ->
+      """WITH s AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','and','of','to'], t))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['der','die','das','und','ist'], t))) AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['el','la','de','los','y'], t))) AS BIGINT) AS s_es,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['le','les','et','des','une'], t))) AS BIGINT) AS s_fr
+        |FROM documents)
+        |SELECT doc_id, s_en, s_de, s_es, s_fr,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |       WHEN s_es >= s_fr THEN 'es'
+        |       ELSE 'fr' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "quality_score" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','and','of','to'], t))) AS BIGINT) AS hits,
+        |  length(text) AS lc,
+        |  length(regexp_replace(text, '[0-9]', '', 'g')) AS lnd
+        |FROM documents),
+        |r AS (SELECT doc_id, n_tokens,
+        |  floor((CAST(hits AS DOUBLE) / greatest(n_tokens, 1)) * 10000 + 0.5) / 10000 AS stop_ratio,
+        |  floor((CASE WHEN lc = 0 THEN 0.0 ELSE CAST(lc - lnd AS DOUBLE) / lc END) * 10000 + 0.5) / 10000 AS digit_ratio
+        |FROM t)
+        |SELECT doc_id, n_tokens, stop_ratio, digit_ratio,
+        |  floor((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5 + stop_ratio * 0.3 + (1.0 - digit_ratio) * 0.2) * 10000 + 0.5) / 10000 AS quality
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT doc_id, CAST(sum((ord(t) * 131 + length(t)) * pos) % 1000000007 AS BIGINT) AS fingerprint
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+        |      generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "near_dup_jaccard" ->
+      """WITH docs AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+        |toks AS (SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok FROM docs),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt FROM toks GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+        |  FROM toks a JOIN toks b ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (SELECT id_a, id_b, shared,
+        |  floor((CAST(shared AS DOUBLE) / (sa.nt + sb.nt - shared)) * 10000 + 0.5) / 10000 AS jaccard
+        |  FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id)
+        |SELECT id_a, id_b, shared, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "knn_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10),
+        |p AS (SELECT qid, e.vec_id AS cid, list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) AS cos
+        |  FROM q, embeddings e WHERE e.vec_id <> qid),
+        |r AS (SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM p)
+        |SELECT qid, cid, rnk, floor((cos) * 10000 + 0.5) / 10000 AS cos_sim
+        |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    "events_json" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  min(k) AS k_min, max(k) AS k_max,
+        |  floor((CAST(sum(k) AS DOUBLE) / count(k)) * 10000 + 0.5) / 10000 AS k_avg
+        |FROM (SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) e
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

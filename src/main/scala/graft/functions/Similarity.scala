@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.CoreOps
+
+/** Similarity search over embedding columns (`ARRAY<FLOAT>`): brute-force
+  * cosine top-k as the exact baseline, and an LSH-bucketed variant as the
+  * scale path (north-star extension tier).
+  *
+  * Scale design: cosine is a per-pair codegen'd expression (float products
+  * are exact in double); brute force broadcasts the (small) query set so
+  * the candidate side streams with no shuffle; the LSH variant shuffles
+  * only (bucket, id, vector) and touches a fraction of the pair space.
+  * Rank ties broken by candidate id so output order is engine-stable.
+  */
+object Similarity {
+
+  /** Cosine similarity between two array columns, computed in double.
+    * Sequential fold order is fixed by the expression, so results are
+    * deterministic for a given engine; outputs for graded queries go
+    * through CoreOps.rnd, far above cross-engine fold-association noise.
+    */
+  def cosine(a: String, b: String): Column = expr(
+    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)
+       | / (sqrt(aggregate($a, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+       |    * sqrt(aggregate($b, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin)
+
+  /** Exact top-k: every query against every candidate. The query side must
+    * be small (it is broadcast); candidates stream through one codegen
+    * stage + a per-query top-k window.
+    */
+  def knnBrute(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("qid"),
+      col("embedding").as("qe")))
+    val c = candidates.select(col("vec_id").as("cid"),
+      col("embedding").as("ce"))
+    val pairs = c.crossJoin(q).where(col("cid") =!= col("qid"))
+      .withColumn("cos", cosine("qe", "ce"))
+    pairs
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("cid"), col("rnk"),
+        CoreOps.rnd(col("cos")).as("cos_sim"))
+  }
+
+  /** Sign-random-projection bucket: bit i is the sign of the dot product
+    * with a pseudo-random ±1 hyperplane derived from `xxhash64(i, dim)` —
+    * fully deterministic, no stored model. Nearby vectors collide with
+    * high probability (cosine LSH).
+    */
+  def srpBucket(vec: String, bits: Int): Column = expr(
+    s"""aggregate(sequence(0, ${bits - 1}), 0L, (acc, i) -> acc |
+       |  CASE WHEN aggregate(zip_with($vec, sequence(0, size($vec) - 1),
+       |      (x, d) -> CAST(x AS DOUBLE) * CASE WHEN (xxhash64(i, d) & 1) = 1 THEN 1.0D ELSE -1.0D END),
+       |    0D, (s, v) -> s + v) > 0D
+       |  THEN shiftleft(1L, i) ELSE 0L END)""".stripMargin)
+
+  /** Approximate top-k: candidates restricted to the query's SRP bucket.
+    * Recall < 1 by construction; widen by lowering `bits` or probing
+    * neighboring buckets. At 100 TB this turns an O(Q·N) scan into a
+    * bucket-partitioned join.
+    */
+  def knnLsh(queries: DataFrame, candidates: DataFrame, k: Int,
+             bits: Int = 8): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("qid"),
+      col("embedding").as("qe"), srpBucket("embedding", bits).as("bkt")))
+    val c = candidates.select(col("vec_id").as("cid"),
+      col("embedding").as("ce"), srpBucket("embedding", bits).as("bkt"))
+    val pairs = c.join(q, Seq("bkt")).where(col("cid") =!= col("qid"))
+      .withColumn("cos", cosine("qe", "ce"))
+    pairs
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("cid"), col("rnk"),
+        CoreOps.rnd(col("cos")).as("cos_sim"))
+  }
+}

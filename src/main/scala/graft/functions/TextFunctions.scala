@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.CoreOps
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (north-star extension tier; SURVEY.md §7.3 M4): token counting,
+  * language-ID heuristics, quality scoring, and order-sensitive document
+  * fingerprints.
+  *
+  * Every function is a pure per-row Column expression (whole-stage
+  * codegen'd, no UDFs, no shuffles) except the fingerprint, which is one
+  * explode + hash-aggregate — the shape that scales linearly over 100 TB of
+  * documents. All arithmetic is integer-exact or fixed-order double math so
+  * results are reproducible across engines and partitionings.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer — the testdata's `documents.text` is
+    * space-separated tokens (FIXTURES.md).
+    */
+  def tokens(c: Column): Column = split(c, " ")
+
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
+
+  /** Number of tokens present in a fixed wordlist (per-language stopword
+    * scoring for lang-ID). Counts every occurrence, not distinct tokens.
+    */
+  def wordlistHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => array_contains(typedlit(words), t)))
+      .cast("long")
+
+  /** Small per-language stopword lists for the n-gram-free lang-ID
+    * heuristic. Order matters: ties resolve to the earlier language.
+    */
+  val LangWordlists: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "de", "los", "y"),
+    "fr" -> Seq("le", "les", "et", "des", "une"))
+
+  /** First-wins argmax over the per-language scores (deterministic
+    * tie-break by list order).
+    */
+  def langPredict(text: Column): Column = {
+    val scores = LangWordlists.map { case (l, ws) => l -> wordlistHits(text, ws) }
+    def pick(rest: List[(String, Column)]): Column = rest match {
+      case (l, _) :: Nil => lit(l)
+      case (l, s) :: tail =>
+        when(tail.map(_._2).foldLeft(lit(true))((acc, o) => acc && s >= o), l)
+          .otherwise(pick(tail))
+      case Nil => lit(null)
+    }
+    pick(scores.toList)
+  }
+
+  /** Ratio of characters matched by `charClass` (a single-char regex class
+    * like "[0-9]"), computed as (len - len(stripped)) / len so both engines
+    * share the exact same integer inputs. 0.0 for empty strings.
+    */
+  def charRatio(c: Column, charClass: String): Column =
+    when(length(c) === 0, 0.0).otherwise(
+      (length(c) - length(regexp_replace(c, charClass, ""))).cast("double")
+        / length(c))
+
+  /** Heuristic quality score in [0,1]: length saturation + stopword density
+    * + non-digit purity. Rational arithmetic only (no transcendentals —
+    * libm results differ across engines); components are rounded before
+    * combining so the composite is reproducible.
+    */
+  def qualityScore(text: Column): Column = {
+    import CoreOps.rnd
+    val nt = tokenCount(text)
+    val stopRatio = rnd(wordlistHits(text, LangWordlists.head._2).cast("double")
+      / greatest(nt, lit(1L)))
+    val digitRatio = rnd(charRatio(text, "[0-9]"))
+    rnd(least(nt.cast("double") / 100.0, lit(1.0)) * 0.5
+      + stopRatio * 0.3 + (lit(1.0) - digitRatio) * 0.2)
+  }
+
+  /** Order-sensitive document fingerprint: sum over tokens of
+    * (codepoint(first char) * 131 + len(token)) * position, mod 1e9+7.
+    * Position-weighted integer sums are order-independent to compute
+    * (associative, exact) yet order-sensitive in value — a permutation of
+    * tokens changes the fingerprint — and are expressible identically in
+    * any SQL engine, unlike a sequential rolling hash.
+    */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
+      .groupBy(idCol)
+      .agg(pmod(sum((ascii(col("t")) * 131 + length(col("t")))
+        * (col("pos") + 1)), lit(1000000007L)).as("fingerprint"))
+}

@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deduplication operators for training-data pipelines (north-star
+  * extension tier): exact content dedup, blocked n-gram Jaccard, MinHash
+  * LSH, and SimHash.
+  *
+  * Scale design: exact dedup is one hash-aggregate on a content digest
+  * (never shuffles full text — the digest is the shuffle key and payload).
+  * MinHash signatures and SimHash values are pure per-row expressions
+  * (codegen'd, no shuffle); candidate generation shuffles only
+  * (band, bucket, id) triples, so the pairwise stage touches candidate
+  * pairs instead of the quadratic full cross product.
+  */
+object Dedup {
+
+  /** Exact-duplicate groups keyed by content digest: keeper id (min),
+    * multiplicity. Hashing first means the wide text column is pruned
+    * before the exchange.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("text_md5"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** `dropDuplicates` semantics on content — first-id-wins, deterministic. */
+  def dropExact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactGroups(df, idCol, textCol).select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Exact token-set Jaccard over blocked pairs, fully relational (explode
+    * distinct tokens → self-join within block on token → count shared →
+    * |A∪B| = |A|+|B|-shared). Use only on bounded blocks/samples — the
+    * scale path for unknown pairs is [[minhashCandidates]].
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   blockCol: String, threshold: Double): DataFrame = {
+    import CoreOps.rnd
+    val toks = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("tok"))
+    val sizes = toks.groupBy("id").agg(count(lit(1)).as("nt"))
+    val shared = toks.as("a").join(toks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.tok") === col("b.tok")
+          && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.as("sa"), col("id_a") === col("sa.id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
+      .withColumn("jaccard", rnd(col("shared").cast("double")
+        / (col("sa.nt") + col("sb.nt") - col("shared"))))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "shared", "jaccard")
+  }
+
+  /** MinHash signature: k independent permutations simulated as
+    * `xxhash64(seed_i, token)`, minimum per seed. One array column per row,
+    * computed inline — no shuffle, no UDF.
+    */
+  def minhashSignature(textCol: String, k: Int): Column = expr(
+    s"transform(sequence(0, ${k - 1}), i -> " +
+      s"array_min(transform(array_distinct(split($textCol, ' ')), " +
+      s"t -> xxhash64(i, t))))")
+
+  /** LSH banding: split the k-wide signature into `bands` bands and hash
+    * each band to a bucket. Docs sharing any (band, bucket) are candidate
+    * near-duplicates.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 32, bands: Int = 8): DataFrame = {
+    require(k % bands == 0, s"bands=$bands must divide k=$k")
+    val r = k / bands
+    val sigs = df.select(col(idCol).as("id"),
+      minhashSignature(textCol, k).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
+        s"j -> xxhash64(slice(sig, j * $r + 1, $r)))")).as(Seq("band", "bucket")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+  }
+
+  /** Candidates + estimated Jaccard (fraction of agreeing signature
+    * positions), thresholded.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 32, bands: Int = 8,
+                   estThreshold: Double = 0.5): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, k, bands)
+    cands
+      .withColumn("est_jaccard", CoreOps.rnd(
+        expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), " +
+          s"e -> e)) / CAST($k AS DOUBLE)")))
+      .where(col("est_jaccard") >= estThreshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** 64-bit SimHash over token hashes: bit i of the result is the sign of
+    * the (+1/-1) vote sum across tokens. Pure per-row expression.
+    */
+  def simhash64(textCol: String): Column = expr(
+    s"""aggregate(sequence(0, 63), 0L, (acc, i) -> acc |
+       |  CASE WHEN aggregate(transform(split($textCol, ' '), t -> xxhash64(t)),
+       |    0L, (v, h) -> v + CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) > 0
+       |  THEN shiftleft(1L, i) ELSE 0L END)""".stripMargin)
+
+  /** Near-dup pairs by SimHash Hamming distance within a blocking key.
+    * `bit_count(a XOR b)` is the Hamming distance; blocks bound the
+    * quadratic pair space (at scale, block on SimHash prefix bytes instead
+    * of a semantic column to guarantee bounded blocks).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   blockCol: String, maxHamming: Int): DataFrame = {
+    val h = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      simhash64(textCol).as("sh"))
+    h.as("a").join(h.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("hamming", bit_count(col("a.sh").bitwiseXOR(col("b.sh"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("hamming"))
+  }
+}
