@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.ops.Dedup
+
+/** Semantics tests for the training-data extension tier — especially the
+  * xxhash64-based operators that have no DuckDB oracle (SparkEntry notes).
+  */
+class ExtensionOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "en"),
+    (1L, "the quick brown fox jumps over the lazy cat", "en"),   // near-dup of 0
+    (2L, "der schnelle braune fuchs und der faule hund ist da", "de"),
+    (3L, "completely different words entirely unrelated content here", "en"),
+    (4L, "the quick brown fox jumps over the lazy dog", "en"))   // exact dup of 0
+    .toDF("doc_id", "text", "lang")
+
+  test("exactGroups finds the exact duplicate, keeps min id") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(g.count() == 4)
+    val dup = g.where($"n_copies" === 2).collect()
+    assert(dup.length == 1 && dup.head.getAs[Long]("keep_id") == 0L)
+    assert(Dedup.dropExact(docs, "doc_id", "text").count() == 4)
+  }
+
+  test("jaccardPairs computes exact token-set jaccard within blocks") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", "lang", 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    // docs 0 and 4 identical → jaccard 1.0; 0 and 1: 8 distinct tokens each
+    // ("the" repeats), 7 shared, union 9 → 7/9
+    assert(pairs((0L, 4L)) == 1.0)
+    assert(pairs((0L, 1L)) == 0.7778)
+    // cross-lang pair (0,2) must not appear (blocked)
+    assert(!pairs.contains((0L, 2L)))
+  }
+
+  test("minhash: exact dups agree on every signature position; est tracks jaccard") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", k = 32, bands = 8,
+        estThreshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("est_jaccard")).toMap
+    assert(pairs((0L, 4L)) == 1.0)             // identical text, identical sig
+    assert(pairs.get((0L, 1L)).exists(_ > 0.5)) // near-dup collides + high est
+  }
+
+  test("simhash: identical text → distance 0; near-dup closer than unrelated") {
+    val h = docs.select($"doc_id", Dedup.simhash64("text").as("h"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(0L), h(4L)) == 0)
+    assert(ham(h(0L), h(1L)) < ham(h(0L), h(3L)))
+  }
+
+  test("TextFunctions: token count, wordlist hits, lang predict tie-break") {
+    val t = Seq(("the der la cat", 0L)).toDF("text", "id")
+    assert(t.select(TextFunctions.tokenCount($"text")).as[Long].collect().head == 4L)
+    assert(t.select(TextFunctions.wordlistHits($"text", Seq("the", "la")))
+      .as[Long].collect().head == 2L)
+    // one hit per language → tie → first list order wins (en)
+    assert(t.select(TextFunctions.langPredict($"text")).as[String].collect().head == "en")
+    assert(Seq(("der und ist hund", 0L)).toDF("text", "id")
+      .select(TextFunctions.langPredict($"text")).as[String].collect().head == "de")
+  }
+
+  test("charRatio and empty-string guard") {
+    val got = Seq("a1b2", "").toDF("t")
+      .select(TextFunctions.charRatio($"t", "[0-9]").as("r")).as[Double].collect().toSeq
+    assert(got == Seq(0.5, 0.0))
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val fp = TextFunctions.fingerprint(
+      Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("id", "text"),
+      "id", "text").as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(3L))
+    assert(fp(1L) != fp(2L))
+  }
+
+  test("knnBrute: identical vector ranks first with cos 1.0; LSH is a subset") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),    // identical to 0
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),    // close
+      (3L, Array(0.0f, 0.0f, 0.0f, 1.0f)))    // orthogonal
+      .toDF("vec_id", "embedding")
+    val brute = Similarity.knnBrute(vecs.where($"vec_id" === 0), vecs, 3)
+      .orderBy("rnk").collect()
+    assert(brute.head.getAs[Long]("cid") == 1L)
+    assert(brute.head.getAs[Double]("cos_sim") == 1.0)
+    assert(brute.map(_.getAs[Long]("cid")).toSeq == Seq(1L, 2L, 3L))
+    val lsh = Similarity.knnLsh(vecs.where($"vec_id" === 0), vecs, 3, bits = 2)
+      .collect().map(_.getAs[Long]("cid")).toSet
+    assert(lsh.subsetOf(Set(1L, 2L, 3L)))
+    assert(lsh.contains(1L))  // identical vector always shares the bucket
+  }
+}
