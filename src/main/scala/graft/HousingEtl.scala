@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+import graft.sources.{CsvSniffSource, Sinks}
+
+/** The reference's complete lifecycle (etl/etl_main.py main(), SURVEY.md
+  * §3.1) over housing-shaped CSV input: sniff → canonicalize → enrich with
+  * local authority → weekly stats → densify → rolling windows → anomaly
+  * flags → latest snapshot → QA — every stage a lazy plan, executed only at
+  * the sinks.
+  *
+  * This is the user-facing parity API (the graded queries in SparkEntry
+  * exercise the same operators against the driver testdata); the fixture
+  * corpus in HousingEtlSpec mirrors FIXTURES.md §2.
+  */
+object HousingEtl {
+
+  final case class Outputs(weekly: DataFrame, typeBreakdown: Option[DataFrame],
+      coveragePct: DataFrame, windows: DataFrame, anomalies: DataFrame,
+      snapshot: DataFrame, qa: DataFrame)
+
+  def run(spark: SparkSession, rawCsvPath: String,
+          lookupPath: Option[String] = None,
+          windows: Seq[Int] = Rolling.DefaultWindows,
+          zThresh: Double = 3.0): Outputs = {
+    val (raw, rc) = CsvSniffSource.sniffCsv(spark, rawCsvPath)
+    val canon = CsvSniffSource.toCanonical(raw, rc)
+
+    // J1 / P9 — lookup enrichment with prefix fallback
+    // (etl_main.py:178-191): invalid or absent lookup → postcode[:4].
+    val withLa = lookupPath.flatMap(CsvSniffSource.readLookup(spark, _)) match {
+      case Some(lookup) =>
+        Joins.lookupJoin(canon, lookup, canon("postcode") === lookup("pc_nospace"))
+          .drop("pc_nospace")
+      case None =>
+        canon.withColumn("local_authority", CoreOps.prefixKey(col("postcode")))
+    }
+
+    val coverage = withLa.agg(
+      Joins.coveragePct(col("local_authority")).as("coverage_pct"))
+
+    val weekly = WeeklyAgg.weeklyStatsCore(withLa, col("date"),
+      col("local_authority"), col("transaction_id"), col("price"))
+
+    val typeBreak =
+      if (withLa.columns.contains("prop_type"))
+        Some(WeeklyAgg.typeBreakdown(withLa, col("date"),
+          col("local_authority"), col("prop_type")))
+      else None  // etl_main.py:221-225: breakdown only when a type col exists
+
+    val dense = Densify.densify(
+      weekly.select("week", "dim", "transactions", "price_mean"),
+      fillZero = Seq("transactions"))
+    val rolled = Rolling.rollingWindows(dense, windows)
+    val anomalies = Anomaly.detectAnomalies(rolled, zThresh)
+    val snapshot = Snapshot.latestWeek(rolled)
+    val qa = Joins.qaSummary(
+      withLa.withColumn("week", CoreOps.weekStart(col("date"))),
+      col("week"), col("local_authority"))
+
+    Outputs(weekly.orderBy("dim", "week"), typeBreak, coverage, rolled,
+      anomalies, snapshot, qa)
+  }
+
+  /** Artifact export (S6; etl_main.py:387-401). */
+  def writeArtifacts(out: Outputs, sink: Sinks.ReportSink): Unit = {
+    sink.write("weekly", out.weekly)
+    out.typeBreakdown.foreach(sink.write("type_breakdown", _))
+    sink.write("windows", out.windows)
+    sink.write("anomalies", out.anomalies)
+    sink.write("latest_snapshot", out.snapshot)
+    sink.write("qa", out.qa)
+  }
+}

@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import graft.sources.{CsvSniffSource, Sinks}
+
+/** End-to-end pipeline tests over the reference-shaped fixture corpus
+  * (FIXTURES.md §2): separator sniffing, coercing cleans, lookup
+  * normalization + fallback branches, synthetic ids, conditional type
+  * breakdown, and the full stage chain through anomalies/QA.
+  */
+class HousingEtlSpec extends SparkTestBase {
+
+  private val header =
+    "transaction_unique_identifier,price,date_of_transfer,postcode,property_type"
+  private val rows = Seq(
+    "T1,250000,2024-01-02 00:00,SW1A 1AA,D",
+    "T2,noprice,2024-01-03 00:00,sw1a1aa ,S",      // price coerce→null (P5)
+    "T3,185000,not-a-date,EC1A 1BB,T",             // date coerce→row drop (P3)
+    "T4,420000,2023-12-31 00:00,,F",               // null postcode (P6/P9)
+    "T5,300000,2024-01-09 00:00,SW1A 1AA,D")
+
+  private def tmpFile(name: String, content: String): String = {
+    val dir: Path = Files.createTempDirectory("graft-fixture")
+    val f = dir.resolve(name)
+    Files.writeString(f, content)
+    f.toString
+  }
+
+  private def pricePaidCsv(sep: String = ",", dropId: Boolean = false,
+                           dropType: Boolean = false): String = {
+    def mangle(line: String): String = {
+      val cells = line.split(",", -1).toSeq
+      val kept = (if (dropId) cells.drop(1) else cells)
+        .dropRight(if (dropType) 1 else 0)
+      kept.mkString(sep)
+    }
+    tmpFile("pp.csv", (header +: rows).map(mangle).mkString("\n"))
+  }
+
+  private val lookupCsv = tmpFile("lookup.csv",
+    "postcode,local_authority\nsw1a 1aa,Westminster\nEC1A1BB,Islington\n")
+  private val badLookupCsv = tmpFile("bad_lookup.csv",
+    "postcode,council\nSW1A1AA,Westminster\n")
+
+  test("S4 sniffing accepts comma, tab, and pipe variants identically") {
+    for (sep <- Seq(",", "\t", "|")) {
+      val (df, rc) = CsvSniffSource.sniffCsv(spark, pricePaidCsv(sep))
+      assert(rc.date == "date_of_transfer" && rc.price == "price")
+      assert(rc.id.contains("transaction_unique_identifier"))
+      assert(df.count() == 5)
+    }
+  }
+
+  test("end-to-end with lookup: normalization joins, bad rows coerced") {
+    val out = HousingEtl.run(spark, pricePaidCsv(), Some(lookupCsv))
+    val weekly = out.weekly.collect()
+    // T3 dropped (bad date). T1/T2 week 2024-01-01 Westminster (both map via
+    // normalized keys), T5 week 2024-01-08 Westminster, T4 week of
+    // 2023-12-25 with null LA (null postcode → no lookup match).
+    assert(weekly.length == 3)
+    val wm = weekly.filter(_.getAs[String]("dim") == "Westminster")
+    assert(wm.map(_.getAs[Long]("transactions")).toSeq.sorted == Seq(1L, 2L))
+    // price_mean of week1 Westminster: only T1 has a valid price → 250000
+    val w1 = wm.filter(_.getTimestamp(0).toString.startsWith("2024-01-01")).head
+    assert(w1.getAs[Double]("price_mean") == 250000.0)
+    assert(out.coveragePct.collect().head.getDouble(0) == 75.0)  // 3 of 4
+    assert(out.typeBreakdown.isDefined)
+    // full chain executes: anomalies and snapshot non-empty, qa is 1 row
+    assert(out.anomalies.count() > 0)
+    assert(out.qa.count() == 1)
+  }
+
+  test("invalid lookup schema falls back to postcode prefix (P9)") {
+    val out = HousingEtl.run(spark, pricePaidCsv(), Some(badLookupCsv))
+    val dims = out.weekly.select("dim").collect().map(r =>
+      Option(r.getString(0))).toSet
+    assert(dims.contains(Some("SW1A")))  // prefix of normalized postcode
+  }
+
+  test("no lookup at all also uses prefix fallback") {
+    val out = HousingEtl.run(spark, pricePaidCsv(), None)
+    assert(out.weekly.where("dim = 'SW1A'").count() == 2)
+  }
+
+  test("missing id column → synthetic ids still count distinct rows (P4)") {
+    val out = HousingEtl.run(spark, pricePaidCsv(dropId = true), Some(lookupCsv))
+    assert(out.weekly.agg(org.apache.spark.sql.functions.sum("transactions"))
+      .collect().head.getLong(0) == 4L)  // 4 valid-date rows
+  }
+
+  test("missing property_type column → no type breakdown (A5 branch)") {
+    val out = HousingEtl.run(spark, pricePaidCsv(dropType = true), Some(lookupCsv))
+    assert(out.typeBreakdown.isEmpty)
+  }
+
+  test("S6 CSV artifacts round-trip") {
+    val dir = Files.createTempDirectory("graft-artifacts").toString
+    val out = HousingEtl.run(spark, pricePaidCsv(), Some(lookupCsv))
+    HousingEtl.writeArtifacts(out, new Sinks.CsvDirSink(dir))
+    val weekly = spark.read.option("header", "true").csv(s"$dir/weekly")
+    assert(weekly.count() == out.weekly.count())
+  }
+
+  test("S7 stringified push sink: nulls become empty strings") {
+    var pushed: Seq[Seq[String]] = Nil
+    val sink = new Sinks.StringifiedPushSink((_, rows) => pushed = rows)
+    val out = HousingEtl.run(spark, pricePaidCsv(), Some(lookupCsv))
+    sink.write("weekly", out.weekly)
+    assert(pushed.head == out.weekly.columns.toSeq)
+    assert(pushed.flatten.forall(_ != null))
+  }
+
+  test("S1-S3 landing zone: fetches once within TTL, backs up, force refetches") {
+    val dir = Files.createTempDirectory("graft-landing").toString
+    val lz = new Sinks.LandingZone(dir)
+    var fetches = 0
+    def fetcher(p: java.nio.file.Path): Unit = {
+      fetches += 1; Files.writeString(p, header)
+    }
+    lz.fetch(fetcher); lz.fetch(fetcher)
+    assert(fetches == 1)  // cache hit within TTL
+    lz.fetch(fetcher, force = true)
+    assert(fetches == 2)
+    assert(Files.list(java.nio.file.Paths.get(dir, "backups")).count() >= 1)
+  }
+}
