@@ -1,0 +1,103 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling for training-data pipelines: media as opaque
+  * `BINARY` columns with typed metadata, decode / feature-extract / resize /
+  * frame-sample stages.
+  *
+  * The actual codec work (image/audio/video decode) requires native
+  * libraries that are NOT in this environment, so the decode kernel is a
+  * clearly-marked injection point with a deterministic fake default — but
+  * all the Spark-side plumbing is real and tested: schema shape, binary
+  * column flow, partition-batched processing (the Scala analog of
+  * `mapInPandas` — one decoder instantiation per partition, streamed
+  * iterator, no per-row setup cost), and metadata pushdown-friendly layout
+  * (metadata in flat columns so scans prune the heavy bytes).
+  *
+  * At 100 TB: media bytes dominate I/O, so every stage keeps metadata-only
+  * paths separate from byte-touching paths; repartitioning is done on the
+  * cheap metadata before the decode stage so decode work spreads evenly.
+  */
+object MultimodalOps {
+
+  val MediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("mime", StringType, nullable = true),
+    StructField("bytes", BinaryType, nullable = true)))
+
+  val MetaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("mime", StringType, nullable = true),
+    StructField("n_bytes", LongType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+
+  /** A decoder turns raw bytes into (width, height, duration_ms). Real
+    * deployments inject an image/audio codec here; the default is a
+    * deterministic fake derived from the byte content so tests and demo
+    * pipelines are reproducible without native libs.
+    */
+  type Decoder = Array[Byte] => (Int, Int, Long)
+
+  /** Deterministic fake decode: dimensions/duration derived from a simple
+    * byte fold. Replace with a real codec via [[decodeMeta]]'s parameter.
+    */
+  val fakeDecoder: Decoder = { bytes =>
+    val h = bytes.foldLeft(1125899906842597L)((acc, b) => acc * 31 + (b & 0xff))
+    val w = 16 + math.floorMod(h, 4096).toInt
+    val ht = 16 + math.floorMod(h >> 12, 4096).toInt
+    (w, ht, math.floorMod(h >> 24, 600000L))
+  }
+
+  /** Partition-batched decode (the `mapInPandas` analog): the decoder is
+    * materialized once per partition and applied over the streamed row
+    * iterator, producing the flat metadata schema. Binary payloads are
+    * dropped on output so downstream stages shuffle only metadata.
+    */
+  def decodeMeta(media: DataFrame, decoder: Decoder = fakeDecoder): DataFrame = {
+    val enc = RowEncoder.encoderFor(MetaSchema)
+    media.select("media_id", "mime", "bytes").mapPartitions { rows =>
+      val d = decoder // one instantiation per partition
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("bytes")
+        if (bytes == null)
+          Row(r.getAs[Long]("media_id"), r.getAs[String]("mime"),
+            null, null, null, null)
+        else {
+          val (w, h, dur) = d(bytes)
+          Row(r.getAs[Long]("media_id"), r.getAs[String]("mime"),
+            bytes.length.toLong, w, h, dur)
+        }
+      }
+    }(enc)
+  }
+
+  /** Metadata-only path: byte length without touching a decoder — stays a
+    * pure column expression (codegen, prunable).
+    */
+  def withByteLength(media: DataFrame): DataFrame =
+    media.withColumn("n_bytes", octet_length(col("bytes")).cast("long"))
+
+  /** Resize stage stub: records the target box alongside the original
+    * dims; the pixel work is the same injection point as [[Decoder]].
+    */
+  def resizePlan(meta: DataFrame, maxW: Int, maxH: Int): DataFrame =
+    meta
+      .withColumn("target_w", least(col("width"), lit(maxW)))
+      .withColumn("target_h", least(col("height"), lit(maxH)))
+
+  /** Frame sampling plan for video-like media: one row per sampled frame
+    * timestamp (every `everyMs` within duration) — a pure generator
+    * (explode of an in-plan sequence), no bytes touched.
+    */
+  def frameSamplePlan(meta: DataFrame, everyMs: Long): DataFrame =
+    meta.where(col("duration_ms").isNotNull && col("duration_ms") > 0)
+      .withColumn("frame_ms",
+        explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs))))
+      .select("media_id", "frame_ms")
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.ops.CoreOps
+
+/** Structured Streaming tier (SURVEY.md §2.G / §7.3 M5). The reference is
+  * batch-only with an external daily cron; this module is the streaming
+  * re-expression over the `events` table shape: watermarked event-time
+  * windows computing the same weekly-stats aggregates, plus a stateful
+  * per-user session operator, plus `foreachBatch` reuse of the batch
+  * operator library.
+  */
+object EventsStreaming {
+
+  /** `events` schema for file streams (FIXTURES.md §1, ts as proper
+    * timestamp — streaming sources don't hit the nanos-parquet issue
+    * because tests stage the data through this schema).
+    */
+  val EventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(EventsSchema).parquet(dir)
+
+  /** Watermarked tumbling event-time windows with the batch tier's
+    * aggregate set (exact percentiles are replaced by their mergeable
+    * streaming counterparts — medians over unbounded streams need a sketch;
+    * `percentile_approx` is the built-in mergeable one).
+    */
+  def windowedStats(events: DataFrame, window_ : String = "7 days",
+                    watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(
+        approx_count_distinct(col("event_id")).as("transactions"),
+        CoreOps.rnd(avg(col("value"))).as("value_mean"),
+        CoreOps.rnd(percentile_approx(col("value"), lit(0.5), lit(10000)))
+          .as("value_median"))
+
+  final case class UserSession(userId: Long, nEvents: Long, total: Double)
+
+  /** Stateful per-user running session aggregate — the
+    * `mapGroupsWithState` pattern for custom state the built-in windows
+    * can't express. NoTimeout on purpose: declaring ProcessingTimeTimeout
+    * without ever arming it makes the micro-batch engine trigger
+    * continuous empty batches (each paying checkpoint I/O), which
+    * live-locks `processAllAvailable`.
+    */
+  def userSessions(events: DataFrame): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double)], st: GroupState[UserSession]) =>
+          val prev = st.getOption.getOrElse(UserSession(uid, 0L, 0.0))
+          val (n, tot) = rows.foldLeft((prev.nEvents, prev.total)) {
+            case ((c, t), (_, v)) => (c + 1, t + v)
+          }
+          val next = UserSession(uid, n, tot)
+          st.update(next)
+          next
+      }
+  }
+
+  /** `foreachBatch` bridge: every micro-batch flows through a caller-given
+    * batch transformation (reusing the batch operator library unchanged)
+    * before the write.
+    */
+  def foreachBatchWriter(stream: DataFrame, transform: DataFrame => DataFrame)
+                        (write: (DataFrame, Long) => Unit) =
+    stream.writeStream.outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, id: Long) => write(transform(batch), id) }
+}

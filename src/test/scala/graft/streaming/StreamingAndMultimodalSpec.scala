@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.multimodal.MultimodalOps
+
+class StreamingAndMultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def stageEventsDir(): String = {
+    // Stage the sf0.001 events through the streaming schema (micros ts).
+    val dir = Files.createTempDirectory("events-stream").toString
+    graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("windowedStats over a file stream matches the batch computation") {
+    val dir = stageEventsDir()
+    val q = EventsStreaming.windowedStats(
+        EventsStreaming.readEventsStream(spark, dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("win_out")
+      .select(col("window.start").as("ws"), col("event_type"), col("transactions"))
+    val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(window(col("ts"), "7 days"), col("event_type"))
+      .agg(approx_count_distinct(col("event_id")).as("transactions"))
+      .select(col("window.start").as("ws"), col("event_type"), col("transactions"))
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
+  }
+
+  test("stateful userSessions accumulates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventsStreaming.userSessions(events)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("sessions_out").start()
+    input.addData((1L, ts("2024-01-01 00:00:00"), 7L, "click", 2.0, "{}"))
+    q.processAllAvailable()
+    input.addData((2L, ts("2024-01-01 00:01:00"), 7L, "click", 3.0, "{}"),
+      (3L, ts("2024-01-01 00:02:00"), 8L, "view", 1.0, "{}"))
+    q.processAllAvailable(); q.stop()
+    val last = spark.table("sessions_out")
+      .groupBy("userId").agg(max("nEvents").as("n"), max("total").as("t"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(last(7L) == ((2L, 5.0)))
+    assert(last(8L) == ((1L, 1.0)))
+  }
+
+  test("foreachBatch reuses a batch transform per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    var seen = 0L
+    val q = EventsStreaming.foreachBatchWriter(
+        input.toDF().toDF("event_id", "value"),
+        b => b.agg(count(lit(1)).as("n"), sum("value").as("s"))) {
+        (out, _) => seen += out.collect().head.getAs[Long]("n")
+      }.start()
+    input.addData((1L, 1.0), (2L, 2.0)); q.processAllAvailable()
+    input.addData((3L, 3.0)); q.processAllAvailable()
+    q.stop()
+    assert(seen == 3L)
+  }
+
+  test("multimodal: partition-batched decode produces typed metadata") {
+    val media = Seq(
+      (1L, "image/png", "fake-png-bytes".getBytes("UTF-8")),
+      (2L, "video/mp4", "fake-mp4-bytes-longer".getBytes("UTF-8")),
+      (3L, "image/png", null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "mime", "bytes")
+    val meta = MultimodalOps.decodeMeta(media)
+    assert(meta.schema == MultimodalOps.MetaSchema)
+    val rows = meta.orderBy("media_id").collect()
+    assert(rows(0).getAs[Long]("n_bytes") == 14L)
+    assert(rows(2).isNullAt(rows(2).fieldIndex("n_bytes")))  // null bytes → null meta
+    // deterministic: same bytes → same fake dims
+    val again = MultimodalOps.decodeMeta(media).orderBy("media_id").collect()
+    assert(rows.sameElements(again))
+    // frame sampling generates one row per everyMs step
+    val frames = MultimodalOps.frameSamplePlan(meta, everyMs = 1000L)
+    val d0 = rows(1).getAs[Long]("duration_ms")
+    assert(frames.where($"media_id" === 2L).count() == (d0 + 999) / 1000)
+  }
+
+  test("multimodal: metadata-only byte length never touches the decoder") {
+    val media = Seq((1L, "image/png", "abc".getBytes("UTF-8")))
+      .toDF("media_id", "mime", "bytes")
+    val n = MultimodalOps.withByteLength(media).select("n_bytes")
+      .as[Long].collect().head
+    assert(n == 3L)
+  }
+}
