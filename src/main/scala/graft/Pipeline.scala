@@ -22,11 +22,17 @@ object Pipeline {
     WeeklyAgg.weeklyStatsCore(Tables.orders(s, d), col("o_orderdate"),
       col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
 
-  /** Densified (week × dim) grid with zero-filled counts (etl_main.py:239-245). */
+  /** Densified (week × dim) grid with zero-filled counts (etl_main.py:239-245).
+    * Grid axes derive from a raw 2-column projection of orders so the
+    * weekly aggregation lineage isn't re-evaluated for bounds/dims.
+    */
   def denseOrders(s: SparkSession, d: String): DataFrame =
     Densify.densify(
       weeklyOrders(s, d).select("week", "dim", "transactions", "price_mean"),
-      fillZero = Seq("transactions"))
+      fillZero = Seq("transactions"),
+      gridFrom = Some(Tables.orders(s, d).select(
+        CoreOps.weekStart(col("o_orderdate")).as("week"),
+        col("o_orderpriority").as("dim"))))
 
   /** Multi-window rolling frame, stacked (etl_main.py:247-256). */
   def windowsOrders(s: SparkSession, d: String,

@@ -159,7 +159,12 @@ object SparkEntry {
           "anomaly_transactions", "anomaly_rolling_trans")
         .orderBy("window_weeks", "dim", "week")),
     "latest_snapshot" -> ((s, d) =>
-      Snapshot.latestWeek(Pipeline.windowsOrders(s, d))
+      // max(week) of the windows frame == weekStart(max(o_orderdate))
+      // (monotone bucketing), so the 1-row max side is a 1-column scan of
+      // orders rather than a second evaluation of the whole pipeline.
+      Snapshot.latestWeek(Pipeline.windowsOrders(s, d),
+        latestFrom = Some(Tables.orders(s, d)
+          .select(CoreOps.weekStart(col("o_orderdate")).as("week"))))
         .select("week", "dim", "transactions", "rolling_trans",
           "price_mean", "rolling_price_mean", "window_weeks")
         .orderBy("window_weeks", "dim")),

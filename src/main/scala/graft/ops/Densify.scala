@@ -19,13 +19,23 @@ object Densify {
   /** @param weekly aggregated input with `week` (timestamp) + `dim` columns
     * @param fillZero columns whose missing values become 0 (the reference
     *                 fills only `transactions`)
+    * @param gridFrom optional cheaper (week, dim) source for the grid axes:
+    *                 without CTE reuse, deriving bounds and distinct dims
+    *                 from `weekly` re-evaluates its whole aggregation
+    *                 lineage twice more. Any projection with the same week
+    *                 bucketing and dim values (e.g. the raw fact table,
+    *                 2 columns) yields an identical grid — min/max commute
+    *                 with the monotone week bucketing and the distinct dim
+    *                 set is unchanged by aggregation.
     */
-  def densify(weekly: DataFrame, fillZero: Seq[String]): DataFrame = {
-    val weeks = weekly
+  def densify(weekly: DataFrame, fillZero: Seq[String],
+              gridFrom: Option[DataFrame] = None): DataFrame = {
+    val axes = gridFrom.getOrElse(weekly)
+    val weeks = axes
       .agg(min("week").as("wmin"), max("week").as("wmax"))
       .select(explode(expr("sequence(wmin, wmax, interval 7 days)")).as("week"))
     // dropna on the grid axis — etl/etl_main.py:239
-    val dims = weekly.where(col("dim").isNotNull).select("dim").distinct()
+    val dims = axes.where(col("dim").isNotNull).select("dim").distinct()
     val grid = weeks.crossJoin(dims)
     grid.join(weekly, Seq("week", "dim"), "left")
       .na.fill(0, fillZero)

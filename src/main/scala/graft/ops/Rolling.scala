@@ -22,26 +22,45 @@ object Rolling {
   def rollingWindows(dense: DataFrame,
                      windows: Seq[Int] = DefaultWindows): DataFrame = {
     import CoreOps.rnd
-    val frames = windows.map { w =>
-      val win = Window.partitionBy("dim").orderBy("week")
-        .rowsBetween(-(w - 1), Window.currentRow)
-      // price_mean is already on the RoundDp grid, so micro-units are exact
-      // integers: summing them as longs is order-independent, making the
-      // rolling mean bit-identical across engines regardless of how each one
-      // associates its window frame sums (Spark: sequential; DuckDB: segment
-      // tree). Empty frames (all-null price weeks) → null, = pandas
-      // min_periods=1 NaN.
-      val pmMicros = floor(col("price_mean") * 1e6 + 0.5)
+    // Single-pass multi-window fan-out: a UNION of per-width frames would
+    // re-evaluate the entire upstream lineage (fact scan → weekly agg →
+    // densify) once per width — the physical plan literally contained the
+    // subtree W times. Instead every width is a window column over the SAME
+    // partitionBy(dim)/orderBy(week) spec (Catalyst collapses them into one
+    // sort + one Window operator), and the stacked UNION-ALL layout
+    // (etl/etl_main.py:256) is recovered by exploding an inline array of
+    // per-width structs — pure row fan-out, no second pass.
+    //
+    // price_mean is already on the RoundDp grid, so micro-units are exact
+    // integers: summing them as longs is order-independent, making the
+    // rolling mean bit-identical across engines regardless of how each one
+    // associates its window frame sums (Spark: sequential; DuckDB: segment
+    // tree). Empty frames (all-null price weeks) → null, = pandas
+    // min_periods=1 NaN.
+    val sortWin = Window.partitionBy("dim").orderBy("week")
+    val pmMicros = floor(col("price_mean") * 1e6 + 0.5)
+    // Window expressions are not allowed inside a generator, so each width's
+    // aggregates land in flat columns first (one shared Window operator)...
+    val withCols = windows.foldLeft(dense) { (df, w) =>
+      val win = sortWin.rowsBetween(-(w - 1), Window.currentRow)
       val cnt = count(col("price_mean")).over(win)
-      dense
-        .withColumn("rolling_trans", sum("transactions").over(win))
-        .withColumn("rolling_price_mean",
+      df.withColumn(s"__rt_$w", sum("transactions").over(win))
+        .withColumn(s"__rpm_$w",
           when(cnt === 0, lit(null).cast("double"))
             .otherwise(rnd(sum(pmMicros).over(win).cast("double") / 1e6 / cnt)))
-        .withColumn("window_weeks", lit(w))
     }
-    // SO2 — UNION ALL stack, no dedup (etl/etl_main.py:256)
-    frames.reduce(_ unionByName _)
+    // ...then the stacked layout explodes per-width structs of those columns.
+    val perWidth = windows.map { w =>
+      struct(col(s"__rt_$w").as("rolling_trans"),
+        col(s"__rpm_$w").as("rolling_price_mean"),
+        lit(w).as("window_weeks"))
+    }
+    withCols
+      .withColumn("__w", explode(array(perWidth: _*)))
+      .select(col("week"), col("dim"), col("transactions"), col("price_mean"),
+        col("__w.rolling_trans").as("rolling_trans"),
+        col("__w.rolling_price_mean").as("rolling_price_mean"),
+        col("__w.window_weeks").as("window_weeks"))
   }
 
   /** Declared-but-unimplemented in the reference (file header at

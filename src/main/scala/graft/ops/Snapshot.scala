@@ -11,8 +11,16 @@ import org.apache.spark.sql.functions._
   * shuffle of the main table.
   */
 object Snapshot {
-  def latestWeek(df: DataFrame): DataFrame = {
-    val latest = df.agg(max("week").as("week"))
+  /** @param latestFrom optional cheaper source for the max week: without a
+    *   CTE-style reuse mechanism, Catalyst re-evaluates `df`'s whole
+    *   lineage inside the 1-row max subtree. When the max is derivable
+    *   from an upstream table with a narrower scan (e.g. max(week) of the
+    *   windows frame == weekStart(max(order date)) — week bucketing is
+    *   monotone), passing that 1-column aggregate instead avoids the
+    *   duplicate pass.
+    */
+  def latestWeek(df: DataFrame, latestFrom: Option[DataFrame] = None): DataFrame = {
+    val latest = latestFrom.getOrElse(df).agg(max("week").as("week"))
     df.join(broadcast(latest), Seq("week"))
   }
 }
