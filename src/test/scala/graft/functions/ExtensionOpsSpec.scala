@@ -78,6 +78,28 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(fp(1L) != fp(2L))
   }
 
+  test("fused CosineSimilarity expression is bit-identical to the composed built-ins") {
+    import graft.expressions.CosineSimilarity
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50)
+    val pairs = e.select($"vec_id".as("qid"), $"embedding".as("qe"))
+      .crossJoin(e.select($"vec_id".as("cid"), $"embedding".as("ce")))
+    val diff = pairs.select(
+        CosineSimilarity.cosineFast($"qe", $"ce").as("fast"),
+        Similarity.cosine("qe", "ce").as("ref"))
+      .where($"fast" =!= $"ref" || $"fast".isNull =!= $"ref".isNull)
+    assert(diff.count() == 0)
+    // SQL registration path
+    CosineSimilarity.register(spark)
+    pairs.limit(5).createOrReplaceTempView("cos_pairs")
+    val viaSql = spark.sql("SELECT cosine_sim(qe, ce) c FROM cos_pairs")
+    assert(viaSql.count() == 5)
+    // null input → null output
+    val n = pairs.limit(1)
+      .select(CosineSimilarity.cosineFast(lit(null).cast("array<float>"), $"ce").as("c"))
+      .collect().head
+    assert(n.isNullAt(0))
+  }
+
   test("knnBrute: identical vector ranks first with cos 1.0; LSH is a subset") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
