@@ -178,6 +178,16 @@ object SparkEntry {
         .select("week", "dim", "transactions", "prev_year", "yoy_change")
         .orderBy("dim", "week")),
 
+    // Scale-path approximate variant (SURVEY §4.3f): HLL distinct +
+    // t-digest quantiles. Approximations are engine-specific → no oracle
+    // entry (rows-only check); accuracy is pinned by ScaleOpsSpec.
+    "weekly_agg_approx" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      ScaleOps.approxWeeklyStats(o, col("o_orderdate"), col("o_orderpriority"),
+        col("o_orderkey"), col("o_totalprice"))
+        .orderBy("week", "dim")
+    }),
+
     // ---- training-data extension tier: text analysis ----
     "token_count" -> ((s, d) =>
       Tables.documents(s, d).select(

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class ScaleOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("approxWeeklyStats tracks the exact stats within tolerance") {
+    // One large group: percentile_approx returns an actual element (no
+    // interpolation), so tiny groups can legitimately deviate by a whole
+    // neighbor-gap; the approximation contract is about big groups.
+    val o = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+      .withColumn("fixed_ts", to_timestamp(lit("2024-01-01 00:00:00")))
+    val exact = WeeklyAgg.weeklyStatsCore(o, col("fixed_ts"),
+      lit("all"), col("o_orderkey"), col("o_totalprice"))
+    val approx = ScaleOps.approxWeeklyStats(o, col("fixed_ts"),
+      lit("all"), col("o_orderkey"), col("o_totalprice"))
+    val j = exact.as("e").join(approx.as("a"), Seq("week", "dim"))
+      .select(col("e.transactions").as("et"), col("a.transactions").as("at"),
+        col("e.price_median").as("em"), col("a.price_median").as("am"))
+      .collect()
+    assert(j.nonEmpty)
+    j.foreach { r =>
+      val (et, at) = (r.getAs[Long]("et"), r.getAs[Long]("at"))
+      assert(math.abs(at - et).toDouble / et < 0.15, s"count $at vs $et")
+      val (em, am) = (r.getAs[Double]("em"), r.getAs[Double]("am"))
+      assert(math.abs(am - em) / em < 0.15, s"median $am vs $em")
+    }
+  }
+
+  test("saltedSum equals the plain aggregation") {
+    val df = (1 to 10000).map(i => (if (i % 100 == 0) "hot" else s"k${i % 7}", i.toDouble))
+      .toDF("k", "v")
+    val plain = df.groupBy("k").agg(sum("v").as("sum_v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val salted = ScaleOps.saltedSum(df, Seq("k"), "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("saltedJoin produces exactly the unsalted join's rows") {
+    val facts = (1 to 1000).map(i => (i.toLong, if (i % 3 == 0) 1L else (i % 5).toLong))
+      .toDF("fid", "k")
+    val dim = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (4L, "e"))
+      .toDF("dk", "name")
+    val plain = facts.join(dim, facts("k") === dim("dk"))
+      .select("fid", "name").collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val salted = ScaleOps.saltedJoin(facts, dim, "k", "dk")
+      .select("fid", "name").collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("bucketed join plans without a shuffle exchange") {
+    // Managed-table locations persist under ./spark-warehouse across JVMs
+    // while the in-memory metastore starts empty — clear both.
+    for (t <- Seq("graft_bucket_a", "graft_bucket_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(loc)
+      }
+    }
+    val a = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "va")
+    val b = (1 to 1000).map(i => (i.toLong, i * 3.0)).toDF("k", "vb")
+    ScaleOps.writeBucketed(a, "graft_bucket_a", "k", 8)
+    ScaleOps.writeBucketed(b, "graft_bucket_b", "k", 8)
+    val joined = ScaleOps.bucketedJoin(spark, "graft_bucket_a", "graft_bucket_b", "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+    assert(joined.count() == 1000)
+  }
+}
