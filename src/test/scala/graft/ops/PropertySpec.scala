@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkTestBase
+
+/** Property-based tests (SURVEY.md §5.2): algebraic invariants of the
+  * operator library over generated inputs. Spark jobs are expensive, so
+  * properties run with a reduced case count but unconstrained shapes.
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Deterministic sampler (the scalatest-scalacheck bridge isn't in the
+    * offline cache): N generated cases per property from a fixed seed.
+    */
+  private def forAllSampled[A](gen: Gen[A], n: Int = 8)(body: A => Unit): Unit = {
+    var seed = Seed(42L)
+    var produced = 0
+    var attempts = 0
+    while (produced < n && attempts < n * 20) {
+      gen.apply(Gen.Parameters.default, seed).foreach { a => body(a); produced += 1 }
+      seed = seed.next
+      attempts += 1
+    }
+    assert(produced == n, s"generator too sparse: $produced/$n")
+  }
+
+  private val seriesGen: Gen[List[Long]] =
+    Gen.choose(1, 40).flatMap(n => Gen.listOfN(n, Gen.choose(0L, 1000L)))
+
+  test("property: rolling sum equals sliding slice sums (min_periods=1)") {
+    forAllSampled(Gen.zip(seriesGen, Gen.choose(1, 8))) { case (xs, w) =>
+      val dense = xs.zipWithIndex.map { case (v, i) =>
+        (new java.sql.Timestamp(ts("2024-01-01 00:00:00").getTime
+          + i.toLong * 7 * 86400 * 1000), "g", v, Option.empty[Double])
+      }.toDF("week", "dim", "transactions", "price_mean")
+      val got = Rolling.rollingWindows(dense, Seq(w))
+        .orderBy("week").select("rolling_trans").as[Long].collect().toList
+      val want = xs.indices.map(i =>
+        xs.slice(math.max(0, i - w + 1), i + 1).sum).toList
+      assert(got == want)
+    }
+  }
+
+  test("property: z-scores of a constant series are all zero") {
+    forAllSampled(Gen.zip(Gen.choose(1, 20), Gen.choose(0L, 500L))) { case (n, v) =>
+      val wins = (0 until n).map(i =>
+        (new java.sql.Timestamp(ts("2024-01-01 00:00:00").getTime
+          + i.toLong * 7 * 86400 * 1000), "g", v, v))
+        .toDF("week", "dim", "transactions", "rolling_trans")
+      val zs = Anomaly.detectAnomalies(wins)
+        .select("z_transactions", "z_rolling_trans")
+        .as[(Double, Double)].collect()
+      assert(zs.forall(z => z._1 == 0.0 && z._2 == 0.0))
+    }
+  }
+
+  test("property: densification preserves total transactions and covers the full grid") {
+    val rowGen = for {
+      wk <- Gen.choose(0, 30)
+      dim <- Gen.oneOf("a", "b", "c")
+      t <- Gen.choose(0L, 100L)
+    } yield (wk, dim, t)
+    forAllSampled(Gen.nonEmptyListOf(rowGen)) { rows =>
+      val weekly = rows.groupBy(r => (r._1, r._2)).toList.map { case ((wk, d), rs) =>
+        (new java.sql.Timestamp(ts("2024-01-01 00:00:00").getTime
+          + wk.toLong * 7 * 86400 * 1000), d, rs.map(_._3).sum, Option.empty[Double])
+      }.toDF("week", "dim", "transactions", "price_mean")
+      val dense = Densify.densify(weekly, Seq("transactions"))
+      val (wMin, wMax) = (rows.map(_._1).min, rows.map(_._1).max)
+      val nWeeks = wMax - wMin + 1
+      val nDims = rows.map(_._2).distinct.size
+      assert(dense.count() == nWeeks.toLong * nDims)
+      assert(dense.agg(sum("transactions")).as[Long].collect().head ==
+        rows.map(_._3).sum)
+    }
+  }
+
+  test("property: key normalization is idempotent and whitespace-insensitive") {
+    val strGen = Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', '\t')))
+      .map(_.mkString)
+    forAllSampled(strGen) { s =>
+      val df = Seq(s).toDF("x")
+      val once = df.select(CoreOps.normalizeKey($"x").as("k")).as[String].collect().head
+      val twice = df.select(CoreOps.normalizeKey(CoreOps.normalizeKey($"x")).as("k"))
+        .as[String].collect().head
+      assert(once == twice)
+      assert(!once.exists(_.isWhitespace))
+      val spaced = df.select(CoreOps.normalizeKey(concat(lit(" "), $"x", lit("\t")))
+        .as("k")).as[String].collect().head
+      assert(spaced == once)
+    }
+  }
+
+  test("property: fingerprint detects any transposition of distinct adjacent tokens") {
+    val tokGen = Gen.choose(2, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.choose('a', 'z').map(_.toString)))
+    forAllSampled(Gen.zip(tokGen, Gen.choose(0, 10))) { case (toks, posRaw) =>
+      val i = posRaw % (toks.length - 1)
+      if (toks(i) != toks(i + 1)) {
+        val swapped = toks.updated(i, toks(i + 1)).updated(i + 1, toks(i))
+        val df = Seq((1L, toks.mkString(" ")), (2L, swapped.mkString(" ")))
+          .toDF("id", "text")
+        val fp = graft.functions.TextFunctions.fingerprint(df, "id", "text")
+          .as[(Long, Long)].collect().toMap
+        assert(fp(1L) != fp(2L))
+      }
+    }
+  }
+}
