@@ -270,6 +270,47 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     }),
 
+    // SO2 — genuine UNION ALL stack of two weekly-stats sources.
+    "union_stack" -> ((s, d) => {
+      val a = WeeklyAgg.weeklyStatsCore(Tables.events(s, d), col("ts"),
+        col("event_type"), col("event_id"), col("value"))
+        .withColumn("src", lit("events"))
+      val b = WeeklyAgg.weeklyStatsCore(Tables.orders(s, d), col("o_orderdate"),
+        col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("src", lit("orders"))
+      a.unionByName(b).orderBy("src", "week", "dim")
+    }),
+    // Gap-based sessionization (30 min) over per-user event streams.
+    "sessionize_events" -> ((s, d) =>
+      Sessionize.sessionize(Tables.events(s, d), "user_id", "ts", "event_id",
+        gapMs = 1800000L)
+        .orderBy("user_id", "session_id")),
+    // Hierarchical subtotals via ROLLUP (capability beyond the reference's
+    // flat group-bys).
+    "rollup_orders" -> ((s, d) => {
+      import CoreOps.rnd
+      Tables.orders(s, d)
+        .withColumn("__cents", CoreOps.moneyCents(col("o_totalprice")))
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          rnd(sum(col("__cents")).cast("double") / 100.0).as("total_price"))
+        .orderBy(asc_nulls_first("o_orderpriority"),
+          asc_nulls_first("o_orderstatus"))
+    }),
+    // Embedding-cosine near-duplicate pairs over a deterministic sample.
+    "near_dup_cosine" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = broadcast(e.where(pmod(col("vec_id"), lit(10)) === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+      e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        .crossJoin(q).where(col("cid") =!= col("qid"))
+        .withColumn("cos_sim", CoreOps.rnd(
+          graft.expressions.CosineSimilarity.cosineFast(col("qe"), col("ce"))))
+        .where(col("cos_sim") >= 0.4)
+        .select("qid", "cid", "cos_sim")
+        .orderBy("qid", "cid")
+    }),
+
     // ---- training-data extension tier: semi-structured extraction ----
     "events_json" -> ((s, d) => {
       import CoreOps.rnd
@@ -438,6 +479,58 @@ object SparkEntry {
         |r AS (SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM p)
         |SELECT qid, cid, rnk, floor((cos) * 10000 + 0.5) / 10000 AS cos_sim
         |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    "union_stack" ->
+      """WITH ev AS (
+        |  SELECT date_trunc('week', ts) AS week, event_type AS dim,
+        |    count(DISTINCT event_id) AS transactions,
+        |    CASE WHEN count(__cents) = 0 THEN NULL ELSE floor((CAST(sum(__cents) AS DOUBLE) / 100.0 / count(__cents)) * 10000 + 0.5) / 10000 END AS price_mean,
+        |    floor((quantile_cont(__cents, 0.5) / 100.0) * 10000 + 0.5) / 10000 AS price_median,
+        |    floor((quantile_cont(__cents, 0.10) / 100.0) * 10000 + 0.5) / 10000 AS price_p10,
+        |    floor((quantile_cont(__cents, 0.90) / 100.0) * 10000 + 0.5) / 10000 AS price_p90,
+        |    'events' AS src
+        |  FROM (SELECT *, CAST(floor(value * 100 + 0.5) AS BIGINT) AS __cents FROM events) e
+        |  GROUP BY 1, 2),
+        |orx AS (
+        |  SELECT date_trunc('week', o_orderdate) AS week, o_orderpriority AS dim,
+        |    count(DISTINCT o_orderkey) AS transactions,
+        |    CASE WHEN count(__cents) = 0 THEN NULL ELSE floor((CAST(sum(__cents) AS DOUBLE) / 100.0 / count(__cents)) * 10000 + 0.5) / 10000 END AS price_mean,
+        |    floor((quantile_cont(__cents, 0.5) / 100.0) * 10000 + 0.5) / 10000 AS price_median,
+        |    floor((quantile_cont(__cents, 0.10) / 100.0) * 10000 + 0.5) / 10000 AS price_p10,
+        |    floor((quantile_cont(__cents, 0.90) / 100.0) * 10000 + 0.5) / 10000 AS price_p90,
+        |    'orders' AS src
+        |  FROM (SELECT *, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS __cents FROM orders) o
+        |  GROUP BY 1, 2)
+        |SELECT * FROM (SELECT * FROM ev UNION ALL SELECT * FROM orx)
+        |ORDER BY src, week, dim""".stripMargin,
+    "sessionize_events" ->
+      """WITH s AS (SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |f AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN prev IS NULL OR epoch_ms(ts) - epoch_ms(prev) > 1800000
+        |         THEN 1 ELSE 0 END AS newf
+        |  FROM s),
+        |g AS (SELECT user_id, ts,
+        |    CAST(sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  min(ts) AS t_start, max(ts) AS t_end
+        |FROM g GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+    "rollup_orders" ->
+      """SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  floor((CAST(sum(__cents) AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS total_price
+        |FROM (SELECT *, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS __cents FROM orders) o
+        |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    "near_dup_cosine" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |p AS (SELECT qid, e.vec_id AS cid,
+        |    floor((list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[]))) * 10000 + 0.5) / 10000 AS cos_sim
+        |  FROM q, embeddings e WHERE e.vec_id <> qid)
+        |SELECT qid, cid, cos_sim FROM p WHERE cos_sim >= 0.4
+        |ORDER BY qid, cid""".stripMargin,
     "events_json" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  min(k) AS k_min, max(k) AS k_max,
