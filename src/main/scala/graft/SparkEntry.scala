@@ -193,8 +193,18 @@ object SparkEntry {
       Tables.documents(s, d).select(
         col("doc_id"),
         TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.tokenCountBpeish(col("text")).as("n_tokens_bpeish"),
         length(col("text")).cast("long").as("n_chars_calc"))
         .orderBy("doc_id")),
+    // Duplicate-group formation: connected components over the blocked
+    // jaccard near-dup pairs (min-label propagation vs the oracle's
+    // recursive transitive closure).
+    "dedup_groups" -> ((s, d) =>
+      Dedup.clusterPairs(
+        Dedup.jaccardPairs(
+          Tables.documents(s, d).where(pmod(col("doc_id"), lit(10)) === 0),
+          "doc_id", "text", "lang", threshold = 0.5))
+        .orderBy("id")),
     "text_stats" -> ((s, d) => {
       import CoreOps.rnd
       Tables.documents(s, d)
@@ -418,8 +428,26 @@ object SparkEntry {
           |FROM dense ORDER BY dim, week""".stripMargin),
     "token_count" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]+')) AS BIGINT) AS n_tokens_bpeish,
         |  CAST(length(text) AS BIGINT) AS n_chars_calc
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_groups" ->
+      """WITH RECURSIVE docs AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+        |toks AS (SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok FROM docs),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt FROM toks GROUP BY 1),
+        |prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+        |  FROM toks a JOIN toks b ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (SELECT id_a, id_b,
+        |  floor((CAST(shared AS DOUBLE) / (sa.nt + sb.nt - shared)) * 10000 + 0.5) / 10000 AS jaccard
+        |  FROM prs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id),
+        |near AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM near UNION SELECT id_b, id_a FROM near),
+        |reach(src, dst) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT src AS id, min(dst) AS component FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_stats" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok_total,

@@ -25,6 +25,16 @@ object TextFunctions {
 
   def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
 
+  /** BPE-ish subword-boundary token count: letter runs, digit runs, and
+    * punctuation runs each count as one token (the GPT-2 pre-tokenizer
+    * shape, minus byte-level details). The pattern avoids lookarounds so it
+    * behaves identically under Java regex (Spark) and RE2 (DuckDB).
+    */
+  val BpeishPattern: String = "\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]+"
+
+  def tokenCountBpeish(c: Column): Column =
+    regexp_count(c, lit(BpeishPattern)).cast("long")
+
   /** Number of tokens present in a fixed wordlist (per-language stopword
     * scoring for lang-ID). Counts every occurrence, not distinct tokens.
     */

@@ -112,6 +112,42 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** Duplicate-group formation: connected components over a near-dup pair
+    * list via iterative min-label propagation (each round, every id adopts
+    * the smallest label among itself and its neighbors; converges in
+    * O(diameter) rounds ≤ maxIter). At 100 TB this is the standard
+    * large-graph connectivity loop — each round is one join + one
+    * aggregate, all on (id, label) pairs.
+    *
+    * Returns (id, component) where component = min id of the group.
+    */
+  def clusterPairs(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // Undirected edge list, both directions + self-loops.
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+    val ids = edges.select(col("src").as("id")).distinct()
+    var labels = ids.withColumn("component", col("id"))
+    for (_ <- 1 to maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id2"))
+        .agg(min("component").as("nmin"))
+      labels = labels.join(neighborMin, labels("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nmin"), col("component")))
+            .as("component"))
+        // Truncate lineage each round: `labels` feeds the next round twice
+        // (directly and through neighborMin), so without materialization
+        // the logical plan doubles per iteration — 2^maxIter analysis blowup
+        // long before any data moves. Eager localCheckpoint makes each
+        // round's cost linear, the standard shape for iterative graph
+        // algorithms on Spark.
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
   /** 64-bit SimHash over token hashes: bit i of the result is the sign of
     * the (+1/-1) vote sum across tokens. Pure per-row expression.
     */

@@ -53,6 +53,21 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(ham(h(0L), h(1L)) < ham(h(0L), h(3L)))
   }
 
+  test("clusterPairs finds connected components with min-id labels") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.clusterPairs(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("tokenCountBpeish splits letter/digit/punct runs") {
+    val got = Seq("hello world42 a-b, c!").toDF("t")
+      .select(TextFunctions.tokenCountBpeish($"t")).as[Long].collect().head
+    // hello | world | 42 | a | - | b | , | c | !  = 9
+    assert(got == 9L)
+  }
+
   test("TextFunctions: token count, wordlist hits, lang predict tie-break") {
     val t = Seq(("the der la cat", 0L)).toDF("text", "id")
     assert(t.select(TextFunctions.tokenCount($"text")).as[Long].collect().head == 4L)
