@@ -279,6 +279,31 @@ object SparkEntry {
         .withColumn("rnk", col("rnk").cast("long"))
         .orderBy("qid", "rnk")
     }),
+    // IVF (KMeans codebook) ANN — model-based, rows-only check.
+    "knn_ivf_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.knnIvf(e.where(col("vec_id") < 10), e, k = 3)
+        .withColumn("rnk", col("rnk").cast("long"))
+        .orderBy("qid", "rnk")
+    }),
+
+    // ---- training-data extension tier: multimodal columns ----
+    // Portable metadata path over opaque bytes.
+    "media_metadata" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        md5(col("text").cast("binary")).as("content_md5"))
+        .orderBy("media_id")),
+    // Partition-batched decode plumbing (stub codec — deterministic fake;
+    // not SQL-expressible → rows-only).
+    "media_decode_meta" -> ((s, d) => {
+      val media = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        lit("text/plain").as("mime"),
+        col("text").cast("binary").as("bytes"))
+      graft.multimodal.MultimodalOps.decodeMeta(media).orderBy("media_id")
+    }),
 
     // SO2 — genuine UNION ALL stack of two weekly-stats sources.
     "union_stack" -> ((s, d) => {
@@ -486,6 +511,11 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t,
         |      generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "media_metadata" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5
+        |FROM documents ORDER BY media_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,

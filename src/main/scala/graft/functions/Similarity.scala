@@ -62,6 +62,52 @@ object Similarity {
        |    0D, (s, v) -> s + v) > 0D
        |  THEN shiftleft(1L, i) ELSE 0L END)""".stripMargin)
 
+  /** IVF-style approximate top-k: a KMeans codebook (trained once on the
+    * candidate set, fixed seed) partitions vectors into `nlist` cells;
+    * each query probes its `nprobe` nearest centroids and ranks only those
+    * cells' members. The classic inverted-file ANN trade: train cost is
+    * one pass, query cost drops from O(N) to O(N·nprobe/nlist). The
+    * centroid table is tiny and broadcast; candidate cells co-partition by
+    * cell id.
+    */
+  def knnIvf(queries: DataFrame, candidates: DataFrame, k: Int,
+             nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = candidates.select(
+      array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .fit(train)
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val cents = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }.toSeq.toDF("cell", "centroid")
+    def assign(df: DataFrame, idCol: String, vecCol: String, n: Int): DataFrame = {
+      // rank cells by cosine to the (broadcast) centroid table
+      val scored = df.crossJoin(broadcast(cents))
+        .withColumn("__cdist",
+          graft.expressions.CosineSimilarity.cosineFast(col(vecCol), col("centroid")))
+      scored.withColumn("__crnk", row_number().over(
+          Window.partitionBy(idCol).orderBy(col("__cdist").desc, col("cell"))))
+        .where(col("__crnk") <= n)
+        .drop("centroid", "__cdist", "__crnk")
+    }
+    val q = assign(queries.select(col("vec_id").as("qid"),
+      col("embedding").as("qe")), "qid", "qe", nprobe)
+    val c = assign(candidates.select(col("vec_id").as("cid"),
+      col("embedding").as("ce")), "cid", "ce", 1)
+    val pairs = c.join(q, Seq("cell")).where(col("cid") =!= col("qid"))
+      .withColumn("cos",
+        graft.expressions.CosineSimilarity.cosineFast(col("qe"), col("ce")))
+    pairs
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("cid"), col("rnk"),
+        CoreOps.rnd(col("cos")).as("cos_sim"))
+  }
+
   /** Approximate top-k: candidates restricted to the query's SRP bucket.
     * Recall < 1 by construction; widen by lowering `bits` or probing
     * neighboring buckets. At 100 TB this turns an O(Q·N) scan into a

@@ -44,6 +44,18 @@ object EventsStreaming {
         CoreOps.rnd(percentile_approx(col("value"), lit(0.5), lit(10000)))
           .as("value_median"))
 
+  /** Event-time session windows (gap-close semantics identical to the
+    * batch [[graft.ops.Sessionize]] operator): built-in merging session
+    * state, append output after the watermark closes a session.
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+                     watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        CoreOps.rnd(sum(col("value"))).as("total"))
+
   final case class UserSession(userId: Long, nEvents: Long, total: Double)
 
   /** Stateful per-user running session aggregate — the

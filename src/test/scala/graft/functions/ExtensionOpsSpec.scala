@@ -93,6 +93,21 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(fp(1L) != fp(2L))
   }
 
+  test("knnIvf returns valid ranked pairs whose cosines match brute force") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.where($"vec_id" < 5)
+    val ivf = Similarity.knnIvf(q, e, k = 3).collect()
+    assert(ivf.nonEmpty)
+    assert(ivf.forall(r => r.getAs[Int]("rnk") >= 1 && r.getAs[Int]("rnk") <= 3))
+    val brute = Similarity.knnBrute(q, e, k = 2000)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))
+        -> r.getAs[Double]("cos_sim")).toMap
+    ivf.foreach { r =>
+      val key = (r.getAs[Long]("qid"), r.getAs[Long]("cid"))
+      assert(brute(key) == r.getAs[Double]("cos_sim"))
+    }
+  }
+
   test("fused CosineSimilarity expression is bit-identical to the composed built-ins") {
     import graft.expressions.CosineSimilarity
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50)

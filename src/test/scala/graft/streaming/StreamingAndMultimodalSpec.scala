@@ -36,6 +36,26 @@ class StreamingAndMultimodalSpec extends SparkTestBase {
     assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
   }
 
+  test("streaming session windows match the batch sessionize operator") {
+    val dir = stageEventsDir()
+    val q = EventsStreaming.sessionWindows(
+        EventsStreaming.readEventsStream(spark, dir), gap = "30 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sess_win_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sess_win_out")
+    val batch = graft.ops.Sessionize.sessionize(
+      graft.Tables.events(spark, "/root/testdata/sf0.001"),
+      "user_id", "ts", "event_id", gapMs = 1800000L)
+    // same session count and same total events per user
+    assert(streamed.count() == batch.count())
+    val sPerUser = streamed.groupBy("user_id").agg(sum("n_events").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val bPerUser = batch.groupBy("user_id").agg(sum("n_events").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(sPerUser == bPerUser)
+  }
+
   test("stateful userSessions accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
