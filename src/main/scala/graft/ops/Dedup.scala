@@ -127,23 +127,32 @@ object Dedup {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
     val ids = edges.select(col("src").as("id")).distinct()
-    var labels = ids.withColumn("component", col("id"))
-    for (_ <- 1 to maxIter) {
+    var labels = ids.withColumn("component", col("id")).localCheckpoint(true)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIter) {
       val neighborMin = edges
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id2"))
         .agg(min("component").as("nmin"))
-      labels = labels.join(neighborMin, labels("id") === col("id2"), "left")
+      // Truncate lineage each round: `labels` feeds the next round twice
+      // (directly and through neighborMin), so without materialization the
+      // logical plan doubles per iteration — 2^maxIter analysis blowup long
+      // before any data moves. Eager localCheckpoint makes each round's
+      // cost linear, the standard shape for iterative graph algorithms.
+      val next = labels.join(neighborMin, labels("id") === col("id2"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nmin"), col("component")))
             .as("component"))
-        // Truncate lineage each round: `labels` feeds the next round twice
-        // (directly and through neighborMin), so without materialization
-        // the logical plan doubles per iteration — 2^maxIter analysis blowup
-        // long before any data moves. Eager localCheckpoint makes each
-        // round's cost linear, the standard shape for iterative graph
-        // algorithms on Spark.
         .localCheckpoint(true)
+      // Stop at the fixpoint: min-label propagation needs up to `diameter`
+      // rounds; real near-dup graphs converge in 2-3, so checking beats
+      // always paying the worst-case cap.
+      converged = next.as("n").join(labels.as("p"), "id")
+        .where(col("n.component") =!= col("p.component"))
+        .isEmpty
+      labels = next
+      round += 1
     }
     labels
   }
