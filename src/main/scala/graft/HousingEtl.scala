@@ -51,15 +51,27 @@ object HousingEtl {
           col("local_authority"), col("prop_type")))
       else None  // etl_main.py:221-225: breakdown only when a type col exists
 
+    // Cheap (week, dim) projection for the densify grid axes and the
+    // snapshot's max week — avoids re-evaluating the CSV-scan → weekly-agg
+    // lineage inside 1-row bound subtrees (same escape hatch Pipeline uses).
+    val weekDim = withLa.select(
+      CoreOps.weekStart(col("date")).as("week"),
+      col("local_authority").as("dim"))
     val dense = Densify.densify(
       weekly.select("week", "dim", "transactions", "price_mean"),
-      fillZero = Seq("transactions"))
+      fillZero = Seq("transactions"),
+      gridFrom = Some(weekDim))
     val rolled = Rolling.rollingWindows(dense, windows)
     val anomalies = Anomaly.detectAnomalies(rolled, zThresh)
-    val snapshot = Snapshot.latestWeek(rolled)
-    val qa = Joins.qaSummary(
-      withLa.withColumn("week", CoreOps.weekStart(col("date"))),
-      col("week"), col("local_authority"))
+    val snapshot = Snapshot.latestWeek(rolled, latestFrom = Some(weekDim))
+    // QA parity (etl_main.py:344-350): rows_raw counts the RAW parse —
+    // before the invalid-date drop — while the other metrics describe the
+    // cleaned frame; a 1-row cross join keeps both lazy.
+    val qa = raw.agg(count(lit(1)).as("rows_raw")).crossJoin(
+      withLa.withColumn("week", CoreOps.weekStart(col("date"))).agg(
+        count_distinct(col("local_authority")).as("dims"),
+        Joins.coveragePct(col("local_authority")).as("coverage_pct"),
+        max(col("week")).as("latest_week")))
 
     Outputs(weekly.orderBy("dim", "week"), typeBreak, coverage, rolled,
       anomalies, snapshot, qa)

@@ -225,22 +225,10 @@ object SparkEntry {
         .select("doc_id", "s_en", "s_de", "s_es", "s_fr", "lang_pred")
         .orderBy("doc_id")
     }),
-    "quality_score" -> ((s, d) => {
-      import CoreOps.rnd
-      val nt = TextFunctions.tokenCount(col("text"))
-      Tables.documents(s, d)
-        .withColumn("n_tokens", nt)
-        .withColumn("stop_ratio", rnd(
-          TextFunctions.wordlistHits(col("text"),
-            TextFunctions.LangWordlists.head._2).cast("double")
-            / greatest(col("n_tokens"), lit(1L))))
-        .withColumn("digit_ratio", rnd(TextFunctions.charRatio(col("text"), "[0-9]")))
-        .withColumn("quality", rnd(
-          least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.5
-            + col("stop_ratio") * 0.3 + (lit(1.0) - col("digit_ratio")) * 0.2))
+    "quality_score" -> ((s, d) =>
+      TextFunctions.withQualityColumns(Tables.documents(s, d), "text")
         .select("doc_id", "n_tokens", "stop_ratio", "digit_ratio", "quality")
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
     "doc_fingerprint" -> ((s, d) =>
       TextFunctions.fingerprint(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),

@@ -24,6 +24,13 @@ object Tables {
     * double's 53-bit mantissa and float division would corrupt timestamps.
     * DuckDB reads the same column as TIMESTAMP_NS; week-level truncation in
     * the graded queries makes the ns→us truncation invisible to the oracle.
+    *
+    * KNOWN SIDE EFFECT: the legacy flag stays set on the session afterwards
+    * (any later nanos-parquet read in this session yields LongType instead
+    * of failing). It cannot be scoped: the scan captures the Hadoop conf at
+    * ACTION time, not read time, so restoring the flag here would make the
+    * returned (lazy) DataFrame crash at execution. Spark offers no
+    * per-reader override for this conversion.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

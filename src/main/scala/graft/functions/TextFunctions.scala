@@ -75,19 +75,24 @@ object TextFunctions {
       (length(c) - length(regexp_replace(c, charClass, ""))).cast("double")
         / length(c))
 
-  /** Heuristic quality score in [0,1]: length saturation + stopword density
-    * + non-digit purity. Rational arithmetic only (no transcendentals —
-    * libm results differ across engines); components are rounded before
-    * combining so the composite is reproducible.
+  /** Heuristic quality scoring in [0,1]: length saturation + stopword
+    * density + non-digit purity. Rational arithmetic only (no
+    * transcendentals — libm results differ across engines); components are
+    * rounded before combining so the composite is reproducible. This is
+    * the single home of the formula — the graded `quality_score` query
+    * selects from these columns rather than re-deriving them.
     */
-  def qualityScore(text: Column): Column = {
+  def withQualityColumns(df: DataFrame, textCol: String): DataFrame = {
     import CoreOps.rnd
-    val nt = tokenCount(text)
-    val stopRatio = rnd(wordlistHits(text, LangWordlists.head._2).cast("double")
-      / greatest(nt, lit(1L)))
-    val digitRatio = rnd(charRatio(text, "[0-9]"))
-    rnd(least(nt.cast("double") / 100.0, lit(1.0)) * 0.5
-      + stopRatio * 0.3 + (lit(1.0) - digitRatio) * 0.2)
+    val text = col(textCol)
+    df.withColumn("n_tokens", tokenCount(text))
+      .withColumn("stop_ratio",
+        rnd(wordlistHits(text, LangWordlists.head._2).cast("double")
+          / greatest(col("n_tokens"), lit(1L))))
+      .withColumn("digit_ratio", rnd(charRatio(text, "[0-9]")))
+      .withColumn("quality",
+        rnd(least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.5
+          + col("stop_ratio") * 0.3 + (lit(1.0) - col("digit_ratio")) * 0.2))
   }
 
   /** Order-sensitive document fingerprint: sum over tokens of
@@ -100,6 +105,10 @@ object TextFunctions {
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
       .groupBy(idCol)
-      .agg(pmod(sum((ascii(col("t")) * 131 + length(col("t")))
+      // Long arithmetic throughout: ascii() yields the full Unicode
+      // codepoint (up to 0x10FFFF), so the int form of
+      // (codepoint*131 + len) * pos overflows for CJK tokens at positions
+      // ≥ ~820 — an ANSI ARITHMETIC_OVERFLOW crash on real corpora.
+      .agg(pmod(sum((ascii(col("t")).cast("long") * 131L + length(col("t")))
         * (col("pos") + 1)), lit(1000000007L)).as("fingerprint"))
 }

@@ -154,6 +154,13 @@ object Dedup {
       labels = next
       round += 1
     }
+    // Min-label propagation moves a label one hop per round, so a graph
+    // whose diameter exceeds the cap would silently report one group as
+    // several — fail loudly instead (raise maxIter for chain-like graphs).
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusterPairs did not converge in $maxIter rounds; " +
+          "the pair graph's diameter exceeds maxIter — raise it")
     labels
   }
 

@@ -73,7 +73,13 @@ object Sinks {
         Files.getLastModifiedTime(cache).toInstant
           .isAfter(Instant.now().minusSeconds(ttlHours * 3600))
       if (!fresh) {
-        fetcher(cache)
+        // Fetch into a temp file and move atomically: writing straight to
+        // the cache path would leave a fresh-mtime corrupt cache if the
+        // fetcher dies mid-write, poisoning every read for the next TTL.
+        val tmp = Paths.get(dir, ".landing.tmp")
+        fetcher(tmp)
+        Files.move(tmp, cache, StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.ATOMIC_MOVE)
         val stamp = DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss")
           .withZone(ZoneOffset.UTC).format(Instant.now())
         val backups = Paths.get(dir, "backups")

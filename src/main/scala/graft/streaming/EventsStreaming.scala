@@ -37,7 +37,11 @@ object EventsStreaming {
                     watermark: String = "1 day"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), window_), col("event_type"))
+      // startTime "4 days": tumbling windows align to the epoch, and
+      // 1970-01-01 is a Thursday — the offset shifts 7-day buckets to
+      // Monday starts, matching the batch tier's date_trunc('week')
+      // semantics (CoreOps.weekStart) instead of Thursday-aligned weeks.
+      .groupBy(window(col("ts"), window_, window_, "4 days"), col("event_type"))
       .agg(
         approx_count_distinct(col("event_id")).as("transactions"),
         CoreOps.rnd(avg(col("value"))).as("value_mean"),

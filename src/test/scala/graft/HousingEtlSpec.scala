@@ -68,7 +68,11 @@ class HousingEtlSpec extends SparkTestBase {
     assert(out.typeBreakdown.isDefined)
     // full chain executes: anomalies and snapshot non-empty, qa is 1 row
     assert(out.anomalies.count() > 0)
-    assert(out.qa.count() == 1)
+    val qa = out.qa.collect()
+    assert(qa.length == 1)
+    // rows_raw counts the RAW parse (5 rows incl. the bad-date one), like
+    // the reference's len(df_raw) — not the post-clean count of 4.
+    assert(qa.head.getAs[Long]("rows_raw") == 5L)
   }
 
   test("invalid lookup schema falls back to postcode prefix (P9)") {
