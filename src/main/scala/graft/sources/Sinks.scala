@@ -59,6 +59,18 @@ object Sinks {
         .mode("overwrite").save()
   }
 
+  /** S3-at-scale — date-partitioned raw zone (SURVEY.md §2.A: the
+    * timestamped-backup pattern becomes `partitionBy` on a derived
+    * partition column at 100 TB, so reprocessing a window prunes to its
+    * partitions instead of rescanning the zone).
+    */
+  def writeRawZone(df: DataFrame, tsCol: String, dir: String): Unit =
+    df.withColumn("ingest_week",
+      org.apache.spark.sql.functions.date_format(
+        graft.ops.CoreOps.weekStart(org.apache.spark.sql.functions.col(tsCol)),
+        "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("ingest_week").parquet(dir)
+
   /** S1-S3 — landing zone: TTL cache + timestamped backup around an
     * injected fetcher (the reference's retried streaming HTTP GET at
     * etl_main.py:61-117; offline harnesses inject a file copy). Returns the

@@ -86,6 +86,28 @@ object EventsStreaming {
       }
   }
 
+  /** Stream-stream interval join: pair each event with same-user events of
+    * another type within `within` AFTER it (e.g. click → purchase
+    * attribution). Both sides carry watermarks and the join condition
+    * bounds event time on both ends, so state is evictable — the canonical
+    * Structured Streaming join shape that stays O(window) in state.
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+                       within: String = "1 hour",
+                       watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("l_id"),
+        col("ts").as("l_ts"), col("event_type").as("l_type"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user"), col("event_id").as("r_id"),
+        col("ts").as("r_ts"), col("event_type").as("r_type"))
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+      .drop("r_user")
+  }
+
   /** `foreachBatch` bridge: every micro-batch flows through a caller-given
     * batch transformation (reusing the batch operator library unchanged)
     * before the write.

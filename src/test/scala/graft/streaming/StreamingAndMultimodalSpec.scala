@@ -92,6 +92,43 @@ class StreamingAndMultimodalSpec extends SparkTestBase {
     assert(seen == 3L)
   }
 
+  test("stream-stream interval join pairs same-user events within the window") {
+    val dir = stageEventsDir()
+    val clicks = EventsStreaming.readEventsStream(spark, dir)
+      .where(col("event_type") === "click")
+    val purchases = EventsStreaming.readEventsStream(spark, dir)
+      .where(col("event_type") === "purchase")
+    val q = EventsStreaming.streamStreamJoin(clicks, purchases, within = "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ssj_out")
+    // batch equivalent over the same data
+    val e = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val bl = e.where($"event_type" === "click")
+      .select($"user_id", $"event_id".as("l_id"), $"ts".as("l_ts"))
+    val br = e.where($"event_type" === "purchase")
+      .select($"user_id".as("r_user"), $"event_id".as("r_id"), $"ts".as("r_ts"))
+    val batch = bl.join(br, $"user_id" === $"r_user" &&
+      $"r_ts" >= $"l_ts" && $"r_ts" <= $"l_ts" + expr("INTERVAL 1 hour"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.count() > 0)
+  }
+
+  test("raw zone write partitions by ingest week and prunes on read") {
+    val dir = java.nio.file.Files.createTempDirectory("raw-zone").toString
+    val e = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    graft.sources.Sinks.writeRawZone(e, "ts", dir)
+    val zone = spark.read.parquet(dir)
+    assert(zone.count() == e.count())
+    // partition pruning: a single-week filter reads one partition directory
+    val oneWeek = zone.where($"ingest_week" === "2024-01-01")
+    val scanned = oneWeek.queryExecution.executedPlan.toString
+    assert(oneWeek.count() > 0 && oneWeek.count() < e.count())
+    assert(!scanned.contains("PartitionFilters: []"),
+      s"expected partition filters in:\n$scanned")
+  }
+
   test("multimodal: partition-batched decode produces typed metadata") {
     val media = Seq(
       (1L, "image/png", "fake-png-bytes".getBytes("UTF-8")),
