@@ -334,6 +334,37 @@ object SparkEntry {
         .orderBy("qid", "cid")
     }),
 
+    // As-of (backward) temporal join: each event picks its type's latest
+    // weekly median rate at-or-before its timestamp. Spark side composes
+    // union + last_value(ignoreNulls); the oracle uses DuckDB's native
+    // ASOF JOIN — two entirely different formulations must agree.
+    "asof_join_rates" -> ((s, d) => {
+      import CoreOps.rnd
+      val e = Tables.events(s, d)
+      val rates = e
+        .withColumn("ts", CoreOps.weekStart(col("ts")))
+        .withColumn("__cents", CoreOps.moneyCents(col("value")))
+        .groupBy("event_type", "ts")
+        .agg(rnd(median(col("__cents")) / 100.0).as("rate"))
+        .select(col("event_type"), col("ts"), col("rate"))
+      AsOfJoin.asofBackward(
+        e.select(col("event_id"), col("ts"), col("event_type")),
+        rates, keyCol = "event_type", tsCol = "ts", valueCol = "rate")
+        .select("event_id", "event_type", "asof_value")
+        .orderBy("event_id")
+    }),
+    // Wide-format pivot (the reference's breakdown is long-format; this is
+    // the matching wide capability with a fixed column set).
+    "pivot_events" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      e.withColumn("week", CoreOps.weekStart(col("ts")))
+        .groupBy("week")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0, Seq("click", "error", "purchase", "signup", "view"))
+        .orderBy("week")
+    }),
+
     // ---- training-data extension tier: semi-structured extraction ----
     "events_json" -> ((s, d) => {
       import CoreOps.rnd
@@ -499,6 +530,23 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t,
         |      generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "asof_join_rates" ->
+      """WITH rates AS (
+        |  SELECT event_type AS dim, date_trunc('week', ts) AS wk,
+        |    floor((quantile_cont(CAST(floor(value * 100 + 0.5) AS BIGINT), 0.5) / 100.0) * 10000 + 0.5) / 10000 AS rate
+        |  FROM events GROUP BY 1, 2)
+        |SELECT e.event_id, e.event_type, r.rate AS asof_value
+        |FROM events e ASOF LEFT JOIN rates r
+        |  ON e.event_type = r.dim AND e.ts >= r.wk
+        |ORDER BY e.event_id""".stripMargin,
+    "pivot_events" ->
+      """SELECT date_trunc('week', ts) AS week,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "media_metadata" ->
       """SELECT doc_id AS media_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -106,6 +106,25 @@ class WindowedOpsSpec extends SparkTestBase {
     assert(first == ((52L, 0L, 52L)))
   }
 
+  test("AsOfJoin.asofBackward picks latest at-or-before value per key") {
+    val right = Seq(("a", ts("2024-01-01 10:00:00"), 10.0),
+      ("a", ts("2024-01-03 10:00:00"), 30.0),
+      ("b", ts("2024-01-02 10:00:00"), 99.0))
+      .toDF("k", "ts", "rate")
+    val left = Seq(("a", ts("2024-01-01 09:00:00"), 1L),  // before any → null
+      ("a", ts("2024-01-02 00:00:00"), 2L),               // → 10.0
+      ("a", ts("2024-01-03 10:00:00"), 3L),               // same instant → 30.0
+      ("a", ts("2024-01-09 00:00:00"), 4L),               // → 30.0
+      ("b", ts("2024-01-05 00:00:00"), 5L))               // → 99.0
+      .toDF("k", "ts", "id")
+    val got = AsOfJoin.asofBackward(left, right, "k", "ts", "rate")
+      .select("id", "asof_value").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(got == Map(1L -> None, 2L -> Some(10.0), 3L -> Some(30.0),
+      4L -> Some(30.0), 5L -> Some(99.0)))
+  }
+
   test("Snapshot.latestWeek keeps only the max week") {
     val df = weekly(Seq(("2024-01-01", "a", 1L, None),
       ("2024-01-08", "a", 2L, None), ("2024-01-08", "b", 3L, None)))
