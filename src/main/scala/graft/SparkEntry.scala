@@ -142,6 +142,41 @@ object SparkEntry {
         .orderBy("la")
     }),
 
+    // Semi/anti joins (EXISTS / NOT EXISTS) — beyond the reference's
+    // left-outer-only join surface.
+    "semi_anti_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).select(col("o_custkey"))
+      val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      val withoutOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      withOrders.agg(count(lit(1)).as("n_with_orders"))
+        .crossJoin(withoutOrders.agg(count(lit(1)).as("n_without_orders")))
+    }),
+    // Set operations over distinct values: document languages EXCEPT a
+    // fixed list, plus intersect via the same mechanism.
+    "set_ops" -> ((s, d) => {
+      import s.implicits._
+      val langs = Tables.documents(s, d).select(col("lang").as("k")).distinct()
+      val known = Seq("en", "zh").toDF("k")
+      langs.except(known).orderBy("k")
+    }),
+    // Ranking window functions (row_number/rank/dense_rank/ntile/lead):
+    // top-3 orders per priority by price.
+    "ranking_orders" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, d)
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("next_key", lead(col("o_orderkey"), 1).over(w))
+        .where(col("rn") <= 3)
+        .orderBy("o_orderpriority", "rn")
+    }),
+
     // ---- windowed tier (J2/J3 + P12 + W1-W4 + P10/A6 + A11) ----
     "densify_orders" -> ((s, d) =>
       Pipeline.denseOrders(s, d)
@@ -432,6 +467,28 @@ object SparkEntry {
          |  count(*) AS n
          |FROM documents d LEFT JOIN $langDimSql ON d.lang = l.lang_code
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "semi_anti_join" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer c
+        |   WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_with_orders,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer c
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_without_orders""".stripMargin,
+    "set_ops" ->
+      """SELECT DISTINCT lang AS k FROM documents
+        |EXCEPT
+        |SELECT * FROM (VALUES ('en'), ('zh')) t(k)
+        |ORDER BY k""".stripMargin,
+    "ranking_orders" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER w AS rn,
+        |    rank() OVER w AS rnk,
+        |    dense_rank() OVER w AS drnk,
+        |    ntile(4) OVER w AS quartile,
+        |    lead(o_orderkey, 1) OVER w AS next_key
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey))
+        |SELECT * FROM r WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
     "densify_orders" ->
       (denseCte + "\nSELECT week, dim, transactions, price_mean FROM dense ORDER BY dim, week"),
     "rolling_windows" ->
