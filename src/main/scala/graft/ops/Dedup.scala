@@ -57,13 +57,28 @@ object Dedup {
       .select("id_a", "id_b", "shared", "jaccard")
   }
 
-  /** MinHash signature: k independent permutations simulated as
-    * `xxhash64(seed_i, token)`, minimum per seed. One array column per row,
-    * computed inline — no shuffle, no UDF.
+  /** Distinct shingle set for MinHash: token unigrams (shingleSize = 1,
+    * the whitespace-token default matching the testdata's shape) or
+    * overlapping character n-grams (shingleSize > 1, the canonical
+    * shingling for raw text where token boundaries are unreliable). Pure
+    * per-row expression either way.
     */
-  def minhashSignature(textCol: String, k: Int): Column = expr(
-    s"transform(sequence(0, ${k - 1}), i -> " +
-      s"array_min(transform(array_distinct(split($textCol, ' ')), " +
+  private def shingleSql(textCol: String, shingleSize: Int): String =
+    if (shingleSize <= 1) s"array_distinct(split($textCol, ' '))"
+    else s"array_distinct(transform(" +
+      s"sequence(1, greatest(length($textCol) - ${shingleSize - 1}, 1)), " +
+      s"i -> substring($textCol, i, $shingleSize)))"
+
+  def shingles(textCol: String, shingleSize: Int = 1): Column =
+    expr(shingleSql(textCol, shingleSize))
+
+  /** MinHash signature: k independent permutations simulated as
+    * `xxhash64(seed_i, shingle)`, minimum per seed. One array column per
+    * row, computed inline — no shuffle, no UDF.
+    */
+  def minhashSignature(textCol: String, k: Int, shingleSize: Int = 1): Column =
+    expr(s"transform(sequence(0, ${k - 1}), i -> " +
+      s"array_min(transform(${shingleSql(textCol, shingleSize)}, " +
       s"t -> xxhash64(i, t))))")
 
   /** LSH banding: split the k-wide signature into `bands` bands and hash
@@ -71,11 +86,12 @@ object Dedup {
     * near-duplicates.
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 32, bands: Int = 8): DataFrame = {
+                        k: Int = 32, bands: Int = 8,
+                        shingleSize: Int = 1): DataFrame = {
     require(k % bands == 0, s"bands=$bands must divide k=$k")
     val r = k / bands
     val sigs = df.select(col(idCol).as("id"),
-      minhashSignature(textCol, k).as("sig"))
+      minhashSignature(textCol, k, shingleSize).as("sig"))
     // Candidate generation is deliberately narrow: the band self-join and
     // the distinct see only (band, bucket, id) / (id_a, id_b) — a pair that
     // collides in several bands would otherwise drag its two signature
@@ -102,8 +118,9 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 32, bands: Int = 8,
-                   estThreshold: Double = 0.5): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, k, bands)
+                   estThreshold: Double = 0.5,
+                   shingleSize: Int = 1): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, k, bands, shingleSize)
     cands
       .withColumn("est_jaccard", CoreOps.rnd(
         expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), " +

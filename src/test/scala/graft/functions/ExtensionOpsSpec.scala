@@ -45,6 +45,18 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(pairs.get((0L, 1L)).exists(_ > 0.5)) // near-dup collides + high est
   }
 
+  test("char-shingle minhash: near-dup texts collide, distinct shingles correct") {
+    val sh = Seq("abcdef").toDF("text")
+      .select(Dedup.shingles("text", 3).as("s"))
+      .as[Seq[String]].collect().head
+    assert(sh.toSet == Set("abc", "bcd", "cde", "def"))
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", k = 32, bands = 8,
+        estThreshold = 0.0, shingleSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("est_jaccard")).toMap
+    assert(pairs((0L, 4L)) == 1.0)  // identical text → identical char shingles
+    assert(pairs.get((0L, 1L)).exists(_ > 0.5))
+  }
+
   test("simhash: identical text → distance 0; near-dup closer than unrelated") {
     val h = docs.select($"doc_id", Dedup.simhash64("text").as("h"))
       .as[(Long, Long)].collect().toMap
