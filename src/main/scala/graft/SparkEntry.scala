@@ -160,6 +160,13 @@ object SparkEntry {
       val known = Seq("en", "zh").toDF("k")
       langs.except(known).orderBy("k")
     }),
+    // Bucketed time-range self join: same-user event pairs within 5 min —
+    // cell-blocked equi-join formulation vs the oracle's direct inequality.
+    "range_join_events" -> ((s, d) =>
+      RangeJoin.selfTimeRangeJoin(Tables.events(s, d),
+        keyCol = "user_id", tsCol = "ts", idCol = "event_id",
+        toleranceMs = 300000L)
+        .orderBy("k", "l_id", "r_id")),
     // Ranking window functions (row_number/rank/dense_rank/ntile/lead):
     // top-3 orders per priority by price.
     "ranking_orders" -> ((s, d) => {
@@ -478,6 +485,12 @@ object SparkEntry {
         |EXCEPT
         |SELECT * FROM (VALUES ('en'), ('zh')) t(k)
         |ORDER BY k""".stripMargin,
+    "range_join_events" ->
+      """SELECT a.user_id AS k, a.event_id AS l_id, b.event_id AS r_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 300000
+        |ORDER BY k, l_id, r_id""".stripMargin,
     "ranking_orders" ->
       """WITH r AS (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
