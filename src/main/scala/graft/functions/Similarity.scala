@@ -50,54 +50,104 @@ object Similarity {
         CoreOps.rnd(col("cos")).as("cos_sim"))
   }
 
+  /** Hyperplane cap for the precomputed SRP sign matrix. Vectors longer
+    * than this fail loudly (ANSI out-of-bounds on the sign lookup) rather
+    * than silently truncating the projection.
+    */
+  val SrpMaxDim = 512
+
+  /** ±1 hyperplane matrix for [[srpBucket]], precomputed once at plan-build
+    * time by evaluating Spark's own `xxhash64(i, d)` eagerly — bit-for-bit
+    * the signs the previous per-row formulation derived, without paying
+    * bits × dim hash evaluations per row.
+    */
+  private def srpSignMatrix(bits: Int): Seq[Seq[Double]] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    (0 until bits).map { i =>
+      (0 until SrpMaxDim).map { d =>
+        val h = XxHash64(Seq(Literal(i), Literal(d)), 42L).eval(null)
+          .asInstanceOf[Long]
+        if ((h & 1L) == 1L) 1.0 else -1.0
+      }
+    }
+  }
+
   /** Sign-random-projection bucket: bit i is the sign of the dot product
     * with a pseudo-random ±1 hyperplane derived from `xxhash64(i, dim)` —
     * fully deterministic, no stored model. Nearby vectors collide with
     * high probability (cosine LSH).
+    *
+    * The cast-to-double vector is let-bound once per row
+    * (`transform(array(...), v -> ...)[0]`), the hyperplane signs come from
+    * the precomputed literal matrix, and the per-bit dot products address
+    * elements directly instead of allocating a `zip_with` product array per
+    * bit — same fold order, same doubles, same buckets as the naive form.
     */
-  def srpBucket(vec: String, bits: Int): Column = expr(
-    s"""aggregate(sequence(0, ${bits - 1}), 0L, (acc, i) -> acc |
-       |  CASE WHEN aggregate(zip_with($vec, sequence(0, size($vec) - 1),
-       |      (x, d) -> CAST(x AS DOUBLE) * CASE WHEN (xxhash64(i, d) & 1) = 1 THEN 1.0D ELSE -1.0D END),
-       |    0D, (s, v) -> s + v) > 0D
-       |  THEN shiftleft(1L, i) ELSE 0L END)""".stripMargin)
+  def srpBucket(vec: String, bits: Int): Column = {
+    val signs = typedLit(srpSignMatrix(bits))
+    val pow2 = typedLit((0 until bits).map(i => 1L << i))
+    val folded = transform(array(transform(col(vec), x => x.cast("double"))), v =>
+      when(size(v) === 0, lit(0L)).otherwise(
+        aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, i) =>
+          acc.bitwiseOR(
+            when(aggregate(sequence(lit(0), size(v) - 1), lit(0d), (s, d) =>
+              s + element_at(v, d + lit(1)) *
+                element_at(element_at(signs, i + lit(1)), d + lit(1))) > 0d,
+              element_at(pow2, i + lit(1))).otherwise(lit(0L))))))
+    element_at(folded, 1)
+  }
 
-  /** IVF-style approximate top-k: a KMeans codebook (trained once on the
-    * candidate set, fixed seed) partitions vectors into `nlist` cells;
-    * each query probes its `nprobe` nearest centroids and ranks only those
-    * cells' members. The classic inverted-file ANN trade: train cost is
-    * one pass, query cost drops from O(N) to O(N·nprobe/nlist). The
-    * centroid table is tiny and broadcast; candidate cells co-partition by
-    * cell id.
+  /** A trained IVF codebook: `nlist` centroid vectors. Train once (on a
+    * sample at scale), reuse across queries — refitting per query would
+    * redo the one genuinely expensive step of inverted-file ANN.
     */
-  def knnIvf(queries: DataFrame, candidates: DataFrame, k: Int,
-             nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+  case class IvfCodebook(centroids: Seq[Seq[Float]])
+
+  /** Fit the KMeans codebook (fixed seed → deterministic). At 100 TB train
+    * on a bounded deterministic sample of the candidates, not the full set
+    * — centroid quality converges long before the sample stops fitting on
+    * one node.
+    */
+  def trainCodebook(candidates: DataFrame, nlist: Int = 16,
+                    maxIter: Int = 10, seed: Long = 42L): IvfCodebook = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val train = candidates.select(
       array_to_vector(col("embedding").cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
       .fit(train)
-    val spark = candidates.sparkSession
-    import spark.implicits._
-    val cents = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.map(_.toFloat))
-    }.toSeq.toDF("cell", "centroid")
-    def assign(df: DataFrame, idCol: String, vecCol: String, n: Int): DataFrame = {
-      // rank cells by cosine to the (broadcast) centroid table
-      val scored = df.crossJoin(broadcast(cents))
-        .withColumn("__cdist",
-          graft.expressions.CosineSimilarity.cosineFast(col(vecCol), col("centroid")))
-      scored.withColumn("__crnk", row_number().over(
-          Window.partitionBy(idCol).orderBy(col("__cdist").desc, col("cell"))))
-        .where(col("__crnk") <= n)
-        .drop("centroid", "__cdist", "__crnk")
+    IvfCodebook(model.clusterCenters.map(_.toArray.map(_.toFloat).toSeq).toSeq)
+  }
+
+  /** IVF-style approximate top-k: the codebook partitions vectors into
+    * `nlist` cells; each query probes its `nprobe` nearest centroids and
+    * ranks only those cells' members. The classic inverted-file ANN trade:
+    * query cost drops from O(N) to O(N·nprobe/nlist).
+    *
+    * Cell assignment is a pure per-row expression over the literal centroid
+    * array — `sort_array` of (−cos, cell) structs, so ranking is cos desc
+    * with ties to the smallest cell — which means the candidate side flows
+    * scan → project → join with NO exchange: no crossJoin row blow-up, no
+    * `row_number` window shuffle. The tiny query side (qid × nprobe cells)
+    * is broadcast.
+    */
+  def knnIvf(queries: DataFrame, candidates: DataFrame, k: Int,
+             nlist: Int = 16, nprobe: Int = 2,
+             codebook: Option[IvfCodebook] = None): DataFrame = {
+    val cents = typedLit(codebook.getOrElse(trainCodebook(candidates, nlist))
+      .centroids)
+    def topCells(vecCol: Column, n: Int): Column = {
+      val scored = transform(cents, (c, idx) => struct(
+        (lit(0d) - graft.expressions.CosineSimilarity.cosineFast(vecCol, c))
+          .as("ns"),
+        idx.as("cell")))
+      transform(slice(sort_array(scored), 1, n), s => s.getField("cell"))
     }
-    val q = assign(queries.select(col("vec_id").as("qid"),
-      col("embedding").as("qe")), "qid", "qe", nprobe)
-    val c = assign(candidates.select(col("vec_id").as("cid"),
-      col("embedding").as("ce")), "cid", "ce", 1)
-    val pairs = c.join(q, Seq("cell")).where(col("cid") =!= col("qid"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+      explode(topCells(col("embedding"), nprobe)).as("cell"))
+    val c = candidates.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      element_at(topCells(col("embedding"), 1), 1).as("cell"))
+    val pairs = c.join(broadcast(q), Seq("cell")).where(col("cid") =!= col("qid"))
       .withColumn("cos",
         graft.expressions.CosineSimilarity.cosineFast(col("qe"), col("ce")))
     pairs

@@ -75,11 +75,20 @@ object Dedup {
   /** MinHash signature: k independent permutations simulated as
     * `xxhash64(seed_i, shingle)`, minimum per seed. One array column per
     * row, computed inline — no shuffle, no UDF.
+    *
+    * The shingle array is bound ONCE per row as a lambda variable
+    * (`transform(array(shingles), sh -> ...)[0]` — an expression-level
+    * let-binding): nesting the shingle SQL textually inside the per-seed
+    * lambda would re-split and re-dedup the text k times per row, and
+    * Catalyst neither CSEs inside higher-order-function lambdas nor can a
+    * hoisted projection column survive CollapseProject re-inlining. The
+    * k×|shingles| seeded string hashes that remain are the algorithm's
+    * inherent work.
     */
   def minhashSignature(textCol: String, k: Int, shingleSize: Int = 1): Column =
-    expr(s"transform(sequence(0, ${k - 1}), i -> " +
-      s"array_min(transform(${shingleSql(textCol, shingleSize)}, " +
-      s"t -> xxhash64(i, t))))")
+    expr(s"transform(array(${shingleSql(textCol, shingleSize)}), sh -> " +
+      s"transform(sequence(0, ${k - 1}), i -> " +
+      s"array_min(transform(sh, t -> xxhash64(i, t)))))[0]")
 
   /** LSH banding: split the k-wide signature into `bands` bands and hash
     * each band to a bucket. Docs sharing any (band, bucket) are candidate
@@ -183,12 +192,19 @@ object Dedup {
 
   /** 64-bit SimHash over token hashes: bit i of the result is the sign of
     * the (+1/-1) vote sum across tokens. Pure per-row expression.
+    *
+    * The token-hash array is bound once per row as a lambda variable (same
+    * let-binding shape as [[minhashSignature]]); the 64 bit-vote folds then
+    * run over bound longs instead of re-tokenizing and re-hashing the
+    * document per bit. (`shiftright(h, i)`, not `h >> i`: the `>>` token
+    * fails to parse at this lambda nesting depth in Spark 4.1's grammar.)
     */
   def simhash64(textCol: String): Column = expr(
-    s"""aggregate(sequence(0, 63), 0L, (acc, i) -> acc |
-       |  CASE WHEN aggregate(transform(split($textCol, ' '), t -> xxhash64(t)),
-       |    0L, (v, h) -> v + CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) > 0
-       |  THEN shiftleft(1L, i) ELSE 0L END)""".stripMargin)
+    s"""transform(array(transform(split($textCol, ' '), t -> xxhash64(t))), hs ->
+       |  aggregate(sequence(0, 63), 0L, (acc, i) -> acc |
+       |    CASE WHEN aggregate(hs,
+       |      0L, (v, h) -> v + CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1 ELSE -1 END) > 0
+       |    THEN shiftleft(1L, i) ELSE 0L END))[0]""".stripMargin)
 
   /** Near-dup pairs by SimHash Hamming distance within a blocking key.
     * `bit_count(a XOR b)` is the Hamming distance; blocks bound the
