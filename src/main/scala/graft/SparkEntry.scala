@@ -290,10 +290,12 @@ object SparkEntry {
     "minhash_lsh_pairs" -> ((s, d) =>
       Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text")
         .orderBy("id_a", "id_b")),
+    // Hamming-LSH banding (bands = maxHamming + 1 → lossless by
+    // pigeonhole): full corpus, no semantic block, no sample — the banded
+    // pair set provably equals the brute-force Hamming scan (DedupSpec).
     "simhash_hamming" -> ((s, d) =>
-      Dedup.simhashPairs(
-        Tables.documents(s, d).where(pmod(col("doc_id"), lit(10)) === 0),
-        "doc_id", "text", "lang", maxHamming = 16)
+      Dedup.simhashBandedPairs(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 3)
         .orderBy("id_a", "id_b")),
 
     // ---- training-data extension tier: similarity search ----

@@ -206,10 +206,47 @@ object Dedup {
        |      0L, (v, h) -> v + CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1 ELSE -1 END) > 0
        |    THEN shiftleft(1L, i) ELSE 0L END))[0]""".stripMargin)
 
+  /** Near-dup pairs by SimHash Hamming distance via Hamming-LSH banding —
+    * the scale path. The 64-bit simhash splits into `maxHamming + 1`
+    * bands; by pigeonhole, two hashes differing in ≤ maxHamming bits agree
+    * EXACTLY on at least one band, so an equi-join on (band, value) plus an
+    * exact `bit_count(a XOR b)` post-filter returns precisely the
+    * brute-force pair set (this is a lossless candidate generator, not an
+    * approximation — pinned by DedupSpec against the all-pairs scan).
+    *
+    * Scale shape: no semantic blocking column, so no unbounded
+    * per-block quadratic — candidates are docs colliding on a ≥8-bit band
+    * value, and the join shuffles only (band, value, id, sh) rows. Small
+    * maxHamming is inherent to the method (Manku et al., WWW'07 use 3):
+    * more than 7 would thin bands below 8 bits and stop being selective.
+    */
+  def simhashBandedPairs(df: DataFrame, idCol: String, textCol: String,
+                         maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"maxHamming=$maxHamming outside [0, 7]: bands = maxHamming + 1 must " +
+        "keep ≥ 8 bits per band to stay selective")
+    val bands = maxHamming + 1
+    val w = 64 / bands // last band also takes the 64 % bands remainder bits
+    val h = df.select(col(idCol).as("id"), simhash64(textCol).as("sh"))
+    val banded = h.select(col("id"), col("sh"),
+      posexplode(expr(s"transform(sequence(0, ${bands - 1}), j -> " +
+        s"CASE WHEN j = ${bands - 1} THEN shiftrightunsigned(sh, j * $w) " +
+        s"ELSE shiftrightunsigned(sh, j * $w) & ${(1L << w) - 1} END)"))
+        .as(Seq("band", "bval")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct() // a pair can agree on several bands
+  }
+
   /** Near-dup pairs by SimHash Hamming distance within a blocking key.
     * `bit_count(a XOR b)` is the Hamming distance; blocks bound the
-    * quadratic pair space (at scale, block on SimHash prefix bytes instead
-    * of a semantic column to guarantee bounded blocks).
+    * quadratic pair space. Use [[simhashBandedPairs]] unless a semantic
+    * block is itself part of the query (it caps pair search at the block,
+    * which banding deliberately does not).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    blockCol: String, maxHamming: Int): DataFrame = {
