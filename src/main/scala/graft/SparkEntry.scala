@@ -238,14 +238,17 @@ object SparkEntry {
         TextFunctions.tokenCountBpeish(col("text")).as("n_tokens_bpeish"),
         length(col("text")).cast("long").as("n_chars_calc"))
         .orderBy("doc_id")),
-    // Duplicate-group formation: connected components over the blocked
-    // jaccard near-dup pairs (min-label propagation vs the oracle's
-    // recursive transitive closure).
+    // Duplicate-group formation: connected components over near-dup pairs
+    // (min-label propagation vs the oracle's recursive transitive
+    // closure). Edges come from the scale path — MinHash-LSH candidates
+    // verified with exact jaccard — while the oracle computes the
+    // exhaustive exact pair set: the hash match proves the LSH candidate
+    // stage recovered every component on this corpus.
     "dedup_groups" -> ((s, d) =>
       Dedup.clusterPairs(
-        Dedup.jaccardPairs(
+        Dedup.verifiedNearDupPairs(
           Tables.documents(s, d).where(pmod(col("doc_id"), lit(10)) === 0),
-          "doc_id", "text", "lang", threshold = 0.5))
+          "doc_id", "text", threshold = 0.5))
         .orderBy("id")),
     "text_stats" -> ((s, d) => {
       import CoreOps.rnd
@@ -549,10 +552,10 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_groups" ->
       """WITH RECURSIVE docs AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
-        |toks AS (SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok FROM docs),
+        |toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM docs),
         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt FROM toks GROUP BY 1),
         |prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
-        |  FROM toks a JOIN toks b ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
         |j AS (SELECT id_a, id_b,
         |  floor((CAST(shared AS DOUBLE) / (sa.nt + sb.nt - shared)) * 10000 + 0.5) / 10000 AS jaccard

@@ -138,6 +138,35 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** Scale path for exact near-dup pairs: MinHash-LSH candidate
+    * generation, then exact token-set Jaccard verification on the
+    * candidates only — O(|candidates|) exact work (an array intersect per
+    * pair) instead of [[jaccardPairs]]' quadratic token self-join, and no
+    * semantic blocking column. Precision is exact by construction; recall
+    * is the LSH collision probability 1-(1-j^r)^bands, so callers pick
+    * bands for their threshold (bands=32, r=1 → a j=0.5 pair is missed
+    * with probability 2^-32; DedupSpec pins recall 1.0 vs the exhaustive
+    * join on the fixture corpus).
+    */
+  def verifiedNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                           threshold: Double, k: Int = 32, bands: Int = 32,
+                           shingleSize: Int = 1): DataFrame = {
+    import CoreOps.rnd
+    val toks = df.select(col(idCol).as("id"),
+      shingles(textCol, shingleSize).as("toks"))
+    val cands = minhashCandidates(df, idCol, textCol, k, bands, shingleSize)
+      .select("id_a", "id_b")
+    cands
+      .join(toks.select(col("id").as("id_a"), col("toks").as("ta")), Seq("id_a"))
+      .join(toks.select(col("id").as("id_b"), col("toks").as("tb")), Seq("id_b"))
+      .withColumn("shared",
+        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("jaccard", rnd(col("shared").cast("double")
+        / (size(col("ta")) + size(col("tb")) - col("shared"))))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "shared", "jaccard")
+  }
+
   /** Duplicate-group formation: connected components over a near-dup pair
     * list via iterative min-label propagation (each round, every id adopts
     * the smallest label among itself and its neighbors; converges in
@@ -164,20 +193,23 @@ object Dedup {
       // Truncate lineage each round: `labels` feeds the next round twice
       // (directly and through neighborMin), so without materialization the
       // logical plan doubles per iteration — 2^maxIter analysis blowup long
-      // before any data moves. Eager localCheckpoint makes each round's
-      // cost linear, the standard shape for iterative graph algorithms.
+      // before any data moves. The localCheckpoint is LAZY and the changed
+      // count below is what materializes it, so each round is exactly one
+      // job: persist the new generation and learn whether it moved, in the
+      // same pass (vs. the old eager checkpoint + separate anti-join —
+      // two jobs, the second re-reading both label generations).
       val next = labels.join(neighborMin, labels("id") === col("id2"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nmin"), col("component")))
-            .as("component"))
-        .localCheckpoint(true)
+            .as("component"),
+          (coalesce(col("nmin"), col("component")) < col("component"))
+            .as("changed"))
+        .localCheckpoint(false)
       // Stop at the fixpoint: min-label propagation needs up to `diameter`
       // rounds; real near-dup graphs converge in 2-3, so checking beats
       // always paying the worst-case cap.
-      converged = next.as("n").join(labels.as("p"), "id")
-        .where(col("n.component") =!= col("p.component"))
-        .isEmpty
-      labels = next
+      converged = next.where(col("changed")).count() == 0L
+      labels = next.select("id", "component")
       round += 1
     }
     // Min-label propagation moves a label one hop per round, so a graph

@@ -90,6 +90,22 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(cnt >= 0L) // runs without a block column; selectivity from 21-bit bands
   }
 
+  test("verifiedNearDupPairs: LSH-verified scale path equals the exhaustive join") {
+    // Precision is structural (candidates are exactly re-verified); recall
+    // is probabilistic per missed band (2^-32 at j=0.5 with bands=32,r=1)
+    // — pin BOTH at 1.0 on the real fixture corpus vs jaccardPairs run
+    // with a constant block (i.e. the full quadratic pair space).
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "shared", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val scale = pairSet(Dedup.verifiedNearDupPairs(d, "doc_id", "text", 0.5))
+    val exhaustive = pairSet(
+      Dedup.jaccardPairs(d.withColumn("one", lit(1)), "doc_id", "text", "one", 0.5))
+    assert(exhaustive.nonEmpty)
+    assert(scale == exhaustive)
+  }
+
   test("clusterPairs finds connected components with min-id labels") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
       .toDF("id_a", "id_b")
