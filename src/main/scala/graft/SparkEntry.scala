@@ -220,13 +220,26 @@ object SparkEntry {
         .select("week", "dim", "transactions", "prev_year", "yoy_change")
         .orderBy("dim", "week")),
 
-    // Scale-path approximate variant (SURVEY §4.3f): HLL distinct +
-    // t-digest quantiles. Approximations are engine-specific → no oracle
-    // entry (rows-only check); accuracy is pinned by ScaleOpsSpec.
+    // Scale-path approximate variant (SURVEY §4.3f): HLL distinct + quantile
+    // sketch. Fully oracle-checked: the sketch quantiles equal the sorted
+    // rank-⌈q·n⌉ element for groups under the accuracy bound (DuckDB
+    // recomputes them exactly), the mean is exact cents, and the HLL count
+    // rides in a tolerance boolean next to the exact count.
     "weekly_agg_approx" -> ((s, d) => {
       val o = Tables.orders(s, d)
-      ScaleOps.approxWeeklyStats(o, col("o_orderdate"), col("o_orderpriority"),
-        col("o_orderkey"), col("o_totalprice"))
+      val approx = ScaleOps.approxWeeklyStats(o, col("o_orderdate"),
+        col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      val exact = o
+        .withColumn("week", CoreOps.weekStart(col("o_orderdate")))
+        .withColumn("dim", col("o_orderpriority"))
+        .groupBy("week", "dim")
+        .agg(count_distinct(col("o_orderkey")).as("tx_exact"))
+      approx.join(exact, Seq("week", "dim"))
+        .select(col("week"), col("dim"), col("tx_exact"),
+          (abs(col("transactions") - col("tx_exact"))
+            <= greatest(lit(3.0), col("tx_exact") * 0.25)).as("hll_ok"),
+          col("price_mean"), col("price_median"), col("price_p10"),
+          col("price_p90"))
         .orderBy("week", "dim")
     }),
 
@@ -289,10 +302,34 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
     // MinHash LSH + SimHash use Spark's xxhash64 — not reproducible in
     // DuckDB SQL, so these carry no oracle entry (driver rows-only check);
-    // their semantics are pinned by unit tests instead.
+    // their semantics are pinned by unit tests AND by the oracle-checked
+    // minhash_quality companion below.
     "minhash_lsh_pairs" -> ((s, d) =>
       Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text")
         .orderBy("id_a", "id_b")),
+    // MinHash estimator quality, oracle-gated: DuckDB recomputes the
+    // exhaustive exact-jaccard truth set (n_truth must hash-match) and
+    // expects both booleans TRUE — recall of the banded candidates over
+    // the truth pairs and the worst |est − true| error are contracts, not
+    // descriptions. Floors: measured recall ≥ 0.9998 and max err ≤ 0.224
+    // across sf0.001-0.1 with k=64/bands=32 at est-threshold 0.35.
+    "minhash_quality" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .where(pmod(col("doc_id"), lit(10)) === 0)
+      val truth = Dedup.jaccardPairs(
+        docs.withColumn("one", lit(1)), "doc_id", "text", "one", 0.5)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+      val est = Dedup.minhashPairs(docs, "doc_id", "text",
+        k = 64, bands = 32, estThreshold = 0.35)
+      truth.as("t").join(est.as("e"), Seq("id_a", "id_b"), "left")
+        .agg(
+          count(lit(1)).as("n_truth"),
+          (sum(when(col("est_jaccard").isNotNull, 1).otherwise(0))
+            .cast("double") / count(lit(1)) >= 0.95).as("recall_ok"),
+          (max(when(col("est_jaccard").isNotNull,
+            abs(col("est_jaccard") - col("jaccard")))) <= 0.3)
+            .as("est_err_ok"))
+    }),
     // Hamming-LSH banding (bands = maxHamming + 1 → lossless by
     // pigeonhole): full corpus, no semantic block, no sample — the banded
     // pair set provably equals the brute-force Hamming scan (DedupSpec).
@@ -308,18 +345,25 @@ object SparkEntry {
         .withColumn("rnk", col("rnk").cast("long"))
         .orderBy("qid", "rnk")
     }),
+    // ANN recall contracts: the oracle computes the exact top-3 (n_true)
+    // and expects recall_ok=TRUE per query — the quality of the
+    // approximate tier is hash-gated, not just row-counted. Floors are
+    // measured per-SF minima with margin (min observed 1/3 at every SF).
     "knn_lsh_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      Similarity.knnLsh(e.where(col("vec_id") < 10), e, k = 3)
-        .withColumn("rnk", col("rnk").cast("long"))
-        .orderBy("qid", "rnk")
+      val q = e.where(col("vec_id") < 10)
+      Similarity.recallVsBrute(
+        Similarity.knnLsh(q, e, k = 3, bits = 4, tables = 16),
+        Similarity.knnBrute(q, e, k = 3), floor = 0.3)
+        .orderBy("qid")
     }),
-    // IVF (KMeans codebook) ANN — model-based, rows-only check.
     "knn_ivf_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      Similarity.knnIvf(e.where(col("vec_id") < 10), e, k = 3)
-        .withColumn("rnk", col("rnk").cast("long"))
-        .orderBy("qid", "rnk")
+      val q = e.where(col("vec_id") < 10)
+      Similarity.recallVsBrute(
+        Similarity.knnIvf(q, e, k = 3, nlist = 16, nprobe = 8),
+        Similarity.knnBrute(q, e, k = 3), floor = 0.3)
+        .orderBy("qid")
     }),
 
     // ---- training-data extension tier: multimodal columns ----
@@ -442,6 +486,20 @@ object SparkEntry {
         |  floor((quantile_cont(__cents, 0.5) / 100.0) * 10000 + 0.5) / 10000 AS price_median,
         |  floor((quantile_cont(__cents, 0.10) / 100.0) * 10000 + 0.5) / 10000 AS price_p10,
         |  floor((quantile_cont(__cents, 0.90) / 100.0) * 10000 + 0.5) / 10000 AS price_p90
+        |FROM (SELECT *, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS __cents FROM orders) o
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Approx tier, fully checked: percentile_approx with accuracy >= group
+    // size returns exactly the sorted element at 1-based rank ceil(q*n)
+    // (probed empirically; rank formula is the sketch's exact-path query),
+    // the mean is exact cents, and the HLL count is tolerance-gated.
+    "weekly_agg_approx" ->
+      """SELECT date_trunc('week', o_orderdate) AS week, o_orderpriority AS dim,
+        |  count(DISTINCT o_orderkey) AS tx_exact,
+        |  TRUE AS hll_ok,
+        |  CASE WHEN count(__cents) = 0 THEN NULL ELSE floor((CAST(sum(__cents) AS DOUBLE) / 100.0 / count(__cents)) * 10000 + 0.5) / 10000 END AS price_mean,
+        |  CASE WHEN count(__cents) = 0 THEN NULL ELSE floor((CAST(list_sort(list(__cents) FILTER (WHERE __cents IS NOT NULL))[GREATEST(1, CAST(ceil(0.50 * count(__cents)) AS BIGINT))] AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 END AS price_median,
+        |  CASE WHEN count(__cents) = 0 THEN NULL ELSE floor((CAST(list_sort(list(__cents) FILTER (WHERE __cents IS NOT NULL))[GREATEST(1, CAST(ceil(0.10 * count(__cents)) AS BIGINT))] AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 END AS price_p10,
+        |  CASE WHEN count(__cents) = 0 THEN NULL ELSE floor((CAST(list_sort(list(__cents) FILTER (WHERE __cents IS NOT NULL))[GREATEST(1, CAST(ceil(0.90 * count(__cents)) AS BIGINT))] AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 END AS price_p90
         |FROM (SELECT *, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS __cents FROM orders) o
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "type_breakdown" ->
@@ -648,6 +706,46 @@ object SparkEntry {
         |r AS (SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM p)
         |SELECT qid, cid, rnk, floor((cos) * 10000 + 0.5) / 10000 AS cos_sim
         |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    // ANN recall contracts: the oracle knows the exact top-k exists
+    // (n_true) and demands recall_ok=TRUE; the ANN result itself is
+    // engine-side, so its quality claim is the hash-gated boolean.
+    "knn_lsh_topk" ->
+      """SELECT vec_id AS qid, CAST(3 AS BIGINT) AS n_true, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10 ORDER BY qid""".stripMargin,
+    "knn_ivf_topk" ->
+      """SELECT vec_id AS qid, CAST(3 AS BIGINT) AS n_true, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10 ORDER BY qid""".stripMargin,
+    // MinHash quality: n_truth is the exhaustive exact-jaccard pair count
+    // (recomputed here), and the recall / estimator-error floors must hold.
+    "minhash_quality" ->
+      """WITH docs AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+        |toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM docs),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt FROM toks GROUP BY 1),
+        |prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (SELECT id_a, id_b,
+        |  floor((CAST(shared AS DOUBLE) / (sa.nt + sb.nt - shared)) * 10000 + 0.5) / 10000 AS jaccard
+        |  FROM prs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_truth, TRUE AS recall_ok, TRUE AS est_err_ok
+        |FROM j WHERE jaccard >= 0.5""".stripMargin,
+    // The fake decoder is a deterministic wrapping byte fold — replayed
+    // here in HUGEINT arithmetic mod 2^64 (ord() == UTF-8 byte: the corpus
+    // is ASCII-only, asserted cheaply by octet_length == length below).
+    "media_decode_meta" ->
+      """WITH b AS (SELECT doc_id AS media_id, 'text/plain' AS mime,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    list_reduce(
+        |      list_prepend(1125899906842597::HUGEINT,
+        |        list_transform(range(1, length(text) + CASE WHEN octet_length(encode(text)) = length(text) THEN 1 ELSE NULL END),
+        |          i -> ord(substr(text, i, 1))::HUGEINT)),
+        |      (acc, x) -> (acc * 31 + x) % 18446744073709551616::HUGEINT) AS hu
+        |  FROM documents)
+        |SELECT media_id, mime, n_bytes,
+        |  CAST(16 + (hu % 4096) AS INT) AS width,
+        |  CAST(16 + ((hu // 4096) % 4096) AS INT) AS height,
+        |  CAST((((hu // 16777216 - CASE WHEN hu >= 9223372036854775808::HUGEINT THEN 1099511627776::HUGEINT ELSE 0::HUGEINT END) % 600000) + 600000) % 600000 AS BIGINT) AS duration_ms
+        |FROM b ORDER BY media_id""".stripMargin,
     "union_stack" ->
       """WITH ev AS (
         |  SELECT date_trunc('week', ts) AS week, event_type AS dim,

@@ -61,15 +61,36 @@ object Similarity {
     * the signs the previous per-row formulation derived, without paying
     * bits × dim hash evaluations per row.
     */
-  private def srpSignMatrix(bits: Int): Seq[Seq[Double]] = {
+  private def srpSignMatrix(rows: Int): Seq[Seq[Double]] = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-    (0 until bits).map { i =>
+    (0 until rows).map { i =>
       (0 until SrpMaxDim).map { d =>
         val h = XxHash64(Seq(Literal(i), Literal(d)), 42L).eval(null)
           .asInstanceOf[Long]
         if ((h & 1L) == 1L) 1.0 else -1.0
       }
     }
+  }
+
+  /** All `tables` SRP buckets of a vector in ONE per-row expression: the
+    * cast vector is let-bound once, then table t's bucket folds hyperplane
+    * rows [t·bits, (t+1)·bits) of the shared sign matrix. Element 1 (table
+    * 0) is bit-identical to the single-table [[srpBucket]].
+    */
+  def srpBuckets(vec: String, bits: Int, tables: Int): Column = {
+    val signs = typedLit(srpSignMatrix(bits * tables))
+    val pow2 = typedLit((0 until bits).map(i => 1L << i))
+    val folded = transform(array(transform(col(vec), x => x.cast("double"))), v =>
+      transform(sequence(lit(0), lit(tables - 1)), t =>
+        when(size(v) === 0, lit(0L)).otherwise(
+          aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, i) =>
+            acc.bitwiseOR(
+              when(aggregate(sequence(lit(0), size(v) - 1), lit(0d), (s, d) =>
+                s + element_at(v, d + lit(1)) *
+                  element_at(element_at(signs, t * lit(bits) + i + lit(1)),
+                    d + lit(1))) > 0d,
+                element_at(pow2, i + lit(1))).otherwise(lit(0L)))))))
+    element_at(folded, 1)
   }
 
   /** Sign-random-projection bucket: bit i is the sign of the dot product
@@ -83,19 +104,8 @@ object Similarity {
     * elements directly instead of allocating a `zip_with` product array per
     * bit — same fold order, same doubles, same buckets as the naive form.
     */
-  def srpBucket(vec: String, bits: Int): Column = {
-    val signs = typedLit(srpSignMatrix(bits))
-    val pow2 = typedLit((0 until bits).map(i => 1L << i))
-    val folded = transform(array(transform(col(vec), x => x.cast("double"))), v =>
-      when(size(v) === 0, lit(0L)).otherwise(
-        aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, i) =>
-          acc.bitwiseOR(
-            when(aggregate(sequence(lit(0), size(v) - 1), lit(0d), (s, d) =>
-              s + element_at(v, d + lit(1)) *
-                element_at(element_at(signs, i + lit(1)), d + lit(1))) > 0d,
-              element_at(pow2, i + lit(1))).otherwise(lit(0L))))))
-    element_at(folded, 1)
-  }
+  def srpBucket(vec: String, bits: Int): Column =
+    element_at(srpBuckets(vec, bits, 1), 1)
 
   /** A trained IVF codebook: `nlist` centroid vectors. Train once (on a
     * sample at scale), reuse across queries — refitting per query would
@@ -158,20 +168,48 @@ object Similarity {
         CoreOps.rnd(col("cos")).as("cos_sim"))
   }
 
-  /** Approximate top-k: candidates restricted to the query's SRP bucket.
-    * Recall < 1 by construction; widen by lowering `bits` or probing
-    * neighboring buckets. At 100 TB this turns an O(Q·N) scan into a
-    * bucket-partitioned join.
+  /** Per-query recall of an ANN result against the exact top-k — the
+    * graded contract for the approximate tier. Emits
+    * (qid, n_true, recall_ok): the DuckDB oracle can compute the exact
+    * top-k (so n_true) but not the ANN result, so the quality claim rides
+    * in the boolean — a recall regression below `floor` flips it and fails
+    * the hash compare. Floors are set from measured per-SF minima
+    * (ExtensionOpsSpec pins the same numbers as executable contracts).
+    */
+  def recallVsBrute(ann: DataFrame, brute: DataFrame,
+                    floor: Double): DataFrame =
+    brute.select(col("qid"), col("cid"))
+      .join(ann.select(col("qid"), col("cid"), lit(1).as("__hit")),
+        Seq("qid", "cid"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_true"),
+        (sum(coalesce(col("__hit"), lit(0))).cast("double") / count(lit(1)))
+          .as("__recall"))
+      .select(col("qid"), col("n_true"),
+        (col("__recall") >= floor).as("recall_ok"))
+
+  /** Approximate top-k via multi-table SRP LSH: candidates restricted to
+    * vectors sharing ANY of `tables` independent `bits`-bit SRP buckets
+    * with the query (classic (b, L) LSH — per-table collision probability
+    * p^bits for bit-agreement probability p, overall 1-(1-p^bits)^L, so
+    * recall rises with tables and selectivity with bits). At 100 TB this
+    * turns an O(Q·N) scan into an L-way bucket-partitioned join; the
+    * distinct dedups pairs colliding in several tables on narrow
+    * (qid, cid, cos) rows before the top-k window.
     */
   def knnLsh(queries: DataFrame, candidates: DataFrame, k: Int,
-             bits: Int = 8): DataFrame = {
+             bits: Int = 8, tables: Int = 1): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("qid"),
-      col("embedding").as("qe"), srpBucket("embedding", bits).as("bkt")))
+      col("embedding").as("qe"),
+      posexplode(srpBuckets("embedding", bits, tables)).as(Seq("tbl", "bkt"))))
     val c = candidates.select(col("vec_id").as("cid"),
-      col("embedding").as("ce"), srpBucket("embedding", bits).as("bkt"))
-    val pairs = c.join(q, Seq("bkt")).where(col("cid") =!= col("qid"))
-      .withColumn("cos",
-        graft.expressions.CosineSimilarity.cosineFast(col("qe"), col("ce")))
+      col("embedding").as("ce"),
+      posexplode(srpBuckets("embedding", bits, tables)).as(Seq("tbl", "bkt")))
+    val pairs = c.join(q, Seq("tbl", "bkt")).where(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        graft.expressions.CosineSimilarity.cosineFast(col("qe"), col("ce"))
+          .as("cos"))
+      .distinct()
     pairs
       .withColumn("rnk", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))))

@@ -11,27 +11,37 @@ import org.apache.spark.sql.functions._
 object ScaleOps {
 
   /** Approximate weekly stats: HLL distinct counts (mergeable, constant
-    * memory) and t-digest-style quantiles (`percentile_approx`) replace the
-    * exact distinct-rewrite and per-group value buffering of
+    * memory) and quantile sketches (`percentile_approx`) replace the exact
+    * distinct-rewrite and per-group value buffering of
     * [[WeeklyAgg.weeklyStatsCore]], whose exact percentile must hold each
     * group's values in memory — the thing that breaks first at 100 TB.
+    *
+    * Like the exact tier, money is aggregated as integer cents: the mean
+    * is an exact long sum (reproducible across partitionings/engines), and
+    * the quantile sketch works over exact integers — for groups smaller
+    * than `accuracy` it returns exactly the element at 1-based rank
+    * ⌈q·n⌉ of the sorted non-null values, which an oracle can recompute
+    * (only the HLL count is genuinely engine-specific).
     */
   def approxWeeklyStats(df: DataFrame, ts: Column, dim: Column, id: Column,
                         price: Column, rsd: Double = 0.05,
                         accuracy: Int = 10000): DataFrame = {
     import CoreOps.rnd
+    val cents = col("__cents")
     df.withColumn("week", CoreOps.weekStart(ts))
       .withColumn("dim", dim)
-      .withColumn("__price", price)
+      .withColumn("__cents", CoreOps.moneyCents(price))
       .groupBy("week", "dim")
       .agg(
         approx_count_distinct(id, rsd).as("transactions"),
-        rnd(avg(col("__price"))).as("price_mean"),
-        rnd(percentile_approx(col("__price"), lit(0.5), lit(accuracy)))
+        when(count(cents) === 0, lit(null).cast("double"))
+          .otherwise(rnd(sum(cents).cast("double") / 100.0 / count(cents)))
+          .as("price_mean"),
+        rnd(percentile_approx(cents, lit(0.5), lit(accuracy)) / 100.0)
           .as("price_median"),
-        rnd(percentile_approx(col("__price"), lit(0.10), lit(accuracy)))
+        rnd(percentile_approx(cents, lit(0.10), lit(accuracy)) / 100.0)
           .as("price_p10"),
-        rnd(percentile_approx(col("__price"), lit(0.90), lit(accuracy)))
+        rnd(percentile_approx(cents, lit(0.90), lit(accuracy)) / 100.0)
           .as("price_p90"))
   }
 
