@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.ops.Rolling
+import graft.sources.{HttpFetcher, Sinks}
+
+/** CLI entry point mirroring the reference's daily invocation
+  * (`etl/etl_main.py:320-326` argparse surface, driven by
+  * `daily-etl.yml:43-45`):
+  *
+  * {{{
+  * runMain graft.HousingEtlMain --input <url-or-csv> [--lookup <csv>]
+  *   [--force-download] [--no-upload] [--bq-table project.dataset.table]
+  *   [--windows 4 12 ...] [--cache-dir d] [--out artifacts]
+  * }}}
+  *
+  * Flag semantics match the reference: `--force-download` bypasses the
+  * 24 h landing-zone cache; `--no-upload` skips the push sinks (Sheets /
+  * BigQuery analogs) while local CSV artifacts are always written;
+  * `--bq-table` routes the windows table to the warehouse sink;
+  * `--windows` overrides the rolling widths (nargs-style: consumes ints
+  * until the next `--flag`).
+  */
+object HousingEtlMain {
+
+  final case class Config(
+      input: String = "",
+      lookup: Option[String] = None,
+      cacheDir: String = "./data_cache",
+      outDir: String = "./artifacts",
+      forceDownload: Boolean = false,
+      noUpload: Boolean = false,
+      bqTable: Option[String] = None,
+      windows: Seq[Int] = Rolling.DefaultWindows)
+
+  def parseArgs(args: Seq[String]): Config = {
+    def loop(rest: List[String], cfg: Config): Config = rest match {
+      case Nil => cfg
+      case "--force-download" :: t => loop(t, cfg.copy(forceDownload = true))
+      case "--no-upload" :: t => loop(t, cfg.copy(noUpload = true))
+      case "--bq-table" :: v :: t => loop(t, cfg.copy(bqTable = Some(v)))
+      case "--input" :: v :: t => loop(t, cfg.copy(input = v))
+      case "--lookup" :: v :: t => loop(t, cfg.copy(lookup = Some(v)))
+      case "--cache-dir" :: v :: t => loop(t, cfg.copy(cacheDir = v))
+      case "--out" :: v :: t => loop(t, cfg.copy(outDir = v))
+      case "--windows" :: t =>
+        val (ws, t2) = t.span(a => !a.startsWith("--"))
+        require(ws.nonEmpty, "--windows needs at least one width")
+        loop(t2, cfg.copy(windows = ws.map(_.toInt)))
+      case other :: _ =>
+        throw new IllegalArgumentException(s"unknown argument: $other")
+    }
+    val cfg = loop(args.toList, Config())
+    require(cfg.input.nonEmpty, "--input <url-or-csv-path> is required")
+    cfg
+  }
+
+  /** The full daily run, sinks injected for testability: fetch through the
+    * landing zone (retried HTTP for URLs, file copy for local paths), run
+    * the pipeline, always write local CSV artifacts, and unless
+    * `--no-upload` push the report tabs and optionally the windows table
+    * to the warehouse sink — the reference's upload block
+    * (etl_main.py:365-385).
+    */
+  def runCli(spark: SparkSession, cfg: Config,
+             push: Sinks.ReportSink,
+             warehouse: String => Sinks.ReportSink): HousingEtl.Outputs = {
+    val fetcher: java.nio.file.Path => Unit =
+      if (cfg.input.startsWith("http://") || cfg.input.startsWith("https://"))
+        new HttpFetcher(cfg.input)
+      else
+        dest => Files.copy(Paths.get(cfg.input), dest,
+          StandardCopyOption.REPLACE_EXISTING)
+    val zone = new Sinks.LandingZone(cfg.cacheDir)
+    val raw = zone.fetch(fetcher, force = cfg.forceDownload)
+
+    val out = HousingEtl.run(spark, raw.toString, cfg.lookup,
+      windows = cfg.windows)
+
+    HousingEtl.writeArtifacts(out, new Sinks.CsvDirSink(cfg.outDir))
+
+    if (!cfg.noUpload) {
+      push.write("weekly_by_la", out.weekly)
+      push.write("windows", out.windows)
+      push.write("latest", out.snapshot)
+      push.write("anomalies", out.anomalies)
+      out.typeBreakdown.foreach(push.write("type_breakdown", _))
+      push.write("qa", out.qa)
+      cfg.bqTable.foreach(t => warehouse(t).write("windows", out.windows))
+    }
+    out
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfg = parseArgs(args.toIndexedSeq)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      // Default push sink logs tab shapes (the real Sheets client is
+      // deployment config, like GCP_SA_JSON in the reference); the
+      // warehouse sink is the generic format-parameterized writer.
+      val logPush = new Sinks.StringifiedPushSink((tab, rows) =>
+        println(s"[push] $tab: ${rows.size - 1} rows x ${rows.head.size} cols"))
+      runCli(spark, cfg, logPush,
+        t => new Sinks.WriterSink("bigquery", Map("table" -> t)))
+      println(s"[etl] artifacts written to ${cfg.outDir}")
+    } finally spark.stop()
+  }
+}

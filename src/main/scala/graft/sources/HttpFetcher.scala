@@ -1,0 +1,98 @@
+package graft.sources
+
+import java.io.IOException
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Path}
+import java.time.Duration
+
+/** S1 — retried streaming HTTP GET (reference `etl/etl_main.py:61-72`
+  * session policy and `:97-105` download loop): up to `maxRetries`
+  * retries on connection errors and on HTTP 429/500/502/503/504, with
+  * urllib3-style exponential backoff `backoffFactor * 2^(retry-1)`
+  * seconds, a 300 s per-request timeout, and the body streamed to the
+  * destination file in 1 MiB chunks (never buffered whole in memory —
+  * the reference reads a multi-GB Land Registry file this way).
+  *
+  * Non-retryable statuses (e.g. 404) fail immediately, mirroring
+  * `raise_for_status` after the adapter's retry budget is exhausted.
+  * Plugs into [[Sinks.LandingZone.fetch]] as the fetcher, which adds the
+  * TTL cache, atomic move, and timestamped backup around it.
+  *
+  * `sleeper` is injectable so tests assert the backoff schedule without
+  * sleeping through it.
+  */
+final class HttpFetcher(
+    url: String,
+    maxRetries: Int = 5,
+    backoffFactor: Double = 0.5,
+    retryStatuses: Set[Int] = HttpFetcher.DefaultRetryStatuses,
+    timeout: Duration = Duration.ofSeconds(300),
+    sleeper: Long => Unit = Thread.sleep) extends (Path => Unit) {
+
+  private val client = HttpClient.newBuilder()
+    .connectTimeout(timeout)
+    .followRedirects(HttpClient.Redirect.NORMAL)
+    .build()
+
+  def apply(dest: Path): Unit = {
+    val req = HttpRequest.newBuilder(URI.create(url))
+      .timeout(timeout).GET().build()
+    var attempt = 0
+    var done = false
+    while (!done) {
+      // Left(reason) = retryable failure; Right(()) = success. Permanent
+      // failures throw straight out.
+      val outcome: Either[String, Unit] =
+        try {
+          val resp = client.send(req, HttpResponse.BodyHandlers.ofInputStream())
+          val code = resp.statusCode()
+          if (code == 200) {
+            val in = resp.body()
+            try {
+              val out = Files.newOutputStream(dest)
+              try {
+                val buf = new Array[Byte](1 << 20) // 1 MiB streaming chunks
+                var n = in.read(buf)
+                while (n >= 0) {
+                  out.write(buf, 0, n)
+                  n = in.read(buf)
+                }
+              } finally out.close()
+            } finally in.close()
+            Right(())
+          } else {
+            resp.body().close()
+            if (retryStatuses(code)) Left(s"HTTP $code")
+            else throw new HttpFetcher.NonRetryableStatus(url, code)
+          }
+        } catch {
+          case e: HttpFetcher.NonRetryableStatus => throw e
+          case e: InterruptedException =>
+            Thread.currentThread().interrupt()
+            throw new IOException(s"GET $url interrupted", e)
+          case e: IOException => Left(e.toString)
+        }
+      outcome match {
+        case Right(()) => done = true
+        case Left(reason) =>
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new IOException(
+              s"GET $url failed after $maxRetries retries: $reason")
+          sleeper((backoffFactor * math.pow(2, attempt - 1) * 1000).toLong)
+      }
+    }
+  }
+}
+
+object HttpFetcher {
+  /** The reference's `status_forcelist` (etl_main.py:66). */
+  val DefaultRetryStatuses: Set[Int] = Set(429, 500, 502, 503, 504)
+
+  /** A status outside the retry list — fail fast, like
+    * `raise_for_status` on a non-forcelisted code.
+    */
+  final class NonRetryableStatus(url: String, val code: Int)
+    extends IOException(s"GET $url: non-retryable HTTP $code")
+}

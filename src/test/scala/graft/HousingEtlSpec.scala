@@ -115,6 +115,74 @@ class HousingEtlSpec extends SparkTestBase {
     assert(pushed.flatten.forall(_ != null))
   }
 
+  test("CLI arg parsing mirrors etl_main.py:320-326") {
+    val cfg = HousingEtlMain.parseArgs(Seq(
+      "--input", "/x/pp.csv", "--lookup", "/x/lk.csv", "--force-download",
+      "--no-upload", "--bq-table", "p.d.t", "--windows", "2", "8",
+      "--out", "/x/art"))
+    assert(cfg.input == "/x/pp.csv" && cfg.lookup.contains("/x/lk.csv"))
+    assert(cfg.forceDownload && cfg.noUpload && cfg.bqTable.contains("p.d.t"))
+    assert(cfg.windows == Seq(2, 8) && cfg.outDir == "/x/art")
+    // defaults: reference DEFAULT_WINDOWS, upload on
+    val d = HousingEtlMain.parseArgs(Seq("--input", "x"))
+    assert(d.windows == graft.ops.Rolling.DefaultWindows && !d.noUpload)
+    intercept[IllegalArgumentException](
+      HousingEtlMain.parseArgs(Seq("--input", "x", "--bogus")))
+    intercept[IllegalArgumentException](HousingEtlMain.parseArgs(Seq()))
+  }
+
+  test("CLI end-to-end: artifacts always, pushes unless --no-upload, bq routing") {
+    val outDir = Files.createTempDirectory("graft-cli-art").toString
+    val cacheDir = Files.createTempDirectory("graft-cli-cache").toString
+    var pushedTabs = Vector.empty[String]
+    var bqWrites = Vector.empty[(String, String)]
+    val push = new Sinks.ReportSink {
+      def write(tab: String, df: org.apache.spark.sql.DataFrame): Unit =
+        pushedTabs :+= tab
+    }
+    def warehouse(table: String) = new Sinks.ReportSink {
+      def write(tab: String, df: org.apache.spark.sql.DataFrame): Unit =
+        bqWrites :+= (table, tab)
+    }
+    val cfg = HousingEtlMain.Config(input = pricePaidCsv(),
+      lookup = Some(lookupCsv), cacheDir = cacheDir, outDir = outDir,
+      bqTable = Some("proj.ds.windows"), windows = Seq(2, 4))
+    val out = HousingEtlMain.runCli(spark, cfg, push, warehouse)
+    assert(out.weekly.count() == 3)
+    assert(pushedTabs == Vector("weekly_by_la", "windows", "latest",
+      "anomalies", "type_breakdown", "qa"))
+    assert(bqWrites == Vector(("proj.ds.windows", "windows")))
+    val weeklyArt = spark.read.option("header", "true").csv(s"$outDir/weekly")
+    assert(weeklyArt.count() == 3)
+    // --no-upload: artifacts still written, nothing pushed; the landing
+    // cache from run 1 is reused (same canonical content either way)
+    pushedTabs = Vector.empty; bqWrites = Vector.empty
+    HousingEtlMain.runCli(spark, cfg.copy(noUpload = true), push, warehouse)
+    assert(pushedTabs.isEmpty && bqWrites.isEmpty)
+    assert(Files.exists(java.nio.file.Paths.get(cacheDir, "landing.csv")))
+  }
+
+  test("CLI --force-download bypasses the landing cache") {
+    val cacheDir = Files.createTempDirectory("graft-cli-force").toString
+    val outDir = Files.createTempDirectory("graft-cli-force-art").toString
+    val nop = new Sinks.ReportSink {
+      def write(tab: String, df: org.apache.spark.sql.DataFrame): Unit = ()
+    }
+    val v1 = tmpFile("pp.csv", (header +: rows).mkString("\n"))
+    val cfg = HousingEtlMain.Config(input = v1, lookup = Some(lookupCsv),
+      cacheDir = cacheDir, outDir = outDir, noUpload = true, windows = Seq(2))
+    assert(HousingEtlMain.runCli(spark, cfg, nop, _ => nop).qa
+      .collect().head.getAs[Long]("rows_raw") == 5L)
+    // source grows; without force the TTL cache still serves 5 rows
+    val v2 = tmpFile("pp.csv", (header +: (rows :+
+      "T6,150000,2024-01-16 00:00,EC1A 1BB,T")).mkString("\n"))
+    val cfg2 = cfg.copy(input = v2)
+    assert(HousingEtlMain.runCli(spark, cfg2, nop, _ => nop).qa
+      .collect().head.getAs[Long]("rows_raw") == 5L)
+    assert(HousingEtlMain.runCli(spark, cfg2.copy(forceDownload = true),
+      nop, _ => nop).qa.collect().head.getAs[Long]("rows_raw") == 6L)
+  }
+
   test("S1-S3 landing zone: fetches once within TTL, backs up, force refetches") {
     val dir = Files.createTempDirectory("graft-landing").toString
     val lz = new Sinks.LandingZone(dir)

@@ -1,0 +1,116 @@
+package graft.sources
+
+import java.io.IOException
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.HttpServer
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Retry/backoff/streaming semantics of [[HttpFetcher]] against a local
+  * flaky server, plus the end-to-end LandingZone integration (cache +
+  * atomic move + backup around a real HTTP fetch).
+  */
+class HttpFetcherSpec extends AnyFunSuite {
+
+  private def withServer(handler: (Int, com.sun.net.httpserver.HttpExchange) => Unit)
+      (body: String => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val hits = new AtomicInteger(0)
+    server.createContext("/data", ex => {
+      handler(hits.incrementAndGet(), ex)
+      ex.close()
+    })
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}/data")
+    finally server.stop(0)
+  }
+
+  private def ok(ex: com.sun.net.httpserver.HttpExchange, payload: String): Unit = {
+    val bytes = payload.getBytes(StandardCharsets.UTF_8)
+    ex.sendResponseHeaders(200, bytes.length)
+    ex.getResponseBody.write(bytes)
+  }
+
+  private def err(ex: com.sun.net.httpserver.HttpExchange, code: Int): Unit =
+    ex.sendResponseHeaders(code, -1)
+
+  private def tmpFile(): Path = {
+    val p = Files.createTempFile("fetch", ".csv")
+    Files.delete(p)
+    p
+  }
+
+  test("retries through 503s with the urllib3 backoff schedule, then succeeds") {
+    withServer((n, ex) => if (n <= 2) err(ex, 503) else ok(ex, "a,b\n1,2\n")) { url =>
+      val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val dest = tmpFile()
+      new HttpFetcher(url, sleeper = sleeps.append(_))(dest)
+      assert(Files.readString(dest) == "a,b\n1,2\n")
+      // backoff_factor 0.5: 0.5 * 2^0, 0.5 * 2^1 seconds
+      assert(sleeps.toSeq == Seq(500L, 1000L))
+    }
+  }
+
+  test("404 fails immediately with no retries") {
+    withServer((_, ex) => err(ex, 404)) { url =>
+      val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val e = intercept[HttpFetcher.NonRetryableStatus] {
+        new HttpFetcher(url, sleeper = sleeps.append(_))(tmpFile())
+      }
+      assert(e.code == 404)
+      assert(sleeps.isEmpty)
+    }
+  }
+
+  test("gives up after maxRetries on a persistent 500") {
+    withServer((_, ex) => err(ex, 500)) { url =>
+      val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val e = intercept[IOException] {
+        new HttpFetcher(url, maxRetries = 3, sleeper = sleeps.append(_))(tmpFile())
+      }
+      assert(e.getMessage.contains("failed after 3 retries"))
+      assert(e.getMessage.contains("HTTP 500"))
+      assert(sleeps.toSeq == Seq(500L, 1000L, 2000L))
+    }
+  }
+
+  test("mid-body connection errors retry like 5xx (truncated stream)") {
+    // Server declares 1000 bytes but closes after 10: the client hits an
+    // IOException inside the streaming copy, which must retry (the fetcher
+    // rewrites dest from scratch, so the truncated attempt leaves nothing).
+    withServer((n, ex) =>
+      if (n == 1) {
+        ex.sendResponseHeaders(200, 1000)
+        ex.getResponseBody.write("truncated!".getBytes(StandardCharsets.UTF_8))
+      } else ok(ex, "complete payload")) { url =>
+      val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val dest = tmpFile()
+      new HttpFetcher(url, sleeper = sleeps.append(_))(dest)
+      assert(Files.readString(dest) == "complete payload")
+      assert(sleeps.size == 1)
+    }
+  }
+
+  test("LandingZone + HttpFetcher: fetch, cache within TTL, force refetch, backup") {
+    val hits = new AtomicInteger(0)
+    withServer((n, ex) => { hits.set(n); ok(ex, s"payload-$n") }) { url =>
+      val dir = Files.createTempDirectory("landing").toString
+      val zone = new Sinks.LandingZone(dir)
+      val fetcher = new HttpFetcher(url, sleeper = _ => ())
+      val p1 = zone.fetch(fetcher)
+      assert(Files.readString(p1) == "payload-1")
+      // within TTL: cache hit, no second request
+      zone.fetch(fetcher)
+      assert(hits.get() == 1)
+      // force: refetches and atomically replaces
+      val p3 = zone.fetch(fetcher, force = true)
+      assert(Files.readString(p3) == "payload-2")
+      // every successful fetch leaves a timestamped backup
+      val backups = Files.list(java.nio.file.Paths.get(dir, "backups")).count()
+      assert(backups >= 1)
+    }
+  }
+}
