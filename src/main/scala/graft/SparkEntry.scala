@@ -360,8 +360,15 @@ object SparkEntry {
     "knn_ivf_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val q = e.where(col("vec_id") < 10)
+      // 100 TB path: the codebook fits on a bounded deterministic sample
+      // (centroid quality converges long before the sample stops fitting);
+      // tiny corpora fall back to the full set so KMeans always has
+      // comfortably more points than clusters.
+      val sample = e.where(pmod(col("vec_id"), lit(5)) === 0)
+      val train = if (sample.count() >= 160) sample else e
       Similarity.recallVsBrute(
-        Similarity.knnIvf(q, e, k = 3, nlist = 16, nprobe = 8),
+        Similarity.knnIvf(q, e, k = 3, nlist = 16, nprobe = 8,
+          codebook = Some(Similarity.trainCodebook(train, nlist = 16))),
         Similarity.knnBrute(q, e, k = 3), floor = 0.3)
         .orderBy("qid")
     }),
