@@ -108,9 +108,20 @@ object Dedup {
     // on a near-dup-dense corpus vs ~200 MB narrow, 198 s → ~20 s). The
     // distinct's map-side partial aggregation collapses duplicates before
     // the shuffle; signatures are joined back onto the surviving pairs.
+    // Distribute the banded rows by the join key, with an EXPLICIT
+    // partition count: this stage's output explodes ~1000x past its input
+    // (a few narrow rows in, tens of millions of candidate pairs out), so
+    // sizing the exchange by its input — what AQE's coalescing does, all
+    // the way down to ONE partition here — serializes the join + the
+    // distinct's partial aggregate onto one task (measured 13.5 s
+    // single-task vs ~3 s distributed at sf0.1). At scale the exchange is
+    // what a sort-merge self-join needs anyway (ENSURE_REQUIREMENTS reuses
+    // it), so it costs nothing extra.
     val banded = sigs.select(col("id"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
         s"j -> xxhash64(slice(sig, j * $r + 1, $r)))")).as(Seq("band", "bucket")))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("band"), col("bucket"))
     val pairIds = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
           && col("a.id") < col("b.id"))
@@ -266,11 +277,18 @@ object Dedup {
     val bands = maxHamming + 1
     val w = 64 / bands // last band also takes the 64 % bands remainder bits
     val h = df.select(col(idCol).as("id"), simhash64(textCol).as("sh"))
+    // Same join-key distribution rationale as minhashCandidates (explicit
+    // count so AQE's input-sized coalescing can't serialize the exploding
+    // self-join onto one task): free under a sort-merge self-join at
+    // scale, restores parallelism locally when the broadcast join would
+    // pin the pair stream to the scan's single partition.
     val banded = h.select(col("id"), col("sh"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), j -> " +
         s"CASE WHEN j = ${bands - 1} THEN shiftrightunsigned(sh, j * $w) " +
         s"ELSE shiftrightunsigned(sh, j * $w) & ${(1L << w) - 1} END)"))
         .as(Seq("band", "bval")))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("band"), col("bval"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
           && col("a.id") < col("b.id"))
