@@ -243,6 +243,27 @@ object SparkEntry {
         .orderBy("week", "dim")
     }),
 
+    // ---- training-data extension tier: corpus preparation ----
+    // Content-addressed md5 split: membership is checked exactly (count +
+    // id-sum per split) because DuckDB reproduces the same md5 buckets.
+    "dataset_split" -> ((s, d) =>
+      CorpusOps.assignSplit(Tables.documents(s, d), "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
+        .orderBy("split")),
+    // Concat-then-chunk context-window packing per language shard; pure
+    // integer window arithmetic, fully oracle-checked.
+    "pack_sequences" -> ((s, d) =>
+      CorpusOps.packSequences(Tables.documents(s, d), "doc_id", "lang",
+        TextFunctions.tokenCount(col("text")), budget = 512)
+        .orderBy("doc_id")),
+    // TF-IDF top-3 terms per doc, rank ties broken by term.
+    "tfidf_top_terms" -> ((s, d) =>
+      CorpusOps.topTerms(Tables.documents(s, d), "doc_id", "text", k = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "rnk")),
+
     // ---- training-data extension tier: text analysis ----
     "token_count" -> ((s, d) =>
       Tables.documents(s, d).select(
@@ -610,6 +631,37 @@ object SparkEntry {
           |  lag(transactions, 52) OVER (PARTITION BY dim ORDER BY week) AS prev_year,
           |  transactions - lag(transactions, 52) OVER (PARTITION BY dim ORDER BY week) AS yoy_change
           |FROM dense ORDER BY dim, week""".stripMargin),
+    "dataset_split" ->
+      """WITH b AS (SELECT doc_id,
+        |    list_reduce(list_transform(range(1, 9),
+        |      i -> (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT),
+        |      (a, x) -> a * 16 + x) % 100 AS bucket
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM b)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id, lang AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id,
+        |  CAST((cum - n_tokens) % 512 AS BIGINT) AS pack_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "tfidf_top_terms" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, tf.term AS term, tf,
+        |    floor((tf * ln(n_docs / df_t)) * 10000 + 0.5) / 10000 AS tf_idf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tf_idf DESC, term) AS rnk FROM sc)
+        |SELECT doc_id, term, tf, tf_idf, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "token_count" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |  CAST(len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]+')) AS BIGINT) AS n_tokens_bpeish,

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-preparation operators for training-data pipelines (north-star
+  * extension tier): deterministic dataset splitting, context-window
+  * packing, and TF-IDF term scoring.
+  *
+  * All three are engine-portable by construction (md5 buckets, integer
+  * window arithmetic, 4-dp-rounded logs), so their graded queries carry
+  * full DuckDB oracles rather than rows-only checks.
+  */
+object CorpusOps {
+
+  /** Content-addressed split bucket in [0, buckets): the first 8 hex chars
+    * of `md5(key)` as an integer, mod buckets. Stable under reshuffles,
+    * re-ingestion, and engine changes — the property a train/test split
+    * must have so no example silently migrates between splits across
+    * pipeline runs. Pure expressions: at 100 TB this is a map-only stage.
+    */
+  def splitBucket(key: Column, buckets: Int = 100): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /** Assign each row a named split by cumulative weight over the md5
+    * bucket space, e.g. `Seq("train" -> 80, "val" -> 10, "test" -> 10)`
+    * with the default 100 buckets.
+    */
+  def assignSplit(df: DataFrame, keyCol: String,
+                  splits: Seq[(String, Int)],
+                  buckets: Int = 100): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == buckets,
+      s"split weights ${splits.map(_._2)} must sum to buckets=$buckets")
+    val bucket = splitBucket(col(keyCol), buckets)
+    val thresholds = splits.scanLeft(0)(_ + _._2).tail
+    // when-chain over cumulative weights: bucket < t1 -> s1, < t2 -> s2, …
+    // (the last threshold equals `buckets`, so every bucket is covered)
+    val chain = splits.zip(thresholds).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), t)) =>
+        Some(acc match {
+          case None => when(bucket < t, name)
+          case Some(c) => c.when(bucket < t, name)
+        })
+    }.get
+    df.withColumn("split", chain)
+  }
+
+  /** Greedy sequential context-window packing: documents are laid out in
+    * `idCol` order within each shard, and each lands at byte-offset-style
+    * token position `cum - n_tokens`; `pack_id` is that position divided
+    * by the token budget (documents may straddle a boundary — the
+    * concat-then-chunk layout LLM pretraining uses).
+    *
+    * Packing requires an order, and a global order is a single-partition
+    * sort — so the unit of ordering is the shard (`shardCol`): shards pack
+    * independently and in parallel, which is exactly how a 100 TB corpus
+    * is laid out (per-source/per-language shards). Integer window
+    * arithmetic only — any engine reproduces it bit-for-bit.
+    */
+  def packSequences(df: DataFrame, idCol: String, shardCol: String,
+                    tokens: Column, budget: Int): DataFrame = {
+    require(budget > 0, s"budget=$budget must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    df.select(col(idCol), col(shardCol).as("shard"), tokens.as("n_tokens"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id", ((col("__cum") - col("n_tokens")) / budget)
+        .cast("long"))
+      .withColumn("pack_offset", (col("__cum") - col("n_tokens")) % budget)
+      .drop("__cum")
+  }
+
+  /** TF-IDF over whitespace tokens: tf = raw occurrences of the term in
+    * the doc, idf = ln(N / df_t) (no smoothing — every term trivially has
+    * df ≥ 1). Two hash aggregations; the corpus-size scalar joins in as a
+    * broadcast 1-row frame, so the fact-scale data shuffles exactly twice
+    * (by (doc, term) then by term).
+    */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import CoreOps.rnd
+    val toks = df.select(col(idCol).as("id"),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .select(col("id"), col("term"), col("tf"),
+        rnd(col("tf") * log(col("n_docs").cast("double") / col("df_t")))
+          .as("tf_idf"))
+  }
+
+  /** Top-k highest-scoring terms per document, ties broken by term so the
+    * output is engine-stable.
+    */
+  def topTerms(df: DataFrame, idCol: String, textCol: String,
+               k: Int): DataFrame = {
+    val scored = tfIdf(df, idCol, textCol)
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("id").orderBy(col("tf_idf").desc, col("term"))))
+      .where(col("rnk") <= k)
+      .select(col("id"), col("term"), col("tf"), col("tf_idf"),
+        col("rnk").cast("long").as("rnk"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Semantics of the corpus-preparation tier: deterministic splits,
+  * context-window packing invariants, TF-IDF scores on a hand-checked
+  * corpus.
+  */
+class CorpusOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("assignSplit: content-addressed, complete, reproducible, ~weighted") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val s = CorpusOps.assignSplit(docs, "doc_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val counts = s.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 500)
+    assert(counts.keySet == Set("train", "val", "test"))
+    // md5 buckets are uniform enough that 500 keys land near the weights
+    assert(counts("train") > 350 && counts("val") > 20 && counts("test") > 20)
+    // same key -> same split, independent of the rest of the data
+    val again = CorpusOps.assignSplit(docs.sample(0.5, seed = 7), "doc_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select("doc_id", "split")
+    val full = s.select("doc_id", "split")
+    assert(again.join(full, "doc_id")
+      .where(again("split") =!= full("split")).count() == 0)
+    // weights must cover the bucket space
+    intercept[IllegalArgumentException](
+      CorpusOps.assignSplit(docs, "doc_id", Seq("a" -> 50, "b" -> 40)))
+  }
+
+  test("packSequences: offsets are cumulative within shard, packs chunk at the budget") {
+    val df = Seq(
+      (1L, "en", 100L), (2L, "en", 300L), (3L, "en", 200L), (4L, "en", 50L),
+      (10L, "de", 600L), (11L, "de", 10L))
+      .toDF("doc_id", "lang", "nt")
+    val packed = CorpusOps.packSequences(df, "doc_id", "lang", col("nt"), 512)
+      .orderBy("doc_id")
+      .select("doc_id", "pack_id", "pack_offset")
+      .as[(Long, Long, Long)].collect().toSeq
+    // en: positions 0, 100, 400, 600 -> packs 0,0,0,1; offsets 0,100,400,88
+    // de: positions 0, 600 -> packs 0,1; offsets 0,88
+    assert(packed == Seq((1L, 0L, 0L), (2L, 0L, 100L), (3L, 0L, 400L),
+      (4L, 1L, 88L), (10L, 0L, 0L), (11L, 1L, 88L)))
+  }
+
+  test("tfIdf/topTerms: hand-checked scores, shared terms discounted") {
+    val docs = Seq(
+      (1L, "cat cat dog"),
+      (2L, "dog fish"),
+      (3L, "fish fish fish bird"))
+      .toDF("id", "text")
+    val scores = CorpusOps.tfIdf(docs, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val ln = (x: Double) => math.log(x)
+    def rnd4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    assert(scores((1L, "cat")) == ((2L, rnd4(2 * ln(3.0 / 1)))))
+    assert(scores((1L, "dog")) == ((1L, rnd4(1 * ln(3.0 / 2)))))
+    assert(scores((3L, "fish")) == ((3L, rnd4(3 * ln(3.0 / 2)))))
+    // top-1 per doc: doc 1 -> cat, doc 2 -> dog or fish (same score, term
+    // tiebreak -> dog), doc 3 -> fish
+    val top1 = CorpusOps.topTerms(docs, "id", "text", 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top1 == Map(1L -> "cat", 2L -> "dog", 3L -> "fish"))
+  }
+}
