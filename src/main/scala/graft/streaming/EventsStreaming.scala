@@ -108,6 +108,24 @@ object EventsStreaming {
       .drop("r_user")
   }
 
+  /** Streaming exact dedup by content digest — the streaming analog of
+    * [[graft.ops.Dedup.dropExact]]: first delivery of a payload wins,
+    * re-deliveries and content duplicates are dropped.
+    * `dropDuplicatesWithinWatermark` holds a digest in state only until
+    * the watermark passes it, so state is bounded by the dedup horizon
+    * (event-time window) instead of growing with the whole corpus —
+    * exactly the trade a 100 TB ingest stream needs. Hashing first means
+    * state stores a 32-char digest, never the payload.
+    */
+  def streamingDedup(stream: DataFrame, contentCol: String,
+                     tsCol: String = "ts",
+                     watermark: String = "1 hour"): DataFrame =
+    stream
+      .withColumn("__digest", md5(col(contentCol).cast("binary")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__digest")
+      .drop("__digest")
+
   /** `foreachBatch` bridge: every micro-batch flows through a caller-given
     * batch transformation (reusing the batch operator library unchanged)
     * before the write.

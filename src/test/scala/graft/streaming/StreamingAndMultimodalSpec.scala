@@ -77,6 +77,31 @@ class StreamingAndMultimodalSpec extends SparkTestBase {
     assert(last(8L) == ((1L, 1.0)))
   }
 
+  test("streamingDedup drops content duplicates across micro-batches, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventsStreaming.streamingDedup(events, "props",
+        watermark = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    // batch 1: two distinct payloads + one in-batch duplicate
+    input.addData(
+      (1L, ts("2024-01-01 00:00:00"), 7L, "doc", 1.0, "payload-A"),
+      (2L, ts("2024-01-01 00:00:30"), 7L, "doc", 1.0, "payload-B"),
+      (3L, ts("2024-01-01 00:01:00"), 8L, "doc", 1.0, "payload-A"))
+    q.processAllAvailable()
+    // batch 2: a cross-batch re-delivery within the watermark + a fresh one
+    input.addData(
+      (4L, ts("2024-01-01 00:02:00"), 9L, "doc", 1.0, "payload-B"),
+      (5L, ts("2024-01-01 00:03:00"), 9L, "doc", 1.0, "payload-C"))
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("dedup_out").select("event_id")
+      .as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 5L)) // first delivery of each payload wins
+  }
+
   test("foreachBatch reuses a batch transform per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Double)]
