@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FormattedMode, SimpleMode}
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+import graft.functions.Similarity
+
+/** Physical-plan contracts: the scale properties the operators claim
+  * (broadcast dimensions, pushed filters, top-k pushdown, one fact-scale
+  * shuffle) asserted on FINALIZED adaptive plans, so a regression in plan
+  * shape fails like a regression in results would.
+  *
+  * AQE note: a plan must be EXECUTED through its own QueryExecution before
+  * reading it — `count()`/`write()` build different QueryExecutions and
+  * leave this one un-finalized (initial plans show neither the adaptive
+  * join strategy nor codegen stages).
+  */
+class PlanSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executedSimple(df: DataFrame): String = {
+    df.queryExecution.toRdd.foreachPartition(_ => ())
+    val s = df.queryExecution.explainString(SimpleMode)
+    // AQE prints "== Final Plan ==" followed by "== Initial Plan ==";
+    // assertions must read only the final one or every operator counts
+    // twice.
+    val initial = s.indexOf("== Initial Plan ==")
+    if (initial >= 0) s.substring(0, initial) else s
+  }
+
+  private def executedFormatted(df: DataFrame): String = {
+    df.queryExecution.toRdd.foreachPartition(_ => ())
+    df.queryExecution.explainString(FormattedMode)
+  }
+
+  test("lookup join: dimension side broadcasts, no sort-merge exchange") {
+    val plan = executedSimple(SparkEntry.queries("lookup_join")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("knnBrute: rank<=k pushes into WindowGroupLimit before the full sort") {
+    val e = Tables.embeddings(spark, sf)
+    val plan = executedSimple(Similarity.knnBrute(e.where(col("vec_id") < 5), e, 3))
+    assert(plan.contains("WindowGroupLimit"))
+  }
+
+  test("filter + projection pushdown reach the parquet scan") {
+    val e = Tables.embeddings(spark, sf).where(col("vec_id") < 10)
+      .select("vec_id")
+    val plan = executedFormatted(e)
+    assert(plan.contains("LessThan(vec_id,10)"), "filter not pushed")
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("embedding"), s"column pruning failed: $read")
+  }
+
+  test("weekly stats: two exchanges, both with map-side partial aggregation") {
+    // Exact count_distinct rewrites to a two-level aggregate: the fact
+    // table shuffles ONCE on (week, dim, id) after a map-side partial,
+    // and only the distinct-expanded (already aggregated, bounded) frame
+    // re-shuffles on (week, dim). Anything beyond these two would mean
+    // the fact table crossed the wire twice.
+    val o = Tables.orders(spark, sf)
+    val agg = WeeklyAgg.weeklyStatsCore(o, col("o_orderdate"),
+      col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    val plan = executedSimple(agg)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected 2 exchanges, plan:\n$plan")
+    // the first (fact-scale) exchange must sit above a partial aggregate
+    val firstExchange = plan.lastIndexOf("Exchange hashpartitioning")
+    assert(plan.substring(firstExchange).contains("partial"),
+      s"fact rows shuffled without map-side combine:\n$plan")
+  }
+
+  test("exact dedup groups: one exchange keyed by the digest, partials map-side") {
+    val d = Tables.documents(spark, sf)
+    val plan = executedSimple(Dedup.exactGroups(d, "doc_id", "text"))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1)
+    // the shuffle key is the md5 grouping expression (computed map-side),
+    // never the raw text column, and the partial min/count run below it
+    val exchangeLine = plan.linesIterator
+      .find(_.contains("Exchange hashpartitioning")).get
+    assert(exchangeLine.contains("_groupingexpression")
+      && !exchangeLine.contains("text#"),
+      s"exchange not keyed by the digest: $exchangeLine")
+    assert(plan.contains("partial_min"), s"no map-side combine:\n$plan")
+  }
+
+  test("banded self-joins pin an uncoalescible join-key repartition") {
+    // The explicit-count repartition shows up as REPARTITION_BY_NUM, the
+    // origin AQE must honor — without it, input-sized coalescing collapses
+    // the exploding self-join onto the scan's single partition.
+    val d = Tables.documents(spark, sf)
+    val plan = executedSimple(Dedup.minhashCandidates(d, "doc_id", "text"))
+    assert(plan.contains("REPARTITION_BY_NUM"),
+      s"band repartition missing or demoted:\n$plan")
+  }
+}
