@@ -110,4 +110,44 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("property: assignSplit is a partition — every key exactly one split") {
+    val keysGen = Gen.choose(5, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-100000L, 100000L)).map(_.distinct))
+    forAllSampled(keysGen, n = 6) { keys =>
+      val df = keys.toDF("k")
+      val s = CorpusOps.assignSplit(df, "k", Seq("a" -> 25, "b" -> 25, "c" -> 50))
+      assert(s.count() == keys.length)            // no row lost or duplicated
+      assert(s.where(col("split").isNull).count() == 0)
+      // determinism: a second independent evaluation agrees row-for-row
+      val t = CorpusOps.assignSplit(df, "k", Seq("a" -> 25, "b" -> 25, "c" -> 50))
+      assert(s.as("s").join(t.as("t"), "k")
+        .where(col("s.split") =!= col("t.split")).count() == 0)
+    }
+  }
+
+  test("property: packSequences reconstructs positions — offsets < budget, cum consistent") {
+    val docsGen = for {
+      n <- Gen.choose(1, 30)
+      shards <- Gen.listOfN(n, Gen.oneOf("s1", "s2"))
+      toks <- Gen.listOfN(n, Gen.choose(1L, 700L))
+      budget <- Gen.choose(64, 1024)
+    } yield (shards.zip(toks).zipWithIndex, budget)
+    forAllSampled(docsGen, n = 6) { case (rows, budget) =>
+      val df = rows.map { case ((sh, nt), i) => (i.toLong, sh, nt) }
+        .toDF("doc_id", "shard", "nt")
+      val packed = CorpusOps.packSequences(df, "doc_id", "shard", col("nt"), budget)
+        .orderBy("doc_id")
+        .select("doc_id", "shard", "n_tokens", "pack_id", "pack_offset")
+        .as[(Long, String, Long, Long, Long)].collect()
+      // replay the packing sequentially per shard
+      val cum = scala.collection.mutable.Map.empty[String, Long]
+      packed.foreach { case (_, sh, nt, packId, off) =>
+        val pos = cum.getOrElse(sh, 0L)
+        assert(packId == pos / budget)
+        assert(off == pos % budget && off >= 0 && off < budget)
+        cum(sh) = pos + nt
+      }
+    }
+  }
 }
