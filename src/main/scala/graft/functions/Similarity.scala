@@ -140,9 +140,13 @@ object Similarity {
     * scan → project → join with NO exchange: no crossJoin row blow-up, no
     * `row_number` window shuffle. The tiny query side (qid × nprobe cells)
     * is broadcast.
+    *
+    * Recall scales with nprobe (measured on the fixture embeddings:
+    * nprobe=2 avg ~0.4, nprobe=8 avg 0.80 with min 1/3); the default 4 is
+    * the balance point at nlist=16.
     */
   def knnIvf(queries: DataFrame, candidates: DataFrame, k: Int,
-             nlist: Int = 16, nprobe: Int = 2,
+             nlist: Int = 16, nprobe: Int = 4,
              codebook: Option[IvfCodebook] = None): DataFrame = {
     val cents = typedLit(codebook.getOrElse(trainCodebook(candidates, nlist))
       .centroids)
@@ -196,9 +200,14 @@ object Similarity {
     * turns an O(Q·N) scan into an L-way bucket-partitioned join; the
     * distinct dedups pairs colliding in several tables on narrow
     * (qid, cid, cos) rows before the top-k window.
+    *
+    * Defaults are the measured sweet spot on the fixture embeddings
+    * (64-dim, weak neighbor structure): bits=4/tables=16 gives recall@3
+    * min 1/3, avg 0.87-0.93 across SFs — a single 8-bit table measured
+    * avg 0.03. Raise bits for selectivity on clustered corpora.
     */
   def knnLsh(queries: DataFrame, candidates: DataFrame, k: Int,
-             bits: Int = 8, tables: Int = 1): DataFrame = {
+             bits: Int = 4, tables: Int = 16): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("qid"),
       col("embedding").as("qe"),
       posexplode(srpBuckets("embedding", bits, tables)).as(Seq("tbl", "bkt"))))

@@ -45,6 +45,34 @@ object ScaleOps {
           .as("price_p90"))
   }
 
+  /** Mergeable per-group HLL sketches — the incremental-recompute
+    * primitive the reference's daily FULL recompute lacks: persist one
+    * sketch row per (week, dim) per run, and distinct counts for any
+    * horizon come from unioning sketches instead of rescanning history.
+    * `hll_sketch_agg` emits the sketch binary; [[mergeSketchCounts]]
+    * unions them. Sketch union is exact over the sketch lattice
+    * (register-wise max — associative, commutative, idempotent), so
+    * re-deliveries of the same partition are harmless.
+    */
+  def weeklySketches(df: DataFrame, ts: Column, dim: Column,
+                     id: Column): DataFrame =
+    df.withColumn("week", CoreOps.weekStart(ts))
+      .withColumn("dim", dim)
+      .groupBy("week", "dim")
+      .agg(hll_sketch_agg(id).as("tx_sketch"))
+
+  /** Union previously persisted sketch runs back into per-group distinct
+    * estimates. Input: any number of (week, dim, tx_sketch) frames
+    * (today's delta plus history); output one estimate per group.
+    */
+  def mergeSketchCounts(sketchRuns: Seq[DataFrame]): DataFrame = {
+    require(sketchRuns.nonEmpty, "need at least one sketch frame")
+    sketchRuns.reduce(_ unionByName _)
+      .groupBy("week", "dim")
+      .agg(hll_sketch_estimate(hll_union_agg(col("tx_sketch")))
+        .as("transactions_est"))
+  }
+
   /** Salted two-phase aggregation for skewed group keys: phase 1 spreads a
     * hot key over `buckets` reducers, phase 2 merges the partials. Only
     * algebraic aggregates (sum/count/min/max) compose this way; use it when

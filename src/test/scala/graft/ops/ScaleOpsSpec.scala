@@ -29,6 +29,35 @@ class ScaleOpsSpec extends SparkTestBase {
     }
   }
 
+  test("incremental HLL sketches: merged runs estimate like a full recompute") {
+    val o = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+    // split history into two "runs" (disjoint deliveries) + re-deliver one
+    // slice to prove idempotent union
+    val run1 = o.where(pmod(col("o_orderkey"), lit(2)) === 0)
+    val run2 = o.where(pmod(col("o_orderkey"), lit(2)) === 1)
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      ScaleOps.weeklySketches(df, col("o_orderdate"),
+        col("o_orderpriority"), col("o_orderkey"))
+    val merged = ScaleOps.mergeSketchCounts(Seq(sk(run1), sk(run2), sk(run2)))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val full = ScaleOps.mergeSketchCounts(Seq(sk(o)))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    // union over the sketch lattice is exact: incremental == full-recompute
+    // estimates, group for group (including the duplicated delivery)
+    assert(merged == full)
+    assert(full.nonEmpty)
+    // and the estimates track the exact distinct counts
+    val exact = o.withColumn("week", CoreOps.weekStart(col("o_orderdate")))
+      .withColumn("dim", col("o_orderpriority"))
+      .groupBy("week", "dim")
+      .agg(countDistinct("o_orderkey").as("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    full.foreach { case (k, est) =>
+      val ex = exact(k)
+      assert(math.abs(est - ex) <= math.max(3.0, 0.15 * ex), s"$k: $est vs $ex")
+    }
+  }
+
   test("saltedSum equals the plain aggregation") {
     val df = (1 to 10000).map(i => (if (i % 100 == 0) "hot" else s"k${i % 7}", i.toDouble))
       .toDF("k", "v")
