@@ -243,6 +243,86 @@ object SparkEntry {
         .orderBy("week", "dim")
     }),
 
+    // ---- multi-table analytics over the largest fact table ----
+    // TPC-H-shape showcases: money arithmetic in exact integer units
+    // (cents × discount-percent × tax-percent), so every sum is an
+    // order-independent long and the oracle hash-matches; dims broadcast,
+    // the only fact-scale exchanges are the Q3/Q5 fact-fact joins and the
+    // final group-bys.
+    "q1_pricing_summary" -> ((s, d) => {
+      import CoreOps.rnd
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          floor(col("l_quantity") + 0.5).cast("long").as("qty"),
+          CoreOps.moneyCents(col("l_extendedprice")).as("cents"),
+          CoreOps.moneyCents(col("l_discount")).as("disc_pct"),
+          CoreOps.moneyCents(col("l_tax")).as("tax_pct"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("qty").as("sum_qty"),
+          rnd(sum(col("cents")).cast("double") / 100.0).as("sum_base_price"),
+          rnd(sum(col("cents") * (lit(100L) - col("disc_pct"))).cast("double")
+            / 10000.0).as("sum_disc_price"),
+          rnd(sum(col("cents") * (lit(100L) - col("disc_pct"))
+            * (lit(100L) + col("tax_pct"))).cast("double") / 1000000.0)
+            .as("sum_charge"),
+          rnd(sum("qty").cast("double") / count(lit(1))).as("avg_qty"),
+          rnd(sum(col("cents")).cast("double") / 100.0 / count(lit(1)))
+            .as("avg_price"),
+          rnd(sum(col("disc_pct")).cast("double") / 100.0 / count(lit(1)))
+            .as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q3_shipping_priority" -> ((s, d) => {
+      import CoreOps.rnd
+      val cutoff = lit("1998-06-01").cast("timestamp")
+      val cust = Tables.customer(s, d)
+        .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = Tables.orders(s, d).where(col("o_orderdate") < cutoff)
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      Tables.lineitem(s, d).where(col("l_shipdate") > cutoff)
+        .select(col("l_orderkey"),
+          (CoreOps.moneyCents(col("l_extendedprice"))
+            * (lit(100L) - CoreOps.moneyCents(col("l_discount"))))
+            .as("rev_units"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rnd(sum("rev_units").cast("double") / 10000.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+    "q5_local_supplier_volume" -> ((s, d) => {
+      import CoreOps.rnd
+      val nat = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)
+          .where(col("r_name") === "EUROPE").select("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+      val ord = Tables.orders(s, d)
+        .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_nationkey")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (CoreOps.moneyCents(col("l_extendedprice"))
+            * (lit(100L) - CoreOps.moneyCents(col("l_discount"))))
+            .as("rev_units"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(rnd(sum("rev_units").cast("double") / 10000.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     // ---- training-data extension tier: corpus preparation ----
     // Content-addressed md5 split: membership is checked exactly (count +
     // id-sum per split) because DuckDB reproduces the same md5 buckets.
@@ -631,6 +711,49 @@ object SparkEntry {
           |  lag(transactions, 52) OVER (PARTITION BY dim ORDER BY week) AS prev_year,
           |  transactions - lag(transactions, 52) OVER (PARTITION BY dim ORDER BY week) AS yoy_change
           |FROM dense ORDER BY dim, week""".stripMargin),
+    "q1_pricing_summary" ->
+      """WITH l AS (SELECT l_returnflag, l_linestatus,
+        |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_pct,
+        |    CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tax_pct
+        |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01')
+        |SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |  floor((CAST(sum(cents) AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS sum_base_price,
+        |  floor((CAST(sum(cents * (100 - disc_pct)) AS DOUBLE) / 10000.0) * 10000 + 0.5) / 10000 AS sum_disc_price,
+        |  floor((CAST(sum(cents * (100 - disc_pct) * (100 + tax_pct)) AS DOUBLE) / 1000000.0) * 10000 + 0.5) / 10000 AS sum_charge,
+        |  floor((CAST(sum(qty) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS avg_qty,
+        |  floor((CAST(sum(cents) AS DOUBLE) / 100.0 / count(*)) * 10000 + 0.5) / 10000 AS avg_price,
+        |  floor((CAST(sum(disc_pct) AS DOUBLE) / 100.0 / count(*)) * 10000 + 0.5) / 10000 AS avg_disc,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM l GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  floor((CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0) * 10000 + 0.5) / 10000 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier_volume" ->
+      """SELECT n_name,
+        |  floor((CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0) * 10000 + 0.5) / 10000 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
     "dataset_split" ->
       """WITH b AS (SELECT doc_id,
         |    list_reduce(list_transform(range(1, 9),
