@@ -519,6 +519,23 @@ object SparkEntry {
         .orderBy(asc_nulls_first("o_orderpriority"),
           asc_nulls_first("o_orderstatus"))
     }),
+    // CUBE completes the grouping-analytics family next to rollup: all
+    // 2^k dimension subsets in one pass, grouping() flags disambiguating
+    // real NULL keys from subtotal rows (the reason ORDER BY alone isn't
+    // enough for a deterministic cube).
+    "cube_orders" -> ((s, d) => {
+      import CoreOps.rnd
+      Tables.orders(s, d)
+        .withColumn("__cents", CoreOps.moneyCents(col("o_totalprice")))
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          rnd(sum(col("__cents")).cast("double") / 100.0).as("total_price"),
+          grouping("o_orderpriority").cast("long").as("g_priority"),
+          grouping("o_orderstatus").cast("long").as("g_status"))
+        .orderBy(col("g_priority"), col("g_status"),
+          asc_nulls_first("o_orderpriority"),
+          asc_nulls_first("o_orderstatus"))
+    }),
     // Embedding-cosine near-duplicate pairs over a deterministic sample.
     "near_dup_cosine" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -972,6 +989,14 @@ object SparkEntry {
         |FROM (SELECT *, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS __cents FROM orders) o
         |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
         |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    "cube_orders" ->
+      """SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  floor((CAST(sum(__cents) AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS total_price,
+        |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+        |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status
+        |FROM (SELECT *, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS __cents FROM orders) o
+        |GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        |ORDER BY g_priority, g_status, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
     "near_dup_cosine" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
         |  FROM embeddings WHERE vec_id % 10 = 0),

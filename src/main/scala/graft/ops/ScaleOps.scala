@@ -106,6 +106,32 @@ object ScaleOps {
       .drop("__salt")
   }
 
+  /** Small-files compaction: rewrite a parquet directory into files near
+    * `targetMb` each, sized from the ACTUAL on-disk bytes rather than a
+    * guessed row count. The small-files problem is the classic ingest
+    * failure mode at scale (a streaming/foreachBatch sink leaves one file
+    * per micro-batch per partition; listing and opening millions of tiny
+    * files then dominates every downstream scan). Round-robin repartition
+    * gives uniform output sizes; `sortWithinPartitions` restores
+    * row-group locality on the given key so min/max pruning still works
+    * after the rewrite.
+    */
+  def compactParquet(spark: SparkSession, inDir: String, outDir: String,
+                     targetMb: Int = 128,
+                     sortCol: Option[String] = None): Int = {
+    val fs = new java.io.File(inDir)
+    val bytes = Option(fs.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.length()).sum
+    val nFiles = math.max(1, math.ceil(
+      bytes.toDouble / (targetMb.toLong * 1024 * 1024)).toInt)
+    val df = spark.read.parquet(inDir)
+    val repart = df.repartition(nFiles)
+    val sorted = sortCol.fold(repart)(c => repart.sortWithinPartitions(c))
+    sorted.write.mode("overwrite").parquet(outDir)
+    nFiles
+  }
+
   /** Bucketed co-located join setup: write both sides bucketed by the join
     * key so the join needs no exchange at read time (each bucket pair joins
     * locally). This is the pre-partitioning strategy for repeatedly-joined

@@ -58,6 +58,28 @@ class ScaleOpsSpec extends SparkTestBase {
     }
   }
 
+  test("compactParquet merges a small-files directory, preserves rows") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("compact-in").toString
+    val out = Files.createTempDirectory("compact-out").toString
+    // simulate a micro-batch sink: 32 tiny files
+    (1 to 10000).map(i => (i.toLong, s"row-$i")).toDF("id", "v")
+      .repartition(32).write.mode("overwrite").parquet(in)
+    val smallFiles = new java.io.File(in).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(smallFiles == 32)
+    val n = ScaleOps.compactParquet(spark, in, out, targetMb = 128,
+      sortCol = Some("id"))
+    assert(n == 1) // a few hundred KB compacts to one target-sized file
+    val outFiles = new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(outFiles == 1)
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 10000)
+    assert(rows.agg(sum("id")).collect().head.getLong(0)
+      == (1 to 10000).map(_.toLong).sum)
+  }
+
   test("saltedSum equals the plain aggregation") {
     val df = (1 to 10000).map(i => (if (i % 100 == 0) "hot" else s"k${i % 7}", i.toDouble))
       .toDF("k", "v")
