@@ -208,6 +208,20 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(n.isNullAt(0))
   }
 
+  test("GraftExtensions injects cosine_sim as a session extension function") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    // production sessions get this at build time via spark.sql.extensions;
+    // the bridge applies the same injection payload to the live session
+    org.apache.spark.sql.GraftExpressionBridge
+      .applyFunctionExtensions(ext, spark)
+    val got = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))")
+      .collect().head.getDouble(0)
+    assert(got == 1.0)
+  }
+
   test("knnBrute: identical vector ranks first with cos 1.0; LSH is a subset") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
