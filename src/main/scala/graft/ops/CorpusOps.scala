@@ -49,6 +49,20 @@ object CorpusOps {
     df.withColumn("split", chain)
   }
 
+  /** Deterministic content-addressed downsampling: keep a row iff its md5
+    * bucket falls below `fraction` of the bucket space — the sampling
+    * companion of [[assignSplit]] (same hash, so samples are reproducible
+    * across runs and engines, stratify nothing, and NEST: the 10% sample
+    * is a subset of the 50% sample, which makes scaling experiments
+    * comparable). Map-only; the filter pushes to the scan.
+    */
+  def deterministicSample(df: DataFrame, keyCol: String, fraction: Double,
+                          buckets: Int = 10000): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction=$fraction")
+    df.where(splitBucket(col(keyCol), buckets)
+      < math.round(fraction * buckets))
+  }
+
   /** Greedy sequential context-window packing: documents are laid out in
     * `idCol` order within each shard, and each lands at byte-offset-style
     * token position `cum - n_tokens`; `pack_id` is that position divided

@@ -31,6 +31,19 @@ class CorpusOpsSpec extends SparkTestBase {
       CorpusOps.assignSplit(docs, "doc_id", Seq("a" -> 50, "b" -> 40)))
   }
 
+  test("deterministicSample: reproducible, near-fraction, and nested") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val s30 = CorpusOps.deterministicSample(docs, "doc_id", 0.3)
+    val s60 = CorpusOps.deterministicSample(docs, "doc_id", 0.6)
+    val n30 = s30.count(); val n60 = s60.count()
+    assert(math.abs(n30 - 150) < 50 && math.abs(n60 - 300) < 60)
+    // nested: the 30% sample is a strict subset of the 60% sample
+    assert(s30.join(s60, Seq("doc_id"), "left_anti").count() == 0)
+    // reproducible: a second evaluation returns the identical id set
+    assert(CorpusOps.deterministicSample(docs, "doc_id", 0.3)
+      .select("doc_id").except(s30.select("doc_id")).count() == 0)
+  }
+
   test("packSequences: offsets are cumulative within shard, packs chunk at the budget") {
     val df = Seq(
       (1L, "en", 100L), (2L, "en", 300L), (3L, "en", 200L), (4L, "en", 50L),
