@@ -141,10 +141,14 @@ object Dedup {
                    estThreshold: Double = 0.5,
                    shingleSize: Int = 1): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, k, bands, shingleSize)
+    // fused agreement count (single codegen'd loop, no per-pair array
+    // allocations) — bit-identical to the composed
+    // size(filter(zip_with(...))) form, pinned by ExtensionOpsSpec
     cands
       .withColumn("est_jaccard", CoreOps.rnd(
-        expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), " +
-          s"e -> e)) / CAST($k AS DOUBLE)")))
+        graft.expressions.SignatureAgreement
+          .agreement(col("sig_a"), col("sig_b"))
+          .cast("double") / k))
       .where(col("est_jaccard") >= estThreshold)
       .select("id_a", "id_b", "est_jaccard")
   }

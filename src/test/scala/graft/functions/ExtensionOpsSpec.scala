@@ -208,6 +208,26 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(n.isNullAt(0))
   }
 
+  test("fused SignatureAgreement is bit-identical to the composed built-ins") {
+    import graft.expressions.SignatureAgreement
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001").limit(80)
+    val sigs = d.select($"doc_id".as("id"),
+      Dedup.minhashSignature("text", 32).as("sig"))
+    val pairs = sigs.select($"id".as("id_a"), $"sig".as("sig_a"))
+      .crossJoin(sigs.select($"id".as("id_b"), $"sig".as("sig_b")))
+    val diff = pairs.select(
+        SignatureAgreement.agreement($"sig_a", $"sig_b").as("fast"),
+        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), e -> e))")
+          .as("ref"))
+      .where($"fast" =!= $"ref")
+    assert(diff.count() == 0)
+    // null array -> null out
+    val n = pairs.limit(1).select(SignatureAgreement
+      .agreement(lit(null).cast("array<bigint>"), $"sig_b").as("c"))
+      .collect().head
+    assert(n.isNullAt(0))
+  }
+
   test("GraftExtensions injects cosine_sim as a session extension function") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext)
