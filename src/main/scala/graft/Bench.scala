@@ -23,6 +23,7 @@ object Bench {
     // (tiny) time-to-crash — otherwise a broken query reads as a
     // performance win in the emitted JSON.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    require(runs >= 1, s"SPARK_GRAFT_BENCH_RUNS=$runs must be >= 1")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()

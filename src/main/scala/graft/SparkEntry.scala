@@ -422,18 +422,22 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("jaccard"))
       val est = Dedup.minhashPairs(docs, "doc_id", "text",
         k = 64, bands = 32, estThreshold = 0.35)
+      // coalesce(true): over an EMPTY truth set the aggregates are NULL,
+      // and the oracle's literal TRUE means vacuous truth — without it an
+      // empty slice would flip the gate even though nothing regressed.
       truth.as("t").join(est.as("e"), Seq("id_a", "id_b"), "left")
         .agg(
           count(lit(1)).as("n_truth"),
-          (sum(when(col("est_jaccard").isNotNull, 1).otherwise(0))
-            .cast("double") / count(lit(1)) >= 0.95).as("recall_ok"),
-          (max(when(col("est_jaccard").isNotNull,
-            abs(col("est_jaccard") - col("jaccard")))) <= 0.3)
+          coalesce(sum(when(col("est_jaccard").isNotNull, 1).otherwise(0))
+            .cast("double") / count(lit(1)) >= 0.95, lit(true))
+            .as("recall_ok"),
+          coalesce(max(when(col("est_jaccard").isNotNull,
+            abs(col("est_jaccard") - col("jaccard")))) <= 0.3, lit(true))
             .as("est_err_ok"))
     }),
     // Hamming-LSH banding (bands = maxHamming + 1 → lossless by
     // pigeonhole): full corpus, no semantic block, no sample — the banded
-    // pair set provably equals the brute-force Hamming scan (DedupSpec).
+    // pair set provably equals the brute-force Hamming scan (ExtensionOpsSpec).
     "simhash_hamming" -> ((s, d) =>
       Dedup.simhashBandedPairs(Tables.documents(s, d), "doc_id", "text",
         maxHamming = 3)
@@ -464,9 +468,11 @@ object SparkEntry {
       // 100 TB path: the codebook fits on a bounded deterministic sample
       // (centroid quality converges long before the sample stops fitting);
       // tiny corpora fall back to the full set so KMeans always has
-      // comfortably more points than clusters.
+      // comfortably more points than clusters. take(160), not count():
+      // the gate needs "at least 160 rows", not a full scan of the corpus.
       val sample = e.where(pmod(col("vec_id"), lit(5)) === 0)
-      val train = if (sample.count() >= 160) sample else e
+      val train = if (sample.select("vec_id").take(160).length >= 160) sample
+        else e
       Similarity.recallVsBrute(
         Similarity.knnIvf(q, e, k = 3, nlist = 16, nprobe = 8,
           codebook = Some(Similarity.trainCodebook(train, nlist = 16))),

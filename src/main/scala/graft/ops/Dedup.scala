@@ -90,24 +90,31 @@ object Dedup {
       s"transform(sequence(0, ${k - 1}), i -> " +
       s"array_min(transform(sh, t -> xxhash64(i, t)))))[0]")
 
-  /** LSH banding: split the k-wide signature into `bands` bands and hash
-    * each band to a bucket. Docs sharing any (band, bucket) are candidate
-    * near-duplicates.
+  private def sigsOf(df: DataFrame, idCol: String, textCol: String,
+                     k: Int, shingleSize: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      minhashSignature(textCol, k, shingleSize).as("sig"))
+
+  /** Candidate (id_a, id_b) pairs only — for callers that re-verify with
+    * exact measures and never need the signatures, skipping
+    * [[minhashCandidates]]' signature join-back (two joins, each branch
+    * re-evaluating the per-row signatures over the whole corpus).
     */
-  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 32, bands: Int = 8,
-                        shingleSize: Int = 1): DataFrame = {
+  def candidatePairIds(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 32, bands: Int = 8,
+                       shingleSize: Int = 1): DataFrame =
+    bandedPairIds(sigsOf(df, idCol, textCol, k, shingleSize), k, bands)
+
+  private def bandedPairIds(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"bands=$bands must divide k=$k")
     val r = k / bands
-    val sigs = df.select(col(idCol).as("id"),
-      minhashSignature(textCol, k, shingleSize).as("sig"))
     // Candidate generation is deliberately narrow: the band self-join and
     // the distinct see only (band, bucket, id) / (id_a, id_b) — a pair that
     // collides in several bands would otherwise drag its two signature
     // arrays through the exchange once per band (measured 50+ GB at sf0.1
     // on a near-dup-dense corpus vs ~200 MB narrow, 198 s → ~20 s). The
     // distinct's map-side partial aggregation collapses duplicates before
-    // the shuffle; signatures are joined back onto the surviving pairs.
+    // the shuffle.
     // Distribute the banded rows by the join key, with an EXPLICIT
     // partition count: this stage's output explodes ~1000x past its input
     // (a few narrow rows in, tens of millions of candidate pairs out), so
@@ -120,14 +127,25 @@ object Dedup {
     val banded = sigs.select(col("id"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
         s"j -> xxhash64(slice(sig, j * $r + 1, $r)))")).as(Seq("band", "bucket")))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+      .repartition(sigs.sparkSession.sparkContext.defaultParallelism,
         col("band"), col("bucket"))
-    val pairIds = banded.as("a").join(banded.as("b"),
+    banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
           && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    pairIds
+  }
+
+  /** LSH banding: split the k-wide signature into `bands` bands and hash
+    * each band to a bucket. Docs sharing any (band, bucket) are candidate
+    * near-duplicates; their signatures are joined back onto the surviving
+    * pairs for estimator-based verification.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 32, bands: Int = 8,
+                        shingleSize: Int = 1): DataFrame = {
+    val sigs = sigsOf(df, idCol, textCol, k, shingleSize)
+    bandedPairIds(sigs, k, bands)
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select("id_a", "id_b", "sig_a", "sig_b")
@@ -160,8 +178,8 @@ object Dedup {
     * semantic blocking column. Precision is exact by construction; recall
     * is the LSH collision probability 1-(1-j^r)^bands, so callers pick
     * bands for their threshold (bands=32, r=1 → a j=0.5 pair is missed
-    * with probability 2^-32; DedupSpec pins recall 1.0 vs the exhaustive
-    * join on the fixture corpus).
+    * with probability 2^-32; ExtensionOpsSpec pins recall 1.0 vs the
+    * exhaustive join on the fixture corpus).
     */
   def verifiedNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                            threshold: Double, k: Int = 32, bands: Int = 32,
@@ -169,8 +187,7 @@ object Dedup {
     import CoreOps.rnd
     val toks = df.select(col(idCol).as("id"),
       shingles(textCol, shingleSize).as("toks"))
-    val cands = minhashCandidates(df, idCol, textCol, k, bands, shingleSize)
-      .select("id_a", "id_b")
+    val cands = candidatePairIds(df, idCol, textCol, k, bands, shingleSize)
     cands
       .join(toks.select(col("id").as("id_a"), col("toks").as("ta")), Seq("id_a"))
       .join(toks.select(col("id").as("id_b"), col("toks").as("tb")), Seq("id_b"))
@@ -265,7 +282,7 @@ object Dedup {
     * EXACTLY on at least one band, so an equi-join on (band, value) plus an
     * exact `bit_count(a XOR b)` post-filter returns precisely the
     * brute-force pair set (this is a lossless candidate generator, not an
-    * approximation — pinned by DedupSpec against the all-pairs scan).
+    * approximation — pinned by ExtensionOpsSpec against the all-pairs scan).
     *
     * Scale shape: no semantic blocking column, so no unbounded
     * per-block quadratic — candidates are docs colliding on a ≥8-bit band

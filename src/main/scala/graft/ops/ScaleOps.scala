@@ -119,10 +119,16 @@ object ScaleOps {
   def compactParquet(spark: SparkSession, inDir: String, outDir: String,
                      targetMb: Int = 128,
                      sortCol: Option[String] = None): Int = {
-    val fs = new java.io.File(inDir)
-    val bytes = Option(fs.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(_.length()).sum
+    require(new org.apache.hadoop.fs.Path(inDir)
+      != new org.apache.hadoop.fs.Path(outDir),
+      "compactParquet cannot overwrite the directory it is reading")
+    // Hadoop FileSystem, not java.io.File: the input can live on any
+    // supported filesystem (hdfs://, s3a://, ...) — a local-only listing
+    // would silently report 0 bytes there and collapse the rewrite to a
+    // single partition.
+    val inPath = new org.apache.hadoop.fs.Path(inDir)
+    val fs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(inPath).getLength
     val nFiles = math.max(1, math.ceil(
       bytes.toDouble / (targetMb.toLong * 1024 * 1024)).toInt)
     val df = spark.read.parquet(inDir)

@@ -50,12 +50,21 @@ final class HttpFetcher(
           if (code == 200) {
             val in = resp.body()
             try {
-              val out = Files.newOutputStream(dest)
+              // Local write failures (missing directory, disk full) are
+              // permanent: fail fast instead of re-downloading through the
+              // whole backoff schedule only to hit the same path error.
+              val out = try Files.newOutputStream(dest) catch {
+                case e: IOException =>
+                  throw new HttpFetcher.LocalWriteFailure(dest.toString, e)
+              }
               try {
                 val buf = new Array[Byte](1 << 20) // 1 MiB streaming chunks
                 var n = in.read(buf)
                 while (n >= 0) {
-                  out.write(buf, 0, n)
+                  try out.write(buf, 0, n) catch {
+                    case e: IOException =>
+                      throw new HttpFetcher.LocalWriteFailure(dest.toString, e)
+                  }
                   n = in.read(buf)
                 }
               } finally out.close()
@@ -68,6 +77,7 @@ final class HttpFetcher(
           }
         } catch {
           case e: HttpFetcher.NonRetryableStatus => throw e
+          case e: HttpFetcher.LocalWriteFailure => throw e
           case e: InterruptedException =>
             Thread.currentThread().interrupt()
             throw new IOException(s"GET $url interrupted", e)
@@ -95,4 +105,10 @@ object HttpFetcher {
     */
   final class NonRetryableStatus(url: String, val code: Int)
     extends IOException(s"GET $url: non-retryable HTTP $code")
+
+  /** A local filesystem failure while persisting the body — permanent;
+    * retrying re-downloads only to hit the same path/disk error.
+    */
+  final class LocalWriteFailure(dest: String, cause: IOException)
+    extends IOException(s"cannot write download to $dest", cause)
 }

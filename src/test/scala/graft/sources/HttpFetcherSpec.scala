@@ -94,6 +94,19 @@ class HttpFetcherSpec extends AnyFunSuite {
     }
   }
 
+  test("local write failures fail fast without burning the retry budget") {
+    withServer((_, ex) => ok(ex, "data")) { url =>
+      val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val badDest = java.nio.file.Paths.get(
+        Files.createTempDirectory("nope").toString, "missing", "sub", "f.csv")
+      val e = intercept[HttpFetcher.LocalWriteFailure] {
+        new HttpFetcher(url, sleeper = sleeps.append(_))(badDest)
+      }
+      assert(e.getMessage.contains("cannot write download"))
+      assert(sleeps.isEmpty) // no retries for a permanent local path error
+    }
+  }
+
   test("LandingZone + HttpFetcher: fetch, cache within TTL, force refetch, backup") {
     val hits = new AtomicInteger(0)
     withServer((n, ex) => { hits.set(n); ok(ex, s"payload-$n") }) { url =>
