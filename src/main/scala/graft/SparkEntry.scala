@@ -344,6 +344,18 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id", "rnk")),
 
+    // Text normalization ahead of dedup: the normalized digest is the
+    // dedup key, and md5 is engine-portable so the whole row (digest
+    // included) hash-checks against DuckDB byte-for-byte.
+    "text_normalize" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(TextFunctions.normalizeText(col("text")).cast("binary"))
+            .as("norm_md5"),
+          length(TextFunctions.normalizeText(col("text"))).cast("long")
+            .as("n_chars_norm"))
+        .orderBy("doc_id")),
+
     // ---- training-data extension tier: text analysis ----
     "token_count" -> ((s, d) =>
       Tables.documents(s, d).select(
@@ -808,6 +820,12 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tf_idf DESC, term) AS rnk FROM sc)
         |SELECT doc_id, term, tf, tf_idf, CAST(rnk AS BIGINT) AS rnk
         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "text_normalize" ->
+      """WITH n AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(regexp_replace(text, 'https?://[^ ]+', '', 'g')), '\s+', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, md5(norm) AS norm_md5, CAST(length(norm) AS BIGINT) AS n_chars_norm
+        |FROM n ORDER BY doc_id""".stripMargin,
     "token_count" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |  CAST(len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]+')) AS BIGINT) AS n_tokens_bpeish,

@@ -38,6 +38,19 @@ object TextFunctions {
   /** Number of tokens present in a fixed wordlist (per-language stopword
     * scoring for lang-ID). Counts every occurrence, not distinct tokens.
     */
+  /** Canonical text normalization for corpus preparation — the cleaning
+    * stage that precedes exact dedup so trivial variants (case, runs of
+    * whitespace, stray URLs) collapse to one representative: strip
+    * http(s) URLs, lowercase, squeeze whitespace, trim. Pure codegen'd
+    * expressions, and every regex is RE2-safe (no lookarounds) with
+    * identical semantics in Java, so any engine reproduces the exact
+    * output bytes — which is what makes dedup-by-normalized-digest
+    * portable.
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      lower(regexp_replace(c, "https?://[^ ]+", "")), "\\s+", " "))
+
   def wordlistHits(text: Column, words: Seq[String]): Column =
     size(filter(tokens(text), t => array_contains(typedlit(words), t)))
       .cast("long")

@@ -114,6 +114,16 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("normalizeText: urls stripped, case folded, whitespace squeezed, trimmed") {
+    val got = Seq(
+      "  Hello   WORLD  ",
+      "see https://example.com/x?y=1 now",
+      "a\tb\n c",
+      "").toDF("t")
+      .select(TextFunctions.normalizeText($"t")).as[String].collect().toSeq
+    assert(got == Seq("hello world", "see now", "a b c", ""))
+  }
+
   test("tokenCountBpeish splits letter/digit/punct runs") {
     val got = Seq("hello world42 a-b, c!").toDF("t")
       .select(TextFunctions.tokenCountBpeish($"t")).as[Long].collect().head
