@@ -13,18 +13,25 @@ object Bench {
     // Warm up JIT/codegen/datasource paths so the first measured query
     // doesn't absorb ~5s of JVM startup cost.
     spark.range(1000000).selectExpr("sum(id)").collect()
-    SparkEntry.queries.headOption.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    // Round-2 lesson: a Scala Map's iteration order reshuffles whenever
+    // entries are added, so round-over-round per-query numbers compared
+    // different warmup states and shared-JVM neighborhoods — five queries
+    // "regressed" 2x with zero code change. Fix the execution order by
+    // name, and warm EVERY query once (codegen + JIT + page cache for its
+    // scans) before any timing, so each measured run is steady-state.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    ordered.foreach { case (name, fn) =>
+      try fn(spark, sfDir).count() catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+      }
     }
     // Each query is timed over `runs` executions and reports the MINIMUM —
-    // the steady-state cost once codegen/JIT/page cache are warm, robust
-    // to one-off GC or compilation hiccups (first-run minus min is
-    // startup, not the operator). A failed query records -1, not its
-    // (tiny) time-to-crash — otherwise a broken query reads as a
-    // performance win in the emitted JSON.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // the steady-state cost, robust to one-off GC or compilation hiccups.
+    // A failed query records -1, not its (tiny) time-to-crash — otherwise
+    // a broken query reads as a performance win in the emitted JSON.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     require(runs >= 1, s"SPARK_GRAFT_BENCH_RUNS=$runs must be >= 1")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = ordered.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -37,7 +44,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -76,16 +76,26 @@ object Dedup {
     * `xxhash64(seed_i, shingle)`, minimum per seed. One array column per
     * row, computed inline — no shuffle, no UDF.
     *
-    * The shingle array is bound ONCE per row as a lambda variable
-    * (`transform(array(shingles), sh -> ...)[0]` — an expression-level
-    * let-binding): nesting the shingle SQL textually inside the per-seed
-    * lambda would re-split and re-dedup the text k times per row, and
-    * Catalyst neither CSEs inside higher-order-function lambdas nor can a
-    * hoisted projection column survive CollapseProject re-inlining. The
-    * k×|shingles| seeded string hashes that remain are the algorithm's
-    * inherent work.
+    * Fused native expression: one pass over the distinct shingles updating
+    * all k minima ([[graft.expressions.MinHashSignature]]), bit-identical
+    * to [[minhashSignatureComposed]] (pinned by ExtensionOpsSpec). The
+    * composed form paid Catalyst's higher-order-function machinery k times
+    * per row — 17.4 s at sf0.1 for the banded-pairs query alone.
     */
   def minhashSignature(textCol: String, k: Int, shingleSize: Int = 1): Column =
+    graft.expressions.MinHashSignature.signature(col(textCol), k, shingleSize)
+
+  /** The round-2 composable formulation, kept as the spec's reference
+    * semantics for the fused expression. The shingle array is bound ONCE
+    * per row as a lambda variable (`transform(array(shingles), sh -> ...)
+    * [0]` — an expression-level let-binding): nesting the shingle SQL
+    * textually inside the per-seed lambda would re-split and re-dedup the
+    * text k times per row, and Catalyst neither CSEs inside
+    * higher-order-function lambdas nor can a hoisted projection column
+    * survive CollapseProject re-inlining.
+    */
+  private[graft] def minhashSignatureComposed(textCol: String, k: Int,
+                                              shingleSize: Int = 1): Column =
     expr(s"transform(array(${shingleSql(textCol, shingleSize)}), sh -> " +
       s"transform(sequence(0, ${k - 1}), i -> " +
       s"array_min(transform(sh, t -> xxhash64(i, t)))))[0]")
@@ -263,13 +273,24 @@ object Dedup {
   /** 64-bit SimHash over token hashes: bit i of the result is the sign of
     * the (+1/-1) vote sum across tokens. Pure per-row expression.
     *
-    * The token-hash array is bound once per row as a lambda variable (same
-    * let-binding shape as [[minhashSignature]]); the 64 bit-vote folds then
-    * run over bound longs instead of re-tokenizing and re-hashing the
-    * document per bit. (`shiftright(h, i)`, not `h >> i`: the `>>` token
-    * fails to parse at this lambda nesting depth in Spark 4.1's grammar.)
+    * Fused native expression: one pass over the token hashes updating all
+    * 64 vote counters ([[graft.expressions.SimHash64]]), bit-identical to
+    * [[simhash64Composed]] (pinned by ExtensionOpsSpec). The composed form
+    * folded the token-hash array 64 times — once per bit — through
+    * Catalyst's higher-order-function machinery: 21.3 s at sf0.1, the
+    * single most expensive bench query.
     */
-  def simhash64(textCol: String): Column = expr(
+  def simhash64(textCol: String): Column =
+    graft.expressions.SimHash64.simhash(col(textCol))
+
+  /** The round-2 composable formulation, kept as the spec's reference
+    * semantics for the fused expression. The token-hash array is bound once
+    * per row as a lambda variable (same let-binding shape as
+    * [[minhashSignatureComposed]]). (`shiftright(h, i)`, not `h >> i`: the
+    * `>>` token fails to parse at this lambda nesting depth in Spark 4.1's
+    * grammar.)
+    */
+  private[graft] def simhash64Composed(textCol: String): Column = expr(
     s"""transform(array(transform(split($textCol, ' '), t -> xxhash64(t))), hs ->
        |  aggregate(sequence(0, 63), 0L, (acc, i) -> acc |
        |    CASE WHEN aggregate(hs,
