@@ -22,20 +22,44 @@ object HousingEtl {
       coveragePct: DataFrame, windows: DataFrame, anomalies: DataFrame,
       snapshot: DataFrame, qa: DataFrame)
 
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Stage-boundary diagnostics channel, mirroring the reference's
+    * info-level logger (etl_main.py:56-57 setup; parse diagnostics at
+    * 129/132/135, branch decisions throughout). Injectable so tests can
+    * assert the lines; defaults to slf4j.
+    */
+  def defaultLog: String => Unit = logger.info(_)
+
   def run(spark: SparkSession, rawCsvPath: String,
           lookupPath: Option[String] = None,
           windows: Seq[Int] = Rolling.DefaultWindows,
-          zThresh: Double = 3.0): Outputs = {
+          zThresh: Double = 3.0,
+          log: String => Unit = defaultLog): Outputs = {
     val (raw, rc) = CsvSniffSource.sniffCsv(spark, rawCsvPath)
+    // The reference logs each stage's decisions eagerly because pandas is
+    // eager; a lazy engine logs its PLAN-TIME decisions here (separator,
+    // resolved columns, branch taken) and leaves measured metrics to the
+    // sinks (runCli logs the QA report once artifacts are written).
+    log(s"parse: sep=${if (rc.sep == "\t") "\\t" else rc.sep} " +
+      s"date=${rc.date} price=${rc.price} " +
+      s"id=${rc.id.getOrElse("<synthetic>")} " +
+      s"postcode=${rc.postcode.getOrElse("<absent>")} " +
+      s"prop_type=${rc.propType.getOrElse("<absent>")}")
     val canon = CsvSniffSource.toCanonical(raw, rc)
 
     // J1 / P9 — lookup enrichment with prefix fallback
     // (etl_main.py:178-191): invalid or absent lookup → postcode[:4].
     val withLa = lookupPath.flatMap(CsvSniffSource.readLookup(spark, _)) match {
       case Some(lookup) =>
+        log(s"lookup: joined ${lookupPath.get}")
         Joins.lookupJoin(canon, lookup, canon("postcode") === lookup("pc_nospace"))
           .drop("pc_nospace")
       case None =>
+        log(lookupPath match {
+          case Some(p) => s"lookup: $p lacks required columns - postcode-prefix fallback"
+          case None => "lookup: none - postcode-prefix fallback"
+        })
         canon.withColumn("local_authority", CoreOps.prefixKey(col("postcode")))
     }
 
@@ -50,6 +74,9 @@ object HousingEtl {
         Some(WeeklyAgg.typeBreakdown(withLa, col("date"),
           col("local_authority"), col("prop_type")))
       else None  // etl_main.py:221-225: breakdown only when a type col exists
+    log(s"type breakdown: ${if (typeBreak.isDefined) "enabled"
+      else "skipped (no property-type column)"}")
+    log(s"windows: ${windows.mkString(", ")} weeks; z-threshold $zThresh")
 
     // Cheap (week, dim) projection for the densify grid axes and the
     // snapshot's max week — avoids re-evaluating the CSV-scan → weekly-agg

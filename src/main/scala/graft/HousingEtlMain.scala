@@ -67,7 +67,8 @@ object HousingEtlMain {
     */
   def runCli(spark: SparkSession, cfg: Config,
              push: Sinks.ReportSink,
-             warehouse: String => Sinks.ReportSink): HousingEtl.Outputs = {
+             warehouse: String => Sinks.ReportSink,
+             log: String => Unit = HousingEtl.defaultLog): HousingEtl.Outputs = {
     val fetcher: java.nio.file.Path => Unit =
       if (cfg.input.startsWith("http://") || cfg.input.startsWith("https://"))
         new HttpFetcher(cfg.input)
@@ -78,18 +79,43 @@ object HousingEtlMain {
     val raw = zone.fetch(fetcher, force = cfg.forceDownload)
 
     val out = HousingEtl.run(spark, raw.toString, cfg.lookup,
-      windows = cfg.windows)
+      windows = cfg.windows, log = log)
 
     HousingEtl.writeArtifacts(out, new Sinks.CsvDirSink(cfg.outDir))
+    // The QA report the reference logs after its transform (coverage at
+    // etl_main.py:196, summary metrics at 344-350) — emitted once the
+    // artifacts are safely on disk; a 1-row collect of a report table.
+    val qaRow = out.qa.collect().head
+    log(s"qa: rows_raw=${qaRow.getAs[Long]("rows_raw")} " +
+      s"dims=${qaRow.getAs[Long]("dims")} " +
+      s"coverage_pct=${qaRow.getAs[Double]("coverage_pct")} " +
+      s"latest_week=${qaRow.getAs[java.sql.Timestamp]("latest_week")}")
 
+    // Push-sink failure tolerance (etl_main.py:374-385): the Sheets-style
+    // upload block and the warehouse push are each wrapped in
+    // log-and-continue — an export outage must not fail the daily run. The
+    // CSV artifacts above stay fatal (the reference does not guard them):
+    // they are the system of record, and they were written before any push
+    // was attempted, so nothing is lost when a push dies.
     if (!cfg.noUpload) {
-      push.write("weekly_by_la", out.weekly)
-      push.write("windows", out.windows)
-      push.write("latest", out.snapshot)
-      push.write("anomalies", out.anomalies)
-      out.typeBreakdown.foreach(push.write("type_breakdown", _))
-      push.write("qa", out.qa)
-      cfg.bqTable.foreach(t => warehouse(t).write("windows", out.windows))
+      try {
+        push.write("weekly_by_la", out.weekly)
+        push.write("windows", out.windows)
+        push.write("latest", out.snapshot)
+        push.write("anomalies", out.anomalies)
+        out.typeBreakdown.foreach(push.write("type_breakdown", _))
+        push.write("qa", out.qa)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          log(s"push sink failed (continuing): $e")
+      }
+      cfg.bqTable.foreach { t =>
+        try warehouse(t).write("windows", out.windows)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            log(s"warehouse sink failed for $t (continuing): $e")
+        }
+      }
     }
     out
   }

@@ -374,6 +374,23 @@ object SparkEntry {
       CorpusOps.topTerms(Tables.documents(s, d), "doc_id", "text", k = 3)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id", "rnk")),
+    // Deterministic content-addressed sampling with the NESTING property:
+    // the 10% sample is a subset of the 50% sample (same md5 buckets, lower
+    // threshold). n_10/id_sum_10/n_50 check the bucket arithmetic against
+    // DuckDB's recomputation; n_escaped counts 10%-docs missing from the
+    // 50% sample through the operator API itself — the oracle's literal 0
+    // makes the subset property a hash-gated contract.
+    "sample_nested" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val s10 = CorpusOps.deterministicSample(docs, "doc_id", 0.10)
+        .select(col("doc_id"))
+      val s50 = CorpusOps.deterministicSample(docs, "doc_id", 0.50)
+        .select(col("doc_id"))
+      s10.agg(count(lit(1)).as("n_10"), sum("doc_id").as("id_sum_10"))
+        .crossJoin(s50.agg(count(lit(1)).as("n_50")))
+        .crossJoin(s10.join(s50, Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("n_escaped")))
+    }),
 
     // Text normalization ahead of dedup: the normalized digest is the
     // dedup key, and md5 is engine-portable so the whole row (digest
@@ -843,6 +860,17 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tf_idf DESC, term) AS rnk FROM sc)
         |SELECT doc_id, term, tf, tf_idf, CAST(rnk AS BIGINT) AS rnk
         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "sample_nested" ->
+      """WITH b AS (SELECT doc_id,
+        |    list_reduce(list_transform(range(1, 9),
+        |      i -> (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT),
+        |      (a, x) -> a * 16 + x) % 10000 AS bucket
+        |  FROM documents)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM b WHERE bucket < 1000) AS n_10,
+        |  (SELECT CAST(sum(doc_id) AS BIGINT) FROM b WHERE bucket < 1000) AS id_sum_10,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM b WHERE bucket < 5000) AS n_50,
+        |  CAST(0 AS BIGINT) AS n_escaped""".stripMargin,
     "text_normalize" ->
       """WITH n AS (SELECT doc_id,
         |    trim(regexp_replace(lower(regexp_replace(text, 'https?://[^ ]+', '', 'g')), '\s+', ' ', 'g')) AS norm

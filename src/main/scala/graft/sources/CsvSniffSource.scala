@@ -22,10 +22,12 @@ object CsvSniffSource {
 
   /** Columns resolved by the reference's substring heuristics
     * (etl_main.py:149-153): first column whose lowercase name contains the
-    * needle(s).
+    * needle(s). `sep` records which sniffed separator won, for the stage
+    * diagnostics the reference logs (etl_main.py:129-135).
     */
   final case class ResolvedColumns(date: String, price: String,
-      postcode: Option[String], id: Option[String], propType: Option[String])
+      postcode: Option[String], id: Option[String], propType: Option[String],
+      sep: String = ",")
 
   private def findCol(cols: Seq[String], needles: String*): Option[String] =
     cols.find(c => needles.exists(n => c.toLowerCase.contains(n)))
@@ -52,7 +54,7 @@ object CsvSniffSource {
   def sniffCsv(spark: SparkSession, path: String): (DataFrame, ResolvedColumns) = {
     val attempts = Separators.iterator.map { sep =>
       val df = spark.read.option("header", "true").option("sep", sep).csv(path)
-      (df, resolveColumns(df.columns.toSeq))
+      (df, resolveColumns(df.columns.toSeq).map(_.copy(sep = sep)))
     }
     attempts.collectFirst { case (df, Some(rc)) => (df, rc) }
       .getOrElse {

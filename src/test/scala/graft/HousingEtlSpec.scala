@@ -162,6 +162,49 @@ class HousingEtlSpec extends SparkTestBase {
     assert(Files.exists(java.nio.file.Paths.get(cacheDir, "landing.csv")))
   }
 
+  test("stage logging: parse diagnostics, lookup branch, windows (etl_main.py:56-57)") {
+    var lines = Vector.empty[String]
+    HousingEtl.run(spark, pricePaidCsv("|"), Some(lookupCsv), log = lines :+= _)
+    assert(lines.exists(l => l.startsWith("parse: sep=|") &&
+      l.contains("date=date_of_transfer") && l.contains("price=price") &&
+      l.contains("id=transaction_unique_identifier")))
+    assert(lines.exists(_.startsWith("lookup: joined ")))
+    assert(lines.exists(_ == "type breakdown: enabled"))
+    assert(lines.exists(_.startsWith("windows: 4, 12 weeks")))
+    // fallback + synthetic-id branches log their decisions too
+    lines = Vector.empty
+    HousingEtl.run(spark, pricePaidCsv(dropId = true, dropType = true),
+      Some(badLookupCsv), log = lines :+= _)
+    assert(lines.exists(l => l.startsWith("parse:") && l.contains("id=<synthetic>")))
+    assert(lines.exists(_.contains("postcode-prefix fallback")))
+    assert(lines.exists(_ == "type breakdown: skipped (no property-type column)"))
+  }
+
+  test("push-sink failure is logged and tolerated; artifacts survive (etl_main.py:374-385)") {
+    val outDir = Files.createTempDirectory("graft-cli-sinkfail").toString
+    val cacheDir = Files.createTempDirectory("graft-cli-sinkfail-cache").toString
+    val throwing = new Sinks.ReportSink {
+      def write(tab: String, df: org.apache.spark.sql.DataFrame): Unit =
+        throw new RuntimeException(s"sheets API down ($tab)")
+    }
+    var lines = Vector.empty[String]
+    val cfg = HousingEtlMain.Config(input = pricePaidCsv(),
+      lookup = Some(lookupCsv), cacheDir = cacheDir, outDir = outDir,
+      bqTable = Some("proj.ds.windows"), windows = Seq(2))
+    // both push blocks throw; the run must still complete and report
+    val out = HousingEtlMain.runCli(spark, cfg, throwing,
+      _ => throwing, log = lines :+= _)
+    assert(out.weekly.count() == 3)
+    // local CSV artifacts were all written before the pushes died
+    val weeklyArt = spark.read.option("header", "true").csv(s"$outDir/weekly")
+    assert(weeklyArt.count() == 3)
+    assert(lines.exists(_.startsWith("push sink failed (continuing):")))
+    assert(lines.exists(_.startsWith("warehouse sink failed for proj.ds.windows")))
+    // the QA report line fired too (reference logs it before uploads)
+    assert(lines.exists(l => l.startsWith("qa: rows_raw=5") &&
+      l.contains("coverage_pct=75.0")))
+  }
+
   test("CLI --force-download bypasses the landing cache") {
     val cacheDir = Files.createTempDirectory("graft-cli-force").toString
     val outDir = Files.createTempDirectory("graft-cli-force-art").toString

@@ -89,6 +89,23 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("partial_min"), s"no map-side combine:\n$plan")
   }
 
+  test("q3: BUILDING customer side broadcasts, lineitem date filter pushed to scan") {
+    val df = SparkEntry.queries("q3_shipping_priority")(spark, sf)
+    val simple = executedSimple(df)
+    // the segment-filtered customer dim joins orders as a broadcast — the
+    // hint in the query must survive to the physical plan
+    assert(simple.contains("BroadcastHashJoin"), s"no broadcast join:\n$simple")
+    val formatted = executedFormatted(df)
+    // l_shipdate > cutoff must reach the parquet scan as a pushed filter,
+    // not a post-scan Filter over all rows
+    val pushed = formatted.linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("GreaterThan(l_shipdate"),
+      s"lineitem ship-date filter not pushed:\n$pushed")
+    assert(pushed.contains("LessThan(o_orderdate"),
+      s"orders date filter not pushed:\n$pushed")
+  }
+
   test("banded self-joins pin an uncoalescible join-key repartition") {
     // The explicit-count repartition shows up as REPARTITION_BY_NUM, the
     // origin AQE must honor — without it, input-sized coalescing collapses
