@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.CosineSimilarity
+import graft.expressions.{CosineSimilarity, MinHashSignature, SignatureAgreement, SimHash64}
 
 /** Canonical deployment hook for the engine's native Catalyst additions:
   *
@@ -12,16 +12,22 @@ import graft.expressions.CosineSimilarity
   * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
   * }}}
   *
-  * Every session built with the conf gets `cosine_sim` (the fused
-  * codegen'd [[CosineSimilarity]]) as a SQL function without any
-  * per-session `register` call — the SparkSessionExtensions mechanism
-  * Spark provides precisely so libraries can contribute expressions,
-  * rules, and strategies declaratively. Only functions are injected
-  * today: the operator library deliberately stays inside Catalyst's
-  * built-in plans (SURVEY §4 preference order), so there is nothing a
-  * custom rule or strategy would do that the optimizer doesn't already.
+  * Every session built with the conf gets the fused codegen'd expressions
+  * — `cosine_sim`, `simhash64`, `minhash_signature`, `signature_agreement`
+  * — as SQL functions without any per-session `register` call: the
+  * SparkSessionExtensions mechanism Spark provides precisely so libraries
+  * can contribute expressions, rules, and strategies declaratively. Only
+  * functions are injected: the operator library deliberately stays inside
+  * Catalyst's built-in plans (SURVEY §4 preference order), so there is
+  * nothing a custom rule or strategy would do that the optimizer doesn't
+  * already.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def literalInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal integer")
+    e.eval().asInstanceOf[Number].intValue()
+  }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -31,6 +37,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2,
           s"cosine_sim expects 2 arguments, got ${exprs.length}")
         CosineSimilarity(exprs.head, exprs(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"simhash64 expects 1 argument, got ${exprs.length}")
+        SimHash64(exprs.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2 || exprs.length == 3,
+          s"minhash_signature expects (text, k[, shingleSize]), got ${exprs.length} args")
+        MinHashSignature(exprs.head, literalInt(exprs(1), "k"),
+          if (exprs.length == 3) literalInt(exprs(2), "shingleSize") else 1)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("signature_agreement"),
+      new ExpressionInfo(classOf[SignatureAgreement].getName, "signature_agreement"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"signature_agreement expects 2 arguments, got ${exprs.length}")
+        SignatureAgreement(exprs.head, exprs(1))
       }))
   }
 }

@@ -287,6 +287,17 @@ class ExtensionOpsSpec extends SparkTestBase {
         "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))")
       .collect().head.getDouble(0)
     assert(got == 1.0)
+    // the fused sketch expressions ride the same injection payload
+    val sketch = spark.sql(
+      "SELECT simhash64('a b'), minhash_signature('a b', 4), " +
+        "signature_agreement(minhash_signature('a b', 4), minhash_signature('a b', 4))")
+      .collect().head
+    assert(sketch.getSeq[Long](1).length == 4)
+    assert(sketch.getInt(2) == 4)
+    // SQL path agrees with the Column-API path bit-for-bit
+    val viaCol = Seq("a b").toDF("t")
+      .select(Dedup.simhash64("t")).collect().head.getLong(0)
+    assert(sketch.getLong(0) == viaCol)
   }
 
   test("knnBrute: identical vector ranks first with cos 1.0; LSH is a subset") {

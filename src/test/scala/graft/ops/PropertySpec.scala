@@ -111,6 +111,29 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: fused SimHash64/MinHashSignature match the composed forms on random text") {
+    // The fused kernels' graded outputs are no_oracle (xxhash64), so
+    // bit-identity to the composed built-in formulation is their
+    // correctness contract — pushed here past the fixture corpus to
+    // adversarial shapes: space runs, leading/trailing spaces, unicode,
+    // punctuation, empty strings. One DataFrame → one comparison job.
+    val charGen = Gen.frequency(
+      6 -> Gen.alphaNumChar, 3 -> Gen.const(' '),
+      1 -> Gen.oneOf('é', '東', 'ü', '!', '.', ','))
+    val strGen = Gen.listOf(charGen).map(_.mkString)
+    val strs = scala.collection.mutable.ListBuffer.empty[String]
+    forAllSampled(strGen, n = 60)(strs += _)
+    val df = (strs.toSeq :+ "").toDF("text")
+    assert(df.select(Dedup.simhash64("text").as("f"),
+        Dedup.simhash64Composed("text").as("r"))
+      .where($"f" =!= $"r").count() == 0)
+    for ((k, sh) <- Seq((16, 1), (8, 3))) {
+      assert(df.select(Dedup.minhashSignature("text", k, sh).as("f"),
+          Dedup.minhashSignatureComposed("text", k, sh).as("r"))
+        .where($"f" =!= $"r").count() == 0, s"k=$k shingleSize=$sh")
+    }
+  }
+
   test("property: assignSplit is a partition — every key exactly one split") {
     val keysGen = Gen.choose(5, 60).flatMap(n =>
       Gen.listOfN(n, Gen.choose(-100000L, 100000L)).map(_.distinct))
