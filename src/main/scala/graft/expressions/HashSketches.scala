@@ -185,3 +185,63 @@ object MinHashSignature {
   def signature(text: Column, k: Int, shingleSize: Int = 1): Column =
     column(MinHashSignature(expression(text), k, shingleSize))
 }
+
+/** 0-based index of the first position where two `ARRAY<BIGINT>` columns
+  * agree (-1 if none) — the dedup predicate for LSH banded self-joins:
+  * keeping a colliding pair only where `first_agreeing_index(bands_a,
+  * bands_b) = band` emits each candidate pair exactly once, replacing a
+  * full `distinct` exchange over the exploded pair stream (measured 23M
+  * pre-distinct rows → 8M pairs at sf0.1: the distinct was ~70% of the
+  * banded-join cost) with an in-stage codegen'd filter. Equivalent to the
+  * composed `array_position(zip_with(a, b, (x, y) -> x = y), true) - 1`
+  * without the per-pair boolean-array allocation.
+  */
+case class FirstAgreeingIndex(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i))
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val found = ctx.freshName("found")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $found = -1;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)
+         |      && $a.getLong($i) == $b.getLong($i)) { $found = $i; break; }
+         |}
+         |${ev.value} = $found;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): FirstAgreeingIndex = copy(newLeft, newRight)
+}
+
+object FirstAgreeingIndex {
+  import org.apache.spark.sql.GraftExpressionBridge._
+
+  /** Column-API entry point. */
+  def firstAgree(a: Column, b: Column): Column =
+    column(FirstAgreeingIndex(expression(a), expression(b)))
+}

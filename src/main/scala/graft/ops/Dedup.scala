@@ -118,32 +118,44 @@ object Dedup {
   private def bandedPairIds(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"bands=$bands must divide k=$k")
     val r = k / bands
-    // Candidate generation is deliberately narrow: the band self-join and
-    // the distinct see only (band, bucket, id) / (id_a, id_b) — a pair that
-    // collides in several bands would otherwise drag its two signature
-    // arrays through the exchange once per band (measured 50+ GB at sf0.1
-    // on a near-dup-dense corpus vs ~200 MB narrow, 198 s → ~20 s). The
-    // distinct's map-side partial aggregation collapses duplicates before
-    // the shuffle.
+    // Candidate generation is deliberately narrow: the band self-join sees
+    // (band, bucket, id) plus the bands-wide hash array — never the k-wide
+    // signature (a pair colliding in several bands would drag its two
+    // signature arrays through the exchange once per band; measured 50+ GB
+    // at sf0.1 on a near-dup-dense corpus vs ~200 MB narrow, 198 s → ~20 s).
+    //
+    // Cross-band duplicate pairs are eliminated IN-STAGE, not by a
+    // distinct: each banded row carries the full band-hash array (bands ×
+    // 8 B — the exploded rows widen ~4×, still trivial), and the join
+    // keeps a colliding pair only in its FIRST agreeing band. On the
+    // near-dup-dense sf0.1 corpus the old `distinct` hash-aggregated 23M
+    // exploded pair rows down to 8M — ~70% of this operator's cost — all
+    // of which is now a codegen'd prefix comparison inside the join stage
+    // with no second exchange. Same pair SET by construction (within one
+    // band a pair collides at most once; across bands exactly the first
+    // collision survives) — pinned by ExtensionOpsSpec.
+    //
     // Distribute the banded rows by the join key, with an EXPLICIT
     // partition count: this stage's output explodes ~1000x past its input
     // (a few narrow rows in, tens of millions of candidate pairs out), so
     // sizing the exchange by its input — what AQE's coalescing does, all
-    // the way down to ONE partition here — serializes the join + the
-    // distinct's partial aggregate onto one task (measured 13.5 s
-    // single-task vs ~3 s distributed at sf0.1). At scale the exchange is
-    // what a sort-merge self-join needs anyway (ENSURE_REQUIREMENTS reuses
-    // it), so it costs nothing extra.
+    // the way down to ONE partition here — serializes the join onto one
+    // task (measured 13.5 s single-task vs ~3 s distributed at sf0.1). At
+    // scale the exchange is what a sort-merge self-join needs anyway
+    // (ENSURE_REQUIREMENTS reuses it), so it costs nothing extra.
     val banded = sigs.select(col("id"),
-      posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
-        s"j -> xxhash64(slice(sig, j * $r + 1, $r)))")).as(Seq("band", "bucket")))
+      expr(s"transform(sequence(0, ${bands - 1}), " +
+        s"j -> xxhash64(slice(sig, j * $r + 1, $r)))").as("bhs"))
+      .select(col("id"), col("bhs"),
+        posexplode(col("bhs")).as(Seq("band", "bucket")))
       .repartition(sigs.sparkSession.sparkContext.defaultParallelism,
         col("band"), col("bucket"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
           && col("a.id") < col("b.id"))
+      .where(graft.expressions.FirstAgreeingIndex
+        .firstAgree(col("a.bhs"), col("b.bhs")) === col("a.band"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
   }
 
   /** LSH banding: split the k-wide signature into `bands` bands and hash

@@ -90,6 +90,38 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(cnt >= 0L) // runs without a block column; selectivity from 21-bit bands
   }
 
+  test("first-band pair dedup equals the distinct formulation, no duplicate pairs") {
+    // bandedPairIds keeps a colliding pair only in its first agreeing band
+    // (in-stage filter) instead of a distinct exchange; the pair SET must
+    // equal the explode → join → distinct reference on real testdata.
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val cands = Dedup.candidatePairIds(d, "doc_id", "text") // k=32, bands=8
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cands.length == cands.toSet.size, "duplicate pairs emitted")
+    val sigs = d.select($"doc_id".as("id"),
+      Dedup.minhashSignature("text", 32).as("sig"))
+    val banded = sigs.select($"id", posexplode(
+        expr("transform(sequence(0, 7), j -> xxhash64(slice(sig, j * 4 + 1, 4)))"))
+      .as(Seq("band", "bucket")))
+    val ref = banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket"
+          && $"a.id" < $"b.id")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cands.toSet == ref.toSet)
+    assert(ref.nonEmpty)
+    // the fused FirstAgreeingIndex matches the composed built-in form
+    val pairs = sigs.limit(60).select($"sig".as("sa"))
+      .crossJoin(sigs.limit(60).select($"sig".as("sb")))
+    val diff = pairs.select(
+        graft.expressions.FirstAgreeingIndex.firstAgree($"sa", $"sb").as("fast"),
+        (coalesce(array_position(
+          expr("zip_with(sa, sb, (x, y) -> x = y)"), lit(true)), lit(0L))
+          .cast("int") - 1).as("ref"))
+      .where($"fast" =!= $"ref")
+    assert(diff.count() == 0)
+  }
+
   test("verifiedNearDupPairs: LSH-verified scale path equals the exhaustive join") {
     // Precision is structural (candidates are exactly re-verified); recall
     // is probabilistic per missed band (2^-32 at j=0.5 with bands=32,r=1)
