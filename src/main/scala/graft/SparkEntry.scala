@@ -448,6 +448,12 @@ object SparkEntry {
       TextFunctions.withQualityColumns(Tables.documents(s, d), "text")
         .select("doc_id", "n_tokens", "stop_ratio", "digit_ratio", "quality")
         .orderBy("doc_id")),
+    // Gopher-style within-document repetition filters: duplicate-token and
+    // duplicate-bigram fractions (per-row expressions) + most-frequent-
+    // token dominance (explode + two hash-aggs).
+    "repetition_signals" -> ((s, d) =>
+      TextFunctions.repetitionSignals(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
     "doc_fingerprint" -> ((s, d) =>
       TextFunctions.fingerprint(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
@@ -932,6 +938,23 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, stop_ratio, digit_ratio,
         |  floor((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5 + stop_ratio * 0.3 + (1.0 - digit_ratio) * 0.2) * 10000 + 0.5) / 10000 AS quality
         |FROM r ORDER BY doc_id""".stripMargin,
+    "repetition_signals" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    floor((CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 10000 + 0.5) / 10000 AS dup_token_ratio,
+        |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS grams
+        |  FROM t),
+        |g AS (SELECT doc_id, n_tokens, dup_token_ratio,
+        |    CASE WHEN len(grams) = 0 THEN 0.0
+        |         ELSE floor((CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)) * 10000 + 0.5) / 10000 END AS dup_2gram_ratio
+        |  FROM b),
+        |m AS (SELECT doc_id, max(c) AS max_tok FROM (
+        |    SELECT doc_id, tok, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT g.doc_id, n_tokens, dup_token_ratio, dup_2gram_ratio,
+        |  floor((CAST(max_tok AS DOUBLE) / n_tokens) * 10000 + 0.5) / 10000 AS max_token_ratio
+        |FROM g JOIN m ON g.doc_id = m.doc_id ORDER BY g.doc_id""".stripMargin,
     "doc_fingerprint" ->
       """SELECT doc_id, CAST(sum((ord(t) * 131 + length(t)) * pos) % 1000000007 AS BIGINT) AS fingerprint
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t,

@@ -108,6 +108,47 @@ object TextFunctions {
           + col("stop_ratio") * 0.3 + (lit(1.0) - col("digit_ratio")) * 0.2))
   }
 
+  /** Repetition / boilerplate signals per document — the Gopher-style
+    * corpus filters (Rae et al. 2021 §A1.1) a pretraining pipeline gates
+    * on: duplicate-token fraction, duplicate-bigram fraction, and the
+    * dominance of the single most frequent token. High values flag
+    * templated/boilerplate text that survives exact and near dedup because
+    * the repetition is WITHIN the document.
+    *
+    * Scale shape: the ratio columns are pure per-row expressions; the
+    * most-frequent-token count is one explode + two hash-aggregates keyed
+    * by (id, token) then id — linear, map-side-combined, same shape as
+    * [[fingerprint]]. All ratios are 4-dp-rounded rational arithmetic so
+    * any engine reproduces them bit-for-bit.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    import CoreOps.rnd
+    val base = df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      // split() never yields an empty array (empty text → [""]), so the
+      // n_tokens divisors are always >= 1
+      .withColumn("dup_token_ratio",
+        rnd((col("n_tokens") - size(array_distinct(col("toks"))))
+          .cast("double") / col("n_tokens")))
+      .withColumn("grams", expr(
+        "zip_with(slice(toks, 1, size(toks) - 1), " +
+          "slice(toks, 2, size(toks) - 1), (x, y) -> concat(x, ' ', y))"))
+      .withColumn("dup_2gram_ratio",
+        when(size(col("grams")) === 0, 0.0).otherwise(
+          rnd((size(col("grams")) - size(array_distinct(col("grams"))))
+            .cast("double") / size(col("grams")))))
+    val maxTok = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(max(col("c")).as("__max_tok"))
+    base.join(maxTok, idCol)
+      .withColumn("max_token_ratio",
+        rnd(col("__max_tok").cast("double") / col("n_tokens")))
+      .select(col(idCol), col("n_tokens"), col("dup_token_ratio"),
+        col("dup_2gram_ratio"), col("max_token_ratio"))
+  }
+
   /** Order-sensitive document fingerprint: sum over tokens of
     * (codepoint(first char) * 131 + len(token)) * position, mod 1e9+7.
     * Position-weighted integer sums are order-independent to compute

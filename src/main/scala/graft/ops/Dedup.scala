@@ -11,10 +11,12 @@ import graft.functions.TextFunctions
   *
   * Scale design: exact dedup is one hash-aggregate on a content digest
   * (never shuffles full text — the digest is the shuffle key and payload).
-  * MinHash signatures and SimHash values are pure per-row expressions
-  * (codegen'd, no shuffle); candidate generation shuffles only
-  * (band, bucket, id) triples, so the pairwise stage touches candidate
-  * pairs instead of the quadratic full cross product.
+  * MinHash signatures and SimHash values are fused per-row native
+  * expressions (codegen'd, no shuffle); candidate generation shuffles only
+  * (band, bucket, id, band-hashes) rows — never the k-wide signature or
+  * text — so the pairwise stage touches candidate pairs instead of the
+  * quadratic full cross product, and cross-band duplicates die in-stage
+  * (first-agreeing-band filter) instead of in a distinct exchange.
   */
 object Dedup {
 

@@ -174,6 +174,19 @@ class ExtensionOpsSpec extends SparkTestBase {
       .select(TextFunctions.langPredict($"text")).as[String].collect().head == "de")
   }
 
+  test("repetitionSignals: hand-computed dup/bigram/top-token ratios") {
+    val got = TextFunctions.repetitionSignals(
+      Seq((1L, "a a b"), (2L, "x"), (3L, "w w w w")).toDF("id", "text"), "id", "text")
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    // "a a b": 3 tokens, 2 distinct -> 1/3; grams {"a a","a b"} distinct -> 0;
+    // top token "a" 2/3. "x": single token, no grams. "w w w w": all dup.
+    assert(got(0) == ((1L, 3L, 0.3333, 0.0, 0.6667)))
+    assert(got(1) == ((2L, 1L, 0.0, 0.0, 1.0)))
+    assert(got(2) == ((3L, 4L, 0.75, 0.6667, 1.0)))
+  }
+
   test("charRatio and empty-string guard") {
     val got = Seq("a1b2", "").toDF("t")
       .select(TextFunctions.charRatio($"t", "[0-9]").as("r")).as[Double].collect().toSeq
