@@ -44,7 +44,10 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // Failed queries carry the -1 sentinel in the per-query map but must
+    // not be summed: subtracting 1s per failure would let a broken query
+    // LOWER the headline total.
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

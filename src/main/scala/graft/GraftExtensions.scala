@@ -26,7 +26,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def literalInt(e: Expression, what: String): Int = {
     require(e.foldable, s"$what must be a literal integer")
-    e.eval().asInstanceOf[Number].intValue()
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$what must be a literal integer, got: $other")
+    }
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {

@@ -81,6 +81,10 @@ object HousingEtlMain {
     val out = HousingEtl.run(spark, raw.toString, cfg.lookup,
       windows = cfg.windows, log = log)
 
+    // Cache the 1-row QA frame: it is both written as an artifact and
+    // collected for the report log below — without the cache the second
+    // action re-runs the whole QA lineage (raw scan + aggregation).
+    out.qa.persist()
     HousingEtl.writeArtifacts(out, new Sinks.CsvDirSink(cfg.outDir))
     // The QA report the reference logs after its transform (coverage at
     // etl_main.py:196, summary metrics at 344-350) — emitted once the
@@ -90,6 +94,7 @@ object HousingEtlMain {
       s"dims=${qaRow.getAs[Long]("dims")} " +
       s"coverage_pct=${qaRow.getAs[Double]("coverage_pct")} " +
       s"latest_week=${qaRow.getAs[java.sql.Timestamp]("latest_week")}")
+    out.qa.unpersist()
 
     // Push-sink failure tolerance (etl_main.py:374-385): the Sheets-style
     // upload block and the warehouse push are each wrapped in

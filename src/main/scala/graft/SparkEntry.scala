@@ -81,6 +81,11 @@ object SparkEntry {
     * tiny corpora fall back to the full set so KMeans always has
     * comfortably more points than clusters. take(160), not count(): the
     * gate needs "at least 160 rows", not a full scan of the corpus.
+    *
+    * Cache lifetime = JVM: keyed by the sfDir string, so regenerating the
+    * parquet under the same path within one process would serve a stale
+    * codebook — acceptable for the driver/bench contract, where testdata
+    * dirs are immutable.
     */
   private val ivfCodebooks =
     scala.collection.concurrent.TrieMap.empty[String, Similarity.IvfCodebook]
@@ -176,12 +181,15 @@ object SparkEntry {
     "semi_anti_join" -> ((s, d) => {
       val c = Tables.customer(s, d).select(col("c_custkey"))
       val o = Tables.orders(s, d).select(col("o_custkey")).distinct()
+      // coalesce: sum over ZERO rows is NULL, but the oracle's COUNT
+      // subqueries (and the old count-based formulation) return 0 on an
+      // empty customer table.
       c.join(o, c("c_custkey") === o("o_custkey"), "left")
         .agg(
-          sum(when(col("o_custkey").isNotNull, 1L).otherwise(0L))
-            .as("n_with_orders"),
-          sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
-            .as("n_without_orders"))
+          coalesce(sum(when(col("o_custkey").isNotNull, 1L).otherwise(0L)),
+            lit(0L)).as("n_with_orders"),
+          coalesce(sum(when(col("o_custkey").isNull, 1L).otherwise(0L)),
+            lit(0L)).as("n_without_orders"))
     }),
     // Set operations over distinct values: document languages EXCEPT a
     // fixed list, plus intersect via the same mechanism.

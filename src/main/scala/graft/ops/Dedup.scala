@@ -111,6 +111,11 @@ object Dedup {
     * exact measures and never need the signatures, skipping
     * [[minhashCandidates]]' signature join-back (two joins, each branch
     * re-evaluating the per-row signatures over the whole corpus).
+    *
+    * Precondition (all LSH entry points): `idCol` values are unique — the
+    * natural contract for a dedup key. Duplicate ids would re-emit a pair
+    * once per duplicate row (the in-stage first-band dedup collapses
+    * cross-BAND duplicates, not duplicate input rows).
     */
   def candidatePairIds(df: DataFrame, idCol: String, textCol: String,
                        k: Int = 32, bands: Int = 8,
