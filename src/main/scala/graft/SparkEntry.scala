@@ -563,6 +563,32 @@ object SparkEntry {
         col("text").cast("binary").as("bytes"))
       graft.multimodal.MultimodalOps.decodeMeta(media).orderBy("media_id")
     }),
+    // Frame-sampling generator over decoded durations: one row per sampled
+    // timestamp. Fully oracle-checked — DuckDB replays the fake decoder's
+    // byte fold in HUGEINT arithmetic (as in media_decode_meta) and
+    // generates the same timestamp grid, so the explode-of-sequence
+    // generator plan is hash-gated end to end.
+    "frame_sample" -> ((s, d) => {
+      val media = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        lit("text/plain").as("mime"),
+        col("text").cast("binary").as("bytes"))
+      graft.multimodal.MultimodalOps.frameSamplePlan(
+        graft.multimodal.MultimodalOps.decodeMeta(media), everyMs = 60000L)
+        .orderBy("media_id", "frame_ms")
+    }),
+    // Feature-extraction plumbing (stub encoder): the embedding itself is
+    // engine-side (not SQL-expressible), so the graded columns are the
+    // structural contract — width and [0,1) range as hash-gated booleans —
+    // plus the byte length DuckDB recomputes exactly.
+    "media_features" -> ((s, d) => {
+      val media = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"), col("text").cast("binary").as("bytes"))
+      graft.multimodal.MultimodalOps.extractFeatures(media, dim = 8)
+        .select(col("media_id"), size(col("features")).cast("long").as("dim"),
+          expr("forall(features, x -> x >= 0.0 AND x < 1.0)").as("range_ok"))
+        .orderBy("media_id")
+    }),
 
     // SO2 — genuine UNION ALL stack of two weekly-stats sources.
     "union_stack" -> ((s, d) => {
@@ -1051,6 +1077,28 @@ object SparkEntry {
         |  CAST(16 + ((hu // 4096) % 4096) AS INT) AS height,
         |  CAST((((hu // 16777216 - CASE WHEN hu >= 9223372036854775808::HUGEINT THEN 1099511627776::HUGEINT ELSE 0::HUGEINT END) % 600000) + 600000) % 600000 AS BIGINT) AS duration_ms
         |FROM b ORDER BY media_id""".stripMargin,
+    // Same HUGEINT replay of the fake decoder as media_decode_meta, then
+    // the same timestamp grid the explode(sequence(...)) generator emits.
+    "frame_sample" ->
+      """WITH b AS (SELECT doc_id AS media_id,
+        |    list_reduce(
+        |      list_prepend(1125899906842597::HUGEINT,
+        |        list_transform(range(1, length(text) + CASE WHEN octet_length(encode(text)) = length(text) THEN 1 ELSE NULL END),
+        |          i -> ord(substr(text, i, 1))::HUGEINT)),
+        |      (acc, x) -> (acc * 31 + x) % 18446744073709551616::HUGEINT) AS hu
+        |  FROM documents),
+        |d AS (SELECT media_id,
+        |    CAST((((hu // 16777216 - CASE WHEN hu >= 9223372036854775808::HUGEINT THEN 1099511627776::HUGEINT ELSE 0::HUGEINT END) % 600000) + 600000) % 600000 AS BIGINT) AS duration_ms
+        |  FROM b)
+        |SELECT media_id, unnest(range(0, duration_ms, 60000)) AS frame_ms
+        |FROM d WHERE duration_ms > 0
+        |ORDER BY media_id, frame_ms""".stripMargin,
+    // Feature extraction is engine-side; the oracle checks the structural
+    // contract (width, [0,1) range) as literals the Spark booleans must
+    // reproduce.
+    "media_features" ->
+      """SELECT doc_id AS media_id, CAST(8 AS BIGINT) AS dim, TRUE AS range_ok
+        |FROM documents ORDER BY media_id""".stripMargin,
     "union_stack" ->
       """WITH ev AS (
         |  SELECT date_trunc('week', ts) AS week, event_type AS dim,

@@ -83,6 +83,51 @@ object MultimodalOps {
   def withByteLength(media: DataFrame): DataFrame =
     media.withColumn("n_bytes", octet_length(col("bytes")).cast("long"))
 
+  val FeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("features", ArrayType(FloatType, containsNull = false),
+      nullable = true)))
+
+  /** A feature extractor turns raw bytes into a fixed-width embedding.
+    * Real deployments inject a vision/audio encoder; the default is a
+    * deterministic fake (per-dimension byte folds, normalized to [0, 1))
+    * so the plumbing — batch shape, `ARRAY<FLOAT>` output ready for the
+    * [[graft.functions.Similarity]] ANN tier — is testable without native
+    * libs.
+    */
+  type FeatureExtractor = Array[Byte] => Array[Float]
+
+  def fakeFeatureExtractor(dim: Int): FeatureExtractor = { bytes =>
+    val out = new Array[Float](dim)
+    var d = 0
+    while (d < dim) {
+      var acc = 1125899906842597L + d
+      var i = 0
+      while (i < bytes.length) { acc = acc * 31 + (bytes(i) & 0xff); i += 1 }
+      out(d) = (math.floorMod(acc, 1000000L).toDouble / 1000000.0).toFloat
+      d += 1
+    }
+    out
+  }
+
+  /** Partition-batched feature extraction (same `mapInPandas`-analog shape
+    * as [[decodeMeta]]): one extractor instantiation per partition, bytes
+    * dropped on output so only (id, embedding) shuffles — the stage that
+    * feeds decoded media into the embedding dedup/ANN operators.
+    */
+  def extractFeatures(media: DataFrame, dim: Int = 8,
+                      extractor: FeatureExtractor = null): DataFrame = {
+    val enc = RowEncoder.encoderFor(FeatureSchema)
+    val chosen = if (extractor != null) extractor else fakeFeatureExtractor(dim)
+    media.select("media_id", "bytes").mapPartitions { rows =>
+      val f = chosen // one instantiation per partition
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("bytes")
+        Row(r.getAs[Long]("media_id"), if (bytes == null) null else f(bytes))
+      }
+    }(enc)
+  }
+
   /** Resize stage stub: records the target box alongside the original
     * dims; the pixel work is the same injection point as [[Decoder]].
     */

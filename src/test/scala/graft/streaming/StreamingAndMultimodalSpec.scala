@@ -174,6 +174,30 @@ class StreamingAndMultimodalSpec extends SparkTestBase {
     assert(frames.where($"media_id" === 2L).count() == (d0 + 999) / 1000)
   }
 
+  test("multimodal: partition-batched feature extraction yields bounded ARRAY<FLOAT>") {
+    val media = Seq(
+      (1L, "a b c".getBytes("UTF-8")),
+      (2L, "a b c".getBytes("UTF-8")),          // same bytes → same features
+      (3L, "different".getBytes("UTF-8")),
+      (4L, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "bytes")
+    val feats = MultimodalOps.extractFeatures(media, dim = 8)
+    assert(feats.schema == MultimodalOps.FeatureSchema)
+    val rows = feats.orderBy("media_id").collect()
+    def vec(i: Int) = rows(i).getSeq[Float](1)
+    assert(vec(0).length == 8)
+    assert(vec(0) == vec(1))                      // deterministic
+    assert(vec(0) != vec(2))                      // content-sensitive
+    assert(rows(3).isNullAt(1))                   // null bytes → null features
+    assert(rows.take(3).forall(_.getSeq[Float](1).forall(x => x >= 0f && x < 1f)))
+    // the output feeds the ANN tier directly (ARRAY<FLOAT> embedding shape)
+    val knn = graft.functions.Similarity.knnBrute(
+      feats.limit(1).select($"media_id".as("vec_id"), $"features".as("embedding")),
+      feats.where($"features".isNotNull)
+        .select($"media_id".as("vec_id"), $"features".as("embedding")), k = 2)
+    assert(knn.count() == 2)
+  }
+
   test("multimodal: metadata-only byte length never touches the decoder") {
     val media = Seq((1L, "image/png", "abc".getBytes("UTF-8")))
       .toDF("media_id", "mime", "bytes")
