@@ -106,6 +106,29 @@ class PlanSpec extends SparkTestBase {
       s"orders date filter not pushed:\n$pushed")
   }
 
+  test("frame sampling is map-only: zero exchanges from scan to generator") {
+    // decode (mapPartitions) -> explode(sequence) never needs a shuffle;
+    // an Exchange appearing here would mean the generator plan regressed
+    // into something that moves media rows around.
+    val media = Tables.documents(spark, sf).select(
+      col("doc_id").as("media_id"), lit("text/plain").as("mime"),
+      col("text").cast("binary").as("bytes"))
+    val frames = graft.multimodal.MultimodalOps.frameSamplePlan(
+      graft.multimodal.MultimodalOps.decodeMeta(media), everyMs = 60000L)
+    val plan = executedSimple(frames)
+    assert(!plan.contains("Exchange"), s"frame sampling shuffled:\n$plan")
+  }
+
+  test("repetition signals: aggregates partial map-side, no cartesian join") {
+    val plan = executedSimple(graft.functions.TextFunctions.repetitionSignals(
+      Tables.documents(spark, sf), "doc_id", "text"))
+    assert(plan.contains("partial_count") || plan.contains("partial_max"),
+      s"no map-side combine:\n$plan")
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"),
+      s"unkeyed join in repetition signals:\n$plan")
+  }
+
   test("banded self-joins pin an uncoalescible join-key repartition") {
     // The explicit-count repartition shows up as REPARTITION_BY_NUM, the
     // origin AQE must honor — without it, input-sized coalescing collapses
