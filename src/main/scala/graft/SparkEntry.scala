@@ -63,6 +63,36 @@ object SparkEntry {
   private val langDimSql =
     "(VALUES ('en','English'),('de','German'),('fr','French'),('es','Spanish')) l(lang_code, lang_name)"
 
+  // Shared DuckDB CTE replaying MultimodalOps.fakeDecoder's byte fold in
+  // HUGEINT arithmetic mod 2^64 (ord() == UTF-8 byte: the corpus is
+  // ASCII-only, asserted cheaply by octet_length == length). Used by both
+  // media_decode_meta and frame_sample so the decoder has ONE oracle-side
+  // definition.
+  private val decoderFoldCte =
+    """WITH b AS (SELECT doc_id AS media_id,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |    list_reduce(
+      |      list_prepend(1125899906842597::HUGEINT,
+      |        list_transform(range(1, length(text) + CASE WHEN octet_length(encode(text)) = length(text) THEN 1 ELSE NULL END),
+      |          i -> ord(substr(text, i, 1))::HUGEINT)),
+      |      (acc, x) -> (acc * 31 + x) % 18446744073709551616::HUGEINT) AS hu
+      |  FROM documents),
+      |decoded AS (SELECT media_id, n_bytes,
+      |    CAST(16 + (hu % 4096) AS INT) AS width,
+      |    CAST(16 + ((hu // 4096) % 4096) AS INT) AS height,
+      |    CAST((((hu // 16777216 - CASE WHEN hu >= 9223372036854775808::HUGEINT THEN 1099511627776::HUGEINT ELSE 0::HUGEINT END) % 600000) + 600000) % 600000 AS BIGINT) AS duration_ms
+      |  FROM b)""".stripMargin
+
+  /** The documents table framed as an opaque media table — the shared
+    * input of the three media_* graded queries (one definition, not three
+    * drifting projections).
+    */
+  private def documentsAsMedia(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id").as("media_id"),
+      lit("text/plain").as("mime"),
+      col("text").cast("binary").as("bytes"))
+
   private def langDim(s: SparkSession): DataFrame = {
     import s.implicits._
     Seq(("en", "English"), ("de", "German"), ("fr", "French"), ("es", "Spanish"))
@@ -556,39 +586,28 @@ object SparkEntry {
         .orderBy("media_id")),
     // Partition-batched decode plumbing (stub codec — deterministic fake;
     // not SQL-expressible → rows-only).
-    "media_decode_meta" -> ((s, d) => {
-      val media = Tables.documents(s, d).select(
-        col("doc_id").as("media_id"),
-        lit("text/plain").as("mime"),
-        col("text").cast("binary").as("bytes"))
-      graft.multimodal.MultimodalOps.decodeMeta(media).orderBy("media_id")
-    }),
+    "media_decode_meta" -> ((s, d) =>
+      graft.multimodal.MultimodalOps.decodeMeta(documentsAsMedia(s, d))
+        .orderBy("media_id")),
     // Frame-sampling generator over decoded durations: one row per sampled
     // timestamp. Fully oracle-checked — DuckDB replays the fake decoder's
-    // byte fold in HUGEINT arithmetic (as in media_decode_meta) and
+    // byte fold in HUGEINT arithmetic (shared decoderFoldCte) and
     // generates the same timestamp grid, so the explode-of-sequence
     // generator plan is hash-gated end to end.
-    "frame_sample" -> ((s, d) => {
-      val media = Tables.documents(s, d).select(
-        col("doc_id").as("media_id"),
-        lit("text/plain").as("mime"),
-        col("text").cast("binary").as("bytes"))
+    "frame_sample" -> ((s, d) =>
       graft.multimodal.MultimodalOps.frameSamplePlan(
-        graft.multimodal.MultimodalOps.decodeMeta(media), everyMs = 60000L)
-        .orderBy("media_id", "frame_ms")
-    }),
+        graft.multimodal.MultimodalOps.decodeMeta(documentsAsMedia(s, d)),
+        everyMs = 60000L)
+        .orderBy("media_id", "frame_ms")),
     // Feature-extraction plumbing (stub encoder): the embedding itself is
     // engine-side (not SQL-expressible), so the graded columns are the
-    // structural contract — width and [0,1) range as hash-gated booleans —
-    // plus the byte length DuckDB recomputes exactly.
-    "media_features" -> ((s, d) => {
-      val media = Tables.documents(s, d).select(
-        col("doc_id").as("media_id"), col("text").cast("binary").as("bytes"))
-      graft.multimodal.MultimodalOps.extractFeatures(media, dim = 8)
+    // structural contract — width and [0,1) range as hash-gated booleans.
+    "media_features" -> ((s, d) =>
+      graft.multimodal.MultimodalOps.extractFeatures(
+        documentsAsMedia(s, d), dim = 8)
         .select(col("media_id"), size(col("features")).cast("long").as("dim"),
           expr("forall(features, x -> x >= 0.0 AND x < 1.0)").as("range_ok"))
-        .orderBy("media_id")
-    }),
+        .orderBy("media_id")),
 
     // SO2 — genuine UNION ALL stack of two weekly-stats sources.
     "union_stack" -> ((s, d) => {
@@ -1061,43 +1080,27 @@ object SparkEntry {
         |SELECT CAST(count(*) AS BIGINT) AS n_truth, TRUE AS recall_ok, TRUE AS est_err_ok
         |FROM j WHERE jaccard >= 0.5""".stripMargin,
     // The fake decoder is a deterministic wrapping byte fold — replayed
-    // here in HUGEINT arithmetic mod 2^64 (ord() == UTF-8 byte: the corpus
-    // is ASCII-only, asserted cheaply by octet_length == length below).
+    // once in the shared decoderFoldCte (HUGEINT arithmetic mod 2^64).
     "media_decode_meta" ->
-      """WITH b AS (SELECT doc_id AS media_id, 'text/plain' AS mime,
-        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |    list_reduce(
-        |      list_prepend(1125899906842597::HUGEINT,
-        |        list_transform(range(1, length(text) + CASE WHEN octet_length(encode(text)) = length(text) THEN 1 ELSE NULL END),
-        |          i -> ord(substr(text, i, 1))::HUGEINT)),
-        |      (acc, x) -> (acc * 31 + x) % 18446744073709551616::HUGEINT) AS hu
-        |  FROM documents)
-        |SELECT media_id, mime, n_bytes,
-        |  CAST(16 + (hu % 4096) AS INT) AS width,
-        |  CAST(16 + ((hu // 4096) % 4096) AS INT) AS height,
-        |  CAST((((hu // 16777216 - CASE WHEN hu >= 9223372036854775808::HUGEINT THEN 1099511627776::HUGEINT ELSE 0::HUGEINT END) % 600000) + 600000) % 600000 AS BIGINT) AS duration_ms
-        |FROM b ORDER BY media_id""".stripMargin,
-    // Same HUGEINT replay of the fake decoder as media_decode_meta, then
-    // the same timestamp grid the explode(sequence(...)) generator emits.
+      (decoderFoldCte +
+        """
+          |SELECT media_id, 'text/plain' AS mime, n_bytes, width, height, duration_ms
+          |FROM decoded ORDER BY media_id""".stripMargin),
+    // Shared decoder replay, then the same timestamp grid the
+    // explode(sequence(...)) generator emits.
     "frame_sample" ->
-      """WITH b AS (SELECT doc_id AS media_id,
-        |    list_reduce(
-        |      list_prepend(1125899906842597::HUGEINT,
-        |        list_transform(range(1, length(text) + CASE WHEN octet_length(encode(text)) = length(text) THEN 1 ELSE NULL END),
-        |          i -> ord(substr(text, i, 1))::HUGEINT)),
-        |      (acc, x) -> (acc * 31 + x) % 18446744073709551616::HUGEINT) AS hu
-        |  FROM documents),
-        |d AS (SELECT media_id,
-        |    CAST((((hu // 16777216 - CASE WHEN hu >= 9223372036854775808::HUGEINT THEN 1099511627776::HUGEINT ELSE 0::HUGEINT END) % 600000) + 600000) % 600000 AS BIGINT) AS duration_ms
-        |  FROM b)
-        |SELECT media_id, unnest(range(0, duration_ms, 60000)) AS frame_ms
-        |FROM d WHERE duration_ms > 0
-        |ORDER BY media_id, frame_ms""".stripMargin,
+      (decoderFoldCte +
+        """
+          |SELECT media_id, unnest(range(0, duration_ms, 60000)) AS frame_ms
+          |FROM decoded WHERE duration_ms > 0
+          |ORDER BY media_id, frame_ms""".stripMargin),
     // Feature extraction is engine-side; the oracle checks the structural
-    // contract (width, [0,1) range) as literals the Spark booleans must
-    // reproduce.
+    // contract (width, [0,1) range) as hash-gated values, mirroring the
+    // Spark side's null flow (null bytes → null features → null dim/flag).
     "media_features" ->
-      """SELECT doc_id AS media_id, CAST(8 AS BIGINT) AS dim, TRUE AS range_ok
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN text IS NULL THEN NULL ELSE CAST(8 AS BIGINT) END AS dim,
+        |  CASE WHEN text IS NULL THEN NULL ELSE TRUE END AS range_ok
         |FROM documents ORDER BY media_id""".stripMargin,
     "union_stack" ->
       """WITH ev AS (

@@ -98,13 +98,17 @@ object MultimodalOps {
   type FeatureExtractor = Array[Byte] => Array[Float]
 
   def fakeFeatureExtractor(dim: Int): FeatureExtractor = { bytes =>
+    // One fold over the bytes, then a per-dimension finalizer mix
+    // (murmur3-style avalanche) — O(n_bytes + dim), not O(dim × n_bytes).
+    var acc = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) { acc = acc * 31 + (bytes(i) & 0xff); i += 1 }
     val out = new Array[Float](dim)
     var d = 0
     while (d < dim) {
-      var acc = 1125899906842597L + d
-      var i = 0
-      while (i < bytes.length) { acc = acc * 31 + (bytes(i) & 0xff); i += 1 }
-      out(d) = (math.floorMod(acc, 1000000L).toDouble / 1000000.0).toFloat
+      var h = acc ^ (d * 0x9E3779B97F4A7C15L)
+      h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+      out(d) = (math.floorMod(h, 1000000L).toDouble / 1000000.0).toFloat
       d += 1
     }
     out
