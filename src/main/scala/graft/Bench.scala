@@ -1,6 +1,24 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, max, struct, xxhash64}
 object Bench {
+
+  /** Execute a query for timing, forcing EVERY output column. A bare
+    * `count()` lets Catalyst prune all projection expressions and
+    * eliminate the final sort — map-only queries (normalize_keys,
+    * token_count, text_normalize, ...) would be benchmarked as empty
+    * parquet scans and a regression in their expressions would be
+    * invisible. Hashing the full row into one aggregated value keeps the
+    * per-row work while collecting only 8 bytes to the driver. (Output
+    * sorts are still elided under the aggregate — acceptable: they shape
+    * artifact order, not operator cost.)
+    */
+  private def force(df: DataFrame): Unit = {
+    df.select(xxhash64(struct(df.columns.map(col): _*)).as("__h"))
+      .agg(max("__h")).collect()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -21,7 +39,7 @@ object Bench {
     // scans) before any timing, so each measured run is steady-state.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     ordered.foreach { case (name, fn) =>
-      try fn(spark, sfDir).count() catch { case e: Throwable =>
+      try force(fn(spark, sfDir)) catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
       }
     }
@@ -34,7 +52,7 @@ object Bench {
     val results = ordered.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
+        val ok = try { force(fn(spark, sfDir)); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }

@@ -49,7 +49,12 @@ object HousingEtlMain {
       case "--windows" :: t =>
         val (ws, t2) = t.span(a => !a.startsWith("--"))
         require(ws.nonEmpty, "--windows needs at least one width")
-        loop(t2, cfg.copy(windows = ws.map(_.toInt)))
+        val widths = ws.map(a => a.toIntOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"--windows expects positive integers, got: $a")))
+        require(widths.forall(_ > 0),
+          s"--windows widths must be positive, got: ${widths.mkString(" ")}")
+        loop(t2, cfg.copy(windows = widths))
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown argument: $other")
     }
@@ -94,7 +99,6 @@ object HousingEtlMain {
       s"dims=${qaRow.getAs[Long]("dims")} " +
       s"coverage_pct=${qaRow.getAs[Double]("coverage_pct")} " +
       s"latest_week=${qaRow.getAs[java.sql.Timestamp]("latest_week")}")
-    out.qa.unpersist()
 
     // Push-sink failure tolerance (etl_main.py:374-385): the Sheets-style
     // upload block and the warehouse push are each wrapped in
@@ -122,6 +126,9 @@ object HousingEtlMain {
         }
       }
     }
+    // after the push block: the qa tab is written a third time up there,
+    // and unpersisting earlier would re-run the whole QA lineage for it
+    out.qa.unpersist()
     out
   }
 

@@ -701,8 +701,11 @@ object SparkEntry {
     // ---- training-data extension tier: semi-structured extraction ----
     "events_json" -> ((s, d) => {
       import CoreOps.rnd
+      // try_cast like the oracle's TRY_CAST (and every other coercion in
+      // the repo): a junk props.k must null, not crash under ANSI.
       Tables.events(s, d)
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .withColumn("k",
+          expr("try_cast(get_json_object(props, '$.k') AS BIGINT)"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           min("k").as("k_min"), max("k").as("k_max"),

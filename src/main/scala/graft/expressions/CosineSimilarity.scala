@@ -17,8 +17,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * and stays inside whole-stage codegen via `doGenCode`.
   *
   * Arithmetic is per-element float→double products accumulated left to
-  * right, matching the composed expression exactly, so swapping it into a
-  * graded query changes no output bits. Preference order per SURVEY.md §4:
+  * right, matching the composed expression exactly on every well-defined
+  * input, so swapping it into a graded query changes no output bits. The
+  * ONE deliberate divergence: a zero-norm vector yields NULL (try_divide
+  * semantics) where the composed form raises ANSI DIVIDE_BY_ZERO — an
+  * undefined similarity must neither kill a 100 TB job for one degenerate
+  * row nor return NaN (which would outrank every real similarity in a
+  * descending top-k). Pinned explicitly by ExtensionOpsSpec. Preference
+  * order per SURVEY.md §4:
   * built-ins first; a custom Expression only where the built-in shape
   * genuinely can't express the performance need — this is that case.
   */
@@ -32,6 +38,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // zero-norm inputs null out even when both children are non-null
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -43,7 +52,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -61,7 +71,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double yi = (double) $b.getFloat($i);
          |  $dot += xi * yi; $na += xi * xi; $nb += yi * yi;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if ($na == 0.0 || $nb == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
 

@@ -81,8 +81,12 @@ object CorpusOps {
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
     df.select(col(idCol), col(shardCol).as("shard"), tokens.as("n_tokens"))
       .withColumn("__cum", sum(col("n_tokens")).over(w))
-      .withColumn("pack_id", ((col("__cum") - col("n_tokens")) / budget)
-        .cast("long"))
+      // `div`, not `/`: Column division is double, which rounds across an
+      // integer boundary once the cumulative count nears 2^53/budget — a
+      // real magnitude for a dominant shard of a trillion-token corpus.
+      // Integral division keeps the claimed bit-for-bit integer arithmetic
+      // at any scale.
+      .withColumn("pack_id", expr(s"(__cum - n_tokens) div $budget"))
       .withColumn("pack_offset", (col("__cum") - col("n_tokens")) % budget)
       .drop("__cum")
   }

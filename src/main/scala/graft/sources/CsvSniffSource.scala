@@ -90,10 +90,13 @@ object CsvSniffSource {
   }
 
   /** S5 — lookup CSV, all-string (matches pandas dtype=str read at
-    * etl_main.py:178). Returns None when the file lacks the required
-    * columns, triggering the caller's prefix fallback (etl_main.py:180-182).
+    * etl_main.py:178). Returns None when the file does not exist
+    * (etl_main.py:177's os.path.exists guard — a rotated-away lookup must
+    * fall back, not kill the daily run) or lacks the required columns,
+    * triggering the caller's prefix fallback (etl_main.py:180-182).
     */
   def readLookup(spark: SparkSession, path: String): Option[DataFrame] = {
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) return None
     val df = spark.read.option("header", "true").csv(path)
     if (Seq("postcode", "local_authority").forall(df.columns.contains))
       Some(df.select(

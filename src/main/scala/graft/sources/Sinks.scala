@@ -69,7 +69,13 @@ object Sinks {
       org.apache.spark.sql.functions.date_format(
         graft.ops.CoreOps.weekStart(org.apache.spark.sql.functions.col(tsCol)),
         "yyyy-MM-dd"))
-      .write.mode("overwrite").partitionBy("ingest_week").parquet(dir)
+      .write.mode("overwrite")
+      // dynamic: overwrite ONLY the partitions present in this batch —
+      // under the static default, every incremental ingest would truncate
+      // the whole zone, destroying exactly the history the raw zone exists
+      // to keep (reprocessing a window must touch that window alone).
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_week").parquet(dir)
 
   /** S1-S3 — landing zone: TTL cache + timestamped backup around an
     * injected fetcher (the reference's retried streaming HTTP GET at

@@ -82,6 +82,19 @@ class HousingEtlSpec extends SparkTestBase {
     assert(dims.contains(Some("SW1A")))  // prefix of normalized postcode
   }
 
+  test("nonexistent lookup path falls back instead of crashing (etl_main.py:177)") {
+    val out = HousingEtl.run(spark, pricePaidCsv(),
+      Some("/nonexistent/rotated-away-lookup.csv"))
+    assert(out.weekly.where("dim = 'SW1A'").count() == 2)
+  }
+
+  test("--windows rejects non-positive and non-numeric widths at parse time") {
+    intercept[IllegalArgumentException](
+      HousingEtlMain.parseArgs(Seq("--input", "x", "--windows", "0")))
+    intercept[IllegalArgumentException](
+      HousingEtlMain.parseArgs(Seq("--input", "x", "--windows", "4", "x")))
+  }
+
   test("no lookup at all also uses prefix fallback") {
     val out = HousingEtl.run(spark, pricePaidCsv(), None)
     assert(out.weekly.where("dim = 'SW1A'").count() == 2)

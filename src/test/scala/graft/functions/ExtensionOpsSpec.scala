@@ -261,6 +261,17 @@ class ExtensionOpsSpec extends SparkTestBase {
       .select(CosineSimilarity.cosineFast(lit(null).cast("array<float>"), $"ce").as("c"))
       .collect().head
     assert(n.isNullAt(0))
+    // zero-norm vector — the ONE pinned divergence: fused → NULL
+    // (try_divide semantics, so a degenerate row can't outrank real
+    // similarities or kill a job), composed → ANSI DIVIDE_BY_ZERO
+    val zdf = Seq((Array(0.0f, 0.0f), Array(1.0f, 0.0f))).toDF("qe", "ce")
+    val z = zdf.select(CosineSimilarity.cosineFast($"qe", $"ce").as("fast"))
+      .collect().head
+    assert(z.isNullAt(0))
+    val thrown = intercept[Exception] {
+      zdf.select(Similarity.cosine("qe", "ce").as("ref")).collect()
+    }
+    assert(thrown.getMessage.contains("DIVIDE_BY_ZERO"))
   }
 
   test("fused SignatureAgreement is bit-identical to the composed built-ins") {

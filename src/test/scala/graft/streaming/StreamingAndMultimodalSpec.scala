@@ -152,6 +152,15 @@ class StreamingAndMultimodalSpec extends SparkTestBase {
     assert(oneWeek.count() > 0 && oneWeek.count() < e.count())
     assert(!scanned.contains("PartitionFilters: []"),
       s"expected partition filters in:\n$scanned")
+    // incremental semantics: rewriting ONE week must not truncate the rest
+    // of the zone (dynamic partition overwrite, not the static default
+    // that deletes every existing partition)
+    val total = e.count()
+    graft.sources.Sinks.writeRawZone(
+      e.where($"ts" < org.apache.spark.sql.functions.lit("2024-01-08")),
+      "ts", dir)
+    assert(spark.read.parquet(dir).count() == total,
+      "re-ingesting one window truncated other partitions")
   }
 
   test("multimodal: partition-batched decode produces typed metadata") {
