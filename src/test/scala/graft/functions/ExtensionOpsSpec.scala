@@ -294,6 +294,24 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(n.isNullAt(0))
   }
 
+  test("fused SrpBuckets is bit-identical to the composed built-ins") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"embedding")
+      .union(Seq(Array.empty[Float], Array(0.0f, 0.0f), Array(-1.5f, 2.5f, 0.0f))
+        .toDF("embedding"))
+    for ((bits, tables) <- Seq((4, 16), (2, 1), (8, 3))) {
+      val diff = e.select(
+          Similarity.srpBuckets("embedding", bits, tables).as("fast"),
+          Similarity.srpBucketsComposed("embedding", bits, tables).as("ref"))
+        .where($"fast" =!= $"ref")
+      assert(diff.count() == 0, s"bits=$bits tables=$tables")
+    }
+    // null in → null out
+    val n = Seq(Tuple1(Option.empty[Array[Float]])).toDF("embedding")
+      .select(Similarity.srpBuckets("embedding", 4, 2)).collect().head
+    assert(n.isNullAt(0))
+  }
+
   test("fused SimHash64 is bit-identical to the composed built-ins") {
     // The graded simhash_hamming rows are no_oracle, so bit-identity to the
     // round-2 composable formulation IS the correctness contract for the
