@@ -43,6 +43,11 @@ object WeeklyAgg {
     // integers. Null prices stay null (cents of null is null), preserving the
     // pandas null-skipping semantics of mean/median/percentile.
     val cents = col("__cents")
+    // ONE percentile aggregate for all three order statistics: each
+    // separate percentile/median call buffers every group value in its own
+    // ObjectHashAggregate state — three full copies of the fact column and
+    // three sorts per group. The array form shares one buffer and one sort;
+    // percentile(c, 0.5) IS median, so the values are bit-identical.
     df.withColumn("week", CoreOps.weekStart(ts))
       .withColumn("dim", dim)
       .withColumn("__cents", CoreOps.moneyCents(price))
@@ -52,9 +57,11 @@ object WeeklyAgg {
         when(count(cents) === 0, lit(null).cast("double"))
           .otherwise(rnd(sum(cents).cast("double") / 100.0 / count(cents)))
           .as("price_mean"),
-        rnd(median(cents) / 100.0).as("price_median"),
-        rnd(percentile(cents, lit(0.10)) / 100.0).as("price_p10"),
-        rnd(percentile(cents, lit(0.90)) / 100.0).as("price_p90"))
+        percentile(cents, typedLit(Seq(0.50, 0.10, 0.90))).as("__pcts"))
+      .select(col("week"), col("dim"), col("transactions"), col("price_mean"),
+        rnd(col("__pcts").getItem(0) / 100.0).as("price_median"),
+        rnd(col("__pcts").getItem(1) / 100.0).as("price_p10"),
+        rnd(col("__pcts").getItem(2) / 100.0).as("price_p90"))
   }
 
   /** A5 — per (week, dim, category) row count (etl/etl_main.py:221-225).
