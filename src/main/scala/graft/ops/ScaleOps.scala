@@ -37,12 +37,14 @@ object ScaleOps {
         when(count(cents) === 0, lit(null).cast("double"))
           .otherwise(rnd(sum(cents).cast("double") / 100.0 / count(cents)))
           .as("price_mean"),
-        rnd(percentile_approx(cents, lit(0.5), lit(accuracy)) / 100.0)
-          .as("price_median"),
-        rnd(percentile_approx(cents, lit(0.10), lit(accuracy)) / 100.0)
-          .as("price_p10"),
-        rnd(percentile_approx(cents, lit(0.90), lit(accuracy)) / 100.0)
-          .as("price_p90"))
+        // one shared sketch for all three quantiles (same rationale as
+        // WeeklyAgg: per-call aggregates each keep their own buffer)
+        percentile_approx(cents, typedLit(Seq(0.50, 0.10, 0.90)),
+          lit(accuracy)).as("__pcts"))
+      .select(col("week"), col("dim"), col("transactions"), col("price_mean"),
+        rnd(col("__pcts").getItem(0) / 100.0).as("price_median"),
+        rnd(col("__pcts").getItem(1) / 100.0).as("price_p10"),
+        rnd(col("__pcts").getItem(2) / 100.0).as("price_p90"))
   }
 
   /** Mergeable per-group HLL sketches — the incremental-recompute
