@@ -412,6 +412,12 @@ object SparkEntry {
       CorpusOps.topTerms(Tables.documents(s, d), "doc_id", "text", k = 3)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id", "rnk")),
+    // Overlapping token-window chunking (chunk 32, stride 16 → 16-token
+    // overlap): generator plan, chunk text hash-checked byte-for-byte.
+    "chunk_documents" -> ((s, d) =>
+      CorpusOps.chunkDocuments(Tables.documents(s, d), "doc_id", "text",
+        chunkTokens = 32, strideTokens = 16)
+        .orderBy("doc_id", "chunk_id")),
     // Deterministic content-addressed sampling with the NESTING property:
     // the 10% sample is a subset of the 50% sample (same md5 buckets, lower
     // threshold). n_10/id_sum_10/n_50 check the bucket arithmetic against
@@ -922,6 +928,16 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tf_idf DESC, term) AS rnk FROM sc)
         |SELECT doc_id, term, tf, tf_idf, CAST(rnk AS BIGINT) AS rnk
         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "chunk_documents" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |    unnest(range(0, GREATEST(0, (len(toks) - 32 + 15) // 16) + 1)) AS chunk_id
+        |  FROM t)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(chunk_id * 16 AS BIGINT) AS token_start,
+        |  CAST(len(list_slice(toks, chunk_id * 16 + 1, chunk_id * 16 + 32)) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(list_slice(toks, chunk_id * 16 + 1, chunk_id * 16 + 32), ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "sample_nested" ->
       """WITH b AS (SELECT doc_id,
         |    list_reduce(list_transform(range(1, 9),

@@ -91,6 +91,42 @@ object CorpusOps {
       .drop("__cum")
   }
 
+  /** Overlapping token-window chunking — the retrieval/pretraining
+    * complement of [[packSequences]]: where packing concatenates documents
+    * into budget-sized sequences, chunking splits each document into
+    * windows of `chunkTokens` tokens advancing by `strideTokens`
+    * (overlap = chunkTokens − strideTokens), the layout RAG indexing and
+    * long-document training use. The last window starts at the final
+    * stride position that still leaves uncovered tokens, so every token
+    * lands in at least one chunk.
+    *
+    * Pure per-row expressions + one generator (explode of an in-plan
+    * sequence) — map-only, no shuffle, linear at any scale; integer
+    * arithmetic and whitespace joins only, so any engine reproduces the
+    * chunk text byte-for-byte.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens >= 1 && strideTokens >= 1
+      && strideTokens <= chunkTokens,
+      s"need 1 <= strideTokens=$strideTokens <= chunkTokens=$chunkTokens")
+    // last chunk index: ceil((n - chunk) / stride) for n > chunk, else 0 —
+    // as integer arithmetic (div truncates; the numerator is only negative
+    // when a single chunk suffices, where greatest(0) applies on both
+    // engines regardless of trunc-vs-floor division)
+    val lastChunk = greatest(lit(0L), expr(
+      s"(__n - $chunkTokens + ${strideTokens - 1}) div $strideTokens"))
+    val start = (col("chunk_id") * strideTokens).cast("int")
+    val window = slice(col("__toks"), start + 1, lit(chunkTokens))
+    df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .withColumn("chunk_id", explode(sequence(lit(0L), lastChunk)))
+      .select(col(idCol), col("chunk_id"),
+        (col("chunk_id") * strideTokens).as("token_start"),
+        size(window).cast("long").as("n_chunk_tokens"),
+        array_join(window, " ").as("chunk_text"))
+  }
+
   /** TF-IDF over whitespace tokens: tf = raw occurrences of the term in
     * the doc, idf = ln(N / df_t) (no smoothing — every term trivially has
     * df ≥ 1). Two hash aggregations; the corpus-size scalar joins in as a

@@ -59,6 +59,29 @@ class CorpusOpsSpec extends SparkTestBase {
       (4L, 1L, 88L), (10L, 0L, 0L), (11L, 1L, 88L)))
   }
 
+  test("chunkDocuments: strided windows cover every token, exact overlap") {
+    // 10 tokens, chunk 4, stride 2 → chunks at 0/2/4/6; the last covers
+    // t6..t9 so coverage is complete; adjacent chunks overlap by 2.
+    val doc = (0 until 10).map(i => s"t$i").mkString(" ")
+    val got = CorpusOps.chunkDocuments(
+      Seq((1L, doc)).toDF("doc_id", "text"), "doc_id", "text", 4, 2)
+      .orderBy("chunk_id")
+      .select("chunk_id", "token_start", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, 4L, "t0 t1 t2 t3"),
+      (1L, 2L, 4L, "t2 t3 t4 t5"),
+      (2L, 4L, 4L, "t4 t5 t6 t7"),
+      (3L, 6L, 4L, "t6 t7 t8 t9")))
+    // short doc → exactly one (possibly partial) chunk
+    val short = CorpusOps.chunkDocuments(
+      Seq((2L, "a b"), (3L, "")).toDF("doc_id", "text"), "doc_id", "text", 4, 2)
+      .orderBy("doc_id")
+      .select("doc_id", "chunk_id", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(short == Seq((2L, 0L, 2L, "a b"), (3L, 0L, 1L, "")))
+  }
+
   test("tfIdf/topTerms: hand-checked scores, shared terms discounted") {
     val docs = Seq(
       (1L, "cat cat dog"),
