@@ -120,8 +120,11 @@ object HashKernels {
     UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
-  /** Hyperplane cap shared with `Similarity.SrpMaxDim`. */
-  private val SrpMaxDim = 512
+  /** Hyperplane cap — the single definition; `Similarity.SrpMaxDim`
+    * aliases it so the fused kernel and the composed reference can never
+    * disagree about the supported width.
+    */
+  val SrpMaxDim = 512
 
   /** ±1 hyperplane signs, row r / dim d = sign bit of the same
     * `xxhash64(r, d)` chain the composed formulation literalizes
@@ -139,9 +142,11 @@ object HashKernels {
   /** Bit-identical to the composed `srpBuckets` fold: table t's bucket
     * sets bit i iff the dot product of the (cast-to-double) vector with
     * hyperplane row t·bits+i is > 0, accumulating element products left
-    * to right from 0.0; an empty vector yields bucket 0 per table. Fails
-    * loudly past [[SrpMaxDim]] like the composed form's out-of-bounds
-    * sign lookup.
+    * to right from 0.0; an empty vector yields bucket 0 per table, and a
+    * vector containing ANY null element yields all-zero buckets (the
+    * composed fold's null poisons every dot product, so `when(null > 0)`
+    * sets no bit — replicated here exactly). Fails loudly past
+    * [[SrpMaxDim]] like the composed form's out-of-bounds sign lookup.
     */
   def srpBuckets(v: ArrayData, bits: Int, tables: Int): ArrayData = {
     val n = v.numElements()
@@ -150,7 +155,10 @@ object HashKernels {
         s"vector has $n dims, past the SRP hyperplane cap $SrpMaxDim")
     val signs = srpSigns(bits * tables)
     val out = new Array[Long](tables)
-    if (n > 0) {
+    var hasNull = false
+    var c = 0
+    while (c < n) { if (v.isNullAt(c)) hasNull = true; c += 1 }
+    if (n > 0 && !hasNull) {
       var t = 0
       while (t < tables) {
         var bucket = 0L

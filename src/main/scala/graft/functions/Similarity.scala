@@ -50,11 +50,11 @@ object Similarity {
         CoreOps.rnd(col("cos")).as("cos_sim"))
   }
 
-  /** Hyperplane cap for the precomputed SRP sign matrix. Vectors longer
-    * than this fail loudly (ANSI out-of-bounds on the sign lookup) rather
-    * than silently truncating the projection.
+  /** Hyperplane cap for the SRP sign matrix (single definition lives with
+    * the fused kernel). Vectors longer than this fail loudly rather than
+    * silently truncating the projection.
     */
-  val SrpMaxDim = 512
+  val SrpMaxDim: Int = graft.expressions.HashKernels.SrpMaxDim
 
   /** ±1 hyperplane matrix for [[srpBucket]], precomputed once at plan-build
     * time by evaluating Spark's own `xxhash64(i, d)` eagerly — bit-for-bit
@@ -108,13 +108,8 @@ object Similarity {
   /** Sign-random-projection bucket: bit i is the sign of the dot product
     * with a pseudo-random ±1 hyperplane derived from `xxhash64(i, dim)` —
     * fully deterministic, no stored model. Nearby vectors collide with
-    * high probability (cosine LSH).
-    *
-    * The cast-to-double vector is let-bound once per row
-    * (`transform(array(...), v -> ...)[0]`), the hyperplane signs come from
-    * the precomputed literal matrix, and the per-bit dot products address
-    * elements directly instead of allocating a `zip_with` product array per
-    * bit — same fold order, same doubles, same buckets as the naive form.
+    * high probability (cosine LSH). Single-table special case of the
+    * fused [[srpBuckets]].
     */
   def srpBucket(vec: String, bits: Int): Column =
     element_at(srpBuckets(vec, bits, 1), 1)

@@ -39,12 +39,10 @@ object ScaleOps {
           .as("price_mean"),
         // one shared sketch for all three quantiles (same rationale as
         // WeeklyAgg: per-call aggregates each keep their own buffer)
-        percentile_approx(cents, typedLit(Seq(0.50, 0.10, 0.90)),
+        percentile_approx(cents, typedLit(WeeklyAgg.PctQuantiles),
           lit(accuracy)).as("__pcts"))
-      .select(col("week"), col("dim"), col("transactions"), col("price_mean"),
-        rnd(col("__pcts").getItem(0) / 100.0).as("price_median"),
-        rnd(col("__pcts").getItem(1) / 100.0).as("price_p10"),
-        rnd(col("__pcts").getItem(2) / 100.0).as("price_p90"))
+      .select(col("week") +: col("dim") +: col("transactions")
+        +: col("price_mean") +: WeeklyAgg.pctsPriceColumns(col("__pcts")): _*)
   }
 
   /** Mergeable per-group HLL sketches — the incremental-recompute

@@ -57,11 +57,26 @@ object WeeklyAgg {
         when(count(cents) === 0, lit(null).cast("double"))
           .otherwise(rnd(sum(cents).cast("double") / 100.0 / count(cents)))
           .as("price_mean"),
-        percentile(cents, typedLit(Seq(0.50, 0.10, 0.90))).as("__pcts"))
-      .select(col("week"), col("dim"), col("transactions"), col("price_mean"),
-        rnd(col("__pcts").getItem(0) / 100.0).as("price_median"),
-        rnd(col("__pcts").getItem(1) / 100.0).as("price_p10"),
-        rnd(col("__pcts").getItem(2) / 100.0).as("price_p90"))
+        percentile(cents, typedLit(PctQuantiles)).as("__pcts"))
+      .select(col("week") +: col("dim") +: col("transactions")
+        +: col("price_mean") +: pctsPriceColumns(col("__pcts")): _*)
+  }
+
+  /** Quantiles computed by the shared percentile buffer, in the order
+    * [[pctsPriceColumns]] unpacks them.
+    */
+  private[ops] val PctQuantiles: Seq[Double] = Seq(0.50, 0.10, 0.90)
+
+  /** Unpack the shared percentile array into the named price columns —
+    * one definition for the exact ([[weeklyStatsCore]]) and approximate
+    * (`ScaleOps.approxWeeklyStats`) tiers, so rounding / quantile order /
+    * naming cannot drift between them.
+    */
+  private[ops] def pctsPriceColumns(pcts: Column): Seq[Column] = {
+    import CoreOps.rnd
+    Seq(rnd(pcts.getItem(0) / 100.0).as("price_median"),
+      rnd(pcts.getItem(1) / 100.0).as("price_p10"),
+      rnd(pcts.getItem(2) / 100.0).as("price_p90"))
   }
 
   /** A5 — per (week, dim, category) row count (etl/etl_main.py:221-225).

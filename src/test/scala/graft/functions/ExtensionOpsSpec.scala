@@ -295,15 +295,22 @@ class ExtensionOpsSpec extends SparkTestBase {
   }
 
   test("fused SrpBuckets is bit-identical to the composed built-ins") {
+    // fixture includes empty, zero, negative, and NULL-ELEMENT vectors
+    // (the composed fold null-poisons every dot product → all-zero
+    // buckets; the fused kernel must replicate that, not read null as 0)
+    val withNullElem = Seq(
+      Tuple1(Seq(Option(1.5f), Option.empty[Float], Option(2.0f))))
+      .toDF("embedding")
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
-      .select($"embedding")
+      .select($"embedding".cast("array<float>"))
       .union(Seq(Array.empty[Float], Array(0.0f, 0.0f), Array(-1.5f, 2.5f, 0.0f))
         .toDF("embedding"))
+      .union(withNullElem.select($"embedding".cast("array<float>")))
     for ((bits, tables) <- Seq((4, 16), (2, 1), (8, 3))) {
       val diff = e.select(
           Similarity.srpBuckets("embedding", bits, tables).as("fast"),
           Similarity.srpBucketsComposed("embedding", bits, tables).as("ref"))
-        .where($"fast" =!= $"ref")
+        .where($"fast" =!= $"ref" || $"fast".isNull =!= $"ref".isNull)
       assert(diff.count() == 0, s"bits=$bits tables=$tables")
     }
     // null in → null out
