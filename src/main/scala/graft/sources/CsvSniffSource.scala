@@ -18,7 +18,7 @@ import graft.ops.CoreOps
   */
 object CsvSniffSource {
 
-  val Separators: Seq[String] = Seq(",", "\t", "|")
+  val Separators: Seq[String] = Seq(",", "\t", "|", ";")
 
   /** Columns resolved by the reference's substring heuristics
     * (etl_main.py:149-153): first column whose lowercase name contains the
@@ -47,9 +47,14 @@ object CsvSniffSource {
       .filter(rc => rc.date != rc.price)
 
   /** S4 — try each separator; accept the first whose header resolves a date
-    * and a price column; fall back to comma (the reference falls back to
-    * pandas auto-detect). `inferSchema` stays off — casts are explicit
-    * coercing ones (P3/P5) so junk nulls instead of throwing under ANSI.
+    * and a price column. The reference's last resort is pandas `sep=None`
+    * auto-detect; we approximate it by including every separator that
+    * sniffer recognizes in practice (comma, tab, pipe, semicolon) in the
+    * candidate list, and fail with the required-column assertion (P2) when
+    * none resolves — the same ultimate outcome as the reference, whose
+    * required-column check raises right after its auto-detect parse.
+    * `inferSchema` stays off — casts are explicit coercing ones (P3/P5)
+    * so junk nulls instead of throwing under ANSI.
     */
   def sniffCsv(spark: SparkSession, path: String): (DataFrame, ResolvedColumns) = {
     val attempts = Separators.iterator.map { sep =>
@@ -96,7 +101,13 @@ object CsvSniffSource {
     * triggering the caller's prefix fallback (etl_main.py:180-182).
     */
   def readLookup(spark: SparkSession, path: String): Option[DataFrame] = {
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) return None
+    // Existence through the Hadoop filesystem of the path's scheme, not
+    // java.nio: a driver-local check would silently classify every
+    // hdfs:// or s3a:// lookup as missing and flip the pipeline to the
+    // prefix fallback with no error.
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) return None
     val df = spark.read.option("header", "true").csv(path)
     if (Seq("postcode", "local_authority").forall(df.columns.contains))
       Some(df.select(

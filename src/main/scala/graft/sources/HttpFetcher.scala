@@ -10,9 +10,12 @@ import java.time.Duration
   * session policy and `:97-105` download loop): up to `maxRetries`
   * retries on connection errors and on HTTP 429/500/502/503/504, with
   * urllib3-style exponential backoff `backoffFactor * 2^(retry-1)`
-  * seconds, a 300 s per-request timeout, and the body streamed to the
-  * destination file in 1 MiB chunks (never buffered whole in memory —
-  * the reference reads a multi-GB Land Registry file this way).
+  * seconds, a 300 s connect/header timeout plus a body-read watchdog at
+  * the same deadline (java.net.http's request timeout stops at the
+  * response headers; the watchdog is the analog of urllib3's read
+  * timeout), and the body streamed to the destination file in 1 MiB
+  * chunks (never buffered whole in memory — the reference reads a
+  * multi-GB Land Registry file this way).
   *
   * Non-retryable statuses (e.g. 404) fail immediately, mirroring
   * `raise_for_status` after the adapter's retry budget is exhausted.
@@ -32,7 +35,10 @@ final class HttpFetcher(
 
   private val client = HttpClient.newBuilder()
     .connectTimeout(timeout)
-    .followRedirects(HttpClient.Redirect.NORMAL)
+    // ALWAYS, not NORMAL: python-requests (the reference's client) follows
+    // every redirect including https→http downgrades; NORMAL refuses the
+    // downgrade and would fail a run the reference completes.
+    .followRedirects(HttpClient.Redirect.ALWAYS)
     .build()
 
   def apply(dest: Path): Unit = {
@@ -47,8 +53,17 @@ final class HttpFetcher(
         try {
           val resp = client.send(req, HttpResponse.BodyHandlers.ofInputStream())
           val code = resp.statusCode()
-          if (code == 200) {
+          // Any 2xx succeeds (204/206 included), like raise_for_status.
+          if (code >= 200 && code < 300) {
             val in = resp.body()
+            // HttpRequest.timeout only bounds time-to-response-headers; a
+            // body stream that stalls mid-read would otherwise block
+            // forever (urllib3's read timeout has no direct equivalent on
+            // ofInputStream). The watchdog closes the stream at the
+            // deadline, turning the stall into an IOException → retry.
+            val guard = HttpFetcher.watchdog.schedule(new Runnable {
+              def run(): Unit = try in.close() catch { case _: Throwable => () }
+            }, timeout.toMillis, java.util.concurrent.TimeUnit.MILLISECONDS)
             try {
               // Local write failures (missing directory, disk full) are
               // permanent: fail fast instead of re-downloading through the
@@ -68,7 +83,7 @@ final class HttpFetcher(
                   n = in.read(buf)
                 }
               } finally out.close()
-            } finally in.close()
+            } finally { guard.cancel(false); in.close() }
             Right(())
           } else {
             resp.body().close()
@@ -99,6 +114,16 @@ final class HttpFetcher(
 object HttpFetcher {
   /** The reference's `status_forcelist` (etl_main.py:66). */
   val DefaultRetryStatuses: Set[Int] = Set(429, 500, 502, 503, 504)
+
+  /** Shared daemon scheduler for body-read deadlines (one thread for the
+    * process; fetches are sequential driver-side operations).
+    */
+  private[sources] lazy val watchdog =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "http-fetcher-watchdog")
+      t.setDaemon(true)
+      t
+    })
 
   /** A status outside the retry list — fail fast, like
     * `raise_for_status` on a non-forcelisted code.

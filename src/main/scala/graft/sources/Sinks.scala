@@ -54,8 +54,16 @@ object Sinks {
     */
   final class WriterSink(format: String, options: Map[String, String])
       extends ReportSink {
+    /** Caller-configured options WIN over the tab-derived default: the
+      * `--bq-table` destination must not be silently clobbered by the
+      * logical tab name (writing the windows tab to a table literally
+      * named "windows" instead of the configured one).
+      */
+    private[graft] def effectiveOptions(tab: String): Map[String, String] =
+      Map("table" -> tab) ++ options
+
     def write(tab: String, df: DataFrame): Unit =
-      df.write.format(format).options(options + ("table" -> tab))
+      df.write.format(format).options(effectiveOptions(tab))
         .mode("overwrite").save()
   }
 

@@ -29,28 +29,42 @@ object EventsStreaming {
     spark.readStream.schema(EventsSchema).parquet(dir)
 
   /** Watermarked tumbling event-time windows with the batch tier's
-    * aggregate set (exact percentiles are replaced by their mergeable
-    * streaming counterparts — medians over unbounded streams need a sketch;
-    * `percentile_approx` is the built-in mergeable one).
+    * aggregate set. Approximations are forced by the streaming model, not
+    * chosen: exact `count_distinct` is unsupported in streaming
+    * aggregations (unbounded per-group state), so `approx_count_distinct`
+    * at 1% rsd stands in; medians over unbounded streams need a mergeable
+    * sketch (`percentile_approx`).
+    *
+    * `startTime` defaults to "4 days": tumbling windows align to the UTC
+    * epoch, and 1970-01-01 is a Thursday — the offset shifts 7-day buckets
+    * to Monday starts, matching the batch tier's `date_trunc('week')`
+    * (CoreOps.weekStart) under the UTC session timezone this project pins
+    * everywhere (build.sbt / Verify); a non-UTC deployment would need an
+    * offset incorporating its zone. Spark requires startTime < window, so
+    * callers passing a sub-4-day `window_` must also pass a suitable
+    * `startTime` (e.g. "0 seconds"); Monday alignment only makes sense
+    * for multiples of 7 days in the first place.
     */
   def windowedStats(events: DataFrame, window_ : String = "7 days",
-                    watermark: String = "1 day"): DataFrame =
+                    watermark: String = "1 day",
+                    startTime: String = "4 days"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      // startTime "4 days": tumbling windows align to the epoch, and
-      // 1970-01-01 is a Thursday — the offset shifts 7-day buckets to
-      // Monday starts, matching the batch tier's date_trunc('week')
-      // semantics (CoreOps.weekStart) instead of Thursday-aligned weeks.
-      .groupBy(window(col("ts"), window_, window_, "4 days"), col("event_type"))
+      .groupBy(window(col("ts"), window_, window_, startTime), col("event_type"))
       .agg(
-        approx_count_distinct(col("event_id")).as("transactions"),
+        approx_count_distinct(col("event_id"), 0.01).as("transactions"),
         CoreOps.rnd(avg(col("value"))).as("value_mean"),
         CoreOps.rnd(percentile_approx(col("value"), lit(0.5), lit(10000)))
           .as("value_median"))
 
-  /** Event-time session windows (gap-close semantics identical to the
-    * batch [[graft.ops.Sessionize]] operator): built-in merging session
-    * state, append output after the watermark closes a session.
+  /** Event-time session windows: built-in merging session state, append
+    * output after the watermark closes a session. Gap semantics match the
+    * batch [[graft.ops.Sessionize]] operator EXCEPT exactly at the
+    * boundary: `session_window` ranges are end-exclusive `[start,
+    * last + gap)`, so an event arriving exactly `gap` after the previous
+    * one opens a NEW session here, while the batch operator's strict
+    * `delta > gap` test keeps it in the same session. An inherent
+    * engine-semantics difference — documented rather than papered over.
     */
   def sessionWindows(events: DataFrame, gap: String = "30 minutes",
                      watermark: String = "1 hour"): DataFrame =
@@ -71,7 +85,11 @@ object EventsStreaming {
     */
   def userSessions(events: DataFrame): Dataset[UserSession] = {
     import events.sparkSession.implicits._
+    // drop null keys/values before the primitive-tuple decode: the schema
+    // declares both nullable, and one null row would kill the whole query
+    // at the encoder — the batch analogs (Sessionize, sum/avg) skip nulls
     events.select(col("user_id"), col("value"))
+      .where(col("user_id").isNotNull && col("value").isNotNull)
       .as[(Long, Double)]
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {

@@ -43,8 +43,17 @@ class HousingEtlSpec extends SparkTestBase {
   private val badLookupCsv = tmpFile("bad_lookup.csv",
     "postcode,council\nSW1A1AA,Westminster\n")
 
-  test("S4 sniffing accepts comma, tab, and pipe variants identically") {
-    for (sep <- Seq(",", "\t", "|")) {
+  test("S8 WriterSink: configured destination wins over the tab-derived default") {
+    val sink = new Sinks.WriterSink("bigquery", Map("table" -> "proj.ds.windows"))
+    assert(sink.effectiveOptions("windows") == Map("table" -> "proj.ds.windows"))
+    // no configured table → the tab names the destination
+    val bare = new Sinks.WriterSink("bigquery", Map("project" -> "p"))
+    assert(bare.effectiveOptions("windows") ==
+      Map("table" -> "windows", "project" -> "p"))
+  }
+
+  test("S4 sniffing accepts comma, tab, pipe, and semicolon variants identically") {
+    for (sep <- Seq(",", "\t", "|", ";")) {
       val (df, rc) = CsvSniffSource.sniffCsv(spark, pricePaidCsv(sep))
       assert(rc.date == "date_of_transfer" && rc.price == "price")
       assert(rc.id.contains("transaction_unique_identifier"))

@@ -32,7 +32,8 @@ class StreamingAndMultimodalSpec extends SparkTestBase {
     // the real alignment check (epoch-aligned 7-day windows start Thursday).
     val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
       .groupBy(graft.ops.CoreOps.weekStart(col("ts")).as("ws"), col("event_type"))
-      .agg(approx_count_distinct(col("event_id")).as("transactions"))
+      // same 1% rsd as the streaming tier so the estimates are comparable
+      .agg(approx_count_distinct(col("event_id"), 0.01).as("transactions"))
     assert(streamed.count() > 0)
     assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
   }
