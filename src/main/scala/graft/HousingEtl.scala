@@ -46,7 +46,11 @@ object HousingEtl {
       s"id=${rc.id.getOrElse("<synthetic>")} " +
       s"postcode=${rc.postcode.getOrElse("<absent>")} " +
       s"prop_type=${rc.propType.getOrElse("<absent>")}")
-    val canon = CsvSniffSource.toCanonical(raw, rc)
+    // The reference ASSIGNS df["local_authority"] (etl_main.py:181-190),
+    // replacing any same-named source column; without the drop, a raw CSV
+    // that already carries local_authority would make every downstream
+    // reference ambiguous after the lookup join adds a second copy.
+    val canon = CsvSniffSource.toCanonical(raw, rc).drop("local_authority")
 
     // J1 / P9 — lookup enrichment with prefix fallback
     // (etl_main.py:178-191): invalid or absent lookup → postcode[:4].
@@ -63,16 +67,30 @@ object HousingEtl {
         canon.withColumn("local_authority", CoreOps.prefixKey(col("postcode")))
     }
 
+    // pandas groupby parity (etl_main.py:213/223, dropna defaults true):
+    // rows whose local_authority resolved to NaN are excluded from BOTH
+    // grouped outputs — and from the densify grid axes, whose week range
+    // the reference derives from the (already filtered) weekly frame. They
+    // still count in coverage and QA, which the reference computes on the
+    // full frame before grouping.
+    val grouped = withLa.where(col("local_authority").isNotNull)
+
     val coverage = withLa.agg(
       Joins.coveragePct(col("local_authority")).as("coverage_pct"))
 
-    val weekly = WeeklyAgg.weeklyStatsCore(withLa, col("date"),
+    val weekly = WeeklyAgg.weeklyStatsCore(grouped, col("date"),
       col("local_authority"), col("transaction_id"), col("price"))
 
     val typeBreak =
       if (withLa.columns.contains("prop_type"))
-        Some(WeeklyAgg.typeBreakdown(withLa, col("date"),
-          col("local_authority"), col("prop_type")))
+        // astype(str) parity (etl_main.py:223): pandas stringifies the
+        // type column BEFORE grouping, so a missing prop_type becomes the
+        // literal "nan" group — it is local_authority NaN that drops the
+        // row, never prop_type.
+        Some(WeeklyAgg.typeBreakdown(
+          grouped.withColumn("prop_type",
+            coalesce(col("prop_type"), lit("nan"))),
+          col("date"), col("local_authority"), col("prop_type")))
       else None  // etl_main.py:221-225: breakdown only when a type col exists
     log(s"type breakdown: ${if (typeBreak.isDefined) "enabled"
       else "skipped (no property-type column)"}")
@@ -81,7 +99,7 @@ object HousingEtl {
     // Cheap (week, dim) projection for the densify grid axes and the
     // snapshot's max week — avoids re-evaluating the CSV-scan → weekly-agg
     // lineage inside 1-row bound subtrees (same escape hatch Pipeline uses).
-    val weekDim = withLa.select(
+    val weekDim = grouped.select(
       CoreOps.weekStart(col("date")).as("week"),
       col("local_authority").as("dim"))
     val dense = Densify.densify(

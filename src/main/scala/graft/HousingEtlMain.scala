@@ -86,9 +86,15 @@ object HousingEtlMain {
     val out = HousingEtl.run(spark, raw.toString, cfg.lookup,
       windows = cfg.windows, log = log)
 
-    // Cache the 1-row QA frame: it is both written as an artifact and
-    // collected for the report log below — without the cache the second
-    // action re-runs the whole QA lineage (raw scan + aggregation).
+    // Cache the shared report frames across the export surface: weekly and
+    // windows feed up to 6 sinks each (CSV artifact + pushes + the
+    // anomalies/snapshot lineages that embed the windows plan — Spark's
+    // cache manager substitutes a cached plan into any query containing it
+    // as a subtree), and qa is also collected for the report log. Without
+    // these, every sink re-executes the whole CSV-scan → aggregate
+    // lineage from scratch.
+    out.weekly.persist()
+    out.windows.persist()
     out.qa.persist()
     HousingEtl.writeArtifacts(out, new Sinks.CsvDirSink(cfg.outDir))
     // The QA report the reference logs after its transform (coverage at
@@ -126,8 +132,10 @@ object HousingEtlMain {
         }
       }
     }
-    // after the push block: the qa tab is written a third time up there,
-    // and unpersisting earlier would re-run the whole QA lineage for it
+    // after the push block: the tabs are written again up there, and
+    // unpersisting earlier would re-run the shared lineages for them
+    out.weekly.unpersist()
+    out.windows.unpersist()
     out.qa.unpersist()
     out
   }

@@ -11,11 +11,19 @@ import org.apache.spark.sql.functions._
   *
   * Composed Spark-first (preference tier (a) of the custom-operator
   * ladder): interleave both timelines into one frame and carry the latest
-  * non-null right value forward with `last_value(ignoreNulls)` over the
-  * per-key time sort. One shuffle on the key, one sort, no range-join
-  * explosion — the classic scalable formulation; a right-side timestamp
-  * tie-breaker orders right rows before left rows at equal timestamps so
-  * "at or before" includes same-instant values.
+  * right ROW forward with `last_value(ignoreNulls)` over the per-key time
+  * sort. The carried value rides inside a struct marker so a right row
+  * whose VALUE is null is still "the most recent row" (matching DuckDB's
+  * native ASOF JOIN, which returns that row's NULL — a bare
+  * `last(value, ignoreNulls)` would skip it and resurrect a stale earlier
+  * value). One shuffle on the key, one sort, no range-join explosion —
+  * the classic scalable formulation; a side tie-breaker orders right rows
+  * before left rows at equal timestamps so "at or before" includes
+  * same-instant values, and right rows sharing (key, ts) resolve to the
+  * greatest marker (engine-stable, not partition-layout-dependent).
+  * NULL-key probe rows get a NULL `asof_value` (SQL join semantics:
+  * NULL = NULL never matches), not values carried from null-key right
+  * rows that happen to share the window partition.
   */
 object AsOfJoin {
 
@@ -25,19 +33,24 @@ object AsOfJoin {
     */
   def asofBackward(left: DataFrame, right: DataFrame, keyCol: String,
                    tsCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
     val leftCols = left.columns
-    val l = left.withColumn("__v", lit(null).cast(
-        right.schema(valueCol).dataType))
+    val dt = right.schema(valueCol).dataType
+    val markerType = StructType(Seq(StructField("v", dt)))
+    val l = left.withColumn("__m", lit(null).cast(markerType))
       .withColumn("__side", lit(1))
     val r = right.select(col(keyCol), col(tsCol),
-        col(valueCol).as("__v"))
+        struct(col(valueCol).as("v")).as("__m"))
       .withColumn("__side", lit(0))
     val combined = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(keyCol)
-      .orderBy(col(tsCol), col("__side"))
+      .orderBy(col(tsCol), col("__side"), col("__m"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     combined
-      .withColumn("asof_value", last(col("__v"), ignoreNulls = true).over(w))
+      .withColumn("asof_value",
+        when(col(keyCol).isNull, lit(null).cast(dt))
+          .otherwise(last(col("__m"), ignoreNulls = true).over(w)
+            .getField("v")))
       .where(col("__side") === 1)
       .select(leftCols.map(col) :+ col("asof_value"): _*)
   }

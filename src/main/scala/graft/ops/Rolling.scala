@@ -22,6 +22,12 @@ object Rolling {
   def rollingWindows(dense: DataFrame,
                      windows: Seq[Int] = DefaultWindows): DataFrame = {
     import CoreOps.rnd
+    // guard the library API, not just the CLI: an empty list would explode
+    // zero structs and silently DELETE every row; a repeated width would
+    // silently duplicate its rows (two identical structs per row)
+    require(windows.nonEmpty, "rollingWindows needs at least one width")
+    require(windows.forall(_ > 0), s"window widths must be positive: $windows")
+    require(windows.distinct == windows, s"duplicate window widths: $windows")
     // Single-pass multi-window fan-out: a UNION of per-width frames would
     // re-evaluate the entire upstream lineage (fact scan → weekly agg →
     // densify) once per width — the physical plan literally contained the

@@ -65,9 +65,11 @@ class HousingEtlSpec extends SparkTestBase {
     val out = HousingEtl.run(spark, pricePaidCsv(), Some(lookupCsv))
     val weekly = out.weekly.collect()
     // T3 dropped (bad date). T1/T2 week 2024-01-01 Westminster (both map via
-    // normalized keys), T5 week 2024-01-08 Westminster, T4 week of
-    // 2023-12-25 with null LA (null postcode → no lookup match).
-    assert(weekly.length == 3)
+    // normalized keys), T5 week 2024-01-08 Westminster. T4 (null postcode →
+    // no lookup match → NaN LA) is dropped from the grouped outputs like
+    // pandas groupby dropna (etl_main.py:213) — it still counts in
+    // coverage/QA below.
+    assert(weekly.length == 2)
     val wm = weekly.filter(_.getAs[String]("dim") == "Westminster")
     assert(wm.map(_.getAs[Long]("transactions")).toSeq.sorted == Seq(1L, 2L))
     // price_mean of week1 Westminster: only T1 has a valid price → 250000
@@ -112,7 +114,7 @@ class HousingEtlSpec extends SparkTestBase {
   test("missing id column → synthetic ids still count distinct rows (P4)") {
     val out = HousingEtl.run(spark, pricePaidCsv(dropId = true), Some(lookupCsv))
     assert(out.weekly.agg(org.apache.spark.sql.functions.sum("transactions"))
-      .collect().head.getLong(0) == 4L)  // 4 valid-date rows
+      .collect().head.getLong(0) == 3L)  // 4 valid-date rows minus NaN-LA T4
   }
 
   test("missing property_type column → no type breakdown (A5 branch)") {
@@ -170,12 +172,12 @@ class HousingEtlSpec extends SparkTestBase {
       lookup = Some(lookupCsv), cacheDir = cacheDir, outDir = outDir,
       bqTable = Some("proj.ds.windows"), windows = Seq(2, 4))
     val out = HousingEtlMain.runCli(spark, cfg, push, warehouse)
-    assert(out.weekly.count() == 3)
+    assert(out.weekly.count() == 2)
     assert(pushedTabs == Vector("weekly_by_la", "windows", "latest",
       "anomalies", "type_breakdown", "qa"))
     assert(bqWrites == Vector(("proj.ds.windows", "windows")))
     val weeklyArt = spark.read.option("header", "true").csv(s"$outDir/weekly")
-    assert(weeklyArt.count() == 3)
+    assert(weeklyArt.count() == 2)
     // --no-upload: artifacts still written, nothing pushed; the landing
     // cache from run 1 is reused (same canonical content either way)
     pushedTabs = Vector.empty; bqWrites = Vector.empty
@@ -216,10 +218,10 @@ class HousingEtlSpec extends SparkTestBase {
     // both push blocks throw; the run must still complete and report
     val out = HousingEtlMain.runCli(spark, cfg, throwing,
       _ => throwing, log = lines :+= _)
-    assert(out.weekly.count() == 3)
+    assert(out.weekly.count() == 2)
     // local CSV artifacts were all written before the pushes died
     val weeklyArt = spark.read.option("header", "true").csv(s"$outDir/weekly")
-    assert(weeklyArt.count() == 3)
+    assert(weeklyArt.count() == 2)
     assert(lines.exists(_.startsWith("push sink failed (continuing):")))
     assert(lines.exists(_.startsWith("warehouse sink failed for proj.ds.windows")))
     // the QA report line fired too (reference logs it before uploads)
