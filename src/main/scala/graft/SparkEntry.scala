@@ -951,7 +951,7 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS n_escaped""".stripMargin,
     "text_normalize" ->
       """WITH n AS (SELECT doc_id,
-        |    trim(regexp_replace(lower(regexp_replace(text, 'https?://[^ ]+', '', 'g')), '\s+', ' ', 'g')) AS norm
+        |    trim(regexp_replace(lower(regexp_replace(text, '(?i)https?://\S+', '', 'g')), '\s+', ' ', 'g')) AS norm
         |  FROM documents)
         |SELECT doc_id, md5(norm) AS norm_md5, CAST(length(norm) AS BIGINT) AS n_chars_norm
         |FROM n ORDER BY doc_id""".stripMargin,

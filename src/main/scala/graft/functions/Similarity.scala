@@ -74,9 +74,14 @@ object Similarity {
 
   /** All `tables` SRP buckets of a vector in one fused native expression
     * ([[graft.expressions.SrpBuckets]]), bit-identical to
-    * [[srpBucketsComposed]] (pinned by ExtensionOpsSpec). The composed
-    * form paid Catalyst's lambda machinery for tables × bits × dim
-    * element lookups per row — 2.7 s of the sf0.1 bench at the graded
+    * [[srpBucketsComposed]] on every NON-NULL vector (pinned by
+    * ExtensionOpsSpec). The one divergence is deliberate: a NULL vector
+    * yields NULL from the fused form (SQL null propagation), where the
+    * composed form's `array(...)` let-binding wraps the null and
+    * collapses every bucket to 0 — real buckets for a missing embedding,
+    * which would silently cluster all null rows into one LSH bucket. The
+    * composed form paid Catalyst's lambda machinery for tables × bits ×
+    * dim element lookups per row — 2.7 s of the sf0.1 bench at the graded
     * b=4/L=16 config. Element 1 (table 0) is bit-identical to the
     * single-table [[srpBucket]].
     */
@@ -120,10 +125,12 @@ object Similarity {
     */
   case class IvfCodebook(centroids: Seq[Seq[Float]])
 
-  /** Fit the KMeans codebook (fixed seed → deterministic). At 100 TB train
-    * on a bounded deterministic sample of the candidates, not the full set
-    * — centroid quality converges long before the sample stops fitting on
-    * one node.
+  /** Fit the KMeans codebook over exactly the rows given (fixed seed →
+    * deterministic). Bounding the training set is the CALLER's job: pass
+    * a deterministic sample at scale (e.g. a key-mod filter, as
+    * SparkEntry's memoized codebook does) — centroid quality converges
+    * long before the sample stops fitting on one node, and this function
+    * will happily run 10 full KMeans passes over whatever it receives.
     */
   def trainCodebook(candidates: DataFrame, nlist: Int = 16,
                     maxIter: Int = 10, seed: Long = 42L): IvfCodebook = {

@@ -35,22 +35,24 @@ object TextFunctions {
   def tokenCountBpeish(c: Column): Column =
     regexp_count(c, lit(BpeishPattern)).cast("long")
 
-  /** Number of tokens present in a fixed wordlist (per-language stopword
-    * scoring for lang-ID). Counts every occurrence, not distinct tokens.
-    */
   /** Canonical text normalization for corpus preparation — the cleaning
     * stage that precedes exact dedup so trivial variants (case, runs of
     * whitespace, stray URLs) collapse to one representative: strip
-    * http(s) URLs, lowercase, squeeze whitespace, trim. Pure codegen'd
-    * expressions, and every regex is RE2-safe (no lookarounds) with
-    * identical semantics in Java, so any engine reproduces the exact
-    * output bytes — which is what makes dedup-by-normalized-digest
-    * portable.
+    * http(s) URLs (case-insensitively — `HTTP://X` is as much a URL as
+    * `http://x` — and only up to the next whitespace of ANY kind, so a
+    * URL at end-of-line never swallows the following line), lowercase,
+    * squeeze whitespace, trim. Pure codegen'd expressions, and every
+    * regex is RE2-safe (no lookarounds) with identical semantics in Java,
+    * so any engine reproduces the exact output bytes — which is what
+    * makes dedup-by-normalized-digest portable.
     */
   def normalizeText(c: Column): Column =
     trim(regexp_replace(
-      lower(regexp_replace(c, "https?://[^ ]+", "")), "\\s+", " "))
+      lower(regexp_replace(c, "(?i)https?://\\S+", "")), "\\s+", " "))
 
+  /** Number of tokens present in a fixed wordlist (per-language stopword
+    * scoring for lang-ID). Counts every occurrence, not distinct tokens.
+    */
   def wordlistHits(text: Column, words: Seq[String]): Column =
     size(filter(tokens(text), t => array_contains(typedlit(words), t)))
       .cast("long")
@@ -76,7 +78,10 @@ object TextFunctions {
           .otherwise(pick(tail))
       case Nil => lit(null)
     }
-    pick(scores.toList)
+    // null guard: with null text every score comparison is null-not-true,
+    // so the fold would fall through to the terminal case and confidently
+    // label a null document with the LAST list entry
+    when(text.isNull, lit(null).cast("string")).otherwise(pick(scores.toList))
   }
 
   /** Ratio of characters matched by `charClass` (a single-char regex class
@@ -142,7 +147,10 @@ object TextFunctions {
       .select(col(idCol), explode(tokens(col(textCol))).as("t"))
       .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("c"))
       .groupBy(col(idCol)).agg(max(col("c")).as("__max_tok"))
-    base.join(maxTok, idCol)
+    // left join: a null-text doc emits no exploded tokens, so an inner
+    // join would silently DROP its id from the output — keep the row with
+    // null metrics instead, like withQualityColumns does
+    base.join(maxTok, Seq(idCol), "left")
       .withColumn("max_token_ratio",
         rnd(col("__max_tok").cast("double") / col("n_tokens")))
       .select(col(idCol), col("n_tokens"), col("dup_token_ratio"),
@@ -159,10 +167,15 @@ object TextFunctions {
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
       .groupBy(idCol)
-      // Long arithmetic throughout: ascii() yields the full Unicode
-      // codepoint (up to 0x10FFFF), so the int form of
-      // (codepoint*131 + len) * pos overflows for CJK tokens at positions
-      // ≥ ~820 — an ANSI ARITHMETIC_OVERFLOW crash on real corpora.
-      .agg(pmod(sum((ascii(col("t")).cast("long") * 131L + length(col("t")))
-        * (col("pos") + 1)), lit(1000000007L)).as("fingerprint"))
+      // Long arithmetic with pmod applied PER TERM, not only on the final
+      // sum: ascii() yields the full Unicode codepoint (up to 0x10FFFF),
+      // so an un-modded position-weighted term is ~1.5e8·pos and the
+      // running sum would overflow Long near position ~355k on a CJK
+      // corpus (ANSI ARITHMETIC_OVERFLOW). Reduced terms stay < 1e9+7, so
+      // the sum is safe to ~9e9 tokens, and sum-of-residues mod p equals
+      // mod-of-sum — the fingerprint value is unchanged (and the oracle,
+      // which sums in HUGEINT, agrees).
+      .agg(pmod(sum(pmod((ascii(col("t")).cast("long") * 131L + length(col("t")))
+        * (col("pos") + 1), lit(1000000007L))), lit(1000000007L))
+        .as("fingerprint"))
 }

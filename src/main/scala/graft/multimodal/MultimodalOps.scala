@@ -61,17 +61,17 @@ object MultimodalOps {
     */
   def decodeMeta(media: DataFrame, decoder: Decoder = fakeDecoder): DataFrame = {
     val enc = RowEncoder.encoderFor(MetaSchema)
+    // ordinal access — the select fixes the column order, and per-row
+    // getAs(name) would pay a field-name lookup per access in the hot loop
     media.select("media_id", "mime", "bytes").mapPartitions { rows =>
       val d = decoder // one instantiation per partition
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]]("bytes")
+        val bytes = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
         if (bytes == null)
-          Row(r.getAs[Long]("media_id"), r.getAs[String]("mime"),
-            null, null, null, null)
+          Row(r.getLong(0), r.getString(1), null, null, null, null)
         else {
           val (w, h, dur) = d(bytes)
-          Row(r.getAs[Long]("media_id"), r.getAs[String]("mime"),
-            bytes.length.toLong, w, h, dur)
+          Row(r.getLong(0), r.getString(1), bytes.length.toLong, w, h, dur)
         }
       }
     }(enc)
@@ -120,14 +120,14 @@ object MultimodalOps {
     * feeds decoded media into the embedding dedup/ANN operators.
     */
   def extractFeatures(media: DataFrame, dim: Int = 8,
-                      extractor: FeatureExtractor = null): DataFrame = {
+                      extractor: Option[FeatureExtractor] = None): DataFrame = {
     val enc = RowEncoder.encoderFor(FeatureSchema)
-    val chosen = if (extractor != null) extractor else fakeFeatureExtractor(dim)
+    val chosen = extractor.getOrElse(fakeFeatureExtractor(dim))
     media.select("media_id", "bytes").mapPartitions { rows =>
       val f = chosen // one instantiation per partition
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]]("bytes")
-        Row(r.getAs[Long]("media_id"), if (bytes == null) null else f(bytes))
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        Row(r.getLong(0), if (bytes == null) null else f(bytes))
       }
     }(enc)
   }

@@ -151,9 +151,13 @@ class ExtensionOpsSpec extends SparkTestBase {
       "  Hello   WORLD  ",
       "see https://example.com/x?y=1 now",
       "a\tb\n c",
-      "").toDF("t")
+      "",
+      "visit HTTP://X.COM now",       // uppercase URLs are URLs too
+      "see http://a.com\nkeep this")  // URL stops at ANY whitespace
+      .toDF("t")
       .select(TextFunctions.normalizeText($"t")).as[String].collect().toSeq
-    assert(got == Seq("hello world", "see now", "a b c", ""))
+    assert(got == Seq("hello world", "see now", "a b c", "",
+      "visit now", "see keep this"))
   }
 
   test("tokenCountBpeish splits letter/digit/punct runs") {
@@ -185,6 +189,11 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(got(0) == ((1L, 3L, 0.3333, 0.0, 0.6667)))
     assert(got(1) == ((2L, 1L, 0.0, 0.0, 1.0)))
     assert(got(2) == ((3L, 4L, 0.75, 0.6667, 1.0)))
+    // null text: the doc id survives with null metrics (no silent drop)
+    val n = TextFunctions.repetitionSignals(
+      Seq((4L, Option.empty[String])).toDF("id", "text"), "id", "text")
+      .collect()
+    assert(n.length == 1 && n.head.getLong(0) == 4L && n.head.isNullAt(1))
   }
 
   test("charRatio and empty-string guard") {
@@ -313,10 +322,18 @@ class ExtensionOpsSpec extends SparkTestBase {
         .where($"fast" =!= $"ref" || $"fast".isNull =!= $"ref".isNull)
       assert(diff.count() == 0, s"bits=$bits tables=$tables")
     }
-    // null in → null out
-    val n = Seq(Tuple1(Option.empty[Array[Float]])).toDF("embedding")
-      .select(Similarity.srpBuckets("embedding", 4, 2)).collect().head
-    assert(n.isNullAt(0))
+    // null vector — the ONE pinned divergence: fused → NULL (sane null
+    // propagation), composed → all-zero buckets (its array() let-binding
+    // wraps the null, and every when() collapses to 0L — real buckets for
+    // a missing embedding)
+    val nulls = Seq(Tuple1(Option.empty[Array[Float]])).toDF("embedding")
+    assert(nulls.select(Similarity.srpBuckets("embedding", 4, 2))
+      .collect().head.isNullAt(0))
+    val composedOnNull = nulls
+      .select(Similarity.srpBucketsComposed("embedding", 4, 2).as("b"))
+      .collect().head
+    assert(!composedOnNull.isNullAt(0)
+      && composedOnNull.getSeq[Long](0) == Seq(0L, 0L))
   }
 
   test("fused SimHash64 is bit-identical to the composed built-ins") {
