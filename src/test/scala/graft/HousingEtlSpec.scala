@@ -43,6 +43,11 @@ class HousingEtlSpec extends SparkTestBase {
   private val badLookupCsv = tmpFile("bad_lookup.csv",
     "postcode,council\nSW1A1AA,Westminster\n")
 
+  // The plain lookup-enriched run is read-only input to several tests —
+  // build its lineage once instead of re-running the whole pipeline per
+  // test.
+  private lazy val lookupOut = HousingEtl.run(spark, pricePaidCsv(), Some(lookupCsv))
+
   test("S8 WriterSink: configured destination wins over the tab-derived default") {
     val sink = new Sinks.WriterSink("bigquery", Map("table" -> "proj.ds.windows"))
     assert(sink.effectiveOptions("windows") == Map("table" -> "proj.ds.windows"))
@@ -62,7 +67,7 @@ class HousingEtlSpec extends SparkTestBase {
   }
 
   test("end-to-end with lookup: normalization joins, bad rows coerced") {
-    val out = HousingEtl.run(spark, pricePaidCsv(), Some(lookupCsv))
+    val out = lookupOut
     val weekly = out.weekly.collect()
     // T3 dropped (bad date). T1/T2 week 2024-01-01 Westminster (both map via
     // normalized keys), T5 week 2024-01-08 Westminster. T4 (null postcode →
@@ -124,19 +129,24 @@ class HousingEtlSpec extends SparkTestBase {
 
   test("S6 CSV artifacts round-trip") {
     val dir = Files.createTempDirectory("graft-artifacts").toString
-    val out = HousingEtl.run(spark, pricePaidCsv(), Some(lookupCsv))
+    val out = lookupOut
     HousingEtl.writeArtifacts(out, new Sinks.CsvDirSink(dir))
     val weekly = spark.read.option("header", "true").csv(s"$dir/weekly")
     assert(weekly.count() == out.weekly.count())
   }
 
   test("S7 stringified push sink: nulls become empty strings") {
+    import spark.implicits._
     var pushed: Seq[Seq[String]] = Nil
     val sink = new Sinks.StringifiedPushSink((_, rows) => pushed = rows)
-    val out = HousingEtl.run(spark, pricePaidCsv(), Some(lookupCsv))
-    sink.write("weekly", out.weekly)
-    assert(pushed.head == out.weekly.columns.toSeq)
+    sink.write("weekly", lookupOut.weekly)
+    assert(pushed.head == lookupOut.weekly.columns.toSeq)
     assert(pushed.flatten.forall(_ != null))
+    // the advertised null -> "" coalesce, pinned on an actual null cell
+    // (the weekly fixture happens to be fully non-null)
+    sink.write("t", Seq((1L, Option("x")), (2L, Option.empty[String]))
+      .toDF("id", "s"))
+    assert(pushed == Seq(Seq("id", "s"), Seq("1", "x"), Seq("2", "")))
   }
 
   test("CLI arg parsing mirrors etl_main.py:320-326") {

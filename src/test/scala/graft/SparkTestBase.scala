@@ -8,6 +8,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * Verify configuration.
   */
 trait SparkTestBase extends AnyFunSuite {
+  // Pin the JVM default timezone, not just Spark's session timezone: the
+  // fixtures build wall-clock Timestamps via Timestamp.valueOf and assert
+  // rendered toString values, both of which go through the JVM default —
+  // on a non-UTC machine the same tests would otherwise shift by the
+  // local offset (and rows near week boundaries could change weeks).
+  java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
+
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")

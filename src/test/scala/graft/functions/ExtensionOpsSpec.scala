@@ -84,10 +84,17 @@ class ExtensionOpsSpec extends SparkTestBase {
       assert(brute.nonEmpty) // fixture really exercises the radius
     }
     // Bounded candidates on a single-block corpus: banding needs no
-    // semantic blocking column at all (the round-1 lang-block scale risk).
+    // semantic blocking column at all (the round-1 lang-block scale risk)
+    // — and the pair set still equals the brute-force scan there.
     val en = d.where($"lang" === "en")
-    val cnt = Dedup.simhashBandedPairs(en, "doc_id", "text", 2).count()
-    assert(cnt >= 0L) // runs without a block column; selectivity from 21-bit bands
+    val enBanded = Dedup.simhashBandedPairs(en, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val enH = en.select($"doc_id".as("id"), Dedup.simhash64("text").as("sh"))
+    val enBrute = enH.as("a").join(enH.as("b"), $"a.id" < $"b.id")
+      .where(bit_count($"a.sh".bitwiseXOR($"b.sh")) <= 2)
+      .select($"a.id", $"b.id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(enBanded == enBrute)
   }
 
   test("first-band pair dedup equals the distinct formulation, no duplicate pairs") {

@@ -11,13 +11,17 @@ import graft.multimodal.MultimodalOps
 class StreamingAndMultimodalSpec extends SparkTestBase {
   import spark.implicits._
 
-  private def stageEventsDir(): String = {
+  // Staged ONCE per suite (lazy): three tests read the identical fixture,
+  // and re-staging it per test paid two redundant write jobs.
+  private lazy val stagedEventsDir: String = {
     // Stage the sf0.001 events through the streaming schema (micros ts).
     val dir = Files.createTempDirectory("events-stream").toString
     graft.Tables.events(spark, "/root/testdata/sf0.001")
       .write.mode("overwrite").parquet(dir)
     dir
   }
+
+  private def stageEventsDir(): String = stagedEventsDir
 
   test("windowedStats over a file stream matches the batch computation") {
     val dir = stageEventsDir()
@@ -100,7 +104,14 @@ class StreamingAndMultimodalSpec extends SparkTestBase {
     q.processAllAvailable(); q.stop()
     val ids = spark.table("dedup_out").select("event_id")
       .as[Long].collect().toSet
-    assert(ids == Set(1L, 2L, 5L)) // first delivery of each payload wins
+    // The operator contract: exactly ONE of the same-batch payload-A
+    // duplicates survives (dropDuplicatesWithinWatermark does not define
+    // intra-batch order — which one wins is shuffle-layout-dependent),
+    // the cross-batch payload-B re-delivery (4) is dropped, B's first
+    // delivery (2) and the fresh payload-C (5) survive.
+    assert(ids.intersect(Set(1L, 3L)).size == 1)
+    assert(ids.contains(2L) && ids.contains(5L) && !ids.contains(4L))
+    assert(ids.size == 3)
   }
 
   test("foreachBatch reuses a batch transform per micro-batch") {
