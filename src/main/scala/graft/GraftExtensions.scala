@@ -26,8 +26,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def literalInt(e: Expression, what: String): Int = {
     require(e.foldable, s"$what must be a literal integer")
+    // Integral types only: a fractional literal (minhash_signature(text, 2.5))
+    // must error, not silently truncate to 2 — Number.intValue() would.
     e.eval() match {
-      case n: Number => n.intValue()
+      case i: Int => i
+      case b: Byte => b.toInt
+      case s: Short => s.toInt
+      case l: Long =>
+        require(l >= Int.MinValue && l <= Int.MaxValue,
+          s"$what out of Int range: $l")
+        l.toInt
       case other => throw new IllegalArgumentException(
         s"$what must be a literal integer, got: $other")
     }

@@ -96,47 +96,53 @@ object HousingEtlMain {
     out.weekly.persist()
     out.windows.persist()
     out.qa.persist()
-    HousingEtl.writeArtifacts(out, new Sinks.CsvDirSink(cfg.outDir))
-    // The QA report the reference logs after its transform (coverage at
-    // etl_main.py:196, summary metrics at 344-350) — emitted once the
-    // artifacts are safely on disk; a 1-row collect of a report table.
-    val qaRow = out.qa.collect().head
-    log(s"qa: rows_raw=${qaRow.getAs[Long]("rows_raw")} " +
-      s"dims=${qaRow.getAs[Long]("dims")} " +
-      s"coverage_pct=${qaRow.getAs[Double]("coverage_pct")} " +
-      s"latest_week=${qaRow.getAs[java.sql.Timestamp]("latest_week")}")
+    try {
+      HousingEtl.writeArtifacts(out, new Sinks.CsvDirSink(cfg.outDir))
+      // The QA report the reference logs after its transform (coverage at
+      // etl_main.py:196, summary metrics at 344-350) — emitted once the
+      // artifacts are safely on disk; a 1-row collect of a report table.
+      val qaRow = out.qa.collect().head
+      log(s"qa: rows_raw=${qaRow.getAs[Long]("rows_raw")} " +
+        s"dims=${qaRow.getAs[Long]("dims")} " +
+        s"coverage_pct=${qaRow.getAs[Double]("coverage_pct")} " +
+        s"latest_week=${qaRow.getAs[java.sql.Timestamp]("latest_week")}")
 
-    // Push-sink failure tolerance (etl_main.py:374-385): the Sheets-style
-    // upload block and the warehouse push are each wrapped in
-    // log-and-continue — an export outage must not fail the daily run. The
-    // CSV artifacts above stay fatal (the reference does not guard them):
-    // they are the system of record, and they were written before any push
-    // was attempted, so nothing is lost when a push dies.
-    if (!cfg.noUpload) {
-      try {
-        push.write("weekly_by_la", out.weekly)
-        push.write("windows", out.windows)
-        push.write("latest", out.snapshot)
-        push.write("anomalies", out.anomalies)
-        out.typeBreakdown.foreach(push.write("type_breakdown", _))
-        push.write("qa", out.qa)
-      } catch {
-        case scala.util.control.NonFatal(e) =>
-          log(s"push sink failed (continuing): $e")
-      }
-      cfg.bqTable.foreach { t =>
-        try warehouse(t).write("windows", out.windows)
-        catch {
+      // Push-sink failure tolerance (etl_main.py:374-385): the Sheets-style
+      // upload block and the warehouse push are each wrapped in
+      // log-and-continue — an export outage must not fail the daily run. The
+      // CSV artifacts above stay fatal (the reference does not guard them):
+      // they are the system of record, and they were written before any push
+      // was attempted, so nothing is lost when a push dies.
+      if (!cfg.noUpload) {
+        try {
+          push.write("weekly_by_la", out.weekly)
+          push.write("windows", out.windows)
+          push.write("latest", out.snapshot)
+          push.write("anomalies", out.anomalies)
+          out.typeBreakdown.foreach(push.write("type_breakdown", _))
+          push.write("qa", out.qa)
+        } catch {
           case scala.util.control.NonFatal(e) =>
-            log(s"warehouse sink failed for $t (continuing): $e")
+            log(s"push sink failed (continuing): $e")
+        }
+        cfg.bqTable.foreach { t =>
+          try warehouse(t).write("windows", out.windows)
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              log(s"warehouse sink failed for $t (continuing): $e")
+          }
         }
       }
+    } finally {
+      // in a finally, after the push block: the tabs are read again up
+      // there (unpersisting earlier would re-run the shared lineages for
+      // them), and a throw from writeArtifacts / the qa collect / a
+      // non-NonFatal push error must not leak the cached plans for the
+      // life of a long-lived driver's SparkSession
+      out.weekly.unpersist()
+      out.windows.unpersist()
+      out.qa.unpersist()
     }
-    // after the push block: the tabs are written again up there, and
-    // unpersisting earlier would re-run the shared lineages for them
-    out.weekly.unpersist()
-    out.windows.unpersist()
-    out.qa.unpersist()
     out
   }
 

@@ -143,14 +143,22 @@ object TextFunctions {
         when(size(col("grams")) === 0, 0.0).otherwise(
           rnd((size(col("grams")) - size(array_distinct(col("grams"))))
             .cast("double") / size(col("grams")))))
-    val maxTok = df
-      .select(col(idCol), explode(tokens(col(textCol))).as("t"))
-      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("c"))
-      .groupBy(col(idCol)).agg(max(col("c")).as("__max_tok"))
-    // left join: a null-text doc emits no exploded tokens, so an inner
-    // join would silently DROP its id from the output — keep the row with
-    // null metrics instead, like withQualityColumns does
-    base.join(maxTok, Seq(idCol), "left")
+    // Single pass over the tokenized projection (no second tokenizing
+    // branch + join): explode the already-computed toks and carry the
+    // per-row ratio columns through the two aggregates as grouping keys —
+    // they are constant per id, so group cardinality is unchanged and
+    // tokenization (the dominant per-row cost) happens exactly once.
+    // explode_outer, not explode: a null-text doc has null toks and emits
+    // one row with a null token (count(t) = 0 → null ratios), where a
+    // plain explode would silently DROP its id from the output.
+    base.select(col(idCol), col("n_tokens"), col("dup_token_ratio"),
+        col("dup_2gram_ratio"), explode_outer(col("toks")).as("t"))
+      .groupBy(col(idCol), col("n_tokens"), col("dup_token_ratio"),
+        col("dup_2gram_ratio"), col("t"))
+      .agg(count(col("t")).as("c"))
+      .groupBy(col(idCol), col("n_tokens"), col("dup_token_ratio"),
+        col("dup_2gram_ratio"))
+      .agg(max(col("c")).as("__max_tok"))
       .withColumn("max_token_ratio",
         rnd(col("__max_tok").cast("double") / col("n_tokens")))
       .select(col(idCol), col("n_tokens"), col("dup_token_ratio"),

@@ -20,7 +20,11 @@ import org.apache.spark.sql.functions._
   * the classic scalable formulation; a side tie-breaker orders right rows
   * before left rows at equal timestamps so "at or before" includes
   * same-instant values, and right rows sharing (key, ts) resolve to the
-  * greatest marker (engine-stable, not partition-layout-dependent).
+  * greatest marker (engine-stable, not partition-layout-dependent) when
+  * the value type is orderable. For a non-orderable value type (MapType),
+  * the marker is left out of the sort — the join still analyzes and runs,
+  * but ties among right rows sharing an exact (key, ts) resolve
+  * arbitrarily (callers needing determinism there should pre-dedup).
   * NULL-key probe rows get a NULL `asof_value` (SQL join semantics:
   * NULL = NULL never matches), not values carried from null-key right
   * rows that happen to share the window partition.
@@ -43,8 +47,15 @@ object AsOfJoin {
         struct(col(valueCol).as("v")).as("__m"))
       .withColumn("__side", lit(0))
     val combined = l.unionByName(r, allowMissingColumns = true)
+    // The marker tie-break only when the value type sorts: ordering by a
+    // MapType-valued struct fails at analysis, and the previous bare
+    // value-column formulation handled maps fine.
+    val tieBreak =
+      if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(markerType))
+        Seq(col("__m"))
+      else Seq.empty
     val w = Window.partitionBy(keyCol)
-      .orderBy(col(tsCol), col("__side"), col("__m"))
+      .orderBy(Seq(col(tsCol), col("__side")) ++ tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     combined
       .withColumn("asof_value",

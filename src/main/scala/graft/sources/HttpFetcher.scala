@@ -10,11 +10,13 @@ import java.time.Duration
   * session policy and `:97-105` download loop): up to `maxRetries`
   * retries on connection errors and on HTTP 429/500/502/503/504, with
   * urllib3-style exponential backoff `backoffFactor * 2^(retry-1)`
-  * seconds, a 300 s connect/header timeout plus a body-read watchdog at
-  * the same deadline (java.net.http's request timeout stops at the
+  * seconds, a 300 s connect/header timeout plus a body-read IDLE watchdog
+  * with the same budget (java.net.http's request timeout stops at the
   * response headers; the watchdog is the analog of urllib3's read
-  * timeout), and the body streamed to the destination file in 1 MiB
-  * chunks (never buffered whole in memory — the reference reads a
+  * timeout, which bounds the gap BETWEEN reads, not the whole body — a
+  * healthy multi-GB download slower than size/timeout must not be
+  * killed mid-stream), and the body streamed to the destination file in
+  * 1 MiB chunks (never buffered whole in memory — the reference reads a
   * multi-GB Land Registry file this way).
   *
   * Non-retryable statuses (e.g. 404) fail immediately, mirroring
@@ -59,11 +61,19 @@ final class HttpFetcher(
             // HttpRequest.timeout only bounds time-to-response-headers; a
             // body stream that stalls mid-read would otherwise block
             // forever (urllib3's read timeout has no direct equivalent on
-            // ofInputStream). The watchdog closes the stream at the
-            // deadline, turning the stall into an IOException → retry.
-            val guard = HttpFetcher.watchdog.schedule(new Runnable {
-              def run(): Unit = try in.close() catch { case _: Throwable => () }
-            }, timeout.toMillis, java.util.concurrent.TimeUnit.MILLISECONDS)
+            // ofInputStream). The watchdog closes the stream once no chunk
+            // has arrived for a full timeout window — an IDLE deadline,
+            // like urllib3's per-read timeout, so a slow-but-progressing
+            // stream is never killed — turning a genuine stall into an
+            // IOException → retry.
+            val lastProgress =
+              new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
+            val checkMillis = math.max(50L, timeout.toMillis / 10)
+            val guard = HttpFetcher.watchdog.scheduleWithFixedDelay(new Runnable {
+              def run(): Unit =
+                if (System.nanoTime() - lastProgress.get() >= timeout.toNanos)
+                  try in.close() catch { case _: Throwable => () }
+            }, checkMillis, checkMillis, java.util.concurrent.TimeUnit.MILLISECONDS)
             try {
               // Local write failures (missing directory, disk full) are
               // permanent: fail fast instead of re-downloading through the
@@ -76,6 +86,7 @@ final class HttpFetcher(
                 val buf = new Array[Byte](1 << 20) // 1 MiB streaming chunks
                 var n = in.read(buf)
                 while (n >= 0) {
+                  lastProgress.set(System.nanoTime()) // chunk arrived: reset idle clock
                   try out.write(buf, 0, n) catch {
                     case e: IOException =>
                       throw new HttpFetcher.LocalWriteFailure(dest.toString, e)

@@ -403,6 +403,14 @@ class ExtensionOpsSpec extends SparkTestBase {
     val viaCol = Seq("a b").toDF("t")
       .select(Dedup.simhash64("t")).collect().head.getLong(0)
     assert(sketch.getLong(0) == viaCol)
+    // a fractional k must error loudly, not silently truncate 2.5 → 2
+    val frac = intercept[Exception] {
+      spark.sql("SELECT minhash_signature('a b', 2.5)").collect()
+    }
+    assert(frac.getMessage.contains("literal integer"))
+    // integral literals of other widths still work (BIGINT k)
+    assert(spark.sql("SELECT minhash_signature('a b', CAST(4 AS BIGINT))")
+      .collect().head.getSeq[Long](0).length == 4)
   }
 
   test("knnBrute: identical vector ranks first with cos 1.0; LSH is a subset") {

@@ -125,6 +125,26 @@ class WindowedOpsSpec extends SparkTestBase {
       4L -> Some(30.0), 5L -> Some(99.0)))
   }
 
+  test("AsOfJoin.asofBackward handles a non-orderable (map) value column") {
+    // MapType cannot appear in a sort order; the marker tie-break must be
+    // skipped (not fail analysis) while the asof semantics still hold.
+    val right = Seq(("a", ts("2024-01-01 10:00:00"), Map("v" -> 1)),
+      ("a", ts("2024-01-03 10:00:00"), Map("v" -> 3)))
+      .toDF("k", "ts", "attrs")
+    val left = Seq(("a", ts("2024-01-02 00:00:00"), 1L),
+      ("a", ts("2024-01-04 00:00:00"), 2L),
+      ("a", ts("2024-01-01 00:00:00"), 3L))
+      .toDF("k", "ts", "id")
+    val got = AsOfJoin.asofBackward(left, right, "k", "ts", "attrs")
+      .select("id", "asof_value").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(1L).isDefined && got(2L).isDefined && got(3L).isEmpty)
+    val m2 = AsOfJoin.asofBackward(left, right, "k", "ts", "attrs")
+      .where($"id" === 2L).select("asof_value")
+      .collect().head.getMap[String, Int](0)
+    assert(m2 == Map("v" -> 3))
+  }
+
   test("Snapshot.latestWeek keeps only the max week") {
     val df = weekly(Seq(("2024-01-01", "a", 1L, None),
       ("2024-01-08", "a", 2L, None), ("2024-01-08", "b", 3L, None)))

@@ -18,6 +18,9 @@ class HttpFetcherSpec extends AnyFunSuite {
   private def withServer(handler: (Int, com.sun.net.httpserver.HttpExchange) => Unit)
       (body: String => Unit): Unit = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    // concurrent handling: a handler deliberately stalling one exchange
+    // (idle-watchdog tests) must not block the retry's fresh request
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
     val hits = new AtomicInteger(0)
     server.createContext("/data", ex => {
       handler(hits.incrementAndGet(), ex)
@@ -91,6 +94,48 @@ class HttpFetcherSpec extends AnyFunSuite {
       new HttpFetcher(url, sleeper = sleeps.append(_))(dest)
       assert(Files.readString(dest) == "complete payload")
       assert(sleeps.size == 1)
+    }
+  }
+
+  test("a stalled body stream is killed by the idle watchdog and retried") {
+    // First attempt: headers + a few bytes, then the handler hangs well past
+    // the idle deadline without closing. The watchdog must close the stream
+    // (IOException → retryable), and the second attempt completes.
+    withServer((n, ex) =>
+      if (n == 1) {
+        ex.sendResponseHeaders(200, 1000)
+        ex.getResponseBody.write("stall".getBytes(StandardCharsets.UTF_8))
+        ex.getResponseBody.flush()
+        Thread.sleep(3000)
+      } else ok(ex, "after stall")) { url =>
+      val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val dest = tmpFile()
+      new HttpFetcher(url, timeout = java.time.Duration.ofMillis(500),
+        sleeper = sleeps.append(_))(dest)
+      assert(Files.readString(dest) == "after stall")
+      assert(sleeps.size == 1)
+    }
+  }
+
+  test("a slow but progressing stream outlives the per-attempt deadline") {
+    // 6 chunks, 150 ms apart = ~900 ms total body time with a 500 ms idle
+    // budget: a fixed whole-body deadline would kill this healthy download
+    // on every attempt (the ADVICE regression); the idle watchdog must not.
+    withServer((_, ex) => {
+      val chunk = "0123456789".getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, chunk.length * 6L)
+      (1 to 6).foreach { _ =>
+        ex.getResponseBody.write(chunk)
+        ex.getResponseBody.flush()
+        Thread.sleep(150)
+      }
+    }) { url =>
+      val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val dest = tmpFile()
+      new HttpFetcher(url, timeout = java.time.Duration.ofMillis(500),
+        sleeper = sleeps.append(_))(dest)
+      assert(Files.readString(dest) == "0123456789" * 6)
+      assert(sleeps.isEmpty) // zero retries: the stream was never killed
     }
   }
 
