@@ -435,6 +435,52 @@ object SparkEntry {
         .crossJoin(s10.join(s50, Seq("doc_id"), "left_anti")
           .agg(count(lit(1)).as("n_escaped")))
     }),
+    // Benchmark decontamination: flag train-split docs sharing any 8-token
+    // n-gram with the held-out test split (the GPT-3-style collision
+    // check). Split membership is the content-addressed md5 bucket, so
+    // both engines agree on who is train/test before the overlap test.
+    "decontaminate_ngrams" -> ((s, d) => {
+      val split = CorpusOps.assignSplit(Tables.documents(s, d), "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      CorpusOps.decontaminate(
+        split.where(col("split") === "train"),
+        split.where(col("split") === "test"),
+        "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
+    // Stratified deterministic quota sample: first 20 docs per language in
+    // md5-of-key order — balanced, reproducible, engine-portable.
+    "quota_sample" -> ((s, d) =>
+      CorpusOps.stratifiedQuota(Tables.documents(s, d), "lang", "doc_id",
+        quota = 20)
+        .select(col("doc_id"), col("lang"), col("rn"))
+        .orderBy("lang", "rn")),
+    // Corpus mixture report: docs/tokens per (lang, split) with each
+    // stratum's 4-dp share of total tokens — the data-mixture table.
+    "corpus_mixture" -> ((s, d) => {
+      val split = CorpusOps.assignSplit(Tables.documents(s, d), "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      CorpusOps.mixtureStats(split, Seq("lang", "split"),
+        TextFunctions.tokenCount(col("text")))
+        .orderBy("lang", "split")
+    }),
+    // PII scrub + audit counts. The synthetic corpus carries no natural
+    // PII, so the query plants a deterministic email/IP/phone per doc
+    // (same concat in the oracle SQL) — the hash match then proves the
+    // Java and RE2 regex engines detect and redact identically.
+    "pii_scrub" -> ((s, d) => {
+      val aug = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@mail.example.com from 10."),
+        (col("doc_id") % 200).cast("string"), lit(".0.1 tel +44"),
+        (col("doc_id") + lit(7000000L)).cast("string"))
+      Tables.documents(s, d).select(col("doc_id"), aug.as("t"))
+        .select(col("doc_id"),
+          TextFunctions.piiCount(col("t"), "email").as("n_emails"),
+          TextFunctions.piiCount(col("t"), "ipv4").as("n_ipv4"),
+          TextFunctions.piiCount(col("t"), "phone").as("n_phones"),
+          TextFunctions.piiScrub(col("t")).as("redacted"))
+        .orderBy("doc_id")
+    }),
 
     // Text normalization ahead of dedup: the normalized digest is the
     // dedup key, and md5 is engine-portable so the whole row (digest
@@ -949,6 +995,64 @@ object SparkEntry {
         |  (SELECT CAST(sum(doc_id) AS BIGINT) FROM b WHERE bucket < 1000) AS id_sum_10,
         |  (SELECT CAST(count(*) AS BIGINT) FROM b WHERE bucket < 5000) AS n_50,
         |  CAST(0 AS BIGINT) AS n_escaped""".stripMargin,
+    // range(1, len(t) - 6) = the n-gram start positions 1 .. len-n+1 for
+    // n = 8 (DuckDB range is end-exclusive; t[i:i+7] is an 8-token slice).
+    "decontaminate_ngrams" ->
+      """WITH b AS (SELECT doc_id,
+        |    list_reduce(list_transform(range(1, 9),
+        |      i -> (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT),
+        |      (a, x) -> a * 16 + x) % 100 AS bucket
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM b),
+        |toks AS (SELECT d.doc_id, s.split, string_split(d.text, ' ') AS t
+        |  FROM documents d JOIN s USING (doc_id)),
+        |pos AS (SELECT doc_id, split, t, unnest(range(1, len(t) - 6)) AS i FROM toks),
+        |grams AS (SELECT doc_id, split, array_to_string(t[i:i+7], ' ') AS g FROM pos),
+        |tg AS (SELECT DISTINCT doc_id, g FROM grams WHERE split = 'train'),
+        |eg AS (SELECT DISTINCT g FROM grams WHERE split = 'test'),
+        |hits AS (SELECT tg.doc_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM tg JOIN eg USING (g) GROUP BY 1)
+        |SELECT s.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_shared_ngrams,
+        |  COALESCE(h.n, 0) > 0 AS contaminated
+        |FROM s LEFT JOIN hits h USING (doc_id)
+        |WHERE s.split = 'train' ORDER BY doc_id""".stripMargin,
+    "quota_sample" ->
+      """SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents)
+        |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
+    "corpus_mixture" ->
+      """WITH b AS (SELECT doc_id,
+        |    list_reduce(list_transform(range(1, 9),
+        |      i -> (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT),
+        |      (a, x) -> a * 16 + x) % 100 AS bucket
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM b),
+        |tok AS (SELECT d.doc_id, d.lang, s.split,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents d JOIN s USING (doc_id))
+        |SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  floor(sum(n_tokens) / (SELECT CAST(sum(n_tokens) AS DOUBLE) FROM tok) * 10000 + 0.5) / 10000 AS token_share
+        |FROM tok GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "pii_scrub" ->
+      """WITH aug AS (SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com from 10.' ||
+        |    CAST(doc_id % 200 AS VARCHAR) || '.0.1 tel +44' || CAST(7000000 + doc_id AS VARCHAR) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(t, '\+\d[\d\- ]{5,}\d')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\+\d[\d\- ]{5,}\d', '<PHONE>', 'g') AS redacted
+        |FROM aug ORDER BY doc_id""".stripMargin,
     "text_normalize" ->
       """WITH n AS (SELECT doc_id,
         |    trim(regexp_replace(lower(regexp_replace(text, '(?i)https?://\S+', '', 'g')), '\s+', ' ', 'g')) AS norm

@@ -50,6 +50,39 @@ object TextFunctions {
     trim(regexp_replace(
       lower(regexp_replace(c, "(?i)https?://\\S+", "")), "\\s+", " "))
 
+  /** PII detection/redaction patterns, applied in this order (email first:
+    * an address contains dots a later pattern must not see). Each regex is
+    * RE2-safe — character classes, bounded repetition, `\b`, no
+    * lookarounds — so Java (Spark) and RE2 (DuckDB) match identically:
+    *   - email: local@domain.tld
+    *   - ipv4: four dot-separated 1-3 digit runs on word boundaries
+    *   - phone: international-style +digits with optional dash/space
+    *     separators (anchored on `+` so it never fires inside an IPv4)
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\+\\d[\\d\\- ]{5,}\\d", "<PHONE>"))
+
+  /** Count of non-overlapping matches for one PII category ("email",
+    * "ipv4", "phone") — the audit metric scrubbing reports per document.
+    */
+  def piiCount(text: Column, category: String): Column = {
+    val pattern = PiiPatterns.collectFirst { case (`category`, p, _) => p }
+      .getOrElse(throw new IllegalArgumentException(
+        s"unknown PII category: $category (have ${PiiPatterns.map(_._1)})"))
+    regexp_count(text, lit(pattern)).cast("long")
+  }
+
+  /** Redact all PII categories, applying the patterns in declaration
+    * order. Pure codegen'd per-row expressions — the scrub is a map-only
+    * stage at any corpus size.
+    */
+  def piiScrub(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (_, pattern, replacement)) =>
+      regexp_replace(c, pattern, replacement)
+    }
+
   /** Number of tokens present in a fixed wordlist (per-language stopword
     * scoring for lang-ID). Counts every occurrence, not distinct tokens.
     */

@@ -127,6 +127,100 @@ object CorpusOps {
         array_join(window, " ").as("chunk_text"))
   }
 
+  /** Distinct word n-grams per document as (id, gram) rows. The per-doc
+    * dedup happens BEFORE the generator (`array_distinct` on the in-plan
+    * gram array), so no shuffle is spent de-duplicating within documents —
+    * the exploded output is already (id, gram)-unique. Documents shorter
+    * than `n` tokens contribute no grams. Whitespace joins only, so any
+    * engine rebuilds the gram strings byte-for-byte.
+    */
+  def ngramSet(df: DataFrame, idCol: String, textCol: String,
+               n: Int): DataFrame = {
+    require(n >= 1, s"n=$n must be positive")
+    df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .withColumn("__k", size(col("__toks")) - (n - 1))
+      // guard BEFORE sequence(1, __k): for a too-short doc __k <= 0 and
+      // sequence would count DOWN (step -1), fabricating out-of-range grams
+      .where(col("__k") >= 1)
+      .select(col(idCol), explode(array_distinct(expr(
+        s"transform(sequence(1, __k), i -> array_join(slice(__toks, i, $n), ' '))")))
+        .as("gram"))
+  }
+
+  /** Benchmark decontamination — the train/eval n-gram overlap check every
+    * serious LLM data pipeline runs before training (the GPT-3/PaLM-style
+    * 8-13-gram collision test): flag each training document that shares at
+    * least one word n-gram with any document of the held-out set, with the
+    * count of distinct shared grams as evidence.
+    *
+    * Scale shape: both sides reduce to (id, gram) rows with per-doc-unique
+    * grams ([[ngramSet]] — no dedup shuffle), the eval side collapses to a
+    * distinct gram set (map-side partial), and contamination is one
+    * equi-join on the gram — a semi join, so no row explosion when a gram
+    * recurs across eval docs — followed by one count per train doc. Every
+    * stage is a narrow hash-partitioned exchange on (gram) or (id); at
+    * 100 TB the eval side (benchmarks: thousands of docs) broadcasts and
+    * the train side never shuffles at all. Grams travel as strings for
+    * engine parity; a production variant can key the join on xxhash64 of
+    * the gram to narrow the exchange further.
+    *
+    * @return one row per `train` document: (id, n_shared_ngrams,
+    *         contaminated) — zero/false when clean.
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    val trainGrams = ngramSet(train, idCol, textCol, n)
+    val evalGrams = ngramSet(eval, idCol, textCol, n)
+      .select(col("gram")).distinct()
+    val hits = trainGrams.join(evalGrams, Seq("gram"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_shared"))
+    train.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n_shared"), lit(0L)).as("n_shared_ngrams"))
+      .withColumn("contaminated", col("n_shared_ngrams") > 0)
+  }
+
+  /** Stratified deterministic quota sample: the first `quota` rows per
+    * stratum in content-address order (`md5(key)`, key-tie-broken) — the
+    * balanced-sampling companion of [[deterministicSample]]. Ordering by
+    * the hash instead of the key makes the pick pseudo-random but
+    * reproducible across runs, engines, and partition layouts; a stratum
+    * with fewer than `quota` rows is kept whole.
+    *
+    * Plan shape: one exchange on the stratum + per-partition sort;
+    * Spark's WindowGroupLimit pushes the rank filter below the exchange,
+    * so each map task forwards at most `quota` rows per stratum rather
+    * than the whole table through the shuffle.
+    */
+  def stratifiedQuota(df: DataFrame, strataCol: String, keyCol: String,
+                      quota: Int): DataFrame = {
+    require(quota >= 1, s"quota=$quota must be positive")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= quota)
+  }
+
+  /** Corpus mixture report: documents and tokens per stratum combination
+    * (e.g. language × split) with each stratum's share of total tokens —
+    * the table a data-mixture weighting decision reads. One hash
+    * aggregation over the corpus; the share is a window over the
+    * ALREADY-AGGREGATED frame (stratum-cardinality rows, not corpus rows),
+    * so the single-partition window is a report-scale operation at any
+    * input size.
+    */
+  def mixtureStats(df: DataFrame, strataCols: Seq[String],
+                   tokens: Column): DataFrame = {
+    import CoreOps.rnd
+    require(strataCols.nonEmpty, "mixtureStats needs at least one stratum")
+    df.groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"), sum(tokens.cast("long")).as("n_tokens"))
+      .withColumn("token_share",
+        rnd(col("n_tokens").cast("double") / sum("n_tokens").over()))
+  }
+
   /** TF-IDF over whitespace tokens: tf = raw occurrences of the term in
     * the doc, idf = ln(N / df_t) (no smoothing — every term trivially has
     * df ≥ 1). Two hash aggregations; the corpus-size scalar joins in as a

@@ -48,6 +48,15 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit"))
   }
 
+  test("stratifiedQuota: the quota filter pushes into WindowGroupLimit") {
+    val docs = Tables.documents(spark, sf)
+    val plan = executedSimple(
+      graft.ops.CorpusOps.stratifiedQuota(docs, "lang", "doc_id", 20))
+    // partial per-stratum limiting runs BEFORE the exchange, so each map
+    // task forwards at most `quota` rows per stratum through the shuffle
+    assert(plan.contains("WindowGroupLimit"))
+  }
+
   test("filter + projection pushdown reach the parquet scan") {
     val e = Tables.embeddings(spark, sf).where(col("vec_id") < 10)
       .select("vec_id")

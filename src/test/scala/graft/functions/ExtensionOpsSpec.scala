@@ -203,6 +203,34 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(n.length == 1 && n.head.getLong(0) == 4L && n.head.isNullAt(1))
   }
 
+  test("piiScrub/piiCount: emails, IPs, phones redacted in order; clean text untouched") {
+    val texts = Seq(
+      (1L, "mail a.b+c@ex-1.co.uk and d@e.io now"),   // two emails
+      (2L, "server 192.168.0.1 and 10.0.0.255 up"),   // two IPs
+      (3L, "call +44 7700-900123 or +1 555 0100 ok"), // two phones
+      (4L, "no pii here at all"),                     // untouched
+      (5L, "x@y.zz from 8.8.8.8 tel +33 1 23 45 67")) // one of each
+      .toDF("id", "text")
+    val got = texts
+      .select($"id",
+        TextFunctions.piiCount($"text", "email").as("e"),
+        TextFunctions.piiCount($"text", "ipv4").as("i"),
+        TextFunctions.piiCount($"text", "phone").as("p"),
+        TextFunctions.piiScrub($"text").as("red"))
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    assert(got(0) == ((1L, 2L, 0L, 0L, "mail <EMAIL> and <EMAIL> now")))
+    assert(got(1) == ((2L, 0L, 2L, 0L, "server <IP> and <IP> up")))
+    assert(got(2) == ((3L, 0L, 0L, 2L, "call <PHONE> or <PHONE> ok")))
+    assert(got(3) == ((4L, 0L, 0L, 0L, "no pii here at all")))
+    assert(got(4) == ((5L, 1L, 1L, 1L, "<EMAIL> from <IP> tel <PHONE>")))
+    // (doc 2/5 also pin that an IPv4 never double-counts as a phone —
+    // the phone pattern is anchored on '+')
+    intercept[IllegalArgumentException](
+      TextFunctions.piiCount($"text", "ssn"))
+  }
+
   test("charRatio and empty-string guard") {
     val got = Seq("a1b2", "").toDF("t")
       .select(TextFunctions.charRatio($"t", "[0-9]").as("r")).as[Double].collect().toSeq

@@ -102,4 +102,60 @@ class CorpusOpsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(top1 == Map(1L -> "cat", 2L -> "dog", 3L -> "fish"))
   }
+
+  test("ngramSet: per-doc-distinct grams, short docs contribute none") {
+    val docs = Seq(
+      (1L, "a b c a b c"), // bigrams "a b","b c","c a" repeat -> distinct once
+      (2L, "a b"),         // exactly n tokens: the single bigram
+      (3L, "x"))           // shorter than n: contributes no grams
+      .toDF("id", "text")
+    val grams = CorpusOps.ngramSet(docs, "id", "text", 2)
+      .as[(Long, String)].collect().toSet
+    assert(grams == Set((1L, "a b"), (1L, "b c"), (1L, "c a"),
+      (2L, "a b")))
+  }
+
+  test("decontaminate: flags train docs sharing an n-gram with eval, zero-fills clean ones") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),   // shares "quick brown fox" w/ eval
+      (2L, "lorem ipsum dolor sit amet"),  // clean
+      (3L, "a quick brown fox runs fast")) // same shared 3-gram
+      .toDF("id", "text")
+    val eval = Seq(
+      (10L, "see the quick brown fox here"),
+      (11L, "unrelated eval document text"))
+      .toDF("id", "text")
+    val got = CorpusOps.decontaminate(train, eval, "id", "text", n = 3)
+      .as[(Long, Long, Boolean)].collect().toSet
+    // doc 1 shares "the quick brown", "quick brown fox"; doc 3 shares
+    // "quick brown fox"; doc 2 shares nothing but MUST still be present
+    assert(got == Set((1L, 2L, true), (3L, 1L, true), (2L, 0L, false)))
+  }
+
+  test("stratifiedQuota: bounded per stratum, deterministic, short strata kept whole") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val q = CorpusOps.stratifiedQuota(docs, "lang", "doc_id", quota = 5)
+    val perLang = q.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(perLang.values.forall(_ <= 5))
+    // deterministic: same ids picked on re-evaluation
+    val ids1 = q.select("doc_id").as[Long].collect().toSet
+    val ids2 = CorpusOps.stratifiedQuota(docs, "lang", "doc_id", 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids1 == ids2)
+    // a stratum smaller than the quota survives complete
+    val tiny = Seq((1L, "zz"), (2L, "zz"), (3L, "en")).toDF("doc_id", "lang")
+    assert(CorpusOps.stratifiedQuota(tiny, "lang", "doc_id", 5).count() == 3)
+  }
+
+  test("mixtureStats: shares sum to 1 over strata, counts exact") {
+    val docs = Seq(
+      (1L, "en", "a b c"), (2L, "en", "d e"), (3L, "de", "f g h i j"))
+      .toDF("id", "lang", "text")
+    val asMap = CorpusOps.mixtureStats(docs, Seq("lang"),
+      graft.functions.TextFunctions.tokenCount(col("text")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(asMap("en") == ((2L, 5L, 0.5)))
+    assert(asMap("de") == ((1L, 5L, 0.5)))
+  }
 }
