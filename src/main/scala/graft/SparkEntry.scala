@@ -719,6 +719,32 @@ object SparkEntry {
         .orderBy("qid", "cid")
     }),
 
+    // Quality contract for the all-corpus cosine near-dup SCALE path
+    // (SRP-LSH candidates -> exact cosine verify; the graded
+    // near_dup_cosine above is the bounded broadcast formulation). The
+    // oracle recomputes the exhaustive truth-pair count; the booleans
+    // carry the Spark-measured contract — recall >= 0.95 (measured
+    // 0.989-1.0 at b=4/L=24 across SFs) and exact precision (every LSH
+    // pair is a truth pair) — so a quality regression flips a bit and
+    // fails the hash compare.
+    "cosine_dedup_quality" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val lsh = Similarity.cosineNearDupPairs(e, "vec_id", "embedding",
+        threshold = 0.4, bits = 4, tables = 24)
+        .select(col("id_a"), col("id_b"))
+      val truth = Similarity.cosinePairsExhaustive(e, "vec_id", "embedding",
+        threshold = 0.4)
+        .select(col("id_a"), col("id_b"))
+      truth.join(lsh.withColumn("__h", lit(1)), Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("__h"), lit(0))).as("__n_hit"))
+        .crossJoin(lsh.agg(count(lit(1)).as("__n_lsh")))
+        .select(col("n_true"),
+          (col("__n_hit").cast("double") / col("n_true") >= 0.95)
+            .as("recall_ok"),
+          (col("__n_lsh") === col("__n_hit")).as("precision_ok"))
+    }),
+
     // As-of (backward) temporal join: each event picks its type's latest
     // weekly median rate at-or-before its timestamp. Spark side composes
     // union + last_value(ignoreNulls); the oracle uses DuckDB's native
@@ -1285,6 +1311,15 @@ object SparkEntry {
         |  FROM q, embeddings e WHERE e.vec_id <> qid)
         |SELECT qid, cid, cos_sim FROM p WHERE cos_sim >= 0.4
         |ORDER BY qid, cid""".stripMargin,
+    // The oracle owns the exhaustive truth count; the quality booleans are
+    // literal TRUE — Spark must measure its LSH path at-or-above the
+    // contract for the row hash to match (minhash_quality pattern).
+    "cosine_dedup_quality" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |t AS (SELECT a.vec_id AS ia, b.vec_id AS ib FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE floor(list_cosine_similarity(a.v, b.v) * 10000 + 0.5) / 10000 >= 0.4)
+        |SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ok, TRUE AS precision_ok
+        |FROM t""".stripMargin,
     "events_json" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  min(k) AS k_min, max(k) AS k_max,

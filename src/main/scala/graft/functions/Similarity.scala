@@ -206,6 +206,69 @@ object Similarity {
       .select(col("qid"), col("n_true"),
         (col("__recall") >= floor).as("recall_ok"))
 
+  /** Verified all-corpus embedding near-dup pairs — the cosine analog of
+    * [[graft.ops.Dedup.verifiedNearDupPairs]], and the scale path behind
+    * the bounded broadcast scan the graded `near_dup_cosine` query runs:
+    * multi-table SRP-LSH self-join proposes candidates, exact cosine
+    * verifies them, so the quadratic all-pairs scan never happens.
+    *
+    * Scale shape (mirrors MinHash banding, Dedup.bandedPairIds): the
+    * self-join sees narrow (tbl, bkt, id) rows plus the tables-wide
+    * bucket array — never the embedding; cross-table duplicate pairs are
+    * eliminated IN-STAGE by keeping a pair only in its FIRST agreeing
+    * table (a codegen'd prefix comparison, no distinct exchange); the
+    * explicit repartition stops AQE sizing the exploding self-join's
+    * exchange by its small input. Embeddings join back onto surviving
+    * candidates only.
+    *
+    * Precision is exact by construction (every emitted pair re-verified
+    * with the fused cosine at 4 dp); recall is the (bits, tables) LSH
+    * collision probability 1-(1-p^bits)^tables with p = 1 - angle/pi —
+    * the graded quality gate (`cosine_dedup_quality`) holds the measured
+    * floor as an oracle-checked contract.
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, bits: Int = 4,
+                         tables: Int = 16): DataFrame = {
+    val basis = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      srpBuckets(vecCol, bits, tables).as("bkts"))
+    val banded = basis.select(col("id"), col("bkts"),
+      posexplode(col("bkts")).as(Seq("tbl", "bkt")))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("tbl"), col("bkt"))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt")
+          && col("a.id") < col("b.id"))
+      .where(graft.expressions.FirstAgreeingIndex
+        .firstAgree(col("a.bkts"), col("b.bkts")) === col("a.tbl"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val vecs = basis.select(col("id"), col("vec"))
+    cands
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("va")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vb")), Seq("id_b"))
+      .withColumn("cos_sim", CoreOps.rnd(
+        graft.expressions.CosineSimilarity.cosineFast(col("va"), col("vb"))))
+      .where(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+
+  /** Exhaustive cosine pair set (id_a < id_b, 4-dp cosine at or above the
+    * threshold) — the truth set [[cosineNearDupPairs]]' quality contract
+    * measures against. Quadratic by definition: graded/verification scales
+    * only; the LSH path is the production operator.
+    */
+  def cosinePairsExhaustive(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    v.select(col("id").as("id_a"), col("vec").as("va"))
+      .join(v.select(col("id").as("id_b"), col("vec").as("vb")),
+        col("id_a") < col("id_b"))
+      .withColumn("cos_sim", CoreOps.rnd(
+        graft.expressions.CosineSimilarity.cosineFast(col("va"), col("vb"))))
+      .where(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+
   /** Approximate top-k via multi-table SRP LSH: candidates restricted to
     * vectors sharing ANY of `tables` independent `bits`-bit SRP buckets
     * with the query (classic (b, L) LSH — per-table collision probability
