@@ -731,18 +731,30 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       val lsh = Similarity.cosineNearDupPairs(e, "vec_id", "embedding",
         threshold = 0.4, bits = 4, tables = 24)
-        .select(col("id_a"), col("id_b"))
+        .select(col("id_a"), col("id_b"), lit(1).as("__l"))
       val truth = Similarity.cosinePairsExhaustive(e, "vec_id", "embedding",
         threshold = 0.4)
-        .select(col("id_a"), col("id_b"))
-      truth.join(lsh.withColumn("__h", lit(1)), Seq("id_a", "id_b"), "left")
-        .agg(count(lit(1)).as("n_true"),
-          sum(coalesce(col("__h"), lit(0))).as("__n_hit"))
-        .crossJoin(lsh.agg(count(lit(1)).as("__n_lsh")))
-        .select(col("n_true"),
-          (col("__n_hit").cast("double") / col("n_true") >= 0.95)
+        .select(col("id_a"), col("id_b"), lit(1).as("__t"))
+      // ONE full-outer join evaluates each (expensive) subplan exactly
+      // once and yields all three counts — a left join + crossJoin(count)
+      // would re-run the whole LSH candidate/verify pipeline for the
+      // second aggregate. Vacuous-truth guard as in minhash_quality: an
+      // empty slice must read TRUE (nothing regressed), never NULL/throw
+      // (the explicit n_true = 0 branch also keeps the ANSI division from
+      // seeing 0/0 when only the truth side is empty).
+      truth.join(lsh, Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          sum(when(col("__t").isNotNull, 1L).otherwise(0L)).as("n_true"),
+          sum(when(col("__t").isNotNull && col("__l").isNotNull, 1L)
+            .otherwise(0L)).as("__n_hit"),
+          sum(when(col("__l").isNotNull, 1L).otherwise(0L)).as("__n_lsh"))
+        .select(
+          coalesce(col("n_true"), lit(0L)).as("n_true"),
+          when(coalesce(col("n_true"), lit(0L)) === 0, lit(true))
+            .otherwise(col("__n_hit").cast("double") / col("n_true") >= 0.95)
             .as("recall_ok"),
-          (col("__n_lsh") === col("__n_hit")).as("precision_ok"))
+          coalesce(col("__n_lsh") === col("__n_hit"), lit(true))
+            .as("precision_ok"))
     }),
 
     // As-of (backward) temporal join: each event picks its type's latest
@@ -1073,11 +1085,11 @@ object SparkEntry {
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
         |  CAST(len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
-        |  CAST(len(regexp_extract_all(t, '\+\d[\d\- ]{5,}\d')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(t, '\+\d[\d\- ]{5,18}\d')) AS BIGINT) AS n_phones,
         |  regexp_replace(regexp_replace(regexp_replace(t,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
-        |    '\+\d[\d\- ]{5,}\d', '<PHONE>', 'g') AS redacted
+        |    '\+\d[\d\- ]{5,18}\d', '<PHONE>', 'g') AS redacted
         |FROM aug ORDER BY doc_id""".stripMargin,
     "text_normalize" ->
       """WITH n AS (SELECT doc_id,

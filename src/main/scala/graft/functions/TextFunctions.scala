@@ -57,12 +57,17 @@ object TextFunctions {
     *   - email: local@domain.tld
     *   - ipv4: four dot-separated 1-3 digit runs on word boundaries
     *   - phone: international-style +digits with optional dash/space
-    *     separators (anchored on `+` so it never fires inside an IPv4)
+    *     separators (anchored on `+` so it never fires inside an IPv4).
+    *     The separator run is bounded at 18 — an unbounded greedy tail
+    *     would absorb arbitrarily long digit-group chains after a number;
+    *     the bound caps the blast radius at one plausible phone length
+    *     (a standalone digit within 18 chars of a phone can still be
+    *     swallowed — the price of staying RE2-safe with no lookarounds)
     */
   val PiiPatterns: Seq[(String, String, String)] = Seq(
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
-    ("phone", "\\+\\d[\\d\\- ]{5,}\\d", "<PHONE>"))
+    ("phone", "\\+\\d[\\d\\- ]{5,18}\\d", "<PHONE>"))
 
   /** Count of non-overlapping matches for one PII category ("email",
     * "ipv4", "phone") — the audit metric scrubbing reports per document.

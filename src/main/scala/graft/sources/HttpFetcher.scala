@@ -15,7 +15,8 @@ import java.time.Duration
   * response headers; the watchdog is the analog of urllib3's read
   * timeout, which bounds the gap BETWEEN reads, not the whole body — a
   * healthy multi-GB download slower than size/timeout must not be
-  * killed mid-stream), and the body streamed to the destination file in
+  * killed mid-stream) plus a generous whole-attempt ceiling as the
+  * drip-feed backstop, and the body streamed to the destination file in
   * 1 MiB chunks (never buffered whole in memory — the reference reads a
   * multi-GB Land Registry file this way).
   *
@@ -33,7 +34,19 @@ final class HttpFetcher(
     backoffFactor: Double = 0.5,
     retryStatuses: Set[Int] = HttpFetcher.DefaultRetryStatuses,
     timeout: Duration = Duration.ofSeconds(300),
+    attemptCeiling: Option[Duration] = None,
     sleeper: Long => Unit = Thread.sleep) extends (Path => Unit) {
+
+  // Backstop against a drip-feeding server that defeats the idle watchdog
+  // by sending one byte per idle window: no single attempt may outlive
+  // this, progress or not. The default (12x the idle budget — an hour at
+  // the reference's 300 s timeout) is generous enough that no healthy
+  // Land-Registry-scale download hits it; callers with a known envelope
+  // pass their own. (The reference's requests/urllib3 stack has NO such
+  // cap — a deliberate robustness addition, since a hung daily run is
+  // strictly worse than a failed one.)
+  private val ceilingMillis =
+    attemptCeiling.getOrElse(timeout.multipliedBy(12)).toMillis
 
   private val client = HttpClient.newBuilder()
     .connectTimeout(timeout)
@@ -66,13 +79,19 @@ final class HttpFetcher(
             // like urllib3's per-read timeout, so a slow-but-progressing
             // stream is never killed — turning a genuine stall into an
             // IOException → retry.
+            val attemptStart = System.nanoTime()
             val lastProgress =
-              new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
+              new java.util.concurrent.atomic.AtomicLong(attemptStart)
             val checkMillis = math.max(50L, timeout.toMillis / 10)
             val guard = HttpFetcher.watchdog.scheduleWithFixedDelay(new Runnable {
-              def run(): Unit =
-                if (System.nanoTime() - lastProgress.get() >= timeout.toNanos)
+              def run(): Unit = {
+                val now = System.nanoTime()
+                // idle deadline (the urllib3-read-timeout analog) OR the
+                // whole-attempt ceiling (drip-feed backstop, see above)
+                if (now - lastProgress.get() >= timeout.toNanos
+                    || (now - attemptStart) / 1000000L >= ceilingMillis)
                   try in.close() catch { case _: Throwable => () }
+              }
             }, checkMillis, checkMillis, java.util.concurrent.TimeUnit.MILLISECONDS)
             try {
               // Local write failures (missing directory, disk full) are

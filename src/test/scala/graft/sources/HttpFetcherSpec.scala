@@ -117,6 +117,29 @@ class HttpFetcherSpec extends AnyFunSuite {
     }
   }
 
+  test("a drip-feeding stream cannot defeat the idle watchdog: the attempt ceiling kills it") {
+    // One byte per 100 ms keeps resetting the 300 ms idle clock forever;
+    // the 900 ms whole-attempt ceiling must end the attempt anyway, and
+    // the retry (handler n >= 2) completes normally.
+    withServer((n, ex) =>
+      if (n == 1) {
+        ex.sendResponseHeaders(200, 1000)
+        (1 to 40).foreach { _ =>
+          ex.getResponseBody.write('x')
+          ex.getResponseBody.flush()
+          Thread.sleep(100)
+        }
+      } else ok(ex, "after drip")) { url =>
+      val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val dest = tmpFile()
+      new HttpFetcher(url, timeout = java.time.Duration.ofMillis(300),
+        attemptCeiling = Some(java.time.Duration.ofMillis(900)),
+        sleeper = sleeps.append(_))(dest)
+      assert(Files.readString(dest) == "after drip")
+      assert(sleeps.size == 1)
+    }
+  }
+
   test("a slow but progressing stream outlives the per-attempt deadline") {
     // 6 chunks, 150 ms apart = ~900 ms total body time with a 500 ms idle
     // budget: a fixed whole-body deadline would kill this healthy download
