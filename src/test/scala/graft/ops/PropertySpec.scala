@@ -5,6 +5,7 @@ import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
 import graft.SparkTestBase
+import graft.functions.TextFunctions
 
 /** Property-based tests (SURVEY.md §5.2): algebraic invariants of the
   * operator library over generated inputs. Spark jobs are expensive, so
@@ -170,6 +171,70 @@ class PropertySpec extends SparkTestBase {
         assert(packId == pos / budget)
         assert(off == pos % budget && off >= 0 && off < budget)
         cum(sh) = pos + nt
+      }
+    }
+  }
+
+  test("property: ngramSet grams are exactly the distinct contiguous n-windows") {
+    val tokGen = for {
+      n <- Gen.choose(0, 12)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d"))
+    } yield toks
+    forAllSampled(Gen.zip(Gen.nonEmptyListOf(tokGen), Gen.choose(1, 4)), n = 6) {
+      case (docs, n) =>
+        val df = docs.zipWithIndex
+          .map { case (t, i) => (i.toLong, t.mkString(" ")) }.toDF("id", "text")
+        val got = CorpusOps.ngramSet(df, "id", "text", n)
+          .as[(Long, String)].collect().toSet
+        val want = docs.zipWithIndex.flatMap { case (t, i) =>
+          // tokens() splits the joined text, so an empty doc is [""] — one
+          // token — exactly like the operator sees it
+          val toks = t.mkString(" ").split(" ", -1).toSeq
+          toks.sliding(n).filter(_.size == n)
+            .map(w => (i.toLong, w.mkString(" "))).toSet
+        }.toSet
+        assert(got == want, s"n=$n docs=$docs")
+    }
+  }
+
+  test("property: piiScrub is idempotent and removes every counted match") {
+    // placeholders contain no digits or '@', so a second scrub pass finds
+    // nothing — and after scrubbing, every category counts zero
+    val piiGen = Gen.oneOf(
+      "bob@corp.example.org", "10.2.30.4", "+49 170 5551234")
+    val wordGen = Gen.oneOf("alpha", "beta", "42", "x.y", "-")
+    val textGen = Gen.listOf(Gen.frequency(4 -> wordGen, 1 -> piiGen))
+      .map(_.mkString(" "))
+    val texts = scala.collection.mutable.ListBuffer.empty[String]
+    forAllSampled(textGen, n = 40)(texts += _)
+    val df = texts.toSeq.toDF("text")
+    val once = df.select(TextFunctions.piiScrub($"text").as("text"))
+    assert(once.select(
+        TextFunctions.piiCount($"text", "email").as("e"),
+        TextFunctions.piiCount($"text", "ipv4").as("i"),
+        TextFunctions.piiCount($"text", "phone").as("p"))
+      .where($"e" > 0 || $"i" > 0 || $"p" > 0).count() == 0)
+    val twice = once.select(TextFunctions.piiScrub($"text").as("text"))
+    assert(once.collect().map(_.getString(0)).toSeq ==
+      twice.collect().map(_.getString(0)).toSeq)
+  }
+
+  test("property: decontaminate flags exactly the docs sharing a planted n-gram") {
+    val fill = Gen.listOfN(6, Gen.oneOf("p", "q", "r", "s", "t", "u"))
+    val docGen = Gen.zip(fill, Gen.oneOf(true, false))
+    forAllSampled(Gen.nonEmptyListOf(docGen), n = 6) { docs =>
+      val marker = "zz1 zz2 zz3" // never generated by `fill`
+      val train = docs.zipWithIndex.map { case ((toks, planted), i) =>
+        val text = if (planted) (toks.take(3) :+ marker) ++ toks.drop(3)
+          else toks
+        (i.toLong, text.mkString(" "))
+      }.toDF("id", "text")
+      val eval = Seq((100L, s"header $marker footer")).toDF("id", "text")
+      val got = CorpusOps.decontaminate(train, eval, "id", "text", n = 3)
+        .as[(Long, Long, Boolean)].collect()
+        .map(r => r._1 -> r._3).toMap
+      docs.zipWithIndex.foreach { case ((_, planted), i) =>
+        assert(got(i.toLong) == planted, s"doc $i planted=$planted")
       }
     }
   }
