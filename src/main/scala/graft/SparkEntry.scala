@@ -514,6 +514,19 @@ object SparkEntry {
           Tables.documents(s, d).where(pmod(col("doc_id"), lit(10)) === 0),
           "doc_id", "text", threshold = 0.5))
         .orderBy("id")),
+    // Near-dup REMOVAL (what a pipeline actually executes): min-id
+    // canonical per component survives, other members drop, singletons
+    // pass through. The oracle rebuilds components with its recursive
+    // transitive closure and subtracts the same victim set. Threshold 0.8
+    // (not dedup_groups' 0.5, where this token-bag corpus collapses into
+    // one giant component and the output degenerates to a single row):
+    // ~22/50 docs survive at sf0.01 — component structure worth hashing.
+    "dedup_keep_canonical" -> ((s, d) =>
+      Dedup.dropNearDups(
+        Tables.documents(s, d).where(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", "text", threshold = 0.8)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")),
     "text_stats" -> ((s, d) => {
       import CoreOps.rnd
       Tables.documents(s, d)
@@ -1119,6 +1132,26 @@ object SparkEntry {
         |  UNION
         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
         |SELECT src AS id, min(dst) AS component FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_keep_canonical" ->
+      """WITH RECURSIVE docs AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+        |toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM docs),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt FROM toks GROUP BY 1),
+        |prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (SELECT id_a, id_b,
+        |  floor((CAST(shared AS DOUBLE) / (sa.nt + sb.nt - shared)) * 10000 + 0.5) / 10000 AS jaccard
+        |  FROM prs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id),
+        |near AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.8),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM near UNION SELECT id_b, id_a FROM near),
+        |reach(src, dst) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY 1)
+        |SELECT d.doc_id, d.lang, d.n_chars FROM docs d
+        |WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+        |ORDER BY d.doc_id""".stripMargin,
     "text_stats" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok_total,

@@ -34,6 +34,25 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** The corpus after near-duplicate REMOVAL — the operation a training
+    * pipeline actually runs with the diagnostics around it: LSH-verified
+    * pairs ([[verifiedNearDupPairs]]) form connected components
+    * ([[clusterPairs]]), the min-id member of each component survives as
+    * canonical, every other member is dropped, and documents in no
+    * component pass through untouched. The final step is an anti-join on
+    * the (small) non-canonical id set, so the corpus itself shuffles on
+    * nothing but its id — at 100 TB the victim list broadcasts.
+    */
+  def dropNearDups(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, k: Int = 32, bands: Int = 32,
+                   shingleSize: Int = 1): DataFrame = {
+    val comps = clusterPairs(verifiedNearDupPairs(df, idCol, textCol,
+      threshold, k, bands, shingleSize))
+    df.join(comps.where(col("id") =!= col("component"))
+        .select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+  }
+
   /** Exact token-set Jaccard over blocked pairs, fully relational (explode
     * distinct tokens → self-join within block on token → count shared →
     * |A∪B| = |A|+|B|-shared). Use only on bounded blocks/samples — the

@@ -153,6 +153,18 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("dropNearDups keeps one canonical doc per component plus singletons") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over dogs"),  // ~dup of 2
+      (2L, "the quick brown fox jumps over cats"),  // component {1,2}: keep 1
+      (5L, "completely different text entirely here"), // singleton: kept
+      (7L, "lorem ipsum dolor sit amet tokens"))       // singleton: kept
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 5L, 7L))
+  }
+
   test("normalizeText: urls stripped, case folded, whitespace squeezed, trimmed") {
     val got = Seq(
       "  Hello   WORLD  ",
