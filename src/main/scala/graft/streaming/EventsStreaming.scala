@@ -104,6 +104,77 @@ object EventsStreaming {
       }
   }
 
+  final case class SessionState(start: Long, lastTs: Long, nEvents: Long,
+                                total: Double)
+  final case class ClosedSession(userId: Long, startTs: java.sql.Timestamp,
+                                 endTs: java.sql.Timestamp, nEvents: Long,
+                                 total: Double)
+
+  /** Gap-closed sessions emitted only when COMPLETE —
+    * `flatMapGroupsWithState` with an event-time timeout, the custom-state
+    * pattern the built-in `session_window` cannot express (it emits
+    * aggregates on the engine's schedule; this emits exactly one row per
+    * finished session, which is what a downstream writer keyed on whole
+    * sessions needs). While a user's events keep arriving within `gapMs`
+    * the group emits nothing; once the watermark passes last-event + gap
+    * the state times out and the closed session flows out. A gap INSIDE
+    * one micro-batch closes the earlier session immediately (same strict
+    * `delta > gap` split as the batch [[graft.ops.Sessionize]]); late
+    * events within the watermark merge into the open session wherever
+    * they land (start/end widen, never shrink). State per user is one
+    * 4-field record, dropped at timeout — bounded by active users within
+    * the gap horizon, not by history.
+    */
+  def closedSessions(events: DataFrame, gapMs: Long = 1800000L,
+                     watermark: String = "1 hour"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id"), col("ts"), col("value"))
+      .where(col("user_id").isNotNull && col("ts").isNotNull
+        && col("value").isNotNull)
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+         st: GroupState[SessionState]) =>
+          def close(s: SessionState) = ClosedSession(uid,
+            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.lastTs),
+            s.nEvents, s.total)
+          if (st.hasTimedOut) {
+            val out = Iterator(close(st.get))
+            st.remove()
+            out
+          } else {
+            val evs = rows.map(r => (r._2.getTime, r._3)).toArray.sortBy(_._1)
+            val closed = scala.collection.mutable.ListBuffer.empty[ClosedSession]
+            var cur = st.getOption
+            evs.foreach { case (t, v) =>
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(SessionState(math.min(s.start, t),
+                    math.max(s.lastTs, t), s.nEvents + 1, s.total + v))
+                case Some(s) =>
+                  closed += close(s)
+                  cur = Some(SessionState(t, t, 1L, v))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, v))
+              }
+            }
+            cur.foreach { s =>
+              st.update(s)
+              // the timeout must sit strictly past the current watermark
+              // (Spark rejects a stale timestamp); if the watermark has
+              // already overtaken session-end + gap, this arms the
+              // earliest legal instant and the session closes next batch
+              st.setTimeoutTimestamp(math.max(s.lastTs + gapMs,
+                st.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Stream-stream interval join: pair each event with same-user events of
     * another type within `within` AFTER it (e.g. click → purchase
     * attribution). Both sides carry watermarks and the join condition

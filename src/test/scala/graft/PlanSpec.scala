@@ -147,4 +147,36 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("REPARTITION_BY_NUM"),
       s"band repartition missing or demoted:\n$plan")
   }
+
+  test("cosine near-dup: SRP self-join keeps its repartition and never ships vectors") {
+    val e = Tables.embeddings(spark, sf)
+    val plan = executedSimple(Similarity.cosineNearDupPairs(
+      e, "vec_id", "embedding", threshold = 0.4, bits = 4, tables = 24))
+    // same contract as the MinHash banding: explicit-count repartition on
+    // the bucket join key survives AQE
+    assert(plan.contains("REPARTITION_BY_NUM"),
+      s"bucket repartition missing or demoted:\n$plan")
+    // the self-join operates on (tbl, bkt, id, bkts) — the embedding
+    // arrays join back on candidates only, never through the bucket
+    // exchange (a vector in that exchange would multiply shuffle bytes by
+    // dim x tables)
+    val bucketExchange = plan.linesIterator
+      .find(l => l.contains("Exchange hashpartitioning") && l.contains("tbl"))
+    assert(bucketExchange.exists(!_.contains("vec#")),
+      s"embedding shipped through the bucket exchange:\n$plan")
+  }
+
+  test("decontaminate: eval gram set broadcasts into a semi join (train side never reshuffles on grams)") {
+    val docs = Tables.documents(spark, sf)
+    val split = CorpusOps.assignSplit(docs, "doc_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val plan = executedSimple(CorpusOps.decontaminate(
+      split.where(col("split") === "train"),
+      split.where(col("split") === "test"), "doc_id", "text", n = 8))
+    // the distinct eval gram set is benchmark-sized: it must build a
+    // broadcast for the LeftSemi probe, leaving the train-side gram
+    // stream entirely shuffle-free
+    assert(plan.contains("LeftSemi"), s"no semi join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"eval grams not broadcast:\n$plan")
+  }
 }

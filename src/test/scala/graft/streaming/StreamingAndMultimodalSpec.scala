@@ -62,6 +62,54 @@ class StreamingAndMultimodalSpec extends SparkTestBase {
     assert(sPerUser == bPerUser)
   }
 
+  test("closedSessions emits whole sessions on gap (in-batch) and event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventsStreaming.closedSessions(events,
+        gapMs = 1800000L, watermark = "0 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("closed_out").start()
+    // batch 1: user 7 has an INTRA-batch gap > 30 min — the first session
+    // (00:00-00:10, 2 events) must close immediately, no timeout needed;
+    // the second (01:30) stays open. user 8 stays open too.
+    input.addData(
+      (1L, ts("2024-01-01 00:00:00"), 7L, "click", 2.0, "{}"),
+      (2L, ts("2024-01-01 00:10:00"), 7L, "click", 3.0, "{}"),
+      (3L, ts("2024-01-01 01:30:00"), 7L, "view", 1.0, "{}"),
+      (4L, ts("2024-01-01 00:05:00"), 8L, "view", 4.0, "{}"))
+    q.processAllAvailable()
+    // 7's first session closes from the IN-BATCH gap; 8's closes too —
+    // batch 1's watermark (01:30) already passed its end + gap (00:35),
+    // and the engine's trailing no-data micro-batch fires the timeout
+    val afterBatch1 = spark.table("closed_out")
+      .as[EventsStreaming.ClosedSession].collect().toSet
+    assert(afterBatch1 == Set(
+      EventsStreaming.ClosedSession(
+        7L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:10:00"), 2L, 5.0),
+      EventsStreaming.ClosedSession(
+        8L, ts("2024-01-01 00:05:00"), ts("2024-01-01 00:05:00"), 1L, 4.0)))
+    // batch 2 advances the watermark far past every open session's
+    // end + gap; batch 3 (any data) lets the armed timeouts fire.
+    input.addData((5L, ts("2024-01-01 06:00:00"), 9L, "click", 1.0, "{}"))
+    q.processAllAvailable()
+    input.addData((6L, ts("2024-01-01 06:05:00"), 9L, "click", 1.0, "{}"))
+    q.processAllAvailable(); q.stop()
+    val bySession = spark.table("closed_out")
+      .as[EventsStreaming.ClosedSession].collect()
+      .map(c => (c.userId, c.startTs) -> ((c.endTs, c.nEvents, c.total))).toMap
+    // 7's first (in-batch gap), 7's second + 8's (timeouts); user 9's
+    // session is still open — whole sessions only, never partial rows
+    assert(bySession.size == 3, s"got: $bySession")
+    assert(bySession((7L, ts("2024-01-01 00:00:00"))) ==
+      ((ts("2024-01-01 00:10:00"), 2L, 5.0)))
+    assert(bySession((7L, ts("2024-01-01 01:30:00"))) ==
+      ((ts("2024-01-01 01:30:00"), 1L, 1.0)))
+    assert(bySession((8L, ts("2024-01-01 00:05:00"))) ==
+      ((ts("2024-01-01 00:05:00"), 1L, 4.0)))
+  }
+
   test("stateful userSessions accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
