@@ -110,68 +110,69 @@ object EventsStreaming {
                                  endTs: java.sql.Timestamp, nEvents: Long,
                                  total: Double)
 
-  /** Gap-closed sessions emitted only when COMPLETE —
+  /** Gap-closed sessions emitted only when FINAL —
     * `flatMapGroupsWithState` with an event-time timeout, the custom-state
     * pattern the built-in `session_window` cannot express (it emits
     * aggregates on the engine's schedule; this emits exactly one row per
     * finished session, which is what a downstream writer keyed on whole
-    * sessions needs). While a user's events keep arriving within `gapMs`
-    * the group emits nothing; once the watermark passes last-event + gap
-    * the state times out and the closed session flows out. A gap INSIDE
-    * one micro-batch closes the earlier session immediately (same strict
-    * `delta > gap` split as the batch [[graft.ops.Sessionize]]); late
-    * events within the watermark merge into the open session wherever
-    * they land (start/end widen, never shrink). State per user is one
-    * 4-field record, dropped at timeout — bounded by active users within
-    * the gap horizon, not by history.
+    * sessions needs).
+    *
+    * A session is emitted only once the WATERMARK passes its end + gap —
+    * not merely when a later event opens a gap inside one micro-batch:
+    * until the watermark rules it out, a late event can still bridge that
+    * gap, and an append-mode row is unretractable. So the state holds ALL
+    * of a user's not-yet-final sessions (each a 4-field aggregate, never
+    * raw events): incoming events enter as unit sessions, the list is
+    * re-merged with the strict `delta > gap` split of the batch
+    * [[graft.ops.Sessionize]] (a late bridging event CONCATENATES two held
+    * sessions), finalized sessions flow out, and the timeout re-arms at
+    * the earliest surviving end + gap. Null-value events still extend and
+    * bridge sessions — only their value is skipped (sum semantics), like
+    * the batch operator. State is bounded by sessions inside the
+    * watermark horizon per active user, not by history.
     */
   def closedSessions(events: DataFrame, gapMs: Long = 1800000L,
                      watermark: String = "1 hour"): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
-    events.select(col("user_id"), col("ts"), col("value"))
-      .where(col("user_id").isNotNull && col("ts").isNotNull
-        && col("value").isNotNull)
+    events.select(col("user_id"), col("ts"),
+        coalesce(col("value"), lit(0.0)).as("value"))
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
       .withWatermark("ts", watermark)
       .as[(Long, java.sql.Timestamp, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
-         st: GroupState[SessionState]) =>
-          def close(s: SessionState) = ClosedSession(uid,
-            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.lastTs),
-            s.nEvents, s.total)
-          if (st.hasTimedOut) {
-            val out = Iterator(close(st.get))
-            st.remove()
-            out
-          } else {
-            val evs = rows.map(r => (r._2.getTime, r._3)).toArray.sortBy(_._1)
-            val closed = scala.collection.mutable.ListBuffer.empty[ClosedSession]
-            var cur = st.getOption
-            evs.foreach { case (t, v) =>
-              cur match {
-                case Some(s) if t - s.lastTs <= gapMs =>
-                  cur = Some(SessionState(math.min(s.start, t),
-                    math.max(s.lastTs, t), s.nEvents + 1, s.total + v))
-                case Some(s) =>
-                  closed += close(s)
-                  cur = Some(SessionState(t, t, 1L, v))
-                case None =>
-                  cur = Some(SessionState(t, t, 1L, v))
+         st: GroupState[List[SessionState]]) =>
+          // One code path serves both deliveries (new data and timeout):
+          // fold events into the held sessions, emit whatever the
+          // watermark has made final, keep the rest.
+          val incoming = rows
+            .map(r => SessionState(r._2.getTime, r._2.getTime, 1L, r._3))
+          val merged = (st.getOption.getOrElse(Nil) ++ incoming)
+            .sortBy(s => (s.start, s.lastTs))
+            .foldLeft(List.empty[SessionState]) { (acc, s) =>
+              acc match {
+                case h :: t if s.start - h.lastTs <= gapMs =>
+                  SessionState(h.start, math.max(h.lastTs, s.lastTs),
+                    h.nEvents + s.nEvents, h.total + s.total) :: t
+                case _ => s :: acc
               }
-            }
-            cur.foreach { s =>
-              st.update(s)
-              // the timeout must sit strictly past the current watermark
-              // (Spark rejects a stale timestamp); if the watermark has
-              // already overtaken session-end + gap, this arms the
-              // earliest legal instant and the session closes next batch
-              st.setTimeoutTimestamp(math.max(s.lastTs + gapMs,
-                st.getCurrentWatermarkMs() + 1))
-            }
-            closed.iterator
-          }
+            }.reverse
+          // Late rows below the watermark never reach this function, so a
+          // session whose end + gap the watermark passed can never gain
+          // another member — emitting it now is exact, not approximate.
+          val wm = st.getCurrentWatermarkMs()
+          val (done, open) = merged.partition(_.lastTs + gapMs <= wm)
+          if (open.nonEmpty) {
+            st.update(open)
+            // every open session has end + gap > wm by the partition above,
+            // so this timestamp is always legal (strictly past the watermark)
+            st.setTimeoutTimestamp(open.map(_.lastTs + gapMs).min)
+          } else st.remove()
+          done.iterator.map(s => ClosedSession(uid,
+            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.lastTs),
+            s.nEvents, s.total))
       }
   }
 

@@ -159,11 +159,16 @@ class PlanSpec extends SparkTestBase {
     // the self-join operates on (tbl, bkt, id, bkts) — the embedding
     // arrays join back on candidates only, never through the bucket
     // exchange (a vector in that exchange would multiply shuffle bytes by
-    // dim x tables)
-    val bucketExchange = plan.linesIterator
-      .find(l => l.contains("Exchange hashpartitioning") && l.contains("tbl"))
-    assert(bucketExchange.exists(!_.contains("vec#")),
-      s"embedding shipped through the bucket exchange:\n$plan")
+    // dim x tables). SimpleMode exchange lines print only partition keys,
+    // so the attribute check must read FormattedMode's per-node
+    // "Input [..]" detail for the bucket-keyed exchange node.
+    val fm = executedFormatted(Similarity.cosineNearDupPairs(
+      e, "vec_id", "embedding", threshold = 0.4, bits = 4, tables = 24))
+    val exchBlocks = fm.split("\n\n").filter(b =>
+      b.contains("Exchange") && b.contains("hashpartitioning(tbl"))
+    assert(exchBlocks.nonEmpty, s"no bucket exchange node found:\n$fm")
+    assert(exchBlocks.forall(!_.contains("vec#")),
+      s"embedding shipped through the bucket exchange:\n${exchBlocks.mkString("\n\n")}")
   }
 
   test("decontaminate: eval gram set broadcasts into a semi join (train side never reshuffles on grams)") {
@@ -175,8 +180,11 @@ class PlanSpec extends SparkTestBase {
       split.where(col("split") === "test"), "doc_id", "text", n = 8))
     // the distinct eval gram set is benchmark-sized: it must build a
     // broadcast for the LeftSemi probe, leaving the train-side gram
-    // stream entirely shuffle-free
-    assert(plan.contains("LeftSemi"), s"no semi join:\n$plan")
-    assert(plan.contains("BroadcastHashJoin"), s"eval grams not broadcast:\n$plan")
+    // stream entirely shuffle-free. ONE line must carry both markers —
+    // checking them independently would let a SortMergeJoin LeftSemi pass
+    // on the strength of an unrelated broadcast elsewhere in the plan.
+    assert(plan.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi")),
+      s"eval-gram semi join is not a broadcast join:\n$plan")
   }
 }

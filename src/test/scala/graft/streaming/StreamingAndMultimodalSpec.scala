@@ -110,6 +110,37 @@ class StreamingAndMultimodalSpec extends SparkTestBase {
       ((ts("2024-01-01 00:05:00"), 1L, 4.0)))
   }
 
+  test("closedSessions: a within-watermark late event bridges a held gap into ONE session") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Option[Double], String)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventsStreaming.closedSessions(events,
+        gapMs = 1800000L, watermark = "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bridge_out").start()
+    // batch 1: a 50-min in-batch gap — but with a 1 h watermark delay the
+    // early session is NOT final yet and must not be emitted
+    input.addData(
+      (1L, ts("2024-01-01 00:00:00"), 7L, "click", Some(1.0), "{}"),
+      (2L, ts("2024-01-01 00:50:00"), 7L, "click", Some(2.0), "{}"))
+    q.processAllAvailable()
+    assert(spark.table("bridge_out").isEmpty,
+      "a gap-closed session leaked before the watermark made it final")
+    // batch 2: a late NULL-value event at 00:20 bridges the gap — both
+    // held sessions must concatenate (null extends, contributes 0)
+    input.addData((3L, ts("2024-01-01 00:20:00"), 7L, "view", None, "{}"))
+    q.processAllAvailable()
+    // batch 3: advance the watermark past 00:50 + gap; the single merged
+    // session becomes final
+    input.addData((4L, ts("2024-01-01 02:30:00"), 9L, "click", Some(1.0), "{}"))
+    q.processAllAvailable(); q.stop()
+    val u7 = spark.table("bridge_out")
+      .as[EventsStreaming.ClosedSession].collect().filter(_.userId == 7L)
+    assert(u7.toSeq == Seq(EventsStreaming.ClosedSession(
+      7L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:50:00"), 3L, 3.0)))
+  }
+
   test("stateful userSessions accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
