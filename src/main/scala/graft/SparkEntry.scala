@@ -482,6 +482,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The INTEGRATION query: the corpus-preparation chain a training run
+    // actually executes — normalize → exact-dedup on the normalized
+    // digest → Gopher-style quality gate (0.4 drops ~30% here) → split
+    // assignment → per-(lang, split) report. Every stage has its own
+    // graded query above/below; this one proves the COMPOSITION matches
+    // DuckDB end to end (id_sum pins exactly which docs survived).
+    "corpus_prep_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.normalizeText(col("text")).as("norm"))
+      val deduped = Dedup.dropExact(docs, "doc_id", "norm")
+      val gated = TextFunctions.withQualityColumns(deduped, "norm")
+        .where(col("quality") >= 0.4)
+      CorpusOps.assignSplit(gated, "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("norm"))).as("n_tokens"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("lang", "split")
+    }),
+
     // Text normalization ahead of dedup: the normalized digest is the
     // dedup key, and md5 is engine-portable so the whole row (digest
     // included) hash-checks against DuckDB byte-for-byte.
@@ -1104,6 +1126,29 @@ object SparkEntry {
         |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
         |    '\+\d[\d\- ]{5,18}\d', '<PHONE>', 'g') AS redacted
         |FROM aug ORDER BY doc_id""".stripMargin,
+    "corpus_prep_pipeline" ->
+      """WITH n AS (SELECT doc_id, lang,
+        |    trim(regexp_replace(lower(regexp_replace(text, '(?i)https?://\S+', '', 'g')), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |k AS (SELECT min(doc_id) AS keep_id FROM n GROUP BY md5(norm)),
+        |q AS (SELECT doc_id, lang, norm,
+        |    CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens,
+        |    floor((CAST(len(list_filter(string_split(norm, ' '), t -> list_contains(['the','a','and','of','to'], t))) AS DOUBLE)
+        |      / greatest(len(string_split(norm, ' ')), 1)) * 10000 + 0.5) / 10000 AS stop_ratio,
+        |    floor((CASE WHEN length(norm) = 0 THEN 0.0
+        |      ELSE CAST(length(norm) - length(regexp_replace(norm, '[0-9]', '', 'g')) AS DOUBLE) / length(norm) END) * 10000 + 0.5) / 10000 AS digit_ratio
+        |  FROM n WHERE doc_id IN (SELECT keep_id FROM k)),
+        |f AS (SELECT *, floor((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+        |    + stop_ratio * 0.3 + (1.0 - digit_ratio) * 0.2) * 10000 + 0.5) / 10000 AS quality FROM q),
+        |g AS (SELECT * FROM f WHERE quality >= 0.4),
+        |b AS (SELECT *, list_reduce(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT),
+        |    (a, x) -> a * 16 + x) % 100 AS bucket FROM g),
+        |s AS (SELECT *, CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM b)
+        |SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_normalize" ->
       """WITH n AS (SELECT doc_id,
         |    trim(regexp_replace(lower(regexp_replace(text, '(?i)https?://\S+', '', 'g')), '\s+', ' ', 'g')) AS norm
