@@ -837,6 +837,76 @@ object SparkEntry {
           rnd(sum("k").cast("double") / count("k")).as("k_avg"))
         .orderBy("event_type")
     }),
+
+    // ---- training-data extension tier: embedding governance ----
+    // Every vector reduction is a sequential left fold the oracle replays
+    // with list_reduce — see EmbeddingOps' determinism note.
+    "embed_stats" -> ((s, d) =>
+      EmbeddingOps.embeddingStats(Tables.embeddings(s, d), "label", "embedding")
+        .orderBy("label")),
+    "embed_normalize" -> ((s, d) => {
+      import CoreOps.rnd
+      val vec = col("embedding")
+      val unit = EmbeddingOps.l2Normalize(vec)
+      Tables.embeddings(s, d).select(col("vec_id"),
+        rnd(EmbeddingOps.l2Norm(vec)).as("norm"),
+        rnd(EmbeddingOps.l2Norm(unit)).as("norm_after"),
+        rnd(aggregate(unit, lit(0.0), (a, x) => a + x)).as("unit_sum"))
+        .orderBy("vec_id")
+    }),
+    // Quantization contract: q_sum/q_min/q_max pin every int8 code exactly
+    // (long arithmetic); err_ok is the scale/2 reconstruction bound as an
+    // oracle-gated boolean.
+    "embed_quantize" -> ((s, d) => {
+      import CoreOps.rnd
+      val vec = col("embedding")
+      val q = EmbeddingOps.quantizeInt8(vec)
+      Tables.embeddings(s, d).select(col("vec_id"),
+        rnd(EmbeddingOps.int8Scale(vec)).as("scale"),
+        aggregate(q, lit(0L), (a, x) => a + x).as("q_sum"),
+        array_min(q).as("q_min"), array_max(q).as("q_max"),
+        (EmbeddingOps.dequantMaxError(vec, q)
+          <= EmbeddingOps.int8Scale(vec) / 2 + lit(1e-12)).as("err_ok"))
+        .orderBy("vec_id")
+    }),
+
+    // ---- analytics extension tier: funnel + cohorts ----
+    // Ordered signup→click→purchase funnel; all three per-user stage
+    // timestamps ride ONE exchange on user_id (shared window partitioning).
+    "funnel_conversion" -> ((s, d) =>
+      EventAnalytics.funnelSummary(Tables.events(s, d),
+        "user_id", "ts", "event_type", Seq("signup", "click", "purchase"))),
+    "cohort_retention" -> ((s, d) =>
+      EventAnalytics.cohortRetention(Tables.events(s, d), "user_id", "ts")
+        .orderBy("cohort_week", "week_offset")),
+
+    // ---- training-data extension tier: incremental + vocabulary ops ----
+    // Daily-ingest dedup: the odd-id half is "today's batch", the even-id
+    // half the existing corpus; only never-seen-before content survives,
+    // first-id-wins within the batch.
+    "incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.dropExactIncremental(
+        docs.where(pmod(col("doc_id"), lit(2)) === 1),
+        docs.where(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+    "heavy_hitters" -> ((s, d) =>
+      CorpusOps.heavyHitters(Tables.documents(s, d), "text", minShare = 0.01)
+        .orderBy("token")),
+
+    // ---- scale tier: z-order layout key ----
+    // The graded surface is the Morton key itself (deterministic); the
+    // range-partitioned layout built on it is pinned by ScaleOpsSpec +
+    // PlanSpec (RangePartitioning, no global sort).
+    "zorder_layout" -> ((s, d) =>
+      Tables.orders(s, d).select(col("o_orderkey"),
+        pmod(col("o_custkey"), lit(1024)).as("zx"),
+        pmod(CoreOps.moneyCents(col("o_totalprice")), lit(1024)).as("zy"))
+        .withColumn("zval", ScaleOps.zValue(col("zx"), col("zy"), bits = 10))
+        .orderBy("zval", "o_orderkey")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1416,5 +1486,87 @@ object SparkEntry {
         |  floor((CAST(sum(k) AS DOUBLE) / count(k)) * 10000 + 0.5) / 10000 AS k_avg
         |FROM (SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) e
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Norms in integer micro-units before the cross-row aggregation (long
+    // sums are associative; double sums are not) — the per-vector fold is
+    // list_reduce, sequential like Spark's aggregate(), so the doubles are
+    // bit-identical before quantization.
+    "embed_stats" ->
+      """WITH v AS (SELECT label, CAST(len(embedding) AS BIGINT) AS dim,
+        |    CAST(floor(sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b)) * 1000000 + 0.5) AS BIGINT) AS norm_u
+        |  FROM embeddings)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  min(dim) AS min_dim, max(dim) AS max_dim,
+        |  floor((CAST(min(norm_u) AS DOUBLE) / 1000000) * 10000 + 0.5) / 10000 AS norm_min,
+        |  floor((CAST(max(norm_u) AS DOUBLE) / 1000000) * 10000 + 0.5) / 10000 AS norm_max,
+        |  floor((CAST(sum(norm_u) AS DOUBLE) / count(*) / 1000000) * 10000 + 0.5) / 10000 AS norm_avg
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    "embed_normalize" ->
+      """WITH v AS (SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, nrm,
+        |    CASE WHEN nrm = 0 THEN list_transform(embedding, x -> 0.0)
+        |         ELSE list_transform(embedding, x -> x::DOUBLE / nrm) END AS u
+        |  FROM v)
+        |SELECT vec_id,
+        |  floor(nrm * 10000 + 0.5) / 10000 AS norm,
+        |  floor(sqrt(list_reduce(list_transform(u, x -> x * x), (a, b) -> a + b)) * 10000 + 0.5) / 10000 AS norm_after,
+        |  floor(list_reduce(u, (a, b) -> a + b) * 10000 + 0.5) / 10000 AS unit_sum
+        |FROM n ORDER BY vec_id""".stripMargin,
+    "embed_quantize" ->
+      """WITH v AS (SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS sc
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, sc, embedding,
+        |    CASE WHEN sc = 0 THEN list_transform(embedding, x -> 0::BIGINT)
+        |         ELSE list_transform(embedding, x -> greatest(-127::BIGINT, least(127::BIGINT, CAST(floor(x::DOUBLE / sc + 0.5) AS BIGINT)))) END AS qv
+        |  FROM v)
+        |SELECT vec_id, floor(sc * 10000 + 0.5) / 10000 AS scale,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  list_min(qv) AS q_min, list_max(qv) AS q_max,
+        |  list_max(list_transform(range(1, len(qv) + 1),
+        |    i -> abs(qv[i]::DOUBLE * sc - embedding[i]::DOUBLE))) <= sc / 2 + 1e-12 AS err_ok
+        |FROM q ORDER BY vec_id""".stripMargin,
+    "funnel_conversion" ->
+      """WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e JOIN s0 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts >= s0.t0 GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s1.t1 GROUP BY 1)
+        |SELECT (SELECT count(*) FROM s0) AS n_stage_0,
+        |  (SELECT count(*) FROM s1) AS n_stage_1,
+        |  (SELECT count(*) FROM s2) AS n_stage_2,
+        |  floor(((SELECT CAST(count(*) AS DOUBLE) FROM s1) / (SELECT count(*) FROM s0)) * 10000 + 0.5) / 10000 AS conv_1,
+        |  floor(((SELECT CAST(count(*) AS DOUBLE) FROM s2) / (SELECT count(*) FROM s1)) * 10000 + 0.5) / 10000 AS conv_2""".stripMargin,
+    "cohort_retention" ->
+      """WITH w AS (SELECT user_id, date_trunc('week', ts) AS week FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1),
+        |a AS (SELECT DISTINCT w.user_id, c.cohort_week, w.week FROM w JOIN c USING (user_id))
+        |SELECT cohort_week,
+        |  CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT) AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "incremental_dedup" ->
+      """WITH b AS (SELECT doc_id, md5(text) AS dig FROM documents WHERE doc_id % 2 = 1),
+        |ex AS (SELECT DISTINCT md5(text) AS dig FROM documents WHERE doc_id % 2 = 0),
+        |k AS (SELECT dig, min(doc_id) AS doc_id FROM b GROUP BY 1),
+        |kk AS (SELECT doc_id FROM k WHERE dig NOT IN (SELECT dig FROM ex))
+        |SELECT d.doc_id, d.lang, d.n_chars FROM documents d JOIN kk USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c)
+        |SELECT token, cnt, floor((cnt / total) * 10000 + 0.5) / 10000 AS share
+        |FROM c, t WHERE cnt / total >= 0.01 ORDER BY token""".stripMargin,
+    "zorder_layout" ->
+      """WITH v AS (SELECT o_orderkey,
+        |    o_custkey % 1024 AS zx,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) % 1024 AS zy
+        |  FROM orders)
+        |SELECT o_orderkey, zx, zy,
+        |  CAST(list_sum(list_transform(range(0, 10),
+        |    i -> ((zx >> i) & 1) * (1::BIGINT << (2 * i)) + ((zy >> i) & 1) * (1::BIGINT << (2 * i + 1)))) AS BIGINT) AS zval
+        |FROM v ORDER BY zval, o_orderkey""".stripMargin,
   )
 }

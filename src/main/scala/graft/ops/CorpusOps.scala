@@ -206,19 +206,22 @@ object CorpusOps {
   /** Corpus mixture report: documents and tokens per stratum combination
     * (e.g. language × split) with each stratum's share of total tokens —
     * the table a data-mixture weighting decision reads. One hash
-    * aggregation over the corpus; the share is a window over the
-    * ALREADY-AGGREGATED frame (stratum-cardinality rows, not corpus rows),
-    * so the single-partition window is a report-scale operation at any
-    * input size.
+    * aggregation over the corpus; the corpus-total denominator re-aggregates
+    * the ALREADY-AGGREGATED frame (stratum-cardinality rows, not corpus
+    * rows) and joins back as a broadcast 1-row frame — same shape as
+    * [[tfIdf]]'s N, and no single-partition window stage.
     */
   def mixtureStats(df: DataFrame, strataCols: Seq[String],
                    tokens: Column): DataFrame = {
     import CoreOps.rnd
     require(strataCols.nonEmpty, "mixtureStats needs at least one stratum")
-    df.groupBy(strataCols.map(col): _*)
+    val per = df.groupBy(strataCols.map(col): _*)
       .agg(count(lit(1)).as("n_docs"), sum(tokens.cast("long")).as("n_tokens"))
+    val total = per.agg(sum("n_tokens").as("__total"))
+    per.crossJoin(broadcast(total))
       .withColumn("token_share",
-        rnd(col("n_tokens").cast("double") / sum("n_tokens").over()))
+        rnd(col("n_tokens").cast("double") / col("__total")))
+      .drop("__total")
   }
 
   /** TF-IDF over whitespace tokens: tf = raw occurrences of the term in
@@ -253,5 +256,27 @@ object CorpusOps {
       .where(col("rnk") <= k)
       .select(col("id"), col("term"), col("tf"), col("tf_idf"),
         col("rnk").cast("long").as("rnk"))
+  }
+
+  /** Exact heavy hitters over the token stream: every token whose corpus
+    * share is at least `minShare`. Two-phase hash-aggregate with map-side
+    * partials (narrow (token, count) rows through the exchange — never
+    * text), the corpus total joining back as a broadcast 1-row frame. This
+    * is the exact formulation; at truly unbounded vocabularies the same
+    * contract runs in bounded memory as count-min/SpaceSaving sketches, but
+    * a token vocabulary is small enough (≤ a few hundred million) that the
+    * exact two-agg plan is the right default even at 100 TB of text.
+    */
+  def heavyHitters(df: DataFrame, textCol: String,
+                   minShare: Double): DataFrame = {
+    import CoreOps.rnd
+    val counts = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share", rnd(col("cnt").cast("double") / col("total")))
+      .where(col("cnt").cast("double") / col("total") >= minShare)
+      .select("token", "cnt", "share")
   }
 }

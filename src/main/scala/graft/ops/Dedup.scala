@@ -53,6 +53,26 @@ object Dedup {
       Seq(idCol), "left_anti")
   }
 
+  /** Incremental (cross-corpus) exact dedup — the shape a daily ingest
+    * actually runs: keep a new-batch document only if (a) its content digest
+    * never appears in the existing corpus — already-ingested content never
+    * re-enters, regardless of either side's ids — and (b) it is the min-id
+    * holder of its digest within the batch. Both sides reduce to digests
+    * before any join, so the existing side can be a persisted digest
+    * manifest at 100 TB (here it is derived inline), the anti-join shuffles
+    * 16-byte digests only, and the final semi-join brings back batch rows by
+    * id with the (small) survivor set broadcast.
+    */
+  def dropExactIncremental(batch: DataFrame, existing: DataFrame,
+                           idCol: String, textCol: String): DataFrame = {
+    val dig = (df: DataFrame) =>
+      df.select(col(idCol).as("id"), md5(col(textCol).cast("binary")).as("dig"))
+    val keep = dig(batch).groupBy("dig").agg(min(col("id")).as(idCol))
+      .join(dig(existing).select("dig").distinct(), Seq("dig"), "left_anti")
+      .select(idCol)
+    batch.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** Exact token-set Jaccard over blocked pairs, fully relational (explode
     * distinct tokens → self-join within block on token → count shared →
     * |A∪B| = |A|+|B|-shared). Use only on bounded blocks/samples — the

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-funnel and cohort-retention analytics (extension tier): the two
+  * classic product-analytics rollups a clickstream warehouse runs daily,
+  * expressed as single-exchange window plans.
+  *
+  * Scale design: every per-user computation is a `Window.partitionBy(user)`
+  * unbounded-frame aggregate — all stages share ONE hash exchange on the
+  * user key (Catalyst reuses the exchange/sort across same-partitioning
+  * window nodes), then the rollup is an ordinary two-phase hash-aggregate on
+  * the (tiny) stage/cohort keys. No joins, no self-scans, no collect; at
+  * 100 TB the only fact-scale movement is that single user-key shuffle,
+  * skew-mitigated by AQE.
+  */
+object EventAnalytics {
+
+  /** Ordered-funnel timestamps: for each stage i, the earliest event of
+    * stage i's type occurring at-or-after the user's stage i-1 timestamp
+    * (strictly the textbook "did A, then B, then C" sequence — an early B
+    * before any A does not count). Adds one `ts_<i>` column per stage.
+    */
+  def funnelStages(events: DataFrame, userCol: String, tsCol: String,
+                   typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val w = Window.partitionBy(col(userCol))
+    stages.zipWithIndex.foldLeft(events) { case (df, (stage, i)) =>
+      val gate =
+        if (i == 0) col(typeCol) === stage
+        else col(typeCol) === stage && col(tsCol) >= col(s"ts_${i - 1}")
+      df.withColumn(s"ts_$i", min(when(gate, col(tsCol))).over(w))
+    }
+  }
+
+  /** One-row funnel summary: users reaching each stage plus step conversion
+    * rates (stage i users / stage i-1 users, 4-dp).
+    */
+  def funnelSummary(events: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String, stages: Seq[String]): DataFrame = {
+    import CoreOps.rnd
+    val staged = funnelStages(events, userCol, tsCol, typeCol, stages)
+    // ts_i is constant within a user's partition; max() just collapses the
+    // per-event rows back to one row per user (null-skipping, so a user who
+    // never reached stage i stays null).
+    val perUserAggs = stages.indices.map(i => max(col(s"ts_$i")).as(s"ts_$i"))
+    val perUser = staged.groupBy(col(userCol))
+      .agg(perUserAggs.head, perUserAggs.tail: _*)
+    val countAggs = stages.indices.map(i =>
+      count(when(col(s"ts_$i").isNotNull, 1)).as(s"n_stage_$i"))
+    val counts = perUser.agg(countAggs.head, countAggs.tail: _*)
+    stages.indices.tail.foldLeft(counts) { (df, i) =>
+      df.withColumn(s"conv_$i",
+        rnd(col(s"n_stage_$i").cast("double") / col(s"n_stage_${i - 1}")))
+    }
+  }
+
+  /** Cohort-retention matrix: users are assigned to the Monday-start week of
+    * their first event (their cohort); each later active week counts them at
+    * `week_offset` = whole weeks since the cohort week. Returns
+    * (cohort_week, week_offset, n_users) — offset 0 is cohort size.
+    */
+  def cohortRetention(events: DataFrame, userCol: String,
+                      tsCol: String): DataFrame = {
+    val week = CoreOps.weekStart(col(tsCol))
+    events
+      .select(col(userCol).as("user"), week.as("week"))
+      .withColumn("cohort_week",
+        min(col("week")).over(Window.partitionBy(col("user"))))
+      .select("user", "cohort_week", "week").distinct()
+      .groupBy(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7)
+          .cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

@@ -152,4 +152,41 @@ object ScaleOps {
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
                    key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** Z-order (Morton) key: interleave the low `bits` bits of two
+    * non-negative dimension columns, bit i of x landing at position 2i and
+    * bit i of y at 2i+1. Inputs are masked to `bits` bits first, so any
+    * integer column is safe to pass. Pure per-row expression — a sequential
+    * fold over the bit positions, which DuckDB replays with
+    * `list_transform`/`list_sum` for oracle checks.
+    */
+  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits=$bits outside [1, 31]")
+    val mask = (1L << bits) - 1
+    val xm = x.cast("long").bitwiseAND(lit(mask))
+    val ym = y.cast("long").bitwiseAND(lit(mask))
+    // Unrolled at plan-build time (bits is a Scala constant): bit i of x,
+    // already worth 2^i inside `x & (1<<i)`, shifts up i more places to land
+    // at position 2i; y's bit lands one higher. A flat sum of 2*bits masked
+    // shifts — all long arithmetic inside whole-stage codegen.
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc +
+        shiftleft(xm.bitwiseAND(lit(1L << i)), i) +
+        shiftleft(ym.bitwiseAND(lit(1L << i)), i + 1)
+    }
+  }
+
+  /** Z-order data layout: range-partition by the interleaved key and sort
+    * each partition by it, so a write from this frame produces files whose
+    * (x, y) bounding boxes are small in BOTH dimensions — 2-D data skipping
+    * from 1-D file statistics, the standard lakehouse layout trick for
+    * two-column predicate workloads. One range exchange (sampled
+    * boundaries), local sort, no global sort.
+    */
+  def zorderLayout(df: DataFrame, xCol: String, yCol: String,
+                   partitions: Int, bits: Int = 16): DataFrame =
+    df.withColumn("__z", zValue(col(xCol), col(yCol), bits))
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
 }

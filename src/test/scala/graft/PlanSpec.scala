@@ -187,4 +187,57 @@ class PlanSpec extends SparkTestBase {
       l.contains("BroadcastHashJoin") && l.contains("LeftSemi")),
       s"eval-gram semi join is not a broadcast join:\n$plan")
   }
+
+  test("funnel: all stage windows and the per-user rollup share ONE user exchange") {
+    // funnelStages' three windows all partition by user_id and the groupBy
+    // that follows reuses the same partitioning — a second
+    // hashpartitioning(user_id...) exchange would mean the window specs
+    // diverged and each stage re-shuffles the events.
+    val plan = executedSimple(EventAnalytics.funnelSummary(
+      Tables.events(spark, sf), "user_id", "ts", "event_type",
+      Seq("signup", "click", "purchase")))
+    val userExchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(user_id"))
+    assert(userExchanges == 1, s"expected 1 user exchange, got $userExchanges:\n$plan")
+  }
+
+  test("embedding quantization is map-only: zero exchanges") {
+    val e = Tables.embeddings(spark, sf)
+    val plan = executedSimple(e.select(col("vec_id"),
+      graft.ops.EmbeddingOps.quantizeInt8(col("embedding")).as("q"),
+      graft.ops.EmbeddingOps.l2Normalize(col("embedding")).as("u")))
+    assert(!plan.contains("Exchange"), s"quantization shuffled:\n$plan")
+  }
+
+  test("zorderLayout: one range exchange on the z key, sort stays partition-local") {
+    val o = Tables.orders(spark, sf).select(col("o_orderkey"),
+      pmod(col("o_custkey"), lit(256)).as("x"),
+      pmod(col("o_orderkey"), lit(256)).as("y"))
+    val laid = ScaleOps.zorderLayout(o, "x", "y", partitions = 4, bits = 8)
+    val simple = executedSimple(laid)
+    // SortExec prints "Sort [keys], <global>, <limit>" — the layout sort
+    // must be partition-local (global=false): a true full sort would mean
+    // the layout op degenerated into a global orderBy.
+    val sortLines = simple.linesIterator.filter(_.contains("Sort [__z")).toSeq
+    assert(sortLines.nonEmpty, s"no z-key sort in plan:\n$simple")
+    assert(sortLines.forall(_.contains("], false, 0")),
+      s"z-order sort went global (full-sort, not layout):\n$simple")
+    assert(simple.contains("Exchange rangepartitioning"),
+      s"no range exchange for the layout:\n$simple")
+  }
+
+  test("incremental dedup: both sides reduce to digests before the anti join") {
+    val docs = Tables.documents(spark, sf)
+    val plan = executedFormatted(Dedup.dropExactIncremental(
+      docs.where(pmod(col("doc_id"), lit(2)) === 1),
+      docs.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text"))
+    // the digest-keyed exchanges must not carry the text column: content
+    // reduces to 16-byte digests map-side, so at 100 TB the anti join moves
+    // ~32 bytes/doc, not documents
+    val exchBlocks = plan.split("\n\n").filter(b =>
+      b.contains("Exchange") && b.contains("hashpartitioning(dig"))
+    assert(exchBlocks.nonEmpty, s"no digest exchange found:\n$plan")
+    assert(exchBlocks.forall(!_.contains("text#")),
+      s"raw text shipped through a digest exchange:\n${exchBlocks.mkString("\n\n")}")
+  }
 }

@@ -26,6 +26,30 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(Dedup.dropExact(docs, "doc_id", "text").count() == 4)
   }
 
+  test("dropExactIncremental: seen content drops, batch dups collapse, new survives") {
+    val existing = Seq(
+      (10L, "alpha beta"), (11L, "gamma delta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "alpha beta"),   // digest already in the corpus → drops
+      (3L, "epsilon zeta"), // new content, min id of its digest → survives
+      (5L, "epsilon zeta"), // batch-internal duplicate → drops
+      (7L, "eta theta"))    // new → survives
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropExactIncremental(batch, existing, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 7L))
+    // seen-content suppression is content-addressed, not id-ordered: a
+    // batch id SMALLER than the existing holder still drops
+    assert(!kept.contains(1L))
+    // empty existing side degenerates to plain dropExact
+    val empty = existing.where(lit(false))
+    val soloKept = Dedup.dropExactIncremental(batch, empty, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(soloKept ==
+      Dedup.dropExact(batch, "doc_id", "text")
+        .select("doc_id").as[Long].collect().toSet)
+  }
+
   test("jaccardPairs computes exact token-set jaccard within blocks") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", "lang", 0.0)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap

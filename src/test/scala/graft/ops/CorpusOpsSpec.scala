@@ -158,4 +158,15 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(asMap("en") == ((2L, 5L, 0.5)))
     assert(asMap("de") == ((1L, 5L, 0.5)))
   }
+
+  test("heavyHitters: exact shares, threshold on the raw ratio, minors dropped") {
+    val docs = Seq((1L, "a a a b"), (2L, "a b c")).toDF("id", "text")
+    // counts: a=4, b=2, c=1, total=7
+    val hh = CorpusOps.heavyHitters(docs, "text", minShare = 0.2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(hh.keySet == Set("a", "b")) // c at 1/7 ≈ 0.143 < 0.2
+    assert(hh("a") == ((4L, 0.5714)))
+    assert(hh("b") == ((2L, 0.2857)))
+  }
 }

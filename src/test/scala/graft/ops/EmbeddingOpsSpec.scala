@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class EmbeddingOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def vecDf(vs: (Long, Seq[Float])*) =
+    vs.toSeq.toDF("vec_id", "embedding")
+
+  test("l2Norm / l2Normalize: hand-computed 3-4-5, zero vector stays zero") {
+    val df = vecDf(
+      1L -> Seq(3.0f, 4.0f),
+      2L -> Seq(0.0f, 0.0f))
+    val out = df.select(col("vec_id"),
+      EmbeddingOps.l2Norm(col("embedding")).as("n"),
+      EmbeddingOps.l2Normalize(col("embedding")).as("u"))
+      .orderBy("vec_id").collect()
+    assert(out(0).getDouble(1) === 5.0)
+    assert(out(0).getSeq[Double](2) == Seq(0.6, 0.8))
+    // zero vector: zero norm, zero output, no NaN/Inf from the division
+    assert(out(1).getDouble(1) === 0.0)
+    assert(out(1).getSeq[Double](2) == Seq(0.0, 0.0))
+  }
+
+  test("quantizeInt8: absmax scheme, half-up rounding, extreme maps to ±127") {
+    val df = vecDf(1L -> Seq(1.27f, -0.635f, 0.0f))
+    val r = df.select(
+      EmbeddingOps.int8Scale(col("embedding")).as("s"),
+      EmbeddingOps.quantizeInt8(col("embedding")).as("q")).head()
+    assert(math.abs(r.getDouble(0) - 0.01) < 1e-9)
+    // -0.635/0.01 = -63.5 → floor(-63.5 + 0.5) = -63 (half-up, not
+    // round-half-even); the absmax element lands exactly on 127
+    assert(r.getSeq[Long](1) == Seq(127L, -63L, 0L))
+  }
+
+  test("quantizeInt8: zero vector quantizes to zeros (no div-by-zero)") {
+    val df = vecDf(1L -> Seq(0.0f, 0.0f, 0.0f))
+    val r = df.select(EmbeddingOps.quantizeInt8(col("embedding")).as("q")).head()
+    assert(r.getSeq[Long](0) == Seq(0L, 0L, 0L))
+  }
+
+  test("dequantMaxError clears the scale/2 bound on real embeddings") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val bad = e.select(
+      (EmbeddingOps.dequantMaxError(col("embedding"),
+        EmbeddingOps.quantizeInt8(col("embedding")))
+        <= EmbeddingOps.int8Scale(col("embedding")) / 2 + lit(1e-12)).as("ok"))
+      .where(!col("ok")).count()
+    assert(bad === 0L)
+  }
+
+  test("embeddingStats: counts, dim bounds surface raggedness, exact micro-norm mean") {
+    val df = Seq(
+      (0, Seq(3.0f, 4.0f)),   // norm 5
+      (0, Seq(6.0f, 8.0f)),   // norm 10
+      (1, Seq(1.0f, 0.0f, 0.0f))) // norm 1, dim 3 — ragged vs label 0
+      .toDF("label", "embedding")
+    val out = EmbeddingOps.embeddingStats(df, "label", "embedding")
+      .orderBy("label").collect()
+    assert(out(0).getAs[Long]("n_vecs") === 2L)
+    assert(out(0).getAs[Long]("min_dim") === 2L)
+    assert(out(0).getAs[Double]("norm_avg") === 7.5)
+    assert(out(0).getAs[Double]("norm_min") === 5.0)
+    assert(out(0).getAs[Double]("norm_max") === 10.0)
+    assert(out(1).getAs[Long]("min_dim") === 3L)
+    assert(out(1).getAs[Double]("norm_avg") === 1.0)
+  }
+
+  test("normalize → quantize round-trip keeps cosine structure (sanity at sf0.001)") {
+    // quantized-then-dequantized vectors should still rank an identical
+    // vector first — the int8 path is lossy but order-preserving at k=1
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .where(col("vec_id") < 50)
+    val deq = e.select(col("vec_id"),
+      EmbeddingOps.int8Scale(col("embedding")).as("s"),
+      EmbeddingOps.quantizeInt8(col("embedding")).as("q"))
+      .select(col("vec_id"),
+        expr("transform(q, x -> cast(x * s AS FLOAT))").as("embedding"))
+    val self = deq.as("a").join(deq.as("b"),
+        col("a.vec_id") === col("b.vec_id"))
+      .select(graft.expressions.CosineSimilarity.cosineFast(
+        col("a.embedding"), col("b.embedding")).as("c"))
+      .agg(min("c")).head().getDouble(0)
+    assert(self > 0.999, s"self-cosine after dequant: $self")
+  }
+}

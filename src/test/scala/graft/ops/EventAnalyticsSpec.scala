@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class EventAnalyticsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, String)*) =
+    rows.toSeq.map { case (u, t, w) => (u, t, ts(w)) }
+      .toDF("user_id", "event_type", "ts")
+
+  test("funnel: ordered stages only — early stage-2 events don't count") {
+    val df = ev(
+      // u1: clean signup → click → purchase
+      (1L, "signup", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 11:00:00"),
+      (1L, "purchase", "2024-01-01 12:00:00"),
+      // u2: click BEFORE signup (ignored), later click counts, purchase
+      // lands before that click → stage 3 not reached
+      (2L, "click", "2024-01-01 09:00:00"),
+      (2L, "signup", "2024-01-01 10:00:00"),
+      (2L, "purchase", "2024-01-01 11:00:00"),
+      (2L, "click", "2024-01-01 12:00:00"),
+      // u3: signup only
+      (3L, "signup", "2024-01-01 10:00:00"),
+      // u4: never signed up — excluded from every stage
+      (4L, "click", "2024-01-01 10:00:00"),
+      (4L, "purchase", "2024-01-01 11:00:00"))
+    val r = EventAnalytics.funnelSummary(df, "user_id", "ts", "event_type",
+      Seq("signup", "click", "purchase")).head()
+    assert(r.getAs[Long]("n_stage_0") === 3L)
+    assert(r.getAs[Long]("n_stage_1") === 2L)
+    assert(r.getAs[Long]("n_stage_2") === 1L)
+    assert(r.getAs[Double]("conv_1") === 0.6667)
+    assert(r.getAs[Double]("conv_2") === 0.5)
+  }
+
+  test("funnel: stage event AT the previous stage's timestamp counts (>=)") {
+    val df = ev(
+      (1L, "signup", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 10:00:00"))
+    val r = EventAnalytics.funnelSummary(df, "user_id", "ts", "event_type",
+      Seq("signup", "click")).head()
+    assert(r.getAs[Long]("n_stage_1") === 1L)
+  }
+
+  test("cohortRetention: first-week cohorts, distinct weekly actives, whole-week offsets") {
+    val df = ev(
+      // u1: cohort 2024-01-01 week, active again two weeks later (twice in
+      // the same week — counted once)
+      (1L, "view", "2024-01-02 10:00:00"),
+      (1L, "view", "2024-01-15 10:00:00"),
+      (1L, "view", "2024-01-16 10:00:00"),
+      // u2: cohort week 0, active week 1
+      (2L, "view", "2024-01-03 10:00:00"),
+      (2L, "view", "2024-01-08 10:00:00"),
+      // u3: cohort week 1 only
+      (3L, "view", "2024-01-10 10:00:00"))
+    val out = EventAnalytics.cohortRetention(df, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01 00:00:00.0", 0L, 2L),
+      ("2024-01-01 00:00:00.0", 1L, 1L),
+      ("2024-01-01 00:00:00.0", 2L, 1L),
+      ("2024-01-08 00:00:00.0", 0L, 1L)))
+  }
+}

@@ -29,6 +29,45 @@ class ScaleOpsSpec extends SparkTestBase {
     }
   }
 
+  test("zValue: hand-computed interleave, masking, and locality ordering") {
+    val df = Seq((5L, 3L), (13L, 3L)).toDF("x", "y")
+    val zs = df.select(ScaleOps.zValue(col("x"), col("y"), bits = 3).as("z"))
+      .collect().map(_.getLong(0))
+    // x=101b, y=011b → z = x0@0 + y0@1 + y1@3 + x2@4 = 1+2+8+16 = 27
+    assert(zs(0) === 27L)
+    // bits=3 masks x=13 (1101b) down to 101b — same key as x=5
+    assert(zs(1) === 27L)
+    // z-order locality: points close in BOTH dims sort near each other —
+    // (2,2) and (3,3) interleave below (0,7) and (7,0)'s neighborhood span
+    val grid = for { x <- 0L to 7L; y <- 0L to 7L } yield (x, y)
+    val zmap = grid.toDF("x", "y")
+      .select(col("x"), col("y"),
+        ScaleOps.zValue(col("x"), col("y"), bits = 3).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(zmap.values.toSet.size === 64) // bijective on the 8x8 grid
+    assert(math.abs(zmap((2L, 2L)) - zmap((3L, 3L)))
+      < math.abs(zmap((0L, 7L)) - zmap((7L, 0L))))
+  }
+
+  test("zorderLayout: range-partitioned by the key, rows preserved, files 2-D tight") {
+    val o = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(col("o_orderkey"),
+        pmod(col("o_custkey"), lit(256)).as("x"),
+        pmod(col("o_orderkey"), lit(256)).as("y"))
+    val laid = ScaleOps.zorderLayout(o, "x", "y", partitions = 4, bits = 8)
+    assert(laid.count() === o.count())
+    assert(laid.columns.toSeq == o.columns.toSeq) // helper key dropped
+    // each output partition's x-range is tighter than the global range —
+    // the point of the layout: per-file min/max stats can skip 2-D queries
+    val spans = laid
+      .select(spark_partition_id().as("p"), col("x"))
+      .groupBy("p").agg((max("x") - min("x")).as("span"))
+      .collect().map(_.getAs[Long]("span"))
+    val globalSpan = 255L
+    assert(spans.length > 1 && spans.count(_ < globalSpan) >= spans.length / 2,
+      s"partitions not 2-D localized: ${spans.toSeq}")
+  }
+
   test("incremental HLL sketches: merged runs estimate like a full recompute") {
     val o = graft.Tables.orders(spark, "/root/testdata/sf0.001")
     // split history into two "runs" (disjoint deliveries) + re-deliver one
