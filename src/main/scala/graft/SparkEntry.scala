@@ -897,6 +897,58 @@ object SparkEntry {
       CorpusOps.heavyHitters(Tables.documents(s, d), "text", minShare = 0.01)
         .orderBy("token")),
 
+    // Embedding-space decontamination (the semantic analog of
+    // decontaminate_ngrams): a content-addressed train/test split, then
+    // every test vector with a train neighbor at cosine >= 0.4 counts as
+    // leaked. The oracle owns the exhaustive cross-split truth count; the
+    // Spark side must find them through the SRP-LSH scale path and clear
+    // the recall floor, with precision exact by construction (candidates
+    // are exact-verified before thresholding) — cosine_dedup_quality's
+    // contract shape applied across the split boundary.
+    "embed_decontaminate" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val split = CorpusOps.assignSplit(e, "vec_id",
+        Seq("train" -> 90, "test" -> 10))
+        .select(col("vec_id"), col("split"))
+      // reduce a pair list to the distinct test-side ids of cross-split pairs
+      def leakedTestIds(pairs: DataFrame, tag: String) = pairs
+        .join(split.select(col("vec_id").as("id_a"), col("split").as("sa")),
+          Seq("id_a"))
+        .join(split.select(col("vec_id").as("id_b"), col("split").as("sb")),
+          Seq("id_b"))
+        .where(col("sa") =!= col("sb"))
+        .select(when(col("sa") === "test", col("id_a"))
+          .otherwise(col("id_b")).as("test_id"))
+        .distinct()
+        .withColumn(tag, lit(1))
+      val truth = leakedTestIds(Similarity.cosinePairsExhaustive(
+        e, "vec_id", "embedding", threshold = 0.4), "__t")
+      val lsh = leakedTestIds(Similarity.cosineNearDupPairs(
+        e, "vec_id", "embedding", threshold = 0.4, bits = 4, tables = 24), "__l")
+      truth.join(lsh, Seq("test_id"), "full_outer")
+        .agg(
+          sum(when(col("__t").isNotNull, 1L).otherwise(0L)).as("n_leaked"),
+          sum(when(col("__t").isNotNull && col("__l").isNotNull, 1L)
+            .otherwise(0L)).as("__n_hit"),
+          sum(when(col("__l").isNotNull, 1L).otherwise(0L)).as("__n_lsh"))
+        .select(
+          coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+          when(coalesce(col("n_leaked"), lit(0L)) === 0, lit(true))
+            .otherwise(col("__n_hit").cast("double") / col("n_leaked") >= 0.95)
+            .as("recall_ok"),
+          coalesce(col("__n_lsh") === col("__n_hit"), lit(true))
+            .as("precision_ok"))
+    }),
+
+    // Paragraph-style chunk dedup: first global occurrence of each
+    // 16-token chunk survives, documents reassemble from surviving chunks
+    // (fully-duplicated docs vanish). The oracle rebuilds the same keeper
+    // set with a positional row_number.
+    "dedup_chunks" -> ((s, d) =>
+      CorpusOps.dropDuplicateChunks(Tables.documents(s, d), "doc_id", "text",
+        chunkTokens = 16)
+        .orderBy("doc_id")),
+
     // ---- scale tier: z-order layout key ----
     // The graded surface is the Morton key itself (deterministic); the
     // range-partitioned layout built on it is pinned by ScaleOpsSpec +
@@ -1559,6 +1611,32 @@ object SparkEntry {
         |t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c)
         |SELECT token, cnt, floor((cnt / total) * 10000 + 0.5) / 10000 AS share
         |FROM c, t WHERE cnt / total >= 0.01 ORDER BY token""".stripMargin,
+    "embed_decontaminate" ->
+      """WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_reduce(list_transform(range(1, 9),
+        |      i -> (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), i, 1)) - 1)::BIGINT),
+        |      (a, x) -> a * 16 + x) % 100 AS bucket
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, v, CASE WHEN bucket < 90 THEN 'train' ELSE 'test' END AS split FROM b),
+        |leaked AS (SELECT DISTINCT t.vec_id
+        |  FROM s t JOIN s tr ON t.split = 'test' AND tr.split = 'train'
+        |  WHERE floor(list_cosine_similarity(t.v, tr.v) * 10000 + 0.5) / 10000 >= 0.4)
+        |SELECT CAST(count(*) AS BIGINT) AS n_leaked, TRUE AS recall_ok, TRUE AS precision_ok
+        |FROM leaked""".stripMargin,
+    "dedup_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |    unnest(range(0, GREATEST(0, (len(toks) - 16 + 15) // 16) + 1)) AS chunk_id
+        |  FROM t),
+        |ch AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |    array_to_string(list_slice(toks, chunk_id * 16 + 1, chunk_id * 16 + 16), ' ') AS chunk_text
+        |  FROM c),
+        |surv AS (SELECT doc_id, chunk_id, chunk_text FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY md5(chunk_text) ORDER BY doc_id, chunk_id) AS rn FROM ch)
+        |  WHERE rn = 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks_kept,
+        |  string_agg(chunk_text, ' ' ORDER BY chunk_id) AS text
+        |FROM surv GROUP BY 1 ORDER BY 1""".stripMargin,
     "zorder_layout" ->
       """WITH v AS (SELECT o_orderkey,
         |    o_custkey % 1024 AS zx,

@@ -127,6 +127,37 @@ object CorpusOps {
         array_join(window, " ").as("chunk_text"))
   }
 
+  /** Chunk-level (paragraph-style) dedup — the CCNet line-dedup shape over
+    * token windows: split every document into NON-overlapping
+    * `chunkTokens`-token chunks, keep globally the FIRST occurrence of each
+    * distinct chunk (min (doc, chunk) position), and reassemble each
+    * document from its surviving chunks in order. Documents whose every
+    * chunk appeared earlier elsewhere vanish entirely.
+    *
+    * Scale shape: the keeper set is one hash-aggregate keyed by the chunk
+    * digest (min-position struct as the value — chunk text never rides that
+    * exchange beyond its digest), the semi-join brings survivors back by
+    * (doc, chunk), and reassembly is one aggregation on the doc key with an
+    * in-group `array_sort` (chunks per doc are bounded by doc length, so
+    * the sort is row-local work, not a global sort).
+    */
+  def dropDuplicateChunks(df: DataFrame, idCol: String, textCol: String,
+                          chunkTokens: Int): DataFrame = {
+    val chunks = chunkDocuments(df, idCol, textCol, chunkTokens,
+      strideTokens = chunkTokens)
+    val keep = chunks
+      .groupBy(md5(col("chunk_text").cast("binary")).as("__dig"))
+      .agg(min(struct(col(idCol), col("chunk_id"))).as("__k"))
+      .select(col(s"__k.$idCol").as(idCol),
+        col("__k.chunk_id").as("chunk_id"))
+    chunks.join(keep, Seq(idCol, "chunk_id"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+          s => s.getField("chunk_text")), " ").as(textCol))
+  }
+
   /** Distinct word n-grams per document as (id, gram) rows. The per-doc
     * dedup happens BEFORE the generator (`array_distinct` on the in-plan
     * gram array), so no shuffle is spent de-duplicating within documents —

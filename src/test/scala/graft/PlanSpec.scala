@@ -226,6 +226,19 @@ class PlanSpec extends SparkTestBase {
       s"no range exchange for the layout:\n$simple")
   }
 
+  test("chunk dedup: the keeper aggregation shuffles digests + positions, not chunk text") {
+    val plan = executedFormatted(CorpusOps.dropDuplicateChunks(
+      Tables.documents(spark, sf), "doc_id", "text", chunkTokens = 16))
+    // the md5 grouping key prints as _groupingexpression; its exchange must
+    // move (digest, position-struct) rows only — chunk text reaching this
+    // exchange would ship the corpus once more for no reason
+    val exchBlocks = plan.split("\n\n").filter(b =>
+      b.contains("Exchange") && b.contains("hashpartitioning(_groupingexpression"))
+    assert(exchBlocks.nonEmpty, s"no digest-keyed exchange found:\n$plan")
+    assert(exchBlocks.forall(!_.contains("chunk_text#")),
+      s"chunk text shipped through the digest exchange:\n${exchBlocks.mkString("\n\n")}")
+  }
+
   test("incremental dedup: both sides reduce to digests before the anti join") {
     val docs = Tables.documents(spark, sf)
     val plan = executedFormatted(Dedup.dropExactIncremental(

@@ -159,6 +159,18 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(asMap("de") == ((1L, 5L, 0.5)))
   }
 
+  test("dropDuplicateChunks: first occurrence wins, docs reassemble in order, fully-dup docs vanish") {
+    val docs = Seq(
+      (1L, "a b c d"),  // chunks "a b", "c d" — both first occurrences
+      (2L, "c d a b"),  // both chunks seen in doc 1 → doc vanishes
+      (3L, "a b x y"))  // "a b" dropped, "x y" survives
+      .toDF("doc_id", "text")
+    val out = CorpusOps.dropDuplicateChunks(docs, "doc_id", "text", 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq((1L, 2L, "a b c d"), (3L, 1L, "x y")))
+  }
+
   test("heavyHitters: exact shares, threshold on the raw ratio, minors dropped") {
     val docs = Seq((1L, "a a a b"), (2L, "a b c")).toDF("id", "text")
     // counts: a=4, b=2, c=1, total=7
