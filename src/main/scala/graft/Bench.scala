@@ -37,7 +37,14 @@ object Bench {
     // "regressed" 2x with zero code change. Fix the execution order by
     // name, and warm EVERY query once (codegen + JIT + page cache for its
     // scans) before any timing, so each measured run is steady-state.
+    // Optional comma-separated name filter for single-query iteration
+    // (SPARK_GRAFT_QUERIES=embed_quantize,dedup_chunks) — same warmup and
+    // forcing as a full run, so spot timings are comparable to BENCH_r*.
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    require(ordered.nonEmpty, s"no queries match SPARK_GRAFT_QUERIES=$only")
     ordered.foreach { case (name, fn) =>
       try force(fn(spark, sfDir)) catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")

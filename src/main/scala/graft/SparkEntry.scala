@@ -906,25 +906,38 @@ object SparkEntry {
     // are exact-verified before thresholding) — cosine_dedup_quality's
     // contract shape applied across the split boundary.
     "embed_decontaminate" -> ((s, d) => {
+      import CoreOps.rnd
       val e = Tables.embeddings(s, d)
       val split = CorpusOps.assignSplit(e, "vec_id",
         Seq("train" -> 90, "test" -> 10))
-        .select(col("vec_id"), col("split"))
-      // reduce a pair list to the distinct test-side ids of cross-split pairs
-      def leakedTestIds(pairs: DataFrame, tag: String) = pairs
-        .join(split.select(col("vec_id").as("id_a"), col("split").as("sa")),
+      // Exhaustive truth over CROSS-SPLIT pairs only (test × train, the
+      // ~2·p·(1-p)·n²/2 slice the contract is about) — running the full
+      // all-pairs scan and discarding same-split pairs would pay ~5.5x the
+      // dominant O(n²) stage for nothing.
+      val test = split.where(col("split") === "test")
+        .select(col("vec_id").as("test_id"), col("embedding").as("tv"))
+      val train = split.where(col("split") === "train")
+        .select(col("vec_id").as("train_id"), col("embedding").as("rv"))
+      val truth = test.crossJoin(train)
+        .where(rnd(graft.expressions.CosineSimilarity
+          .cosineFast(col("tv"), col("rv"))) >= 0.4)
+        .select("test_id").distinct()
+        .withColumn("__t", lit(1))
+      // The LSH path runs over the whole corpus (production shape: one
+      // bucketed index serves every governance scan), cross-split pairs
+      // selected after the fact.
+      val sp = split.select(col("vec_id"), col("split"))
+      val lsh = Similarity.cosineNearDupPairs(
+          e, "vec_id", "embedding", threshold = 0.4, bits = 4, tables = 24)
+        .join(sp.select(col("vec_id").as("id_a"), col("split").as("sa")),
           Seq("id_a"))
-        .join(split.select(col("vec_id").as("id_b"), col("split").as("sb")),
+        .join(sp.select(col("vec_id").as("id_b"), col("split").as("sb")),
           Seq("id_b"))
         .where(col("sa") =!= col("sb"))
         .select(when(col("sa") === "test", col("id_a"))
           .otherwise(col("id_b")).as("test_id"))
         .distinct()
-        .withColumn(tag, lit(1))
-      val truth = leakedTestIds(Similarity.cosinePairsExhaustive(
-        e, "vec_id", "embedding", threshold = 0.4), "__t")
-      val lsh = leakedTestIds(Similarity.cosineNearDupPairs(
-        e, "vec_id", "embedding", threshold = 0.4, bits = 4, tables = 24), "__l")
+        .withColumn("__l", lit(1))
       truth.join(lsh, Seq("test_id"), "full_outer")
         .agg(
           sum(when(col("__t").isNotNull, 1L).otherwise(0L)).as("n_leaked"),
@@ -1598,11 +1611,15 @@ object SparkEntry {
         |  CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT) AS week_offset,
         |  CAST(count(*) AS BIGINT) AS n_users
         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // NOT EXISTS, not NOT IN: a NULL digest on the existing side would make
+    // NOT IN never-true (three-valued logic) while the Spark side's
+    // left_anti keeps null-keyed batch rows — NOT EXISTS pins the
+    // anti-join's null semantics exactly.
     "incremental_dedup" ->
       """WITH b AS (SELECT doc_id, md5(text) AS dig FROM documents WHERE doc_id % 2 = 1),
         |ex AS (SELECT DISTINCT md5(text) AS dig FROM documents WHERE doc_id % 2 = 0),
         |k AS (SELECT dig, min(doc_id) AS doc_id FROM b GROUP BY 1),
-        |kk AS (SELECT doc_id FROM k WHERE dig NOT IN (SELECT dig FROM ex))
+        |kk AS (SELECT doc_id FROM k WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.dig = k.dig))
         |SELECT d.doc_id, d.lang, d.n_chars FROM documents d JOIN kk USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "heavy_hitters" ->

@@ -52,8 +52,12 @@ object EventAnalytics {
       count(when(col(s"ts_$i").isNotNull, 1)).as(s"n_stage_$i"))
     val counts = perUser.agg(countAggs.head, countAggs.tail: _*)
     stages.indices.tail.foldLeft(counts) { (df, i) =>
+      // ANSI default: double division by zero THROWS — an empty funnel
+      // stage must read as an undefined (null) conversion, not kill the job
       df.withColumn(s"conv_$i",
-        rnd(col(s"n_stage_$i").cast("double") / col(s"n_stage_${i - 1}")))
+        when(col(s"n_stage_${i - 1}") === 0, lit(null).cast("double"))
+          .otherwise(rnd(col(s"n_stage_$i").cast("double")
+            / col(s"n_stage_${i - 1}"))))
     }
   }
 

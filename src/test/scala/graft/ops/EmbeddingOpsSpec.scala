@@ -78,11 +78,13 @@ class EmbeddingOpsSpec extends SparkTestBase {
       EmbeddingOps.quantizeInt8(col("embedding")).as("q"))
       .select(col("vec_id"),
         expr("transform(q, x -> cast(x * s AS FLOAT))").as("embedding"))
-    val self = deq.as("a").join(deq.as("b"),
+    // compare against the ORIGINAL embeddings — a deq-vs-deq self join
+    // would read cos 1.0 for any quantizer, even a broken one
+    val self = e.as("a").join(deq.as("b"),
         col("a.vec_id") === col("b.vec_id"))
       .select(graft.expressions.CosineSimilarity.cosineFast(
         col("a.embedding"), col("b.embedding")).as("c"))
       .agg(min("c")).head().getDouble(0)
-    assert(self > 0.999, s"self-cosine after dequant: $self")
+    assert(self > 0.999, s"original-vs-dequant cosine: $self")
   }
 }
