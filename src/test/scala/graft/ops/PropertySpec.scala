@@ -219,6 +219,87 @@ class PropertySpec extends SparkTestBase {
       twice.collect().map(_.getString(0)).toSeq)
   }
 
+  test("property: funnel stage counts are monotone non-increasing") {
+    val evGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(1L, 6L), Gen.oneOf("signup", "click", "purchase", "view"),
+      Gen.choose(0L, 100L)))
+    forAllSampled(evGen, n = 6) { evs =>
+      val df = evs.map { case (u, t, off) =>
+        (u, t, new java.sql.Timestamp(
+          ts("2024-01-01 00:00:00").getTime + off * 3600 * 1000))
+      }.toDF("user_id", "event_type", "ts")
+      val r = EventAnalytics.funnelSummary(df, "user_id", "ts", "event_type",
+        Seq("signup", "click", "purchase")).head()
+      val (n0, n1, n2) = (r.getAs[Long]("n_stage_0"),
+        r.getAs[Long]("n_stage_1"), r.getAs[Long]("n_stage_2"))
+      assert(n0 >= n1 && n1 >= n2, s"funnel not monotone: $n0 $n1 $n2")
+      // an all-zero head stage must yield null conversions, not a crash
+      if (n0 == 0) assert(r.isNullAt(r.fieldIndex("conv_1")))
+    }
+  }
+
+  test("property: cohort offset-0 counts partition the user population") {
+    val evGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(1L, 8L), Gen.choose(0L, 40L)))
+    forAllSampled(evGen, n = 6) { evs =>
+      val df = evs.map { case (u, d) =>
+        (u, "view", new java.sql.Timestamp(
+          ts("2024-01-01 00:00:00").getTime + d * 86400 * 1000))
+      }.toDF("user_id", "event_type", "ts")
+      val rows = EventAnalytics.cohortRetention(df, "user_id", "ts").collect()
+      // every user contributes exactly once at their cohort's offset 0
+      val atZero = rows.filter(_.getLong(1) == 0L).map(_.getLong(2)).sum
+      assert(atZero == evs.map(_._1).distinct.size)
+      // no later offset of a cohort can exceed its size
+      val size0 = rows.filter(_.getLong(1) == 0L)
+        .map(r => r.getTimestamp(0) -> r.getLong(2)).toMap
+      rows.foreach { r =>
+        assert(r.getLong(2) <= size0(r.getTimestamp(0)),
+          s"offset ${r.getLong(1)} larger than cohort")
+      }
+    }
+  }
+
+  test("property: dropDuplicateChunks is idempotent and keeps one copy per distinct chunk") {
+    val tokGen = Gen.oneOf("a", "b", "c", "d")
+    val docGen = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, tokGen))
+    forAllSampled(Gen.nonEmptyListOf(docGen), n = 6) { docs =>
+      val df = docs.zipWithIndex
+        .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val once = CorpusOps.dropDuplicateChunks(df, "doc_id", "text", 2)
+      // surviving chunk count == distinct chunk count of the input
+      val distinctChunks = CorpusOps
+        .chunkDocuments(df, "doc_id", "text", 2, 2)
+        .select("chunk_text").distinct().count()
+      assert(once.agg(sum("n_chunks_kept")).head().getLong(0) == distinctChunks)
+      // second pass changes nothing: all surviving chunks are unique
+      val twice = CorpusOps.dropDuplicateChunks(
+        once.select(col("doc_id"), col("text")), "doc_id", "text", 2)
+      assert(twice.orderBy("doc_id").collect().toSeq ==
+        once.select("doc_id", "n_chunks_kept", "text")
+          .orderBy("doc_id").collect().toSeq)
+    }
+  }
+
+  test("property: quantization error bound and sign preservation hold on random vectors") {
+    val vecGen = Gen.choose(2, 16).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-1000, 1000).map(_ / 250.0f)))
+    forAllSampled(Gen.nonEmptyListOf(vecGen), n = 6) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val bad = df.select(
+        EmbeddingOps.quantizeInt8(col("embedding")).as("q"),
+        col("embedding"),
+        EmbeddingOps.int8Scale(col("embedding")).as("s"))
+        .where(expr("exists(zip_with(q, embedding, (qq, x) -> " +
+          "abs(qq * s - cast(x as double)) > s / 2 + 1e-9 OR " +
+          "(qq > 0 AND x < 0) OR (qq < 0 AND x > 0)), p -> p)"))
+        .count()
+      assert(bad == 0L)
+    }
+  }
+
   test("property: decontaminate flags exactly the docs sharing a planted n-gram") {
     val fill = Gen.listOfN(6, Gen.oneOf("p", "q", "r", "s", "t", "u"))
     val docGen = Gen.zip(fill, Gen.oneOf(true, false))
