@@ -499,7 +499,9 @@ object SparkEntry {
         Seq("train" -> 80, "val" -> 10, "test" -> 10))
         .groupBy("lang", "split")
         .agg(count(lit(1)).as("n_docs"),
-          sum(TextFunctions.tokenCount(col("norm"))).as("n_tokens"),
+          // withQualityColumns already tokenized norm into n_tokens —
+          // re-splitting here would pay the dominant per-row cost twice
+          sum("n_tokens").as("n_tokens"),
           sum("doc_id").as("id_sum"))
         .orderBy("lang", "split")
     }),
@@ -1247,20 +1249,26 @@ object SparkEntry {
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
         |  floor(sum(n_tokens) / (SELECT CAST(sum(n_tokens) AS DOUBLE) FROM tok) * 10000 + 0.5) / 10000 AS token_share
         |FROM tok GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Counts audit the PROGRESSIVELY-redacted text (each category counted
+    // after the earlier ones were replaced, mirroring piiScrub's order), so
+    // every count equals the number of its placeholders in `redacted`.
     "pii_scrub" ->
       """WITH aug AS (SELECT doc_id,
         |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com from 10.' ||
         |    CAST(doc_id % 200 AS VARCHAR) || '.0.1 tel +44' || CAST(7000000 + doc_id AS VARCHAR) AS t
-        |  FROM documents)
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, t,
+        |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM aug),
+        |s2 AS (SELECT doc_id, t, t1,
+        |    regexp_replace(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t2
+        |  FROM s1)
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-        |  CAST(len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
-        |  CAST(len(regexp_extract_all(t, '\+\d[\d\- ]{5,18}\d')) AS BIGINT) AS n_phones,
-        |  regexp_replace(regexp_replace(regexp_replace(t,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
-        |    '\+\d[\d\- ]{5,18}\d', '<PHONE>', 'g') AS redacted
-        |FROM aug ORDER BY doc_id""".stripMargin,
+        |  CAST(len(regexp_extract_all(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(t2, '\+\d[\d\- ]{5,18}\d')) AS BIGINT) AS n_phones,
+        |  regexp_replace(t2, '\+\d[\d\- ]{5,18}\d', '<PHONE>', 'g') AS redacted
+        |FROM s2 ORDER BY doc_id""".stripMargin,
     "corpus_prep_pipeline" ->
       """WITH n AS (SELECT doc_id, lang,
         |    trim(regexp_replace(lower(regexp_replace(text, '(?i)https?://\S+', '', 'g')), '\s+', ' ', 'g')) AS norm

@@ -71,12 +71,24 @@ object TextFunctions {
 
   /** Count of non-overlapping matches for one PII category ("email",
     * "ipv4", "phone") — the audit metric scrubbing reports per document.
+    *
+    * Counted on the text with all EARLIER categories already redacted —
+    * the same order [[piiScrub]] applies — so the counts reconcile exactly
+    * with the placeholders the scrub emits. Counting every category on the
+    * raw text would over-report nested matches: 'a@1.2.3.4.co' is ONE
+    * redaction (<EMAIL>), but the raw text also matches the IPv4 pattern
+    * inside the domain, and an audit claiming an IP was scrubbed when no
+    * <IP> placeholder exists breaks any downstream reconciliation.
     */
   def piiCount(text: Column, category: String): Column = {
-    val pattern = PiiPatterns.collectFirst { case (`category`, p, _) => p }
-      .getOrElse(throw new IllegalArgumentException(
-        s"unknown PII category: $category (have ${PiiPatterns.map(_._1)})"))
-    regexp_count(text, lit(pattern)).cast("long")
+    val idx = PiiPatterns.indexWhere(_._1 == category)
+    require(idx >= 0,
+      s"unknown PII category: $category (have ${PiiPatterns.map(_._1)})")
+    val prior = PiiPatterns.take(idx).foldLeft(text) {
+      case (c, (_, pattern, replacement)) =>
+        regexp_replace(c, pattern, replacement)
+    }
+    regexp_count(prior, lit(PiiPatterns(idx)._2)).cast("long")
   }
 
   /** Redact all PII categories, applying the patterns in declaration

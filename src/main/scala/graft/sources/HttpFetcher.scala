@@ -15,7 +15,7 @@ import java.time.Duration
   * response headers; the watchdog is the analog of urllib3's read
   * timeout, which bounds the gap BETWEEN reads, not the whole body — a
   * healthy multi-GB download slower than size/timeout must not be
-  * killed mid-stream) plus a generous whole-attempt ceiling as the
+  * killed mid-stream) plus a progress-proportional attempt ceiling as the
   * drip-feed backstop, and the body streamed to the destination file in
   * 1 MiB chunks (never buffered whole in memory — the reference reads a
   * multi-GB Land Registry file this way).
@@ -35,16 +35,24 @@ final class HttpFetcher(
     retryStatuses: Set[Int] = HttpFetcher.DefaultRetryStatuses,
     timeout: Duration = Duration.ofSeconds(300),
     attemptCeiling: Option[Duration] = None,
+    minThroughputBytesPerSec: Long = 64 * 1024,
     sleeper: Long => Unit = Thread.sleep) extends (Path => Unit) {
 
   // Backstop against a drip-feeding server that defeats the idle watchdog
-  // by sending one byte per idle window: no single attempt may outlive
-  // this, progress or not. The default (12x the idle budget — an hour at
-  // the reference's 300 s timeout) is generous enough that no healthy
-  // Land-Registry-scale download hits it; callers with a known envelope
-  // pass their own. (The reference's requests/urllib3 stack has NO such
-  // cap — a deliberate robustness addition, since a hung daily run is
-  // strictly worse than a failed one.)
+  // by sending one byte per idle window. The deadline is
+  // PROGRESS-PROPORTIONAL: base ceiling (12x the idle budget — an hour at
+  // the reference's 300 s timeout) plus one second of credit per
+  // `minThroughputBytesPerSec` delivered, so a drip-feeder (bytes ~ 0)
+  // still dies at the base ceiling while any stream averaging at least the
+  // floor — 64 KiB/s default, ~0.5 Mbps, far below any Land-Registry-scale
+  // link — NEVER hits it regardless of body size: a fixed cap would kill a
+  // healthy 5 GB download on a ~10 Mbps line at the one-hour mark, fail
+  // every retry the same way, and burn maxRetries hours doing it. (The
+  // reference's requests/urllib3 stack has NO cap at all — the backstop is
+  // a deliberate robustness addition, since a hung daily run is strictly
+  // worse than a failed one.)
+  require(minThroughputBytesPerSec >= 1,
+    s"minThroughputBytesPerSec=$minThroughputBytesPerSec must be >= 1")
   private val ceilingMillis =
     attemptCeiling.getOrElse(timeout.multipliedBy(12)).toMillis
 
@@ -82,14 +90,19 @@ final class HttpFetcher(
             val attemptStart = System.nanoTime()
             val lastProgress =
               new java.util.concurrent.atomic.AtomicLong(attemptStart)
+            val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
             val checkMillis = math.max(50L, timeout.toMillis / 10)
             val guard = HttpFetcher.watchdog.scheduleWithFixedDelay(new Runnable {
               def run(): Unit = {
                 val now = System.nanoTime()
                 // idle deadline (the urllib3-read-timeout analog) OR the
-                // whole-attempt ceiling (drip-feed backstop, see above)
+                // progress-proportional attempt ceiling (drip-feed
+                // backstop, see above): delivered bytes buy deadline at
+                // the minimum-throughput exchange rate
+                val deadlineMillis = ceilingMillis +
+                  bytesRead.get() * 1000L / minThroughputBytesPerSec
                 if (now - lastProgress.get() >= timeout.toNanos
-                    || (now - attemptStart) / 1000000L >= ceilingMillis)
+                    || (now - attemptStart) / 1000000L >= deadlineMillis)
                   try in.close() catch { case _: Throwable => () }
               }
             }, checkMillis, checkMillis, java.util.concurrent.TimeUnit.MILLISECONDS)
@@ -106,6 +119,7 @@ final class HttpFetcher(
                 var n = in.read(buf)
                 while (n >= 0) {
                   lastProgress.set(System.nanoTime()) // chunk arrived: reset idle clock
+                  bytesRead.addAndGet(n.toLong)       // and buy ceiling credit
                   try out.write(buf, 0, n) catch {
                     case e: IOException =>
                       throw new HttpFetcher.LocalWriteFailure(dest.toString, e)

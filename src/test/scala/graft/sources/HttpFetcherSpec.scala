@@ -140,6 +140,33 @@ class HttpFetcherSpec extends AnyFunSuite {
     }
   }
 
+  test("delivered bytes extend the attempt ceiling: a stream above the throughput floor survives it") {
+    // 6 x 10-byte chunks every 150 ms (~900 ms body) against a 300 ms base
+    // ceiling: at 20 B/s floor the first chunks already buy seconds of
+    // deadline credit, so the healthy-but-slow stream must never be killed
+    // — the drip-feed backstop only fires when average throughput is under
+    // the floor (the fixed-cap regression killed any download longer than
+    // the ceiling regardless of progress).
+    withServer((_, ex) => {
+      val chunk = "0123456789".getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, chunk.length * 6L)
+      (1 to 6).foreach { _ =>
+        ex.getResponseBody.write(chunk)
+        ex.getResponseBody.flush()
+        Thread.sleep(150)
+      }
+    }) { url =>
+      val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val dest = tmpFile()
+      new HttpFetcher(url, timeout = java.time.Duration.ofMillis(500),
+        attemptCeiling = Some(java.time.Duration.ofMillis(300)),
+        minThroughputBytesPerSec = 20L,
+        sleeper = sleeps.append(_))(dest)
+      assert(Files.readString(dest) == "0123456789" * 6)
+      assert(sleeps.isEmpty) // zero retries: the ceiling stretched with progress
+    }
+  }
+
   test("a slow but progressing stream outlives the per-attempt deadline") {
     // 6 chunks, 150 ms apart = ~900 ms total body time with a 500 ms idle
     // budget: a fixed whole-body deadline would kill this healthy download

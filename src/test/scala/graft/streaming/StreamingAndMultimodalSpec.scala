@@ -71,18 +71,20 @@ class StreamingAndMultimodalSpec extends SparkTestBase {
         gapMs = 1800000L, watermark = "0 seconds")
       .writeStream.outputMode("append")
       .format("memory").queryName("closed_out").start()
-    // batch 1: user 7 has an INTRA-batch gap > 30 min — the first session
-    // (00:00-00:10, 2 events) must close immediately, no timeout needed;
-    // the second (01:30) stays open. user 8 stays open too.
+    // batch 1: user 7 has an INTRA-batch gap > 30 min, splitting the batch
+    // into two sessions (00:00-00:10, 2 events; and 01:30). There is no
+    // in-batch emission path: batch 1 still sees the PREVIOUS watermark
+    // (0), so nothing can be final during the batch itself — both closed
+    // sessions below are emitted by the armed event-time timeout when the
+    // trailing no-data micro-batch observes the advanced watermark (01:30).
     input.addData(
       (1L, ts("2024-01-01 00:00:00"), 7L, "click", 2.0, "{}"),
       (2L, ts("2024-01-01 00:10:00"), 7L, "click", 3.0, "{}"),
       (3L, ts("2024-01-01 01:30:00"), 7L, "view", 1.0, "{}"),
       (4L, ts("2024-01-01 00:05:00"), 8L, "view", 4.0, "{}"))
     q.processAllAvailable()
-    // 7's first session closes from the IN-BATCH gap; 8's closes too —
-    // batch 1's watermark (01:30) already passed its end + gap (00:35),
-    // and the engine's trailing no-data micro-batch fires the timeout
+    // both closed sessions arrive via the timeout path: the watermark
+    // after batch 1 (01:30) passed each session's end + gap (00:40, 00:35)
     val afterBatch1 = spark.table("closed_out")
       .as[EventsStreaming.ClosedSession].collect().toSet
     assert(afterBatch1 == Set(
