@@ -964,6 +964,27 @@ object SparkEntry {
         chunkTokens = 16)
         .orderBy("doc_id")),
 
+    // ---- scale tier: skew mitigation, oracle-gated ----
+    // Salting must be RESULT-INVISIBLE: the oracle computes the plain
+    // unsalted aggregation/join — any leak of the salt into results (lost
+    // rows, doubled partials, salt column escaping) breaks the hash.
+    "salted_agg" -> ((s, d) =>
+      ScaleOps.saltedSum(
+        Tables.orders(s, d)
+          .withColumn("__cents", CoreOps.moneyCents(col("o_totalprice"))),
+        Seq("o_orderpriority"), "__cents", buckets = 8)
+        .select(col("o_orderpriority"),
+          CoreOps.rnd(col("sum___cents").cast("double") / 100.0)
+            .as("total_price"))
+        .orderBy("o_orderpriority")),
+    "salted_join" -> ((s, d) =>
+      ScaleOps.saltedJoin(Tables.orders(s, d), Tables.customer(s, d),
+        "o_custkey", "c_custkey", buckets = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_orderkey")).as("n_distinct"))
+        .orderBy("c_mktsegment")),
+
     // ---- scale tier: z-order layout key ----
     // The graded surface is the Morton key itself (deterministic); the
     // range-partitioned layout built on it is pinned by ScaleOpsSpec +
@@ -1662,6 +1683,16 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks_kept,
         |  string_agg(chunk_text, ' ' ORDER BY chunk_id) AS text
         |FROM surv GROUP BY 1 ORDER BY 1""".stripMargin,
+    "salted_agg" ->
+      """SELECT o_orderpriority,
+        |  floor((CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS total_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "salted_join" ->
+      """SELECT c.c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_distinct
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "zorder_layout" ->
       """WITH v AS (SELECT o_orderkey,
         |    o_custkey % 1024 AS zx,

@@ -287,10 +287,18 @@ object Dedup {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint(true)
-    val ids = edges.select(col("src").as("id")).distinct()
-    var labels = ids.withColumn("component", col("id")).localCheckpoint(true)
+    // Seed with round 1's fixpoint step for free: label_1(v) =
+    // min(v, min neighbor id), and the grouped min-neighbor aggregation
+    // costs exactly the shuffle the plain `distinct()` id-list would —
+    // one fewer propagation round, i.e. one fewer full label-set shuffle
+    // at scale (`round = 1` below keeps maxIter's diameter-bound meaning).
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("__nmin"))
+      .select(col("src").as("id"),
+        least(col("src"), col("__nmin")).as("component"))
+      .localCheckpoint(true)
     var converged = false
-    var round = 0
+    var round = 1
     while (!converged && round < maxIter) {
       val neighborMin = edges
         .join(labels, edges("dst") === labels("id"))
