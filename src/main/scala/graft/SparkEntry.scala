@@ -688,6 +688,17 @@ object SparkEntry {
         graft.multimodal.MultimodalOps.decodeMeta(documentsAsMedia(s, d)),
         everyMs = 60000L)
         .orderBy("media_id", "frame_ms")),
+    // Aspect-preserving resize planning over decoded dims — the decoder
+    // fold is replayed in DuckDB HUGEINT arithmetic (shared decoderFoldCte)
+    // and the box-fit math is pure doubles, so target dims hash-check
+    // end to end.
+    "media_resize" -> ((s, d) =>
+      graft.multimodal.MultimodalOps.resizePlan(
+        graft.multimodal.MultimodalOps.decodeMeta(documentsAsMedia(s, d)),
+        maxW = 256, maxH = 256)
+        .select(col("media_id"), col("width"), col("height"),
+          col("target_w"), col("target_h"))
+        .orderBy("media_id")),
     // Feature-extraction plumbing (stub encoder): the embedding itself is
     // engine-side (not SQL-expressible), so the graded columns are the
     // structural contract — width and [0,1) range as hash-gated booleans.
@@ -1497,6 +1508,13 @@ object SparkEntry {
           |SELECT media_id, unnest(range(0, duration_ms, 60000)) AS frame_ms
           |FROM decoded WHERE duration_ms > 0
           |ORDER BY media_id, frame_ms""".stripMargin),
+    "media_resize" ->
+      (decoderFoldCte +
+        """
+          |SELECT media_id, width, height,
+          |  CAST(greatest(floor(width * least(256.0 / width, 256.0 / height, 1.0)), 1) AS BIGINT) AS target_w,
+          |  CAST(greatest(floor(height * least(256.0 / width, 256.0 / height, 1.0)), 1) AS BIGINT) AS target_h
+          |FROM decoded ORDER BY media_id""".stripMargin),
     // Feature extraction is engine-side; the oracle checks the structural
     // contract (width, [0,1) range) as hash-gated values, mirroring the
     // Spark side's null flow (null bytes → null features → null dim/flag).

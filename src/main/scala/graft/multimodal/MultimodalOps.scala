@@ -132,13 +132,25 @@ object MultimodalOps {
     }(enc)
   }
 
-  /** Resize stage stub: records the target box alongside the original
-    * dims; the pixel work is the same injection point as [[Decoder]].
+  /** Resize planning: aspect-preserving fit into a `maxW` x `maxH` box —
+    * scale = min(maxW/w, maxH/h, 1) (never upscales), targets floored with
+    * a 1-pixel floor so degenerate aspect ratios can't reach zero. Pure
+    * double arithmetic over the decoded dims (map-only, oracle-replayable);
+    * the pixel work itself is the same native-codec injection point as
+    * [[Decoder]].
     */
-  def resizePlan(meta: DataFrame, maxW: Int, maxH: Int): DataFrame =
+  def resizePlan(meta: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    require(maxW >= 1 && maxH >= 1, s"box ${maxW}x$maxH must be >= 1x1")
+    val scale = least(
+      lit(maxW.toDouble) / col("width"),
+      lit(maxH.toDouble) / col("height"),
+      lit(1.0))
     meta
-      .withColumn("target_w", least(col("width"), lit(maxW)))
-      .withColumn("target_h", least(col("height"), lit(maxH)))
+      .withColumn("target_w",
+        greatest(floor(col("width") * scale), lit(1L)).cast("long"))
+      .withColumn("target_h",
+        greatest(floor(col("height") * scale), lit(1L)).cast("long"))
+  }
 
   /** Frame sampling plan for video-like media: one row per sampled frame
     * timestamp (every `everyMs` within duration) — a pure generator

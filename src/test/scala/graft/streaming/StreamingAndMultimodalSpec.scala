@@ -276,6 +276,19 @@ class StreamingAndMultimodalSpec extends SparkTestBase {
     assert(frames.where($"media_id" === 2L).count() == (d0 + 999) / 1000)
   }
 
+  test("multimodal: resizePlan fits the box preserving aspect ratio, never upscales") {
+    val meta = Seq(
+      (1L, 512, 256),   // landscape 2:1 → halves into 256x256 box
+      (2L, 100, 50),    // already fits → untouched (no upscale)
+      (3L, 16, 4096))   // degenerate aspect → width floors at the 1px guard
+      .toDF("media_id", "width", "height")
+    val out = MultimodalOps.resizePlan(meta, maxW = 256, maxH = 256)
+      .orderBy("media_id")
+      .select("target_w", "target_h").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((256L, 128L), (100L, 50L), (1L, 256L)))
+  }
+
   test("multimodal: partition-batched feature extraction yields bounded ARRAY<FLOAT>") {
     val media = Seq(
       (1L, "a b c".getBytes("UTF-8")),
