@@ -176,6 +176,55 @@ object EventsStreaming {
       }
   }
 
+  final case class ZState(n: Long, mean: Double, m2: Double)
+  final case class ScoredEvent(dim: String, eventId: Long,
+                               ts: java.sql.Timestamp, value: Double,
+                               z: Double, nSeen: Long)
+
+  /** Streaming per-key z-score anomaly scoring — the streaming analog of
+    * the batch [[graft.ops.Anomaly]] stage (reference etl_main.py:260-282),
+    * via Welford running moments held in `mapGroupsWithState`-style state:
+    * per key, (n, mean, M2) — THREE numbers, never the history — updated
+    * per event, each event scored against the statistics of everything
+    * seen up to and including it (what the batch z-score would report had
+    * the stream ended there; the final event per key matches the batch
+    * computation exactly, pinned by spec). ddof = 1 (`stddev_samp`) and
+    * the std==0/n<2 → z=0 guard, both matching the batch operator.
+    *
+    * Within a micro-batch the group iterator's order is not guaranteed, so
+    * events sort by (ts, id) before folding — deterministic replay per
+    * batch; across batches order is arrival order, as any online scorer.
+    * State is O(keys), unconditionally bounded — no watermark needed for
+    * correctness (scores are append-only facts, never retracted).
+    */
+  def runningZScores(events: DataFrame): Dataset[ScoredEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("event_type"), col("event_id"), col("ts"), col("value"))
+      .where(col("event_type").isNotNull && col("value").isNotNull)
+      .as[(String, Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (dim: String, rows: Iterator[(String, Long, java.sql.Timestamp, Double)],
+         st: GroupState[ZState]) =>
+          var s = st.getOption.getOrElse(ZState(0L, 0.0, 0.0))
+          val out = rows.toSeq.sortBy(r => (r._3.getTime, r._2)).map {
+            case (_, id, ts, v) =>
+              val n1 = s.n + 1
+              val delta = v - s.mean
+              val mean1 = s.mean + delta / n1
+              val m21 = s.m2 + delta * (v - mean1)
+              s = ZState(n1, mean1, m21)
+              val std = if (n1 >= 2) math.sqrt(m21 / (n1 - 1)) else 0.0
+              val z = if (std == 0.0) 0.0 else (v - mean1) / std
+              ScoredEvent(dim, id, ts, v, z, n1)
+          }
+          st.update(s)
+          out.iterator
+      }
+  }
+
   /** Stream-stream interval join: pair each event with same-user events of
     * another type within `within` AFTER it (e.g. click → purchase
     * attribution). Both sides carry watermarks and the join condition

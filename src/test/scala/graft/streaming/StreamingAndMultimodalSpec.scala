@@ -195,6 +195,39 @@ class StreamingAndMultimodalSpec extends SparkTestBase {
     assert(ids.size == 3)
   }
 
+  test("runningZScores: Welford state converges to the batch statistics") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventsStreaming.runningZScores(events)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("zscores_out").start()
+    // two keys, values fed across two micro-batches
+    input.addData(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "click", 10.0, "{}"),
+      (2L, ts("2024-01-01 00:01:00"), 1L, "click", 20.0, "{}"),
+      (3L, ts("2024-01-01 00:00:00"), 1L, "view", 5.0, "{}"))
+    q.processAllAvailable()
+    input.addData(
+      (4L, ts("2024-01-01 00:02:00"), 1L, "click", 60.0, "{}"),
+      (5L, ts("2024-01-01 00:01:00"), 1L, "view", 5.0, "{}"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("zscores_out")
+      .as[EventsStreaming.ScoredEvent].collect()
+    assert(rows.length == 5) // exactly one score per event, append-only
+    // the LAST click has seen the full series: its z must equal the batch
+    // z-score over {10, 20, 60} — (60 - 30) / stddev_samp = 30 / 26.4575
+    val last = rows.filter(_.dim == "click").maxBy(_.nSeen)
+    assert(last.eventId == 4L && last.nSeen == 3L)
+    val batchZ = (60.0 - 30.0) / math.sqrt((400.0 + 100.0 + 900.0) / 2)
+    assert(math.abs(last.z - batchZ) < 1e-12, s"${last.z} vs $batchZ")
+    // constant series: std == 0 → z = 0 (the batch operator's guard)
+    assert(rows.filter(_.dim == "view").forall(_.z == 0.0))
+    // first event of a key can have no spread yet: z = 0 by the n<2 guard
+    assert(rows.filter(r => r.dim == "click" && r.nSeen == 1L).head.z == 0.0)
+  }
+
   test("foreachBatch reuses a batch transform per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Double)]
