@@ -1658,15 +1658,14 @@ object SparkEntry {
         |  CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT) AS week_offset,
         |  CAST(count(*) AS BIGINT) AS n_users
         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    // NOT EXISTS, not NOT IN: a NULL digest on the existing side would make
-    // NOT IN never-true (three-valued logic) while the Spark side's
-    // left_anti keeps null-keyed batch rows — NOT EXISTS pins the
-    // anti-join's null semantics exactly.
+    // NOT EXISTS with IS NOT DISTINCT FROM: pins the Spark side's
+    // null-SAFE anti-join (<=>) — NULL digests (null text) count as seen
+    // content, and a NOT IN would go never-true under three-valued logic.
     "incremental_dedup" ->
       """WITH b AS (SELECT doc_id, md5(text) AS dig FROM documents WHERE doc_id % 2 = 1),
         |ex AS (SELECT DISTINCT md5(text) AS dig FROM documents WHERE doc_id % 2 = 0),
         |k AS (SELECT dig, min(doc_id) AS doc_id FROM b GROUP BY 1),
-        |kk AS (SELECT doc_id FROM k WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.dig = k.dig))
+        |kk AS (SELECT doc_id FROM k WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.dig IS NOT DISTINCT FROM k.dig))
         |SELECT d.doc_id, d.lang, d.n_chars FROM documents d JOIN kk USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "heavy_hitters" ->

@@ -30,6 +30,20 @@ object Similarity {
        | / (sqrt(aggregate($a, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
        |    * sqrt(aggregate($b, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin)
 
+  /** Shared top-k epilogue over (qid, cid, cos) pairs: per-query rank by
+    * cosine desc with cid tie-break, keep rank <= k, round for the oracle.
+    * ONE definition — the brute/IVF/LSH paths must rank identically or
+    * recallVsBrute would misattribute an epilogue divergence to LSH
+    * recall.
+    */
+  private def topK(pairs: DataFrame, k: Int): DataFrame =
+    pairs
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("cid"), col("rnk"),
+        CoreOps.rnd(col("cos")).as("cos_sim"))
+
   /** Exact top-k: every query against every candidate. The query side must
     * be small (it is broadcast); candidates stream through one codegen
     * stage + a per-query top-k window.
@@ -42,12 +56,7 @@ object Similarity {
     val pairs = c.crossJoin(q).where(col("cid") =!= col("qid"))
       .withColumn("cos",
         graft.expressions.CosineSimilarity.cosineFast(col("qe"), col("ce")))
-    pairs
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))))
-      .where(col("rnk") <= k)
-      .select(col("qid"), col("cid"), col("rnk"),
-        CoreOps.rnd(col("cos")).as("cos_sim"))
+    topK(pairs, k)
   }
 
   /** Hyperplane cap for the SRP sign matrix (single definition lives with
@@ -165,9 +174,15 @@ object Similarity {
     val cents = typedLit(codebook.getOrElse(trainCodebook(candidates, nlist))
       .centroids)
     def topCells(vecCol: Column, n: Int): Column = {
+      // coalesce: cosineFast returns NULL for a zero-norm vector or
+      // centroid (deliberately, instead of NaN) — but sort_array is
+      // ascending NULLS FIRST, so an un-coalesced NULL similarity would
+      // rank the degenerate cell BEST for every vector, collapsing recall.
+      // MaxValue sends it to the back instead.
       val scored = transform(cents, (c, idx) => struct(
-        (lit(0d) - graft.expressions.CosineSimilarity.cosineFast(vecCol, c))
-          .as("ns"),
+        coalesce(
+          lit(0d) - graft.expressions.CosineSimilarity.cosineFast(vecCol, c),
+          lit(Double.MaxValue)).as("ns"),
         idx.as("cell")))
       transform(slice(sort_array(scored), 1, n), s => s.getField("cell"))
     }
@@ -178,12 +193,7 @@ object Similarity {
     val pairs = c.join(broadcast(q), Seq("cell")).where(col("cid") =!= col("qid"))
       .withColumn("cos",
         graft.expressions.CosineSimilarity.cosineFast(col("qe"), col("ce")))
-    pairs
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))))
-      .where(col("rnk") <= k)
-      .select(col("qid"), col("cid"), col("rnk"),
-        CoreOps.rnd(col("cos")).as("cos_sim"))
+    topK(pairs, k)
   }
 
   /** Per-query recall of an ANN result against the exact top-k — the
@@ -296,11 +306,6 @@ object Similarity {
         graft.expressions.CosineSimilarity.cosineFast(col("qe"), col("ce"))
           .as("cos"))
       .distinct()
-    pairs
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))))
-      .where(col("rnk") <= k)
-      .select(col("qid"), col("cid"), col("rnk"),
-        CoreOps.rnd(col("cos")).as("cos_sim"))
+    topK(pairs, k)
   }
 }

@@ -223,7 +223,12 @@ object TextFunctions {
     * any SQL engine, unlike a sequential rolling hash.
     */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
+    // posexplode_outer: a NULL-text document must keep its id in the
+    // output (null fingerprint), not vanish — plain posexplode of a null
+    // array emits zero rows and silently drops the document (the same
+    // invariant repetitionSignals documents for explode_outer).
+    df.select(col(idCol),
+        posexplode_outer(tokens(col(textCol))).as(Seq("pos", "t")))
       .groupBy(idCol)
       // Long arithmetic with pmod applied PER TERM, not only on the final
       // sum: ascii() yields the full Unicode codepoint (up to 0x10FFFF),

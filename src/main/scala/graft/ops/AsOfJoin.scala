@@ -43,7 +43,12 @@ object AsOfJoin {
     val markerType = StructType(Seq(StructField("v", dt)))
     val l = left.withColumn("__m", lit(null).cast(markerType))
       .withColumn("__side", lit(1))
-    val r = right.select(col(keyCol), col(tsCol),
+    // A NULL-timestamp lookup row would sort FIRST (asc nulls-first) and
+    // back-fill its value onto every probe with no real predecessor;
+    // DuckDB's native ASOF (the oracle) evaluates ts >= NULL as no-match.
+    // Drop such rows — they have no place on a time axis.
+    val r = right.where(col(tsCol).isNotNull)
+      .select(col(keyCol), col(tsCol),
         struct(col(valueCol).as("v")).as("__m"))
       .withColumn("__side", lit(0))
     val combined = l.unionByName(r, allowMissingColumns = true)

@@ -139,7 +139,12 @@ object CorpusOps {
     * exchange beyond its digest), the semi-join brings survivors back by
     * (doc, chunk), and reassembly is one aggregation on the doc key with an
     * in-group `array_sort` (chunks per doc are bounded by doc length, so
-    * the sort is row-local work, not a global sort).
+    * the sort is row-local work, not a global sort). The chunk generator
+    * feeds both join branches and is deliberately RECOMPUTED rather than
+    * persisted: the re-chunk is map-side CPU, while materializing the
+    * chunked corpus to cache it would cost memory/disk proportional to the
+    * whole input — the wrong trade at 100 TB (and the digest-only exchange
+    * contract above is what actually bounds shuffle bytes).
     */
   def dropDuplicateChunks(df: DataFrame, idCol: String, textCol: String,
                           chunkTokens: Int): DataFrame = {
@@ -224,6 +229,11 @@ object CorpusOps {
     * Spark's WindowGroupLimit pushes the rank filter below the exchange,
     * so each map task forwards at most `quota` rows per stratum rather
     * than the whole table through the shuffle.
+    *
+    * Output contract: the input columns PLUS `rn`, the row's 1-based
+    * deterministic rank within its stratum — deliberately part of the
+    * result (callers sub-sample further with `rn <= m` or audit pick
+    * order), not an internal helper.
     */
   def stratifiedQuota(df: DataFrame, strataCol: String, keyCol: String,
                       quota: Int): DataFrame = {
@@ -250,8 +260,11 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_docs"), sum(tokens.cast("long")).as("n_tokens"))
     val total = per.agg(sum("n_tokens").as("__total"))
     per.crossJoin(broadcast(total))
+      // zero-token corpus: an undefined share must read NULL, not throw —
+      // ANSI-mode double division by zero kills the job
       .withColumn("token_share",
-        rnd(col("n_tokens").cast("double") / col("__total")))
+        when(col("__total") === 0, lit(null).cast("double"))
+          .otherwise(rnd(col("n_tokens").cast("double") / col("__total"))))
       .drop("__total")
   }
 

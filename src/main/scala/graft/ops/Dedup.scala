@@ -45,9 +45,13 @@ object Dedup {
     */
   def dropNearDups(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, k: Int = 32, bands: Int = 32,
-                   shingleSize: Int = 1): DataFrame = {
+                   shingleSize: Int = 1, maxIter: Int = 10): DataFrame = {
+    // maxIter passes through: clusterPairs fails loudly on a component
+    // whose diameter exceeds it (e.g. a drifting boilerplate CHAIN of >10
+    // adjacent near-dups), and its error says to raise the cap — which
+    // must be possible from this public entry point.
     val comps = clusterPairs(verifiedNearDupPairs(df, idCol, textCol,
-      threshold, k, bands, shingleSize))
+      threshold, k, bands, shingleSize), maxIter)
     df.join(comps.where(col("id") =!= col("component"))
         .select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
@@ -67,8 +71,14 @@ object Dedup {
                            idCol: String, textCol: String): DataFrame = {
     val dig = (df: DataFrame) =>
       df.select(col(idCol).as("id"), md5(col(textCol).cast("binary")).as("dig"))
+    // Null-safe anti-join key (<=>): a NULL-text document digests to NULL,
+    // and content-addressing treats all NULL texts as the same content —
+    // groupBy already does (GROUP BY equates NULLs), so a plain === here
+    // would let a null-text batch row re-enter past a null-text existing
+    // doc (NULL === NULL is never true under an anti join).
+    val exDigs = dig(existing).select(col("dig").as("__ex_dig")).distinct()
     val keep = dig(batch).groupBy("dig").agg(min(col("id")).as(idCol))
-      .join(dig(existing).select("dig").distinct(), Seq("dig"), "left_anti")
+      .join(exDigs, col("dig") <=> col("__ex_dig"), "left_anti")
       .select(idCol)
     batch.join(keep, Seq(idCol), "left_semi")
   }

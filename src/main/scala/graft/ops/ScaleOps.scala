@@ -79,9 +79,19 @@ object ScaleOps {
     * one group dominates and AQE's skew handling isn't enough.
     */
   def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
-                buckets: Int = 16): DataFrame = {
+                buckets: Int = 16, saltOn: Option[Column] = None): DataFrame = {
+    // The salt must be DETERMINISTIC per row: monotonically_increasing_id
+    // depends on task/partition layout, so under a partial stage retry the
+    // recomputed map tasks can salt rows differently than the lost attempt
+    // and the two-phase aggregation double-counts or drops partials
+    // silently (the SPARK-23207 class of bug). Default: hash of the whole
+    // row — retry-stable anywhere. Caveat: bit-identical duplicate rows
+    // share a bucket (sum-correct regardless); when a hot key is mostly
+    // exact-duplicate rows, pass a unique id column via saltOn to spread
+    // them.
     val salted = df.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(buckets.toLong)))
+      pmod(xxhash64(saltOn.getOrElse(struct(df.columns.map(col): _*))),
+        lit(buckets.toLong)))
     salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(sum(valueCol).as("__partial"))
@@ -95,9 +105,13 @@ object ScaleOps {
     * instead of one. Result rows are identical to the unsalted join.
     */
   def saltedJoin(facts: DataFrame, dim: DataFrame, factKey: String,
-                 dimKey: String, buckets: Int = 16): DataFrame = {
+                 dimKey: String, buckets: Int = 16,
+                 saltOn: Option[Column] = None): DataFrame = {
+    // Deterministic fact-side salt — same retry-stability rationale (and
+    // duplicate-row caveat) as saltedSum.
     val saltedFacts = facts.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(buckets.toLong)))
+      pmod(xxhash64(saltOn.getOrElse(struct(facts.columns.map(col): _*))),
+        lit(buckets.toLong)))
     val replicatedDim = dim.withColumn("__salt",
       explode(sequence(lit(0L), lit(buckets.toLong - 1))))
     saltedFacts.join(replicatedDim,

@@ -48,6 +48,14 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(soloKept ==
       Dedup.dropExact(batch, "doc_id", "text")
         .select("doc_id").as[Long].collect().toSet)
+    // NULL text is content too: a null-text batch row must NOT re-enter
+    // past a null-text existing doc (null-safe anti-join, matching how
+    // groupBy already equates NULL digests within the batch)
+    val exNull = Seq((20L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val batchNull = Seq((9L, null.asInstanceOf[String]), (11L, "fresh"))
+      .toDF("doc_id", "text")
+    assert(Dedup.dropExactIncremental(batchNull, exNull, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet == Set(11L))
   }
 
   test("jaccardPairs computes exact token-set jaccard within blocks") {
@@ -279,6 +287,34 @@ class ExtensionOpsSpec extends SparkTestBase {
       "id", "text").as[(Long, Long)].collect().toMap
     assert(fp(1L) == fp(3L))
     assert(fp(1L) != fp(2L))
+  }
+
+  test("fingerprint keeps a NULL-text document's id (null fingerprint, not a dropped row)") {
+    val out = TextFunctions.fingerprint(
+      Seq((1L, "a b"), (2L, null.asInstanceOf[String])).toDF("id", "text"),
+      "id", "text").collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(out.keySet == Set(1L, 2L)) // posexplode would have dropped id 2
+    assert(!out(1L) && out(2L))
+  }
+
+  test("knnIvf: a zero-norm vector (null cosine) cannot hijack cell ranking or top-k") {
+    import org.apache.spark.sql.functions.typedlit
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .where($"vec_id" < 40)
+      .unionByName(graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .where($"vec_id" === 0)
+        .select(org.apache.spark.sql.functions.lit(999L).as("vec_id"),
+          typedlit(Seq.fill(64)(0.0f)).as("embedding"),
+          $"label"))
+    val q = e.where($"vec_id" < 3)
+    val got = Similarity.knnIvf(q, e, k = 3, nlist = 4, nprobe = 4)
+      .collect()
+    // nprobe = nlist probes every cell, so the zero vector is always a
+    // candidate — its NULL cosine must rank LAST (desc nulls-last) and
+    // never appear in a top-3 among 40 real neighbors; before the
+    // coalesce fix its cell scored ns=NULL and sorted FIRST instead.
+    assert(got.nonEmpty)
+    assert(!got.map(_.getAs[Long]("cid")).contains(999L))
   }
 
   test("knnIvf returns valid ranked pairs whose cosines match brute force") {

@@ -125,6 +125,23 @@ class WindowedOpsSpec extends SparkTestBase {
       4L -> Some(30.0), 5L -> Some(99.0)))
   }
 
+  test("AsOfJoin.asofBackward: a NULL-timestamp lookup row never back-fills probes") {
+    // nulls-first ordering would have carried the null-ts row's value onto
+    // every probe with no real predecessor; DuckDB's native ASOF (the
+    // oracle) treats ts >= NULL as no-match — so must we.
+    val right = Seq(("a", null.asInstanceOf[java.sql.Timestamp], 42.0),
+      ("a", ts("2024-01-02 10:00:00"), 10.0))
+      .toDF("k", "ts", "rate")
+    val left = Seq(("a", ts("2024-01-01 00:00:00"), 1L),  // before any real row
+      ("a", ts("2024-01-03 00:00:00"), 2L))               // → 10.0
+      .toDF("k", "ts", "id")
+    val got = AsOfJoin.asofBackward(left, right, "k", "ts", "rate")
+      .select("id", "asof_value").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(got == Map(1L -> None, 2L -> Some(10.0)))
+  }
+
   test("AsOfJoin.asofBackward handles a non-orderable (map) value column") {
     // MapType cannot appear in a sort order; the marker tie-break must be
     // skipped (not fail analysis) while the asof semantics still hold.
