@@ -54,15 +54,17 @@ object HousingEtl {
 
     // J1 / P9 — lookup enrichment with prefix fallback
     // (etl_main.py:178-191): invalid or absent lookup → postcode[:4].
-    val withLa = lookupPath.flatMap(CsvSniffSource.readLookup(spark, _)) match {
-      case Some(lookup) =>
+    val withLa = lookupPath.map(CsvSniffSource.readLookup(spark, _)) match {
+      case Some(Right(lookup)) =>
         log(s"lookup: joined ${lookupPath.get}")
         Joins.lookupJoin(canon, lookup, canon("postcode") === lookup("pc_nospace"))
           .drop("pc_nospace")
-      case None =>
-        log(lookupPath match {
-          case Some(p) => s"lookup: $p lacks required columns - postcode-prefix fallback"
-          case None => "lookup: none - postcode-prefix fallback"
+      case other =>
+        // the Left carries WHICH failure happened (missing file vs wrong
+        // columns) — the reference logs them distinctly (etl_main.py:177-182)
+        log(other match {
+          case Some(Left(reason)) => s"$reason - postcode-prefix fallback"
+          case _ => "lookup: none - postcode-prefix fallback"
         })
         canon.withColumn("local_authority", CoreOps.prefixKey(col("postcode")))
     }

@@ -74,8 +74,12 @@ object HousingEtlMain {
              push: Sinks.ReportSink,
              warehouse: String => Sinks.ReportSink,
              log: String => Unit = HousingEtl.defaultLog): HousingEtl.Outputs = {
+    // Scheme match is case-insensitive (RFC 3986; python-requests — the
+    // reference's client — accepts HTTPS://...), else an uppercase-scheme
+    // URL would be treated as a local file path and die in Files.copy.
+    val scheme = cfg.input.toLowerCase(java.util.Locale.ROOT)
     val fetcher: java.nio.file.Path => Unit =
-      if (cfg.input.startsWith("http://") || cfg.input.startsWith("https://"))
+      if (scheme.startsWith("http://") || scheme.startsWith("https://"))
         new HttpFetcher(cfg.input)
       else
         dest => Files.copy(Paths.get(cfg.input), dest,

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -145,20 +145,31 @@ object MultimodalOps {
       lit(maxW.toDouble) / col("width"),
       lit(maxH.toDouble) / col("height"),
       lit(1.0))
+    // Explicit null propagation: Spark's least/greatest SKIP nulls, so an
+    // undecodable row (NULL dims from decodeMeta) would otherwise get a
+    // confident 1x1 target instead of NULL — downstream must skip
+    // unreadable media, not "resize" it (the extractFeatures contract).
+    def ifDims(c: Column): Column =
+      when(col("width").isNull || col("height").isNull,
+        lit(null).cast("long")).otherwise(c)
     meta
       .withColumn("target_w",
-        greatest(floor(col("width") * scale), lit(1L)).cast("long"))
+        ifDims(greatest(floor(col("width") * scale), lit(1L)).cast("long")))
       .withColumn("target_h",
-        greatest(floor(col("height") * scale), lit(1L)).cast("long"))
+        ifDims(greatest(floor(col("height") * scale), lit(1L)).cast("long")))
   }
 
   /** Frame sampling plan for video-like media: one row per sampled frame
     * timestamp (every `everyMs` within duration) — a pure generator
     * (explode of an in-plan sequence), no bytes touched.
     */
-  def frameSamplePlan(meta: DataFrame, everyMs: Long): DataFrame =
+  def frameSamplePlan(meta: DataFrame, everyMs: Long): DataFrame = {
+    // Fail on the driver at plan time, not per-row on an executor with
+    // "sequence step must not be zero" after the upstream decode ran.
+    require(everyMs >= 1, s"everyMs=$everyMs must be >= 1")
     meta.where(col("duration_ms").isNotNull && col("duration_ms") > 0)
       .withColumn("frame_ms",
         explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs))))
       .select("media_id", "frame_ms")
+  }
 }

@@ -100,19 +100,25 @@ object CsvSniffSource {
     * fall back, not kill the daily run) or lacks the required columns,
     * triggering the caller's prefix fallback (etl_main.py:180-182).
     */
-  def readLookup(spark: SparkSession, path: String): Option[DataFrame] = {
+  /** Left holds the fallback diagnostic — the reference distinguishes a
+    * missing file from a present-but-wrong-schema one (etl_main.py:177-182,
+    * os.path.exists vs the column check), and so must the log line, or the
+    * operator debugging a silent prefix fallback inspects the wrong thing.
+    */
+  def readLookup(spark: SparkSession,
+                 path: String): Either[String, DataFrame] = {
     // Existence through the Hadoop filesystem of the path's scheme, not
     // java.nio: a driver-local check would silently classify every
     // hdfs:// or s3a:// lookup as missing and flip the pipeline to the
     // prefix fallback with no error.
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(hp)) return None
+    if (!fs.exists(hp)) return Left(s"lookup: $path does not exist")
     val df = spark.read.option("header", "true").csv(path)
     if (Seq("postcode", "local_authority").forall(df.columns.contains))
-      Some(df.select(
+      Right(df.select(
         CoreOps.normalizeKey(col("postcode")).as("pc_nospace"),
         col("local_authority")))
-    else None
+    else Left(s"lookup: $path lacks required columns")
   }
 }

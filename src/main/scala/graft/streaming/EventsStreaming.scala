@@ -201,7 +201,11 @@ object EventsStreaming {
     import events.sparkSession.implicits._
     events
       .select(col("event_type"), col("event_id"), col("ts"), col("value"))
-      .where(col("event_type").isNotNull && col("value").isNotNull)
+      // every guarded field is schema-nullable: a NULL event_id would kill
+      // the query at the primitive-Long encoder, a NULL ts at .getTime —
+      // same guards as userSessions/closedSessions
+      .where(col("event_type").isNotNull && col("value").isNotNull
+        && col("event_id").isNotNull && col("ts").isNotNull)
       .as[(String, Long, java.sql.Timestamp, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(),

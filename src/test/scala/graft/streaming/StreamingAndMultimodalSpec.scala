@@ -195,6 +195,33 @@ class StreamingAndMultimodalSpec extends SparkTestBase {
     assert(ids.size == 3)
   }
 
+  test("closedSessions exactness boundary: a row AT the watermark is late-dropped") {
+    // The emission rule `lastTs + gap <= wm` is exact ONLY because Spark's
+    // late-row predicate drops rows with ts <= watermark (inclusive): a
+    // would-be bridging event for an emitted session needs ts <= lastTs +
+    // gap <= wm, hence is dropped before reaching the function. This test
+    // pins that engine boundary — if Spark ever relaxed the predicate to
+    // strict <, a ts == wm event could split one logical session into two
+    // emitted rows, and this pin would catch it before the operator lied.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventsStreaming.closedSessions(events, gapMs = 60000L,
+        watermark = "0 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wm_boundary").start()
+    input.addData((1L, ts("2024-01-01 02:00:00"), 99L, "x", 1.0, "{}"))
+    q.processAllAvailable() // wm -> 02:00
+    input.addData((2L, ts("2024-01-01 02:00:00"), 7L, "x", 1.0, "{}"))
+    q.processAllAvailable() // exactly at the watermark: must be dropped
+    input.addData((3L, ts("2024-01-01 05:00:00"), 99L, "x", 1.0, "{}"))
+    q.processAllAvailable(); q.stop() // advance wm so survivors time out
+    val users = spark.table("wm_boundary")
+      .select("userId").as[Long].collect().toSet
+    assert(users == Set(99L), s"ts == wm row was accepted: $users")
+  }
+
   test("runningZScores: Welford state converges to the batch statistics") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
