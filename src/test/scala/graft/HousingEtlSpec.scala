@@ -212,6 +212,16 @@ class HousingEtlSpec extends SparkTestBase {
     assert(lines.exists(l => l.startsWith("parse:") && l.contains("id=<synthetic>")))
     assert(lines.exists(_.contains("postcode-prefix fallback")))
     assert(lines.exists(_ == "type breakdown: skipped (no property-type column)"))
+    // wrong-schema lookup and MISSING lookup log DISTINCT diagnostics
+    // (reference etl_main.py:177-182 separates the two checks): a mistyped
+    // path must not send the operator to inspect the CSV's header
+    assert(lines.exists(_.contains("lacks required columns")))
+    lines = Vector.empty
+    HousingEtl.run(spark, pricePaidCsv(","),
+      Some("/nonexistent/lookup.csv"), log = lines :+= _)
+    assert(lines.exists(l => l.contains("does not exist")
+      && l.contains("postcode-prefix fallback")))
+    assert(!lines.exists(_.contains("lacks required columns")))
   }
 
   test("push-sink failure is logged and tolerated; artifacts survive (etl_main.py:374-385)") {
