@@ -281,6 +281,7 @@ class HousingEtlSpec extends SparkTestBase {
     assert(fetches == 1)  // cache hit within TTL
     lz.fetch(fetcher, force = true)
     assert(fetches == 2)
-    assert(Files.list(java.nio.file.Paths.get(dir, "backups")).count() >= 1)
+    val listing = Files.list(java.nio.file.Paths.get(dir, "backups"))
+    try assert(listing.count() >= 1) finally listing.close()
   }
 }

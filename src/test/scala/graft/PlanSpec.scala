@@ -19,10 +19,18 @@ import graft.functions.Similarity
   */
 class PlanSpec extends SparkTestBase {
 
-  private val sf = "/root/testdata/sf0.001"
+  private val sf = sfTest
 
-  private def executedSimple(df: DataFrame): String = {
+  /** Run the frame's own QueryExecution once; read any explain mode from
+    * it afterwards (tests needing BOTH modes execute the job once, not
+    * once per mode — some of these plans are the suite's slowest jobs).
+    */
+  private def executed(df: DataFrame): DataFrame = {
     df.queryExecution.toRdd.foreachPartition(_ => ())
+    df
+  }
+
+  private def simpleOf(df: DataFrame): String = {
     val s = df.queryExecution.explainString(SimpleMode)
     // AQE prints "== Final Plan ==" followed by "== Initial Plan ==";
     // assertions must read only the final one or every operator counts
@@ -31,10 +39,10 @@ class PlanSpec extends SparkTestBase {
     if (initial >= 0) s.substring(0, initial) else s
   }
 
-  private def executedFormatted(df: DataFrame): String = {
-    df.queryExecution.toRdd.foreachPartition(_ => ())
-    df.queryExecution.explainString(FormattedMode)
-  }
+  private def executedSimple(df: DataFrame): String = simpleOf(executed(df))
+
+  private def executedFormatted(df: DataFrame): String =
+    executed(df).queryExecution.explainString(FormattedMode)
 
   test("lookup join: dimension side broadcasts, no sort-merge exchange") {
     val plan = executedSimple(SparkEntry.queries("lookup_join")(spark, sf))
@@ -99,12 +107,12 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("q3: BUILDING customer side broadcasts, lineitem date filter pushed to scan") {
-    val df = SparkEntry.queries("q3_shipping_priority")(spark, sf)
-    val simple = executedSimple(df)
+    val df = executed(SparkEntry.queries("q3_shipping_priority")(spark, sf))
+    val simple = simpleOf(df)
     // the segment-filtered customer dim joins orders as a broadcast — the
     // hint in the query must survive to the physical plan
     assert(simple.contains("BroadcastHashJoin"), s"no broadcast join:\n$simple")
-    val formatted = executedFormatted(df)
+    val formatted = df.queryExecution.explainString(FormattedMode)
     // l_shipdate > cutoff must reach the parquet scan as a pushed filter,
     // not a post-scan Filter over all rows
     val pushed = formatted.linesIterator
@@ -150,8 +158,9 @@ class PlanSpec extends SparkTestBase {
 
   test("cosine near-dup: SRP self-join keeps its repartition and never ships vectors") {
     val e = Tables.embeddings(spark, sf)
-    val plan = executedSimple(Similarity.cosineNearDupPairs(
+    val df = executed(Similarity.cosineNearDupPairs(
       e, "vec_id", "embedding", threshold = 0.4, bits = 4, tables = 24))
+    val plan = simpleOf(df)
     // same contract as the MinHash banding: explicit-count repartition on
     // the bucket join key survives AQE
     assert(plan.contains("REPARTITION_BY_NUM"),
@@ -162,8 +171,7 @@ class PlanSpec extends SparkTestBase {
     // dim x tables). SimpleMode exchange lines print only partition keys,
     // so the attribute check must read FormattedMode's per-node
     // "Input [..]" detail for the bucket-keyed exchange node.
-    val fm = executedFormatted(Similarity.cosineNearDupPairs(
-      e, "vec_id", "embedding", threshold = 0.4, bits = 4, tables = 24))
+    val fm = df.queryExecution.explainString(FormattedMode)
     val exchBlocks = fm.split("\n\n").filter(b =>
       b.contains("Exchange") && b.contains("hashpartitioning(tbl"))
     assert(exchBlocks.nonEmpty, s"no bucket exchange node found:\n$fm")

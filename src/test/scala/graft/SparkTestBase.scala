@@ -23,4 +23,9 @@ trait SparkTestBase extends AnyFunSuite {
     .getOrCreate()
 
   def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+
+  /** The shared smoke-scale fixture dir — one definition so re-pointing
+    * the testdata can't silently leave a spec on a different corpus.
+    */
+  val sfTest = "/root/testdata/sf0.001"
 }

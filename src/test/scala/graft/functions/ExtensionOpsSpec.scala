@@ -102,7 +102,7 @@ class ExtensionOpsSpec extends SparkTestBase {
     // shares >= 1 exact band — candidates are complete, the exact
     // post-filter makes them precise. Check on real testdata (near-dup
     // dense: 500 docs, 31-word vocab) that the pair SET matches all-pairs.
-    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val d = graft.Tables.documents(spark, sfTest)
     for (maxH <- Seq(0, 3)) {
       val banded = Dedup.simhashBandedPairs(d, "doc_id", "text", maxH)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
@@ -133,7 +133,7 @@ class ExtensionOpsSpec extends SparkTestBase {
     // bandedPairIds keeps a colliding pair only in its first agreeing band
     // (in-stage filter) instead of a distinct exchange; the pair SET must
     // equal the explode → join → distinct reference on real testdata.
-    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val d = graft.Tables.documents(spark, sfTest)
     val cands = Dedup.candidatePairIds(d, "doc_id", "text") // k=32, bands=8
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(cands.length == cands.toSet.size, "duplicate pairs emitted")
@@ -166,7 +166,7 @@ class ExtensionOpsSpec extends SparkTestBase {
     // is probabilistic per missed band (2^-32 at j=0.5 with bands=32,r=1)
     // — pin BOTH at 1.0 on the real fixture corpus vs jaccardPairs run
     // with a constant block (i.e. the full quadratic pair space).
-    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val d = graft.Tables.documents(spark, sfTest)
     def pairSet(df: org.apache.spark.sql.DataFrame) =
       df.select("id_a", "id_b", "shared", "jaccard").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
@@ -299,9 +299,9 @@ class ExtensionOpsSpec extends SparkTestBase {
 
   test("knnIvf: a zero-norm vector (null cosine) cannot hijack cell ranking or top-k") {
     import org.apache.spark.sql.functions.typedlit
-    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val e = graft.Tables.embeddings(spark, sfTest)
       .where($"vec_id" < 40)
-      .unionByName(graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .unionByName(graft.Tables.embeddings(spark, sfTest)
         .where($"vec_id" === 0)
         .select(org.apache.spark.sql.functions.lit(999L).as("vec_id"),
           typedlit(Seq.fill(64)(0.0f)).as("embedding"),
@@ -318,7 +318,7 @@ class ExtensionOpsSpec extends SparkTestBase {
   }
 
   test("knnIvf returns valid ranked pairs whose cosines match brute force") {
-    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val e = graft.Tables.embeddings(spark, sfTest)
     val q = e.where($"vec_id" < 5)
     val ivf = Similarity.knnIvf(q, e, k = 3).collect()
     assert(ivf.nonEmpty)
@@ -338,7 +338,7 @@ class ExtensionOpsSpec extends SparkTestBase {
     // fixed hash planes, fixed KMeans seed) so a silent quality regression
     // fails here even before the oracle gate. Measured at sf0.001:
     // lsh(b=4, L=16) min 1/3 avg 0.867; ivf(nl=16, np=8) min 1/3 avg 0.800.
-    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val e = graft.Tables.embeddings(spark, sfTest)
     val q = e.where($"vec_id" < 10)
     val brute = Similarity.knnBrute(q, e, 3).select($"qid", $"cid")
     def recalls(ann: org.apache.spark.sql.DataFrame): (Double, Double) = {
@@ -359,7 +359,7 @@ class ExtensionOpsSpec extends SparkTestBase {
 
   test("fused CosineSimilarity expression is bit-identical to the composed built-ins") {
     import graft.expressions.CosineSimilarity
-    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50)
+    val e = graft.Tables.embeddings(spark, sfTest).limit(50)
     val pairs = e.select($"vec_id".as("qid"), $"embedding".as("qe"))
       .crossJoin(e.select($"vec_id".as("cid"), $"embedding".as("ce")))
     val diff = pairs.select(
@@ -392,7 +392,7 @@ class ExtensionOpsSpec extends SparkTestBase {
 
   test("fused SignatureAgreement is bit-identical to the composed built-ins") {
     import graft.expressions.SignatureAgreement
-    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001").limit(80)
+    val d = graft.Tables.documents(spark, sfTest).limit(80)
     val sigs = d.select($"doc_id".as("id"),
       Dedup.minhashSignature("text", 32).as("sig"))
     val pairs = sigs.select($"id".as("id_a"), $"sig".as("sig_a"))
@@ -417,7 +417,7 @@ class ExtensionOpsSpec extends SparkTestBase {
     val withNullElem = Seq(
       Tuple1(Seq(Option(1.5f), Option.empty[Float], Option(2.0f))))
       .toDF("embedding")
-    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val e = graft.Tables.embeddings(spark, sfTest)
       .select($"embedding".cast("array<float>"))
       .union(Seq(Array.empty[Float], Array(0.0f, 0.0f), Array(-1.5f, 2.5f, 0.0f))
         .toDF("embedding"))
@@ -448,14 +448,17 @@ class ExtensionOpsSpec extends SparkTestBase {
     // round-2 composable formulation IS the correctness contract for the
     // fused kernel — on real testdata (covers multi-space runs, punctuation,
     // every lang) plus adversarial edges the corpus may lack.
-    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val d = graft.Tables.documents(spark, sfTest)
       .select($"text")
       .union(Seq("", " ", "  ", "a  b ", " leading", "trailing ",
         "único café naïve 東京 züge").toDF("text"))
+    // null-asymmetric divergence counts too: bare =!= is NULL (row
+    // filtered out) when exactly one side is null, which would let a
+    // null-on-edge-input regression pass as "bit-identical"
     val diff = d.select(
         Dedup.simhash64("text").as("fast"),
         Dedup.simhash64Composed("text").as("ref"))
-      .where($"fast" =!= $"ref")
+      .where($"fast" =!= $"ref" || ($"fast".isNull =!= $"ref".isNull))
     assert(diff.count() == 0)
     // null in → null out, matching the composed expression
     val n = Seq(Tuple1(Option.empty[String])).toDF("text")
@@ -464,7 +467,7 @@ class ExtensionOpsSpec extends SparkTestBase {
   }
 
   test("fused MinHashSignature is bit-identical to the composed built-ins") {
-    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val d = graft.Tables.documents(spark, sfTest)
       .select($"text")
       .union(Seq("", " ", "  ", "a  b ", " leading", "trailing ", "ab",
         "único café naïve 東京 züge").toDF("text"))
@@ -472,7 +475,7 @@ class ExtensionOpsSpec extends SparkTestBase {
       val diff = d.select(
           Dedup.minhashSignature("text", k, shingle).as("fast"),
           Dedup.minhashSignatureComposed("text", k, shingle).as("ref"))
-        .where($"fast" =!= $"ref")
+        .where($"fast" =!= $"ref" || ($"fast".isNull =!= $"ref".isNull))
       assert(diff.count() == 0, s"k=$k shingleSize=$shingle")
     }
     val n = Seq(Tuple1(Option.empty[String])).toDF("text")
@@ -514,7 +517,7 @@ class ExtensionOpsSpec extends SparkTestBase {
   }
 
   test("cosineNearDupPairs: LSH pairs are a subset of exhaustive, recall clears the floor") {
-    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val e = graft.Tables.embeddings(spark, sfTest)
     val lsh = Similarity.cosineNearDupPairs(e, "vec_id", "embedding",
       threshold = 0.4, bits = 4, tables = 24)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

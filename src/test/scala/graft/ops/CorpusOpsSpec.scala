@@ -11,7 +11,7 @@ class CorpusOpsSpec extends SparkTestBase {
   import spark.implicits._
 
   test("assignSplit: content-addressed, complete, reproducible, ~weighted") {
-    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val docs = graft.Tables.documents(spark, sfTest)
     val s = CorpusOps.assignSplit(docs, "doc_id",
       Seq("train" -> 80, "val" -> 10, "test" -> 10))
     val counts = s.groupBy("split").count().as[(String, Long)].collect().toMap
@@ -32,16 +32,19 @@ class CorpusOpsSpec extends SparkTestBase {
   }
 
   test("deterministicSample: reproducible, near-fraction, and nested") {
-    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val docs = graft.Tables.documents(spark, sfTest)
     val s30 = CorpusOps.deterministicSample(docs, "doc_id", 0.3)
     val s60 = CorpusOps.deterministicSample(docs, "doc_id", 0.6)
     val n30 = s30.count(); val n60 = s60.count()
     assert(math.abs(n30 - 150) < 50 && math.abs(n60 - 300) < 60)
     // nested: the 30% sample is a strict subset of the 60% sample
     assert(s30.join(s60, Seq("doc_id"), "left_anti").count() == 0)
-    // reproducible: a second evaluation returns the identical id set
-    assert(CorpusOps.deterministicSample(docs, "doc_id", 0.3)
-      .select("doc_id").except(s30.select("doc_id")).count() == 0)
+    // reproducible: a second evaluation returns the IDENTICAL id set —
+    // both directions (a one-sided except would pass if the re-evaluation
+    // nondeterministically LOST rows: subset, not identity)
+    val again = CorpusOps.deterministicSample(docs, "doc_id", 0.3)
+    assert(again.select("doc_id").except(s30.select("doc_id")).count() == 0)
+    assert(s30.select("doc_id").except(again.select("doc_id")).count() == 0)
   }
 
   test("packSequences: offsets are cumulative within shard, packs chunk at the budget") {
@@ -133,7 +136,7 @@ class CorpusOpsSpec extends SparkTestBase {
   }
 
   test("stratifiedQuota: bounded per stratum, deterministic, short strata kept whole") {
-    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val docs = graft.Tables.documents(spark, sfTest)
     val q = CorpusOps.stratifiedQuota(docs, "lang", "doc_id", quota = 5)
     val perLang = q.groupBy("lang").count().as[(String, Long)].collect().toMap
     assert(perLang.values.forall(_ <= 5))

@@ -42,7 +42,7 @@ class EmbeddingOpsSpec extends SparkTestBase {
   }
 
   test("dequantMaxError clears the scale/2 bound on real embeddings") {
-    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val e = graft.Tables.embeddings(spark, sfTest)
     val bad = e.select(
       (EmbeddingOps.dequantMaxError(col("embedding"),
         EmbeddingOps.quantizeInt8(col("embedding")))
@@ -71,7 +71,7 @@ class EmbeddingOpsSpec extends SparkTestBase {
   test("normalize → quantize round-trip keeps cosine structure (sanity at sf0.001)") {
     // quantized-then-dequantized vectors should still rank an identical
     // vector first — the int8 path is lossy but order-preserving at k=1
-    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val e = graft.Tables.embeddings(spark, sfTest)
       .where(col("vec_id") < 50)
     val deq = e.select(col("vec_id"),
       EmbeddingOps.int8Scale(col("embedding")).as("s"),

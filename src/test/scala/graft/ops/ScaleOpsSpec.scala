@@ -10,7 +10,7 @@ class ScaleOpsSpec extends SparkTestBase {
     // One large group: percentile_approx returns an actual element (no
     // interpolation), so tiny groups can legitimately deviate by a whole
     // neighbor-gap; the approximation contract is about big groups.
-    val o = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+    val o = graft.Tables.orders(spark, sfTest)
       .withColumn("fixed_ts", to_timestamp(lit("2024-01-01 00:00:00")))
     val exact = WeeklyAgg.weeklyStatsCore(o, col("fixed_ts"),
       lit("all"), col("o_orderkey"), col("o_totalprice"))
@@ -50,7 +50,7 @@ class ScaleOpsSpec extends SparkTestBase {
   }
 
   test("zorderLayout: range-partitioned by the key, rows preserved, files 2-D tight") {
-    val o = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+    val o = graft.Tables.orders(spark, sfTest)
       .select(col("o_orderkey"),
         pmod(col("o_custkey"), lit(256)).as("x"),
         pmod(col("o_orderkey"), lit(256)).as("y"))
@@ -69,7 +69,7 @@ class ScaleOpsSpec extends SparkTestBase {
   }
 
   test("incremental HLL sketches: merged runs estimate like a full recompute") {
-    val o = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+    val o = graft.Tables.orders(spark, sfTest)
     // split history into two "runs" (disjoint deliveries) + re-deliver one
     // slice to prove idempotent union
     val run1 = o.where(pmod(col("o_orderkey"), lit(2)) === 0)

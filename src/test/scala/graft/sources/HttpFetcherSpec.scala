@@ -158,7 +158,10 @@ class HttpFetcherSpec extends AnyFunSuite {
     }) { url =>
       val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
       val dest = tmpFile()
-      new HttpFetcher(url, timeout = java.time.Duration.ofMillis(500),
+      // idle budget 2 s >> the 150 ms chunk cadence: the assertion is
+      // about the CEILING stretching, and a CI scheduling pause must not
+      // flake it through the idle path instead
+      new HttpFetcher(url, timeout = java.time.Duration.ofSeconds(2),
         attemptCeiling = Some(java.time.Duration.ofMillis(300)),
         minThroughputBytesPerSec = 20L,
         sleeper = sleeps.append(_))(dest)
@@ -182,7 +185,9 @@ class HttpFetcherSpec extends AnyFunSuite {
     }) { url =>
       val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
       val dest = tmpFile()
-      new HttpFetcher(url, timeout = java.time.Duration.ofMillis(500),
+      // 2 s idle budget vs 150 ms cadence: wide margin so a CI scheduling
+      // pause can't fire the watchdog on a genuinely healthy stream
+      new HttpFetcher(url, timeout = java.time.Duration.ofSeconds(2),
         sleeper = sleeps.append(_))(dest)
       assert(Files.readString(dest) == "0123456789" * 6)
       assert(sleeps.isEmpty) // zero retries: the stream was never killed
@@ -216,8 +221,10 @@ class HttpFetcherSpec extends AnyFunSuite {
       // force: refetches and atomically replaces
       val p3 = zone.fetch(fetcher, force = true)
       assert(Files.readString(p3) == "payload-2")
-      // every successful fetch leaves a timestamped backup
-      val backups = Files.list(java.nio.file.Paths.get(dir, "backups")).count()
+      // every successful fetch leaves a timestamped backup (stream closed:
+      // Files.list holds a directory handle until closed, not GC'd)
+      val listing = Files.list(java.nio.file.Paths.get(dir, "backups"))
+      val backups = try listing.count() finally listing.close()
       assert(backups >= 1)
     }
   }

@@ -16,15 +16,14 @@ class StreamingAndMultimodalSpec extends SparkTestBase {
   private lazy val stagedEventsDir: String = {
     // Stage the sf0.001 events through the streaming schema (micros ts).
     val dir = Files.createTempDirectory("events-stream").toString
-    graft.Tables.events(spark, "/root/testdata/sf0.001")
+    graft.Tables.events(spark, sfTest)
       .write.mode("overwrite").parquet(dir)
     dir
   }
 
-  private def stageEventsDir(): String = stagedEventsDir
 
   test("windowedStats over a file stream matches the batch computation") {
-    val dir = stageEventsDir()
+    val dir = stagedEventsDir
     val q = EventsStreaming.windowedStats(
         EventsStreaming.readEventsStream(spark, dir))
       .writeStream.outputMode("complete")
@@ -34,7 +33,7 @@ class StreamingAndMultimodalSpec extends SparkTestBase {
       .select(col("window.start").as("ws"), col("event_type"), col("transactions"))
     // Batch comparator uses the BATCH tier's Monday week bucketing — this is
     // the real alignment check (epoch-aligned 7-day windows start Thursday).
-    val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val batch = graft.Tables.events(spark, sfTest)
       .groupBy(graft.ops.CoreOps.weekStart(col("ts")).as("ws"), col("event_type"))
       // same 1% rsd as the streaming tier so the estimates are comparable
       .agg(approx_count_distinct(col("event_id"), 0.01).as("transactions"))
@@ -43,7 +42,7 @@ class StreamingAndMultimodalSpec extends SparkTestBase {
   }
 
   test("streaming session windows match the batch sessionize operator") {
-    val dir = stageEventsDir()
+    val dir = stagedEventsDir
     val q = EventsStreaming.sessionWindows(
         EventsStreaming.readEventsStream(spark, dir), gap = "30 minutes")
       .writeStream.outputMode("complete")
@@ -51,7 +50,7 @@ class StreamingAndMultimodalSpec extends SparkTestBase {
     q.processAllAvailable(); q.stop()
     val streamed = spark.table("sess_win_out")
     val batch = graft.ops.Sessionize.sessionize(
-      graft.Tables.events(spark, "/root/testdata/sf0.001"),
+      graft.Tables.events(spark, sfTest),
       "user_id", "ts", "event_id", gapMs = 1800000L)
     // same session count and same total events per user
     assert(streamed.count() == batch.count())
@@ -271,7 +270,7 @@ class StreamingAndMultimodalSpec extends SparkTestBase {
   }
 
   test("stream-stream interval join pairs same-user events within the window") {
-    val dir = stageEventsDir()
+    val dir = stagedEventsDir
     val clicks = EventsStreaming.readEventsStream(spark, dir)
       .where(col("event_type") === "click")
     val purchases = EventsStreaming.readEventsStream(spark, dir)
@@ -282,7 +281,7 @@ class StreamingAndMultimodalSpec extends SparkTestBase {
     q.processAllAvailable(); q.stop()
     val streamed = spark.table("ssj_out")
     // batch equivalent over the same data
-    val e = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val e = graft.Tables.events(spark, sfTest)
     val bl = e.where($"event_type" === "click")
       .select($"user_id", $"event_id".as("l_id"), $"ts".as("l_ts"))
     val br = e.where($"event_type" === "purchase")
@@ -295,7 +294,7 @@ class StreamingAndMultimodalSpec extends SparkTestBase {
 
   test("raw zone write partitions by ingest week and prunes on read") {
     val dir = java.nio.file.Files.createTempDirectory("raw-zone").toString
-    val e = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val e = graft.Tables.events(spark, sfTest)
     graft.sources.Sinks.writeRawZone(e, "ts", dir)
     val zone = spark.read.parquet(dir)
     assert(zone.count() == e.count())
