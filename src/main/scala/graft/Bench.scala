@@ -14,7 +14,7 @@ object Bench {
     * artifact order, not operator cost.)
     */
   private def force(df: DataFrame): Unit = {
-    df.select(xxhash64(struct(df.columns.map(col): _*)).as("__h"))
+    df.select(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)).as("__h"))
       .agg(max("__h")).collect()
     ()
   }

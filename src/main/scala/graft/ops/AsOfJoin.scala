@@ -68,6 +68,6 @@ object AsOfJoin {
           .otherwise(last(col("__m"), ignoreNulls = true).over(w)
             .getField("v")))
       .where(col("__side") === 1)
-      .select(leftCols.map(col) :+ col("asof_value"): _*)
+      .select(leftCols.toIndexedSeq.map(col) :+ col("asof_value"): _*)
   }
 }

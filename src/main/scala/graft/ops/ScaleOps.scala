@@ -90,7 +90,7 @@ object ScaleOps {
     // exact-duplicate rows, pass a unique id column via saltOn to spread
     // them.
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(saltOn.getOrElse(struct(df.columns.map(col): _*))),
+      pmod(xxhash64(saltOn.getOrElse(struct(df.columns.toIndexedSeq.map(col): _*))),
         lit(buckets.toLong)))
     salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
@@ -110,7 +110,7 @@ object ScaleOps {
     // Deterministic fact-side salt — same retry-stability rationale (and
     // duplicate-row caveat) as saltedSum.
     val saltedFacts = facts.withColumn("__salt",
-      pmod(xxhash64(saltOn.getOrElse(struct(facts.columns.map(col): _*))),
+      pmod(xxhash64(saltOn.getOrElse(struct(facts.columns.toIndexedSeq.map(col): _*))),
         lit(buckets.toLong)))
     val replicatedDim = dim.withColumn("__salt",
       explode(sequence(lit(0L), lit(buckets.toLong - 1))))
