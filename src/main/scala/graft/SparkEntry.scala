@@ -753,6 +753,20 @@ object SparkEntry {
           asc_nulls_first("o_orderpriority"),
           asc_nulls_first("o_orderstatus"))
     }),
+    // Arbitrary GROUPING SETS — the grouping-analytics member rollup/cube
+    // can't express (per-priority and per-status marginals plus the grand
+    // total, WITHOUT the cross cells). Deliberately via spark.sql over the
+    // parquet path: the one graded query exercising the SQL entry point of
+    // the same Catalyst surface the DataFrame queries use.
+    "grouping_sets_orders" -> ((s, d) =>
+      s.sql(
+        s"""SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           |  floor((CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS total_price,
+           |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+           |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status
+           |FROM parquet.`$d/orders.parquet`
+           |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+           |ORDER BY g_priority, g_status, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)),
     // Embedding-cosine near-duplicate pairs over a deterministic sample.
     "near_dup_cosine" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -1574,6 +1588,14 @@ object SparkEntry {
         |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status
         |FROM (SELECT *, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS __cents FROM orders) o
         |GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        |ORDER BY g_priority, g_status, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    "grouping_sets_orders" ->
+      """SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  floor((CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS total_price,
+        |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+        |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         |ORDER BY g_priority, g_status, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
     "near_dup_cosine" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
