@@ -111,6 +111,11 @@ object SparkEntry {
     * tiny corpora fall back to the full set so KMeans always has
     * comfortably more points than clusters. take(160), not count(): the
     * gate needs "at least 160 rows", not a full scan of the corpus.
+    * The sample is ABSOLUTELY bounded (vec_id < 50000 on top of the
+    * mod-5 spread → ≤10k training rows at ANY corpus size, pushed to the
+    * scan): a purely fractional key-mod sample would grow KMeans training
+    * linearly with the corpus. The cap covers the whole fixture today
+    * (max vec_id 1999), so the trained codebook is unchanged.
     *
     * Cache lifetime = JVM: keyed by the sfDir string, so regenerating the
     * parquet under the same path within one process would serve a stale
@@ -123,7 +128,8 @@ object SparkEntry {
   private def ivfCodebook(s: SparkSession, d: String): Similarity.IvfCodebook =
     ivfCodebooks.getOrElseUpdate(d, {
       val e = Tables.embeddings(s, d)
-      val sample = e.where(pmod(col("vec_id"), lit(5)) === 0)
+      val sample = e.where(pmod(col("vec_id"), lit(5)) === 0
+        && col("vec_id") < 50000)
       val train = if (sample.select("vec_id").take(160).length >= 160) sample
         else e
       Similarity.trainCodebook(train, nlist = 16)
@@ -607,9 +613,16 @@ object SparkEntry {
     // the truth pairs and the worst |est − true| error are contracts, not
     // descriptions. Floors: measured recall ≥ 0.9998 and max err ≤ 0.224
     // across sf0.001-0.1 with k=64/bands=32 at est-threshold 0.35.
+    //
+    // The truth slice is ABSOLUTELY bounded (doc_id < 10000 on top of the
+    // mod-10 spread → ≤1000 docs at ANY corpus size): jaccardPairs' token
+    // self-join is quadratic in the slice, so a fractional sample would
+    // make the graded plan itself O((n/10)²) at scale. The cap covers the
+    // whole fixture today (max doc_id 4999), so the graded result is
+    // unchanged — only the scaling contract tightens.
     "minhash_quality" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-        .where(pmod(col("doc_id"), lit(10)) === 0)
+        .where(pmod(col("doc_id"), lit(10)) === 0 && col("doc_id") < 10000)
       val truth = Dedup.jaccardPairs(
         docs.withColumn("one", lit(1)), "doc_id", "text", "one", 0.5)
         .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -768,9 +781,17 @@ object SparkEntry {
            |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
            |ORDER BY g_priority, g_status, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)),
     // Embedding-cosine near-duplicate pairs over a deterministic sample.
+    // The broadcast query set is ABSOLUTELY bounded (vec_id < 10000 on top
+    // of the mod-10 spread → ≤1000 vectors at ANY corpus size): a purely
+    // fractional sample would grow the broadcast linearly with the corpus
+    // and blow the broadcast threshold at 100×. The cap covers the whole
+    // fixture today (max vec_id 1999), so the graded result is unchanged.
+    // The all-corpus near-dup operator is Similarity.cosineNearDupPairs
+    // (LSH-bucketed; quality-gated by cosine_dedup_quality below).
     "near_dup_cosine" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val q = broadcast(e.where(pmod(col("vec_id"), lit(10)) === 0)
+      val q = broadcast(e.where(pmod(col("vec_id"), lit(10)) === 0
+          && col("vec_id") < 10000)
         .select(col("vec_id").as("qid"), col("embedding").as("qe")))
       e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
         .crossJoin(q).where(col("cid") =!= col("qid"))
@@ -789,12 +810,23 @@ object SparkEntry {
     // 0.989-1.0 at b=4/L=24 across SFs) and exact precision (every LSH
     // pair is a truth pair) — so a quality regression flips a bit and
     // fails the hash compare.
+    //
+    // The truth side is exhaustive BY DEFINITION (cosinePairsExhaustive is
+    // quadratic), so it runs over an ABSOLUTELY bounded slice (vec_id <
+    // 2000 — the whole fixture today, a fixed 2M-pair ceiling at any
+    // corpus size) and the LSH pairs are gated to the same slice for the
+    // recall/precision measurement. The LSH path itself still indexes the
+    // FULL corpus — production shape: one bucketed index serves every
+    // governance scan — only the measured sample is capped.
     "cosine_dedup_quality" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
+      val cap = lit(2000L)
       val lsh = Similarity.cosineNearDupPairs(e, "vec_id", "embedding",
         threshold = 0.4, bits = 4, tables = 24)
+        .where(col("id_a") < cap && col("id_b") < cap)
         .select(col("id_a"), col("id_b"), lit(1).as("__l"))
-      val truth = Similarity.cosinePairsExhaustive(e, "vec_id", "embedding",
+      val truth = Similarity.cosinePairsExhaustive(
+        e.where(col("vec_id") < cap), "vec_id", "embedding",
         threshold = 0.4)
         .select(col("id_a"), col("id_b"), lit(1).as("__t"))
       // ONE full-outer join evaluates each (expensive) subplan exactly
@@ -938,21 +970,25 @@ object SparkEntry {
       val split = CorpusOps.assignSplit(e, "vec_id",
         Seq("train" -> 90, "test" -> 10))
       // Exhaustive truth over CROSS-SPLIT pairs only (test × train, the
-      // ~2·p·(1-p)·n²/2 slice the contract is about) — running the full
-      // all-pairs scan and discarding same-split pairs would pay ~5.5x the
-      // dominant O(n²) stage for nothing.
-      val test = split.where(col("split") === "test")
+      // slice the contract is about), with the TEST side ABSOLUTELY
+      // bounded (vec_id < 2000 → the whole fixture today, ≤~10% of 2000
+      // ids at any corpus size) and broadcast: the truth scan is then
+      // O(|cap| · n) — linear in the corpus, never O(n²) — while the
+      // recall/precision floors are measured on the capped test sample.
+      val cap = lit(2000L)
+      val test = split.where(col("split") === "test" && col("vec_id") < cap)
         .select(col("vec_id").as("test_id"), col("embedding").as("tv"))
       val train = split.where(col("split") === "train")
         .select(col("vec_id").as("train_id"), col("embedding").as("rv"))
-      val truth = test.crossJoin(train)
+      val truth = train.crossJoin(broadcast(test))
         .where(rnd(graft.expressions.CosineSimilarity
           .cosineFast(col("tv"), col("rv"))) >= 0.4)
         .select("test_id").distinct()
         .withColumn("__t", lit(1))
       // The LSH path runs over the whole corpus (production shape: one
       // bucketed index serves every governance scan), cross-split pairs
-      // selected after the fact.
+      // selected after the fact — gated to the same capped test sample
+      // the truth side measures.
       val sp = split.select(col("vec_id"), col("split"))
       val lsh = Similarity.cosineNearDupPairs(
           e, "vec_id", "embedding", threshold = 0.4, bits = 4, tables = 24)
@@ -963,6 +999,7 @@ object SparkEntry {
         .where(col("sa") =!= col("sb"))
         .select(when(col("sa") === "test", col("id_a"))
           .otherwise(col("id_b")).as("test_id"))
+        .where(col("test_id") < cap)
         .distinct()
         .withColumn("__l", lit(1))
       truth.join(lsh, Seq("test_id"), "full_outer")
@@ -1496,7 +1533,7 @@ object SparkEntry {
     // MinHash quality: n_truth is the exhaustive exact-jaccard pair count
     // (recomputed here), and the recall / estimator-error floors must hold.
     "minhash_quality" ->
-      """WITH docs AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+      """WITH docs AS (SELECT * FROM documents WHERE doc_id % 10 = 0 AND doc_id < 10000),
         |toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM docs),
         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt FROM toks GROUP BY 1),
         |prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
@@ -1599,7 +1636,7 @@ object SparkEntry {
         |ORDER BY g_priority, g_status, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
     "near_dup_cosine" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
-        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |  FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 10000),
         |p AS (SELECT qid, e.vec_id AS cid,
         |    floor((list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[]))) * 10000 + 0.5) / 10000 AS cos_sim
         |  FROM q, embeddings e WHERE e.vec_id <> qid)
@@ -1609,7 +1646,7 @@ object SparkEntry {
     // literal TRUE — Spark must measure its LSH path at-or-above the
     // contract for the row hash to match (minhash_quality pattern).
     "cosine_dedup_quality" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 2000),
         |t AS (SELECT a.vec_id AS ia, b.vec_id AS ib FROM e a JOIN e b ON a.vec_id < b.vec_id
         |  WHERE floor(list_cosine_similarity(a.v, b.v) * 10000 + 0.5) / 10000 >= 0.4)
         |SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ok, TRUE AS precision_ok
@@ -1705,7 +1742,8 @@ object SparkEntry {
         |s AS (SELECT vec_id, v, CASE WHEN bucket < 90 THEN 'train' ELSE 'test' END AS split FROM b),
         |leaked AS (SELECT DISTINCT t.vec_id
         |  FROM s t JOIN s tr ON t.split = 'test' AND tr.split = 'train'
-        |  WHERE floor(list_cosine_similarity(t.v, tr.v) * 10000 + 0.5) / 10000 >= 0.4)
+        |  WHERE t.vec_id < 2000
+        |    AND floor(list_cosine_similarity(t.v, tr.v) * 10000 + 0.5) / 10000 >= 0.4)
         |SELECT CAST(count(*) AS BIGINT) AS n_leaked, TRUE AS recall_ok, TRUE AS precision_ok
         |FROM leaked""".stripMargin,
     "dedup_chunks" ->

@@ -247,6 +247,38 @@ class PlanSpec extends SparkTestBase {
       s"chunk text shipped through the digest exchange:\n${exchBlocks.mkString("\n\n")}")
   }
 
+  test("quality-gate truth sides: no cartesian over unbounded sides, caps pushed to scan") {
+    // The four quality-gate queries deliberately run an exhaustive (or
+    // broadcast) truth side next to the production LSH path. The scale
+    // contract: every unkeyed join in their FINAL plans builds on a side
+    // capped by an ABSOLUTE id bound — so the graded plan itself stays
+    // O(corpus) at any SF — and no plan ever degenerates to a
+    // CartesianProduct (the non-broadcast quadratic node: its appearance
+    // would mean the capped side outgrew the broadcast threshold, i.e.
+    // the cap was lost). The pushed-filter check proves the cap reaches
+    // the parquet scan of the bounded side; the BNLJ count pins exactly
+    // the intended unkeyed joins and no accidental extras.
+    val contracts = Seq(
+      // (query, capped-scan pushed filter, expected unkeyed-join count)
+      ("minhash_quality", "LessThan(doc_id,10000)", 0),
+      ("near_dup_cosine", "LessThan(vec_id,10000)", 1),
+      ("cosine_dedup_quality", "LessThan(vec_id,2000)", 1),
+      ("embed_decontaminate", "LessThan(vec_id,2000)", 1))
+    for ((name, pushedCap, nUnkeyed) <- contracts) {
+      val df = executed(SparkEntry.queries(name)(spark, sf))
+      val simple = simpleOf(df)
+      assert(!simple.contains("CartesianProduct"),
+        s"$name: cartesian product in graded plan:\n$simple")
+      val bnl = "BroadcastNestedLoopJoin".r.findAllIn(simple).size
+      assert(bnl == nUnkeyed,
+        s"$name: expected $nUnkeyed BroadcastNestedLoopJoin, got $bnl:\n$simple")
+      val pushed = df.queryExecution.explainString(FormattedMode)
+        .linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+      assert(pushed.contains(pushedCap),
+        s"$name: absolute cap $pushedCap not pushed to a scan:\n$pushed")
+    }
+  }
+
   test("incremental dedup: both sides reduce to digests before the anti join") {
     val docs = Tables.documents(spark, sf)
     val plan = executedFormatted(Dedup.dropExactIncremental(
