@@ -595,17 +595,29 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) =>
       Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
         .orderBy("keep_id")),
+    // Absolute cap on the brute-force slice (same rationale as
+    // minhash_quality: jaccardPairs is quadratic in its slice, so the
+    // graded plan needs a fixed ceiling, not a corpus fraction).
     "near_dup_jaccard" -> ((s, d) =>
       Dedup.jaccardPairs(
-        Tables.documents(s, d).where(pmod(col("doc_id"), lit(10)) === 0),
+        Tables.documents(s, d).where(pmod(col("doc_id"), lit(10)) === 0
+          && col("doc_id") < 10000),
         "doc_id", "text", "lang", threshold = 0.5)
         .orderBy("id_a", "id_b")),
-    // MinHash LSH + SimHash use Spark's xxhash64 — not reproducible in
-    // DuckDB SQL, so these carry no oracle entry (driver rows-only check);
-    // their semantics are pinned by unit tests AND by the oracle-checked
-    // minhash_quality companion below.
+    // The MinHash-LSH pair list, oracle-gated end to end: banded candidate
+    // generation (xxhash64 signatures — the production scale path) + exact
+    // jaccard verification, emitted as the full verified pair list over a
+    // bounded slice DISJOINT from near_dup_jaccard's (mod-10 residue 1 vs
+    // 0). The DuckDB oracle recomputes the exhaustive exact-jaccard pair
+    // set for the slice: the hash match proves the banding recovered
+    // EVERY pair (at r=1/bands=32 a j≥0.5 pair is missed with probability
+    // ≤ 2^-32, and xxhash64 is deterministic — green once is green
+    // always). The estimator itself stays gated by minhash_quality below.
     "minhash_lsh_pairs" -> ((s, d) =>
-      Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text")
+      Dedup.verifiedNearDupPairs(
+        Tables.documents(s, d).where(pmod(col("doc_id"), lit(10)) === 1
+          && col("doc_id") < 10000),
+        "doc_id", "text", threshold = 0.5)
         .orderBy("id_a", "id_b")),
     // MinHash estimator quality, oracle-gated: DuckDB recomputes the
     // exhaustive exact-jaccard truth set (n_truth must hash-match) and
@@ -643,10 +655,29 @@ object SparkEntry {
     }),
     // Hamming-LSH banding (bands = maxHamming + 1 → lossless by
     // pigeonhole): full corpus, no semantic block, no sample — the banded
-    // pair set provably equals the brute-force Hamming scan (ExtensionOpsSpec).
+    // pair set provably equals the brute-force Hamming scan
+    // (ExtensionOpsSpec). xxhash64 fingerprints → rows-only check here;
+    // the banding join itself is oracle-gated by simhash_quality below.
     "simhash_hamming" -> ((s, d) =>
       Dedup.simhashBandedPairs(Tables.documents(s, d), "doc_id", "text",
         maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+    // SimHash quality companion, oracle-gated end to end: the SAME
+    // Hamming-LSH banding join as simhash_hamming (shared
+    // bandedHammingPairs core), run with the engine-replayable md5-fold
+    // fingerprint over a bounded slice. The DuckDB oracle recomputes the
+    // fingerprints bit-for-bit and the brute-force Hamming pair set — the
+    // hash match proves the pigeonhole banding is exactly lossless (recall
+    // 1.0 is a theorem here, and the oracle row makes it a graded
+    // contract, not a spec-only claim). maxHamming=7 (8 bands × 8 bits,
+    // the selectivity floor): the tightest radius whose truth set is
+    // non-empty at EVERY graded SF — a vacuous 0-row match would gate
+    // nothing at the driver's sf0.01.
+    "simhash_quality" -> ((s, d) =>
+      Dedup.simhashReplayableBandedPairs(
+        Tables.documents(s, d).where(pmod(col("doc_id"), lit(10)) === 0
+          && col("doc_id") < 10000),
+        "doc_id", "text", maxHamming = 7)
         .orderBy("id_a", "id_b")),
 
     // ---- training-data extension tier: similarity search ----
@@ -1504,7 +1535,7 @@ object SparkEntry {
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "near_dup_jaccard" ->
-      """WITH docs AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+      """WITH docs AS (SELECT * FROM documents WHERE doc_id % 10 = 0 AND doc_id < 10000),
         |toks AS (SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok FROM docs),
         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt FROM toks GROUP BY 1),
         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
@@ -1514,6 +1545,44 @@ object SparkEntry {
         |  floor((CAST(shared AS DOUBLE) / (sa.nt + sb.nt - shared)) * 10000 + 0.5) / 10000 AS jaccard
         |  FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id)
         |SELECT id_a, id_b, shared, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    // The LSH-verified pair list must equal the exhaustive exact-jaccard
+    // pair set on its (disjoint, capped) slice — no semantic block in the
+    // Spark plan; the oracle's lang equi-join is absent here deliberately.
+    "minhash_lsh_pairs" ->
+      """WITH docs AS (SELECT * FROM documents WHERE doc_id % 10 = 1 AND doc_id < 10000),
+        |toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM docs),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt FROM toks GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (SELECT id_a, id_b, shared,
+        |  floor((CAST(shared AS DOUBLE) / (sa.nt + sb.nt - shared)) * 10000 + 0.5) / 10000 AS jaccard
+        |  FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id)
+        |SELECT id_a, id_b, shared, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    // Replays the md5-fold fingerprint (two 32-bit halves, per-occurrence
+    // ±1 votes per bit) and the brute-force Hamming scan the pigeonhole
+    // banding provably equals. list(h) aggregation order is arbitrary but
+    // the vote sum is an integer total — order-insensitive, so the
+    // fingerprints are engine-exact.
+    "simhash_quality" ->
+      """WITH docs AS (SELECT * FROM documents WHERE doc_id % 10 = 0 AND doc_id < 10000),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM docs),
+        |th AS (SELECT doc_id,
+        |    list_reduce(list_transform(range(1, 9), i -> (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)::BIGINT), (a, x) -> a * 16 + x) AS h_lo,
+        |    list_reduce(list_transform(range(9, 17), i -> (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)::BIGINT), (a, x) -> a * 16 + x) AS h_hi
+        |  FROM toks),
+        |hl AS (SELECT doc_id, list(h_lo) AS ls, list(h_hi) AS hs FROM th GROUP BY 1),
+        |fp AS (SELECT doc_id,
+        |    list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 32), i ->
+        |      CASE WHEN list_sum(list_transform(ls, h -> CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)), (a, b) -> a | b) AS fp_lo,
+        |    list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 32), i ->
+        |      CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)), (a, b) -> a | b) AS fp_hi
+        |  FROM hl),
+        |prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(bit_count(xor(a.fp_lo, b.fp_lo)) + bit_count(xor(a.fp_hi, b.fp_hi)) AS INT) AS hamming
+        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, hamming FROM prs WHERE hamming <= 7
+        |ORDER BY id_a, id_b""".stripMargin,
     "knn_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10),
         |p AS (SELECT qid, e.vec_id AS cid, list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) AS cos

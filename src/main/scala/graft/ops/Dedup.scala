@@ -388,13 +388,22 @@ object Dedup {
     * more than 7 would thin bands below 8 bits and stop being selective.
     */
   def simhashBandedPairs(df: DataFrame, idCol: String, textCol: String,
-                         maxHamming: Int = 3): DataFrame = {
+                         maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(
+      df.select(col(idCol).as("id"), simhash64(textCol).as("sh")), maxHamming)
+
+  /** The Hamming-LSH banding core over a prepared (id, sh) frame — shared
+    * by the xxhash64 production path ([[simhashBandedPairs]]) and the
+    * engine-replayable path ([[simhashReplayableBandedPairs]]), so the
+    * oracle-gated variant exercises EXACTLY the banding join the
+    * production variant runs.
+    */
+  private def bandedHammingPairs(h: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"maxHamming=$maxHamming outside [0, 7]: bands = maxHamming + 1 must " +
         "keep ≥ 8 bits per band to stay selective")
     val bands = maxHamming + 1
     val w = 64 / bands // last band also takes the 64 % bands remainder bits
-    val h = df.select(col(idCol).as("id"), simhash64(textCol).as("sh"))
     // Same join-key distribution rationale as minhashCandidates (explicit
     // count so AQE's input-sized coalescing can't serialize the exploding
     // self-join onto one task): free under a sort-merge self-join at
@@ -405,7 +414,7 @@ object Dedup {
         s"CASE WHEN j = ${bands - 1} THEN shiftrightunsigned(sh, j * $w) " +
         s"ELSE shiftrightunsigned(sh, j * $w) & ${(1L << w) - 1} END)"))
         .as(Seq("band", "bval")))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+      .repartition(h.sparkSession.sparkContext.defaultParallelism,
         col("band"), col("bval"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
@@ -415,6 +424,46 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .distinct() // a pair can agree on several bands
   }
+
+  /** Engine-replayable 64-bit SimHash: the token hash is the first 16 hex
+    * chars of `md5(token)` folded as two 32-bit halves (low 32 bits from
+    * chars 1-8, high from 9-16), so any engine with md5 + string ops
+    * reproduces the fingerprint bit-for-bit — the DuckDB oracle refolds it
+    * the way it already replays [[graft.ops.CorpusOps.assignSplit]]'s
+    * bucket hash. Same vote semantics as [[simhash64]] (per-occurrence
+    * votes over whitespace tokens, bit set iff the vote sum is positive);
+    * only the token hash differs (xxhash64 is not replayable outside
+    * Spark). Precondition: non-null text (the corpus contract; a null
+    * would fingerprint as 0 here but vanish from a SQL unnest).
+    *
+    * Cost shape: two 32-bit HOF folds per row — fine for the bounded
+    * quality slice it grades; the full-corpus path stays on the fused
+    * [[graft.expressions.SimHash64]] kernel.
+    */
+  def simhashReplayable64(textCol: String): Column = {
+    def half(off: Int): Column = expr(
+      s"""transform(array(transform(split($textCol, ' '), t ->
+         |    CAST(conv(substring(md5(t), $off, 8), 16, 10) AS BIGINT))), hs ->
+         |  aggregate(sequence(0, 31), 0L, (acc, i) -> acc |
+         |    CASE WHEN aggregate(hs,
+         |      0L, (v, h) -> v + CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1 ELSE -1 END) > 0
+         |    THEN shiftleft(1L, i) ELSE 0L END))[0]""".stripMargin)
+    shiftleft(half(9), 32).bitwiseOR(half(1))
+  }
+
+  /** [[simhashBandedPairs]] with the engine-replayable fingerprint —
+    * the oracle-gated quality companion's pair source: the banding join is
+    * the SAME code path the production query runs, and the pair set is
+    * provably the brute-force Hamming scan's (pigeonhole losslessness), so
+    * a DuckDB oracle that recomputes fingerprints + brute-force pairs
+    * hash-gates the banding end to end.
+    */
+  def simhashReplayableBandedPairs(df: DataFrame, idCol: String,
+                                   textCol: String,
+                                   maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(
+      df.select(col(idCol).as("id"), simhashReplayable64(textCol).as("sh")),
+      maxHamming)
 
   /** Near-dup pairs by SimHash Hamming distance within a blocking key.
     * `bit_count(a XOR b)` is the Hamming distance; blocks bound the

@@ -261,6 +261,9 @@ class PlanSpec extends SparkTestBase {
     val contracts = Seq(
       // (query, capped-scan pushed filter, expected unkeyed-join count)
       ("minhash_quality", "LessThan(doc_id,10000)", 0),
+      ("near_dup_jaccard", "LessThan(doc_id,10000)", 0),
+      ("minhash_lsh_pairs", "LessThan(doc_id,10000)", 0),
+      ("simhash_quality", "LessThan(doc_id,10000)", 0),
       ("near_dup_cosine", "LessThan(vec_id,10000)", 1),
       ("cosine_dedup_quality", "LessThan(vec_id,2000)", 1),
       ("embed_decontaminate", "LessThan(vec_id,2000)", 1))
