@@ -125,6 +125,44 @@ object SparkEntry {
   private val ivfCodebooks =
     scala.collection.concurrent.TrieMap.empty[String, Similarity.IvfCodebook]
 
+  /** Events staged once per sfDir through [[Tables.events]] (micros ts)
+    * into a temp dir the file-stream source can tail — streaming the
+    * driver parquet directly is impossible (TIMESTAMP(NANOS), see
+    * Tables.events), and the staging IS the production shape: a landing
+    * zone the stream reads. Memoized like [[ivfCodebooks]] (same JVM
+    * lifetime / immutable-testdata caveat).
+    */
+  private val stagedEventDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def stagedEvents(s: SparkSession, d: String): String =
+    stagedEventDirs.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-events-stream").toString
+      Tables.events(s, d).write.mode("overwrite").parquet(dir)
+      dir
+    })
+
+  private val streamRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Drive a finite streaming frame to completion through a memory sink
+    * and hand back the result as a batch frame. `processAllAvailable`
+    * drains the file source AND the trailing no-data micro-batch where
+    * event-time timeouts fire (pinned by StreamingAndMultimodalSpec), so
+    * watermark-final emissions are all present before the table is read.
+    * Unique query names keep bench re-runs from colliding on the temp
+    * view.
+    */
+  private def runStreamToTable(s: SparkSession, df: DataFrame,
+                               name: String): DataFrame = {
+    val qn = s"graft_stream_${name}_${streamRuns.incrementAndGet()}"
+    val q = df.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName(qn).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qn)
+  }
+
   private def ivfCodebook(s: SparkSession, d: String): Similarity.IvfCodebook =
     ivfCodebooks.getOrElseUpdate(d, {
       val e = Tables.embeddings(s, d)
@@ -768,6 +806,61 @@ object SparkEntry {
       Sessionize.sessionize(Tables.events(s, d), "user_id", "ts", "event_id",
         gapMs = 1800000L)
         .orderBy("user_id", "session_id")),
+
+    // ---- streaming tier (SURVEY §2.G): graded batch-equivalence ----
+    // The flagship stateful operator, graded: gap-closed sessions emitted
+    // only when watermark-final (flatMapGroupsWithState + event-time
+    // timeout over a real file stream). The contract is stream/batch
+    // agreement: the emitted session set must equal the batch sessionize
+    // result restricted to sessions the FINAL watermark (max event time
+    // − 1 h) closed — recomputed independently by the DuckDB oracle.
+    // Timestamps are ms-floored by the streaming state
+    // (java.sql.Timestamp), matching Spark's ms-floor watermark clock, so
+    // the oracle compares in epoch_ms and truncates emitted bounds to
+    // milliseconds.
+    "stream_sessions_final" -> ((s, d) => {
+      val st = graft.streaming.EventsStreaming.closedSessions(
+        graft.streaming.EventsStreaming.readEventsStream(s, stagedEvents(s, d)),
+        gapMs = 1800000L, watermark = "1 hour")
+      runStreamToTable(s, st.toDF(), "sessions")
+        .select(col("userId").as("user_id"), col("startTs").as("t_start"),
+          col("endTs").as("t_end"), col("nEvents").as("n_events"))
+        .orderBy("user_id", "t_start")
+    }),
+    // Stream-stream interval join (click → purchase within 1 h, same
+    // user), graded: both sides watermarked, state evictable — and with
+    // the finite source drained, the emitted pair set is exactly the
+    // batch interval join the oracle runs. Timestamps pass through
+    // untouched (no state encoding), so they compare at full micros.
+    "stream_join_attribution" -> ((s, d) => {
+      val src = graft.streaming.EventsStreaming
+        .readEventsStream(s, stagedEvents(s, d))
+      val joined = graft.streaming.EventsStreaming.streamStreamJoin(
+        src.where(col("event_type") === "click"),
+        src.where(col("event_type") === "purchase"), within = "1 hour")
+      runStreamToTable(s, joined, "attrib")
+        .select(col("l_id").as("click_id"), col("l_ts").as("click_ts"),
+          col("r_id").as("purchase_id"), col("r_ts").as("purchase_ts"),
+          col("user_id"))
+        .orderBy("click_id", "purchase_id")
+    }),
+    // Streaming Welford z-scores, graded: the finite source arrives as ONE
+    // micro-batch (no maxFilesPerTrigger), so the per-key fold runs in
+    // (ts, event_id) order over each key's full history — the oracle
+    // recomputes every event's inclusive-prefix mean/stddev_samp with
+    // window functions (same ddof=1 and std==0/n<2 → z=0 guards as the
+    // batch Anomaly stage). z rounds to 4 dp on both sides; ts stays out
+    // of the projection (ms-floored by the state encoder — event_id is
+    // the row identity).
+    "stream_zscore" -> ((s, d) => {
+      val st = graft.streaming.EventsStreaming.runningZScores(
+        graft.streaming.EventsStreaming.readEventsStream(s, stagedEvents(s, d)))
+      runStreamToTable(s, st.toDF(), "zscore")
+        .select(col("dim").as("event_type"), col("eventId").as("event_id"),
+          col("value"), CoreOps.rnd(col("z")).as("z"),
+          col("nSeen").as("n_seen"))
+        .orderBy("event_type", "event_id")
+    }),
     // Hierarchical subtotals via ROLLUP (capability beyond the reference's
     // flat group-bys).
     "rollup_orders" -> ((s, d) => {
@@ -1681,6 +1774,62 @@ object SparkEntry {
         |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
         |  min(ts) AS t_start, max(ts) AS t_end
         |FROM g GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+    // Stream/batch agreement: the batch sessionize computation restricted
+    // to sessions the final watermark (epoch_ms(max ts) − 1 h) closed —
+    // end + gap at-or-before the watermark, the inclusive boundary the
+    // streaming operator's late-row semantics make exact. Bounds truncate
+    // to ms (the streaming state's java.sql.Timestamp precision).
+    "stream_sessions_final" ->
+      """WITH e AS (SELECT user_id, ts, event_id FROM events
+        |    WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |wm AS (SELECT epoch_ms(max(ts)) - 3600000 AS w FROM e),
+        |s AS (SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM e),
+        |f AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN prev IS NULL OR epoch_ms(ts) - epoch_ms(prev) > 1800000
+        |         THEN 1 ELSE 0 END AS newf
+        |  FROM s),
+        |g AS (SELECT user_id, ts,
+        |    CAST(sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM f),
+        |h AS (SELECT user_id, sid,
+        |    date_trunc('milliseconds', min(ts)) AS t_start,
+        |    date_trunc('milliseconds', max(ts)) AS t_end,
+        |    epoch_ms(max(ts)) AS end_ms,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id, t_start, t_end, n_events FROM h, wm
+        |WHERE end_ms + 1800000 <= w
+        |ORDER BY user_id, t_start""".stripMargin,
+    "stream_join_attribution" ->
+      """SELECT l.event_id AS click_id, l.ts AS click_ts,
+        |  r.event_id AS purchase_id, r.ts AS purchase_ts, l.user_id
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id AND r.ts >= l.ts
+        |  AND r.ts <= l.ts + INTERVAL 1 HOUR
+        |WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+        |ORDER BY click_id, purchase_id""".stripMargin,
+    // Inclusive-prefix running moments per event_type in (ts, event_id)
+    // order — the batch replay of the streaming Welford fold (ddof=1,
+    // std==0/n<2 → z=0).
+    "stream_zscore" ->
+      """WITH e AS (SELECT event_type, event_id, ts, value FROM events
+        |    WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |      AND event_id IS NOT NULL AND ts IS NOT NULL),
+        |w AS (SELECT event_type, event_id, value,
+        |    avg(value) OVER pw AS m,
+        |    stddev_samp(value) OVER pw AS sd,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS BIGINT) AS n_seen
+        |  FROM e
+        |  WINDOW pw AS (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, event_id, value,
+        |  CASE WHEN n_seen < 2 OR sd IS NULL OR sd = 0 THEN 0.0
+        |       ELSE floor(((value - m) / sd) * 10000 + 0.5) / 10000 END AS z,
+        |  n_seen
+        |FROM w ORDER BY event_type, event_id""".stripMargin,
     "rollup_orders" ->
       """SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
         |  floor((CAST(sum(__cents) AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS total_price
