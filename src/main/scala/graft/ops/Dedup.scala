@@ -45,13 +45,25 @@ object Dedup {
     */
   def dropNearDups(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, k: Int = 32, bands: Int = 32,
-                   shingleSize: Int = 1, maxIter: Int = 10): DataFrame = {
+                   shingleSize: Int = 1, maxIter: Int = 10): DataFrame =
     // maxIter passes through: clusterPairs fails loudly on a component
     // whose diameter exceeds it (e.g. a drifting boilerplate CHAIN of >10
     // adjacent near-dups), and its error says to raise the cap — which
     // must be possible from this public entry point.
-    val comps = clusterPairs(verifiedNearDupPairs(df, idCol, textCol,
-      threshold, k, bands, shingleSize), maxIter)
+    dropNearDupsFromPairs(df, idCol,
+      verifiedNearDupPairs(df, idCol, textCol, threshold, k, bands,
+        shingleSize), maxIter)
+
+  /** [[dropNearDups]] from a precomputed verified-pair list — for callers
+    * that already hold the pairs (a memoized subplan, or one pair set
+    * re-filtered across thresholds: `verifiedNearDupPairs(t_hi)` equals
+    * `verifiedNearDupPairs(t_lo).where(jaccard >= t_hi)` for t_lo <= t_hi,
+    * since the candidate stage is threshold-independent). Skips re-running
+    * LSH + exact verification — at scale that is the whole cost.
+    */
+  def dropNearDupsFromPairs(df: DataFrame, idCol: String, pairs: DataFrame,
+                            maxIter: Int = 10): DataFrame = {
+    val comps = clusterPairs(pairs, maxIter)
     df.join(comps.where(col("id") =!= col("component"))
         .select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
