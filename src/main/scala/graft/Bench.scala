@@ -44,7 +44,8 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    require(ordered.nonEmpty, s"no queries match SPARK_GRAFT_QUERIES=$only")
+    require(ordered.nonEmpty,
+      s"no queries match SPARK_GRAFT_QUERIES=${only.get.mkString(",")}")
     ordered.foreach { case (name, fn) =>
       try force(fn(spark, sfDir)) catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")

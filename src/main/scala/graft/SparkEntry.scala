@@ -1903,10 +1903,14 @@ object SparkEntry {
     // Norms in integer micro-units before the cross-row aggregation (long
     // sums are associative; double sums are not) — the per-vector fold is
     // list_reduce, sequential like Spark's aggregate(), so the doubles are
-    // bit-identical before quantization.
+    // bit-identical before quantization. Every list_reduce is SEEDED with
+    // list_prepend(0.0, ...): DuckDB's unseeded list_reduce ERRORS on an
+    // empty list where Spark's aggregate returns its 0.0 seed — seeding
+    // makes a zero-dim vector grade (both engines agree on 0) instead of
+    // crashing the oracle.
     "embed_stats" ->
       """WITH v AS (SELECT label, CAST(len(embedding) AS BIGINT) AS dim,
-        |    CAST(floor(sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b)) * 1000000 + 0.5) AS BIGINT) AS norm_u
+        |    CAST(floor(sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), (a, b) -> a + b)) * 1000000 + 0.5) AS BIGINT) AS norm_u
         |  FROM embeddings)
         |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
         |  min(dim) AS min_dim, max(dim) AS max_dim,
@@ -1916,7 +1920,7 @@ object SparkEntry {
         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
     "embed_normalize" ->
       """WITH v AS (SELECT vec_id, embedding,
-        |    sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b)) AS nrm
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), (a, b) -> a + b)) AS nrm
         |  FROM embeddings),
         |n AS (SELECT vec_id, nrm,
         |    CASE WHEN nrm = 0 THEN list_transform(embedding, x -> 0.0)
@@ -1924,8 +1928,8 @@ object SparkEntry {
         |  FROM v)
         |SELECT vec_id,
         |  floor(nrm * 10000 + 0.5) / 10000 AS norm,
-        |  floor(sqrt(list_reduce(list_transform(u, x -> x * x), (a, b) -> a + b)) * 10000 + 0.5) / 10000 AS norm_after,
-        |  floor(list_reduce(u, (a, b) -> a + b) * 10000 + 0.5) / 10000 AS unit_sum
+        |  floor(sqrt(list_reduce(list_prepend(0.0, list_transform(u, x -> x * x)), (a, b) -> a + b)) * 10000 + 0.5) / 10000 AS norm_after,
+        |  floor(list_reduce(list_prepend(0.0, u), (a, b) -> a + b) * 10000 + 0.5) / 10000 AS unit_sum
         |FROM n ORDER BY vec_id""".stripMargin,
     "embed_quantize" ->
       """WITH v AS (SELECT vec_id, embedding,
@@ -1936,7 +1940,7 @@ object SparkEntry {
         |         ELSE list_transform(embedding, x -> greatest(-127::BIGINT, least(127::BIGINT, CAST(floor(x::DOUBLE / sc + 0.5) AS BIGINT)))) END AS qv
         |  FROM v)
         |SELECT vec_id, floor(sc * 10000 + 0.5) / 10000 AS scale,
-        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(coalesce(list_sum(qv), 0) AS BIGINT) AS q_sum,
         |  list_min(qv) AS q_min, list_max(qv) AS q_max,
         |  list_max(list_transform(range(1, len(qv) + 1),
         |    i -> abs(qv[i]::DOUBLE * sc - embedding[i]::DOUBLE))) <= sc / 2 + 1e-12 AS err_ok

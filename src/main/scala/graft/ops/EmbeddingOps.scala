@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   * micro-units first (same rationale as [[CoreOps.moneyCents]]: long sums
   * are associative and engine-independent; double sums are not even
   * plan-shape-independent).
+  *
+  * Zero-dim vectors: every fold here returns its 0.0 seed on an empty
+  * array (norm 0, zero-length normalized/quantized output, null scale and
+  * min/max — never a crash), and the graded oracles seed their
+  * `list_reduce` replays (`list_prepend(0.0, ...)`) to match — DuckDB's
+  * unseeded `list_reduce` errors on an empty list, which would abort the
+  * oracle instead of grading the row.
   */
 object EmbeddingOps {
 

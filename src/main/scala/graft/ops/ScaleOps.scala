@@ -77,6 +77,14 @@ object ScaleOps {
     * hot key over `buckets` reducers, phase 2 merges the partials. Only
     * algebraic aggregates (sum/count/min/max) compose this way; use it when
     * one group dominates and AQE's skew handling isn't enough.
+    *
+    * CALLER CONTRACT — duplicate-heavy hot keys: the default salt is a
+    * hash of the whole row (retry-stable), so BIT-IDENTICAL duplicate rows
+    * of a hot key all land in ONE bucket — results stay correct, but the
+    * skew mitigation is silently defeated exactly when the hot key is
+    * dominated by exact duplicates. Pass a unique id column via `saltOn`
+    * in that case (see the inline note for why the salt must stay
+    * deterministic per row).
     */
   def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
                 buckets: Int = 16, saltOn: Option[Column] = None): DataFrame = {

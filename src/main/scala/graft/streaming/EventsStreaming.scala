@@ -194,8 +194,13 @@ object EventsStreaming {
     * Within a micro-batch the group iterator's order is not guaranteed, so
     * events sort by (ts, id) before folding — deterministic replay per
     * batch; across batches order is arrival order, as any online scorer.
-    * State is O(keys), unconditionally bounded — no watermark needed for
-    * correctness (scores are append-only facts, never retracted).
+    * The sort MATERIALIZES each key's micro-batch slice on the executor
+    * (`rows.toSeq`): the cross-batch STATE is three numbers, but a hot key
+    * in a large micro-batch buffers that batch's rows in memory — size
+    * triggers (maxFilesPerTrigger / maxBytesPerTrigger) bound it in
+    * deployment. State is O(keys), unconditionally bounded — no watermark
+    * needed for correctness (scores are append-only facts, never
+    * retracted).
     */
   def runningZScores(events: DataFrame): Dataset[ScoredEvent] = {
     import events.sparkSession.implicits._
