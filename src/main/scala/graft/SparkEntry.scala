@@ -354,6 +354,48 @@ object SparkEntry {
       Rolling.yoy(Pipeline.denseOrders(s, d), "transactions")
         .select("week", "dim", "transactions", "prev_year", "yoy_change")
         .orderBy("dim", "week")),
+    // True time-RANGE sliding frame over the irregular event stream: per
+    // event, the trailing-hour count and money-sum for its event_type.
+    // What ROWS frames cannot express off the densified grid.
+    "sliding_range_agg" -> ((s, d) =>
+      TimeSeriesOps.slidingRangeStats(Tables.events(s, d), "event_type",
+        "ts", "value", windowMs = 3600000L)
+        .select(col("event_id"), col("event_type"), col("n_window"),
+          col("sum_window"))
+        .orderBy("event_id")),
+    // Robust median/MAD anomaly scores per event_type — the
+    // outlier-resistant companion of anomaly_zscore, exact dyadic medians
+    // over integer cents on both engines.
+    "robust_zscore" -> ((s, d) =>
+      TimeSeriesOps.robustZScores(Tables.events(s, d), "event_type",
+        "value")
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("robust_z"))
+        .orderBy("event_id")),
+    // Linear interpolation of interior gaps in a densified weekly price
+    // series; edge gaps stay null (fill, don't extrapolate). The series
+    // dims on o_custkey % 40 rather than the 5 priorities: the finer grid
+    // has real interior gaps at EVERY graded SF (4722 of 13800 cells at
+    // sf0.01, 11 at sf0.1) — on the priority grid the interpolation
+    // branch would be vacuously green at the driver's sf0.01.
+    "interpolate_gaps" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("week", CoreOps.weekStart(col("o_orderdate")))
+        .withColumn("dim", pmod(col("o_custkey"), lit(40)))
+        .withColumn("__cents", CoreOps.moneyCents(col("o_totalprice")))
+      val weekly = o.groupBy("week", "dim")
+        .agg(when(count(col("__cents")) === 0, lit(null).cast("double"))
+          .otherwise(CoreOps.rnd(
+            sum(col("__cents")).cast("double") / 100.0 / count(col("__cents"))))
+          .as("price_mean"))
+      TimeSeriesOps.interpolateGaps(
+        Densify.densify(weekly, fillZero = Seq.empty,
+          gridFrom = Some(o.select(col("week"), col("dim")))),
+        "price_mean")
+        .select(col("week"), col("dim"), col("price_mean"),
+          col("price_mean_interp"), col("is_interpolated"))
+        .orderBy("dim", "week")
+    }),
 
     // Scale-path approximate variant (SURVEY §4.3f): HLL distinct + quantile
     // sketch. Fully oracle-checked: the sketch quantiles equal the sorted
@@ -521,6 +563,15 @@ object SparkEntry {
         quota = 20)
         .select(col("doc_id"), col("lang"), col("rn"))
         .orderBy("lang", "rn")),
+    // Per-source TOKEN budget cap (the mixing cap a pretraining recipe
+    // applies when contribution is bounded in tokens, not documents):
+    // longest md5-order prefix per source whose cumulative tokens fit.
+    "source_budget_cap" -> ((s, d) =>
+      CorpusOps.sourceBudgetCap(Tables.documents(s, d), "source", "doc_id",
+        TextFunctions.tokenCount(col("text")), budget = 300)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cum_tokens"))
+        .orderBy("source", "cum_tokens", "doc_id")),
     // Corpus mixture report: docs/tokens per (lang, split) with each
     // stratum's 4-dp share of total tokens — the data-mixture table.
     "corpus_mixture" -> ((s, d) => {
@@ -1342,6 +1393,56 @@ object SparkEntry {
           |  lag(transactions, 52) OVER (PARTITION BY dim ORDER BY week) AS prev_year,
           |  transactions - lag(transactions, 52) OVER (PARTITION BY dim ORDER BY week) AS yoy_change
           |FROM dense ORDER BY dim, week""".stripMargin),
+    "sliding_range_agg" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_ms(ts) AS ms,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS __cents FROM events)
+        |SELECT event_id, event_type,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_window,
+        |  CASE WHEN count(__cents) OVER w = 0 THEN NULL
+        |       ELSE floor((CAST(sum(__cents) OVER w AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 END AS sum_window
+        |FROM e
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ms RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "robust_zscore" ->
+      """WITH c AS (SELECT event_id, event_type, value,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT *, quantile_cont(cents, 0.5) OVER (PARTITION BY event_type) AS med FROM c),
+        |m2 AS (SELECT *, quantile_cont(abs(cents - med), 0.5) OVER (PARTITION BY event_type) AS mad FROM m)
+        |SELECT event_id, event_type, value,
+        |  CASE WHEN cents IS NULL THEN NULL WHEN mad = 0 THEN 0.0
+        |       ELSE floor(((cents - med) / (1.4826 * mad)) * 10000 + 0.5) / 10000 END AS robust_z
+        |FROM m2 ORDER BY event_id""".stripMargin,
+    "interpolate_gaps" ->
+      """WITH weekly AS (
+        |  SELECT date_trunc('week', o_orderdate) AS week, o_custkey % 40 AS dim,
+        |         CASE WHEN count(__cents) = 0 THEN NULL
+        |              ELSE floor((CAST(sum(__cents) AS DOUBLE) / 100.0 / count(__cents)) * 10000 + 0.5) / 10000 END AS price_mean
+        |  FROM (SELECT *, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS __cents FROM orders) o
+        |  GROUP BY 1, 2),
+        |bounds AS (SELECT min(week) AS wmin, max(week) AS wmax FROM weekly),
+        |weeks AS (SELECT unnest(generate_series(wmin, wmax, INTERVAL 7 DAY)) AS week FROM bounds),
+        |dims AS (SELECT DISTINCT dim FROM weekly WHERE dim IS NOT NULL),
+        |dense AS (
+        |  SELECT g.week, g.dim, w.price_mean
+        |  FROM (SELECT weeks.week AS week, dims.dim AS dim FROM weeks CROSS JOIN dims) g
+        |  LEFT JOIN weekly w ON g.week = w.week AND g.dim = w.dim),
+        |ip AS (
+          |  SELECT week, dim, price_mean,
+          |    last_value(price_mean IGNORE NULLS) OVER wp AS pv,
+          |    last_value(CASE WHEN price_mean IS NOT NULL THEN week END IGNORE NULLS) OVER wp AS pw,
+          |    first_value(price_mean IGNORE NULLS) OVER wn AS nv,
+          |    first_value(CASE WHEN price_mean IS NOT NULL THEN week END IGNORE NULLS) OVER wn AS nw
+          |  FROM dense
+          |  WINDOW wp AS (PARTITION BY dim ORDER BY week ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          |         wn AS (PARTITION BY dim ORDER BY week ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+          |SELECT week, dim, price_mean,
+          |  CASE WHEN price_mean IS NOT NULL THEN price_mean
+          |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+          |         floor((pv + (nv - pv) * (CAST(date_diff('day', CAST(pw AS DATE), CAST(week AS DATE)) AS DOUBLE)
+          |           / CAST(date_diff('day', CAST(pw AS DATE), CAST(nw AS DATE)) AS DOUBLE))) * 10000 + 0.5) / 10000
+          |       ELSE NULL END AS price_mean_interp,
+          |  (price_mean IS NULL AND pv IS NOT NULL AND nv IS NOT NULL) AS is_interpolated
+          |FROM ip ORDER BY dim, week""".stripMargin,
     "q1_pricing_summary" ->
       """WITH l AS (SELECT l_returnflag, l_linestatus,
         |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
@@ -1465,6 +1566,14 @@ object SparkEntry {
         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents)
         |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
+    "source_budget_cap" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM t)
+        |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= 300 ORDER BY source, cum_tokens, doc_id""".stripMargin,
     "corpus_mixture" ->
       """WITH b AS (SELECT doc_id,
         |    list_reduce(list_transform(range(1, 9),

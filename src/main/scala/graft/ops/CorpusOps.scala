@@ -244,6 +244,35 @@ object CorpusOps {
       .where(col("rn") <= quota)
   }
 
+  /** Per-source token-budget cap: walk each source's documents in the same
+    * content-address order as [[stratifiedQuota]] (md5(key), key) and keep
+    * the longest prefix whose cumulative token count fits `budget` — the
+    * per-source mixing cap a pretraining recipe applies when a source's
+    * contribution is bounded in TOKENS, not documents (a 10-doc cap means
+    * nothing when one doc is a book).
+    *
+    * Prefix-cut semantics: the running total includes every prior doc in
+    * pick order, so `cum_tokens <= budget` cuts a clean prefix (token
+    * counts are non-negative, the cumsum is monotone — no later smaller
+    * doc can sneak back in past an overflowing one). That makes the
+    * result independent of partition layout and cheap to audit:
+    * `cum_tokens` ships in the output.
+    *
+    * Scale shape: one exchange on the source key + one sort per source —
+    * the same single-window plan as [[stratifiedQuota]], carrying
+    * (id, source, n_tokens) rows, never document text.
+    */
+  def sourceBudgetCap(df: DataFrame, sourceCol: String, keyCol: String,
+                      tokens: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget=$budget must be positive")
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", tokens)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= budget)
+  }
+
   /** Corpus mixture report: documents and tokens per stratum combination
     * (e.g. language × split) with each stratum's share of total tokens —
     * the table a data-mixture weighting decision reads. One hash

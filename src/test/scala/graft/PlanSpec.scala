@@ -247,6 +247,33 @@ class PlanSpec extends SparkTestBase {
       s"chunk text shipped through the digest exchange:\n${exchBlocks.mkString("\n\n")}")
   }
 
+  test("time-series tier: single key exchange each; budget cap never ships text") {
+    // slidingRangeStats / robustZScores: every window column rides ONE
+    // hashpartitioning exchange on the key (the grading orderBy adds only
+    // a rangepartitioning exchange, deliberately not counted here)
+    for (name <- Seq("sliding_range_agg", "robust_zscore")) {
+      val plan = executedSimple(SparkEntry.queries(name)(spark, sf))
+      val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(n == 1, s"$name: expected 1 key exchange, got $n:\n$plan")
+    }
+    // sourceBudgetCap: one key exchange, and document text must be pruned
+    // before it — the window needs only (id, source, n_tokens)
+    val fm = executedFormatted(
+      SparkEntry.queries("source_budget_cap")(spark, sf))
+    val blocks = fm.split("\n\n").filter(b =>
+      b.contains("Exchange") && b.contains("hashpartitioning(source"))
+    assert(blocks.nonEmpty, s"no source-keyed exchange found:\n$fm")
+    assert(blocks.forall(!_.contains("text#")),
+      s"document text shipped through the budget-cap exchange:\n${blocks.mkString("\n\n")}")
+    // interpolateGaps: the bounded grid joins broadcast (never sort-merge),
+    // leaving the weekly agg + the dim-window as the only key exchanges
+    val ip = executedSimple(SparkEntry.queries("interpolate_gaps")(spark, sf))
+    assert(ip.contains("BroadcastHashJoin") && !ip.contains("SortMergeJoin"),
+      s"interpolate_gaps grid join regressed from broadcast:\n$ip")
+    val ipN = "Exchange hashpartitioning".r.findAllIn(ip).size
+    assert(ipN <= 2, s"interpolate_gaps: expected <=2 key exchanges, got $ipN:\n$ip")
+  }
+
   test("quality-gate truth sides: no cartesian over unbounded sides, caps pushed to scan") {
     // The four quality-gate queries deliberately run an exhaustive (or
     // broadcast) truth side next to the production LSH path. The scale

@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.functions.TextFunctions
+
+/** Pins the edge semantics of the round-5 time-series tier
+  * (TimeSeriesOps) and the per-source token budget cap
+  * (CorpusOps.sourceBudgetCap).
+  */
+class TimeSeriesOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- slidingRangeStats ----
+
+  private def events(rows: (Long, String, String, Option[Double])*) =
+    rows.map { case (id, k, t, v) => (id, k, ts(t), v) }
+      .toDF("event_id", "key", "ts", "value")
+
+  test("slidingRangeStats: range frame is closed on both ends") {
+    // window = 1h: an event EXACTLY 1h older is in frame; 1h+1ms is out.
+    val df = events(
+      (1L, "a", "2024-01-01 10:00:00", Some(1.0)),
+      (2L, "a", "2024-01-01 11:00:00.000", Some(2.0)),  // sees #1 (boundary)
+      (3L, "a", "2024-01-01 12:00:00.001", Some(4.0)))  // #2 out by 1 ms? no: 11:00→12:00.001 is 1h+1ms → only itself
+    val out = TimeSeriesOps.slidingRangeStats(df, "key", "ts", "value",
+      windowMs = 3600000L)
+      .select("event_id", "n_window", "sum_window")
+      .as[(Long, Long, Option[Double])].collect()
+      .map { case (id, n, sm) => id -> ((n, sm)) }.toMap
+    assert(out(1L) == ((1L, Some(1.0))))
+    assert(out(2L) == ((2L, Some(3.0))))   // closed lower bound includes #1
+    assert(out(3L) == ((1L, Some(4.0))))   // #2 is 1 ms outside the hour
+  }
+
+  test("slidingRangeStats: ties on the time axis are frame peers; null values counted but not summed") {
+    val df = events(
+      (1L, "a", "2024-01-01 10:00:00", Some(1.0)),
+      (2L, "a", "2024-01-01 10:00:00", Some(2.0)),   // same instant → peer
+      (3L, "b", "2024-01-01 10:30:00", None))        // lone null-value event
+    val out = TimeSeriesOps.slidingRangeStats(df, "key", "ts", "value",
+      windowMs = 3600000L)
+      .select("event_id", "n_window", "sum_window")
+      .as[(Long, Long, Option[Double])].collect()
+      .map { case (id, n, sm) => id -> ((n, sm)) }.toMap
+    // RANGE peers: both same-instant rows see each other regardless of order
+    assert(out(1L) == ((2L, Some(3.0))))
+    assert(out(2L) == ((2L, Some(3.0))))
+    // count counts the row; the money sum has nothing non-null → null
+    assert(out(3L) == ((1L, None)))
+  }
+
+  // ---- robustZScores ----
+
+  test("robustZScores: median/MAD scores, outlier-resistant, exact dyadic arithmetic") {
+    // values 1,2,3,4,100 → cents 100..400,10000; median 300, deviations
+    // 200,100,0,100,9700 → MAD 100. z(3.0) = 0; z(100) = 9700/148.26.
+    val df = Seq((1L, "k", 1.0), (2L, "k", 2.0), (3L, "k", 3.0),
+      (4L, "k", 4.0), (5L, "k", 100.0))
+      .toDF("event_id", "key", "value")
+    val out = TimeSeriesOps.robustZScores(df, "key", "value")
+      .select("event_id", "robust_z").as[(Long, Double)].collect().toMap
+    assert(out(3L) == 0.0)
+    assert(out(5L) == math.floor(9700.0 / (1.4826 * 100.0) * 10000 + 0.5) / 10000)
+    // mean/std z would have dragged the center toward the outlier; the
+    // median/MAD center stays at 3.0 so the inliers score small
+    assert(math.abs(out(1L)) <= 1.35 && math.abs(out(4L)) <= 0.68)
+  }
+
+  test("robustZScores: MAD == 0 degrades to 0.0; null value stays null") {
+    val df = Seq((1L, "k", Some(5.0)), (2L, "k", Some(5.0)),
+      (3L, "k", Some(5.0)), (4L, "k", Some(9.0)), (5L, "k", None))
+      .toDF("event_id", "key", "value")
+    val out = TimeSeriesOps.robustZScores(df, "key", "value")
+      .select("event_id", "robust_z").as[(Long, Option[Double])]
+      .collect().toMap
+    // median 500, deviations 0,0,0,400 → MAD 0 → all defined rows 0.0
+    assert(Seq(1L, 2L, 3L, 4L).forall(out(_) == Some(0.0)))
+    assert(out(5L).isEmpty)
+  }
+
+  // ---- interpolateGaps ----
+
+  private def dense(rows: (String, String, Option[Double])*) =
+    rows.map { case (w, d, v) => (ts(w + " 00:00:00"), d, v) }
+      .toDF("week", "dim", "price_mean")
+
+  test("interpolateGaps: interior gap lerps by calendar distance, edges stay null") {
+    val df = dense(
+      ("2024-01-01", "a", None),           // leading edge: no predecessor
+      ("2024-01-08", "a", Some(10.0)),
+      ("2024-01-15", "a", None),           // interior: 1/3 of 10→40 span
+      ("2024-01-22", "a", None),           // interior: 2/3 of the span
+      ("2024-01-29", "a", Some(40.0)),
+      ("2024-02-05", "a", None))           // trailing edge: no successor
+    val out = TimeSeriesOps.interpolateGaps(df, "price_mean")
+      .select("week", "price_mean_interp", "is_interpolated")
+      .as[(java.sql.Timestamp, Option[Double], Boolean)].collect()
+      .map { case (w, v, f) => w.toString.take(10) -> ((v, f)) }.toMap
+    assert(out("2024-01-01") == ((None, false)))
+    assert(out("2024-01-08") == ((Some(10.0), false)))   // observed passthrough
+    assert(out("2024-01-15") == ((Some(20.0), true)))    // 10 + 30 * 7/21
+    assert(out("2024-01-22") == ((Some(30.0), true)))    // 10 + 30 * 14/21
+    assert(out("2024-02-05") == ((None, false)))
+  }
+
+  test("interpolateGaps: partitions do not leak neighbors across dims") {
+    val df = dense(
+      ("2024-01-01", "a", Some(10.0)),
+      ("2024-01-08", "b", None),           // b has NO observed rows at all
+      ("2024-01-15", "a", Some(20.0)))
+    val out = TimeSeriesOps.interpolateGaps(df, "price_mean")
+      .where($"dim" === "b")
+      .select("price_mean_interp", "is_interpolated")
+      .as[(Option[Double], Boolean)].collect()
+    assert(out.toSeq == Seq((None, false)))
+  }
+
+  // ---- sourceBudgetCap ----
+
+  test("sourceBudgetCap: clean prefix cut in md5 pick order, per source") {
+    val df = Seq(
+      (1L, "s1", "a b c"), (2L, "s1", "d e"), (3L, "s1", "f g h i"),
+      (4L, "s2", "x"))
+      .toDF("doc_id", "source", "text")
+    val out = CorpusOps.sourceBudgetCap(df, "source", "doc_id",
+      TextFunctions.tokenCount(col("text")), budget = 5)
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+      .as[(Long, String, Long, Long)].collect()
+    val s1 = out.filter(_._2 == "s1")
+    // whatever md5 order picked: the kept set is a prefix — cum is the
+    // running sum of kept rows only and never exceeds the budget
+    assert(s1.map(_._4).max <= 5)
+    assert(s1.map(_._3).sum == s1.map(_._4).max)
+    // s2's single 1-token doc always fits
+    assert(out.filter(_._2 == "s2").map(_._1).toSeq == Seq(4L))
+    // deterministic across runs
+    val again = CorpusOps.sourceBudgetCap(df, "source", "doc_id",
+      TextFunctions.tokenCount(col("text")), budget = 5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again == out.map(_._1).sorted.toSeq)
+  }
+
+  test("sourceBudgetCap: budget beyond the total keeps every row") {
+    val df = Seq((1L, "s", "a b"), (2L, "s", "c"))
+      .toDF("doc_id", "source", "text")
+    val out = CorpusOps.sourceBudgetCap(df, "source", "doc_id",
+      TextFunctions.tokenCount(col("text")), budget = 1000L)
+    assert(out.count() == 2)
+    // the audit column reports the full running total
+    assert(out.agg(max("cum_tokens")).as[Long].head() == 3L)
+  }
+}
