@@ -125,6 +125,29 @@ object SparkEntry {
   private val ivfCodebooks =
     scala.collection.concurrent.TrieMap.empty[String, Similarity.IvfCodebook]
 
+  /** Eval-side 8-gram bloom filter per scale-factor dir, built once and
+    * memoized (same bounded-collect contract and cache-lifetime caveats
+    * as [[ivfCodebooks]]: the distributed aggregate returns only the
+    * KB-scale bit array). Deterministic — fixed hash, OR-merged bits —
+    * so memoization cannot change the graded result.
+    */
+  private val evalGramBlooms =
+    scala.collection.concurrent.TrieMap.empty[String, Option[Array[Byte]]]
+
+  private def evalGramBloom(s: SparkSession, d: String): Option[Array[Byte]] =
+    evalGramBlooms.getOrElseUpdate(d, {
+      val eval = Tables.documents(s, d)
+        .where(pmod(col("doc_id"), lit(10)) === 7)
+      val grams = CorpusOps.ngramSet(eval, "doc_id", "text", n = 8)
+        .select("gram").distinct()
+      // sizing needs the true cardinality (a small count job over the
+      // already-distinct gram frame); eval corpora are small by nature
+      val n = grams.count()
+      if (n == 0) None
+      else BloomOps.buildBloom(grams, col("gram"), expectedItems = n,
+        fpp = 1e-4)
+    })
+
   /** Events staged once per sfDir through [[Tables.events]] (micros ts)
     * into a temp dir the file-stream source can tail — streaming the
     * driver parquet directly is impossible (TIMESTAMP(NANOS), see
@@ -555,6 +578,40 @@ object SparkEntry {
         split.where(col("split") === "test"),
         "doc_id", "text", n = 8)
         .orderBy("doc_id")
+    }),
+    // Bloom-filter decontamination — the sketch path for a deny side too
+    // big to broadcast exactly. Oracle-gated like the ANN tier: DuckDB
+    // recomputes the exact contaminated count (n_true must hash-match)
+    // and expects both booleans TRUE — recall_ok because a bloom filter
+    // has no false negatives (every contaminated doc's colliding gram was
+    // inserted, so its probe MUST hit; a build/probe hash mismatch would
+    // break exactly this), fp_ok because the false-positive overshoot is
+    // bounded (fpp 1e-4 per gram probe → ~1% per multi-gram doc; bound
+    // max(25, 2% of train) holds at every SF, deterministically — same
+    // data, same hash, same bits).
+    "bloom_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val train = docs.where(pmod(col("doc_id"), lit(10)) =!= 7)
+      val eval = docs.where(pmod(col("doc_id"), lit(10)) === 7)
+      val exact = CorpusOps.decontaminate(train, eval, "doc_id", "text",
+        n = 8)
+      val bloomHits = CorpusOps.ngramSet(train, "doc_id", "text", n = 8)
+        .where(BloomOps.mightContain(evalGramBloom(s, d), col("gram")))
+        .select("doc_id").distinct()
+        .withColumn("bloom_hit", lit(true))
+      val hit = coalesce(col("bloom_hit"), lit(false))
+      exact.join(bloomHits, Seq("doc_id"), "left")
+        .agg(
+          sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_true"),
+          coalesce(
+            sum(when(col("contaminated") && hit, 1L).otherwise(0L))
+              === sum(when(col("contaminated"), 1L).otherwise(0L)),
+            lit(true)).as("recall_ok"),
+          coalesce(
+            sum(when(!col("contaminated") && hit, 1L).otherwise(0L))
+              <= greatest(lit(25L),
+                (count(lit(1)) * lit(2) / lit(100)).cast("long")),
+            lit(true)).as("fp_ok"))
     }),
     // Stratified deterministic quota sample: first 20 docs per language in
     // md5-of-key order — balanced, reproducible, engine-portable.
@@ -1566,6 +1623,16 @@ object SparkEntry {
         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents)
         |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
+    "bloom_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, doc_id % 10 = 7 AS is_eval,
+        |    string_split(text, ' ') AS t FROM documents),
+        |pos AS (SELECT doc_id, is_eval, t, unnest(range(1, len(t) - 6)) AS i FROM toks),
+        |grams AS (SELECT doc_id, is_eval, array_to_string(t[i:i+7], ' ') AS g FROM pos),
+        |tg AS (SELECT DISTINCT doc_id, g FROM grams WHERE NOT is_eval),
+        |eg AS (SELECT DISTINCT g FROM grams WHERE is_eval),
+        |contaminated AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (g))
+        |SELECT CAST((SELECT count(*) FROM contaminated) AS BIGINT) AS n_true,
+        |  TRUE AS recall_ok, TRUE AS fp_ok""".stripMargin,
     "source_budget_cap" ->
       """WITH t AS (SELECT doc_id, source,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),

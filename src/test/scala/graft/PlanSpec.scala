@@ -274,6 +274,24 @@ class PlanSpec extends SparkTestBase {
     assert(ipN <= 2, s"interpolate_gaps: expected <=2 key exchanges, got $ipN:\n$ip")
   }
 
+  test("bloom membership probe is map-only: literal filter bits, no join, no exchange") {
+    val docs = Tables.documents(spark, sf)
+    val evalGrams = CorpusOps.ngramSet(
+      docs.where(pmod(col("doc_id"), lit(10)) === 7), "doc_id", "text", 8)
+      .select("gram").distinct()
+    val bloom = BloomOps.buildBloom(evalGrams, col("gram"),
+      expectedItems = 1000, fpp = 1e-4)
+    // the whole point of the sketch path: the deny side rides the plan as
+    // a LITERAL byte array, so probing is scan → explode → filter — the
+    // exact-set path's broadcast semi join disappears entirely
+    val probe = CorpusOps.ngramSet(docs, "doc_id", "text", 8)
+      .where(BloomOps.mightContain(bloom, col("gram")))
+    val plan = executedSimple(probe)
+    assert(plan.contains("might_contain"), s"no bloom probe in plan:\n$plan")
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"bloom probe should be map-only:\n$plan")
+  }
+
   test("quality-gate truth sides: no cartesian over unbounded sides, caps pushed to scan") {
     // The four quality-gate queries deliberately run an exhaustive (or
     // broadcast) truth side next to the production LSH path. The scale
