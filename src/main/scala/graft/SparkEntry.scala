@@ -389,6 +389,27 @@ object SparkEntry {
       Rolling.yoy(Pipeline.denseOrders(s, d), "transactions")
         .select("week", "dim", "transactions", "prev_year", "yoy_change")
         .orderBy("dim", "week")),
+    // Finite-impulse EWMA over the densified weekly series: dyadic decay
+    // weights (2^-j never rounds a double) make an exponentially-weighted
+    // smoother engine-exact — the trick that lets an EWMA be
+    // hash-compared at all.
+    "ewma_trend" -> ((s, d) =>
+      TimeSeriesOps.ewmaFinite(Pipeline.denseOrders(s, d), "dim", "week",
+        "transactions", taps = 8)
+        .select(col("week"), col("dim"), col("transactions"), col("ewma"))
+        .orderBy("dim", "week")),
+    // Exact mode per event_type with deterministic tie-break (smallest
+    // value wins) — built-in mode() breaks ties by encounter order, which
+    // no hash-compared contract can tolerate.
+    "mode_stats" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .withColumn("__cents", CoreOps.moneyCents(col("value")))
+      WeeklyAgg.exactMode(e, "event_type", "__cents")
+        .select(col("event_type"),
+          CoreOps.rnd(col("mode_value") / 100.0).as("mode_value"),
+          col("n_mode"))
+        .orderBy("event_type")
+    }),
     // True time-RANGE sliding frame over the irregular event stream: per
     // event, the trailing-hour count and money-sum for its event_type.
     // What ROWS frames cannot express off the densified grid.
@@ -1462,6 +1483,43 @@ object SparkEntry {
           |  lag(transactions, 52) OVER (PARTITION BY dim ORDER BY week) AS prev_year,
           |  transactions - lag(transactions, 52) OVER (PARTITION BY dim ORDER BY week) AS yoy_change
           |FROM dense ORDER BY dim, week""".stripMargin),
+    "ewma_trend" ->
+      (denseCte +
+        """,
+          |lagged AS (
+          |  SELECT week, dim, transactions,
+          |    coalesce(CAST(transactions AS DOUBLE) * 1.0::DOUBLE, 0.0::DOUBLE)
+          |      + coalesce(CAST(lag(transactions, 1) OVER ws AS DOUBLE) * 0.5::DOUBLE, 0.0::DOUBLE)
+          |      + coalesce(CAST(lag(transactions, 2) OVER ws AS DOUBLE) * 0.25::DOUBLE, 0.0::DOUBLE)
+          |      + coalesce(CAST(lag(transactions, 3) OVER ws AS DOUBLE) * 0.125::DOUBLE, 0.0::DOUBLE)
+          |      + coalesce(CAST(lag(transactions, 4) OVER ws AS DOUBLE) * 0.0625::DOUBLE, 0.0::DOUBLE)
+          |      + coalesce(CAST(lag(transactions, 5) OVER ws AS DOUBLE) * 0.03125::DOUBLE, 0.0::DOUBLE)
+          |      + coalesce(CAST(lag(transactions, 6) OVER ws AS DOUBLE) * 0.015625::DOUBLE, 0.0::DOUBLE)
+          |      + coalesce(CAST(lag(transactions, 7) OVER ws AS DOUBLE) * 0.0078125::DOUBLE, 0.0::DOUBLE) AS num,
+          |    (CASE WHEN transactions IS NOT NULL THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END)
+          |      + (CASE WHEN lag(transactions, 1) OVER ws IS NOT NULL THEN 0.5::DOUBLE ELSE 0.0::DOUBLE END)
+          |      + (CASE WHEN lag(transactions, 2) OVER ws IS NOT NULL THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END)
+          |      + (CASE WHEN lag(transactions, 3) OVER ws IS NOT NULL THEN 0.125::DOUBLE ELSE 0.0::DOUBLE END)
+          |      + (CASE WHEN lag(transactions, 4) OVER ws IS NOT NULL THEN 0.0625::DOUBLE ELSE 0.0::DOUBLE END)
+          |      + (CASE WHEN lag(transactions, 5) OVER ws IS NOT NULL THEN 0.03125::DOUBLE ELSE 0.0::DOUBLE END)
+          |      + (CASE WHEN lag(transactions, 6) OVER ws IS NOT NULL THEN 0.015625::DOUBLE ELSE 0.0::DOUBLE END)
+          |      + (CASE WHEN lag(transactions, 7) OVER ws IS NOT NULL THEN 0.0078125::DOUBLE ELSE 0.0::DOUBLE END) AS den
+          |  FROM dense
+          |  WINDOW ws AS (PARTITION BY dim ORDER BY week))
+          |SELECT week, dim, transactions,
+          |  CASE WHEN den = 0.0 THEN NULL
+          |       ELSE floor((num / den) * 10000 + 0.5) / 10000 END AS ewma
+          |FROM lagged ORDER BY dim, week""".stripMargin),
+    "mode_stats" ->
+      """WITH c AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT event_type, cents, CAST(count(*) AS BIGINT) AS n_mode
+        |  FROM c GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY n_mode DESC, cents ASC) AS rn FROM g)
+        |SELECT event_type,
+        |  floor((CAST(cents AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS mode_value,
+        |  n_mode FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
     "sliding_range_agg" ->
       """WITH e AS (SELECT event_id, event_type, epoch_ms(ts) AS ms,
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS __cents FROM events)

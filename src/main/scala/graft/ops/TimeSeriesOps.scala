@@ -77,6 +77,43 @@ object TimeSeriesOps {
       .drop("__cents", "__med", "__mad")
   }
 
+  /** Finite-impulse exponentially-weighted moving average over a densified
+    * series: value smoothed with dyadic decay weights 2^-j over the last
+    * `taps` rows, null taps skipped (the weight mass renormalizes over
+    * the PRESENT taps — pandas `ewm(adjust=True)` semantics, truncated to
+    * a finite window so the whole thing is a fixed lag chain instead of a
+    * recursive state).
+    *
+    * Why dyadic weights: multiplying a double by a power of two never
+    * rounds, so every term is exact, and the fixed left-to-right term sum
+    * is the same IEEE chain on any engine — the determinism trick that
+    * makes an EWMA oracle-checkable at all (an arbitrary α would put a
+    * rounding step in every multiply, and cross-engine agreement would
+    * rest on luck rather than construction). A 2^-j tail also truncates
+    * honestly: 8 taps cover all but 1/256 of the weight mass.
+    *
+    * Scale shape: `taps` lag columns over ONE `partitionBy(dim)
+    * orderBy(week)` window — single exchange, single sort, the same
+    * shared-spec pattern as [[Rolling.rollingWindows]].
+    */
+  def ewmaFinite(df: DataFrame, dimCol: String, weekCol: String,
+                 valueCol: String, taps: Int = 8): DataFrame = {
+    require(taps >= 1 && taps <= 30, s"taps=$taps must be in [1, 30]")
+    val w = Window.partitionBy(dimCol).orderBy(weekCol)
+    val v = col(valueCol).cast("double")
+    val terms = (0 until taps).map { j =>
+      val lv = if (j == 0) v else lag(v, j).over(w)
+      (lv, math.pow(0.5, j))
+    }
+    val num = terms.map { case (lv, wt) =>
+      coalesce(lv * lit(wt), lit(0.0)) }.reduce(_ + _)
+    val den = terms.map { case (lv, wt) =>
+      when(lv.isNotNull, lit(wt)).otherwise(lit(0.0)) }.reduce(_ + _)
+    df.withColumn("ewma",
+      when(den === 0.0, lit(null).cast("double"))
+        .otherwise(CoreOps.rnd(num / den)))
+  }
+
   /** Linear interpolation of interior gaps in a densified series: for each
     * null `valueCol` row with an observed value on BOTH sides of its
     * partition, lerp between the two neighbors proportionally to calendar

@@ -83,6 +83,28 @@ object WeeklyAgg {
     * `groupby(...).size()` counts rows including NaN keys/values, so this is
     * `count(*)`, not `count(col)`.
     */
+  /** Exact mode per key with a DETERMINISTIC tie-break (smallest value
+    * wins): engines' built-in `mode` aggregates break frequency ties by
+    * encounter order — partition-layout-dependent, so unusable under a
+    * hash-compared contract. Two standard shapes instead: count per
+    * (key, value), then top-1 per key by (count desc, value asc) — which
+    * [[org.apache.spark.sql.execution.window.WindowGroupLimitExec]] pushes
+    * below the exchange like any rank<=k filter. Null values are excluded
+    * (the mode of the DEFINED values, `mode()`'s own convention).
+    */
+  def exactMode(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counted = df.where(col(valueCol).isNotNull)
+      .groupBy(col(keyCol), col(valueCol))
+      .agg(count(lit(1)).as("n_mode"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("n_mode").desc, col(valueCol).asc)
+    counted.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+      .withColumnRenamed(valueCol, "mode_value")
+  }
+
   def typeBreakdown(df: DataFrame, ts: Column, dim: Column,
                     category: Column): DataFrame =
     df.withColumn("week", CoreOps.weekStart(ts))

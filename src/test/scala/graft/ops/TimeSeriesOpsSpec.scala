@@ -116,6 +116,37 @@ class TimeSeriesOpsSpec extends SparkTestBase {
     assert(out.toSeq == Seq((None, false)))
   }
 
+  // ---- ewmaFinite ----
+
+  test("ewmaFinite: dyadic decay, head renormalization, null taps skipped") {
+    val df = dense(
+      ("2024-01-01", "a", Some(4.0)),
+      ("2024-01-08", "a", Some(2.0)),
+      ("2024-01-15", "a", None),
+      ("2024-01-22", "a", Some(8.0)))
+    val out = TimeSeriesOps.ewmaFinite(df, "dim", "week", "price_mean",
+      taps = 4)
+      .select("week", "ewma")
+      .as[(java.sql.Timestamp, Option[Double])].collect()
+      .map { case (w, v) => w.toString.take(10) -> v }.toMap
+    // head: only tap 0 present → ewma == value (weights renormalize)
+    assert(out("2024-01-01") == Some(4.0))
+    // (2*1 + 4*0.5) / 1.5 — exact dyadic terms, then portable rounding
+    assert(out("2024-01-08") == Some(math.floor(4.0 / 1.5 * 10000 + 0.5) / 10000))
+    // the null row itself still smooths from its lags: (2*.5 + 4*.25)/.75
+    assert(out("2024-01-15") == Some(math.floor(2.0 / 0.75 * 10000 + 0.5) / 10000))
+    // null tap skipped mid-chain: (8*1 + 2*.25 + 4*.125) / 1.375
+    assert(out("2024-01-22") == Some(math.floor(9.0 / 1.375 * 10000 + 0.5) / 10000))
+  }
+
+  test("ewmaFinite: all-null window yields null, not a zero-division") {
+    val df = dense(("2024-01-01", "a", None), ("2024-01-08", "a", None))
+    val out = TimeSeriesOps.ewmaFinite(df, "dim", "week", "price_mean",
+      taps = 2)
+      .select("ewma").as[Option[Double]].collect()
+    assert(out.forall(_.isEmpty))
+  }
+
   // ---- sourceBudgetCap ----
 
   test("sourceBudgetCap: clean prefix cut in md5 pick order, per source") {

@@ -28,6 +28,23 @@ class WindowedOpsSpec extends SparkTestBase {
     assert(r.isNullAt(r.fieldIndex("price_p10")))
   }
 
+  test("exactMode: deterministic tie-break on the smaller value; nulls excluded") {
+    val df = Seq(
+      ("k", Some(3L)), ("k", Some(3L)), ("k", Some(1L)), ("k", Some(1L)),
+      ("k", Some(9L)), ("k", None),
+      ("m", Some(7L)))
+      .toDF("key", "v")
+    val out = WeeklyAgg.exactMode(df, "key", "v")
+      .select("key", "mode_value", "n_mode")
+      .as[(String, Long, Long)].collect()
+      .map { case (k, v, n) => k -> ((v, n)) }.toMap
+    // 1 and 3 both appear twice; the tie resolves to the SMALLER value —
+    // a fixed rule, not encounter order (built-in mode() is layout-
+    // dependent on exactly this input)
+    assert(out("k") == ((1L, 2L)))
+    assert(out("m") == ((7L, 1L)))
+  }
+
   test("A5 typeBreakdown counts rows including null categories (size() parity)") {
     val df = Seq(
       (ts("2024-01-01 10:00:00"), "x", Some(" D ")),
