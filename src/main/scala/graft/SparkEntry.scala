@@ -25,21 +25,33 @@ object SparkEntry {
 
   // ---- shared DuckDB CTEs: weekly → densified grid → rolling windows ----
   // Mirrors Pipeline.weeklyOrders / denseOrders / windowsOrders exactly.
-  private val denseCte =
-    """WITH weekly AS (
-      |  SELECT date_trunc('week', o_orderdate) AS week, o_orderpriority AS dim,
-      |         count(DISTINCT o_orderkey) AS transactions,
-      |         CASE WHEN count(__cents) = 0 THEN NULL
-      |              ELSE floor((CAST(sum(__cents) AS DOUBLE) / 100.0 / count(__cents)) * 10000 + 0.5) / 10000 END AS price_mean
-      |  FROM (SELECT *, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS __cents FROM orders) o
-      |  GROUP BY 1, 2),
-      |bounds AS (SELECT min(week) AS wmin, max(week) AS wmax FROM weekly),
-      |weeks AS (SELECT unnest(generate_series(wmin, wmax, INTERVAL 7 DAY)) AS week FROM bounds),
-      |dims AS (SELECT DISTINCT dim FROM weekly WHERE dim IS NOT NULL),
-      |dense AS (
-      |  SELECT g.week, g.dim, coalesce(w.transactions, 0) AS transactions, w.price_mean
-      |  FROM (SELECT weeks.week AS week, dims.dim AS dim FROM weeks CROSS JOIN dims) g
-      |  LEFT JOIN weekly w ON g.week = w.week AND g.dim = w.dim)""".stripMargin
+  // ONE parameterized builder for every dense-grid oracle: a past round's
+  // determinism lesson was that two drifting spellings of the same grid
+  // computation flipped boundary values — the grid scaffolding (bounds,
+  // week axis, dim dropna, left join) must have a single definition.
+  private val priceMeanAgg =
+    "CASE WHEN count(__cents) = 0 THEN NULL\n" +
+      "              ELSE floor((CAST(sum(__cents) AS DOUBLE) / 100.0 / count(__cents)) * 10000 + 0.5) / 10000 END AS price_mean"
+
+  private def denseCteFor(dimSql: String, aggSql: String,
+                          denseSelect: String): String =
+    s"""WITH weekly AS (
+       |  SELECT date_trunc('week', o_orderdate) AS week, $dimSql AS dim,
+       |         $aggSql
+       |  FROM (SELECT *, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS __cents FROM orders) o
+       |  GROUP BY 1, 2),
+       |bounds AS (SELECT min(week) AS wmin, max(week) AS wmax FROM weekly),
+       |weeks AS (SELECT unnest(generate_series(wmin, wmax, INTERVAL 7 DAY)) AS week FROM bounds),
+       |dims AS (SELECT DISTINCT dim FROM weekly WHERE dim IS NOT NULL),
+       |dense AS (
+       |  SELECT g.week, g.dim, $denseSelect
+       |  FROM (SELECT weeks.week AS week, dims.dim AS dim FROM weeks CROSS JOIN dims) g
+       |  LEFT JOIN weekly w ON g.week = w.week AND g.dim = w.dim)""".stripMargin
+
+  private val denseCte = denseCteFor(
+    "o_orderpriority",
+    s"count(DISTINCT o_orderkey) AS transactions,\n         $priceMeanAgg",
+    "coalesce(w.transactions, 0) AS transactions, w.price_mean")
 
   private val winsCte = denseCte +
     """,
@@ -1540,20 +1552,9 @@ object SparkEntry {
         |       ELSE floor(((cents - med) / (1.4826 * mad)) * 10000 + 0.5) / 10000 END AS robust_z
         |FROM m2 ORDER BY event_id""".stripMargin,
     "interpolate_gaps" ->
-      """WITH weekly AS (
-        |  SELECT date_trunc('week', o_orderdate) AS week, o_custkey % 40 AS dim,
-        |         CASE WHEN count(__cents) = 0 THEN NULL
-        |              ELSE floor((CAST(sum(__cents) AS DOUBLE) / 100.0 / count(__cents)) * 10000 + 0.5) / 10000 END AS price_mean
-        |  FROM (SELECT *, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS __cents FROM orders) o
-        |  GROUP BY 1, 2),
-        |bounds AS (SELECT min(week) AS wmin, max(week) AS wmax FROM weekly),
-        |weeks AS (SELECT unnest(generate_series(wmin, wmax, INTERVAL 7 DAY)) AS week FROM bounds),
-        |dims AS (SELECT DISTINCT dim FROM weekly WHERE dim IS NOT NULL),
-        |dense AS (
-        |  SELECT g.week, g.dim, w.price_mean
-        |  FROM (SELECT weeks.week AS week, dims.dim AS dim FROM weeks CROSS JOIN dims) g
-        |  LEFT JOIN weekly w ON g.week = w.week AND g.dim = w.dim),
-        |ip AS (
+      (denseCteFor("o_custkey % 40", priceMeanAgg, "w.price_mean") +
+        """,
+          |ip AS (
           |  SELECT week, dim, price_mean,
           |    last_value(price_mean IGNORE NULLS) OVER wp AS pv,
           |    last_value(CASE WHEN price_mean IS NOT NULL THEN week END IGNORE NULLS) OVER wp AS pw,
@@ -1569,7 +1570,7 @@ object SparkEntry {
           |           / CAST(date_diff('day', CAST(pw AS DATE), CAST(nw AS DATE)) AS DOUBLE))) * 10000 + 0.5) / 10000
           |       ELSE NULL END AS price_mean_interp,
           |  (price_mean IS NULL AND pv IS NOT NULL AND nv IS NOT NULL) AS is_interpolated
-          |FROM ip ORDER BY dim, week""".stripMargin,
+          |FROM ip ORDER BY dim, week""".stripMargin),
     "q1_pricing_summary" ->
       """WITH l AS (SELECT l_returnflag, l_linestatus,
         |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,

@@ -49,6 +49,25 @@ object BloomOps {
     require(fpp > 0 && fpp < 1, s"fpp=$fpp must be in (0, 1)")
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedItems, fpp)
+    // BloomFilterAggregate SILENTLY clamps both sizing params with
+    // Math.min against the runtime-filter confs (defaults: 4M items,
+    // 2^26 bits ≈ 8 MB). Past the clamp the bits-per-item ratio
+    // collapses and the effective fpp drifts toward 1.0 — for a
+    // decontamination filter that means quietly dropping nearly every
+    // clean document while this method still "succeeds". Fail loudly at
+    // the boundary instead; a deployment sizing a bigger deny side must
+    // raise the confs consciously, not discover the clamp in production.
+    val conf = df.sparkSession.conf
+    val maxItems = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(expectedItems <= maxItems && numBits <= maxBits,
+      s"bloom sizing (items=$expectedItems, bits=$numBits for fpp=$fpp) " +
+        s"exceeds Spark's runtime-filter caps (items<=$maxItems, " +
+        s"bits<=$maxBits) and would be silently clamped, voiding the fpp " +
+        "contract; raise spark.sql.optimizer.runtime.bloomFilter.maxNumItems" +
+        "/maxNumBits to size a filter this large")
     val agg = new BloomFilterAggregate(
       expression(xxhash64(c)),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()

@@ -83,6 +83,15 @@ object WeeklyAgg {
     * `groupby(...).size()` counts rows including NaN keys/values, so this is
     * `count(*)`, not `count(col)`.
     */
+  def typeBreakdown(df: DataFrame, ts: Column, dim: Column,
+                    category: Column): DataFrame =
+    df.withColumn("week", CoreOps.weekStart(ts))
+      .withColumn("dim", dim)
+      .withColumn("category", CoreOps.normalizeCategory(category))
+      .groupBy("week", "dim", "category")
+      .agg(count(lit(1)).as("count"))
+      .orderBy("week", "dim", "category")
+
   /** Exact mode per key with a DETERMINISTIC tie-break (smallest value
     * wins): engines' built-in `mode` aggregates break frequency ties by
     * encounter order — partition-layout-dependent, so unusable under a
@@ -104,13 +113,4 @@ object WeeklyAgg {
       .drop("__rn")
       .withColumnRenamed(valueCol, "mode_value")
   }
-
-  def typeBreakdown(df: DataFrame, ts: Column, dim: Column,
-                    category: Column): DataFrame =
-    df.withColumn("week", CoreOps.weekStart(ts))
-      .withColumn("dim", dim)
-      .withColumn("category", CoreOps.normalizeCategory(category))
-      .groupBy("week", "dim", "category")
-      .agg(count(lit(1)).as("count"))
-      .orderBy("week", "dim", "category")
 }
