@@ -365,6 +365,23 @@ object SparkEntry {
         .where(col("rn") <= 3)
         .orderBy("o_orderpriority", "rn")
     }),
+    // Distribution window functions (percent_rank / cume_dist): relative
+    // position within the partition — (rank-1)/(n-1) and peer-inclusive
+    // fraction, SQL-standard on both engines; tie groups share values so
+    // the result is layout-independent. Top-3 projected per priority; the
+    // fractions still see the FULL partition (computed before the filter).
+    "distribution_ranks" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, d)
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("pct_rank", CoreOps.rnd(percent_rank().over(w)))
+        .withColumn("cume", CoreOps.rnd(cume_dist().over(w)))
+        .where(col("rn") <= 3)
+        .orderBy("o_orderpriority", "rn")
+    }),
 
     // ---- windowed tier (J2/J3 + P12 + W1-W4 + P10/A6 + A11) ----
     "densify_orders" -> ((s, d) =>
@@ -820,6 +837,16 @@ object SparkEntry {
           && col("doc_id") < 10000),
         "doc_id", "text", "lang", threshold = 0.5)
         .orderBy("id_a", "id_b")),
+    // Edit-distance fuzzy matching (4th near-dup modality: character-level
+    // edits that token measures miss). Integer DP — exact on both engines,
+    // same absolute slice cap as the other quadratic-in-slice pair ops.
+    "fuzzy_match_pairs" -> ((s, d) =>
+      Dedup.editDistancePairs(
+        Tables.documents(s, d).where(pmod(col("doc_id"), lit(10)) === 0
+          && col("doc_id") < 10000),
+        "doc_id", "text", "lang", prefixLen = 80, maxDist = 55)
+        .withColumnRenamed("block", "lang")
+        .orderBy("lang", "id_a", "id_b")),
     // The MinHash-LSH pair list, oracle-gated end to end: banded candidate
     // generation (xxhash64 signatures — the production scale path) + exact
     // jaccard verification, emitted as the full verified pair list over a
@@ -1457,6 +1484,15 @@ object SparkEntry {
         |  FROM orders
         |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey))
         |SELECT * FROM r WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+    "distribution_ranks" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER w AS rn,
+        |    floor(percent_rank() OVER w * 10000 + 0.5) / 10000 AS pct_rank,
+        |    floor(cume_dist() OVER w * 10000 + 0.5) / 10000 AS cume
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey))
+        |SELECT * FROM r WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
     "densify_orders" ->
       (denseCte + "\nSELECT week, dim, transactions, price_mean FROM dense ORDER BY dim, week"),
     "rolling_windows" ->
@@ -1910,6 +1946,14 @@ object SparkEntry {
         |  floor((CAST(shared AS DOUBLE) / (sa.nt + sb.nt - shared)) * 10000 + 0.5) / 10000 AS jaccard
         |  FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id)
         |SELECT id_a, id_b, shared, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "fuzzy_match_pairs" ->
+      """WITH s AS (SELECT doc_id, lang, substr(text, 1, 80) AS head
+        |  FROM documents WHERE doc_id % 10 = 0 AND doc_id < 10000)
+        |SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+        |FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.head, b.head) <= 55
+        |ORDER BY a.lang, id_a, id_b""".stripMargin,
     // The LSH-verified pair list must equal the exhaustive exact-jaccard
     // pair set on its (disjoint, capped) slice — no semantic block in the
     // Spark plan; the oracle's lang equi-join is absent here deliberately.

@@ -493,4 +493,37 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("hamming"))
   }
+
+  /** Edit-distance fuzzy matching — the fourth near-dup modality next to
+    * token-Jaccard, SimHash, and embedding-cosine: pairs within a blocking
+    * key whose text HEADS are within `maxDist` Levenshtein edits. Edit
+    * distance catches what token-set measures cannot (character-level
+    * corruption, OCR noise, small in-word edits that change every token),
+    * and the classic DP is integer-exact — bit-identical on any engine,
+    * no float contract needed.
+    *
+    * Comparing fixed-length heads (not whole documents) bounds the DP at
+    * O(prefixLen²) per pair and is the standard fuzzy-blocking move; like
+    * [[jaccardPairs]] this is quadratic WITHIN a block and meant for
+    * bounded blocks/samples — the unknown-pairs scale path remains
+    * [[minhashCandidates]] / [[simhashBandedPairs]].
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, prefixLen: Int = 80,
+                        maxDist: Int = 55): DataFrame = {
+    require(prefixLen >= 1, s"prefixLen=$prefixLen must be positive")
+    require(maxDist >= 0, s"maxDist=$maxDist must be non-negative")
+    val heads = df.select(col(blockCol).as("block"), col(idCol).as("id"),
+      substring(col(textCol), 1, prefixLen).as("head"))
+    val a = heads.select(col("block"), col("id").as("id_a"),
+      col("head").as("h_a"))
+    val b = heads.select(col("block"), col("id").as("id_b"),
+      col("head").as("h_b"))
+    a.join(b, Seq("block"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("edit_dist",
+        levenshtein(col("h_a"), col("h_b")).cast("long"))
+      .where(col("edit_dist") <= maxDist)
+      .select(col("block"), col("id_a"), col("id_b"), col("edit_dist"))
+  }
 }

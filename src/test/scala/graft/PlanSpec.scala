@@ -307,6 +307,7 @@ class PlanSpec extends SparkTestBase {
       // (query, capped-scan pushed filter, expected unkeyed-join count)
       ("minhash_quality", "LessThan(doc_id,10000)", 0),
       ("near_dup_jaccard", "LessThan(doc_id,10000)", 0),
+      ("fuzzy_match_pairs", "LessThan(doc_id,10000)", 0),
       ("minhash_lsh_pairs", "LessThan(doc_id,10000)", 0),
       ("simhash_quality", "LessThan(doc_id,10000)", 0),
       ("near_dup_cosine", "LessThan(vec_id,10000)", 1),

@@ -97,6 +97,31 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(ham(h(0L), h(1L)) < ham(h(0L), h(3L)))
   }
 
+  test("editDistancePairs: exact DP distances, block isolation, symmetric emission") {
+    val df = Seq(
+      (1L, "en", "kitten sat here"),
+      (2L, "en", "sitten sat here"),   // 1 substitution from #1
+      (3L, "en", "totally different words entirely"),
+      (4L, "de", "kitten sat here"))   // identical text, OTHER block
+      .toDF("doc_id", "lang", "text")
+    val out = Dedup.editDistancePairs(df, "doc_id", "text", "lang",
+      prefixLen = 80, maxDist = 3)
+      .select("id_a", "id_b", "edit_dist")
+      .as[(Long, Long, Long)].collect().toSet
+    // only the in-block near pair survives; the identical cross-block text
+    // never compares (blocking is a hard wall), and each unordered pair
+    // emits exactly once (id_a < id_b)
+    assert(out == Set((1L, 2L, 1L)))
+    // threshold is inclusive, distances are the exact classic DP values
+    val loose = Dedup.editDistancePairs(df.where($"lang" === "en"),
+      "doc_id", "text", "lang", prefixLen = 80, maxDist = 100)
+      .select("id_a", "id_b", "edit_dist")
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, e) => (a, b) -> e }.toMap
+    assert(loose((1L, 2L)) == 1L)
+    assert(loose((1L, 3L)) > 10L)
+  }
+
   test("simhashBandedPairs equals the brute-force Hamming scan (lossless banding)") {
     // Pigeonhole: bands = maxHamming + 1, so any pair within the radius
     // shares >= 1 exact band — candidates are complete, the exact
