@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops._
-import graft.functions.{Similarity, TextFunctions}
+import graft.functions.{MomentsAgg, Similarity, TextFunctions}
 
 /** Driver contract — see SURVEY.md §7.1.
   *
@@ -437,6 +437,37 @@ object SparkEntry {
         .select(col("event_type"),
           CoreOps.rnd(col("mode_value") / 100.0).as("mode_value"),
           col("n_mode"))
+        .orderBy("event_type")
+    }),
+    // Typed Aggregator tier (SURVEY §2.H extension): exact integer moments
+    // through the typed Dataset API (groupByKey → mapValues → custom
+    // Aggregator). Long sums are associative+commutative → layout-
+    // independent, so the derived mean/variance/stddev are one fixed IEEE
+    // expression over exact inputs — hash-comparable, where a float
+    // Welford merge would not be.
+    "typed_agg_moments" -> ((s, d) => {
+      import s.implicits._
+      val pairs = Tables.events(s, d)
+        .where(col("value").isNotNull)
+        .select(col("event_type"),
+          CoreOps.moneyCents(col("value")).cast("long").as("cents"))
+        .as[(String, Long)]
+      val agged = pairs.groupByKey(_._1).mapValues(_._2)
+        .agg(MomentsAgg.toColumn.name("m"))
+        .toDF("event_type", "m")
+      val n = col("m.n")
+      val nD = n.cast("double")
+      val sD = col("m.sumCents").cast("double")
+      val sqD = col("m.sumSqCents").cast("double")
+      val varU = (sqD - sD * sD / nD) / (nD - 1.0) / 10000.0
+      agged.select(
+        col("event_type"), n.as("n"),
+        CoreOps.rnd(sD / nD / 100.0).as("mean_value"),
+        when(n === 1L, lit(null).cast("double"))
+          .otherwise(CoreOps.rnd(varU)).as("var_value"),
+        when(n === 1L, lit(null).cast("double"))
+          .otherwise(CoreOps.rnd(sqrt(greatest(varU, lit(0.0)))))
+          .as("std_value"))
         .orderBy("event_type")
     }),
     // True time-RANGE sliding frame over the irregular event stream: per
@@ -1568,6 +1599,17 @@ object SparkEntry {
         |SELECT event_type,
         |  floor((CAST(cents AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS mode_value,
         |  n_mode FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    "typed_agg_moments" ->
+      """WITH c AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS s, CAST(sum(cents * cents) AS BIGINT) AS sq
+        |  FROM c GROUP BY 1)
+        |SELECT event_type, n,
+        |  floor((CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS mean_value,
+        |  CASE WHEN n = 1 THEN NULL ELSE floor(((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) / 10000.0) * 10000 + 0.5) / 10000 END AS var_value,
+        |  CASE WHEN n = 1 THEN NULL ELSE floor(sqrt(greatest((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) / 10000.0, 0.0::DOUBLE)) * 10000 + 0.5) / 10000 END AS std_value
+        |FROM a ORDER BY event_type""".stripMargin,
     "sliding_range_agg" ->
       """WITH e AS (SELECT event_id, event_type, epoch_ms(ts) AS ms,
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS __cents FROM events)

@@ -97,6 +97,32 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(ham(h(0L), h(1L)) < ham(h(0L), h(3L)))
   }
 
+  test("MomentsAgg: layout-independent exact sums; matches var_samp; n=1 has no variance") {
+    import org.apache.spark.sql.functions.{stddev_samp, col}
+    val vals = Seq(("a", 100L), ("a", 300L), ("a", 200L), ("a", 900L),
+      ("b", 42L))
+    def run(parts: Int) = vals.toDS().repartition(parts)
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(MomentsAgg.toColumn.name("m"))
+      .collect().toMap
+    // exact long sums merge associatively+commutatively: any partition
+    // layout produces the SAME buffer, not just the same statistic
+    val one = run(1); val many = run(7)
+    assert(one == many)
+    assert(one("a") == Moments(4L, 1500L, 950000L))
+    // derived sample variance agrees with Spark's own float var_samp
+    val varFromSums = {
+      val m = one("a")
+      (m.sumSqCents.toDouble - m.sumCents.toDouble * m.sumCents.toDouble / m.n)
+        .ensuring(_ >= 0) / (m.n - 1).toDouble
+    }
+    val sparkStd = vals.toDF("k", "v").where(col("k") === "a")
+      .agg(stddev_samp(col("v"))).as[Double].head()
+    assert(math.abs(math.sqrt(varFromSums) - sparkStd) < 1e-9)
+    // a single-row group carries n=1 — variance is undefined downstream
+    assert(one("b") == Moments(1L, 42L, 1764L))
+  }
+
   test("editDistancePairs: exact DP distances, block isolation, symmetric emission") {
     val df = Seq(
       (1L, "en", "kitten sat here"),
