@@ -57,11 +57,13 @@ object BloomOps {
     // clean document while this method still "succeeds". Fail loudly at
     // the boundary instead; a deployment sizing a bigger deny side must
     // raise the confs consciously, not discover the clamp in production.
-    val conf = df.sparkSession.conf
-    val maxItems = conf.get(
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
-    val maxBits = conf.get(
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    // read the SAME conf entries the aggregate clamps with — hand-copied
+    // default strings would silently desync from the real clamp on a
+    // Spark upgrade that changes either default
+    import org.apache.spark.sql.internal.SQLConf
+    val conf = SQLConf.get
+    val maxItems = conf.getConf(SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_ITEMS)
+    val maxBits = conf.getConf(SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_BITS)
     require(expectedItems <= maxItems && numBits <= maxBits,
       s"bloom sizing (items=$expectedItems, bits=$numBits for fpp=$fpp) " +
         s"exceeds Spark's runtime-filter caps (items<=$maxItems, " +

@@ -499,8 +499,14 @@ object Dedup {
     * key whose text HEADS are within `maxDist` Levenshtein edits. Edit
     * distance catches what token-set measures cannot (character-level
     * corruption, OCR noise, small in-word edits that change every token),
-    * and the classic DP is integer-exact — bit-identical on any engine,
-    * no float contract needed.
+    * and the classic DP is integer-exact — no float contract needed.
+    *
+    * Cross-engine caveat: the distance UNIT differs off ASCII — Spark's
+    * levenshtein edits Unicode codepoints while DuckDB's edits BYTES
+    * (levenshtein('café','cafe') is 1 vs 2), so the engines agree exactly
+    * on ASCII text and may diverge on multi-byte text. The graded query
+    * pins ASCII on both sides (length == octet_length); callers comparing
+    * against a byte-based engine must do the same or accept unit drift.
     *
     * Comparing fixed-length heads (not whole documents) bounds the DP at
     * O(prefixLen²) per pair and is the standard fuzzy-blocking move; like
