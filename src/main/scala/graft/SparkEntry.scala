@@ -105,6 +105,33 @@ object SparkEntry {
       lit("text/plain").as("mime"),
       col("text").cast("binary").as("bytes"))
 
+  /** One oracle for both alternate-format legs: DuckDB reads the ORIGINAL
+    * parquet events — if a format leg drops rows, shifts timestamps past
+    * week granularity, or perturbs values, its weekly aggregate stops
+    * hash-matching this.
+    */
+  private val altFormatOracleSql =
+    """SELECT date_trunc('week', ts) AS week, event_type,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  floor((CAST(sum(__cents) AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS sum_value
+      |FROM (SELECT *, CAST(floor(value * 100 + 0.5) AS BIGINT) AS __cents FROM events) e
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Shared aggregation for the alternate-format ingestion queries: the
+    * same weekly count + exact-cents sum regardless of which format the
+    * events came back from — one definition so the two format legs grade
+    * the identical contract.
+    */
+  private def weeklyFormatAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("week", CoreOps.weekStart(col("ts")))
+      .withColumn("__cents", CoreOps.moneyCents(col("value")))
+      .groupBy("week", "event_type")
+      .agg(count(lit(1)).as("n"),
+        CoreOps.rnd(sum(col("__cents")).cast("double") / 100.0)
+          .as("sum_value"))
+      .orderBy("week", "event_type")
+
   /** ONE definition of the priority ranking window — partition key,
     * tie-break, and the top-3 projection — shared by the two ranking-
     * surface graded queries (and mirrored by [[rankCte]] on the oracle
@@ -211,6 +238,23 @@ object SparkEntry {
     })
 
   private val streamRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Events re-staged once per (sfDir, format) into a temp dir — the
+    * alternate-format ingestion fixtures (ORC, JSON lines). Same memoize
+    * contract as [[stagedEvents]]; the graded queries prove the engine
+    * reads these formats with identical query semantics by aggregating
+    * the round-tripped data against the PARQUET-derived oracle.
+    */
+  private val altFormatDirs =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def stagedFormat(s: SparkSession, d: String, fmt: String): String =
+    altFormatDirs.getOrElseUpdate((d, fmt), {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-events-$fmt").toString
+      Tables.events(s, d).write.mode("overwrite").format(fmt).save(dir)
+      dir
+    })
 
   /** Verified near-dup pairs for the graded dedup slice, computed ONCE per
     * sfDir at the LOOSEST graded threshold (0.5) and localCheckpointed:
@@ -1279,6 +1323,22 @@ object SparkEntry {
           rnd(sum("k").cast("double") / count("k")).as("k_avg"))
         .orderBy("event_type")
     }),
+    // Alternate-format ingestion (§2.A beyond the reference): events
+    // round-tripped through ORC / JSON-lines must aggregate identically
+    // to the parquet-derived oracle. Weekly bucketing keeps the JSON leg
+    // honest about its own envelope (the default JSON timestamp format
+    // truncates sub-millisecond precision; week bucketing is invariant to
+    // that, and the value/cents leg round-trips doubles exactly via
+    // shortest-repr text). Schema is supplied explicitly on read — JSON
+    // would otherwise infer ts as string.
+    "orc_source_agg" -> ((s, d) =>
+      weeklyFormatAgg(s.read
+        .schema(graft.streaming.EventsStreaming.EventsSchema)
+        .orc(stagedFormat(s, d, "orc")))),
+    "jsonl_source_agg" -> ((s, d) =>
+      weeklyFormatAgg(s.read
+        .schema(graft.streaming.EventsStreaming.EventsSchema)
+        .json(stagedFormat(s, d, "json")))),
 
     // ---- training-data extension tier: embedding governance ----
     // Every vector reduction is a sequential left fold the oracle replays
@@ -2239,6 +2299,8 @@ object SparkEntry {
         |  WHERE floor(list_cosine_similarity(a.v, b.v) * 10000 + 0.5) / 10000 >= 0.4)
         |SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ok, TRUE AS precision_ok
         |FROM t""".stripMargin,
+    "orc_source_agg" -> altFormatOracleSql,
+    "jsonl_source_agg" -> altFormatOracleSql,
     "events_json" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  min(k) AS k_min, max(k) AS k_max,
