@@ -527,9 +527,13 @@ object Dedup {
       col("head").as("h_b"))
     a.join(b, Seq("block"))
       .where(col("id_a") < col("id_b"))
+      // threshold variant: banded O(len·maxDist) DP with early exit
+      // (returns -1 past the bound) instead of the full O(len²) table —
+      // for kept pairs the returned distance is the exact classic value,
+      // so the pair set and distances are unchanged, just cheaper
       .withColumn("edit_dist",
-        levenshtein(col("h_a"), col("h_b")).cast("long"))
-      .where(col("edit_dist") <= maxDist)
+        levenshtein(col("h_a"), col("h_b"), maxDist).cast("long"))
+      .where(col("edit_dist") =!= -1L)
       .select(col("block"), col("id_a"), col("id_b"), col("edit_dist"))
   }
 }

@@ -272,6 +272,11 @@ class PlanSpec extends SparkTestBase {
       s"interpolate_gaps grid join regressed from broadcast:\n$ip")
     val ipN = "Exchange hashpartitioning".r.findAllIn(ip).size
     assert(ipN <= 2, s"interpolate_gaps: expected <=2 key exchanges, got $ipN:\n$ip")
+    // exactMode: the top-1 filter must push into WindowGroupLimit so each
+    // map task forwards one candidate per key, not every (key, value) row
+    val mode = executedSimple(SparkEntry.queries("mode_stats")(spark, sf))
+    assert(mode.contains("WindowGroupLimit"),
+      s"mode_stats top-1 did not push into WindowGroupLimit:\n$mode")
   }
 
   test("bloom membership probe is map-only: literal filter bits, no join, no exchange") {
