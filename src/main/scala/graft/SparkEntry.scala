@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops._
@@ -596,6 +596,108 @@ object SparkEntry {
           col("price_mean"), col("price_median"), col("price_p10"),
           col("price_p90"))
         .orderBy("week", "dim")
+    }),
+
+    // ---- mergeable-sketch rollups (SketchOps) ----
+    // Two-level HLL rollup sharded by order year: the incremental-rollup
+    // primitive (per-year sketches → union) gated two ways — est_merged
+    // must agree with est_single within the HIP→composite estimator-switch
+    // tolerance (the register merge is lossless; only the estimator
+    // changes — observed divergence ≤1 %, gated at 4 %+abs-3), and the
+    // merged estimate rides next to the exact distinct within sketch
+    // tolerance (lgK=12 → 1.04 % RSE; the 8 %+abs-5 bound is ≈7σ,
+    // deterministic because HLL is order-insensitive).
+    "hll_rollup_orders" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val sk = SketchOps.hllTwoLevelDistinct(o, col("o_orderpriority"),
+        col("o_custkey"), year(col("o_orderdate")))
+      val exact = o.groupBy(col("o_orderpriority").as("g"))
+        .agg(count_distinct(col("o_custkey")).as("cust_exact"))
+      sk.join(exact, Seq("g"))
+        .select(col("g").as("dim"), col("cust_exact"),
+          (abs(col("est_merged") - col("est_single")).cast("double")
+            <= greatest(lit(3.0), col("cust_exact") * lit(0.04))).as("merge_ok"),
+          (abs(col("est_merged") - col("cust_exact")).cast("double")
+            <= greatest(lit(5.0), col("cust_exact") * lit(0.08))).as("hll_ok"))
+        .orderBy("dim")
+    }),
+    // Theta set algebra over 3-gram shingle vocabularies of two document
+    // splits — the sketch path for "how much does corpus B overlap corpus
+    // A" (decontamination triage) without the exact distinct-join. Exact
+    // counts ride alongside; the gates use theta's error model (error
+    // scales with the UNION cardinality: k=4096 → 1.56 % RSE, bound 5 %).
+    // Non-vacuous at the graded sf: both shingle sets exceed k, so the
+    // sketches are genuinely estimating, and intersection ≈ 25 % of the
+    // union — well clear of the bound.
+    "theta_shingle_overlap" -> ((s, d) => {
+      val grams = Tables.documents(s, d)
+        .select(pmod(col("doc_id"), lit(2)).as("split"),
+          split(col("text"), " ").as("toks"))
+        .where(size(col("toks")) >= 3)
+        .select(col("split"), explode(expr(
+          "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))"))
+          .as("gram"))
+      val a = grams.where(col("split") === 0).select("gram")
+      val b = grams.where(col("split") === 1).select("gram")
+      val est = SketchOps.thetaSetEstimates(a, b, "gram")
+      val j = a.distinct().withColumn("ina", lit(1))
+        .join(b.distinct().withColumn("inb", lit(1)), Seq("gram"), "full_outer")
+      val exact = j.agg(
+        sum(when(col("ina").isNotNull && col("inb").isNotNull, 1L)
+          .otherwise(0L)).as("inter_exact"),
+        count(lit(1)).as("union_exact"),
+        sum(when(col("ina").isNotNull && col("inb").isNull, 1L)
+          .otherwise(0L)).as("diff_exact"))
+      def ok(estC: Column, exactC: Column) =
+        abs(estC - exactC).cast("double") <=
+          greatest(lit(50.0), col("union_exact") * lit(0.05))
+      est.crossJoin(exact).select(
+        col("inter_exact"), col("union_exact"), col("diff_exact"),
+        ok(col("inter_est"), col("inter_exact")).as("inter_ok"),
+        ok(col("union_est"), col("union_exact")).as("union_ok"),
+        ok(col("diff_est"), col("diff_exact")).as("diff_ok"))
+    }),
+    // Two-phase frequent-items over event types, sharded by week: shard
+    // accumulate → combine → estimate. Cardinality (5) ≪ capacity, so the
+    // counts are EXACT and shard-invariant — the oracle checks values,
+    // not a tolerance; ties re-sorted deterministically (count desc, item).
+    "approx_topk_events" -> ((s, d) =>
+      SketchOps.topKTwoPhase(Tables.events(s, d), col("event_type"),
+        CoreOps.weekStart(col("ts")), k = 10)
+        .orderBy("rnk")),
+    // KLL quantile rollup of order totals (integer cents) sharded by
+    // year. get_n is gated exactly (the sketch preserves stream length);
+    // p50/p90 are gated by requiring the merged sketch's quantile VALUE to
+    // land between the exact rank-⌈0.44n⌉ and rank-⌈0.56n⌉ elements (resp.
+    // [0.84, 0.96]) — a ±6 % rank window, ≈3× the k=200 rank-error bound,
+    // wide enough that the sketch's randomized compaction cannot flap the
+    // boolean. (The rank probe itself must be a foldable literal in
+    // Spark's KLL surface, so the gate inverts: probe by probability,
+    // check the value against the exact order statistics.)
+    "kll_rollup_orders" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("__cents", CoreOps.moneyCents(col("o_totalprice")))
+      val merged = SketchOps.kllQuantileRollup(o, col("o_orderpriority"),
+        col("__cents"), year(col("o_orderdate")))
+      def rankElem(q: Double) = element_at(col("__sorted"),
+        ceil(col("n_exact") * lit(q)).cast("int"))
+      val exact = o.groupBy(col("o_orderpriority").as("g"))
+        .agg(count(lit(1)).as("n_exact"),
+          sort_array(collect_list(col("__cents"))).as("__sorted"))
+        .select(col("g"), col("n_exact"),
+          rankElem(0.5).as("p50_cents"), rankElem(0.9).as("p90_cents"),
+          rankElem(0.44).as("__p44"), rankElem(0.56).as("__p56"),
+          rankElem(0.84).as("__p84"), rankElem(0.96).as("__p96"))
+      def sketchQ(q: Double) = call_function(
+        "kll_sketch_get_quantile_bigint", col("kll_merged"), lit(q))
+      merged.join(exact, Seq("g"))
+        .select(col("g").as("dim"), col("n_exact"),
+          col("p50_cents"), col("p90_cents"),
+          (call_function("kll_sketch_get_n_bigint", col("kll_merged"))
+            === col("n_exact")).as("n_match"),
+          sketchQ(0.5).between(col("__p44"), col("__p56")).as("p50_ok"),
+          sketchQ(0.9).between(col("__p84"), col("__p96")).as("p90_ok"))
+        .orderBy("dim")
     }),
 
     // ---- multi-table analytics over the largest fact table ----
@@ -1535,6 +1637,34 @@ object SparkEntry {
         |  CASE WHEN count(__cents) = 0 THEN NULL ELSE floor((CAST(list_sort(list(__cents) FILTER (WHERE __cents IS NOT NULL))[GREATEST(1, CAST(ceil(0.90 * count(__cents)) AS BIGINT))] AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 END AS price_p90
         |FROM (SELECT *, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS __cents FROM orders) o
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "hll_rollup_orders" ->
+      """SELECT o_orderpriority AS dim,
+        |  count(DISTINCT o_custkey) AS cust_exact,
+        |  TRUE AS merge_ok, TRUE AS hll_ok
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "theta_shingle_overlap" ->
+      """WITH t AS (SELECT doc_id % 2 AS split, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT DISTINCT split, array_to_string(list_slice(toks, i, i + 2), ' ') AS gram
+        |      FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i)
+        |      WHERE len(toks) >= 3),
+        |a AS (SELECT gram FROM g WHERE split = 0),
+        |b AS (SELECT gram FROM g WHERE split = 1)
+        |SELECT
+        |  (SELECT count(*) FROM a JOIN b USING (gram)) AS inter_exact,
+        |  (SELECT count(*) FROM (SELECT gram FROM a UNION SELECT gram FROM b)) AS union_exact,
+        |  (SELECT count(*) FROM a ANTI JOIN b USING (gram)) AS diff_exact,
+        |  TRUE AS inter_ok, TRUE AS union_ok, TRUE AS diff_ok""".stripMargin,
+    "approx_topk_events" ->
+      """SELECT event_type AS item, count(*) AS est_count,
+        |  CAST(row_number() OVER (ORDER BY count(*) DESC, event_type) AS BIGINT) AS rnk
+        |FROM events GROUP BY event_type ORDER BY rnk""".stripMargin,
+    "kll_rollup_orders" ->
+      """SELECT o_orderpriority AS dim, count(*) AS n_exact,
+        |  list_sort(list(__cents))[GREATEST(1, CAST(ceil(0.5 * count(*)) AS BIGINT))] AS p50_cents,
+        |  list_sort(list(__cents))[GREATEST(1, CAST(ceil(0.9 * count(*)) AS BIGINT))] AS p90_cents,
+        |  TRUE AS n_match, TRUE AS p50_ok, TRUE AS p90_ok
+        |FROM (SELECT *, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS __cents FROM orders) o
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "type_breakdown" ->
       """SELECT date_trunc('week', o_orderdate) AS week, o_orderpriority AS dim,
         |  lower(trim(CAST(o_orderstatus AS VARCHAR))) AS category,

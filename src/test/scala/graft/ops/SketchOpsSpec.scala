@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class SketchOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("hllTwoLevelDistinct: sharding is near-lossless and tracks exact counts") {
+    // 2000 distinct values spread over two groups and 7 shards — deep into
+    // HLL estimation mode, so this exercises the HIP→composite estimator
+    // switch, not just the exact coupon path.
+    val df = spark.range(0, 4000)
+      .select((col("id") % 2).as("grp"), (col("id") % 2000).as("v"),
+        (col("id") % 7).as("shard"))
+    val out = SketchOps.hllTwoLevelDistinct(df, col("grp"), col("v"),
+      col("shard")).collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      val (m, s) = (r.getAs[Long]("est_merged"), r.getAs[Long]("est_single"))
+      // each group sees 1000 distinct v values
+      assert(math.abs(m - 1000).toDouble / 1000 < 0.05, s"merged $m vs exact 1000")
+      assert(math.abs(m - s).toDouble / 1000 < 0.04, s"merged $m vs single $s")
+    }
+  }
+
+  test("hllTwoLevelDistinct: merged estimate is shard-layout-stable within tolerance") {
+    // The register merge is a lattice max, but the ESTIMATE is not exactly
+    // shard-invariant: sketches unioned while still in sparse/coupon mode
+    // contribute exact coupons, dense ones contribute HLL_4 registers, and
+    // the composite estimator sees slightly different gadget states
+    // (observed ~0.4 % at 3000 distinct). Pin the drift to < 2 % — an
+    // exact-equality claim here would be wrong by construction.
+    val base = spark.range(0, 5000)
+      .select(lit(0L).as("grp"), (col("id") % 3000).as("v"))
+    val by2 = SketchOps.hllTwoLevelDistinct(
+      base.withColumn("shard", col("v") % 2), col("grp"), col("v"), col("shard"))
+      .collect().head.getAs[Long]("est_merged")
+    val by13 = SketchOps.hllTwoLevelDistinct(
+      base.withColumn("shard", col("v") % 13), col("grp"), col("v"), col("shard"))
+      .collect().head.getAs[Long]("est_merged")
+    assert(math.abs(by2 - by13).toDouble / 3000 < 0.02, s"by2=$by2 by13=$by13")
+  }
+
+  test("thetaSetEstimates: exact in exact-mode, and set algebra is consistent") {
+    // Below k=4096 per side the theta sketch retains every hash → the
+    // estimates are exact integers, checkable without tolerance.
+    val a = spark.range(0, 500).select(concat(lit("v"), col("id")).as("t"))
+    val b = spark.range(300, 800).select(concat(lit("v"), col("id")).as("t"))
+    val r = SketchOps.thetaSetEstimates(a, b, "t").collect().head
+    assert(r.getAs[Double]("inter_est") === 200.0)
+    assert(r.getAs[Double]("union_est") === 800.0)
+    assert(r.getAs[Double]("diff_est") === 300.0)
+  }
+
+  test("thetaSetEstimates: estimation mode stays within the error model") {
+    // 12k vs 12k with 6k overlap — both sides past k, genuine estimation.
+    val a = spark.range(0, 12000).select(concat(lit("v"), col("id")).as("t"))
+    val b = spark.range(6000, 18000).select(concat(lit("v"), col("id")).as("t"))
+    val r = SketchOps.thetaSetEstimates(a, b, "t").collect().head
+    val union = 18000.0
+    assert(math.abs(r.getAs[Double]("inter_est") - 6000.0) < 0.05 * union)
+    assert(math.abs(r.getAs[Double]("union_est") - union) < 0.05 * union)
+    assert(math.abs(r.getAs[Double]("diff_est") - 6000.0) < 0.05 * union)
+  }
+
+  test("topKTwoPhase: exact counts under capacity, shard-invariant, deterministic ties") {
+    // 4 items with distinct frequencies + 2 tied items; cardinality ≪
+    // maxTracked so every count is exact.
+    val rows = Seq.tabulate(100)(i =>
+      if (i < 40) "a" else if (i < 70) "b" else if (i < 85) "c"
+      else if (i < 92) "d" else if (i < 96) "t1" else "t2")
+    val df = rows.zipWithIndex.toDF("item", "i")
+    def run(shards: Int) = SketchOps.topKTwoPhase(df, col("item"),
+      col("i") % shards, k = 10)
+      .select("rnk", "item", "est_count").as[(Long, String, Long)]
+      .collect().toSeq
+    val got = run(3)
+    assert(got === Seq((1L, "a", 40L), (2L, "b", 30L), (3L, "c", 15L),
+      (4L, "d", 7L), (5L, "t1", 4L), (6L, "t2", 4L)))
+    // two-phase merge must not depend on the shard layout
+    assert(run(1) === got && run(7) === got)
+  }
+
+  test("kllQuantileRollup: n is exact and merged quantiles respect rank error") {
+    // 0..9999 over 5 shards: true median 5000 ± (k=200 → ~±165 ranks at
+    // the 99 % bound; assert ±400 for slack against the randomized
+    // compaction).
+    val df = spark.range(0, 10000)
+      .select(lit("g").as("grp"), col("id").as("v"), (col("id") % 5).as("shard"))
+    val r = SketchOps.kllQuantileRollup(df, col("grp"), col("v"), col("shard"))
+      .select(col("g"),
+        call_function("kll_sketch_get_n_bigint", col("kll_merged")).as("n"),
+        call_function("kll_sketch_get_quantile_bigint", col("kll_merged"),
+          lit(0.5)).as("q50"))
+      .collect().head
+    assert(r.getAs[Long]("n") === 10000L)
+    assert(math.abs(r.getAs[Long]("q50") - 5000L) <= 400L)
+  }
+
+  test("sketch rollups shuffle sketch bytes, not raw rows (plan shape)") {
+    // The two-level HLL plan must be partial-agg → exchange → merge at
+    // each level: no exchange may carry the raw value column, and there
+    // are exactly two keyed exchanges (group,shard) then (group).
+    val df = spark.range(0, 1000)
+      .select((col("id") % 5).as("grp"), col("id").as("v"), (col("id") % 3).as("shard"))
+    val two = df.groupBy(col("grp"), col("shard"))
+      .agg(hll_sketch_agg(col("v"), lit(12)).as("sk"))
+      .groupBy("grp")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val plan = two.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 2, s"expected 2 keyed exchanges, got $exchanges:\n$plan")
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"sketch aggregates should be ObjectHashAggregate partial+final:\n$plan")
+  }
+}
