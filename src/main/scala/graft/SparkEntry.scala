@@ -700,6 +700,85 @@ object SparkEntry {
         .orderBy("dim")
     }),
 
+    // ---- CDC / MERGE tier (ChangeOps) ----
+    // Batch MERGE over the orders snapshot: base (keys not ≡0 mod 4) takes
+    // two change waves — v1 (+$10 on even keys), v2 (+$20 on keys ≡0 mod 6,
+    // deleting keys ≡0 mod 12). Exercises every MERGE branch at the graded
+    // SF: inserts (≡0 mod 4), updates, multi-version override (v2 over v1),
+    // and deletes; the residue classes make each branch provably non-empty.
+    "upsert_latest" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderstatus"),
+        CoreOps.moneyCents(col("o_totalprice")).cast("long").as("price_cents"))
+      val base = o.where(pmod(col("o_orderkey"), lit(4)) =!= 0)
+      val chg1 = o.where(pmod(col("o_orderkey"), lit(2)) === 0)
+        .withColumn("price_cents", col("price_cents") + 1000L)
+        .withColumn("__version", lit(1L)).withColumn("__dead", lit(false))
+      val chg2 = o.where(pmod(col("o_orderkey"), lit(6)) === 0)
+        .withColumn("price_cents", col("price_cents") + 2000L)
+        .withColumn("__version", lit(2L))
+        .withColumn("__dead", pmod(col("o_orderkey"), lit(12)) === 0)
+      ChangeOps.applyChanges(base, chg1.unionByName(chg2),
+        Seq("o_orderkey"), col("__version"), col("__dead"))
+        .orderBy("o_orderkey")
+    }),
+    // SCD2 history: per-customer order-status change stream compacted to
+    // validity intervals. change_id (the surviving order key) rides along
+    // to totalize the output order where one customer changes status twice
+    // on one date.
+    "scd2_history" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      ChangeOps.scd2(o.select(col("o_custkey"), col("o_orderdate"),
+        col("o_orderkey").as("change_id"), col("o_orderstatus")),
+        Seq("o_custkey"), col("o_orderdate"), col("change_id"),
+        Seq("o_orderstatus"))
+        .select(col("o_custkey"), col("o_orderstatus"), col("change_id"),
+          col("effective_from"), col("effective_to"), col("is_current"))
+        .orderBy("o_custkey", "effective_from", "change_id")
+    }),
+
+    // ---- bivariate statistics (StatOps) ----
+    // Quantity-vs-price least squares per return flag: slope, intercept,
+    // Pearson r, R² — all derived from exact long power sums (dollars, not
+    // cents, so Σy² stays < 2^53 at every graded SF; see StatOps
+    // precondition). The oracle replays the identical IEEE expression over
+    // the identical exact sums, so the 4-dp rounding never straddles.
+    "corr_regression" -> ((s, d) =>
+      StatOps.bivariateStats(Tables.lineitem(s, d), col("l_returnflag"),
+        col("l_quantity"), floor(col("l_extendedprice") + lit(0.5)))
+        .withColumnRenamed("g", "l_returnflag")
+        .orderBy("l_returnflag")),
+
+    // ---- data-quality expectations (DqOps) ----
+    // One governed report over orders: four single-scan row rules (two
+    // chosen to FIRE on this data — price cap and freshness — so the
+    // violation path is non-vacuous), a key-multiplicity rule, and
+    // referential integrity against the active-customer slice (negative
+    // balances exist at every SF, so orphans > 0).
+    "dq_expectations" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val rowRules = DqOps.expectations(o, Seq(
+        "accepted_status" -> col("o_orderstatus").isin("F", "O"),
+        "not_null_custkey" -> col("o_custkey").isNotNull,
+        "price_cap_400k" -> (col("o_totalprice") > 0.0 &&
+          col("o_totalprice") <= 400000.0),
+        "fresh_before_1998" -> (col("o_orderdate") < lit("1998-01-01").cast("timestamp"))))
+      val uniq = DqOps.uniqueness(o, Seq("o_custkey"), "unique_custkey")
+      val fk = DqOps.orphans(o,
+        Tables.customer(s, d).where(col("c_acctbal") > 0.0),
+        "o_custkey", "c_custkey", "fk_active_customer")
+      rowRules.unionByName(uniq).unionByName(fk).orderBy("rule")
+    }),
+
+    // ---- event-sequence transition matrix (EventAnalytics) ----
+    // First-order Markov counts over per-user event sequences; prob is
+    // exact-count division rounded 4 dp. Ordering totalized by
+    // (ts, event_id) — the same proven idiom as sessionize_events.
+    "event_transitions" -> ((s, d) =>
+      EventAnalytics.transitionMatrix(Tables.events(s, d), "user_id", "ts",
+        "event_id", "event_type")
+        .orderBy("from_type", "to_type")),
+
     // ---- multi-table analytics over the largest fact table ----
     // TPC-H-shape showcases: money arithmetic in exact integer units
     // (cents × discount-percent × tax-percent), so every sum is an
@@ -1665,6 +1744,81 @@ object SparkEntry {
         |  TRUE AS n_match, TRUE AS p50_ok, TRUE AS p90_ok
         |FROM (SELECT *, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS __cents FROM orders) o
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "upsert_latest" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS pc FROM orders),
+        |u AS (
+        |  SELECT k, st, pc, NULL::BIGINT AS v, FALSE AS del FROM o WHERE k % 4 <> 0
+        |  UNION ALL SELECT k, st, pc + 1000, 1, FALSE FROM o WHERE k % 2 = 0
+        |  UNION ALL SELECT k, st, pc + 2000, 2, (k % 12 = 0) FROM o WHERE k % 6 = 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY v DESC NULLS LAST) AS rn FROM u)
+        |SELECT k AS o_orderkey, st AS o_orderstatus, pc AS price_cents
+        |FROM r WHERE rn = 1 AND NOT del ORDER BY 1""".stripMargin,
+    "scd2_history" ->
+      """WITH s AS (SELECT o_custkey, o_orderdate AS ts, o_orderkey AS id, o_orderstatus AS st,
+        |    lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |c AS (SELECT o_custkey, ts, id, st FROM s WHERE prev IS NULL OR st IS DISTINCT FROM prev)
+        |SELECT o_custkey, st AS o_orderstatus, id AS change_id, ts AS effective_from,
+        |  lead(ts) OVER (PARTITION BY o_custkey ORDER BY ts, id) AS effective_to,
+        |  (lead(ts) OVER (PARTITION BY o_custkey ORDER BY ts, id) IS NULL) AS is_current
+        |FROM c ORDER BY o_custkey, effective_from, change_id""".stripMargin,
+    "corr_regression" ->
+      """WITH c AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y FROM lineitem),
+        |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy, CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(y * y) AS DOUBLE) AS syy
+        |  FROM c GROUP BY 1),
+        |e AS (SELECT g, n, sx, sy,
+        |    CAST(n AS DOUBLE) * sxy - sx * sy AS covn,
+        |    CAST(n AS DOUBLE) * sxx - sx * sx AS varxn,
+        |    CAST(n AS DOUBLE) * syy - sy * sy AS varyn
+        |  FROM a)
+        |SELECT g AS l_returnflag, n,
+        |  CASE WHEN n = 1 OR varxn <= 0 THEN NULL
+        |       ELSE floor((covn / varxn) * 10000 + 0.5) / 10000 END AS slope,
+        |  CASE WHEN n = 1 OR varxn <= 0 THEN NULL
+        |       ELSE floor(((sy - (covn / varxn) * sx) / CAST(n AS DOUBLE)) * 10000 + 0.5) / 10000 END AS intercept,
+        |  CASE WHEN n = 1 OR varxn <= 0 OR varyn <= 0 THEN NULL
+        |       ELSE floor((covn / sqrt(varxn * varyn)) * 10000 + 0.5) / 10000 END AS pearson_r,
+        |  CASE WHEN n = 1 OR varxn <= 0 OR varyn <= 0 THEN NULL
+        |       ELSE floor((covn * covn / (varxn * varyn)) * 10000 + 0.5) / 10000 END AS r2
+        |FROM e ORDER BY 1""".stripMargin,
+    "dq_expectations" ->
+      """SELECT * FROM (
+        |  SELECT 'accepted_status' AS rule,
+        |    CAST(sum(CASE WHEN o_orderstatus IN ('F','O') THEN 0 ELSE 1 END) AS BIGINT) AS violations,
+        |    CAST(count(*) AS BIGINT) AS total FROM orders
+        |  UNION ALL SELECT 'not_null_custkey',
+        |    CAST(sum(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT),
+        |    CAST(count(*) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'price_cap_400k',
+        |    CAST(sum(CASE WHEN o_totalprice > 0 AND o_totalprice <= 400000 THEN 0 ELSE 1 END) AS BIGINT),
+        |    CAST(count(*) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'fresh_before_1998',
+        |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 0 ELSE 1 END) AS BIGINT),
+        |    CAST(count(*) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'unique_custkey',
+        |    (SELECT CAST(COALESCE(sum(c), 0) AS BIGINT)
+        |     FROM (SELECT count(*) AS c FROM orders GROUP BY o_custkey) WHERE c > 1),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders)
+        |  UNION ALL SELECT 'fk_active_customer',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |     WHERE o_custkey IS NOT NULL AND o_custkey NOT IN
+        |       (SELECT c_custkey FROM customer WHERE c_acctbal > 0)),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders)
+        |) ORDER BY rule""".stripMargin,
+    "event_transitions" ->
+      """WITH p AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |g AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  floor((CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE)) * 10000 + 0.5) / 10000 AS prob
+        |FROM g ORDER BY from_type, to_type""".stripMargin,
     "type_breakdown" ->
       """SELECT date_trunc('week', o_orderdate) AS week, o_orderpriority AS dim,
         |  lower(trim(CAST(o_orderstatus AS VARCHAR))) AS category,

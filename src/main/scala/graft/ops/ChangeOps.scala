@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture application and slowly-changing-dimension history
+  * (extension tier). The reference recomputes its whole dashboard from raw
+  * every run (etl/etl_main.py:149-156 re-downloads and re-aggregates); a
+  * warehouse-scale engine instead needs the incremental counterparts:
+  * apply a batch of keyed upserts/deletes onto a snapshot (the batch MERGE
+  * shape), and compact a keyed change stream into validity intervals
+  * (SCD type 2). Both are single-window-exchange plans — the shuffle is on
+  * the entity key, volume ∝ rows, never a self-join.
+  */
+object ChangeOps {
+
+  /** Latest-wins change application — the batch MERGE/upsert shape.
+    *
+    * Semantics: `base` rows carry implicit change priority 0, `changes`
+    * rows priority 1 upward via `version` (higher wins; among equal
+    * versions a change outranks base). Per key the single winner survives;
+    * a winner whose `deleteFlag` is true removes the key entirely.
+    *
+    * `changes` must contain every `base` column (extra change-side columns
+    * — the version source, delete markers — are allowed and dropped from
+    * the result); `version` and `deleteFlag` are evaluated on `changes`
+    * only — base rows take version = -inf, delete = false. Ordering must
+    * be total per key across base ∪ changes: base unique per key and a
+    * tie-breaking version on the change side, or winners are
+    * nondeterministic exactly where SQL MERGE would reject duplicate
+    * matches.
+    *
+    * Plan shape: unionByName is a no-shuffle concat; the only exchange is
+    * the window hash partition on `keys`. row_number + rn=1 filter
+    * collapses to WindowGroupLimit (per-partition partial top-1 before the
+    * exchange), so the shuffle carries at most one candidate row per key
+    * per map partition.
+    */
+  def applyChanges(base: DataFrame, changes: DataFrame, keys: Seq[String],
+                   version: Column, deleteFlag: Column): DataFrame = {
+    val cols = base.columns.toSeq
+    val b = base
+      .withColumn("__v", lit(null).cast("long"))
+      .withColumn("__del", lit(false))
+    val c = changes
+      .withColumn("__v", version.cast("long"))
+      .withColumn("__del", deleteFlag)
+      .select((cols :+ "__v" :+ "__del").map(col): _*)
+    // nulls_first on the DESC version puts base (__v null → asc_nulls_first
+    // reversed) LAST: any change beats base. Spark desc() is nulls-last.
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__v").desc_nulls_last)
+    b.unionByName(c)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1 && !col("__del"))
+      .drop("__rn", "__v", "__del")
+  }
+
+  /** SCD type-2 history build: compact a keyed, timestamped change stream
+    * into validity intervals over the tracked attributes.
+    *
+    * Two window passes over the SAME (keys; ts, tie) ordering — one
+    * exchange, the second window reuses the first's partitioning and sort:
+    *  1. change detection: keep a row iff any tracked attribute differs
+    *     from the previous row of the key (null-safe struct compare), so
+    *     consecutive duplicates compact away;
+    *  2. intervals: effective_from = its ts, effective_to = the NEXT
+    *     surviving change's ts (null on the open current row),
+    *     is_current = effective_to IS NULL.
+    *
+    * `tie` must make the ordering total (same-ts changes of one key), or
+    * interval endpoints are nondeterministic.
+    */
+  def scd2(changes: DataFrame, keys: Seq[String], ts: Column, tie: Column,
+           tracked: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ts.asc, tie.asc)
+    val cur = struct(tracked.map(col): _*)
+    val changed = changes
+      .withColumn("__prev", lag(cur, 1).over(w))
+      // first row of a key: lag is null → keep (a real null-attr row still
+      // differs via the null-safe compare on the struct)
+      .where(col("__prev").isNull || !(cur <=> col("__prev")))
+      .drop("__prev")
+    changed
+      .withColumn("effective_from", ts)
+      .withColumn("effective_to", lead(ts, 1).over(w))
+      .withColumn("is_current", col("effective_to").isNull)
+  }
+}

@@ -79,4 +79,29 @@ object EventAnalytics {
           .cast("long").as("week_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * (from_type, to_type, n, prob) where prob is n over all transitions
+    * leaving from_type. `tieCol` totalizes the per-user ordering (same-ts
+    * events), or the lead pairing — hence the matrix — is nondeterministic.
+    * A user's last event has no successor and contributes no pair.
+    *
+    * Shape: one window exchange on user (sequence building), then a hash
+    * aggregate on the (from, to) pairs — group count is event-type² bounded
+    * regardless of input rows. prob derives from exact long counts via a
+    * window over the bounded pair table, not a second scan.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+                       tieCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol).asc, col(tieCol).asc)
+    val pairs = events
+      .select(col(userCol), col(tsCol), col(tieCol), col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    pairs.withColumn("prob", CoreOps.rnd(
+      col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("from_type"))).cast("double")))
+  }
 }

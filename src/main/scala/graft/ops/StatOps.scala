@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bivariate statistics — per-group correlation and least-squares
+  * regression (extension tier; the reference's analytics stop at univariate
+  * mean/median/std, etl/etl_main.py:212-218).
+  *
+  * Spark's built-in `corr`/`regr_slope` stream FLOAT partials whose merge
+  * order follows the partition layout — two runs of the same query can
+  * disagree in the last ulps, and no hash-compared oracle can gate that.
+  * Here the five power sums (n, Σx, Σy, Σxy, Σx², Σy²) are accumulated as
+  * exact LONG sums (associative + commutative → layout-independent), and
+  * every derived statistic is one fixed IEEE expression over those exact
+  * inputs — bit-reproducible across plans, partitionings, and engines,
+  * same contract as [[graft.functions.MomentsAgg]].
+  *
+  * PRECONDITION: x and y must be integer-valued columns scaled so the sums
+  * stay exactly representable — |Σx²|, |Σy²|, |Σxy| < 2^53 (the long→double
+  * cast must be exact; the long sum itself throws loudly past 2^63 under
+  * ANSI). For money, pass whole units (dollars), not cents, when row counts
+  * are large; at corpus scales beyond that, bucket first or shift units
+  * down — do NOT swap in float sums.
+  */
+object StatOps {
+
+  /** Per-group (n, Σx, Σy, Σxy, Σx², Σy²) + derived slope / intercept /
+    * Pearson r / R² of the y-on-x least-squares fit, rounded via
+    * [[CoreOps.rnd]]. Groups with zero x-variance (or n == 1) yield null
+    * slope/intercept/r/r2 rather than ±inf.
+    *
+    * Plan shape: one hash aggregate with map-side partials — six long
+    * partials per group cross the exchange, nothing else.
+    */
+  def bivariateStats(df: DataFrame, group: Column, x: Column, y: Column): DataFrame = {
+    val xl = x.cast("long")
+    val yl = y.cast("long")
+    val agged = df.groupBy(group.as("g")).agg(
+      count(lit(1)).as("n"),
+      sum(xl).as("sx"),
+      sum(yl).as("sy"),
+      sum(xl * yl).as("sxy"),
+      sum(xl * xl).as("sxx"),
+      sum(yl * yl).as("syy"))
+    // Fixed IEEE expression over exact inputs. cov/var here are the n-fold
+    // scaled versions (n·Σxy − Σx·Σy etc.) — the n² factors cancel in every
+    // derived statistic, and skipping the division keeps the expression
+    // shorter (fewer roundings, same determinism).
+    val nD = col("n").cast("double")
+    val sx = col("sx").cast("double");  val sy = col("sy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val sxx = col("sxx").cast("double"); val syy = col("syy").cast("double")
+    val covN  = nD * sxy - sx * sy
+    val varxN = nD * sxx - sx * sx
+    val varyN = nD * syy - sy * sy
+    val undef = col("n") === 1L || varxN <= 0.0
+    val slope = covN / varxN
+    agged.select(
+      col("g"), col("n"),
+      when(undef, lit(null).cast("double"))
+        .otherwise(CoreOps.rnd(slope)).as("slope"),
+      when(undef, lit(null).cast("double"))
+        .otherwise(CoreOps.rnd((sy - slope * sx) / nD)).as("intercept"),
+      // Pearson r additionally needs y-variance; constant-y ⇒ r undefined
+      when(undef || varyN <= 0.0, lit(null).cast("double"))
+        .otherwise(CoreOps.rnd(covN / sqrt(varxN * varyN))).as("pearson_r"),
+      when(undef || varyN <= 0.0, lit(null).cast("double"))
+        .otherwise(CoreOps.rnd(covN * covN / (varxN * varyN))).as("r2"))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class ChangeOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("applyChanges: insert, update, multi-version override, delete, untouched") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (2L, "b1", 1L, false), // update existing
+      (4L, "d1", 1L, false), // insert new key, v1...
+      (4L, "d2", 2L, false), // ...overridden by v2
+      (3L, "xx", 1L, true),  // delete existing
+      (5L, "e1", 1L, true)   // delete of an absent key: still absent
+    ).toDF("k", "v", "ver", "dead")
+    val out = ChangeOps.applyChanges(base, changes, Seq("k"),
+      col("ver"), col("dead"))
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(out === Seq((1L, "a"), (2L, "b1"), (4L, "d2")))
+  }
+
+  test("applyChanges: change at any version beats base, internal cols dropped") {
+    val base = Seq((1L, "old")).toDF("k", "v")
+    val changes = Seq((1L, "new", 0L, false)).toDF("k", "v", "ver", "dead")
+    val out = ChangeOps.applyChanges(base, changes, Seq("k"), col("ver"), col("dead"))
+    assert(out.columns.toSeq === Seq("k", "v"))
+    assert(out.as[(Long, String)].collect().toSeq === Seq((1L, "new")))
+  }
+
+  test("applyChanges plan: single key exchange, top-1 pushed to WindowGroupLimit") {
+    val base = Seq((1L, "a")).toDF("k", "v")
+    val changes = Seq((1L, "b", 1L, false)).toDF("k", "v", "ver", "dead")
+    val plan = ChangeOps.applyChanges(base, changes, Seq("k"),
+      col("ver"), col("dead")).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("scd2: consecutive duplicates compact; intervals chain; open current row") {
+    val rows = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10L, "open"),
+      (1L, ts("2024-01-03 00:00:00"), 11L, "open"),   // duplicate → compacted
+      (1L, ts("2024-01-05 00:00:00"), 12L, "closed"),
+      (1L, ts("2024-01-07 00:00:00"), 13L, "open"),   // re-open: NOT deduped globally
+      (2L, ts("2024-02-01 00:00:00"), 20L, "open")
+    ).toDF("k", "t", "id", "status")
+    val out = ChangeOps.scd2(rows, Seq("k"), col("t"), col("id"), Seq("status"))
+      .select("k", "status", "effective_from", "effective_to", "is_current")
+      .orderBy("k", "effective_from")
+      .as[(Long, String, java.sql.Timestamp, Option[java.sql.Timestamp], Boolean)]
+      .collect().toSeq
+    assert(out === Seq(
+      (1L, "open",   ts("2024-01-01 00:00:00"), Some(ts("2024-01-05 00:00:00")), false),
+      (1L, "closed", ts("2024-01-05 00:00:00"), Some(ts("2024-01-07 00:00:00")), false),
+      (1L, "open",   ts("2024-01-07 00:00:00"), None, true),
+      (2L, "open",   ts("2024-02-01 00:00:00"), None, true)))
+  }
+
+  test("scd2: null-safe change detection on tracked attrs") {
+    val rows = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, Option.empty[String]),
+      (1L, ts("2024-01-02 00:00:00"), 2L, Option.empty[String]), // null==null → compacted
+      (1L, ts("2024-01-03 00:00:00"), 3L, Some("x"))             // null→x → change
+    ).toDF("k", "t", "id", "status")
+    val out = ChangeOps.scd2(rows, Seq("k"), col("t"), col("id"), Seq("status"))
+      .orderBy("effective_from").select("effective_from").as[java.sql.Timestamp]
+      .collect().toSeq
+    assert(out === Seq(ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00")))
+  }
+
+  test("scd2 plan: one exchange serves both window passes") {
+    val rows = Seq((1L, ts("2024-01-01 00:00:00"), 1L, "a")).toDF("k", "t", "id", "s")
+    val plan = ChangeOps.scd2(rows, Seq("k"), col("t"), col("id"), Seq("s"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+  }
+}

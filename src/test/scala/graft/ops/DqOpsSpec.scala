@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class DqOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("expectations: counts violators per rule in one pass; null predicate = violation") {
+    val df = Seq(
+      (Some(1L), "ok"), (Some(2L), "ok"), (Some(-5L), "bad"), (None, "ok")
+    ).toDF("amount", "tag")
+    val out = DqOps.expectations(df, Seq(
+      "positive_amount" -> (col("amount") > 0L),       // null amount → null pred → violation
+      "tag_ok" -> (col("tag") === "ok"),
+      "never_fires" -> lit(true)))
+      .orderBy("rule").as[(String, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("never_fires", 0L, 4L),
+      ("positive_amount", 2L, 4L),
+      ("tag_ok", 1L, 4L)))
+  }
+
+  test("expectations plan: one scan, one scalar aggregate, no per-rule jobs") {
+    val df = Seq((1L, "a")).toDF("x", "y")
+    val plan = DqOps.expectations(df, Seq(
+      "r1" -> (col("x") > 0L), "r2" -> col("y").isNotNull))
+      .queryExecution.executedPlan.toString
+    assert("LocalTableScan|Scan".r.findAllIn(plan).size === 1, plan)
+  }
+
+  test("uniqueness: every copy of a shared key counts; null keys group together") {
+    val df = Seq(Some(1L), Some(1L), Some(2L), None, None, None)
+      .toDF("k")
+    val out = DqOps.uniqueness(df, Seq("k"), "unique_k")
+      .as[(String, Long, Long)].collect().head
+    // key 1 contributes 2, null-key group contributes 3, key 2 is clean
+    assert(out === ("unique_k", 5L, 6L))
+  }
+
+  test("orphans: non-null fk misses parent; null fk makes no claim") {
+    val child = Seq(Some(1L), Some(2L), Some(99L), None).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val out = DqOps.orphans(child, parent, "fk", "pk", "fk_check")
+      .as[(String, Long, Long)].collect().head
+    assert(out === ("fk_check", 1L, 4L))
+  }
+
+  test("the three report shapes union into one schema") {
+    val df = Seq((1L, 1L)).toDF("a", "b")
+    val r = DqOps.expectations(df, Seq("r" -> (col("a") > 0L)))
+      .unionByName(DqOps.uniqueness(df, Seq("a"), "u"))
+      .unionByName(DqOps.orphans(df, df.select(col("a").as("pk")), "b", "pk", "fk"))
+    assert(r.columns.toSeq === Seq("rule", "violations", "total"))
+    assert(r.count() === 3L)
+  }
+}

@@ -67,4 +67,37 @@ class EventAnalyticsSpec extends SparkTestBase {
       ("2024-01-01 00:00:00.0", 2L, 1L),
       ("2024-01-08 00:00:00.0", 0L, 1L)))
   }
+
+  test("transitionMatrix: per-user sequences, last event drops, probs per from-row") {
+    import spark.implicits._
+    val df = Seq(
+      // u1: a → b → a → b  (pairs a→b, b→a, a→b)
+      (1L, 1L, "2024-01-01 10:00:00", "a"),
+      (1L, 2L, "2024-01-01 10:01:00", "b"),
+      (1L, 3L, "2024-01-01 10:02:00", "a"),
+      (1L, 4L, "2024-01-01 10:03:00", "b"),
+      // u2: a → c (no cross-user pair with u1's last b)
+      (2L, 5L, "2024-01-01 11:00:00", "a"),
+      (2L, 6L, "2024-01-01 11:05:00", "c"))
+      .toDF("user_id", "event_id", "s", "event_type")
+      .withColumn("ts", col("s").cast("timestamp")).drop("s")
+    val out = EventAnalytics.transitionMatrix(df, "user_id", "ts", "event_id",
+      "event_type")
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      ("a", "b", 2L, 0.6667), ("a", "c", 1L, 0.3333), ("b", "a", 1L, 1.0)))
+  }
+
+  test("transitionMatrix: same-ts events pair deterministically by the tie column") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10L, "x"), (1L, 11L, "y"), (1L, 12L, "z"))
+      .toDF("user_id", "event_id", "event_type")
+      .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+    val out = EventAnalytics.transitionMatrix(df, "user_id", "ts", "event_id",
+      "event_type")
+      .orderBy("from_type").as[(String, String, Long, Double)].collect().toSeq
+    assert(out === Seq(("x", "y", 1L, 1.0), ("y", "z", 1L, 1.0)))
+  }
 }

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class StatOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def run(rows: Seq[(String, Long, Long)]) =
+    StatOps.bivariateStats(rows.toDF("g", "x", "y"), col("g"), col("x"), col("y"))
+      .orderBy("g")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+
+  test("perfect line y = 2x + 1: slope 2, intercept 1, r = r2 = 1") {
+    val out = run(Seq(("a", 1L, 3L), ("a", 2L, 5L), ("a", 3L, 7L), ("a", 10L, 21L)))
+    assert(out === Seq(("a", 4L, Some(2.0), Some(1.0), Some(1.0), Some(1.0))))
+  }
+
+  test("perfect negative line: r = -1") {
+    val out = run(Seq(("a", 0L, 10L), ("a", 1L, 8L), ("a", 2L, 6L)))
+    assert(out === Seq(("a", 3L, Some(-2.0), Some(10.0), Some(-1.0), Some(1.0))))
+  }
+
+  test("degenerate groups: n=1 and constant-x yield nulls, constant-y zero slope") {
+    val out = run(Seq(
+      ("single", 5L, 7L),
+      ("constx", 3L, 1L), ("constx", 3L, 9L),
+      ("consty", 1L, 4L), ("consty", 6L, 4L)))
+    val m = out.map(r => r._1 -> r).toMap
+    assert(m("single") === ("single", 1L, None, None, None, None))
+    assert(m("constx") === ("constx", 2L, None, None, None, None))
+    // flat y: slope and covariance are exactly 0, but Pearson r is 0/0 → null
+    assert(m("consty") === ("consty", 2L, Some(0.0), Some(4.0), None, None))
+  }
+
+  test("hand-computed scatter matches the closed form to 4 dp") {
+    // points (1,2),(2,2),(3,4): n=3 Σx=6 Σy=8 Σxy=18 Σx²=14 Σy²=24
+    // covN=54-48=6, varxN=42-36=6, varyN=72-64=8 → slope=1, intercept=2/3,
+    // r=6/√48≈0.8660, r²=36/48=0.75
+    val out = run(Seq(("a", 1L, 2L), ("a", 2L, 2L), ("a", 3L, 4L)))
+    assert(out === Seq(("a", 3L, Some(1.0), Some(0.6667), Some(0.8660), Some(0.75))))
+  }
+
+  test("result is partition-layout invariant (exact sums)") {
+    val rows = Seq.tabulate(500)(i => ("g", (i % 37).toLong, ((i * 7) % 101).toLong))
+    val one = StatOps.bivariateStats(rows.toDF("g", "x", "y").repartition(1),
+      col("g"), col("x"), col("y")).collect().head
+    val many = StatOps.bivariateStats(rows.toDF("g", "x", "y").repartition(13),
+      col("g"), col("x"), col("y")).collect().head
+    assert(one === many)
+  }
+
+  test("plan: one hash aggregate exchange with map-side partials") {
+    val df = Seq(("a", 1L, 2L)).toDF("g", "x", "y")
+    val plan = StatOps.bivariateStats(df, col("g"), col("x"), col("y"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+  }
+}
