@@ -770,6 +770,37 @@ object SparkEntry {
       rowRules.unionByName(uniq).unionByName(fk).orderBy("rule")
     }),
 
+    // ---- distribution / ordering / sampling primitives ----
+    // Equi-width price histogram ($50k bins over integer cents): binning
+    // is exact integer math, the share window runs over the bounded bin
+    // table only.
+    "price_histogram" -> ((s, d) =>
+      StatOps.histogram(Tables.orders(s, d),
+        CoreOps.moneyCents(col("o_totalprice")), binWidth = 5000000L)
+        .orderBy("bin")),
+    // Global top-k WITHOUT a global sort: orderBy+limit compiles to
+    // TakeOrderedAndProject (per-partition heap top-k, merged on one
+    // reducer) — the only scale-sane way to rank a 100 TB fact table.
+    // PlanSpec pins the operator and the absence of a range exchange.
+    "global_topk" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          CoreOps.moneyCents(col("o_totalprice")).cast("long").as("price_cents"))
+        .orderBy(col("price_cents").desc, col("o_orderkey").asc)
+        .limit(100)),
+    // Quality-weighted corpus sampling: inclusion probability clamped to
+    // [0.05, 0.95] and proportional to document length (the stand-in
+    // quality signal with an exact cross-engine value, n_chars). The md5
+    // draw makes the sample content-addressed — rerunnable anywhere,
+    // supersets under upweighting.
+    "weighted_sample" -> ((s, d) => {
+      val w = greatest(lit(0.05), least(lit(0.95),
+        col("n_chars").cast("double") / lit(2000.0)))
+      CorpusOps.weightedSample(Tables.documents(s, d), "doc_id", w)
+        .select(col("doc_id"), CoreOps.rnd(w).as("keep_prob"))
+        .orderBy("doc_id")
+    }),
+
     // ---- event-sequence transition matrix (EventAnalytics) ----
     // First-order Markov counts over per-user event sequences; prob is
     // exact-count division rounded 4 dp. Ordering totalized by
@@ -1810,6 +1841,25 @@ object SparkEntry {
         |       (SELECT c_custkey FROM customer WHERE c_acctbal > 0)),
         |    (SELECT CAST(count(*) AS BIGINT) FROM orders)
         |) ORDER BY rule""".stripMargin,
+    "price_histogram" ->
+      """WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |g AS (SELECT cents // 5000000 AS bin, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1)
+        |SELECT bin, bin * 5000000 AS bin_lo, n,
+        |  floor((CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE)) * 10000 + 0.5) / 10000 AS share
+        |FROM g ORDER BY bin""".stripMargin,
+    "global_topk" ->
+      """SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        |FROM orders ORDER BY price_cents DESC, o_orderkey LIMIT 100""".stripMargin,
+    "weighted_sample" ->
+      """WITH b AS (SELECT doc_id,
+        |    list_reduce(list_transform(range(1, 9),
+        |      i -> (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT),
+        |      (a, x) -> a * 16 + x) % 1000000 AS bucket,
+        |    greatest(0.05::DOUBLE, least(0.95::DOUBLE, CAST(n_chars AS DOUBLE) / 2000.0)) AS w
+        |  FROM documents)
+        |SELECT doc_id, floor(w * 10000 + 0.5) / 10000 AS keep_prob
+        |FROM b WHERE bucket < CAST(floor(w * 1000000.0) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
     "event_transitions" ->
       """WITH p AS (SELECT event_type AS from_type,
         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type

@@ -63,6 +63,19 @@ object CorpusOps {
       < math.round(fraction * buckets))
   }
 
+  /** Per-row weighted (importance) sampling: keep a row with probability
+    * `weight` (a [0,1] Column — e.g. a quality score), quantized to
+    * 1/buckets. Same md5 bucket space as [[deterministicSample]], so the
+    * draw is content-addressed: reproducible across runs, engines, and
+    * partitionings, and monotone in the weight (raising a row's weight can
+    * only add it to the sample, never evict it — upweighting experiments
+    * stay supersets). Map-only; no RNG, no seed plumbing, no shuffle.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column,
+                     buckets: Int = 1000000): DataFrame =
+    df.where(splitBucket(col(keyCol), buckets) <
+      floor(weight * lit(buckets.toDouble)).cast("long"))
+
   /** Greedy sequential context-window packing: documents are laid out in
     * `idCol` order within each shard, and each lands at byte-offset-style
     * token position `cum - n_tokens`; `pack_id` is that position divided

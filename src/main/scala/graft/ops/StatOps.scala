@@ -68,4 +68,27 @@ object StatOps {
       when(undef || varyN <= 0.0, lit(null).cast("double"))
         .otherwise(CoreOps.rnd(covN * covN / (varxN * varyN))).as("r2"))
   }
+
+  /** Equi-width histogram of an integer-valued column: (bin, bin_lo, n,
+    * share). Binning is pure integer arithmetic — `(v − v mod w) / w` is an
+    * exact multiple divided by its width, so the double division is exact
+    * and every engine lands rows in the same bin, negatives included
+    * (pmod keeps the remainder non-negative, so the bin is the floor).
+    *
+    * Shape: one hash aggregate on the bin key (map-side partials), then
+    * the share window runs over the BOUNDED bin table (≤ range/width
+    * rows), so the empty partitionBy is a constant-size single task, not
+    * a global shuffle of input rows.
+    */
+  def histogram(df: DataFrame, value: Column, binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth=$binWidth must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val v = value.cast("long")
+    val bin = ((v - pmod(v, lit(binWidth))) / lit(binWidth)).cast("long")
+    df.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"), (col("bin") * lit(binWidth)).as("bin_lo"), col("n"),
+        CoreOps.rnd(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy()).cast("double")).as("share"))
+  }
 }

@@ -347,4 +347,19 @@ class PlanSpec extends SparkTestBase {
     assert(exchBlocks.forall(!_.contains("text#")),
       s"raw text shipped through a digest exchange:\n${exchBlocks.mkString("\n\n")}")
   }
+
+  test("global_topk: TakeOrderedAndProject, never a global range sort") {
+    val plan = executedSimple(SparkEntry.queries("global_topk")(spark, sf))
+    // orderBy+limit must compile to per-partition heap top-k (a 100 TB
+    // table can never be range-shuffled just to read off 100 rows)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("rangepartitioning"), plan)
+  }
+
+  test("weighted sample is map-only: md5 draw filters at the scan, no exchange") {
+    val docs = Tables.documents(spark, sf)
+    val plan = executedSimple(CorpusOps.weightedSample(docs, "doc_id",
+      least(lit(0.9), col("n_chars").cast("double") / 2000.0)))
+    assert(!plan.contains("Exchange"), plan)
+  }
 }

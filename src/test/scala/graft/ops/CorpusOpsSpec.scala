@@ -47,6 +47,26 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(s30.select("doc_id").except(again.select("doc_id")).count() == 0)
   }
 
+  test("weightedSample: boundary weights, ~proportional inclusion, monotone in weight") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sfTest)
+    val n = docs.count()
+    // weight 1 keeps everything, weight 0 keeps nothing
+    assert(CorpusOps.weightedSample(docs, "doc_id", lit(1.0)).count() === n)
+    assert(CorpusOps.weightedSample(docs, "doc_id", lit(0.0)).count() === 0L)
+    // uniform weight w ≈ fraction w of the corpus (md5 is uniform)
+    val half = CorpusOps.weightedSample(docs, "doc_id", lit(0.5)).count()
+    assert(math.abs(half - n / 2.0) < n * 0.15, s"$half of $n at w=0.5")
+    // monotone per row: a row kept at its own weight stays kept at a
+    // higher weight — the low-weight sample is a subset of the high
+    val lo = CorpusOps.weightedSample(docs, "doc_id",
+      least(lit(0.9), col("n_chars").cast("double") / 4000.0))
+    val hi = CorpusOps.weightedSample(docs, "doc_id",
+      least(lit(0.9), col("n_chars").cast("double") / 2000.0))
+    assert(lo.join(hi, Seq("doc_id"), "left_anti").count() === 0L)
+    assert(lo.count() < hi.count())
+  }
+
   test("packSequences: offsets are cumulative within shard, packs chunk at the budget") {
     val df = Seq(
       (1L, "en", 100L), (2L, "en", 300L), (3L, "en", 200L), (4L, "en", 50L),

@@ -57,4 +57,21 @@ class StatOpsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
   }
+
+  test("histogram: exact integer binning, negatives floor, shares sum to one") {
+    val df = (Seq(-5L, -1L) ++ (0L until 20L) ++ Seq(25L, 29L)).toDF("v")
+    val out = StatOps.histogram(df, col("v"), binWidth = 10L)
+      .orderBy("bin").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      (-1L, -10L, 2L), (0L, 0L, 10L), (1L, 10L, 10L), (2L, 20L, 2L)).map {
+      case (b, lo, n) => (b, lo, n, math.floor(n / 24.0 * 10000 + 0.5) / 10000)
+    })
+    assert(math.abs(out.map(_._4).sum - 1.0) < 0.001)
+  }
+
+  test("histogram: boundary values land in the upper bin (half-open [lo, hi))") {
+    val out = StatOps.histogram(Seq(10L, 20L).toDF("v"), col("v"), 10L)
+      .orderBy("bin").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._3)) === Seq((1L, 1L), (2L, 1L)))
+  }
 }
