@@ -1765,9 +1765,11 @@ object SparkEntry {
         |  (SELECT count(*) FROM a ANTI JOIN b USING (gram)) AS diff_exact,
         |  TRUE AS inter_ok, TRUE AS union_ok, TRUE AS diff_ok""".stripMargin,
     "approx_topk_events" ->
-      """SELECT event_type AS item, count(*) AS est_count,
-        |  CAST(row_number() OVER (ORDER BY count(*) DESC, event_type) AS BIGINT) AS rnk
-        |FROM events GROUP BY event_type ORDER BY rnk""".stripMargin,
+      """SELECT item, est_count, rnk FROM (
+        |  SELECT event_type AS item, count(*) AS est_count,
+        |    CAST(row_number() OVER (ORDER BY count(*) DESC, event_type) AS BIGINT) AS rnk
+        |  FROM events GROUP BY event_type)
+        |WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
     "kll_rollup_orders" ->
       """SELECT o_orderpriority AS dim, count(*) AS n_exact,
         |  list_sort(list(__cents))[GREATEST(1, CAST(ceil(0.5 * count(*)) AS BIGINT))] AS p50_cents,
@@ -1787,9 +1789,10 @@ object SparkEntry {
         |FROM r WHERE rn = 1 AND NOT del ORDER BY 1""".stripMargin,
     "scd2_history" ->
       """WITH s AS (SELECT o_custkey, o_orderdate AS ts, o_orderkey AS id, o_orderstatus AS st,
-        |    lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+        |    lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
         |  FROM orders),
-        |c AS (SELECT o_custkey, ts, id, st FROM s WHERE prev IS NULL OR st IS DISTINCT FROM prev)
+        |c AS (SELECT o_custkey, ts, id, st FROM s WHERE rn = 1 OR st IS DISTINCT FROM prev)
         |SELECT o_custkey, st AS o_orderstatus, id AS change_id, ts AS effective_from,
         |  lead(ts) OVER (PARTITION BY o_custkey ORDER BY ts, id) AS effective_to,
         |  (lead(ts) OVER (PARTITION BY o_custkey ORDER BY ts, id) IS NULL) AS is_current
@@ -1843,7 +1846,8 @@ object SparkEntry {
         |) ORDER BY rule""".stripMargin,
     "price_histogram" ->
       """WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
-        |g AS (SELECT cents // 5000000 AS bin, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1)
+        |g AS (SELECT (cents - ((cents % 5000000 + 5000000) % 5000000)) // 5000000 AS bin,
+        |    CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1)
         |SELECT bin, bin * 5000000 AS bin_lo, n,
         |  floor((CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE)) * 10000 + 0.5) / 10000 AS share
         |FROM g ORDER BY bin""".stripMargin,

@@ -41,7 +41,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // subset runs dump only the selected oracles, so oracle_check.py sees
+    // a consistent (results, oracle) pair instead of FAILing every
+    // unselected query as "no result parquet"
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

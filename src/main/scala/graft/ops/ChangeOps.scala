@@ -44,7 +44,10 @@ object ChangeOps {
       .withColumn("__v", lit(null).cast("long"))
       .withColumn("__del", lit(false))
     val c = changes
-      .withColumn("__v", version.cast("long"))
+      // null change versions pin to MinValue so "any change beats base"
+      // holds deterministically (a bare null would tie with base's null
+      // under desc_nulls_last and leave the winner to chance)
+      .withColumn("__v", coalesce(version.cast("long"), lit(Long.MinValue)))
       .withColumn("__del", deleteFlag)
       .select((cols :+ "__v" :+ "__del").map(col): _*)
     // nulls_first on the DESC version puts base (__v null → asc_nulls_first

@@ -23,9 +23,12 @@ object DqOps {
     */
   def expectations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "expectations needs at least one rule")
+    // coalesce each sum: on an EMPTY batch the report must read 0
+    // violations of 0 rows, not NULL — callers gate on violations == 0
     val aggs = count(lit(1)).as("__total") +:
       rules.zipWithIndex.map { case ((_, pred), i) =>
-        sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__v$i")
+        coalesce(sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)), lit(0L))
+          .as(s"__v$i")
       }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = lit(rules.size) +: rules.zipWithIndex.flatMap {
@@ -43,8 +46,10 @@ object DqOps {
     */
   def uniqueness(df: DataFrame, keys: Seq[String], rule: String): DataFrame =
     df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__c"))
-      .agg(sum(when(col("__c") > 1L, col("__c")).otherwise(0L)).as("violations"),
-        sum(col("__c")).as("total"))
+      .agg(
+        coalesce(sum(when(col("__c") > 1L, col("__c")).otherwise(0L)), lit(0L))
+          .as("violations"),
+        coalesce(sum(col("__c")), lit(0L)).as("total"))
       .select(lit(rule).as("rule"),
         col("violations").cast("long").as("violations"),
         col("total").cast("long").as("total"))

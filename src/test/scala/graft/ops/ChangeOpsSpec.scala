@@ -29,6 +29,15 @@ class ChangeOpsSpec extends SparkTestBase {
     assert(out.as[(Long, String)].collect().toSeq === Seq((1L, "new")))
   }
 
+  test("applyChanges: a NULL-version change still deterministically beats base") {
+    val base = Seq((1L, "old")).toDF("k", "v")
+    val changes = Seq((1L, "new", Option.empty[Long], false))
+      .toDF("k", "v", "ver", "dead")
+    val out = ChangeOps.applyChanges(base, changes, Seq("k"),
+      col("ver"), col("dead")).as[(Long, String)].collect().toSeq
+    assert(out === Seq((1L, "new")))
+  }
+
   test("applyChanges plan: single key exchange, top-1 pushed to WindowGroupLimit") {
     val base = Seq((1L, "a")).toDF("k", "v")
     val changes = Seq((1L, "b", 1L, false)).toDF("k", "v", "ver", "dead")

@@ -46,6 +46,16 @@ class DqOpsSpec extends SparkTestBase {
     assert(out === ("fk_check", 1L, 4L))
   }
 
+  test("empty batch: zero violations of zero rows, never NULL") {
+    val empty = Seq.empty[(Long, String)].toDF("x", "y")
+    val rr = DqOps.expectations(empty, Seq("r" -> (col("x") > 0L)))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(rr === Seq(("r", 0L, 0L)))
+    val u = DqOps.uniqueness(empty, Seq("x"), "u")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(u === Seq(("u", 0L, 0L)))
+  }
+
   test("the three report shapes union into one schema") {
     val df = Seq((1L, 1L)).toDF("a", "b")
     val r = DqOps.expectations(df, Seq("r" -> (col("a") > 0L)))

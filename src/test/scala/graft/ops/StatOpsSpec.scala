@@ -74,4 +74,11 @@ class StatOpsSpec extends SparkTestBase {
       .orderBy("bin").as[(Long, Long, Long, Double)].collect().toSeq
     assert(out.map(r => (r._1, r._3)) === Seq((1L, 1L), (2L, 1L)))
   }
+
+  test("histogram: integral division stays exact past 2^53 (float div would misbin)") {
+    val v = (1L << 53) + 3L  // not representable in double; float path binned
+    val out = StatOps.histogram(Seq(v).toDF("v"), col("v"), 3L)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(out._1 === v / 3L && out._2 === (v / 3L) * 3L)
+  }
 }
