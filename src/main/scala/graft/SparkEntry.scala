@@ -801,6 +801,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Relational melt (UNPIVOT) — the inverse reshape of pivot_events:
+    // wide per-(week, dim) metrics to long (metric, value) rows via the
+    // native Dataset.unpivot (one generate, no join, no shuffle beyond
+    // the feeding aggregate).
+    "melt_weekly_metrics" -> ((s, d) => {
+      val wide = Tables.orders(s, d)
+        .groupBy(CoreOps.weekStart(col("o_orderdate")).as("week"),
+          col("o_orderpriority").as("dim"))
+        .agg(count(lit(1)).as("transactions"),
+          count_distinct(col("o_custkey")).as("customers"))
+      wide.unpivot(Array(col("week"), col("dim")),
+        Array(col("transactions"), col("customers")), "metric", "value")
+        .orderBy("week", "dim", "metric")
+    }),
+
     // ---- event-sequence transition matrix (EventAnalytics) ----
     // First-order Markov counts over per-user event sequences; prob is
     // exact-count division rounded 4 dp. Ordering totalized by
@@ -1321,6 +1336,25 @@ object SparkEntry {
       Sessionize.sessionize(Tables.events(s, d), "user_id", "ts", "event_id",
         gapMs = 1800000L)
         .orderBy("user_id", "session_id")),
+    // Point-in-interval join at scale: assign every event to the session
+    // interval that contains it via (key, time-cell) bucketing — the
+    // hash-joinable form of `ON ts BETWEEN t_start AND t_end`. Sessions
+    // derive from the same events, so the result doubles as a consistency
+    // proof: exactly one matching interval per event (gap-separated
+    // intervals can't overlap), and the oracle recomputes the naive
+    // BETWEEN join.
+    "interval_join_sessions" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val sess = Sessionize.sessionize(e, "user_id", "ts", "event_id",
+        gapMs = 1800000L)
+        .select(col("user_id").as("s_user"), col("session_id"),
+          col("t_start"), col("t_end"))
+      RangeJoin.pointInIntervalJoin(
+        e.select("user_id", "ts", "event_id"), "user_id", "ts",
+        sess, "s_user", "t_start", "t_end", cellMs = 3600000L)
+        .select(col("event_id"), col("user_id"), col("session_id"))
+        .orderBy("event_id")
+    }),
 
     // ---- streaming tier (SURVEY §2.G): graded batch-equivalence ----
     // The flagship stateful operator, graded: gap-closed sessions emitted
@@ -1864,6 +1898,14 @@ object SparkEntry {
         |SELECT doc_id, floor(w * 10000 + 0.5) / 10000 AS keep_prob
         |FROM b WHERE bucket < CAST(floor(w * 1000000.0) AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
+    "melt_weekly_metrics" ->
+      """WITH w AS (SELECT date_trunc('week', o_orderdate) AS week, o_orderpriority AS dim,
+        |    CAST(count(*) AS BIGINT) AS transactions,
+        |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS customers
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT week, dim, 'transactions' AS metric, transactions AS value FROM w
+        |UNION ALL SELECT week, dim, 'customers', customers FROM w
+        |ORDER BY week, dim, metric""".stripMargin,
     "event_transitions" ->
       """WITH p AS (SELECT event_type AS from_type,
         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
@@ -2542,6 +2584,24 @@ object SparkEntry {
         |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
         |  min(ts) AS t_start, max(ts) AS t_end
         |FROM g GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+    "interval_join_sessions" ->
+      """WITH s AS (SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |f AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN prev IS NULL OR epoch_ms(ts) - epoch_ms(prev) > 1800000
+        |         THEN 1 ELSE 0 END AS newf
+        |  FROM s),
+        |g AS (SELECT user_id, ts, event_id,
+        |    CAST(sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM f),
+        |sess AS (SELECT user_id AS s_user, session_id,
+        |    min(ts) AS t_start, max(ts) AS t_end FROM g GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, sess.session_id
+        |FROM events e JOIN sess
+        |  ON e.user_id = sess.s_user AND e.ts BETWEEN sess.t_start AND sess.t_end
+        |ORDER BY e.event_id""".stripMargin,
     // Stream/batch agreement: the batch sessionize computation restricted
     // to sessions the final watermark (epoch_ms(max ts) − 1 h) closed —
     // end + gap at-or-before the watermark, the inclusive boundary the

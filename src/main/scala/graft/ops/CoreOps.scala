@@ -103,4 +103,17 @@ object CoreOps {
     * between `weekly_agg_orders` and the densified pipeline reusing it.
     */
   def moneyCents(c: Column): Column = floor(c * 100 + 0.5)
+
+  /** Exact integral division of a long column (the SQL `div` operator via
+    * a native Catalyst expression). The `/` Column operator divides in
+    * DOUBLE, which silently misbins magnitudes past 2^53 — every bucketing
+    * op (histogram bins, time cells, pack offsets) must divide through
+    * here instead. Truncates toward zero like SQL `div`; pair with `pmod`
+    * when floor semantics on negatives are needed.
+    */
+  def integralDiv(v: Column, divisor: Long): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge.{column, expression}
+    column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      expression(v.cast("long")), expression(lit(divisor))))
+  }
 }

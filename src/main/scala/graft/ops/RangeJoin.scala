@@ -36,4 +36,37 @@ object RangeJoin {
         <= toleranceMs)
       .select("k", "l_id", "r_id")
   }
+
+  /** Keyed point-in-interval join: each point row pairs with every
+    * interval row of the same key whose CLOSED interval [start, end]
+    * contains the point's timestamp.
+    *
+    * The scalable formulation of `ON p.ts BETWEEN i.start AND i.end` —
+    * which Spark would otherwise execute as a per-key nested loop (range
+    * conditions can't hash). Intervals explode into the `cellMs` time
+    * cells they span (duration/cellMs + 1 rows — size `cellMs` to the
+    * typical interval length); a point maps to exactly ONE cell, so a
+    * qualifying (point, interval) pair meets in exactly that cell and
+    * containment needs no dedup pass. One (key, cell) equi-exchange per
+    * side, work ∝ cell occupancy.
+    *
+    * Column names of the two frames must be disjoint (rename the interval
+    * side's key) — this also sidesteps self-join attribute ambiguity when
+    * the intervals derive from the points (the session-assignment use).
+    */
+  def pointInIntervalJoin(points: DataFrame, pKey: String, pTs: String,
+                          intervals: DataFrame, iKey: String,
+                          startCol: String, endCol: String,
+                          cellMs: Long): DataFrame = {
+    require(points.columns.toSet.intersect(intervals.columns.toSet).isEmpty,
+      "points and intervals must have disjoint column names")
+    val pc = points.withColumn("__pcell",
+      expr(s"unix_millis($pTs) div $cellMs"))
+    val ic = intervals.withColumn("__icell", explode(sequence(
+      expr(s"unix_millis($startCol) div $cellMs"),
+      expr(s"unix_millis($endCol) div $cellMs"))))
+    pc.join(ic, col(pKey) === col(iKey) && col("__pcell") === col("__icell"))
+      .where(col(pTs) >= col(startCol) && col(pTs) <= col(endCol))
+      .drop("__pcell", "__icell")
+  }
 }

@@ -83,14 +83,12 @@ object StatOps {
   def histogram(df: DataFrame, value: Column, binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth=$binWidth must be positive")
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.GraftExpressionBridge.{column, expression}
     val v = value.cast("long")
     // (v − v mod w) is an exact multiple of w; divide it with INTEGRAL
-    // division (the `div` operator) — a float division would misbin past
-    // 2^53 (same hazard packSequences documents for its offsets)
-    val exactMultiple = v - pmod(v, lit(binWidth))
-    val bin = column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-      expression(exactMultiple), expression(lit(binWidth))))
+    // division — a float division would misbin past 2^53 (same hazard
+    // packSequences documents for its offsets). pmod makes the multiple a
+    // floor multiple, so negatives bin into [lo, hi) like positives.
+    val bin = CoreOps.integralDiv(v - pmod(v, lit(binWidth)), binWidth)
     df.groupBy(bin.as("bin"))
       .agg(count(lit(1)).as("n"))
       .select(col("bin"), (col("bin") * lit(binWidth)).as("bin_lo"), col("n"),
