@@ -801,6 +801,60 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Two-phase Pareto frontier over orders: "record" orders no other
+    // order beats on both price (higher) and date (earlier). $10k-cent
+    // buckets prune at the scan via a broadcast bucket digest; the exact
+    // pass runs over the frontier-sized survivor set only (Skyline.scala).
+    "skyline_orders" -> ((s, d) =>
+      Skyline.skyline2d(
+        Tables.orders(s, d).select(col("o_orderkey"),
+          CoreOps.moneyCents(col("o_totalprice")).cast("long").as("price_cents"),
+          col("o_orderdate").cast("date").as("o_orderdate")),
+        maxv = col("price_cents"),
+        minv = datediff(col("o_orderdate"), lit("1970-01-01").cast("date")),
+        bucketWidth = 1000000L)
+        .orderBy(col("price_cents").desc, col("o_orderdate").asc,
+          col("o_orderkey").asc)),
+
+    // Gaps-and-islands: maximal runs of consecutive order-weeks per
+    // customer (EventAnalytics.weeklyStreaks — the rank-difference anchor
+    // trick, all stages keyed on the customer).
+    "streaks_customer" -> ((s, d) =>
+      EventAnalytics.weeklyStreaks(Tables.orders(s, d), "o_custkey",
+        "o_orderdate")
+        .orderBy("key", "streak_start")),
+
+    // One-scan column profile of orders: non-null / null / exact-distinct
+    // counts per governed column via a single Expand-fed aggregate. The
+    // orders fixture is fully dense, so nulls grade as exact zeros here;
+    // the null-accounting branch is pinned with synthetic nulls in
+    // ExtensionOpsSpec.
+    "column_profile" -> ((s, d) =>
+      DqOps.columnProfile(Tables.orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy("col_name")),
+
+    // k-anonymity audit of customer quasi-identifiers (nation, segment,
+    // $2000 account-balance band): every equivalence class with its size
+    // and the k<3 re-identification flag. Exact integer binning — cents
+    // mod arithmetic, same idiom as price_histogram.
+    "k_anonymity" -> ((s, d) => {
+      val cents = CoreOps.moneyCents(col("c_acctbal")).cast("long")
+      val band = CoreOps.integralDiv(cents - pmod(cents, lit(200000L)), 200000L)
+      DqOps.kAnonymity(
+        Tables.customer(s, d).select(col("c_nationkey"), col("c_mktsegment"),
+          band.as("bal_band")),
+        Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 3L)
+        .orderBy("c_nationkey", "c_mktsegment", "bal_band")
+    }),
+
+    // Benford first-digit screen over order totals (integer cents): digit
+    // extracted lexically so both engines agree exactly; 9-row output.
+    "benford_digits" -> ((s, d) =>
+      StatOps.benfordDigits(Tables.orders(s, d),
+        CoreOps.moneyCents(col("o_totalprice")))
+        .orderBy("digit")),
+
     // Relational melt (UNPIVOT) — the inverse reshape of pivot_events:
     // wide per-(week, dim) metrics to long (metric, value) rows via the
     // native Dataset.unpivot (one generate, no join, no shuffle beyond
@@ -1898,6 +1952,52 @@ object SparkEntry {
         |SELECT doc_id, floor(w * 10000 + 0.5) / 10000 AS keep_prob
         |FROM b WHERE bucket < CAST(floor(w * 1000000.0) AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
+    "skyline_orders" ->
+      """WITH t AS (SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+        |    CAST(o_orderdate AS DATE) AS o_orderdate FROM orders)
+        |SELECT o_orderkey, price_cents, o_orderdate FROM t a
+        |WHERE NOT EXISTS (SELECT 1 FROM t b
+        |  WHERE b.price_cents >= a.price_cents AND b.o_orderdate <= a.o_orderdate
+        |    AND (b.price_cents > a.price_cents OR b.o_orderdate < a.o_orderdate))
+        |ORDER BY price_cents DESC, o_orderdate, o_orderkey""".stripMargin,
+    "streaks_customer" ->
+      """WITH wk AS (SELECT DISTINCT o_custkey AS key,
+        |    CAST(date_trunc('week', o_orderdate) AS DATE) AS week FROM orders),
+        |r AS (SELECT key, week,
+        |    row_number() OVER (PARTITION BY key ORDER BY week) AS rn FROM wk)
+        |SELECT key, min(week) AS streak_start, max(week) AS streak_end,
+        |  CAST(count(*) AS BIGINT) AS weeks
+        |FROM r GROUP BY key, week - CAST(rn * 7 AS INTEGER)
+        |ORDER BY key, streak_start""".stripMargin,
+    "column_profile" ->
+      """WITH s AS (SELECT CAST(count(*) AS BIGINT) AS total,
+        |    CAST(count(o_orderkey) AS BIGINT) AS nn1, CAST(count(DISTINCT o_orderkey) AS BIGINT) AS d1,
+        |    CAST(count(o_custkey) AS BIGINT) AS nn2, CAST(count(DISTINCT o_custkey) AS BIGINT) AS d2,
+        |    CAST(count(o_orderstatus) AS BIGINT) AS nn3, CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS d3,
+        |    CAST(count(o_orderpriority) AS BIGINT) AS nn4, CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS d4
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'o_orderkey' AS col_name, nn1 AS non_null, total - nn1 AS nulls, d1 AS n_distinct FROM s
+        |  UNION ALL SELECT 'o_custkey', nn2, total - nn2, d2 FROM s
+        |  UNION ALL SELECT 'o_orderstatus', nn3, total - nn3, d3 FROM s
+        |  UNION ALL SELECT 'o_orderpriority', nn4, total - nn4, d4 FROM s
+        |) ORDER BY col_name""".stripMargin,
+    "k_anonymity" ->
+      """WITH b AS (SELECT c_nationkey, c_mktsegment,
+        |    (cents - ((cents % 200000 + 200000) % 200000)) // 200000 AS bal_band
+        |  FROM (SELECT *, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+        |        FROM customer))
+        |SELECT c_nationkey, c_mktsegment, bal_band,
+        |  CAST(count(*) AS BIGINT) AS class_size, count(*) < 3 AS at_risk
+        |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "benford_digits" ->
+      """WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v FROM orders),
+        |g AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+        |    CAST(count(*) AS BIGINT) AS n FROM c WHERE v > 0 GROUP BY 1)
+        |SELECT digit, n,
+        |  floor((CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE)) * 10000 + 0.5) / 10000 AS share
+        |FROM g ORDER BY digit""".stripMargin,
     "melt_weekly_metrics" ->
       """WITH w AS (SELECT date_trunc('week', o_orderdate) AS week, o_orderpriority AS dim,
         |    CAST(count(*) AS BIGINT) AS transactions,

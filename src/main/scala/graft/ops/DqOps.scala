@@ -71,4 +71,44 @@ object DqOps {
     bad.crossJoin(total)
       .select(lit(rule).as("rule"), col("violations"), col("total"))
   }
+
+  /** Per-column profile in ONE scan: (column, non_null, nulls, distinct)
+    * for each named column — the "describe this table before you train on
+    * it" report. Exact distincts, not approximate: with k columns Spark
+    * plans one Expand (k+1 projections) feeding a single hash aggregate,
+    * so the cost is k passes' worth of rows through ONE shuffle, not k
+    * jobs. Bound k (profile the columns you govern, not SELECT *) — for
+    * hundreds of columns switch the distinct to approx_count_distinct and
+    * keep the same report shape.
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnProfile needs at least one column")
+    val aggs = count(lit(1)).as("__total") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        count_distinct(col(c)).as(s"__d_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = lit(cols.size) +: cols.flatMap { c =>
+      Seq(lit(c), col(s"__nn_$c"), col(s"__d_$c"))
+    }
+    one.select(stack(stackArgs: _*).as(Seq("col_name", "non_null", "n_distinct")),
+      (col("__total") - col("non_null")).as("nulls"))
+      .select("col_name", "non_null", "nulls", "n_distinct")
+  }
+
+  /** k-anonymity audit over a quasi-identifier tuple: every equivalence
+    * class with its size and whether it re-identifies below the `k`
+    * threshold. Null quasi-identifier values form classes like any other
+    * value (GROUP BY semantics) — an absent attribute still narrows a
+    * linkage attack. One keys-only hash aggregate with map-side partials;
+    * the class table is bounded by the quasi-identifier domain product,
+    * not the row count.
+    */
+  def kAnonymity(df: DataFrame, quasi: Seq[String], k: Long): DataFrame = {
+    require(quasi.nonEmpty, "kAnonymity needs at least one quasi-identifier")
+    require(k >= 2, s"k=$k: below 2 every class trivially passes")
+    df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("at_risk", col("class_size") < k)
+  }
 }

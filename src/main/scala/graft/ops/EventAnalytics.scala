@@ -104,4 +104,35 @@ object EventAnalytics {
       col("n").cast("double") /
         sum(col("n")).over(Window.partitionBy(col("from_type"))).cast("double")))
   }
+
+  /** Gaps-and-islands: maximal runs of CONSECUTIVE Monday-start active
+    * weeks per key. The classic trick — rank each key's distinct active
+    * weeks, subtract `7·rank` days from each; consecutive weeks collapse to
+    * one constant anchor date, so a plain group-by recovers the islands.
+    * Returns (key, streak_start, streak_end, weeks) — `weeks` is the run
+    * length; singleton weeks are 1-row streaks.
+    *
+    * Shape: three stages all keyed on the entity — the distinct-week
+    * aggregate shuffles (key, week) once, the rank window repartitions on
+    * key alone, and the island group-by hashes (key, anchor) over rows
+    * already local to their key's partition. Group cardinality is bounded
+    * by active (key, week) pairs — weeks-per-key, not events-per-key, so a
+    * hot key contributes its calendar span, not its event volume.
+    */
+  def weeklyStreaks(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val weeks = df
+      .select(col(keyCol).as("key"),
+        CoreOps.weekStart(col(tsCol)).cast("date").as("week"))
+      .where(col("week").isNotNull)
+      .distinct()
+    val rn = row_number().over(
+      Window.partitionBy(col("key")).orderBy(col("week").asc))
+    weeks
+      .withColumn("anchor", date_sub(col("week"), rn * 7))
+      .groupBy(col("key"), col("anchor"))
+      .agg(min(col("week")).as("streak_start"),
+        max(col("week")).as("streak_end"),
+        count(lit(1)).as("weeks"))
+      .drop("anchor")
+  }
 }

@@ -95,4 +95,26 @@ object StatOps {
         CoreOps.rnd(col("n").cast("double") /
           sum(col("n")).over(Window.partitionBy()).cast("double")).as("share"))
   }
+
+  /** First-significant-digit distribution (the Benford's-law fraud /
+    * data-fabrication screen): (digit, n, share) over the positive values
+    * of an integer-valued column. The digit is extracted lexically —
+    * `substr(cast(v AS string), 1, 1)` — pure integer/string ops, so every
+    * engine agrees exactly (a log10-based extraction would hinge on
+    * transcendental rounding). Non-positive values carry no leading
+    * significant digit and are excluded.
+    *
+    * Shape: map-side partial counts into a 9-group hash aggregate; the
+    * share window runs over the 9-row digit table only.
+    */
+  def benfordDigits(df: DataFrame, value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = value.cast("long")
+    df.where(v > 0L)
+      .groupBy(substring(v.cast("string"), 1, 1).cast("int").as("digit"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("digit"), col("n"),
+        CoreOps.rnd(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy()).cast("double")).as("share"))
+  }
 }

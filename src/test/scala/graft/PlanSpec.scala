@@ -362,4 +362,28 @@ class PlanSpec extends SparkTestBase {
       least(lit(0.9), col("n_chars").cast("double") / 2000.0)))
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("skyline: bucket digest broadcasts into the prune, no cartesian, no fact sort") {
+    val plan = executedSimple(SparkEntry.queries("skyline_orders")(spark, sf))
+    // phase 1 joins the tiny cumulative bucket table by broadcast — the
+    // fact side must not sort-merge or cartesian against it
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("columnProfile: one Expand feeds one aggregate — no per-column scans") {
+    val plan = executedSimple(SparkEntry.queries("column_profile")(spark, sf))
+    assert("Expand".r.findAllIn(plan).size === 1, plan)
+    assert("Scan ".r.findAllIn(plan).size === 1, plan)
+  }
+
+  test("weeklyStreaks: distinct, rank, and island stages stay on the key exchanges") {
+    val plan = executedSimple(SparkEntry.queries("streaks_customer")(spark, sf))
+    // (key,week) distinct + key-only window + final sort: the island
+    // group-by must NOT add a fourth fact-scale exchange (its input is
+    // already keyed); allow the bounded output sort
+    assert("Exchange".r.findAllIn(plan).size <= 4, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

@@ -56,6 +56,39 @@ class DqOpsSpec extends SparkTestBase {
     assert(u === Seq(("u", 0L, 0L)))
   }
 
+  test("columnProfile: null, non-null, and exact distinct per column in one scan") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(1L), Some("b")), (Some(2L), None), (None, Some("a"))
+    ).toDF("num", "tag")
+    val out = DqOps.columnProfile(df, Seq("num", "tag"))
+      .orderBy("col_name").as[(String, Long, Long, Long)].collect().toSeq
+    // distinct skips nulls (SQL COUNT(DISTINCT) semantics)
+    assert(out === Seq(("num", 3L, 1L, 2L), ("tag", 3L, 1L, 2L)))
+  }
+
+  test("columnProfile plan: one scan feeds all columns, no per-column jobs") {
+    val df = Seq((1L, "a")).toDF("x", "y")
+    val plan = DqOps.columnProfile(df, Seq("x", "y"))
+      .queryExecution.executedPlan.toString
+    assert("LocalTableScan|Scan".r.findAllIn(plan).size === 1, plan)
+  }
+
+  test("kAnonymity: classes below k flag at_risk, nulls form their own class") {
+    val df = Seq(
+      (Some("uk"), "m"), (Some("uk"), "m"), (Some("uk"), "m"),
+      (Some("fr"), "m"), (Some("fr"), "f"),
+      (None, "f"), (None, "f")
+    ).toDF("country", "seg")
+    val out = DqOps.kAnonymity(df, Seq("country", "seg"), k = 3L)
+      .orderBy(col("country").asc_nulls_first, col("seg"))
+      .as[(Option[String], String, Long, Boolean)].collect().toSeq
+    assert(out === Seq(
+      (None, "f", 2L, true),
+      (Some("fr"), "f", 1L, true),
+      (Some("fr"), "m", 1L, true),
+      (Some("uk"), "m", 3L, false)))
+  }
+
   test("the three report shapes union into one schema") {
     val df = Seq((1L, 1L)).toDF("a", "b")
     val r = DqOps.expectations(df, Seq("r" -> (col("a") > 0L)))

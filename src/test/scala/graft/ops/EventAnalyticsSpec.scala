@@ -100,4 +100,24 @@ class EventAnalyticsSpec extends SparkTestBase {
       .orderBy("from_type").as[(String, String, Long, Double)].collect().toSeq
     assert(out === Seq(("x", "y", 1L, 1.0), ("y", "z", 1L, 1.0)))
   }
+
+  test("weeklyStreaks: consecutive weeks merge, gaps split, duplicates collapse") {
+    import spark.implicits._
+    val df = Seq(
+      // k1: 3-week run (two hits in week 1 collapse), then a gap, then a singleton
+      (1L, "2024-01-01 09:00:00"), (1L, "2024-01-03 09:00:00"),
+      (1L, "2024-01-08 09:00:00"), (1L, "2024-01-15 09:00:00"),
+      (1L, "2024-02-05 09:00:00"),
+      // k2: independent singleton in k1's gap week
+      (2L, "2024-01-22 09:00:00"))
+      .toDF("k", "s").withColumn("ts", col("s").cast("timestamp"))
+    val out = EventAnalytics.weeklyStreaks(df, "k", "ts")
+      .orderBy("key", "streak_start")
+      .as[(Long, java.sql.Date, java.sql.Date, Long)].collect().toSeq
+    def d(s: String) = java.sql.Date.valueOf(s)
+    assert(out === Seq(
+      (1L, d("2024-01-01"), d("2024-01-15"), 3L),
+      (1L, d("2024-02-05"), d("2024-02-05"), 1L),
+      (2L, d("2024-01-22"), d("2024-01-22"), 1L)))
+  }
 }

@@ -81,4 +81,14 @@ class StatOpsSpec extends SparkTestBase {
       .as[(Long, Long, Long, Double)].collect().head
     assert(out._1 === v / 3L && out._2 === (v / 3L) * 3L)
   }
+
+  test("benfordDigits: lexical first digit, non-positives excluded, shares sum to 1") {
+    val vals = Seq(1L, 19L, 123L, 2L, 29L, 999L, 0L, -7L)
+    val out = StatOps.benfordDigits(vals.toDF("v"), col("v"))
+      .orderBy("digit").as[(Int, Long, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) === Seq((1, 3L), (2, 2L), (9, 1L)))
+    assert(math.abs(out.map(_._3).sum - 1.0) < 0.001)
+    // lexical extraction: 19 and 123 both lead with 1 regardless of magnitude
+    assert(out.head === ((1, 3L, 0.5)))
+  }
 }
