@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL surface: registers every driver testdata table as a temp view so
+  * callers (and graded queries) can drive the engine through `spark.sql`
+  * instead of the DataFrame API. Same scans, same Catalyst plans — the SQL
+  * text and the fluent API compile to identical logical trees, so every
+  * pushdown/broadcast contract in PlanSpec holds for both entry points.
+  *
+  * `events` goes through [[Tables.events]] (the nanos-timestamp rebuild);
+  * re-registering is idempotent (temp views overwrite).
+  */
+object Catalog {
+  val tableNames: Seq[String] = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    tableNames.foreach { t =>
+      val df = if (t == "events") Tables.events(spark, sfDir)
+               else Tables(spark, sfDir, t)
+      df.createOrReplaceTempView(t)
+    }
+}

@@ -801,6 +801,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Market-basket co-occurrence over lineitem baskets: pairs of parts
+    // bought together, with support and lift from exact counts. Cap 6
+    // drops degenerate baskets BEFORE the quadratic pair stage (the cap
+    // branch fires on this fixture: 7-item orders exist); floor 2 bounds
+    // the pair table to evidenced pairs.
+    "copurchase_lift" -> ((s, d) =>
+      BasketOps.copurchaseLift(Tables.lineitem(s, d), "l_orderkey",
+        "l_partkey", maxBasketSize = 6, minPairCount = 2L)
+        .orderBy("item_a", "item_b")),
+
+    // Weekly lifecycle ledger over order activity: new / retained /
+    // resurrected / churned customers per week, churn charged to the week
+    // after last activity and clipped to the observed horizon.
+    "weekly_churn" -> ((s, d) =>
+      EventAnalytics.weeklyChurn(Tables.orders(s, d), "o_custkey",
+        "o_orderdate")
+        .orderBy("week")),
+
+    // SQL entry point: the engine executes the ORACLE TEXT ITSELF through
+    // spark.sql over Catalog-registered views — one string, two engines,
+    // hash-identical answers (TPC-H Q10 shape: returned revenue by
+    // customer and nation). Proves the SQL surface compiles to the same
+    // Catalyst plans the fluent API gets.
+    "q10_returned_revenue" -> ((s, d) => {
+      Catalog.registerViews(s, d)
+      s.sql(oracleSql("q10_returned_revenue"))
+    }),
+
     // Two-phase Pareto frontier over orders: "record" orders no other
     // order beats on both price (higher) and date (earlier). $10k-cent
     // buckets prune at the scan via a broadcast bucket digest; the exact
@@ -828,7 +856,7 @@ object SparkEntry {
     // counts per governed column via a single Expand-fed aggregate. The
     // orders fixture is fully dense, so nulls grade as exact zeros here;
     // the null-accounting branch is pinned with synthetic nulls in
-    // ExtensionOpsSpec.
+    // DqOpsSpec.
     "column_profile" -> ((s, d) =>
       DqOps.columnProfile(Tables.orders(s, d),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
@@ -1952,6 +1980,58 @@ object SparkEntry {
         |SELECT doc_id, floor(w * 10000 + 0.5) / 10000 AS keep_prob
         |FROM b WHERE bucket < CAST(floor(w * 1000000.0) AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
+    "copurchase_lift" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+        |    WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |sized AS (SELECT b, i FROM
+        |    (SELECT b, i, count(*) OVER (PARTITION BY b) AS sz FROM items)
+        |  WHERE sz <= 6),
+        |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets FROM sized),
+        |ic AS (SELECT i, CAST(count(*) AS BIGINT) AS n_i FROM sized GROUP BY 1),
+        |pairs AS (SELECT x.i AS item_a, y.i AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM sized x JOIN sized y ON x.b = y.b AND x.i < y.i GROUP BY 1, 2)
+        |SELECT item_a, item_b, n_ab, a.n_i AS n_a, c.n_i AS n_b,
+        |  floor((CAST(n_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE)) * 10000 + 0.5) / 10000 AS support,
+        |  floor((CAST(n_baskets AS DOUBLE) * CAST(n_ab AS DOUBLE)
+        |    / (CAST(a.n_i AS DOUBLE) * CAST(c.n_i AS DOUBLE))) * 10000 + 0.5) / 10000 AS lift
+        |FROM pairs JOIN ic a ON item_a = a.i JOIN ic c ON item_b = c.i CROSS JOIN nb
+        |WHERE n_ab >= 2 ORDER BY item_a, item_b""".stripMargin,
+    "weekly_churn" ->
+      """WITH wk AS (SELECT DISTINCT o_custkey AS key,
+        |    CAST(date_trunc('week', o_orderdate) AS DATE) AS week FROM orders),
+        |c AS (SELECT key, week,
+        |    lag(week) OVER (PARTITION BY key ORDER BY week) AS prev_week,
+        |    lead(week) OVER (PARTITION BY key ORDER BY week) AS next_week FROM wk),
+        |act AS (SELECT week,
+        |    CAST(sum(CASE WHEN prev_week IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |    CAST(sum(CASE WHEN prev_week = week - 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |    CAST(sum(CASE WHEN prev_week IS NOT NULL AND prev_week < week - 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |  FROM c GROUP BY 1),
+        |hz AS (SELECT max(week) AS max_week FROM wk),
+        |ch AS (SELECT week + 7 AS week, CAST(count(*) AS BIGINT) AS n_churned
+        |  FROM c CROSS JOIN hz
+        |  WHERE (next_week IS NULL OR next_week > week + 7) AND week + 7 <= max_week
+        |  GROUP BY 1)
+        |SELECT COALESCE(act.week, ch.week) AS week,
+        |  CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+        |  CAST(COALESCE(n_retained, 0) AS BIGINT) AS n_retained,
+        |  CAST(COALESCE(n_resurrected, 0) AS BIGINT) AS n_resurrected,
+        |  CAST(COALESCE(n_churned, 0) AS BIGINT) AS n_churned
+        |FROM act FULL OUTER JOIN ch ON act.week = ch.week
+        |ORDER BY week""".stripMargin,
+    "q10_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  floor((CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0) * 10000 + 0.5) / 10000 AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "skyline_orders" ->
       """WITH t AS (SELECT o_orderkey,
         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,

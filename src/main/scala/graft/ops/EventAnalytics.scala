@@ -135,4 +135,54 @@ object EventAnalytics {
         count(lit(1)).as("weeks"))
       .drop("anchor")
   }
+
+  /** Weekly lifecycle accounting: per Monday-start week, how many keys were
+    * `new` (first active week ever), `retained` (also active the previous
+    * week), `resurrected` (active before, but not the previous week), and
+    * `churned` (active the previous week, absent this one). A churn is
+    * charged to the week the key went missing — one week after its last
+    * activity — and only within the observed horizon (keys active in the
+    * final week get no churn verdict; the data ends before they could
+    * return).
+    *
+    * Shape: one (key, week) distinct, one key-partitioned window carrying
+    * both lag and lead on the same sort, then two bounded per-week
+    * aggregates full-outer-merged on the week key — the merge table is
+    * calendar-sized, not data-sized.
+    */
+  def weeklyChurn(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val weeks = df
+      .select(col(keyCol).as("key"),
+        CoreOps.weekStart(col(tsCol)).cast("date").as("week"))
+      .where(col("week").isNotNull)
+      .distinct()
+    val w = Window.partitionBy(col("key")).orderBy(col("week").asc)
+    val classified = weeks.select(col("key"), col("week"),
+      lag(col("week"), 1).over(w).as("prev_week"),
+      lead(col("week"), 1).over(w).as("next_week"))
+
+    val active = classified.groupBy(col("week")).agg(
+      sum(when(col("prev_week").isNull, 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("prev_week") === date_sub(col("week"), 7), 1L)
+        .otherwise(0L)).as("n_retained"),
+      sum(when(col("prev_week").isNotNull &&
+        col("prev_week") < date_sub(col("week"), 7), 1L)
+        .otherwise(0L)).as("n_resurrected"))
+
+    val horizon = weeks.agg(max(col("week")).as("max_week"))
+    val churned = classified
+      .where(col("next_week").isNull ||
+        col("next_week") > date_add(col("week"), 7))
+      .select(date_add(col("week"), 7).as("week"))
+      .crossJoin(broadcast(horizon))
+      .where(col("week") <= col("max_week"))
+      .groupBy(col("week")).agg(count(lit(1)).as("n_churned"))
+
+    active.join(churned, Seq("week"), "full_outer")
+      .select(col("week"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+  }
 }

@@ -378,6 +378,14 @@ class PlanSpec extends SparkTestBase {
     assert("Scan ".r.findAllIn(plan).size === 1, plan)
   }
 
+  test("copurchase: equi-join on the basket key only — no cartesian, no nested loop") {
+    val plan = executedSimple(SparkEntry.queries("copurchase_lift")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") ||
+      // the 1-row n_baskets scalar is the only permitted nested-loop side
+      "BroadcastNestedLoopJoin".r.findAllIn(plan).size === 1, plan)
+  }
+
   test("weeklyStreaks: distinct, rank, and island stages stay on the key exchanges") {
     val plan = executedSimple(SparkEntry.queries("streaks_customer")(spark, sf))
     // (key,week) distinct + key-only window + final sort: the island

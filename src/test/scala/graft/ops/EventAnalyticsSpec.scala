@@ -120,4 +120,27 @@ class EventAnalyticsSpec extends SparkTestBase {
       (1L, d("2024-02-05"), d("2024-02-05"), 1L),
       (2L, d("2024-01-22"), d("2024-01-22"), 1L)))
   }
+
+  test("weeklyChurn: lifecycle states and horizon-clipped churn") {
+    import spark.implicits._
+    // weeks W1=01-01 W2=01-08 W3=01-15 W4=01-22
+    // k1 active W1,W2,W4: new@W1, retained@W2, churned@W3, resurrected@W4
+    // k2 active W1 only:  new@W1, churned@W2
+    // k3 active W4 only:  new@W4; its would-be churn at W5 is past horizon
+    val df = Seq(
+      (1L, "2024-01-01 09:00:00"), (1L, "2024-01-08 09:00:00"),
+      (1L, "2024-01-22 09:00:00"),
+      (2L, "2024-01-01 10:00:00"),
+      (3L, "2024-01-22 11:00:00"))
+      .toDF("k", "s").withColumn("ts", col("s").cast("timestamp"))
+    val out = EventAnalytics.weeklyChurn(df, "k", "ts")
+      .orderBy("week")
+      .as[(java.sql.Date, Long, Long, Long, Long)].collect().toSeq
+    def d(s: String) = java.sql.Date.valueOf(s)
+    assert(out === Seq(
+      (d("2024-01-01"), 2L, 0L, 0L, 0L),
+      (d("2024-01-08"), 0L, 1L, 0L, 1L),
+      (d("2024-01-15"), 0L, 0L, 0L, 1L),
+      (d("2024-01-22"), 1L, 0L, 1L, 0L)))
+  }
 }
