@@ -801,6 +801,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // EXACT set-similarity self-join (PPJoin-style prefix filter): every
+    // same-language document pair with token-Jaccard >= 0.95, zero recall
+    // loss. The oracle brute-forces the blocked corpus through the
+    // all-token join; the engine joins only on rare prefix tokens and
+    // verifies with a map-side array intersect — same answer, but the
+    // stopword fan-out never becomes a join key and no pair×token rows
+    // ever shuffle.
+    "jaccard_join_exact" -> ((s, d) =>
+      SetSimJoin.jaccardJoinExact(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.95, blocking = Seq("lang"))
+        .orderBy("id_a", "id_b")),
+
     // Market-basket co-occurrence over lineitem baskets: pairs of parts
     // bought together, with support and lift from exact counts. Cap 6
     // drops degenerate baskets BEFORE the quadratic pair stage (the cap
@@ -1980,6 +1992,19 @@ object SparkEntry {
         |SELECT doc_id, floor(w * 10000 + 0.5) / 10000 AS keep_prob
         |FROM b WHERE bucket < CAST(floor(w * 1000000.0) AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
+    "jaccard_join_exact" ->
+      """WITH toks AS (SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM toks GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+        |  FROM toks a JOIN toks b ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (SELECT id_a, id_b, inter, sa.sz + sb.sz - inter AS union_sz
+        |  FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id)
+        |SELECT id_a, id_b, inter, union_sz,
+        |  floor((CAST(inter AS DOUBLE) / CAST(union_sz AS DOUBLE)) * 10000 + 0.5) / 10000 AS jaccard
+        |FROM j WHERE CAST(inter AS DOUBLE) / CAST(union_sz AS DOUBLE) >= 0.95
+        |ORDER BY id_a, id_b""".stripMargin,
     "copurchase_lift" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
         |    WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),

@@ -378,6 +378,18 @@ class PlanSpec extends SparkTestBase {
     assert("Scan ".r.findAllIn(plan).size === 1, plan)
   }
 
+  test("jaccard exact join: all equi-joins, per-doc windows only, no cartesian") {
+    val df = SetSimJoin.jaccardJoinExact(
+      Tables.documents(spark, sf), "doc_id", "text", 0.9)
+    val plan = executedSimple(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the token order is the (tf, tok) pair — no single-task global
+    // window ranking the vocabulary may appear
+    assert(!plan.contains("Window [") ||
+      !plan.contains("windowspecdefinition()"), plan)
+  }
+
   test("copurchase: equi-join on the basket key only — no cartesian, no nested loop") {
     val plan = executedSimple(SparkEntry.queries("copurchase_lift")(spark, sf))
     assert(!plan.contains("CartesianProduct"), plan)
