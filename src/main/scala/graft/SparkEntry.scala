@@ -122,6 +122,16 @@ object SparkEntry {
     * events came back from — one definition so the two format legs grade
     * the identical contract.
     */
+  /** ONE definition of the co-purchase graph — capped baskets (same cap
+    * as `copurchase_lift`) pair-joined into a canonical undirected edge
+    * list — shared by both graph queries and mirrored verbatim by their
+    * oracles' `e` CTE.
+    */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
+    GraphOps.coOccurrenceEdges(
+      BasketOps.cappedBasketItems(Tables.lineitem(s, d), "l_orderkey",
+        "l_partkey", maxBasketSize = 6), "b", "i")
+
   private def weeklyFormatAgg(events: DataFrame): DataFrame =
     events
       .withColumn("week", CoreOps.weekStart(col("ts")))
@@ -822,6 +832,24 @@ object SparkEntry {
       BasketOps.copurchaseLift(Tables.lineitem(s, d), "l_orderkey",
         "l_partkey", maxBasketSize = 6, minPairCount = 2L)
         .orderBy("item_a", "item_b")),
+
+    // Per-node triangle participation of the co-purchase graph,
+    // degree-oriented so the wedge stage is O(m^1.5) no matter how fat a
+    // hub gets. The oracle 3-joins the id-ordered edge list (the textbook
+    // plan); the engine's orientation emits the identical triangle set
+    // from its minimum (degree, id) vertex — same tally, hub-proof plan.
+    "triangle_count" -> ((s, d) =>
+      GraphOps.triangleCounts(coPurchaseEdges(s, d), "u", "v")
+        .orderBy("node")),
+
+    // Common-neighbor link prediction at distance 2 on the same graph:
+    // hub centers (degree > 100, the graph's stopwords) are excluded
+    // before the wedge pair-up, and the ≥10 shared-neighbor floor bounds
+    // the candidate table to evidenced pairs.
+    "link_predict" -> ((s, d) =>
+      GraphOps.linkPredictions(coPurchaseEdges(s, d), "u", "v",
+        maxDegree = 100L, minCommon = 10L)
+        .orderBy("id_a", "id_b")),
 
     // Weekly lifecycle ledger over order activity: new / retained /
     // resurrected / churned customers per week, churn charged to the week
@@ -2021,6 +2049,44 @@ object SparkEntry {
         |    / (CAST(a.n_i AS DOUBLE) * CAST(c.n_i AS DOUBLE))) * 10000 + 0.5) / 10000 AS lift
         |FROM pairs JOIN ic a ON item_a = a.i JOIN ic c ON item_b = c.i CROSS JOIN nb
         |WHERE n_ab >= 2 ORDER BY item_a, item_b""".stripMargin,
+    "triangle_count" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+        |    WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |sized AS (SELECT b, i FROM
+        |    (SELECT b, i, count(*) OVER (PARTITION BY b) AS sz FROM items)
+        |  WHERE sz <= 6),
+        |e AS (SELECT DISTINCT x.i AS u, y.i AS v FROM sized x JOIN sized y ON x.b = y.b AND x.i < y.i),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+        |  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tn AS (SELECT n, CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM (SELECT a AS n FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        |  GROUP BY 1)
+        |SELECT tn.n AS node, deg.d AS degree, n_triangles
+        |FROM tn JOIN deg ON tn.n = deg.n ORDER BY node""".stripMargin,
+    "link_predict" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+        |    WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |sized AS (SELECT b, i FROM
+        |    (SELECT b, i, count(*) OVER (PARTITION BY b) AS sz FROM items)
+        |  WHERE sz <= 6),
+        |e AS (SELECT DISTINCT x.i AS u, y.i AS v FROM sized x JOIN sized y ON x.b = y.b AND x.i < y.i),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+        |  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |adj AS (SELECT a.center, a.leaf
+        |  FROM (SELECT u AS center, v AS leaf FROM e UNION ALL SELECT v, u FROM e) a
+        |  JOIN deg ON a.center = deg.n WHERE deg.d <= 100),
+        |cn AS (SELECT l.leaf AS id_a, r.leaf AS id_b, CAST(count(*) AS BIGINT) AS cn
+        |  FROM adj l JOIN adj r ON l.center = r.center AND l.leaf < r.leaf
+        |  GROUP BY 1, 2 HAVING count(*) >= 10),
+        |nonadj AS (SELECT cn.id_a, cn.id_b, cn.cn
+        |  FROM cn LEFT JOIN e ON cn.id_a = e.u AND cn.id_b = e.v WHERE e.u IS NULL)
+        |SELECT id_a, id_b, cn, da.d AS deg_a, db.d AS deg_b,
+        |  floor((CAST(cn AS DOUBLE) / CAST(da.d + db.d - cn AS DOUBLE)) * 10000 + 0.5) / 10000 AS score
+        |FROM nonadj JOIN deg da ON id_a = da.n JOIN deg db ON id_b = db.n
+        |ORDER BY id_a, id_b""".stripMargin,
     "weekly_churn" ->
       """WITH wk AS (SELECT DISTINCT o_custkey AS key,
         |    CAST(date_trunc('week', o_orderdate) AS DATE) AS week FROM orders),

@@ -39,18 +39,27 @@ object BasketOps {
     * (N·n_ab can pass 2^63 at warehouse scale; double keeps the quotient's
     * 4 dp exact far beyond that).
     */
-  def copurchaseLift(df: DataFrame, basketCol: String, itemCol: String,
-                     maxBasketSize: Int, minPairCount: Long): DataFrame = {
+  /** Distinct `(b, i)` incidence rows from baskets of at most
+    * `maxBasketSize` distinct items — the shared front door of every
+    * quadratic-in-basket-size stage here and in [[GraphOps]]. One window
+    * over the basket exchange; downstream self-joins reuse that
+    * partitioning.
+    */
+  def cappedBasketItems(df: DataFrame, basketCol: String, itemCol: String,
+                        maxBasketSize: Int): DataFrame = {
     require(maxBasketSize >= 2, s"maxBasketSize=$maxBasketSize: pairs need 2")
-    require(minPairCount >= 1, s"minPairCount=$minPairCount must be positive")
-    val items = df
-      .select(col(basketCol).as("b"), col(itemCol).as("i"))
+    df.select(col(basketCol).as("b"), col(itemCol).as("i"))
       .where(col("b").isNotNull && col("i").isNotNull)
       .distinct()
-    val sized = items
       .withColumn("__sz", count(lit(1)).over(Window.partitionBy(col("b"))))
       .where(col("__sz") <= maxBasketSize)
       .drop("__sz")
+  }
+
+  def copurchaseLift(df: DataFrame, basketCol: String, itemCol: String,
+                     maxBasketSize: Int, minPairCount: Long): DataFrame = {
+    require(minPairCount >= 1, s"minPairCount=$minPairCount must be positive")
+    val sized = cappedBasketItems(df, basketCol, itemCol, maxBasketSize)
 
     val nBaskets = sized.select(col("b")).distinct()
       .agg(count(lit(1)).as("n_baskets"))

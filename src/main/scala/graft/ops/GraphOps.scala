@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over an edge list (extension tier — the
+  * relationship layer a curation pipeline runs over co-occurrence graphs:
+  * community structure via triangles, candidate generation via
+  * common-neighbor link prediction; connected components already lives in
+  * [[Dedup.connectedComponents]]).
+  *
+  * Scale design — the enemy is the HUB. Every triangle/wedge algorithm
+  * degenerates on a high-degree node: a hub of degree d contributes O(d²)
+  * wedges, and real co-occurrence graphs are power-law. Two standard
+  * defenses, one per operator:
+  *
+  *  - **Degree orientation** (triangles): orient every undirected edge from
+  *    the endpoint with the smaller `(degree, id)` pair to the larger. Each
+  *    node's OUT-degree is then bounded by O(√m) regardless of its raw
+  *    degree (a node can only point at neighbors at least as "heavy" as
+  *    itself, and there are at most 2√m nodes of degree ≥ √m), so the wedge
+  *    stage is O(m^1.5) total — the hub's quadratic fan-out is charged to
+  *    its many light neighbors, constant each. Every triangle is emitted
+  *    exactly once (from its minimum vertex in the total order), so no
+  *    divide-by-multiplicity fixup is needed.
+  *  - **Hub exclusion** (link prediction): wedge centers above `maxDegree`
+  *    are dropped before pairing. A hub shared by everyone predicts
+  *    nothing (it is the graph analog of a stopword), and excluding it
+  *    bounds per-center fan-out to maxDegree² — linear in edges overall.
+  *
+  * Everything shuffles on node or node-pair keys; counts are exact longs;
+  * the only doubles are final ratios of those longs (rounded 4 dp).
+  */
+object GraphOps {
+
+  /** Canonical undirected edge list: distinct `(u, v)` with `u < v`, nulls
+    * and self-loops dropped. Accepts edges in either or both directions.
+    */
+  def canonicalEdges(edges: DataFrame, aCol: String, bCol: String): DataFrame =
+    edges
+      .where(col(aCol).isNotNull && col(bCol).isNotNull &&
+        col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .distinct()
+
+  /** Co-occurrence edges from a (basket, item) incidence list: items
+    * sharing a basket are adjacent. Feed it capped baskets
+    * ([[BasketOps.cappedBasketItems]]) — the cap bounds per-basket edge
+    * fan-out exactly as it bounds the market-basket pair stage.
+    */
+  def coOccurrenceEdges(items: DataFrame, basketCol: String,
+                        itemCol: String): DataFrame = {
+    val it = items.select(col(basketCol).as("b"), col(itemCol).as("i"))
+    canonicalEdges(
+      it.as("x").join(it.as("y"),
+        col("x.b") === col("y.b") && col("x.i") < col("y.i")),
+      "x.i", "y.i")
+  }
+
+  private def degrees(e: DataFrame): DataFrame =
+    e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+
+  /** Per-node triangle participation: `(node, degree, n_triangles)` for
+    * every node of at least one triangle, exact. Degree-oriented join —
+    * see the object doc for why this survives hubs.
+    *
+    * Plan shape: degree agg (node key) → two degree-attach joins (node
+    * key) → wedge self-join on the oriented source → closing-edge join on
+    * the `(dst, dst)` pair key → explode-3 + final node agg. All equi
+    * joins on narrow long keys; edge arrays never materialize per node.
+    */
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = canonicalEdges(edges, aCol, bCol)
+    val deg = degrees(e)
+    val withDeg = e
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+    // Orient by the (degree, id) total order; carry the head's degree so
+    // out-neighbors can be ordered without re-joining.
+    val headFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val oriented = withDeg.select(
+      when(headFirst, col("u")).otherwise(col("v")).as("src"),
+      when(headFirst, col("v")).otherwise(col("u")).as("dst"),
+      when(headFirst, col("dv")).otherwise(col("du")).as("dd"))
+
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          struct(col("e1.dd"), col("e1.dst")) <
+            struct(col("e2.dd"), col("e2.dst")))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"))
+      // The closing edge b—c is oriented b→c in the same total order, so
+      // one equi-join on the pair key decides membership.
+      .join(oriented.select(col("src").as("b"), col("dst").as("c")),
+        Seq("b", "c"))
+
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+      .join(deg.select(col("n").as("node"), col("d").as("degree")), "node")
+      .select(col("node"), col("degree"), col("n_triangles"))
+  }
+
+  /** Common-neighbor link prediction: for every NON-adjacent pair at
+    * distance 2 through a center of degree ≤ `maxDegree`, the number of
+    * such shared neighbors and the neighbor-overlap score
+    * `cn / (deg_a + deg_b − cn)` (a Jaccard against full degrees — a
+    * conservative lower bound when hubs were excluded from `cn`). Pairs
+    * below `minCommon` shared neighbors drop at the aggregate.
+    *
+    * Output: `(id_a, id_b, cn, deg_a, deg_b, score)`, `id_a < id_b`.
+    */
+  def linkPredictions(edges: DataFrame, aCol: String, bCol: String,
+                      maxDegree: Long, minCommon: Long): DataFrame = {
+    require(maxDegree >= 1, s"maxDegree=$maxDegree must be positive")
+    require(minCommon >= 1, s"minCommon=$minCommon must be positive")
+    val e = canonicalEdges(edges, aCol, bCol)
+    val deg = degrees(e)
+    // (center, leaf) adjacency, both directions, hub centers dropped.
+    val adj = e.select(col("u").as("center"), col("v").as("leaf"))
+      .unionAll(e.select(col("v").as("center"), col("u").as("leaf")))
+      .join(deg.where(col("d") <= maxDegree).select(col("n").as("center")),
+        "center")
+    val cn = adj.as("l")
+      .join(adj.as("r"),
+        col("l.center") === col("r.center") && col("l.leaf") < col("r.leaf"))
+      .groupBy(col("l.leaf").as("id_a"), col("r.leaf").as("id_b"))
+      .agg(count(lit(1)).as("cn"))
+      .where(col("cn") >= minCommon)
+      // distance exactly 2: drop pairs that are already edges
+      .join(e.select(col("u").as("id_a"), col("v").as("id_b")),
+        Seq("id_a", "id_b"), "left_anti")
+
+    cn.join(deg.select(col("n").as("id_a"), col("d").as("deg_a")), "id_a")
+      .join(deg.select(col("n").as("id_b"), col("d").as("deg_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("cn"), col("deg_a"), col("deg_b"),
+        CoreOps.rnd(col("cn").cast("double") /
+          (col("deg_a") + col("deg_b") - col("cn")).cast("double"))
+          .as("score"))
+  }
+}

@@ -390,6 +390,14 @@ class PlanSpec extends SparkTestBase {
       !plan.contains("windowspecdefinition()"), plan)
   }
 
+  test("graph tier: wedge and closing joins are equi — no cartesian, no nested loop") {
+    for (q <- Seq("triangle_count", "link_predict")) {
+      val plan = executedSimple(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("CartesianProduct"), s"$q: $plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q: $plan")
+    }
+  }
+
   test("copurchase: equi-join on the basket key only — no cartesian, no nested loop") {
     val plan = executedSimple(SparkEntry.queries("copurchase_lift")(spark, sf))
     assert(!plan.contains("CartesianProduct"), plan)

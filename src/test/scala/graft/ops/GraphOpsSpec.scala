@@ -1,0 +1,104 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+class GraphOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def triRun(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] =
+    GraphOps.triangleCounts(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long)].collect()
+      .map { case (n, d, t) => n -> (d, t) }.toMap
+
+  /** Naive reference: every 3-clique by id order, then per-node tally. */
+  private def triBrute(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val e = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (a, b) => a != b }.toSet
+    val nodes = e.map(_._1).toSeq.sorted
+    val tris = for {
+      a <- nodes; b <- nodes if a < b && e((a, b))
+      c <- nodes if b < c && e((b, c)) && e((a, c))
+    } yield Seq(a, b, c)
+    tris.flatten.groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+  }
+
+  test("hand case: one triangle plus a pendant edge") {
+    // 1-2-3 triangle, 4 hangs off 1: node 1 has degree 3, all tri counts 1
+    val r = triRun(Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)))
+    assert(r === Map(1L -> (3L, 1L), 2L -> (2L, 1L), 3L -> (2L, 1L)))
+  }
+
+  test("a star has no triangles; K4 has four, each node in three") {
+    assert(triRun(Seq((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L))) === Map.empty)
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val r = triRun(k4)
+    assert(r.keySet === Set(1L, 2L, 3L, 4L))
+    assert(r.values.toSet === Set((3L, 3L)))
+  }
+
+  test("orientation invariance: reversed and duplicated edges change nothing") {
+    val base = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 1L))
+    val messy = base ++ base.map(_.swap) ++ Seq((2L, 1L), (5L, 5L))
+    assert(triRun(messy) === triRun(base))
+  }
+
+  test("matches brute force on a deterministic pseudo-random graph") {
+    // multiplicative-congruential edge picks: hub-ish, ~90 edges, 40 nodes
+    val edges = (1 to 200).map { i =>
+      val a = (i * 7919L) % 40
+      val b = (i * 104729L) % 40
+      (a, b)
+    }.filter { case (a, b) => a != b }
+    val got = triRun(edges)
+    val want = triBrute(edges)
+    assert(got.map { case (n, (_, t)) => n -> t } === want)
+    // degrees are the canonicalized distinct-edge degrees
+    val canon = edges.map { case (a, b) => (a min b, a max b) }.distinct
+    val deg = canon.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    got.foreach { case (n, (d, _)) => assert(d === deg(n), s"node $n") }
+  }
+
+  private def lpRun(edges: Seq[(Long, Long)], maxDeg: Long, minCn: Long) =
+    GraphOps.linkPredictions(edges.toDF("a", "b"), "a", "b", maxDeg, minCn)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map { case (a, b, cn, da, db, s) => (a, b) -> ((cn, da, db, s)) }.toMap
+
+  test("path and square hand cases: cn counts, adjacency excluded") {
+    // path 1-2-3: only (1,3) at distance 2, one shared neighbor
+    assert(lpRun(Seq((1L, 2L), (2L, 3L)), 10L, 1L) ===
+      Map((1L, 3L) -> ((1L, 1L, 1L, 1.0))))  // both neighbor sets are {2}
+    // square 1-2-3-4-1: both diagonals share two neighbors, score 2/2=1
+    val sq = lpRun(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)), 10L, 1L)
+    assert(sq === Map(
+      (1L, 3L) -> ((2L, 2L, 2L, 1.0)), (2L, 4L) -> ((2L, 2L, 2L, 1.0))))
+    // triangle: all pairs adjacent, nothing at distance 2
+    assert(lpRun(Seq((1L, 2L), (2L, 3L), (1L, 3L)), 10L, 1L) === Map.empty)
+  }
+
+  test("hub exclusion: wedges through a fat center do not count") {
+    // star center 9 (degree 4) plus a genuine path 1-5-2
+    val edges = Seq((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L), (1L, 5L), (5L, 2L))
+    val r = lpRun(edges, maxDeg = 3L, minCn = 1L)
+    // without the cap, (1,2)(1,3)(1,4)(2,3)... all pair through 9;
+    // capped at 3 the star pairs vanish — only wedges through the
+    // degree-2 centers survive: 1-5-2 and the two 5-{1,2}-9 wedges.
+    assert(r.keySet === Set((1L, 2L), (5L, 9L)))
+    val (cn, da, db, s) = r((1L, 2L))
+    // cn counts only the low-degree common neighbor; degrees stay full
+    assert((cn, da, db) === ((1L, 2L, 2L)))
+    assert(s === 0.3333)  // rnd(1/3) at 4 dp
+    assert(r((5L, 9L)) === ((2L, 2L, 4L, 0.5)))
+    // raising the cap readmits the hub: (1,2) now shares {9,5}
+    val open = lpRun(edges, maxDeg = 10L, minCn = 1L)
+    assert(open((1L, 2L))._1 === 2L)
+    assert(open.keySet === Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L), (5L, 9L)))
+  }
+
+  test("minCommon floor prunes single-wedge pairs") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 5L), (5L, 6L))
+    val r = lpRun(edges, 10L, 2L)
+    assert(r.keySet === Set((1L, 3L), (2L, 4L)))
+  }
+}
