@@ -560,6 +560,25 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("value"),
           col("robust_z"))
         .orderBy("event_id")),
+
+    // Two-sided CUSUM change detection on weekly revenue per priority:
+    // cumulative deviation from each key's own mean, alarming past $2M.
+    // The sequential recursion runs as its closed form (prefix cumsum
+    // minus seeded prefix extremum) in exact n-scaled cents — two prefix
+    // windows on one (key, week) sort, no float mean anywhere.
+    "cusum_changepoints" -> ((s, d) => {
+      val weekly = Tables.orders(s, d)
+        .withColumn("week", CoreOps.weekStart(col("o_orderdate")))
+        .withColumn("__cents",
+          CoreOps.moneyCents(col("o_totalprice")).cast("long"))
+        .groupBy(col("o_orderpriority").as("priority"), col("week"))
+        .agg(sum(col("__cents")).as("cents"))
+      TimeSeriesOps.cusumChangepoints(weekly, "priority", "week", "cents",
+        thresholdCents = 200000000L)
+        .select("priority", "week", "cusum_up", "cusum_down",
+          "alarm_up", "alarm_down")
+        .orderBy("priority", "week")
+    }),
     // Linear interpolation of interior gaps in a densified weekly price
     // series; edge gaps stay null (fill, don't extrapolate). The series
     // dims on o_custkey % 40 rather than the 5 priorities: the finer grid
@@ -2351,6 +2370,23 @@ object SparkEntry {
         |  CASE WHEN cents IS NULL THEN NULL WHEN mad = 0 THEN 0.0
         |       ELSE floor(((cents - med) / (1.4826 * mad)) * 10000 + 0.5) / 10000 END AS robust_z
         |FROM m2 ORDER BY event_id""".stripMargin,
+    "cusum_changepoints" ->
+      """WITH w AS (SELECT o_orderpriority AS priority, date_trunc('week', o_orderdate) AS week,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |s AS (SELECT *, count(*) OVER (PARTITION BY priority) AS n,
+        |    sum(cents) OVER (PARTITION BY priority) AS tot FROM w),
+        |c AS (SELECT *, sum(n * cents - tot) OVER (PARTITION BY priority ORDER BY week
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM s),
+        |m AS (SELECT *,
+        |    cum - least(0, min(cum) OVER (PARTITION BY priority ORDER BY week ROWS UNBOUNDED PRECEDING)) AS up,
+        |    greatest(0, max(cum) OVER (PARTITION BY priority ORDER BY week ROWS UNBOUNDED PRECEDING)) - cum AS dn
+        |  FROM c)
+        |SELECT priority, week,
+        |  floor((CAST(up AS DOUBLE) / CAST(n AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS cusum_up,
+        |  floor((CAST(dn AS DOUBLE) / CAST(n AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS cusum_down,
+        |  up >= n * 200000000 AS alarm_up, dn >= n * 200000000 AS alarm_down
+        |FROM m ORDER BY priority, week""".stripMargin,
     "interpolate_gaps" ->
       (denseCteFor("o_custkey % 40", priceMeanAgg, "w.price_mean") +
         """,

@@ -158,4 +158,59 @@ object TimeSeriesOps {
           .otherwise(lit(null).cast("double")))
       .drop("__pv", "__pw", "__nv", "__nw")
   }
+
+  /** Two-sided CUSUM change detection over a pre-aggregated per-key series
+    * (one row per `(key, ord)`): cumulative deviation from the key's own
+    * mean, with an alarm once it clears `thresholdCents`.
+    *
+    * The textbook recursion `S⁺_t = max(0, S⁺_{t−1} + (x_t − μ))` looks
+    * sequential, but closed-form it is `C_t − min_{j≤t} C_j` over the
+    * deviation cumsum `C` (seeded with C₀ = 0) — two prefix windows on one
+    * sort, fully parallel across keys. The slack parameter is folded into
+    * the threshold (k = 0), the common monitoring form.
+    *
+    * Exactness: μ = Σx/n never materializes as a float — everything is
+    * scaled by n (`y_t = n·x_t − Σx`, an exact BIGINT), CUSUM runs in
+    * scaled cents, and the alarm compares `S ≥ n·thresholdCents` in exact
+    * longs. The reported magnitudes divide back out as a single double
+    * quotient of exact longs (identical in any IEEE engine), rounded 4 dp.
+    * Envelope: `n · max|cents| · series_length` must stay inside 2⁶³ —
+    * at 10⁴ weekly buckets of 10¹² cents that is 10²⁰ per-key *worst case*,
+    * so key the series accordingly (deviations, not raw sums, accumulate;
+    * real headroom is far larger).
+    *
+    * Scale shape: one exchange on the key; the whole-partition count/sum
+    * and both prefix frames ride the same `(key, ord)` sort. Series length
+    * per key is the partition bound — calendar-sized here, exactly like
+    * [[Rolling]].
+    *
+    * Output adds `cusum_up`, `cusum_down` (dollars of cumulated deviation,
+    * 4 dp) and `alarm_up` / `alarm_down` booleans.
+    */
+  def cusumChangepoints(series: DataFrame, keyCol: String, ordCol: String,
+                        centsCol: String, thresholdCents: Long): DataFrame = {
+    require(thresholdCents > 0, s"thresholdCents=$thresholdCents must be > 0")
+    val byKey = Window.partitionBy(keyCol)
+    val prefix = Window.partitionBy(keyCol).orderBy(ordCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nd = col("__n").cast("double")
+    series
+      .withColumn("__x", col(centsCol).cast("long"))
+      .withColumn("__n", count(lit(1)).over(byKey))
+      .withColumn("__tot", sum(col("__x")).over(byKey))
+      .withColumn("__c", sum(col("__n") * col("__x") - col("__tot")).over(prefix))
+      // least/greatest with the literal seed C₀ = 0: an all-negative or
+      // all-positive run must not lift the baseline off zero
+      .withColumn("__up",
+        col("__c") - least(lit(0L), min(col("__c")).over(prefix)))
+      .withColumn("__dn",
+        greatest(lit(0L), max(col("__c")).over(prefix)) - col("__c"))
+      .withColumn("cusum_up",
+        CoreOps.rnd(col("__up").cast("double") / nd / 100.0))
+      .withColumn("cusum_down",
+        CoreOps.rnd(col("__dn").cast("double") / nd / 100.0))
+      .withColumn("alarm_up", col("__up") >= col("__n") * thresholdCents)
+      .withColumn("alarm_down", col("__dn") >= col("__n") * thresholdCents)
+      .drop("__x", "__n", "__tot", "__c", "__up", "__dn")
+  }
 }

@@ -181,4 +181,64 @@ class TimeSeriesOpsSpec extends SparkTestBase {
     // the audit column reports the full running total
     assert(out.agg(max("cum_tokens")).as[Long].head() == 3L)
   }
+
+  // ---- cusumChangepoints ----
+
+  private def cusumRun(rows: Seq[(String, Int, Long)], thresholdCents: Long) =
+    TimeSeriesOps.cusumChangepoints(
+      rows.toDF("k", "t", "cents"), "k", "t", "cents", thresholdCents)
+      .select("k", "t", "cusum_up", "cusum_down", "alarm_up", "alarm_down")
+      .as[(String, Int, Double, Double, Boolean, Boolean)]
+      .collect().sortBy(r => (r._1, r._2))
+
+  /** The sequential textbook recursion the closed form must reproduce. */
+  private def cusumBrute(xs: Seq[Long]): (Seq[Double], Seq[Double]) = {
+    val n = xs.size.toLong
+    val tot = xs.sum
+    val ys = xs.map(x => n * x - tot)
+    val up = ys.scanLeft(0L)((s, y) => math.max(0L, s + y)).tail
+    val dn = ys.scanLeft(0L)((s, y) => math.max(0L, s - y)).tail
+    (up.map(_.toDouble / n / 100.0), dn.map(_.toDouble / n / 100.0))
+  }
+
+  test("cusumChangepoints: closed form equals the sequential recursion") {
+    // a step change: mean 100 for 5 steps then 300 for 5 steps (cents)
+    val xs = Seq(100L, 90L, 110L, 100L, 100L, 300L, 310L, 290L, 300L, 300L)
+    val (upB, dnB) = cusumBrute(xs)
+    val got = cusumRun(xs.zipWithIndex.map { case (x, i) => ("a", i, x) }, 200L)
+    got.zipWithIndex.foreach { case ((_, _, u, d, _, _), i) =>
+      assert(u === math.floor(upB(i) * 10000 + 0.5) / 10000, s"up at $i")
+      assert(d === math.floor(dnB(i) * 10000 + 0.5) / 10000, s"dn at $i")
+    }
+    // the upward alarm fires after the level shift, never before it
+    val alarmAt = got.filter(_._5).map(_._2)
+    assert(alarmAt.nonEmpty && alarmAt.min >= 5, got.mkString("\n"))
+  }
+
+  test("cusumChangepoints: zero seed floors both sides on a monotone drift") {
+    // monotone decreasing series: the down side accumulates toward the
+    // trough while the up side never goes below the zero seed
+    val xs = Seq(500L, 400L, 300L, 200L, 100L)
+    val got = cusumRun(xs.zipWithIndex.map { case (x, i) => ("a", i, x) }, 100L)
+    val (upB, dnB) = cusumBrute(xs)
+    got.zipWithIndex.foreach { case ((_, _, u, d, _, _), i) =>
+      assert(u === math.floor(upB(i) * 10000 + 0.5) / 10000)
+      assert(d === math.floor(dnB(i) * 10000 + 0.5) / 10000)
+    }
+    assert(got.last._6, "down alarm should fire at the trough")
+  }
+
+  test("cusumChangepoints: keys do not leak into each other") {
+    val a = Seq(100L, 100L, 900L)
+    val b = Seq(500L, 500L, 500L)
+    val rows = a.zipWithIndex.map { case (x, i) => ("a", i, x) } ++
+      b.zipWithIndex.map { case (x, i) => ("b", i, x) }
+    val got = cusumRun(rows, 100L)
+    // the flat key never deviates from its own mean
+    got.filter(_._1 == "b").foreach { r =>
+      assert(r._3 === 0.0 && r._4 === 0.0 && !r._5 && !r._6)
+    }
+    // the stepped key alarms on its jump row
+    assert(got.filter(_._1 == "a").last._5)
+  }
 }
