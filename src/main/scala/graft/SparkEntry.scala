@@ -778,6 +778,40 @@ object SparkEntry {
         .withColumnRenamed("g", "l_returnflag")
         .orderBy("l_returnflag")),
 
+    // Welch two-sample experiment ledger, the standard validation pair an
+    // experimentation platform runs: an A/A null (user-parity split on
+    // events — every metric in this fixture is iid, so every |t| < 1.96)
+    // and a positive control with a KNOWN effect (discount dollars by
+    // discount tier — significant by construction), proving the pipeline
+    // can both stay quiet and fire. One single-pass conditional aggregate
+    // per contrast; six exact-long partials per group cross each exchange.
+    "ab_welch" -> ((s, d) => {
+      val aa = StatOps.welchTTest(Tables.events(s, d), col("event_type"),
+        pmod(col("user_id"), lit(2)) === 0,
+        CoreOps.moneyCents(col("value")))
+        .withColumn("contrast", lit("user_parity_aa"))
+      val ctl = StatOps.welchTTest(Tables.lineitem(s, d),
+        col("l_returnflag"), col("l_discount") > 0.05,
+        CoreOps.moneyCents(col("l_extendedprice") * col("l_discount")))
+        .withColumn("contrast", lit("discount_control"))
+      aa.unionByName(ctl)
+        .select("contrast", "g", "n_a", "n_b", "mean_a", "mean_b",
+          "t_stat", "significant")
+        .orderBy("contrast", "g")
+    }),
+
+    // Reciprocal-rank fusion of two incomparable ranking signals per
+    // language stratum (quality prior × length prior), k = 60: the
+    // calibration-free merge a retrieval stack uses. Strata rank in
+    // partitioned windows — deliberately no global-sort variant.
+    "rrf_fusion" -> ((s, d) =>
+      RankFusion.rrfFuse(
+        TextFunctions.withQualityColumns(Tables.documents(s, d), "text"),
+        "lang", "doc_id", Seq(col("quality"), col("n_chars")),
+        k = 60, topN = 10)
+        .select("lang", "doc_id", "rank_1", "rank_2", "rrf", "fused_rank")
+        .orderBy("lang", "fused_rank")),
+
     // ---- data-quality expectations (DqOps) ----
     // One governed report over orders: four single-scan row rules (two
     // chosen to FIRE on this data — price cap and freshness — so the
@@ -1995,6 +2029,60 @@ object SparkEntry {
         |  CASE WHEN n = 1 OR varxn <= 0 OR varyn <= 0 THEN NULL
         |       ELSE floor((covn * covn / (varxn * varyn)) * 10000 + 0.5) / 10000 END AS r2
         |FROM e ORDER BY 1""".stripMargin,
+    "ab_welch" ->
+      """WITH ec AS (SELECT event_type AS g, user_id % 2 = 0 AS va,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |lc AS (SELECT l_returnflag AS g, l_discount > 0.05 AS va,
+        |    CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT) AS cents FROM lineitem),
+        |u AS (SELECT 'user_parity_aa' AS contrast, * FROM ec
+        |  UNION ALL SELECT 'discount_control', * FROM lc),
+        |a AS (SELECT contrast, g,
+        |    CAST(count(*) FILTER (WHERE va AND cents IS NOT NULL) AS BIGINT) AS n_a,
+        |    CAST(coalesce(sum(cents) FILTER (WHERE va), 0) AS BIGINT) AS sa,
+        |    CAST(coalesce(sum(cents * cents) FILTER (WHERE va), 0) AS BIGINT) AS ssa,
+        |    CAST(count(*) FILTER (WHERE NOT va AND cents IS NOT NULL) AS BIGINT) AS n_b,
+        |    CAST(coalesce(sum(cents) FILTER (WHERE NOT va), 0) AS BIGINT) AS sb,
+        |    CAST(coalesce(sum(cents * cents) FILTER (WHERE NOT va), 0) AS BIGINT) AS ssb
+        |  FROM u GROUP BY 1, 2),
+        |e AS (SELECT *, CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd FROM a),
+        |v AS (SELECT *,
+        |    (nad * CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) / (nad * (nad - 1.0)) AS vara,
+        |    (nbd * CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) / (nbd * (nbd - 1.0)) AS varb
+        |  FROM e),
+        |f AS (SELECT *, sqrt(vara / nad + varb / nbd) AS se,
+        |    CAST(sa AS DOUBLE) / nad - CAST(sb AS DOUBLE) / nbd AS diff FROM v)
+        |SELECT contrast, g, n_a, n_b,
+        |  CASE WHEN n_a = 0 THEN NULL ELSE floor((CAST(sa AS DOUBLE) / nad / 100.0) * 10000 + 0.5) / 10000 END AS mean_a,
+        |  CASE WHEN n_b = 0 THEN NULL ELSE floor((CAST(sb AS DOUBLE) / nbd / 100.0) * 10000 + 0.5) / 10000 END AS mean_b,
+        |  CASE WHEN n_a < 2 OR n_b < 2 OR se <= 0 THEN NULL
+        |       ELSE floor((diff / se) * 10000 + 0.5) / 10000 END AS t_stat,
+        |  CASE WHEN n_a < 2 OR n_b < 2 OR se <= 0 THEN NULL
+        |       ELSE abs(diff / se) > 1.96 END AS significant
+        |FROM f ORDER BY contrast, g""".stripMargin,
+    "rrf_fusion" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','and','of','to'], t))) AS BIGINT) AS hits,
+        |    length(text) AS lc,
+        |    length(regexp_replace(text, '[0-9]', '', 'g')) AS lnd
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang, n_chars, n_tokens,
+        |    floor((CAST(hits AS DOUBLE) / greatest(n_tokens, 1)) * 10000 + 0.5) / 10000 AS stop_ratio,
+        |    floor((CASE WHEN lc = 0 THEN 0.0 ELSE CAST(lc - lnd AS DOUBLE) / lc END) * 10000 + 0.5) / 10000 AS digit_ratio
+        |  FROM t),
+        |q AS (SELECT doc_id, lang, n_chars,
+        |    floor((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5 + stop_ratio * 0.3 + (1.0 - digit_ratio) * 0.2) * 10000 + 0.5) / 10000 AS quality
+        |  FROM r),
+        |rk AS (SELECT lang, doc_id, quality, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS BIGINT) AS rank_1,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank_2
+        |  FROM q),
+        |f AS (SELECT lang, doc_id, rank_1, rank_2,
+        |    floor(((1.0 / (60.0 + CAST(rank_1 AS DOUBLE))) + (1.0 / (60.0 + CAST(rank_2 AS DOUBLE)))) * 10000 + 0.5) / 10000 AS rrf
+        |  FROM rk),
+        |g AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY rrf DESC, doc_id) AS BIGINT) AS fused_rank FROM f)
+        |SELECT lang, doc_id, rank_1, rank_2, rrf, fused_rank
+        |FROM g WHERE fused_rank <= 10 ORDER BY lang, fused_rank""".stripMargin,
     "dq_expectations" ->
       """SELECT * FROM (
         |  SELECT 'accepted_status' AS rule,

@@ -69,6 +69,57 @@ object StatOps {
         .otherwise(CoreOps.rnd(covN * covN / (varxN * varyN))).as("r2"))
   }
 
+  /** Per-group Welch two-sample t-test — the unequal-variance A/B read
+    * (Welch 1947): for each group, compare the metric between the rows
+    * where `variant` is true (arm A) and false (arm B).
+    *
+    * `t = (mean_A − mean_B) / √(s²_A/n_A + s²_B/n_B)` with sample
+    * (ddof=1) variances. Arms with fewer than 2 non-null observations, or
+    * a zero pooled standard error (both arms constant), yield null t.
+    *
+    * Determinism: the six sufficient statistics per group (n, Σx, Σx² per
+    * arm) are exact longs over integer cents — conditional aggregates, so
+    * ONE pass, ONE hash aggregate with map-side partials, six partials
+    * crossing the exchange. Every derived value is then a fixed IEEE
+    * expression over those exact ints (IEEE sqrt is correctly rounded, so
+    * engines agree bit-for-bit), rounded 4 dp. Envelope: Σx² must stay
+    * inside 2⁶³ — ~10⁸ rows per (group, arm) at 10⁵-cent values; shard
+    * the group key before that (same caveat family as
+    * [[TimeSeriesOps.cusumChangepoints]]).
+    */
+  def welchTTest(df: DataFrame, group: Column, variant: Column,
+                 cents: Column): DataFrame = {
+    val x = cents.cast("long")
+    val inA = variant && x.isNotNull
+    val inB = !variant && x.isNotNull
+    val zero = lit(0L)
+    val agged = df.groupBy(group.as("g")).agg(
+      count(when(inA, lit(1))).as("n_a"),
+      sum(when(inA, x).otherwise(zero)).as("sa"),
+      sum(when(inA, x * x).otherwise(zero)).as("ssa"),
+      count(when(inB, lit(1))).as("n_b"),
+      sum(when(inB, x).otherwise(zero)).as("sb"),
+      sum(when(inB, x * x).otherwise(zero)).as("ssb"))
+    val naD = col("n_a").cast("double"); val nbD = col("n_b").cast("double")
+    val sa = col("sa").cast("double");   val sb = col("sb").cast("double")
+    val ssa = col("ssa").cast("double"); val ssb = col("ssb").cast("double")
+    // sample variance via n·Σx² − (Σx)², divided by n(n−1); cents units
+    val varA = (naD * ssa - sa * sa) / (naD * (naD - 1.0))
+    val varB = (nbD * ssb - sb * sb) / (nbD * (nbD - 1.0))
+    val se = sqrt(varA / naD + varB / nbD)
+    val undef = col("n_a") < 2L || col("n_b") < 2L || se <= 0.0
+    agged.select(
+      col("g"), col("n_a"), col("n_b"),
+      when(col("n_a") === 0L, lit(null).cast("double"))
+        .otherwise(CoreOps.rnd(sa / naD / 100.0)).as("mean_a"),
+      when(col("n_b") === 0L, lit(null).cast("double"))
+        .otherwise(CoreOps.rnd(sb / nbD / 100.0)).as("mean_b"),
+      when(undef, lit(null).cast("double"))
+        .otherwise(CoreOps.rnd((sa / naD - sb / nbD) / se)).as("t_stat"),
+      when(undef, lit(null).cast("boolean"))
+        .otherwise(abs((sa / naD - sb / nbD) / se) > 1.96).as("significant"))
+  }
+
   /** Equi-width histogram of an integer-valued column: (bin, bin_lo, n,
     * share). Binning is pure integer arithmetic — `(v − v mod w) / w` is an
     * exact multiple divided by its width, so the double division is exact

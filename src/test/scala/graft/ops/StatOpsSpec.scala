@@ -91,4 +91,49 @@ class StatOpsSpec extends SparkTestBase {
     // lexical extraction: 19 and 123 both lead with 1 regardless of magnitude
     assert(out.head === ((1, 3L, 0.5)))
   }
+
+  // ---- welchTTest ----
+
+  private def welch(rows: Seq[(String, Boolean, Option[Long])]) =
+    StatOps.welchTTest(rows.toDF("g", "v", "cents"),
+      col("g"), col("v"), col("cents"))
+      .as[(String, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Boolean])]
+      .collect().map(r => r._1 -> r).toMap
+
+  test("welch: hand-computed t on unequal variances") {
+    // A = {100, 200, 300} cents: mean 200, s² = 10000
+    // B = {90, 110} cents: mean 100, s² = 200
+    // se = sqrt(10000/3 + 200/2) = sqrt(3433.33...), t = 100/se
+    val rows = Seq(("g", true, Some(100L)), ("g", true, Some(200L)),
+      ("g", true, Some(300L)), ("g", false, Some(90L)), ("g", false, Some(110L)))
+    val (_, na, nb, ma, mb, t, sig) = welch(rows)("g")
+    assert((na, nb) === ((3L, 2L)))
+    assert((ma.get, mb.get) === ((2.0, 1.0)))  // dollars
+    val se = math.sqrt(10000.0 / 3 + 200.0 / 2)
+    assert(t.get === math.floor((100.0 / se) * 10000 + 0.5) / 10000)
+    assert(sig.get === false)  // t ≈ 1.706 < 1.96
+  }
+
+  test("welch: singleton or constant-both arms yield null t, means survive") {
+    val rows = Seq(
+      ("single", true, Some(100L)), ("single", false, Some(50L)),
+      ("single", false, Some(70L)),
+      ("const", true, Some(10L)), ("const", true, Some(10L)),
+      ("const", false, Some(20L)), ("const", false, Some(20L)),
+      ("onearm", true, Some(10L)), ("onearm", true, Some(30L)))
+    val r = welch(rows)
+    assert(r("single")._6.isEmpty && r("single")._7.isEmpty)
+    assert(r("single")._4.get === 1.0)
+    assert(r("const")._6.isEmpty)   // zero pooled se
+    assert(r("onearm")._3 === 0L && r("onearm")._5.isEmpty)
+  }
+
+  test("welch: null observations are excluded, a clear effect is significant") {
+    val a = (1L to 50L).map(i => ("g", true, Some(1000L + (i % 3))))
+    val b = (1L to 50L).map(i => ("g", false, Some(100L + (i % 3))))
+    val r = welch(a ++ b :+ (("g", true, None)))
+    assert(r("g")._2 === 50L)  // the null row never counts
+    assert(r("g")._7.get === true)
+  }
 }
