@@ -17,13 +17,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** events.ts is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as
-    * Long (legacy flag) and rebuild a micros timestamp with integer division
-    * — `ts div 1000`, NOT `/ 1000.0`, because epoch-nanos (~1.7e18) exceed
-    * double's 53-bit mantissa and float division would corrupt timestamps.
-    * DuckDB reads the same column as TIMESTAMP_NS; week-level truncation in
-    * the graded queries makes the ns→us truncation invisible to the oracle.
+  /** events.ts normalized to session-zoned TimestampType, whatever the
+    * parquet writer produced. Two generations of driver fixtures exist:
+    *
+    *  - TIMESTAMP(NANOS), which Spark's vectorized reader rejects
+    *    ([PARQUET_TYPE_ILLEGAL]). We read nanos as Long (legacy flag) and
+    *    rebuild a micros timestamp with integer division — `ts div 1000`,
+    *    NOT `/ 1000.0`, because epoch-nanos (~1.7e18) exceed double's
+    *    53-bit mantissa and float division would corrupt timestamps.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark reads as
+    *    TIMESTAMP_NTZ. Downstream code does epoch math (`unix_millis`,
+    *    watermarks) that requires the zoned type, so cast it up — with the
+    *    session pinned to UTC (Verify/Bench/tests all do) the wall-clock
+    *    values are unchanged, exactly how DuckDB reads the same column.
+    *
+    * Week-level truncation in the graded queries makes the ns→us
+    * truncation invisible to the oracle either way.
     *
     * KNOWN SIDE EFFECT: the legacy flag stays set on the session afterwards
     * (any later nanos-parquet read in this session yields LongType instead
@@ -39,6 +48,9 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr(
           "timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }
