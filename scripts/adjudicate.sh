@@ -1,0 +1,51 @@
+#!/usr/bin/env bash
+# Isolated-run bench adjudication — encodes the workflow rounds 4/5 ran by
+# hand: take the N most expensive queries of the last full bench, re-time
+# each in its OWN JVM (SPARK_GRAFT_QUERIES single-query run: same warmup,
+# same forcing, min-of-runs), and print full-run vs isolated side by side.
+# A ratio well above 1 means cross-query JVM state is contaminating the
+# full-run numbers (round 5 measured up to 12x before Bench's per-query
+# cleanup landed); a ratio near 1 means the full-run numbers are honest.
+#
+# Usage: scripts/adjudicate.sh [N] [bench-json]
+#   N          how many top queries to re-time (default 5)
+#   bench-json a full-run Bench output file (default target/bench.json,
+#              written by every `sbt "runMain graft.Bench"` run)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+N="${1:-5}"
+BENCH="${2:-target/bench.json}"
+if [ ! -f "$BENCH" ]; then
+  echo "no $BENCH — run a full bench first: sbt \"runMain graft.Bench\"" >&2
+  exit 1
+fi
+# isolated runs rewrite target/bench.json; adjudicate against a snapshot
+SNAP=$(mktemp)
+trap 'rm -f "$SNAP"' EXIT
+cp "$BENCH" "$SNAP"
+
+TOP=$(python3 - "$SNAP" "$N" <<'EOF'
+import json, sys
+bench = json.load(open(sys.argv[1]))
+qs = [(k, v) for k, v in bench["queries"].items() if v >= 0]
+qs.sort(key=lambda kv: -kv[1])
+for name, sec in qs[: int(sys.argv[2])]:
+    print(f"{name} {sec}")
+EOF
+)
+
+printf '%-28s %10s %10s %7s\n' query full_run isolated ratio
+while read -r name full; do
+  if ! SPARK_GRAFT_QUERIES="$name" sbt -batch "runMain graft.Bench" \
+      >/dev/null 2>&1; then
+    printf '%-28s %10s %10s %7s\n' "$name" "$full" FAILED -
+    continue
+  fi
+  python3 - "$name" "$full" <<'EOF'
+import json, sys
+name, full = sys.argv[1], float(sys.argv[2])
+iso = json.load(open("target/bench.json"))["queries"][name]
+ratio = full / iso if iso > 0 else float("nan")
+print(f"{name:<28} {full:>10.2f} {iso:>10.2f} {ratio:>6.1f}x")
+EOF
+done <<< "$TOP"

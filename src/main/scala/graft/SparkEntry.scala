@@ -95,6 +95,79 @@ object SparkEntry {
       |    CAST((((hu // 16777216 - CASE WHEN hu >= 9223372036854775808::HUGEINT THEN 1099511627776::HUGEINT ELSE 0::HUGEINT END) % 600000) + 600000) % 600000 AS BIGINT) AS duration_ms
       |  FROM b)""".stripMargin
 
+  /** ONE DuckDB definition of the engine-replayable SimHash truth set —
+    * refold the md5 fingerprints bit-for-bit (per hex digit, two 32-bit
+    * halves — the fold [[graft.ops.Dedup.simhashReplayable64]] commits to)
+    * and brute-force the Hamming pair scan. Shared by `simhash_quality`
+    * (bounded slice, radius 7) and `simhash_hamming` (full corpus, radius
+    * 3) so the fingerprint replay cannot drift between the two gates.
+    */
+  private def simhashBruteOracle(docsWhere: String, maxHamming: Int): String =
+    s"""WITH docs AS (SELECT * FROM documents $docsWhere),
+       |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM docs),
+       |th AS (SELECT doc_id,
+       |    list_reduce(list_transform(range(1, 9), i -> (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)::BIGINT), (a, x) -> a * 16 + x) AS h_lo,
+       |    list_reduce(list_transform(range(9, 17), i -> (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)::BIGINT), (a, x) -> a * 16 + x) AS h_hi
+       |  FROM toks),
+       |hl AS (SELECT doc_id, list(h_lo) AS ls, list(h_hi) AS hs FROM th GROUP BY 1),
+       |fp AS (SELECT doc_id,
+       |    list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 32), i ->
+       |      CASE WHEN list_sum(list_transform(ls, h -> CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)), (a, b) -> a | b) AS fp_lo,
+       |    list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 32), i ->
+       |      CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)), (a, b) -> a | b) AS fp_hi
+       |  FROM hl),
+       |prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(bit_count(xor(a.fp_lo, b.fp_lo)) + bit_count(xor(a.fp_hi, b.fp_hi)) AS INT) AS hamming
+       |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM prs WHERE hamming <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Shared DuckDB oracle for `weekly_agg_orders` AND its raw-SQL entry
+    * variant `weekly_agg_orders_sql` — the two engine entry points grade
+    * against literally the same truth string.
+    */
+  private val weeklyAggOrdersOracle =
+    """SELECT date_trunc('week', o_orderdate) AS week, o_orderpriority AS dim,
+      |  count(DISTINCT o_orderkey) AS transactions,
+      |  CASE WHEN count(__cents) = 0 THEN NULL ELSE floor((CAST(sum(__cents) AS DOUBLE) / 100.0 / count(__cents)) * 10000 + 0.5) / 10000 END AS price_mean,
+      |  floor((quantile_cont(__cents, 0.5) / 100.0) * 10000 + 0.5) / 10000 AS price_median,
+      |  floor((quantile_cont(__cents, 0.10) / 100.0) * 10000 + 0.5) / 10000 AS price_p10,
+      |  floor((quantile_cont(__cents, 0.90) / 100.0) * 10000 + 0.5) / 10000 AS price_p90
+      |FROM (SELECT *, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS __cents FROM orders) o
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Shared DuckDB oracle for `rollup_orders` / `rollup_orders_sql`. */
+  private val rollupOrdersOracle =
+    """SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |  floor((CAST(sum(__cents) AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS total_price
+      |FROM (SELECT *, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS __cents FROM orders) o
+      |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+      |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
+
+  /** Spark-dialect SQL for the raw-SQL entry variants (DuckDB's
+    * `quantile_cont` is Spark's exact `percentile`; everything else is the
+    * shared ANSI subset). Value-identical to the fluent
+    * [[graft.ops.WeeklyAgg.weeklyStats]] plan: same exact-cents fold, same
+    * shared-buffer percentile semantics (separate percentile calls over
+    * the same exact longs), same floor-rounding chain.
+    */
+  private val weeklyAggOrdersSparkSql =
+    """SELECT date_trunc('week', o_orderdate) AS week, o_orderpriority AS dim,
+      |  count(DISTINCT o_orderkey) AS transactions,
+      |  CASE WHEN count(__cents) = 0 THEN CAST(NULL AS DOUBLE) ELSE floor((CAST(sum(__cents) AS DOUBLE) / 100.0 / count(__cents)) * 10000 + 0.5) / 10000 END AS price_mean,
+      |  floor((percentile(__cents, 0.5) / 100.0) * 10000 + 0.5) / 10000 AS price_median,
+      |  floor((percentile(__cents, 0.10) / 100.0) * 10000 + 0.5) / 10000 AS price_p10,
+      |  floor((percentile(__cents, 0.90) / 100.0) * 10000 + 0.5) / 10000 AS price_p90
+      |FROM (SELECT *, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS __cents FROM orders) o
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private val rollupOrdersSparkSql =
+    """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+      |  floor((CAST(sum(__cents) AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS total_price
+      |FROM (SELECT *, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS __cents FROM orders) o
+      |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+      |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
+
   /** The documents table framed as an opaque media table — the shared
     * input of the three media_* graded queries (one definition, not three
     * drifting projections).
@@ -122,15 +195,34 @@ object SparkEntry {
     * events came back from — one definition so the two format legs grade
     * the identical contract.
     */
-  /** ONE definition of the co-purchase graph — capped baskets (same cap
-    * as `copurchase_lift`) pair-joined into a canonical undirected edge
-    * list — shared by both graph queries and mirrored verbatim by their
-    * oracles' `e` CTE.
+  /** ONE definition of the co-purchase graph, MATERIALIZED once per sfDir:
+    * the capped `(basket, item)` incidence (the cap stage all three graph
+    * queries start from) and the canonical undirected edge list it pairs
+    * into (shared by `triangle_count` and `link_predict`, mirrored
+    * verbatim by the oracles' `e` CTE). Before this cache each graph query
+    * rebuilt the lineitem self-join pair stage from the scan up —
+    * `triangle_count` alone measured 22.3 s isolated at sf0.1, most of it
+    * edge derivation. Same memoized-localCheckpoint contract as
+    * [[ivfCodebooks]] / [[gradedVerifiedPairs]] (JVM lifetime, immutable
+    * testdata dirs); keyed by (application, dir) because checkpointed
+    * frames are context-bound. At 100 TB the analog is writing the edge
+    * list once per snapshot and pointing every graph consumer at it.
     */
+  private val basketGraphCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String),
+      (DataFrame, DataFrame)]
+
+  private def basketGraph(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    basketGraphCache.getOrElseUpdate((s.sparkContext.applicationId, d), {
+      val sized = BasketOps.cappedBasketItems(Tables.lineitem(s, d),
+        "l_orderkey", "l_partkey", maxBasketSize = 6).localCheckpoint(true)
+      val edges = GraphOps.coOccurrenceEdges(sized, "b", "i")
+        .localCheckpoint(true)
+      (sized, edges)
+    })
+
   private def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
-    GraphOps.coOccurrenceEdges(
-      BasketOps.cappedBasketItems(Tables.lineitem(s, d), "l_orderkey",
-        "l_partkey", maxBasketSize = 6), "b", "i")
+    basketGraph(s, d)._2
 
   private def weeklyFormatAgg(events: DataFrame): DataFrame =
     events
@@ -511,6 +603,21 @@ object SparkEntry {
           col("n_mode"))
         .orderBy("event_type")
     }),
+    // Composite-key exact mode — grades the multi-key partition path (and
+    // a much wider output than mode_stats' 5 rows): per (week, type), the
+    // most frequent cent value, ties broken deterministically by smallest
+    // value. At cents granularity most groups tie at n_mode=1, which is
+    // the point: the tie-break IS the contract under a hash compare.
+    "mode_weekly" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .withColumn("week", CoreOps.weekStart(col("ts")))
+        .withColumn("__cents", CoreOps.moneyCents(col("value")))
+      WeeklyAgg.exactMode(e, Seq("week", "event_type"), "__cents")
+        .select(col("week"), col("event_type"),
+          CoreOps.rnd(col("mode_value") / 100.0).as("mode_value"),
+          col("n_mode"))
+        .orderBy("week", "event_type")
+    }),
     // Typed Aggregator tier (SURVEY §2.H extension): exact integer moments
     // through the typed Dataset API (groupByKey → mapValues → custom
     // Aggregator). Long sums are associative+commutative → layout-
@@ -882,8 +989,8 @@ object SparkEntry {
     // branch fires on this fixture: 7-item orders exist); floor 2 bounds
     // the pair table to evidenced pairs.
     "copurchase_lift" -> ((s, d) =>
-      BasketOps.copurchaseLift(Tables.lineitem(s, d), "l_orderkey",
-        "l_partkey", maxBasketSize = 6, minPairCount = 2L)
+      BasketOps.copurchaseLiftFromItems(basketGraph(s, d)._1,
+        minPairCount = 2L)
         .orderBy("item_a", "item_b")),
 
     // Per-node triangle participation of the co-purchase graph,
@@ -1061,10 +1168,16 @@ object SparkEntry {
       val supp = Tables.supplier(s, d)
         .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey", "s_nationkey", "n_name")
+      // customer is a dimension here (~1.5 % of lineitem by TPC-H
+      // construction, and only (custkey, nationkey) survives the
+      // projection): broadcast it so the orders leg never shuffles —
+      // round-5 adjudication measured this exact join drifting to a
+      // two-sided exchange (1.29 s → 2.10 s isolated). PlanSpec pins it.
       val ord = Tables.orders(s, d)
         .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
           && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-        .join(Tables.customer(s, d),
+        .join(broadcast(Tables.customer(s, d)
+          .select("c_custkey", "c_nationkey")),
           col("o_custkey") === col("c_custkey"))
         .select("o_orderkey", "c_nationkey")
       Tables.lineitem(s, d)
@@ -1399,11 +1512,16 @@ object SparkEntry {
     // Hamming-LSH banding (bands = maxHamming + 1 → lossless by
     // pigeonhole): full corpus, no semantic block, no sample — the banded
     // pair set provably equals the brute-force Hamming scan
-    // (ExtensionOpsSpec). xxhash64 fingerprints → rows-only check here;
-    // the banding join itself is oracle-gated by simhash_quality below.
+    // (ExtensionOpsSpec). Fingerprints are the engine-replayable md5 fold
+    // (fused SimHashMd5 kernel) so the DuckDB oracle recomputes them
+    // bit-for-bit and brute-forces the full-corpus truth pairs — the hash
+    // match grades the production banding join end to end at the
+    // production radius (maxHamming=3, Manku et al. WWW'07). The xxhash64
+    // fingerprint variant (simhashBandedPairs) stays in the API,
+    // spec-pinned against its own brute-force Hamming scan.
     "simhash_hamming" -> ((s, d) =>
-      Dedup.simhashBandedPairs(Tables.documents(s, d), "doc_id", "text",
-        maxHamming = 3)
+      Dedup.simhashReplayableBandedPairs(Tables.documents(s, d), "doc_id",
+        "text", maxHamming = 3)
         .orderBy("id_a", "id_b")),
     // SimHash quality companion, oracle-gated end to end: the SAME
     // Hamming-LSH banding join as simhash_hamming (shared
@@ -1585,6 +1703,27 @@ object SparkEntry {
           col("nSeen").as("n_seen"))
         .orderBy("event_type", "event_id")
     }),
+    // Streaming exact dedup, graded (the last streaming operator without a
+    // batch-equivalence row): content coarsened to (event_type, ⌊value⌋) so
+    // the corpus has genuine duplicates, digested and deduped by
+    // dropDuplicatesWithinWatermark. WHICH row survives per digest is
+    // engine-scheduling-dependent, so the graded projection is the
+    // deterministic invariant: exactly one survivor per digest — per-type
+    // survivor counts equal DuckDB's distinct-content counts. The finite
+    // source arrives as one micro-batch (same property stream_zscore
+    // documents), so no digest's state is evicted mid-corpus and the
+    // dedup horizon covers the whole fixture.
+    "stream_dedup_final" -> ((s, d) => {
+      val src = graft.streaming.EventsStreaming
+        .readEventsStream(s, stagedEvents(s, d))
+        .withColumn("content",
+          concat_ws("|", col("event_type"), floor(col("value"))))
+      val dd = graft.streaming.EventsStreaming.streamingDedup(src, "content")
+      runStreamToTable(s, dd, "dedup")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy("event_type")
+    }),
     // Hierarchical subtotals via ROLLUP (capability beyond the reference's
     // flat group-bys).
     "rollup_orders" -> ((s, d) => {
@@ -1596,6 +1735,20 @@ object SparkEntry {
           rnd(sum(col("__cents")).cast("double") / 100.0).as("total_price"))
         .orderBy(asc_nulls_first("o_orderpriority"),
           asc_nulls_first("o_orderstatus"))
+    }),
+    // SQL entry points for the flagship aggregation path (VERDICT r5 #5):
+    // the weekly flagship and the rollup run as RAW Spark SQL through the
+    // Catalog views and grade against the SAME oracle strings as their
+    // fluent twins — one contract, two entry points, proving the SQL
+    // surface compiles the flagship shapes to value-identical results
+    // (not just the Q10 showcase).
+    "weekly_agg_orders_sql" -> ((s, d) => {
+      Catalog.registerViews(s, d)
+      s.sql(weeklyAggOrdersSparkSql)
+    }),
+    "rollup_orders_sql" -> ((s, d) => {
+      Catalog.registerViews(s, d)
+      s.sql(rollupOrdersSparkSql)
     }),
     // CUBE completes the grouping-analytics family next to rollup: all
     // 2^k dimension subsets in one pass, grouping() flags disambiguating
@@ -1933,15 +2086,10 @@ object SparkEntry {
         |  floor((quantile_cont(__cents, 0.90) / 100.0) * 10000 + 0.5) / 10000 AS price_p90
         |FROM (SELECT *, CAST(floor(value * 100 + 0.5) AS BIGINT) AS __cents FROM events) e
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "weekly_agg_orders" ->
-      """SELECT date_trunc('week', o_orderdate) AS week, o_orderpriority AS dim,
-        |  count(DISTINCT o_orderkey) AS transactions,
-        |  CASE WHEN count(__cents) = 0 THEN NULL ELSE floor((CAST(sum(__cents) AS DOUBLE) / 100.0 / count(__cents)) * 10000 + 0.5) / 10000 END AS price_mean,
-        |  floor((quantile_cont(__cents, 0.5) / 100.0) * 10000 + 0.5) / 10000 AS price_median,
-        |  floor((quantile_cont(__cents, 0.10) / 100.0) * 10000 + 0.5) / 10000 AS price_p10,
-        |  floor((quantile_cont(__cents, 0.90) / 100.0) * 10000 + 0.5) / 10000 AS price_p90
-        |FROM (SELECT *, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS __cents FROM orders) o
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "weekly_agg_orders" -> weeklyAggOrdersOracle,
+    // The SQL-entry variant shares the fluent variant's oracle verbatim:
+    // one graded contract, two engine entry points.
+    "weekly_agg_orders_sql" -> weeklyAggOrdersOracle,
     // Approx tier, fully checked: percentile_approx with accuracy >= group
     // size returns exactly the sorted element at 1-based rank ceil(q*n)
     // (probed empirically; rank formula is the sketch's exact-path query),
@@ -2428,6 +2576,17 @@ object SparkEntry {
         |SELECT event_type,
         |  floor((CAST(cents AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS mode_value,
         |  n_mode FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    "mode_weekly" ->
+      """WITH c AS (SELECT date_trunc('week', ts) AS week, event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT week, event_type, cents, CAST(count(*) AS BIGINT) AS n_mode
+        |  FROM c GROUP BY 1, 2, 3),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY week, event_type
+        |    ORDER BY n_mode DESC, cents ASC) AS rn FROM g)
+        |SELECT week, event_type,
+        |  floor((CAST(cents AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS mode_value,
+        |  n_mode FROM r WHERE rn = 1 ORDER BY week, event_type""".stripMargin,
     "typed_agg_moments" ->
       """WITH c AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
         |  FROM events WHERE value IS NOT NULL),
@@ -2863,24 +3022,11 @@ object SparkEntry {
     // the vote sum is an integer total — order-insensitive, so the
     // fingerprints are engine-exact.
     "simhash_quality" ->
-      """WITH docs AS (SELECT * FROM documents WHERE doc_id % 10 = 0 AND doc_id < 10000),
-        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM docs),
-        |th AS (SELECT doc_id,
-        |    list_reduce(list_transform(range(1, 9), i -> (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)::BIGINT), (a, x) -> a * 16 + x) AS h_lo,
-        |    list_reduce(list_transform(range(9, 17), i -> (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)::BIGINT), (a, x) -> a * 16 + x) AS h_hi
-        |  FROM toks),
-        |hl AS (SELECT doc_id, list(h_lo) AS ls, list(h_hi) AS hs FROM th GROUP BY 1),
-        |fp AS (SELECT doc_id,
-        |    list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 32), i ->
-        |      CASE WHEN list_sum(list_transform(ls, h -> CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)), (a, b) -> a | b) AS fp_lo,
-        |    list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 32), i ->
-        |      CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)), (a, b) -> a | b) AS fp_hi
-        |  FROM hl),
-        |prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CAST(bit_count(xor(a.fp_lo, b.fp_lo)) + bit_count(xor(a.fp_hi, b.fp_hi)) AS INT) AS hamming
-        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, hamming FROM prs WHERE hamming <= 7
-        |ORDER BY id_a, id_b""".stripMargin,
+      simhashBruteOracle("WHERE doc_id % 10 = 0 AND doc_id < 10000", 7),
+    // Full-corpus truth at the production radius: DuckDB refolds every
+    // document's md5 fingerprint and brute-forces all pairs — quadratic is
+    // fine oracle-side at sf0.01 (the engine side stays the banded join).
+    "simhash_hamming" -> simhashBruteOracle("", 3),
     "knn_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10),
         |p AS (SELECT qid, e.vec_id AS cid, list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) AS cos
@@ -3053,12 +3199,17 @@ object SparkEntry {
         |       ELSE floor(((value - m) / sd) * 10000 + 0.5) / 10000 END AS z,
         |  n_seen
         |FROM w ORDER BY event_type, event_id""".stripMargin,
-    "rollup_orders" ->
-      """SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
-        |  floor((CAST(sum(__cents) AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS total_price
-        |FROM (SELECT *, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS __cents FROM orders) o
-        |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
-        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    // One survivor per digest is the deterministic dedup invariant: the
+    // per-type survivor count equals the distinct coarsened-content count.
+    // concat_ws renders floor() differently per engine ("42" vs "42.0")
+    // but injectively per (type, bucket) pair, so the DISTINCT cardinality
+    // is engine-independent; null args are skipped identically.
+    "stream_dedup_final" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT concat_ws('|', event_type, floor(value))) AS BIGINT) AS n_kept
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rollup_orders" -> rollupOrdersOracle,
+    "rollup_orders_sql" -> rollupOrdersOracle,
     "cube_orders" ->
       """SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
         |  floor((CAST(sum(__cents) AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS total_price,

@@ -66,6 +66,57 @@ object HashKernels {
     r
   }
 
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Engine-replayable SimHash — bit-identical to
+    * `graft.ops.Dedup.simhashReplayable64Composed` (pinned by
+    * ExtensionOpsSpec): per space-split token (empty segments kept, as in
+    * [[simhash64]]), the token hash is md5's first 8 bytes read as two
+    * big-endian 32-bit halves packed `(hi << 32) | lo` — exactly the
+    * `conv(substring(md5(t), 1|9, 8), 16, 10)` fold any engine with md5 +
+    * string ops reproduces (the DuckDB oracle refolds it per hex digit).
+    * The composed form pays two 32-bit higher-order-function folds per row
+    * — the same per-bit lambda tax that made composed SimHash64 21.3 s at
+    * sf0.1 — where this kernel makes the one pass the algorithm needs.
+    * Votes per bit position are independent, so a single 64-bit vote over
+    * the packed hash equals the composed form's two 32-bit votes.
+    */
+  def simhashMd5(s: UTF8String): Long = {
+    val md = md5Local.get()
+    val bytes = s.getBytes
+    val n = bytes.length
+    val votes = new Array[Int](64)
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == 0x20) {
+        md.reset()
+        md.update(bytes, start, i - start)
+        val d = md.digest()
+        val lo = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        val hi = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+          ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+        val h = (hi << 32) | lo
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var r = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) r |= (1L << b)
+      b += 1
+    }
+    r
+  }
+
   /** Bit-identical to the composed
     * `transform(sequence(0, k-1), i -> array_min(transform(shingles, t ->
     * xxhash64(i, t))))` over `array_distinct` shingles: the k chained seeds
@@ -208,6 +259,37 @@ object SimHash64 {
 
   /** Column-API entry point. */
   def simhash(text: Column): Column = column(SimHash64(expression(text)))
+}
+
+/** Engine-replayable md5-fold SimHash as a native codegen'd expression —
+  * the fused form of [[HashKernels.simhashMd5]] (see there for the exact
+  * composed semantics it matches bit-for-bit). Exists so the
+  * oracle-replayable fingerprint can run over the FULL corpus at bench
+  * scale: the composed two-half HOF fold pays Catalyst's per-bit lambda
+  * machinery exactly like composed SimHash64 did (21.3 s at sf0.1).
+  */
+case class SimHashMd5(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.simhashMd5(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashKernels.simhashMd5($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashMd5 =
+    copy(newChild)
+}
+
+object SimHashMd5 {
+  import org.apache.spark.sql.GraftExpressionBridge._
+
+  /** Column-API entry point. */
+  def simhash(text: Column): Column = column(SimHashMd5(expression(text)))
 }
 
 /** k-wide MinHash signature (`ARRAY<BIGINT>`) as a native codegen'd

@@ -57,9 +57,18 @@ object BasketOps {
   }
 
   def copurchaseLift(df: DataFrame, basketCol: String, itemCol: String,
-                     maxBasketSize: Int, minPairCount: Long): DataFrame = {
+                     maxBasketSize: Int, minPairCount: Long): DataFrame =
+    copurchaseLiftFromItems(
+      cappedBasketItems(df, basketCol, itemCol, maxBasketSize), minPairCount)
+
+  /** The lift computation over a prepared `(b, i)` incidence frame — split
+    * out so callers sharing the capped incidence across several graph/basket
+    * operators (SparkEntry's graph tier memoizes it) don't re-run the
+    * sizing window per query.
+    */
+  def copurchaseLiftFromItems(sized: DataFrame,
+                              minPairCount: Long): DataFrame = {
     require(minPairCount >= 1, s"minPairCount=$minPairCount must be positive")
-    val sized = cappedBasketItems(df, basketCol, itemCol, maxBasketSize)
 
     val nBaskets = sized.select(col("b")).distinct()
       .agg(count(lit(1)).as("n_baskets"))

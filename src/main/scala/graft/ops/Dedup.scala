@@ -448,11 +448,22 @@ object Dedup {
     * Spark). Precondition: non-null text (the corpus contract; a null
     * would fingerprint as 0 here but vanish from a SQL unnest).
     *
-    * Cost shape: two 32-bit HOF folds per row — fine for the bounded
-    * quality slice it grades; the full-corpus path stays on the fused
-    * [[graft.expressions.SimHash64]] kernel.
+    * Fused native expression ([[graft.expressions.SimHashMd5]]): one pass
+    * over the tokens updating all 64 vote counters, bit-identical to
+    * [[simhashReplayable64Composed]] (pinned by ExtensionOpsSpec). The
+    * composed two-half HOF fold was fine for the bounded quality slice it
+    * originally graded; the fused kernel lets the replayable fingerprint
+    * run over the FULL corpus, which is what lets `simhash_hamming` carry
+    * a DuckDB oracle at all.
     */
-  def simhashReplayable64(textCol: String): Column = {
+  def simhashReplayable64(textCol: String): Column =
+    graft.expressions.SimHashMd5.simhash(col(textCol))
+
+  /** The composed formulation, kept as the spec's reference semantics for
+    * the fused [[graft.expressions.SimHashMd5]] kernel (same role as
+    * [[simhash64Composed]] for the xxhash64 kernel).
+    */
+  private[graft] def simhashReplayable64Composed(textCol: String): Column = {
     def half(off: Int): Column = expr(
       s"""transform(array(transform(split($textCol, ' '), t ->
          |    CAST(conv(substring(md5(t), $off, 8), 16, 10) AS BIGINT))), hs ->

@@ -101,12 +101,20 @@ object WeeklyAgg {
     * below the exchange like any rank<=k filter. Null values are excluded
     * (the mode of the DEFINED values, `mode()`'s own convention).
     */
-  def exactMode(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+  def exactMode(df: DataFrame, keyCol: String, valueCol: String): DataFrame =
+    exactMode(df, Seq(keyCol), valueCol)
+
+  /** Composite-key variant — same two-shape plan, partitioned by all key
+    * columns (the per-(week, dim) mode a reporting rollup wants).
+    */
+  def exactMode(df: DataFrame, keyCols: Seq[String],
+                valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(keyCols.nonEmpty, "exactMode needs at least one key column")
     val counted = df.where(col(valueCol).isNotNull)
-      .groupBy(col(keyCol), col(valueCol))
+      .groupBy((keyCols.map(col) :+ col(valueCol)): _*)
       .agg(count(lit(1)).as("n_mode"))
-    val w = Window.partitionBy(col(keyCol))
+    val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("n_mode").desc, col(valueCol).asc)
     counted.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)

@@ -390,6 +390,20 @@ class PlanSpec extends SparkTestBase {
       !plan.contains("windowspecdefinition()"), plan)
   }
 
+  test("q5: customer dimension broadcasts — the orders leg never two-side shuffles") {
+    // Round-5 adjudication caught this exact join drifting from broadcast
+    // to a two-sided exchange (1.29 s → 2.10 s isolated): customer is
+    // dimension-scale by TPC-H construction (~1.5 % of lineitem) and only
+    // (c_custkey, c_nationkey) survives the projection, so orders must
+    // probe a broadcast, not shuffle.
+    val plan = executedSimple(
+      SparkEntry.queries("q5_local_supplier_volume")(spark, sf))
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("SortMergeJoin") && l.contains("c_custkey")),
+      s"customer join regressed to sort-merge:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("graph tier: wedge and closing joins are equi — no cartesian, no nested loop") {
     for (q <- Seq("triangle_count", "link_predict")) {
       val plan = executedSimple(SparkEntry.queries(q)(spark, sf))

@@ -495,10 +495,11 @@ class ExtensionOpsSpec extends SparkTestBase {
   }
 
   test("fused SimHash64 is bit-identical to the composed built-ins") {
-    // The graded simhash_hamming rows are no_oracle, so bit-identity to the
-    // round-2 composable formulation IS the correctness contract for the
-    // fused kernel — on real testdata (covers multi-space runs, punctuation,
-    // every lang) plus adversarial edges the corpus may lack.
+    // Bit-identity to the round-2 composable formulation IS the
+    // correctness contract for the fused kernel (xxhash64 is not
+    // replayable outside Spark, so no SQL oracle can gate it) — on real
+    // testdata (covers multi-space runs, punctuation, every lang) plus
+    // adversarial edges the corpus may lack.
     val d = graft.Tables.documents(spark, sfTest)
       .select($"text")
       .union(Seq("", " ", "  ", "a  b ", " leading", "trailing ",
@@ -514,6 +515,25 @@ class ExtensionOpsSpec extends SparkTestBase {
     // null in → null out, matching the composed expression
     val n = Seq(Tuple1(Option.empty[String])).toDF("text")
       .select(Dedup.simhash64("text")).collect().head
+    assert(n.isNullAt(0))
+  }
+
+  test("fused SimHashMd5 is bit-identical to the composed md5 fold") {
+    // The graded simhash_hamming query runs the banding join over THIS
+    // fingerprint at full corpus; the DuckDB oracle refolds it per hex
+    // digit, and this pin ties the fused kernel to the composed Spark
+    // formulation the oracle SQL mirrors.
+    val d = graft.Tables.documents(spark, sfTest)
+      .select($"text")
+      .union(Seq("", " ", "  ", "a  b ", " leading", "trailing ",
+        "único café naïve 東京 züge").toDF("text"))
+    val diff = d.select(
+        Dedup.simhashReplayable64("text").as("fast"),
+        Dedup.simhashReplayable64Composed("text").as("ref"))
+      .where($"fast" =!= $"ref" || ($"fast".isNull =!= $"ref".isNull))
+    assert(diff.count() == 0)
+    val n = Seq(Tuple1(Option.empty[String])).toDF("text")
+      .select(Dedup.simhashReplayable64("text")).collect().head
     assert(n.isNullAt(0))
   }
 
