@@ -298,6 +298,21 @@ object Dedup {
     *
     * Returns (id, component) where component = min id of the group.
     */
+  /** Free the RDD blocks behind a `localCheckpoint()`ed frame once it is
+    * superseded. `Dataset.unpersist()` cannot do this (it talks to the
+    * CacheManager, which never saw a checkpoint), so the blocks of every
+    * label generation otherwise live until driver GC happens to feed the
+    * ContextCleaner — O(rounds) dead block sets on a long-diameter graph,
+    * and a measured cross-query bench-contamination source in a shared
+    * JVM. The checkpointed RDD sits in the plan as a public `LogicalRDD`
+    * leaf; unpersisting is async (non-blocking) and safe because callers
+    * only pass generations no later plan reads.
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   def clusterPairs(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     // Undirected edge list, both directions. Materialized ONCE: the edge
     // plan (often an LSH candidate join + exact verification) feeds every
@@ -345,6 +360,11 @@ object Dedup {
       // rounds; real near-dup graphs converge in 2-3, so checking beats
       // always paying the worst-case cap.
       converged = next.where(col("changed")).count() == 0L
+      // The count above materialized `next`'s checkpoint, so the previous
+      // generation's blocks are dead — free them now (see
+      // unpersistCheckpoint) instead of accumulating one block set per
+      // round for the rest of the JVM.
+      unpersistCheckpoint(labels)
       labels = next.select("id", "component")
       round += 1
     }
@@ -355,6 +375,10 @@ object Dedup {
       throw new IllegalStateException(
         s"clusterPairs did not converge in $maxIter rounds; " +
           "the pair graph's diameter exceeds maxIter — raise it")
+    // The returned generation's lineage is truncated at its own
+    // checkpoint, so the edge list's blocks are no longer reachable from
+    // any live plan either.
+    unpersistCheckpoint(edges)
     labels
   }
 
