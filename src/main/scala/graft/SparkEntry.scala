@@ -152,14 +152,18 @@ object SparkEntry {
     * the same exact longs), same floor-rounding chain.
     */
   private val weeklyAggOrdersSparkSql =
-    """SELECT date_trunc('week', o_orderdate) AS week, o_orderpriority AS dim,
-      |  count(DISTINCT o_orderkey) AS transactions,
-      |  CASE WHEN count(__cents) = 0 THEN CAST(NULL AS DOUBLE) ELSE floor((CAST(sum(__cents) AS DOUBLE) / 100.0 / count(__cents)) * 10000 + 0.5) / 10000 END AS price_mean,
-      |  floor((percentile(__cents, 0.5) / 100.0) * 10000 + 0.5) / 10000 AS price_median,
-      |  floor((percentile(__cents, 0.10) / 100.0) * 10000 + 0.5) / 10000 AS price_p10,
-      |  floor((percentile(__cents, 0.90) / 100.0) * 10000 + 0.5) / 10000 AS price_p90
-      |FROM (SELECT *, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS __cents FROM orders) o
-      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    """SELECT week, dim, transactions, price_mean,
+      |  floor((__pcts[0] / 100.0) * 10000 + 0.5) / 10000 AS price_median,
+      |  floor((__pcts[1] / 100.0) * 10000 + 0.5) / 10000 AS price_p10,
+      |  floor((__pcts[2] / 100.0) * 10000 + 0.5) / 10000 AS price_p90
+      |FROM (
+      |  SELECT date_trunc('week', o_orderdate) AS week, o_orderpriority AS dim,
+      |    count(DISTINCT o_orderkey) AS transactions,
+      |    CASE WHEN count(__cents) = 0 THEN CAST(NULL AS DOUBLE) ELSE floor((CAST(sum(__cents) AS DOUBLE) / 100.0 / count(__cents)) * 10000 + 0.5) / 10000 END AS price_mean,
+      |    percentile(__cents, array(0.50D, 0.10D, 0.90D)) AS __pcts
+      |  FROM (SELECT *, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS __cents FROM orders) o
+      |  GROUP BY 1, 2)
+      |ORDER BY 1, 2""".stripMargin
 
   private val rollupOrdersSparkSql =
     """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
@@ -1202,6 +1206,22 @@ object SparkEntry {
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
         .orderBy("split")),
+    // Leakage-safe split: buckets by content digest so exact duplicates
+    // can never straddle train/test. Graded contract: per-split doc and
+    // distinct-digest counts (DuckDB replays digest + bucket fold) plus
+    // the leakage invariant itself — max splits touched by any digest is
+    // exactly 1.
+    "leakage_safe_split" -> ((s, d) => {
+      val split = CorpusOps.leakageSafeSplit(Tables.documents(s, d), "text",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      val perSplit = split.groupBy("split").agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("digest")).as("n_digests"))
+      val leak = split.groupBy("digest")
+        .agg(count_distinct(col("split")).as("ns"))
+        .agg(max("ns").as("max_splits_per_digest"))
+      perSplit.crossJoin(broadcast(leak)).orderBy("split")
+    }),
     // Concat-then-chunk context-window packing per language shard; pure
     // integer window arithmetic, fully oracle-checked.
     "pack_sequences" -> ((s, d) =>
@@ -2708,6 +2728,21 @@ object SparkEntry {
         |  FROM b)
         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "leakage_safe_split" ->
+      """WITH dd AS (SELECT doc_id, md5(text) AS digest FROM documents),
+        |b AS (SELECT doc_id, digest,
+        |    list_reduce(list_transform(range(1, 9),
+        |      i -> (strpos('0123456789abcdef', substr(md5(digest), i, 1)) - 1)::BIGINT),
+        |      (a, x) -> a * 16 + x) % 100 AS bucket
+        |  FROM dd),
+        |s AS (SELECT doc_id, digest,
+        |    CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM b),
+        |leak AS (SELECT CAST(max(ns) AS BIGINT) AS max_splits_per_digest
+        |  FROM (SELECT digest, count(DISTINCT split) AS ns FROM s GROUP BY 1))
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT digest) AS BIGINT) AS n_digests, max_splits_per_digest
+        |FROM s CROSS JOIN leak GROUP BY split, max_splits_per_digest ORDER BY split""".stripMargin,
     "pack_sequences" ->
       """WITH t AS (SELECT doc_id, lang AS shard,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),

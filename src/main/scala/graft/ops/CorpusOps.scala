@@ -49,6 +49,24 @@ object CorpusOps {
     df.withColumn("split", chain)
   }
 
+  /** Leakage-safe (group-aware) split: buckets by the CONTENT digest
+    * instead of the row id, so every exact duplicate of a document lands
+    * in the same split BY CONSTRUCTION — the standard guard against
+    * train/test leakage through duplicated examples (id-keyed splits
+    * scatter a document's copies across splits, silently inflating eval).
+    * Adds a `digest` column (md5 of the content bytes) next to `split`.
+    * Still map-only: digest and bucket are pure expressions, nothing
+    * exchanges. Near-duplicate leakage needs the dedup tier first (drop
+    * near-dups, then split); the exact-dup invariant alone is what this
+    * operator guarantees.
+    */
+  def leakageSafeSplit(df: DataFrame, contentCol: String,
+                       splits: Seq[(String, Int)],
+                       buckets: Int = 100): DataFrame =
+    assignSplit(
+      df.withColumn("digest", md5(col(contentCol).cast("binary"))),
+      "digest", splits, buckets)
+
   /** Deterministic content-addressed downsampling: keep a row iff its md5
     * bucket falls below `fraction` of the bucket space — the sampling
     * companion of [[assignSplit]] (same hash, so samples are reproducible

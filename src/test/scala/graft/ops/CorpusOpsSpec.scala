@@ -31,6 +31,25 @@ class CorpusOpsSpec extends SparkTestBase {
       CorpusOps.assignSplit(docs, "doc_id", Seq("a" -> 50, "b" -> 40)))
   }
 
+  test("leakageSafeSplit: exact duplicates can never straddle splits") {
+    // the smoke fixture has unique texts, so plant duplicate groups with
+    // ids spread far apart — an id-keyed split scatters such copies
+    // across splits, the digest-keyed split cannot
+    val docs = graft.Tables.documents(spark, sfTest).select("doc_id", "text")
+      .unionByName((1 to 30).map(i =>
+        (900000L + i, s"planted duplicate body ${i % 3}")).toDF("doc_id", "text"))
+    val s = CorpusOps.leakageSafeSplit(docs, "text",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    assert(s.groupBy("digest").agg(count_distinct(col("split")).as("ns"))
+      .where(col("ns") > 1).count() == 0)
+    // still a complete partition of the corpus
+    assert(s.count() == docs.count())
+    assert(s.where(col("split").isNull).count() == 0)
+    // and genuinely group-aware: the planted digests have >1 copy, so the
+    // invariant above is not vacuous
+    assert(s.groupBy("digest").count().where(col("count") > 1).count() >= 3)
+  }
+
   test("deterministicSample: reproducible, near-fraction, and nested") {
     val docs = graft.Tables.documents(spark, sfTest)
     val s30 = CorpusOps.deterministicSample(docs, "doc_id", 0.3)
