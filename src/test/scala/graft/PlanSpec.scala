@@ -92,6 +92,21 @@ class PlanSpec extends SparkTestBase {
       s"fact rows shuffled without map-side combine:\n$plan")
   }
 
+  test("SQL entry variant keeps the fluent plan shape: two hash exchanges, partials map-side") {
+    // weekly_agg_orders_sql is the raw-SQL spelling of the flagship
+    // aggregation; it must compile to the same two-exchange
+    // count_distinct-rewrite shape (plus only the grading sort's range
+    // exchange), with the shared percentile array buffer — three separate
+    // percentile calls cost 2× (measured) and would show up here as the
+    // same exchange count but was caught by the bench; the exchange pin
+    // guards the structural half of parity.
+    val plan = executedSimple(
+      SparkEntry.queries("weekly_agg_orders_sql")(spark, sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected 2 hash exchanges:\n$plan")
+    assert(plan.contains("partial"), s"no map-side combine:\n$plan")
+  }
+
   test("exact dedup groups: one exchange keyed by the digest, partials map-side") {
     val d = Tables.documents(spark, sf)
     val plan = executedSimple(Dedup.exactGroups(d, "doc_id", "text"))
