@@ -1402,6 +1402,43 @@ object SparkEntry {
     "dedup_groups" -> ((s, d) =>
       Dedup.clusterPairs(gradedVerifiedPairs(s, d))
         .orderBy("id")),
+    // Near-dup-group-aware split: leakage_safe_split's guarantee extended
+    // from exact duplicates to NEAR duplicates — the split key is the
+    // connected-component label of the verified near-dup graph, so no
+    // near-dup pair can straddle train/test. Shares the memoized verified
+    // pair subplan and the CC operator with dedup_groups; the oracle
+    // rebuilds components with the recursive transitive closure and the
+    // leakage invariant (n_cross == 0) grades as a VALUE, not a comment.
+    // Threshold 0.8 for the same reason dedup_keep_canonical uses it: at
+    // 0.5 this token-bag corpus collapses into one giant component and
+    // every doc lands in one split — real structure only above it. The
+    // 0.8 pair set is the shared 0.5 subplan re-filtered (exact equality).
+    "neardup_safe_split" -> ((s, d) => {
+      val slice = Tables.documents(s, d)
+        .where(pmod(col("doc_id"), lit(10)) === 0)
+        .select("doc_id")
+      val pairs = gradedVerifiedPairs(s, d)
+        .where(col("jaccard") >= 0.8).select("id_a", "id_b")
+      val comp = Dedup.clusterPairs(pairs).withColumnRenamed("id", "doc_id")
+      val docs = slice.join(comp, Seq("doc_id"), "left")
+        .withColumn("component", coalesce(col("component"), col("doc_id")))
+      val sp = CorpusOps.assignSplit(docs, "component",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      val cross = pairs
+        .join(sp.select(col("doc_id").as("id_a"), col("split").as("sa")),
+          "id_a")
+        .join(sp.select(col("doc_id").as("id_b"), col("split").as("sb")),
+          "id_b")
+        .agg(
+          coalesce(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)),
+            lit(0L)).as("n_cross"),
+          count(lit(1)).as("n_pairs"))
+      sp.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("component")).as("n_components"))
+        .crossJoin(broadcast(cross))
+        .orderBy("split")
+    }),
     // Near-dup REMOVAL (what a pipeline actually executes): min-id
     // canonical per component survives, other members drop, singletons
     // pass through. The oracle rebuilds components with its recursive
@@ -2917,6 +2954,37 @@ object SparkEntry {
         |  UNION
         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
         |SELECT src AS id, min(dst) AS component FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    "neardup_safe_split" ->
+      """WITH RECURSIVE docs AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+        |toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM docs),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt FROM toks GROUP BY 1),
+        |prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (SELECT id_a, id_b,
+        |  floor((CAST(shared AS DOUBLE) / (sa.nt + sb.nt - shared)) * 10000 + 0.5) / 10000 AS jaccard
+        |  FROM prs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id),
+        |near AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.8),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM near UNION SELECT id_b, id_a FROM near),
+        |reach(src, dst) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp0 AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY 1),
+        |withc AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+        |  FROM docs d LEFT JOIN comp0 c ON d.doc_id = c.doc_id),
+        |sp AS (SELECT doc_id, component,
+        |    CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id, component,
+        |      list_reduce(list_transform(range(1, 9),
+        |        i -> (strpos('0123456789abcdef', substr(md5(CAST(component AS VARCHAR)), i, 1)) - 1)::BIGINT),
+        |        (a, x) -> a * 16 + x) % 100 AS bucket FROM withc)),
+        |x AS (SELECT CAST(coalesce(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cross,
+        |    CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM near JOIN sp sa ON near.id_a = sa.doc_id JOIN sp sb ON near.id_b = sb.doc_id)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT component) AS BIGINT) AS n_components, n_cross, n_pairs
+        |FROM sp CROSS JOIN x GROUP BY split, n_cross, n_pairs ORDER BY split""".stripMargin,
     "dedup_keep_canonical" ->
       """WITH RECURSIVE docs AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
         |toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM docs),
