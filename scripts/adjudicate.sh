@@ -7,6 +7,11 @@
 # full-run numbers (round 5 measured up to 12x before Bench's per-query
 # cleanup landed); a ratio near 1 means the full-run numbers are honest.
 #
+# The isolated runs are pinned to the SAME sf dir and CPU count the
+# snapshot records ("sf"/"cpus" in the bench JSON), so the comparison is
+# config-for-config — dividing a local[32] full run by a local[4]
+# isolated run would read as contamination that isn't there.
+#
 # Usage: scripts/adjudicate.sh [N] [bench-json]
 #   N          how many top queries to re-time (default 5)
 #   bench-json a full-run Bench output file (default target/bench.json,
@@ -20,9 +25,17 @@ if [ ! -f "$BENCH" ]; then
   exit 1
 fi
 # isolated runs rewrite target/bench.json; adjudicate against a snapshot
+# and RESTORE the full-run record on exit so the durable file keeps being
+# the last full bench, not the last single-query re-time
 SNAP=$(mktemp)
-trap 'rm -f "$SNAP"' EXIT
+trap 'cp "$SNAP" "$BENCH" 2>/dev/null || true; rm -f "$SNAP"' EXIT
 cp "$BENCH" "$SNAP"
+
+read -r SF CPUS <<EOF
+$(python3 -c "import json;b=json.load(open('$SNAP'));print(b.get('sf',''), b.get('cpus','4'))")
+EOF
+export SPARK_GRAFT_SF_DIR="${SF:-/root/testdata/sf0.1}"
+export SPARK_GRAFT_CPUS="${CPUS:-4}"
 
 TOP=$(python3 - "$SNAP" "$N" <<'EOF'
 import json, sys
@@ -35,9 +48,15 @@ EOF
 )
 
 printf '%-28s %10s %10s %7s\n' query full_run isolated ratio
+first=1
 while read -r name full; do
+  # settle between JVMs: a dying 32-thread JVM's shutdown/GC overlaps the
+  # next launch and was measured inflating an isolated run 13 s -> 41 s
+  [ "$first" = 1 ] && first=0 || sleep 10
+  # </dev/null: sbt's stdin reader would otherwise drain the remaining
+  # here-string lines and truncate the loop to its first iteration
   if ! SPARK_GRAFT_QUERIES="$name" sbt -batch "runMain graft.Bench" \
-      >/dev/null 2>&1; then
+      >/dev/null 2>&1 </dev/null; then
     printf '%-28s %10s %10s %7s\n' "$name" "$full" FAILED -
     continue
   fi
@@ -45,7 +64,9 @@ while read -r name full; do
 import json, sys
 name, full = sys.argv[1], float(sys.argv[2])
 iso = json.load(open("target/bench.json"))["queries"][name]
-ratio = full / iso if iso > 0 else float("nan")
-print(f"{name:<28} {full:>10.2f} {iso:>10.2f} {ratio:>6.1f}x")
+if iso <= 0:  # Bench records -1.0 for a query that threw (sbt still exits 0)
+    print(f"{name:<28} {full:>10.2f} {'FAILED':>10} {'-':>7}")
+else:
+    print(f"{name:<28} {full:>10.2f} {iso:>10.2f} {full / iso:>6.1f}x")
 EOF
 done <<< "$TOP"

@@ -112,8 +112,11 @@ object Bench {
     // not be summed: subtracting 1s per failure would let a broken query
     // LOWER the headline total.
     val total = results.map(_._2).filter(_ >= 0).sum
+    // "cpus" rides along so scripts/adjudicate.sh can re-run isolated
+    // queries under the SAME parallelism as the full run it adjudicates —
+    // a local[4]-vs-local[32] mismatch would masquerade as contamination.
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":"$cpus"}"""
     println(line)
     // Durability: the driver captures stdout with a bounded tail, which
     // has truncated past rounds' per-query entries — the file is the

@@ -27,11 +27,18 @@ object Catalog {
 
   def registerViews(spark: SparkSession, sfDir: String): Unit = {
     val key = spark.sparkContext.applicationId + "|" + sfDir
-    if (lastRegistered.getAndSet(key) != key)
+    // Commit the memo only AFTER the loop succeeds: marking first would
+    // turn a transient mid-loop read failure into a permanently poisoned
+    // no-op (every later call skips, queries fail TABLE_OR_VIEW_NOT_FOUND
+    // for the rest of the JVM). Concurrent duplicate registration is
+    // harmless — createOrReplaceTempView is idempotent.
+    if (lastRegistered.get() != key) {
       tableNames.foreach { t =>
         val df = if (t == "events") Tables.events(spark, sfDir)
                  else Tables(spark, sfDir, t)
         df.createOrReplaceTempView(t)
       }
+      lastRegistered.set(key)
+    }
   }
 }
