@@ -1455,6 +1455,22 @@ object SparkEntry {
         gradedVerifiedPairs(s, d).where(col("jaccard") >= 0.8))
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy("doc_id")),
+    // Quality-aware canonical keep: per near-dup component the HIGHEST
+    // quality-score member survives (ties → smallest id) — what a
+    // curation pipeline actually wants from dedup (keep the best copy,
+    // not the arbitrary min-id one). The oracle rebuilds components via
+    // the recursive closure AND replays the quality formula (both already
+    // individually graded), so the argmax selection itself hash-gates.
+    "dedup_keep_best" -> ((s, d) => {
+      val slice = Tables.documents(s, d)
+        .where(pmod(col("doc_id"), lit(10)) === 0)
+      Dedup.keepBestPerComponent(
+        TextFunctions.withQualityColumns(slice, "text"),
+        "doc_id", "quality",
+        gradedVerifiedPairs(s, d).where(col("jaccard") >= 0.8))
+        .select(col("component"), col("keep_id"), col("score").as("quality"))
+        .orderBy("component")
+    }),
     "text_stats" -> ((s, d) => {
       import CoreOps.rnd
       Tables.documents(s, d)
@@ -2954,6 +2970,40 @@ object SparkEntry {
         |  UNION
         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
         |SELECT src AS id, min(dst) AS component FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_keep_best" ->
+      """WITH RECURSIVE docs AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+        |toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM docs),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt FROM toks GROUP BY 1),
+        |prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jac AS (SELECT id_a, id_b,
+        |  floor((CAST(shared AS DOUBLE) / (sa.nt + sb.nt - shared)) * 10000 + 0.5) / 10000 AS jaccard
+        |  FROM prs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id),
+        |near AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM near UNION SELECT id_b, id_a FROM near),
+        |reach(src, dst) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp0 AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY 1),
+        |q AS (SELECT doc_id,
+        |    floor((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5 + stop_ratio * 0.3 + (1.0 - digit_ratio) * 0.2) * 10000 + 0.5) / 10000 AS quality
+        |  FROM (SELECT doc_id, n_tokens,
+        |      floor((CAST(hits AS DOUBLE) / greatest(n_tokens, 1)) * 10000 + 0.5) / 10000 AS stop_ratio,
+        |      floor((CASE WHEN lc = 0 THEN 0.0 ELSE CAST(lc - lnd AS DOUBLE) / lc END) * 10000 + 0.5) / 10000 AS digit_ratio
+        |    FROM (SELECT doc_id,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |        CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','and','of','to'], t))) AS BIGINT) AS hits,
+        |        length(text) AS lc,
+        |        length(regexp_replace(text, '[0-9]', '', 'g')) AS lnd
+        |      FROM docs))),
+        |withc AS (SELECT q.doc_id, coalesce(c.component, q.doc_id) AS component, q.quality
+        |  FROM q LEFT JOIN comp0 c ON q.doc_id = c.doc_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY component
+        |    ORDER BY quality DESC, doc_id ASC) AS rn FROM withc)
+        |SELECT component, doc_id AS keep_id, quality
+        |FROM r WHERE rn = 1 ORDER BY component""".stripMargin,
     "neardup_safe_split" ->
       """WITH RECURSIVE docs AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
         |toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM docs),

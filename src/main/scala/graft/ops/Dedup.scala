@@ -382,6 +382,32 @@ object Dedup {
     labels
   }
 
+  /** Quality-aware canonical selection: per connected component of the
+    * near-dup pair graph, keep the member MAXIMIZING `scoreCol` (ties →
+    * smallest id); singletons keep themselves. The curation-pipeline
+    * variant of min-id canonical keep — a pipeline deduplicating training
+    * data wants the best copy of each duplicate cluster to survive, not
+    * an arbitrary one. Returns (component, keep_id, score).
+    *
+    * Scale shape: the component labels come from [[clusterPairs]] (pair
+    * cardinality), the score attach is an id-keyed left join, and the
+    * top-1-per-component filter pushes into WindowGroupLimit below the
+    * component exchange like any rank<=k window.
+    */
+  def keepBestPerComponent(df: DataFrame, idCol: String, scoreCol: String,
+                           pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = clusterPairs(pairs)
+    val docs = df.select(col(idCol).as("id"), col(scoreCol).as("score"))
+      .join(comp, Seq("id"), "left")
+      .withColumn("component", coalesce(col("component"), col("id")))
+    val w = Window.partitionBy("component")
+      .orderBy(col("score").desc, col("id").asc)
+    docs.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("component"), col("id").as("keep_id"), col("score"))
+  }
+
   /** 64-bit SimHash over token hashes: bit i of the result is the sign of
     * the (+1/-1) vote sum across tokens. Pure per-row expression.
     *
