@@ -419,6 +419,20 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("keepBestPerComponent: the argmax filter pushes into WindowGroupLimit") {
+    // same contract as mode_stats/knnBrute: top-1-per-component must limit
+    // below the exchange, not rank every member globally
+    val docs = Tables.documents(spark, sf)
+    val pairs = Dedup.verifiedNearDupPairs(
+      docs.where(pmod(col("doc_id"), lit(10)) === 0), "doc_id", "text", 0.8)
+    val plan = executedSimple(Dedup.keepBestPerComponent(
+      graft.functions.TextFunctions.withQualityColumns(
+        docs.where(pmod(col("doc_id"), lit(10)) === 0), "text"),
+      "doc_id", "quality", pairs))
+    assert(plan.contains("WindowGroupLimit"),
+      s"keep-best top-1 did not push into WindowGroupLimit:\n$plan")
+  }
+
   test("graph tier: wedge and closing joins are equi — no cartesian, no nested loop") {
     for (q <- Seq("triangle_count", "link_predict")) {
       val plan = executedSimple(SparkEntry.queries(q)(spark, sf))
