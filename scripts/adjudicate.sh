@@ -31,8 +31,10 @@ SNAP=$(mktemp)
 trap 'cp "$SNAP" "$BENCH" 2>/dev/null || true; rm -f "$SNAP"' EXIT
 cp "$BENCH" "$SNAP"
 
-read -r SF CPUS <<EOF
-$(python3 -c "import json;b=json.load(open('$SNAP'));print(b.get('sf',''), b.get('cpus','4'))")
+# one value per line: a space-separated read would field-shift (CPUS
+# landing in SF) whenever the snapshot's "sf" is empty
+{ read -r SF; read -r CPUS; } <<EOF
+$(python3 -c "import json;b=json.load(open('$SNAP'));print(b.get('sf',''));print(b.get('cpus','4'))")
 EOF
 export SPARK_GRAFT_SF_DIR="${SF:-/root/testdata/sf0.1}"
 export SPARK_GRAFT_CPUS="${CPUS:-4}"
@@ -47,7 +49,7 @@ for name, sec in qs[: int(sys.argv[2])]:
 EOF
 )
 
-printf '%-28s %10s %10s %7s\n' query full_run isolated ratio
+printf '%-28s %10s %22s %10s %7s\n' query full_run full_spread isolated ratio
 first=1
 while read -r name full; do
   # settle between JVMs: a dying 32-thread JVM's shutdown/GC overlaps the
@@ -57,16 +59,22 @@ while read -r name full; do
   # here-string lines and truncate the loop to its first iteration
   if ! SPARK_GRAFT_QUERIES="$name" sbt -batch "runMain graft.Bench" \
       >/dev/null 2>&1 </dev/null; then
-    printf '%-28s %10s %10s %7s\n' "$name" "$full" FAILED -
+    printf '%-28s %10s %22s %10s %7s\n' "$name" "$full" - FAILED -
     continue
   fi
-  python3 - "$name" "$full" <<'EOF'
+  python3 - "$name" "$full" "$SNAP" <<'EOF'
 import json, sys
 name, full = sys.argv[1], float(sys.argv[2])
-iso = json.load(open("target/bench.json"))["queries"][name]
+# .get-guarded: an isolated run whose JSON lacks the query (filter typo,
+# partial write) must print FAILED, not traceback with a KeyError
+iso = json.load(open("target/bench.json")).get("queries", {}).get(name, -1.0)
+snap = json.load(open(sys.argv[3]))
+# full-run per-run spread (Bench's "spread" key; older snapshots lack it)
+runs = snap.get("spread", {}).get(name)
+sp = "[" + " ".join(f"{r:.2f}" for r in runs) + "]" if runs else "-"
 if iso <= 0:  # Bench records -1.0 for a query that threw (sbt still exits 0)
-    print(f"{name:<28} {full:>10.2f} {'FAILED':>10} {'-':>7}")
+    print(f"{name:<28} {full:>10.2f} {sp:>22} {'FAILED':>10} {'-':>7}")
 else:
-    print(f"{name:<28} {full:>10.2f} {iso:>10.2f} {full / iso:>6.1f}x")
+    print(f"{name:<28} {full:>10.2f} {sp:>22} {iso:>10.2f} {full / iso:>6.1f}x")
 EOF
 done <<< "$TOP"

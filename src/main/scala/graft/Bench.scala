@@ -104,19 +104,32 @@ object Bench {
       // queries' measurements.
       spark.catalog.clearCache()
       System.gc()
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // "queries" stays name -> min (the graded contract adjudicate.sh and
+    // the driver read); "spread" carries EVERY run so wobble like round
+    // 6's link_predict (min-of-3 at 4.5x its isolated cost — all three
+    // runs consistently slow, i.e. steady-state contamination rather
+    // than a GC blip) is visible in the durable artifact itself instead
+    // of requiring a judge re-run to detect.
+    val qs = results.map { case (k, times) =>
+      val v = if (times.contains(-1.0)) -1.0 else times.min
+      s"\"" + k + "\":" + v
+    }.mkString("{", ",", "}")
+    val spreads = results.map { case (k, times) =>
+      s"\"" + k + "\":" + times.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     // Failed queries carry the -1 sentinel in the per-query map but must
     // not be summed: subtracting 1s per failure would let a broken query
     // LOWER the headline total.
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = results
+      .map { case (_, t) => if (t.contains(-1.0)) -1.0 else t.min }
+      .filter(_ >= 0).sum
     // "cpus" rides along so scripts/adjudicate.sh can re-run isolated
     // queries under the SAME parallelism as the full run it adjudicates —
     // a local[4]-vs-local[32] mismatch would masquerade as contamination.
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":"$cpus"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"sf":"$sfDir","cpus":"$cpus"}"""
     println(line)
     // Durability: the driver captures stdout with a bounded tail, which
     // has truncated past rounds' per-query entries — the file is the

@@ -20,13 +20,18 @@ object Catalog {
     * parquet footers, so the SQL-entry queries (executed 4× each per
     * bench) skip it when the views already point at the requested dir.
     * An AtomicReference (not a per-dir memo) so ALTERNATING dirs re-register
-    * correctly: only a repeat of the current dir is a no-op.
+    * correctly: only a repeat of the current dir is a no-op. Keyed on the
+    * SESSION identity, not the application: temp views are session-scoped,
+    * so a cloned session (`spark.newSession()`) sharing the SparkContext
+    * starts with an empty view catalog and must not be skipped as
+    * already-registered.
     */
   private val lastRegistered =
     new java.util.concurrent.atomic.AtomicReference[String]()
 
   def registerViews(spark: SparkSession, sfDir: String): Unit = {
-    val key = spark.sparkContext.applicationId + "|" + sfDir
+    val key = System.identityHashCode(spark).toHexString + "|" +
+      spark.sparkContext.applicationId + "|" + sfDir
     // Commit the memo only AFTER the loop succeeds: marking first would
     // turn a transient mid-loop read failure into a permanently poisoned
     // no-op (every later call skips, queries fail TABLE_OR_VIEW_NOT_FOUND

@@ -290,11 +290,18 @@ object Dedup {
   }
 
   /** Duplicate-group formation: connected components over a near-dup pair
-    * list via iterative min-label propagation (each round, every id adopts
-    * the smallest label among itself and its neighbors; converges in
-    * O(diameter) rounds ≤ maxIter). At 100 TB this is the standard
-    * large-graph connectivity loop — each round is one join + one
-    * aggregate, all on (id, label) pairs.
+    * list via min-label propagation WITH pointer jumping — each round,
+    * every id first adopts the smallest label among itself and its
+    * neighbors (one hop), then chases its label's own label
+    * (`component ← component(component)`, the path-doubling step), so
+    * label distances shrink geometrically and a diameter-`d` graph
+    * converges in O(log d) rounds instead of O(d). Real near-dup graphs
+    * are dense blobs of diameter 2-3 either way; the jump is what makes
+    * the default `maxIter = 10` safe for the pathological chain-shaped
+    * component (diameter ~2^10 before the loud failure fires) instead of
+    * diameter 10. At 100 TB each round is two (id/label)-keyed joins +
+    * one aggregate over (id, label) pairs — the standard large-graph
+    * connectivity loop.
     *
     * Returns (id, component) where component = min id of the group.
     */
@@ -349,11 +356,28 @@ object Dedup {
       // job: persist the new generation and learn whether it moved, in the
       // same pass (vs. the old eager checkpoint + separate anti-join —
       // two jobs, the second re-reading both label generations).
-      val next = labels.join(neighborMin, labels("id") === col("id2"), "left")
+      val hopped = labels.join(neighborMin, labels("id") === col("id2"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nmin"), col("component")))
             .as("component"),
           (coalesce(col("nmin"), col("component")) < col("component"))
+            .as("changed"))
+      // Pointer jump: chase the adopted label's own label. Every label
+      // value is itself a node id present in `hopped` (seeding and the
+      // hop only ever pick node ids), so the lookup is a left join of the
+      // generation against itself on (component = id); the coalesce is
+      // belt-and-braces only. Labels stay monotone decreasing and stay
+      // inside the component, so the min-id fixpoint argument is
+      // unchanged — the jump just compresses label paths so it arrives
+      // in logarithmic rounds.
+      val next = hopped.as("h")
+        .join(hopped.select(col("id").as("__jid"),
+          col("component").as("__jcomp")),
+          col("h.component") === col("__jid"), "left")
+        .select(col("h.id").as("id"),
+          coalesce(col("__jcomp"), col("h.component")).as("component"),
+          (col("h.changed") ||
+            coalesce(col("__jcomp"), col("h.component")) < col("h.component"))
             .as("changed"))
         .localCheckpoint(false)
       // Stop at the fixpoint: min-label propagation needs up to `diameter`
@@ -368,13 +392,14 @@ object Dedup {
       labels = next.select("id", "component")
       round += 1
     }
-    // Min-label propagation moves a label one hop per round, so a graph
-    // whose diameter exceeds the cap would silently report one group as
-    // several — fail loudly instead (raise maxIter for chain-like graphs).
+    // With pointer jumping the label distance shrinks geometrically, so
+    // non-convergence inside the cap means diameter beyond ~2^maxIter —
+    // a graph no near-dup pair stage produces. Still fail loudly rather
+    // than silently report one group as several.
     if (!converged)
       throw new IllegalStateException(
-        s"clusterPairs did not converge in $maxIter rounds; " +
-          "the pair graph's diameter exceeds maxIter — raise it")
+        s"clusterPairs did not converge in $maxIter hop+jump rounds " +
+          s"(diameter beyond ~2^$maxIter) — raise maxIter")
     // The returned generation's lineage is truncated at its own
     // checkpoint, so the edge list's blocks are no longer reachable from
     // any live plan either.

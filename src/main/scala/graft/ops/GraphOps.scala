@@ -58,7 +58,16 @@ object GraphOps {
       "x.i", "y.i")
   }
 
-  private def degrees(e: DataFrame): DataFrame =
+  /** Degree table `(n, d)` of a CANONICAL edge list (`u < v`, distinct).
+    * Public so a caller that runs several graph operators over one graph
+    * can compute (and checkpoint) the degrees ONCE and pass them to the
+    * `*Of` variants below — [[linkPredictions]] alone consumes the table
+    * three times (hub filter + two final attaches), and each bare call
+    * would otherwise re-shuffle the full edge list into a fresh degree
+    * aggregation. At 100 TB the degree table is a per-snapshot artifact
+    * written next to the edge list, not a subplan repeated per query.
+    */
+  def nodeDegrees(e: DataFrame): DataFrame =
     e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
 
@@ -73,7 +82,14 @@ object GraphOps {
     */
   def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
     val e = canonicalEdges(edges, aCol, bCol)
-    val deg = degrees(e)
+    triangleCountsOf(e, nodeDegrees(e))
+  }
+
+  /** [[triangleCounts]] over a pre-canonicalized edge list and a
+    * pre-computed [[nodeDegrees]] table — the entry point when both are
+    * shared (memoized / checkpointed) across several graph operators.
+    */
+  def triangleCountsOf(e: DataFrame, deg: DataFrame): DataFrame = {
     val withDeg = e
       .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
@@ -114,10 +130,18 @@ object GraphOps {
     */
   def linkPredictions(edges: DataFrame, aCol: String, bCol: String,
                       maxDegree: Long, minCommon: Long): DataFrame = {
+    val e = canonicalEdges(edges, aCol, bCol)
+    linkPredictionsOf(e, nodeDegrees(e), maxDegree, minCommon)
+  }
+
+  /** [[linkPredictions]] over a pre-canonicalized edge list and a
+    * pre-computed [[nodeDegrees]] table (consumed three times below —
+    * share a checkpointed table instead of re-deriving it per use).
+    */
+  def linkPredictionsOf(e: DataFrame, deg: DataFrame,
+                        maxDegree: Long, minCommon: Long): DataFrame = {
     require(maxDegree >= 1, s"maxDegree=$maxDegree must be positive")
     require(minCommon >= 1, s"minCommon=$minCommon must be positive")
-    val e = canonicalEdges(edges, aCol, bCol)
-    val deg = degrees(e)
     // (center, leaf) adjacency, both directions, hub centers dropped.
     // The drop is an anti-join against the HUB set (nodes above the cap)
     // — a power-law graph has few hubs, so the filter side broadcasts and
@@ -130,10 +154,13 @@ object GraphOps {
         .select(col("n").as("center"))), Seq("center"), "left_anti")
     // Wedge pair-up as a center-keyed self-join. The tempting
     // gather-then-explode alternative (collect_list per capped center,
-    // HOF pair expansion) was measured 3.6× SLOWER at sf0.1 (37 s vs
-    // 10 s): the per-wedge lambda/struct machinery costs far more than
-    // the hash-join probe it saves — same lesson as the fused sketch
-    // kernels, stay inside codegen'd join + agg operators.
+    // HOF pair expansion) measured 3.6× SLOWER in ISOLATED single-query
+    // runs at sf0.1 (scripts/adjudicate.sh — ~9 s for this plan vs ~34 s
+    // for the gather variant; full-bench numbers for this query are NOT
+    // comparable, shared-JVM state has inflated them 4×+): the per-wedge
+    // lambda/struct machinery costs far more than the hash-join probe it
+    // saves — same lesson as the fused sketch kernels, stay inside
+    // codegen'd join + agg operators.
     val cn = adj.as("l")
       .join(adj.as("r"),
         col("l.center") === col("r.center") && col("l.leaf") < col("r.leaf"))

@@ -61,11 +61,11 @@ object SetSimJoin {
     // pair — a per-doc window over already-joined rows, never a global
     // ordinal over the vocabulary.
     val prefix = toks.join(dict, "tok")
-      .withColumn("__rk", row_number().over(
+      .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("tf").asc, col("tok").asc)))
-      .where(col("__rk") <=
+      .where(col("rk") <=
         col("sz") - ceil(lit(threshold) * col("sz")).cast("long") + lit(1L))
-      .drop("tf", "__rk")
+      .drop("tf")
 
     // Candidates: pairs in the same block sharing a prefix token,
     // pre-pruned by the size filter (|y| must land in [t·|x|, |x|/t] or
@@ -73,12 +73,28 @@ object SetSimJoin {
     val blockEq = blocking
       .map(b => col(s"x.$b") === col(s"y.$b"))
       .reduceOption(_ && _).getOrElse(lit(true))
+    // Positional filter (the PPJoin refinement over the plain prefix
+    // filter): J >= t needs overlap α = ceil(t·(|x|+|y|)/(1+t)), and a
+    // candidate row matching at prefix ranks (rk_x, rk_y) — both counted
+    // in the SAME global (tf, tok) order — bounds the overlap reachable
+    // through that token by 1 + min(|x|−rk_x, |y|−rk_y). Lossless: the
+    // order is consistent across documents, so a qualifying pair's
+    // SMALLEST shared token has no shared token before it on either side,
+    // its row's bound is a true overlap upper bound, and α ≤ overlap
+    // keeps it. Rows for later shared tokens may be pruned — they were
+    // duplicates the `distinct()` would have folded anyway. The 1e-9
+    // epsilon keeps float roundup in t·(…)/(1+t) from inflating α by one
+    // and over-pruning an exactly-at-threshold pair.
+    val alpha = ceil(lit(threshold) * (col("x.sz") + col("y.sz")) /
+      lit(1.0 + threshold) - lit(1e-9)).cast("long")
     val candidates = prefix.as("x")
       .join(prefix.as("y"),
         col("x.tok") === col("y.tok") && col("x.id") < col("y.id") &&
           blockEq &&
           col("y.sz").cast("double") >= lit(threshold) * col("x.sz") &&
-          col("y.sz").cast("double") * lit(threshold) <= col("x.sz"))
+          col("y.sz").cast("double") * lit(threshold) <= col("x.sz") &&
+          least(col("x.sz") - col("x.rk"), col("y.sz") - col("y.rk")) +
+            lit(1L) >= alpha)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
 

@@ -449,6 +449,19 @@ class PlanSpec extends SparkTestBase {
       "BroadcastNestedLoopJoin".r.findAllIn(plan).size === 1, plan)
   }
 
+  test("housing_pipeline: bounded joins only, snapshot max side broadcasts") {
+    // The composed lifecycle must keep the stage contracts of its parts:
+    // exactly the weekly groupBy touches fact-scale data, every
+    // post-aggregation join (grid densify, latest-week slice) runs on the
+    // bounded weeks × dims frame, and the 1-row max week broadcasts — a
+    // SortMergeJoin anywhere means a stage regressed to a two-sided
+    // fact shuffle.
+    val plan = executedSimple(SparkEntry.queries("housing_pipeline")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("weeklyStreaks: distinct, rank, and island stages stay on the key exchanges") {
     val plan = executedSimple(SparkEntry.queries("streaks_customer")(spark, sf))
     // (key,week) distinct + key-only window + final sort: the island

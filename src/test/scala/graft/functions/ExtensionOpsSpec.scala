@@ -236,6 +236,39 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("clusterPairs converges on a path graph of diameter far above maxIter") {
+    // 200-node path: diameter 199 needed 199 rounds under plain one-hop
+    // propagation (old behavior: IllegalStateException at maxIter=10);
+    // pointer jumping resolves it within the default cap.
+    val n = 200L
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.clusterPairs(pairs).as[(Long, Long)].collect().toMap
+    assert(comp.size == n)
+    assert(comp.values.forall(_ == 0L))
+  }
+
+  test("clusterPairs pointer jumping matches union-find on random graphs") {
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(50)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find oracle
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v.toInt).toLong).toMap
+      val got = Dedup.clusterPairs(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"trial=$trial")
+    }
+  }
+
   test("dropNearDups keeps one canonical doc per component plus singletons") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over dogs"),  // ~dup of 2

@@ -49,6 +49,21 @@ class SetSimJoinSpec extends SparkTestBase {
       assert(run(docs, t) === brute(docs, t), s"t=$t")
   }
 
+  test("positional filter is lossless: randomized brute force, mixed sizes") {
+    // Random docs of widely mixed lengths at thresholds including exact
+    // fractions (a pair can land exactly ON t, exercising the epsilon
+    // guard in the α bound) — any over-pruning by the positional filter
+    // shows up as a missing pair vs brute force.
+    val rng = new scala.util.Random(42)
+    val vocab = Seq.tabulate(30)(i => s"v$i")
+    val docs = Seq.tabulate(60) { i =>
+      val n = 3 + rng.nextInt(8)
+      (i.toLong, rng.shuffle(vocab).take(n).mkString(" "))
+    }
+    for (t <- Seq(0.3, 0.5, 2.0 / 3, 0.75, 0.95))
+      assert(run(docs, t) === brute(docs, t), s"t=$t")
+  }
+
   test("exact duplicates at threshold 1.0; reported counts are exact") {
     val docs = Seq((1L, "x y z"), (2L, "z y x"), (3L, "x y q"))
     val out = SetSimJoin.jaccardJoinExact(docs.toDF("doc_id", "text"),
