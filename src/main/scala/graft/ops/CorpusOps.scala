@@ -388,11 +388,14 @@ object CorpusOps {
     *
     * Scale shape: span occurrences collapse to (id, digest, count) rows in
     * the first hash aggregation (map-side partials; the md5 digest — never
-    * span text — is what exchanges), corpus totals are a second digest-keyed
-    * aggregation of those ALREADY-reduced rows, and the join back is equi on
-    * the digest. Documents too short to have spans re-enter via a left join
-    * with an explicit NULL `dup_frac` (0/0 is undefined, not 0 — and ANSI
-    * double division by zero would kill the job).
+    * span text — is what exchanges), and the corpus total per digest is a
+    * WINDOW over those already-reduced rows rather than a re-aggregation
+    * joined back — the span explode is evaluated exactly once (a groupBy
+    * re-derivation would evaluate the generator subtree once per branch;
+    * exchange reuse does not bridge an aggregation). Documents too short to
+    * have spans re-enter via a left join with an explicit NULL `dup_frac`
+    * (0/0 is undefined, not 0 — and ANSI double division by zero would kill
+    * the job).
     *
     * @return one row per input document:
     *         (id, n_spans, n_dup_spans, dup_frac 4-dp | NULL).
@@ -403,8 +406,8 @@ object CorpusOps {
     val perDoc = spanStream(df, idCol, textCol, n)
       .groupBy(col(idCol), md5(col("gram").cast("binary")).as("__gh"))
       .agg(count(lit(1)).as("__c"))
-    val totals = perDoc.groupBy("__gh").agg(sum("__c").as("__tot"))
-    val agg = perDoc.join(totals, "__gh")
+    val agg = perDoc
+      .withColumn("__tot", sum("__c").over(Window.partitionBy(col("__gh"))))
       .groupBy(col(idCol))
       .agg(sum("__c").as("__n_spans"),
         sum(when(col("__tot") > 1, col("__c")).otherwise(0L)).as("__n_dup"))
@@ -491,10 +494,13 @@ object CorpusOps {
     * average is a double.
     *
     * Scale shape: the model is at most |charset|³ rows regardless of corpus
-    * size (a few thousand here — KBs), so it BROADCASTS to the trigram
-    * stream; the only fact-scale exchange is the per-doc aggregation of
-    * (id, micro-nll) rows. Fitting is two hash aggregations, the second
-    * over already-model-sized rows.
+    * size (a few thousand here — KBs), so it BROADCASTS to the scoring
+    * stream. The trigram stream collapses to per-(doc, trigram) COUNTS in
+    * its first exchange, and that identical subplan feeds both the model
+    * fit (a second, model-sized aggregation) and the scoring join —
+    * Spark's ReuseExchange evaluates it once; scoring multiplies each
+    * quantized per-gram −ln p by its multiplicity (exact long arithmetic),
+    * so occurrences are never re-enumerated after the first aggregation.
     */
   def charTrigramNll(df: DataFrame, idCol: String,
                      textCol: String): DataFrame = {
@@ -504,18 +510,28 @@ object CorpusOps {
       .where(col("__k") >= 1)
       .select(col(idCol), explode(expr(
         "transform(sequence(1, __k), i -> substring(__t, i, 3))")).as("tri"))
-    val tc = tris.groupBy("tri").agg(count(lit(1)).as("ct"))
-    val pc = tc.groupBy(substring(col("tri"), 1, 2).as("__pre"))
-      .agg(sum("ct").as("cp"))
+      // explicit, though substring of non-null text is never null: the
+      // inner scoring join infers isnotnull(tri) and pushes it below the
+      // probe's aggregate — without the same filter on the model branch
+      // the two (id, tri) subtrees stop canonicalizing equal and
+      // ReuseExchange silently evaluates the explode twice
+      .where(col("tri").isNotNull)
+    val td = tris.groupBy(col(idCol), col("tri"))
+      .agg(count(lit(1)).as("__c"))
+    val tc = td.groupBy("tri").agg(sum("__c").as("ct"))
+    // prefix totals as a window over the MODEL-sized frame — a groupBy +
+    // join spelling re-evaluates the whole trigram explode under the
+    // prefix branch (exchange reuse does not reach through it)
     val model = broadcast(
-      tc.join(pc, substring(col("tri"), 1, 2) === col("__pre"))
+      tc.withColumn("cp", sum("ct").over(
+          Window.partitionBy(substring(col("tri"), 1, 2))))
         .select(col("tri"), col("ct"), col("cp")))
-    tris.join(model, "tri")
+    td.join(model, "tri")
       .withColumn("__nu", floor(
         -log(col("ct").cast("double") / col("cp")) * 1000000 + 0.5)
-        .cast("long"))
+        .cast("long") * col("__c"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tri"), sum("__nu").as("__su"))
+      .agg(sum("__c").as("n_tri"), sum("__nu").as("__su"))
       .withColumn("avg_nll",
         rnd(col("__su").cast("double") / 1000000 / col("n_tri")))
       .select(col(idCol), col("n_tri"), col("avg_nll"))

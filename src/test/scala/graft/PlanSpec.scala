@@ -470,4 +470,38 @@ class PlanSpec extends SparkTestBase {
     assert("Exchange".r.findAllIn(plan).size <= 4, plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("duplicatedSpans: the span explode runs exactly once (window totals, no re-derived join)") {
+    val plan = executedSimple(
+      graft.ops.CorpusOps.duplicatedSpans(Tables.documents(spark, sf),
+        "doc_id", "text", n = 15))
+    // a groupBy+join spelling of the corpus totals re-evaluates the
+    // generator subtree under a second branch — at 100 TB that is the
+    // whole token stream twice; the window spelling holds it at one
+    assert(plan.linesIterator.count(_.contains("Generate explode")) == 1,
+      plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("bm25TopK: distributed top-k heap, never a fact-scale single-partition window") {
+    val plan = executedSimple(
+      graft.ops.CorpusOps.bm25TopK(Tables.documents(spark, sf), "doc_id",
+        "text", Seq("spark", "join", "query"), k = 20))
+    // orderBy.limit compiles to per-partition heaps + a k-row driver
+    // merge; the rnk window runs AFTER the limit, over k rows only
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("charTrigramNll: model broadcasts; scoring reuses the trigram exchange") {
+    val plan = executedSimple(
+      graft.ops.CorpusOps.charTrigramNll(Tables.documents(spark, sf),
+        "doc_id", "text"))
+    // one explode feeds both the model fit and the scoring probe via
+    // ReuseExchange; the model reaches the probe as a broadcast
+    assert(plan.linesIterator.count(_.contains("Generate explode")) == 1,
+      plan)
+    assert(plan.contains("ReusedExchange"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
