@@ -2115,6 +2115,36 @@ object SparkEntry {
     "ngram_lm_score" -> ((s, d) =>
       CorpusOps.charTrigramNll(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
+    // Hybrid retrieval: BM25 sparse top-20 fused with dense cosine top-20
+    // (query = the fixture embedding aligned with doc 7, candidates the
+    // doc-id-aligned slice) via reciprocal-rank fusion — the composed
+    // RAG-retrieval pipeline, pinning the rank handoff between the sparse
+    // and dense tiers. Both rank lists and the fused order are
+    // engine-exact (micro-unit longs / raw-double cosine / 2-term RRF sum
+    // in fixed order); absent-from-list contributes 0, not 1/(60+∞).
+    // The fusion windows run over the 20-row lists, never the corpus.
+    "hybrid_search" -> ((s, d) => {
+      val sparse = CorpusOps.bm25TopK(Tables.documents(s, d), "doc_id",
+          "text", queryTerms = Seq("spark", "join", "query"), k = 20)
+        .select(col("doc_id"), col("rnk").as("rnk_sparse"))
+      val e = Tables.embeddings(s, d)
+      val dense = Similarity.knnBrute(
+          e.where(col("vec_id") === 7), e.where(col("vec_id") < 500), k = 20)
+        .select(col("cid").as("doc_id"),
+          col("rnk").cast("long").as("rnk_dense"))
+      sparse.join(dense, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", CoreOps.rnd(
+          coalesce(lit(1.0) / (lit(60.0) + col("rnk_sparse").cast("double")),
+            lit(0.0))
+            + coalesce(lit(1.0) / (lit(60.0) + col("rnk_dense").cast("double")),
+              lit(0.0))))
+        .withColumn("hybrid_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+        .where(col("hybrid_rank") <= 10)
+        .select("doc_id", "rnk_sparse", "rnk_dense", "rrf", "hybrid_rank")
+        .orderBy("hybrid_rank")
+    }),
 
     // Embedding-space decontamination (the semantic analog of
     // decontaminate_ngrams): a content-addressed train/test split, then
@@ -3632,6 +3662,34 @@ object SparkEntry {
         |  FROM scored GROUP BY 1)
         |SELECT doc_id, n_tri, floor((CAST(su AS DOUBLE) / 1000000 / n_tri) * 10000 + 0.5) / 10000 AS avg_nll
         |FROM agg ORDER BY doc_id""".stripMargin,
+    // Reuses bm25_topk's CTE chain for the sparse leg and the raw-double
+    // cosine ranking (knn_cosine_topk's contract) for the dense leg; the
+    // RRF sum is two fixed-order terms with COALESCE(_, 0) for
+    // absent-from-list.
+    "hybrid_search" ->
+      """WITH dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+        |  WHERE term IN ('spark', 'join', 'query') GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY 1),
+        |contrib AS (SELECT doc_id,
+        |    CAST(floor((ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1)
+        |      * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) * 1000000 + 0.5) AS BIGINT) AS cu
+        |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN n),
+        |sc AS (SELECT doc_id, CAST(sum(cu) AS BIGINT) AS su FROM contrib GROUP BY 1),
+        |sparse AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY su DESC, doc_id) AS BIGINT) AS rnk_sparse FROM sc),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 7),
+        |dp AS (SELECT e.vec_id AS doc_id, list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) AS cos
+        |  FROM embeddings e, q WHERE e.vec_id < 500 AND e.vec_id <> 7),
+        |dense AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS rnk_dense FROM dp),
+        |f AS (SELECT COALESCE(s.doc_id, dd.doc_id) AS doc_id, s.rnk_sparse, dd.rnk_dense,
+        |    floor((COALESCE(1.0 / (60.0 + s.rnk_sparse), 0) + COALESCE(1.0 / (60.0 + dd.rnk_dense), 0)) * 10000 + 0.5) / 10000 AS rrf
+        |  FROM (SELECT * FROM sparse WHERE rnk_sparse <= 20) s
+        |  FULL OUTER JOIN (SELECT * FROM dense WHERE rnk_dense <= 20) dd ON s.doc_id = dd.doc_id),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS hybrid_rank FROM f)
+        |SELECT doc_id, rnk_sparse, rnk_dense, rrf, hybrid_rank FROM r
+        |WHERE hybrid_rank <= 10 ORDER BY hybrid_rank""".stripMargin,
     // Keep-first rule replayed relationally: dropped = DISTINCT greater ids
     // of qualifying pairs, with the cosine 4-dp-quantized before the
     // threshold compare exactly like the engine's expression.
