@@ -319,4 +319,116 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("property: duplicatedSpans equals a naive sliding-window recount") {
+    val docGen = Gen.choose(2, 8).flatMap(nd => Gen.listOfN(nd,
+      Gen.choose(1, 12).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c")))))
+    forAllSampled(Gen.zip(docGen, Gen.choose(2, 4)), n = 6) { case (docs, sn) =>
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = CorpusOps.duplicatedSpans(df, "doc_id", "text", sn)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+      val spans = docs.zipWithIndex.flatMap { case (ws, i) =>
+        ws.sliding(sn).filter(_.size == sn)
+          .map(g => (i.toLong, g.mkString(" "))) }
+      val tot = spans.groupBy(_._2).map { case (g, xs) => g -> xs.size }
+      val want = docs.indices.map { i =>
+        val mine = spans.filter(_._1 == i.toLong)
+        (i.toLong, mine.size.toLong, mine.count(s => tot(s._2) > 1).toLong)
+      }.toList
+      assert(got == want)
+    }
+  }
+
+  test("property: bm25TopK equals the naive formula on random corpora") {
+    val docGen = Gen.choose(2, 10).flatMap(nd => Gen.listOfN(nd,
+      Gen.choose(1, 15).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d", "e")))))
+    forAllSampled(docGen, n = 6) { docs =>
+      val terms = Seq("a", "b")
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = CorpusOps.bm25TopK(df, "doc_id", "text", terms, k = 4)
+        .orderBy("rnk").collect()
+        .map(r => (r.getLong(0), r.getDouble(2), r.getLong(3))).toList
+      // naive micro-unit recomputation with the operator's exact op order
+      val nDocs = docs.size.toDouble
+      val avgdl = docs.map(_.size.toLong).sum.toDouble / docs.size
+      val dfT = terms.map(t =>
+        t -> docs.count(_.contains(t)).toLong).toMap
+      val su = docs.zipWithIndex.flatMap { case (ws, i) =>
+        val dl = ws.size.toLong
+        val micro = terms.flatMap { t =>
+          val tf = ws.count(_ == t).toLong
+          if (tf == 0) None else {
+            val idf = math.log((nDocs - dfT(t) + 0.5) / (dfT(t) + 0.5) + 1)
+            val raw = idf * (tf * (1.2 + 1)) /
+              (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl))
+            Some(math.floor(raw * 1000000 + 0.5).toLong)
+          }
+        }
+        if (micro.isEmpty) None else Some(i.toLong -> micro.sum)
+      }
+      val want = su.sortBy { case (id, s) => (-s, id) }.take(4)
+        .zipWithIndex.map { case ((id, s), r) =>
+          (id, math.floor(s / 1000000.0 * 10000 + 0.5) / 10000, r + 1L) }
+        .toList
+      assert(got == want)
+    }
+  }
+
+  test("property: charTrigramNll equals a naive MLE refit") {
+    val docGen = Gen.choose(2, 8).flatMap(nd => Gen.listOfN(nd,
+      Gen.choose(0, 10).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))).map(_.mkString)))
+    forAllSampled(docGen, n = 6) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = CorpusOps.charTrigramNll(df, "doc_id", "text")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+      val tris = docs.zipWithIndex.flatMap { case (t, i) =>
+        t.sliding(3).filter(_.length == 3).map(g => (i.toLong, g)) }
+      val ct = tris.groupBy(_._2).map { case (g, xs) => g -> xs.size.toLong }
+      val cp = ct.groupBy(_._1.take(2)).map { case (p, xs) =>
+        p -> xs.values.sum }
+      val want = tris.groupBy(_._1).toList.sortBy(_._1).map { case (i, xs) =>
+        val su = xs.map { case (_, g) =>
+          math.floor(-math.log(ct(g).toDouble / cp(g.take(2))) * 1000000 + 0.5)
+            .toLong
+        }.sum
+        (i, xs.size.toLong,
+          math.floor(su / 1000000.0 / xs.size * 10000 + 0.5) / 10000)
+      }
+      assert(got == want)
+    }
+  }
+
+  test("property: semanticDedupKeepFirst keeps exactly the lower-id-neighbor-free set") {
+    val vecGen = Gen.choose(2, 12).flatMap(nv => Gen.listOfN(nv,
+      Gen.listOfN(3, Gen.choose(-5, 5).map(_.toFloat))))
+    forAllSampled(vecGen, n = 6) { vecs =>
+      val df = vecs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("vec_id", "embedding")
+      val kept = graft.functions.Similarity
+        .semanticDedupKeepFirst(df, "vec_id", "embedding", threshold = 0.9)
+        .select("vec_id").as[Long].collect().toSet
+      def cos(a: List[Float], b: List[Float]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        val na = a.map(x => x.toDouble * x.toDouble).sum
+        val nb = b.map(x => x.toDouble * x.toDouble).sum
+        math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 10000 + 0.5) / 10000
+      }
+      val want = vecs.indices.filter { j =>
+        // NaN cosine (zero-norm side) compares false — the row is kept
+        !(0 until j).exists(i => cos(vecs(i), vecs(j)) >= 0.9)
+      }.map(_.toLong).toSet
+      assert(kept == want)
+    }
+  }
 }
