@@ -2115,6 +2115,23 @@ object SparkEntry {
     "ngram_lm_score" -> ((s, d) =>
       CorpusOps.charTrigramNll(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
+    // Per-source length-tail trim (rank-gated middle 90%): the
+    // length-outlier quality gate, graded per source with a kept-id
+    // checksum so gate MEMBERSHIP is hash-checked, not just counts.
+    "length_tail_gate" -> ((s, d) =>
+      CorpusOps.tailGate(Tables.documents(s, d), "source", col("n_chars"),
+        lo = 0.05, hi = 0.95)
+        .groupBy("source").agg(
+          count(lit(1)).as("n_kept"),
+          min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"),
+          sum("doc_id").as("kept_id_sum"))
+        .orderBy("source")),
+    // Tokenizer merge-candidate counts (one BPE iteration's count step):
+    // top-15 adjacent token pairs corpus-wide.
+    "merge_pair_candidates" -> ((s, d) =>
+      CorpusOps.mergePairCandidates(Tables.documents(s, d), "text", k = 15)
+        .orderBy("rnk")),
     // Hybrid retrieval: BM25 sparse top-20 fused with dense cosine top-20
     // (query = the fixture embedding aligned with doc 7, candidates the
     // doc-id-aligned slice) via reciprocal-rank fusion — the composed
@@ -3662,6 +3679,24 @@ object SparkEntry {
         |  FROM scored GROUP BY 1)
         |SELECT doc_id, n_tri, floor((CAST(su AS DOUBLE) / 1000000 / n_tri) * 10000 + 0.5) / 10000 AS avg_nll
         |FROM agg ORDER BY doc_id""".stripMargin,
+    // percent_rank is (rank-1)/(n-1) over exact ints in both engines, so
+    // the 0.05/0.95 boundary compares bit-identically; ties share a rank
+    // and pass or fail together.
+    "length_tail_gate" ->
+      """WITH p AS (SELECT doc_id, source, n_chars,
+        |    percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS pr FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
+        |FROM p WHERE pr >= 0.05 AND pr <= 0.95 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "merge_pair_candidates" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |pos AS (SELECT t, unnest(range(1, len(t))) AS i FROM t WHERE len(t) >= 2),
+        |p AS (SELECT t[i] AS left_tok, t[i+1] AS right_tok FROM pos),
+        |c AS (SELECT left_tok, right_tok, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY cnt DESC, left_tok, right_tok) AS BIGINT) AS rnk FROM c)
+        |SELECT left_tok, right_tok, cnt, rnk FROM r WHERE rnk <= 15 ORDER BY rnk""".stripMargin,
     // Reuses bm25_topk's CTE chain for the sparse leg and the raw-double
     // cosine ranking (knn_cosine_topk's contract) for the dense leg; the
     // RRF sum is two fixed-order terms with COALESCE(_, 0) for

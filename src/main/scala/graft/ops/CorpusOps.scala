@@ -537,6 +537,65 @@ object CorpusOps {
       .select(col(idCol), col("n_tri"), col("avg_nll"))
   }
 
+  /** Per-stratum distribution-tail gate: keep the rows whose `metric`
+    * percent-rank within their stratum lies in [lo, hi] — the
+    * length-outlier trim a pretraining recipe applies per source (truncated
+    * heads are usually boilerplate fragments, extreme tails are dumps/
+    * concatenation artifacts). Rank-based rather than value-based, so the
+    * gate is integer-exact and engine-portable: percent_rank is
+    * (rank−1)/(n−1) over exact ints, ties share a rank and therefore move
+    * through the gate together, and a single-row stratum sits at rank 0.0
+    * (kept whenever lo ≤ 0).
+    *
+    * Scale shape: one exchange on the stratum + a partition-local sort.
+    * Each stratum ranks inside one task, which is the right trade while
+    * strata are sources (tens to thousands, bounded rows each); for a
+    * mega-stratum that outgrows a task, gate on VALUE bounds from a KLL
+    * quantile sketch instead ([[SketchOps.kllQuantileRollup]]) — rank
+    * semantics at unbounded cardinality cost a global sort by definition.
+    */
+  def tailGate(df: DataFrame, strataCol: String, metric: Column,
+               lo: Double, hi: Double): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo <= hi,
+      s"tail gate [$lo, $hi] must be an ordered sub-range of [0, 1]")
+    df.withColumn("__pr", percent_rank().over(
+        Window.partitionBy(col(strataCol)).orderBy(metric)))
+      .where(col("__pr") >= lo && col("__pr") <= hi)
+      .drop("__pr")
+  }
+
+  /** Adjacent-token merge-pair counts — the count step of one BPE/
+    * WordPiece tokenizer-training iteration at whitespace-token
+    * granularity: the top-k most frequent adjacent pairs are the merge
+    * candidates. Each count is over every adjacency occurrence (not
+    * per-doc distinct), which is exactly the corpus statistic the merge
+    * rule greedily consumes.
+    *
+    * Scale shape: the pair explode flows into a two-phase hash aggregate
+    * (map-side partials on narrow (left, right, count) rows), and the
+    * top-k is `orderBy.limit` — TakeOrderedAndProject heaps, no global
+    * sort; the rank window runs over the k survivors only.
+    */
+  def mergePairCandidates(df: DataFrame, textCol: String,
+                          k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be positive")
+    val counts = df
+      .select(TextFunctions.tokens(col(textCol)).as("__toks"))
+      .withColumn("__k", size(col("__toks")) - 1)
+      .where(col("__k") >= 1)
+      .select(explode(expr(
+        "transform(sequence(1, __k), i -> struct(__toks[i-1] AS left_tok, __toks[i] AS right_tok))"))
+        .as("__p"))
+      .select(col("__p.left_tok").as("left_tok"),
+        col("__p.right_tok").as("right_tok"))
+      .groupBy("left_tok", "right_tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("left_tok"), col("right_tok"))
+      .limit(k)
+    counts.withColumn("rnk", row_number().over(
+      Window.orderBy(col("cnt").desc, col("left_tok"), col("right_tok")))
+      .cast("long"))
+  }
+
   /** Exact heavy hitters over the token stream: every token whose corpus
     * share is at least `minShare`. Two-phase hash-aggregate with map-side
     * partials (narrow (token, count) rows through the exchange — never

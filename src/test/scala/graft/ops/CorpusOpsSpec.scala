@@ -267,6 +267,39 @@ class CorpusOpsSpec extends SparkTestBase {
       (1L, 1L, score(1, 2), 2L)))
   }
 
+  test("tailGate: rank boundaries exact, ties move together, single-row stratum kept") {
+    // stratum "s": values 0..20 → percent_rank = i/20; [0.05, 0.95] keeps
+    // exactly i = 1..19 (both boundaries land ON the gate and stay in)
+    val rows = (0 to 20).map(i => (i.toLong, "s", i.toLong)) :+
+      ((100L, "solo", 7L)) // single-row stratum: percent_rank 0.0
+    val df = rows.toDF("id", "src", "len")
+    val kept = CorpusOps.tailGate(df, "src", col("len"), 0.05, 0.95)
+      .select("id").as[Long].collect().toSet
+    assert(kept == (1L to 19L).toSet) // solo's pr 0.0 < 0.05 → gated out
+    // with lo = 0 the single-row stratum passes
+    val kept0 = CorpusOps.tailGate(df, "src", col("len"), 0.0, 0.95)
+      .select("id").as[Long].collect().toSet
+    assert(kept0.contains(100L))
+    // ties share a rank: duplicate the max value — both copies must fall
+    // on the same side of the gate
+    val tied = ((0 to 18).map(i => (i.toLong, "t", i.toLong))
+      ++ Seq((50L, "t", 18L))).toDF("id", "src", "len")
+    val keptT = CorpusOps.tailGate(tied, "src", col("len"), 0.05, 0.90)
+      .select("id").as[Long].collect().toSet
+    assert(keptT.contains(18L) == keptT.contains(50L))
+  }
+
+  test("mergePairCandidates: adjacency counts with multiplicity, rank tie-break by pair") {
+    val docs = Seq((1L, "a b a b c"), (2L, "a b"), (3L, "x"))
+      .toDF("doc_id", "text")
+    // pairs: (a,b)x2 from doc1 + 1 from doc2 = 3; (b,a)=1; (b,c)=1;
+    // doc3 has no adjacency
+    val out = CorpusOps.mergePairCandidates(docs, "text", k = 2)
+      .orderBy("rnk").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("a", "b", 3L, 1L), ("b", "a", 1L, 2L)))
+  }
+
   test("charTrigramNll: hand-built MLE model, short docs drop, repetition scores low") {
     val docs = Seq((1L, "aaaa"), (2L, "aab"), (3L, "ab"))
       .toDF("doc_id", "text")
