@@ -2115,6 +2115,18 @@ object SparkEntry {
     "ngram_lm_score" -> ((s, d) =>
       CorpusOps.charTrigramNll(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
+    // First-occurrence 5-gram novelty in corpus order — the frontier
+    // freshness signal for incremental ingestion; gramless docs grade as
+    // explicit NULL novelty.
+    "ngram_novelty" -> ((s, d) =>
+      CorpusOps.ngramNovelty(Tables.documents(s, d), "doc_id", "text", n = 5)
+        .orderBy("doc_id")),
+    // Mixture concentration dashboard (HHI / top share / Gini over tokens
+    // per source) — every statistic reduces to long sums with one final
+    // double division, so the row is engine-exact.
+    "source_concentration" -> ((s, d) =>
+      CorpusOps.concentrationStats(Tables.documents(s, d), "source",
+        TextFunctions.tokenCount(col("text")))),
     // Per-source length-tail trim (rank-gated middle 90%): the
     // length-outlier quality gate, graded per source with a kept-id
     // checksum so gate MEMBERSHIP is hash-checked, not just counts.
@@ -3679,6 +3691,34 @@ object SparkEntry {
         |  FROM scored GROUP BY 1)
         |SELECT doc_id, n_tri, floor((CAST(su AS DOUBLE) / 1000000 / n_tri) * 10000 + 0.5) / 10000 AS avg_nll
         |FROM agg ORDER BY doc_id""".stripMargin,
+    // range(1, len-3) = 5-gram starts 1..len-4; t[i:i+4] is a 5-token
+    // inclusive slice. DISTINCT per doc like the engine's ngramSet.
+    "ngram_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i FROM toks WHERE len(t) >= 5),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g FROM pos),
+        |f AS (SELECT g, CAST(min(doc_id) AS BIGINT) AS first_doc FROM g GROUP BY 1),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |  FROM g JOIN f USING (g) GROUP BY 1)
+        |SELECT d.doc_id, CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel,
+        |  CASE WHEN COALESCE(n_grams, 0) = 0 THEN NULL
+        |       ELSE floor((CAST(n_novel AS DOUBLE) / n_grams) * 10000 + 0.5) / 10000 END AS novelty
+        |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // Gini via its integer-numerator identity — the only double is the
+    // final division, same as the engine.
+    "source_concentration" ->
+      """WITH s AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS w FROM documents GROUP BY 1),
+        |o AS (SELECT w, CAST(row_number() OVER (ORDER BY w, source) AS BIGINT) AS rk FROM s),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_strata, CAST(sum(w) AS BIGINT) AS tot,
+        |    CAST(sum(w * w) AS BIGINT) AS sumsq, CAST(max(w) AS BIGINT) AS mx,
+        |    CAST(sum(rk * w) AS BIGINT) AS rksum FROM o)
+        |SELECT n_strata,
+        |  floor((CAST(sumsq AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))) * 10000 + 0.5) / 10000 AS hhi,
+        |  floor((CAST(mx AS DOUBLE) / tot) * 10000 + 0.5) / 10000 AS top_share,
+        |  floor((CAST(2 * rksum - (n_strata + 1) * tot AS DOUBLE) / CAST(n_strata * tot AS DOUBLE)) * 10000 + 0.5) / 10000 AS gini
+        |FROM a""".stripMargin,
     // percent_rank is (rank-1)/(n-1) over exact ints in both engines, so
     // the 0.05/0.95 boundary compares bit-identically; ties share a rank
     // and pass or fail together.

@@ -537,6 +537,84 @@ object CorpusOps {
       .select(col(idCol), col("n_tri"), col("avg_nll"))
   }
 
+  /** First-occurrence n-gram novelty in corpus order: for each document,
+    * the fraction of its DISTINCT word n-grams whose minimum document id
+    * in the whole corpus is this document — i.e. grams this document
+    * introduces. A curation signal for ordered/incremental ingestion:
+    * novelty collapsing toward 0 means the crawl frontier is re-reading
+    * what the corpus already holds.
+    *
+    * Scale shape: one evaluation of the per-doc-distinct gram stream
+    * ([[ngramSet]]), the corpus-first id as a WINDOW keyed on the gram's
+    * md5 digest (the gram text is pruned before the exchange — only
+    * (id, digest) rows ship), then one per-doc aggregation. Same
+    * single-generator discipline as [[duplicatedSpans]].
+    *
+    * @return one row per document: (id, n_grams, n_novel,
+    *         novelty 4-dp | NULL for gramless docs).
+    */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    import CoreOps.rnd
+    val agg = ngramSet(df, idCol, textCol, n)
+      .withColumn("__first", min(col(idCol)).over(
+        Window.partitionBy(md5(col("gram").cast("binary")))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_grams"),
+        sum(when(col("__first") === col(idCol), 1L).otherwise(0L))
+          .as("__n_novel"))
+    df.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("__n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty",
+        when(col("n_grams") === 0, lit(null).cast("double"))
+          .otherwise(rnd(col("n_novel").cast("double") / col("n_grams"))))
+  }
+
+  /** Concentration report for a weighted mixture (tokens per source):
+    * stratum count, Herfindahl–Hirschman index Σ share², the largest
+    * stratum's share, and the Gini coefficient — the one-row dashboard a
+    * data-mixture governance check reads before training ("is one crawl
+    * dominating the corpus?").
+    *
+    * Exact-arithmetic determinism: every statistic reduces to LONG sums
+    * over per-stratum totals (Gini via its integer-numerator identity
+    * G = (2·Σ rank·w − (n+1)·Σw) / (n·Σw), ranks ascending by (w, key)),
+    * with exactly one double division each at the end — no
+    * merge-order-dependent float accumulation anywhere. Long range bounds
+    * the inputs (|w| sums squared must fit 2⁶³); at 100 TB feed weights in
+    * kilotokens.
+    *
+    * Scale shape: one hash aggregation over the corpus; everything after
+    * runs on the stratum-cardinality frame (tens to thousands of rows),
+    * including the rank window.
+    */
+  def concentrationStats(df: DataFrame, strataCol: String,
+                         weight: Column): DataFrame = {
+    import CoreOps.rnd
+    val s = df.groupBy(col(strataCol))
+      .agg(sum(weight.cast("long")).as("__w"))
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__w"), col(strataCol))).cast("long"))
+    s.agg(
+      count(lit(1)).as("n_strata"),
+      sum(col("__w")).as("__tot"),
+      sum(col("__w") * col("__w")).as("__sumsq"),
+      max(col("__w")).as("__max"),
+      sum(col("__rk") * col("__w")).as("__rksum"))
+      .select(
+        col("n_strata"),
+        rnd(col("__sumsq").cast("double")
+          / (col("__tot").cast("double") * col("__tot").cast("double")))
+          .as("hhi"),
+        rnd(col("__max").cast("double") / col("__tot")).as("top_share"),
+        rnd((lit(2L) * col("__rksum")
+          - (col("n_strata") + lit(1L)) * col("__tot")).cast("double")
+          / (col("n_strata") * col("__tot")).cast("double")).as("gini"))
+  }
+
   /** Per-stratum distribution-tail gate: keep the rows whose `metric`
     * percent-rank within their stratum lies in [lo, hi] — the
     * length-outlier trim a pretraining recipe applies per source (truncated

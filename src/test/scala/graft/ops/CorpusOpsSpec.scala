@@ -300,6 +300,44 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out.toSeq == Seq(("a", "b", 3L, 1L), ("b", "a", 1L, 2L)))
   }
 
+  test("ngramNovelty: first doc owns the gram, repeats score zero, short docs NULL") {
+    val docs = Seq(
+      (1L, "a b c"),   // introduces "a b c"
+      (2L, "a b c"),   // nothing new
+      (3L, "a b c x"), // "a b c" seen; "b c x" new → novelty 0.5
+      (4L, "a b"))     // too short for n=3
+      .toDF("doc_id", "text")
+    val out = CorpusOps.ngramNovelty(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 1L, Some(1.0)),
+      (2L, 1L, 0L, Some(0.0)),
+      (3L, 2L, 1L, Some(0.5)),
+      (4L, 0L, 0L, None)))
+  }
+
+  test("concentrationStats: uniform mixture scores zero Gini, monopoly scores high") {
+    val uniform = Seq(("a", 10L), ("b", 10L), ("c", 10L), ("d", 10L))
+      .toDF("src", "w")
+    val u = CorpusOps.concentrationStats(uniform, "src", col("w"))
+      .collect().head
+    assert(u.getLong(0) == 4L)
+    assert(u.getDouble(1) == 0.25)   // HHI = 4 · (1/4)²
+    assert(u.getDouble(2) == 0.25)   // top share
+    assert(u.getDouble(3) == 0.0)    // Gini of a uniform mixture
+    val skewed = Seq(("a", 97L), ("b", 1L), ("c", 1L), ("d", 1L))
+      .toDF("src", "w")
+    val s = CorpusOps.concentrationStats(skewed, "src", col("w"))
+      .collect().head
+    assert(s.getDouble(2) == 0.97)
+    // hand Gini: ranks (1,2,3 on the ties by key, 4 on 97):
+    // G = (2·(1·1+2·1+3·1+4·97) − 5·100) / (4·100) = (788 − 500) / 400
+    assert(s.getDouble(3) == 0.72)
+    assert(s.getDouble(3) > u.getDouble(3))
+  }
+
   test("charTrigramNll: hand-built MLE model, short docs drop, repetition scores low") {
     val docs = Seq((1L, "aaaa"), (2L, "aab"), (3L, "ab"))
       .toDF("doc_id", "text")
