@@ -1768,6 +1768,29 @@ object SparkEntry {
           col("endTs").as("t_end"), col("nEvents").as("n_events"))
         .orderBy("user_id", "t_start")
     }),
+    // Streaming windowed HLL distinct users — the sketch tier under
+    // streaming: bounded per-window state, watermark-final emission. The
+    // oracle owns the exact per-week distinct count and replays the
+    // emission cutoff (weeks whose end the final watermark passed); the
+    // estimate's error contract is the hash-gated boolean (lgK=12 →
+    // 1.04 % RSE; 4 %+abs-5 is the hll_rollup_orders bound, deterministic
+    // because HLL is order-insensitive).
+    "stream_weekly_hll" -> ((s, d) => {
+      val src = graft.streaming.EventsStreaming
+        .readEventsStream(s, stagedEvents(s, d))
+      val est = runStreamToTable(s,
+        graft.streaming.EventsStreaming.weeklyDistinctSketch(src), "hll")
+      val exact = Tables.events(s, d)
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(CoreOps.weekStart(col("ts")).as("week"))
+        .agg(count_distinct(col("user_id")).as("users_exact"))
+      est.join(exact, Seq("week"))
+        .select(col("week"), col("users_exact"),
+          (abs(col("users_est") - col("users_exact")).cast("double")
+            <= greatest(lit(5.0), col("users_exact") * lit(0.04)))
+            .as("hll_ok"))
+        .orderBy("week")
+    }),
     // Stream-stream interval join (click → purchase within 1 h, same
     // user), graded: both sides watermarked, state evictable — and with
     // the finite source drained, the emitted pair set is exactly the
@@ -3450,6 +3473,20 @@ object SparkEntry {
         |FROM events e JOIN sess
         |  ON e.user_id = sess.s_user AND e.ts BETWEEN sess.t_start AND sess.t_end
         |ORDER BY e.event_id""".stripMargin,
+    // Emission cutoff replayed: append mode finalizes a window once the
+    // watermark (epoch_ms(max ts) − 1 day) passes its end. The boundary
+    // case (watermark landing exactly on a week end) is measure-zero on
+    // micros-precision event time.
+    "stream_weekly_hll" ->
+      """WITH e AS (SELECT user_id, ts FROM events
+        |    WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |wm AS (SELECT epoch_ms(max(ts)) - 86400000 AS w FROM e),
+        |x AS (SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS users_exact,
+        |    epoch_ms(CAST(date_trunc('week', ts) AS TIMESTAMP) + INTERVAL 7 DAY) AS end_ms
+        |  FROM e GROUP BY 1)
+        |SELECT week, users_exact, TRUE AS hll_ok FROM x, wm
+        |WHERE end_ms <= w ORDER BY week""".stripMargin,
     // Stream/batch agreement: the batch sessionize computation restricted
     // to sessions the final watermark (epoch_ms(max ts) − 1 h) closed —
     // end + gap at-or-before the watermark, the inclusive boundary the

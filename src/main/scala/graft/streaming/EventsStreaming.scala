@@ -57,6 +57,31 @@ object EventsStreaming {
         CoreOps.rnd(percentile_approx(col("value"), lit(0.5), lit(10000)))
           .as("value_median"))
 
+  /** Watermarked weekly distinct-user ESTIMATE via a mergeable HLL
+    * sketch — the streaming face of the batch sketch tier
+    * ([[graft.ops.SketchOps]]): exact `count_distinct` is impossible in a
+    * stream (unbounded per-group state), but an HLL register array is
+    * fixed-size (2^lgK bytes), mergeable across micro-batches, and its
+    * estimate is deterministic for a given input SET — order-insensitive,
+    * so the micro-batch arrival order cannot change the answer. This is
+    * the 100 TB shape for "distinct users per window, continuously":
+    * KB-scale state per window, append-mode emission when the watermark
+    * closes the window.
+    *
+    * Window alignment matches [[windowedStats]]: 7-day tumbling windows
+    * offset by `startTime` 4 days so buckets start Monday, agreeing with
+    * the batch tier's `CoreOps.weekStart` under the pinned UTC session.
+    */
+  def weeklyDistinctSketch(events: DataFrame, watermark: String = "1 day",
+                           lgK: Int = 12): DataFrame =
+    events
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "7 days", "7 days", "4 days"))
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(col("user_id"), lit(lgK))).as("users_est"))
+      .select(col("window.start").as("week"), col("users_est"))
+
   /** Event-time session windows: built-in merging session state, append
     * output after the watermark closes a session. Gap semantics match the
     * batch [[graft.ops.Sessionize]] operator EXCEPT exactly at the

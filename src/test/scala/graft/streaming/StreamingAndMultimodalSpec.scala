@@ -41,6 +41,27 @@ class StreamingAndMultimodalSpec extends SparkTestBase {
     assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
   }
 
+  test("weeklyDistinctSketch: streaming HLL estimate matches the batch sketch exactly") {
+    val dir = stagedEventsDir
+    val q = EventsStreaming.weeklyDistinctSketch(
+        EventsStreaming.readEventsStream(spark, dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hll_win_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("hll_win_out")
+    // HLL is order-insensitive: the micro-batched register merge must land
+    // on the SAME estimate as a single batch pass over the same rows — an
+    // estimator equality, stronger than an error-bound check
+    val batch = graft.Tables.events(spark, sfTest)
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy(graft.ops.CoreOps.weekStart(col("ts")).as("week"))
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(col("user_id"), lit(12))).as("users_est"))
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() == 0
+      && batch.except(streamed).count() == 0)
+  }
+
   test("streaming session windows match the batch sessionize operator") {
     val dir = stagedEventsDir
     val q = EventsStreaming.sessionWindows(
