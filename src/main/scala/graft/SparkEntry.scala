@@ -1772,9 +1772,10 @@ object SparkEntry {
     // streaming: bounded per-window state, watermark-final emission. The
     // oracle owns the exact per-week distinct count and replays the
     // emission cutoff (weeks whose end the final watermark passed); the
-    // estimate's error contract is the hash-gated boolean (lgK=12 →
-    // 1.04 % RSE; 4 %+abs-5 is the hll_rollup_orders bound, deterministic
-    // because HLL is order-insensitive).
+    // estimate's error contract is the hash-gated boolean. lgK=12 →
+    // RSE 1.04/√4096 ≈ 1.6 %, so 8 %+abs-5 (the same estimate-vs-exact
+    // bound hll_rollup_orders gates at) is ≈5σ — and deterministic for a
+    // given input set because HLL is order-insensitive.
     "stream_weekly_hll" -> ((s, d) => {
       val src = graft.streaming.EventsStreaming
         .readEventsStream(s, stagedEvents(s, d))
@@ -1787,7 +1788,7 @@ object SparkEntry {
       est.join(exact, Seq("week"))
         .select(col("week"), col("users_exact"),
           (abs(col("users_est") - col("users_exact")).cast("double")
-            <= greatest(lit(5.0), col("users_exact") * lit(0.04)))
+            <= greatest(lit(5.0), col("users_exact") * lit(0.08)))
             .as("hll_ok"))
         .orderBy("week")
     }),
@@ -1983,15 +1984,21 @@ object SparkEntry {
       val e = Tables.embeddings(s, d).where(col("vec_id") < 2000)
       val kept = Similarity.semanticDedupKeepFirst(
         e, "vec_id", "embedding", threshold = 0.4)
-      val tot = e.groupBy("label").agg(count(lit(1)).as("n_total"))
-      val k = kept.groupBy("label").agg(
-        count(lit(1)).as("__n_kept"), sum("vec_id").as("__id_sum"))
-      tot.join(k, Seq("label"), "left")
-        .select(col("label"), col("n_total"),
-          coalesce(col("__n_kept"), lit(0L)).as("n_kept"),
-          (col("n_total") - coalesce(col("__n_kept"), lit(0L)))
+        .select(col("vec_id"), lit(1L).as("__k"))
+      // flag-join on the never-null vec_id then ONE aggregation by label:
+      // a per-label join would equality-match on label and silently drop
+      // a NULL-label group's kept stats, where the oracle's single
+      // GROUP BY treats NULL as a group
+      e.select(col("vec_id"), col("label"))
+        .join(kept, Seq("vec_id"), "left")
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("n_total"),
+          coalesce(sum(col("__k")), lit(0L)).as("n_kept"),
+          (count(lit(1)) - coalesce(sum(col("__k")), lit(0L)))
             .as("n_dropped"),
-          coalesce(col("__id_sum"), lit(0L)).as("kept_id_sum"))
+          coalesce(sum(when(col("__k").isNotNull, col("vec_id"))), lit(0L))
+            .as("kept_id_sum"))
         .orderBy("label")
     }),
 

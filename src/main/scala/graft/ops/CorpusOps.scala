@@ -636,8 +636,12 @@ object CorpusOps {
                lo: Double, hi: Double): DataFrame = {
     require(lo >= 0 && hi <= 1 && lo <= hi,
       s"tail gate [$lo, $hi] must be an ordered sub-range of [0, 1]")
+    // NULLS LAST explicitly: Spark's ascending default is nulls-FIRST
+    // where standard-SQL engines (the DuckDB oracle included) rank nulls
+    // last — one NULL metric row would otherwise shift every rank in its
+    // stratum and break cross-engine agreement at the gate boundaries
     df.withColumn("__pr", percent_rank().over(
-        Window.partitionBy(col(strataCol)).orderBy(metric)))
+        Window.partitionBy(col(strataCol)).orderBy(metric.asc_nulls_last)))
       .where(col("__pr") >= lo && col("__pr") <= hi)
       .drop("__pr")
   }

@@ -287,6 +287,14 @@ class CorpusOpsSpec extends SparkTestBase {
     val keptT = CorpusOps.tailGate(tied, "src", col("len"), 0.05, 0.90)
       .select("id").as[Long].collect().toSet
     assert(keptT.contains(18L) == keptT.contains(50L))
+    // NULL metric ranks LAST (standard-SQL order, unlike Spark's
+    // nulls-first ascending default): pr = 0, 0.5, 1.0 → [0, 0.5] keeps
+    // the two real values and trims the NULL row at the high tail
+    val withNull = Seq((1L, "n", Some(1L)), (2L, "n", Some(2L)),
+      (3L, "n", Option.empty[Long])).toDF("id", "src", "len")
+    val keptN = CorpusOps.tailGate(withNull, "src", col("len"), 0.0, 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(keptN == Set(1L, 2L))
   }
 
   test("mergePairCandidates: adjacency counts with multiplicity, rank tie-break by pair") {
