@@ -493,6 +493,20 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("hybrid_search: both rank lists bound BEFORE the global fusion window") {
+    val plan = executedSimple(SparkEntry.queries("hybrid_search")(spark, sf))
+    // sparse leg: distributed top-k heap (limit=20); dense leg: per-query
+    // rank pushed into WindowGroupLimit; and the fused rank<=10 itself
+    // compiles to a third TakeOrderedAndProject — every window in the
+    // plan sees at most the two k-row lists, never the corpus. (The
+    // full-outer fuse of the two 20-row lists is a SortMergeJoin — full
+    // outer cannot broadcast in Spark — over 40 rows, deliberately
+    // unpinned.)
+    assert(plan.contains("TakeOrderedAndProject(limit=20"), plan)
+    assert(plan.contains("TakeOrderedAndProject(limit=10"), plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("charTrigramNll: model broadcasts; scoring reuses the trigram exchange") {
     val plan = executedSimple(
       graft.ops.CorpusOps.charTrigramNll(Tables.documents(spark, sf),
