@@ -358,13 +358,23 @@ object SparkEntry {
   private val altFormatDirs =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
-  private def stagedFormat(s: SparkSession, d: String, fmt: String): String =
+  private def stagedFormat(s: SparkSession, d: String, fmt: String,
+                           opts: Map[String, String] = Map.empty): String =
     altFormatDirs.getOrElseUpdate((d, fmt), {
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft-events-$fmt").toString
-      Tables.events(s, d).write.mode("overwrite").format(fmt).save(dir)
+      Tables.events(s, d).write.mode("overwrite").options(opts)
+        .format(fmt).save(dir)
       dir
     })
+
+  /** Micros-precision timestamp format for the CSV leg, applied on BOTH
+    * write and read: the CSV default (like JSON's) renders only millis,
+    * and a text format should round-trip the column it is graded on at
+    * full precision rather than lean on the aggregate's invariance.
+    */
+  private val csvTsOpts = Map(
+    "timestampFormat" -> "yyyy-MM-dd HH:mm:ss.SSSSSS")
 
   /** Verified near-dup pairs for the graded dedup slice, computed ONCE per
     * sfDir at the LOOSEST graded threshold (0.5) and localCheckpointed:
@@ -2063,6 +2073,16 @@ object SparkEntry {
       weeklyFormatAgg(s.read
         .schema(graft.streaming.EventsStreaming.EventsSchema)
         .json(stagedFormat(s, d, "json")))),
+    // CSV — the reference's own ingest format, graded through the same
+    // shared weekly oracle. Headerless (the explicit schema maps by
+    // position) with a micros timestampFormat on both sides so the text
+    // leg round-trips event time at full precision; embedded commas and
+    // quotes in `props` exercise the quoting path.
+    "csv_source_agg" -> ((s, d) =>
+      weeklyFormatAgg(s.read
+        .schema(graft.streaming.EventsStreaming.EventsSchema)
+        .options(csvTsOpts)
+        .csv(stagedFormat(s, d, "csv", csvTsOpts)))),
 
     // ---- training-data extension tier: embedding governance ----
     // Every vector reduction is a sequential left fold the oracle replays
@@ -3596,6 +3616,7 @@ object SparkEntry {
         |FROM t""".stripMargin,
     "orc_source_agg" -> altFormatOracleSql,
     "jsonl_source_agg" -> altFormatOracleSql,
+    "csv_source_agg" -> altFormatOracleSql,
     "events_json" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  min(k) AS k_min, max(k) AS k_max,
