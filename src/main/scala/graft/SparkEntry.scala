@@ -2165,6 +2165,24 @@ object SparkEntry {
     "ngram_lm_score" -> ((s, d) =>
       CorpusOps.charTrigramNll(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
+    // Equal-token shard manifest: content-address order, exact GLOBAL
+    // running token total via the two-pass distributed prefix sum
+    // (ScaleOps.globalRunningTotal — no single-partition window), shard =
+    // the 2000-token bin the doc's start offset falls in. The hash-gated
+    // exact cumsum is the determinism statement: local+offset must equal
+    // DuckDB's one-task global window bit-for-bit at every row.
+    "shard_manifest" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("__h"))
+      ScaleOps.globalRunningTotal(docs,
+          Seq(col("__h"), col("doc_id")), col("n_tokens"))
+        .select(col("doc_id"), col("n_tokens"),
+          col("cum").as("cum_tokens"),
+          floor((col("cum") - col("n_tokens")) / 2000).cast("long")
+            .as("shard"))
+        .orderBy("doc_id")
+    }),
     // First-occurrence 5-gram novelty in corpus order — the frontier
     // freshness signal for incremental ingestion; gramless docs grade as
     // explicit NULL novelty.
@@ -3756,6 +3774,17 @@ object SparkEntry {
         |  FROM scored GROUP BY 1)
         |SELECT doc_id, n_tri, floor((CAST(su AS DOUBLE) / 1000000 / n_tri) * 10000 + 0.5) / 10000 AS avg_nll
         |FROM agg ORDER BY doc_id""".stripMargin,
+    // The oracle IS the single-task global window the engine refuses to
+    // run — at oracle scale that's fine, and equality proves the
+    // distributed two-pass landed on the same exact prefix at every row.
+    "shard_manifest" ->
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |c AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER (ORDER BY h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM t)
+        |SELECT doc_id, n_tokens, cum_tokens,
+        |  CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / 2000) AS BIGINT) AS shard
+        |FROM c ORDER BY doc_id""".stripMargin,
     // range(1, len-3) = 5-gram starts 1..len-4; t[i:i+4] is a 5-token
     // inclusive slice. DISTINCT per doc like the engine's ngramSet.
     "ngram_novelty" ->

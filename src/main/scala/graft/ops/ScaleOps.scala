@@ -198,6 +198,68 @@ object ScaleOps {
     }
   }
 
+  /** Exact GLOBAL running total over a total order — WITHOUT the
+    * single-partition window an `orderBy`-no-`partitionBy` window costs
+    * (the trap named throughout this repo: `row_number()` over an
+    * unpartitioned frame is one task sorting the corpus). This is the
+    * textbook two-pass distributed prefix sum:
+    *
+    *  1. range-partition by the order keys and sort within partitions
+    *     (one sampled range exchange, local sorts — the zorderLayout
+    *     shape, never a global sort);
+    *  2. one sequential pass per partition accumulates the LOCAL running
+    *     total (`mapPartitions` — the genuine per-partition imperative
+    *     case: a running sum is inherently sequential within its run);
+    *  3. per-partition totals (a partition-COUNT-sized frame, tens of
+    *     rows) get an exclusive prefix via an ordinary window — over
+    *     partition ids, bounded by cluster width, never by data — and
+    *     broadcast back; global cum = local + partition offset.
+    *
+    * The result is boundary-invariant: long sums are exact, so wherever
+    * the sampled range cuts fall, local + offset equals the true global
+    * prefix — the spec pins equality under different partition counts.
+    * Callers must pass a TOTAL order (include a unique tiebreak column);
+    * null `value`s contribute 0 and keep their row.
+    *
+    * @return the input columns plus `cum` (long inclusive running total),
+    *         in no particular row order.
+    */
+  def globalRunningTotal(df: DataFrame, orderKeys: Seq[Column],
+                         value: Column, partitions: Int = 0): DataFrame = {
+    require(orderKeys.nonEmpty, "globalRunningTotal needs order keys")
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+      else spark.sparkContext.defaultParallelism
+    val keyed = df.withColumn("__v", value.cast("long"))
+    val parted = keyed
+      .repartitionByRange(p, orderKeys: _*)
+      .sortWithinPartitions(orderKeys: _*)
+    val vIdx = parted.schema.fieldIndex("__v")
+    val outSchema = parted.schema
+      .add("__pid", org.apache.spark.sql.types.IntegerType, nullable = false)
+      .add("__local", org.apache.spark.sql.types.LongType, nullable = false)
+    val withLocal = parted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var acc = 0L
+      it.map { r =>
+        if (!r.isNullAt(vIdx)) acc += r.getLong(vIdx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pid :+ acc)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    // partition total via sum of the values, NOT max of the running
+    // column — the running sum is only monotone for non-negative values
+    val offsets = withLocal.groupBy(col("__pid"))
+      .agg(coalesce(sum(col("__v")), lit(0L)).as("__tot"))
+      .withColumn("__off", coalesce(
+        sum(col("__tot")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("__pid"))
+            .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    withLocal.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("cum", col("__local") + col("__off"))
+      .drop("__pid", "__local", "__v")
+  }
+
   /** Z-order data layout: range-partition by the interleaved key and sort
     * each partition by it, so a write from this frame produces files whose
     * (x, y) bounding boxes are small in BOTH dimensions — 2-D data skipping

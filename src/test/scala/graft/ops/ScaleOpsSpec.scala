@@ -164,4 +164,24 @@ class ScaleOpsSpec extends SparkTestBase {
       s"bucketed join should not shuffle:\n$plan")
     assert(joined.count() == 1000)
   }
+
+  test("globalRunningTotal equals the single-window cumsum, at any partition count") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    // negative values and nulls included: the partition total must be the
+    // value sum, not the max of a (then non-monotone) running column
+    val rows = (1 to 500).map(i =>
+      (i.toLong, if (i % 17 == 0) None else Some(rng.nextInt(201).toLong - 50)))
+    val df = rows.toDF("k", "v")
+    def run(in: org.apache.spark.sql.DataFrame, p: Int) =
+      ScaleOps.globalRunningTotal(in, Seq(col("k")), col("v"), partitions = p)
+        .select("k", "cum").as[(Long, Long)].collect().sortBy(_._1).toList
+    val want = rows.scanLeft((0L, 0L)) { case ((_, acc), (k, v)) =>
+      (k, acc + v.getOrElse(0L)) }.drop(1).toList
+    assert(run(df, 7) == want)
+    // boundary-invariance: a different partition count and a shuffled
+    // input layout land on the identical global prefix
+    assert(run(df.repartition(13), 3) == want)
+    assert(run(df, 1) == want)
+  }
 }
