@@ -2165,6 +2165,24 @@ object SparkEntry {
     "ngram_lm_score" -> ((s, d) =>
       CorpusOps.charTrigramNll(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
+    // Exact GLOBAL order-statistics at fact scale: cents histogram +
+    // distributed prefix sum, quantile = least value reaching rank
+    // ⌈q·n⌉. The oracle sorts the whole column in one task; equality
+    // proves the histogram path computes the identical exact ranks.
+    // (Both engines evaluate ⌈q·n⌉ on the same IEEE double of q·n, so
+    // even a representation artifact like 0.1·n landing just above an
+    // integer resolves identically.)
+    "global_quantiles_exact" -> ((s, d) => {
+      import CoreOps.rnd
+      ScaleOps.exactQuantilesByHistogram(
+          Tables.orders(s, d)
+            .select(CoreOps.moneyCents(col("o_totalprice")).as("__cents")),
+          col("__cents"), Seq(0.10, 0.50, 0.90))
+        .select(col("n"),
+          rnd(col("p10").cast("double") / 100.0).as("p10"),
+          rnd(col("p50").cast("double") / 100.0).as("p50"),
+          rnd(col("p90").cast("double") / 100.0).as("p90"))
+    }),
     // Equal-token shard manifest: content-address order, exact GLOBAL
     // running token total via the two-pass distributed prefix sum
     // (ScaleOps.globalRunningTotal — no single-partition window), shard =
@@ -3774,6 +3792,15 @@ object SparkEntry {
         |  FROM scored GROUP BY 1)
         |SELECT doc_id, n_tri, floor((CAST(su AS DOUBLE) / 1000000 / n_tri) * 10000 + 0.5) / 10000 AS avg_nll
         |FROM agg ORDER BY doc_id""".stripMargin,
+    "global_quantiles_exact" ->
+      """WITH v AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |s AS (SELECT list_sort(list(c)) AS l, CAST(count(*) AS BIGINT) AS n FROM v)
+        |SELECT n,
+        |  floor((CAST(l[CAST(ceil(0.10 * n) AS BIGINT)] AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS p10,
+        |  floor((CAST(l[CAST(ceil(0.50 * n) AS BIGINT)] AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS p50,
+        |  floor((CAST(l[CAST(ceil(0.90 * n) AS BIGINT)] AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS p90
+        |FROM s""".stripMargin,
     // The oracle IS the single-task global window the engine refuses to
     // run — at oracle scale that's fine, and equality proves the
     // distributed two-pass landed on the same exact prefix at every row.

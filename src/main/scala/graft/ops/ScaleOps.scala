@@ -260,6 +260,40 @@ object ScaleOps {
       .drop("__pid", "__local", "__v")
   }
 
+  /** Exact GLOBAL quantiles at fact scale — the histogram + prefix-sum
+    * formulation: aggregate the (integer) values to a (value, count)
+    * histogram (one hash exchange, map-side partials; rows ∝ distinct
+    * values, not input), run [[globalRunningTotal]] over it in value
+    * order, and read each quantile off as the least value whose
+    * cumulative count reaches rank ⌈q·n⌉ (the 1-based-rank convention
+    * the exact weekly tier uses). No per-group value buffering, no
+    * single-partition sort, no sketch error — this is how an exact p50
+    * over 10¹¹ rows actually runs, provided the value domain (integer
+    * cents here) keeps the histogram small relative to the input.
+    *
+    * @param qs quantiles in (0, 1]; one output column `p<q·100>` each,
+    *           plus `n`. Null values are excluded (SQL aggregate
+    *           convention).
+    */
+  def exactQuantilesByHistogram(df: DataFrame, value: Column,
+                                qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles $qs must lie in (0, 1]")
+    val h = df.where(value.isNotNull)
+      .groupBy(value.cast("long").as("__val"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = globalRunningTotal(h, Seq(col("__val")), col("__c"))
+    // n = the largest cumulative count (counts are positive, so the
+    // running total is monotone here)
+    val tot = cum.agg(max(col("cum")).as("__n"))
+    val picks = qs.map { q =>
+      min(when(col("cum") >= ceil(lit(q) * col("__n")), col("__val")))
+        .as(s"p${math.round(q * 100)}")
+    }
+    cum.crossJoin(broadcast(tot))
+      .agg(max(col("__n")).as("n"), picks: _*)
+  }
+
   /** Z-order data layout: range-partition by the interleaved key and sort
     * each partition by it, so a write from this frame produces files whose
     * (x, y) bounding boxes are small in BOTH dimensions — 2-D data skipping

@@ -184,4 +184,19 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(run(df.repartition(13), 3) == want)
     assert(run(df, 1) == want)
   }
+
+  test("exactQuantilesByHistogram: ceil-rank order statistics, duplicates collapse correctly") {
+    import spark.implicits._
+    val df = Seq(1L, 1L, 1L, 9L).toDF("v")
+    val r = ScaleOps.exactQuantilesByHistogram(df, col("v"),
+      Seq(0.25, 0.50, 0.90)).collect().head
+    // n=4: rank ⌈1⌉=1 → 1, rank ⌈2⌉=2 → still 1 (cum 3 ≥ 2), rank
+    // ⌈3.6⌉=4 → 9
+    assert(r.getLong(0) == 4L)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((1L, 1L, 9L)))
+    // distinct 1..10: p50 = rank 5 exactly
+    val t = ScaleOps.exactQuantilesByHistogram(
+      (1L to 10L).toDF("v"), col("v"), Seq(0.5)).collect().head
+    assert(t.getLong(1) == 5L)
+  }
 }
