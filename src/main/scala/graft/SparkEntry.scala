@@ -2165,6 +2165,26 @@ object SparkEntry {
     "ngram_lm_score" -> ((s, d) =>
       CorpusOps.charTrigramNll(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
+    // Exact PER-GROUP quantiles through the histogram path — the scale
+    // alternative to the weekly tier's in-memory percentile buffer,
+    // exact at ANY group size (windows run over histogram rows, a
+    // spill-able sort). Same ⌈q·n⌉ rank convention as the global
+    // variant; oracle re-sorts each group's raw cents one-task.
+    "weekly_quantiles_histogram" -> ((s, d) => {
+      import CoreOps.rnd
+      ScaleOps.groupQuantilesByHistogram(
+          Tables.orders(s, d).select(
+            CoreOps.weekStart(col("o_orderdate")).as("week"),
+            col("o_orderpriority").as("dim"),
+            CoreOps.moneyCents(col("o_totalprice")).as("__cents")),
+          Seq(col("week"), col("dim")), col("__cents"),
+          Seq(0.10, 0.50, 0.90))
+        .select(col("week"), col("dim"), col("n"),
+          rnd(col("p10").cast("double") / 100.0).as("p10"),
+          rnd(col("p50").cast("double") / 100.0).as("p50"),
+          rnd(col("p90").cast("double") / 100.0).as("p90"))
+        .orderBy("week", "dim")
+    }),
     // Exact GLOBAL order-statistics at fact scale: cents histogram +
     // distributed prefix sum, quantile = least value reaching rank
     // ⌈q·n⌉. The oracle sorts the whole column in one task; equality
@@ -3792,6 +3812,17 @@ object SparkEntry {
         |  FROM scored GROUP BY 1)
         |SELECT doc_id, n_tri, floor((CAST(su AS DOUBLE) / 1000000 / n_tri) * 10000 + 0.5) / 10000 AS avg_nll
         |FROM agg ORDER BY doc_id""".stripMargin,
+    "weekly_quantiles_histogram" ->
+      """WITH v AS (SELECT date_trunc('week', o_orderdate) AS week, o_orderpriority AS dim,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |s AS (SELECT week, dim, list_sort(list(c)) AS l, CAST(count(*) AS BIGINT) AS n
+        |  FROM v GROUP BY 1, 2)
+        |SELECT week, dim, n,
+        |  floor((CAST(l[CAST(ceil(0.10 * n) AS BIGINT)] AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS p10,
+        |  floor((CAST(l[CAST(ceil(0.50 * n) AS BIGINT)] AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS p50,
+        |  floor((CAST(l[CAST(ceil(0.90 * n) AS BIGINT)] AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS p90
+        |FROM s ORDER BY week, dim""".stripMargin,
     "global_quantiles_exact" ->
       """WITH v AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
         |  FROM orders WHERE o_totalprice IS NOT NULL),

@@ -294,6 +294,45 @@ object ScaleOps {
       .agg(max(col("__n")).as("n"), picks: _*)
   }
 
+  /** Exact PER-GROUP quantiles via the same histogram formulation — the
+    * third way between the exact tier's per-group value buffer (exact,
+    * but the buffer breaks first at 100 TB group sizes —
+    * [[WeeklyAgg.weeklyStatsCore]]'s documented limit) and the KLL/
+    * `percentile_approx` sketches (bounded memory, bounded error):
+    * aggregate to a per-group (value, count) histogram, cumulative-count
+    * it with an ordinary window PARTITIONED BY THE GROUP (no
+    * single-partition trap — and the window runs over histogram rows,
+    * i.e. distinct values per group, a spill-able sort instead of an
+    * in-memory array of every raw value), and read rank ⌈q·n⌉ off per
+    * group. Exact at any group size; cost scales with distinct values.
+    *
+    * Plan shape: the histogram's hash aggregation is the only fact-scale
+    * exchange; the cumulative window, the per-group total, and the final
+    * quantile aggregation all share one (keys) exchange.
+    */
+  def groupQuantilesByHistogram(df: DataFrame, keys: Seq[Column],
+                                value: Column, qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keys.nonEmpty, "groupQuantilesByHistogram needs group keys")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles $qs must lie in (0, 1]")
+    val h = df.where(value.isNotNull)
+      .groupBy((keys :+ value.cast("long").as("__val")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val kcols = h.columns.dropRight(2).map(col).toSeq
+    val cumW = Window.partitionBy(kcols: _*).orderBy(col("__val"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grpW = Window.partitionBy(kcols: _*)
+    val picks = qs.map { q =>
+      min(when(col("__cum") >= ceil(lit(q) * col("__n")), col("__val")))
+        .as(s"p${math.round(q * 100)}")
+    }
+    h.withColumn("__cum", sum(col("__c")).over(cumW))
+      .withColumn("__n", sum(col("__c")).over(grpW))
+      .groupBy(kcols: _*)
+      .agg(max(col("__n")).as("n"), picks: _*)
+  }
+
   /** Z-order data layout: range-partition by the interleaved key and sort
     * each partition by it, so a write from this frame produces files whose
     * (x, y) bounding boxes are small in BOTH dimensions — 2-D data skipping

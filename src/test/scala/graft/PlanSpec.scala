@@ -507,6 +507,16 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("weekly_quantiles_histogram: histogram agg + ONE keys exchange serve both windows and the final agg") {
+    val plan = executedSimple(
+      SparkEntry.queries("weekly_quantiles_histogram")(spark, sf))
+    // exchanges: (keys, value) histogram agg, (keys) for the windows —
+    // which the final group-by reuses — and the output range sort; a 4th
+    // means a window or aggregation stopped sharing the keys partitioning
+    assert("Exchange".r.findAllIn(plan).size <= 3, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("charTrigramNll: model broadcasts; scoring reuses the trigram exchange") {
     val plan = executedSimple(
       graft.ops.CorpusOps.charTrigramNll(Tables.documents(spark, sf),

@@ -199,4 +199,16 @@ class ScaleOpsSpec extends SparkTestBase {
       (1L to 10L).toDF("v"), col("v"), Seq(0.5)).collect().head
     assert(t.getLong(1) == 5L)
   }
+
+  test("groupQuantilesByHistogram: per-group ceil-ranks, null values excluded") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Some(1L)), ("a", Some(1L)), ("a", Some(1L)), ("a", Some(9L)),
+      ("b", Some(5L)), ("b", None))  // b: one non-null value, null dropped
+      .toDF("g", "v")
+    val out = ScaleOps.groupQuantilesByHistogram(df, Seq(col("g")), col("v"),
+      Seq(0.50, 0.90)).orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("a", 4L, 1L, 9L), ("b", 1L, 5L, 5L)))
+  }
 }
