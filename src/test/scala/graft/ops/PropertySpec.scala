@@ -408,6 +408,28 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: histogram quantiles equal sorted ceil-rank selection per group") {
+    val rowGen = for {
+      g <- Gen.oneOf("a", "b", "c")
+      v <- Gen.choose(0L, 30L) // narrow domain → duplicates guaranteed
+    } yield (g, v)
+    forAllSampled(Gen.nonEmptyListOf(rowGen), n = 6) { rows =>
+      val df = rows.toDF("g", "v")
+      val qs = Seq(0.10, 0.50, 0.90)
+      val got = ScaleOps.groupQuantilesByHistogram(df, Seq(col("g")),
+        col("v"), qs).orderBy("g").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          (2 to 4).map(r.getLong).toList)).toList
+      val want = rows.groupBy(_._1).toList.sortBy(_._1).map { case (g, xs) =>
+        val sorted = xs.map(_._2).sorted
+        val n = sorted.size
+        (g, n.toLong,
+          qs.map(q => sorted(math.ceil(q * n).toInt - 1)).toList)
+      }
+      assert(got == want)
+    }
+  }
+
   test("property: semanticDedupKeepFirst keeps exactly the lower-id-neighbor-free set") {
     val vecGen = Gen.choose(2, 12).flatMap(nv => Gen.listOfN(nv,
       Gen.listOfN(3, Gen.choose(-5, 5).map(_.toFloat))))
