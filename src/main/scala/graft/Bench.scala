@@ -82,6 +82,16 @@ object Bench {
     // a broken query reads as a performance win in the emitted JSON.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     require(runs >= 1, s"SPARK_GRAFT_BENCH_RUNS=$runs must be >= 1")
+    // Last-use map for the heavy memo families: once the final consumer of
+    // a family (in this run's sorted, possibly filtered order) has been
+    // timed, drop the family's strong references so the per-query GC below
+    // actually reclaims its checkpoint blocks — instead of every family's
+    // blocks riding along to the end of the run and inflating later heavy
+    // queries (the round-7 2×-vs-isolated residue on link_predict).
+    val evictAfter: Map[String, Seq[() => Unit]] =
+      SparkEntry.memoFamilies.flatMap { case (_, users, evict) =>
+        ordered.map(_._1).filter(users).lastOption.map(_ -> evict)
+      }.groupBy(_._1).map { case (q, es) => q -> es.map(_._2) }
     val results = ordered.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -98,10 +108,12 @@ object Bench {
       }
       // Per-QUERY cleaner nudge, also outside any timed region:
       // clearCache() drops any CacheManager entries a query registered,
-      // and an explicit GC feeds the ContextCleaner's weak-ref queue so
-      // dead localCheckpoint RDD blocks and broadcasts from this query's
-      // four executions are actually reclaimed instead of shifting later
-      // queries' measurements.
+      // family eviction releases memo checkpoints whose last consumer was
+      // this query, and an explicit GC feeds the ContextCleaner's weak-ref
+      // queue so dead localCheckpoint RDD blocks and broadcasts from this
+      // query's four executions are actually reclaimed instead of
+      // shifting later queries' measurements.
+      evictAfter.getOrElse(name, Nil).foreach(_.apply())
       spark.catalog.clearCache()
       System.gc()
       name -> times

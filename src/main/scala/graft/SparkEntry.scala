@@ -356,11 +356,14 @@ object SparkEntry {
     * the round-tripped data against the PARQUET-derived oracle.
     */
   private val altFormatDirs =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String, Map[String, String]), String]
 
   private def stagedFormat(s: SparkSession, d: String, fmt: String,
                            opts: Map[String, String] = Map.empty): String =
-    altFormatDirs.getOrElseUpdate((d, fmt), {
+    // opts participates in the key: two stagings of the same format with
+    // different writer options (e.g. timestamp formats) are different
+    // fixtures — a (dir, fmt)-only key would silently serve the first.
+    altFormatDirs.getOrElseUpdate((d, fmt, opts), {
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft-events-$fmt").toString
       Tables.events(s, d).write.mode("overwrite").options(opts)
@@ -375,6 +378,55 @@ object SparkEntry {
     */
   private val csvTsOpts = Map(
     "timestampFormat" -> "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  /** Orders + customer staged ONCE per (app, dir) as same-bucket-count
+    * bucketed tables ([[ScaleOps.writeBucketed]]) — the write-path fixture
+    * the `bucketed_join_orders` query reads back. The pre-write
+    * `repartition(buckets, key)` uses the same murmur3-pmod placement as
+    * the bucket spec, so each task holds exactly one bucket and every
+    * bucket lands in ONE sorted file — the layout Spark's scan needs to
+    * hand the join sorted, exchange-free input (multi-file buckets forfeit
+    * the sortBy metadata). Same JVM-lifetime memo contract as
+    * [[stagedEvents]]; tables are OVERWRITten so a stale warehouse from an
+    * earlier process cannot leak in.
+    */
+  private val bucketedTableCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), (String, String)]
+
+  private def bucketedOrdersCustomer(s: SparkSession, d: String): (String, String) =
+    bucketedTableCache.getOrElseUpdate((s.sparkContext.applicationId, d), {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val ot = s"graft_orders_bkt_$tag"
+      val ct = s"graft_customer_bkt_$tag"
+      ScaleOps.writeBucketed(
+        Tables.orders(s, d).repartition(8, col("o_custkey")),
+        ot, "o_custkey", buckets = 8)
+      ScaleOps.writeBucketed(
+        Tables.customer(s, d).repartition(8, col("c_custkey")),
+        ct, "c_custkey", buckets = 8)
+      (ot, ct)
+    })
+
+  /** Orders deliberately fragmented into 64 small files, then compacted by
+    * [[ScaleOps.compactParquet]] — the write-path fixture the
+    * `compacted_source_agg` query reads back (grading that the rewrite
+    * preserves CONTENT while fixing layout). Disk artifact, memoized per
+    * dir like [[stagedEvents]].
+    */
+  private val compactedOrderDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def compactedOrders(s: SparkSession, d: String): String =
+    compactedOrderDirs.getOrElseUpdate(d, {
+      val frag = java.nio.file.Files
+        .createTempDirectory("graft-orders-frag").toString
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-orders-compact").toString
+      Tables.orders(s, d).repartition(64).write.mode("overwrite").parquet(frag)
+      ScaleOps.compactParquet(s, frag, out, targetMb = 128,
+        sortCol = Some("o_orderdate"))
+      out
+    })
 
   /** Verified near-dup pairs for the graded dedup slice, computed ONCE per
     * sfDir at the LOOSEST graded threshold (0.5) and localCheckpointed:
@@ -398,6 +450,29 @@ object SparkEntry {
         "doc_id", "text", threshold = 0.5)
         .localCheckpoint(true))
 
+  /** The heavy JVM-lifetime memo families (localCheckpointed frames held
+    * by strong TrieMap references) with the graded queries that consume
+    * each — the map Bench needs to EVICT a family once its last consumer
+    * (in Bench's sorted execution order) has been timed. Holding every
+    * family for the whole 140+-query run kept hundreds of MB of dead
+    * checkpoint blocks resident, squeezing the execution memory (and GC
+    * headroom) of every later heavy query — the shared-JVM inflation the
+    * round-7 adjudication still measured at 2× on the heaviest query.
+    * The evictor only drops the strong references; the blocks themselves
+    * are reclaimed when the next driver GC feeds the ContextCleaner's
+    * weak-reference queue (Bench runs one GC per query). KB-scale memos
+    * (IVF codebooks, eval blooms) and on-disk staging dirs are deliberately
+    * absent: evicting them buys nothing and re-deriving them is not free.
+    */
+  def memoFamilies: Seq[(String, Set[String], () => Unit)] = Seq(
+    ("basket_graph",
+      Set("copurchase_lift", "triangle_count", "link_predict"),
+      () => basketGraphCache.clear()),
+    ("verified_pairs",
+      Set("dedup_groups", "dedup_keep_best", "dedup_keep_canonical",
+        "neardup_safe_split"),
+      () => verifiedPairCache.clear()))
+
   /** Drive a finite streaming frame to completion through a memory sink
     * and hand back the result as a batch frame. `processAllAvailable`
     * drains the file source AND the trailing no-data micro-batch where
@@ -406,8 +481,9 @@ object SparkEntry {
     * Unique query names keep bench re-runs from colliding on the temp
     * view.
     */
-  private def runStreamToTable(s: SparkSession, df: DataFrame,
-                               name: String): DataFrame = {
+  private def runStreamToTable(s: SparkSession, df: DataFrame, name: String,
+      mode: org.apache.spark.sql.streaming.OutputMode =
+        org.apache.spark.sql.streaming.OutputMode.Append): DataFrame = {
     val qn = s"graft_stream_${name}_${streamRuns.incrementAndGet()}"
     // State partition count is a deployment knob pinned at a stream's
     // first checkpoint, NOT something to inherit from the batch tier's
@@ -421,7 +497,7 @@ object SparkEntry {
     s.conf.set("spark.sql.shuffle.partitions", "8")
     val q =
       try df.writeStream
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .outputMode(mode)
         .format("memory").queryName(qn).start()
       finally s.conf.set("spark.sql.shuffle.partitions", before)
     try q.processAllAvailable() finally q.stop()
@@ -1857,6 +1933,150 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"))
         .orderBy("event_type")
     }),
+    // Watermarked weekly windowed stats — the streaming flagship
+    // aggregation (windowedStats), graded with the stream_weekly_hll
+    // contract shape: the oracle owns the exact per-(week, type) values
+    // and replays the append-mode emission cutoff (weeks whose end the
+    // final watermark passed); the engine-specific estimates ride as
+    // gated booleans. transactions is approx_count_distinct (1 % rsd —
+    // the 8 %+abs-5 bound is many σ); value_mean's gate absorbs the
+    // double-sum-order wobble of a streaming avg vs the exact cents mean;
+    // value_median is EXACTLY the rank-⌈n/2⌉ element at this fixture's
+    // group sizes (< the sketch accuracy), compared at 4 dp.
+    "stream_weekly_stats" -> ((s, d) => {
+      val src = graft.streaming.EventsStreaming
+        .readEventsStream(s, stagedEvents(s, d))
+      val st = runStreamToTable(s,
+        graft.streaming.EventsStreaming.windowedStats(src), "wstats")
+        .select(col("window.start").as("week"), col("event_type"),
+          col("transactions"), col("value_mean"), col("value_median"))
+      val n = col("__n")
+      val exact = Tables.events(s, d)
+        .withColumn("__cents", CoreOps.moneyCents(col("value")))
+        .groupBy(CoreOps.weekStart(col("ts")).as("week"), col("event_type"))
+        .agg(count_distinct(col("event_id")).as("tx_exact"),
+          CoreOps.rnd(sum(col("__cents")).cast("double") / 100.0
+            / count(col("__cents"))).as("mean_exact"),
+          sort_array(collect_list(col("value"))).as("__vals"),
+          count(col("value")).as("__n"))
+        .withColumn("__med",
+          element_at(col("__vals"), ceil(n.cast("double") / 2.0).cast("int")))
+      st.join(exact, Seq("week", "event_type"))
+        .select(col("week"), col("event_type"), col("tx_exact"),
+          col("mean_exact"),
+          (abs(col("transactions") - col("tx_exact")).cast("double")
+            <= greatest(lit(5.0), col("tx_exact") * lit(0.08))).as("tx_ok"),
+          (abs(col("value_mean") - col("mean_exact")) <= lit(0.001))
+            .as("mean_ok"),
+          (abs(col("value_median") - CoreOps.rnd(col("__med"))) <= lit(0.0001))
+            .as("median_ok"))
+        .orderBy("week", "event_type")
+    }),
+    // Built-in session_window sessions, graded: the engine-side merging
+    // session state against the oracle's gaps-and-islands replay of the
+    // END-EXCLUSIVE gap rule ([start, last + gap): an event exactly `gap`
+    // after the previous one opens a NEW session — delta >= gap, where the
+    // custom closedSessions operator splits strictly on delta > gap), with
+    // append-mode emission replayed at the final watermark. Bounds stay
+    // micros (no state re-encoding through java.sql.Timestamp here);
+    // session totals are 2-dp-value sums rounded at 4 dp, stable to
+    // double-sum order (≤1e-10 from a 2-dp decimal, never near a rounding
+    // boundary).
+    "stream_sessions_window" -> ((s, d) => {
+      val src = graft.streaming.EventsStreaming
+        .readEventsStream(s, stagedEvents(s, d))
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+      val sw = graft.streaming.EventsStreaming.sessionWindows(src)
+      runStreamToTable(s, sw, "swin")
+        .select(col("user_id"), col("session_window.start").as("t_start"),
+          col("session_window.end").as("t_end"), col("n_events"),
+          CoreOps.rnd(col("total")).as("total"))
+        .orderBy("user_id", "t_start")
+    }),
+    // Stateful running per-user totals (mapGroupsWithState, Update mode),
+    // graded on the FINAL state: the memory sink sees every per-batch
+    // update, so the final row per user is selected by the monotone
+    // nEvents (argmax via struct max — deterministic however the source
+    // micro-batched). n_events is the exact graded value; the double
+    // running total (folded in engine arrival order) grades as a gate
+    // against the exact cents sum.
+    "stream_user_totals" -> ((s, d) => {
+      val st = graft.streaming.EventsStreaming.userSessions(
+        graft.streaming.EventsStreaming.readEventsStream(s, stagedEvents(s, d)))
+      val fin = runStreamToTable(s, st.toDF(), "usertot",
+          org.apache.spark.sql.streaming.OutputMode.Update)
+        .groupBy(col("userId").as("user_id"))
+        .agg(max(struct(col("nEvents"), col("total"))).as("__m"))
+        .select(col("user_id"), col("__m.nEvents").as("n_events"),
+          col("__m.total").as("__total"))
+      val exact = Tables.events(s, d)
+        .where(col("user_id").isNotNull && col("value").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(sum(CoreOps.moneyCents(col("value"))).as("__cents"))
+      fin.join(exact, Seq("user_id"))
+        .select(col("user_id"), col("n_events"),
+          (abs(col("__total") - col("__cents").cast("double") / 100.0)
+            <= lit(0.001)).as("total_ok"))
+        .orderBy("user_id")
+    }),
+    // ---- write-path tier (ScaleOps.writeBucketed / compactParquet) ----
+    // Bucketed co-located join: orders and customer written bucketed by
+    // the join key (same bucket count), read back, and joined WITHOUT any
+    // exchange on either side (PlanSpec pins the zero-shuffle join). The
+    // oracle computes the identical join + rollup from the RAW parquet —
+    // proving the layout op changed the plan, not the content.
+    "bucketed_join_orders" -> ((s, d) => {
+      val (ot, ct) = bucketedOrdersCustomer(s, d)
+      ScaleOps.bucketedJoin(s, ot, ct, "o_custkey", "c_custkey")
+        .withColumn("__cents", CoreOps.moneyCents(col("o_totalprice")))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          CoreOps.rnd(sum(col("__cents")).cast("double") / 100.0)
+            .as("total_price"))
+        .orderBy("c_nationkey")
+    }),
+    // Small-files compaction round-trip: orders fragmented to 64 tiny
+    // files, compacted by on-disk size with a row-group sort key, read
+    // back and aggregated — graded against the oracle reading the raw
+    // table. Content-preservation proof for the compaction rewrite.
+    "compacted_source_agg" -> ((s, d) => {
+      import CoreOps.rnd
+      s.read.parquet(compactedOrders(s, d))
+        .withColumn("week", CoreOps.weekStart(col("o_orderdate")))
+        .withColumn("__cents", CoreOps.moneyCents(col("o_totalprice")))
+        .groupBy(col("week"), col("o_orderpriority").as("dim"))
+        .agg(count(lit(1)).as("n"),
+          rnd(sum(col("__cents")).cast("double") / 100.0).as("total_price"))
+        .orderBy("week", "dim")
+    }),
+    // Incremental sketch recompute (ScaleOps.weeklySketches +
+    // mergeSketchCounts), graded: the corpus split into two half-runs,
+    // each reduced to per-(week, dim) HLL sketches, merged — and the
+    // merged estimate must EQUAL the whole-corpus run pushed through the
+    // same merge path (register-lattice union is deterministic and the
+    // split cannot change any register's max; both sides read their
+    // estimate off a union sketch, so the HIP-vs-composite estimator
+    // asymmetry of hll_rollup_orders does not apply). The estimate also
+    // rides next to the oracle's exact distinct inside sketch tolerance.
+    "sketch_merge_orders" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def sketchOf(df: DataFrame) = ScaleOps.weeklySketches(df,
+        col("o_orderdate"), col("o_orderpriority"), col("o_custkey"))
+      def half(m: Int) = sketchOf(o.where(pmod(col("o_orderkey"), lit(2)) === m))
+      val incr = ScaleOps.mergeSketchCounts(Seq(half(0), half(1)))
+        .withColumnRenamed("transactions_est", "est_incr")
+      val whole = ScaleOps.mergeSketchCounts(Seq(sketchOf(o)))
+        .withColumnRenamed("transactions_est", "est_whole")
+      val exact = o.groupBy(CoreOps.weekStart(col("o_orderdate")).as("week"),
+          col("o_orderpriority").as("dim"))
+        .agg(count_distinct(col("o_custkey")).as("cust_exact"))
+      incr.join(whole, Seq("week", "dim")).join(exact, Seq("week", "dim"))
+        .select(col("week"), col("dim"), col("cust_exact"),
+          (col("est_incr") === col("est_whole")).as("merge_exact_ok"),
+          (abs(col("est_incr") - col("cust_exact")).cast("double")
+            <= greatest(lit(5.0), col("cust_exact") * lit(0.08))).as("hll_ok"))
+        .orderBy("week", "dim")
+    }),
     // Hierarchical subtotals via ROLLUP (capability beyond the reference's
     // flat group-bys).
     "rollup_orders" -> ((s, d) => {
@@ -2076,8 +2296,9 @@ object SparkEntry {
     // CSV — the reference's own ingest format, graded through the same
     // shared weekly oracle. Headerless (the explicit schema maps by
     // position) with a micros timestampFormat on both sides so the text
-    // leg round-trips event time at full precision; embedded commas and
-    // quotes in `props` exercise the quoting path.
+    // leg round-trips event time at full precision; embedded double
+    // quotes in every `props` value (JSON-object text) exercise the CSV
+    // quote-escaping path on both write and read.
     "csv_source_agg" -> ((s, d) =>
       weeklyFormatAgg(s.read
         .schema(graft.streaming.EventsStreaming.EventsSchema)
@@ -3635,6 +3856,73 @@ object SparkEntry {
       """SELECT event_type,
         |  CAST(count(DISTINCT concat_ws('|', event_type, floor(value))) AS BIGINT) AS n_kept
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Same cutoff replay as stream_weekly_hll (windows whose end the final
+    // 1-day watermark passed); exact values owned by the oracle, estimate
+    // agreement carried as gated booleans.
+    "stream_weekly_stats" ->
+      """WITH e AS (SELECT *, CAST(floor(value * 100 + 0.5) AS BIGINT) AS __cents
+        |    FROM events),
+        |wm AS (SELECT epoch_ms(max(ts)) - 86400000 AS w FROM e),
+        |x AS (SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week, event_type,
+        |    CAST(count(DISTINCT event_id) AS BIGINT) AS tx_exact,
+        |    floor((CAST(sum(__cents) AS DOUBLE) / 100.0 / count(__cents)) * 10000 + 0.5) / 10000 AS mean_exact,
+        |    epoch_ms(CAST(date_trunc('week', ts) AS TIMESTAMP) + INTERVAL 7 DAY) AS end_ms
+        |  FROM e GROUP BY 1, 2)
+        |SELECT week, event_type, tx_exact, mean_exact,
+        |  TRUE AS tx_ok, TRUE AS mean_ok, TRUE AS median_ok
+        |FROM x, wm WHERE end_ms <= w ORDER BY week, event_type""".stripMargin,
+    // Gaps-and-islands replay of the END-EXCLUSIVE session_window rule
+    // (delta >= gap opens a session — strict > is the custom operator's
+    // rule, see stream_sessions_final), bounds at full micros, emission
+    // when the final watermark (ms-floored, Spark's clock) passed the
+    // session end.
+    "stream_sessions_window" ->
+      """WITH e AS (SELECT user_id, ts, event_id, value FROM events
+        |    WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |wm AS (SELECT epoch_ms(max(ts)) - 3600000 AS w FROM e),
+        |s AS (SELECT user_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |    event_id
+        |  FROM e),
+        |f AS (SELECT user_id, ts, value, event_id,
+        |    CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+        |         THEN 1 ELSE 0 END AS newf
+        |  FROM s),
+        |g AS (SELECT user_id, ts, value,
+        |    CAST(sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM f),
+        |h AS (SELECT user_id, sid, min(ts) AS t_start,
+        |    max(ts) + INTERVAL 30 MINUTE AS t_end,
+        |    epoch_us(max(ts) + INTERVAL 30 MINUTE) AS end_us,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    floor(sum(value) * 10000 + 0.5) / 10000 AS total
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id, t_start, t_end, n_events, total FROM h, wm
+        |WHERE end_us <= w * 1000 ORDER BY user_id, t_start""".stripMargin,
+    "stream_user_totals" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, TRUE AS total_ok
+        |FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The raw-parquet recomputation of the bucketed-table join — identical
+    // content is the whole claim.
+    "bucketed_join_orders" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  floor((CAST(sum(__cents) AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS total_price
+        |FROM (SELECT *, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS __cents FROM orders) o
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "compacted_source_agg" ->
+      """SELECT date_trunc('week', o_orderdate) AS week, o_orderpriority AS dim,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  floor((CAST(sum(__cents) AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS total_price
+        |FROM (SELECT *, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS __cents FROM orders) o
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "sketch_merge_orders" ->
+      """SELECT date_trunc('week', o_orderdate) AS week, o_orderpriority AS dim,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS cust_exact,
+        |  TRUE AS merge_exact_ok, TRUE AS hll_ok
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "rollup_orders" -> rollupOrdersOracle,
     "rollup_orders_sql" -> rollupOrdersOracle,
     "cube_orders" ->

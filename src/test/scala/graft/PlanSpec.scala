@@ -517,6 +517,63 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("bucketed join: same-bucket-count tables join with ZERO exchange") {
+    // The writeBucketed contract: both sides bucketed (and one sorted file
+    // per bucket, via the pre-write repartition on the bucket hash), so
+    // the shuffle join the planner would otherwise pick needs neither an
+    // exchange nor (with the sortBy metadata usable) more than local
+    // sorts. Broadcast is disabled for the pin — at the graded fixture
+    // size AQE would broadcast the 25-row side and never exercise the
+    // bucket path this test exists to prove.
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      ScaleOps.writeBucketed(
+        Tables.orders(spark, sf).repartition(4, col("o_custkey")),
+        "graft_test_orders_bkt", "o_custkey", buckets = 4)
+      ScaleOps.writeBucketed(
+        Tables.customer(spark, sf).repartition(4, col("c_custkey")),
+        "graft_test_customer_bkt", "c_custkey", buckets = 4)
+      val j = ScaleOps.bucketedJoin(spark, "graft_test_orders_bkt",
+        "graft_test_customer_bkt", "o_custkey", "c_custkey")
+      val plan = executedSimple(j)
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), plan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+      spark.sql("DROP TABLE IF EXISTS graft_test_orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS graft_test_customer_bkt")
+    }
+  }
+
+  test("groupQuantilesByHistogram: one 10^7-row group — exact answers, bounded plan") {
+    // The scaladoc claim made concrete: the exact tier's per-group
+    // percentile buffer (WeeklyAgg.weeklyStatsCore) holds every raw value
+    // of a group in one aggregation buffer — a 10^7-row group means a
+    // 10^7-element array in a single task's memory, the thing that dies
+    // first at 100 TB group sizes. The histogram path's state is one row
+    // per DISTINCT value (1000 here, input-size-independent), its window
+    // runs over those histogram rows, and the answers are still EXACT:
+    // values are id % 1000 (uniform, 10^4 rows per value), so rank
+    // ⌈q·n⌉ order statistics have closed forms — p50 = 499 (cum count
+    // reaches 5·10^6 at value 499), p90 = 899, p99 = 989.
+    val n = 10000000L
+    val big = spark.range(n)
+      .select(lit("g").as("k"), (col("id") % 1000).as("v"))
+    val r = ScaleOps.groupQuantilesByHistogram(big, Seq(col("k")), col("v"),
+      Seq(0.5, 0.9, 0.99))
+    val plan = executedSimple(r)
+    val row = r.collect().head
+    assert(row.getAs[Long]("n") == n)
+    assert(row.getAs[Long]("p50") == 499L)
+    assert(row.getAs[Long]("p90") == 899L)
+    assert(row.getAs[Long]("p99") == 989L)
+    // the only fact-scale exchange is the histogram aggregation's; the
+    // cumulative window, group total, and final agg share one (k)
+    // exchange — a third would mean a stage stopped sharing it
+    assert("Exchange".r.findAllIn(plan).size <= 3, plan)
+  }
+
   test("charTrigramNll: model broadcasts; scoring reuses the trigram exchange") {
     val plan = executedSimple(
       graft.ops.CorpusOps.charTrigramNll(Tables.documents(spark, sf),
