@@ -407,6 +407,24 @@ object SparkEntry {
       (ot, ct)
     })
 
+  /** Events staged once per dir as a HIVE-PARTITIONED parquet layout
+    * (`partitionBy(event_type)`) — the fixture for the graded
+    * partition-pruning query: a predicate on the partition column must
+    * reach the scan as a PartitionFilter (directories never listed),
+    * which PlanSpec pins. Disk artifact, memoized like [[stagedEvents]].
+    */
+  private val partitionedEventDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def partitionedEvents(s: SparkSession, d: String): String =
+    partitionedEventDirs.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-events-part").toString
+      Tables.events(s, d).write.mode("overwrite")
+        .partitionBy("event_type").parquet(dir)
+      dir
+    })
+
   /** Orders deliberately fragmented into 64 small files, then compacted by
     * [[ScaleOps.compactParquet]] — the write-path fixture the
     * `compacted_source_agg` query reads back (grading that the rewrite
@@ -2048,6 +2066,44 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           rnd(sum(col("__cents")).cast("double") / 100.0).as("total_price"))
         .orderBy("week", "dim")
+    }),
+    // Partition-pruned scan: events written hive-partitioned by
+    // event_type, read back with a partition-column predicate — the scan
+    // must prune DIRECTORIES (PlanSpec pins the PartitionFilter), and the
+    // surviving rows aggregate identically to the oracle filtering the
+    // raw table. The layout counterpart to predicate pushdown: at 100 TB
+    // the pruned partitions are never even listed.
+    "partition_pruned_agg" -> ((s, d) =>
+      weeklyFormatAgg(s.read.parquet(partitionedEvents(s, d))
+        .where(col("event_type").isin("click", "purchase")))),
+    // Fixed-iteration PageRank over the co-purchase graph (3 rounds,
+    // damping 0.85): the iterative-operator representative. Micro-unit
+    // long ranks with composed floor-divisions make every round an exact
+    // integer recurrence both engines replay bit-for-bit; the oracle
+    // unrolls the three rounds as chained CTEs.
+    "pagerank_parts" -> ((s, d) => {
+      val (_, edges, deg) = basketGraph(s, d)
+      GraphOps.pageRanksOf(edges, deg, iterations = 3)
+        .orderBy("node")
+    }),
+    // Bloom-pruned join: the BUILDING-segment customer slice builds a
+    // bloom over its keys, orders are probe-filtered map-side BEFORE any
+    // join machinery, and the join result must be IDENTICAL to the
+    // oracle's plain filtered join (no false negatives is a theorem of
+    // the structure; false positives are dropped by the join itself).
+    // The manual runtime-filter — at 100 TB only the matching fraction
+    // of the fact table reaches the exchange.
+    "bloom_pruned_join" -> ((s, d) => {
+      val dim = Tables.customer(s, d)
+        .where(col("c_mktsegment") === "BUILDING")
+      ScaleOps.bloomPrunedJoin(Tables.orders(s, d), dim,
+          "o_custkey", "c_custkey")
+        .withColumn("__cents", CoreOps.moneyCents(col("o_totalprice")))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          CoreOps.rnd(sum(col("__cents")).cast("double") / 100.0)
+            .as("total_price"))
+        .orderBy("c_nationkey")
     }),
     // Incremental sketch recompute (ScaleOps.weeklySketches +
     // mergeSketchCounts), graded: the corpus split into two half-runs,
@@ -3923,6 +3979,46 @@ object SparkEntry {
         |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS cust_exact,
         |  TRUE AS merge_exact_ok, TRUE AS hll_ok
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "bloom_pruned_join" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  floor((CAST(sum(__cents) AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS total_price
+        |FROM (SELECT *, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS __cents FROM orders) o
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "partition_pruned_agg" ->
+      """SELECT date_trunc('week', ts) AS week, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  floor((CAST(sum(__cents) AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS sum_value
+        |FROM (SELECT *, CAST(floor(value * 100 + 0.5) AS BIGINT) AS __cents FROM events
+        |      WHERE event_type IN ('click', 'purchase')) e
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Three PageRank rounds unrolled as chained CTEs — the same integer
+    // recurrence the engine runs: composed floor-divisions
+    // ((rank * 850000) // 10^6 // degree) are exact on non-negative longs,
+    // so rank_micro must match bit-for-bit.
+    "pagerank_parts" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+        |    WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |sized AS (SELECT b, i FROM
+        |    (SELECT b, i, count(*) OVER (PARTITION BY b) AS sz FROM items)
+        |  WHERE sz <= 6),
+        |e AS (SELECT DISTINCT x.i AS u, y.i AS v FROM sized x JOIN sized y ON x.b = y.b AND x.i < y.i),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+        |  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |adj AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+        |r0 AS (SELECT n, CAST(1000000 AS BIGINT) AS rank FROM deg),
+        |r1 AS (SELECT a.dst AS n,
+        |    CAST(150000 + sum(((r.rank * 850000) // 1000000) // d.d) AS BIGINT) AS rank
+        |  FROM adj a JOIN r0 r ON r.n = a.src JOIN deg d ON d.n = a.src GROUP BY 1),
+        |r2 AS (SELECT a.dst AS n,
+        |    CAST(150000 + sum(((r.rank * 850000) // 1000000) // d.d) AS BIGINT) AS rank
+        |  FROM adj a JOIN r1 r ON r.n = a.src JOIN deg d ON d.n = a.src GROUP BY 1),
+        |r3 AS (SELECT a.dst AS n,
+        |    CAST(150000 + sum(((r.rank * 850000) // 1000000) // d.d) AS BIGINT) AS rank
+        |  FROM adj a JOIN r2 r ON r.n = a.src JOIN deg d ON d.n = a.src GROUP BY 1)
+        |SELECT r3.n AS node, deg.d AS degree, r3.rank AS rank_micro
+        |FROM r3 JOIN deg ON r3.n = deg.n ORDER BY node""".stripMargin,
     "rollup_orders" -> rollupOrdersOracle,
     "rollup_orders_sql" -> rollupOrdersOracle,
     "cube_orders" ->

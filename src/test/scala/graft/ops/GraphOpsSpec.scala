@@ -101,4 +101,40 @@ class GraphOpsSpec extends SparkTestBase {
     val r = lpRun(edges, 10L, 2L)
     assert(r.keySet === Set((1L, 3L), (2L, 4L)))
   }
+
+  /** Reference replay of the pageRanks integer recurrence: same micro-unit
+    * longs, same composed floor divisions, driver-side maps.
+    */
+  private def prBrute(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val canon = edges.filter { case (a, b) => a != b }
+      .map { case (a, b) => (a min b, a max b) }.distinct
+    val adj = canon.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = adj.groupBy(_._1).map { case (n, xs) => n -> xs.size.toLong }
+    var rank = deg.map { case (n, _) => n -> 1000000L }
+    for (_ <- 1 to iters) {
+      val contrib = adj.groupBy(_._2).map { case (dst, in) =>
+        dst -> in.map { case (src, _) =>
+          rank(src) * 850000L / 1000000L / deg(src)
+        }.sum
+      }
+      rank = rank.map { case (n, _) => n -> (150000L + contrib(n)) }
+    }
+    rank
+  }
+
+  test("pageRanks matches the integer recurrence; symmetric graphs stay uniform") {
+    // fully symmetric triangle: every round reproduces 1.0 exactly
+    val tri = GraphOps.pageRanks(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b"), "a", "b", 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(tri.map(_._3).toSet === Set(1000000L))
+    // star + tail: asymmetric ranks, checked against the driver replay
+    val edges = (1 to 120).map { i =>
+      ((i * 7919L) % 25, (i * 104729L) % 25)
+    }.filter { case (a, b) => a != b }
+    val got = GraphOps.pageRanks(edges.toDF("a", "b"), "a", "b", 3)
+      .as[(Long, Long, Long)].collect()
+      .map { case (n, _, r) => n -> r }.toMap
+    assert(got === prBrute(edges, 3))
+  }
 }
