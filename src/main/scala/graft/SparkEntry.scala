@@ -2037,6 +2037,34 @@ object SparkEntry {
             <= lit(0.001)).as("total_ok"))
         .orderBy("user_id")
     }),
+    // foreachBatch bridge, graded end-to-end: every micro-batch flows
+    // through a BATCH-library transform (filter + CoreOps projection —
+    // deliberately map-only, so the parquet the writer appends is
+    // batching-invariant: per-batch row sets are disjoint slices of the
+    // corpus under ANY trigger layout) into a parquet sink, and the
+    // read-back aggregates against the oracle computing the same thing
+    // from the raw table. A fresh sink dir per EXECUTION keeps bench
+    // re-runs from appending onto earlier output.
+    "stream_foreachbatch_agg" -> ((s, d) => {
+      import CoreOps.rnd
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft-feb-sink").toString
+      val src = graft.streaming.EventsStreaming
+        .readEventsStream(s, stagedEvents(s, d))
+      val q = graft.streaming.EventsStreaming.foreachBatchWriter(src,
+          b => b.where(col("event_type").isin("view", "click"))
+            .select(col("event_id"), col("event_type"),
+              CoreOps.weekStart(col("ts")).as("week"),
+              CoreOps.moneyCents(col("value")).as("__cents"))) {
+          (batch, _) => batch.write.mode("append").parquet(outDir)
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(outDir)
+        .groupBy("week", "event_type")
+        .agg(count(lit(1)).as("n"),
+          rnd(sum(col("__cents")).cast("double") / 100.0).as("sum_value"))
+        .orderBy("week", "event_type")
+    }),
     // ---- write-path tier (ScaleOps.writeBucketed / compactParquet) ----
     // Bucketed co-located join: orders and customer written bucketed by
     // the join key (same bucket count), read back, and joined WITHOUT any
@@ -3979,6 +4007,13 @@ object SparkEntry {
         |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS cust_exact,
         |  TRUE AS merge_exact_ok, TRUE AS hll_ok
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_foreachbatch_agg" ->
+      """SELECT date_trunc('week', ts) AS week, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  floor((CAST(sum(__cents) AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS sum_value
+        |FROM (SELECT *, CAST(floor(value * 100 + 0.5) AS BIGINT) AS __cents FROM events
+        |      WHERE event_type IN ('view', 'click')) e
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "bloom_pruned_join" ->
       """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
         |  floor((CAST(sum(__cents) AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS total_price

@@ -49,10 +49,21 @@ object SetSimJoin {
                        blocking: Seq[String] = Nil): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold=$threshold must be in (0, 1]")
+    // base is consumed THREE times (token explode + both verification
+    // attaches) and prefix TWICE (both sides of the candidate self-join).
+    // Left lazy, every consumer re-instantiates the whole subtree —
+    // re-tokenizing the corpus three times and re-running the dictionary
+    // aggregation + rank window twice (exchange reuse does not
+    // canonicalize the aliased sides together; same lesson as the
+    // link_predict adjacency). Two eager localCheckpoints pin each to ONE
+    // computation; both frames are corpus-bounded (one row per doc / per
+    // prefix token), and at 100 TB they are exactly the artifacts a
+    // production run would persist between stages.
     val base = df.select(col(idCol).as("id") +:
       Dedup.shingles(textCol, 1).as("arr") +:
       blocking.map(col): _*)
       .withColumn("sz", size(col("arr")).cast("long"))
+      .localCheckpoint(true)
     val toks = base.select(col("id") +: explode(col("arr")).as("tok") +:
       col("sz") +: blocking.map(col): _*)
     val dict = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
@@ -66,6 +77,7 @@ object SetSimJoin {
       .where(col("rk") <=
         col("sz") - ceil(lit(threshold) * col("sz")).cast("long") + lit(1L))
       .drop("tf")
+      .localCheckpoint(true)
 
     // Candidates: pairs in the same block sharing a prefix token,
     // pre-pruned by the size filter (|y| must land in [t·|x|, |x|/t] or
