@@ -94,12 +94,18 @@ object GraphOps {
       .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
     // Orient by the (degree, id) total order; carry the head's degree so
-    // out-neighbors can be ordered without re-joining.
+    // out-neighbors can be ordered without re-joining. MATERIALIZED: the
+    // oriented list is consumed THREE times below (both wedge sides and
+    // the closing-edge probe), and left lazy each consumer re-ran the two
+    // degree-attach joins over the full edge list (same multi-consumer
+    // lesson as the link_predict adjacency). One edge-scale checkpoint of
+    // three long columns serves all three.
     val headFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
     val oriented = withDeg.select(
       when(headFirst, col("u")).otherwise(col("v")).as("src"),
       when(headFirst, col("v")).otherwise(col("u")).as("dst"),
       when(headFirst, col("dv")).otherwise(col("du")).as("dd"))
+      .localCheckpoint(true)
 
     val tri = oriented.as("e1")
       .join(oriented.as("e2"),
