@@ -2133,6 +2133,28 @@ object SparkEntry {
             .as("total_price"))
         .orderBy("c_nationkey")
     }),
+    // Winsorized rollup — the exact-quantile tier APPLIED back to rows at
+    // scale shape: the p1/p99 cut points come from the histogram +
+    // prefix-sum path (never a global sort or value buffer), broadcast as
+    // one row, and the clamp is a map-only expression; the winsorized
+    // mean is then an exact long sum. The oracle recomputes the same
+    // rank-⌈q·n⌉ cuts from a sorted list.
+    "winsorized_agg" -> ((s, d) => {
+      import CoreOps.rnd
+      val o = Tables.orders(s, d)
+        .withColumn("__cents", CoreOps.moneyCents(col("o_totalprice")))
+      val cuts = ScaleOps.exactQuantilesByHistogram(o, col("__cents"),
+        Seq(0.01, 0.99)).select(col("p1"), col("p99"))
+      val w = least(greatest(col("__cents"), col("p1")), col("p99"))
+      o.crossJoin(broadcast(cuts))
+        .groupBy(col("o_orderpriority").as("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("__cents") < col("p1"), 1L).otherwise(0L)).as("n_low"),
+          sum(when(col("__cents") > col("p99"), 1L).otherwise(0L)).as("n_high"),
+          rnd(sum(w).cast("double") / 100.0 / count(lit(1)))
+            .as("mean_winsorized"))
+        .orderBy("dim")
+    }),
     // Incremental sketch recompute (ScaleOps.weeklySketches +
     // mergeSketchCounts), graded: the corpus split into two half-runs,
     // each reduced to per-(week, dim) HLL sketches, merged — and the
@@ -4014,6 +4036,17 @@ object SparkEntry {
         |FROM (SELECT *, CAST(floor(value * 100 + 0.5) AS BIGINT) AS __cents FROM events
         |      WHERE event_type IN ('view', 'click')) e
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "winsorized_agg" ->
+      """WITH o AS (SELECT *, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c FROM orders),
+        |cuts AS (SELECT
+        |    list_sort(list(c))[GREATEST(1, CAST(ceil(0.01 * count(*)) AS BIGINT))] AS p1,
+        |    list_sort(list(c))[GREATEST(1, CAST(ceil(0.99 * count(*)) AS BIGINT))] AS p99
+        |  FROM o)
+        |SELECT o_orderpriority AS dim, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN c < p1 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(sum(CASE WHEN c > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  floor((CAST(sum(LEAST(GREATEST(c, p1), p99)) AS DOUBLE) / 100.0 / count(*)) * 10000 + 0.5) / 10000 AS mean_winsorized
+        |FROM o, cuts GROUP BY 1 ORDER BY 1""".stripMargin,
     "bloom_pruned_join" ->
       """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
         |  floor((CAST(sum(__cents) AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS total_price

@@ -122,6 +122,20 @@ class GraphOpsSpec extends SparkTestBase {
     rank
   }
 
+  test("pageRanks is invariant to input partitioning (integer sums are associative)") {
+    val edges = (1 to 150).map { i =>
+      ((i * 6007L) % 30, (i * 99991L) % 30)
+    }.filter { case (a, b) => a != b }
+    val df = edges.toDF("a", "b")
+    val base = GraphOps.pageRanks(df, "a", "b", 3)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    for (p <- Seq(1, 3, 11)) {
+      val got = GraphOps.pageRanks(df.repartition(p), "a", "b", 3)
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+      assert(got === base, s"partitioning $p changed ranks")
+    }
+  }
+
   test("pageRanks matches the integer recurrence; symmetric graphs stay uniform") {
     // fully symmetric triangle: every round reproduces 1.0 exactly
     val tri = GraphOps.pageRanks(
