@@ -54,6 +54,20 @@ class DocsSpec extends AnyFunSuite {
         f" records $total%.1f s — re-source the README figure from the artifact")
   }
 
+  test("memoFamilies consumer names are real query names") {
+    // Bench's family eviction matches on query NAMES; a renamed query
+    // would silently detach its family from the eviction schedule and the
+    // shared-JVM inflation the mechanism exists to prevent would creep
+    // back without any test noticing.
+    val queries = SparkEntry.queries.keySet
+    for ((fam, users, _) <- SparkEntry.memoFamilies) {
+      val ghosts = users -- queries
+      assert(ghosts.isEmpty,
+        s"memo family '$fam' names non-existent queries: " +
+          ghosts.toSeq.sorted.mkString(", "))
+    }
+  }
+
   test("every graded query has either an oracle or a documented waiver") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty,

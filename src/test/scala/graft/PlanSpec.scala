@@ -599,6 +599,13 @@ class PlanSpec extends SparkTestBase {
     assert(filterLine.nonEmpty, s"bloom probe is not a scan-side Filter:\n$plan")
   }
 
+  test("winsorized_agg: the only unkeyed join is the 1-row cut-point broadcast") {
+    val plan = executedSimple(SparkEntry.queries("winsorized_agg")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 2,
+      s"more unkeyed joins than the quantile scalar attach allows:\n$plan")
+  }
+
   test("charTrigramNll: model broadcasts; scoring reuses the trigram exchange") {
     val plan = executedSimple(
       graft.ops.CorpusOps.charTrigramNll(Tables.documents(spark, sf),

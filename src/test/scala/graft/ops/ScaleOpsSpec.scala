@@ -211,4 +211,23 @@ class ScaleOpsSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(out.toSeq == Seq(("a", 4L, 1L, 9L), ("b", 1L, 5L, 5L)))
   }
+
+  test("bloomPrunedJoin returns exactly the plain join (no false negatives)") {
+    import spark.implicits._
+    // hostile-ish shape: many fact keys outside the dim set (the rows the
+    // probe exists to drop), duplicate fact keys, and a dim key matching
+    // nothing — at fpp 0.01 some non-members survive the probe and must
+    // be dropped by the join itself
+    val facts = (1L to 500L).map(i => (i % 97, i)).toDF("fk", "payload")
+    val dim = Seq((3L, "x"), (5L, "y"), (40L, "z"), (1000L, "ghost"))
+      .toDF("dk", "name")
+    val got = ScaleOps.bloomPrunedJoin(facts, dim, "fk", "dk")
+      .select("fk", "payload", "dk", "name")
+      .as[(Long, Long, Long, String)].collect().sorted.toSeq
+    val want = facts.join(dim, col("fk") === col("dk"))
+      .select("fk", "payload", "dk", "name")
+      .as[(Long, Long, Long, String)].collect().sorted.toSeq
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
 }
