@@ -379,6 +379,13 @@ object SparkEntry {
   private val csvTsOpts = Map(
     "timestampFormat" -> "yyyy-MM-dd HH:mm:ss.SSSSSS")
 
+  /** XML leg options: row tag (required by the native datasource) plus the
+    * same micros timestamp format contract as the CSV leg.
+    */
+  private val xmlOpts = Map(
+    "rowTag" -> "event",
+    "timestampFormat" -> "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
   /** Orders + customer staged ONCE per (app, dir) as same-bucket-count
     * bucketed tables ([[ScaleOps.writeBucketed]]) — the write-path fixture
     * the `bucketed_join_orders` query reads back. The pre-write
@@ -2395,6 +2402,15 @@ object SparkEntry {
       weeklyFormatAgg(s.read
         .schema(graft.streaming.EventsStreaming.EventsSchema)
         .orc(stagedFormat(s, d, "orc")))),
+    // XML — the fourth round-tripped format (Spark 4's NATIVE xml
+    // datasource): one <event> element per row, micros timestampFormat on
+    // both sides like the CSV leg, schema supplied on read (inference
+    // would widen types).
+    "xml_source_agg" -> ((s, d) =>
+      weeklyFormatAgg(s.read
+        .schema(graft.streaming.EventsStreaming.EventsSchema)
+        .options(xmlOpts)
+        .format("xml").load(stagedFormat(s, d, "xml", xmlOpts)))),
     "jsonl_source_agg" -> ((s, d) =>
       weeklyFormatAgg(s.read
         .schema(graft.streaming.EventsStreaming.EventsSchema)
@@ -4125,6 +4141,7 @@ object SparkEntry {
     "orc_source_agg" -> altFormatOracleSql,
     "jsonl_source_agg" -> altFormatOracleSql,
     "csv_source_agg" -> altFormatOracleSql,
+    "xml_source_agg" -> altFormatOracleSql,
     "events_json" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  min(k) AS k_min, max(k) AS k_max,
