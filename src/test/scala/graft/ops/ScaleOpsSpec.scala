@@ -212,6 +212,45 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(out.toSeq == Seq(("a", 4L, 1L, 9L), ("b", 1L, 5L, 5L)))
   }
 
+  test("groupQuantilesByHistogram survives a ten-million-row single group") {
+    // The scaladoc's scale claim, demonstrated: ONE group holding 10M rows
+    // over a bounded value domain (10k distinct values). The exact tier's
+    // alternative — SQL `percentile`, which WeeklyAgg's stats core uses —
+    // buffers every raw value of a group in one aggregation buffer, so
+    // this group would hold a 10M-element array in a single task (and a
+    // 100 TB-scale group an OOM); the histogram path's per-group state is
+    // its DISTINCT values (10k histogram rows), three orders of magnitude
+    // smaller and spill-able, while staying exact.
+    //   value = (id * 7919) % 10000 — 7919 coprime to 10^4, so over
+    // id ∈ [0, 10^7) every residue appears exactly 1000 times, arriving
+    // unsorted. Sorted rank r (1-based) therefore holds value
+    // (r-1) div 1000: p50 → rank 5,000,000 → 4999; p90 → 8999;
+    // p99 → rank 9,900,000 → 9899. Analytic truth, computed nowhere
+    // near the operator under test.
+    val big = spark.range(10000000L).toDF("id")
+      .select(lit(0).as("g"), ((col("id") * 7919L) % 10000L).as("v"))
+    val out = ScaleOps.groupQuantilesByHistogram(
+      big, Seq(col("g")), col("v"), Seq(0.50, 0.90, 0.99))
+    out.queryExecution.toRdd.foreachPartition(_ => ())
+    val r = out.collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((10000000L, 4999L, 8999L, 9899L)))
+    // Plan shape: the fact-scale histogram aggregation's exchange plus the
+    // group-keyed window/final-agg exchange — and nothing else. No range
+    // exchange, no global sort; the only sort is the window's local one
+    // over histogram rows.
+    val s = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    val plan = {
+      val i = s.indexOf("== Initial Plan ==")
+      if (i >= 0) s.substring(0, i) else s
+    }
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 3, s"expected <=3 hash exchanges, got $hashEx:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"histogram quantiles must not range-exchange:\n$plan")
+  }
+
   test("bloomPrunedJoin returns exactly the plain join (no false negatives)") {
     import spark.implicits._
     // hostile-ish shape: many fact keys outside the dim set (the rows the
