@@ -189,15 +189,44 @@ object GraphOps {
     // building the pair hash table once, post-shuffle, does strictly less
     // work whenever the wedge→pair compression ratio is near 1 (the
     // regime a minCommon floor puts every sparse graph in).
-    val cn = adj.as("l")
+    val wedges = adj.as("l")
       .join(adj.as("r"),
         col("l.center") === col("r.center") && col("l.leaf") < col("r.leaf"))
-      .select(col("l.leaf").as("id_a"), col("r.leaf").as("id_b"))
-      .repartition(col("id_a"), col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("cn"))
-      .where(col("cn") >= minCommon)
-      // distance exactly 2: drop pairs that are already edges
+    // The wedge stream is the largest intermediate in the whole suite
+    // (50.2 M rows at sf0.1) and every row crosses the pair exchange, so
+    // its WIDTH is the shuffle bill. When both ids fit in 32 bits —
+    // checked against the node-cardinality degree table, a one-stage
+    // statistics probe the optimizer cannot make for us — the ordered
+    // pair (id_a < id_b, both non-negative) packs losslessly into ONE
+    // long (id_a << 32 | id_b): half the shuffle-key bytes, and the pair
+    // hash aggregation probes on a single word instead of a two-column
+    // struct. The pair unpacks only AFTER the minCommon floor has cut
+    // 43.2 M pairs to a few thousand rows. Ids outside the packable
+    // range (negative, or ≥ 2^31) take the two-column plan unchanged.
+    val bounds = deg.agg(min(col("n")), max(col("n"))).head()
+    val packable = !bounds.isNullAt(0) && bounds.getLong(0) >= 0L &&
+      bounds.getLong(1) < (1L << 31)
+    val pairCounts =
+      if (packable)
+        wedges
+          .select(shiftleft(col("l.leaf"), 32).bitwiseOR(col("r.leaf"))
+            .as("__pk"))
+          .repartition(col("__pk"))
+          .groupBy(col("__pk"))
+          .agg(count(lit(1)).as("cn"))
+          .where(col("cn") >= minCommon)
+          .select(shiftright(col("__pk"), 32).as("id_a"),
+            col("__pk").bitwiseAND(lit((1L << 32) - 1)).as("id_b"),
+            col("cn"))
+      else
+        wedges
+          .select(col("l.leaf").as("id_a"), col("r.leaf").as("id_b"))
+          .repartition(col("id_a"), col("id_b"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("cn"))
+          .where(col("cn") >= minCommon)
+    // distance exactly 2: drop pairs that are already edges
+    val cn = pairCounts
       .join(e.select(col("u").as("id_a"), col("v").as("id_b")),
         Seq("id_a", "id_b"), "left_anti")
 

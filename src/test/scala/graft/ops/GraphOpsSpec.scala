@@ -102,6 +102,21 @@ class GraphOpsSpec extends SparkTestBase {
     assert(r.keySet === Set((1L, 3L), (2L, 4L)))
   }
 
+  test("pair packing falls back for ids outside the 32-bit range") {
+    // The packed-pair shuffle key only engages when every node id fits in
+    // 32 non-negative bits; ids beyond that must take the two-column plan
+    // and produce the identical answer. Same square as the hand case,
+    // relabeled 2^40 apart so any erroneous packing would collide or
+    // truncate.
+    val big = 1L << 40
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .map { case (a, b) => (a * big, b * big) }
+    val r = lpRun(sq, 10L, 1L)
+    assert(r === Map(
+      (big, 3 * big) -> ((2L, 2L, 2L, 1.0)),
+      (2 * big, 4 * big) -> ((2L, 2L, 2L, 1.0))))
+  }
+
   /** Reference replay of the pageRanks integer recurrence: same micro-unit
     * longs, same composed floor divisions, driver-side maps.
     */
