@@ -2459,6 +2459,17 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // Deterministic k-means (micro-unit grid, smallest-k-ids init, ties
+    // to the smallest cluster, truncating integer centroid division):
+    // the per-row final assignment AND its exact squared distance both
+    // hash-match a DuckDB replay of the same three Lloyd iterations —
+    // cluster state is proven bit-identical across engines, a strictly
+    // stronger contract than the IVF tier's recall floors.
+    "kmeans_embed" -> ((s, d) =>
+      EmbeddingOps.kmeansAssignments(Tables.embeddings(s, d),
+        "vec_id", "embedding", k = 8, iterations = 3)
+        .orderBy("vec_id")),
+
     // ---- analytics extension tier: funnel + cohorts ----
     // Ordered signup→click→purchase funnel; all three per-user stage
     // timestamps ride ONE exchange on user_id (shared window partitioning).
@@ -4156,6 +4167,45 @@ object SparkEntry {
     // empty list where Spark's aggregate returns its 0.0 seed — seeding
     // makes a zero-dim vector grade (both engines agree on 0) instead of
     // crashing the oracle.
+    // Three unrolled Lloyd iterations (the pagerank_parts fixed-iteration
+    // CTE pattern): a{n} assigns under c{n-1} via row_number ordered by
+    // (exact long distance, cluster) — the same lexicographic tie rule as
+    // the engine's (dist, cl) struct min — and c{n} rebuilds centroids
+    // with `//`, DuckDB's truncating integer division matching Spark's
+    // `div` on the BIGINT-cast sum. The final select exposes the winning
+    // distance too, so the compare hashes the full converged state.
+    "kmeans_embed" ->
+      """WITH q AS (SELECT vec_id,
+        |    list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, qv AS cv
+        |  FROM q ORDER BY vec_id LIMIT 8),
+        |a1 AS (SELECT vec_id, cl, qv FROM (
+        |    SELECT q.vec_id, c.cl, q.qv,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(q.qv, c.cv), x -> (x[1] - x[2]) * (x[1] - x[2]))), c.cl) AS rn
+        |    FROM q CROSS JOIN c0 c) WHERE rn = 1),
+        |c1 AS (SELECT cl, list(s ORDER BY i) AS cv FROM (
+        |    SELECT cl, i, CAST(sum(e) AS BIGINT) // count(*) AS s FROM (
+        |      SELECT cl, generate_subscripts(qv, 1) AS i, unnest(qv) AS e FROM a1)
+        |    GROUP BY cl, i) GROUP BY cl),
+        |a2 AS (SELECT vec_id, cl, qv FROM (
+        |    SELECT q.vec_id, c.cl, q.qv,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(q.qv, c.cv), x -> (x[1] - x[2]) * (x[1] - x[2]))), c.cl) AS rn
+        |    FROM q CROSS JOIN c1 c) WHERE rn = 1),
+        |c2 AS (SELECT cl, list(s ORDER BY i) AS cv FROM (
+        |    SELECT cl, i, CAST(sum(e) AS BIGINT) // count(*) AS s FROM (
+        |      SELECT cl, generate_subscripts(qv, 1) AS i, unnest(qv) AS e FROM a2)
+        |    GROUP BY cl, i) GROUP BY cl),
+        |a3 AS (SELECT vec_id, cl, d FROM (
+        |    SELECT q.vec_id, c.cl,
+        |      list_sum(list_transform(list_zip(q.qv, c.cv), x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(q.qv, c.cv), x -> (x[1] - x[2]) * (x[1] - x[2]))), c.cl) AS rn
+        |    FROM q CROSS JOIN c2 c) WHERE rn = 1)
+        |SELECT vec_id, cl AS cluster, CAST(d AS BIGINT) AS dist
+        |FROM a3 ORDER BY vec_id""".stripMargin,
     "embed_stats" ->
       """WITH v AS (SELECT label, CAST(len(embedding) AS BIGINT) AS dim,
         |    CAST(floor(sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), (a, b) -> a + b)) * 1000000 + 0.5) AS BIGINT) AS norm_u

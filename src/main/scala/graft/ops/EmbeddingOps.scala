@@ -94,6 +94,89 @@ object EmbeddingOps {
   def normMicro(vec: Column): Column =
     floor(l2Norm(vec) * lit(1e6) + lit(0.5)).cast("long")
 
+  /** Fixed-iteration Lloyd k-means over an embedding column, EXACTLY
+    * reproducible across engines and partitionings — the semantic
+    * clustering step of a curation pipeline (mixture balancing, cluster
+    * sampling, SemDeDup's within-cluster pass), graded by per-row hash
+    * equality rather than the recall floors the MLlib-backed IVF codebook
+    * ([[graft.functions.Similarity.trainCodebook]]) settles for.
+    *
+    * Determinism, piece by piece:
+    *   - vectors land on the integer MICRO-UNIT grid first
+    *     (`floor(x·10⁶ + 0.5)` per element — [[CoreOps.moneyCents]]'s
+    *     discipline), so every distance is an exact long;
+    *   - init is data-deterministic: the vectors of the `k` smallest ids,
+    *     cluster index in id order (no RNG, no partition order);
+    *   - assignment = argmin of squared distance with ties to the
+    *     smallest cluster index (`array_min` over (dist, cl) structs —
+    *     lexicographic struct order IS the tie rule);
+    *   - the centroid update is `sum / count` in LONGS: the sum is
+    *     associative (any partitioning), and long division truncates
+    *     toward zero identically in Spark and DuckDB (both verified —
+    *     this is NOT floor division; -7/2 = -3 in both engines).
+    *
+    * Scale shape: each iteration is one map-only assignment pass over the
+    * rows (the centroid table rides as a k×dim literal — k-means state is
+    * optimizer-visible, never a shuffle side) plus one (cluster, dim)-keyed
+    * hash aggregation with k·dim output groups; the k·dim centroid matrix
+    * collects to the driver between iterations (bounded, the
+    * [[graft.functions.Similarity.trainCodebook]] codebook contract). The
+    * quantized input is localCheckpointed once and re-read per iteration
+    * instead of re-deriving the scan `iterations`+1 times.
+    *
+    * A cluster that loses every member simply stops existing (the
+    * aggregation emits no row for it) — deterministically in both engines.
+    * Rows are assumed same-dimension as the centroids; ragged inputs
+    * should be screened with [[embeddingStats]] first.
+    *
+    * @return (vec_id, cluster, dist) — final-iteration assignment and its
+    *         exact squared distance in micro-unit² longs.
+    */
+  def kmeansAssignments(df: DataFrame, idCol: String, vecCol: String,
+                        k: Int, iterations: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be positive")
+    require(iterations >= 1, s"iterations=$iterations must be positive")
+    val q = df.select(col(idCol).as("vec_id"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long"))
+          .as("qv"))
+      .localCheckpoint(true)
+    def assignment(cents: Seq[(Long, Seq[Long])]): Column = {
+      val scored = cents.map { case (cl, cv) =>
+        struct(
+          aggregate(zip_with(col("qv"), typedLit(cv),
+            (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+            .as("dist"),
+          lit(cl).as("cl"))
+      }
+      array_min(array(scored: _*))
+    }
+    var centroids: Seq[(Long, Seq[Long])] =
+      q.orderBy(col("vec_id")).limit(k).collect()
+        .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Long](1)) }
+        .toSeq
+    for (_ <- 1 until iterations) {
+      val assigned = q.select(col("qv"),
+        assignment(centroids).getField("cl").as("cl"))
+      centroids = assigned
+        .select(col("cl"), posexplode(col("qv")).as(Seq("i", "e")))
+        .groupBy(col("cl"), col("i"))
+        // `div`, not `/`: Spark's `/` is double division; `div` is the
+        // integral truncating division DuckDB's `//` mirrors exactly
+        .agg(expr("sum(e) div count(1)").as("c"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .groupBy(_._1).toSeq
+        .map { case (cl, dims) =>
+          (cl, dims.sortBy(_._2).map(_._3).toSeq) }
+        .sortBy(_._1)
+    }
+    q.select(col("vec_id"),
+        assignment(centroids).as("__a"))
+      .select(col("vec_id"), col("__a").getField("cl").as("cluster"),
+        col("__a").getField("dist").as("dist"))
+  }
+
   /** Per-label corpus statistics: count, dimension bounds (a ragged corpus
     * surfaces as min_dim != max_dim), and norm spread. The mean norm is
     * aggregated over micro-unit longs (associative → deterministic under any

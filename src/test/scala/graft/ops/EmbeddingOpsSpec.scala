@@ -87,4 +87,41 @@ class EmbeddingOpsSpec extends SparkTestBase {
       .agg(min("c")).head().getDouble(0)
     assert(self > 0.999, s"original-vs-dequant cosine: $self")
   }
+
+  test("kmeans: separated blobs recover their clusters; ids drive init") {
+    import spark.implicits._
+    // Two far-apart 2-D blobs. Init = the k smallest ids' vectors — ids 0
+    // and 1 sit in DIFFERENT blobs, so after any number of iterations the
+    // assignment is the blob split, regardless of the jitter.
+    val rows = Seq(
+      (0L, Seq(0.00f, 0.01f)), (2L, Seq(0.02f, -0.01f)),
+      (4L, Seq(-0.01f, 0.02f)),
+      (1L, Seq(0.90f, 0.89f)), (3L, Seq(0.91f, 0.92f)),
+      (5L, Seq(0.88f, 0.90f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = EmbeddingOps.kmeansAssignments(df, "vec_id", "embedding",
+      k = 2, iterations = 3)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 0L, 2L -> 0L, 4L -> 0L,
+      1L -> 1L, 3L -> 1L, 5L -> 1L))
+    // partitioning invariance: long sums + integral division are
+    // associative/deterministic, so a different layout changes nothing
+    val re = EmbeddingOps.kmeansAssignments(df.repartition(5),
+      "vec_id", "embedding", k = 2, iterations = 3)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(re === got)
+  }
+
+  test("kmeans: equidistant point breaks ties to the smaller cluster index") {
+    import spark.implicits._
+    // One iteration, so assignment runs against the init centroids
+    // themselves: (0) and (1). The point at exactly 0.5 is equidistant on
+    // the micro-unit grid — the (dist, cl) struct-min must pick cluster 0.
+    val df = Seq((0L, Seq(0.0f)), (1L, Seq(1.0f)), (7L, Seq(0.5f)))
+      .toDF("vec_id", "embedding")
+    val got = EmbeddingOps.kmeansAssignments(df, "vec_id", "embedding",
+      k = 2, iterations = 1)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 0L, 1L -> 1L, 7L -> 0L))
+  }
 }
