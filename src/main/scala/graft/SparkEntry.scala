@@ -2469,6 +2469,16 @@ object SparkEntry {
       EmbeddingOps.kmeansAssignments(Tables.embeddings(s, d),
         "vec_id", "embedding", k = 8, iterations = 3)
         .orderBy("vec_id")),
+    // Cluster curation composed on the k-means state: the 5 most
+    // prototypical members per semantic cluster (SSL-prototypes /
+    // SemDeDup's selection step), rank ties on the exact long distance
+    // breaking to the smaller id. WindowGroupLimit keeps the per-cluster
+    // sort bounded at m rows.
+    "cluster_prototypes" -> ((s, d) =>
+      EmbeddingOps.clusterPrototypes(
+        EmbeddingOps.kmeansAssignments(Tables.embeddings(s, d),
+          "vec_id", "embedding", k = 8, iterations = 3), m = 5)
+        .orderBy("cluster", "rank")),
 
     // ---- analytics extension tier: funnel + cohorts ----
     // Ordered signup→click→purchase funnel; all three per-user stage
@@ -2737,6 +2747,43 @@ object SparkEntry {
         .withColumn("zval", ScaleOps.zValue(col("zx"), col("zy"), bits = 10))
         .orderBy("zval", "o_orderkey")),
   )
+
+  /** Shared CTE prefix of the two k-means oracles: the quantized corpus,
+    * the smallest-8-ids init, and three unrolled Lloyd iterations ending
+    * in `a3` = (vec_id, cl, d) — the final assignment with its exact long
+    * distance. `kmeans_embed` reads a3 directly; `cluster_prototypes`
+    * windows it. One definition so the two graded replays cannot drift.
+    */
+  private def kmeansOracleCtes: String =
+    """WITH q AS (SELECT vec_id,
+      |    list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, qv AS cv
+      |  FROM q ORDER BY vec_id LIMIT 8),
+      |a1 AS (SELECT vec_id, cl, qv FROM (
+      |    SELECT q.vec_id, c.cl, q.qv,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        list_sum(list_transform(list_zip(q.qv, c.cv), x -> (x[1] - x[2]) * (x[1] - x[2]))), c.cl) AS rn
+      |    FROM q CROSS JOIN c0 c) WHERE rn = 1),
+      |c1 AS (SELECT cl, list(s ORDER BY i) AS cv FROM (
+      |    SELECT cl, i, CAST(sum(e) AS BIGINT) // count(*) AS s FROM (
+      |      SELECT cl, generate_subscripts(qv, 1) AS i, unnest(qv) AS e FROM a1)
+      |    GROUP BY cl, i) GROUP BY cl),
+      |a2 AS (SELECT vec_id, cl, qv FROM (
+      |    SELECT q.vec_id, c.cl, q.qv,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        list_sum(list_transform(list_zip(q.qv, c.cv), x -> (x[1] - x[2]) * (x[1] - x[2]))), c.cl) AS rn
+      |    FROM q CROSS JOIN c1 c) WHERE rn = 1),
+      |c2 AS (SELECT cl, list(s ORDER BY i) AS cv FROM (
+      |    SELECT cl, i, CAST(sum(e) AS BIGINT) // count(*) AS s FROM (
+      |      SELECT cl, generate_subscripts(qv, 1) AS i, unnest(qv) AS e FROM a2)
+      |    GROUP BY cl, i) GROUP BY cl),
+      |a3 AS (SELECT vec_id, cl, d FROM (
+      |    SELECT q.vec_id, c.cl,
+      |      list_sum(list_transform(list_zip(q.qv, c.cv), x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        list_sum(list_transform(list_zip(q.qv, c.cv), x -> (x[1] - x[2]) * (x[1] - x[2]))), c.cl) AS rn
+      |    FROM q CROSS JOIN c2 c) WHERE rn = 1)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "weekly_agg_events" ->
@@ -4174,38 +4221,19 @@ object SparkEntry {
     // with `//`, DuckDB's truncating integer division matching Spark's
     // `div` on the BIGINT-cast sum. The final select exposes the winning
     // distance too, so the compare hashes the full converged state.
-    "kmeans_embed" ->
-      """WITH q AS (SELECT vec_id,
-        |    list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
-        |  FROM embeddings),
-        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, qv AS cv
-        |  FROM q ORDER BY vec_id LIMIT 8),
-        |a1 AS (SELECT vec_id, cl, qv FROM (
-        |    SELECT q.vec_id, c.cl, q.qv,
-        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |        list_sum(list_transform(list_zip(q.qv, c.cv), x -> (x[1] - x[2]) * (x[1] - x[2]))), c.cl) AS rn
-        |    FROM q CROSS JOIN c0 c) WHERE rn = 1),
-        |c1 AS (SELECT cl, list(s ORDER BY i) AS cv FROM (
-        |    SELECT cl, i, CAST(sum(e) AS BIGINT) // count(*) AS s FROM (
-        |      SELECT cl, generate_subscripts(qv, 1) AS i, unnest(qv) AS e FROM a1)
-        |    GROUP BY cl, i) GROUP BY cl),
-        |a2 AS (SELECT vec_id, cl, qv FROM (
-        |    SELECT q.vec_id, c.cl, q.qv,
-        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |        list_sum(list_transform(list_zip(q.qv, c.cv), x -> (x[1] - x[2]) * (x[1] - x[2]))), c.cl) AS rn
-        |    FROM q CROSS JOIN c1 c) WHERE rn = 1),
-        |c2 AS (SELECT cl, list(s ORDER BY i) AS cv FROM (
-        |    SELECT cl, i, CAST(sum(e) AS BIGINT) // count(*) AS s FROM (
-        |      SELECT cl, generate_subscripts(qv, 1) AS i, unnest(qv) AS e FROM a2)
-        |    GROUP BY cl, i) GROUP BY cl),
-        |a3 AS (SELECT vec_id, cl, d FROM (
-        |    SELECT q.vec_id, c.cl,
-        |      list_sum(list_transform(list_zip(q.qv, c.cv), x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d,
-        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |        list_sum(list_transform(list_zip(q.qv, c.cv), x -> (x[1] - x[2]) * (x[1] - x[2]))), c.cl) AS rn
-        |    FROM q CROSS JOIN c2 c) WHERE rn = 1)
+    "kmeans_embed" -> (kmeansOracleCtes +
+      """
         |SELECT vec_id, cl AS cluster, CAST(d AS BIGINT) AS dist
-        |FROM a3 ORDER BY vec_id""".stripMargin,
+        |FROM a3 ORDER BY vec_id""".stripMargin),
+    // Same converged state, per-cluster top-5 window — rank ties on the
+    // exact long distance break to the smaller id in both engines.
+    "cluster_prototypes" -> (kmeansOracleCtes +
+      """
+        |SELECT cluster, rank, vec_id, dist FROM (
+        |  SELECT cl AS cluster,
+        |    row_number() OVER (PARTITION BY cl ORDER BY d, vec_id) AS rank,
+        |    vec_id, CAST(d AS BIGINT) AS dist FROM a3)
+        |WHERE rank <= 5 ORDER BY cluster, rank""".stripMargin),
     "embed_stats" ->
       """WITH v AS (SELECT label, CAST(len(embedding) AS BIGINT) AS dim,
         |    CAST(floor(sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), (a, b) -> a + b)) * 1000000 + 0.5) AS BIGINT) AS norm_u

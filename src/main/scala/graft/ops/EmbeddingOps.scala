@@ -177,6 +177,29 @@ object EmbeddingOps {
         col("__a").getField("dist").as("dist"))
   }
 
+  /** Per-cluster prototype selection over a [[kmeansAssignments]] result:
+    * the `m` members closest to their centroid, rank 1 = most prototypical
+    * (the SSL-prototypes / cluster-curation step: keep the examples that
+    * DEFINE each semantic cluster, or invert the rank to drop them
+    * SemDeDup-style). Ties break on the smaller id — (dist, vec_id) is a
+    * total order because dist is an exact long, so the selection is as
+    * deterministic as the assignment it composes.
+    *
+    * One (cluster)-keyed exchange; the rank-≤-m predicate pushes into
+    * WindowGroupLimit, so each partition retains m rows during the sort
+    * instead of buffering the cluster.
+    */
+  def clusterPrototypes(assignments: DataFrame, m: Int): DataFrame = {
+    require(m >= 1, s"m=$m must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    assignments
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= m)
+      .select(col("cluster"), col("rank"), col("vec_id"), col("dist"))
+  }
+
   /** Per-label corpus statistics: count, dimension bounds (a ragged corpus
     * surfaces as min_dim != max_dim), and norm spread. The mean norm is
     * aggregated over micro-unit longs (associative → deterministic under any

@@ -433,6 +433,16 @@ class PlanSpec extends SparkTestBase {
       s"keep-best top-1 did not push into WindowGroupLimit:\n$plan")
   }
 
+  test("cluster_prototypes: per-cluster top-m pushes into WindowGroupLimit") {
+    // The prototype selection must not buffer whole clusters through the
+    // rank sort — the rank<=m predicate pushes down so each partition
+    // retains m rows per cluster during the window sort.
+    val plan = executedSimple(
+      SparkEntry.queries("cluster_prototypes")(spark, sf))
+    assert(plan.contains("WindowGroupLimit"),
+      s"prototype top-m did not push into WindowGroupLimit:\n$plan")
+  }
+
   test("graph tier: wedge and closing joins are equi — no cartesian, no nested loop") {
     for (q <- Seq("triangle_count", "link_predict")) {
       val plan = executedSimple(SparkEntry.queries(q)(spark, sf))
