@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{CosineSimilarity, MinHashSignature, SignatureAgreement, SimHash64}
+import graft.expressions.{CosineSimilarity, MinHashSignature, NearestCentroidDist, NearestCentroidId, SignatureAgreement, SimHash64}
 
 /** Canonical deployment hook for the engine's native Catalyst additions:
   *
@@ -13,7 +13,8 @@ import graft.expressions.{CosineSimilarity, MinHashSignature, SignatureAgreement
   * }}}
   *
   * Every session built with the conf gets the fused codegen'd expressions
-  * — `cosine_sim`, `simhash64`, `minhash_signature`, `signature_agreement`
+  * — `cosine_sim`, `simhash64`, `minhash_signature`, `signature_agreement`,
+  * `nearest_centroid_id`, `nearest_centroid_dist`
   * — as SQL functions without any per-session `register` call: the
   * SparkSessionExtensions mechanism Spark provides precisely so libraries
   * can contribute expressions, rules, and strategies declaratively. Only
@@ -66,6 +67,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"minhash_signature expects (text, k[, shingleSize]), got ${exprs.length} args")
         MinHashSignature(exprs.head, literalInt(exprs(1), "k"),
           if (exprs.length == 3) literalInt(exprs(2), "shingleSize") else 1)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("nearest_centroid_id"),
+      new ExpressionInfo(classOf[NearestCentroidId].getName,
+        "nearest_centroid_id"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          s"nearest_centroid_id expects (vec, centroids, ids), got ${exprs.length} args")
+        NearestCentroidId(exprs.head, exprs(1), exprs(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("nearest_centroid_dist"),
+      new ExpressionInfo(classOf[NearestCentroidDist].getName,
+        "nearest_centroid_dist"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"nearest_centroid_dist expects (vec, centroids), got ${exprs.length} args")
+        NearestCentroidDist(exprs.head, exprs(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("signature_agreement"),

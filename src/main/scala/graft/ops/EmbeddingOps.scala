@@ -108,8 +108,9 @@ object EmbeddingOps {
     *   - init is data-deterministic: the vectors of the `k` smallest ids,
     *     cluster index in id order (no RNG, no partition order);
     *   - assignment = argmin of squared distance with ties to the
-    *     smallest cluster index (`array_min` over (dist, cl) structs —
-    *     lexicographic struct order IS the tie rule);
+    *     smallest cluster index — the lexicographic (dist, cl) order,
+    *     fused into the codegen'd [[graft.expressions.NearestCentroid]]
+    *     kernels (one k·dim long loop per row);
     *   - the centroid update is `sum / count` in LONGS: the sum is
     *     associative (any partitioning), and long division truncates
     *     toward zero identically in Spark and DuckDB (both verified —
@@ -141,23 +142,24 @@ object EmbeddingOps {
           x => floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long"))
           .as("qv"))
       .localCheckpoint(true)
-    def assignment(cents: Seq[(Long, Seq[Long])]): Column = {
-      val scored = cents.map { case (cl, cv) =>
-        struct(
-          aggregate(zip_with(col("qv"), typedLit(cv),
-            (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
-            .as("dist"),
-          lit(cl).as("cl"))
-      }
-      array_min(array(scored: _*))
-    }
+    // Assignment through the fused codegen'd kernels
+    // ([[graft.expressions.NearestCentroid]]): one k·dim long loop per
+    // row instead of k interpreted HOF folds — bit-identical to the
+    // composed array_min-over-(dist, cl)-structs form (ExtensionOpsSpec
+    // pins the equality), and the assignment pass is the fact-scale cost
+    // of k-means at 100 TB.
+    def assignId(cents: Seq[(Long, Seq[Long])]): Column =
+      graft.expressions.NearestCentroid.nearestCentroidId(col("qv"),
+        typedLit(cents.map(_._2)), typedLit(cents.map(_._1)))
+    def assignDist(cents: Seq[(Long, Seq[Long])]): Column =
+      graft.expressions.NearestCentroid.nearestCentroidDist(col("qv"),
+        typedLit(cents.map(_._2)))
     var centroids: Seq[(Long, Seq[Long])] =
       q.orderBy(col("vec_id")).limit(k).collect()
         .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Long](1)) }
         .toSeq
     for (_ <- 1 until iterations) {
-      val assigned = q.select(col("qv"),
-        assignment(centroids).getField("cl").as("cl"))
+      val assigned = q.select(col("qv"), assignId(centroids).as("cl"))
       centroids = assigned
         .select(col("cl"), posexplode(col("qv")).as(Seq("i", "e")))
         .groupBy(col("cl"), col("i"))
@@ -171,10 +173,8 @@ object EmbeddingOps {
           (cl, dims.sortBy(_._2).map(_._3).toSeq) }
         .sortBy(_._1)
     }
-    q.select(col("vec_id"),
-        assignment(centroids).as("__a"))
-      .select(col("vec_id"), col("__a").getField("cl").as("cluster"),
-        col("__a").getField("dist").as("dist"))
+    q.select(col("vec_id"), assignId(centroids).as("cluster"),
+      assignDist(centroids).as("dist"))
   }
 
   /** Per-cluster prototype selection over a [[kmeansAssignments]] result:

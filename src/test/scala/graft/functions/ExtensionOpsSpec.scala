@@ -674,4 +674,44 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(Similarity.semanticDedupKeepFirst(vecs, "vec_id", "embedding", 0.9)
       .columns.toSeq == vecs.columns.toSeq)
   }
+
+  test("NearestCentroid kernels equal the composed struct-min form bit-for-bit") {
+    import graft.expressions.NearestCentroid._
+    // pseudo-random micro-unit vectors, including exact centroid copies
+    // (distance 0) and a duplicated centroid (exercises the id tie rule:
+    // equal distance must resolve to the SMALLER id in both forms)
+    val dim = 16
+    def vec(seed: Long): Seq[Long] =
+      (0 until dim).map(i => ((seed * 6364136223846793005L + i * 1442695040888963407L) >> 33) % 1000000L)
+    val cents: Seq[(Long, Seq[Long])] =
+      Seq((0L, vec(1)), (3L, vec(2)), (5L, vec(2)), (9L, vec(3)))
+    val rows = ((0L until 40L).map(s => (s, vec(s))) ++
+      Seq((100L, vec(2)), (101L, vec(3)))).toDF("id", "qv")
+    val mat = typedLit(cents.map(_._2))
+    val ids = typedLit(cents.map(_._1))
+    val composed = array_min(array(cents.map { case (cl, cv) =>
+      struct(
+        aggregate(zip_with(col("qv"), typedLit(cv), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("dist"),
+        lit(cl).as("cl"))
+    }: _*))
+    val out = rows.select(col("id"),
+        nearestCentroidId(col("qv"), mat, ids).as("kid"),
+        nearestCentroidDist(col("qv"), mat).as("kdist"),
+        composed.getField("cl").as("cid"),
+        composed.getField("dist").as("cdist"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getLong(1) == r.getLong(3), s"id mismatch on row ${r.getLong(0)}")
+      assert(r.getLong(2) == r.getLong(4), s"dist mismatch on row ${r.getLong(0)}")
+    }
+    // the duplicated-centroid copy must land on id 3, not 5
+    assert(out.find(_.getLong(0) == 100L).get.getLong(1) == 3L)
+    // empty centroid matrix → NULL, not a crash
+    val empty = rows.limit(1).select(
+      nearestCentroidId(col("qv"),
+        typedLit(Seq.empty[Seq[Long]]), typedLit(Seq.empty[Long])).as("x"))
+      .collect().head
+    assert(empty.isNullAt(0))
+  }
 }
