@@ -1456,6 +1456,18 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("cum_tokens"))
         .orderBy("source", "cum_tokens", "doc_id")),
+    // Target-weighted mixture waterfilling: allocate 60% of total corpus
+    // chars across sources by skewed recipe weights (srcN → N+1), with
+    // availability-bound sources saturating and their shortfall
+    // redistributed — the whole integer solve (water-level order,
+    // cross-multiplied saturation predicate, largest-remainder rounding)
+    // hash-graded against the DuckDB replay; allocations sum to the
+    // budget EXACTLY.
+    "mixture_waterfill" -> ((s, d) =>
+      CorpusOps.waterfillAllocation(Tables.documents(s, d), "source",
+        col("n_chars"), expr("cast(substr(source, 4) as bigint) + 1"),
+        budgetShareMicro = 600000L)
+        .orderBy("source")),
     // Corpus mixture report: docs/tokens per (lang, split) with each
     // stratum's 4-dp share of total tokens — the data-mixture table.
     "corpus_mixture" -> ((s, d) => {
@@ -3544,6 +3556,45 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM t)
         |SELECT doc_id, source, n_tokens, cum_tokens FROM c
         |WHERE cum_tokens <= 300 ORDER BY source, cum_tokens, doc_id""".stripMargin,
+    // Step-for-step replay of the integer waterfilling solve: the same
+    // water-level sort key (IEEE double ratio + source tiebreak), the
+    // same cross-multiplied saturation predicate over prefix sums, and
+    // the same largest-remainder distribution — `div`/`%` on both sides
+    // are the matching truncating operators.
+    "mixture_waterfill" ->
+      """WITH per AS (
+        |  SELECT source, CAST(substr(source, 4) AS BIGINT) + 1 AS weight,
+        |         CAST(sum(n_chars) AS BIGINT) AS avail
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(weight) AS BIGINT) AS tw,
+        |               (CAST(sum(avail) AS BIGINT) * 600000) // 1000000 AS b FROM per),
+        |ord AS (
+        |  SELECT per.*, tw, b,
+        |    CAST(sum(avail) OVER (ORDER BY CAST(avail AS DOUBLE) / weight, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pref_c,
+        |    CAST(sum(weight) OVER (ORDER BY CAST(avail AS DOUBLE) / weight, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pref_w
+        |  FROM per CROSS JOIN tot),
+        |st AS (SELECT *, (avail * (tw - pref_w) <= (b - pref_c) * weight) AS sat FROM ord),
+        |ms AS (SELECT coalesce(max(CASE WHEN sat THEN pref_c END), 0) AS c_m,
+        |              coalesce(max(CASE WHEN sat THEN pref_w END), 0) AS w_sat
+        |       FROM st),
+        |un AS (
+        |  SELECT st.*, c_m,
+        |    ((b - c_m) * weight) // (CASE WHEN tw - w_sat = 0 THEN 1 ELSE tw - w_sat END) AS q,
+        |    ((b - c_m) * weight) % (CASE WHEN tw - w_sat = 0 THEN 1 ELSE tw - w_sat END) AS rem
+        |  FROM st CROSS JOIN ms WHERE NOT sat),
+        |rsum AS (SELECT coalesce(CAST(sum(q) AS BIGINT), 0) AS q_sum,
+        |                coalesce(max(b - c_m), 0) AS pool FROM un),
+        |alloc AS (
+        |  SELECT source, weight, avail, sat,
+        |    CAST(q + (CASE WHEN row_number() OVER (ORDER BY rem DESC, source) <= pool - q_sum
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS alloc
+        |  FROM un CROSS JOIN rsum
+        |  UNION ALL
+        |  SELECT source, weight, avail, sat, avail FROM st WHERE sat)
+        |SELECT source, weight, avail, alloc, sat AS saturated
+        |FROM alloc ORDER BY source""".stripMargin,
     "corpus_mixture" ->
       """WITH b AS (SELECT doc_id,
         |    list_reduce(list_transform(range(1, 9),

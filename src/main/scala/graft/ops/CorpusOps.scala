@@ -275,6 +275,94 @@ object CorpusOps {
       .where(col("rn") <= quota)
   }
 
+  /** Target-weighted mixture waterfilling: given desired per-source mixing
+    * weights and each source's AVAILABLE tokens, allocate a global token
+    * budget so every source gets `weight`-proportional share capped at its
+    * availability, with the shortfall of saturated (availability-bound)
+    * sources redistributed proportionally over the rest — the allocation
+    * a pretraining mixture planner actually needs when the recipe's
+    * weights exceed what some sources hold ([[sourceBudgetCap]] applies a
+    * FIXED cap; this op derives the caps from the recipe).
+    *
+    * Entirely integer and deterministic, so the whole solve hash-grades
+    * against a DuckDB replay:
+    *  - budget `B = (Σ avail · budgetShareMicro) div 10⁶`;
+    *  - sources saturate in increasing `avail/weight` (water-level) order;
+    *    the per-row saturation predicate is the exact cross-multiplied
+    *    comparison `avail · remainingW ≤ (B − prefixAvail) · weight` over
+    *    prefix sums in that order (longs only — sound while
+    *    `avail · Σweights` fits 63 bits, i.e. any realistic corpus with
+    *    small integer recipe weights);
+    *  - unsaturated sources get `floor((B − C_sat) · w / W_unsat)` plus a
+    *    largest-remainder +1 (ties to the smaller source name) so the
+    *    allocations sum to B EXACTLY (when Σ avail ≥ B; a budget above
+    *    total availability saturates everything and allocates all of it).
+    *
+    * Scale shape: the only fact-scale stage is the per-source token
+    * aggregation; every window below it runs UNPARTITIONED over the
+    * source-cardinality frame — bounded by the recipe's source list, the
+    * same justification as the shard-manifest's partition-id window. The
+    * aggregated frame is localCheckpointed once: four consumers
+    * (saturation scan, scalar rollups, both output branches) must read
+    * ONE copy, not re-run the corpus aggregation each.
+    *
+    * @param weight per-source integer weight; must be a deterministic
+    *               function of the source column (it aggregates by `max`)
+    * @return (source, weight, avail, alloc, saturated) — one row per source
+    */
+  def waterfillAllocation(df: DataFrame, sourceCol: String, tokens: Column,
+                          weight: Column,
+                          budgetShareMicro: Long): DataFrame = {
+    require(budgetShareMicro > 0,
+      s"budgetShareMicro=$budgetShareMicro must be positive")
+    val per = df.groupBy(col(sourceCol).as("source"))
+      .agg(max(weight.cast("long")).as("weight"),
+        sum(tokens.cast("long")).as("avail"))
+    val tot = per.agg(sum("weight").as("__tw"), sum("avail").as("__tc"))
+      .select(col("__tw"), col("__tc"),
+        expr(s"(__tc * ${budgetShareMicro}L) div 1000000L").as("__b"))
+    // water-level order: avail/weight ascending. The double ratio is only
+    // the SORT key (IEEE division is engine-deterministic); every decision
+    // below it is exact integer arithmetic, and the source tiebreak makes
+    // the order total even where ratios collide.
+    val ord = Window
+      .orderBy((col("avail").cast("double") / col("weight")).asc,
+        col("source").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val st = per.crossJoin(broadcast(tot))
+      .withColumn("__pref_c", sum("avail").over(ord))
+      .withColumn("__pref_w", sum("weight").over(ord))
+      .withColumn("__sat",
+        col("avail") * (col("__tw") - col("__pref_w"))
+          <= (col("__b") - col("__pref_c")) * col("weight"))
+      .localCheckpoint(true)
+    val ms = st.agg(
+      coalesce(max(when(col("__sat"), col("__pref_c"))), lit(0L)).as("__c_m"),
+      coalesce(max(when(col("__sat"), col("__pref_w"))), lit(0L)).as("__w_sat"))
+    val un = st.where(!col("__sat")).crossJoin(broadcast(ms))
+      // guarded denominator: only ever 0 when the unsaturated set is
+      // empty, i.e. when no row reaches this projection
+      .withColumn("__den",
+        when(col("__tw") === col("__w_sat"), lit(1L))
+          .otherwise(col("__tw") - col("__w_sat")))
+      .withColumn("__q", expr("((__b - __c_m) * weight) div __den"))
+      .withColumn("__rem", expr("((__b - __c_m) * weight) % __den"))
+    val rsum = un.agg(
+      coalesce(sum("__q"), lit(0L)).as("__q_sum"),
+      coalesce(max(col("__b") - col("__c_m")), lit(0L)).as("__pool"))
+    val rw = Window.orderBy(col("__rem").desc, col("source").asc)
+    val unAlloc = un.crossJoin(broadcast(rsum))
+      .withColumn("__rn", row_number().over(rw))
+      .select(col("source"), col("weight"), col("avail"),
+        (col("__q") + when(col("__rn") <= col("__pool") - col("__q_sum"),
+          lit(1L)).otherwise(lit(0L))).as("alloc"),
+        lit(false).as("saturated"))
+    val satAlloc = st.where(col("__sat"))
+      .select(col("source"), col("weight"), col("avail"),
+        col("avail").as("alloc"), lit(true).as("saturated"))
+    unAlloc.unionAll(satAlloc)
+  }
+
   /** Per-source token-budget cap: walk each source's documents in the same
     * content-address order as [[stratifiedQuota]] (md5(key), key) and keep
     * the longest prefix whose cumulative token count fits `budget` — the

@@ -365,4 +365,46 @@ class CorpusOpsSpec extends SparkTestBase {
     // the repetitive doc is the more probable one under its own corpus
     assert(out(0)._3 < out(1)._3)
   }
+
+  test("waterfillAllocation: saturation, exact budget sum, remainder ties") {
+    def run(rows: Seq[(String, Long)], shareMicro: Long) =
+      CorpusOps.waterfillAllocation(
+        rows.toDF("source", "n"), "source", col("n"), lit(1L), shareMicro)
+        .orderBy("source")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+          r.getBoolean(4)))
+        .toSeq
+
+    // hand case: equal weights, B = 50% of 400 = 200; the 100-token
+    // source saturates exactly at the water level, the rest flows to b
+    assert(run(Seq(("a", 100L), ("b", 300L)), 500000L) ===
+      Seq(("a", 100L, 100L, true), ("b", 300L, 100L, false)))
+
+    // full-share budget saturates everything: alloc == avail
+    assert(run(Seq(("a", 10L), ("b", 70L), ("c", 20L)), 1000000L) ===
+      Seq(("a", 10L, 10L, true), ("b", 70L, 70L, true),
+        ("c", 20L, 20L, true)))
+
+    // largest-remainder: B = 1501 over three weight-1 sources → q = 500
+    // each, one leftover token goes to the lexicographically smallest
+    // source (equal remainders) — and the total is EXACTLY the budget
+    val r = run(Seq(("a", 1000L), ("b", 1000L), ("c", 1002L)), 500000L)
+    assert(r === Seq(("a", 1000L, 501L, false), ("b", 1000L, 500L, false),
+      ("c", 1002L, 500L, false)))
+    assert(r.map(_._3).sum === (3002L * 500000L) / 1000000L)
+
+    // weights steer the split: same availabilities, weight 3-vs-1
+    val w = CorpusOps.waterfillAllocation(
+      Seq(("a", 400L), ("b", 400L)).toDF("source", "n"), "source",
+      col("n"), when(col("source") === "a", 3L).otherwise(1L), 500000L)
+      .orderBy("source").collect()
+      .map(r2 => (r2.getString(0), r2.getLong(3), r2.getBoolean(4))).toSeq
+    // B = 400; ideal 300/100, neither saturates
+    assert(w === Seq(("a", 300L, false), ("b", 100L, false)))
+
+    // document rows aggregate per source before the solve
+    val agg = run(Seq(("a", 50L), ("a", 50L), ("b", 300L)), 500000L)
+    assert(agg === Seq(("a", 100L, 100L, true), ("b", 300L, 100L, false)))
+  }
 }
