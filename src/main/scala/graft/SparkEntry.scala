@@ -1667,6 +1667,16 @@ object SparkEntry {
           && col("doc_id") < 10000),
         "doc_id", "text", "lang", threshold = 0.5)
         .orderBy("id_a", "id_b")),
+    // Asymmetric containment (overlap coefficient with contained-side
+    // attribution): catches the short-doc-embedded-in-long-doc
+    // duplication Jaccard's union denominator dilutes away — same
+    // bounded slice, brute-force oracle.
+    "containment_pairs" -> ((s, d) =>
+      Dedup.containmentPairs(
+        Tables.documents(s, d).where(pmod(col("doc_id"), lit(10)) === 0
+          && col("doc_id") < 10000),
+        "doc_id", "text", "lang", threshold = 0.8)
+        .orderBy("id_a", "id_b")),
     // Edit-distance fuzzy matching (4th near-dup modality: character-level
     // edits that token measures miss). Integer DP, same absolute slice cap
     // as the other quadratic-in-slice pair ops. ASCII is pinned on BOTH
@@ -3858,6 +3868,19 @@ object SparkEntry {
         |  floor((CAST(shared AS DOUBLE) / (sa.nt + sb.nt - shared)) * 10000 + 0.5) / 10000 AS jaccard
         |  FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id)
         |SELECT id_a, id_b, shared, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "containment_pairs" ->
+      """WITH docs AS (SELECT * FROM documents WHERE doc_id % 10 = 0 AND doc_id < 10000),
+        |toks AS (SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok FROM docs),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt FROM toks GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+        |  FROM toks a JOIN toks b ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |c AS (SELECT id_a, id_b, shared,
+        |  floor((CAST(shared AS DOUBLE) / least(sa.nt, sb.nt)) * 10000 + 0.5) / 10000 AS containment,
+        |  CASE WHEN sa.nt < sb.nt THEN id_a WHEN sb.nt < sa.nt THEN id_b ELSE id_a END AS contained_id
+        |  FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id)
+        |SELECT id_a, id_b, shared, containment, contained_id FROM c
+        |WHERE containment >= 0.8 ORDER BY id_a, id_b""".stripMargin,
     "fuzzy_match_pairs" ->
       """WITH s AS (SELECT doc_id, lang, substr(text, 1, 80) AS head
         |  FROM documents WHERE doc_id % 10 = 0 AND doc_id < 10000

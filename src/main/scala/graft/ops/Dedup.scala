@@ -120,6 +120,42 @@ object Dedup {
       .select("id_a", "id_b", "shared", "jaccard")
   }
 
+  /** Exact token-set CONTAINMENT (overlap coefficient,
+    * `shared / min(|A|, |B|)`) over blocked pairs — the asymmetric
+    * near-dup measure Jaccard misses: a short document embedded verbatim
+    * in a much longer one (quotes, boilerplate, concatenated shards)
+    * scores containment ≈ 1 while its Jaccard stays tiny. Emits which
+    * side is the contained one (`contained_id` = the smaller token set,
+    * ties to the smaller id) so a curation pass knows what to drop.
+    *
+    * Same fully-relational shape and bounded-block contract as
+    * [[jaccardPairs]]; at unknown-pair scale, band the shingles first and
+    * feed the verified candidates.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       blockCol: String, threshold: Double): DataFrame = {
+    import CoreOps.rnd
+    val toks = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("tok"))
+    val sizes = toks.groupBy("id").agg(count(lit(1)).as("nt"))
+    val shared = toks.as("a").join(toks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.tok") === col("b.tok")
+          && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.as("sa"), col("id_a") === col("sa.id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
+      .withColumn("containment", rnd(col("shared").cast("double")
+        / least(col("sa.nt"), col("sb.nt"))))
+      .where(col("containment") >= threshold)
+      .withColumn("contained_id",
+        when(col("sa.nt") < col("sb.nt"), col("id_a"))
+          .when(col("sb.nt") < col("sa.nt"), col("id_b"))
+          .otherwise(col("id_a")))
+      .select("id_a", "id_b", "shared", "containment", "contained_id")
+  }
+
   /** Distinct shingle set for MinHash: token unigrams (shingleSize = 1,
     * the whitespace-token default matching the testdata's shape) or
     * overlapping character n-grams (shingleSize > 1, the canonical

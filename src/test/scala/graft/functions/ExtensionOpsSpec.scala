@@ -69,6 +69,29 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(!pairs.contains((0L, 2L)))
   }
 
+  test("containmentPairs: embedded short doc scores 1.0 where jaccard dilutes") {
+    val d = Seq(
+      (0L, "alpha beta gamma", "en"),
+      // doc 0's tokens embedded verbatim in a much longer doc: overlap
+      // coefficient 3/3 = 1.0, jaccard only 3/10
+      (1L, "alpha beta gamma one two three four five six seven", "en"),
+      (2L, "unrelated words entirely different content", "en"),
+      (3L, "alpha beta gamma", "de"))  // same text, other block → no pair
+      .toDF("doc_id", "text", "lang")
+    val got = Dedup.containmentPairs(d, "doc_id", "text", "lang", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    assert(got === Seq((0L, 1L, 3L, 1.0, 0L)))
+    // the same pair is invisible to jaccard at any comparable threshold
+    assert(Dedup.jaccardPairs(d, "doc_id", "text", "lang", 0.5).count() === 0)
+    // equal-size sets tie the contained side to the smaller id
+    val tie = Seq((5L, "x y z", "en"), (9L, "x y q", "en"))
+      .toDF("doc_id", "text", "lang")
+    val t = Dedup.containmentPairs(tie, "doc_id", "text", "lang", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSeq
+    assert(t === Seq((5L, 9L, 5L)))
+  }
+
   test("minhash: exact dups agree on every signature position; est tracks jaccard") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text", k = 32, bands = 8,
         estThreshold = 0.0)
