@@ -1010,6 +1010,26 @@ object SparkEntry {
         .orderBy("o_custkey", "effective_from", "change_id")
     }),
 
+    // Snapshot diff: added/removed/changed keys plus the moved-column
+    // count between two deterministic mutations of the orders table
+    // (keys mod 7 absent from old → added; mod 11 absent from new →
+    // removed; mod 5 price-perturbed in old → changed). The audit table a
+    // snapshot swap publishes — and the input a selective recompute reads
+    // instead of the reference's recompute-everything daily run.
+    "snapshot_diff" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val oldSnap = orders.where(pmod(col("o_orderkey"), lit(7)) =!= 0)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(5)) === 0,
+            col("o_totalprice") + lit(1.0))
+            .otherwise(col("o_totalprice")))
+      val newSnap = orders.where(pmod(col("o_orderkey"), lit(11)) =!= 0)
+      ChangeOps.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"),
+        Seq("o_totalprice", "o_orderstatus", "o_orderpriority"))
+        .where(col("status") =!= "unchanged")
+        .orderBy("o_orderkey")
+    }),
+
     // ---- bivariate statistics (StatOps) ----
     // Quantity-vs-price least squares per return flag: slope, intercept,
     // Pearson r, R² — all derived from exact long power sums (dollars, not
@@ -2885,6 +2905,26 @@ object SparkEntry {
         |  lead(ts) OVER (PARTITION BY o_custkey ORDER BY ts, id) AS effective_to,
         |  (lead(ts) OVER (PARTITION BY o_custkey ORDER BY ts, id) IS NULL) AS is_current
         |FROM c ORDER BY o_custkey, effective_from, change_id""".stripMargin,
+    "snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS p,
+        |    o_orderstatus AS st, o_orderpriority AS pr
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |n AS (SELECT o_orderkey, o_totalprice AS p, o_orderstatus AS st, o_orderpriority AS pr
+        |  FROM orders WHERE o_orderkey % 11 <> 0),
+        |j AS (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    o.o_orderkey IS NOT NULL AS in_o, n.o_orderkey IS NOT NULL AS in_n,
+        |    (CASE WHEN o.p IS DISTINCT FROM n.p THEN 1 ELSE 0 END
+        |     + CASE WHEN o.st IS DISTINCT FROM n.st THEN 1 ELSE 0 END
+        |     + CASE WHEN o.pr IS DISTINCT FROM n.pr THEN 1 ELSE 0 END) AS nd
+        |  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey),
+        |r AS (SELECT o_orderkey,
+        |    CASE WHEN NOT in_o THEN 'added' WHEN NOT in_n THEN 'removed'
+        |         WHEN nd > 0 THEN 'changed' ELSE 'unchanged' END AS status,
+        |    CASE WHEN NOT in_o OR NOT in_n THEN NULL ELSE CAST(nd AS BIGINT) END AS n_diff_cols
+        |  FROM j)
+        |SELECT o_orderkey, status, n_diff_cols FROM r
+        |WHERE status <> 'unchanged' ORDER BY o_orderkey""".stripMargin,
     "corr_regression" ->
       """WITH c AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
         |    CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y FROM lineitem),

@@ -90,4 +90,45 @@ object ChangeOps {
       .withColumn("effective_to", lead(ts, 1).over(w))
       .withColumn("is_current", col("effective_to").isNull)
   }
+
+  /** Snapshot diff: classify every key across two snapshots as `added`
+    * (new side only), `removed` (old side only), `changed` (present in
+    * both, any tracked attribute differs null-safely), or `unchanged` —
+    * with `n_diff_cols` counting how many tracked attributes moved (null
+    * for added/removed rows, which have no counterpart to count against).
+    * The audit table a warehouse publishes alongside a snapshot swap, and
+    * the input a selective-recompute step reads (only `changed`/`added`
+    * keys need reprocessing — the incremental answer to the reference's
+    * recompute-everything daily run).
+    *
+    * Plan shape: ONE full-outer equi-join on the keys — two key-hashed
+    * exchanges feeding a SortMergeJoin, the correct fact×fact plan (a
+    * full outer cannot broadcast); everything else is per-row projection.
+    * Presence is detected by explicit markers, not tracked-column
+    * nullness, so an all-null-attributes row still classifies correctly.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+                   tracked: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff needs join keys")
+    require(tracked.nonEmpty, "snapshotDiff needs tracked attributes")
+    val o = oldDf.select(
+      (keys.map(col) ++ tracked.map(c => col(c).as(s"__o_$c"))): _*)
+      .withColumn("__in_o", lit(true))
+    val n = newDf.select(
+      (keys.map(col) ++ tracked.map(c => col(c).as(s"__n_$c"))): _*)
+      .withColumn("__in_n", lit(true))
+    val nDiff = tracked.map(c =>
+      when(!(col(s"__o_$c") <=> col(s"__n_$c")), lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    o.join(n, keys, "full_outer")
+      .withColumn("status",
+        when(col("__in_o").isNull, lit("added"))
+          .when(col("__in_n").isNull, lit("removed"))
+          .when(nDiff > 0, lit("changed"))
+          .otherwise(lit("unchanged")))
+      .withColumn("n_diff_cols",
+        when(col("__in_o").isNull || col("__in_n").isNull,
+          lit(null).cast("long")).otherwise(nDiff))
+      .select((keys.map(col) :+ col("status") :+ col("n_diff_cols")): _*)
+  }
 }

@@ -85,4 +85,35 @@ class ChangeOpsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
   }
+
+  test("snapshotDiff: added/removed/changed/unchanged, null-safe counts") {
+    val old = Seq(
+      (1L, Some("a"), Some(10L)),   // unchanged
+      (2L, Some("b"), Some(20L)),   // value changes → 1 col
+      (3L, Some("c"), Some(30L)),   // both change → 2 cols
+      (4L, Some("d"), Some(40L)),   // removed
+      (6L, None, None))             // all-null attrs, unchanged: the
+                                    // presence markers must classify it
+      .toDF("k", "s", "v")
+    val neu = Seq(
+      (1L, Some("a"), Some(10L)),
+      (2L, Some("b"), Some(21L)),
+      (3L, Some("x"), Some(31L)),
+      (5L, Some("e"), Some(50L)),   // added
+      (6L, None, None))
+      .toDF("k", "s", "v")
+    val got = ChangeOps.snapshotDiff(old, neu, Seq("k"), Seq("s", "v"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(got === Seq(
+      (1L, "unchanged", 0L), (2L, "changed", 1L), (3L, "changed", 2L),
+      (4L, "removed", -1L), (5L, "added", -1L), (6L, "unchanged", 0L)))
+    // null→value and value→null both count as a change, null-safely
+    val nd = ChangeOps.snapshotDiff(
+      Seq((7L, Option.empty[String], Some(1L))).toDF("k", "s", "v"),
+      Seq((7L, Some("now"), Option.empty[Long])).toDF("k", "s", "v"),
+      Seq("k"), Seq("s", "v")).collect().head
+    assert(nd.getString(1) === "changed" && nd.getLong(2) === 2L)
+  }
 }
