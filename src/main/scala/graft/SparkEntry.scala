@@ -1076,6 +1076,40 @@ object SparkEntry {
         .select("lang", "doc_id", "rank_1", "rank_2", "rrf", "fused_rank")
         .orderBy("lang", "fused_rank")),
 
+    // MMR diversity re-ranking at λ=1/2 over the brute top-10 cosine
+    // candidates of 5 query vectors: greedy `rel − maxSimToSelected`
+    // picks, everything quantized to 4-dp integer units so the full
+    // 5-step greedy trace hash-matches the oracle's unrolled replay.
+    // Candidate selection ranks by the QUANTIZED score (cid ties) so
+    // both engines cut the identical top-10.
+    "mmr_rerank" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      def q4(c: Column): Column =
+        floor(c * lit(10000.0) + lit(0.5)).cast("long")
+      val cands = e
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        .crossJoin(broadcast(q))
+        .where(col("cid") =!= col("qid"))
+        .withColumn("rel_q", q4(graft.expressions.CosineSimilarity
+          .cosineFast(col("qe"), col("ce"))))
+        .withColumn("__rn", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("rel_q").desc, col("cid").asc)))
+        .where(col("__rn") <= 10)
+        .select(col("qid"), col("cid"), col("rel_q"), col("ce"))
+      val sims = cands.as("a")
+        .join(cands.as("b"),
+          col("a.qid") === col("b.qid") && col("a.cid") =!= col("b.cid"))
+        .select(col("a.qid").as("qid"), col("a.cid").as("ca"),
+          col("b.cid").as("cb"),
+          q4(graft.expressions.CosineSimilarity
+            .cosineFast(col("a.ce"), col("b.ce"))).as("sim_q"))
+      RankFusion.mmrRerank(cands.select("qid", "cid", "rel_q"), sims, k = 5)
+        .orderBy("qid", "mmr_rank")
+    }),
+
     // ---- data-quality expectations (DqOps) ----
     // One governed report over orders: four single-scan row rules (two
     // chosen to FIRE on this data — price cap and freshness — so the
@@ -2978,6 +3012,66 @@ object SparkEntry {
         |  CASE WHEN n_a < 2 OR n_b < 2 OR se <= 0 THEN NULL
         |       ELSE abs(diff / se) > 1.96 END AS significant
         |FROM f ORDER BY contrast, g""".stripMargin,
+    // Unrolled replay of the 5-step greedy: sel1 = pure-relevance argmax,
+    // each later pick anti-joins the selection, attaches the max
+    // similarity INTO it, and takes the (score desc, cid) argmax — all
+    // over 4-dp-quantized integer scores, so the trace is exact.
+    "mmr_rerank" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5),
+        |scored AS (SELECT qid, e.vec_id AS cid,
+        |    CAST(floor(list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) * 10000 + 0.5) AS BIGINT) AS rel_q
+        |  FROM q, embeddings e WHERE e.vec_id <> qid),
+        |cand AS (SELECT qid, cid, rel_q FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel_q DESC, cid) AS rn FROM scored)
+        |  WHERE rn <= 10),
+        |sims AS (SELECT a.qid, a.cid AS ca, b.cid AS cb,
+        |    CAST(floor(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) * 10000 + 0.5) AS BIGINT) AS sim_q
+        |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid
+        |  JOIN embeddings ea ON ea.vec_id = a.cid JOIN embeddings eb ON eb.vec_id = b.cid),
+        |sel1 AS (SELECT qid, cid, rel_q, CAST(1 AS BIGINT) AS mmr_rank FROM (
+        |    SELECT qid, cid, rel_q, row_number() OVER (PARTITION BY qid ORDER BY rel_q DESC, cid) AS rn FROM cand)
+        |  WHERE rn = 1),
+        |pick2 AS (SELECT qid, cid, rel_q, CAST(2 AS BIGINT) AS mmr_rank FROM (
+        |    SELECT c.qid, c.cid, c.rel_q,
+        |      row_number() OVER (PARTITION BY c.qid ORDER BY c.rel_q - coalesce(m.sm, 0) DESC, c.cid) AS rn
+        |    FROM cand c
+        |    LEFT JOIN (SELECT s.qid, p.ca AS cid, max(p.sim_q) AS sm
+        |               FROM sel1 s JOIN sims p ON p.qid = s.qid AND p.cb = s.cid
+        |               GROUP BY 1, 2) m ON m.qid = c.qid AND m.cid = c.cid
+        |    WHERE NOT EXISTS (SELECT 1 FROM sel1 s WHERE s.qid = c.qid AND s.cid = c.cid))
+        |  WHERE rn = 1),
+        |sel2 AS (SELECT * FROM sel1 UNION ALL SELECT * FROM pick2),
+        |pick3 AS (SELECT qid, cid, rel_q, CAST(3 AS BIGINT) AS mmr_rank FROM (
+        |    SELECT c.qid, c.cid, c.rel_q,
+        |      row_number() OVER (PARTITION BY c.qid ORDER BY c.rel_q - coalesce(m.sm, 0) DESC, c.cid) AS rn
+        |    FROM cand c
+        |    LEFT JOIN (SELECT s.qid, p.ca AS cid, max(p.sim_q) AS sm
+        |               FROM sel2 s JOIN sims p ON p.qid = s.qid AND p.cb = s.cid
+        |               GROUP BY 1, 2) m ON m.qid = c.qid AND m.cid = c.cid
+        |    WHERE NOT EXISTS (SELECT 1 FROM sel2 s WHERE s.qid = c.qid AND s.cid = c.cid))
+        |  WHERE rn = 1),
+        |sel3 AS (SELECT * FROM sel2 UNION ALL SELECT * FROM pick3),
+        |pick4 AS (SELECT qid, cid, rel_q, CAST(4 AS BIGINT) AS mmr_rank FROM (
+        |    SELECT c.qid, c.cid, c.rel_q,
+        |      row_number() OVER (PARTITION BY c.qid ORDER BY c.rel_q - coalesce(m.sm, 0) DESC, c.cid) AS rn
+        |    FROM cand c
+        |    LEFT JOIN (SELECT s.qid, p.ca AS cid, max(p.sim_q) AS sm
+        |               FROM sel3 s JOIN sims p ON p.qid = s.qid AND p.cb = s.cid
+        |               GROUP BY 1, 2) m ON m.qid = c.qid AND m.cid = c.cid
+        |    WHERE NOT EXISTS (SELECT 1 FROM sel3 s WHERE s.qid = c.qid AND s.cid = c.cid))
+        |  WHERE rn = 1),
+        |sel4 AS (SELECT * FROM sel3 UNION ALL SELECT * FROM pick4),
+        |pick5 AS (SELECT qid, cid, rel_q, CAST(5 AS BIGINT) AS mmr_rank FROM (
+        |    SELECT c.qid, c.cid, c.rel_q,
+        |      row_number() OVER (PARTITION BY c.qid ORDER BY c.rel_q - coalesce(m.sm, 0) DESC, c.cid) AS rn
+        |    FROM cand c
+        |    LEFT JOIN (SELECT s.qid, p.ca AS cid, max(p.sim_q) AS sm
+        |               FROM sel4 s JOIN sims p ON p.qid = s.qid AND p.cb = s.cid
+        |               GROUP BY 1, 2) m ON m.qid = c.qid AND m.cid = c.cid
+        |    WHERE NOT EXISTS (SELECT 1 FROM sel4 s WHERE s.qid = c.qid AND s.cid = c.cid))
+        |  WHERE rn = 1),
+        |sel5 AS (SELECT * FROM sel4 UNION ALL SELECT * FROM pick5)
+        |SELECT qid, mmr_rank, cid, rel_q FROM sel5 ORDER BY qid, mmr_rank""".stripMargin,
     "rrf_fusion" ->
       """WITH t AS (SELECT doc_id, lang, n_chars,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -43,4 +43,35 @@ class RankFusionSpec extends SparkTestBase {
     assert((b._3, b._4, b._6) === ((1L, 1L, 1L)))
     assert(got.count(_._1 == "a") === 2)
   }
+
+  test("mmrRerank: a near-duplicate of the top pick is demoted below a diverse doc") {
+    // query 0: cid 1 (rel 900) and cid 2 (rel 890) are near-identical
+    // (sim 880); cid 3 (rel 500) is unrelated (sim 0 to both). Pure
+    // relevance orders 1, 2, 3 — MMR at lambda = 1/2 picks 1, then scores
+    // 2 at 890-880 = 10 vs 3 at 500-0 = 500, so the diverse doc wins
+    // rank 2 and the paraphrase drops to rank 3.
+    val cands = Seq(
+      (0L, 1L, 900L), (0L, 2L, 890L), (0L, 3L, 500L))
+      .toDF("qid", "cid", "rel_q")
+    val sims = Seq(
+      (0L, 1L, 2L, 880L), (0L, 2L, 1L, 880L),
+      (0L, 1L, 3L, 0L), (0L, 3L, 1L, 0L),
+      (0L, 2L, 3L, 0L), (0L, 3L, 2L, 0L))
+      .toDF("qid", "ca", "cb", "sim_q")
+    val got = RankFusion.mmrRerank(cands, sims, k = 3)
+      .orderBy("qid", "mmr_rank")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 1L), (2L, 3L), (3L, 2L)))
+    // k above the candidate count stops cleanly at the available rows
+    val short = RankFusion.mmrRerank(cands, sims, k = 5).count()
+    assert(short === 3L)
+    // score ties resolve to the smaller cid: two equal-rel, equally
+    // dissimilar docs pick in id order
+    val tie = RankFusion.mmrRerank(
+      Seq((7L, 5L, 100L), (7L, 9L, 100L)).toDF("qid", "cid", "rel_q"),
+      Seq((7L, 5L, 9L, 0L), (7L, 9L, 5L, 0L)).toDF("qid", "ca", "cb", "sim_q"),
+      k = 2).orderBy("mmr_rank")
+      .collect().map(_.getLong(2)).toSeq
+    assert(tie === Seq(5L, 9L))
+  }
 }
