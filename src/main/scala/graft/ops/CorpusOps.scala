@@ -593,19 +593,18 @@ object CorpusOps {
   def charTrigramNll(df: DataFrame, idCol: String,
                      textCol: String): DataFrame = {
     import CoreOps.rnd
-    val tris = df.select(col(idCol), col(textCol).as("__t"))
-      .withColumn("__k", length(col("__t")) - 2)
-      .where(col("__k") >= 1)
-      .select(col(idCol), explode(expr(
-        "transform(sequence(1, __k), i -> substring(__t, i, 3))")).as("tri"))
-      // explicit, though substring of non-null text is never null: the
-      // inner scoring join infers isnotnull(tri) and pushes it below the
-      // probe's aggregate — without the same filter on the model branch
-      // the two (id, tri) subtrees stop canonicalizing equal and
-      // ReuseExchange silently evaluates the explode twice
-      .where(col("tri").isNotNull)
-    val td = tris.groupBy(col(idCol), col("tri"))
-      .agg(count(lit(1)).as("__c"))
+    // Per-document trigram histograms are ROW-LOCAL: the fused
+    // [[graft.expressions.TrigramCounts]] computes them in the scan
+    // projection, so the raw trigram stream never exists as rows and the
+    // old fact-scale (id, tri) exchange (every trigram INSTANCE crossed
+    // the wire before counting — the pipeline's dominant shuffle)
+    // disappears entirely. Only the charset³-bounded model aggregation
+    // and the per-document result rows reach an exchange now.
+    val td = df.select(col(idCol), col(textCol).as("__t"))
+      .select(col(idCol),
+        explode(graft.expressions.TrigramCounts.trigramCounts(col("__t")))
+          .as("__tc"))
+      .select(col(idCol), col("__tc.tri").as("tri"), col("__tc.c").as("__c"))
     val tc = td.groupBy("tri").agg(sum("__c").as("ct"))
     // prefix totals as a window over the MODEL-sized frame — a groupBy +
     // join spelling re-evaluates the whole trigram explode under the

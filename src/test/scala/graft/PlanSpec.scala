@@ -616,15 +616,17 @@ class PlanSpec extends SparkTestBase {
       s"more unkeyed joins than the quantile scalar attach allows:\n$plan")
   }
 
-  test("charTrigramNll: model broadcasts; scoring reuses the trigram exchange") {
-    val plan = executedSimple(
-      graft.ops.CorpusOps.charTrigramNll(Tables.documents(spark, sf),
-        "doc_id", "text"))
-    // one explode feeds both the model fit and the scoring probe via
-    // ReuseExchange; the model reaches the probe as a broadcast
-    assert(plan.linesIterator.count(_.contains("Generate explode")) == 1,
-      plan)
-    assert(plan.contains("ReusedExchange"), plan)
+  test("charTrigramNll: histograms fuse map-side; no raw-trigram exchange") {
+    val df = graft.ops.CorpusOps.charTrigramNll(Tables.documents(spark, sf),
+      "doc_id", "text")
+    val plan = executedSimple(df)
+    // the fused TrigramCounts expression makes per-document histograms in
+    // the scan projection: the only exchanges left are the charset³-
+    // bounded model aggregation (which broadcasts to the probe) and the
+    // per-document result rows — the raw (id, tri) instance stream never
+    // becomes rows, so no exchange anywhere carries it
     assert(plan.contains("BroadcastHashJoin"), plan)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 3, s"expected <=3 hash exchanges, got $hashEx:\n$plan")
   }
 }

@@ -92,6 +92,35 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(t === Seq((5L, 9L, 5L)))
   }
 
+  test("TrigramCounts equals the composed substring explode, code points included") {
+    import graft.expressions.TrigramCounts.trigramCounts
+    val texts = Seq(
+      (1L, "abcabcab"),                 // overlapping repeats
+      (2L, "ab"),                       // below trigram length -> empty
+      (3L, "h\u00e9llo w\u00f6rld h\u00e9l"), // multi-byte code points
+      (4L, "\ud83d\ude00ab\ud83d\ude00abX"), // supplementary (4-byte) chars
+      (5L, "aaaa"))
+      .toDF("id", "t")
+    val fused = texts.select(col("id"),
+        explode(trigramCounts(col("t"))).as("tc"))
+      .select(col("id"), col("tc.tri"), col("tc.c"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val composed = texts
+      .withColumn("k", length(col("t")) - 2)
+      .where(col("k") >= 1)
+      .select(col("id"), explode(expr(
+        "transform(sequence(1, k), i -> substring(t, i, 3))")).as("tri"))
+      .groupBy("id", "tri").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(fused === composed)
+    // null text -> null array -> explode drops, like the composed filter
+    val n = Seq((9L, Option.empty[String])).toDF("id", "t")
+      .select(explode(trigramCounts(col("t")))).count()
+    assert(n === 0L)
+  }
+
   test("minhash: exact dups agree on every signature position; est tracks jaccard") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text", k = 32, bands = 8,
         estThreshold = 0.0)
