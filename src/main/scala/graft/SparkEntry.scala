@@ -371,6 +371,29 @@ object SparkEntry {
       dir
     })
 
+  /** Events re-staged once per dir as a TWO-BATCH parquet layout with
+    * schema drift: batch 1 (even event ids) written WITHOUT the `value`
+    * column, batch 2 (odd ids) with the full schema — the
+    * producer-evolved-the-schema situation every long-lived lake path
+    * hits. The graded reader merges footers (`mergeSchema`) so batch-1
+    * rows surface a NULL `value`, and the aggregate is checked against
+    * the oracle replaying the drift as a CASE on the raw table.
+    */
+  private val driftDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def stagedDrift(s: SparkSession, d: String): String =
+    driftDirs.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-events-drift").toString
+      val ev = Tables.events(s, d)
+      ev.where(pmod(col("event_id"), lit(2)) === 0).drop("value")
+        .write.mode("overwrite").parquet(dir + "/b1")
+      ev.where(pmod(col("event_id"), lit(2)) =!= 0)
+        .write.mode("overwrite").parquet(dir + "/b2")
+      dir
+    })
+
   /** Micros-precision timestamp format for the CSV leg, applied on BOTH
     * write and read: the CSV default (like JSON's) renders only millis,
     * and a text format should round-trip the column it is graded on at
@@ -2491,6 +2514,22 @@ object SparkEntry {
       weeklyFormatAgg(s.read
         .schema(graft.streaming.EventsStreaming.EventsSchema)
         .json(stagedFormat(s, d, "json")))),
+    // Schema evolution: a two-batch parquet dir where batch 1 predates
+    // the `value` column. mergeSchema unions the footers, batch-1 rows
+    // surface NULL values, and the null-skipping aggregate hash-matches
+    // the oracle replaying the drift as a CASE on the raw table.
+    "schema_drift_agg" -> ((s, d) => {
+      import CoreOps.rnd
+      val base = stagedDrift(s, d)
+      s.read.option("mergeSchema", "true")
+        .parquet(base + "/b1", base + "/b2")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count(col("value")).as("n_valued"),
+          rnd(sum(CoreOps.moneyCents(col("value"))).cast("double") / 100.0)
+            .as("sum_value"))
+        .orderBy("event_type")
+    }),
     // CSV — the reference's own ingest format, graded through the same
     // shared weekly oracle. Headerless (the explicit schema maps by
     // position) with a micros timestampFormat on both sides so the text
@@ -4408,6 +4447,12 @@ object SparkEntry {
     "jsonl_source_agg" -> altFormatOracleSql,
     "csv_source_agg" -> altFormatOracleSql,
     "xml_source_agg" -> altFormatOracleSql,
+    "schema_drift_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(CASE WHEN event_id % 2 <> 0 THEN value END) AS BIGINT) AS n_valued,
+        |  floor((CAST(sum(CASE WHEN event_id % 2 <> 0
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END) AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_json" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  min(k) AS k_min, max(k) AS k_max,
