@@ -394,6 +394,31 @@ object SparkEntry {
       dir
     })
 
+  /** Orders re-staged once per dir as a NESTED parquet layout: one row
+    * per customer with a `sort_array`-normalized array of order structs
+    * (collect_list order is partition-dependent; the sort on the unique
+    * leading o_orderkey makes the written file byte-deterministic). The
+    * document/feed shape a training pipeline ingests constantly — the
+    * graded reader explodes it back and must reproduce the FLAT table's
+    * aggregate exactly, proving the nest → write → read → unnest cycle
+    * preserves content.
+    */
+  private val nestedDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def stagedNestedOrders(s: SparkSession, d: String): String =
+    nestedDirs.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-orders-nested").toString
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sort_array(collect_list(struct(col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("o_orderpriority"))))
+          .as("orders"))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+
   /** Micros-precision timestamp format for the CSV leg, applied on BOTH
     * write and read: the CSV default (like JSON's) renders only millis,
     * and a text format should round-trip the column it is graded on at
@@ -2514,6 +2539,30 @@ object SparkEntry {
       weeklyFormatAgg(s.read
         .schema(graft.streaming.EventsStreaming.EventsSchema)
         .json(stagedFormat(s, d, "json")))),
+    // Nested round-trip: orders nested per customer (sorted array of
+    // structs), written to parquet, exploded back, aggregated — the
+    // weekly rollup must equal the flat table's exactly. Field-arrays
+    // are extracted BEFORE the explode (`arrays_zip` of two
+    // GetArrayStructFields): Catalyst's generator nested pruning bails
+    // once more than one field is read from an exploded struct, so
+    // exploding the raw array would drag o_orderkey and o_orderpriority
+    // through the scan of every array element — the pre-explode
+    // extraction prunes them at the source (PlanSpec pins the
+    // ReadSchema).
+    "nested_orders_agg" -> ((s, d) => {
+      import CoreOps.rnd
+      s.read.parquet(stagedNestedOrders(s, d))
+        .select(col("o_custkey"),
+          explode(arrays_zip(col("orders.o_orderdate"),
+            col("orders.o_totalprice"))).as("o"))
+        .withColumn("week", CoreOps.weekStart(col("o.o_orderdate")))
+        .groupBy("week")
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("o_custkey")).as("n_cust"),
+          rnd(sum(CoreOps.moneyCents(col("o.o_totalprice")))
+            .cast("double") / 100.0).as("total_price"))
+        .orderBy("week")
+    }),
     // Schema evolution: a two-batch parquet dir where batch 1 predates
     // the `value` column. mergeSchema unions the footers, batch-1 rows
     // surface NULL values, and the null-skipping aggregate hash-matches
@@ -4447,6 +4496,12 @@ object SparkEntry {
     "jsonl_source_agg" -> altFormatOracleSql,
     "csv_source_agg" -> altFormatOracleSql,
     "xml_source_agg" -> altFormatOracleSql,
+    "nested_orders_agg" ->
+      """SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        |  floor((CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS total_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "schema_drift_agg" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(count(CASE WHEN event_id % 2 <> 0 THEN value END) AS BIGINT) AS n_valued,

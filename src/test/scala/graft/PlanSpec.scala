@@ -616,6 +616,23 @@ class PlanSpec extends SparkTestBase {
       s"more unkeyed joins than the quantile scalar attach allows:\n$plan")
   }
 
+  test("nested_orders_agg: untouched struct fields prune out of the scan") {
+    // The rollup reads only o_orderdate and o_totalprice inside the
+    // nested struct; nested schema pruning (through the explode — the
+    // GeneratorNestedColumnAliasing path) must keep o_orderkey and
+    // o_orderpriority out of the parquet ReadSchema, or a 100 TB nested
+    // feed pays IO for every field any array element carries.
+    val df = executed(SparkEntry.queries("nested_orders_agg")(spark, sf))
+    val formatted = df.queryExecution.explainString(FormattedMode)
+    val read = formatted.linesIterator
+      .filter(_.contains("ReadSchema")).mkString("\n")
+    assert(read.nonEmpty, formatted)
+    assert(read.contains("o_orderdate") && read.contains("o_totalprice"),
+      read)
+    assert(!read.contains("o_orderkey") && !read.contains("o_orderpriority"),
+      s"nested pruning regressed — full structs reach the scan:\n$read")
+  }
+
   test("charTrigramNll: histograms fuse map-side; no raw-trigram exchange") {
     val df = graft.ops.CorpusOps.charTrigramNll(Tables.documents(spark, sf),
       "doc_id", "text")
