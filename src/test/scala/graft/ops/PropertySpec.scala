@@ -453,4 +453,46 @@ class PropertySpec extends SparkTestBase {
       assert(kept == want)
     }
   }
+
+  test("property: waterfilling sums to min(budget, availability), respects caps and saturation order") {
+    // sources: (name, avail, weight); share in [1, 100]%
+    val srcGen = for {
+      n <- Gen.choose(1, 8)
+      avails <- Gen.listOfN(n, Gen.choose(0L, 2000L))
+      weights <- Gen.listOfN(n, Gen.choose(1L, 9L))
+    } yield avails.zip(weights).zipWithIndex.map { case ((a, w), i) =>
+      (s"s$i", a, w) }
+    forAllSampled(Gen.zip(srcGen, Gen.choose(1L, 100L)), n = 6) {
+      case (srcs, sharePct) =>
+        val df = srcs.toDF("source", "n", "w")
+        val out = CorpusOps.waterfillAllocation(df, "source", col("n"),
+          col("w"), sharePct * 10000L)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getBoolean(4)))
+        val totalAvail = srcs.map(_._2).sum
+        val budget = totalAvail * (sharePct * 10000L) / 1000000L
+        // every source appears exactly once
+        assert(out.map(_._1).sorted.toSeq === srcs.map(_._1).sorted)
+        // allocation never exceeds availability; saturated means exactly
+        // the availability
+        out.foreach { case (src, _, avail, alloc, sat) =>
+          assert(alloc >= 0L && alloc <= avail, s"$src alloc $alloc/$avail")
+          if (sat) assert(alloc === avail, s"$src saturated but alloc<avail")
+        }
+        // exact budget absorption: all of B when feasible, all of the
+        // corpus when B exceeds it
+        assert(out.map(_._4).sum === math.min(budget, totalAvail))
+        // water-level consistency: no unsaturated source sits at a lower
+        // availability-to-weight ratio than a saturated one (saturation
+        // happens in ratio order)
+        val satRatios = out.filter(_._5).map(r => (r._3.toDouble / r._2, r._1))
+        val unsatRatios = out.filterNot(_._5).map(r => (r._3.toDouble / r._2, r._1))
+        if (satRatios.nonEmpty && unsatRatios.nonEmpty) {
+          val maxSat = satRatios.map(_._1).max
+          val minUnsat = unsatRatios.map(_._1).min
+          assert(maxSat <= minUnsat + 1e-9,
+            s"saturation out of ratio order: $maxSat > $minUnsat")
+        }
+    }
+  }
 }
