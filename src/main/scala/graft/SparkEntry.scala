@@ -1078,6 +1078,56 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // Selective recompute composed on the diff: find the weeks the
+    // snapshot delta touches (old AND new week of every non-unchanged
+    // key), recompute ONLY those weeks from the new snapshot, and splice
+    // them with the untouched weeks of the base aggregate. The oracle is
+    // the FULL recompute over the new snapshot — the hash match proves
+    // incremental == full, which is the entire point of maintaining the
+    // diff. Affected weeks are a bounded frame (broadcast semi/anti
+    // joins); only the two weekly aggregations touch fact-scale rows.
+    "selective_recompute" -> ((s, d) => {
+      import CoreOps.rnd
+      val orders = Tables.orders(s, d)
+      // the delta is deliberately SPARSE in weeks (mutations confined to
+      // three years of a seven-year fixture), so most weeks flow through
+      // the base-aggregate anti-join branch — a delta touching every week
+      // would make the splice indistinguishable from a full recompute
+      // and the contract vacuous
+      val yr = year(col("o_orderdate"))
+      val oldSnap = orders
+        .where(!(pmod(col("o_orderkey"), lit(7)) === 0 && yr === 1994))
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(5)) === 0 && yr === 1995,
+            col("o_totalprice") + lit(1.0))
+            .otherwise(col("o_totalprice")))
+      val newSnap = orders
+        .where(!(pmod(col("o_orderkey"), lit(11)) === 0 && yr === 1996))
+      def weekly(df: DataFrame): DataFrame =
+        df.withColumn("week", CoreOps.weekStart(col("o_orderdate")))
+          .groupBy("week")
+          .agg(count(lit(1)).as("n"),
+            rnd(sum(CoreOps.moneyCents(col("o_totalprice")))
+              .cast("double") / 100.0).as("total_price"))
+      val touched = ChangeOps.snapshotDiff(oldSnap, newSnap,
+        Seq("o_orderkey"),
+        Seq("o_totalprice", "o_orderstatus", "o_orderpriority"))
+        .where(col("status") =!= "unchanged")
+        .select("o_orderkey")
+      val affectedWeeks = oldSnap.join(touched, Seq("o_orderkey"), "left_semi")
+        .unionByName(newSnap.join(touched, Seq("o_orderkey"), "left_semi"))
+        .select(CoreOps.weekStart(col("o_orderdate")).as("week"))
+        .distinct()
+      weekly(oldSnap)
+        .join(broadcast(affectedWeeks), Seq("week"), "left_anti")
+        .unionByName(
+          weekly(newSnap.withColumn("week",
+              CoreOps.weekStart(col("o_orderdate")))
+            .join(broadcast(affectedWeeks), Seq("week"), "left_semi")
+            .drop("week")))
+        .orderBy("week")
+    }),
+
     // ---- bivariate statistics (StatOps) ----
     // Quantity-vs-price least squares per return flag: slope, intercept,
     // Pearson r, R² — all derived from exact long power sums (dollars, not
@@ -3027,6 +3077,16 @@ object SparkEntry {
         |  lead(ts) OVER (PARTITION BY o_custkey ORDER BY ts, id) AS effective_to,
         |  (lead(ts) OVER (PARTITION BY o_custkey ORDER BY ts, id) IS NULL) AS is_current
         |FROM c ORDER BY o_custkey, effective_from, change_id""".stripMargin,
+    // THE point of this oracle: it is the FULL recompute — no diff, no
+    // splice — so the hash match proves the incremental path's output is
+    // indistinguishable from recomputing everything.
+    "selective_recompute" ->
+      """SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  floor((CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS total_price
+        |FROM orders
+        |WHERE NOT (o_orderkey % 11 = 0 AND year(o_orderdate) = 1996)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "snapshot_diff" ->
       """WITH o AS (SELECT o_orderkey,
         |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS p,

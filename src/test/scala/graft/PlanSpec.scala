@@ -616,6 +616,39 @@ class PlanSpec extends SparkTestBase {
       s"more unkeyed joins than the quantile scalar attach allows:\n$plan")
   }
 
+  test("selective_recompute: the delta is week-sparse, so the splice is real") {
+    // The query's contract (incremental == full recompute) is only
+    // meaningful if the base-aggregate passthrough branch contributes
+    // rows — a delta touching every week degenerates the splice into a
+    // plain full recompute. Mirror the query's fixture and check the
+    // affected-week set is a strict minority of the weeks.
+    val orders = Tables.orders(spark, sf)
+    val yr = year(col("o_orderdate"))
+    val oldSnap = orders
+      .where(!(pmod(col("o_orderkey"), lit(7)) === 0 && yr === 1994))
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(5)) === 0 && yr === 1995,
+          col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")))
+    val newSnap = orders
+      .where(!(pmod(col("o_orderkey"), lit(11)) === 0 && yr === 1996))
+    val touched = graft.ops.ChangeOps.snapshotDiff(oldSnap, newSnap,
+      Seq("o_orderkey"),
+      Seq("o_totalprice", "o_orderstatus", "o_orderpriority"))
+      .where(col("status") =!= "unchanged")
+      .select("o_orderkey")
+    val affected = oldSnap.join(touched, Seq("o_orderkey"), "left_semi")
+      .unionByName(newSnap.join(touched, Seq("o_orderkey"), "left_semi"))
+      .select(graft.ops.CoreOps.weekStart(col("o_orderdate")).as("week"))
+      .distinct().count()
+    val all = orders
+      .select(graft.ops.CoreOps.weekStart(col("o_orderdate"))).distinct()
+      .count()
+    assert(affected > 0, "delta touched nothing — contract vacuous")
+    assert(affected < all / 2,
+      s"delta touches $affected of $all weeks — splice barely exercised")
+  }
+
   test("nested_orders_agg: untouched struct fields prune out of the scan") {
     // The rollup reads only o_orderdate and o_totalprice inside the
     // nested struct; nested schema pruning (through the explode — the
