@@ -1162,6 +1162,26 @@ object SparkEntry {
         .orderBy("contrast", "g")
     }),
 
+    // Exact ROC-AUC of two ranking contrasts (does `value` separate
+    // purchases from clicks; does length separate English docs from the
+    // rest) — the rank-based effect-size companion to ab_welch's t-test,
+    // computed histogram-first: no global rank/sort of the input ever
+    // runs, the U numerator folds as exact longs over the score
+    // histogram's prefix sum. Ties are exact (tied scores share a bin).
+    "auc_scores" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .where(col("event_type").isin("purchase", "click"))
+      val a = StatOps.aucHistogram(ev, col("event_type") === "purchase",
+        CoreOps.moneyCents(col("value")))
+        .withColumn("contrast", lit("purchase_vs_click_value"))
+      val b = StatOps.aucHistogram(Tables.documents(s, d),
+        col("lang") === "en", col("n_chars"))
+        .withColumn("contrast", lit("english_vs_rest_length"))
+      a.unionByName(b)
+        .select("contrast", "u2", "n_pos", "n_neg", "auc")
+        .orderBy("contrast")
+    }),
+
     // Reciprocal-rank fusion of two incomparable ranking signals per
     // language stratum (quality prior × length prior), k = 60: the
     // calibration-free merge a retrieval stack uses. Strata rank in
@@ -3160,6 +3180,31 @@ object SparkEntry {
         |  CASE WHEN n_a < 2 OR n_b < 2 OR se <= 0 THEN NULL
         |       ELSE abs(diff / se) > 1.96 END AS significant
         |FROM f ORDER BY contrast, g""".stripMargin,
+    // Histogram-first AUC replay: the (score → pos, neg) histogram, the
+    // cumulative-negatives window over it, and the doubled-U long fold —
+    // identical integer arithmetic to the engine; the one double division
+    // is the same fixed expression, 4-dp floored.
+    "auc_scores" ->
+      """WITH ev AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS s,
+        |    event_type = 'purchase' AS lbl FROM events
+        |  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
+        |dc AS (SELECT n_chars AS s, lang = 'en' AS lbl FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |u AS (SELECT 'purchase_vs_click_value' AS contrast, * FROM ev
+        |  UNION ALL SELECT 'english_vs_rest_length', * FROM dc),
+        |h AS (SELECT contrast, s,
+        |    CAST(count(*) FILTER (WHERE lbl) AS BIGINT) AS pos,
+        |    CAST(count(*) FILTER (WHERE NOT lbl) AS BIGINT) AS neg
+        |  FROM u GROUP BY 1, 2),
+        |c AS (SELECT *, sum(neg) OVER (PARTITION BY contrast ORDER BY s) AS cum FROM h)
+        |SELECT contrast,
+        |  CAST(coalesce(sum(pos * (2 * (cum - neg) + neg)), 0) AS BIGINT) AS u2,
+        |  CAST(coalesce(sum(pos), 0) AS BIGINT) AS n_pos,
+        |  CAST(coalesce(sum(neg), 0) AS BIGINT) AS n_neg,
+        |  CASE WHEN sum(pos) = 0 OR sum(neg) = 0 THEN NULL
+        |       ELSE floor(CAST(sum(pos * (2 * (cum - neg) + neg)) AS DOUBLE)
+        |            / (2.0 * sum(pos) * sum(neg)) * 10000 + 0.5) / 10000 END AS auc
+        |FROM c GROUP BY contrast ORDER BY contrast""".stripMargin,
     // Unrolled replay of the 5-step greedy: sel1 = pure-relevance argmax,
     // each later pick anti-joins the selection, attaches the max
     // similarity INTO it, and takes the (score desc, cid) argmax — all

@@ -147,6 +147,55 @@ object StatOps {
           sum(col("n")).over(Window.partitionBy()).cast("double")).as("share"))
   }
 
+  /** Exact ROC-AUC — the Mann–Whitney rank statistic with the standard
+    * tie correction (ties count ½) — computed WITHOUT ranking the input:
+    * aggregate the (integer) scores to a (score, n_pos, n_neg) histogram,
+    * run [[ScaleOps.globalRunningTotal]] over it in score order for the
+    * cumulative negative count, and fold the doubled U numerator
+    *
+    *   U2 = Σ_bins n_pos · (2·negs_below + n_neg_at_bin),  AUC = U2 / (2·P·N)
+    *
+    * as exact long sums. The textbook formulation sorts all P+N scored
+    * rows globally and averages ranks — a full-input global sort that is
+    * the first thing to die when the eval set is a 100 TB corpus scored
+    * by a classifier. Here input rows only cross one hash exchange as
+    * map-combined histogram partials (rows ∝ distinct scores, not input),
+    * and the prefix sum runs over the bounded histogram; ties are exact by
+    * construction because tied scores share a bin. Everything up to the
+    * final division is integer, so the statistic hash-matches any engine;
+    * the single double division is one fixed IEEE expression, 4-dp
+    * rounded via [[CoreOps.rnd]].
+    *
+    * @param label boolean column — true = positive class; null-labeled or
+    *              null-scored rows are excluded (SQL aggregate convention)
+    * @param score integer-valued column (quantize doubles to micro-units
+    *              first — the same precondition every exact operator here
+    *              documents); higher score should predict the positive
+    *              class (AUC < 0.5 = anti-predictive, not an error)
+    * @return one row: (u2, n_pos, n_neg, auc); auc is null when either
+    *         class is empty (the statistic is undefined, not 0)
+    */
+  def aucHistogram(df: DataFrame, label: Column, score: Column): DataFrame = {
+    val h = df.where(label.isNotNull && score.isNotNull)
+      .groupBy(score.cast("long").as("__s"))
+      .agg(count(when(label, lit(1))).as("__pos"),
+        count(when(!label, lit(1))).as("__neg"))
+    val cum = ScaleOps.globalRunningTotal(h, Seq(col("__s")), col("__neg"))
+    cum
+      .agg(
+        coalesce(sum(col("__pos") *
+          (lit(2L) * (col("cum") - col("__neg")) + col("__neg"))), lit(0L))
+          .as("u2"),
+        coalesce(sum(col("__pos")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("__neg")), lit(0L)).as("n_neg"))
+      .select(col("u2"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0L || col("n_neg") === 0L,
+          lit(null).cast("double"))
+          .otherwise(CoreOps.rnd(col("u2").cast("double") /
+            (lit(2.0) * col("n_pos").cast("double")
+              * col("n_neg").cast("double")))).as("auc"))
+  }
+
   /** First-significant-digit distribution (the Benford's-law fraud /
     * data-fabrication screen): (digit, n, share) over the positive values
     * of an integer-valued column. The digit is extracted lexically —

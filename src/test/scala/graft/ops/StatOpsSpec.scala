@@ -136,4 +136,46 @@ class StatOpsSpec extends SparkTestBase {
     assert(r("g")._2 === 50L)  // the null row never counts
     assert(r("g")._7.get === true)
   }
+
+  private def auc(rows: Seq[(Option[Boolean], Option[Long])]) =
+    StatOps.aucHistogram(rows.toDF("lbl", "s"), col("lbl"), col("s"))
+      .as[(Long, Long, Long, Option[Double])].collect().head
+
+  test("auc: perfect separation is 1.0, reversed is 0.0, all-tied is 0.5") {
+    val pos = Seq(10L, 20L).map(v => (Some(true), Some(v)))
+    val neg = Seq(1L, 2L).map(v => (Some(false), Some(v)))
+    assert(auc(pos ++ neg) === ((8L, 2L, 2L, Some(1.0))))
+    val rev = pos.map { case (_, s) => (Some(false), s) } ++
+      neg.map { case (_, s) => (Some(true), s) }
+    assert(auc(rev) === ((0L, 2L, 2L, Some(0.0))))
+    val tied = Seq((Some(true), Some(5L)), (Some(true), Some(5L)),
+      (Some(false), Some(5L)))
+    assert(auc(tied) === ((2L, 2L, 1L, Some(0.5))))
+  }
+
+  test("auc: hand-computed mixed case with a cross-class tie") {
+    // pos {3, 1}, neg {2, 1}: wins 2, losses 1, ties 1 → U = 2.5 of 4
+    val rows = Seq((Some(true), Some(3L)), (Some(true), Some(1L)),
+      (Some(false), Some(2L)), (Some(false), Some(1L)))
+    assert(auc(rows) === ((5L, 2L, 2L, Some(0.625))))
+  }
+
+  test("auc: null label or score excluded; an empty class yields null AUC") {
+    val rows = Seq((Some(true), Some(9L)), (Some(true), Some(4L)),
+      (None, Some(100L)), (Some(false), None))
+    assert(auc(rows) === ((0L, 2L, 0L, None)))
+  }
+
+  test("auc: partition-layout invariant (histogram sums are exact)") {
+    val rows = (1L to 400L).map(i =>
+      (Some(i % 3 == 0), Some(i % 17)): (Option[Boolean], Option[Long]))
+    val one = StatOps.aucHistogram(
+      rows.toDF("lbl", "s").repartition(1), col("lbl"), col("s"))
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    val many = StatOps.aucHistogram(
+      rows.toDF("lbl", "s").repartition(13), col("lbl"), col("s"))
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(one === many)
+    assert(one._2 === 133L && one._3 === 267L)
+  }
 }
