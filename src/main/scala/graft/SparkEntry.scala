@@ -2756,6 +2756,18 @@ object SparkEntry {
       CorpusOps.bm25TopK(Tables.documents(s, d), "doc_id", "text",
         queryTerms = Seq("spark", "join", "query"), k = 20)
         .orderBy("rnk")),
+    // Literal-substring search through the trigram inverted index
+    // ("grep at 100 TB"): candidates are docs whose distinct-trigram set
+    // covers the pattern's, only candidates get the real `contains`
+    // verify. The oracle is the naive full-corpus scan the index
+    // replaces — the hash match proves the pruning is lossless,
+    // including the pattern with trigram-covering non-matches and the
+    // patterns with zero hits.
+    "trigram_search" -> ((s, d) =>
+      CorpusOps.trigramIndexSearch(Tables.documents(s, d), "doc_id",
+        "text", patterns = Seq("sort merge", "batch stream",
+          "window window", "merge part window", "graft engine"))
+        .orderBy("pattern", "doc_id")),
     // Self-trained char-trigram LM quality score (CCNet-style perplexity
     // filter): avg negative log-likelihood per doc under the corpus MLE
     // model. Model fit + scoring both graded; the micro-unit quantization
@@ -4757,6 +4769,14 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY su DESC, doc_id) AS rnk FROM sc)
         |SELECT doc_id, n_terms, score, CAST(rnk AS BIGINT) AS rnk
         |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+    // The naive scan the trigram index replaces: every (pattern, doc)
+    // LIKE-style containment over the full corpus. Identical output ==
+    // the index pruned losslessly.
+    "trigram_search" ->
+      """WITH pats(pattern) AS (VALUES ('sort merge'), ('batch stream'),
+        |  ('window window'), ('merge part window'), ('graft engine'))
+        |SELECT pattern, doc_id FROM documents, pats
+        |WHERE contains(text, pattern) ORDER BY pattern, doc_id""".stripMargin,
     // MLE trigram model refit from scratch in SQL; the per-trigram -ln p is
     // micro-unit-quantized before the per-doc sum, same as the engine.
     "ngram_lm_score" ->

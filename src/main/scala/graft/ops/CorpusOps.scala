@@ -786,4 +786,70 @@ object CorpusOps {
       .where(col("cnt").cast("double") / col("total") >= minShare)
       .select("token", "cnt", "share")
   }
+
+  /** Literal-substring search over the corpus through a character-trigram
+    * inverted index — "grep at 100 TB": a document can contain `pattern`
+    * only if it contains EVERY trigram of the pattern, so candidates are
+    * the docs whose distinct-trigram set covers the pattern's trigram set,
+    * and only those few docs ever get the real `contains` check. The naive
+    * spelling — `WHERE text LIKE '%p%'` per pattern — rescans every byte
+    * of the corpus per pattern, is un-indexable by min/max pruning, and is
+    * exactly what this operator exists to avoid.
+    *
+    * Scale shape: per-document distinct trigrams come from the fused
+    * [[graft.expressions.TrigramCounts]] histogram (map-only — no raw
+    * trigram-instance exchange), and the explode is immediately
+    * semi-joined against the BROADCAST pattern-trigram table, so the only
+    * fact-scale exchange carries the (doc, pattern-gram) hits — for
+    * selective patterns, orders of magnitude below corpus row count. The
+    * coverage count then gates on the pattern's trigram arity, survivors
+    * join back to the corpus BY KEY for the verify `contains`, and text
+    * never crosses an exchange (the verify join ships only candidate
+    * ids). False candidates (all trigrams present but not contiguous) are
+    * filtered by the verify; true matches can never be dropped — every
+    * trigram of a matching substring is by definition in the document.
+    *
+    * Pattern trigrams slice at CODE-POINT granularity (the same SQL
+    * substring counting [[graft.expressions.TrigramCounts]] implements),
+    * so multi-byte text indexes identically on both sides.
+    *
+    * @param patterns literal substrings, each ≥ 3 code points (below
+    *                 that a trigram index cannot prune; reject loudly
+    *                 rather than silently full-scan)
+    * @return every (pattern, doc_id) match — exact, verified, no
+    *         approximation
+    */
+  def trigramIndexSearch(df: DataFrame, idCol: String, textCol: String,
+                         patterns: Seq[String]): DataFrame = {
+    require(patterns.nonEmpty, "trigramIndexSearch needs patterns")
+    require(patterns.distinct.size == patterns.size,
+      "duplicate patterns would duplicate their match rows")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val patGrams = patterns.flatMap { p =>
+      val cps = p.codePoints().toArray
+      require(cps.length >= 3,
+        s"pattern '$p' is shorter than 3 code points — a trigram index" +
+          " cannot prune it")
+      (0 to cps.length - 3).map(i => (p, new String(cps, i, 3))).distinct
+    }
+    val patArity = patGrams.groupBy(_._1).view.mapValues(_.size.toLong).toSeq
+    val grams = patGrams.toDF("pattern", "tri")
+    val arity = patArity.toDF("pattern", "__need")
+    val docTris = df.select(col(idCol),
+        explode(graft.expressions.TrigramCounts.trigramCounts(col(textCol)))
+          .as("__tc"))
+      .select(col(idCol), col("__tc.tri").as("tri"))
+    val cands = docTris
+      .join(broadcast(grams), Seq("tri"))
+      .groupBy(col(idCol), col("pattern"))
+      .agg(count(lit(1)).as("__hit"))
+      .join(broadcast(arity), Seq("pattern"))
+      .where(col("__hit") === col("__need"))
+      .select(col(idCol), col("pattern"))
+    cands
+      .join(df.select(col(idCol), col(textCol)), Seq(idCol))
+      .where(col(textCol).contains(col("pattern")))
+      .select(col("pattern"), col(idCol))
+  }
 }

@@ -679,4 +679,23 @@ class PlanSpec extends SparkTestBase {
     val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(hashEx <= 3, s"expected <=3 hash exchanges, got $hashEx:\n$plan")
   }
+
+  test("trigram_search: index prunes before verify — one explode, broadcast pattern joins") {
+    val plan = executedSimple(
+      SparkEntry.queries("trigram_search")(spark, sf))
+    // the per-doc distinct-trigram explode runs exactly once, and both
+    // pattern-side tables (grams, arity) broadcast — the fact-scale rows
+    // never wait on a shuffled join for the index probe
+    val gens = "Generate explode".r.findAllIn(plan).size
+    assert(gens === 1, s"expected 1 explode, got $gens:\n$plan")
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 2, s"expected >=2 broadcast joins, got $bhj:\n$plan")
+    // the real `contains` verify runs once, against the candidate join's
+    // column pair — a pattern-per-scan LIKE rescan would show one
+    // Contains per pattern pushed into the file scan
+    val contains = "Contains\\(".r.findAllIn(plan).size
+    assert(contains === 1, s"expected 1 Contains, got $contains:\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 3, s"expected <=3 hash exchanges, got $hashEx:\n$plan")
+  }
 }

@@ -407,4 +407,43 @@ class CorpusOpsSpec extends SparkTestBase {
     val agg = run(Seq(("a", 50L), ("a", 50L), ("b", 300L)), 500000L)
     assert(agg === Seq(("a", 100L, 100L, true), ("b", 300L, 100L, false)))
   }
+
+  private def search(docs: Seq[(Long, String)], pats: Seq[String]) =
+    CorpusOps.trigramIndexSearch(docs.toDF("doc_id", "text"),
+      "doc_id", "text", pats)
+      .orderBy("pattern", "doc_id").as[(String, Long)].collect().toSeq
+
+  test("trigramIndexSearch: matches == naive contains; covering non-match pruned") {
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      // contains every trigram of "own fox" ("own", "wn ", "n f", " fo",
+      // "fox") but not contiguously — a candidate the verify must reject
+      (2L, "own foo fox wn fn f"),
+      (3L, "quick own foxes run"),
+      (4L, "xx"))
+    val pats = Seq("own fox", "quick", "zzz")
+    val got = search(docs, pats)
+    val naive = for {
+      (id, t) <- docs; p <- pats if t.contains(p)
+    } yield (p, id)
+    assert(got === naive.sortBy(r => (r._1, r._2)))
+    // doc 2 (covering candidate) pruned; doc 3 matches via "own foxes"
+    assert(got === Seq(("own fox", 1L), ("own fox", 3L),
+      ("quick", 1L), ("quick", 3L)))
+  }
+
+  test("trigramIndexSearch: code-point trigrams keep multi-byte text exact") {
+    // 4 code points each — "héllo" slices (hél, éll, llo); a byte- or
+    // UTF-16-sliced pattern side would disagree with TrigramCounts
+    val docs = Seq((1L, "ein héllo wörld über alles"), (2L, "héllq wörl"))
+    assert(search(docs, Seq("héllo", "wörld über")) ===
+      Seq(("héllo", 1L), ("wörld über", 1L)))
+  }
+
+  test("trigramIndexSearch: rejects short and duplicate patterns loudly") {
+    val docs = Seq((1L, "abc"))
+    intercept[IllegalArgumentException](search(docs, Seq("ab")))
+    intercept[IllegalArgumentException](search(docs, Seq("abc", "abc")))
+    intercept[IllegalArgumentException](search(docs, Seq.empty))
+  }
 }
