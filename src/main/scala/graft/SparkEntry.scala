@@ -1078,6 +1078,25 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // Week-over-week mixture drift (Jensen–Shannon divergence + current
+    // entropy) of two categorical series — the distribution-shape alarm
+    // a pipeline runs per source. Per-category micro-unit terms sum
+    // associatively, so the doubled-JSD integer hash-matches; only the
+    // first (period, category) aggregate touches fact rows.
+    "mixture_drift" -> ((s, d) => {
+      val ev = ChangeOps.mixtureDrift(Tables.events(s, d),
+        to_date(CoreOps.weekStart(col("ts"))), col("event_type"))
+        .withColumn("series", lit("events_type"))
+      val or = ChangeOps.mixtureDrift(Tables.orders(s, d),
+        to_date(CoreOps.weekStart(col("o_orderdate"))),
+        col("o_orderpriority"))
+        .withColumn("series", lit("orders_priority"))
+      ev.unionByName(or)
+        .select("series", "period", "n", "n_prev", "jsd2_micro", "jsd",
+          "entropy")
+        .orderBy("series", "period")
+    }),
+
     // Selective recompute composed on the diff: find the weeks the
     // snapshot delta touches (old AND new week of every non-unchanged
     // key), recompute ONLY those weeks from the new snapshot, and splice
@@ -3139,6 +3158,36 @@ object SparkEntry {
         |  FROM j)
         |SELECT o_orderkey, status, n_diff_cols FROM r
         |WHERE status <> 'unchanged' ORDER BY o_orderkey""".stripMargin,
+    // JSD replay with the engine's exact arithmetic: per-category
+    // micro-unit terms (same ln-input expression shape), integer
+    // doubled-JSD, 4-dp displayed jsd/entropy.
+    "mixture_drift" ->
+      """WITH src AS (
+        |  SELECT 'events_type' AS series, CAST(date_trunc('week', ts) AS DATE) AS period, event_type AS cat
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'orders_priority', CAST(date_trunc('week', o_orderdate) AS DATE), o_orderpriority
+        |  FROM orders WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL),
+        |c AS (SELECT series, period, cat, CAST(count(*) AS BIGINT) AS c FROM src GROUP BY 1, 2, 3),
+        |p AS (SELECT series, period + 7 AS period, cat, c AS d FROM c),
+        |j AS (SELECT coalesce(c.series, p.series) AS series, coalesce(c.period, p.period) AS period,
+        |    coalesce(c.cat, p.cat) AS cat, coalesce(c.c, 0) AS c, coalesce(p.d, 0) AS d
+        |  FROM c FULL OUTER JOIN p ON c.series = p.series AND c.period = p.period AND c.cat = p.cat),
+        |t AS (SELECT *, sum(c) OVER (PARTITION BY series, period) AS n,
+        |    sum(d) OVER (PARTITION BY series, period) AS n_prev FROM j),
+        |g AS (SELECT *, CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS pp,
+        |    CAST(d AS DOUBLE) / CAST(n_prev AS DOUBLE) AS qq
+        |  FROM t WHERE n > 0 AND n_prev > 0),
+        |e AS (SELECT series, period, n, n_prev,
+        |    CASE WHEN c > 0 THEN CAST(floor(pp * ln(pp / ((pp + qq) / 2.0)) * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END AS t1,
+        |    CASE WHEN d > 0 THEN CAST(floor(qq * ln(qq / ((pp + qq) / 2.0)) * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END AS t2,
+        |    CASE WHEN c > 0 THEN CAST(floor(pp * ln(pp) * -1000000.0 + 0.5) AS BIGINT) ELSE 0 END AS h
+        |  FROM g)
+        |SELECT series, period, CAST(max(n) AS BIGINT) AS n, CAST(max(n_prev) AS BIGINT) AS n_prev,
+        |  CAST(sum(t1 + t2) AS BIGINT) AS jsd2_micro,
+        |  floor(CAST(sum(t1 + t2) AS DOUBLE) / 2000000.0 * 10000 + 0.5) / 10000 AS jsd,
+        |  floor(CAST(sum(h) AS DOUBLE) / 1000000.0 * 10000 + 0.5) / 10000 AS entropy
+        |FROM e GROUP BY 1, 2 ORDER BY series, period""".stripMargin,
     "corr_regression" ->
       """WITH c AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
         |    CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y FROM lineitem),

@@ -131,4 +131,72 @@ object ChangeOps {
           lit(null).cast("long")).otherwise(nDiff))
       .select((keys.map(col) :+ col("status") :+ col("n_diff_cols")): _*)
   }
+
+  /** Distribution drift between consecutive periods — per period, the
+    * Jensen–Shannon divergence of the categorical mixture against the
+    * previous period's, plus the current mixture's Shannon entropy. The
+    * monitoring statistic a pipeline alerts on when an upstream source
+    * changes shape (a scraper breaking, a locale flipping, a category
+    * vanishing): JSD is symmetric, finite even when a category appears or
+    * disappears (KL alone is +∞ there), and bounded by ln 2.
+    *
+    * Scale shape: the only fact-scale operation is the first
+    * (period, category) hash aggregate (map-side partials, narrow rows).
+    * The previous period attaches by shifting that reduced table forward
+    * `stepDays` and full-outer-joining on (period, category) — so a
+    * category present in only one side still contributes its half of the
+    * divergence — and every window/aggregation after that runs over the
+    * bounded periods×categories table. Boundary periods (no predecessor,
+    * or nothing current) drop: the statistic compares two real mixtures
+    * or none.
+    *
+    * Engine portability: each per-category term p·ln(p/m) (m the
+    * two-sided mean) quantizes to micro-unit longs BEFORE the per-period
+    * sum — associative, layout-independent — and the ln input is the
+    * same fixed IEEE expression over exact integer counts on both
+    * engines; doubled-JSD stays integer in `jsd2_micro`, with `jsd` and
+    * `entropy` as displayed 4-dp roundings.
+    *
+    * @param period   DATE column, already truncated to the period grain
+    *                 (e.g. [[CoreOps.weekStart]] cast to date)
+    * @param stepDays grid distance between consecutive periods
+    * @return (period, n, n_prev, jsd2_micro, jsd, entropy) per period
+    *         with a predecessor on the grid
+    */
+  def mixtureDrift(df: DataFrame, period: Column, category: Column,
+                   stepDays: Int = 7): DataFrame = {
+    require(stepDays > 0, s"stepDays=$stepDays must be positive")
+    import CoreOps.rnd
+    val counts = df.where(period.isNotNull && category.isNotNull)
+      .groupBy(period.as("period"), category.as("cat"))
+      .agg(count(lit(1)).as("c"))
+    val prev = counts.select(date_add(col("period"), stepDays).as("period"),
+      col("cat"), col("c").as("d"))
+    val grid = counts.join(prev, Seq("period", "cat"), "full_outer")
+      .select(col("period"), col("cat"),
+        coalesce(col("c"), lit(0L)).as("c"),
+        coalesce(col("d"), lit(0L)).as("d"))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("period"))))
+      .withColumn("n_prev",
+        sum(col("d")).over(Window.partitionBy(col("period"))))
+      .where(col("n") > 0 && col("n_prev") > 0)
+    val pp = col("c").cast("double") / col("n").cast("double")
+    val qq = col("d").cast("double") / col("n_prev").cast("double")
+    val m = (pp + qq) / lit(2.0)
+    val t1 = when(col("c") > 0,
+      floor(pp * log(pp / m) * lit(1000000.0) + lit(0.5)).cast("long"))
+      .otherwise(lit(0L))
+    val t2 = when(col("d") > 0,
+      floor(qq * log(qq / m) * lit(1000000.0) + lit(0.5)).cast("long"))
+      .otherwise(lit(0L))
+    val h = when(col("c") > 0,
+      floor(pp * log(pp) * lit(-1000000.0) + lit(0.5)).cast("long"))
+      .otherwise(lit(0L))
+    grid.groupBy(col("period"))
+      .agg(max(col("n")).as("n"), max(col("n_prev")).as("n_prev"),
+        sum(t1 + t2).as("jsd2_micro"), sum(h).as("__h"))
+      .select(col("period"), col("n"), col("n_prev"), col("jsd2_micro"),
+        rnd(col("jsd2_micro").cast("double") / lit(2000000.0)).as("jsd"),
+        rnd(col("__h").cast("double") / lit(1000000.0)).as("entropy"))
+  }
 }

@@ -116,4 +116,42 @@ class ChangeOpsSpec extends SparkTestBase {
       Seq("k"), Seq("s", "v")).collect().head
     assert(nd.getString(1) === "changed" && nd.getLong(2) === 2L)
   }
+
+  private def drift(rows: Seq[(String, String)]) =
+    ChangeOps.mixtureDrift(
+      rows.toDF("day", "cat"), to_date(col("day")), col("cat"))
+      .orderBy("period")
+      .select(col("period").cast("string"), col("n"), col("n_prev"),
+        col("jsd"), col("entropy"))
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+
+  test("mixtureDrift: identical mixtures → JSD 0; disjoint → ln 2") {
+    val same = drift(Seq(
+      ("2024-01-01", "a"), ("2024-01-01", "a"), ("2024-01-01", "b"),
+      ("2024-01-08", "a"), ("2024-01-08", "a"), ("2024-01-08", "b")))
+    // entropy of {2/3, 1/3} = ln3 − (2/3)ln2 ≈ 0.6365
+    assert(same === Seq(("2024-01-08", 3L, 3L, 0.0, 0.6365)))
+    val disj = drift(Seq(
+      ("2024-01-01", "a"), ("2024-01-01", "a"),
+      ("2024-01-08", "b"), ("2024-01-08", "b")))
+    // maximal divergence between distributions = ln 2; one-point entropy 0
+    assert(disj === Seq(("2024-01-08", 2L, 2L, 0.6931, 0.0)))
+  }
+
+  test("mixtureDrift: appearing/vanishing categories stay finite; chain emits per step") {
+    val out = drift(Seq(
+      ("2024-01-01", "a"), ("2024-01-01", "b"),
+      ("2024-01-08", "a"), ("2024-01-08", "c"),
+      ("2024-01-15", "a"), ("2024-01-15", "c")))
+    assert(out.map(_._1) === Seq("2024-01-08", "2024-01-15"))
+    // b vanished, c appeared: JSD = ½ln2 + ½ln2 − ... = ½ ln 2 exactly
+    // here (half the mass flips): 0.5·[½ln2·2] → 0.3466
+    assert(out.head._4 === 0.3466)
+    assert(out(1)._4 === 0.0)
+  }
+
+  test("mixtureDrift: off-grid periods never pair; boundaries drop") {
+    // 14-day gap on a 7-day grid: no period has a predecessor
+    assert(drift(Seq(("2024-01-01", "a"), ("2024-01-15", "a"))) === Seq())
+  }
 }
