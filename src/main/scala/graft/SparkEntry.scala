@@ -1408,6 +1408,21 @@ object SparkEntry {
         .orderBy("c_nationkey", "c_mktsegment", "bal_band")
     }),
 
+    // l-diversity over the same quasi-identifiers, auditing the
+    // SENSITIVE attribute (balance band) instead of class size: a large
+    // class whose members share one band still leaks it (homogeneity
+    // attack) — the risk k-anonymity cannot see. l=5 splits this
+    // fixture's classes non-degenerately.
+    "l_diversity" -> ((s, d) => {
+      val cents = CoreOps.moneyCents(col("c_acctbal")).cast("long")
+      val band = CoreOps.integralDiv(cents - pmod(cents, lit(200000L)), 200000L)
+      DqOps.lDiversity(
+        Tables.customer(s, d).select(col("c_nationkey"),
+          col("c_mktsegment"), band.as("bal_band")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 5L)
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
+
     // Benford first-digit screen over order totals (integer cents): digit
     // extracted lexically so both engines agree exactly; 9-row output.
     "benford_digits" -> ((s, d) =>
@@ -2686,6 +2701,13 @@ object SparkEntry {
     "embed_stats" -> ((s, d) =>
       EmbeddingOps.embeddingStats(Tables.embeddings(s, d), "label", "embedding")
         .orderBy("label")),
+    // Exact upper-triangular covariance of the embedding corpus (the
+    // PCA/whitening input): per (i ≤ j), exact long power sums over
+    // 4-dp-quantized components + the derived covariance. The d²-bounded
+    // matrix is all that crosses the single exchange.
+    "embed_covariance" -> ((s, d) =>
+      EmbeddingOps.covarianceMatrix(Tables.embeddings(s, d), "embedding")
+        .orderBy("i", "j")),
     "embed_normalize" -> ((s, d) => {
       import CoreOps.rnd
       val vec = col("embedding")
@@ -2759,6 +2781,14 @@ object SparkEntry {
     "heavy_hitters" -> ((s, d) =>
       CorpusOps.heavyHitters(Tables.documents(s, d), "text", minShare = 0.01)
         .orderBy("token")),
+    // Vocabulary-budget coverage curve per language: token-stream share
+    // the top-V corpus vocabulary covers, at four candidate V — the
+    // plot a tokenizer budget decision reads. One fact-scale aggregate;
+    // ranking and sizes live on bounded broadcast tables.
+    "vocab_coverage" -> ((s, d) =>
+      CorpusOps.vocabCoverageCurve(Tables.documents(s, d), "lang", "text",
+        sizes = Seq(5, 10, 20, 40))
+        .orderBy("v", "stratum")),
     // Cross-document repeated-span profile (Lee et al. exact-substring
     // dedup signal): per-doc count and fraction of 15-token spans that
     // recur anywhere in the corpus. Spark groups by span DIGEST (narrow
@@ -3536,6 +3566,19 @@ object SparkEntry {
         |SELECT c_nationkey, c_mktsegment, bal_band,
         |  CAST(count(*) AS BIGINT) AS class_size, count(*) < 3 AS at_risk
         |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // Distinct sensitive values per class; nulls add one observable
+    // value (none in this fixture, branch spec-pinned).
+    "l_diversity" ->
+      """WITH b AS (SELECT c_nationkey, c_mktsegment,
+        |    (cents - ((cents % 200000 + 200000) % 200000)) // 200000 AS bal_band
+        |  FROM (SELECT *, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+        |        FROM customer))
+        |SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS class_size,
+        |  CAST(count(DISTINCT bal_band)
+        |    + max(CASE WHEN bal_band IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS sensitive_distinct,
+        |  count(DISTINCT bal_band)
+        |    + max(CASE WHEN bal_band IS NULL THEN 1 ELSE 0 END) < 5 AS at_risk
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "benford_digits" ->
       """WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v FROM orders),
         |g AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER) AS digit,
@@ -4718,6 +4761,22 @@ object SparkEntry {
         |  floor((CAST(max(norm_u) AS DOUBLE) / 1000000) * 10000 + 0.5) / 10000 AS norm_max,
         |  floor((CAST(sum(norm_u) AS DOUBLE) / count(*) / 1000000) * 10000 + 0.5) / 10000 AS norm_avg
         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Pair stream re-derived via generate_series; the covariance is the
+    // same fixed IEEE expression over the exact long sums as the engine.
+    "embed_covariance" ->
+      """WITH q AS (SELECT list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |idx AS (SELECT v, unnest(generate_series(1, len(v))) AS gi FROM q),
+        |pr AS (SELECT CAST(gi - 1 AS BIGINT) AS i, CAST(gj - 1 AS BIGINT) AS j, v[gi] AS vi, v[gj] AS vj
+        |  FROM (SELECT v, gi, unnest(generate_series(gi, len(v))) AS gj FROM idx)),
+        |a AS (SELECT i, j, CAST(count(*) AS BIGINT) AS n, CAST(sum(vi * vj) AS BIGINT) AS sxy,
+        |    CAST(sum(vi) AS BIGINT) AS sx, CAST(sum(vj) AS BIGINT) AS sy FROM pr GROUP BY 1, 2)
+        |SELECT i, j, n, sxy, sx, sy,
+        |  floor((((CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)) -
+        |    ((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))) / 100000000.0)
+        |    * 10000 + 0.5) / 10000 AS cov
+        |FROM a ORDER BY i, j""".stripMargin,
     "embed_normalize" ->
       """WITH v AS (SELECT vec_id, embedding,
         |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), (a, b) -> a + b)) AS nrm
@@ -4780,6 +4839,21 @@ object SparkEntry {
         |t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c)
         |SELECT token, cnt, floor((cnt / total) * 10000 + 0.5) / 10000 AS share
         |FROM c, t WHERE cnt / total >= 0.01 ORDER BY token""".stripMargin,
+    // Vocabulary ranked (count desc, token) exactly like the engine, so
+    // both cut identical top-V vocabularies at every size.
+    "vocab_coverage" ->
+      """WITH tok AS (SELECT lang AS stratum, unnest(string_split(text, ' ')) AS token FROM documents),
+        |bt AS (SELECT stratum, token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+        |vr AS (SELECT token, CAST(row_number() OVER (ORDER BY sum(c) DESC, token) AS BIGINT) AS rnk
+        |  FROM bt GROUP BY token),
+        |vs(v) AS (VALUES (CAST(5 AS BIGINT)), (10), (20), (40)),
+        |j AS (SELECT v, stratum, c, rnk FROM bt JOIN vr USING (token) CROSS JOIN vs)
+        |SELECT v, stratum, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN rnk <= v THEN c ELSE 0 END) AS BIGINT) AS covered,
+        |  CAST(count(CASE WHEN rnk > v THEN 1 END) AS BIGINT) AS oov_types,
+        |  floor(CAST(sum(CASE WHEN rnk <= v THEN c ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(c) AS DOUBLE) * 10000 + 0.5) / 10000 AS coverage
+        |FROM j GROUP BY 1, 2 ORDER BY v, stratum""".stripMargin,
     // Groups by the literal span text where Spark groups by its md5 digest
     // — identical counts unless md5 collides, so the row hash doubles as a
     // collision check. range(1, len-13) = span starts 1..len-14 (15-token

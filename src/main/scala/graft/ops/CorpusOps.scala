@@ -787,6 +787,55 @@ object CorpusOps {
       .select("token", "cnt", "share")
   }
 
+  /** Vocabulary-budget coverage curve — for each candidate vocabulary
+    * size V (the top-V corpus tokens by frequency) and each stratum
+    * (language/source), what share of the stratum's token stream the
+    * vocabulary covers and how many of its token TYPES fall out-of-vocab.
+    * This is the curve a tokenizer budget decision reads: where coverage
+    * plateaus is where growing the vocab stops paying, and a stratum
+    * whose curve lags the corpus average is the one OOV fragmentation
+    * will hurt.
+    *
+    * Scale shape: one fact-scale hash aggregate to (stratum, token,
+    * count) — map-side partials, narrow rows, the only exchange that
+    * sees input-proportional data. The global ranking window runs over
+    * the BOUNDED distinct-token table (vocabularies cap out in the
+    * hundreds of millions; this fixture's is tiny), the rank table
+    * broadcasts back, and the candidate sizes are a broadcast
+    * handful-of-rows frame, so the curve costs |strata|·|sizes| output
+    * rows of aggregation, never another pass over the corpus.
+    *
+    * Ties rank deterministically by (count desc, token) — both engines
+    * cut identical vocabularies at every V.
+    */
+  def vocabCoverageCurve(df: DataFrame, strataCol: String, textCol: String,
+                         sizes: Seq[Int]): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 1),
+      s"vocab sizes $sizes must be positive")
+    require(sizes.distinct.size == sizes.size,
+      s"duplicate vocab sizes in $sizes would duplicate curve rows")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val byTok = df.select(col(strataCol).as("stratum"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy("stratum", "token").agg(count(lit(1)).as("c"))
+    val vocabRank = byTok.groupBy("token").agg(sum("c").as("cnt"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("token"))).cast("long"))
+      .select("token", "rnk")
+    val vs = sizes.map(_.toLong).toDF("v")
+    byTok.join(broadcast(vocabRank), Seq("token"))
+      .crossJoin(broadcast(vs))
+      .groupBy(col("v"), col("stratum"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(when(col("rnk") <= col("v"), col("c")).otherwise(0L))
+          .as("covered"),
+        count(when(col("rnk") > col("v"), lit(1))).as("oov_types"))
+      .withColumn("coverage",
+        CoreOps.rnd(col("covered").cast("double") /
+          col("n_tokens").cast("double")))
+  }
+
   /** Literal-substring search over the corpus through a character-trigram
     * inverted index — "grep at 100 TB": a document can contain `pattern`
     * only if it contains EVERY trigram of the pattern, so candidates are

@@ -111,4 +111,32 @@ object DqOps {
       .agg(count(lit(1)).as("class_size"))
       .withColumn("at_risk", col("class_size") < k)
   }
+
+  /** l-diversity audit — the leak [[kAnonymity]] cannot see: a large
+    * equivalence class whose members all share one SENSITIVE value still
+    * reveals the secret of everyone in it (homogeneity attack). Per
+    * quasi-identifier class: size, distinct sensitive values (nulls count
+    * as one value — "withheld" is itself an observable state), and the
+    * `sensitive_distinct < l` risk flag.
+    *
+    * Same plan shape as the k-anonymity audit — one hash aggregate on the
+    * quasi keys; the distinct count rides the same exchange as a
+    * two-phase partial, so the audit costs one pass at any scale.
+    */
+  def lDiversity(df: DataFrame, quasi: Seq[String], sensitive: String,
+                 l: Long): DataFrame = {
+    require(quasi.nonEmpty, "lDiversity needs at least one quasi-identifier")
+    require(!quasi.contains(sensitive),
+      s"sensitive '$sensitive' cannot also be a quasi-identifier")
+    require(l >= 2, s"l=$l: below 2 every class trivially passes")
+    df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        // nulls count as one extra observable value (count_distinct
+        // skips them) -- collision-free, unlike a string sentinel that a
+        // real value could equal
+        (count_distinct(col(sensitive)) +
+          max(when(col(sensitive).isNull, lit(1L)).otherwise(lit(0L))))
+          .as("sensitive_distinct"))
+      .withColumn("at_risk", col("sensitive_distinct") < l)
+  }
 }

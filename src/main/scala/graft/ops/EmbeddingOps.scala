@@ -219,4 +219,46 @@ object EmbeddingOps {
         rnd(sum(col("norm_u")).cast("double") / count(lit(1)) / 1e6)
           .as("norm_avg"))
   }
+
+  /** Exact upper-triangular covariance matrix of the embedding corpus —
+    * the PCA / whitening / feature-correlation prerequisite: per
+    * dimension pair (i ≤ j), the exact long power sums (n, Σxᵢxⱼ, Σxᵢ,
+    * Σxⱼ) over 4-dp-quantized components, plus the derived covariance
+    * (one fixed IEEE expression over the exact sums, so it is
+    * bit-reproducible across partitionings and engines — the same
+    * contract as [[StatOps.bivariateStats]], lifted from one column
+    * pair to all d(d+1)/2 of them). A d×d solve (eigen/Cholesky) then
+    * runs driver-side on this bounded table — the part that needed the
+    * cluster is exactly these sums.
+    *
+    * Scale shape: the per-row pair stream (d(d+1)/2 generated values per
+    * row) flows straight into a hash aggregate keyed on (i, j) — map-side
+    * partials reduce every partition to at most d(d+1)/2 rows before the
+    * ONLY exchange, so shuffle volume is the d²-bounded matrix × partition
+    * count, independent of row count. Precondition (documented, loud):
+    * |Σxᵢxⱼ| < 2^63 — with 4-dp quantization of unit-normalized
+    * components that holds to ~9·10¹⁰ rows; shift the quantization down
+    * a digit per 100× beyond that.
+    */
+  def covarianceMatrix(df: DataFrame, vecCol: String): DataFrame = {
+    import CoreOps.rnd
+    val q = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(10000.0) + lit(0.5)).cast("long"))
+    val pairs = df.where(col(vecCol).isNotNull).select(q.as("v"))
+      .select(col("v"), posexplode(col("v")).as(Seq("i", "vi")))
+      .select(col("i"), col("vi"),
+        posexplode(expr("slice(v, i + 1, size(v) - i)")).as(Seq("p", "vj")))
+      .select(col("i").cast("long").as("i"),
+        (col("i") + col("p")).cast("long").as("j"),
+        col("vi"), col("vj"))
+    pairs.groupBy("i", "j")
+      .agg(count(lit(1)).as("n"),
+        sum(col("vi") * col("vj")).as("sxy"),
+        sum(col("vi")).as("sx"), sum(col("vj")).as("sy"))
+      .withColumn("cov",
+        rnd(((col("sxy").cast("double") / col("n").cast("double")) -
+          ((col("sx").cast("double") / col("n").cast("double")) *
+            (col("sy").cast("double") / col("n").cast("double")))) /
+          lit(1.0E8)))
+  }
 }

@@ -440,6 +440,21 @@ class CorpusOpsSpec extends SparkTestBase {
       Seq(("héllo", 1L), ("wörld über", 1L)))
   }
 
+  test("vocabCoverageCurve: hand-computed curve, deterministic tie ranking") {
+    // global counts: x:3, y:3, z:1, q:1 → rank x,y,q,z ((cnt desc, token))
+    val docs = Seq(("a", "x x y z"), ("b", "x y y q")).toDF("lang", "text")
+    val got = CorpusOps.vocabCoverageCurve(docs, "lang", "text", Seq(1, 3))
+      .orderBy("v", "stratum")
+      .as[(Long, String, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, "a", 4L, 2L, 2L, 0.5), (1L, "b", 4L, 1L, 2L, 0.25),
+      (3L, "a", 4L, 3L, 1L, 0.75), (3L, "b", 4L, 4L, 0L, 1.0)))
+    intercept[IllegalArgumentException](
+      CorpusOps.vocabCoverageCurve(docs, "lang", "text", Seq(3, 3)))
+    intercept[IllegalArgumentException](
+      CorpusOps.vocabCoverageCurve(docs, "lang", "text", Seq.empty))
+  }
+
   test("trigramIndexSearch: rejects short and duplicate patterns loudly") {
     val docs = Seq((1L, "abc"))
     intercept[IllegalArgumentException](search(docs, Seq("ab")))

@@ -97,4 +97,22 @@ class DqOpsSpec extends SparkTestBase {
     assert(r.columns.toSeq === Seq("rule", "violations", "total"))
     assert(r.count() === 3L)
   }
+
+  test("lDiversity: homogeneous class flags even when large; nulls add one value") {
+    val df = Seq(
+      // big but homogeneous: 3 members, all sensitive "x" → at risk at l=2
+      ("homog", "x"), ("homog", "x"), ("homog", "x"),
+      // diverse: 2 distinct values → passes l=2
+      ("ok", "x"), ("ok", "y"),
+      // null + one value = 2 observables → passes l=2
+      ("withnull", "x"), ("withnull", null)).toDF("q", "s")
+    val got = DqOps.lDiversity(df, Seq("q"), "s", l = 2L)
+      .orderBy("q").as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(got === Seq(("homog", 3L, 1L, true), ("ok", 2L, 2L, false),
+      ("withnull", 2L, 2L, false)))
+    intercept[IllegalArgumentException](
+      DqOps.lDiversity(df, Seq("q", "s"), "s", l = 2L))
+    intercept[IllegalArgumentException](
+      DqOps.lDiversity(df, Seq("q"), "s", l = 1L))
+  }
 }

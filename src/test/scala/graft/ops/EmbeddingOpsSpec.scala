@@ -124,4 +124,36 @@ class EmbeddingOpsSpec extends SparkTestBase {
       .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
     assert(got === Map(0L -> 0L, 1L -> 1L, 7L -> 0L))
   }
+
+  test("covarianceMatrix: hand-computed 2-dim case, exact sums, 4-dp cov") {
+    // rows (1, 2), (3, 6), (5, 10): y = 2x exactly. Quantized ×10⁴:
+    // x: 10000, 30000, 50000 → var = E[x²]−E[x]² = (35e8/3 − 9e8)
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 6.0f)), (3L, Seq(5.0f, 10.0f)))
+      .toDF("vec_id", "embedding")
+    val got = EmbeddingOps.covarianceMatrix(df, "embedding")
+      .orderBy("i", "j")
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    // sxy(0,0) = 1e8+9e8+25e8 = 35e8; sx = 9e4
+    // cov(0,0) = (35e8/3 − 3e4·3e4)/1e8 = (1166666666.67 − 9e8)/1e8 ≈ 2.6667
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._5, r._6)) === Seq(
+      (0L, 0L, 3L, 3500000000L, 90000L, 90000L),
+      (0L, 1L, 3L, 7000000000L, 90000L, 180000L),
+      (1L, 1L, 3L, 14000000000L, 180000L, 180000L)))
+    assert(got.map(_._7) === Seq(2.6667, 5.3333, 10.6667))
+  }
+
+  test("covarianceMatrix: partition-layout invariant; null vectors excluded") {
+    val rows = (1L to 300L).map(i =>
+      (i, Option(Seq((i % 7).toFloat / 10f, (i % 5).toFloat / 10f,
+        (i % 3).toFloat / 10f)))) :+ ((301L, Option.empty[Seq[Float]]))
+    val df = rows.toDF("vec_id", "embedding")
+    def run(parts: Int) =
+      EmbeddingOps.covarianceMatrix(df.repartition(parts), "embedding")
+        .orderBy("i", "j")
+        .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    val one = run(1)
+    assert(one === run(17))
+    assert(one.size === 6 && one.forall(_._3 === 300L))
+  }
 }
