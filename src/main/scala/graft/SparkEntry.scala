@@ -2131,6 +2131,25 @@ object SparkEntry {
             .as("hll_ok"))
         .orderBy("week")
     }),
+    // Stream-static broadcast enrichment → watermarked weekly rollup per
+    // enriched category: count/sum are exact in streaming aggregations,
+    // so emitted windows (end ≤ final watermark) grade EXACTLY against
+    // the batch replay — no tolerance gate needed, unlike the
+    // approx-forced stats/HLL streams.
+    "stream_static_enrich" -> ((s, d) => {
+      import s.implicits._
+      val src = graft.streaming.EventsStreaming
+        .readEventsStream(s, stagedEvents(s, d))
+      val dim = Seq(("click", "engagement"), ("view", "engagement"),
+        ("purchase", "revenue"), ("signup", "acquisition"),
+        ("error", "ops")).toDF("event_type", "category")
+      runStreamToTable(s,
+        graft.streaming.EventsStreaming.enrichedWindowTotals(src, dim),
+        "enrich")
+        .select(col("window.start").as("week"), col("category"),
+          col("events"), col("cents"))
+        .orderBy("week", "category")
+    }),
     // Stream-stream interval join (click → purchase within 1 h, same
     // user), graded: both sides watermarked, state evictable — and with
     // the finite source drained, the emitted pair set is exactly the
@@ -2829,6 +2848,41 @@ object SparkEntry {
     // exact at ANY group size (windows run over histogram rows, a
     // spill-able sort). Same ⌈q·n⌉ rank convention as the global
     // variant; oracle re-sorts each group's raw cents one-task.
+    // Time-to-next-event ("dwell") quantiles per event type — the
+    // latency-shape report behind session/engagement tuning: per-user
+    // gaps from a totalized (ts, event_id) order, floored to whole
+    // seconds (a bounded histogram domain), then EXACT p50/p90/p99
+    // through the per-group histogram path — no per-group value buffer
+    // at any group size.
+    "dwell_time_quantiles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("__us"), col("event_id"))
+      val gaps = Tables.events(s, d)
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("__us"))
+        .withColumn("__gap_s", CoreOps.integralDiv(
+          lead(col("__us"), 1).over(w) - col("__us"), 1000000L))
+      ScaleOps.groupQuantilesByHistogram(gaps, Seq(col("event_type")),
+        col("__gap_s"), Seq(0.5, 0.9, 0.99))
+        .orderBy("event_type")
+    }),
+
+    // Foreign-key fan-out audit — the pre-join skew screen: the
+    // distribution (p50 / p99 / max) of children per parent key, read
+    // off the fan-out histogram with the exact global-quantile path. A
+    // p99≪max tail is the broadcast-refusing skewed key the salted-join
+    // tier exists for; this query is how you find it BEFORE the join.
+    "fk_fanout" -> ((s, d) => {
+      val counts = Tables.orders(s, d)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("c"))
+      ScaleOps.exactQuantilesByHistogram(counts, col("c"), Seq(0.5, 0.99))
+        .crossJoin(broadcast(counts.agg(max(col("c")).as("fan_max"))))
+        .select(col("n").as("n_parents"), col("p50"), col("p99"),
+          col("fan_max"))
+    }),
+
     "weekly_quantiles_histogram" -> ((s, d) => {
       import CoreOps.rnd
       ScaleOps.groupQuantilesByHistogram(
@@ -4476,6 +4530,22 @@ object SparkEntry {
         |  FROM e GROUP BY 1)
         |SELECT week, users_exact, TRUE AS hll_ok FROM x, wm
         |WHERE end_ms <= w ORDER BY week""".stripMargin,
+    // Batch replay of the enrich-then-rollup: same dim VALUES, same week
+    // alignment, same watermark-final emission cutoff as the HLL stream —
+    // but counts/sums are exact, so the grade is a plain hash match.
+    "stream_static_enrich" ->
+      """WITH dim(event_type, category) AS (VALUES ('click', 'engagement'),
+        |    ('view', 'engagement'), ('purchase', 'revenue'),
+        |    ('signup', 'acquisition'), ('error', 'ops')),
+        |e AS (SELECT * FROM events WHERE ts IS NOT NULL),
+        |wm AS (SELECT epoch_ms(max(ts)) - 86400000 AS w FROM e),
+        |x AS (SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week, category,
+        |    CAST(count(*) AS BIGINT) AS events,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+        |    epoch_ms(CAST(date_trunc('week', ts) AS TIMESTAMP) + INTERVAL 7 DAY) AS end_ms
+        |  FROM e JOIN dim USING (event_type) GROUP BY 1, 2)
+        |SELECT week, category, events, cents FROM x, wm
+        |WHERE end_ms <= w ORDER BY week, category""".stripMargin,
     // Stream/batch agreement: the batch sessionize computation restricted
     // to sessions the final watermark (epoch_ms(max ts) − 1 h) closed —
     // end + gap at-or-before the watermark, the inclusive boundary the
@@ -4934,6 +5004,33 @@ object SparkEntry {
         |  floor((CAST(l[CAST(ceil(0.10 * n) AS BIGINT)] AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS p10,
         |  floor((CAST(l[CAST(ceil(0.50 * n) AS BIGINT)] AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS p50,
         |  floor((CAST(l[CAST(ceil(0.90 * n) AS BIGINT)] AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS p90
+        |FROM s""".stripMargin,
+    // Gaps from the same totalized (us, event_id) order; `//` truncation
+    // on the non-negative gap matches the engine's integral divide; the
+    // ⌈q·n⌉ pick replays the histogram path's rank convention.
+    "dwell_time_quantiles" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |g AS (SELECT event_type,
+        |    (lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us) // 1000000 AS gap_s
+        |  FROM e),
+        |s AS (SELECT event_type, list_sort(list(gap_s)) AS l, CAST(count(*) AS BIGINT) AS n
+        |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n,
+        |  l[CAST(ceil(0.50 * n) AS BIGINT)] AS p50,
+        |  l[CAST(ceil(0.90 * n) AS BIGINT)] AS p90,
+        |  l[CAST(ceil(0.99 * n) AS BIGINT)] AS p99
+        |FROM s ORDER BY event_type""".stripMargin,
+    // Fan-out histogram read with the same ⌈q·n⌉ convention; max joins
+    // from the same counts.
+    "fk_fanout" ->
+      """WITH c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS c FROM orders GROUP BY 1),
+        |s AS (SELECT list_sort(list(c)) AS l, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(max(c) AS BIGINT) AS fan_max FROM c)
+        |SELECT n AS n_parents,
+        |  l[CAST(ceil(0.50 * n) AS BIGINT)] AS p50,
+        |  l[CAST(ceil(0.99 * n) AS BIGINT)] AS p99,
+        |  fan_max
         |FROM s""".stripMargin,
     // The oracle IS the single-task global window the engine refuses to
     // run — at oracle scale that's fine, and equality proves the

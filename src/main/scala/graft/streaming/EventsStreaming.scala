@@ -82,6 +82,31 @@ object EventsStreaming {
         hll_sketch_agg(col("user_id"), lit(lgK))).as("users_est"))
       .select(col("window.start").as("week"), col("users_est"))
 
+  /** Stream-static broadcast enrichment feeding a watermarked windowed
+    * rollup — THE standard streaming enrich shape: a dimension table
+    * (bounded, re-read per micro-batch) broadcast-joins onto the stream
+    * BEFORE the stateful aggregation, so state is keyed by the enriched
+    * category (|categories| ≤ |event types|), never the raw key, and no
+    * shuffle of the stream side precedes the join. Inner join: an event
+    * type absent from the dimension is unclassified traffic and drops —
+    * pair with a coverage expectation on the dim when that must alarm.
+    *
+    * count/sum are exact in streaming aggregations (unlike distincts),
+    * so the emitted windows grade EXACTLY against the batch oracle —
+    * cent-quantized sums, the same week alignment as [[windowedStats]].
+    */
+  def enrichedWindowTotals(events: DataFrame, dim: DataFrame,
+                           window_ : String = "7 days",
+                           watermark: String = "1 day"): DataFrame =
+    events
+      .where(col("ts").isNotNull)
+      .withWatermark("ts", watermark)
+      .join(broadcast(dim), Seq("event_type"))
+      .groupBy(window(col("ts"), window_, window_, "4 days"),
+        col("category"))
+      .agg(count(lit(1)).as("events"),
+        sum(CoreOps.moneyCents(col("value")).cast("long")).as("cents"))
+
   /** Event-time session windows: built-in merging session state, append
     * output after the watermark closes a session. Gap semantics match the
     * batch [[graft.ops.Sessionize]] operator EXCEPT exactly at the

@@ -41,6 +41,40 @@ class StreamingAndMultimodalSpec extends SparkTestBase {
     assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
   }
 
+  test("enrichedWindowTotals: stream-static enrich matches batch; unmapped types drop") {
+    val dir = stagedEventsDir
+    import spark.implicits._
+    // deliberately PARTIAL dim: 'error' unmapped — those events must drop
+    val dim = Seq(("click", "engagement"), ("view", "engagement"),
+      ("purchase", "revenue"), ("signup", "acquisition"))
+      .toDF("event_type", "category")
+    val q = EventsStreaming.enrichedWindowTotals(
+        EventsStreaming.readEventsStream(spark, dir), dim)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("enrich_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("enrich_out")
+      .select(col("window.start").as("ws"), col("category"),
+        col("events"), col("cents"))
+    val batch = graft.Tables.events(spark, sfTest)
+      .where(col("ts").isNotNull)
+      .join(dim, Seq("event_type"))
+      .groupBy(graft.ops.CoreOps.weekStart(col("ts")).as("ws"),
+        col("category"))
+      .agg(count(lit(1)).as("events"),
+        sum(graft.ops.CoreOps.moneyCents(col("value")).cast("long"))
+          .as("cents"))
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() == 0
+      && batch.except(streamed).count() == 0)
+    // exact counts: the four mapped types' rows all arrive, none invented
+    val mapped = graft.Tables.events(spark, sfTest)
+      .where(col("ts").isNotNull &&
+        col("event_type").isin("click", "view", "purchase", "signup"))
+      .count()
+    assert(streamed.agg(sum("events")).as[Long].head === mapped)
+  }
+
   test("weeklyDistinctSketch: streaming HLL estimate matches the batch sketch exactly") {
     val dir = stagedEventsDir
     val q = EventsStreaming.weeklyDistinctSketch(
