@@ -1181,6 +1181,25 @@ object SparkEntry {
         .orderBy("contrast", "g")
     }),
 
+    // Mutual information + joint entropy over three categorical pairs —
+    // the model-free association screen (label leakage / feature
+    // redundancy). Exact integer joint histogram; marginals are windows
+    // over the bounded contingency table; micro-unit log terms.
+    "mutual_information" -> ((s, d) => {
+      def tag(df: DataFrame, name: String) = df.withColumn("contrast", lit(name))
+      val a = tag(StatOps.mutualInformation(Tables.events(s, d),
+        col("event_type"), dayofweek(col("ts")).cast("long")),
+        "event_type_x_weekday")
+      val b = tag(StatOps.mutualInformation(Tables.orders(s, d),
+        col("o_orderpriority"), col("o_orderstatus")),
+        "priority_x_status")
+      val c = tag(StatOps.mutualInformation(Tables.documents(s, d),
+        col("lang"), col("source")), "lang_x_source")
+      a.unionByName(b).unionByName(c)
+        .select("contrast", "n", "mi_micro", "mi", "h_joint")
+        .orderBy("contrast")
+    }),
+
     // Exact ROC-AUC of two ranking contrasts (does `value` separate
     // purchases from clicks; does length separate English docs from the
     // rest) — the rank-based effect-size companion to ab_welch's t-test,
@@ -3325,6 +3344,36 @@ object SparkEntry {
         |  CASE WHEN n_a < 2 OR n_b < 2 OR se <= 0 THEN NULL
         |       ELSE abs(diff / se) > 1.96 END AS significant
         |FROM f ORDER BY contrast, g""".stripMargin,
+    // MI replay: integer joint histogram, window marginals, the same
+    // integer-product ln argument and micro-unit terms as the engine.
+    // DuckDB dayofweek is 0=Sunday where Spark's is 1=Sunday → +1.
+    "mutual_information" ->
+      """WITH src AS (
+        |  SELECT 'event_type_x_weekday' AS contrast, event_type AS x,
+        |      CAST(dayofweek(ts) + 1 AS VARCHAR) AS y FROM events
+        |    WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'priority_x_status', o_orderpriority, o_orderstatus FROM orders
+        |    WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'lang_x_source', lang, source FROM documents
+        |    WHERE lang IS NOT NULL AND source IS NOT NULL),
+        |c AS (SELECT contrast, x, y, CAST(count(*) AS BIGINT) AS cxy
+        |  FROM src GROUP BY 1, 2, 3),
+        |t AS (SELECT *, sum(cxy) OVER (PARTITION BY contrast, x) AS cx,
+        |    sum(cxy) OVER (PARTITION BY contrast, y) AS cy,
+        |    sum(cxy) OVER (PARTITION BY contrast) AS n FROM c),
+        |e AS (SELECT contrast, n,
+        |    CAST(floor((CAST(cxy AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln(CAST(cxy * n AS DOUBLE) / CAST(cx * cy AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS mt,
+        |    CAST(floor((CAST(cxy AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln(CAST(cxy AS DOUBLE) / CAST(n AS DOUBLE)) * -1000000.0 + 0.5) AS BIGINT) AS ht
+        |  FROM t)
+        |SELECT contrast, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(sum(mt) AS BIGINT) AS mi_micro,
+        |  floor(CAST(sum(mt) AS DOUBLE) / 1000000.0 * 10000 + 0.5) / 10000 AS mi,
+        |  floor(CAST(sum(ht) AS DOUBLE) / 1000000.0 * 10000 + 0.5) / 10000 AS h_joint
+        |FROM e GROUP BY contrast ORDER BY contrast""".stripMargin,
     // Histogram-first AUC replay: the (score → pos, neg) histogram, the
     // cumulative-negatives window over it, and the doubled-U long fold —
     // identical integer arithmetic to the engine; the one double division

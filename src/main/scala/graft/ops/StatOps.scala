@@ -196,6 +196,43 @@ object StatOps {
               * col("n_neg").cast("double")))).as("auc"))
   }
 
+  /** Mutual information between two categorical columns, with the joint
+    * entropy — the model-free feature-association screen (is the label
+    * leaking through a feature? is a pair redundant?): MI = Σ p_xy ·
+    * ln(p_xy / (p_x·p_y)), 0 iff independent. The ln argument is formed
+    * from INTEGER products, (c_xy·n)/(c_x·c_y), so both engines feed the
+    * log identical doubles, and each term micro-quantizes before the sum
+    * (associative longs — the same engine-portability recipe as
+    * [[ChangeOps.mixtureDrift]]).
+    *
+    * Scale shape: one fact-scale hash aggregate to the (x, y) joint
+    * histogram; marginals and the total are windows over that bounded
+    * table (≤ |X|·|Y| rows), so nothing after the first exchange sees
+    * input-proportional data.
+    *
+    * @return one row: (n, mi_micro, mi, h_joint) — the exact long
+    *         micro-sum plus 4-dp displays
+    */
+  def mutualInformation(df: DataFrame, x: Column, y: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = df.where(x.isNotNull && y.isNotNull)
+      .groupBy(x.as("__x"), y.as("__y"))
+      .agg(count(lit(1)).as("__cxy"))
+    val t = c
+      .withColumn("__cx", sum(col("__cxy")).over(Window.partitionBy(col("__x"))))
+      .withColumn("__cy", sum(col("__cxy")).over(Window.partitionBy(col("__y"))))
+      .withColumn("__n", sum(col("__cxy")).over(Window.partitionBy()))
+    val pxy = col("__cxy").cast("double") / col("__n").cast("double")
+    val mt = floor(pxy * log((col("__cxy") * col("__n")).cast("double") /
+      (col("__cx") * col("__cy")).cast("double")) * lit(1000000.0) + lit(0.5))
+      .cast("long")
+    val ht = floor(pxy * log(pxy) * lit(-1000000.0) + lit(0.5)).cast("long")
+    t.agg(max(col("__n")).as("n"), sum(mt).as("mi_micro"), sum(ht).as("__h"))
+      .select(col("n"), col("mi_micro"),
+        CoreOps.rnd(col("mi_micro").cast("double") / lit(1000000.0)).as("mi"),
+        CoreOps.rnd(col("__h").cast("double") / lit(1000000.0)).as("h_joint"))
+  }
+
   /** First-significant-digit distribution (the Benford's-law fraud /
     * data-fabrication screen): (digit, n, share) over the positive values
     * of an integer-valued column. The digit is extracted lexically —

@@ -680,6 +680,36 @@ class PlanSpec extends SparkTestBase {
     assert(hashEx <= 3, s"expected <=3 hash exchanges, got $hashEx:\n$plan")
   }
 
+  test("auc_scores: histogram path — offsets broadcast, never a sort-merge join") {
+    val plan = executedSimple(SparkEntry.queries("auc_scores")(spark, sf))
+    // the U numerator folds over the score histogram's prefix sum: the
+    // per-partition offsets table broadcasts back, and no fact-scale
+    // global rank/sort-merge ever appears
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("embed_covariance: pair stream collapses map-side — ONE exchange, d²-bounded") {
+    val plan = executedSimple(
+      SparkEntry.queries("embed_covariance")(spark, sf))
+    val gens = "Generate posexplode".r.findAllIn(plan).size
+    assert(gens === 2, s"expected 2 posexplodes, got $gens:\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx === 1, s"expected 1 hash exchange, got $hashEx:\n$plan")
+    // partial aggregation BEFORE the exchange is what bounds its volume
+    // to d(d+1)/2 rows per partition
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("vocab_coverage: one token explode; rank and sizes broadcast back") {
+    val plan = executedSimple(
+      SparkEntry.queries("vocab_coverage")(spark, sf))
+    val gens = "Generate explode".r.findAllIn(plan).size
+    assert(gens === 1, s"expected 1 explode, got $gens:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("trigram_search: index prunes before verify — one explode, broadcast pattern joins") {
     val plan = executedSimple(
       SparkEntry.queries("trigram_search")(spark, sf))

@@ -137,6 +137,23 @@ class StatOpsSpec extends SparkTestBase {
     assert(r("g")._7.get === true)
   }
 
+  private def mi(rows: Seq[(Option[String], Option[String])]) =
+    StatOps.mutualInformation(rows.toDF("x", "y"), col("x"), col("y"))
+      .as[(Long, Long, Double, Double)].collect().head
+
+  test("mutualInformation: independent → 0; deterministic map → ln k; nulls out") {
+    val indep = for { x <- Seq("a", "b"); y <- Seq("1", "2") }
+      yield (Some(x), Some(y))
+    assert(mi(indep) === ((4L, 0L, 0.0, 1.3863)))  // h_joint = ln 4
+    val dep = Seq(("a", "1"), ("a", "1"), ("b", "2"), ("b", "2"))
+      .map { case (x, y) => (Some(x), Some(y)) }
+    // y determined by x, two equiprobable cells: MI = H = ln 2; each
+    // ½·ln2 term rounds to 346574 micro BEFORE the sum → 693148
+    assert(mi(dep) === ((4L, 693148L, 0.6931, 0.6931)))
+    val withNulls = dep :+ ((Some("c"), Option.empty[String]))
+    assert(mi(withNulls)._1 === 4L)
+  }
+
   private def auc(rows: Seq[(Option[Boolean], Option[Long])]) =
     StatOps.aucHistogram(rows.toDF("lbl", "s"), col("lbl"), col("s"))
       .as[(Long, Long, Long, Option[Double])].collect().head
