@@ -122,6 +122,39 @@ object SparkEntry {
        |SELECT id_a, id_b, hamming FROM prs WHERE hamming <= $maxHamming
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Replay of `cooc_principal`'s quantized power iteration as chained
+    * CTEs — one (matvec, shifted-norm, renormalize) triple per step,
+    * generated by the same loop count the engine runs, so the oracle
+    * and the engine execute the identical iteration down to the `//`
+    * truncation and the floor(x·1e5 + 0.5) requantization.
+    */
+  private val coocPrincipalOracle: String = {
+    val base =
+      """WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |e1 AS (SELECT unnest(t) AS i, t FROM tok),
+        |p AS (SELECT i, unnest(t) AS j FROM e1),
+        |g AS (SELECT i, j, CAST(count(*) AS BIGINT) AS s FROM p GROUP BY 1, 2),
+        |v0 AS (SELECT DISTINCT i, CAST(100000 AS BIGINT) AS v FROM g)""".stripMargin
+    val steps = (1 to 6).map { k =>
+      s""",
+         |y$k AS (SELECT g.i, CAST(sum(g.s * p.v) AS BIGINT) AS y FROM g JOIN v${k - 1} p ON g.j = p.i GROUP BY 1),
+         |s$k AS (SELECT CAST(sum((y // 100000) * (y // 100000)) AS BIGINT) AS s2 FROM y$k),
+         |v$k AS (SELECT i, CASE WHEN s2 = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE CAST(floor(CAST(y // 100000 AS DOUBLE) / sqrt(CAST(s2 AS DOUBLE)) * 100000.0 + 0.5) AS BIGINT) END AS v
+         |  FROM y$k, s$k)""".stripMargin
+    }.mkString
+    val fin =
+      """,
+        |yf AS (SELECT g.i, CAST(sum(g.s * p.v) AS BIGINT) AS y FROM g JOIN v6 p ON g.j = p.i GROUP BY 1),
+        |sf AS (SELECT CAST(sum((y // 100000) * (y // 100000)) AS BIGINT) AS s2y FROM yf),
+        |sv AS (SELECT CAST(sum(v * v) AS BIGINT) AS s2v FROM v6)
+        |SELECT v6.i AS token, v6.v,
+        |  CASE WHEN s2v = 0 THEN NULL
+        |       ELSE floor(sqrt(CAST(s2y AS DOUBLE)) * 100000.0 / sqrt(CAST(s2v AS DOUBLE)) / 1.0 * 10000 + 0.5) / 10000 END AS lambda
+        |FROM v6, sf, sv ORDER BY token""".stripMargin
+    base + steps + fin
+  }
+
   /** Shared DuckDB oracle for `weekly_agg_orders` AND its raw-SQL entry
     * variant `weekly_agg_orders_sql` — the two engine entry points grade
     * against literally the same truth string.
@@ -2819,6 +2852,20 @@ object SparkEntry {
     "heavy_hitters" -> ((s, d) =>
       CorpusOps.heavyHitters(Tables.documents(s, d), "text", minShare = 0.01)
         .orderBy("token")),
+    // Dominant token-association direction: quantized power iteration on
+    // the exact within-doc co-occurrence Gram (strong spectral gap → 6
+    // steps converge; the Perron vector is nonnegative, spec-pinned).
+    // The cluster's one fact-scale pass builds the matrix; every
+    // iteration is a join+sum on the vocab²-bounded table — how an
+    // eigen-solve actually decomposes at 100 TB. Replay-exact: the
+    // oracle re-runs the same quantized iteration as chained CTEs.
+    "cooc_principal" -> ((s, d) => {
+      val g = CorpusOps.tokenCooccurrence(Tables.documents(s, d), "text")
+      EmbeddingOps.powerIterate(g, iters = 6, shift = 100000L)
+        .select(col("i").as("token"), col("v"), col("lambda"))
+        .orderBy("token")
+    }),
+
     // Vocabulary-budget coverage curve per language: token-stream share
     // the top-V corpus vocabulary covers, at four candidate V — the
     // plot a tokenizer budget decision reads. One fact-scale aggregate;
@@ -4958,6 +5005,7 @@ object SparkEntry {
         |t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c)
         |SELECT token, cnt, floor((cnt / total) * 10000 + 0.5) / 10000 AS share
         |FROM c, t WHERE cnt / total >= 0.01 ORDER BY token""".stripMargin,
+    "cooc_principal" -> coocPrincipalOracle,
     // Vocabulary ranked (count desc, token) exactly like the engine, so
     // both cut identical top-V vocabularies at every size.
     "vocab_coverage" ->

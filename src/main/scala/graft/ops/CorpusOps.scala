@@ -836,6 +836,27 @@ object CorpusOps {
           col("n_tokens").cast("double")))
   }
 
+  /** Symmetric within-document token co-occurrence counts —
+    * M[a][b] = Σ_docs count_a(doc)·count_b(doc), the AᵀA Gram of the
+    * doc×token count matrix (diagonal included): the input to
+    * association mining, PMI embeddings, and the dominant-direction
+    * solve ([[EmbeddingOps.powerIterate]]).
+    *
+    * Scale shape: the double explode generates each doc's occurrence
+    * pairs ROW-LOCALLY and streams them straight into a hash aggregate —
+    * map-side partials reduce every partition to ≤ vocab² rows before
+    * the only exchange, so shuffle volume is the matrix, not the pair
+    * stream, and no doc-keyed self-join ever happens. Pairs per doc are
+    * (tokens/doc)² — bounded here; production co-occurrence bounds it
+    * structurally with a context WINDOW (pairs ∝ tokens·window), which
+    * changes only the generator, not this plan shape.
+    */
+  def tokenCooccurrence(df: DataFrame, textCol: String): DataFrame =
+    df.select(TextFunctions.tokens(col(textCol)).as("__t"))
+      .select(explode(col("__t")).as("i"), col("__t"))
+      .select(col("i"), explode(col("__t")).as("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("s"))
+
   /** Literal-substring search over the corpus through a character-trigram
     * inverted index — "grep at 100 TB": a document can contain `pattern`
     * only if it contains EVERY trigram of the pattern, so candidates are

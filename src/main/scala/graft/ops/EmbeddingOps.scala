@@ -240,6 +240,107 @@ object EmbeddingOps {
     * components that holds to ~9·10¹⁰ rows; shift the quantization down
     * a digit per 100× beyond that.
     */
+  /** Distributed top principal direction — power iteration on the exact
+    * Gram matrix: the cluster's job is the ONE fact-scale pass that
+    * builds G = Σ x·xᵀ ([[covarianceMatrix]]'s exact long `sxy`, here
+    * uncentered second moments — the PCA convention for embedding
+    * corpora, which arrive near-centered); every iteration after that is
+    * a matvec on the d²-bounded table. This is how PCA actually
+    * decomposes at 100 TB: rows are seen once, the solve never touches
+    * them again.
+    *
+    * The iteration is QUANTIZED so it replays bit-exactly on any engine
+    * (the [[kmeansAssignments]]/pagerank determinism recipe applied to
+    * linear algebra): v lives in 1e5-unit longs, the matvec y = G·v is
+    * an exact long sum, normalization down-shifts y by 1e10 (truncation
+    * toward zero — SQL `//`) so the squared norm stays in long range,
+    * and the renormalized component is one fixed IEEE expression
+    * (`ys / √s2 · 1e5`, floor+0.5) over exact longs — IEEE sqrt is
+    * correctly rounded, so engines agree to the bit. The returned
+    * `lambda` is the Rayleigh-style estimate ‖G·v‖/‖v‖ rescaled to raw
+    * component units (the 1e8 divisor undoes the 4-dp input
+    * quantization's squaring).
+    *
+    * Sign is the iteration's own (flip-invariant problem); callers
+    * wanting a canonical sign can flip on the first nonzero component.
+    * Overflow bounds (loud, documented): |G|·d·1e5 < 2^63 — with
+    * unit-ish 4-dp-quantized components that is rows·1e8·d·1e5 < 2^63,
+    * ~1.4e6 rows at d=64; beyond that shift the component quantization
+    * down (G shrinks quadratically with it).
+    *
+    * @return one row per dimension: (i, v — 1e5-unit component of the
+    *         top eigenvector estimate, lambda — 4-dp eigenvalue estimate
+    *         in raw units, identical on every row)
+    */
+  def topEigenvector(df: DataFrame, vecCol: String,
+                     iters: Int = 6): DataFrame = {
+    val tri = covarianceMatrix(df, vecCol)
+      .select(col("i"), col("j"), col("sxy"))
+    val g = tri.unionByName(tri.where(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("sxy")))
+      .select(col("i"), col("j"), col("sxy").as("s"))
+    powerIterate(g, iters, shift = 10000000000L, lambdaUnit = 1.0E8)
+  }
+
+  /** The quantized power-iteration core: `iters` steps of v ← G·v /
+    * ‖G·v‖ over a SYMMETRIC matrix given as (i, j, s) rows — BOTH
+    * triangles, any key type, exact long entries. Every step is a join +
+    * sum on the bounded matrix table; nothing here ever touches fact
+    * rows (building G is the caller's one fact-scale pass).
+    *
+    * Engine-portable by the same discipline as the k-means/pagerank
+    * tier: v lives in 1e5-unit longs; the matvec is an exact long sum;
+    * normalization first integer-divides y by `shift` (truncation toward
+    * zero — SQL `//`) so the squared norm stays in long range, then
+    * renormalizes with one fixed IEEE expression (IEEE sqrt is correctly
+    * rounded, so engines agree bit-for-bit). `shift` is the caller's
+    * magnitude calibration: pick it so max|y| / shift lands near 1e8 —
+    * small enough that Σ(y/shift)² < 2^63, large enough to keep
+    * precision (y ≤ d·max|s|·1e5 bounds it a priori).
+    *
+    * For a nonnegative matrix and the all-positive init used here, every
+    * iterate is nonnegative (Perron-Frobenius) — the co-occurrence
+    * caller's spec asserts exactly that. Convergence is the usual
+    * (λ₂/λ₁)^iters; a near-degenerate spectrum (isotropic noise) needs
+    * unboundedly many steps — measure the gap before trusting few-step
+    * output. `lambda` is ‖G·v‖/‖v‖ after the last step, divided by
+    * `lambdaUnit` (callers undo input quantization — e.g. 1e8 for 4-dp
+    * quantized components), 4-dp rounded; identical on every output row.
+    *
+    * @return one row per matrix key: (i, v — 1e5-unit component, lambda)
+    */
+  def powerIterate(g0: DataFrame, iters: Int, shift: Long,
+                   lambdaUnit: Double = 1.0): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be positive")
+    require(shift >= 1L, s"shift=$shift must be positive")
+    val g = g0.select(col("i"), col("j"), col("s")).localCheckpoint(true)
+    def matvec(v: DataFrame): DataFrame =
+      g.join(v.select(col("i").as("j"), col("v")), Seq("j"))
+        .groupBy(col("i")).agg(sum(col("s") * col("v")).as("y"))
+    def shifted(y: DataFrame): DataFrame =
+      y.select(col("i"), CoreOps.integralDiv(col("y"), shift).as("ys"))
+    var v = g.select(col("i")).distinct()
+      .select(col("i"), lit(100000L).as("v")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val ys = shifted(matvec(v))
+      val s2 = ys.agg(coalesce(sum(col("ys") * col("ys")), lit(0L)).as("s2"))
+      v = ys.crossJoin(broadcast(s2))
+        .select(col("i"),
+          when(col("s2") === 0L, lit(0L)).otherwise(
+            floor(col("ys").cast("double") / sqrt(col("s2").cast("double"))
+              * lit(100000.0) + lit(0.5)).cast("long")).as("v"))
+        .localCheckpoint(true)
+    }
+    val ysF = shifted(matvec(v))
+    val s2y = ysF.agg(coalesce(sum(col("ys") * col("ys")), lit(0L)).as("s2y"))
+    val s2v = v.agg(coalesce(sum(col("v") * col("v")), lit(0L)).as("s2v"))
+    v.crossJoin(broadcast(s2y)).crossJoin(broadcast(s2v))
+      .select(col("i"), col("v"),
+        when(col("s2v") === 0L, lit(null).cast("double")).otherwise(
+          CoreOps.rnd(sqrt(col("s2y").cast("double")) * lit(shift.toDouble) /
+            sqrt(col("s2v").cast("double")) / lit(lambdaUnit))).as("lambda"))
+  }
+
   def covarianceMatrix(df: DataFrame, vecCol: String): DataFrame = {
     import CoreOps.rnd
     val q = transform(col(vecCol),

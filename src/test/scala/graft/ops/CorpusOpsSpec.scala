@@ -440,6 +440,31 @@ class CorpusOpsSpec extends SparkTestBase {
       Seq(("héllo", 1L), ("wörld über", 1L)))
   }
 
+  test("tokenCooccurrence: occurrence-pair counts, symmetric, diagonal included") {
+    // "a a b": occurrences a=2, b=1 → (a,a)=4, (a,b)=(b,a)=2, (b,b)=1
+    val got = CorpusOps.tokenCooccurrence(
+      Seq(Tuple1("a a b"), Tuple1("c")).toDF("text"), "text")
+      .orderBy("i", "j").as[(String, String, Long)].collect().toSeq
+    assert(got === Seq(("a", "a", 4L), ("a", "b", 2L), ("b", "a", 2L),
+      ("b", "b", 1L), ("c", "c", 1L)))
+  }
+
+  test("cooc principal direction: Perron nonnegativity and layout invariance") {
+    val docs = (1L to 60L).map(i =>
+      Tuple1(if (i % 3 == 0) "x y x z" else "x q r x")).toDF("text")
+    def run(parts: Int) =
+      graft.ops.EmbeddingOps.powerIterate(
+        CorpusOps.tokenCooccurrence(docs.repartition(parts), "text"),
+        iters = 4, shift = 100L)
+        .orderBy("i").as[(String, Long, Option[Double])].collect().toSeq
+    val one = run(1)
+    // nonnegative matrix + positive init → every iterate stays ≥ 0
+    assert(one.forall(_._2 >= 0L), one.toString)
+    // the dominant token carries the largest component
+    assert(one.maxBy(_._2)._1 === "x")
+    assert(one === run(7))
+  }
+
   test("vocabCoverageCurve: hand-computed curve, deterministic tie ranking") {
     // global counts: x:3, y:3, z:1, q:1 → rank x,y,q,z ((cnt desc, token))
     val docs = Seq(("a", "x x y z"), ("b", "x y y q")).toDF("lang", "text")

@@ -143,6 +143,30 @@ class EmbeddingOpsSpec extends SparkTestBase {
     assert(got.map(_._7) === Seq(2.6667, 5.3333, 10.6667))
   }
 
+  test("topEigenvector: a planted spike is recovered; lambda estimates its energy") {
+    // 100 rows of ~e0 with a tiny alternating e1 component: top direction
+    // of the uncentered second moment is e0, gap is huge → 6 steps settle
+    val rows = (1L to 100L).map(r =>
+      (r, Seq(1.0f, 0.01f * (r % 2), 0.0f, 0.0f)))
+    val got = EmbeddingOps.topEigenvector(
+      rows.toDF("vec_id", "embedding"), "embedding")
+      .orderBy("i").as[(Long, Long, Option[Double])].collect().toSeq
+    assert(got.map(_._1) === Seq(0L, 1L, 2L, 3L))
+    assert(math.abs(got.head._2) > 99000L,
+      s"dominant component should carry ~all mass: ${got.map(_._2)}")
+    assert(got.drop(2).forall(r => math.abs(r._2) < 100L))
+    // λ ≈ Σ x₀² / ‖v‖² ≈ 100·1.0 in raw units
+    assert(math.abs(got.head._3.get - 100.0) < 2.0, got.head._3.toString)
+  }
+
+  test("powerIterate: zero matrix degenerates loudly to v=0, null lambda") {
+    val g = Seq((0L, 0L, 0L), (0L, 1L, 0L), (1L, 0L, 0L), (1L, 1L, 0L))
+      .toDF("i", "j", "s")
+    val got = EmbeddingOps.powerIterate(g, iters = 2, shift = 10L)
+      .orderBy("i").as[(Long, Long, Option[Double])].collect().toSeq
+    assert(got === Seq((0L, 0L, None), (1L, 0L, None)))
+  }
+
   test("covarianceMatrix: partition-layout invariant; null vectors excluded") {
     val rows = (1L to 300L).map(i =>
       (i, Option(Seq((i % 7).toFloat / 10f, (i % 5).toFloat / 10f,
