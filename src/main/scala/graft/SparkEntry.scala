@@ -1214,6 +1214,17 @@ object SparkEntry {
         .orderBy("contrast", "g")
     }),
 
+    // Kaplan–Meier time-to-first-purchase with administrative censoring
+    // at day 3: subjects converting past the horizon leave the risk set
+    // without counting — the estimator a naive "share converted by day
+    // t" corrupts once censoring exists. One per-user aggregate touches
+    // fact rows; the product-limit runs as a micro-unit ln-sum over the
+    // ≤4-row duration table.
+    "km_conversion" -> ((s, d) =>
+      StatOps.kmSurvival(Tables.events(s, d), col("user_id"), col("ts"),
+        col("event_type") === "purchase", horizonDays = 3)
+        .orderBy("t_days")),
+
     // Mutual information + joint entropy over three categorical pairs —
     // the model-free association screen (label leakage / feature
     // redundancy). Exact integer joint histogram; marginals are windows
@@ -3391,6 +3402,26 @@ object SparkEntry {
         |  CASE WHEN n_a < 2 OR n_b < 2 OR se <= 0 THEN NULL
         |       ELSE abs(diff / se) > 1.96 END AS significant
         |FROM f ORDER BY contrast, g""".stripMargin,
+    // Product-limit replay: same integer-ratio ln factors micro-summed
+    // in duration order, same exhausted-risk-set flag, one exp display.
+    "km_conversion" ->
+      """WITH u AS (SELECT user_id, min(epoch_us(ts)) AS f,
+        |    min(epoch_us(ts)) FILTER (WHERE event_type = 'purchase') AS p
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+        |d AS (SELECT CASE WHEN p IS NOT NULL AND (p - f) // 86400000000 <= 3
+        |        THEN (p - f) // 86400000000 ELSE 3 END AS t,
+        |      CAST(p IS NOT NULL AND (p - f) // 86400000000 <= 3 AS INT) AS ev FROM u),
+        |a AS (SELECT t, CAST(count(*) AS BIGINT) AS n_at, CAST(sum(ev) AS BIGINT) AS d_ev FROM d GROUP BY 1),
+        |r AS (SELECT *, CAST(sum(n_at) OVER (ORDER BY t DESC) AS BIGINT) AS n_risk FROM a),
+        |k AS (SELECT *, CASE WHEN d_ev = 0 THEN 0 WHEN n_risk = d_ev THEN 0
+        |        ELSE CAST(floor(ln(CAST(n_risk - d_ev AS DOUBLE) / CAST(n_risk AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) END AS term,
+        |      CASE WHEN n_risk = d_ev AND d_ev > 0 THEN 1 ELSE 0 END AS dead FROM r),
+        |c AS (SELECT *, CAST(sum(term) OVER (ORDER BY t) AS BIGINT) AS cum,
+        |      max(dead) OVER (ORDER BY t) AS anydead FROM k)
+        |SELECT t AS t_days, n_risk, d_ev AS events,
+        |  CASE WHEN anydead = 1 THEN 0.0
+        |       ELSE floor(exp(CAST(cum AS DOUBLE) / 1000000.0) * 10000 + 0.5) / 10000 END AS surv
+        |FROM c WHERE d_ev > 0 ORDER BY t""".stripMargin,
     // MI replay: integer joint histogram, window marginals, the same
     // integer-product ln argument and micro-unit terms as the engine.
     // DuckDB dayofweek is 0=Sunday where Spark's is 1=Sunday → +1.

@@ -196,6 +196,68 @@ object StatOps {
               * col("n_neg").cast("double")))).as("auc"))
   }
 
+  /** Kaplan–Meier survival (product-limit) over integer-day durations —
+    * time from a subject's first activity to its first qualifying event,
+    * right-censored at `horizonDays` (administrative censoring: subjects
+    * whose event falls past the horizon, or never happens, leave the
+    * risk set at the horizon without counting as events). The
+    * time-to-conversion / retention-curve estimator that a naive
+    * "share converted by day t" gets WRONG the moment censoring exists,
+    * because censored subjects must leave the denominator.
+    *
+    * S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) with nᵢ = subjects whose duration
+    * ≥ tᵢ. Engine-portable as a LOG-sum: each factor's ln((nᵢ−dᵢ)/nᵢ)
+    * has an exact-integer-ratio argument, micro-quantizes before the
+    * cumulative sum, and exponentiates once for display; a step where
+    * nᵢ = dᵢ (risk set exhausted by events) drives S to exactly 0 from
+    * that duration on, handled by a flag rather than ln 0.
+    *
+    * Scale shape: ONE fact-scale exchange (the per-subject min/min
+    * aggregate); everything after runs on the duration table, bounded by
+    * horizonDays+1 rows — the unpartitioned windows are constant-size
+    * single tasks, same justification as [[histogram]]'s share window.
+    *
+    * @param eventPred row predicate marking the qualifying event (e.g.
+    *                  `event_type === "purchase"`)
+    * @return one row per duration with ≥1 event: (t_days, n_risk,
+    *         events, surv 4-dp)
+    */
+  def kmSurvival(df: DataFrame, key: Column, ts: Column, eventPred: Column,
+                 horizonDays: Int): DataFrame = {
+    require(horizonDays >= 1, s"horizonDays=$horizonDays must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val us = unix_micros(ts)
+    val u = df.where(key.isNotNull && ts.isNotNull)
+      .groupBy(key.as("__k"))
+      .agg(min(us).as("__f"), min(when(eventPred, us)).as("__p"))
+    val tRaw = CoreOps.integralDiv(col("__p") - col("__f"), 86400000000L)
+    val horizon = lit(horizonDays.toLong)
+    val durations = u.select(
+      when(col("__p").isNotNull && tRaw <= horizon, tRaw)
+        .otherwise(horizon).as("t"),
+      (col("__p").isNotNull && tRaw <= horizon).cast("int").as("__ev"))
+    val a = durations.groupBy(col("t"))
+      .agg(count(lit(1)).as("__n_at"), sum(col("__ev")).as("__d"))
+    val term = when(col("__d") === 0L, lit(0L))
+      .when(col("n_risk") === col("__d"), lit(0L))
+      .otherwise(floor(log((col("n_risk") - col("__d")).cast("double") /
+        col("n_risk").cast("double")) * lit(1000000.0) + lit(0.5))
+        .cast("long"))
+    val dead = when(col("n_risk") === col("__d") && col("__d") > 0L, lit(1))
+      .otherwise(lit(0))
+    a.withColumn("n_risk", sum(col("__n_at")).over(Window.orderBy(col("t").desc)))
+      .withColumn("__term", term)
+      .withColumn("__dead", dead)
+      .withColumn("__cum", sum(col("__term")).over(Window.orderBy(col("t"))))
+      .withColumn("__anydead", max(col("__dead")).over(Window.orderBy(col("t"))))
+      .where(col("__d") > 0L)
+      .select(col("t").as("t_days"), col("n_risk"),
+        col("__d").as("events"),
+        when(col("__anydead") === 1, lit(0.0))
+          .otherwise(CoreOps.rnd(exp(col("__cum").cast("double") /
+            lit(1000000.0)))).as("surv"))
+  }
+
   /** Mutual information between two categorical columns, with the joint
     * entropy — the model-free feature-association screen (is the label
     * leaking through a feature? is a pair redundant?): MI = Σ p_xy ·

@@ -137,6 +137,31 @@ class StatOpsSpec extends SparkTestBase {
     assert(r("g")._7.get === true)
   }
 
+  private def km(rows: Seq[(Long, String, String)], horizon: Int = 3) =
+    StatOps.kmSurvival(rows.toDF("u", "ts", "et"), col("u"),
+      to_timestamp(col("ts")), col("et") === "purchase", horizon)
+      .orderBy("t_days").as[(Long, Long, Long, Double)].collect().toSeq
+
+  test("kmSurvival: hand-computed product limit with censoring") {
+    def user(u: Long, buyDay: Option[Int]) =
+      (u, "2024-01-01 00:00:00", "view") +: buyDay.toSeq.map(k =>
+        (u, f"2024-01-0${k + 1}%d 00:00:00", "purchase"))
+    val rows = user(1, Some(1)) ++ user(2, Some(2)) ++ user(3, Some(5)) ++
+      user(4, Some(2)) ++ user(5, None)
+    // t=1: n=5 d=1 → S=0.8; t=2: n=4 d=2 → S=0.4; u3 (buys at day 5)
+    // and u5 (never) are censored at the day-3 horizon and just leave
+    // the risk set — no row, but they held n_risk at 5 and 4
+    assert(km(rows) === Seq((1L, 5L, 1L, 0.8), (2L, 4L, 2L, 0.4)))
+  }
+
+  test("kmSurvival: an exhausted risk set pins survival to exactly zero") {
+    val rows = Seq((1L, "2024-01-01 00:00:00", "purchase"),
+      (2L, "2024-01-01 00:00:00", "view"),
+      (2L, "2024-01-02 00:00:00", "purchase"))
+    // t=0: n=2 d=1 → 0.5; t=1: n=1 d=1 → risk set exhausted → 0.0
+    assert(km(rows) === Seq((0L, 2L, 1L, 0.5), (1L, 1L, 1L, 0.0)))
+  }
+
   private def mi(rows: Seq[(Option[String], Option[String])]) =
     StatOps.mutualInformation(rows.toDF("x", "y"), col("x"), col("y"))
       .as[(Long, Long, Double, Double)].collect().head
