@@ -1244,6 +1244,24 @@ object SparkEntry {
         .orderBy("contrast")
     }),
 
+    // Exact two-sample KS distance on the auc_scores contrasts: the
+    // sup-CDF-gap computed as an integer max over the merged histogram's
+    // prefix sums — no float CDF, ties exact; the distribution-shift
+    // alarm to pair with the mean (Welch) and ranking (AUC) reads.
+    "ks_test" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .where(col("event_type").isin("purchase", "click"))
+      val a = StatOps.ksTest(ev, col("event_type") === "purchase",
+        CoreOps.moneyCents(col("value")))
+        .withColumn("contrast", lit("purchase_vs_click_value"))
+      val b = StatOps.ksTest(Tables.documents(s, d),
+        col("lang") === "en", col("n_chars"))
+        .withColumn("contrast", lit("english_vs_rest_length"))
+      a.unionByName(b)
+        .select("contrast", "n_a", "n_b", "d_num", "d_stat")
+        .orderBy("contrast")
+    }),
+
     // Exact ROC-AUC of two ranking contrasts (does `value` separate
     // purchases from clicks; does length separate English docs from the
     // rest) — the rank-based effect-size companion to ab_welch's t-test,
@@ -3452,6 +3470,33 @@ object SparkEntry {
         |  floor(CAST(sum(mt) AS DOUBLE) / 1000000.0 * 10000 + 0.5) / 10000 AS mi,
         |  floor(CAST(sum(ht) AS DOUBLE) / 1000000.0 * 10000 + 0.5) / 10000 AS h_joint
         |FROM e GROUP BY contrast ORDER BY contrast""".stripMargin,
+    // KS replay: merged histogram, prefix sums, integer cross-product
+    // max — the one division happens at the end on both engines.
+    "ks_test" ->
+      """WITH src AS (
+        |  SELECT 'purchase_vs_click_value' AS contrast,
+        |      CAST(floor(value * 100 + 0.5) AS BIGINT) AS s, event_type = 'purchase' AS lbl
+        |    FROM events WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'english_vs_rest_length', n_chars, lang = 'en' FROM documents
+        |    WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |h AS (SELECT contrast, s,
+        |    CAST(count(*) FILTER (WHERE lbl) AS BIGINT) AS ca,
+        |    CAST(count(*) FILTER (WHERE NOT lbl) AS BIGINT) AS cb
+        |  FROM src GROUP BY 1, 2),
+        |c AS (SELECT contrast,
+        |    CAST(sum(ca) OVER (PARTITION BY contrast ORDER BY s) AS BIGINT) AS cua,
+        |    CAST(sum(cb) OVER (PARTITION BY contrast ORDER BY s) AS BIGINT) AS cub
+        |  FROM h),
+        |n AS (SELECT contrast, CAST(max(cua) AS BIGINT) AS n_a, CAST(max(cub) AS BIGINT) AS n_b
+        |  FROM c GROUP BY 1)
+        |SELECT c.contrast, n_a, n_b,
+        |  CAST(max(abs(cua * n_b - cub * n_a)) AS BIGINT) AS d_num,
+        |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+        |       ELSE floor(CAST(max(abs(cua * n_b - cub * n_a)) AS DOUBLE)
+        |         / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) * 10000 + 0.5) / 10000 END AS d_stat
+        |FROM c JOIN n ON c.contrast = n.contrast
+        |GROUP BY c.contrast, n_a, n_b ORDER BY c.contrast""".stripMargin,
     // Histogram-first AUC replay: the (score → pos, neg) histogram, the
     // cumulative-negatives window over it, and the doubled-U long fold —
     // identical integer arithmetic to the engine; the one double division

@@ -258,6 +258,52 @@ object StatOps {
             lit(1000000.0)))).as("surv"))
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov distance — the nonparametric
+    * "did the distribution change?" companion to [[welchTTest]] (means)
+    * and [[aucHistogram]] (ranking): D = sup_s |F_a(s) − F_b(s)|,
+    * computed ENTIRELY in integers as max |cumA·n_b − cumB·n_a| over the
+    * merged value histogram, divided once at the end — no float CDFs, so
+    * the supremum and its argmax are engine-exact, ties included.
+    *
+    * Scale shape: one fact-scale hash exchange builds the per-value
+    * (c_a, c_b) histogram; the cumulative window then runs over the
+    * BOUNDED histogram (rows ∝ distinct values — integer cents here), a
+    * constant-size single task like [[histogram]]'s share window. For a
+    * value domain too large for that, run the same max over two
+    * [[ScaleOps.globalRunningTotal]] passes — the formulation is
+    * unchanged, only the prefix-sum mechanism swaps.
+    *
+    * Overflow precondition (loud): cum·n < 2^63 → n_a·n_b < 2^63, i.e.
+    * each sample below ~3·10⁹ rows; subsample or bucket beyond that.
+    *
+    * @return one row: (n_a, n_b, d_num = max|cumA·n_b − cumB·n_a|,
+    *         d_stat = d_num/(n_a·n_b) 4-dp; null when a sample is empty)
+    */
+  def ksTest(df: DataFrame, label: Column, value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = df.where(label.isNotNull && value.isNotNull)
+      .groupBy(value.cast("long").as("__s"))
+      .agg(count(when(label, lit(1))).as("__ca"),
+        count(when(!label, lit(1))).as("__cb"))
+    val w = Window.orderBy(col("__s"))
+    val c = h.select(
+      sum(col("__ca")).over(w).as("__cua"),
+      sum(col("__cb")).over(w).as("__cub"))
+    val n = c.agg(coalesce(max(col("__cua")), lit(0L)).as("n_a"),
+      coalesce(max(col("__cub")), lit(0L)).as("n_b"))
+    c.crossJoin(broadcast(n))
+      .agg(coalesce(max(col("n_a")), lit(0L)).as("n_a"),
+        coalesce(max(col("n_b")), lit(0L)).as("n_b"),
+        coalesce(max(abs(col("__cua") * col("n_b")
+          - col("__cub") * col("n_a"))), lit(0L)).as("d_num"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        when(col("n_a") === 0L || col("n_b") === 0L,
+          lit(null).cast("double"))
+          .otherwise(CoreOps.rnd(col("d_num").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double"))))
+          .as("d_stat"))
+  }
+
   /** Mutual information between two categorical columns, with the joint
     * entropy — the model-free feature-association screen (is the label
     * leaking through a feature? is a pair redundant?): MI = Σ p_xy ·

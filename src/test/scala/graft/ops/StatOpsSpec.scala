@@ -137,6 +137,25 @@ class StatOpsSpec extends SparkTestBase {
     assert(r("g")._7.get === true)
   }
 
+  private def ks(rows: Seq[(Option[Boolean], Option[Long])]) =
+    StatOps.ksTest(rows.toDF("lbl", "s"), col("lbl"), col("s"))
+      .as[(Long, Long, Long, Option[Double])].collect().head
+
+  test("ksTest: hand-computed sup gap; identical → 0; separated → 1; empty → null") {
+    // A={1,3}, B={2,4}: CDF gap peaks at 1/2 (after value 1 and 3)
+    val inter = Seq((true, 1L), (true, 3L), (false, 2L), (false, 4L))
+      .map { case (l, s) => (Some(l), Some(s)) }
+    assert(ks(inter) === ((2L, 2L, 2L, Some(0.5))))
+    val same = Seq((Some(true), Some(5L)), (Some(false), Some(5L)),
+      (Some(true), Some(7L)), (Some(false), Some(7L)))
+    assert(ks(same) === ((2L, 2L, 0L, Some(0.0))))
+    val apart = Seq((true, 1L), (true, 2L), (false, 3L), (false, 4L))
+      .map { case (l, s) => (Some(l), Some(s)) }
+    assert(ks(apart) === ((2L, 2L, 4L, Some(1.0))))
+    assert(ks(Seq((Some(true), Some(1L)), (None, Some(9L)))) ===
+      ((1L, 0L, 0L, None)))
+  }
+
   private def km(rows: Seq[(Long, String, String)], horizon: Int = 3) =
     StatOps.kmSurvival(rows.toDF("u", "ts", "et"), col("u"),
       to_timestamp(col("ts")), col("et") === "purchase", horizon)
