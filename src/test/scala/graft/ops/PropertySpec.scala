@@ -495,4 +495,53 @@ class PropertySpec extends SparkTestBase {
         }
     }
   }
+
+  test("property: AUC and KS are invariant under strictly monotone score maps") {
+    // both statistics are rank-based: s → 3s + 17 must leave U2, the KS
+    // numerator, and both sample sizes bit-identical — the invariant
+    // that separates a rank statistic from a value statistic
+    val gen = for {
+      n <- Gen.choose(5, 60)
+      rows <- Gen.listOfN(n, for {
+        lbl <- Gen.oneOf(true, false)
+        s <- Gen.choose(-50L, 50L)
+      } yield (lbl, s))
+    } yield rows
+    forAllSampled(gen, n = 6) { rows =>
+      val raw = rows.toDF("lbl", "s")
+      val mapped = rows.map { case (l, s) => (l, 3 * s + 17) }.toDF("lbl", "s")
+      def aucOf(df: org.apache.spark.sql.DataFrame) =
+        StatOps.aucHistogram(df, col("lbl"), col("s"))
+          .as[(Long, Long, Long, Option[Double])].collect().head
+      def ksOf(df: org.apache.spark.sql.DataFrame) =
+        StatOps.ksTest(df, col("lbl"), col("s"))
+          .as[(Long, Long, Long, Option[Double])].collect().head
+      assert(aucOf(raw) === aucOf(mapped))
+      assert(ksOf(raw) === ksOf(mapped))
+    }
+  }
+
+  test("property: mutual information is symmetric and bounded by joint entropy") {
+    val gen = for {
+      n <- Gen.choose(6, 50)
+      rows <- Gen.listOfN(n, for {
+        x <- Gen.oneOf("a", "b", "c")
+        y <- Gen.oneOf("p", "q")
+      } yield (x, y))
+    } yield rows
+    forAllSampled(gen, n = 6) { rows =>
+      def miOf(df: org.apache.spark.sql.DataFrame) =
+        StatOps.mutualInformation(df, col("x"), col("y"))
+          .as[(Long, Long, Double, Double)].collect().head
+      val xy = miOf(rows.toDF("x", "y"))
+      val yx = miOf(rows.map(_.swap).toDF("x", "y"))
+      // every per-cell term is symmetric in (x, y), so the micro sums
+      // match EXACTLY, not approximately
+      assert(xy === yx)
+      // information-theoretic sanity (exact math allows tiny negative
+      // MI only through per-term rounding; micro units bound that)
+      assert(xy._2 >= -rows.size.toLong, xy.toString)
+      assert(xy._3 <= xy._4 + 0.001, s"MI ${xy._3} > H_joint ${xy._4}")
+    }
+  }
 }
