@@ -1111,6 +1111,16 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // Week-over-week NUMERIC drift: exact KS distance between
+    // consecutive weeks' order-price distributions — the KS companion
+    // to mixture_drift's categorical JSD; integer sup-gap over the
+    // merged cents histogram, windows partitioned by week throughout.
+    "ks_drift_weekly" -> ((s, d) =>
+      ChangeOps.distributionDrift(Tables.orders(s, d),
+        to_date(CoreOps.weekStart(col("o_orderdate"))),
+        CoreOps.moneyCents(col("o_totalprice")))
+        .orderBy("period")),
+
     // Week-over-week mixture drift (Jensen–Shannon divergence + current
     // entropy) of two categorical series — the distribution-shape alarm
     // a pipeline runs per source. Per-category micro-unit terms sum
@@ -3337,6 +3347,30 @@ object SparkEntry {
         |  FROM j)
         |SELECT o_orderkey, status, n_diff_cols FROM r
         |WHERE status <> 'unchanged' ORDER BY o_orderkey""".stripMargin,
+    // Weekly KS replay: shifted self-join on the cents histogram, per-
+    // week prefix sums, integer cross-product max, one final division.
+    "ks_drift_weekly" ->
+      """WITH c AS (SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS period,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM orders WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        |  GROUP BY 1, 2),
+        |p AS (SELECT period + 7 AS period, s, c AS d FROM c),
+        |j AS (SELECT coalesce(c.period, p.period) AS period, coalesce(c.s, p.s) AS s,
+        |    coalesce(c.c, 0) AS c, coalesce(p.d, 0) AS d
+        |  FROM c FULL OUTER JOIN p ON c.period = p.period AND c.s = p.s),
+        |w AS (SELECT period,
+        |    CAST(sum(c) OVER (PARTITION BY period ORDER BY s) AS BIGINT) AS cua,
+        |    CAST(sum(d) OVER (PARTITION BY period ORDER BY s) AS BIGINT) AS cub,
+        |    CAST(sum(c) OVER (PARTITION BY period) AS BIGINT) AS n,
+        |    CAST(sum(d) OVER (PARTITION BY period) AS BIGINT) AS n_prev
+        |  FROM j),
+        |g AS (SELECT period, max(n) AS n, max(n_prev) AS n_prev,
+        |    CAST(max(abs(cua * n_prev - cub * n)) AS BIGINT) AS d_num
+        |  FROM w WHERE n > 0 AND n_prev > 0 GROUP BY 1)
+        |SELECT period, CAST(n AS BIGINT) AS n, CAST(n_prev AS BIGINT) AS n_prev, d_num,
+        |  floor(CAST(d_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n_prev AS DOUBLE)) * 10000 + 0.5) / 10000 AS d_stat
+        |FROM g ORDER BY period""".stripMargin,
     // JSD replay with the engine's exact arithmetic: per-category
     // micro-unit terms (same ln-input expression shape), integer
     // doubled-JSD, 4-dp displayed jsd/entropy.

@@ -163,6 +163,55 @@ object ChangeOps {
     * @return (period, n, n_prev, jsd2_micro, jsd, entropy) per period
     *         with a predecessor on the grid
     */
+  /** NUMERIC distribution drift between consecutive periods — the
+    * Kolmogorov–Smirnov companion to [[mixtureDrift]]'s categorical JSD:
+    * per period, the exact two-sample KS distance between this period's
+    * and the previous period's value distribution, computed entirely in
+    * integers over the merged value histogram
+    * ([[StatOps.ksTest]]'s formulation, per period-pair):
+    * D = max |cum_cur·n_prev − cum_prev·n_cur| / (n_cur·n_prev).
+    *
+    * Scale shape: one fact-scale hash aggregate to the (period, value)
+    * histogram; the previous period attaches by shifting that reduced
+    * table forward and full-outer-joining, and every cumulative window
+    * is PARTITIONED BY the period — no single-partition stage anywhere,
+    * at any domain size. Boundary periods (no predecessor) drop.
+    *
+    * @param value integer-valued column (quantize money to cents first)
+    * @return (period, n, n_prev, d_num, d_stat 4-dp) per period with a
+    *         predecessor on the `stepDays` grid
+    */
+  def distributionDrift(df: DataFrame, period: Column, value: Column,
+                        stepDays: Int = 7): DataFrame = {
+    require(stepDays > 0, s"stepDays=$stepDays must be positive")
+    import CoreOps.rnd
+    val h = df.where(period.isNotNull && value.isNotNull)
+      .groupBy(period.as("period"), value.cast("long").as("__s"))
+      .agg(count(lit(1)).as("c"))
+    val prev = h.select(date_add(col("period"), stepDays).as("period"),
+      col("__s"), col("c").as("d"))
+    val grid = h.join(prev, Seq("period", "__s"), "full_outer")
+      .select(col("period"), col("__s"),
+        coalesce(col("c"), lit(0L)).as("c"),
+        coalesce(col("d"), lit(0L)).as("d"))
+    val wCum = Window.partitionBy(col("period")).orderBy(col("__s"))
+    val wAll = Window.partitionBy(col("period"))
+    grid
+      .withColumn("__cua", sum(col("c")).over(wCum))
+      .withColumn("__cub", sum(col("d")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("n_prev", sum(col("d")).over(wAll))
+      .where(col("n") > 0 && col("n_prev") > 0)
+      .groupBy(col("period"))
+      .agg(max(col("n")).as("n"), max(col("n_prev")).as("n_prev"),
+        max(abs(col("__cua") * col("n_prev") - col("__cub") * col("n")))
+          .as("d_num"))
+      .select(col("period"), col("n"), col("n_prev"), col("d_num"),
+        rnd(col("d_num").cast("double") /
+          (col("n").cast("double") * col("n_prev").cast("double")))
+          .as("d_stat"))
+  }
+
   def mixtureDrift(df: DataFrame, period: Column, category: Column,
                    stepDays: Int = 7): DataFrame = {
     require(stepDays > 0, s"stepDays=$stepDays must be positive")

@@ -150,6 +150,29 @@ class ChangeOpsSpec extends SparkTestBase {
     assert(out(1)._4 === 0.0)
   }
 
+  private def kdrift(rows: Seq[(String, Long)]) =
+    ChangeOps.distributionDrift(
+      rows.toDF("day", "v"), to_date(col("day")), col("v"))
+      .orderBy("period")
+      .select(col("period").cast("string"), col("n"), col("n_prev"),
+        col("d_num"), col("d_stat"))
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+
+  test("distributionDrift: identical weeks → 0; shifted values → hand-computed D") {
+    val same = kdrift(Seq(("2024-01-01", 5L), ("2024-01-01", 9L),
+      ("2024-01-08", 5L), ("2024-01-08", 9L)))
+    assert(same === Seq(("2024-01-08", 2L, 2L, 0L, 0.0)))
+    // prev {1,1,2} vs cur {2,3,3}: sup gap 2/3 (after value 1 and 2)
+    val shift = kdrift(Seq(
+      ("2024-01-01", 1L), ("2024-01-01", 1L), ("2024-01-01", 2L),
+      ("2024-01-08", 2L), ("2024-01-08", 3L), ("2024-01-08", 3L)))
+    assert(shift === Seq(("2024-01-08", 3L, 3L, 6L, 0.6667)))
+  }
+
+  test("distributionDrift: off-grid periods never pair") {
+    assert(kdrift(Seq(("2024-01-01", 1L), ("2024-01-15", 1L))) === Seq())
+  }
+
   test("mixtureDrift: off-grid periods never pair; boundaries drop") {
     // 14-day gap on a 7-day grid: no period has a predecessor
     assert(drift(Seq(("2024-01-01", "a"), ("2024-01-15", "a"))) === Seq())
