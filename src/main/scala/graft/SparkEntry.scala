@@ -1111,6 +1111,16 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // Additive seasonal decomposition of daily order revenue: centered
+    // 7-day trend (the weekly cycle cancels from it), per-weekday
+    // seasonal from the detrended interior, residual — what
+    // seasonality-aware anomaly detection thresholds instead of raw
+    // values. All components fixed IEEE expressions over exact longs.
+    "seasonal_decompose" -> ((s, d) =>
+      TimeSeriesOps.seasonalDecompose(Tables.orders(s, d),
+        col("o_orderdate"), CoreOps.moneyCents(col("o_totalprice")))
+        .orderBy("day")),
+
     // Week-over-week NUMERIC drift: exact KS distance between
     // consecutive weeks' order-price distributions — the KS companion
     // to mixture_drift's categorical JSD; integer sup-gap over the
@@ -3347,6 +3357,27 @@ object SparkEntry {
         |  FROM j)
         |SELECT o_orderkey, status, n_diff_cols FROM r
         |WHERE status <> 'unchanged' ORDER BY o_orderkey""".stripMargin,
+    // Decomposition replay: exact daily cents, 7-row window sums, the
+    // same 7-scaled detrending and weekday partitions; every displayed
+    // component is the identical IEEE expression, 4-dp floored.
+    "seasonal_decompose" ->
+      """WITH d AS (SELECT o_orderdate AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL GROUP BY 1),
+        |t AS (SELECT *,
+        |    CAST(sum(y) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS sum7,
+        |    CAST(count(y) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS cnt7
+        |  FROM d),
+        |t2 AS (SELECT *, CASE WHEN cnt7 = 7 THEN 7 * y - sum7 END AS det7,
+        |    dayofweek(day) + 1 AS dw FROM t),
+        |s AS (SELECT *, CAST(sum(det7) OVER (PARTITION BY dw) AS BIGINT) AS sn,
+        |    CAST(count(det7) OVER (PARTITION BY dw) AS BIGINT) AS sc FROM t2)
+        |SELECT day, y,
+        |  CASE WHEN cnt7 = 7 THEN floor(CAST(sum7 AS DOUBLE) / 7.0 * 10000 + 0.5) / 10000 END AS trend,
+        |  CASE WHEN sc > 0 THEN floor(CAST(sn AS DOUBLE) / (7.0 * CAST(sc AS DOUBLE)) * 10000 + 0.5) / 10000 END AS seasonal,
+        |  CASE WHEN cnt7 = 7 AND sc > 0 THEN floor((CAST(y AS DOUBLE) - CAST(sum7 AS DOUBLE) / 7.0
+        |    - CAST(sn AS DOUBLE) / (7.0 * CAST(sc AS DOUBLE))) * 10000 + 0.5) / 10000 END AS resid
+        |FROM s ORDER BY day""".stripMargin,
     // Weekly KS replay: shifted self-join on the cents histogram, per-
     // week prefix sums, integer cross-product max, one final division.
     "ks_drift_weekly" ->

@@ -213,4 +213,55 @@ object TimeSeriesOps {
       .withColumn("alarm_down", col("__dn") >= col("__n") * thresholdCents)
       .drop("__x", "__n", "__tot", "__c", "__up", "__dn")
   }
+
+  /** Classical additive seasonal decomposition of a daily series —
+    * y = trend + day-of-week seasonal + residual: trend is the centered
+    * 7-row moving average (each window spans every weekday exactly once,
+    * so the weekly cycle cancels out of it), the seasonal component is
+    * the per-weekday mean of the detrended interior, and the residual is
+    * what seasonality-aware anomaly detection should threshold INSTEAD
+    * of raw values (a quiet Sunday is not an incident).
+    *
+    * Exactness discipline: the daily aggregate, the 7-row window sum,
+    * and the 7-scaled detrended values (7y − Σ₇) are all exact longs;
+    * the three displayed components are fixed IEEE expressions over
+    * those longs, 4-dp rounded — engine-exact. Edge rows (incomplete
+    * 7-row window) carry null trend/resid rather than a biased mean.
+    * Rows are observed days: calendar gaps make the window span observed
+    * neighbors (densify first — [[graft.ops.Densify]] — when strict
+    * calendar windows are required).
+    *
+    * Scale shape: the daily aggregate is the only fact-scale exchange;
+    * the rolling and weekday windows run over the calendar-bounded daily
+    * table (thousands of rows at any corpus size), the same bounded-
+    * series single-task justification as [[StatOps.histogram]].
+    *
+    * @param value integer-valued column (cents), summed per day
+    * @return (day, y, trend, seasonal, resid), one row per observed day
+    */
+  def seasonalDecompose(df: DataFrame, dateCol: Column,
+                        value: Column): DataFrame = {
+    import CoreOps.rnd
+    val daily = df.where(dateCol.isNotNull && value.isNotNull)
+      .groupBy(dateCol.as("day")).agg(sum(value.cast("long")).as("y"))
+    val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val t = daily
+      .withColumn("__sum7", sum(col("y")).over(w7))
+      .withColumn("__cnt7", count(col("y")).over(w7))
+      .withColumn("__det7",
+        when(col("__cnt7") === 7, lit(7L) * col("y") - col("__sum7")))
+    val wd = Window.partitionBy(dayofweek(col("day")))
+    t.withColumn("__sn", sum(col("__det7")).over(wd))
+      .withColumn("__sc", count(col("__det7")).over(wd))
+      .select(col("day"), col("y"),
+        when(col("__cnt7") === 7,
+          rnd(col("__sum7").cast("double") / lit(7.0))).as("trend"),
+        when(col("__sc") > 0,
+          rnd(col("__sn").cast("double") /
+            (lit(7.0) * col("__sc").cast("double")))).as("seasonal"),
+        when(col("__cnt7") === 7 && col("__sc") > 0,
+          rnd(col("y").cast("double") - col("__sum7").cast("double") / lit(7.0)
+            - col("__sn").cast("double") /
+              (lit(7.0) * col("__sc").cast("double")))).as("resid"))
+  }
 }

@@ -241,4 +241,42 @@ class TimeSeriesOpsSpec extends SparkTestBase {
     // the stepped key alarms on its jump row
     assert(got.filter(_._1 == "a").last._5)
   }
+
+  private def decompose(rows: Seq[(String, Long)]) =
+    TimeSeriesOps.seasonalDecompose(rows.toDF("d", "v"),
+      to_date(col("d")), col("v"))
+      .orderBy("day")
+      .select(col("day").cast("string"), col("y"), col("trend"),
+        col("seasonal"), col("resid"))
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+
+  test("seasonalDecompose: a pure weekly pattern lands entirely in seasonal") {
+    // 21 days from Mon 2024-01-01: Mondays 200, everything else 100.
+    // Every interior 7-day window spans each weekday once → trend is the
+    // constant weekly mean 800/7; seasonal absorbs the Monday bump
+    // exactly; interior residuals are exactly zero.
+    val rows = (0 until 21).map { i =>
+      val day = java.time.LocalDate.of(2024, 1, 1).plusDays(i)
+      (day.toString, if (day.getDayOfWeek.getValue == 1) 200L else 100L)
+    }
+    val got = decompose(rows)
+    val interior = got.slice(3, 18)
+    interior.foreach(r => assert(r._3.contains(114.2857), r.toString))
+    interior.foreach { r => assert(r._5.contains(0.0), r.toString) }
+    val monday = got.find(_._1 == "2024-01-08").get
+    assert(math.abs(monday._4.get - 600.0 / 7.0) < 0.0001)
+    // edge rows: incomplete window → null trend and resid, seasonal set
+    assert(got.head._3.isEmpty && got.head._5.isEmpty && got.head._4.nonEmpty)
+  }
+
+  test("seasonalDecompose: a constant series has zero seasonal and residual") {
+    val rows = (0 until 14).map(i =>
+      (java.time.LocalDate.of(2024, 3, 4).plusDays(i).toString, 700L))
+    val got = decompose(rows)
+    got.slice(3, 11).foreach { r =>
+      assert(r._3.contains(700.0) && r._4.contains(0.0) &&
+        r._5.contains(0.0), r.toString)
+    }
+  }
 }
