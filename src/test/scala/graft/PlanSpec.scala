@@ -710,6 +710,17 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("ks_drift_weekly: every window is period-partitioned — no single-partition stage") {
+    val plan = executedFormatted(
+      SparkEntry.queries("ks_drift_weekly")(spark, sf))
+    // the drift family's scale claim: cumulative and total windows all
+    // partition by the period key, so no Exchange SinglePartition ever
+    // feeds a Window (the final 1-row-per-week orderBy is TakeOrdered/
+    // sort output, not a windowed stage)
+    val single = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(single === 0, s"expected no SinglePartition exchange:\n$plan")
+  }
+
   test("trigram_search: index prunes before verify — one explode, broadcast pattern joins") {
     val plan = executedSimple(
       SparkEntry.queries("trigram_search")(spark, sf))
