@@ -62,6 +62,13 @@ case class NearestCentroidId(first: Expression, second: Expression,
     val cents = cs.asInstanceOf[ArrayData]
     val ids = is.asInstanceOf[ArrayData]
     val k = cents.numElements()
+    // centroids/ids are index-aligned by contract; a mismatch would read
+    // out-of-bounds UnsafeArrayData and return garbage ids SILENTLY (the
+    // dist kernel clamps dims; ids has no analogous safe clamp) — throw.
+    if (ids.numElements() != k)
+      throw new IllegalArgumentException(
+        s"NearestCentroidId: $k centroids but ${ids.numElements()} ids" +
+          " — the two arrays must be index-aligned")
     if (k == 0) null
     else {
       var bestD = Long.MaxValue
@@ -102,6 +109,11 @@ case class NearestCentroidId(first: Expression, second: Expression,
       val bestId = ctx.freshName("bestId")
       s"""
          |int $k = $cs.numElements();
+         |if ($is.numElements() != $k) {
+         |  throw new IllegalArgumentException(
+         |    "NearestCentroidId: " + $k + " centroids but " +
+         |    $is.numElements() + " ids — the two arrays must be index-aligned");
+         |}
          |if ($k == 0) {
          |  ${ev.isNull} = true;
          |} else {

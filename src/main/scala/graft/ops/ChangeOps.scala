@@ -132,37 +132,6 @@ object ChangeOps {
       .select((keys.map(col) :+ col("status") :+ col("n_diff_cols")): _*)
   }
 
-  /** Distribution drift between consecutive periods — per period, the
-    * Jensen–Shannon divergence of the categorical mixture against the
-    * previous period's, plus the current mixture's Shannon entropy. The
-    * monitoring statistic a pipeline alerts on when an upstream source
-    * changes shape (a scraper breaking, a locale flipping, a category
-    * vanishing): JSD is symmetric, finite even when a category appears or
-    * disappears (KL alone is +∞ there), and bounded by ln 2.
-    *
-    * Scale shape: the only fact-scale operation is the first
-    * (period, category) hash aggregate (map-side partials, narrow rows).
-    * The previous period attaches by shifting that reduced table forward
-    * `stepDays` and full-outer-joining on (period, category) — so a
-    * category present in only one side still contributes its half of the
-    * divergence — and every window/aggregation after that runs over the
-    * bounded periods×categories table. Boundary periods (no predecessor,
-    * or nothing current) drop: the statistic compares two real mixtures
-    * or none.
-    *
-    * Engine portability: each per-category term p·ln(p/m) (m the
-    * two-sided mean) quantizes to micro-unit longs BEFORE the per-period
-    * sum — associative, layout-independent — and the ln input is the
-    * same fixed IEEE expression over exact integer counts on both
-    * engines; doubled-JSD stays integer in `jsd2_micro`, with `jsd` and
-    * `entropy` as displayed 4-dp roundings.
-    *
-    * @param period   DATE column, already truncated to the period grain
-    *                 (e.g. [[CoreOps.weekStart]] cast to date)
-    * @param stepDays grid distance between consecutive periods
-    * @return (period, n, n_prev, jsd2_micro, jsd, entropy) per period
-    *         with a predecessor on the grid
-    */
   /** NUMERIC distribution drift between consecutive periods — the
     * Kolmogorov–Smirnov companion to [[mixtureDrift]]'s categorical JSD:
     * per period, the exact two-sample KS distance between this period's
@@ -212,6 +181,37 @@ object ChangeOps {
           .as("d_stat"))
   }
 
+  /** Distribution drift between consecutive periods — per period, the
+    * Jensen–Shannon divergence of the categorical mixture against the
+    * previous period's, plus the current mixture's Shannon entropy. The
+    * monitoring statistic a pipeline alerts on when an upstream source
+    * changes shape (a scraper breaking, a locale flipping, a category
+    * vanishing): JSD is symmetric, finite even when a category appears or
+    * disappears (KL alone is +∞ there), and bounded by ln 2.
+    *
+    * Scale shape: the only fact-scale operation is the first
+    * (period, category) hash aggregate (map-side partials, narrow rows).
+    * The previous period attaches by shifting that reduced table forward
+    * `stepDays` and full-outer-joining on (period, category) — so a
+    * category present in only one side still contributes its half of the
+    * divergence — and every window/aggregation after that runs over the
+    * bounded periods×categories table. Boundary periods (no predecessor,
+    * or nothing current) drop: the statistic compares two real mixtures
+    * or none.
+    *
+    * Engine portability: each per-category term p·ln(p/m) (m the
+    * two-sided mean) quantizes to micro-unit longs BEFORE the per-period
+    * sum — associative, layout-independent — and the ln input is the
+    * same fixed IEEE expression over exact integer counts on both
+    * engines; doubled-JSD stays integer in `jsd2_micro`, with `jsd` and
+    * `entropy` as displayed 4-dp roundings.
+    *
+    * @param period   DATE column, already truncated to the period grain
+    *                 (e.g. [[CoreOps.weekStart]] cast to date)
+    * @param stepDays grid distance between consecutive periods
+    * @return (period, n, n_prev, jsd2_micro, jsd, entropy) per period
+    *         with a predecessor on the grid
+    */
   def mixtureDrift(df: DataFrame, period: Column, category: Column,
                    stepDays: Int = 7): DataFrame = {
     require(stepDays > 0, s"stepDays=$stepDays must be positive")

@@ -111,9 +111,16 @@ object CoreOps {
     * here instead. Truncates toward zero like SQL `div`; pair with `pmod`
     * when floor semantics on negatives are needed.
     */
-  def integralDiv(v: Column, divisor: Long): Column = {
+  def integralDiv(v: Column, divisor: Long): Column =
+    integralDiv(v, lit(divisor))
+
+  /** Column-divisor variant — used by the overflow guards in
+    * [[graft.ops.StatOps]], where the bound `Long.MaxValue div n` is a
+    * runtime aggregate, not a literal.
+    */
+  def integralDiv(v: Column, divisor: Column): Column = {
     import org.apache.spark.sql.GraftExpressionBridge.{column, expression}
     column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-      expression(v.cast("long")), expression(lit(divisor))))
+      expression(v.cast("long")), expression(divisor.cast("long"))))
   }
 }

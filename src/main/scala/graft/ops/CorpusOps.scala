@@ -315,9 +315,21 @@ object CorpusOps {
                           budgetShareMicro: Long): DataFrame = {
     require(budgetShareMicro > 0,
       s"budgetShareMicro=$budgetShareMicro must be positive")
+    // Loud precondition on the aggregated weights (r8 ADVICE): weight=0
+    // yields an Infinity water-level sort key and a silent zero
+    // allocation, and avail=0 with weight=0 yields a NaN key whose sort
+    // position differs across engines — either way the hash-grade
+    // contract breaks QUIETLY. Fail like the op's other preconditions
+    // instead (fires at the eager localCheckpoint below).
     val per = df.groupBy(col(sourceCol).as("source"))
       .agg(max(weight.cast("long")).as("weight"),
         sum(tokens.cast("long")).as("avail"))
+      .withColumn("weight", when(col("weight").isNull || col("weight") <= 0L,
+        raise_error(
+        format_string("graft.CorpusOps.waterfillAllocation: source %s has" +
+          " non-positive weight %d — weights must be > 0",
+          col("source").cast("string"), col("weight"))).cast("long"))
+        .otherwise(col("weight")))
     val tot = per.agg(sum("weight").as("__tw"), sum("avail").as("__tc"))
       .select(col("__tw"), col("__tc"),
         expr(s"(__tc * ${budgetShareMicro}L) div 1000000L").as("__b"))

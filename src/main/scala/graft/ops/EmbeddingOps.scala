@@ -220,26 +220,6 @@ object EmbeddingOps {
           .as("norm_avg"))
   }
 
-  /** Exact upper-triangular covariance matrix of the embedding corpus —
-    * the PCA / whitening / feature-correlation prerequisite: per
-    * dimension pair (i ≤ j), the exact long power sums (n, Σxᵢxⱼ, Σxᵢ,
-    * Σxⱼ) over 4-dp-quantized components, plus the derived covariance
-    * (one fixed IEEE expression over the exact sums, so it is
-    * bit-reproducible across partitionings and engines — the same
-    * contract as [[StatOps.bivariateStats]], lifted from one column
-    * pair to all d(d+1)/2 of them). A d×d solve (eigen/Cholesky) then
-    * runs driver-side on this bounded table — the part that needed the
-    * cluster is exactly these sums.
-    *
-    * Scale shape: the per-row pair stream (d(d+1)/2 generated values per
-    * row) flows straight into a hash aggregate keyed on (i, j) — map-side
-    * partials reduce every partition to at most d(d+1)/2 rows before the
-    * ONLY exchange, so shuffle volume is the d²-bounded matrix × partition
-    * count, independent of row count. Precondition (documented, loud):
-    * |Σxᵢxⱼ| < 2^63 — with 4-dp quantization of unit-normalized
-    * components that holds to ~9·10¹⁰ rows; shift the quantization down
-    * a digit per 100× beyond that.
-    */
   /** Distributed top principal direction — power iteration on the exact
     * Gram matrix: the cluster's job is the ONE fact-scale pass that
     * builds G = Σ x·xᵀ ([[covarianceMatrix]]'s exact long `sxy`, here
@@ -341,6 +321,26 @@ object EmbeddingOps {
             sqrt(col("s2v").cast("double")) / lit(lambdaUnit))).as("lambda"))
   }
 
+  /** Exact upper-triangular covariance matrix of the embedding corpus —
+    * the PCA / whitening / feature-correlation prerequisite: per
+    * dimension pair (i ≤ j), the exact long power sums (n, Σxᵢxⱼ, Σxᵢ,
+    * Σxⱼ) over 4-dp-quantized components, plus the derived covariance
+    * (one fixed IEEE expression over the exact sums, so it is
+    * bit-reproducible across partitionings and engines — the same
+    * contract as [[StatOps.bivariateStats]], lifted from one column
+    * pair to all d(d+1)/2 of them). A d×d solve (eigen/Cholesky) then
+    * runs driver-side on this bounded table — the part that needed the
+    * cluster is exactly these sums.
+    *
+    * Scale shape: the per-row pair stream (d(d+1)/2 generated values per
+    * row) flows straight into a hash aggregate keyed on (i, j) — map-side
+    * partials reduce every partition to at most d(d+1)/2 rows before the
+    * ONLY exchange, so shuffle volume is the d²-bounded matrix × partition
+    * count, independent of row count. Precondition (documented, loud):
+    * |Σxᵢxⱼ| < 2^63 — with 4-dp quantization of unit-normalized
+    * components that holds to ~9·10¹⁰ rows; shift the quantization down
+    * a digit per 100× beyond that.
+    */
   def covarianceMatrix(df: DataFrame, vecCol: String): DataFrame = {
     import CoreOps.rnd
     val q = transform(col(vecCol),

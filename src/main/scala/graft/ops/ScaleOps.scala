@@ -153,8 +153,14 @@ object ScaleOps {
     val keys = dim.select(col(dimKey)).where(col(dimKey).isNotNull)
     val n = math.max(1L, keys.distinct().count())
     val bloom = BloomOps.buildBloom(keys, col(dimKey), n, fpp)
-    facts.where(BloomOps.mightContain(bloom, col(factKey)))
-      .join(dim, col(factKey) === col(dimKey))
+    val pruned = facts.where(BloomOps.mightContain(bloom, col(factKey)))
+    // Frame-qualified join condition: unqualified col(factKey) === col(dimKey)
+    // throws an ambiguous-reference AnalysisException the moment the two key
+    // columns share a name — the common case. A shared name takes the
+    // USING-style join, which also keeps ONE key column instead of an
+    // always-equal duplicate.
+    if (factKey == dimKey) pruned.join(dim, Seq(factKey))
+    else pruned.join(dim, pruned(factKey) === dim(dimKey))
   }
 
   /** Small-files compaction: rewrite a parquet directory into files near

@@ -174,17 +174,40 @@ object StatOps {
     *              class (AUC < 0.5 = anti-predictive, not an error)
     * @return one row: (u2, n_pos, n_neg, auc); auc is null when either
     *         class is empty (the statistic is undefined, not 0)
+    *
+    * Overflow precondition (loud, ENFORCED): 2·n_pos·n_neg < 2^63 —
+    * a `raise_error` guard on the class totals fires with an actionable
+    * message before any rank-sum term evaluates; subsample or bucket
+    * scores beyond ~3·10⁹ rows per class.
     */
-  def aucHistogram(df: DataFrame, label: Column, score: Column): DataFrame = {
-    val h = df.where(label.isNotNull && score.isNotNull)
+  def aucHistogram(df: DataFrame, label: Column, score: Column): DataFrame =
+    aucFromCounts(df.where(label.isNotNull && score.isNotNull)
       .groupBy(score.cast("long").as("__s"))
       .agg(count(when(label, lit(1))).as("__pos"),
-        count(when(!label, lit(1))).as("__neg"))
+        count(when(!label, lit(1))).as("__neg")))
+
+  /** Post-histogram stage of [[aucHistogram]], split out so the overflow
+    * guard is unit-testable with synthetic billion-scale counts. Expects
+    * (__s, __pos, __neg) per distinct score.
+    */
+  private[graft] def aucFromCounts(h: DataFrame): DataFrame = {
     val cum = ScaleOps.globalRunningTotal(h, Seq(col("__s")), col("__neg"))
-    cum
+    // Overflow precondition, enforced like [[ksFromCounts]]'s: u2 and each
+    // of its terms are bounded by 2·n_pos·n_neg (cum ≤ n_neg), so guard on
+    // the totals before any term evaluates. Conservative by at most one
+    // unit of the floor division — acceptable at a 2^63 boundary.
+    val n = h.agg(coalesce(sum(col("__pos")), lit(0L)).as("__tp"),
+      coalesce(sum(col("__neg")), lit(0L)).as("__tn"))
+    val ovf = col("__tp") > 0L &&
+      col("__tn") > CoreOps.integralDiv(lit(Long.MaxValue / 2L), col("__tp"))
+    val guard = raise_error(format_string(
+      "graft.StatOps.aucHistogram overflow: 2*n_pos*n_neg = 2*%d*%d >=" +
+        " 2^63 — subsample or bucket scores first",
+      col("__tp"), col("__tn"))).cast("long")
+    cum.crossJoin(broadcast(n))
       .agg(
-        coalesce(sum(col("__pos") *
-          (lit(2L) * (col("cum") - col("__neg")) + col("__neg"))), lit(0L))
+        coalesce(sum(when(ovf, guard).otherwise(col("__pos") *
+          (lit(2L) * (col("cum") - col("__neg")) + col("__neg")))), lit(0L))
           .as("u2"),
         coalesce(sum(col("__pos")), lit(0L)).as("n_pos"),
         coalesce(sum(col("__neg")), lit(0L)).as("n_neg"))
@@ -273,29 +296,52 @@ object StatOps {
     * [[ScaleOps.globalRunningTotal]] passes — the formulation is
     * unchanged, only the prefix-sum mechanism swaps.
     *
-    * Overflow precondition (loud): cum·n < 2^63 → n_a·n_b < 2^63, i.e.
-    * each sample below ~3·10⁹ rows; subsample or bucket beyond that.
+    * Overflow precondition (loud, ENFORCED): cum·n < 2^63 → n_a·n_b <
+    * 2^63, i.e. each sample below ~3·10⁹ rows; subsample or bucket beyond
+    * that. A `raise_error` guard on the sample totals fires with an
+    * actionable message before any product evaluates (StatOpsSpec proves
+    * the loud failure on synthetic billion-scale counts).
     *
     * @return one row: (n_a, n_b, d_num = max|cumA·n_b − cumB·n_a|,
     *         d_stat = d_num/(n_a·n_b) 4-dp; null when a sample is empty)
     */
-  def ksTest(df: DataFrame, label: Column, value: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val h = df.where(label.isNotNull && value.isNotNull)
+  def ksTest(df: DataFrame, label: Column, value: Column): DataFrame =
+    ksFromCounts(df.where(label.isNotNull && value.isNotNull)
       .groupBy(value.cast("long").as("__s"))
       .agg(count(when(label, lit(1))).as("__ca"),
-        count(when(!label, lit(1))).as("__cb"))
+        count(when(!label, lit(1))).as("__cb")))
+
+  /** Post-histogram stage of [[ksTest]], split out so the overflow guard
+    * is unit-testable with synthetic billion-scale counts (building 3·10⁹
+    * real rows in a spec is not). Expects (__s, __ca, __cb) per distinct
+    * value. Also the entry point for the doc's too-large-value-domain
+    * path: build the histogram with [[ScaleOps.globalRunningTotal]]-style
+    * machinery and feed it here.
+    */
+  private[graft] def ksFromCounts(h: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("__s"))
     val c = h.select(
       sum(col("__ca")).over(w).as("__cua"),
       sum(col("__cb")).over(w).as("__cub"))
     val n = c.agg(coalesce(max(col("__cua")), lit(0L)).as("n_a"),
       coalesce(max(col("__cub")), lit(0L)).as("n_b"))
+    // Enforce the documented overflow precondition LOUDLY: every product
+    // below is bounded by n_a·n_b (cum ≤ n), so past 2^63 ANSI mode would
+    // abort mid-aggregate with a generic ARITHMETIC_OVERFLOW that names
+    // neither the operator nor the remedy. Raise the actionable error
+    // first, before any product can evaluate (the products sit in the
+    // otherwise-branch, so they never run once the guard trips).
+    val ovf = col("n_a") > 0L &&
+      col("n_b") > CoreOps.integralDiv(lit(Long.MaxValue), col("n_a"))
+    val guard = raise_error(format_string(
+      "graft.StatOps.ksTest overflow: n_a*n_b = %d*%d >= 2^63 — subsample" +
+        " or bucket values first", col("n_a"), col("n_b"))).cast("long")
     c.crossJoin(broadcast(n))
       .agg(coalesce(max(col("n_a")), lit(0L)).as("n_a"),
         coalesce(max(col("n_b")), lit(0L)).as("n_b"),
-        coalesce(max(abs(col("__cua") * col("n_b")
-          - col("__cub") * col("n_a"))), lit(0L)).as("d_num"))
+        coalesce(max(when(ovf, guard).otherwise(abs(col("__cua") * col("n_b")
+          - col("__cub") * col("n_a")))), lit(0L)).as("d_num"))
       .select(col("n_a"), col("n_b"), col("d_num"),
         when(col("n_a") === 0L || col("n_b") === 0L,
           lit(null).cast("double"))
@@ -320,20 +366,45 @@ object StatOps {
     *
     * @return one row: (n, mi_micro, mi, h_joint) — the exact long
     *         micro-sum plus 4-dp displays
+    *
+    * Overflow precondition (loud, ENFORCED): c_xy·n < 2^63 and c_x·c_y <
+    * 2^63 — a per-cell `raise_error` guard fires with an actionable
+    * message before either product evaluates; bucket categories or
+    * subsample beyond ~3·10⁹ rows.
     */
-  def mutualInformation(df: DataFrame, x: Column, y: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val c = df.where(x.isNotNull && y.isNotNull)
+  def mutualInformation(df: DataFrame, x: Column, y: Column): DataFrame =
+    miFromJoint(df.where(x.isNotNull && y.isNotNull)
       .groupBy(x.as("__x"), y.as("__y"))
-      .agg(count(lit(1)).as("__cxy"))
+      .agg(count(lit(1)).as("__cxy")))
+
+  /** Post-histogram stage of [[mutualInformation]], split out so the
+    * overflow guard is unit-testable with synthetic billion-scale counts.
+    * Expects the joint histogram (__x, __y, __cxy).
+    */
+  private[graft] def miFromJoint(c: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val t = c
       .withColumn("__cx", sum(col("__cxy")).over(Window.partitionBy(col("__x"))))
       .withColumn("__cy", sum(col("__cxy")).over(Window.partitionBy(col("__y"))))
       .withColumn("__n", sum(col("__cxy")).over(Window.partitionBy()))
     val pxy = col("__cxy").cast("double") / col("__n").cast("double")
-    val mt = floor(pxy * log((col("__cxy") * col("__n")).cast("double") /
-      (col("__cx") * col("__cy")).cast("double")) * lit(1000000.0) + lit(0.5))
-      .cast("long")
+    // Per-cell overflow guard on the two integer products feeding the ln
+    // argument (c_xy·n and c_x·c_y, each bounded only by n²): raise the
+    // actionable error instead of ANSI's generic ARITHMETIC_OVERFLOW. The
+    // joint histogram is bounded (≤ |X|·|Y| rows), so the per-row integral
+    // divisions cost nothing measurable.
+    val ovf = (col("__cxy") > 0L &&
+        col("__n") > CoreOps.integralDiv(lit(Long.MaxValue), col("__cxy"))) ||
+      (col("__cx") > 0L &&
+        col("__cy") > CoreOps.integralDiv(lit(Long.MaxValue), col("__cx")))
+    val guard = raise_error(format_string(
+      "graft.StatOps.mutualInformation overflow: c_xy*n = %d*%d or" +
+        " c_x*c_y = %d*%d >= 2^63 — bucket categories or subsample first",
+      col("__cxy"), col("__n"), col("__cx"), col("__cy"))).cast("long")
+    val mt = when(ovf, guard)
+      .otherwise(floor(pxy * log((col("__cxy") * col("__n")).cast("double") /
+        (col("__cx") * col("__cy")).cast("double")) * lit(1000000.0) + lit(0.5))
+        .cast("long"))
     val ht = floor(pxy * log(pxy) * lit(-1000000.0) + lit(0.5)).cast("long")
     t.agg(max(col("__n")).as("n"), sum(mt).as("mi_micro"), sum(ht).as("__h"))
       .select(col("n"), col("mi_micro"),

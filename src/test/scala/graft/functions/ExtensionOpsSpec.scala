@@ -765,5 +765,18 @@ class ExtensionOpsSpec extends SparkTestBase {
         typedLit(Seq.empty[Seq[Long]]), typedLit(Seq.empty[Long])).as("x"))
       .collect().head
     assert(empty.isNullAt(0))
+    // centroids/ids length mismatch throws loudly instead of reading
+    // out-of-bounds UnsafeArrayData and returning garbage ids (r8 ADVICE)
+    val mismatch = intercept[Exception] {
+      rows.limit(1).select(
+        nearestCentroidId(col("qv"), mat, typedLit(Seq(0L, 3L))).as("x"))
+        .collect()
+    }
+    def chain(t: Throwable): String = {
+      var c: Throwable = t; val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+      sb.toString
+    }
+    assert(chain(mismatch).contains("must be index-aligned"), chain(mismatch))
   }
 }

@@ -406,6 +406,21 @@ class CorpusOpsSpec extends SparkTestBase {
     // document rows aggregate per source before the solve
     val agg = run(Seq(("a", 50L), ("a", 50L), ("b", 300L)), 500000L)
     assert(agg === Seq(("a", 100L, 100L, true), ("b", 300L, 100L, false)))
+
+    // non-positive weight fails LOUDLY (r8 ADVICE): weight=0 would give
+    // an Infinity water-level sort key and a silent zero allocation
+    val bad = intercept[Exception] {
+      CorpusOps.waterfillAllocation(
+        Seq(("a", 100L), ("b", 300L)).toDF("source", "n"), "source",
+        col("n"), when(col("source") === "a", 0L).otherwise(1L), 500000L)
+        .collect()
+    }
+    def chain(t: Throwable): String = {
+      var c: Throwable = t; val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+      sb.toString
+    }
+    assert(chain(bad).contains("non-positive weight"), chain(bad))
   }
 
   private def search(docs: Seq[(Long, String)], pats: Seq[String]) =

@@ -269,4 +269,19 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(got === want)
     assert(want.nonEmpty)
   }
+
+  test("bloomPrunedJoin with a shared key name joins USING-style, one key column") {
+    import spark.implicits._
+    // Pre-fix this threw an ambiguous-reference AnalysisException (r8
+    // ADVICE): both sides named `k`, unqualified col("k") === col("k").
+    val facts = (1L to 200L).map(i => (i % 29, i)).toDF("k", "payload")
+    val dim = Seq((3L, "x"), (7L, "y")).toDF("k", "name")
+    val got = ScaleOps.bloomPrunedJoin(facts, dim, "k", "k")
+    assert(got.columns.count(_ == "k") === 1, got.columns.mkString(","))
+    val rows = got.select("k", "payload", "name")
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    val want = facts.join(dim, Seq("k")).select("k", "payload", "name")
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(rows === want && want.nonEmpty)
+  }
 }

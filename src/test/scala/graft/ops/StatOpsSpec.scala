@@ -239,4 +239,49 @@ class StatOpsSpec extends SparkTestBase {
     assert(one === many)
     assert(one._2 === 133L && one._3 === 267L)
   }
+
+  // --- overflow preconditions are ENFORCED, not just documented (r8
+  // verdict finding 2). The guards live in the post-histogram stages so
+  // they can be proven here with synthetic billion-scale COUNTS — the
+  // alternative (3·10⁹ real rows in a spec) is not a test anyone runs.
+
+  private def messageOf(t: Throwable): String = {
+    var c: Throwable = t; val sb = new StringBuilder
+    while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+    sb.toString
+  }
+
+  test("ksTest overflow guard: n_a*n_b >= 2^63 raises the actionable error") {
+    val big = 3100000000L // > sqrt(2^63) ≈ 3.037e9
+    val h = Seq((1L, big, 1L), (2L, 1L, big)).toDF("__s", "__ca", "__cb")
+    val e = intercept[Exception] { StatOps.ksFromCounts(h).collect() }
+    assert(messageOf(e).contains("ksTest overflow"), messageOf(e))
+    // Just inside the bound: no guard, exact integer statistic.
+    val ok = Seq((1L, 3000000000L, 1L), (2L, 1L, 2L)).toDF("__s", "__ca", "__cb")
+    assert(StatOps.ksFromCounts(ok).collect().head.getLong(0) === 3000000001L)
+  }
+
+  test("auc overflow guard: 2*n_pos*n_neg >= 2^63 raises the actionable error") {
+    val big = 2200000000L // 2*2.2e9*2.2e9 > 2^63
+    val h = Seq((1L, big, 0L), (2L, 0L, big)).toDF("__s", "__pos", "__neg")
+    val e = intercept[Exception] { StatOps.aucFromCounts(h).collect() }
+    assert(messageOf(e).contains("aucHistogram overflow"), messageOf(e))
+    // Negatives at the low score, positives at the high one → AUC 1.0.
+    val ok = Seq((1L, 0L, 2L), (2L, 2000000000L, 0L)).toDF("__s", "__pos", "__neg")
+    val r = StatOps.aucFromCounts(ok).collect().head
+    assert(r.getLong(1) === 2000000000L && r.getDouble(3) === 1.0)
+  }
+
+  test("mutualInformation overflow guard: c_xy*n >= 2^63 raises the actionable error") {
+    val big = 3100000000L
+    val j = Seq(("a", "p", big), ("b", "q", big)).toDF("__x", "__y", "__cxy")
+    val e = intercept[Exception] { StatOps.miFromJoint(j).collect() }
+    assert(messageOf(e).contains("mutualInformation overflow"), messageOf(e))
+    // A deterministic 2-cell map just inside the bound still computes: n =
+    // 2·1.5e9 and every product c_xy·n = 1.5e9·3e9 < 2^63.
+    val ok = Seq(("a", "p", 1500000000L), ("b", "q", 1500000000L))
+      .toDF("__x", "__y", "__cxy")
+    val r = StatOps.miFromJoint(ok).collect().head
+    assert(r.getLong(0) === 3000000000L && r.getDouble(2) === 0.6931)
+  }
 }
