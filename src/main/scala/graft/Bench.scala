@@ -92,7 +92,24 @@ object Bench {
       SparkEntry.memoFamilies.flatMap { case (_, users, evict) =>
         ordered.map(_._1).filter(users).lastOption.map(_ -> evict)
       }.groupBy(_._1).map { case (q, es) => q -> es.map(_._2) }
+    // First-use warming, symmetric to the last-use eviction (round-8 task
+    // 6): a memo family's checkpoint blocks are built during the warmup
+    // sweep at the top of the run, but by the time timing reaches the
+    // family — possibly a minute of other queries, cache clears, and GCs
+    // later — those blocks may have spilled to disk and the family's
+    // first timed execution re-pays the cold read (triangle_count's r8
+    // spread: [5.46, 2.76, 2.78] vs 2.03 isolated). One untimed execution
+    // immediately before a family consumer's timed runs re-faults the
+    // memo hot, which is exactly the state an ISOLATED run times (its
+    // warmup execution directly precedes its timed ones) — so full-run
+    // and isolated numbers compare like-for-like, the adjudication
+    // contract.
+    val familyConsumers: Set[String] = SparkEntry.memoFamilies.flatMap(_._2).toSet
     val results = ordered.map { case (name, fn) =>
+      if (familyConsumers(name)) {
+        try force(fn(spark, sfDir)) catch { case _: Throwable => () }
+        dropStreamSinks(spark)
+      }
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { force(fn(spark, sfDir)); true }

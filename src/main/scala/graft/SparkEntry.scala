@@ -53,7 +53,11 @@ object SparkEntry {
     s"count(DISTINCT o_orderkey) AS transactions,\n         $priceMeanAgg",
     "coalesce(w.transactions, 0) AS transactions, w.price_mean")
 
-  private val winsCte = denseCte +
+  /** Rolling-window CTE suffix over a `dense` CTE — ONE definition shared
+    * by the balanced (`winsCte`) and skew-demo (`winsCteSkew`) stacks so
+    * the window arithmetic cannot drift between them.
+    */
+  private val winsSuffix =
     """,
       |wins AS (
       |  SELECT week, dim, transactions,
@@ -71,6 +75,22 @@ object SparkEntry {
       |         12 AS window_weeks
       |  FROM dense
       |  WINDOW w12 AS (PARTITION BY dim ORDER BY week ROWS BETWEEN 11 PRECEDING AND CURRENT ROW))""".stripMargin
+
+  private val winsCte = denseCte + winsSuffix
+
+  /** The skew-survival demo's dimension: odd order keys all collapse onto
+    * '1-URGENT', so one dim carries ~60 % of all orders (50 % odd + the
+    * even fifth that is already 1-URGENT) — the SURVEY §4.3(d) dominant-LA
+    * shape, synthesized deterministically from the fixture. Engine
+    * expression and this SQL must stay in lockstep.
+    */
+  private val skewDimSql =
+    "CASE WHEN o_orderkey % 2 = 1 THEN '1-URGENT' ELSE o_orderpriority END"
+
+  private val winsCteSkew = denseCteFor(
+    skewDimSql,
+    s"count(DISTINCT o_orderkey) AS transactions,\n         $priceMeanAgg",
+    "coalesce(w.transactions, 0) AS transactions, w.price_mean") + winsSuffix
 
   private val langDimSql =
     "(VALUES ('en','English'),('de','German'),('fr','French'),('es','Spanish')) l(lang_code, lang_name)"
@@ -676,6 +696,22 @@ object SparkEntry {
           col("n_name").as("nation"), col("r_name").as("region"))
         .orderBy("c_custkey")
     }),
+    // The same two-hop enrichment FORCED onto the broadcast-threshold
+    // fallback path (r8 verdict task 5): MERGE-hinted joins produce the
+    // SortMergeJoin plan a too-big dimension degrades to, and the result
+    // hash-matches the identical oracle as `lookup_join` — strategy
+    // changes, answer doesn't. PlanSpec pins the SMJ (and no broadcast).
+    "lookup_join_smj" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      val cn = Joins.lookupJoinShuffled(c, n,
+        c("c_nationkey") === n("n_nationkey"))
+      Joins.lookupJoinShuffled(cn, r, cn("n_regionkey") === r("r_regionkey"))
+        .select(col("c_custkey"), col("c_name"),
+          col("n_name").as("nation"), col("r_name").as("region"))
+        .orderBy("c_custkey")
+    }),
     "coverage_docs" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val l = langDim(s)
@@ -763,6 +799,30 @@ object SparkEntry {
           "z_transactions", "z_rolling_trans",
           "anomaly_transactions", "anomaly_rolling_trans")
         .orderBy("window_weeks", "dim", "week")),
+    // Skew-survival proof for the reference's own weekly family (SURVEY
+    // §4.3(d); r8 verdict task 4): one synthesized dominant dim carries
+    // ~60 % of all orders, and the full weekly→densify→rolling lifecycle
+    // still grades exactly. Survival is by construction, not AQE luck:
+    // the skew-lean weekly aggregate (WeeklyAgg.weeklyCountMean) keys its
+    // only fact-scale exchange on (week, dim, id) — the dominant dim
+    // splits across the id domain — and every rolling window runs over
+    // the bounded densified grid. PlanSpec pins both properties plus the
+    // ≥50 % dominance itself (a balanced dim would make this vacuous).
+    "rolling_windows_skewed" -> ((s, d) => {
+      val skDim = when(col("o_orderkey") % 2 === 1, lit("1-URGENT"))
+        .otherwise(col("o_orderpriority"))
+      val weekly = WeeklyAgg.weeklyCountMean(Tables.orders(s, d),
+        col("o_orderdate"), skDim, col("o_orderkey"), col("o_totalprice"))
+      val dense = Densify.densify(
+        weekly.select("week", "dim", "transactions", "price_mean"),
+        fillZero = Seq("transactions"),
+        gridFrom = Some(Tables.orders(s, d).select(
+          CoreOps.weekStart(col("o_orderdate")).as("week"), skDim.as("dim"))))
+      Rolling.rollingWindows(dense)
+        .select("week", "dim", "transactions", "rolling_trans",
+          "price_mean", "rolling_price_mean", "window_weeks")
+        .orderBy("window_weeks", "dim", "week")
+    }),
     "latest_snapshot" -> ((s, d) =>
       // max(week) of the windows frame == weekStart(max(o_orderdate))
       // (monotone bucketing), so the 1-row max side is a 1-column scan of
@@ -1147,6 +1207,24 @@ object SparkEntry {
       ev.unionByName(or)
         .select("series", "period", "n", "n_prev", "jsd2_micro", "jsd",
           "entropy")
+        .orderBy("series", "period")
+    }),
+    // Pearson χ² homogeneity drift per week over the same two categorical
+    // series as mixture_drift (r8 verdict task 7): JSD sizes the shift,
+    // χ² turns it into a thresholdable test statistic. Exact-integer
+    // numerators, micro-quantized terms, every window period-partitioned
+    // (extends the drift family's no-SinglePartition PlanSpec pin).
+    "chisq_drift_weekly" -> ((s, d) => {
+      val ev = ChangeOps.chiSquareDrift(Tables.events(s, d),
+        to_date(CoreOps.weekStart(col("ts"))), col("event_type"))
+        .withColumn("series", lit("events_type"))
+      val or = ChangeOps.chiSquareDrift(Tables.orders(s, d),
+        to_date(CoreOps.weekStart(col("o_orderdate"))),
+        col("o_orderpriority"))
+        .withColumn("series", lit("orders_priority"))
+      ev.unionByName(or)
+        .select("series", "period", "n", "n_prev", "dof", "chi2_micro",
+          "chi2")
         .orderBy("series", "period")
     }),
 
@@ -3432,6 +3510,31 @@ object SparkEntry {
         |  floor(CAST(sum(t1 + t2) AS DOUBLE) / 2000000.0 * 10000 + 0.5) / 10000 AS jsd,
         |  floor(CAST(sum(h) AS DOUBLE) / 1000000.0 * 10000 + 0.5) / 10000 AS entropy
         |FROM e GROUP BY 1, 2 ORDER BY series, period""".stripMargin,
+    "chisq_drift_weekly" ->
+      """WITH src AS (
+        |  SELECT 'events_type' AS series, CAST(date_trunc('week', ts) AS DATE) AS period, event_type AS cat
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'orders_priority', CAST(date_trunc('week', o_orderdate) AS DATE), o_orderpriority
+        |  FROM orders WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL),
+        |c AS (SELECT series, period, cat, CAST(count(*) AS BIGINT) AS c FROM src GROUP BY 1, 2, 3),
+        |p AS (SELECT series, period + 7 AS period, cat, c AS d FROM c),
+        |j AS (SELECT coalesce(c.series, p.series) AS series, coalesce(c.period, p.period) AS period,
+        |    coalesce(c.cat, p.cat) AS cat, coalesce(c.c, 0) AS c, coalesce(p.d, 0) AS d
+        |  FROM c FULL OUTER JOIN p ON c.series = p.series AND c.period = p.period AND c.cat = p.cat),
+        |t AS (SELECT *, sum(c) OVER (PARTITION BY series, period) AS n,
+        |    sum(d) OVER (PARTITION BY series, period) AS n_prev FROM j),
+        |g AS (SELECT * FROM t WHERE n > 0 AND n_prev > 0),
+        |e AS (SELECT series, period, n, n_prev,
+        |    CAST(floor(CAST(c * n_prev - d * n AS DOUBLE) * CAST(c * n_prev - d * n AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n_prev AS DOUBLE) * CAST(c + d AS DOUBLE))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS term
+        |  FROM g)
+        |SELECT series, period, CAST(max(n) AS BIGINT) AS n, CAST(max(n_prev) AS BIGINT) AS n_prev,
+        |  CAST(count(*) - 1 AS BIGINT) AS dof,
+        |  CAST(sum(term) AS BIGINT) AS chi2_micro,
+        |  floor(CAST(sum(term) AS DOUBLE) / 1000000.0 * 10000 + 0.5) / 10000 AS chi2
+        |FROM e GROUP BY 1, 2 ORDER BY series, period""".stripMargin,
     "corr_regression" ->
       """WITH c AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
         |    CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y FROM lineitem),
@@ -3920,6 +4023,14 @@ object SparkEntry {
         |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
         |LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
         |ORDER BY c.c_custkey""".stripMargin,
+    // deliberately the IDENTICAL oracle text as lookup_join: the physical
+    // strategy (broadcast vs sort-merge) must not change the answer
+    "lookup_join_smj" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name AS nation, r.r_name AS region
+        |FROM customer c
+        |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+        |ORDER BY c.c_custkey""".stripMargin,
     "coverage_docs" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
          |  floor((coalesce(avg(CASE WHEN l.lang_name IS NOT NULL THEN 1 ELSE 0 END) * 100.0, 0.0)) * 10000 + 0.5) / 10000 AS coverage_pct
@@ -3958,6 +4069,8 @@ object SparkEntry {
       (denseCte + "\nSELECT week, dim, transactions, price_mean FROM dense ORDER BY dim, week"),
     "rolling_windows" ->
       (winsCte + "\nSELECT week, dim, transactions, rolling_trans, price_mean, rolling_price_mean, window_weeks FROM wins ORDER BY window_weeks, dim, week"),
+    "rolling_windows_skewed" ->
+      (winsCteSkew + "\nSELECT week, dim, transactions, rolling_trans, price_mean, rolling_price_mean, window_weeks FROM wins ORDER BY window_weeks, dim, week"),
     "anomaly_zscore" ->
       (winsCte +
         """,

@@ -248,4 +248,72 @@ object ChangeOps {
         rnd(col("jsd2_micro").cast("double") / lit(2000000.0)).as("jsd"),
         rnd(col("__h").cast("double") / lit(1000000.0)).as("entropy"))
   }
+
+  /** Pearson χ² categorical drift between consecutive periods — the
+    * frequentist companion to [[mixtureDrift]]'s JSD (JSD sizes the
+    * mixture shift; χ² scales it by sample size into a test statistic a
+    * monitor can threshold at a p-value, the remaining standard drift
+    * alarm a production pipeline ships): per period, the two-sample
+    * homogeneity χ² of the current category mixture against the previous
+    * period's, over the same shifted full-outer grid.
+    *
+    * Algebra: for the 2×k table with rows (c_i, d_i), row sums
+    * (n, n_prev) and column sums m_i = c_i + d_i, the textbook
+    * Σ (O−E)²/E collapses to Σ_i (c_i·n_prev − d_i·n)² /
+    * (n·n_prev·m_i) — every numerator is an EXACT integer, so each term
+    * is one fixed IEEE expression over exact longs, micro-quantized
+    * before the associative long sum (the [[StatOps.mutualInformation]]
+    * recipe — engines agree to the bit).
+    *
+    * Scale shape: identical to [[mixtureDrift]] — one fact-scale hash
+    * aggregate to (period, cat) counts; every window period-partitioned
+    * (the drift family's no-SinglePartition PlanSpec pin covers this
+    * operator too). Overflow precondition (loud, ENFORCED): the integer
+    * products are bounded by n·n_prev < 2^63 — the same per-row
+    * raise_error guard as [[StatOps.ksTest]].
+    *
+    * @return (period, n, n_prev, dof, chi2_micro, chi2) per period with
+    *         a predecessor on the grid; dof = categories observed across
+    *         the two periods − 1
+    */
+  def chiSquareDrift(df: DataFrame, period: Column, category: Column,
+                     stepDays: Int = 7): DataFrame = {
+    require(stepDays > 0, s"stepDays=$stepDays must be positive")
+    import CoreOps.rnd
+    val counts = df.where(period.isNotNull && category.isNotNull)
+      .groupBy(period.as("period"), category.as("cat"))
+      .agg(count(lit(1)).as("c"))
+    val prev = counts.select(date_add(col("period"), stepDays).as("period"),
+      col("cat"), col("c").as("d"))
+    val grid = counts.join(prev, Seq("period", "cat"), "full_outer")
+      .select(col("period"), col("cat"),
+        coalesce(col("c"), lit(0L)).as("c"),
+        coalesce(col("d"), lit(0L)).as("d"))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("period"))))
+      .withColumn("n_prev",
+        sum(col("d")).over(Window.partitionBy(col("period"))))
+      .where(col("n") > 0 && col("n_prev") > 0)
+    val ovf = col("n") > 0L &&
+      col("n_prev") > CoreOps.integralDiv(lit(Long.MaxValue), col("n"))
+    val guard = raise_error(format_string(
+      "graft.ChangeOps.chiSquareDrift overflow: n*n_prev = %d*%d >= 2^63" +
+        " — subsample or bucket the periods first",
+      col("n"), col("n_prev"))).cast("long")
+    // c ≤ n and d ≤ n_prev, so both products (and their difference) stay
+    // inside the guarded n·n_prev bound; m > 0 on every grid row (a row
+    // exists only where at least one side counted something)
+    val delta = when(ovf, guard)
+      .otherwise(col("c") * col("n_prev") - col("d") * col("n"))
+    val term = floor(delta.cast("double") * delta.cast("double") /
+      (col("n").cast("double") * col("n_prev").cast("double")
+        * (col("c") + col("d")).cast("double")) * lit(1000000.0) + lit(0.5))
+      .cast("long")
+    grid.groupBy(col("period"))
+      .agg(max(col("n")).as("n"), max(col("n_prev")).as("n_prev"),
+        (count(lit(1)) - lit(1)).cast("long").as("dof"),
+        sum(term).as("chi2_micro"))
+      .select(col("period"), col("n"), col("n_prev"), col("dof"),
+        col("chi2_micro"),
+        rnd(col("chi2_micro").cast("double") / lit(1000000.0)).as("chi2"))
+  }
 }

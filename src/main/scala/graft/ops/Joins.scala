@@ -19,6 +19,21 @@ object Joins {
   def lookupJoin(facts: DataFrame, lookup: DataFrame, cond: Column): DataFrame =
     facts.join(broadcast(lookup), cond, "left")
 
+  /** J1's broadcast-threshold FALLBACK, graded: "the lookup side always
+    * broadcasts" (the 100 TB posture above) silently assumes the dimension
+    * fits the driver/executor broadcast budget. When it doesn't — a fat
+    * SCD2 dimension, a threshold tuned down, `autoBroadcastJoinThreshold
+    * =-1` — Spark degrades to a shuffled join, and the engine's answer
+    * must not change with the strategy. This variant pins that degraded
+    * plan deterministically (MERGE hint → SortMergeJoin, no session-conf
+    * mutation that would leak into neighboring queries); the graded
+    * `lookup_join_smj` hash-matches it against the SAME oracle as the
+    * broadcast plan — same answer, different physical join.
+    */
+  def lookupJoinShuffled(facts: DataFrame, lookup: DataFrame,
+                         cond: Column): DataFrame =
+    facts.join(lookup.hint("merge"), cond, "left")
+
   /** A10 — enrichment coverage percent (etl/etl_main.py:194-196):
     * 100 * count(non-null enriched) / count(*), 0.0 on empty input.
     * `count(col)` skips nulls, `count(*)` does not — exactly pandas'

@@ -177,4 +177,35 @@ class ChangeOpsSpec extends SparkTestBase {
     // 14-day gap on a 7-day grid: no period has a predecessor
     assert(drift(Seq(("2024-01-01", "a"), ("2024-01-15", "a"))) === Seq())
   }
+
+  private def x2drift(rows: Seq[(String, String)]) =
+    ChangeOps.chiSquareDrift(
+      rows.toDF("day", "cat"), to_date(col("day")), col("cat"))
+      .orderBy("period")
+      .select(col("period").cast("string"), col("n"), col("n_prev"),
+        col("dof"), col("chi2"))
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+
+  test("chiSquareDrift: identical mixtures → 0; hand-computed 2×2 table") {
+    val same = x2drift(Seq(
+      ("2024-01-01", "a"), ("2024-01-01", "b"),
+      ("2024-01-08", "a"), ("2024-01-08", "b")))
+    assert(same === Seq(("2024-01-08", 2L, 2L, 1L, 0.0)))
+    // 2×2: cur (a=3, b=1), prev (a=1, b=3); Δ_a = 3·4 − 1·4 = 8,
+    // Δ_b = −8; each term 64/(4·4·4) = 1 → χ² = 2 (the textbook
+    // Σ(O−E)²/E over the four cells: 4·(1²)/2 = 2)
+    val shift = x2drift(Seq(
+      ("2024-01-01", "a"), ("2024-01-01", "b"), ("2024-01-01", "b"),
+      ("2024-01-01", "b"),
+      ("2024-01-08", "a"), ("2024-01-08", "a"), ("2024-01-08", "a"),
+      ("2024-01-08", "b")))
+    assert(shift === Seq(("2024-01-08", 4L, 4L, 1L, 2.0)))
+    // complete separation of k=2 over N=4 observations: χ² = N = 4
+    val disj = x2drift(Seq(
+      ("2024-01-01", "a"), ("2024-01-01", "a"),
+      ("2024-01-08", "b"), ("2024-01-08", "b")))
+    assert(disj === Seq(("2024-01-08", 2L, 2L, 1L, 4.0)))
+    // off-grid periods never pair
+    assert(x2drift(Seq(("2024-01-01", "a"), ("2024-01-15", "a"))) === Seq())
+  }
 }
