@@ -1181,6 +1181,27 @@ object SparkEntry {
         col("o_orderdate"), CoreOps.moneyCents(col("o_totalprice")))
         .orderBy("day")),
 
+    // Mann–Kendall trend test on the weekly revenue series: exact integer
+    // S and tie-corrected variance numerator, one IEEE Z at the end. The
+    // nonparametric drift alarm that assumes nothing about the series.
+    "mann_kendall_trend" -> ((s, d) =>
+      TimeSeriesOps.mannKendall(
+        Tables.orders(s, d)
+          .groupBy(CoreOps.weekStart(col("o_orderdate")).as("week"))
+          .agg(sum(CoreOps.moneyCents(col("o_totalprice"))).as("rev_cents")),
+        col("week"), col("rev_cents"))),
+
+    // Autocorrelation of the same weekly revenue series at lags 1-6: the
+    // persistence/seasonality screen; exact centered longs, quantized
+    // products, one display division per lag.
+    "acf_weekly" -> ((s, d) =>
+      TimeSeriesOps.autocorrelation(
+        Tables.orders(s, d)
+          .groupBy(CoreOps.weekStart(col("o_orderdate")).as("week"))
+          .agg(sum(CoreOps.moneyCents(col("o_totalprice"))).as("rev_cents")),
+        col("week"), col("rev_cents"), maxLag = 6)
+        .orderBy("lag")),
+
     // Week-over-week NUMERIC drift: exact KS distance between
     // consecutive weeks' order-price distributions — the KS companion
     // to mixture_drift's categorical JSD; integer sup-gap over the
@@ -1599,6 +1620,24 @@ object SparkEntry {
         Tables.customer(s, d).select(col("c_nationkey"),
           col("c_mktsegment"), band.as("bal_band")),
         Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 5L)
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
+
+    // t-closeness over the same quasi-identifier classes as l_diversity —
+    // the privacy tier's third audit (k-anonymity: class too small;
+    // l-diversity: class too uniform; t-closeness: class too SKEWED vs
+    // the population). Ordered-EMD as one exact long sum per class
+    // (emd_num), single final division; t=0.12 splits the sf0.01 classes
+    // 40/85 (the flag legitimately saturates at larger samples — EMD
+    // shrinks as classes converge to the population).
+    "t_closeness" -> ((s, d) => {
+      val cents = CoreOps.moneyCents(col("c_acctbal")).cast("long")
+      val band = CoreOps.integralDiv(cents - pmod(cents, lit(200000L)),
+        200000L)
+      DqOps.tCloseness(
+        Tables.customer(s, d).select(col("c_nationkey"),
+          col("c_mktsegment"), band.as("bal_band")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_band", t = 0.12)
         .orderBy("c_nationkey", "c_mktsegment")
     }),
 
@@ -3438,6 +3477,41 @@ object SparkEntry {
     // Decomposition replay: exact daily cents, 7-row window sums, the
     // same 7-scaled detrending and weekday partitions; every displayed
     // component is the identical IEEE expression, 4-dp floored.
+    "mann_kendall_trend" ->
+      """WITH s0 AS (SELECT date_trunc('week', o_orderdate) AS w,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT * FROM s0 WHERE w IS NOT NULL AND v IS NOT NULL),
+        |p AS (SELECT CAST(coalesce(sum(CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END), 0) AS BIGINT) AS s_stat
+        |  FROM s a JOIN s b ON a.w < b.w),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+        |ti AS (SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tt
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM s GROUP BY v) WHERE t > 1),
+        |e AS (SELECT nn.n, p.s_stat,
+        |    CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ti.tt AS BIGINT) AS var18
+        |  FROM p CROSS JOIN nn CROSS JOIN ti)
+        |SELECT n, s_stat, var18,
+        |  CASE WHEN var18 = 0 THEN NULL
+        |       WHEN s_stat > 0 THEN floor(CAST(s_stat - 1 AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18.0) * 10000 + 0.5) / 10000
+        |       WHEN s_stat < 0 THEN floor(CAST(s_stat + 1 AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18.0) * 10000 + 0.5) / 10000
+        |       ELSE 0.0 END AS z
+        |FROM e""".stripMargin,
+    "acf_weekly" ->
+      """WITH s0 AS (SELECT date_trunc('week', o_orderdate) AS w,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT * FROM s0 WHERE w IS NOT NULL AND x IS NOT NULL),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx FROM s),
+        |y AS (SELECT row_number() OVER (ORDER BY w) AS rn,
+        |    CAST(tot.n * s.x - tot.sx AS BIGINT) AS y FROM s CROSS JOIN tot),
+        |de AS (SELECT CAST(sum(CAST(floor(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) / 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS den FROM y),
+        |l AS (SELECT CAST(b.rn - a.rn AS BIGINT) AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CAST(floor(CAST(a.y AS DOUBLE) * CAST(b.y AS DOUBLE) / 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS num
+        |  FROM y a JOIN y b ON b.rn - a.rn BETWEEN 1 AND 6 GROUP BY 1)
+        |SELECT lag, n_pairs,
+        |  CASE WHEN de.den = 0 THEN NULL
+        |       ELSE floor(CAST(num AS DOUBLE) / CAST(de.den AS DOUBLE) * 10000 + 0.5) / 10000 END AS acf
+        |FROM l CROSS JOIN de ORDER BY lag""".stripMargin,
     "seasonal_decompose" ->
       """WITH d AS (SELECT o_orderdate AS day,
         |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
@@ -3973,6 +4047,32 @@ object SparkEntry {
         |  count(DISTINCT bal_band)
         |    + max(CASE WHEN bal_band IS NULL THEN 1 ELSE 0 END) < 5 AS at_risk
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "t_closeness" ->
+      """WITH b AS (SELECT c_nationkey, c_mktsegment,
+        |    (cents - ((cents % 200000 + 200000) % 200000)) // 200000 AS v
+        |  FROM (SELECT *, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents FROM customer)
+        |  WHERE c_acctbal IS NOT NULL),
+        |cls AS (SELECT DISTINCT c_nationkey, c_mktsegment FROM b),
+        |vals AS (SELECT v, CAST(count(*) AS BIGINT) AS g FROM b GROUP BY 1),
+        |cv AS (SELECT c_nationkey, c_mktsegment, v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2, 3),
+        |grid AS (SELECT cls.c_nationkey, cls.c_mktsegment, vals.v, coalesce(cv.c, 0) AS c, vals.g
+        |  FROM cls CROSS JOIN vals
+        |  LEFT JOIN cv ON cv.c_nationkey = cls.c_nationkey AND cv.c_mktsegment = cls.c_mktsegment AND cv.v = vals.v),
+        |w AS (SELECT *, sum(c) OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY v) AS cumc,
+        |    sum(g) OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY v) AS cumg,
+        |    sum(c) OVER (PARTITION BY c_nationkey, c_mktsegment) AS nc,
+        |    count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS m,
+        |    sum(g) OVER (PARTITION BY c_nationkey, c_mktsegment) AS n
+        |  FROM grid),
+        |e AS (SELECT c_nationkey, c_mktsegment, CAST(max(nc) AS BIGINT) AS class_size,
+        |    CAST(sum(abs(cumc * n - cumg * nc)) AS BIGINT) AS emd_num,
+        |    CASE WHEN max(m) = 1 THEN 0.0 ELSE
+        |      floor(CAST(sum(abs(cumc * n - cumg * nc)) AS DOUBLE)
+        |        / (CAST(max(m) - 1 AS DOUBLE) * CAST(max(nc) AS DOUBLE) * CAST(max(n) AS DOUBLE))
+        |        * 10000 + 0.5) / 10000 END AS emd
+        |  FROM w GROUP BY 1, 2 HAVING max(nc) > 0)
+        |SELECT c_nationkey, c_mktsegment, class_size, emd_num, emd, emd > 0.12 AS at_risk
+        |FROM e ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     "benford_digits" ->
       """WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v FROM orders),
         |g AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER) AS digit,

@@ -139,4 +139,81 @@ object DqOps {
           .as("sensitive_distinct"))
       .withColumn("at_risk", col("sensitive_distinct") < l)
   }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    * leak [[lDiversity]] cannot see: a class can hold l distinct sensitive
+    * values yet still skew far from the population (all l of them in the
+    * top income bands, say), and the skew itself is the disclosure. Per
+    * quasi-identifier class: the Earth Mover's Distance between the
+    * class's distribution over an ORDERED sensitive attribute and the
+    * global distribution, flagged when it exceeds `t`.
+    *
+    * For ordered values v_1 < … < v_m the EMD with unit ground distance
+    * is (1/(m−1)) Σᵢ |P_i − Q_i| over the CDF prefixes. Both CDFs are
+    * ratios of exact counts, so each prefix gap rewrites to the exact
+    * integer |cumC_i·n − cumG_i·n_c| over the common denominator n_c·n —
+    * the whole statistic is one long sum (`emd_num`, hash-exact on any
+    * engine) and a single final IEEE division. m = 1 (single-valued
+    * domain) makes every class trivially 0-close.
+    *
+    * Null sensitive values carry no position on the ordered axis and are
+    * excluded from both distributions (the homogeneity risk of "withheld"
+    * as a value is [[lDiversity]]'s job); classes whose rows are ALL null
+    * drop entirely.
+    *
+    * Scale shape: one fact-scale hash aggregate to (class, value) counts;
+    * the dense class×value grid, both CDFs, and the per-class rollup all
+    * live on bounded frames (quasi-domain × value-domain). The global CDF
+    * window runs unpartitioned over the value domain only — the same
+    * bounded-frame justification as the histogram quantile tier.
+    *
+    * Overflow precondition: cum·n ≤ n² < 2^63 (n below ~3·10⁹ non-null
+    * rows) — the [[graft.ops.StatOps.ksTest]] bound, same remedy
+    * (pre-bucket the sensitive domain; it only sharpens the audit).
+    *
+    * @param sensitive ordered NUMERIC column name (band/bucket it first
+    *                  for continuous attributes)
+    * @return one row per class: (quasi…, class_size, emd_num, emd 4-dp,
+    *         at_risk)
+    */
+  def tCloseness(df: DataFrame, quasi: Seq[String], sensitive: String,
+                 t: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(quasi.nonEmpty, "tCloseness needs at least one quasi-identifier")
+    require(!quasi.contains(sensitive),
+      s"sensitive '$sensitive' cannot also be a quasi-identifier")
+    require(t > 0 && t < 1, s"t=$t must lie in (0, 1)")
+    val rows = df.where(col(sensitive).isNotNull)
+      .select((quasi.map(col) :+ col(sensitive).cast("long").as("__v")): _*)
+    val qc = quasi.map(col)
+    val cv = rows.groupBy((qc :+ col("__v")): _*).agg(count(lit(1)).as("__c"))
+    val gv = rows.groupBy(col("__v")).agg(count(lit(1)).as("__g"))
+    val classes = cv.select(qc: _*).distinct()
+    val grid = classes.crossJoin(gv.select(col("__v")))
+      .join(cv, quasi :+ "__v", "left")
+      .na.fill(0L, Seq("__c"))
+      .join(gv, Seq("__v"))
+    val wCum = Window.partitionBy(qc: _*).orderBy(col("__v"))
+    val wCls = Window.partitionBy(qc: _*)
+    val scored = grid
+      .withColumn("__cumc", sum(col("__c")).over(wCum))
+      .withColumn("__cumg", sum(col("__g")).over(wCum))
+      .withColumn("__nc", sum(col("__c")).over(wCls))
+      .withColumn("__m", count(lit(1)).over(wCls))
+      .withColumn("__n", max(col("__cumg")).over(wCls))
+      .where(col("__nc") > 0)
+    scored.groupBy(qc: _*)
+      .agg(max(col("__nc")).as("class_size"),
+        sum(abs(col("__cumc") * col("__n") - col("__cumg") * col("__nc")))
+          .as("emd_num"),
+        max(col("__m")).as("__m"), max(col("__n")).as("__n"))
+      .withColumn("emd",
+        when(col("__m") === 1L, lit(0.0)).otherwise(
+          CoreOps.rnd(col("emd_num").cast("double") /
+            ((col("__m") - 1L).cast("double") * col("class_size").cast("double")
+              * col("__n").cast("double")))))
+      .withColumn("at_risk", col("emd") > t)
+      .select((qc :+ col("class_size") :+ col("emd_num") :+ col("emd")
+        :+ col("at_risk")): _*)
+  }
 }

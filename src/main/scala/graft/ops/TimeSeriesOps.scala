@@ -264,4 +264,97 @@ object TimeSeriesOps {
             - col("__sn").cast("double") /
               (lit(7.0) * col("__sc").cast("double")))).as("resid"))
   }
+
+  /** Mann–Kendall trend test over an ordered series — the nonparametric
+    * "is this metric drifting?" monitor that needs no distribution or
+    * linearity assumption ([[graft.ops.StatOps.bivariateStats]]'s slope
+    * assumes both): S = Σ_{i<j} sign(xⱼ − xᵢ) with the tie-corrected
+    * variance Var = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)] / 18 and the
+    * continuity-corrected Z = (S∓1)/√Var. S and the variance numerator
+    * (`var18`, the pre-/18 integer) are EXACT integer sums, so the
+    * statistic hash-matches any engine; Z is one fixed IEEE expression
+    * over them (IEEE sqrt is correctly rounded), 4-dp displayed.
+    *
+    * Scale shape: the caller reduces facts to the bounded series (one
+    * fact-scale aggregate — weeks, days); the O(n²) pair scan runs on
+    * that bounded frame only (~10⁵ pairs for a decade of weeks), the same
+    * bounded-quadratic justification as the skyline/waterfill tiers.
+    * Var = 0 (every value tied) leaves Z null — the test is undefined.
+    *
+    * @param series pre-aggregated frame, one row per period
+    * @return one row: (n, s_stat, var18, z)
+    */
+  def mannKendall(series: DataFrame, order: Column, value: Column): DataFrame = {
+    import CoreOps.rnd
+    val s = series.where(order.isNotNull && value.isNotNull)
+      .select(order.as("__o"), value.cast("long").as("__v"))
+    val a = s.select(col("__o").as("__oa"), col("__v").as("__va"))
+    val b = s.select(col("__o").as("__ob"), col("__v").as("__vb"))
+    val pairs = a.join(b, col("__oa") < col("__ob"))
+      .agg(coalesce(sum(
+        when(col("__vb") > col("__va"), lit(1L))
+          .when(col("__vb") < col("__va"), lit(-1L)).otherwise(lit(0L))),
+        lit(0L)).as("s_stat"))
+    val n = s.agg(count(lit(1)).as("n"))
+    val ties = s.groupBy(col("__v")).agg(count(lit(1)).as("__t"))
+      .where(col("__t") > 1L)
+      .agg(coalesce(sum(col("__t") * (col("__t") - 1L)
+        * (lit(2L) * col("__t") + 5L)), lit(0L)).as("__tt"))
+    pairs.crossJoin(broadcast(n)).crossJoin(broadcast(ties))
+      .withColumn("var18",
+        col("n") * (col("n") - 1L) * (lit(2L) * col("n") + 5L) - col("__tt"))
+      .select(col("n"), col("s_stat"), col("var18"),
+        when(col("var18") === 0L, lit(null).cast("double"))
+          .when(col("s_stat") > 0L, rnd((col("s_stat") - 1L).cast("double") /
+            sqrt(col("var18").cast("double") / lit(18.0))))
+          .when(col("s_stat") < 0L, rnd((col("s_stat") + 1L).cast("double") /
+            sqrt(col("var18").cast("double") / lit(18.0))))
+          .otherwise(lit(0.0)).as("z"))
+  }
+
+  /** Autocorrelation function of an ordered series at lags 1..`maxLag` —
+    * the seasonality/persistence screen that tells a pipeline whether its
+    * weekly metric still remembers last week (and [[seasonalDecompose]]
+    * whether a 7-period season is even present): r_k = Σ yₜ·yₜ₋ₖ / Σ yₜ²
+    * with y the n-fold-scaled centered series yₜ = n·xₜ − Σx (EXACT
+    * longs — no float mean enters). Each product quantizes through ONE
+    * fixed IEEE expression (floor(yᵃ·yᵇ/scale + ½), both factors exact in
+    * double below 2^53) into associative long sums, so numerator and
+    * denominator hash-match across engines; the shared scale cancels in
+    * the displayed ratio.
+    *
+    * Scale shape: caller reduces facts to the bounded series; the lag
+    * join and both sums run on that bounded frame. Precondition (the
+    * quantized-product recipe's usual): |n·x| < 2^53 and Σ|y·y|/scale
+    * < 2^63 — pick `scaleDiv` so per-term magnitudes land near 10¹²⁄n.
+    *
+    * @return one row per lag 1..maxLag: (lag, n_pairs, acf 4-dp)
+    */
+  def autocorrelation(series: DataFrame, order: Column, value: Column,
+                      maxLag: Int, scaleDiv: Double = 1e12): DataFrame = {
+    import CoreOps.rnd
+    require(maxLag >= 1, s"maxLag=$maxLag must be positive")
+    val s0 = series.where(order.isNotNull && value.isNotNull)
+      .select(order.as("__o"), value.cast("long").as("__x"))
+    val tot = s0.agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s"))
+    val y = s0.crossJoin(broadcast(tot))
+      .select(row_number().over(Window.orderBy(col("__o"))).as("__rn"),
+        (col("__n") * col("__x") - col("__s")).as("__y"))
+    val qprod = (a: Column, b: Column) =>
+      floor(a.cast("double") * b.cast("double") / lit(scaleDiv) + lit(0.5))
+        .cast("long")
+    val den = y.agg(coalesce(sum(qprod(col("__y"), col("__y"))), lit(0L))
+      .as("__den"))
+    val a = y.select(col("__rn").as("__ra"), col("__y").as("__ya"))
+    val b = y.select(col("__rn").as("__rb"), col("__y").as("__yb"))
+    a.join(b, (col("__rb") - col("__ra")).between(lit(1), lit(maxLag)))
+      .groupBy((col("__rb") - col("__ra")).cast("long").as("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(qprod(col("__ya"), col("__yb"))), lit(0L)).as("__num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        when(col("__den") === 0L, lit(null).cast("double"))
+          .otherwise(rnd(col("__num").cast("double") /
+            col("__den").cast("double"))).as("acf"))
+  }
 }

@@ -115,4 +115,28 @@ class DqOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       DqOps.lDiversity(df, Seq("q"), "s", l = 1L))
   }
+
+  test("tCloseness: hand-computed ordered EMD; m=1 trivially close; null class drops") {
+    // A is 3:1 over {1,2}, B is 1:3, global 4:4. Prefix at v=1:
+    // |cumC·n − cumG·n_c| = |3·8 − 4·4| = 8 (A), |1·8 − 4·4| = 8 (B);
+    // at v=2 both are 0. emd = 8 / ((2−1)·4·8) = 0.25 → at risk at t=0.2.
+    val rows = Seq(
+      ("A", 1L), ("A", 1L), ("A", 1L), ("A", 2L),
+      ("B", 1L), ("B", 2L), ("B", 2L), ("B", 2L)).toDF("q", "v")
+    val out = DqOps.tCloseness(rows, Seq("q"), "v", 0.2).orderBy("q")
+      .as[(String, Long, Long, Double, Boolean)].collect().toSeq
+    assert(out === Seq(("A", 4L, 8L, 0.25, true), ("B", 4L, 8L, 0.25, true)))
+    // single-valued sensitive domain: every class is trivially 0-close
+    val one = DqOps.tCloseness(Seq(("A", 5L), ("B", 5L)).toDF("q", "v"),
+      Seq("q"), "v", 0.2).orderBy("q")
+      .as[(String, Long, Long, Double, Boolean)].collect().toSeq
+    assert(one === Seq(("A", 1L, 0L, 0.0, false), ("B", 1L, 0L, 0.0, false)))
+    // null sensitive values carry no position; an all-null class drops
+    val n = DqOps.tCloseness(
+      Seq(("A", Some(1L)), ("A", Some(2L)), ("C", Option.empty[Long]))
+        .toDF("q", "v"), Seq("q"), "v", 0.2)
+    assert(n.select("q").as[String].collect().toSeq === Seq("A"))
+    intercept[IllegalArgumentException](
+      DqOps.tCloseness(rows, Seq("q"), "v", 1.5))
+  }
 }

@@ -279,4 +279,38 @@ class TimeSeriesOpsSpec extends SparkTestBase {
         r._5.contains(0.0), r.toString)
     }
   }
+
+  test("mannKendall: monotone, all-tied, and tie-corrected hand cases") {
+    import spark.implicits._
+    def mk(vals: Seq[Long]) = TimeSeriesOps.mannKendall(
+      vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("t", "v"),
+      col("t"), col("v"))
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    // strictly increasing: S = 3, var18 = 3·2·11 = 66,
+    // z = 2/√(66/18) = 1.0445
+    assert(mk(Seq(1L, 2L, 3L)) === ((3L, 3L, 66L, Some(1.0445))))
+    // every value tied: variance 0, Z undefined
+    assert(mk(Seq(5L, 5L, 5L)) === ((3L, 0L, 0L, None)))
+    // one tie pair, falling: S = −2, tt = 2·1·9 = 18, var18 = 48,
+    // z = −1/√(48/18) = −0.6124
+    assert(mk(Seq(3L, 3L, 1L)) === ((3L, -2L, 48L, Some(-0.6124))))
+  }
+
+  test("autocorrelation: hand-computed lags on a linear ramp") {
+    import spark.implicits._
+    // x = 1..4 → y = 4x − 10 = (−6, −2, 2, 6); den = 80;
+    // lag1: 12 − 4 + 12 = 20 → 0.25; lag2: −12 − 12 = −24 → −0.3;
+    // lag3: −36 → −0.45 (scaleDiv 1 keeps the products exact here)
+    val s = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)).toDF("t", "v")
+    val got = TimeSeriesOps.autocorrelation(s, col("t"), col("v"),
+      maxLag = 3, scaleDiv = 1.0).orderBy("lag")
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(got === Seq((1L, 3L, Some(0.25)), (2L, 2L, Some(-0.3)),
+      (3L, 1L, Some(-0.45))))
+    // constant series: zero denominator → null acf, not a crash
+    val flat = TimeSeriesOps.autocorrelation(
+      Seq((1L, 7L), (2L, 7L)).toDF("t", "v"), col("t"), col("v"), 1, 1.0)
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(flat === Seq((1L, 1L, None)))
+  }
 }
