@@ -2204,6 +2204,15 @@ object SparkEntry {
         .withColumn("rnk", col("rnk").cast("long"))
         .orderBy("qid", "rnk")
     }),
+    // Reciprocal nearest-neighbor pairs over the decile slice: the
+    // high-precision pairing rule (mutuality kills hub pairs). Quantized
+    // cosine ranking so both engines cut identical top-1s; the mutual
+    // filter is a self-join of the bounded top-1 table.
+    "mutual_knn_pairs" -> ((s, d) =>
+      Similarity.mutualTopOne(
+        Tables.embeddings(s, d).where(pmod(col("vec_id"), lit(10)) === 0),
+        "vec_id", "embedding")
+        .orderBy("id_a")),
     // ANN recall contracts: the oracle computes the exact top-3 (n_true)
     // and expects recall_ok=TRUE per query — the quality of the
     // approximate tier is hash-gated, not just row-counted. Floors are
@@ -4857,6 +4866,16 @@ object SparkEntry {
         |r AS (SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM p)
         |SELECT qid, cid, rnk, floor((cos) * 10000 + 0.5) / 10000 AS cos_sim
         |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    "mutual_knn_pairs" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id % 10 = 0),
+        |p AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |    CAST(floor(list_cosine_similarity(a.e, b.e) * 10000 + 0.5) AS BIGINT) AS cq
+        |  FROM v a, v b WHERE a.vec_id <> b.vec_id),
+        |r AS (SELECT qid, cid, cq, row_number() OVER (PARTITION BY qid ORDER BY cq DESC, cid) AS rnk FROM p),
+        |t1 AS (SELECT qid, cid, cq FROM r WHERE rnk = 1)
+        |SELECT a.qid AS id_a, a.cid AS id_b, CAST(a.cq AS DOUBLE) / 10000.0 AS cos_sim
+        |FROM t1 a JOIN t1 b ON a.qid = b.cid AND a.cid = b.qid
+        |WHERE a.qid < a.cid ORDER BY id_a""".stripMargin,
     // ANN recall contracts: the oracle knows the exact top-k exists
     // (n_true) and demands recall_ok=TRUE; the ANN result itself is
     // engine-side, so its quality claim is the hash-gated boolean.

