@@ -1202,6 +1202,16 @@ object SparkEntry {
         col("week"), col("rev_cents"), maxLag = 6)
         .orderBy("lag")),
 
+    // Inter-arrival burstiness per event type: consecutive-event gaps per
+    // (user, type) stream — the lag window keyed on the natural event-log
+    // partitioning, (ts, event_id)-ordered so the gap sequence is unique
+    // — rolled to exact (n, Σg, Σg²) per type; Goh–Barabási B and CV²
+    // are fixed IEEE expressions over the exact sums.
+    "interarrival_burstiness" -> ((s, d) =>
+      TimeSeriesOps.interArrivalBurstiness(Tables.events(s, d),
+        col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .orderBy("cls")),
+
     // Week-over-week NUMERIC drift: exact KS distance between
     // consecutive weeks' order-price distributions — the KS companion
     // to mixture_drift's categorical JSD; integer sup-gap over the
@@ -1310,6 +1320,17 @@ object SparkEntry {
         col("l_quantity"), floor(col("l_extendedprice") + lit(0.5)))
         .withColumnRenamed("g", "l_returnflag")
         .orderBy("l_returnflag")),
+
+    // Spearman rank correlation of quantity vs price: the monotone /
+    // robust companion to corr_regression's Pearson. Tie-aware midranks
+    // off the marginal histograms' prefix sums, snapped to a 1e4
+    // percentile grid with one integer floor division, then Pearson over
+    // exact grid-rank power sums weighted by the joint histogram — ONE
+    // fact-scale exchange (to the joint histogram); every window orders
+    // a value-domain-bounded marginal, never fact rows.
+    "spearman_corr" -> ((s, d) =>
+      StatOps.spearman(Tables.lineitem(s, d),
+        col("l_quantity"), floor(col("l_extendedprice") + lit(0.5)))),
 
     // Welch two-sample experiment ledger, the standard validation pair an
     // experimentation platform runs: an A/A null (user-parity split on
@@ -3027,6 +3048,12 @@ object SparkEntry {
     "heavy_hitters" -> ((s, d) =>
       CorpusOps.heavyHitters(Tables.documents(s, d), "text", minShare = 0.01)
         .orderBy("token")),
+    // Zipf's-law fit over the top-200 token ranks: ln-ln OLS slope as the
+    // one-number corpus-health read (natural text ≈ −1; templates flatten
+    // it, duplication steepens it). Token histogram is the only
+    // fact-scale exchange; ranking + regression run on the bounded vocab.
+    "zipf_fit" -> ((s, d) =>
+      CorpusOps.zipfFit(Tables.documents(s, d), "text", k = 200)),
     // Dominant token-association direction: quantized power iteration on
     // the exact within-doc co-occurrence Gram (strong spectral gap → 6
     // steps converge; the Perron vector is nonnegative, spec-pinned).
@@ -3521,6 +3548,29 @@ object SparkEntry {
         |  CASE WHEN de.den = 0 THEN NULL
         |       ELSE floor(CAST(num AS DOUBLE) / CAST(de.den AS DOUBLE) * 10000 + 0.5) / 10000 END AS acf
         |FROM l CROSS JOIN de ORDER BY lag""".stripMargin,
+    // Burstiness replay: exact epoch-second gaps off the (user, type)
+    // lag window with the same (ts, event_id) tie-break; exact long
+    // (n, Σg, Σg²) per type; the same fixed IEEE μ/CV²/B at the end.
+    // epoch_us//1000000 (integer floor-div) mirrors unix_timestamp's
+    // floor-to-second exactly — a double epoch() would not.
+    "interarrival_burstiness" ->
+      """WITH e AS (SELECT event_type AS cls, user_id,
+        |    epoch_us(ts) // 1000000 AS sec, ts, event_id
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL),
+        |g0 AS (SELECT cls, sec - lag(sec) OVER (PARTITION BY user_id, cls ORDER BY ts, event_id) AS g FROM e),
+        |a AS (SELECT cls, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(sum(g) AS BIGINT) AS sg, CAST(sum(g * g) AS BIGINT) AS sgg
+        |  FROM g0 WHERE g IS NOT NULL GROUP BY 1),
+        |v AS (SELECT cls, n_gaps, CAST(sg AS DOUBLE) AS sg,
+        |    CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) AS varn
+        |  FROM a)
+        |SELECT cls, n_gaps,
+        |  floor((sg / CAST(n_gaps AS DOUBLE)) * 10000 + 0.5) / 10000 AS mean_gap_s,
+        |  CASE WHEN sg = 0 THEN NULL
+        |       ELSE floor((varn / (sg * sg)) * 10000 + 0.5) / 10000 END AS cv2,
+        |  CASE WHEN sg = 0 THEN NULL
+        |       ELSE floor(((sqrt(varn) - sg) / (sqrt(varn) + sg)) * 10000 + 0.5) / 10000 END AS burstiness
+        |FROM v ORDER BY cls""".stripMargin,
     "seasonal_decompose" ->
       """WITH d AS (SELECT o_orderdate AS day,
         |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
@@ -3641,6 +3691,32 @@ object SparkEntry {
         |  CASE WHEN n = 1 OR varxn <= 0 OR varyn <= 0 THEN NULL
         |       ELSE floor((covn * covn / (varxn * varyn)) * 10000 + 0.5) / 10000 END AS r2
         |FROM e ORDER BY 1""".stripMargin,
+    // Spearman replay: midranks off marginal prefix sums (exact integers),
+    // one floor division onto the percentile grid, exact weighted power
+    // sums over the joint histogram, one fixed IEEE rho at the end.
+    "spearman_corr" ->
+      """WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |j AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1, 2),
+        |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM j),
+        |hx AS (SELECT x, CAST(sum(c) AS BIGINT) AS ck FROM j GROUP BY 1),
+        |px AS (SELECT x, ((2 * sum(ck) OVER (ORDER BY x) - ck + 1) * 5000) // (SELECT n FROM nn) AS p FROM hx),
+        |hy AS (SELECT y, CAST(sum(c) AS BIGINT) AS ck FROM j GROUP BY 1),
+        |py AS (SELECT y, ((2 * sum(ck) OVER (ORDER BY y) - ck + 1) * 5000) // (SELECT n FROM nn) AS p FROM hy),
+        |s AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(px.p * c) AS DOUBLE) AS sx, CAST(sum(py.p * c) AS DOUBLE) AS sy,
+        |    CAST(sum(px.p * px.p * c) AS DOUBLE) AS sxx,
+        |    CAST(sum(py.p * py.p * c) AS DOUBLE) AS syy,
+        |    CAST(sum(px.p * py.p * c) AS DOUBLE) AS sxy
+        |  FROM j JOIN px USING (x) JOIN py USING (y)),
+        |e AS (SELECT n, CAST(n AS DOUBLE) * sxy - sx * sy AS covn,
+        |    CAST(n AS DOUBLE) * sxx - sx * sx AS varxn,
+        |    CAST(n AS DOUBLE) * syy - sy * sy AS varyn
+        |  FROM s)
+        |SELECT n, CASE WHEN varxn <= 0 OR varyn <= 0 THEN NULL
+        |  ELSE floor((covn / sqrt(varxn * varyn)) * 10000 + 0.5) / 10000 END AS rho_s
+        |FROM e""".stripMargin,
     "ab_welch" ->
       """WITH ec AS (SELECT event_type AS g, user_id % 2 = 0 AS va,
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
@@ -5378,6 +5454,33 @@ object SparkEntry {
         |t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c)
         |SELECT token, cnt, floor((cnt / total) * 10000 + 0.5) / 10000 AS share
         |FROM c, t WHERE cnt / total >= 0.01 ORDER BY token""".stripMargin,
+    // Zipf replay: identical (count desc, token) rank cut, ln of exact
+    // integers micro-quantized before the exact OLS power sums, the same
+    // fixed IEEE slope/intercept/R² (1e12 scale cancels in the slope).
+    "zipf_fit" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rnk FROM c),
+        |t AS (SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS lx,
+        |    CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS ly
+        |  FROM r WHERE rnk <= 200),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(lx) AS DOUBLE) AS sx, CAST(sum(ly) AS DOUBLE) AS sy,
+        |    CAST(sum(lx * ly) AS DOUBLE) AS sxy, CAST(sum(lx * lx) AS DOUBLE) AS sxx,
+        |    CAST(sum(ly * ly) AS DOUBLE) AS syy
+        |  FROM t),
+        |e AS (SELECT n, CAST(n AS DOUBLE) * sxy - sx * sy AS covn,
+        |    CAST(n AS DOUBLE) * sxx - sx * sx AS varxn,
+        |    CAST(n AS DOUBLE) * syy - sy * sy AS varyn, sx, sy
+        |  FROM s)
+        |SELECT n AS n_ranks,
+        |  CASE WHEN varxn <= 0 THEN NULL
+        |       ELSE floor((covn / varxn) * 10000 + 0.5) / 10000 END AS slope,
+        |  CASE WHEN varxn <= 0 THEN NULL
+        |       ELSE floor(((sy - (covn / varxn) * sx) / CAST(n AS DOUBLE) / 1000000.0) * 10000 + 0.5) / 10000 END AS intercept_ln,
+        |  CASE WHEN varxn <= 0 OR varyn <= 0 THEN NULL
+        |       ELSE floor((covn * covn / (varxn * varyn)) * 10000 + 0.5) / 10000 END AS r2
+        |FROM e""".stripMargin,
     "cooc_principal" -> coocPrincipalOracle,
     // Vocabulary ranked (count desc, token) exactly like the engine, so
     // both cut identical top-V vocabularies at every size.

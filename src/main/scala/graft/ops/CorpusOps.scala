@@ -799,6 +799,61 @@ object CorpusOps {
       .select("token", "cnt", "share")
   }
 
+  /** Zipf's-law fit of the token frequency spectrum — OLS of ln(count)
+    * on ln(rank) over the top-`k` corpus tokens: natural language sits
+    * near slope −1 (Zipf 1949), and a corpus that drifts off that line is
+    * the classic template/boilerplate/spam smell (machine-generated text
+    * flattens the head; mass duplication steepens it). The slope is the
+    * one-number corpus-health read to trend per ingest batch.
+    *
+    * Determinism: ranks tie-break by (count desc, token) so both engines
+    * cut the identical top-k; ln runs on exact INTEGER ranks/counts and
+    * quantizes to 1e-6 longs before any sum (the [[graft.ops.ChangeOps]]
+    * mixtureDrift ln recipe); the OLS power sums over the k-bounded frame
+    * are exact longs and slope/intercept/R² are fixed IEEE expressions
+    * over them (the 1e12 quantization scale cancels inside the slope).
+    *
+    * Scale shape: one fact-scale hash aggregate to the token histogram;
+    * the ranking window and the k-row regression run over the bounded
+    * vocabulary table only (same justification as [[vocabCoverageCurve]]).
+    *
+    * @return one row: (n_ranks, slope, intercept_ln, r2), 4-dp
+    */
+  def zipfFit(df: DataFrame, textCol: String, k: Int = 200): DataFrame = {
+    import CoreOps.rnd
+    require(k >= 3, s"zipf fit needs k >= 3 ranks, got $k")
+    val counts = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val top = counts.withColumn("rnk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("token"))).cast("long"))
+      .where(col("rnk") <= k.toLong)
+    val micro = (c: Column) =>
+      floor(log(c.cast("double")) * lit(1000000.0) + lit(0.5)).cast("long")
+    val s = top.select(micro(col("rnk")).as("lx"), micro(col("cnt")).as("ly"))
+      .agg(count(lit(1)).as("n_ranks"),
+        sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+        sum(col("lx") * col("ly")).as("sxy"),
+        sum(col("lx") * col("lx")).as("sxx"),
+        sum(col("ly") * col("ly")).as("syy"))
+    val nD = col("n_ranks").cast("double")
+    val sx = col("sx").cast("double");  val sy = col("sy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val sxx = col("sxx").cast("double"); val syy = col("syy").cast("double")
+    val covN  = nD * sxy - sx * sy
+    val varxN = nD * sxx - sx * sx
+    val varyN = nD * syy - sy * sy
+    val slope = covN / varxN
+    s.select(col("n_ranks"),
+      when(varxN <= 0.0, lit(null).cast("double"))
+        .otherwise(rnd(slope)).as("slope"),
+      when(varxN <= 0.0, lit(null).cast("double"))
+        .otherwise(rnd((sy - slope * sx) / nD / lit(1000000.0)))
+        .as("intercept_ln"),
+      when(varxN <= 0.0 || varyN <= 0.0, lit(null).cast("double"))
+        .otherwise(rnd(covN * covN / (varxN * varyN))).as("r2"))
+  }
+
   /** Vocabulary-budget coverage curve — for each candidate vocabulary
     * size V (the top-V corpus tokens by frequency) and each stratum
     * (language/source), what share of the stratum's token stream the

@@ -433,4 +433,81 @@ object StatOps {
         CoreOps.rnd(col("n").cast("double") /
           sum(col("n")).over(Window.partitionBy()).cast("double")).as("share"))
   }
+
+  /** Spearman rank correlation — tie-aware average ranks on a fixed
+    * 1e4-unit percentile grid: the monotone-association read Pearson
+    * ([[bivariateStats]]) misses when the relationship is nonlinear, and
+    * the robust one when either column is heavy-tailed (ranks are
+    * outlier-immune by construction).
+    *
+    * Exactness recipe: the doubled average rank `r2 = 2·cumBefore + c + 1`
+    * is an exact integer off each marginal histogram's prefix sum (ties get
+    * the textbook midrank, no float averaging), then snaps to the
+    * percentile grid with ONE integer floor division `p = (r2·5000) div n`
+    * (both engines truncate positive longs identically). Pearson over the
+    * grid ranks runs as exact long power sums weighted by the joint
+    * histogram's counts, and ρ is one fixed IEEE expression over those
+    * exact sums, 4-dp rounded — bit-reproducible across partitionings and
+    * engines. Grid quantization bounds the error at ±2e-4 on ρ while
+    * keeping Σp² ≤ 1e8·n — without it the exact rank products grow as n³
+    * and overflow long at ~2e6 rows.
+    *
+    * Scale shape: ONE fact-scale hash aggregate to the (x, y) joint
+    * histogram (map-side partials; only distinct value pairs cross the
+    * exchange); marginals, prefix-sum ranks, and the final power sums all
+    * run over value-domain-bounded tables. The rank windows order a
+    * marginal histogram, never the fact table. Overflow precondition
+    * (loud): Σp·p′·c ≤ 1e8·n < 2^63 → n < 9.2×10¹⁰ rows, enforced with
+    * `raise_error` before the products; the fixed-IEEE contract
+    * additionally wants the sums exactly double-castable (< 2^53, the
+    * [[bivariateStats]] envelope) — shift the grid down a digit past that.
+    *
+    * @param x integer-valued column (quantize first; small domain best)
+    * @param y integer-valued column
+    * @return one row: (n, rho_s 4-dp)
+    */
+  def spearman(df: DataFrame, x: Column, y: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joint = df.where(x.isNotNull && y.isNotNull)
+      .groupBy(x.cast("long").as("x"), y.cast("long").as("y"))
+      .agg(count(lit(1)).as("c"))
+    // Marginal percentile-grid ranks off the bounded histograms: the
+    // window orders distinct VALUES of one column, not fact rows.
+    def gridRanks(keyCol: String, out: String): DataFrame = {
+      val h = joint.groupBy(keyCol).agg(sum("c").as("ck"))
+      val cum = sum(col("ck")).over(Window.orderBy(keyCol))
+      h.select(col(keyCol),
+          (cum * 2L - col("ck") + 1L).as("__r2"),
+          sum(col("ck")).over(Window.partitionBy()).as("__n"))
+        .select(col(keyCol),
+          expr("(__r2 * 5000) div __n").as(out))
+    }
+    val px = gridRanks("x", "px")
+    val py = gridRanks("y", "py")
+    val cells = joint.join(px, "x").join(py, "y")
+    val sums = cells.agg(
+      sum(col("c")).as("n"),
+      sum(col("px") * col("c")).as("sx"),
+      sum(col("py") * col("c")).as("sy"),
+      sum(col("px") * col("px") * col("c")).as("sxx"),
+      sum(col("py") * col("py") * col("c")).as("syy"),
+      sum(col("px") * col("py") * col("c")).as("sxy"))
+    // 1e8·n must stay under 2^63 for the weighted grid products.
+    val guarded = sums.select(
+      when(col("n") >= lit(92233720368L), raise_error(format_string(
+        "graft.StatOps.spearman overflow: n = %d pushes 1e8*n past 2^63" +
+          " — shift the percentile grid down a digit", col("n")))
+        .cast("long")).otherwise(col("n")).as("n"),
+      col("sx"), col("sy"), col("sxx"), col("syy"), col("sxy"))
+    val nD = col("n").cast("double")
+    val sx = col("sx").cast("double");  val sy = col("sy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val sxx = col("sxx").cast("double"); val syy = col("syy").cast("double")
+    val covN  = nD * sxy - sx * sy
+    val varxN = nD * sxx - sx * sx
+    val varyN = nD * syy - sy * sy
+    guarded.select(col("n"),
+      when(varxN <= 0.0 || varyN <= 0.0, lit(null).cast("double"))
+        .otherwise(CoreOps.rnd(covN / sqrt(varxN * varyN))).as("rho_s"))
+  }
 }

@@ -357,4 +357,51 @@ object TimeSeriesOps {
           .otherwise(rnd(col("__num").cast("double") /
             col("__den").cast("double"))).as("acf"))
   }
+
+  /** Inter-arrival burstiness per stream class — the traffic-shape read
+    * capacity planning and bot/anomaly screens run on an event feed: for
+    * each (entity, class) stream, consecutive-event gaps in whole seconds,
+    * rolled up per class into mean gap, squared coefficient of variation
+    * CV² = σ²/μ², and the Goh–Barabási burstiness B = (σ−μ)/(σ+μ) ∈
+    * (−1, 1) (B≈0 ⇒ Poisson memoryless; B→1 ⇒ bursty; B→−1 ⇒ periodic;
+    * Goh & Barabási 2008, EPL 81).
+    *
+    * Determinism: the gap sequence depends on event ORDER, so the lag
+    * window orders by (ts, tie-break id) — engines disagreeing on tie
+    * order would see different gaps; with the id the sequence is unique.
+    * Gaps are exact longs (floor-second epoch diffs), the class rollup
+    * accumulates (n, Σg, Σg²) as exact longs, and μ, CV², B are fixed
+    * IEEE expressions over those exact sums (σ and μ share the 1/n scale,
+    * so B = (√varN − Σg)/(√varN + Σg) needs no division by n at all).
+    *
+    * Scale shape: ONE fact-scale window keyed on (entity, class) — the
+    * natural event-log partitioning, no single-partition stage — then a
+    * hash rollup to the bounded class table. Envelope: Σg² < 2^63 (loud
+    * under ANSI); ~10⁹ gaps of a day each fit.
+    *
+    * @return per class: (n_gaps, mean_gap_s, cv2, burstiness), all 4-dp
+    */
+  def interArrivalBurstiness(df: DataFrame, entity: Column, cls: Column,
+                             ts: Column, tieBreak: Column): DataFrame = {
+    import CoreOps.rnd
+    val w = Window.partitionBy(entity, cls).orderBy(ts, tieBreak)
+    val gaps = df.where(entity.isNotNull && cls.isNotNull && ts.isNotNull)
+      .select(cls.as("cls"),
+        (unix_timestamp(ts) - lag(unix_timestamp(ts), 1).over(w)).as("g"))
+      .where(col("g").isNotNull)
+    val agged = gaps.groupBy("cls").agg(
+      count(lit(1)).as("n_gaps"),
+      sum(col("g")).as("sg"),
+      sum(col("g") * col("g")).as("sgg"))
+    val nD = col("n_gaps").cast("double")
+    val sg = col("sg").cast("double")
+    val varN = nD * col("sgg").cast("double") - sg * sg // n²·σ² (ddof=0)
+    agged.select(col("cls"), col("n_gaps"),
+      rnd(sg / nD).as("mean_gap_s"),
+      when(col("sg") === 0L, lit(null).cast("double"))
+        .otherwise(rnd(varN / (sg * sg))).as("cv2"),
+      when(col("sg") === 0L, lit(null).cast("double"))
+        .otherwise(rnd((sqrt(varN) - sg) / (sqrt(varN) + sg)))
+        .as("burstiness"))
+  }
 }

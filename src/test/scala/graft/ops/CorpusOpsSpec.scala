@@ -501,4 +501,24 @@ class CorpusOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](search(docs, Seq("abc", "abc")))
     intercept[IllegalArgumentException](search(docs, Seq.empty))
   }
+
+  test("zipfFit: exact 1/rank spectrum fits slope −1 with R² 1") {
+    import spark.implicits._
+    // counts (6, 3, 2) over ranks (1, 2, 3) are cnt = 6/rank exactly, so
+    // ln(cnt) = ln6 − ln(rank) and the micro-quantized points stay
+    // EXACTLY collinear (0+1791759 = 693147+1098612 = 1098612+693147):
+    // slope −1, R² 1, intercept ln6 → 1.7918.
+    val docs = Seq((1L, "a a a a a a b b b c c")).toDF("doc_id", "text")
+    val got = CorpusOps.zipfFit(docs, "text", k = 3)
+      .as[(Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(got === ((3L, Some(-1.0), Some(1.7918), Some(1.0))))
+    // degenerate: a single rank has zero x-variance → null fit, loud k
+    intercept[IllegalArgumentException](CorpusOps.zipfFit(docs, "text", 2))
+    val one = CorpusOps.zipfFit(
+      Seq((1L, "x x")).toDF("doc_id", "text"), "text", 3)
+      .as[(Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(one === ((1L, None, None, None)))
+  }
 }

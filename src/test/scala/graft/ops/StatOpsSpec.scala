@@ -284,4 +284,39 @@ class StatOpsSpec extends SparkTestBase {
     val r = StatOps.miFromJoint(ok).collect().head
     assert(r.getLong(0) === 3000000000L && r.getDouble(2) === 0.6931)
   }
+
+  test("spearman: monotone nonlinear hits ±1; Pearson on the same data does not") {
+    val cubic = Seq((1L, 1L), (2L, 8L), (3L, 27L), (4L, 64L), (5L, 125L))
+      .toDF("x", "y")
+    val up = StatOps.spearman(cubic, col("x"), col("y"))
+      .as[(Long, Option[Double])].collect().head
+    assert(up === ((5L, Some(1.0))))
+    val down = StatOps.spearman(cubic.select(col("x"), (-col("y")).as("y")),
+      col("x"), col("y")).as[(Long, Option[Double])].collect().head
+    assert(down._2.get <= -0.9999)
+    // Pearson on the cubic is strictly below 1 — the monotone blind spot
+    // spearman exists to cover.
+    val p = StatOps.bivariateStats(cubic.withColumn("g", lit("a")),
+      col("g"), col("x"), col("y")).select("pearson_r")
+      .as[Option[Double]].collect().head.get
+    assert(p < 1.0 && p > 0.9)
+  }
+
+  test("spearman: tie midranks match the hand-computed textbook value") {
+    // (x,y): (1,2),(1,4),(2,6),(3,6),(3,1) — x midranks (1.5,1.5,3,4.5,4.5),
+    // y midranks (2,3,4.5,4.5,1). Grid p = r2·1000 exactly (n=5 divides),
+    // so grid rho == exact tie-aware Spearman = 15/√(180·190) ≈ 0.0811.
+    val df = Seq((1L, 2L), (1L, 4L), (2L, 6L), (3L, 6L), (3L, 1L)).toDF("x", "y")
+    val out = StatOps.spearman(df, col("x"), col("y"))
+      .as[(Long, Option[Double])].collect().head
+    assert(out === ((5L, Some(0.0811))))
+  }
+
+  test("spearman: constant column yields null rho; nulls drop before ranking") {
+    val df = Seq((Some(1L), Some(7L)), (Some(2L), Some(7L)),
+      (Some(3L), Some(7L)), (None, Some(9L)), (Some(4L), None)).toDF("x", "y")
+    val out = StatOps.spearman(df, col("x"), col("y"))
+      .as[(Long, Option[Double])].collect().head
+    assert(out === ((3L, None)))
+  }
 }

@@ -313,4 +313,25 @@ class TimeSeriesOpsSpec extends SparkTestBase {
       .as[(Long, Long, Option[Double])].collect().toSeq
     assert(flat === Seq((1L, 1L, None)))
   }
+
+  test("interArrivalBurstiness: hand-computed gaps, per-stream isolation") {
+    import spark.implicits._
+    // user 1 type a at 0,10,30,40 → gaps (10,20,10): n=3 Σg=40 Σg²=600,
+    // varN=200, mean=13.3333, cv2=0.125, B=(√200−40)/(√200+40)=−0.4776.
+    // user 2 type a contributes NO gap (single event — streams isolate).
+    // type b at 0,5 → one gap 5: varN=0 → cv2=0, B=−1.
+    val ev = Seq(
+      (1L, "a", 0L, 1L), (1L, "a", 10L, 2L), (1L, "a", 30L, 3L),
+      (1L, "a", 40L, 4L), (2L, "a", 99L, 5L),
+      (1L, "b", 0L, 6L), (1L, "b", 5L, 7L))
+      .toDF("user_id", "event_type", "sec", "event_id")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = TimeSeriesOps.interArrivalBurstiness(ev, col("user_id"),
+      col("event_type"), col("ts"), col("event_id")).orderBy("cls")
+      .as[(String, Long, Double, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(got === Seq(
+      ("a", 3L, 13.3333, Some(0.125), Some(-0.4776)),
+      ("b", 1L, 5.0, Some(0.0), Some(-1.0))))
+  }
 }
