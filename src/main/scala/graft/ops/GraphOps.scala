@@ -295,4 +295,95 @@ object GraphOps {
     val e = canonicalEdges(edges, aCol, bCol)
     pageRanksOf(e, nodeDegrees(e), iterations)
   }
+
+  /** k-core decomposition (fixed k): iteratively peel nodes of degree
+    * < k until the graph stabilizes — what survives is the maximal
+    * subgraph where EVERY node keeps ≥ k within-subgraph neighbors, the
+    * standard cohesive-community / spam-farm / "dense cluster worth
+    * curating" extractor (Seidman 1983). Degree alone overcounts
+    * cohesion (a hub touching k leaves has degree k but zero cohesion);
+    * the core demands mutual support and the peel provably finds it.
+    *
+    * The peel is a MONOTONE fixpoint: each round only removes, so
+    * convergence is guaranteed and any extra rounds no-op. The engine
+    * runs to the fixpoint and FAILS LOUDLY if `maxPeels` rounds did not
+    * reach it (an oracle unrolling exactly `maxPeels` peels is then
+    * textually identical to the fixpoint — the property that makes an
+    * iterative algorithm hash-gradeable at all).
+    *
+    * Plan shape per round: one degree hash-aggregate (node key) + two
+    * semi-joins of the edge list against the surviving-node table (node
+    * keys) — edge-scale work, node-scale state, the surviving edge list
+    * localCheckpointed so lineage stays flat across rounds (the same
+    * iterative-plan discipline as [[pageRanksOf]]). The per-round driver
+    * count is one scalar (the fixpoint test), not data.
+    *
+    * @return (node, core_degree) for k-core members — within-core degree,
+    *         ≥ k by construction
+    */
+  def kCoreOf(e: DataFrame, k: Long, maxPeels: Int = 10): DataFrame = {
+    require(k >= 1, s"k=$k must be positive")
+    require(maxPeels >= 1, s"maxPeels=$maxPeels must be positive")
+    var cur = e.select(col("u"), col("v")).localCheckpoint(true)
+    var m = cur.count()
+    var stable = false
+    var rounds = 0
+    while (!stable && rounds < maxPeels) {
+      val keep = nodeDegrees(cur).where(col("d") >= k).select(col("n"))
+      val next = cur
+        .join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+      val m2 = next.count()
+      stable = m2 == m
+      m = m2
+      cur = next
+      rounds += 1
+    }
+    require(stable || m == 0L,
+      s"k-core peel did not converge within $maxPeels rounds — raise" +
+        " maxPeels (the oracle unroll must cover the fixpoint)")
+    nodeDegrees(cur)
+      .select(col("n").as("node"), col("d").as("core_degree"))
+  }
+
+  /** Bounded-depth BFS from the graph's max-degree hub (ties to the
+    * smallest id): `(node, hop)` for every node within `maxHops` of the
+    * source — the influence-radius / contamination-spread read
+    * ("everything 2 hops from a known-bad node"), and the cheapest
+    * structural health check a graph snapshot gets (how much of the
+    * graph does the hub reach, how fast).
+    *
+    * Bounded depth IS the semantics (not a truncated approximation):
+    * production reachability queries are radius-bounded exactly like
+    * this, which also makes the op hash-gradeable by an oracle that
+    * unrolls `maxHops` frontier expansions as chained CTEs.
+    *
+    * Plan shape per hop: frontier⋈adjacency equi-join on the source node
+    * + a min-hop hash aggregate — frontier-scale work, visited-set
+    * state, localCheckpointed per round. The deterministic source pick
+    * reduces the degree table to ONE row (max d, min id) before anything
+    * else runs.
+    *
+    * @return (node, hop), hop 0 = the source, ordered by caller
+    */
+  def bfsHopsOf(e: DataFrame, deg: DataFrame, maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 1, s"maxHops=$maxHops must be positive")
+    val adj = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+    val source = deg.orderBy(col("d").desc, col("n")).limit(1)
+    var dist = source.select(col("n"), lit(0L).as("hop"))
+      .localCheckpoint(true)
+    for (r <- 1 to maxHops) {
+      val frontier = dist.where(col("hop") === (r - 1).toLong)
+        .select(col("n").as("src"))
+      val reached = adj.join(frontier, "src")
+        .select(col("dst").as("n"), lit(r.toLong).as("hop"))
+      dist = dist.unionAll(reached)
+        .groupBy("n").agg(min(col("hop")).as("hop"))
+        .localCheckpoint(true)
+    }
+    dist.select(col("n").as("node"), col("hop"))
+  }
 }

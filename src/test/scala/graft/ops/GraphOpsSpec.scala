@@ -166,4 +166,44 @@ class GraphOpsSpec extends SparkTestBase {
       .map { case (n, _, r) => n -> r }.toMap
     assert(got === prBrute(edges, 3))
   }
+
+  test("kCoreOf: pendants and chains peel away, the triangle survives k=2") {
+    // triangle {1,2,3} + pendant 4−1 + disconnected chain 5−6: k=2 peels
+    // 4 (deg 1), then nothing more — 1 keeps degree 2 inside the core;
+    // the chain dies entirely. Core degrees are WITHIN-core.
+    val e = GraphOps.canonicalEdges(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 1L), (5L, 6L)).toDF("a", "b"),
+      "a", "b")
+    val got = GraphOps.kCoreOf(e, k = 2).orderBy("node")
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    // k=3 empties the triangle (all within-degrees are 2)
+    assert(GraphOps.kCoreOf(e, k = 3).count() === 0L)
+  }
+
+  test("kCoreOf: cascade peeling converges; too-few maxPeels fails loudly") {
+    // path 1−2−3−4−5 under k=2 peels one layer per round from both ends:
+    // round 1 drops {1,5}, round 2 drops {2,4}, round 3 drops 3 → empty.
+    val path = GraphOps.canonicalEdges(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b"), "a", "b")
+    assert(GraphOps.kCoreOf(path, k = 2, maxPeels = 5).count() === 0L)
+    val e = intercept[IllegalArgumentException](
+      GraphOps.kCoreOf(path, k = 2, maxPeels = 1))
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("bfsHopsOf: hub source (max degree, min id), hop truncation exact") {
+    // edges 1−2, 1−3, 3−4, 4−5: degrees 1:2, 3:2, 4:2, 2:1, 5:1 — the
+    // (d desc, n) source pick is node 1; hops 0/1/1/2/3.
+    val e = GraphOps.canonicalEdges(
+      Seq((1L, 2L), (1L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b"), "a", "b")
+    val deg = GraphOps.nodeDegrees(e)
+    val full = GraphOps.bfsHopsOf(e, deg, maxHops = 4).orderBy("node")
+      .as[(Long, Long)].collect().toSeq
+    assert(full === Seq((1L, 0L), (2L, 1L), (3L, 1L), (4L, 2L), (5L, 3L)))
+    // radius 2 truncates node 5 — bounded depth is the semantics
+    val r2 = GraphOps.bfsHopsOf(e, deg, maxHops = 2).orderBy("node")
+      .as[(Long, Long)].collect().toSeq
+    assert(r2 === Seq((1L, 0L), (2L, 1L), (3L, 1L), (4L, 2L)))
+  }
 }
