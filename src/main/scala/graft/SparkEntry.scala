@@ -1384,6 +1384,28 @@ object SparkEntry {
         .withColumnRenamed("g", "l_returnflag")
         .orderBy("l_returnflag")),
 
+    // Weekly revenue mean with a bootstrap 90% band: 100 deterministic
+    // half-samples per week via a pure (orderkey, replicate) hash — no
+    // RNG state, so both engines draw identical samples. The fan-out is
+    // map-side and reduces straight to (week, replicate) partials;
+    // shuffled volume is weeks×100 rows, never 100× the fact table.
+    "bootstrap_ci_weekly" -> ((s, d) =>
+      StatOps.bootstrapMeanCi(Tables.orders(s, d),
+        CoreOps.weekStart(col("o_orderdate")), col("o_orderkey"),
+        CoreOps.moneyCents(col("o_totalprice")))
+        .withColumnRenamed("g", "week")
+        .orderBy("week")),
+
+    // RFM customer-value grid: per-customer recency/frequency/monetary,
+    // each scored 1-5 against EXACT population quintiles (histogram +
+    // prefix-sum thresholds — no sketch), rolled to the ≤125-cell grid.
+    // One fact-scale exchange to the customer table; thresholds
+    // broadcast back; scoring map-only.
+    "rfm_segments" -> ((s, d) =>
+      EventAnalytics.rfmSegments(Tables.orders(s, d), col("o_custkey"),
+        col("o_orderdate"), CoreOps.moneyCents(col("o_totalprice")))
+        .orderBy("r_score", "f_score", "m_score")),
+
     // Spearman rank correlation of quantity vs price: the monotone /
     // robust companion to corr_regression's Pearson. Tie-aware midranks
     // off the marginal histograms' prefix sums, snapped to a 1e4
@@ -3773,6 +3795,76 @@ object SparkEntry {
         |  CASE WHEN n = 1 OR varxn <= 0 OR varyn <= 0 THEN NULL
         |       ELSE floor((covn * covn / (varxn * varyn)) * 10000 + 0.5) / 10000 END AS r2
         |FROM e ORDER BY 1""".stripMargin,
+    // Bootstrap replay: identical multiplicative-hash membership,
+    // identical IEEE replicate means, identical ⌈q·cnt⌉ rank picks.
+    "bootstrap_ci_weekly" ->
+      """WITH base AS (SELECT date_trunc('week', o_orderdate) AS g, o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        |  FROM orders WHERE o_orderdate IS NOT NULL AND o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL),
+        |m AS (SELECT g, b, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s
+        |  FROM base, range(100) t(b)
+        |  WHERE ((k * 100 + b) * 2654435761) % 4294967296 >= 2147483648 GROUP BY 1, 2),
+        |r AS (SELECT g, b, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mn,
+        |    row_number() OVER (PARTITION BY g ORDER BY CAST(s AS DOUBLE) / CAST(n AS DOUBLE), b) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS cnt FROM m),
+        |ci AS (SELECT g, CAST(max(cnt) AS BIGINT) AS n_reps,
+        |    max(CASE WHEN rn = greatest(1, ceil(0.05 * cnt)) THEN mn END) AS lo,
+        |    max(CASE WHEN rn = ceil(0.95 * cnt) THEN mn END) AS hi FROM r GROUP BY 1),
+        |f AS (SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s FROM base GROUP BY 1)
+        |SELECT f.g AS week, f.n,
+        |  floor((CAST(f.s AS DOUBLE) / CAST(f.n AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS mean,
+        |  floor((ci.lo / 100.0) * 10000 + 0.5) / 10000 AS ci_lo,
+        |  floor((ci.hi / 100.0) * 10000 + 0.5) / 10000 AS ci_hi,
+        |  coalesce(ci.n_reps, 0) AS n_reps
+        |FROM f LEFT JOIN ci USING (g) ORDER BY week""".stripMargin,
+    // RFM replay: identical rank-⌈q·n⌉ thresholds off each metric's value
+    // histogram prefix sum, identical `1 + Σ(v > p)` comparisons (ties at
+    // a threshold share a bucket by construction), recency inverted.
+    "rfm_segments" ->
+      """WITH c AS (SELECT o_custkey AS cust, max(CAST(o_orderdate AS DATE)) AS last_d,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS monetary
+        |  FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        |  GROUP BY 1),
+        |a AS (SELECT max(last_d) AS anchor FROM c),
+        |r AS MATERIALIZED (SELECT cust, CAST(date_diff('day', last_d, anchor) AS BIGINT) AS recency_d,
+        |    frequency, monetary FROM c, a),
+        |tr AS (SELECT min(CASE WHEN cum >= ceil(0.2 * n) THEN v END) AS p20,
+        |    min(CASE WHEN cum >= ceil(0.4 * n) THEN v END) AS p40,
+        |    min(CASE WHEN cum >= ceil(0.6 * n) THEN v END) AS p60,
+        |    min(CASE WHEN cum >= ceil(0.8 * n) THEN v END) AS p80
+        |  FROM (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, sum(cnt) OVER () AS n
+        |    FROM (SELECT recency_d AS v, count(*) AS cnt FROM r GROUP BY 1))),
+        |tf AS (SELECT min(CASE WHEN cum >= ceil(0.2 * n) THEN v END) AS p20,
+        |    min(CASE WHEN cum >= ceil(0.4 * n) THEN v END) AS p40,
+        |    min(CASE WHEN cum >= ceil(0.6 * n) THEN v END) AS p60,
+        |    min(CASE WHEN cum >= ceil(0.8 * n) THEN v END) AS p80
+        |  FROM (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, sum(cnt) OVER () AS n
+        |    FROM (SELECT frequency AS v, count(*) AS cnt FROM r GROUP BY 1))),
+        |tm AS (SELECT min(CASE WHEN cum >= ceil(0.2 * n) THEN v END) AS p20,
+        |    min(CASE WHEN cum >= ceil(0.4 * n) THEN v END) AS p40,
+        |    min(CASE WHEN cum >= ceil(0.6 * n) THEN v END) AS p60,
+        |    min(CASE WHEN cum >= ceil(0.8 * n) THEN v END) AS p80
+        |  FROM (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, sum(cnt) OVER () AS n
+        |    FROM (SELECT monetary AS v, count(*) AS cnt FROM r GROUP BY 1))),
+        |s AS (SELECT monetary,
+        |    6 - (1 + CASE WHEN recency_d > tr.p20 THEN 1 ELSE 0 END
+        |           + CASE WHEN recency_d > tr.p40 THEN 1 ELSE 0 END
+        |           + CASE WHEN recency_d > tr.p60 THEN 1 ELSE 0 END
+        |           + CASE WHEN recency_d > tr.p80 THEN 1 ELSE 0 END) AS r_score,
+        |    1 + CASE WHEN frequency > tf.p20 THEN 1 ELSE 0 END
+        |      + CASE WHEN frequency > tf.p40 THEN 1 ELSE 0 END
+        |      + CASE WHEN frequency > tf.p60 THEN 1 ELSE 0 END
+        |      + CASE WHEN frequency > tf.p80 THEN 1 ELSE 0 END AS f_score,
+        |    1 + CASE WHEN monetary > tm.p20 THEN 1 ELSE 0 END
+        |      + CASE WHEN monetary > tm.p40 THEN 1 ELSE 0 END
+        |      + CASE WHEN monetary > tm.p60 THEN 1 ELSE 0 END
+        |      + CASE WHEN monetary > tm.p80 THEN 1 ELSE 0 END AS m_score
+        |  FROM r, tr, tf, tm)
+        |SELECT CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+        |  CAST(m_score AS BIGINT) AS m_score, CAST(count(*) AS BIGINT) AS n_customers,
+        |  floor((CAST(sum(monetary) AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS total_monetary
+        |FROM s GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score""".stripMargin,
     // Spearman replay: midranks off marginal prefix sums (exact integers),
     // one floor division onto the percentile grid, exact weighted power
     // sums over the joint histogram, one fixed IEEE rho at the end.

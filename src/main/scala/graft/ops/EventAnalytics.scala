@@ -185,4 +185,67 @@ object EventAnalytics {
         coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
         coalesce(col("n_churned"), lit(0L)).as("n_churned"))
   }
+
+  /** RFM segmentation — the classic customer-value grid (recency /
+    * frequency / monetary, each scored 1–5 by population quintile;
+    * Hughes 1994): per entity, days since last transaction, transaction
+    * count, and total spend, each bucketed against the EXACT population
+    * quintile thresholds, then rolled up per (r, f, m) cell. The
+    * marketing/churn-targeting read every transactional warehouse ships.
+    *
+    * Determinism: thresholds come from
+    * [[ScaleOps.exactQuantilesByHistogram]] (rank ⌈q·n⌉ off the value
+    * histogram's prefix sum — no sketch, no sort); scores are pure
+    * comparisons `1 + Σ (v > p_q)` against those exact thresholds, so
+    * ties at a threshold land in the same bucket on every engine.
+    * Recency inverts (`6 − score`): most-recent must read 5.
+    *
+    * Scale shape: ONE fact-scale hash aggregate to the per-entity table;
+    * each metric's quantile runs the histogram + distributed-prefix-sum
+    * path (value-domain-bounded, no single-partition sort); the three
+    * 1-row threshold frames broadcast back and scoring is map-only; the
+    * final rollup has ≤125 groups. Monetary must already be integer
+    * (cents); recency is whole days against the corpus max date.
+    *
+    * @return (r_score, f_score, m_score, n_customers, total_monetary)
+    *         — monetary re-scaled to whole units (cents/100), 4-dp
+    */
+  def rfmSegments(df: DataFrame, keyCol: Column, dateCol: Column,
+                  amountCents: Column): DataFrame = {
+    val cust = df
+      .where(keyCol.isNotNull && dateCol.isNotNull && amountCents.isNotNull)
+      .groupBy(keyCol.as("cust"))
+      .agg(max(dateCol.cast("date")).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(amountCents).as("monetary"))
+    val anchor = cust.agg(max(col("__last")).as("__anchor"))
+    val rfm = cust.crossJoin(broadcast(anchor))
+      .select(col("cust"),
+        datediff(col("__anchor"), col("__last")).cast("long").as("recency_d"),
+        col("frequency"), col("monetary"))
+      .localCheckpoint(true) // consumed 4× (3 histograms + scoring)
+    val qs = Seq(0.2, 0.4, 0.6, 0.8)
+    def thresholds(metric: String, pfx: String): DataFrame =
+      ScaleOps.exactQuantilesByHistogram(rfm, col(metric), qs)
+        .select(qs.map(q => col(s"p${math.round(q * 100)}")
+          .as(s"${pfx}_p${math.round(q * 100)}")): _*)
+    def score(v: Column, pfx: String): Column =
+      lit(1L) +
+        (v > col(s"${pfx}_p20")).cast("long") +
+        (v > col(s"${pfx}_p40")).cast("long") +
+        (v > col(s"${pfx}_p60")).cast("long") +
+        (v > col(s"${pfx}_p80")).cast("long")
+    rfm
+      .crossJoin(broadcast(thresholds("recency_d", "r")))
+      .crossJoin(broadcast(thresholds("frequency", "f")))
+      .crossJoin(broadcast(thresholds("monetary", "m")))
+      .select(col("cust"), col("monetary"),
+        (lit(6L) - score(col("recency_d"), "r")).as("r_score"),
+        score(col("frequency"), "f").as("f_score"),
+        score(col("monetary"), "m").as("m_score"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        CoreOps.rnd(sum(col("monetary")).cast("double") / 100.0)
+          .as("total_monetary"))
+  }
 }

@@ -434,6 +434,78 @@ object StatOps {
           sum(col("n")).over(Window.partitionBy()).cast("double")).as("share"))
   }
 
+  /** Half-sample bootstrap confidence interval for the per-group mean —
+    * the distribution-free error bar a metrics pipeline attaches to its
+    * weekly aggregates: `reps` deterministic half-samples per group, each
+    * replicate's mean, and the empirical [loQ, hiQ] band of those means
+    * (Efron 1979's percentile method over half-sampling — the
+    * "bag of little bootstraps"-style variant that needs no row
+    * duplication, only membership tests).
+    *
+    * Determinism is the whole design: replicate membership is a PURE
+    * FUNCTION of (row key, replicate id) — the Knuth multiplicative hash
+    * `((k·reps + b) · 2654435761) mod 2^32`, row included in replicate b
+    * iff the hash lands in the top half — so every engine draws the SAME
+    * "random" samples with no RNG state anywhere. Replicate means are one
+    * fixed IEEE division of exact long sums; the band picks ranks
+    * ⌈q·cnt⌉ (tie-break by replicate id), so ordering is identical
+    * everywhere.
+    *
+    * Scale shape: the replicate fan-out is generated MAP-SIDE (explode of
+    * a `reps`-element sequence) and immediately reduced by the hash
+    * aggregate to (group, replicate) partials — the shuffled volume is
+    * |groups|·reps rows, never reps× the fact table. The rank window
+    * partitions by group over the reps-bounded replicate table. Overflow
+    * envelope (loud under ANSI): (k·reps + reps)·2654435761 < 2^63 →
+    * k·reps < 3.4×10⁹ — shard the key space past that.
+    *
+    * @param key stable row identity (drives membership; cast to long)
+    * @return per group: (n, mean, ci_lo, ci_hi, n_reps), money rescaled
+    *         /100 and 4-dp rounded
+    */
+  def bootstrapMeanCi(df: DataFrame, group: Column, key: Column,
+                      valueCents: Column, reps: Int = 100,
+                      loQ: Double = 0.05, hiQ: Double = 0.95): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(reps >= 2, s"reps=$reps must be at least 2")
+    require(loQ > 0 && hiQ <= 1 && loQ < hiQ,
+      s"quantile band ($loQ, $hiQ) must satisfy 0 < lo < hi <= 1")
+    val base = df
+      .where(group.isNotNull && key.isNotNull && valueCents.isNotNull)
+      .select(group.as("g"), key.cast("long").as("k"),
+        valueCents.cast("long").as("v"))
+    val repMembers = base
+      .select(col("g"), col("k"), col("v"),
+        explode(sequence(lit(0), lit(reps - 1))).as("__b"))
+      .select(col("g"), col("k"), col("v"), col("__b").cast("long").as("b"))
+      .where(((col("k") * lit(reps.toLong) + col("b")) * lit(2654435761L))
+        % lit(4294967296L) >= lit(2147483648L))
+    val repMeans = repMembers.groupBy("g", "b")
+      .agg(count(lit(1)).as("__n"), sum(col("v")).as("__s"))
+      .select(col("g"), col("b"),
+        (col("__s").cast("double") / col("__n").cast("double")).as("__m"))
+    val w = Window.partitionBy("g")
+    val ranked = repMeans
+      .withColumn("__rn", row_number().over(
+        w.orderBy(col("__m"), col("b"))))
+      .withColumn("__cnt", count(lit(1)).over(w))
+    val ci = ranked.groupBy("g").agg(
+      max(col("__cnt")).as("n_reps"),
+      max(when(col("__rn") === greatest(lit(1L),
+        ceil(lit(loQ) * col("__cnt"))), col("__m"))).as("__lo"),
+      max(when(col("__rn") === ceil(lit(hiQ) * col("__cnt")),
+        col("__m"))).as("__hi"))
+    base.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("__s"))
+      .join(ci, Seq("g"), "left")
+      .select(col("g"), col("n"),
+        CoreOps.rnd(col("__s").cast("double") / col("n").cast("double")
+          / lit(100.0)).as("mean"),
+        CoreOps.rnd(col("__lo") / lit(100.0)).as("ci_lo"),
+        CoreOps.rnd(col("__hi") / lit(100.0)).as("ci_hi"),
+        coalesce(col("n_reps"), lit(0L)).as("n_reps"))
+  }
+
   /** Spearman rank correlation — tie-aware average ranks on a fixed
     * 1e4-unit percentile grid: the monotone-association read Pearson
     * ([[bivariateStats]]) misses when the relationship is nonlinear, and

@@ -143,4 +143,29 @@ class EventAnalyticsSpec extends SparkTestBase {
       (d("2024-01-15"), 0L, 0L, 0L, 1L),
       (d("2024-01-22"), 1L, 0L, 1L, 0L)))
   }
+
+  test("rfmSegments: hand-computed quintile grid on 5 separated customers") {
+    import spark.implicits._
+    // Customers 1..5: frequency 1..5, monetary 100..500 cents, last
+    // dates 01-01..01-05 → recency 4..0. n=5: the IEEE products q·5 all
+    // round to the exact integers (e.g. 0.2·5 → 1.0), so the ⌈q·n⌉ picks
+    // are ranks (1,2,3,4) — thresholds are each metric's first four
+    // order statistics and every customer lands on the diagonal:
+    // customer c scores (c, c, c) with recency inverted into alignment.
+    val rows = (1 to 5).flatMap { c =>
+      (1 to c).map(i => (c.toLong, s"2020-01-0$c", 1.0))
+    }
+    val df = rows.toDF("cust", "ds", "amt")
+      .withColumn("d", col("ds").cast("timestamp"))
+    val got = EventAnalytics.rfmSegments(df, col("cust"), col("d"),
+      graft.ops.CoreOps.moneyCents(col("amt")))
+      .orderBy("r_score", "f_score", "m_score")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 1L, 1L, 1.0),
+      (2L, 2L, 2L, 1L, 2.0),
+      (3L, 3L, 3L, 1L, 3.0),
+      (4L, 4L, 4L, 1L, 4.0),
+      (5L, 5L, 5L, 1L, 5.0)))
+  }
 }

@@ -285,6 +285,31 @@ class StatOpsSpec extends SparkTestBase {
     assert(r.getLong(0) === 3000000000L && r.getDouble(2) === 0.6931)
   }
 
+  test("bootstrapMeanCi: matches a driver-side replay of the hash draw") {
+    // 200 rows, one group, value == key cents. Replay the EXACT membership
+    // function and rank picks in plain Scala; the engine must agree on
+    // every field — no tolerance, the draw is deterministic by design.
+    val reps = 20
+    val rows = (1L to 200L).map(k => ("w1", k, k))
+    val df = rows.toDF("g", "k", "v")
+    val got = StatOps.bootstrapMeanCi(df, col("g"), col("k"), col("v"),
+      reps = reps).as[(String, Long, Double, Option[Double],
+        Option[Double], Long)].collect().head
+    val means = (0 until reps).flatMap { b =>
+      val in = rows.map(_._2)
+        .filter(k => ((k * reps + b) * 2654435761L) % 4294967296L >= 2147483648L)
+      if (in.isEmpty) None
+      else Some((in.sum.toDouble / in.size, b))
+    }.sorted
+    def rnd(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val lo = means(math.max(1, math.ceil(0.05 * means.size).toInt) - 1)._1
+    val hi = means(math.ceil(0.95 * means.size).toInt - 1)._1
+    assert(got === (("w1", 200L, rnd(100.5 / 100.0),
+      Some(rnd(lo / 100.0)), Some(rnd(hi / 100.0)), means.size.toLong)))
+    // the band is a real interval around the mean on this symmetric data
+    assert(got._4.get < got._3 && got._3 < got._5.get)
+  }
+
   test("spearman: monotone nonlinear hits ±1; Pearson on the same data does not") {
     val cubic = Seq((1L, 1L), (2L, 8L), (3L, 27L), (4L, 64L), (5L, 125L))
       .toDF("x", "y")
