@@ -1265,6 +1265,30 @@ object SparkEntry {
         col("week"), col("rev_cents"), maxLag = 6)
         .orderBy("lag")),
 
+    // Theil–Sen robust trend of the same weekly revenue series: median
+    // of pairwise slopes (29% breakdown point vs OLS's single-outlier
+    // fragility), then the median-residual intercept. All medians pick
+    // deterministic ranks over engine-identical IEEE slopes; the O(n²)
+    // pair frame lives on the bounded weekly series only.
+    "theil_sen_trend" -> ((s, d) =>
+      TimeSeriesOps.theilSen(
+        Tables.orders(s, d)
+          .groupBy(CoreOps.weekStart(col("o_orderdate")).as("week"))
+          .agg(sum(CoreOps.moneyCents(col("o_totalprice"))).as("rev_cents")),
+        col("week"), col("rev_cents"))),
+
+    // Kendall τ-b between weekly revenue and weekly order count: the
+    // tie-corrected concordance read completing the rank-association
+    // family (Spearman = grid-rank Pearson, Mann–Kendall = τ vs time).
+    // Exact integer C/D/tie counts; one IEEE τ at the end.
+    "kendall_tau_weekly" -> ((s, d) =>
+      StatOps.kendallTau(
+        Tables.orders(s, d)
+          .groupBy(CoreOps.weekStart(col("o_orderdate")).as("week"))
+          .agg(sum(CoreOps.moneyCents(col("o_totalprice"))).as("rev_cents"),
+            count(lit(1)).as("n_orders")),
+        col("rev_cents"), col("n_orders"))),
+
     // Inter-arrival burstiness per event type: consecutive-event gaps per
     // (user, type) stream — the lag window keyed on the natural event-log
     // partitioning, (ts, event_id)-ordered so the gap sequence is unique
@@ -3254,6 +3278,19 @@ object SparkEntry {
         .select(col("n").as("n_parents"), col("p50"), col("p99"),
           col("fan_max"))
     }),
+    // Header/detail double-entry audit: does each order's stated total
+    // equal the sum of its lines' computed amounts (price·(1+tax)·
+    // (1−discount), quantized once at source)? One detail aggregate +
+    // one header join, both on the order key; the verdict row reports
+    // match/mismatch/orphan counts and drift magnitude — the fixture's
+    // header totals are INDEPENDENT of its lines, so the audit must
+    // report zero matches honestly, not fabricate agreement.
+    "order_reconcile" -> ((s, d) =>
+      DqOps.headerDetailReconcile(Tables.orders(s, d), Tables.lineitem(s, d),
+        "o_orderkey", "l_orderkey",
+        CoreOps.moneyCents(col("o_totalprice")),
+        CoreOps.moneyCents(col("l_extendedprice") *
+          (lit(1) + col("l_tax")) * (lit(1) - col("l_discount"))))),
 
     "weekly_quantiles_histogram" -> ((s, d) => {
       import CoreOps.rnd
@@ -3652,6 +3689,79 @@ object SparkEntry {
         |  CASE WHEN de.den = 0 THEN NULL
         |       ELSE floor(CAST(num AS DOUBLE) / CAST(de.den AS DOUBLE) * 10000 + 0.5) / 10000 END AS acf
         |FROM l CROSS JOIN de ORDER BY lag""".stripMargin,
+    // Theil–Sen replay: same dense-rank positions, same IEEE pairwise
+    // slopes, same ⌈m/2⌉ / ⌈m/2⌉+1 median picks (odd counts collapse the
+    // two ranks onto the middle).
+    "theil_sen_trend" ->
+      """WITH s0 AS (SELECT date_trunc('week', o_orderdate) AS w,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |s AS MATERIALIZED (SELECT row_number() OVER (ORDER BY w) AS x, v FROM s0
+        |  WHERE w IS NOT NULL AND v IS NOT NULL),
+        |p AS (SELECT a.x AS xa, b.x AS xb,
+        |    CAST(b.v - a.v AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS sl
+        |  FROM s a JOIN s b ON a.x < b.x),
+        |pr AS (SELECT sl, row_number() OVER (ORDER BY sl, xa, xb) AS rn,
+        |    count(*) OVER () AS cnt FROM p),
+        |sm AS (SELECT CAST(max(cnt) AS BIGINT) AS n_pairs,
+        |    max(CASE WHEN rn = ceil(CAST(cnt AS DOUBLE) / 2.0) THEN sl END) AS m1,
+        |    max(CASE WHEN rn = ceil(CAST(cnt AS DOUBLE) / 2.0) + (1 - cnt % 2) THEN sl END) AS m2
+        |  FROM pr),
+        |sv AS (SELECT n_pairs, (m1 + m2) / 2.0 AS slope FROM sm),
+        |res AS (SELECT s.x, CAST(s.v AS DOUBLE) - sv.slope * CAST(s.x AS DOUBLE) AS r FROM s, sv),
+        |rr AS (SELECT r, row_number() OVER (ORDER BY r, x) AS rn,
+        |    count(*) OVER () AS cnt FROM res),
+        |im AS (SELECT max(CASE WHEN rn = ceil(CAST(cnt AS DOUBLE) / 2.0) THEN r END) AS m1,
+        |    max(CASE WHEN rn = ceil(CAST(cnt AS DOUBLE) / 2.0) + (1 - cnt % 2) THEN r END) AS m2
+        |  FROM rr),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s)
+        |SELECT n, n_pairs,
+        |  floor(sv.slope * 10000 + 0.5) / 10000 AS slope,
+        |  floor(((im.m1 + im.m2) / 2.0) * 10000 + 0.5) / 10000 AS intercept
+        |FROM nn, sv, im""".stripMargin,
+    // Kendall replay: identical sign products (enumeration-free — pair
+    // orientation cancels in the product), identical integer tie counts.
+    "kendall_tau_weekly" ->
+      """WITH s0 AS (SELECT date_trunc('week', o_orderdate) AS w,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |s AS MATERIALIZED (SELECT x, y FROM s0 WHERE x IS NOT NULL AND y IS NOT NULL),
+        |r AS MATERIALIZED (SELECT x, y, row_number() OVER (ORDER BY x, y) AS rn FROM s),
+        |p AS (SELECT (CASE WHEN b.x - a.x > 0 THEN 1 WHEN b.x - a.x < 0 THEN -1 ELSE 0 END) *
+        |    (CASE WHEN b.y - a.y > 0 THEN 1 WHEN b.y - a.y < 0 THEN -1 ELSE 0 END) AS pr
+        |  FROM r a JOIN r b ON a.rn < b.rn),
+        |cd AS (SELECT CAST(coalesce(sum(CASE WHEN pr = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS concordant,
+        |    CAST(coalesce(sum(CASE WHEN pr = -1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS discordant FROM p),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+        |tx AS (SELECT CAST(coalesce(sum(t * (t - 1)), 0) // 2 AS BIGINT) AS tx
+        |  FROM (SELECT count(*) AS t FROM s GROUP BY x)),
+        |ty AS (SELECT CAST(coalesce(sum(t * (t - 1)), 0) // 2 AS BIGINT) AS ty
+        |  FROM (SELECT count(*) AS t FROM s GROUP BY y)),
+        |n0 AS (SELECT (n * (n - 1)) // 2 AS n0, n FROM nn)
+        |SELECT n, concordant, discordant,
+        |  CASE WHEN n0 = tx OR n0 = ty THEN NULL
+        |       ELSE floor((CAST(concordant - discordant AS DOUBLE) /
+        |         sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE))) * 10000 + 0.5) / 10000 END AS tau_b
+        |FROM cd, n0, tx, ty""".stripMargin,
+    // Reconciliation replay: same per-line fixed IEEE amount, same
+    // left-join orphan semantics, exact integer drift sums.
+    "order_reconcile" ->
+      """WITH h AS (SELECT o_orderkey AS k, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS hv
+        |  FROM orders WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL),
+        |d AS (SELECT l_orderkey AS k,
+        |    CAST(sum(CAST(floor((l_extendedprice * (1 + l_tax) * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS dv
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL
+        |    AND (l_extendedprice * (1 + l_tax) * (1 - l_discount)) IS NOT NULL
+        |  GROUP BY 1),
+        |j AS (SELECT hv, dv, abs(hv - dv) AS df FROM h LEFT JOIN d USING (k))
+        |SELECT CAST(count(*) AS BIGINT) AS n_headers,
+        |  CAST(sum(CASE WHEN dv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_detail,
+        |  CAST(sum(CASE WHEN dv IS NOT NULL AND df <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |  CAST(sum(CASE WHEN dv IS NOT NULL AND df > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+        |  CAST(coalesce(max(df), 0) AS BIGINT) AS max_abs_diff_cents,
+        |  CAST(coalesce(sum(df), 0) AS BIGINT) AS total_abs_diff_cents
+        |FROM j""".stripMargin,
     // Burstiness replay: exact epoch-second gaps off the (user, type)
     // lag window with the same (ts, event_id) tie-break; exact long
     // (n, Σg, Σg²) per type; the same fixed IEEE μ/CV²/B at the end.

@@ -216,4 +216,46 @@ object DqOps {
       .select((qc :+ col("class_size") :+ col("emd_num") :+ col("emd")
         :+ col("at_risk")): _*)
   }
+
+  /** Header/detail reconciliation — the double-entry audit every
+    * warehouse with an order/line (invoice/item, statement/transaction)
+    * pair runs: per header, does the header's stated amount equal the
+    * sum of its details' computed amounts, and how bad is the drift?
+    * Catches partial loads, duplicated detail batches, rounding-policy
+    * mismatches, and orphaned headers in one pass.
+    *
+    * All money is exact integer cents; the per-detail amount should be
+    * ONE fixed IEEE expression quantized at source (caller passes it).
+    * Headers with no details reconcile as `n_no_detail`, never as a
+    * zero-diff match.
+    *
+    * Plan shape: one detail-side hash aggregate + one header⋈detail
+    * equi-join, both keyed on the header key (they share the exchange);
+    * the verdict is a single global rollup of narrow longs.
+    *
+    * @return one row: (n_headers, n_no_detail, n_matched, n_mismatched,
+    *         max_abs_diff_cents, total_abs_diff_cents) — matched within
+    *         `tolCents`
+    */
+  def headerDetailReconcile(header: DataFrame, detail: DataFrame,
+                            headerKey: String, detailKey: String,
+                            headerCents: Column, detailCents: Column,
+                            tolCents: Long = 0L): DataFrame = {
+    require(tolCents >= 0L, s"tolCents=$tolCents must be non-negative")
+    val h = header.where(col(headerKey).isNotNull && headerCents.isNotNull)
+      .select(col(headerKey).as("__k"), headerCents.cast("long").as("__h"))
+    val d = detail.where(col(detailKey).isNotNull && detailCents.isNotNull)
+      .groupBy(col(detailKey).as("__k"))
+      .agg(sum(detailCents.cast("long")).as("__d"))
+    val diff = abs(col("__h") - col("__d"))
+    h.join(d, Seq("__k"), "left")
+      .agg(count(lit(1)).as("n_headers"),
+        sum(when(col("__d").isNull, 1L).otherwise(0L)).as("n_no_detail"),
+        sum(when(col("__d").isNotNull && diff <= tolCents, 1L).otherwise(0L))
+          .as("n_matched"),
+        sum(when(col("__d").isNotNull && diff > tolCents, 1L).otherwise(0L))
+          .as("n_mismatched"),
+        coalesce(max(diff), lit(0L)).as("max_abs_diff_cents"),
+        coalesce(sum(diff), lit(0L)).as("total_abs_diff_cents"))
+  }
 }

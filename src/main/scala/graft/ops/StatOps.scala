@@ -434,6 +434,64 @@ object StatOps {
           sum(col("n")).over(Window.partitionBy()).cast("double")).as("share"))
   }
 
+  /** Kendall τ-b between two metrics of a BOUNDED series — the
+    * tie-corrected concordance coefficient (Kendall 1945): over all
+    * pairs, τ_b = (C − D) / √((n₀−t_x)(n₀−t_y)) with n₀ = n(n−1)/2 and
+    * t the tied-pair counts per axis. The third rank-association read
+    * next to [[spearman]] (magnitude-free, O(1)-interpretable as
+    * P(concordant) − P(discordant)) — and the exact statistic
+    * [[graft.ops.TimeSeriesOps.mannKendall]] specializes when one axis
+    * is time.
+    *
+    * Everything before the final division is an exact integer: pair
+    * signs, C, D, tie counts. Pair enumeration order cannot matter —
+    * concordance is symmetric under swapping a pair's endpoints — so no
+    * tie-break discipline is even needed. τ is one fixed IEEE
+    * expression, 4-dp.
+    *
+    * Scale: the O(n²) pair join runs on the caller-reduced bounded frame
+    * only (same bounded-quadratic contract as mannKendall/theilSen).
+    *
+    * @return one row: (n, concordant, discordant, tau_b)
+    */
+  def kendallTau(df: DataFrame, x: Column, y: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import CoreOps.rnd
+    val s = df.where(x.isNotNull && y.isNotNull)
+      .select(x.cast("long").as("__x"), y.cast("long").as("__y"))
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col("__x"), col("__y"))))
+    val a = s.select(col("__rn").as("__ra"), col("__x").as("__xa"),
+      col("__y").as("__ya"))
+    val b = s.select(col("__rn").as("__rb"), col("__x").as("__xb"),
+      col("__y").as("__yb"))
+    val sgn = (c: Column) =>
+      when(c > 0L, lit(1L)).when(c < 0L, lit(-1L)).otherwise(lit(0L))
+    val pairs = a.join(b, col("__ra") < col("__rb"))
+      .select((sgn(col("__xb") - col("__xa")) *
+        sgn(col("__yb") - col("__ya"))).as("__p"))
+      .agg(coalesce(sum(when(col("__p") === 1L, 1L).otherwise(0L)), lit(0L))
+          .as("concordant"),
+        coalesce(sum(when(col("__p") === -1L, 1L).otherwise(0L)), lit(0L))
+          .as("discordant"))
+    val n = s.agg(count(lit(1)).as("n"))
+    def tiePairs(c: Column, out: String): DataFrame =
+      s.groupBy(c.as("__g")).agg(count(lit(1)).as("__t"))
+        .agg(coalesce(expr("sum(__t * (__t - 1)) div 2"), lit(0L)).as(out))
+    pairs.crossJoin(broadcast(n))
+      .crossJoin(broadcast(tiePairs(col("__x"), "__tx")))
+      .crossJoin(broadcast(tiePairs(col("__y"), "__ty")))
+      .withColumn("__n0", expr("(n * (n - 1)) div 2"))
+      .select(col("n"), col("concordant"), col("discordant"),
+        when(col("__n0") === col("__tx") || col("__n0") === col("__ty"),
+          lit(null).cast("double"))
+          .otherwise(rnd(
+            (col("concordant") - col("discordant")).cast("double") /
+              sqrt((col("__n0") - col("__tx")).cast("double") *
+                (col("__n0") - col("__ty")).cast("double"))))
+          .as("tau_b"))
+  }
+
   /** Half-sample bootstrap confidence interval for the per-group mean —
     * the distribution-free error bar a metrics pipeline attaches to its
     * weekly aggregates: `reps` deterministic half-samples per group, each

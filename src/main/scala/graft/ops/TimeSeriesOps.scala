@@ -358,6 +358,65 @@ object TimeSeriesOps {
             col("__den").cast("double"))).as("acf"))
   }
 
+  /** Theil–Sen estimator — the robust trend line for a bounded series:
+    * slope = median of all pairwise slopes (Theil 1950, Sen 1968), then
+    * intercept = median of per-point residual offsets at that slope. Up
+    * to ~29% of the points can be arbitrarily corrupted before the
+    * estimate moves (the OLS line [[StatOps.bivariateStats]] fits moves
+    * with ONE bad week — this is the version a dashboard should trend).
+    *
+    * Determinism: positions are dense ranks of the order column (exact
+    * integers), each pairwise slope is ONE IEEE division of exact longs
+    * (identical on every engine), and the median picks ranks
+    * ⌈m/2⌉ / ⌈m/2⌉+1 under (value, i, j) ordering — even counts average
+    * two engine-identical doubles, odd counts take the middle directly.
+    *
+    * Scale shape: caller reduces facts to the bounded series (weeks,
+    * days); the O(n²) pair frame and its rank windows live entirely on
+    * that bounded frame — the [[mannKendall]] justification. The
+    * fact-scale work happened in the caller's aggregation.
+    *
+    * @return one row: (n, n_pairs, slope, intercept), 4-dp
+    */
+  def theilSen(series: DataFrame, order: Column, value: Column): DataFrame = {
+    import CoreOps.rnd
+    val s = series.where(order.isNotNull && value.isNotNull)
+      .select(row_number().over(Window.orderBy(order)).cast("long").as("__x"),
+        value.cast("long").as("__v"))
+    val a = s.select(col("__x").as("__xa"), col("__v").as("__va"))
+    val b = s.select(col("__x").as("__xb"), col("__v").as("__vb"))
+    val slopes = a.join(b, col("__xa") < col("__xb"))
+      .select(col("__xa"), col("__xb"),
+        ((col("__vb") - col("__va")).cast("double") /
+          (col("__xb") - col("__xa")).cast("double")).as("__s"))
+    def medianOf(df: DataFrame, v: Column, ord: Seq[Column]): DataFrame = {
+      val w = Window.orderBy(ord: _*)
+      df.select(v.as("__m"), row_number().over(w).as("__rn"),
+          count(lit(1)).over(Window.partitionBy()).as("__cnt"))
+        .agg(max(col("__cnt")).as("__n"),
+          max(when(col("__rn") === ceil(col("__cnt").cast("double") / 2.0),
+            col("__m"))).as("__m1"),
+          max(when(col("__rn") ===
+            ceil(col("__cnt").cast("double") / 2.0) +
+              (lit(1L) - pmod(col("__cnt"), lit(2L))), col("__m")))
+            .as("__m2"))
+        .select(col("__n"), ((col("__m1") + col("__m2")) / 2.0).as("med"))
+    }
+    val slopeMed = medianOf(slopes, col("__s"),
+      Seq(col("__s"), col("__xa"), col("__xb")))
+    val n = s.agg(count(lit(1)).as("n"))
+    val resid = s.crossJoin(broadcast(slopeMed.select(col("med"))))
+      .select(col("__x"),
+        (col("__v").cast("double") - col("med") * col("__x").cast("double"))
+          .as("__r"))
+    val interMed = medianOf(resid, col("__r"), Seq(col("__r"), col("__x")))
+    n.crossJoin(broadcast(slopeMed.select(col("__n").as("n_pairs"),
+        col("med").as("__slope"))))
+      .crossJoin(broadcast(interMed.select(col("med").as("__inter"))))
+      .select(col("n"), col("n_pairs"),
+        rnd(col("__slope")).as("slope"), rnd(col("__inter")).as("intercept"))
+  }
+
   /** Inter-arrival burstiness per stream class — the traffic-shape read
     * capacity planning and bot/anomaly screens run on an event feed: for
     * each (entity, class) stream, consecutive-event gaps in whole seconds,

@@ -139,4 +139,21 @@ class DqOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       DqOps.tCloseness(rows, Seq("q"), "v", 1.5))
   }
+
+  test("headerDetailReconcile: match, drift, and orphan headers in one row") {
+    val h = Seq((1L, 100L), (2L, 200L), (3L, 50L)).toDF("k", "amt")
+    val d = Seq((1L, 60L), (1L, 40L), (2L, 150L)).toDF("k", "amt")
+    val got = DqOps.headerDetailReconcile(h, d, "k", "k",
+      col("amt"), col("amt"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    // order 1 reconciles exactly, order 2 drifts 50, order 3 has no lines
+    assert(got === ((3L, 1L, 1L, 1L, 50L, 50L)))
+    // tolerance folds the drifted header into the matched column
+    val tol = DqOps.headerDetailReconcile(h, d, "k", "k",
+      col("amt"), col("amt"), tolCents = 50L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(tol === ((3L, 1L, 2L, 0L, 50L, 50L)))
+    intercept[IllegalArgumentException](
+      DqOps.headerDetailReconcile(h, d, "k", "k", col("amt"), col("amt"), -1L))
+  }
 }

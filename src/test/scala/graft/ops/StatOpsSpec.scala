@@ -285,6 +285,20 @@ class StatOpsSpec extends SparkTestBase {
     assert(r.getLong(0) === 3000000000L && r.getDouble(2) === 0.6931)
   }
 
+  test("kendallTau: hand cases — one inversion, ties, degenerate axis") {
+    def kt(rows: Seq[(Long, Long)]) =
+      StatOps.kendallTau(rows.toDF("x", "y"), col("x"), col("y"))
+        .as[(Long, Long, Long, Option[Double])].collect().head
+    // y = (1,3,2,4): one discordant pair of six → τ = 4/6 = 0.6667
+    assert(kt(Seq((1L, 1L), (2L, 3L), (3L, 2L), (4L, 4L)))
+      === ((4L, 5L, 1L, Some(0.6667))))
+    // ties on both axes: C=2, D=0, tx=ty=1, n0=3 → τ = 2/√(2·2) = 1
+    assert(kt(Seq((1L, 5L), (1L, 5L), (2L, 7L)))
+      === ((3L, 2L, 0L, Some(1.0))))
+    // constant x: every pair x-tied → n0 = tx → τ undefined
+    assert(kt(Seq((7L, 1L), (7L, 2L), (7L, 3L)))._4 === None)
+  }
+
   test("bootstrapMeanCi: matches a driver-side replay of the hash draw") {
     // 200 rows, one group, value == key cents. Replay the EXACT membership
     // function and rank picks in plain Scala; the engine must agree on

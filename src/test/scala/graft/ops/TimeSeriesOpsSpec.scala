@@ -314,6 +314,32 @@ class TimeSeriesOpsSpec extends SparkTestBase {
     assert(flat === Seq((1L, 1L, None)))
   }
 
+  test("theilSen: hand-computed pair medians, even and odd counts") {
+    import spark.implicits._
+    // v = (10,20,35,40): slopes (10, 12.5, 10, 15, 10, 5) → sorted with
+    // (s,xa,xb) tie-break: ranks 3,4 are both 10 → slope 10; residuals
+    // v−10x = (0,0,5,0) → median 0.
+    val even = TimeSeriesOps.theilSen(
+      Seq((1L, 10L), (2L, 20L), (3L, 35L), (4L, 40L)).toDF("t", "v"),
+      col("t"), col("v"))
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(even === ((4L, 6L, 10.0, 0.0)))
+    // odd pair count: slopes (10,7,4) → middle 7; residuals (−7,−4,−7)
+    // → sorted (−7@x1, −7@x3, −4@x2), middle −7
+    val odd = TimeSeriesOps.theilSen(
+      Seq((1L, 0L), (2L, 10L), (3L, 14L)).toDF("t", "v"),
+      col("t"), col("v"))
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(odd === ((3L, 3L, 7.0, -7.0)))
+    // one outlier week does NOT move the slope (the point of the op):
+    // same ramp with v3 spiked 10× still reads slope 10
+    val robust = TimeSeriesOps.theilSen(
+      Seq((1L, 10L), (2L, 20L), (3L, 350L), (4L, 40L), (5L, 50L)).toDF("t", "v"),
+      col("t"), col("v"))
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(robust._3 === 10.0)
+  }
+
   test("interArrivalBurstiness: hand-computed gaps, per-stream isolation") {
     import spark.implicits._
     // user 1 type a at 0,10,30,40 → gaps (10,20,10): n=3 Σg=40 Σg²=600,
