@@ -1277,6 +1277,18 @@ object SparkEntry {
           .agg(sum(CoreOps.moneyCents(col("o_totalprice"))).as("rev_cents")),
         col("week"), col("rev_cents"))),
 
+    // Single changepoint by binary segmentation on the weekly revenue
+    // series: the split maximizing variance explained (two means vs
+    // one), exact prefix sums + one fixed IEEE gain per candidate,
+    // argmax tie-broken to the earliest split. Everything past the
+    // caller's weekly aggregate lives on the bounded series.
+    "changepoint_binseg" -> ((s, d) =>
+      TimeSeriesOps.binsegChangepoint(
+        Tables.orders(s, d)
+          .groupBy(CoreOps.weekStart(col("o_orderdate")).as("week"))
+          .agg(sum(CoreOps.moneyCents(col("o_totalprice"))).as("rev_cents")),
+        col("week"), col("rev_cents"))),
+
     // Kendall τ-b between weekly revenue and weekly order count: the
     // tie-corrected concordance read completing the rank-association
     // family (Spearman = grid-rank Pearson, Mann–Kendall = τ vs time).
@@ -1801,6 +1813,23 @@ object SparkEntry {
       EventAnalytics.transitionMatrix(Tables.events(s, d), "user_id", "ts",
         "event_id", "event_type")
         .orderBy("from_type", "to_type")),
+    // Top opening journeys: the 20 most common first-3-event paths —
+    // one user-keyed window (rank ≤ 3 prunes immediately) + a user-keyed
+    // pivot sharing that exchange; the ranking window runs over the
+    // ≤|types|³ bounded path table.
+    "top_paths_events" -> ((s, d) =>
+      EventAnalytics.topPaths(Tables.events(s, d), col("user_id"),
+        col("ts"), col("event_type"), col("event_id"))
+        .orderBy("rnk")),
+    // ABC / Pareto classification of parts by revenue: descending
+    // cumulative-share curve cut at 80%/95% with INTEGER comparisons
+    // (no float decides a boundary); per-part aggregate + the
+    // distributed two-pass prefix sum — no single-partition window at
+    // any cardinality.
+    "abc_parts" -> ((s, d) =>
+      ScaleOps.abcClassification(Tables.lineitem(s, d), col("l_partkey"),
+        CoreOps.moneyCents(col("l_extendedprice")))
+        .orderBy("abc_class")),
 
     // ---- multi-table analytics over the largest fact table ----
     // TPC-H-shape showcases: money arithmetic in exact integer units
@@ -3719,6 +3748,55 @@ object SparkEntry {
         |  floor(sv.slope * 10000 + 0.5) / 10000 AS slope,
         |  floor(((im.m1 + im.m2) / 2.0) * 10000 + 0.5) / 10000 AS intercept
         |FROM nn, sv, im""".stripMargin,
+    // Binseg replay: same prefix sums, same fixed IEEE gain expression
+    // per split, same (gain desc, t) argmax.
+    "changepoint_binseg" ->
+      """WITH s0 AS (SELECT date_trunc('week', o_orderdate) AS w,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT w, v, CAST(row_number() OVER (ORDER BY w) AS BIGINT) AS t
+        |  FROM s0 WHERE w IS NOT NULL AND v IS NOT NULL),
+        |c AS (SELECT w, t, CAST(sum(v) OVER (ORDER BY t) AS BIGINT) AS cum FROM s),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS st FROM s),
+        |g AS (SELECT w, t, cum, n, st,
+        |    CAST(cum AS DOUBLE) * CAST(cum AS DOUBLE) / CAST(t AS DOUBLE)
+        |      + (CAST(st AS DOUBLE) - CAST(cum AS DOUBLE)) * (CAST(st AS DOUBLE) - CAST(cum AS DOUBLE)) / CAST(n - t AS DOUBLE)
+        |      - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE) AS gain
+        |  FROM c, tot WHERE t < n),
+        |r AS (SELECT *, row_number() OVER (ORDER BY gain DESC, t) AS rnk FROM g)
+        |SELECT n, t AS t_split, w AS split_at,
+        |  floor((gain / 1000000.0) * 10000 + 0.5) / 10000 AS gain_m,
+        |  floor((CAST(cum AS DOUBLE) / CAST(t AS DOUBLE)) * 10000 + 0.5) / 10000 AS mean_left,
+        |  floor((CAST(st - cum AS DOUBLE) / CAST(n - t AS DOUBLE)) * 10000 + 0.5) / 10000 AS mean_right
+        |FROM r WHERE rnk = 1""".stripMargin,
+    // Journey replay: same (ts, event_id) sequence tie-break, same
+    // NULL-skipping concat_ws prefix, same (count desc, path) rank.
+    "top_paths_events" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+        |p AS (SELECT user_id,
+        |    max(CASE WHEN rn = 1 THEN event_type END) AS s1,
+        |    max(CASE WHEN rn = 2 THEN event_type END) AS s2,
+        |    max(CASE WHEN rn = 3 THEN event_type END) AS s3
+        |  FROM e WHERE rn <= 3 GROUP BY 1),
+        |c AS (SELECT concat_ws('>', s1, s2, s3) AS path, CAST(count(*) AS BIGINT) AS n_users FROM p GROUP BY 1),
+        |r AS (SELECT path, n_users, CAST(row_number() OVER (ORDER BY n_users DESC, path) AS BIGINT) AS rnk FROM c)
+        |SELECT rnk, path, n_users FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+    // ABC replay: same (rev desc, key) curve, same integer boundary
+    // comparisons.
+    "abc_parts" ->
+      """WITH r AS (SELECT l_partkey AS k,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem WHERE l_partkey IS NOT NULL AND l_extendedprice IS NOT NULL GROUP BY 1),
+        |c AS (SELECT rev, CAST(sum(rev) OVER (ORDER BY rev DESC, k) AS BIGINT) - rev AS cb,
+        |    CAST(sum(rev) OVER () AS BIGINT) AS tot FROM r),
+        |cl AS (SELECT CASE WHEN cb * 5 < tot * 4 THEN 'A'
+        |       WHEN cb * 20 < tot * 19 THEN 'B' ELSE 'C' END AS abc_class, rev, tot FROM c)
+        |SELECT abc_class, CAST(count(*) AS BIGINT) AS n_keys,
+        |  floor((CAST(sum(rev) AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS value_total,
+        |  floor((CAST(sum(rev) AS DOUBLE) / CAST(max(tot) AS DOUBLE)) * 10000 + 0.5) / 10000 AS value_share
+        |FROM cl GROUP BY 1 ORDER BY abc_class""".stripMargin,
     // Kendall replay: identical sign products (enumeration-free — pair
     // orientation cancels in the product), identical integer tie counts.
     "kendall_tau_weekly" ->

@@ -186,6 +186,44 @@ object EventAnalytics {
         coalesce(col("n_churned"), lit(0L)).as("n_churned"))
   }
 
+  /** Top user journeys — the most common opening event paths (first
+    * `depth` events per user, in time order): the "how do users actually
+    * start" read next to [[funnelSummary]]'s "do they follow OUR
+    * script". Users with fewer than `depth` events contribute their
+    * shorter prefix (the path skips the missing tail).
+    *
+    * Determinism: the per-user ordering tie-breaks on `tieCol`, so the
+    * event sequence is unique; the top-k ranks by (count desc, path).
+    *
+    * Scale shape: ONE fact-scale window keyed on the user (rank ≤ depth
+    * prunes immediately), a user-keyed pivot aggregate sharing that
+    * exchange, then a hash count into the bounded path table (≤ |event
+    * types|^depth rows) where the ranking window runs.
+    *
+    * @return (rnk, path, n_users) for the top `k` paths
+    */
+  def topPaths(events: DataFrame, userCol: Column, tsCol: Column,
+               typeCol: Column, tieCol: Column, depth: Int = 3,
+               k: Int = 20): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth=$depth outside [1, 8]")
+    require(k >= 1, s"k=$k must be positive")
+    val w = Window.partitionBy(userCol).orderBy(tsCol, tieCol)
+    val ranked = events
+      .where(userCol.isNotNull && tsCol.isNotNull && typeCol.isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= depth)
+    val steps = (1 to depth).map(i =>
+      max(when(col("__rn") === i, typeCol)).as(s"__s$i"))
+    val paths = ranked.groupBy(userCol.as("__u")).agg(steps.head, steps.tail: _*)
+      .select(concat_ws(">", (1 to depth).map(i => col(s"__s$i")): _*)
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+    paths.withColumn("rnk", row_number().over(
+        Window.orderBy(col("n_users").desc, col("path"))).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("rnk"), col("path"), col("n_users"))
+  }
+
   /** RFM segmentation — the classic customer-value grid (recency /
     * frequency / monetary, each scored 1–5 by population quintile;
     * Hughes 1994): per entity, days since last transaction, transaction

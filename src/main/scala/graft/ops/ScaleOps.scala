@@ -441,4 +441,51 @@ object ScaleOps {
       .repartitionByRange(partitions, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
+
+  /** ABC (Pareto) classification — rank entities by descending value and
+    * split the cumulative-share curve at 80% / 95%: class A carries the
+    * first 80% of value, B the next 15%, C the tail. The inventory /
+    * catalog-curation standard for "which 20% of parts deserve 80% of
+    * the attention".
+    *
+    * Determinism + convention: the curve orders by (value desc, key) —
+    * exact longs — and an entity classifies by where it STARTS on the
+    * curve (exclusive prefix: A iff cumBefore·5 < tot·4, B iff
+    * cumBefore·20 < tot·19), all INTEGER comparisons, so no
+    * floating-point share ever decides a boundary. The start-based rule
+    * keeps a dominant first entity in A even when it alone overshoots
+    * the 80% line (the inclusive variant would absurdly classify it C),
+    * and an entity starting exactly on a cut takes the lower class.
+    * Envelope: tot·20 < 2^63 → total value < 4.6×10¹⁷ (loud under
+    * ANSI) — shift to coarser units past that.
+    *
+    * Scale shape: one fact-scale hash aggregate to the per-key table,
+    * then [[globalRunningTotal]]'s two-pass distributed prefix sum over
+    * it (range exchange, NO single-partition window), and a 3-row
+    * rollup. The per-key cardinality never needs to fit anywhere.
+    *
+    * @return one row per class present: (abc_class, n_keys, value_total
+    *         — /100 into display units, value_share 4-dp)
+    */
+  def abcClassification(df: DataFrame, key: Column,
+                        valueCents: Column): DataFrame = {
+    val perKey = df.where(key.isNotNull && valueCents.isNotNull)
+      .groupBy(key.as("__k"))
+      .agg(sum(valueCents.cast("long")).as("__rev"))
+    val cum = globalRunningTotal(perKey,
+      Seq(col("__rev").desc, col("__k")), col("__rev"))
+    val tot = cum.agg(max(col("cum")).as("__tot"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("__before", col("cum") - col("__rev"))
+      .withColumn("abc_class",
+        when(col("__before") * 5L < col("__tot") * 4L, lit("A"))
+          .when(col("__before") * 20L < col("__tot") * 19L, lit("B"))
+          .otherwise(lit("C")))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_keys"),
+        CoreOps.rnd(sum(col("__rev")).cast("double") / 100.0)
+          .as("value_total"),
+        CoreOps.rnd(sum(col("__rev")).cast("double") /
+          max(col("__tot")).cast("double")).as("value_share"))
+  }
 }

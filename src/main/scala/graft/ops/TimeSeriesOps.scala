@@ -358,6 +358,59 @@ object TimeSeriesOps {
             col("__den").cast("double"))).as("acf"))
   }
 
+  /** Single-changepoint detection by binary segmentation — the first
+    * split of the classic recursive scheme (Scott & Knott 1974; the
+    * step CUSUM's drift alarm [[cusumChangepoints]] localizes less
+    * sharply): choose the split t maximizing the variance explained,
+    * gain(t) = S_l²/n_l + S_r²/n_r − S²/n (the SSE drop of fitting two
+    * means instead of one — Σv² cancels out of the argmax, so it is
+    * never computed).
+    *
+    * Determinism: prefix sums are exact longs off the bounded series;
+    * each gain is ONE fixed IEEE expression over exact longs (casts
+    * exact below 2^53), so engines agree bit-for-bit and the argmax
+    * (tie-break smallest t) picks the same split everywhere.
+    *
+    * Scale shape: caller reduces facts to the bounded series; the
+    * prefix-sum window, the n−1 candidate gains, and the rank-1 pick all
+    * live on that bounded frame.
+    *
+    * @return one row: (n, t_split — 1-based last index of the left
+    *         segment, split_at — the order value at t, gain_m — the SSE
+    *         drop in MILLIONS of squared input units (squared magnitudes
+    *         overflow the 4-dp rounding's long floor otherwise),
+    *         mean_left, mean_right), 4-dp
+    */
+  def binsegChangepoint(series: DataFrame, order: Column,
+                        value: Column): DataFrame = {
+    import CoreOps.rnd
+    val s = series.where(order.isNotNull && value.isNotNull)
+      .select(order.as("__o"), value.cast("long").as("__v"))
+      .withColumn("__t", row_number().over(Window.orderBy(col("__o")))
+        .cast("long"))
+      .withColumn("__cum", sum(col("__v")).over(
+        Window.orderBy(col("__t"))))
+    val tot = s.agg(count(lit(1)).as("__n"), sum(col("__v")).as("__s"))
+    val nD = col("__n").cast("double")
+    val sl = col("__cum").cast("double"); val st = col("__s").cast("double")
+    val nl = col("__t").cast("double")
+    val nr = (col("__n") - col("__t")).cast("double")
+    val gain = sl * sl / nl + (st - sl) * (st - sl) / nr - st * st / nD
+    s.crossJoin(broadcast(tot))
+      .where(col("__t") < col("__n"))
+      .withColumn("__gain", gain)
+      .withColumn("__rnk", row_number().over(
+        Window.orderBy(col("__gain").desc, col("__t"))))
+      .where(col("__rnk") === 1)
+      .select(col("__n").as("n"), col("__t").as("t_split"),
+        col("__o").as("split_at"),
+        rnd(col("__gain") / lit(1000000.0)).as("gain_m"),
+        rnd(col("__cum").cast("double") / col("__t").cast("double"))
+          .as("mean_left"),
+        rnd((col("__s") - col("__cum")).cast("double") /
+          (col("__n") - col("__t")).cast("double")).as("mean_right"))
+  }
+
   /** Theil–Sen estimator — the robust trend line for a bounded series:
     * slope = median of all pairwise slopes (Theil 1950, Sen 1968), then
     * intercept = median of per-point residual offsets at that slope. Up

@@ -144,6 +144,31 @@ class EventAnalyticsSpec extends SparkTestBase {
       (d("2024-01-22"), 1L, 0L, 1L, 0L)))
   }
 
+  test("topPaths: opening-prefix paths, short users keep their prefix") {
+    import spark.implicits._
+    // u1: A,B,C,D → A>B>C (depth 3 truncates); u2, u3: A,B → A>B (the
+    // missing third step is skipped by concat_ws, not rendered as a
+    // dangling separator)
+    val ev = Seq(
+      (1L, 1L, "A", 1L), (1L, 2L, "B", 2L), (1L, 3L, "C", 3L), (1L, 4L, "D", 4L),
+      (2L, 1L, "A", 5L), (2L, 2L, "B", 6L),
+      (3L, 1L, "A", 7L), (3L, 2L, "B", 8L))
+      .toDF("user_id", "sec", "event_type", "event_id")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = EventAnalytics.topPaths(ev, col("user_id"), col("ts"),
+      col("event_type"), col("event_id")).orderBy("rnk")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got === Seq((1L, "A>B", 2L), (2L, "A>B>C", 1L)))
+    // same-ts events order by the tie column, so the path is unique
+    val tied = Seq((1L, 5L, "X", 2L), (1L, 5L, "Y", 1L))
+      .toDF("user_id", "sec", "event_type", "event_id")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val p = EventAnalytics.topPaths(tied, col("user_id"), col("ts"),
+      col("event_type"), col("event_id"))
+      .select("path").as[String].collect().head
+    assert(p === "Y>X")
+  }
+
   test("rfmSegments: hand-computed quintile grid on 5 separated customers") {
     import spark.implicits._
     // Customers 1..5: frequency 1..5, monetary 100..500 cents, last

@@ -284,4 +284,25 @@ class ScaleOpsSpec extends SparkTestBase {
       .as[(Long, Long, String)].collect().sorted.toSeq
     assert(rows === want && want.nonEmpty)
   }
+
+  test("abcClassification: start-based Pareto cuts, integer-exact boundaries") {
+    import spark.implicits._
+    // revenues 80/15/5 cents: exclusive prefixes 0/80/95 of 100 — the
+    // 80-starter lands exactly ON the A cut (80·5 = 100·4) and must take
+    // B; the 95-starter lands exactly on the B cut (95·20 = 100·19) and
+    // must take C. No float ever decides these.
+    val df = Seq((1L, 80L), (2L, 15L), (3L, 5L)).toDF("k", "cents")
+    val got = ScaleOps.abcClassification(df, col("k"), col("cents"))
+      .orderBy("abc_class")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(got === Seq(("A", 1L, 0.8, 0.8), ("B", 1L, 0.15, 0.15),
+      ("C", 1L, 0.05, 0.05)))
+    // a dominant first key overshooting 80% alone still classifies A —
+    // the start-based rule exists exactly for this case
+    val skew = ScaleOps.abcClassification(
+      Seq((1L, 100L), (2L, 1L)).toDF("k", "cents"), col("k"), col("cents"))
+      .orderBy("abc_class")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(skew.map(r => (r._1, r._2)) === Seq(("A", 1L), ("C", 1L)))
+  }
 }

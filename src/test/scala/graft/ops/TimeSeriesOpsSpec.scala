@@ -314,6 +314,23 @@ class TimeSeriesOpsSpec extends SparkTestBase {
     assert(flat === Seq((1L, 1L, None)))
   }
 
+  test("binsegChangepoint: step series splits at the step, gains hand-checked") {
+    import spark.implicits._
+    // v = (10,10,10,50,50): S=130; gain(3) = 900/3 + 100²/2 − 130²/5 =
+    // 1920 (the max; gain(2)=853.33, gain(4)=720) → split after t=3,
+    // means 10 / 50, gain_m = 1920/1e6 → 0.0019.
+    val got = TimeSeriesOps.binsegChangepoint(
+      Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 50L), (5L, 50L))
+        .toDF("t", "v"), col("t"), col("v"))
+      .as[(Long, Long, Long, Double, Double, Double)].collect().head
+    assert(got === ((5L, 3L, 3L, 0.0019, 10.0, 50.0)))
+    // constant series: every gain is exactly 0 → earliest split wins
+    val flat = TimeSeriesOps.binsegChangepoint(
+      Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("t", "v"), col("t"), col("v"))
+      .as[(Long, Long, Long, Double, Double, Double)].collect().head
+    assert(flat === ((3L, 1L, 1L, 0.0, 7.0, 7.0)))
+  }
+
   test("theilSen: hand-computed pair medians, even and odd counts") {
     import spark.implicits._
     // v = (10,20,35,40): slopes (10, 12.5, 10, 15, 10, 5) → sorted with
