@@ -598,9 +598,14 @@ object StatOps {
     */
   def spearman(df: DataFrame, x: Column, y: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // MATERIALIZED: three consumers (both marginals + the cell join)
+    // would otherwise each re-run the fact-scale aggregate — Catalyst
+    // collapses the marginal groupings straight onto the base table, so
+    // exchange reuse never triggers (PlanSpec pins the single fact pass).
     val joint = df.where(x.isNotNull && y.isNotNull)
       .groupBy(x.cast("long").as("x"), y.cast("long").as("y"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     // Marginal percentile-grid ranks off the bounded histograms: the
     // window orders distinct VALUES of one column, not fact rows.
     def gridRanks(keyCol: String, out: String): DataFrame = {

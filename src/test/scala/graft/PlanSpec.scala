@@ -760,6 +760,71 @@ class PlanSpec extends SparkTestBase {
       s"fact rows shuffled without map-side combine:\n$plan")
   }
 
+  test("spearman_corr: ONE fact pass — every downstream consumer reads the checkpointed histogram") {
+    // Catalyst collapses each marginal grouping straight onto the base
+    // table (no exchange reuse fires), so without the joint histogram's
+    // materialization the fact parquet would be scanned three times.
+    // Post-fix, the assembled plan must contain ZERO file scans — all
+    // three consumers read the checkpoint RDD.
+    val plan = executedSimple(SparkEntry.queries("spearman_corr")(spark, sf))
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans === 0, s"expected 0 fact scans, got $scans:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"expected the checkpointed joint histogram:\n$plan")
+  }
+
+  test("bootstrap_ci_weekly: the 100× fan-out dies map-side — partials before the (week, b) exchange") {
+    val plan = executedSimple(
+      SparkEntry.queries("bootstrap_ci_weekly")(spark, sf))
+    // exactly one replicate explode, and the exchange that receives its
+    // output is keyed on (week, replicate) ABOVE a partial aggregate —
+    // the proof the shuffle carries weeks×100 partials, not 100× facts
+    val gens = "Generate explode".r.findAllIn(plan).size
+    assert(gens === 1, s"expected 1 explode, got $gens:\n$plan")
+    val fact = plan.substring(plan.lastIndexOf("Exchange hashpartitioning"))
+    val keys = fact.substring(0, fact.indexOf(")") + 1)
+    assert(keys.contains("b"),
+      s"replicate fan-out not reduced on (week, b): $keys\n$plan")
+    assert(fact.contains("partial"),
+      s"fan-out shuffled without map-side combine:\n$plan")
+  }
+
+  test("abc_parts: range-exchange prefix sum; only the pid-offsets window exists") {
+    val plan = executedSimple(SparkEntry.queries("abc_parts")(spark, sf))
+    // the cumulative curve comes from the two-pass distributed prefix
+    // sum: its range exchange runs at the checkpoint the final plan
+    // reads back (ExistingRDD), plus globalRunningTotal's ONE window
+    // over partition IDs (bounded by cluster size, the documented
+    // exception) — no other window, so the single-partition-over-data
+    // trap cannot exist in this plan
+    assert(plan.contains("ExistingRDD"),
+      s"expected the checkpointed range-partitioned curve:\n$plan")
+    val windows = "Window \\[".r.findAllIn(plan).size
+    val pidWindows = "Window \\[[^\\n]*__pid".r.findAllIn(plan).size
+    assert(windows === pidWindows && windows >= 1,
+      s"expected only the __pid offsets window ($pidWindows of $windows):\n$plan")
+  }
+
+  test("top_paths_events: rank window and path pivot share ONE user exchange") {
+    val plan = executedSimple(
+      SparkEntry.queries("top_paths_events")(spark, sf))
+    val userEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(userEx === 1,
+      s"expected exactly 1 user-keyed exchange, got $userEx:\n$plan")
+    val aliasEx = "Exchange hashpartitioning\\(__u".r.findAllIn(plan).size
+    assert(aliasEx === 0,
+      s"pivot re-shuffled on the aliased key instead of reusing:\n$plan")
+  }
+
+  test("rfm_segments: all three threshold frames broadcast back — scoring is map-only") {
+    val plan = executedSimple(SparkEntry.queries("rfm_segments")(spark, sf))
+    // 4 broadcast nested-loop (1-row cross) joins: anchor + r/f/m cuts
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj >= 4, s"expected >=4 broadcast cross joins, got $bnlj:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"threshold attach must never sort-merge:\n$plan")
+  }
+
   test("trigram_search: index prunes before verify — one explode, broadcast pattern joins") {
     val plan = executedSimple(
       SparkEntry.queries("trigram_search")(spark, sf))
