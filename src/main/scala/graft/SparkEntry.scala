@@ -1311,6 +1311,40 @@ object SparkEntry {
         col("user_id"), col("event_type"), col("ts"), col("event_id"))
         .orderBy("cls")),
 
+    // Per-week Gini of order values: the inequality monitor ("is this
+    // week's revenue one whale or a thousand minnows?"). Tie-aware rank
+    // formula over the per-week value histogram — exact longs until one
+    // final division; cumulative window PARTITIONED BY WEEK over
+    // histogram rows.
+    "gini_weekly" -> ((s, d) =>
+      StatOps.giniByGroup(Tables.orders(s, d),
+        CoreOps.weekStart(col("o_orderdate")),
+        CoreOps.moneyCents(col("o_totalprice")))
+        .withColumnRenamed("g", "week")
+        .orderBy("week")),
+
+    // Week-over-week revenue bridge: Δrevenue split into rate (average
+    // ticket moved) and volume (count moved) effects that sum to the
+    // delta exactly — the FP&A "why did the number move" decomposition.
+    // Shift-join on the week grid, no windows at all.
+    "revenue_bridge" -> ((s, d) =>
+      ChangeOps.revenueBridge(Tables.orders(s, d),
+        to_date(CoreOps.weekStart(col("o_orderdate"))),
+        CoreOps.moneyCents(col("o_totalprice")))
+        .orderBy("period")),
+
+    // PSI per week vs the 1995-96 baseline: the scorecard-monitoring
+    // standard — bins are EXACT baseline deciles (broadcast once),
+    // binning is integer comparisons, empty bins densify and take
+    // add-one smoothing, terms micro-quantize before the associative
+    // per-week sum.
+    "psi_drift_weekly" -> ((s, d) =>
+      ChangeOps.psiDrift(Tables.orders(s, d),
+        to_date(CoreOps.weekStart(col("o_orderdate"))),
+        CoreOps.moneyCents(col("o_totalprice")),
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .orderBy("period")),
+
     // Week-over-week NUMERIC drift: exact KS distance between
     // consecutive weeks' order-price distributions — the KS companion
     // to mixture_drift's categorical JSD; integer sup-gap over the
@@ -3883,6 +3917,77 @@ object SparkEntry {
         |FROM s ORDER BY day""".stripMargin,
     // Weekly KS replay: shifted self-join on the cents histogram, per-
     // week prefix sums, integer cross-product max, one final division.
+    // Gini replay: identical doubled-rank histogram formula, one final
+    // division.
+    "gini_weekly" ->
+      """WITH h AS (SELECT date_trunc('week', o_orderdate) AS g,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM orders WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT g, v, c, 2 * sum(c) OVER (PARTITION BY g ORDER BY v) - c + 1 AS r2 FROM h),
+        |a AS (SELECT g, CAST(sum(c) AS BIGINT) AS n, CAST(sum(v * c) AS BIGINT) AS s,
+        |    CAST(sum(r2 * v * c) AS BIGINT) AS num FROM r GROUP BY 1)
+        |SELECT g AS week, n,
+        |  CASE WHEN s = 0 THEN NULL
+        |       ELSE floor((CAST(num - (n + 1) * s AS DOUBLE) / CAST(n * s AS DOUBLE)) * 10000 + 0.5) / 10000 END AS gini
+        |FROM a ORDER BY week""".stripMargin,
+    // Bridge replay: same shift-join, same fixed IEEE effects.
+    "revenue_bridge" ->
+      """WITH c AS (SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS period,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s
+        |  FROM orders WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL GROUP BY 1),
+        |p AS (SELECT period + 7 AS period, n AS n_prev, s AS s_prev FROM c),
+        |j AS (SELECT c.period, c.n, p.n_prev, c.s, p.s_prev FROM c JOIN p USING (period))
+        |SELECT period, n, n_prev,
+        |  floor((CAST(s - s_prev AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS d_rev,
+        |  floor(((CAST(s AS DOUBLE) / CAST(n AS DOUBLE) - CAST(s_prev AS DOUBLE) / CAST(n_prev AS DOUBLE)) * CAST(n AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS price_effect,
+        |  floor((CAST(n - n_prev AS DOUBLE) * (CAST(s_prev AS DOUBLE) / CAST(n_prev AS DOUBLE)) / 100.0) * 10000 + 0.5) / 10000 AS volume_effect
+        |FROM j ORDER BY period""".stripMargin,
+    // PSI replay: identical rank-⌈q·n⌉ decile edges, identical integer
+    // binning, add-one smoothing, micro-quantized terms.
+    "psi_drift_weekly" ->
+      """WITH rows0 AS (SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS period,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+        |    o_orderdate < TIMESTAMP '1997-01-01' AS base
+        |  FROM orders WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+        |bh AS (SELECT v, count(*) AS c FROM rows0 WHERE base GROUP BY 1),
+        |bcum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n FROM bh),
+        |ed AS (SELECT min(CASE WHEN cum >= ceil(0.1 * n) THEN v END) AS p10,
+        |    min(CASE WHEN cum >= ceil(0.2 * n) THEN v END) AS p20,
+        |    min(CASE WHEN cum >= ceil(0.3 * n) THEN v END) AS p30,
+        |    min(CASE WHEN cum >= ceil(0.4 * n) THEN v END) AS p40,
+        |    min(CASE WHEN cum >= ceil(0.5 * n) THEN v END) AS p50,
+        |    min(CASE WHEN cum >= ceil(0.6 * n) THEN v END) AS p60,
+        |    min(CASE WHEN cum >= ceil(0.7 * n) THEN v END) AS p70,
+        |    min(CASE WHEN cum >= ceil(0.8 * n) THEN v END) AS p80,
+        |    min(CASE WHEN cum >= ceil(0.9 * n) THEN v END) AS p90
+        |  FROM bcum),
+        |b AS (SELECT period, base,
+        |    (CASE WHEN v > ed.p10 THEN 1 ELSE 0 END + CASE WHEN v > ed.p20 THEN 1 ELSE 0 END
+        |     + CASE WHEN v > ed.p30 THEN 1 ELSE 0 END + CASE WHEN v > ed.p40 THEN 1 ELSE 0 END
+        |     + CASE WHEN v > ed.p50 THEN 1 ELSE 0 END + CASE WHEN v > ed.p60 THEN 1 ELSE 0 END
+        |     + CASE WHEN v > ed.p70 THEN 1 ELSE 0 END + CASE WHEN v > ed.p80 THEN 1 ELSE 0 END
+        |     + CASE WHEN v > ed.p90 THEN 1 ELSE 0 END) AS bin
+        |  FROM rows0, ed),
+        |cbase AS (SELECT bin, CAST(count(*) AS BIGINT) AS cb FROM b WHERE base GROUP BY 1),
+        |nbase AS (SELECT CAST(coalesce(sum(cb), 0) AS BIGINT) AS nb FROM cbase),
+        |ccur AS (SELECT period, bin, CAST(count(*) AS BIGINT) AS cc FROM b WHERE NOT base GROUP BY 1, 2),
+        |pers AS (SELECT DISTINCT period FROM ccur),
+        |g AS (SELECT p.period, bi.bin, coalesce(ccur.cc, 0) AS cc, coalesce(cbase.cb, 0) AS cb
+        |  FROM pers p CROSS JOIN range(10) bi(bin)
+        |  LEFT JOIN ccur ON ccur.period = p.period AND ccur.bin = bi.bin
+        |  LEFT JOIN cbase ON cbase.bin = bi.bin),
+        |w AS (SELECT *, CAST(sum(cc) OVER (PARTITION BY period) AS BIGINT) AS nw,
+        |    (SELECT nb FROM nbase) AS nb FROM g),
+        |t AS (SELECT period, nw,
+        |    CAST(floor((CAST(cc + 1 AS DOUBLE) / CAST(nw + 10 AS DOUBLE)
+        |        - CAST(cb + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE))
+        |      * ln(CAST((cc + 1) * (nb + 10) AS DOUBLE) / CAST((cb + 1) * (nw + 10) AS DOUBLE))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS tm
+        |  FROM w)
+        |SELECT period, CAST(max(nw) AS BIGINT) AS n, CAST(sum(tm) AS BIGINT) AS psi_micro,
+        |  floor((CAST(sum(tm) AS DOUBLE) / 1000000.0) * 10000 + 0.5) / 10000 AS psi
+        |FROM t GROUP BY 1 ORDER BY period""".stripMargin,
     "ks_drift_weekly" ->
       """WITH c AS (SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS period,
         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS s,

@@ -316,4 +316,122 @@ object ChangeOps {
         col("chi2_micro"),
         rnd(col("chi2_micro").cast("double") / lit(1000000.0)).as("chi2"))
   }
+
+  /** Period-over-period revenue bridge — the FP&A decomposition of a
+    * revenue delta into a RATE effect (average ticket moved) and a
+    * VOLUME effect (count moved): with m = s/n the period mean,
+    * price_effect = (m_t − m_p)·n_t and volume_effect = (n_t − n_p)·m_p.
+    * The two effects sum to Δrevenue EXACTLY in the reals (the identity
+    * telescopes), which is the property that makes the bridge a bridge —
+    * the dashboard answer to "did we sell more, or sell higher?".
+    *
+    * Determinism: per-period (n, s) are exact longs; the previous period
+    * attaches by shifting the reduced table `stepDays` forward and
+    * joining on the grid (the [[distributionDrift]] pattern — no window
+    * at all, so nothing to partition); every effect is one fixed IEEE
+    * expression over the four exact longs, 4-dp in display units
+    * (cents/100). Boundary periods without a predecessor drop.
+    *
+    * @return (period, n, n_prev, d_rev, price_effect, volume_effect)
+    */
+  def revenueBridge(df: DataFrame, period: Column, valueCents: Column,
+                    stepDays: Int = 7): DataFrame = {
+    require(stepDays > 0, s"stepDays=$stepDays must be positive")
+    import CoreOps.rnd
+    val cur = df.where(period.isNotNull && valueCents.isNotNull)
+      .groupBy(period.as("period"))
+      .agg(count(lit(1)).as("n"), sum(valueCents.cast("long")).as("s"))
+    val prev = cur.select(date_add(col("period"), stepDays).as("period"),
+      col("n").as("n_prev"), col("s").as("s_prev"))
+    val mT = col("s").cast("double") / col("n").cast("double")
+    val mP = col("s_prev").cast("double") / col("n_prev").cast("double")
+    cur.join(prev, Seq("period"))
+      .select(col("period"), col("n"), col("n_prev"),
+        rnd((col("s") - col("s_prev")).cast("double") / 100.0).as("d_rev"),
+        rnd((mT - mP) * col("n").cast("double") / 100.0).as("price_effect"),
+        rnd((col("n") - col("n_prev")).cast("double") * mP / 100.0)
+          .as("volume_effect"))
+  }
+
+  /** PSI — Population Stability Index, the model-monitoring industry's
+    * default numeric-drift score (banking scorecard heritage; the usual
+    * alert bands read <0.1 stable, 0.1–0.25 shifting, >0.25 shifted):
+    * bin today's distribution by the BASELINE period's deciles and score
+    * Σ (p_cur − p_base)·ln(p_cur/p_base) per period. Complements the
+    * drift family: KS is threshold-free, χ²/JSD are categorical — PSI is
+    * the numeric score with fixed baseline-derived bins that ops teams
+    * already have runbooks for.
+    *
+    * Determinism: bin edges are EXACT baseline deciles
+    * ([[graft.ops.ScaleOps.exactQuantilesByHistogram]], rank ⌈q·n⌉);
+    * binning is `1 + Σ(v > edge)` integer comparisons against the
+    * broadcast edges; counts take add-one smoothing (every bin of both
+    * sides, so empty bins are well-defined without any float epsilon);
+    * each bin's term is one fixed IEEE expression over exact longs,
+    * micro-quantized BEFORE the per-period sum (associative long sum —
+    * the [[mixtureDrift]] ln recipe).
+    *
+    * Scale shape: one fact-scale pass builds the baseline histogram
+    * (value-domain-bounded), one fact-scale hash aggregate bins the
+    * scored periods; the periods×bins grid (densified so empty bins
+    * score) and everything after is bounded.
+    *
+    * @param baselinePred rows the bins derive from (e.g. the training
+    *                     window); scored periods are all rows where it
+    *                     is false
+    * @return (period, n, psi_micro, psi 4-dp) per scored period
+    */
+  def psiDrift(df: DataFrame, period: Column, valueCents: Column,
+               baselinePred: Column, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 100, s"bins=$bins outside [2, 100]")
+    import CoreOps.rnd
+    val rows = df.where(period.isNotNull && valueCents.isNotNull)
+      .select(period.as("period"), valueCents.cast("long").as("__v"),
+        baselinePred.as("__base"))
+    val qs = (1 until bins).map(_.toDouble / bins)
+    val edges = ScaleOps.exactQuantilesByHistogram(
+      rows.where(col("__base")), col("__v"), qs)
+    val edgeCols = qs.map(q => col(s"p${math.round(q * 100)}"))
+    val binned = rows.crossJoin(broadcast(edges))
+      .select(col("period"), col("__base"),
+        edgeCols.map(e => (col("__v") > e).cast("long"))
+          .reduce(_ + _).as("__bin"))
+    val baseCounts = binned.where(col("__base"))
+      .groupBy("__bin").agg(count(lit(1)).as("cb"))
+    val baseTot = baseCounts.agg(sum(col("cb")).as("nb"))
+    val curCounts = binned.where(!col("__base"))
+      .groupBy("period", "__bin").agg(count(lit(1)).as("cc"))
+    val periods = curCounts.select("period").distinct()
+    val binIds = df.sparkSession.range(0, bins).select(col("id").as("__bin"))
+    val grid = periods.crossJoin(broadcast(binIds))
+      .join(curCounts, Seq("period", "__bin"), "left")
+      .na.fill(0L, Seq("cc"))
+      .join(broadcast(baseCounts), Seq("__bin"), "left")
+      .na.fill(0L, Seq("cb"))
+      .crossJoin(broadcast(baseTot))
+      // empty baseline → null edges → silently null PSI; fail loudly
+      // instead (an all-null monitoring column is how drift goes unseen)
+      .withColumn("nb", when(col("nb").isNull, raise_error(lit(
+        "graft.ChangeOps.psiDrift: baselinePred matched no rows — PSI" +
+          " needs a non-empty baseline to derive its bins"))
+        .cast("long")).otherwise(col("nb")))
+    val wP = org.apache.spark.sql.expressions.Window.partitionBy("period")
+    val withN = grid.withColumn("__nw", sum(col("cc")).over(wP))
+    // smoothed shares: (c+1)/(n+bins) on both sides; the ln argument is
+    // one exact-integer ratio, the term one fixed IEEE expression.
+    val pc = (col("cc") + 1L).cast("double") /
+      (col("__nw") + bins.toLong).cast("double")
+    val pb = (col("cb") + 1L).cast("double") /
+      (col("nb") + bins.toLong).cast("double")
+    val lnRatio = log(((col("cc") + 1L) * (col("nb") + bins.toLong))
+      .cast("double") /
+      ((col("cb") + 1L) * (col("__nw") + bins.toLong)).cast("double"))
+    val termMicro = floor((pc - pb) * lnRatio * lit(1000000.0) + lit(0.5))
+      .cast("long")
+    withN.withColumn("__t", termMicro)
+      .groupBy("period")
+      .agg(max(col("__nw")).as("n"), sum(col("__t")).as("psi_micro"))
+      .select(col("period"), col("n"), col("psi_micro"),
+        rnd(col("psi_micro").cast("double") / lit(1000000.0)).as("psi"))
+  }
 }

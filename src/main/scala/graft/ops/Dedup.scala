@@ -351,7 +351,7 @@ object Dedup {
     * leaf; unpersisting is async (non-blocking) and safe because callers
     * only pass generations no later plan reads.
     */
-  private def unpersistCheckpoint(df: DataFrame): Unit =
+  private[ops] def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))

@@ -273,8 +273,12 @@ object GraphOps {
       .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
     val srcDeg = deg.select(col("n").as("src"), col("d"))
     var ranks = deg.select(col("n"), lit(1000000L).as("rank"))
+    // `ownCheckpoint` guards freeCheckpoint: round 0's frame derives from
+    // the caller's (possibly memo-checkpointed) degree table — walking
+    // ITS plan would unpersist the shared memo, not our round state.
+    var ownCheckpoint = false
     for (_ <- 1 to iterations) {
-      ranks = adj
+      val next = adj
         .join(ranks.withColumnRenamed("n", "src"), "src")
         .join(srcDeg, "src")
         .withColumn("__contrib",
@@ -283,6 +287,9 @@ object GraphOps {
         .agg((lit(1000000L - dampingMicro) + sum(col("__contrib")))
           .as("rank"))
         .localCheckpoint(true)
+      if (ownCheckpoint) freeCheckpoint(ranks)
+      ranks = next
+      ownCheckpoint = true
     }
     ranks.join(deg, "n")
       .select(col("n").as("node"), col("d").as("degree"),
@@ -295,6 +302,17 @@ object GraphOps {
     val e = canonicalEdges(edges, aCol, bCol)
     pageRanksOf(e, nodeDegrees(e), iterations)
   }
+
+  /** Free a superseded round-checkpoint's storage blocks NOW
+    * ([[Dedup.unpersistCheckpoint]] — same rationale as the CC label
+    * generations: left to the driver-GC + ContextCleaner round-trip,
+    * each execution leaves the whole round-chain resident, ~8 rounds ×
+    * 3 bench runs ≈ GBs, and the NEXT query pays the memory squeeze).
+    * Only ever called on checkpoints THIS operator created, after the
+    * following round has been eagerly materialized.
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    Dedup.unpersistCheckpoint(df)
 
   /** k-core decomposition (fixed k): iteratively peel nodes of degree
     * < k until the graph stabilizes — what survives is the maximal
@@ -338,6 +356,7 @@ object GraphOps {
       val m2 = next.count()
       stable = m2 == m
       m = m2
+      freeCheckpoint(cur) // previous round's blocks, superseded by next
       cur = next
       rounds += 1
     }
@@ -380,9 +399,11 @@ object GraphOps {
         .select(col("n").as("src"))
       val reached = adj.join(frontier, "src")
         .select(col("dst").as("n"), lit(r.toLong).as("hop"))
-      dist = dist.unionAll(reached)
+      val next = dist.unionAll(reached)
         .groupBy("n").agg(min(col("hop")).as("hop"))
         .localCheckpoint(true)
+      freeCheckpoint(dist)
+      dist = next
     }
     dist.select(col("n").as("node"), col("hop"))
   }

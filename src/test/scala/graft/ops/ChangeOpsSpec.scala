@@ -208,4 +208,45 @@ class ChangeOpsSpec extends SparkTestBase {
     // off-grid periods never pair
     assert(x2drift(Seq(("2024-01-01", "a"), ("2024-01-15", "a"))) === Seq())
   }
+
+  test("revenueBridge: effects telescope to the delta exactly") {
+    import spark.implicits._
+    // wk1: n=2 s=200 (mean 100); wk2: n=3 s=600 (mean 200):
+    // Δrev 400¢ = 4.0; price (200−100)·3 = 300¢; volume (3−2)·100 = 100¢
+    val rows = Seq(
+      ("2024-01-01", 100L), ("2024-01-01", 100L),
+      ("2024-01-08", 200L), ("2024-01-08", 200L), ("2024-01-08", 200L))
+      .toDF("day", "cents").withColumn("d", to_date(col("day")))
+    val got = ChangeOps.revenueBridge(rows, col("d"), col("cents"))
+      .select(col("period").cast("string"), col("n"), col("n_prev"),
+        col("d_rev"), col("price_effect"), col("volume_effect"))
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got === Seq(("2024-01-08", 3L, 2L, 4.0, 3.0, 1.0)))
+    // boundary week (no predecessor) drops
+    assert(got.size === 1)
+  }
+
+  test("psiDrift: identical mixture scores EXACTLY zero; a jump scores big") {
+    import spark.implicits._
+    // baseline + one scored week with the identical 1..100 spectrum:
+    // every (cc, nw) equals (cb, nb), so each micro term is exactly 0.
+    val base = (1L to 100L).map(v => ("2023-12-25", v, true))
+    val same = (1L to 100L).map(v => ("2024-01-01", v, false))
+    def run(rows: Seq[(String, Long, Boolean)]) =
+      ChangeOps.psiDrift(rows.toDF("day", "v", "b"),
+        to_date(col("day")), col("v"), col("b"))
+        .select(col("period").cast("string"), col("n"), col("psi_micro"),
+          col("psi"))
+        .as[(String, Long, Long, Double)].collect().toSeq
+    assert(run(base ++ same) === Seq(("2024-01-01", 100L, 0L, 0.0)))
+    // every scored value lands above the top decile → big PSI
+    val jump = (1L to 100L).map(v => ("2024-01-01", v + 2000L, false))
+    val got = run(base ++ jump).head
+    assert(got._2 === 100L && got._4 > 1.0, got.toString)
+    // empty baseline fails loudly instead of emitting all-null PSI
+    val e = intercept[Exception] { run(same) }
+    assert(e.getMessage != null &&
+      (e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+        .contains("non-empty baseline"), e.getMessage)
+  }
 }

@@ -285,6 +285,26 @@ class StatOpsSpec extends SparkTestBase {
     assert(r.getLong(0) === 3000000000L && r.getDouble(2) === 0.6931)
   }
 
+  test("giniByGroup: textbook values, tie exactness, loud negatives") {
+    def g(rows: Seq[(String, Long)]) =
+      StatOps.giniByGroup(rows.toDF("g", "v"), col("g"), col("v"))
+        .orderBy("g").as[(String, Long, Option[Double])].collect().toSeq
+    // (0,100) → 0.5; all equal → 0; single → 0; groups isolate
+    assert(g(Seq(("a", 0L), ("a", 100L), ("b", 50L), ("b", 50L), ("c", 9L)))
+      === Seq(("a", 2L, Some(0.5)), ("b", 2L, Some(0.0)),
+        ("c", 1L, Some(0.0))))
+    // maximal concentration approaches (n−1)/n
+    assert(g(Seq(("a", 0L), ("a", 0L), ("a", 0L), ("a", 100L)))
+      === Seq(("a", 4L, Some(0.75))))
+    // all-zero group: undefined, not a crash
+    assert(g(Seq(("z", 0L), ("z", 0L))) === Seq(("z", 2L, None)))
+    val e = intercept[Exception] {
+      StatOps.giniByGroup(Seq(("a", -5L)).toDF("g", "v"),
+        col("g"), col("v")).collect()
+    }
+    assert(messageOf(e).contains("negative value"), messageOf(e))
+  }
+
   test("kendallTau: hand cases — one inversion, ties, degenerate axis") {
     def kt(rows: Seq[(Long, Long)]) =
       StatOps.kendallTau(rows.toDF("x", "y"), col("x"), col("y"))
