@@ -1084,6 +1084,23 @@ object SparkEntry {
     // merged estimate rides next to the exact distinct within sketch
     // tolerance (lgK=12 → 1.04 % RSE; the 8 %+abs-5 bound is ≈7σ,
     // deterministic because HLL is order-insensitive).
+    // Count-min frequency estimates for the 10 heaviest parts: the
+    // sketch tier's frequency member — d·w exact counters built in ONE
+    // fact pass (per-key hash pairs explode map-locally into the
+    // bounded matrix), probe joins broadcast. The CMS one-sided bound
+    // (est ≥ true) is gated as a VALUE per key, and the whole sketch is
+    // a deterministic pure function of its input (fixed hash rows), so
+    // the estimates themselves hash-match.
+    "countmin_parts" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val truth = li.where(col("l_partkey").isNotNull)
+        .groupBy(col("l_partkey").as("k"))
+        .agg(count(lit(1)).as("true_cnt"))
+      val queries = truth.orderBy(col("true_cnt").desc, col("k")).limit(10)
+      SketchOps.countMinEstimates(li, col("l_partkey"), queries)
+        .withColumnRenamed("k", "part")
+        .orderBy("part")
+    }),
     "hll_rollup_orders" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val sk = SketchOps.hllTwoLevelDistinct(o, col("o_orderpriority"),
@@ -3239,6 +3256,13 @@ object SparkEntry {
     "heavy_hitters" -> ((s, d) =>
       CorpusOps.heavyHitters(Tables.documents(s, d), "text", minShare = 0.01)
         .orderBy("token")),
+    // Pairwise source vocabulary overlap: Jaccard + containment of
+    // distinct-token sets per source pair — aggregate near-dup between
+    // SOURCES, the mixture-design read. Token-keyed self-join with
+    // ≤|sources|² per-token fan-out; sizes broadcast back.
+    "source_vocab_overlap" -> ((s, d) =>
+      CorpusOps.sourceVocabOverlap(Tables.documents(s, d), "source", "text")
+        .orderBy("src_a", "src_b")),
     // Zipf's-law fit over the top-200 token ranks: ln-ln OLS slope as the
     // one-number corpus-health read (natural text ≈ −1; templates flatten
     // it, duplication steepens it). Token histogram is the only
@@ -5923,6 +5947,38 @@ object SparkEntry {
         |t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c)
         |SELECT token, cnt, floor((cnt / total) * 10000 + 0.5) / 10000 AS share
         |FROM c, t WHERE cnt / total >= 0.01 ORDER BY token""".stripMargin,
+    // Overlap replay: same distinct incidence, same pair join, one IEEE
+    // division per measure.
+    "source_vocab_overlap" ->
+      """WITH st AS (SELECT DISTINCT source AS src, unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE source IS NOT NULL),
+        |sz AS (SELECT src, CAST(count(*) AS BIGINT) AS n FROM st GROUP BY 1),
+        |i AS (SELECT a.src AS src_a, b.src AS src_b, CAST(count(*) AS BIGINT) AS n_common
+        |  FROM st a JOIN st b ON a.token = b.token AND a.src < b.src GROUP BY 1, 2)
+        |SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_common,
+        |  floor((CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE)) * 10000 + 0.5) / 10000 AS jaccard,
+        |  floor((CAST(n_common AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE)) * 10000 + 0.5) / 10000 AS containment
+        |FROM i JOIN sz sa ON i.src_a = sa.src JOIN sz sb ON i.src_b = sb.src
+        |ORDER BY src_a, src_b""".stripMargin,
+    // CMS replay: identical fixed hash rows, identical counter matrix,
+    // identical min-over-rows estimates.
+    "countmin_parts" ->
+      """WITH f AS (SELECT l_partkey AS k FROM lineitem WHERE l_partkey IS NOT NULL),
+        |tc AS (SELECT k, CAST(count(*) AS BIGINT) AS true_cnt FROM f GROUP BY 1),
+        |q AS (SELECT k, true_cnt FROM tc ORDER BY true_cnt DESC, k LIMIT 10),
+        |b AS (SELECT 0 AS row, ((k * 1103515245 + 12345) % 2147483648) % 512 AS bucket FROM f
+        |  UNION ALL SELECT 1, ((k * 2654435761 + 40503) % 2147483648) % 512 FROM f
+        |  UNION ALL SELECT 2, ((k * 2246822519 + 104729) % 2147483648) % 512 FROM f
+        |  UNION ALL SELECT 3, ((k * 3266489917 + 7919) % 2147483648) % 512 FROM f),
+        |cms AS (SELECT row, bucket, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+        |qb AS (SELECT k, true_cnt, 0 AS row, ((k * 1103515245 + 12345) % 2147483648) % 512 AS bucket FROM q
+        |  UNION ALL SELECT k, true_cnt, 1, ((k * 2654435761 + 40503) % 2147483648) % 512 FROM q
+        |  UNION ALL SELECT k, true_cnt, 2, ((k * 2246822519 + 104729) % 2147483648) % 512 FROM q
+        |  UNION ALL SELECT k, true_cnt, 3, ((k * 3266489917 + 7919) % 2147483648) % 512 FROM q),
+        |e AS (SELECT k, true_cnt, CAST(min(c) AS BIGINT) AS est_cnt
+        |  FROM qb JOIN cms USING (row, bucket) GROUP BY 1, 2)
+        |SELECT k AS part, true_cnt, est_cnt, est_cnt >= true_cnt AS bound_ok
+        |FROM e ORDER BY part""".stripMargin,
     // Zipf replay: identical (count desc, token) rank cut, ln of exact
     // integers micro-quantized before the exact OLS power sums, the same
     // fixed IEEE slope/intercept/R² (1e12 scale cancels in the slope).

@@ -903,6 +903,48 @@ object CorpusOps {
           col("n_tokens").cast("double")))
   }
 
+  /** Pairwise source vocabulary overlap — for every source pair, the
+    * Jaccard and containment of their distinct-token sets: the
+    * corpus-composition read that tells a mixture designer which
+    * sources are near-duplicates of each other IN AGGREGATE (doc-level
+    * near-dup misses two sources that paraphrase the same domain) and
+    * which small source is swallowed by a big one (containment ≈ 1).
+    *
+    * Scale shape: one fact-scale aggregate to the distinct (source,
+    * token) incidence, sizes as a bounded rollup, then a token-keyed
+    * self-join whose per-token fan-out is ≤ |sources|² — bounded,
+    * because sources are a catalog, not data. Jaccard/containment are
+    * one IEEE division each over exact longs.
+    *
+    * @return (src_a, src_b, n_a, n_b, n_common, jaccard, containment)
+    *         per unordered pair (src_a < src_b), 4-dp
+    */
+  def sourceVocabOverlap(df: DataFrame, strataCol: String,
+                         textCol: String): DataFrame = {
+    import CoreOps.rnd
+    val st = df.where(col(strataCol).isNotNull)
+      .select(col(strataCol).as("src"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .distinct()
+    val sizes = st.groupBy("src").agg(count(lit(1)).as("n"))
+    val inter = st.select(col("src").as("src_a"), col("token"))
+      .join(st.select(col("src").as("src_b"), col("token")), "token")
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("src").as("src_a"), col("n").as("n_a"))),
+        "src_a")
+      .join(broadcast(sizes.select(col("src").as("src_b"), col("n").as("n_b"))),
+        "src_b")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        rnd(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+          .as("jaccard"),
+        rnd(col("n_common").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double")).as("containment"))
+  }
+
   /** Symmetric within-document token co-occurrence counts —
     * M[a][b] = Σ_docs count_a(doc)·count_b(doc), the AᵀA Gram of the
     * doc×token count matrix (diagonal included): the input to

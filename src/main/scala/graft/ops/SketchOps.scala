@@ -127,4 +127,58 @@ object SketchOps {
       .agg(call_function("kll_sketch_agg_bigint", valueLong, lit(k)).as("__sk"))
       .groupBy("g")
       .agg(call_function("kll_merge_agg_bigint", col("__sk")).as("kll_merged"))
+
+  /** Fixed multiplicative hash rows for [[countMinEstimates]]: odd
+    * constants (Knuth/xxhash-family primes) so the map k ↦ k·a+b mixes;
+    * FIXED so the sketch is a deterministic pure function of its input —
+    * two engines (or two ingest runs) build bit-identical counter
+    * matrices, which is what lets merged/replayed sketches hash-grade.
+    */
+  val cmsSeeds: Seq[(Long, Long)] = Seq(
+    (1103515245L, 12345L), (2654435761L, 40503L),
+    (2246822519L, 104729L), (3266489917L, 7919L))
+
+  /** Count–min sketch (Cormode & Muthukrishnan 2005) — the frequency
+    * estimator completing the sketch tier (HLL counts distinct, theta
+    * does set algebra, KLL ranks, top-k tracks heavy hitters; count-min
+    * answers "how often did THIS key occur" in d·w integers): d hash
+    * rows × w counters, point estimate = min over rows, with the
+    * one-sided guarantee est ≥ true (collisions only ADD).
+    *
+    * Scale shape: the build is ONE pass — each key emits its d (row,
+    * bucket) pairs map-locally (posexplode of d inline hash exprs) into
+    * a hash aggregate whose output is the d·w-bounded counter matrix;
+    * only that matrix crosses an exchange, and it broadcasts to the
+    * (bounded) query-key probe. Counters are exact longs; the matrix is
+    * entry-wise ADDITIVE across shards/days — the same persist-and-merge
+    * contract as the other sketch families, with plain + as the merge.
+    *
+    * Envelope: |k|·max(a) < 2^63 → keys below ~2.8×10⁹ (loud under
+    * ANSI); hash keys down first beyond that.
+    *
+    * @param queries bounded frame of (k, true_cnt) keys to estimate
+    * @return (k, true_cnt, est_cnt, bound_ok) — bound_ok is the CMS
+    *         theorem est ≥ true, gated as a value, not assumed
+    */
+  def countMinEstimates(df: DataFrame, key: Column, queries: DataFrame,
+                        w: Int = 512): DataFrame = {
+    require(w >= 2, s"w=$w must be at least 2")
+    def bucket(k: Column, a: Long, b: Long): Column =
+      pmod(pmod(k * lit(a) + lit(b), lit(2147483648L)), lit(w.toLong))
+    val rows = df.where(key.isNotNull).select(key.cast("long").as("__k"))
+    val pairs = rows.select(posexplode(array(
+      cmsSeeds.map { case (a, b) => bucket(col("__k"), a, b) }: _*))
+      .as(Seq("row", "bucket")))
+    val cms = pairs.groupBy("row", "bucket").agg(count(lit(1)).as("c"))
+    val probes = queries.select(col("k").cast("long").as("k"),
+        col("true_cnt"))
+      .select(col("k"), col("true_cnt"), posexplode(array(
+        cmsSeeds.map { case (a, b) => bucket(col("k"), a, b) }: _*))
+        .as(Seq("row", "bucket")))
+    probes.join(broadcast(cms), Seq("row", "bucket"))
+      .groupBy("k", "true_cnt")
+      .agg(min(col("c")).as("est_cnt"))
+      .select(col("k"), col("true_cnt"), col("est_cnt"),
+        (col("est_cnt") >= col("true_cnt")).as("bound_ok"))
+  }
 }

@@ -502,6 +502,27 @@ class CorpusOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](search(docs, Seq.empty))
   }
 
+  test("sourceVocabOverlap: hand-computed Jaccard/containment; disjoint pairs absent") {
+    import spark.implicits._
+    // A={a,b,c}, B={b,c,d}, C={x}: (A,B) shares {b,c} → jaccard 2/4,
+    // containment 2/3; C overlaps nobody → no row (absent = disjoint).
+    // Duplicate tokens within a source count once (distinct incidence).
+    val docs = Seq(
+      (1L, "A", "a b c b"), (2L, "B", "b c d"), (3L, "C", "x"))
+      .toDF("doc_id", "source", "text")
+    val got = CorpusOps.sourceVocabOverlap(docs, "source", "text")
+      .as[(String, String, Long, Long, Long, Double, Double)]
+      .collect().toSeq
+    assert(got === Seq(("A", "B", 3L, 3L, 2L, 0.5, 0.6667)))
+    // full containment: D inside E reads containment 1.0
+    val sub = Seq((1L, "D", "p q"), (2L, "E", "p q r s"))
+      .toDF("doc_id", "source", "text")
+    val c = CorpusOps.sourceVocabOverlap(sub, "source", "text")
+      .as[(String, String, Long, Long, Long, Double, Double)]
+      .collect().head
+    assert(c === (("D", "E", 2L, 4L, 2L, 0.5, 1.0)))
+  }
+
   test("zipfFit: exact 1/rank spectrum fits slope −1 with R² 1") {
     import spark.implicits._
     // counts (6, 3, 2) over ranks (1, 2, 3) are cnt = 6/rank exactly, so

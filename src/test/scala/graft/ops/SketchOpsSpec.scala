@@ -114,4 +114,33 @@ class SketchOpsSpec extends SparkTestBase {
     assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
       s"sketch aggregates should be ObjectHashAggregate partial+final:\n$plan")
   }
+
+  test("countMinEstimates: matches a driver-side replay; bound holds; collisions only add") {
+    import spark.implicits._
+    // keys with known multiplicities; w=4 forces collisions
+    val data = Seq.fill(5)(1L) ++ Seq.fill(3)(2L) ++ Seq.fill(7)(3L) ++
+      Seq.fill(2)(4L) ++ Seq.fill(1)(5L)
+    val df = data.toDF("k")
+    val truth = data.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val queries = truth.toSeq.map { case (k, c) => (k, c) }.toDF("k", "true_cnt")
+    val got = SketchOps.countMinEstimates(df, col("k"), queries, w = 4)
+      .orderBy("k").as[(Long, Long, Long, Boolean)].collect().toSeq
+    // replay the exact sketch in Scala
+    val seeds = SketchOps.cmsSeeds
+    def bucket(k: Long, a: Long, b: Long) = ((k * a + b) % 2147483648L) % 4L
+    val cms = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    for (k <- data; ((a, b), i) <- seeds.zipWithIndex)
+      cms((i, bucket(k, a, b))) = cms.getOrElse((i, bucket(k, a, b)), 0L) + 1L
+    val want = truth.toSeq.sortBy(_._1).map { case (k, c) =>
+      val est = seeds.zipWithIndex
+        .map { case ((a, b), i) => cms((i, bucket(k, a, b))) }.min
+      (k, c, est, est >= c)
+    }
+    assert(got === want)
+    assert(got.forall(_._4), "CMS one-sided bound violated")
+    // with a wide sketch (no collisions) estimates are exact
+    val wide = SketchOps.countMinEstimates(df, col("k"), queries, w = 512)
+      .orderBy("k").as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(wide.forall(r => r._3 === r._2), wide.toString)
+  }
 }
