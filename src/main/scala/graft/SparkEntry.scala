@@ -1537,6 +1537,55 @@ object SparkEntry {
         col("event_type") === "purchase", horizonDays = 3)
         .orderBy("t_days")),
 
+    // Nelson–Aalen cumulative hazard over the same censored durations:
+    // the counting-process companion to km_conversion — every increment
+    // an exact integer division, the cumulative hazard an exact long sum,
+    // and the Fleming–Harrington survival read alongside. Where KM says
+    // "what fraction survives", NA says "how much risk has accumulated".
+    "na_hazard" -> ((s, d) =>
+      StatOps.naHazard(Tables.events(s, d), col("user_id"), col("ts"),
+        col("event_type") === "purchase", horizonDays = 3)
+        .orderBy("t_days")),
+
+    // Calibration reliability diagram of a heuristic [0,1] scorer (the
+    // capped-value score) against the purchase label: per-decile n /
+    // positives / mean prediction / observed rate / gap, all exact
+    // integer arithmetic — the "does 0.7 mean 70%?" audit that AUC's
+    // ranking read cannot answer. Score: value cents capped at 500.00,
+    // rescaled to micro-units (×20 — exact).
+    "reliability_bins" -> ((s, d) =>
+      StatOps.reliabilityBins(
+        Tables.events(s, d).where(col("value").isNotNull),
+        col("event_type") === "purchase",
+        least(CoreOps.moneyCents(col("value")).cast("long"), lit(50000L))
+          * lit(20L),
+        bins = 10)
+        .orderBy("bin")),
+
+    // Multi-touch attribution: first/last/linear credit per channel for
+    // every user path that reaches a purchase — integer micro-credit
+    // summing to exactly 1e6 per converting user under each model
+    // (linear's division remainder goes to the last touch). ONE user-key
+    // exchange; the melt is over the 4-channel rollup.
+    "attribution_credit" -> ((s, d) =>
+      EventAnalytics.attribution(Tables.events(s, d), col("user_id"),
+        col("ts"), col("event_type"), col("event_id"), "purchase")
+        .orderBy("model", "channel")),
+
+    // Holt linear-trend fit + 4-week forecast of weekly revenue: the
+    // time-series tier's first forward-looking op. The recurrence runs in
+    // scaled-integer state (α=1/2, β=3/10, den=10) on the driver over the
+    // BOUNDED weekly series — 100 TB of orders is still ~100 weekly rows
+    // — and the oracle replays it digit-for-digit as a recursive CTE.
+    "holt_forecast" -> ((s, d) =>
+      TimeSeriesOps.holtLinear(
+        Tables.orders(s, d)
+          .groupBy(CoreOps.weekStart(col("o_orderdate")).as("week"))
+          .agg(sum(CoreOps.moneyCents(col("o_totalprice"))).as("rev_cents")),
+        col("week"), col("rev_cents"),
+        aNum = 5, bNum = 3, den = 10, horizon = 4)
+        .orderBy("ord", "kind")),
+
     // Mutual information + joint entropy over three categorical pairs —
     // the model-free association screen (label leakage / feature
     // redundancy). Exact integer joint histogram; marginals are windows
@@ -4258,6 +4307,90 @@ object SparkEntry {
         |  CASE WHEN anydead = 1 THEN 0.0
         |       ELSE floor(exp(CAST(cum AS DOUBLE) / 1000000.0) * 10000 + 0.5) / 10000 END AS surv
         |FROM c WHERE d_ev > 0 ORDER BY t""".stripMargin,
+    // Nelson–Aalen replay: same duration/risk-set table as km_conversion,
+    // hazard increments as truncating integer division, exact long
+    // cumulative sum, one exp display.
+    "na_hazard" ->
+      """WITH u AS (SELECT user_id, min(epoch_us(ts)) AS f,
+        |    min(epoch_us(ts)) FILTER (WHERE event_type = 'purchase') AS p
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+        |d AS (SELECT CASE WHEN p IS NOT NULL AND (p - f) // 86400000000 <= 3
+        |        THEN (p - f) // 86400000000 ELSE 3 END AS t,
+        |      CAST(p IS NOT NULL AND (p - f) // 86400000000 <= 3 AS INT) AS ev FROM u),
+        |a AS (SELECT t, CAST(count(*) AS BIGINT) AS n_at, CAST(sum(ev) AS BIGINT) AS d_ev FROM d GROUP BY 1),
+        |r AS (SELECT *, CAST(sum(n_at) OVER (ORDER BY t DESC) AS BIGINT) AS n_risk FROM a),
+        |k AS (SELECT *, CAST((d_ev * 1000000) // n_risk AS BIGINT) AS h_inc FROM r),
+        |c AS (SELECT *, CAST(sum(h_inc) OVER (ORDER BY t) AS BIGINT) AS cum FROM k)
+        |SELECT t AS t_days, n_risk, d_ev AS events, h_inc AS h_inc_micro,
+        |  cum AS cum_hazard_micro,
+        |  floor(exp(-CAST(cum AS DOUBLE) / 1000000.0) * 10000 + 0.5) / 10000 AS na_surv
+        |FROM c WHERE d_ev > 0 ORDER BY t""".stripMargin,
+    // Reliability-diagram replay: identical micro-score (capped cents
+    // ×20), identical truncating integer bin/mean/rate arithmetic.
+    "reliability_bins" ->
+      """WITH s AS (SELECT least(CAST(floor(value * 100 + 0.5) AS BIGINT), 50000) * 20 AS sm,
+        |    CAST(event_type = 'purchase' AS INT) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT least((sm * 10) // 1000000, 9) AS bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS pos, CAST(sum(sm) AS BIGINT) AS ssum
+        |  FROM s GROUP BY 1)
+        |SELECT bin, n, pos, CAST(ssum // n AS BIGINT) AS mean_pred_micro,
+        |  CAST((pos * 1000000) // n AS BIGINT) AS frac_pos_micro,
+        |  CAST(ssum // n - (pos * 1000000) // n AS BIGINT) AS gap_micro
+        |FROM b ORDER BY bin""".stripMargin,
+    // Attribution replay: same conversion instant (min purchase ts), same
+    // strict-before touch set, same (ts, event_id) total order, same
+    // integer micro-credit with the linear remainder on the last touch.
+    "attribution_credit" ->
+      """WITH b AS (SELECT user_id AS u, ts, event_type AS ch, event_id AS tie
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+        |p AS (SELECT u, min(ts) AS pt FROM b WHERE ch = 'purchase' GROUP BY 1),
+        |t AS (SELECT b.u, b.ch,
+        |    CAST(row_number() OVER (PARTITION BY b.u ORDER BY b.ts, b.tie) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY b.u) AS BIGINT) AS n
+        |  FROM b JOIN p ON b.u = p.u WHERE b.ch <> 'purchase' AND b.ts < p.pt),
+        |c AS (SELECT ch AS channel,
+        |    CASE WHEN rn = 1 THEN 1000000 ELSE 0 END AS ft,
+        |    CASE WHEN rn = n THEN 1000000 ELSE 0 END AS lt,
+        |    (1000000 // n) + CASE WHEN rn = n THEN 1000000 - (1000000 // n) * n ELSE 0 END AS lin
+        |  FROM t),
+        |a AS (SELECT channel, CAST(count(*) AS BIGINT) AS touches,
+        |    CAST(sum(ft) AS BIGINT) AS ft, CAST(sum(lt) AS BIGINT) AS lt,
+        |    CAST(sum(lin) AS BIGINT) AS lin FROM c GROUP BY 1)
+        |SELECT model, channel, touches, credit_micro,
+        |  floor(CAST(credit_micro AS DOUBLE) / 1000000.0 * 10000 + 0.5) / 10000 AS conversions
+        |FROM (
+        |  SELECT 'first_touch' AS model, channel, touches, ft AS credit_micro FROM a
+        |  UNION ALL SELECT 'last_touch', channel, touches, lt FROM a
+        |  UNION ALL SELECT 'linear', channel, touches, lin FROM a)
+        |ORDER BY model, channel""".stripMargin,
+    // Holt replay: the scaled-integer recurrence as a recursive CTE —
+    // same truncating divisions, same two-point init, same h-step
+    // extrapolation on the weekly date grid.
+    "holt_forecast" ->
+      """WITH RECURSIVE s AS (SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS ord,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |n AS (SELECT *, CAST(row_number() OVER (ORDER BY ord) AS BIGINT) AS rn FROM s),
+        |r AS (
+        |  SELECT CAST(1 AS BIGINT) AS rn, n1.y * 10 AS l, (n2.y - n1.y) * 10 AS b,
+        |      CAST(NULL AS BIGINT) AS fitted
+        |    FROM n n1, n n2 WHERE n1.rn = 1 AND n2.rn = 2
+        |  UNION ALL
+        |  SELECT rn, l, (3 * (l - lp) + 7 * bp) // 10 AS b, fitted FROM (
+        |    SELECT n.rn, (5 * n.y * 10 + 5 * (r.l + r.b)) // 10 AS l,
+        |        r.l AS lp, r.b AS bp, (r.l + r.b) // 10 AS fitted
+        |    FROM r JOIN n ON n.rn = r.rn + 1)),
+        |fin AS (SELECT r.l, r.b, n.ord FROM r JOIN n USING (rn)
+        |  WHERE rn = (SELECT max(rn) FROM n))
+        |SELECT n.ord, 'fit' AS kind, n.y, r.l AS level_den, r.b AS trend_den,
+        |    r.fitted, CASE WHEN r.fitted IS NULL THEN NULL ELSE n.y - r.fitted END AS resid
+        |  FROM r JOIN n USING (rn)
+        |UNION ALL
+        |SELECT fin.ord + CAST(7 * h.h AS INTEGER), 'forecast', NULL, fin.l, fin.b,
+        |    (fin.l + h.h * fin.b) // 10, NULL
+        |  FROM fin, (SELECT unnest(generate_series(1, 4)) AS h) h
+        |ORDER BY ord, kind""".stripMargin,
     // MI replay: integer joint histogram, window marginals, the same
     // integer-product ln argument and micro-unit terms as the engine.
     // DuckDB dayofweek is 0=Sunday where Spark's is 1=Sunday → +1.

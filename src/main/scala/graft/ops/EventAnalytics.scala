@@ -286,4 +286,70 @@ object EventAnalytics {
         CoreOps.rnd(sum(col("monetary")).cast("double") / 100.0)
           .as("total_monetary"))
   }
+
+  /** Multi-touch conversion attribution — first-touch / last-touch /
+    * linear credit per channel (Shao & Li, KDD 2011 frame the position
+    * heuristics this generalizes): for every user whose path reaches a
+    * first `convType` event, the touches STRICTLY BEFORE that instant
+    * split one conversion's worth of credit under each model. The
+    * channel-budget question every marketing/growth warehouse answers
+    * from its clickstream; extension tier — the reference has no event
+    * concept at all.
+    *
+    * Determinism: credit is integer micro-units summing to EXACTLY 10⁶
+    * per converting user under every model — linear gives each of n
+    * touches 10⁶ div n and assigns the division remainder to the LAST
+    * touch (deterministic, position-justified: the closer of the tied
+    * claims), so no float split and no lost remainder can drift the
+    * totals. Touch order is (ts, tie) — the tie column makes same-instant
+    * touches a total order.
+    *
+    * Scale shape: the header-comment contract — the conversion instant,
+    * touch rank, and path length are all windows over ONE user-key
+    * exchange (no self-join against a conversions table); the rollup is a
+    * two-phase hash aggregate on the tiny channel key, then a bounded
+    * 3-way melt. Users who convert with zero prior touches assign no
+    * credit (there is nothing to attribute it to) — count them from
+    * [[funnelSummary]] if needed.
+    *
+    * @return one row per (model, channel): (model, channel, touches,
+    *         credit_micro, conversions 4-dp = credit_micro/10⁶)
+    */
+  def attribution(events: DataFrame, userCol: Column, tsCol: Column,
+                  typeCol: Column, tieCol: Column,
+                  convType: String): DataFrame = {
+    val base = events
+      .where(userCol.isNotNull && tsCol.isNotNull && typeCol.isNotNull)
+      .select(userCol.as("__u"), tsCol.as("__ts"), typeCol.as("__ch"),
+        tieCol.as("__tie"))
+    val wAll = Window.partitionBy(col("__u"))
+    val touches = base
+      .withColumn("__p",
+        min(when(col("__ch") === convType, col("__ts"))).over(wAll))
+      .where(col("__p").isNotNull && col("__ch") =!= convType &&
+        col("__ts") < col("__p"))
+    val wOrd = Window.partitionBy(col("__u"))
+      .orderBy(col("__ts"), col("__tie"))
+    val ranked = touches
+      .withColumn("__rn", row_number().over(wOrd).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    val share = CoreOps.integralDiv(lit(1000000L), col("__n"))
+    val isLast = col("__rn") === col("__n")
+    val perChannel = ranked.select(col("__ch").as("channel"),
+        when(col("__rn") === 1L, lit(1000000L)).otherwise(lit(0L))
+          .as("__ft"),
+        when(isLast, lit(1000000L)).otherwise(lit(0L)).as("__lt"),
+        (share + when(isLast, lit(1000000L) - share * col("__n"))
+          .otherwise(lit(0L))).as("__lin"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("touches"), sum(col("__ft")).as("__ft"),
+        sum(col("__lt")).as("__lt"), sum(col("__lin")).as("__lin"))
+    perChannel.select(col("channel"), col("touches"),
+        expr("stack(3, 'first_touch', __ft, 'last_touch', __lt," +
+          " 'linear', __lin) AS (model, credit_micro)"))
+      .select(col("model"), col("channel"), col("touches"),
+        col("credit_micro"),
+        CoreOps.rnd(col("credit_micro").cast("double") / 1000000.0)
+          .as("conversions"))
+  }
 }

@@ -247,20 +247,8 @@ object StatOps {
     */
   def kmSurvival(df: DataFrame, key: Column, ts: Column, eventPred: Column,
                  horizonDays: Int): DataFrame = {
-    require(horizonDays >= 1, s"horizonDays=$horizonDays must be positive")
     import org.apache.spark.sql.expressions.Window
-    val us = unix_micros(ts)
-    val u = df.where(key.isNotNull && ts.isNotNull)
-      .groupBy(key.as("__k"))
-      .agg(min(us).as("__f"), min(when(eventPred, us)).as("__p"))
-    val tRaw = CoreOps.integralDiv(col("__p") - col("__f"), 86400000000L)
-    val horizon = lit(horizonDays.toLong)
-    val durations = u.select(
-      when(col("__p").isNotNull && tRaw <= horizon, tRaw)
-        .otherwise(horizon).as("t"),
-      (col("__p").isNotNull && tRaw <= horizon).cast("int").as("__ev"))
-    val a = durations.groupBy(col("t"))
-      .agg(count(lit(1)).as("__n_at"), sum(col("__ev")).as("__d"))
+    val a = durationTable(df, key, ts, eventPred, horizonDays)
     val term = when(col("__d") === 0L, lit(0L))
       .when(col("n_risk") === col("__d"), lit(0L))
       .otherwise(floor(log((col("n_risk") - col("__d")).cast("double") /
@@ -279,6 +267,119 @@ object StatOps {
         when(col("__anydead") === 1, lit(0.0))
           .otherwise(CoreOps.rnd(exp(col("__cum").cast("double") /
             lit(1000000.0)))).as("surv"))
+  }
+
+  /** Shared duration table for the survival estimators: per subject, whole
+    * days from first activity to first qualifying event, administratively
+    * censored at `horizonDays`, then grouped to (t, __n_at subjects with
+    * duration t, __d of them that are events). The ONE fact-scale exchange
+    * of [[kmSurvival]] / [[naHazard]]; everything downstream is bounded by
+    * horizonDays+1 rows. */
+  private def durationTable(df: DataFrame, key: Column, ts: Column,
+                            eventPred: Column, horizonDays: Int): DataFrame = {
+    require(horizonDays >= 1, s"horizonDays=$horizonDays must be positive")
+    val us = unix_micros(ts)
+    val u = df.where(key.isNotNull && ts.isNotNull)
+      .groupBy(key.as("__k"))
+      .agg(min(us).as("__f"), min(when(eventPred, us)).as("__p"))
+    val tRaw = CoreOps.integralDiv(col("__p") - col("__f"), 86400000000L)
+    val horizon = lit(horizonDays.toLong)
+    val durations = u.select(
+      when(col("__p").isNotNull && tRaw <= horizon, tRaw)
+        .otherwise(horizon).as("t"),
+      (col("__p").isNotNull && tRaw <= horizon).cast("int").as("__ev"))
+    durations.groupBy(col("t"))
+      .agg(count(lit(1)).as("__n_at"), sum(col("__ev")).as("__d"))
+  }
+
+  /** Nelson–Aalen cumulative hazard over the same censored duration table
+    * as [[kmSurvival]] — H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ, the counting-process
+    * companion to the product-limit curve (Nelson 1972, Aalen 1978; see
+    * also the Fleming–Harrington survival estimate S̃(t) = e^{−H(t)},
+    * which dominates KM exactly where small risk sets make the product
+    * unstable). Extension tier: the reference's analytics stop at
+    * univariate mean/median/std (etl/etl_main.py:212-218).
+    *
+    * Determinism: each increment is the EXACT truncating integer division
+    * (dᵢ·10⁶) div nᵢ — no float ratio ever forms — and the cumulative
+    * hazard is an exact long sum over those increments, so every output
+    * digit is engine-portable; the single display exponential is one
+    * fixed IEEE expression, 4-dp floored, same contract as [[kmSurvival]].
+    *
+    * Scale shape: identical to [[kmSurvival]] — ONE fact-scale exchange
+    * (the per-subject min/min aggregate in [[durationTable]]); the
+    * cumulative windows run over the horizonDays+1-row duration table, a
+    * constant-size single task.
+    *
+    * @return one row per duration with ≥1 event: (t_days, n_risk, events,
+    *         h_inc_micro, cum_hazard_micro, na_surv 4-dp)
+    */
+  def naHazard(df: DataFrame, key: Column, ts: Column, eventPred: Column,
+               horizonDays: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = durationTable(df, key, ts, eventPred, horizonDays)
+    a.withColumn("n_risk", sum(col("__n_at")).over(Window.orderBy(col("t").desc)))
+      .withColumn("h_inc_micro",
+        CoreOps.integralDiv(col("__d") * lit(1000000L), col("n_risk")))
+      .withColumn("cum_hazard_micro",
+        sum(col("h_inc_micro")).over(Window.orderBy(col("t"))))
+      .where(col("__d") > 0L)
+      .select(col("t").as("t_days"), col("n_risk"), col("__d").as("events"),
+        col("h_inc_micro"), col("cum_hazard_micro"),
+        CoreOps.rnd(exp(-col("cum_hazard_micro").cast("double") /
+          lit(1000000.0))).as("na_surv"))
+  }
+
+  /** Calibration reliability diagram — the per-bin audit of a [0, 1]
+    * score against a binary outcome (is the scorer's "0.7" actually right
+    * 70% of the time?), the companion read to [[aucHistogram]]: AUC says
+    * the RANKING separates classes, the reliability table says the LEVELS
+    * mean what they claim (DeGroot & Fienberg 1983; Niculescu-Mizil &
+    * Caruana 2005). The quality-score-vs-label calibration check a
+    * training-data pipeline runs before thresholding a heuristic scorer.
+    *
+    * Determinism: the score arrives micro-quantized ([0, 10⁶] longs); bin
+    * assignment, per-bin mean prediction (sum div n), observed positive
+    * rate (pos·10⁶ div n), and their gap are all exact truncating integer
+    * arithmetic — no float forms anywhere, every output column is a long.
+    *
+    * Scale shape: ONE map-side-combined hash aggregate to ≤ `bins` rows;
+    * derived columns are map-only over that bounded table. Overflow: the
+    * per-bin score sum needs n_bin·10⁶ < 2^63 (n_bin below ~9·10¹²) —
+    * loudly guarded, far past the 100 TB envelope.
+    *
+    * @param scoreMicro integer score in [0, 10⁶] (caller quantizes;
+    *                   out-of-range values are loudly rejected)
+    * @return one row per non-empty bin: (bin, n, pos, mean_pred_micro,
+    *         frac_pos_micro, gap_micro = mean_pred − frac_pos)
+    */
+  def reliabilityBins(df: DataFrame, label: Column, scoreMicro: Column,
+                      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins=$bins outside [2, 1000]")
+    val s = when(scoreMicro < 0L || scoreMicro > 1000000L,
+      raise_error(format_string(
+        "graft.StatOps.reliabilityBins: score_micro %d outside [0, 1e6]" +
+          " — quantize scores into micro-units first", scoreMicro))
+      .cast("long")).otherwise(scoreMicro)
+    val bin = least(CoreOps.integralDiv(s * lit(bins.toLong), 1000000L),
+      lit(bins.toLong - 1L))
+    val agged = df.where(scoreMicro.isNotNull && label.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(label.cast("int")).as("pos"),
+        sum(s).as("__ssum"))
+    val guarded = agged.withColumn("n",
+      when(col("n") >= lit(9223372036854L), raise_error(format_string(
+        "graft.StatOps.reliabilityBins overflow: bin count %d pushes the" +
+          " micro-score sum past 2^63 — shard the audit first", col("n")))
+        .cast("long")).otherwise(col("n")))
+    guarded
+      .withColumn("mean_pred_micro", CoreOps.integralDiv(col("__ssum"), col("n")))
+      .withColumn("frac_pos_micro",
+        CoreOps.integralDiv(col("pos") * lit(1000000L), col("n")))
+      .select(col("bin"), col("n"), col("pos"), col("mean_pred_micro"),
+        col("frac_pos_micro"),
+        (col("mean_pred_micro") - col("frac_pos_micro")).as("gap_micro"))
   }
 
   /** Exact two-sample Kolmogorov–Smirnov distance — the nonparametric

@@ -516,4 +516,86 @@ object TimeSeriesOps {
         .otherwise(rnd((sqrt(varN) - sg) / (sqrt(varN) + sg)))
         .as("burstiness"))
   }
+
+  /** Holt linear-trend smoothing + h-step forecast of an integer series —
+    * the first FORECASTING op in the time-series tier (everything else
+    * here describes the past): level/trend double exponential smoothing
+    * (Holt 1957), lₜ = α·yₜ + (1−α)(lₜ₋₁+bₜ₋₁), bₜ = β(lₜ−lₜ₋₁) +
+    * (1−β)bₜ₋₁, fitted one-step-ahead f̂ₜ = lₜ₋₁+bₜ₋₁, then ŷ_{T+h} =
+    * l_T + h·b_T. The capacity-planning / revenue-projection read every
+    * weekly dashboard eventually asks for.
+    *
+    * Determinism: α and β are exact RATIONALS (aNum/den, bNum/den) and
+    * the whole recurrence runs in scaled-integer state — lₜ and bₜ carry
+    * `den`-ths of a unit, each step is one multiply-add and ONE
+    * truncating integer division per state — so the entire trajectory is
+    * engine-exact: no float accumulates, and the oracle replays it
+    * digit-for-digit as a recursive CTE. Init: l₁ = y₁, b₁ = y₂ − y₁
+    * (the standard two-point start; requires ≥ 2 observations, loudly).
+    *
+    * Scale shape: the fact-scale work is whatever aggregate BUILT the
+    * series; the recurrence itself is inherently sequential (each state
+    * needs the last), so it folds on the driver over the COLLECTED
+    * series — sound for the same reason Lloyd's centroid state is: the
+    * series is bounded by the time axis (weeks of history), not by data
+    * volume. 100 TB of orders is still ~500 weekly rows. The guard
+    * enforces that contract loudly rather than assuming it.
+    *
+    * @param series   (order, value) frame; order must be a DATE column
+    *                 on a uniform `stepDays` grid (densify first), value
+    *                 integer-scaled (cents)
+    * @param horizon  h forecast steps past the last observation
+    * @param stepDays grid spacing in days (7 for weekly)
+    * @return per observed row: (ord, kind='fit', y, level_den, trend_den,
+    *         fitted, resid) — level/trend in den-ths, fitted/resid whole
+    *         units, first row's fitted/resid null (no prior state) — then
+    *         `horizon` rows (kind='forecast', y/resid null).
+    */
+  def holtLinear(series: DataFrame, order: Column, value: Column,
+                 aNum: Long, bNum: Long, den: Long, horizon: Int,
+                 stepDays: Int = 7, maxLen: Int = 100000): DataFrame = {
+    require(den > 0 && aNum > 0 && aNum < den && bNum > 0 && bNum < den,
+      s"smoothing rationals aNum=$aNum bNum=$bNum den=$den must satisfy" +
+        " 0 < aNum, bNum < den")
+    require(horizon >= 0, s"horizon=$horizon must be non-negative")
+    require(stepDays >= 1, s"stepDays=$stepDays must be positive")
+    val spark = series.sparkSession
+    val rows = series.where(order.isNotNull && value.isNotNull)
+      .select(order.cast("date").as("ord"), value.cast("long").as("y"))
+      .orderBy(col("ord")).limit(maxLen + 1).collect()
+    require(rows.length >= 2,
+      s"holtLinear needs >= 2 observations, got ${rows.length}")
+    require(rows.length <= maxLen,
+      s"holtLinear: series exceeds maxLen=$maxLen rows — this op's" +
+        " driver-fold contract is for TIME-BOUNDED series; pre-aggregate" +
+        " to a coarser grid or raise maxLen deliberately")
+    // scaled-integer fold: l, b in den-ths of a unit; every division is
+    // the truncating `/` (matches SQL div and the oracle's `//`).
+    // Overflow headroom: each step's products stay near den²·|y|, loud
+    // under ANSI far past any money series.
+    val y = rows.map(_.getLong(1))
+    var l = y(0) * den
+    var b = (y(1) - y(0)) * den
+    val out = Array.newBuilder[(java.sql.Date, String, java.lang.Long,
+      Long, Long, java.lang.Long, java.lang.Long)]
+    out += ((rows(0).getDate(0), "fit", Long.box(y(0)), l, b, null, null))
+    var t = 1
+    while (t < y.length) {
+      val fitted = (l + b) / den
+      val lPrev = l
+      l = (aNum * y(t) * den + (den - aNum) * (lPrev + b)) / den
+      b = (bNum * (l - lPrev) + (den - bNum) * b) / den
+      out += ((rows(t).getDate(0), "fit", Long.box(y(t)), l, b,
+        Long.box(fitted), Long.box(y(t) - fitted)))
+      t += 1
+    }
+    val lastDay = rows.last.getDate(0).toLocalDate
+    (1 to horizon).foreach { h =>
+      out += ((java.sql.Date.valueOf(lastDay.plusDays(stepDays.toLong * h)),
+        "forecast", null, l, b, Long.box((l + h * b) / den), null))
+    }
+    import spark.implicits._
+    out.result().toSeq
+      .toDF("ord", "kind", "y", "level_den", "trend_den", "fitted", "resid")
+  }
 }

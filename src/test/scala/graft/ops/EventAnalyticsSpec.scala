@@ -193,4 +193,48 @@ class EventAnalyticsSpec extends SparkTestBase {
       (4L, 4L, 4L, 1L, 4.0),
       (5L, 5L, 5L, 1L, 5.0)))
   }
+
+  test("attribution: first/last/linear micro-credit, remainder to last") {
+    val df = Seq(
+      // u1: ad → email → ad → purchase; the post-purchase click is out
+      (1L, "ad", "2024-01-01 10:00:00", 1L),
+      (1L, "email", "2024-01-01 11:00:00", 2L),
+      (1L, "ad", "2024-01-01 12:00:00", 3L),
+      (1L, "purchase", "2024-01-01 13:00:00", 4L),
+      (1L, "email", "2024-01-01 14:00:00", 5L),
+      // u2 converts with no prior touch → attributes nothing
+      (2L, "purchase", "2024-01-01 09:00:00", 6L),
+      // u3 touches but never converts → attributes nothing
+      (3L, "ad", "2024-01-01 09:00:00", 7L))
+      .map { case (u, e, t, id) => (u, e, ts(t), id) }
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = EventAnalytics.attribution(df, col("user_id"), col("ts"),
+      col("event_type"), col("event_id"), "purchase")
+      .orderBy("model", "channel")
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    // u1's 3 touches: first = ad(rn1), last = ad(rn3); linear share
+    // 1e6 div 3 = 333333 each, remainder 1 to the last touch.
+    assert(got === Seq(
+      ("first_touch", "ad", 2L, 1000000L, 1.0),
+      ("first_touch", "email", 1L, 0L, 0.0),
+      ("last_touch", "ad", 2L, 1000000L, 1.0),
+      ("last_touch", "email", 1L, 0L, 0.0),
+      ("linear", "ad", 2L, 666667L, 0.6667),
+      ("linear", "email", 1L, 333333L, 0.3333)))
+  }
+
+  test("attribution: per-model credit sums to exactly 1e6 per converter") {
+    // 7 touches → linear share 142857 ×7 = 999999; remainder 1 must land
+    // on the last touch so every model's total is exactly 1e6.
+    val touches = (1 to 7).map(i =>
+      (1L, s"ch${i % 3}", ts(f"2024-01-01 0$i%d:00:00"), i.toLong))
+    val df = (touches :+ ((1L, "purchase", ts("2024-01-01 09:00:00"), 8L)))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = EventAnalytics.attribution(df, col("user_id"), col("ts"),
+      col("event_type"), col("event_id"), "purchase")
+      .groupBy("model").agg(sum("credit_micro").as("c"))
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("first_touch" -> 1000000L, "last_touch" -> 1000000L,
+      "linear" -> 1000000L))
+  }
 }

@@ -378,4 +378,62 @@ class StatOpsSpec extends SparkTestBase {
       .as[(Long, Option[Double])].collect().head
     assert(out === ((3L, None)))
   }
+
+  private def na(rows: Seq[(Long, String, String)], horizon: Int = 3) =
+    StatOps.naHazard(rows.toDF("u", "ts", "et"), col("u"),
+      to_timestamp(col("ts")), col("et") === "purchase", horizon)
+      .orderBy("t_days")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+
+  test("naHazard: hand-computed hazard increments and cumulative sum") {
+    def user(u: Long, buyDay: Option[Int]) =
+      (u, "2024-01-01 00:00:00", "view") +: buyDay.toSeq.map(k =>
+        (u, f"2024-01-0${k + 1}%d 00:00:00", "purchase"))
+    val rows = user(1, Some(1)) ++ user(2, Some(2)) ++ user(3, Some(5)) ++
+      user(4, Some(2)) ++ user(5, None)
+    // durations: t=1 (n_at=1, d=1), t=2 (n_at=2, d=2), t=3 censored
+    // (n_at=2, d=0). Risk sets 5/4/2; h_inc = d·1e6 div n_risk:
+    // 200000 then 500000; cum 200000, 700000; censored row filtered.
+    // exp(-0.2)=0.8187, exp(-0.7)=0.4966 (4-dp floor-rounded).
+    assert(na(rows) === Seq(
+      (1L, 5L, 1L, 200000L, 200000L, 0.8187),
+      (2L, 4L, 2L, 500000L, 700000L, 0.4966)))
+  }
+
+  test("naHazard: exhausted risk set yields finite hazard (KM pins zero)") {
+    val rows = Seq((1L, "2024-01-01 00:00:00", "purchase"),
+      (2L, "2024-01-01 00:00:00", "view"),
+      (2L, "2024-01-02 00:00:00", "purchase"))
+    // t=0: n=2 d=1 → h=500000; t=1: n=1 d=1 → h=1000000, cum 1500000.
+    // Unlike the product limit, NA stays positive when the risk set
+    // empties — exp(-1.5)=0.2231 — the documented divergence of the two.
+    assert(na(rows) === Seq(
+      (0L, 2L, 1L, 500000L, 500000L, 0.6065),
+      (1L, 1L, 1L, 1000000L, 1500000L, 0.2231)))
+  }
+
+  private val relCols = Seq("bin", "n", "pos", "mean_pred_micro",
+    "frac_pos_micro", "gap_micro")
+
+  test("reliabilityBins: hand-computed deciles, truncating arithmetic") {
+    val df = Seq((250000L, true), (250000L, false), (1000000L, true),
+      (999999L, true)).toDF("s", "y")
+    val out = StatOps.reliabilityBins(df, col("y"), col("s"), bins = 10)
+      .orderBy("bin").as[(Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    // bin 2: n=2 pos=1 ssum=500000 → mean 250000, frac 500000, gap -250000
+    // bin 9 (1e6 clamps into the top bin): n=2 pos=2 ssum=1999999 →
+    // mean 999999, frac 1000000, gap -1
+    assert(out === Seq(
+      (2L, 2L, 1L, 250000L, 500000L, -250000L),
+      (9L, 2L, 2L, 999999L, 1000000L, -1L)))
+  }
+
+  test("reliabilityBins: out-of-range score fails loudly") {
+    val df = Seq((1000001L, true)).toDF("s", "y")
+    val e = intercept[Exception] {
+      StatOps.reliabilityBins(df, col("y"), col("s")).collect()
+    }
+    assert(e.getMessage.contains("outside [0, 1e6]"))
+  }
 }

@@ -377,4 +377,49 @@ class TimeSeriesOpsSpec extends SparkTestBase {
       ("a", 3L, 13.3333, Some(0.125), Some(-0.4776)),
       ("b", 1L, 5.0, Some(0.0), Some(-1.0))))
   }
+
+  // ---- holtLinear ----
+
+  private def holtSeries(ys: Long*) =
+    ys.zipWithIndex.map { case (y, i) =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+        .plusDays(7L * i)), y)
+    }.toDF("ord", "y")
+
+  test("holtLinear: hand-folded scaled-integer recurrence + forecast") {
+    val got = TimeSeriesOps.holtLinear(holtSeries(10L, 12L, 11L, 15L),
+      col("ord"), col("y"), aNum = 5, bNum = 3, den = 10, horizon = 2)
+      .orderBy("ord")
+      .as[(java.sql.Date, String, Option[Long], Long, Long,
+           Option[Long], Option[Long])].collect().toSeq
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // init l=100 b=20; steps hand-folded in den-ths with truncating div:
+    // t1: fit 12, l=120 b=20, resid 0; t2: fit 14, l=125 b=15, resid -3;
+    // t3: fit 14, l=145 b=16, resid 1. Forecasts (145+h·16) div 10.
+    assert(got === Seq(
+      (d("2024-01-01"), "fit", Some(10L), 100L, 20L, None, None),
+      (d("2024-01-08"), "fit", Some(12L), 120L, 20L, Some(12L), Some(0L)),
+      (d("2024-01-15"), "fit", Some(11L), 125L, 15L, Some(14L), Some(-3L)),
+      (d("2024-01-22"), "fit", Some(15L), 145L, 16L, Some(14L), Some(1L)),
+      (d("2024-01-29"), "forecast", None, 145L, 16L, Some(16L), None),
+      (d("2024-02-05"), "forecast", None, 145L, 16L, Some(17L), None)))
+  }
+
+  test("holtLinear: preconditions fail loudly") {
+    val one = intercept[IllegalArgumentException] {
+      TimeSeriesOps.holtLinear(holtSeries(10L), col("ord"), col("y"),
+        5, 3, 10, horizon = 1)
+    }
+    assert(one.getMessage.contains(">= 2 observations"))
+    val bad = intercept[IllegalArgumentException] {
+      TimeSeriesOps.holtLinear(holtSeries(10L, 11L), col("ord"), col("y"),
+        10, 3, 10, horizon = 1)
+    }
+    assert(bad.getMessage.contains("must satisfy"))
+    val long = intercept[IllegalArgumentException] {
+      TimeSeriesOps.holtLinear(holtSeries((1L to 5L): _*), col("ord"),
+        col("y"), 5, 3, 10, horizon = 0, maxLen = 4)
+    }
+    assert(long.getMessage.contains("maxLen"))
+  }
 }
