@@ -1586,6 +1586,48 @@ object SparkEntry {
         aNum = 5, bNum = 3, den = 10, horizon = 4)
         .orderBy("ord", "kind")),
 
+    // Two-arm log-rank test on time-to-first-purchase, arms split by
+    // user-id parity (deterministic, oracle-expressible): the
+    // inferential closer of the survival family — KM/NA draw the curves,
+    // this says whether they differ beyond chance. Micro-quantized
+    // hypergeometric O−E and variance summed as exact longs; one
+    // fact-scale exchange, everything after bounded by 2·(horizon+1).
+    "logrank_arms" -> ((s, d) =>
+      StatOps.logRank(Tables.events(s, d), col("user_id"), col("ts"),
+        col("event_type") === "purchase",
+        (col("user_id") % 2).cast("string"), horizonDays = 3)),
+
+    // Cohort LTV curve: users join their first-event week; cumulative
+    // purchase revenue per cohort at each whole-week age, divided by
+    // cohort size as truncating micro-cents. One user window + one
+    // (cohort, age) aggregate; the cumulative window is cohort-
+    // partitioned (never a global single partition).
+    "cohort_ltv" -> ((s, d) =>
+      EventAnalytics.cohortLtv(Tables.events(s, d), col("user_id"),
+        col("ts"),
+        when(col("event_type") === "purchase",
+          CoreOps.moneyCents(col("value")).cast("long")))
+        .orderBy("cohort_week", "age_weeks")),
+
+    // Cross-correlation between weekly event volume and weekly purchase
+    // revenue at lags −3..3 — which series leads? The two bounded weekly
+    // series align by inner join; centered integers, one fixed-IEEE
+    // quantized product per pair, full-series normalization.
+    "ccf_volume_revenue" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val x = ev.where(col("ts").isNotNull)
+        .groupBy(CoreOps.weekStart(col("ts")).as("week"))
+        .agg(count(lit(1)).as("n_events"))
+      val y = ev.where(col("ts").isNotNull &&
+          col("event_type") === "purchase" && col("value").isNotNull)
+        .groupBy(CoreOps.weekStart(col("ts")).as("week"))
+        .agg(sum(CoreOps.moneyCents(col("value")).cast("long"))
+          .as("rev_cents"))
+      TimeSeriesOps.crossCorrelation(x, col("week"), col("n_events"),
+        y, col("week"), col("rev_cents"), maxLag = 3)
+        .orderBy("lag")
+    }),
+
     // Mutual information + joint entropy over three categorical pairs —
     // the model-free association screen (label leakage / feature
     // redundancy). Exact integer joint histogram; marginals are windows
@@ -4352,17 +4394,23 @@ object SparkEntry {
         |c AS (SELECT ch AS channel,
         |    CASE WHEN rn = 1 THEN 1000000 ELSE 0 END AS ft,
         |    CASE WHEN rn = n THEN 1000000 ELSE 0 END AS lt,
-        |    (1000000 // n) + CASE WHEN rn = n THEN 1000000 - (1000000 // n) * n ELSE 0 END AS lin
+        |    (1000000 // n) + CASE WHEN rn = n THEN 1000000 - (1000000 // n) * n ELSE 0 END AS lin,
+        |    CASE WHEN n = 1 THEN 1000000 WHEN n = 2 THEN 500000
+        |         WHEN rn = 1 OR rn = n THEN 400000
+        |         ELSE (200000 // (n - 2)) + CASE WHEN rn = n - 1
+        |           THEN 200000 - (200000 // (n - 2)) * (n - 2) ELSE 0 END
+        |    END AS pos
         |  FROM t),
         |a AS (SELECT channel, CAST(count(*) AS BIGINT) AS touches,
         |    CAST(sum(ft) AS BIGINT) AS ft, CAST(sum(lt) AS BIGINT) AS lt,
-        |    CAST(sum(lin) AS BIGINT) AS lin FROM c GROUP BY 1)
+        |    CAST(sum(lin) AS BIGINT) AS lin, CAST(sum(pos) AS BIGINT) AS pos FROM c GROUP BY 1)
         |SELECT model, channel, touches, credit_micro,
         |  floor(CAST(credit_micro AS DOUBLE) / 1000000.0 * 10000 + 0.5) / 10000 AS conversions
         |FROM (
         |  SELECT 'first_touch' AS model, channel, touches, ft AS credit_micro FROM a
         |  UNION ALL SELECT 'last_touch', channel, touches, lt FROM a
-        |  UNION ALL SELECT 'linear', channel, touches, lin FROM a)
+        |  UNION ALL SELECT 'linear', channel, touches, lin FROM a
+        |  UNION ALL SELECT 'position', channel, touches, pos FROM a)
         |ORDER BY model, channel""".stripMargin,
     // Holt replay: the scaled-integer recurrence as a recursive CTE —
     // same truncating divisions, same two-point init, same h-step
@@ -4391,6 +4439,98 @@ object SparkEntry {
         |    (fin.l + h.h * fin.b) // 10, NULL
         |  FROM fin, (SELECT unnest(generate_series(1, 4)) AS h) h
         |ORDER BY ord, kind""".stripMargin,
+    // Log-rank replay: same censored durations split by user-id parity,
+    // same event-time risk join, the same fixed-order truncating micro
+    // divisions for E and V, exact long sums, one IEEE z/chi2 each.
+    "logrank_arms" ->
+      """WITH u AS (SELECT user_id, CAST(user_id % 2 AS VARCHAR) AS a,
+        |    min(epoch_us(ts)) AS f,
+        |    min(epoch_us(ts)) FILTER (WHERE event_type = 'purchase') AS p
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
+        |dur AS (SELECT a, CASE WHEN p IS NOT NULL AND (p - f) // 86400000000 <= 3
+        |      THEN (p - f) // 86400000000 ELSE 3 END AS t,
+        |    CAST(p IS NOT NULL AND (p - f) // 86400000000 <= 3 AS INT) AS ev FROM u),
+        |dt AS (SELECT a, t, CAST(count(*) AS BIGINT) AS n_at,
+        |    CAST(sum(ev) AS BIGINT) AS d FROM dur GROUP BY 1, 2),
+        |info AS (SELECT min(a) AS arm_a, max(a) AS arm_b,
+        |    CAST(coalesce(sum(n_at) FILTER (WHERE a = (SELECT min(a) FROM dt)), 0) AS BIGINT) AS n_a,
+        |    CAST(coalesce(sum(n_at) FILTER (WHERE a = (SELECT max(a) FROM dt)), 0) AS BIGINT) AS n_b
+        |  FROM dt),
+        |et AS (SELECT t FROM dt GROUP BY t HAVING sum(d) > 0),
+        |risk AS (SELECT et.t AS te, dt.a, CAST(sum(dt.n_at) AS BIGINT) AS nr,
+        |    CAST(sum(CASE WHEN dt.t = et.t THEN dt.d ELSE 0 END) AS BIGINT) AS da
+        |  FROM dt JOIN et ON dt.t >= et.t GROUP BY 1, 2),
+        |bt AS (SELECT te,
+        |    CAST(coalesce(sum(nr) FILTER (WHERE a = (SELECT arm_a FROM info)), 0) AS BIGINT) AS n1,
+        |    CAST(coalesce(sum(da) FILTER (WHERE a = (SELECT arm_a FROM info)), 0) AS BIGINT) AS d1,
+        |    CAST(coalesce(sum(nr) FILTER (WHERE a = (SELECT arm_b FROM info)), 0) AS BIGINT) AS n2,
+        |    CAST(coalesce(sum(da) FILTER (WHERE a = (SELECT arm_b FROM info)), 0) AS BIGINT) AS d2
+        |  FROM risk GROUP BY 1),
+        |terms AS (SELECT *, CAST(((d1 + d2) * n1 * 1000000) // (n1 + n2) AS BIGINT) AS e1,
+        |    (((d1 + d2) * n1 * 1000000) // (n1 + n2) * n2) // (n1 + n2) AS b FROM bt),
+        |terms2 AS (SELECT *, CASE WHEN n1 + n2 > 1
+        |      THEN CAST((b * (n1 + n2 - d1 - d2)) // (n1 + n2 - 1) AS BIGINT)
+        |      ELSE 0 END AS v1 FROM terms),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_times,
+        |    CAST(sum(d1) AS BIGINT) AS o_a, CAST(sum(e1) AS BIGINT) AS e_a_micro,
+        |    CAST(sum(v1) AS BIGINT) AS v_micro FROM terms2)
+        |SELECT info.arm_a, info.arm_b, info.n_a, info.n_b, agg.n_times,
+        |  agg.o_a, agg.e_a_micro, agg.v_micro,
+        |  CASE WHEN agg.v_micro = 0 THEN NULL
+        |    ELSE floor((CAST(agg.o_a AS DOUBLE) - CAST(agg.e_a_micro AS DOUBLE) / 1000000.0)
+        |      / sqrt(CAST(agg.v_micro AS DOUBLE) / 1000000.0) * 10000 + 0.5) / 10000 END AS z,
+        |  CASE WHEN agg.v_micro = 0 THEN NULL
+        |    ELSE floor(pow(CAST(agg.o_a AS DOUBLE) - CAST(agg.e_a_micro AS DOUBLE) / 1000000.0, 2)
+        |      / (CAST(agg.v_micro AS DOUBLE) / 1000000.0) * 10000 + 0.5) / 10000 END AS chi2
+        |FROM info, agg""".stripMargin,
+    // Cohort-LTV replay: same first-week cohorts, purchase cents, cohort-
+    // partitioned cumulative sum, truncating micro-cent per-user division.
+    "cohort_ltv" ->
+      """WITH b AS (SELECT user_id AS u, date_trunc('week', ts) AS w,
+        |    CASE WHEN event_type = 'purchase'
+        |      THEN coalesce(CAST(floor(value * 100 + 0.5) AS BIGINT), 0)
+        |      ELSE 0 END AS r
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT *, min(w) OVER (PARTITION BY u) AS cw FROM b),
+        |a AS (SELECT cw AS cohort_week,
+        |    CAST(date_diff('day', cw, w) // 7 AS BIGINT) AS age_weeks,
+        |    CAST(count(DISTINCT u) AS BIGINT) AS active,
+        |    CAST(sum(r) AS BIGINT) AS rev_cents
+        |  FROM c GROUP BY 1, 2),
+        |s AS (SELECT cohort_week, active AS n_users FROM a WHERE age_weeks = 0),
+        |k AS (SELECT a.cohort_week, a.age_weeks, s.n_users, a.active, a.rev_cents,
+        |    CAST(sum(a.rev_cents) OVER (PARTITION BY a.cohort_week ORDER BY a.age_weeks) AS BIGINT) AS cum_rev_cents
+        |  FROM a JOIN s USING (cohort_week))
+        |SELECT cohort_week, age_weeks, n_users, active, rev_cents, cum_rev_cents,
+        |  CAST((cum_rev_cents * 1000000) // n_users AS BIGINT) AS ltv_microcents
+        |FROM k ORDER BY cohort_week, age_weeks""".stripMargin,
+    // CCF replay: inner-join week alignment, the same centered integers
+    // (n·x − Σx), the same single fixed-IEEE quantized product per pair,
+    // full-series sum-of-squares normalization.
+    "ccf_volume_revenue" ->
+      """WITH x AS (SELECT date_trunc('week', ts) AS w, CAST(count(*) AS BIGINT) AS xv
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |y AS (SELECT date_trunc('week', ts) AS w,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS yv
+        |  FROM events WHERE ts IS NOT NULL AND event_type = 'purchase'
+        |    AND value IS NOT NULL GROUP BY 1),
+        |j AS (SELECT x.w, x.xv, y.yv FROM x JOIN y USING (w)),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(xv) AS BIGINT) AS sx,
+        |    CAST(sum(yv) AS BIGINT) AS sy FROM j),
+        |c AS (SELECT row_number() OVER (ORDER BY j.w) AS rn,
+        |    tot.n * j.xv - tot.sx AS cx, tot.n * j.yv - tot.sy AS cy
+        |  FROM j, tot),
+        |den AS (SELECT
+        |    CAST(coalesce(sum(CAST(floor(CAST(cx AS DOUBLE) * CAST(cx AS DOUBLE) / 1e12 + 0.5) AS BIGINT)), 0) AS BIGINT) AS dx,
+        |    CAST(coalesce(sum(CAST(floor(CAST(cy AS DOUBLE) * CAST(cy AS DOUBLE) / 1e12 + 0.5) AS BIGINT)), 0) AS BIGINT) AS dy
+        |  FROM c),
+        |p AS (SELECT CAST(b.rn - a.rn AS BIGINT) AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(coalesce(sum(CAST(floor(CAST(a.cx AS DOUBLE) * CAST(b.cy AS DOUBLE) / 1e12 + 0.5) AS BIGINT)), 0) AS BIGINT) AS num
+        |  FROM c a JOIN c b ON abs(b.rn - a.rn) <= 3 GROUP BY 1)
+        |SELECT p.lag, p.n_pairs,
+        |  CASE WHEN den.dx = 0 OR den.dy = 0 THEN NULL
+        |    ELSE floor(CAST(p.num AS DOUBLE) / sqrt(CAST(den.dx AS DOUBLE) * CAST(den.dy AS DOUBLE)) * 10000 + 0.5) / 10000 END AS ccf
+        |FROM p, den ORDER BY lag""".stripMargin,
     // MI replay: integer joint histogram, window marginals, the same
     // integer-product ln argument and micro-unit terms as the engine.
     // DuckDB dayofweek is 0=Sunday where Spark's is 1=Sunday → +1.

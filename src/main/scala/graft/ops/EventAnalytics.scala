@@ -288,7 +288,8 @@ object EventAnalytics {
   }
 
   /** Multi-touch conversion attribution — first-touch / last-touch /
-    * linear credit per channel (Shao & Li, KDD 2011 frame the position
+    * linear / position-based (U-shaped 40/20/40) credit per channel
+    * (Shao & Li, KDD 2011 frame the position
     * heuristics this generalizes): for every user whose path reaches a
     * first `convType` event, the touches STRICTLY BEFORE that instant
     * split one conversion's worth of credit under each model. The
@@ -301,8 +302,9 @@ object EventAnalytics {
     * touches 10⁶ div n and assigns the division remainder to the LAST
     * touch (deterministic, position-justified: the closer of the tied
     * claims), so no float split and no lost remainder can drift the
-    * totals. Touch order is (ts, tie) — the tie column makes same-instant
-    * touches a total order.
+    * totals; position-based follows the same remainder discipline on its
+    * middle share. Touch order is (ts, tie) — the tie column makes
+    * same-instant touches a total order.
     *
     * Scale shape: the header-comment contract — the conversion instant,
     * touch rank, and path length are all windows over ONE user-key
@@ -335,21 +337,83 @@ object EventAnalytics {
       .withColumn("__n", count(lit(1)).over(wAll))
     val share = CoreOps.integralDiv(lit(1000000L), col("__n"))
     val isLast = col("__rn") === col("__n")
+    // Position-based (U-shaped 40/20/40): endpoints take 40% each, the
+    // middles split 20% — n=1 takes all, n=2 splits 50/50; the middle
+    // share's division remainder goes to the LAST middle (rn = n−1),
+    // same closer-claim-wins justification as linear's remainder.
+    val midShare = CoreOps.integralDiv(lit(200000L), col("__n") - 2L)
+    val posCredit = when(col("__n") === 1L, lit(1000000L))
+      .when(col("__n") === 2L, lit(500000L))
+      .when(col("__rn") === 1L || isLast, lit(400000L))
+      .otherwise(midShare + when(col("__rn") === col("__n") - 1L,
+        lit(200000L) - midShare * (col("__n") - 2L)).otherwise(lit(0L)))
     val perChannel = ranked.select(col("__ch").as("channel"),
         when(col("__rn") === 1L, lit(1000000L)).otherwise(lit(0L))
           .as("__ft"),
         when(isLast, lit(1000000L)).otherwise(lit(0L)).as("__lt"),
         (share + when(isLast, lit(1000000L) - share * col("__n"))
-          .otherwise(lit(0L))).as("__lin"))
+          .otherwise(lit(0L))).as("__lin"),
+        posCredit.as("__pos"))
       .groupBy("channel")
       .agg(count(lit(1)).as("touches"), sum(col("__ft")).as("__ft"),
-        sum(col("__lt")).as("__lt"), sum(col("__lin")).as("__lin"))
+        sum(col("__lt")).as("__lt"), sum(col("__lin")).as("__lin"),
+        sum(col("__pos")).as("__pos"))
     perChannel.select(col("channel"), col("touches"),
-        expr("stack(3, 'first_touch', __ft, 'last_touch', __lt," +
-          " 'linear', __lin) AS (model, credit_micro)"))
+        expr("stack(4, 'first_touch', __ft, 'last_touch', __lt," +
+          " 'linear', __lin, 'position', __pos) AS (model, credit_micro)"))
       .select(col("model"), col("channel"), col("touches"),
         col("credit_micro"),
         CoreOps.rnd(col("credit_micro").cast("double") / 1000000.0)
           .as("conversions"))
+  }
+
+  /** Cohort lifetime-value curve: users join the Monday-start week of
+    * their FIRST event (their cohort, same assignment as
+    * [[cohortRetention]]); at each whole-week age since then, the
+    * cohort's cumulative qualifying revenue divided by its size is the
+    * LTV-per-user the payback-period read needs (the
+    * "CAC < LTV by week k?" question). Ages with activity but no revenue
+    * still appear (cum carries forward); ages with no events at all are
+    * absent — densify against a grid if a chart needs them.
+    *
+    * Determinism: revenue accumulates as exact long cents; per-user LTV
+    * is the truncating division (cum_cents·10⁶) div cohort_size — in
+    * MICRO-cents so small cohorts don't truncate to zero precision.
+    *
+    * Scale shape: one user-keyed window (cohort assignment), one hash
+    * aggregate to (cohort, age) — bounded by weeks², not rows — and the
+    * cumulative window partitioned BY COHORT over ages (bounded, never
+    * a single global partition). Cohort size joins back from offset 0 of
+    * the same aggregate rather than a second fact scan.
+    *
+    * @param revenue per-row revenue in CENTS (long; null → 0), already
+    *                gated to qualifying rows by the caller (e.g.
+    *                `when(type === "purchase", moneyCents(value))`)
+    * @return (cohort_week, age_weeks, n_users — cohort size, active —
+    *         distinct users this age, rev_cents, cum_rev_cents,
+    *         ltv_microcents = cum·10⁶ div n_users)
+    */
+  def cohortLtv(events: DataFrame, userCol: Column, tsCol: Column,
+                revenue: Column): DataFrame = {
+    val week = CoreOps.weekStart(tsCol)
+    val base = events.where(userCol.isNotNull && tsCol.isNotNull)
+      .select(userCol.as("__u"), week.as("__w"),
+        coalesce(revenue.cast("long"), lit(0L)).as("__r"))
+      .withColumn("__cw",
+        min(col("__w")).over(Window.partitionBy(col("__u"))))
+    val byAge = base
+      .groupBy(col("__cw").as("cohort_week"),
+        (datediff(col("__w"), col("__cw")) / 7).cast("long").as("age_weeks"))
+      .agg(count_distinct(col("__u")).as("active"),
+        sum(col("__r")).as("rev_cents"))
+    val size = byAge.where(col("age_weeks") === 0L)
+      .select(col("cohort_week"), col("active").as("n_users"))
+    val wCum = Window.partitionBy(col("cohort_week")).orderBy(col("age_weeks"))
+    byAge.join(size, Seq("cohort_week"))
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(wCum))
+      .select(col("cohort_week"), col("age_weeks"), col("n_users"),
+        col("active"), col("rev_cents"), col("cum_rev_cents"),
+        CoreOps.integralDiv(col("cum_rev_cents") * lit(1000000L),
+          col("n_users")).as("ltv_microcents"))
   }
 }

@@ -330,6 +330,131 @@ object StatOps {
           lit(1000000.0))).as("na_surv"))
   }
 
+  /** Two-arm log-rank test (Mantel 1966; Peto & Peto 1972) over the same
+    * censored integer-day durations as [[kmSurvival]] — the inferential
+    * closer of the survival family: KM/NA DRAW the two curves, log-rank
+    * says whether they differ beyond chance. At each duration t with ≥1
+    * event, arm A's observed events d₁ₜ are compared to the
+    * hypergeometric expectation dₜ·n₁ₜ/nₜ; O−E sums across times, the
+    * variance Σ dₜ(n₁ₜ/nₜ)(n₂ₜ/nₜ)(nₜ−dₜ)/(nₜ−1) normalizes it, and
+    * Z = (O−E)/√V ~ N(0,1) under H₀. The A/B read for time-to-event
+    * outcomes where a naive means test is wrong under censoring.
+    *
+    * Determinism: the expectation and variance terms are micro-quantized
+    * with TRUNCATING integer divisions in a fixed order — e₁ₜ =
+    * (dₜ·n₁ₜ·10⁶) div nₜ, then b = (e₁ₜ·n₂ₜ) div nₜ, then v₁ₜ =
+    * (b·(nₜ−dₜ)) div (nₜ−1) — and summed as exact longs, so every
+    * reported integer column is engine-portable; z/chi2 are one fixed
+    * IEEE expression each, 4-dp. Per-subject arm is min(arm) for
+    * determinism (the arm must be constant per subject; a subject that
+    * appears under both arms is assigned the lexicographic minimum).
+    * Exactly two arms are required — anything else fails loudly.
+    * Overflow precondition (loud): dₜ·n₁ₜ < 2^63/10⁶ per event time —
+    * a `raise_error` guard fires with an actionable message; bucket
+    * durations coarser beyond that.
+    *
+    * Scale shape: ONE fact-scale exchange (the per-subject min/min/min
+    * aggregate); the per-arm duration table is 2·(horizonDays+1) rows,
+    * and the event-time risk join, pivot, and final sum all run on that
+    * bounded frame.
+    *
+    * @return one row: (arm_a, arm_b, n_a, n_b — subjects per arm,
+    *         n_times — event times, o_a — arm-A observed events,
+    *         e_a_micro — expected in micro-events, v_micro — variance in
+    *         micro-units, z 4-dp, chi2 4-dp; z/chi2 null when V = 0)
+    */
+  def logRank(df: DataFrame, key: Column, ts: Column, eventPred: Column,
+              arm: Column, horizonDays: Int): DataFrame = {
+    require(horizonDays >= 1, s"horizonDays=$horizonDays must be positive")
+    val us = unix_micros(ts)
+    val u = df.where(key.isNotNull && ts.isNotNull && arm.isNotNull)
+      .groupBy(key.as("__k"))
+      .agg(min(arm.cast("string")).as("__a"), min(us).as("__f"),
+        min(when(eventPred, us)).as("__p"))
+    val tRaw = CoreOps.integralDiv(col("__p") - col("__f"), 86400000000L)
+    val horizon = lit(horizonDays.toLong)
+    val dt = u.select(col("__a"),
+        when(col("__p").isNotNull && tRaw <= horizon, tRaw)
+          .otherwise(horizon).as("t"),
+        (col("__p").isNotNull && tRaw <= horizon).cast("int").as("__ev"))
+      .groupBy(col("__a"), col("t"))
+      .agg(count(lit(1)).as("__n_at"), sum(col("__ev")).cast("long").as("__d"))
+    // Arm inventory — bounded (k distinct arms); the k ≠ 2 case fails
+    // loudly in the final projection rather than mis-pivoting silently.
+    val per = dt.groupBy(col("__a")).agg(sum(col("__n_at")).as("__na"))
+    val lim = per.agg(count(lit(1)).as("__karms"),
+      min(col("__a")).as("arm_a"), max(col("__a")).as("arm_b"))
+    val info = per.crossJoin(broadcast(lim))
+      .groupBy(col("__karms"), col("arm_a"), col("arm_b"))
+      .agg(coalesce(sum(when(col("__a") === col("arm_a"), col("__na"))),
+          lit(0L)).as("n_a"),
+        coalesce(sum(when(col("__a") === col("arm_b"), col("__na"))),
+          lit(0L)).as("n_b"))
+    // Event-time grid (durations where either arm saw an event) and each
+    // arm's risk set there: a theta-join of two bounded frames.
+    val et = dt.groupBy(col("t")).agg(sum(col("__d")).as("__dt"))
+      .where(col("__dt") > 0L).select(col("t").as("__te"))
+    val risk = dt.join(et, dt("t") >= et("__te"))
+      .groupBy(et("__te").as("__t"), dt("__a").as("__ra"))
+      .agg(sum(col("__n_at")).as("__nr"),
+        sum(when(dt("t") === et("__te"), col("__d")).otherwise(lit(0L)))
+          .as("__da"))
+    val byTime = risk.crossJoin(broadcast(info))
+      .groupBy(col("__t"), col("__karms"), col("arm_a"), col("arm_b"),
+        col("n_a"), col("n_b"))
+      .agg(
+        coalesce(sum(when(col("__ra") === col("arm_a"), col("__nr"))),
+          lit(0L)).as("__n1"),
+        coalesce(sum(when(col("__ra") === col("arm_a"), col("__da"))),
+          lit(0L)).as("__d1"),
+        coalesce(sum(when(col("__ra") === col("arm_b"), col("__nr"))),
+          lit(0L)).as("__n2"),
+        coalesce(sum(when(col("__ra") === col("arm_b"), col("__da"))),
+          lit(0L)).as("__d2"))
+    val n = col("__n1") + col("__n2")
+    val d = col("__d1") + col("__d2")
+    val ovf = d > 0L &&
+      col("__n1") > CoreOps.integralDiv(lit(Long.MaxValue / 1000000L), d)
+    val guard = raise_error(format_string(
+      "graft.StatOps.logRank overflow: d*n1 = %d*%d >= 2^63/1e6 at one" +
+        " event time — bucket durations coarser first",
+      d, col("__n1"))).cast("long")
+    val e1 = when(ovf, guard)
+      .otherwise(CoreOps.integralDiv(d * col("__n1") * lit(1000000L), n))
+    val terms = byTime
+      .withColumn("__e1", e1)
+      .withColumn("__b", CoreOps.integralDiv(col("__e1") * col("__n2"), n))
+      .withColumn("__v1", when(n > 1L,
+        CoreOps.integralDiv(col("__b") * (n - d), n - lit(1L)))
+        .otherwise(lit(0L)))
+    val badArms = raise_error(format_string(
+      "graft.StatOps.logRank: expected exactly 2 arms, found %d",
+      col("__karms"))).cast("long")
+    terms
+      .groupBy(col("__karms"), col("arm_a"), col("arm_b"), col("n_a"),
+        col("n_b"))
+      .agg(count(lit(1)).as("n_times"),
+        coalesce(sum(col("__d1")), lit(0L)).as("o_a"),
+        coalesce(sum(col("__e1")), lit(0L)).as("e_a_micro"),
+        coalesce(sum(col("__v1")), lit(0L)).as("v_micro"))
+      .select(col("arm_a"), col("arm_b"),
+        when(col("__karms") =!= 2L, badArms).otherwise(col("n_a")).as("n_a"),
+        col("n_b"), col("n_times"), col("o_a"), col("e_a_micro"),
+        col("v_micro"),
+        when(col("v_micro") === 0L, lit(null).cast("double"))
+          .otherwise(CoreOps.rnd(
+            (col("o_a").cast("double") -
+              col("e_a_micro").cast("double") / lit(1000000.0)) /
+              sqrt(col("v_micro").cast("double") / lit(1000000.0))))
+          .as("z"),
+        when(col("v_micro") === 0L, lit(null).cast("double"))
+          .otherwise(CoreOps.rnd(
+            pow(col("o_a").cast("double") -
+              col("e_a_micro").cast("double") / lit(1000000.0), 2.0) /
+              (col("v_micro").cast("double") / lit(1000000.0))))
+          .as("chi2"))
+  }
+
   /** Calibration reliability diagram — the per-bin audit of a [0, 1]
     * score against a binary outcome (is the scorer's "0.7" actually right
     * 70% of the time?), the companion read to [[aucHistogram]]: AUC says

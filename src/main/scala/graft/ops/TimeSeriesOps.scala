@@ -358,6 +358,66 @@ object TimeSeriesOps {
             col("__den").cast("double"))).as("acf"))
   }
 
+  /** Cross-correlation function between two ALIGNED integer series —
+    * r(ℓ) = Σ x̃ₜ·ỹₜ₊ℓ / √(Σx̃² · Σỹ²) for ℓ in −maxLag..maxLag (Box &
+    * Jenkins ch. 11's lead/lag identification read): which series LEADS,
+    * and by how many periods? Positive ℓ means y lags x (x leads);
+    * negative means y leads. The marketing-spend-vs-revenue /
+    * deploys-vs-errors diagnostic [[autocorrelation]] can't answer
+    * because it sees one series.
+    *
+    * Determinism: the [[autocorrelation]] recipe on both series — center
+    * as exact integers (n·x − Σx, so no float mean forms), quantize each
+    * product through ONE fixed IEEE floor(a·b/scaleDiv + 0.5), sum as
+    * exact longs; r is one double division + sqrt at display, 4-dp. The
+    * normalization uses the FULL-series sums of squares (the standard
+    * CCF estimator, biased at large |ℓ|, consistent and engine-simple).
+    * Alignment is by join on the order column — periods present in only
+    * one series drop (densify both first for gap semantics).
+    *
+    * Scale shape: caller reduces facts to the bounded series; the
+    * inner-join alignment, the ±maxLag band self-join, and all sums run
+    * on that bounded frame.
+    *
+    * @return one row per lag −maxLag..maxLag with ≥1 pair: (lag,
+    *         n_pairs, ccf 4-dp; null when either variance is 0)
+    */
+  def crossCorrelation(xs: DataFrame, xOrder: Column, xValue: Column,
+                       ys: DataFrame, yOrder: Column, yValue: Column,
+                       maxLag: Int, scaleDiv: Double = 1e12): DataFrame = {
+    import CoreOps.rnd
+    require(maxLag >= 1, s"maxLag=$maxLag must be positive")
+    val joined = xs.where(xOrder.isNotNull && xValue.isNotNull)
+      .select(xOrder.as("__o"), xValue.cast("long").as("__x"))
+      .join(ys.where(yOrder.isNotNull && yValue.isNotNull)
+        .select(yOrder.as("__o"), yValue.cast("long").as("__y")), Seq("__o"))
+    val tot = joined.agg(count(lit(1)).as("__n"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"))
+    val c = joined.crossJoin(broadcast(tot))
+      .select(row_number().over(Window.orderBy(col("__o"))).as("__rn"),
+        (col("__n") * col("__x") - col("__sx")).as("__cx"),
+        (col("__n") * col("__y") - col("__sy")).as("__cy"))
+    val qprod = (a: Column, b: Column) =>
+      floor(a.cast("double") * b.cast("double") / lit(scaleDiv) + lit(0.5))
+        .cast("long")
+    val den = c.agg(coalesce(sum(qprod(col("__cx"), col("__cx"))), lit(0L))
+        .as("__dx"),
+      coalesce(sum(qprod(col("__cy"), col("__cy"))), lit(0L)).as("__dy"))
+    val a = c.select(col("__rn").as("__ra"), col("__cx"))
+    val b = c.select(col("__rn").as("__rb"), col("__cy"))
+    a.join(b, abs(col("__rb") - col("__ra")) <= lit(maxLag))
+      .groupBy((col("__rb") - col("__ra")).cast("long").as("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(qprod(col("__cx"), col("__cy"))), lit(0L)).as("__num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        when(col("__dx") === 0L || col("__dy") === 0L,
+          lit(null).cast("double"))
+          .otherwise(rnd(col("__num").cast("double") /
+            sqrt(col("__dx").cast("double") * col("__dy").cast("double"))))
+          .as("ccf"))
+  }
+
   /** Single-changepoint detection by binary segmentation — the first
     * split of the classic recursive scheme (Scott & Knott 1974; the
     * step CUSUM's drift alarm [[cusumChangepoints]] localizes less

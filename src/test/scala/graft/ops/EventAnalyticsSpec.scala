@@ -213,19 +213,23 @@ class EventAnalyticsSpec extends SparkTestBase {
       .orderBy("model", "channel")
       .as[(String, String, Long, Long, Double)].collect().toSeq
     // u1's 3 touches: first = ad(rn1), last = ad(rn3); linear share
-    // 1e6 div 3 = 333333 each, remainder 1 to the last touch.
+    // 1e6 div 3 = 333333 each, remainder 1 to the last touch; position
+    // (U-shaped): endpoints 400000 each (both ad), middle email 200000.
     assert(got === Seq(
       ("first_touch", "ad", 2L, 1000000L, 1.0),
       ("first_touch", "email", 1L, 0L, 0.0),
       ("last_touch", "ad", 2L, 1000000L, 1.0),
       ("last_touch", "email", 1L, 0L, 0.0),
       ("linear", "ad", 2L, 666667L, 0.6667),
-      ("linear", "email", 1L, 333333L, 0.3333)))
+      ("linear", "email", 1L, 333333L, 0.3333),
+      ("position", "ad", 2L, 800000L, 0.8),
+      ("position", "email", 1L, 200000L, 0.2)))
   }
 
   test("attribution: per-model credit sums to exactly 1e6 per converter") {
-    // 7 touches → linear share 142857 ×7 = 999999; remainder 1 must land
-    // on the last touch so every model's total is exactly 1e6.
+    // 7 touches → linear share 142857 ×7 = 999999 and position middles
+    // 200000 div 5 = 40000 ×5; each model's remainder must land on its
+    // designated touch so every model's total is exactly 1e6.
     val touches = (1 to 7).map(i =>
       (1L, s"ch${i % 3}", ts(f"2024-01-01 0$i%d:00:00"), i.toLong))
     val df = (touches :+ ((1L, "purchase", ts("2024-01-01 09:00:00"), 8L)))
@@ -235,6 +239,50 @@ class EventAnalyticsSpec extends SparkTestBase {
       .groupBy("model").agg(sum("credit_micro").as("c"))
       .as[(String, Long)].collect().toMap
     assert(got === Map("first_touch" -> 1000000L, "last_touch" -> 1000000L,
-      "linear" -> 1000000L))
+      "linear" -> 1000000L, "position" -> 1000000L))
+  }
+
+  test("attribution position model: n=1 takes all, n=2 splits 50/50") {
+    val df = Seq(
+      (1L, "ad", "2024-01-01 10:00:00", 1L),
+      (1L, "purchase", "2024-01-01 11:00:00", 2L),
+      (2L, "ad", "2024-01-01 10:00:00", 3L),
+      (2L, "email", "2024-01-01 11:00:00", 4L),
+      (2L, "purchase", "2024-01-01 12:00:00", 5L))
+      .map { case (u, e, t, id) => (u, e, ts(t), id) }
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = EventAnalytics.attribution(df, col("user_id"), col("ts"),
+      col("event_type"), col("event_id"), "purchase")
+      .where(col("model") === "position").orderBy("channel")
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    // u1: single ad touch → 1e6; u2: ad and email → 500000 each
+    assert(got === Seq(
+      ("position", "ad", 2L, 1500000L, 1.5),
+      ("position", "email", 1L, 500000L, 0.5)))
+  }
+
+  test("cohortLtv: cumulative revenue per cohort, truncating micro-cents") {
+    val df = Seq(
+      // cohort W0 (Mon 2024-01-01): u1 buys 500c wk0 + 300c wk1,
+      // u2 active both weeks, never buys
+      (1L, "purchase", "2024-01-02 10:00:00", Some(5.0)),
+      (1L, "purchase", "2024-01-09 10:00:00", Some(3.0)),
+      (2L, "view", "2024-01-03 10:00:00", None),
+      (2L, "view", "2024-01-10 10:00:00", None),
+      // cohort W1: u3 buys 100c in its week 0
+      (3L, "purchase", "2024-01-08 10:00:00", Some(1.0)))
+      .map { case (u, e, t, v) => (u, e, ts(t), v) }
+      .toDF("user_id", "event_type", "ts", "value")
+    val got = EventAnalytics.cohortLtv(df, col("user_id"), col("ts"),
+      when(col("event_type") === "purchase",
+        CoreOps.moneyCents(col("value")).cast("long")))
+      .orderBy("cohort_week", "age_weeks")
+      .as[(java.sql.Timestamp, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    def w(s: String) = ts(s + " 00:00:00")
+    assert(got === Seq(
+      (w("2024-01-01"), 0L, 2L, 2L, 500L, 500L, 250000000L),
+      (w("2024-01-01"), 1L, 2L, 2L, 300L, 800L, 400000000L),
+      (w("2024-01-08"), 0L, 1L, 1L, 100L, 100L, 100000000L)))
   }
 }

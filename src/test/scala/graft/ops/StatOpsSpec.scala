@@ -436,4 +436,47 @@ class StatOpsSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("outside [0, 1e6]"))
   }
+
+  private def lr(rows: Seq[(Long, String, String, String)]) =
+    StatOps.logRank(rows.toDF("u", "ts", "et", "arm"), col("u"),
+      to_timestamp(col("ts")), col("et") === "purchase", col("arm"),
+      horizonDays = 3)
+      .as[(String, String, Long, Long, Long, Long, Long, Long,
+           Option[Double], Option[Double])].collect().toSeq
+
+  test("logRank: hand-computed O-E, variance, z on two small arms") {
+    val rows = Seq(
+      (1L, "2024-01-01 00:00:00", "view", "a"),
+      (1L, "2024-01-02 00:00:00", "purchase", "a"),
+      (2L, "2024-01-01 00:00:00", "view", "a"),       // censored at 3
+      (3L, "2024-01-01 00:00:00", "view", "b"),
+      (3L, "2024-01-02 00:00:00", "purchase", "b"),
+      (4L, "2024-01-01 00:00:00", "view", "b"),
+      (4L, "2024-01-03 00:00:00", "purchase", "b"))
+    // t=1: n1=2 n2=2 d1=d2=1 → e1=1000000, b=500000, v=(500000·2)//3=333333
+    // t=2: n1=1 n2=1 d2=1 → e1=500000, b=250000, v=250000
+    // O=1, E=1.5, V=0.583333 → z=-0.5/√0.583333=-0.6547, chi2=0.4286
+    assert(lr(rows) === Seq(("a", "b", 2L, 2L, 2L, 1L, 1500000L, 583333L,
+      Some(-0.6547), Some(0.4286))))
+  }
+
+  test("logRank: identical arms give z near zero; != 2 arms fails loudly") {
+    val sym = Seq(
+      (1L, "2024-01-01 00:00:00", "view", "a"),
+      (1L, "2024-01-02 00:00:00", "purchase", "a"),
+      (2L, "2024-01-01 00:00:00", "view", "a"),      // censored
+      (3L, "2024-01-01 00:00:00", "view", "b"),
+      (3L, "2024-01-02 00:00:00", "purchase", "b"),
+      (4L, "2024-01-01 00:00:00", "view", "b"))      // censored
+    // one event time t=1: n1=n2=2, d1=d2=1 → e1=1000000 so O−E=0
+    // exactly; b=500000, v=(500000·(4−2))//3=333333
+    assert(lr(sym) === Seq(("a", "b", 2L, 2L, 1L, 1L, 1000000L, 333333L,
+      Some(0.0), Some(0.0))))
+    val three = Seq(
+      (1L, "2024-01-01 00:00:00", "purchase", "a"),
+      (2L, "2024-01-01 00:00:00", "purchase", "b"),
+      (3L, "2024-01-01 00:00:00", "purchase", "c"))
+    val e = intercept[Exception] { lr(three) }
+    assert(e.getMessage.contains("expected exactly 2 arms"))
+  }
 }

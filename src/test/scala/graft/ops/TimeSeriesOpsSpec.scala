@@ -378,6 +378,49 @@ class TimeSeriesOpsSpec extends SparkTestBase {
       ("b", 1L, 5.0, Some(0.0), Some(-1.0))))
   }
 
+  // ---- crossCorrelation ----
+
+  test("crossCorrelation: proportional series peak at lag 0; band edges") {
+    def series(vs: Long*) = vs.zipWithIndex.map { case (v, i) =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+        .plusDays(7L * i)), v)
+    }.toDF("w", "v")
+    val x = series(1L, 2L, 3L, 4L)
+    val y = series(2L, 4L, 6L, 8L)     // y = 2x
+    val got = TimeSeriesOps.crossCorrelation(x, col("w"), col("v"),
+      y, col("w"), col("v"), maxLag = 3, scaleDiv = 1.0)
+      .orderBy("lag")
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    // centered cx = [-6,-2,2,6], cy = 2·cx; dx=80 dy=320.
+    // lag 0: 160/√(80·320)=1; ±1: 40/160=0.25; ±2: -48/160=-0.3;
+    // ±3: -72/160=-0.45. Pairs 4/3/2/1 by band position.
+    assert(got === Seq(
+      (-3L, 1L, Some(-0.45)), (-2L, 2L, Some(-0.3)), (-1L, 3L, Some(0.25)),
+      (0L, 4L, Some(1.0)),
+      (1L, 3L, Some(0.25)), (2L, 2L, Some(-0.3)), (3L, 1L, Some(-0.45))))
+  }
+
+  test("crossCorrelation: constant series yields null ccf; misaligned drop") {
+    def series(vs: Long*) = vs.zipWithIndex.map { case (v, i) =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+        .plusDays(7L * i)), v)
+    }.toDF("w", "v")
+    val x = series(1L, 2L, 3L)
+    val const = series(5L, 5L, 5L)
+    val got = TimeSeriesOps.crossCorrelation(x, col("w"), col("v"),
+      const, col("w"), col("v"), maxLag = 1, scaleDiv = 1.0)
+      .orderBy("lag").as[(Long, Long, Option[Double])].collect().toSeq
+    assert(got.map(_._3).forall(_.isEmpty))
+    // y missing the middle week: only 2 aligned rows survive the join
+    val sparse = Seq(
+      (java.sql.Date.valueOf("2024-01-01"), 7L),
+      (java.sql.Date.valueOf("2024-01-15"), 9L)).toDF("w", "v")
+    val n = TimeSeriesOps.crossCorrelation(x, col("w"), col("v"),
+      sparse, col("w"), col("v"), maxLag = 1, scaleDiv = 1.0)
+      .agg(max("n_pairs")).as[Long].collect().head
+    assert(n === 2L)
+  }
+
   // ---- holtLinear ----
 
   private def holtSeries(ys: Long*) =
