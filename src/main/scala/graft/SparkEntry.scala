@@ -210,6 +210,76 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY node""".stripMargin
   }
 
+  /** Connected-components oracle: recursive-CTE label closure over the
+    * support-floored co-purchase graph — every (node, reachable-node)
+    * pair, then min per node. Independent of the engine's pointer-jump
+    * loop: the oracle derives the same fixpoint by brute closure, which
+    * the support floor (pair count >= 2) keeps tractable (Σ component²
+    * pairs — the floored graph's giant component is ~1.1k nodes at the
+    * graded SF).
+    */
+  private val connectedComponentsOracle: String =
+    """WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+      |    WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      |sized AS (SELECT b, i FROM
+      |    (SELECT b, i, count(*) OVER (PARTITION BY b) AS sz FROM items)
+      |  WHERE sz <= 6),
+      |e AS MATERIALIZED (SELECT u, v FROM (SELECT x.i AS u, y.i AS v, count(*) AS c
+      |    FROM sized x JOIN sized y ON x.b = y.b AND x.i < y.i GROUP BY 1, 2)
+      |  WHERE c >= 2),
+      |adj AS MATERIALIZED (SELECT u AS s, v AS t FROM e UNION ALL SELECT v, u FROM e),
+      |lab(nn, l) AS (
+      |  SELECT s, s FROM adj
+      |  UNION
+      |  SELECT a.t, lab.l FROM lab JOIN adj a ON lab.nn = a.s)
+      |SELECT nn AS id, CAST(min(l) AS BIGINT) AS component
+      |FROM lab GROUP BY 1 ORDER BY id""".stripMargin
+
+  /** Holt-Winters oracle: the scaled-integer recurrence replayed as a
+    * recursive CTE whose seasonal ring rides along as a LIST column —
+    * sl[1] is always s_{t-p}, each step drops the head and appends the
+    * freshly-updated seasonal. Integer `//` truncates toward zero in
+    * DuckDB exactly like the engine's Scala `/` (verified on negatives,
+    * which seasonal deviations hit by construction).
+    */
+  private val holtWintersOracle: String =
+    """WITH RECURSIVE s AS (SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS ord,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |n AS (SELECT *, CAST(row_number() OVER (ORDER BY ord) AS BIGINT) AS rn FROM s),
+      |agg AS (SELECT CAST(sum(y) FILTER (WHERE rn <= 4) AS BIGINT) AS sum1,
+      |    CAST(sum(y) FILTER (WHERE rn > 4 AND rn <= 8) AS BIGINT) AS sum2 FROM n),
+      |i0 AS (SELECT (sum1 * 10) // 4 AS l0, ((sum2 - sum1) * 10) // 16 AS b0 FROM agg),
+      |sl0 AS (SELECT list(n.y * 10 - i0.l0 ORDER BY n.rn) AS sl FROM n, i0 WHERE n.rn <= 4),
+      |r(rn, l, b, sl, snew, fitted) AS (
+      |  SELECT CAST(4 AS BIGINT), i0.l0, i0.b0, sl0.sl,
+      |      CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM i0, sl0
+      |  UNION ALL
+      |  SELECT rn, l, (1 * (l - lp) + 9 * bp) // 10 AS b,
+      |      slr || [(3 * (yd - l) + 7 * sprev) // 10],
+      |      (3 * (yd - l) + 7 * sprev) // 10 AS snew, fitted
+      |  FROM (
+      |    SELECT rn, (2 * (yd - sprev) + 8 * (lp + bp)) // 10 AS l,
+      |        lp, bp, sprev, slr, yd, (lp + bp + sprev) // 10 AS fitted
+      |    FROM (SELECT n.rn AS rn, r.l AS lp, r.b AS bp, r.sl[1] AS sprev,
+      |        r.sl[2:] AS slr, n.y * 10 AS yd
+      |      FROM r JOIN n ON n.rn = r.rn + 1))),
+      |fin AS (SELECT r.l, r.b, r.sl, n.ord FROM r JOIN n USING (rn)
+      |  WHERE rn = (SELECT max(rn) FROM n))
+      |SELECT n.ord, 'fit' AS kind, n.y, i0.l0 AS level_den, i0.b0 AS trend_den,
+      |    sl0.sl[CAST(n.rn AS INTEGER)] AS season_den,
+      |    CAST(NULL AS BIGINT) AS fitted, CAST(NULL AS BIGINT) AS resid
+      |  FROM n, i0, sl0 WHERE n.rn <= 4
+      |UNION ALL
+      |SELECT n.ord, 'fit', n.y, r.l, r.b, r.snew, r.fitted, n.y - r.fitted
+      |  FROM r JOIN n USING (rn) WHERE rn > 4
+      |UNION ALL
+      |SELECT fin.ord + CAST(7 * h.h AS INTEGER), 'forecast', NULL, fin.l, fin.b,
+      |    fin.sl[CAST(((h.h - 1) % 4) + 1 AS INTEGER)],
+      |    (fin.l + h.h * fin.b + fin.sl[CAST(((h.h - 1) % 4) + 1 AS INTEGER)]) // 10, NULL
+      |  FROM fin, (SELECT unnest(generate_series(1, 8)) AS h) h
+      |ORDER BY ord, kind""".stripMargin
+
   /** BFS oracle: four frontier expansions unrolled as chained CTEs from
     * the (degree desc, id) source — bounded depth is the op's semantics,
     * so the unroll is the exact answer, not an approximation of one.
@@ -655,7 +725,8 @@ object SparkEntry {
   def memoFamilies: Seq[(String, Set[String], () => Unit)] = Seq(
     ("basket_graph",
       Set("copurchase_lift", "triangle_count", "link_predict",
-        "pagerank_parts", "k_core_parts", "bfs_hops_parts"),
+        "pagerank_parts", "k_core_parts", "bfs_hops_parts",
+        "connected_components"),
       () => basketGraphCache.clear()),
     ("verified_pairs",
       Set("dedup_groups", "dedup_keep_best", "dedup_keep_canonical",
@@ -1627,6 +1698,88 @@ object SparkEntry {
         y, col("week"), col("rev_cents"), maxLag = 3)
         .orderBy("lag")
     }),
+
+    // Robust location per return flag: mean vs 10%-trimmed vs winsorized
+    // extended price — exact rank cuts (no approximate quantiles), exact
+    // long sums, clamp boundaries from conditional aggregation on the
+    // SAME key exchange as the rank window.
+    "robust_means" -> ((s, d) =>
+      StatOps.robustMeans(Tables.lineitem(s, d), col("l_returnflag"),
+        CoreOps.moneyCents(col("l_extendedprice")).cast("long"),
+        loBp = 1000, hiBp = 1000)
+        .orderBy("key")),
+
+    // Fightin'-Words weighted log-odds: which tokens discriminate src0
+    // from src1, with the full-corpus background as informative Dirichlet
+    // prior (α_w = bg_w/100 carried as an exact rational). One
+    // (source, token) hash aggregate at fact scale; vocab-bounded after.
+    "log_odds_tokens" -> ((s, d) =>
+      CorpusOps.logOddsTokens(Tables.documents(s, d), "source", "text",
+        srcA = "src0", srcB = "src1", priorNum = 1L, priorDen = 100L,
+        minCount = 5L)
+        .orderBy(col("z").desc, col("token"))),
+
+    // Retrieval-quality eval: nDCG@10 of the BM25 ranking against graded
+    // term-overlap relevance, three queries at once — one fact-scale
+    // (query, doc, term) aggregate feeds scorer AND labels; both rank
+    // windows are rank-predicate-filtered so WindowGroupLimit keeps
+    // per-partition state k-bounded.
+    "ndcg_bm25" -> ((s, d) =>
+      CorpusOps.ndcgEval(Tables.documents(s, d), "doc_id", "text",
+        queries = Seq(1L -> Seq("spark", "join", "query"),
+          2L -> Seq("stream", "window", "merge"),
+          3L -> Seq("hash", "scan")), k = 10)
+        .orderBy("qid")),
+
+    // EWMA control chart of weekly order revenue (λ=1/5, 3σ): the
+    // small-persistent-shift monitor closing the chart family (z-score
+    // flags spikes, CUSUM localizes drift onset, EWMA alarms fastest on
+    // sustained small shifts). Scaled-integer recurrence on the bounded
+    // weekly series; exact HUGEINT-safe moments behind the limits.
+    "ewma_control" -> ((s, d) =>
+      TimeSeriesOps.ewmaControl(
+        Tables.orders(s, d)
+          .groupBy(CoreOps.weekStart(col("o_orderdate")).as("week"))
+          .agg(sum(CoreOps.moneyCents(col("o_totalprice"))).as("rev_cents")),
+        col("week"), col("rev_cents"), aNum = 2, den = 10, lSigma = 3.0)
+        .orderBy("ord")),
+
+    // Binary-relevance retrieval eval: MRR@10 and AP@10 of the same BM25
+    // ranking, relevant = contains EVERY query term (the conjunctive
+    // truth nDCG's graded overlap can't test). Shares ndcg's single
+    // fact-scale aggregate shape; integer-exact reciprocal/precision
+    // terms; per-query rollup bounded by |queries|.
+    "retrieval_mrr_map" -> ((s, d) =>
+      CorpusOps.retrievalEval(Tables.documents(s, d), "doc_id", "text",
+        queries = Seq(1L -> Seq("spark", "join"),
+          2L -> Seq("stream", "window"),
+          3L -> Seq("hash", "scan")), k = 10)
+        .orderBy("qid")),
+
+    // Top-30 adjacent-token collocations by PMI (min bigram count 5):
+    // the phrase-mining read. Map-only slice+zip bigram generation, ONE
+    // fact-scale (a, b) aggregate; margins and total derive from it
+    // (vocab-bounded, broadcast back); the global top-k window runs over
+    // the floored collocation table, not the corpus.
+    "pmi_collocations" -> ((s, d) =>
+      CorpusOps.pmiCollocations(Tables.documents(s, d), "text",
+        minCount = 5L, k = 30)
+        .orderBy("rk")),
+
+    // Holt-Winters additive seasonal forecast of weekly order revenue
+    // (p=4, α=2/10 β=1/10 γ=3/10, 8 weeks ahead): the seasonal closer of
+    // the forecasting family — Holt's trend can't carry a cycle.
+    // Scaled-integer recurrence over the bounded weekly series; the
+    // oracle replays it digit-for-digit with the seasonal ring as a
+    // recursive-CTE list column.
+    "holt_winters" -> ((s, d) =>
+      TimeSeriesOps.holtWinters(
+        Tables.orders(s, d)
+          .groupBy(CoreOps.weekStart(col("o_orderdate")).as("week"))
+          .agg(sum(CoreOps.moneyCents(col("o_totalprice"))).as("rev_cents")),
+        col("week"), col("rev_cents"), aNum = 2, bNum = 1, gNum = 3,
+        den = 10, period = 4, horizon = 8)
+        .orderBy("ord", "kind")),
 
     // Mutual information + joint entropy over three categorical pairs —
     // the model-free association screen (label leakage / feature
@@ -2914,6 +3067,31 @@ object SparkEntry {
       val (_, edges, deg) = basketGraph(s, d)
       GraphOps.bfsHopsOf(edges, deg, maxHops = 4)
         .orderBy("node")
+    }),
+    // Connected components of the SUPPORT-FLOORED co-purchase graph
+    // (pair count >= 2 — the evidence threshold that splinters the
+    // everything-touches-everything basket graph into real communities):
+    // min-label propagation WITH pointer jumping to the exact fixpoint
+    // (Dedup.clusterPairs — the same loop that forms duplicate groups,
+    // here graded on a graph whose truth the oracle derives
+    // independently via recursive-CTE closure). Per-round cost is two
+    // keyed joins over (id, label) pairs; the support floor is computed
+    // in the SAME per-basket self-join aggregate that built the edges.
+    "connected_components" -> ((s, d) => {
+      val (sized, _, _) = basketGraph(s, d)
+      val pairs = sized.as("x")
+        .join(sized.as("y"),
+          col("x.b") === col("y.b") && col("x.i") < col("y.i"))
+        .groupBy(col("x.i").as("id_a"), col("y.i").as("id_b"))
+        .agg(count(lit(1)).as("__c"))
+        .where(col("__c") >= 2L)
+        .select("id_a", "id_b")
+      // maxIter = 16 (vs the near-dup default 10): the support-floored
+      // basket graph is SPARSE — its giant component is chain-like with
+      // eccentricity in the hundreds, unlike the diameter-2 blobs the
+      // dedup tier feeds this loop. Hop+jump covers ~2^r label distance
+      // by round r; 16 rounds bound ~65k.
+      Dedup.clusterPairs(pairs, maxIter = 16).orderBy("id")
     }),
     // Bloom-pruned join: the BUILDING-segment customer slice builds a
     // bloom over its keys, orders are probe-filtered map-side BEFORE any
@@ -4531,6 +4709,166 @@ object SparkEntry {
         |  CASE WHEN den.dx = 0 OR den.dy = 0 THEN NULL
         |    ELSE floor(CAST(p.num AS DOUBLE) / sqrt(CAST(den.dx AS DOUBLE) * CAST(den.dy AS DOUBLE)) * 10000 + 0.5) / 10000 END AS ccf
         |FROM p, den ORDER BY lag""".stripMargin,
+    // Robust-means replay: same rank cuts (truncating basis-point
+    // divisions), same exact long sums, same clamp boundary statistics.
+    "robust_means" ->
+      """WITH b AS (SELECT l_returnflag AS key,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |r AS (SELECT key, v, CAST(row_number() OVER (PARTITION BY key ORDER BY v) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS n FROM b),
+        |k AS (SELECT *, (n * 1000) // 10000 AS klo, (n * 1000) // 10000 AS khi FROM r),
+        |a AS (SELECT key, max(n) AS n, CAST(max(klo) AS BIGINT) AS k_lo,
+        |    CAST(max(khi) AS BIGINT) AS k_hi, CAST(sum(v) AS BIGINT) AS s,
+        |    CAST(coalesce(sum(v) FILTER (WHERE rn > klo AND rn <= n - khi), 0) AS BIGINT) AS st,
+        |    CAST(coalesce(count(*) FILTER (WHERE rn > klo AND rn <= n - khi), 0) AS BIGINT) AS ct,
+        |    max(v) FILTER (WHERE rn = klo + 1) AS vlo,
+        |    max(v) FILTER (WHERE rn = n - khi) AS vhi
+        |  FROM k GROUP BY 1)
+        |SELECT key, n, k_lo, k_hi,
+        |  floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 10000 + 0.5) / 10000 AS mean,
+        |  floor(CAST(st AS DOUBLE) / CAST(ct AS DOUBLE) * 10000 + 0.5) / 10000 AS trimmed_mean,
+        |  floor(CAST(st + k_lo * vlo + k_hi * vhi AS DOUBLE) / CAST(n AS DOUBLE) * 10000 + 0.5) / 10000 AS winsor_mean
+        |FROM a ORDER BY key""".stripMargin,
+    // Log-odds replay: identical integer prior products inside each ln,
+    // identical fixed-IEEE delta and z expressions.
+    "log_odds_tokens" ->
+      """WITH c AS (SELECT source AS s, unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE source IS NOT NULL),
+        |cnt AS (SELECT s, token, CAST(count(*) AS BIGINT) AS c FROM c GROUP BY 1, 2),
+        |bg AS (SELECT token, CAST(sum(c) AS BIGINT) AS bg,
+        |    CAST(coalesce(sum(c) FILTER (WHERE s = 'src0'), 0) AS BIGINT) AS y_a,
+        |    CAST(coalesce(sum(c) FILTER (WHERE s = 'src1'), 0) AS BIGINT) AS y_b
+        |  FROM cnt GROUP BY 1),
+        |tot AS (SELECT CAST(sum(bg) AS BIGINT) AS nbg, CAST(sum(y_a) AS BIGINT) AS na,
+        |    CAST(sum(y_b) AS BIGINT) AS nb FROM bg),
+        |m AS (SELECT token, y_a, y_b, bg.bg,
+        |    y_a * 100 + bg.bg * 1 AS n1, na * 100 + nbg * 1 - (y_a * 100 + bg.bg * 1) AS d1,
+        |    y_b * 100 + bg.bg * 1 AS n2, nb * 100 + nbg * 1 - (y_b * 100 + bg.bg * 1) AS d2
+        |  FROM bg, tot WHERE y_a + y_b >= 5),
+        |e AS (SELECT *, ln(CAST(n1 AS DOUBLE) / CAST(d1 AS DOUBLE))
+        |      - ln(CAST(n2 AS DOUBLE) / CAST(d2 AS DOUBLE)) AS draw FROM m)
+        |SELECT token, y_a, y_b, bg,
+        |  floor(draw * 10000 + 0.5) / 10000 AS delta,
+        |  floor(draw / sqrt(CAST(100 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |    + CAST(100 AS DOUBLE) / CAST(n2 AS DOUBLE)) * 10000 + 0.5) / 10000 AS z
+        |FROM e ORDER BY z DESC, token""".stripMargin,
+    // nDCG replay: identical BM25 micro contributions (same IEEE constant
+    // spellings as bm25_topk's oracle), identical doc-id tie orders,
+    // identical per-position micro gain floors.
+    "ndcg_bm25" ->
+      """WITH qt(qid, term) AS (VALUES (1, 'spark'), (1, 'join'), (1, 'query'),
+        |    (2, 'stream'), (2, 'window'), (2, 'merge'), (3, 'hash'), (3, 'scan')),
+        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT qt.qid, toks.doc_id, toks.term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks JOIN qt ON toks.term = qt.term GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT qid, term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY 1, 2),
+        |contrib AS (SELECT tf.qid, tf.doc_id,
+        |    CAST(floor((ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1)
+        |      * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) * 1000000 + 0.5) AS BIGINT) AS cu
+        |  FROM tf JOIN dfreq USING (qid, term) JOIN dl USING (doc_id) CROSS JOIN st),
+        |sc AS (SELECT qid, doc_id, CAST(sum(cu) AS BIGINT) AS su, CAST(count(*) AS BIGINT) AS rel
+        |  FROM contrib GROUP BY 1, 2),
+        |ds AS (SELECT qid, CAST(sum(CAST(floor(CAST(rel AS DOUBLE) / (ln(CAST(rk AS DOUBLE) + 1.0) / ln(2.0)) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS dcg_micro
+        |  FROM (SELECT qid, rel, CAST(row_number() OVER (PARTITION BY qid ORDER BY su DESC, doc_id) AS BIGINT) AS rk FROM sc)
+        |  WHERE rk <= 10 GROUP BY 1),
+        |ids AS (SELECT qid, CAST(sum(CAST(floor(CAST(rel AS DOUBLE) / (ln(CAST(rk AS DOUBLE) + 1.0) / ln(2.0)) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS idcg_micro
+        |  FROM (SELECT qid, rel, CAST(row_number() OVER (PARTITION BY qid ORDER BY rel DESC, doc_id) AS BIGINT) AS rk FROM sc)
+        |  WHERE rk <= 10 GROUP BY 1),
+        |nr AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel FROM sc GROUP BY 1)
+        |SELECT CAST(nr.qid AS BIGINT) AS qid, nr.n_rel,
+        |  coalesce(ds.dcg_micro, 0) AS dcg_micro, coalesce(ids.idcg_micro, 0) AS idcg_micro,
+        |  CASE WHEN coalesce(ids.idcg_micro, 0) = 0 THEN NULL
+        |    ELSE floor(CAST(ds.dcg_micro AS DOUBLE) / CAST(ids.idcg_micro AS DOUBLE) * 10000 + 0.5) / 10000 END AS ndcg
+        |FROM nr LEFT JOIN ds USING (qid) LEFT JOIN ids USING (qid)
+        |ORDER BY qid""".stripMargin,
+    // MRR/MAP replay: same BM25 CTEs as ndcg, conjunctive relevance
+    // (rel = |q| terms), integer-exact reciprocal/precision terms via
+    // (2·10⁶·c + i) // (2i), 4-dp displays at the very end.
+    "retrieval_mrr_map" ->
+      """WITH qt(qid, term) AS (VALUES (1, 'spark'), (1, 'join'),
+        |    (2, 'stream'), (2, 'window'), (3, 'hash'), (3, 'scan')),
+        |nt AS (SELECT qid, CAST(count(*) AS BIGINT) AS nt FROM qt GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT qt.qid, toks.doc_id, toks.term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks JOIN qt ON toks.term = qt.term GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT qid, term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY 1, 2),
+        |contrib AS (SELECT tf.qid, tf.doc_id,
+        |    CAST(floor((ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1)
+        |      * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) * 1000000 + 0.5) AS BIGINT) AS cu
+        |  FROM tf JOIN dfreq USING (qid, term) JOIN dl USING (doc_id) CROSS JOIN st),
+        |sc AS (SELECT contrib.qid, doc_id, CAST(sum(cu) AS BIGINT) AS su,
+        |    CAST(CAST(count(*) AS BIGINT) = max(nt.nt) AS BIGINT) AS isrel
+        |  FROM contrib JOIN nt ON contrib.qid = nt.qid GROUP BY 1, 2),
+        |tot AS (SELECT qid, CAST(sum(isrel) AS BIGINT) AS n_rel FROM sc GROUP BY 1),
+        |ranked AS (SELECT qid, isrel,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY su DESC, doc_id) AS BIGINT) AS rk FROM sc),
+        |top AS (SELECT qid, isrel, rk,
+        |    CAST(sum(isrel) OVER (PARTITION BY qid ORDER BY rk) AS BIGINT) AS cum
+        |  FROM ranked WHERE rk <= 10),
+        |perq AS (SELECT qid, CAST(sum(isrel) AS BIGINT) AS hits_k,
+        |    min(CASE WHEN isrel = 1 THEN rk END) AS first_rank,
+        |    CAST(coalesce(sum(CASE WHEN isrel = 1 THEN (2000000 * cum + rk) // (2 * rk) END), 0) AS BIGINT) AS ap_micro
+        |  FROM top GROUP BY 1),
+        |fin AS (SELECT CAST(tot.qid AS BIGINT) AS qid, tot.n_rel,
+        |    CAST(coalesce(perq.hits_k, 0) AS BIGINT) AS hits_k, perq.first_rank,
+        |    CAST(coalesce((2000000 + perq.first_rank) // (2 * perq.first_rank), 0) AS BIGINT) AS rr_micro,
+        |    CAST(coalesce(perq.ap_micro, 0) AS BIGINT) AS ap_micro
+        |  FROM tot LEFT JOIN perq USING (qid))
+        |SELECT qid, n_rel, hits_k, first_rank, rr_micro, ap_micro,
+        |  CASE WHEN first_rank IS NULL THEN NULL
+        |    ELSE floor(CAST(rr_micro AS DOUBLE) / 1000000 * 10000 + 0.5) / 10000 END AS rr,
+        |  CASE WHEN n_rel = 0 THEN NULL
+        |    ELSE floor(CAST(ap_micro AS DOUBLE) / (least(n_rel, 10) * 1000000.0) * 10000 + 0.5) / 10000 END AS ap
+        |FROM fin ORDER BY qid""".stripMargin,
+    // PMI replay: zipped parallel unnests over the sliced token list give
+    // the adjacent bigrams; margins and total off the one bigram table;
+    // ln of a single integer-product ratio, micro-floored.
+    "pmi_collocations" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS l FROM documents
+        |    WHERE len(string_split(text, ' ')) >= 2),
+        |p AS (SELECT unnest(l[1:len(l) - 1]) AS tok_a, unnest(l[2:]) AS tok_b FROM t),
+        |c AS MATERIALIZED (SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS c_ab FROM p GROUP BY 1, 2),
+        |n AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n FROM c),
+        |la AS (SELECT tok_a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM c GROUP BY 1),
+        |rb AS (SELECT tok_b, CAST(sum(c_ab) AS BIGINT) AS c_b FROM c GROUP BY 1),
+        |s AS (SELECT c.tok_a, c.tok_b, c.c_ab, la.c_a, rb.c_b,
+        |    CAST(floor(ln(CAST(c.c_ab * n.n AS DOUBLE) / CAST(la.c_a * rb.c_b AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS pmi_micro
+        |  FROM c JOIN la USING (tok_a) JOIN rb USING (tok_b) CROSS JOIN n
+        |  WHERE c.c_ab >= 5),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY pmi_micro DESC, tok_a, tok_b) AS BIGINT) AS rk FROM s)
+        |SELECT rk, tok_a, tok_b, c_ab, c_a, c_b, pmi_micro,
+        |  floor(CAST(pmi_micro AS DOUBLE) / 1000000 * 10000 + 0.5) / 10000 AS pmi
+        |FROM r WHERE rk <= 30 ORDER BY rk""".stripMargin,
+    "holt_winters" -> holtWintersOracle,
+    "connected_components" -> connectedComponentsOracle,
+    // EWMA replay: the scaled-integer recurrence as a recursive CTE,
+    // HUGEINT-exact moments behind the same fixed-IEEE limits, breach
+    // compared against the UNROUNDED limits exactly as the engine does.
+    "ewma_control" ->
+      """WITH RECURSIVE s AS (SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS ord,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |n AS (SELECT *, CAST(row_number() OVER (ORDER BY ord) AS BIGINT) AS rn FROM s),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(y) AS BIGINT) AS sy,
+        |    sum(CAST(y AS HUGEINT) * y) AS sy2 FROM n),
+        |lim AS (SELECT CAST(sy AS DOUBLE) / nn AS mu,
+        |    sqrt(CAST(CAST(nn AS HUGEINT) * sy2 - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+        |      / (CAST(nn AS DOUBLE) * (nn - 1))) AS sigma FROM m),
+        |r AS (SELECT rn, y, y * 10 AS z FROM n WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.rn, n.y, (2 * n.y * 10 + 8 * r.z) // 10 FROM r JOIN n ON n.rn = r.rn + 1)
+        |SELECT n.ord, r.y, r.z AS ewma_den,
+        |  floor(lim.mu * 10000 + 0.5) / 10000 AS center,
+        |  floor((lim.mu - 3.0 * lim.sigma * sqrt(CAST(2 AS DOUBLE) / 18)) * 10000 + 0.5) / 10000 AS lcl,
+        |  floor((lim.mu + 3.0 * lim.sigma * sqrt(CAST(2 AS DOUBLE) / 18)) * 10000 + 0.5) / 10000 AS ucl,
+        |  (CAST(r.z AS DOUBLE) / 10 < lim.mu - 3.0 * lim.sigma * sqrt(CAST(2 AS DOUBLE) / 18)
+        |   OR CAST(r.z AS DOUBLE) / 10 > lim.mu + 3.0 * lim.sigma * sqrt(CAST(2 AS DOUBLE) / 18)) AS breach
+        |FROM r JOIN n USING (rn) CROSS JOIN lim ORDER BY n.ord""".stripMargin,
     // MI replay: integer joint histogram, window marginals, the same
     // integer-product ln argument and micro-unit terms as the engine.
     // DuckDB dayofweek is 0=Sunday where Spark's is 1=Sunday → +1.

@@ -1031,4 +1031,323 @@ object CorpusOps {
       .where(col(textCol).contains(col("pattern")))
       .select(col("pattern"), col(idCol))
   }
+
+  /** Retrieval-quality eval: nDCG@k of the BM25 ranking against graded
+    * term-overlap relevance, per query (Järvelin & Kekäläinen 2002 for
+    * nDCG; the BM25 scorer is [[bm25TopK]]'s, generalized to a query
+    * SET). Relevance of doc d for query q is the number of distinct
+    * q-terms d contains (graded 0..|q|) — the deterministic proxy truth
+    * a self-contained eval can compute at corpus scale; DCG@k uses the
+    * BM25 order, IDCG@k the best achievable order, and their ratio is
+    * the "is the ranker actually ranking?" health metric a retrieval
+    * index ships with.
+    *
+    * Determinism: BM25 contributions micro-quantize exactly as
+    * [[bm25TopK]]; both rank orders totalize ties by doc id; each DCG
+    * term floor-quantizes rel/(ln(i+1)/ln 2) to micro BEFORE its exact
+    * long sum; ndcg is one double division, 4-dp.
+    *
+    * Scale shape: ONE fact-scale explode + (query, doc, term) hash
+    * aggregate feeds BOTH the scorer and the relevance labels (they are
+    * the same aggregate); the two rank windows are per-query top-k —
+    * rank-limit pushdown (WindowGroupLimit) keeps state k-bounded per
+    * partition — and the final per-query rollup is query-count bounded.
+    *
+    * @param queries (query id, terms) pairs; ids must be distinct
+    * @return one row per query id: (qid, n_rel — docs with ≥1 term,
+    *         dcg_micro, idcg_micro, ndcg 4-dp; ndcg null when idcg = 0)
+    */
+  def ndcgEval(df: DataFrame, idCol: String, textCol: String,
+               queries: Seq[(Long, Seq[String])], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import CoreOps.rnd
+    require(k >= 1, s"k=$k must be positive")
+    val scored = bm25QueryScores(df, idCol, textCol, queries, k1, b)
+    val byScore = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("__su").desc, col(idCol))
+    val byRel = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("rel").desc, col(idCol))
+    val gain = (rk: Column) => floor(col("rel").cast("double")
+      / (log(rk.cast("double") + 1.0) / log(lit(2.0)))
+      * 1000000 + 0.5).cast("long")
+    // The materialize-once discipline: `scored` feeds three consumers
+    // (count, DCG, IDCG) — cache it so the fact-scale tf aggregate runs
+    // once. Each rank filter is a direct row_number predicate so the
+    // WindowGroupLimit rewrite keeps per-partition window state
+    // k-bounded instead of sorting whole query groups.
+    val sc = scored.localCheckpoint(true)
+    val nRel = sc.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
+    val dcgT = sc.withColumn("__rk", row_number().over(byScore).cast("long"))
+      .where(col("__rk") <= k).groupBy(col("qid"))
+      .agg(sum(gain(col("__rk"))).as("dcg_micro"))
+    val idcgT = sc.withColumn("__rk", row_number().over(byRel).cast("long"))
+      .where(col("__rk") <= k).groupBy(col("qid"))
+      .agg(sum(gain(col("__rk"))).as("idcg_micro"))
+    nRel.join(dcgT, Seq("qid"), "left").join(idcgT, Seq("qid"), "left")
+      .select(col("qid"), col("n_rel"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+        coalesce(col("idcg_micro"), lit(0L)).as("idcg_micro"))
+      .select(col("qid"), col("n_rel"), col("dcg_micro"), col("idcg_micro"),
+        when(col("idcg_micro") === 0L, lit(null).cast("double"))
+          .otherwise(rnd(col("dcg_micro").cast("double") /
+            col("idcg_micro").cast("double"))).as("ndcg"))
+  }
+
+  /** Shared BM25 query-set scorer behind [[ndcgEval]] and
+    * [[retrievalEval]]: per (query, doc) the micro-quantized BM25 score
+    * `__su` and the graded relevance `rel` (distinct query terms the doc
+    * contains). ONE fact-scale explode + (query, doc, term) hash
+    * aggregate feeds both the scorer and the labels — evals over the
+    * same ranking share the aggregate, not just the formula.
+    */
+  private def bm25QueryScores(df: DataFrame, idCol: String, textCol: String,
+                              queries: Seq[(Long, Seq[String])],
+                              k1: Double, b: Double): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "retrieval eval needs at least one query, each with at least one term")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "query ids must be distinct")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qt = queries.flatMap { case (q, ts) => ts.distinct.map((q, _)) }
+      .toDF("qid", "term")
+    val docs = df.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("__toks"))
+      .withColumn("__dl", size(col("__toks")).cast("long"))
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("__n_docs"),
+      (sum("__dl").cast("double") / count(lit(1))).as("__avgdl"))
+    val tf = docs
+      .select(col(idCol), col("__dl"), explode(col("__toks")).as("term"))
+      .join(broadcast(qt), Seq("term"))
+      .groupBy(col("qid"), col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("__dl")).as("__dl"))
+    val dfreq = tf.groupBy("qid", "term")
+      .agg(count_distinct(col(idCol)).as("df_t"))
+    val contrib = tf.join(broadcast(dfreq), Seq("qid", "term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__cu", floor(
+        (log((col("__n_docs") - col("df_t") + 0.5) / (col("df_t") + 0.5) + 1)
+          * (col("tf") * (k1 + 1))
+          / (col("tf")
+            + lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+          * 1000000 + 0.5).cast("long"))
+    contrib.groupBy(col("qid"), col(idCol))
+      .agg(sum("__cu").as("__su"), count(lit(1)).as("rel"))
+  }
+
+  /** Binary-relevance retrieval eval: MRR@k and AP@k of the BM25 ranking
+    * per query, where a doc is RELEVANT iff it contains EVERY distinct
+    * term of the query (the conjunctive truth nDCG's graded overlap
+    * cannot test — a ranker can score well on graded overlap while
+    * burying the docs that actually satisfy the whole query). Together
+    * with [[ndcgEval]] this closes the standard offline eval triple
+    * (nDCG / MRR / MAP) a retrieval index ships with.
+    *
+    * Determinism: the ranking totalizes ties by doc id (BM25 micro
+    * score desc, id asc — [[ndcgEval]]'s order exactly); each
+    * reciprocal/precision term is the INTEGER rounding
+    * `(2·10⁶·c + i) // (2i)` = floor(10⁶·c/i + ½), so RR and the AP
+    * numerator are exact long sums — no IEEE in the accumulators at
+    * all; the displayed rr/ap are single 4-dp divisions at the end.
+    *
+    * Scale shape: shares [[bm25QueryScores]]'s single fact-scale
+    * aggregate; the rank window is per-query row_number ≤ k (the
+    * WindowGroupLimit rewrite keeps per-partition state k-bounded); the
+    * relevant-total R is a query-count-bounded aggregate off the same
+    * materialized scores; everything after is |queries| rows.
+    *
+    * @param queries (query id, terms) pairs; ids must be distinct
+    * @return one row per query id: (qid, n_rel — relevant docs in the
+    *         whole corpus, hits_k — relevant in the top k, first_rank —
+    *         rank of the first relevant in the top k, rr_micro,
+    *         ap_micro, rr, ap) — first_rank/rr/ap null and micros 0
+    *         when no relevant doc lands in the top k (rr) / exists (ap)
+    */
+  def retrievalEval(df: DataFrame, idCol: String, textCol: String,
+                    queries: Seq[(Long, Seq[String])], k: Int,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import CoreOps.rnd
+    require(k >= 1, s"k=$k must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nTerms = queries.map { case (q, ts) => (q, ts.distinct.size.toLong) }
+      .toDF("qid", "__nt")
+    // Materialize once: the scored table feeds the per-query relevant
+    // total AND the top-k rank scan (ndcgEval's discipline).
+    val sc = bm25QueryScores(df, idCol, textCol, queries, k1, b)
+      .join(broadcast(nTerms), Seq("qid"))
+      .withColumn("__isrel", (col("rel") === col("__nt")).cast("long"))
+      .localCheckpoint(true)
+    val totals = sc.groupBy(col("qid"))
+      .agg(sum(col("__isrel")).as("n_rel"))
+    val byScore = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("__su").desc, col(idCol))
+    val byRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("__rk"))
+    val top = sc
+      .withColumn("__rk", row_number().over(byScore).cast("long"))
+      .where(col("__rk") <= k)
+      .withColumn("__cum", sum(col("__isrel")).over(byRank))
+    val perQ = top.groupBy(col("qid")).agg(
+      sum(col("__isrel")).as("hits_k"),
+      min(when(col("__isrel") === 1L, col("__rk"))).as("first_rank"),
+      coalesce(sum(when(col("__isrel") === 1L,
+        CoreOps.integralDiv(lit(2000000L) * col("__cum") + col("__rk"),
+          lit(2L) * col("__rk")))), lit(0L))
+        .as("ap_num_micro"))
+    totals.join(perQ, Seq("qid"), "left")
+      .select(col("qid"), col("n_rel"),
+        coalesce(col("hits_k"), lit(0L)).as("hits_k"), col("first_rank"),
+        coalesce(when(col("first_rank").isNotNull,
+          CoreOps.integralDiv(lit(2000000L) + col("first_rank"),
+            lit(2L) * col("first_rank"))), lit(0L))
+          .as("rr_micro"),
+        coalesce(col("ap_num_micro"), lit(0L)).as("ap_micro"))
+      .select(col("qid"), col("n_rel"), col("hits_k"), col("first_rank"),
+        col("rr_micro"), col("ap_micro"),
+        when(col("first_rank").isNull, lit(null).cast("double"))
+          .otherwise(rnd(col("rr_micro").cast("double") / 1000000.0))
+          .as("rr"),
+        when(col("n_rel") === 0L, lit(null).cast("double"))
+          .otherwise(rnd(col("ap_micro").cast("double")
+            / (least(col("n_rel"), lit(k.toLong)) * 1000000.0))).as("ap"))
+  }
+
+  /** Top-k adjacent-token collocations by pointwise mutual information
+    * over the bigram distribution (Church & Hanks 1990): which word
+    * pairs co-occur far beyond what their marginals predict — the
+    * phrase-mining / tokenizer-merge-candidate read, and the classic
+    * complement to [[weightedLogOdds]] (that contrasts SOURCES, this
+    * finds PHRASES). pmi(a,b) = ln(c_ab·N / (c_a·c_b)) over bigram
+    * count c_ab, left margin c_a, right margin c_b, bigram total N.
+    *
+    * Determinism: all four counts are exact longs; the ln argument is
+    * ONE ratio of two integer products and pmi_micro = floor(ln·10⁶+½)
+    * is the ordering key; ties totalize by (tok_a, tok_b). The
+    * min-count floor is the standard guard against hapax pairs (PMI's
+    * known rare-pair bias) and is what bounds the ranked table.
+    *
+    * Overflow precondition (loud): c_ab·N and c_a·c_b must stay under
+    * 2⁶³ — N beyond ~3·10⁹ bigram tokens needs count scaling; the
+    * raise_error guard fires rather than wrapping silently.
+    *
+    * Scale shape: bigram generation is a map-only slice+zip+explode (no
+    * per-token self-join); ONE fact-scale hash aggregate keyed (a, b);
+    * both margins and the total derive from that aggregate (vocab- and
+    * vocab²-bounded — never a second pass over the corpus), margins
+    * broadcast back; the global top-k window runs over the min-count-
+    * filtered collocation table, bounded by the phrase vocabulary, not
+    * the corpus.
+    *
+    * @return top-k rows: (rk, tok_a, tok_b, c_ab, c_a, c_b, pmi_micro,
+    *         pmi 4-dp) ordered by rank
+    */
+  def pmiCollocations(df: DataFrame, textCol: String,
+                      minCount: Long = 5L, k: Int = 30): DataFrame = {
+    import CoreOps.rnd
+    require(minCount >= 1, s"minCount=$minCount must be positive")
+    require(k >= 1, s"k=$k must be positive")
+    val toks = df
+      .select(TextFunctions.tokens(col(textCol)).as("__t"))
+      .where(size(col("__t")) >= 2)
+      .select(
+        slice(col("__t"), lit(1), size(col("__t")) - 1).as("l"),
+        slice(col("__t"), lit(2), size(col("__t")) - 1).as("r"))
+    val pairs = toks
+      .select(explode(arrays_zip(col("l"), col("r"))).as("__p"))
+      .select(col("__p.l").as("tok_a"), col("__p.r").as("tok_b"))
+    // Materialize once: the bigram table feeds the total, both margins,
+    // and the final attach — four consumers of the one fact-scale agg.
+    val cAB = pairs.groupBy(col("tok_a"), col("tok_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint(true)
+    val tot = cAB.agg(sum(col("c_ab")).as("__n"))
+    val left = cAB.groupBy(col("tok_a")).agg(sum(col("c_ab")).as("c_a"))
+    val right = cAB.groupBy(col("tok_b")).agg(sum(col("c_ab")).as("c_b"))
+    val guarded = cAB.where(col("c_ab") >= minCount)
+      .join(broadcast(left), Seq("tok_a"))
+      .join(broadcast(right), Seq("tok_b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__n", when(
+        col("c_ab") > CoreOps.integralDiv(lit(Long.MaxValue), col("__n")) ||
+          col("c_a") > CoreOps.integralDiv(lit(Long.MaxValue), col("c_b")),
+        raise_error(format_string(
+          "pmiCollocations: count product overflows 2^63 (c_ab=%d, N=%d," +
+            " c_a=%d, c_b=%d) — scale counts down", col("c_ab"), col("__n"),
+          col("c_a"), col("c_b")))).otherwise(col("__n")))
+      .withColumn("pmi_micro", floor(
+        log((col("c_ab") * col("__n")).cast("double")
+          / (col("c_a") * col("c_b")).cast("double")) * 1000000 + 0.5)
+        .cast("long"))
+    val byPmi = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pmi_micro").desc, col("tok_a"), col("tok_b"))
+    guarded
+      .withColumn("rk", row_number().over(byPmi).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("rk"), col("tok_a"), col("tok_b"), col("c_ab"),
+        col("c_a"), col("c_b"), col("pmi_micro"),
+        rnd(col("pmi_micro").cast("double") / 1000000.0).as("pmi"))
+  }
+
+  /** Per-token weighted log-odds with an informative Dirichlet prior —
+    * Monroe, Colaresi & Quinn 2008 ("Fightin' Words"): which tokens
+    * DISCRIMINATE source A from source B, with the full-corpus
+    * background as the prior so rare tokens don't dominate the way raw
+    * log-odds (or PMI, or tf-idf deltas) let them. δ_w = ln(odds of w
+    * in A, prior-smoothed) − ln(odds in B); z_w = δ_w/√(1/(y_aw+α_w) +
+    * 1/(y_bw+α_w)). The domain-signature read a mixture-curation
+    * pipeline runs before re-weighting sources.
+    *
+    * Determinism: the prior α_w = bg_w·priorNum/priorDen is carried as
+    * an exact RATIONAL — every ln argument is a ratio of two integer
+    * products (y·pd + bg·pn over the matching total), so both lns and
+    * the z denominator are fixed IEEE expressions over exact longs;
+    * δ and z display 4-dp. Overflow: totals·priorDen < 2^63 — token
+    * totals beyond ~9·10¹⁴ need a smaller priorDen (documented, the
+    * histogram-family convention).
+    *
+    * Scale shape: the fact-scale work is ONE (source, token) hash
+    * aggregate with map-side combine; everything downstream (background
+    * merge, A/B join, the ln/z projection) runs on vocab-bounded
+    * frames. Output is minCount-gated.
+    *
+    * @return one row per token with y_a + y_b ≥ minCount: (token, y_a,
+    *         y_b, bg, delta 4-dp, z 4-dp), z > 0 ⇔ A-flavored
+    */
+  def logOddsTokens(df: DataFrame, strataCol: String, textCol: String,
+                    srcA: String, srcB: String, priorNum: Long = 1L,
+                    priorDen: Long = 100L, minCount: Long = 5L): DataFrame = {
+    import CoreOps.rnd
+    require(priorNum > 0 && priorDen > 0,
+      s"prior $priorNum/$priorDen must be a positive rational")
+    require(srcA != srcB, s"srcA and srcB must differ, got '$srcA' twice")
+    val counts = df.where(col(strataCol).isNotNull)
+      .select(col(strataCol).as("__s"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col("__s"), col("token"))
+      .agg(count(lit(1)).as("__c"))
+    val bg = counts.groupBy(col("token"))
+      .agg(sum(col("__c")).as("bg"),
+        coalesce(sum(when(col("__s") === srcA, col("__c"))), lit(0L))
+          .as("y_a"),
+        coalesce(sum(when(col("__s") === srcB, col("__c"))), lit(0L))
+          .as("y_b"))
+    val tot = bg.agg(sum(col("bg")).as("__nbg"), sum(col("y_a")).as("__na"),
+      sum(col("y_b")).as("__nb"))
+    val pn = lit(priorNum); val pd = lit(priorDen)
+    val numA = col("y_a") * pd + col("bg") * pn
+    val numB = col("y_b") * pd + col("bg") * pn
+    val denA = col("__na") * pd + col("__nbg") * pn - numA
+    val denB = col("__nb") * pd + col("__nbg") * pn - numB
+    val deltaRaw =
+      log(numA.cast("double") / denA.cast("double")) -
+        log(numB.cast("double") / denB.cast("double"))
+    bg.where(col("y_a") + col("y_b") >= minCount)
+      .crossJoin(broadcast(tot))
+      .select(col("token"), col("y_a"), col("y_b"), col("bg"),
+        rnd(deltaRaw).as("delta"),
+        rnd(deltaRaw / sqrt(pd.cast("double") / numA.cast("double")
+          + pd.cast("double") / numB.cast("double"))).as("z"))
+  }
 }

@@ -908,4 +908,64 @@ object StatOps {
       when(varxN <= 0.0 || varyN <= 0.0, lit(null).cast("double"))
         .otherwise(CoreOps.rnd(covN / sqrt(varxN * varyN))).as("rho_s"))
   }
+
+  /** Robust per-group location: mean, trimmed mean, and winsorized mean
+    * in one pass (Tukey 1962 frames both as the standard outlier-robust
+    * location family). Trimming DROPS the k_lo lowest and k_hi highest
+    * observations; winsorizing CLAMPS them to the surviving boundary
+    * values — the robust read an `avg` poisoned by a fat tail needs,
+    * with exact counts rather than approximate quantile cuts.
+    *
+    * Determinism: k_lo = (n·loBp) div 10⁴ and k_hi = (n·hiBp) div 10⁴
+    * are truncating integer cuts of per-group ranks; trimmed and
+    * winsorized sums are exact longs (the clamp boundary values are the
+    * actual order statistics at ranks k_lo+1 and n−k_hi, well-defined
+    * under ties); the three means are one double division each, 4-dp.
+    * loBp + hiBp < 10⁴ guarantees ≥ 1 surviving row per group, so no
+    * division can hit zero.
+    *
+    * Scale shape: ONE key exchange — the rank window and the group
+    * count/sum run on the same key partitioning, and the final aggregate
+    * reuses it (no second fact scan for the boundary values: they come
+    * from conditional aggregation over the ranked rows). Per-key sort is
+    * the usual distributed sort-within-partition; salt upstream if one
+    * key dominates.
+    *
+    * @param loBp basis points trimmed from the low tail (1000 = 10%)
+    * @param hiBp basis points trimmed from the high tail
+    * @return per key: (key, n, k_lo, k_hi, mean, trimmed_mean,
+    *         winsor_mean — all 4-dp in input units)
+    */
+  def robustMeans(df: DataFrame, key: Column, value: Column,
+                  loBp: Int = 1000, hiBp: Int = 1000): DataFrame = {
+    require(loBp >= 0 && hiBp >= 0 && loBp + hiBp < 10000,
+      s"loBp=$loBp hiBp=$hiBp must be non-negative and sum below 10000")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.where(key.isNotNull && value.isNotNull)
+      .select(key.as("key"), value.cast("long").as("__v"))
+    val r = base
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("key")).orderBy(col("__v"))).cast("long"))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col("key"))))
+    val kLo = CoreOps.integralDiv(col("__n") * lit(loBp.toLong), 10000L)
+    val kHi = CoreOps.integralDiv(col("__n") * lit(hiBp.toLong), 10000L)
+    val inMid = col("__rn") > kLo && col("__rn") <= col("__n") - kHi
+    r.groupBy(col("key"))
+      .agg(max(col("__n")).as("n"),
+        max(kLo).as("k_lo"), max(kHi).as("k_hi"),
+        sum(col("__v")).as("__s"),
+        coalesce(sum(when(inMid, col("__v"))), lit(0L)).as("__st"),
+        coalesce(sum(when(inMid, 1L)), lit(0L)).as("__ct"),
+        max(when(col("__rn") === kLo + 1L, col("__v"))).as("__vlo"),
+        max(when(col("__rn") === col("__n") - kHi, col("__v"))).as("__vhi"))
+      .select(col("key"), col("n"), col("k_lo"), col("k_hi"),
+        CoreOps.rnd(col("__s").cast("double") / col("n").cast("double"))
+          .as("mean"),
+        CoreOps.rnd(col("__st").cast("double") / col("__ct").cast("double"))
+          .as("trimmed_mean"),
+        CoreOps.rnd((col("__st") + col("k_lo") * col("__vlo")
+          + col("k_hi") * col("__vhi")).cast("double")
+          / col("n").cast("double")).as("winsor_mean"))
+  }
 }

@@ -658,4 +658,177 @@ object TimeSeriesOps {
     out.result().toSeq
       .toDF("ord", "kind", "y", "level_den", "trend_den", "fitted", "resid")
   }
+
+  /** EWMA control chart over an integer series — zₜ = λyₜ + (1−λ)zₜ₋₁
+    * against steady-state limits μ ± L·σ·√(λ/(2−λ)) (Roberts 1959;
+    * Montgomery SPC ch. 9): the small-persistent-shift monitor that
+    * completes the chart family — Shewhart-style z-score flags single
+    * spikes, [[graft.ops.ChangeOps]]'s CUSUM localizes a drift onset,
+    * EWMA alarms on sustained small shifts fastest.
+    *
+    * Determinism: λ is the exact rational aNum/den and the recurrence
+    * runs in scaled-integer state (zₜ carries den-ths, one multiply-add
+    * + ONE truncating division per step, z₀ = y₀·den), so the trajectory
+    * is engine-exact — the oracle replays it as a recursive CTE. μ and
+    * σ² derive from exact long sums (Σy, Σy²); the limits and the
+    * breach comparison are fixed IEEE expressions over those exact
+    * inputs, and breach compares the EXACT zₜ/den (one double division)
+    * against them.
+    *
+    * Scale shape: [[holtLinear]]'s contract — the fact-scale work is
+    * whatever aggregate built the series; the inherently-sequential
+    * recurrence folds on the driver over the time-bounded series (loudly
+    * length-guarded), because 100 TB of facts is still a few hundred
+    * weekly buckets.
+    *
+    * @param lSigma control-limit width in sigmas (the classic 3.0)
+    * @return per row: (ord, y, ewma_den — zₜ in den-ths, center 4-dp,
+    *         lcl 4-dp, ucl 4-dp, breach) — limits/breach null when n < 2
+    *         (σ undefined)
+    */
+  def ewmaControl(series: DataFrame, order: Column, value: Column,
+                  aNum: Long, den: Long, lSigma: Double = 3.0,
+                  maxLen: Int = 100000): DataFrame = {
+    require(den > 0 && aNum > 0 && aNum < den,
+      s"smoothing rational aNum=$aNum den=$den must satisfy 0 < aNum < den")
+    require(lSigma > 0, s"lSigma=$lSigma must be positive")
+    val spark = series.sparkSession
+    val rows = series.where(order.isNotNull && value.isNotNull)
+      .select(order.cast("date").as("ord"), value.cast("long").as("y"))
+      .orderBy(col("ord")).limit(maxLen + 1).collect()
+    require(rows.nonEmpty, "ewmaControl needs at least 1 observation")
+    require(rows.length <= maxLen,
+      s"ewmaControl: series exceeds maxLen=$maxLen rows — this op's" +
+        " driver-fold contract is for TIME-BOUNDED series; pre-aggregate" +
+        " to a coarser grid or raise maxLen deliberately")
+    val y = rows.map(_.getLong(1))
+    val n = y.length
+    // Exact integer moments in BigInt — s² alone overflows a long for a
+    // cents-scale money series (weekly sums ~10¹⁰ → s² ~10²⁰); the
+    // oracle mirrors with HUGEINT. The variance numerator converts to
+    // double ONCE (correctly-rounded from the exact integer in both
+    // engines), then the σ expression is one fixed IEEE formula.
+    val s = BigInt(y.sum)
+    val s2 = y.map(v => BigInt(v) * BigInt(v)).sum
+    val haveSigma = n >= 2
+    val mu = y.sum.toDouble / n
+    val sigma = if (haveSigma)
+      math.sqrt((BigInt(n) * s2 - s * s).toDouble /
+        (n.toDouble * (n - 1))) else 0.0
+    val half = math.sqrt(aNum.toDouble / (2 * den - aNum))
+    val lcl = mu - lSigma * sigma * half
+    val ucl = mu + lSigma * sigma * half
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    var z = y(0) * den
+    val out = Array.newBuilder[(java.sql.Date, Long, Long,
+      java.lang.Double, java.lang.Double, java.lang.Double,
+      java.lang.Boolean)]
+    var t = 0
+    while (t < n) {
+      if (t > 0) z = (aNum * y(t) * den + (den - aNum) * z) / den
+      val zd = z.toDouble / den
+      out += ((rows(t).getDate(0), y(t), z,
+        if (haveSigma) Double.box(r4(mu)) else null,
+        if (haveSigma) Double.box(r4(lcl)) else null,
+        if (haveSigma) Double.box(r4(ucl)) else null,
+        if (haveSigma) Boolean.box(zd < lcl || zd > ucl) else null))
+      t += 1
+    }
+    import spark.implicits._
+    out.result().toSeq
+      .toDF("ord", "y", "ewma_den", "center", "lcl", "ucl", "breach")
+  }
+
+  /** Holt-Winters ADDITIVE seasonal smoothing + h-step forecast (Winters
+    * 1960; Hyndman & Athanasopoulos FPP §8.3) — [[holtLinear]] plus a
+    * period-`p` seasonal state, the forecasting op for series whose
+    * cycle the linear trend flattens away: lₜ = α(yₜ−sₜ₋ₚ) +
+    * (1−α)(lₜ₋₁+bₜ₋₁), bₜ = β(lₜ−lₜ₋₁)+(1−β)bₜ₋₁, sₜ =
+    * γ(yₜ−lₜ)+(1−γ)sₜ₋ₚ, fitted f̂ₜ = lₜ₋₁+bₜ₋₁+sₜ₋ₚ, forecast
+    * ŷ_{T+h} = l_T + h·b_T + s_{T−p+1+((h−1) mod p)}.
+    *
+    * Determinism: α, β, γ are exact rationals over one `den`; level,
+    * trend, and every seasonal carry den-ths as longs; each step is
+    * integer multiply-adds with ONE truncating division per state (the
+    * Scala `/` and DuckDB `//` both truncate toward zero — verified on
+    * negatives, which seasonals hit by construction), so the trajectory
+    * is engine-exact and the oracle replays it digit-for-digit as a
+    * recursive CTE carrying the seasonal ring as a LIST column. Init is
+    * the standard two-cycle start: l = mean of cycle 1, b = (mean of
+    * cycle 2 − mean of cycle 1)/p, sᵢ = yᵢ − l for i = 1..p, all in
+    * truncating den-ths; the first p rows carry that init state with
+    * null fitted (no prior state to forecast them from).
+    *
+    * Scale shape: [[holtLinear]]'s contract — fact-scale work is the
+    * aggregate that BUILT the series; the recurrence is inherently
+    * sequential and folds on the driver over the collected
+    * time-bounded series (loudly length-guarded).
+    *
+    * @param period  seasonal cycle length p in grid steps (>= 2);
+    *                needs >= 2p observations (loudly)
+    * @return per observed row: (ord, kind='fit', y, level_den,
+    *         trend_den, season_den — the seasonal UPDATED at this step,
+    *         fitted, resid), then `horizon` rows (kind='forecast',
+    *         y/resid null, season_den the forecast's seasonal)
+    */
+  def holtWinters(series: DataFrame, order: Column, value: Column,
+                  aNum: Long, bNum: Long, gNum: Long, den: Long,
+                  period: Int, horizon: Int,
+                  stepDays: Int = 7, maxLen: Int = 100000): DataFrame = {
+    require(den > 0 && Seq(aNum, bNum, gNum).forall(n => n > 0 && n < den),
+      s"smoothing rationals aNum=$aNum bNum=$bNum gNum=$gNum den=$den" +
+        " must satisfy 0 < num < den")
+    require(period >= 2, s"period=$period must be >= 2")
+    require(horizon >= 0, s"horizon=$horizon must be non-negative")
+    require(stepDays >= 1, s"stepDays=$stepDays must be positive")
+    val spark = series.sparkSession
+    val rows = series.where(order.isNotNull && value.isNotNull)
+      .select(order.cast("date").as("ord"), value.cast("long").as("y"))
+      .orderBy(col("ord")).limit(maxLen + 1).collect()
+    require(rows.length >= 2 * period,
+      s"holtWinters needs >= 2*period=${2 * period} observations," +
+        s" got ${rows.length}")
+    require(rows.length <= maxLen,
+      s"holtWinters: series exceeds maxLen=$maxLen rows — this op's" +
+        " driver-fold contract is for TIME-BOUNDED series; pre-aggregate" +
+        " to a coarser grid or raise maxLen deliberately")
+    val y = rows.map(_.getLong(1))
+    val p = period
+    val sum1 = y.slice(0, p).sum
+    val sum2 = y.slice(p, 2 * p).sum
+    var l = sum1 * den / p
+    var b = (sum2 - sum1) * den / (p.toLong * p)
+    val s = Array.tabulate(p)(i => y(i) * den - l)
+    val out = Array.newBuilder[(java.sql.Date, String, java.lang.Long,
+      Long, Long, Long, java.lang.Long, java.lang.Long)]
+    (0 until p).foreach { i =>
+      out += ((rows(i).getDate(0), "fit", Long.box(y(i)), l, b, s(i),
+        null, null))
+    }
+    var t = p
+    while (t < y.length) {
+      val sPrev = s(t % p)
+      val fitted = (l + b + sPrev) / den
+      val lPrev = l
+      l = (aNum * (y(t) * den - sPrev) + (den - aNum) * (lPrev + b)) / den
+      b = (bNum * (l - lPrev) + (den - bNum) * b) / den
+      val sNew = (gNum * (y(t) * den - l) + (den - gNum) * sPrev) / den
+      s(t % p) = sNew
+      out += ((rows(t).getDate(0), "fit", Long.box(y(t)), l, b, sNew,
+        Long.box(fitted), Long.box(y(t) - fitted)))
+      t += 1
+    }
+    val lastDay = rows.last.getDate(0).toLocalDate
+    val n = y.length
+    (1 to horizon).foreach { h =>
+      val season = s((n + h - 1) % p)
+      out += ((java.sql.Date.valueOf(lastDay.plusDays(stepDays.toLong * h)),
+        "forecast", null, l, b, season,
+        Long.box((l + h * b + season) / den), null))
+    }
+    import spark.implicits._
+    out.result().toSeq
+      .toDF("ord", "kind", "y", "level_den", "trend_den", "season_den",
+        "fitted", "resid")
+  }
 }

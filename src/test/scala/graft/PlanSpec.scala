@@ -68,6 +68,25 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit"))
   }
 
+  test("pmiCollocations: margins never re-scan the corpus; broadcast attaches only") {
+    // The op's scale claim: ONE fact-scale bigram aggregate, materialized
+    // once; total, both margins, and the final attach all derive from it.
+    // The returned plan must therefore contain ZERO parquet scans (every
+    // leaf is the checkpointed bigram RDD or a broadcast of its
+    // aggregates) and no shuffle-side join.
+    val plan = executedSimple(
+      SparkEntry.queries("pmi_collocations")(spark, sf))
+    assert(!plan.contains("Scan parquet"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("retrievalEval: the top-k rank filter pushes into WindowGroupLimit") {
+    val plan = executedSimple(
+      SparkEntry.queries("retrieval_mrr_map")(spark, sf))
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("stratifiedQuota: the quota filter pushes into WindowGroupLimit") {
     val docs = Tables.documents(spark, sf)
     val plan = executedSimple(

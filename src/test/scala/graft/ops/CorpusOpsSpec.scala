@@ -542,4 +542,105 @@ class CorpusOpsSpec extends SparkTestBase {
       .collect().head
     assert(one === ((1L, None, None, None)))
   }
+
+  test("ndcgEval: tf-inflated low-relevance doc outranks → ndcg < 1") {
+    // b is common (4 of 5 docs) so its idf is weak; doc 3 pumps tf on a
+    // hard enough that BM25 ranks it above the rel-2 doc 2. Gains are
+    // rel/(ln(i+1)/ln 2) micro-floored: DCG = 1e6 + ⌊2/1.58496·1e6⌉ =
+    // 2261860; ideal order (rel desc, id asc) gives 2e6 + 630930.
+    val docs = Seq((2L, "a b"), (3L, "a a a a a a a a"), (4L, "b"),
+      (5L, "b"), (6L, "b")).toDF("doc_id", "text")
+    val got = CorpusOps.ndcgEval(docs, "doc_id", "text",
+      queries = Seq(1L -> Seq("a", "b")), k = 2)
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toSeq
+    assert(got === Seq((1L, 5L, 2261860L, 2630930L, Some(0.8597))))
+  }
+
+  test("ndcgEval: perfect ranking is exactly 1; no-hit query emits no row") {
+    val docs = Seq((1L, "a b c"), (2L, "a x"), (3L, "y z"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.ndcgEval(docs, "doc_id", "text",
+      queries = Seq(1L -> Seq("a", "b"), 2L -> Seq("absent")), k = 2)
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toSeq
+    // doc 1 (rel 2) carries both idf terms so it outranks doc 2 (rel 1):
+    // BM25 order == ideal order → ndcg exactly 1; 'absent' matches
+    // nothing → qid 2 contributes no row at all.
+    assert(got.map(_._1) === Seq(1L))
+    assert(got.head._2 === 2L && got.head._5 === Some(1.0))
+    intercept[IllegalArgumentException](
+      CorpusOps.ndcgEval(docs, "doc_id", "text", Seq(1L -> Seq("a"),
+        1L -> Seq("b")), k = 2))
+    intercept[IllegalArgumentException](
+      CorpusOps.ndcgEval(docs, "doc_id", "text", Seq(1L -> Seq()), k = 2))
+  }
+
+  test("logOddsTokens: hand-computed Fightin'-Words delta and z") {
+    val docs = Seq(("A", "x x y"), ("B", "y z")).toDF("src", "text")
+    val got = CorpusOps.logOddsTokens(docs, "src", "text", "A", "B",
+      priorNum = 1L, priorDen = 1L, minCount = 1L)
+      .orderBy(col("z").desc, col("token"))
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    // prior α_w = bg_w: x → ln(4/4)−ln(2/5), z=δ/√(1/4+1/2);
+    // y → ln(3/5)−ln(3/4); z → ln(1/7)−ln(2/5) (all hand-checked)
+    assert(got === Seq(
+      ("x", 2L, 0L, 2L, 0.9163, 1.058),
+      ("y", 1L, 1L, 2L, -0.2231, -0.2733),
+      ("z", 0L, 1L, 1L, -1.0296, -0.8407)))
+  }
+
+  test("logOddsTokens: minCount gates, equal usage is exactly zero") {
+    val docs = Seq(("A", "w w rare"), ("B", "w w")).toDF("src", "text")
+    val got = CorpusOps.logOddsTokens(docs, "src", "text", "A", "B",
+      priorNum = 1L, priorDen = 10L, minCount = 2L)
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    // 'rare' (count 1) is gated out. 'w': n1=24 d1=11, n2=24 d2=1 →
+    // δ = ln(24/11) − ln(24/1) = ln(1/11) = −2.3979 — equal raw counts
+    // still read B-flavored because B's corpus is ALL 'w' (the odds, not
+    // the counts, are what the statistic compares).
+    assert(got === Seq(("w", 2L, 2L, 4L, -2.3979, -2.6268)))
+    intercept[IllegalArgumentException](
+      CorpusOps.logOddsTokens(docs, "src", "text", "A", "A"))
+  }
+
+  test("pmiCollocations: hand-counted bigrams, margins off the bigram table") {
+    val docs = Seq("a b a b", "a b c", "c c").toDF("text")
+    val got = CorpusOps.pmiCollocations(docs, "text", minCount = 1L, k = 10)
+      .as[(Long, String, String, Long, Long, Long, Long, Double)]
+      .collect().toSeq
+    // bigrams: (a,b)x3, (b,a), (b,c), (c,c); N=6. Margins are the bigram
+    // table's, not raw token counts: left a=3 b=2 c=1, right a=1 b=3 c=2.
+    // pmi(b,a)=ln(6/2)=ln3, pmi(c,c)=ln(6/2)=ln3 — tie totalized by
+    // tok_a; pmi(a,b)=ln(18/9)=ln2; pmi(b,c)=ln(6/4).
+    assert(got === Seq(
+      (1L, "b", "a", 1L, 2L, 1L, 1098612L, 1.0986),
+      (2L, "c", "c", 1L, 1L, 2L, 1098612L, 1.0986),
+      (3L, "a", "b", 3L, 3L, 3L, 693147L, 0.6931),
+      (4L, "b", "c", 1L, 2L, 2L, 405465L, 0.4055)))
+    // minCount floor gates the hapax pairs
+    val floored = CorpusOps.pmiCollocations(docs, "text", minCount = 2L,
+      k = 10).as[(Long, String, String, Long, Long, Long, Long, Double)]
+      .collect().toSeq
+    assert(floored.map(r => (r._2, r._3)) === Seq(("a", "b")))
+  }
+
+  test("retrievalEval: conjunctive relevance — MRR/AP penalize the buried hit") {
+    val docs = Seq(
+      (1L, "x y z"), (2L, "x q z z z z z z z z"), (3L, "y x x"),
+      (4L, "q q q q")).toDF("doc_id", "text")
+    val got = CorpusOps.retrievalEval(docs, "doc_id", "text",
+      queries = Seq(1L -> Seq("x"), 2L -> Seq("x", "q"),
+        3L -> Seq("y", "q")), k = 10)
+      .orderBy("qid")
+      .as[(Long, Long, Long, Option[Long], Long, Long,
+           Option[Double], Option[Double])].collect().toSeq
+    // q1 (x): docs 1,2,3 all relevant (single term) — perfect by
+    //   construction: rr=1, ap=1 (three positions, precision 1 at each).
+    // q2 (x,q): only doc 2 contains both, but doc 4's dense q run
+    //   outranks its diluted dl=10 — first_rank=2, rr=ap=0.5.
+    // q3 (y,q): docs match y or q but none BOTH — n_rel=0, nulls.
+    assert(got === Seq(
+      (1L, 3L, 3L, Some(1L), 1000000L, 3000000L, Some(1.0), Some(1.0)),
+      (2L, 1L, 1L, Some(2L), 500000L, 500000L, Some(0.5), Some(0.5)),
+      (3L, 0L, 0L, None, 0L, 0L, None, None)))
+  }
 }

@@ -479,4 +479,32 @@ class StatOpsSpec extends SparkTestBase {
     val e = intercept[Exception] { lr(three) }
     assert(e.getMessage.contains("expected exactly 2 arms"))
   }
+
+  test("robustMeans: 20% cuts drop the outlier; winsor clamps it") {
+    val df = (Seq(1L, 2L, 3L, 4L, 100L).map(("a", _)) ++
+      Seq(("b", 7L))).toDF("g", "v")
+    val got = StatOps.robustMeans(df, col("g"), col("v"),
+      loBp = 2000, hiBp = 2000).orderBy("key")
+      .as[(String, Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    // a: n=5, k=1 each side → trimmed {2,3,4} = 3.0; winsor clamps
+    // 1→2 and 100→4 → (2+3+4+2+4)/5 = 3.0; raw mean 22.0.
+    // b: n=1, k=0 → all three means are the value.
+    assert(got === Seq(
+      ("a", 5L, 1L, 1L, 22.0, 3.0, 3.0),
+      ("b", 1L, 0L, 0L, 7.0, 7.0, 7.0)))
+  }
+
+  test("robustMeans: ties at the cut are count-exact, not value-exact") {
+    // six 5s and two 50s at 25% high trim: k_hi = 2 → BOTH 50s drop
+    // regardless of tie ordering; k_lo = 8·0//10⁴ = 0.
+    val df = (Seq.fill(6)(5L) ++ Seq(50L, 50L)).map(("g", _)).toDF("g", "v")
+    val got = StatOps.robustMeans(df, col("g"), col("v"),
+      loBp = 0, hiBp = 2500)
+      .as[(String, Long, Long, Long, Double, Double, Double)]
+      .collect().head
+    // mean 130/8 = 16.25; trimmed 30/6 = 5.0; winsor clamps the two
+    // dropped rows to the surviving boundary 5 → 40/8 = 5.0
+    assert(got === (("g", 8L, 0L, 2L, 16.25, 5.0, 5.0)))
+  }
 }

@@ -448,6 +448,44 @@ class TimeSeriesOpsSpec extends SparkTestBase {
       (d("2024-02-05"), "forecast", None, 145L, 16L, Some(17L), None)))
   }
 
+  test("ewmaControl: hand recurrence, steady-state limits, breach flag") {
+    def series(vs: Long*) = vs.zipWithIndex.map { case (v, i) =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+        .plusDays(7L * i)), v)
+    }.toDF("w", "v")
+    val got = TimeSeriesOps.ewmaControl(
+      series((Seq.fill(9)(10L) :+ 30L): _*), col("w"), col("v"),
+      aNum = 9, den = 10, lSigma = 1.0).orderBy("ord")
+      .as[(java.sql.Date, Long, Long, Option[Double], Option[Double],
+           Option[Double], Option[Boolean])].collect().toSeq
+    // μ=12, σ=√40, half=√(9/11): limits 12 ± 5.7208 → [6.2792, 17.7208].
+    // z stays 100 den-ths (zd=10, inside) until the spike:
+    // z₉ = (9·30·10 + 1·100)/10 = 280 → zd=28 breaches high.
+    assert(got.map(_._3) === Seq.fill(9)(100L) :+ 280L)
+    assert(got.map(_._7.get) === Seq.fill(9)(false) :+ true)
+    assert(got.head._4 === Some(12.0))
+    assert(got.head._5 === Some(6.2792) && got.head._6 === Some(17.7208))
+  }
+
+  test("ewmaControl: n=1 has no sigma; preconditions fail loudly") {
+    def series(vs: Long*) = vs.zipWithIndex.map { case (v, i) =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+        .plusDays(7L * i)), v)
+    }.toDF("w", "v")
+    val one = TimeSeriesOps.ewmaControl(series(42L), col("w"), col("v"),
+      aNum = 2, den = 10)
+      .as[(java.sql.Date, Long, Long, Option[Double], Option[Double],
+           Option[Double], Option[Boolean])].collect().toSeq
+    assert(one.map(r => (r._2, r._3, r._4, r._7)) ===
+      Seq((42L, 420L, None, None)))
+    intercept[IllegalArgumentException](
+      TimeSeriesOps.ewmaControl(series(1L, 2L), col("w"), col("v"),
+        aNum = 10, den = 10))
+    intercept[IllegalArgumentException](
+      TimeSeriesOps.ewmaControl(series(1L, 2L, 3L), col("w"), col("v"),
+        aNum = 2, den = 10, maxLen = 2))
+  }
+
   test("holtLinear: preconditions fail loudly") {
     val one = intercept[IllegalArgumentException] {
       TimeSeriesOps.holtLinear(holtSeries(10L), col("ord"), col("y"),
@@ -464,5 +502,46 @@ class TimeSeriesOpsSpec extends SparkTestBase {
         col("y"), 5, 3, 10, horizon = 0, maxLen = 4)
     }
     assert(long.getMessage.contains("maxLen"))
+  }
+
+  test("holtWinters: hand-folded seasonal recurrence + ring-indexed forecast") {
+    val got = TimeSeriesOps.holtWinters(
+      holtSeries(10L, 14L, 11L, 15L, 12L), col("ord"), col("y"),
+      aNum = 5, bNum = 5, gNum = 5, den = 10, period = 2, horizon = 3)
+      .orderBy("ord")
+      .as[(java.sql.Date, String, Option[Long], Long, Long, Long,
+           Option[Long], Option[Long])].collect().toSeq
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // init (p=2): l=120 b=5, s=[-20, 20]; steps hand-folded in den-ths
+    // with truncating div (sNew at t2 is -185/10 -> -18, toward zero):
+    // t2: fit 10, l=127 b=6 s0=-18; t3: fit 15, l=131 b=5 s1=19;
+    // t4: fit 11, l=137 b=5 s0=-17. Forecasts ring through [s1, s0].
+    assert(got === Seq(
+      (d("2024-01-01"), "fit", Some(10L), 120L, 5L, -20L, None, None),
+      (d("2024-01-08"), "fit", Some(14L), 120L, 5L, 20L, None, None),
+      (d("2024-01-15"), "fit", Some(11L), 127L, 6L, -18L, Some(10L), Some(1L)),
+      (d("2024-01-22"), "fit", Some(15L), 131L, 5L, 19L, Some(15L), Some(0L)),
+      (d("2024-01-29"), "fit", Some(12L), 137L, 5L, -17L, Some(11L), Some(1L)),
+      (d("2024-02-05"), "forecast", None, 137L, 5L, 19L, Some(16L), None),
+      (d("2024-02-12"), "forecast", None, 137L, 5L, -17L, Some(13L), None),
+      (d("2024-02-19"), "forecast", None, 137L, 5L, 19L, Some(17L), None)))
+  }
+
+  test("holtWinters: preconditions fail loudly") {
+    val short = intercept[IllegalArgumentException] {
+      TimeSeriesOps.holtWinters(holtSeries(1L, 2L, 3L), col("ord"),
+        col("y"), 2, 1, 3, 10, period = 2, horizon = 1)
+    }
+    assert(short.getMessage.contains(">= 2*period"))
+    val badP = intercept[IllegalArgumentException] {
+      TimeSeriesOps.holtWinters(holtSeries(1L, 2L, 3L, 4L), col("ord"),
+        col("y"), 2, 1, 3, 10, period = 1, horizon = 1)
+    }
+    assert(badP.getMessage.contains("period"))
+    val badG = intercept[IllegalArgumentException] {
+      TimeSeriesOps.holtWinters(holtSeries(1L, 2L, 3L, 4L), col("ord"),
+        col("y"), 2, 1, 10, 10, period = 2, horizon = 1)
+    }
+    assert(badG.getMessage.contains("must satisfy"))
   }
 }
