@@ -1766,6 +1766,23 @@ object SparkEntry {
         minCount = 5L, k = 30)
         .orderBy("rk")),
 
+    // Per-source token-distribution entropy + ln(vocab) normalization:
+    // the boilerplate/templating detector of the mixture-curation read.
+    // One fact-scale (source, token) aggregate; c·ln c terms micro-
+    // quantized before the per-source sum; vocab-bounded after.
+    "token_entropy_source" -> ((s, d) =>
+      CorpusOps.tokenEntropy(Tables.documents(s, d), "source", "text")
+        .orderBy("source")),
+
+    // Top-30 BPE merge candidates (step 1 of subword-tokenizer
+    // training): adjacent char pairs weighted by word frequency. The
+    // corpus reduces to the (word, count) vocabulary in ONE fact-scale
+    // aggregate; the pair explosion runs over the vocabulary only — the
+    // actual trick that makes iterative BPE training feasible at scale.
+    "bpe_merge_pairs" -> ((s, d) =>
+      CorpusOps.bpeMergePairs(Tables.documents(s, d), "text", k = 30)
+        .orderBy("rk")),
+
     // Holt-Winters additive seasonal forecast of weekly order revenue
     // (p=4, α=2/10 β=1/10 γ=3/10, 8 weeks ahead): the seasonal closer of
     // the forecasting family — Holt's trend can't carry a cycle.
@@ -3860,6 +3877,31 @@ object SparkEntry {
         pmod(CoreOps.moneyCents(col("o_totalprice")), lit(1024)).as("zy"))
         .withColumn("zval", ScaleOps.zValue(col("zx"), col("zy"), bits = 10))
         .orderBy("zval", "o_orderkey")),
+
+    // Zone-map pruning effectiveness, z-order vs linear layout on the
+    // SAME rows and predicate: per-file min/max stats (250-row files
+    // over each total order) against a ~10%x10% rectangle — the
+    // quantitative data-skipping argument behind zorder_layout. File
+    // ranks come from the two-pass distributed prefix sum (range
+    // exchange + local sorts, the layout-write shape), never a
+    // single-partition row_number.
+    "zonemap_prune" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        pmod(col("o_custkey"), lit(1024)).as("zx"),
+        pmod(CoreOps.moneyCents(col("o_totalprice")), lit(1024)).as("zy"))
+        .withColumn("zval", ScaleOps.zValue(col("zx"), col("zy"), bits = 10))
+      def stats(keys: Seq[Column], name: String) =
+        ScaleOps.zonemapPruneStats(o, keys, col("zx"), col("zy"),
+          rowsPerFile = 250L, xLo = 100L, xHi = 200L,
+          yLo = 300L, yHi = 400L)
+          .withColumn("layout", lit(name))
+      stats(Seq(col("zval"), col("o_orderkey")), "zorder")
+        .unionByName(stats(Seq(col("o_orderkey")), "linear"))
+        .select(col("layout"), col("n_files"), col("n_rows"),
+          col("files_scanned"), col("rows_scanned"),
+          col("files_with_hits"), col("rows_matched"), col("scan_ratio"))
+        .orderBy("layout")
+    }),
   )
 
   /** Shared CTE prefix of the two k-means oracles: the quantized corpus,
@@ -4844,6 +4886,33 @@ object SparkEntry {
         |SELECT rk, tok_a, tok_b, c_ab, c_a, c_b, pmi_micro,
         |  floor(CAST(pmi_micro AS DOUBLE) / 1000000 * 10000 + 0.5) / 10000 AS pmi
         |FROM r WHERE rk <= 30 ORDER BY rk""".stripMargin,
+    // Entropy replay: same (source, token) counts, same micro-quantized
+    // c·ln c terms summed as exact longs, same two IEEE displays.
+    "token_entropy_source" ->
+      """WITH c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents WHERE source IS NOT NULL) GROUP BY 1, 2),
+        |a AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS vocab,
+        |    CAST(sum(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s_micro
+        |  FROM c GROUP BY 1)
+        |SELECT source, n_tokens, vocab,
+        |  floor((ln(CAST(n_tokens AS DOUBLE)) - CAST(s_micro AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1000000.0)) * 10000 + 0.5) / 10000 AS entropy,
+        |  CASE WHEN vocab = 1 THEN NULL
+        |    ELSE floor((ln(CAST(n_tokens AS DOUBLE)) - CAST(s_micro AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1000000.0)) / ln(CAST(vocab AS DOUBLE)) * 10000 + 0.5) / 10000 END AS norm_entropy
+        |FROM a ORDER BY source""".stripMargin,
+    // BPE replay: corpus → (word, count) vocabulary, per-word adjacent
+    // char pairs via substr over an index list, weighted counts.
+    "bpe_merge_pairs" ->
+      """WITH w AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) >= 2 GROUP BY 1),
+        |p AS (SELECT unnest(list_transform(range(1, length(w)),
+        |    i -> substr(w, CAST(i AS INTEGER), 2))) AS pair, c FROM w),
+        |g AS (SELECT pair, CAST(count(*) AS BIGINT) AS n_forms,
+        |    CAST(sum(c) AS BIGINT) AS n FROM p GROUP BY 1),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rk FROM g)
+        |SELECT rk, pair, n_forms, n FROM r WHERE rk <= 30 ORDER BY rk""".stripMargin,
     "holt_winters" -> holtWintersOracle,
     "connected_components" -> connectedComponentsOracle,
     // EWMA replay: the scaled-integer recurrence as a recursive CTE,
@@ -6885,5 +6954,34 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(range(0, 10),
         |    i -> ((zx >> i) & 1) * (1::BIGINT << (2 * i)) + ((zy >> i) & 1) * (1::BIGINT << (2 * i + 1)))) AS BIGINT) AS zval
         |FROM v ORDER BY zval, o_orderkey""".stripMargin,
+    // Zone-map replay: same z-values, ranks via row_number over each
+    // total order (fine at oracle scale; the engine's rank is the
+    // boundary-invariant distributed prefix sum), same per-file stats.
+    "zonemap_prune" ->
+      """WITH v AS (SELECT o_orderkey,
+        |    o_custkey % 1024 AS zx,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) % 1024 AS zy
+        |  FROM orders),
+        |z AS (SELECT *, CAST(list_sum(list_transform(range(0, 10),
+        |    i -> ((zx >> i) & 1) * (1::BIGINT << (2 * i)) + ((zy >> i) & 1) * (1::BIGINT << (2 * i + 1)))) AS BIGINT) AS zval
+        |  FROM v),
+        |lay AS (
+        |  SELECT 'zorder' AS layout, zx, zy,
+        |      CAST(row_number() OVER (ORDER BY zval, o_orderkey) AS BIGINT) AS rn FROM z
+        |  UNION ALL
+        |  SELECT 'linear', zx, zy,
+        |      CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS rn FROM z),
+        |f AS (SELECT layout, (rn - 1) // 250 AS fid, CAST(count(*) AS BIGINT) AS nr,
+        |    min(zx) AS xmin, max(zx) AS xmax, min(zy) AS ymin, max(zy) AS ymax,
+        |    CAST(sum(CASE WHEN zx BETWEEN 100 AND 200 AND zy BETWEEN 300 AND 400 THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        |  FROM lay GROUP BY 1, 2)
+        |SELECT layout, CAST(count(*) AS BIGINT) AS n_files, CAST(sum(nr) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN xmin <= 200 AND xmax >= 100 AND ymin <= 400 AND ymax >= 300 THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+        |  CAST(sum(CASE WHEN xmin <= 200 AND xmax >= 100 AND ymin <= 400 AND ymax >= 300 THEN nr ELSE 0 END) AS BIGINT) AS rows_scanned,
+        |  CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS files_with_hits,
+        |  CAST(sum(hits) AS BIGINT) AS rows_matched,
+        |  floor(CAST(sum(CASE WHEN xmin <= 200 AND xmax >= 100 AND ymin <= 400 AND ymax >= 300 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) * 10000 + 0.5) / 10000 AS scan_ratio
+        |FROM f GROUP BY 1 ORDER BY layout""".stripMargin,
   )
 }

@@ -1243,6 +1243,100 @@ object CorpusOps {
     * @return top-k rows: (rk, tok_a, tok_b, c_ab, c_a, c_b, pmi_micro,
     *         pmi 4-dp) ordered by rank
     */
+  /** Per-stratum Shannon entropy of the token distribution — the
+    * diversity read next to [[weightedLogOdds]] (what DISCRIMINATES
+    * sources) and `vocab_coverage` (what OVERLAPS): a source whose
+    * entropy is far below ln(vocab) is dominated by few tokens
+    * (templated / boilerplate content), the mixture-curation signal
+    * that per-token lists bury. H = ln N − (Σ c·ln c)/N; norm_entropy
+    * = H / ln V in [0, 1].
+    *
+    * Determinism: N, V, and every count are exact longs; each c·ln c
+    * term micro-quantizes to a long BEFORE the per-stratum sum
+    * (associative, layout-independent — [[graft.ops.ChangeOps]]'s
+    * mixtureDrift discipline); H and norm_entropy are single fixed
+    * IEEE expressions over those exact inputs, displayed 4-dp.
+    * Overflow (loud bound, documented): Σ c·ln(c)·10⁶ < 2^63 holds to
+    * ~2·10¹¹ tokens per stratum; shift the quantization down a digit
+    * per 100× beyond.
+    *
+    * Scale shape: ONE fact-scale (stratum, token) hash aggregate
+    * (map-side partials); everything after is vocab-bounded.
+    *
+    * @return per stratum: (stratum-named col, n_tokens, vocab,
+    *         entropy 4-dp, norm_entropy 4-dp — null when vocab = 1)
+    */
+  def tokenEntropy(df: DataFrame, strataCol: String,
+                   textCol: String): DataFrame = {
+    import CoreOps.rnd
+    val counts = df.where(col(strataCol).isNotNull)
+      .select(col(strataCol).as(strataCol),
+        explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+      .groupBy(col(strataCol), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+    counts
+      .groupBy(col(strataCol))
+      .agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(floor(col("__c").cast("double")
+          * log(col("__c").cast("double")) * 1000000 + 0.5).cast("long"))
+          .as("__clnc_micro"))
+      .select(col(strataCol), col("n_tokens"), col("vocab"),
+        rnd(log(col("n_tokens").cast("double"))
+          - col("__clnc_micro").cast("double")
+            / (col("n_tokens").cast("double") * 1000000.0)).as("entropy"),
+        when(col("vocab") === 1L, lit(null).cast("double"))
+          .otherwise(rnd(
+            (log(col("n_tokens").cast("double"))
+              - col("__clnc_micro").cast("double")
+                / (col("n_tokens").cast("double") * 1000000.0))
+              / log(col("vocab").cast("double")))).as("norm_entropy"))
+  }
+
+  /** Top-k BPE merge candidates — step 1 of byte-pair-encoding tokenizer
+    * training (Sennrich, Haddow & Birch 2016): count adjacent CHARACTER
+    * pairs inside words, weighted by word frequency, and rank. The
+    * character-level complement to [[pmiCollocations]] (token bigrams
+    * find PHRASES; char pairs find the MERGES a subword vocabulary is
+    * built from), and the op a tokenizer-training pipeline runs
+    * iteratively — one graded step proves the whole loop's plan shape,
+    * since every round is this same aggregate over a re-segmented
+    * vocabulary.
+    *
+    * Determinism: all counts exact longs; ties totalize by pair string.
+    *
+    * Scale shape: ONE fact-scale token aggregate reduces the corpus to
+    * the (word, count) vocabulary — the pair explosion (length-bounded
+    * per word) runs over the VOCABULARY, not the corpus, which is the
+    * actual BPE-training trick at 100 TB: re-segmentation each round
+    * touches the weighted vocab table only. The global top-k window
+    * runs over the pair-vocabulary-bounded count table.
+    *
+    * @return top-k rows: (rk, pair — 2-char string, n_forms — word-
+    *         position slots in the vocabulary containing it, n —
+    *         frequency-weighted adjacent-occurrence count, the standard
+    *         BPE candidate statistic) ordered by rank (n desc, pair)
+    */
+  def bpeMergePairs(df: DataFrame, textCol: String, k: Int = 30): DataFrame = {
+    require(k >= 1, s"k=$k must be positive")
+    val words = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("__c"))
+    val pairs = words
+      .select(col("__c"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_forms"), sum(col("__c")).as("n"))
+    val byN = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("pair"))
+    pairs
+      .withColumn("rk", row_number().over(byN).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("rk"), col("pair"), col("n_forms"), col("n"))
+  }
+
   def pmiCollocations(df: DataFrame, textCol: String,
                       minCount: Long = 5L, k: Int = 30): DataFrame = {
     import CoreOps.rnd

@@ -488,4 +488,65 @@ object ScaleOps {
         CoreOps.rnd(sum(col("__rev")).cast("double") /
           max(col("__tot")).cast("double")).as("value_share"))
   }
+
+  /** Zone-map pruning effectiveness of a physical layout — the
+    * quantitative WHY behind [[zorderLayout]]: lay rows out in
+    * `layoutKeys` order, cut the order into fixed-size "files", keep
+    * per-file (min, max) of two predicate columns (exactly the zone
+    * maps / parquet row-group stats a data-skipping scan reads), and
+    * report how many files a rectangle predicate must scan vs how many
+    * actually contain matches. Run once over a z-value order and once
+    * over an unrelated key order, the pair of rows IS the data-skipping
+    * argument: same rows, same predicate, different file count touched.
+    *
+    * Determinism: file id = (rank − 1) div rowsPerFile off a TOTAL
+    * order (callers include a unique tiebreak key); all stats are
+    * integer min/max/count; the one ratio displays 4-dp.
+    *
+    * Scale shape: the rank comes from [[globalRunningTotal]]'s two-pass
+    * distributed prefix sum (range exchange + partition-local sorts —
+    * the layout WRITE shape, never a single-partition row_number); the
+    * per-file aggregate is one hash exchange keyed by file id; the
+    * rollup is file-count bounded. Null predicate-column rows are
+    * excluded up front (a real writer would zone-map them separately).
+    *
+    * @param rowsPerFile rows per simulated file (row-group)
+    * @param xLo,xHi,yLo,yHi the rectangle predicate, inclusive
+    * @return ONE row: (n_files, n_rows, files_scanned — zone-map
+    *         intersects the rectangle, rows_scanned, files_with_hits,
+    *         rows_matched, scan_ratio — files_scanned/n_files 4-dp)
+    */
+  def zonemapPruneStats(df: DataFrame, layoutKeys: Seq[Column],
+                        x: Column, y: Column, rowsPerFile: Long,
+                        xLo: Long, xHi: Long,
+                        yLo: Long, yHi: Long): DataFrame = {
+    import CoreOps.rnd
+    require(layoutKeys.nonEmpty, "zonemapPruneStats needs layout keys")
+    require(rowsPerFile >= 1, s"rowsPerFile=$rowsPerFile must be positive")
+    require(xLo <= xHi && yLo <= yHi,
+      s"empty predicate rectangle: [$xLo,$xHi] x [$yLo,$yHi]")
+    val base = df
+      .withColumn("__x", x.cast("long")).withColumn("__y", y.cast("long"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+    val ranked = globalRunningTotal(base, layoutKeys, lit(1L))
+    val hit = col("__x").between(xLo, xHi) && col("__y").between(yLo, yHi)
+    val files = ranked
+      .withColumn("__f", CoreOps.integralDiv(col("cum") - 1, rowsPerFile))
+      .groupBy(col("__f"))
+      .agg(count(lit(1)).as("__rows"),
+        min(col("__x")).as("__xmin"), max(col("__x")).as("__xmax"),
+        min(col("__y")).as("__ymin"), max(col("__y")).as("__ymax"),
+        sum(when(hit, 1L).otherwise(0L)).as("__hits"))
+    val scanned = col("__xmin") <= xHi && col("__xmax") >= xLo &&
+      col("__ymin") <= yHi && col("__ymax") >= yLo
+    files.agg(
+      count(lit(1)).as("n_files"),
+      sum(col("__rows")).as("n_rows"),
+      sum(when(scanned, 1L).otherwise(0L)).as("files_scanned"),
+      sum(when(scanned, col("__rows")).otherwise(0L)).as("rows_scanned"),
+      sum(when(col("__hits") > 0L, 1L).otherwise(0L)).as("files_with_hits"),
+      sum(col("__hits")).as("rows_matched"))
+      .withColumn("scan_ratio", rnd(col("files_scanned").cast("double")
+        / col("n_files").cast("double")))
+  }
 }

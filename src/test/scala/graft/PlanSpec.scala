@@ -87,6 +87,25 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("bpeMergePairs: the pair explosion runs over the aggregated vocabulary") {
+    // The scale claim that makes iterative BPE training feasible: the
+    // corpus reduces to (word, count) FIRST; only the vocabulary gets
+    // char-pair-exploded. In the printed plan (root first) the Generate
+    // must therefore sit ABOVE a word-count HashAggregate — a Generate
+    // with no aggregate below it would mean the corpus itself explodes.
+    val lines = executedSimple(
+      SparkEntry.queries("bpe_merge_pairs")(spark, sf)).linesIterator.toSeq
+    val gens = lines.zipWithIndex.filter(_._1.contains("Generate explode"))
+    assert(gens.nonEmpty, lines.mkString("\n"))
+    // two Generates exist (token explode near the scan, pair explode
+    // above the vocab agg); the TOPMOST one is the pair explosion and
+    // must have the word-count aggregate somewhere below it
+    val pairGen = gens.map(_._2).min
+    assert(lines.drop(pairGen + 1).exists(_.contains("HashAggregate")),
+      s"pair explosion not above the vocabulary aggregate:\n" +
+        lines.mkString("\n"))
+  }
+
   test("stratifiedQuota: the quota filter pushes into WindowGroupLimit") {
     val docs = Tables.documents(spark, sf)
     val plan = executedSimple(

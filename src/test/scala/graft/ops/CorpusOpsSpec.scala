@@ -623,6 +623,29 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(floored.map(r => (r._2, r._3)) === Seq(("a", "b")))
   }
 
+  test("tokenEntropy: uniform source normalizes to 1; degenerate vocab to null") {
+    val docs = Seq(("s1", "a b a b"), ("s2", "x x x")).toDF("source", "text")
+    val got = CorpusOps.tokenEntropy(docs, "source", "text")
+      .orderBy("source")
+      .as[(String, Long, Long, Double, Option[Double])].collect().toSeq
+    // s1: a:2 b:2 -> H = ln4 - (2*floor(2ln2*1e6+.5))/4e6 = ln2 ->
+    //   0.6931, norm = H/ln2 = 1.0. s2: one token -> H rounds to 0,
+    //   norm undefined (ln V = 0).
+    assert(got === Seq(
+      ("s1", 4L, 2L, 0.6931, Some(1.0)),
+      ("s2", 3L, 1L, 0.0, None)))
+  }
+
+  test("bpeMergePairs: frequency-weighted adjacent char pairs off the vocabulary") {
+    val docs = Seq("aa ab aa", "ab abc").toDF("text")
+    val got = CorpusOps.bpeMergePairs(docs, "text", k = 10)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // vocab: aa:2, ab:2, abc:1. Pairs: 'ab' from words ab (n 2) and abc
+    // (n 1) -> 2 forms, n 3; 'aa' 1 form, n 2; 'bc' 1 form, n 1.
+    assert(got === Seq(
+      (1L, "ab", 2L, 3L), (2L, "aa", 1L, 2L), (3L, "bc", 1L, 1L)))
+  }
+
   test("retrievalEval: conjunctive relevance — MRR/AP penalize the buried hit") {
     val docs = Seq(
       (1L, "x y z"), (2L, "x q z z z z z z z z"), (3L, "y x x"),

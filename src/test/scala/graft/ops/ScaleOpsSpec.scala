@@ -305,4 +305,47 @@ class ScaleOpsSpec extends SparkTestBase {
       .as[(String, Long, Double, Double)].collect().toSeq
     assert(skew.map(r => (r._1, r._2)) === Seq(("A", 1L), ("C", 1L)))
   }
+
+  test("zonemapPruneStats: hand-built files, zone-map intersection, hit counts") {
+    // 8 rows laid out by k, 4 per file: file0 has x 1-4 / y 10-40,
+    // file1 x 5-8 / y 50-80. Rectangle [2,3]x[20,30] intersects only
+    // file0's zone map; rows (2,20) and (3,30) match.
+    val df = (1L to 8L).map(k => (k, k, 10L * k)).toDF("k", "x", "y")
+    val got = ScaleOps.zonemapPruneStats(df, Seq(col("k")),
+      col("x"), col("y"), rowsPerFile = 4L,
+      xLo = 2L, xHi = 3L, yLo = 20L, yHi = 30L)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq((2L, 8L, 1L, 4L, 1L, 2L, 0.5)))
+    intercept[IllegalArgumentException](
+      ScaleOps.zonemapPruneStats(df, Seq(col("k")), col("x"), col("y"),
+        rowsPerFile = 0L, 0L, 1L, 0L, 1L))
+    intercept[IllegalArgumentException](
+      ScaleOps.zonemapPruneStats(df, Seq(col("k")), col("x"), col("y"),
+        rowsPerFile = 4L, 3L, 2L, 0L, 1L))
+    intercept[IllegalArgumentException](
+      ScaleOps.zonemapPruneStats(df, Seq.empty, col("x"), col("y"),
+        rowsPerFile = 4L, 0L, 1L, 0L, 1L))
+  }
+
+  test("zonemapPruneStats: z-order layout prunes what linear cannot") {
+    // The pair-of-layouts read the graded query ships: same 16x16 grid,
+    // same quadrant predicate — the z-order files carry tight zone maps,
+    // the row-major layout's files all straddle the x range.
+    val grid = (for (x <- 0L until 16L; y <- 0L until 16L)
+      yield (x, y)).toDF("x", "y")
+      .withColumn("zval", ScaleOps.zValue(col("x"), col("y"), bits = 4))
+    val z = ScaleOps.zonemapPruneStats(grid,
+      Seq(col("zval"), col("x"), col("y")), col("x"), col("y"),
+      rowsPerFile = 64L, 0L, 7L, 0L, 7L)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().head
+    val lin = ScaleOps.zonemapPruneStats(grid,
+      Seq(col("y"), col("x")), col("x"), col("y"),
+      rowsPerFile = 64L, 0L, 7L, 0L, 7L)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().head
+    // z-order: the predicate IS one 64-cell z-quadrant -> 1 of 4 files
+    assert(z === ((4L, 256L, 1L, 64L, 1L, 64L, 0.25)))
+    // row-major by y: every file spans x 0..15 -> half the files scanned
+    // (y 0..7), none prunable on x
+    assert(lin === ((4L, 256L, 2L, 128L, 2L, 64L, 0.5)))
+  }
 }
