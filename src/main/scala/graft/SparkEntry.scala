@@ -210,6 +210,31 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY node""".stripMargin
   }
 
+  /** Label-propagation oracle: four synchronous rounds unrolled as
+    * chained CTEs — per round, neighbor-label counts then the
+    * (count desc, label) argmax per node, every round reading ONLY the
+    * previous round's labels (the engine's synchronous contract).
+    * Each round MATERIALIZED: l_{r} is read twice by round r+1.
+    */
+  private val labelPropagationOracle: String = {
+    val rounds = (1 to 4).map { r =>
+      s""",
+         |c$r AS (SELECT a.src, l.lbl, CAST(count(*) AS BIGINT) AS c
+         |  FROM adj a JOIN l${r - 1} l ON a.dst = l.n GROUP BY 1, 2),
+         |l$r AS MATERIALIZED (SELECT src AS n, lbl FROM (
+         |    SELECT src, lbl, row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rk
+         |    FROM c$r) WHERE rk = 1)""".stripMargin
+    }.mkString
+    basketEdgesCte +
+      """,
+        |adj AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+        |l0 AS MATERIALIZED (SELECT n, n AS lbl FROM (SELECT DISTINCT src AS n FROM adj))""".stripMargin +
+      rounds +
+      """
+        |SELECT n AS node, CAST(lbl AS BIGINT) AS community
+        |FROM l4 ORDER BY node""".stripMargin
+  }
+
   /** Connected-components oracle: recursive-CTE label closure over the
     * support-floored co-purchase graph — every (node, reachable-node)
     * pair, then min per node. Independent of the engine's pointer-jump
@@ -726,7 +751,7 @@ object SparkEntry {
     ("basket_graph",
       Set("copurchase_lift", "triangle_count", "link_predict",
         "pagerank_parts", "k_core_parts", "bfs_hops_parts",
-        "connected_components"),
+        "connected_components", "label_propagation"),
       () => basketGraphCache.clear()),
     ("verified_pairs",
       Set("dedup_groups", "dedup_keep_best", "dedup_keep_canonical",
@@ -3085,6 +3110,17 @@ object SparkEntry {
       GraphOps.bfsHopsOf(edges, deg, maxHops = 4)
         .orderBy("node")
     }),
+    // Synchronous determinized label-propagation communities, 4 rounds
+    // over the co-purchase graph: every node adopts its neighbors'
+    // majority label (ties to the smallest), all from the previous
+    // generation. Fixed rounds IS the semantics (async LPA is
+    // irreproducible); per round one edge join + count agg + an argmax
+    // window whose rank<=1 pushes into WindowGroupLimit.
+    "label_propagation" -> ((s, d) => {
+      val (_, edges, _) = basketGraph(s, d)
+      GraphOps.labelPropagationOf(edges, iters = 4)
+        .orderBy("node")
+    }),
     // Connected components of the SUPPORT-FLOORED co-purchase graph
     // (pair count >= 2 — the evidence threshold that splinters the
     // everything-touches-everything basket graph into real communities):
@@ -3505,6 +3541,15 @@ object SparkEntry {
       EmbeddingOps.kmeansAssignments(Tables.embeddings(s, d),
         "vec_id", "embedding", k = 8, iterations = 3)
         .orderBy("vec_id")),
+    // Product quantization: 4 subspaces x 8 codewords over the 64-dim
+    // embeddings, each subspace the same deterministic Lloyd loop as
+    // kmeans_embed — the full n x 4 code matrix hash-matches a DuckDB
+    // replay of all four quantizers. The compression step (m·log2 k
+    // bits/vector) that billion-vector ANN serving stands on.
+    "pq_codes" -> ((s, d) =>
+      EmbeddingOps.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding",
+        dim = 64, m = 4, k = 8, iterations = 3)
+        .orderBy("vec_id", "subspace")),
     // Cluster curation composed on the k-means state: the 5 most
     // prototypical members per semantic cluster (SSL-prototypes /
     // SemDeDup's selection step), rank ties on the exact long distance
@@ -3940,6 +3985,53 @@ object SparkEntry {
       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
       |        list_sum(list_transform(list_zip(q.qv, c.cv), x -> (x[1] - x[2]) * (x[1] - x[2]))), c.cl) AS rn
       |    FROM q CROSS JOIN c2 c) WHERE rn = 1)""".stripMargin
+
+  /** One PQ subspace's oracle block: [[kmeansOracleCtes]] with the
+    * embedding sliced to [lo+1, lo+len] (DuckDB list slicing is 1-based
+    * inclusive, matching Spark's `slice(col, lo+1, len)`) and every CTE
+    * name suffixed so four quantizers coexist in one WITH list.
+    */
+  private def pqSubspaceCtes(t: Int, lo: Int, len: Int): String = {
+    val sl = s"embedding[${lo + 1}:${lo + len}]"
+    s"""q_$t AS (SELECT vec_id,
+       |    list_transform($sl, e -> CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |c0_$t AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, qv AS cv
+       |  FROM q_$t ORDER BY vec_id LIMIT 8),
+       |a1_$t AS (SELECT vec_id, cl, qv FROM (
+       |    SELECT q.vec_id, c.cl, q.qv,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_sum(list_transform(list_zip(q.qv, c.cv), x -> (x[1] - x[2]) * (x[1] - x[2]))), c.cl) AS rn
+       |    FROM q_$t q CROSS JOIN c0_$t c) WHERE rn = 1),
+       |c1_$t AS (SELECT cl, list(s ORDER BY i) AS cv FROM (
+       |    SELECT cl, i, CAST(sum(e) AS BIGINT) // count(*) AS s FROM (
+       |      SELECT cl, generate_subscripts(qv, 1) AS i, unnest(qv) AS e FROM a1_$t)
+       |    GROUP BY cl, i) GROUP BY cl),
+       |a2_$t AS (SELECT vec_id, cl, qv FROM (
+       |    SELECT q.vec_id, c.cl, q.qv,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_sum(list_transform(list_zip(q.qv, c.cv), x -> (x[1] - x[2]) * (x[1] - x[2]))), c.cl) AS rn
+       |    FROM q_$t q CROSS JOIN c1_$t c) WHERE rn = 1),
+       |c2_$t AS (SELECT cl, list(s ORDER BY i) AS cv FROM (
+       |    SELECT cl, i, CAST(sum(e) AS BIGINT) // count(*) AS s FROM (
+       |      SELECT cl, generate_subscripts(qv, 1) AS i, unnest(qv) AS e FROM a2_$t)
+       |    GROUP BY cl, i) GROUP BY cl),
+       |a3_$t AS (SELECT vec_id, cl, d FROM (
+       |    SELECT q.vec_id, c.cl,
+       |      list_sum(list_transform(list_zip(q.qv, c.cv), x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_sum(list_transform(list_zip(q.qv, c.cv), x -> (x[1] - x[2]) * (x[1] - x[2]))), c.cl) AS rn
+       |    FROM q_$t q CROSS JOIN c2_$t c) WHERE rn = 1)""".stripMargin
+  }
+
+  private val pqCodesOracle: String =
+    "WITH " + (0 until 4).map(t => pqSubspaceCtes(t, t * 16, 16))
+      .mkString(",\n") + "\n" +
+      (0 until 4).map(t =>
+        s"SELECT vec_id, CAST($t AS BIGINT) AS subspace, cl AS code," +
+          s" CAST(d AS BIGINT) AS dist FROM a3_$t")
+        .mkString("\nUNION ALL\n") +
+      "\nORDER BY vec_id, subspace"
 
   def oracleSql: Map[String, String] = Map(
     "weekly_agg_events" ->
@@ -4915,6 +5007,7 @@ object SparkEntry {
         |SELECT rk, pair, n_forms, n FROM r WHERE rk <= 30 ORDER BY rk""".stripMargin,
     "holt_winters" -> holtWintersOracle,
     "connected_components" -> connectedComponentsOracle,
+    "label_propagation" -> labelPropagationOracle,
     // EWMA replay: the scaled-integer recurrence as a recursive CTE,
     // HUGEINT-exact moments behind the same fixed-IEEE limits, breach
     // compared against the UNROUNDED limits exactly as the engine does.
@@ -6530,6 +6623,9 @@ object SparkEntry {
       """
         |SELECT vec_id, cl AS cluster, CAST(d AS BIGINT) AS dist
         |FROM a3 ORDER BY vec_id""".stripMargin),
+    // Four independent replays of the same Lloyd oracle, one per sliced
+    // subspace, unioned into the full code matrix.
+    "pq_codes" -> pqCodesOracle,
     // Same converged state, per-cluster top-5 window — rank ties on the
     // exact long distance break to the smaller id in both engines.
     "cluster_prototypes" -> (kmeansOracleCtes +

@@ -362,4 +362,41 @@ object EmbeddingOps {
             (col("sy").cast("double") / col("n").cast("double")))) /
           lit(1.0E8)))
   }
+
+  /** Product-quantization codes (Jégou, Douze & Schmid 2011): split each
+    * d-dim vector into `m` contiguous subspaces and run the SAME
+    * deterministic Lloyd loop as [[kmeansAssignments]] independently per
+    * subspace — each vector compresses to m small codes (m·log₂k bits vs
+    * d floats, the memory step that makes billion-vector ANN serving
+    * possible; asymmetric distance then sums per-subspace lookup
+    * tables). Every piece inherits kmeansAssignments' exactness (micro-
+    * unit grid, smallest-ids init, argmin ties to the smaller code,
+    * truncating integer centroid division), so the full code matrix is
+    * hash-gradeable — slice-then-quantize equals quantize-then-slice
+    * because the grid is elementwise.
+    *
+    * Scale shape: m independent assignment passes, each map-only over
+    * the rows with its k×(d/m) codebook as a plan literal; per-subspace
+    * codebook state is k·d/m longs on the driver (the Lloyd contract);
+    * the union is a plan-level concatenation, no shuffle.
+    *
+    * @param dim full vector dimension (must divide by m, loudly)
+    * @return (vec_id, subspace 0..m-1, code, dist — exact squared
+    *         micro-unit² distance to the winning codeword)
+    */
+  def pqCodes(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+              m: Int, k: Int, iterations: Int): DataFrame = {
+    require(m >= 1, s"m=$m must be positive")
+    require(dim >= m && dim % m == 0,
+      s"dim=$dim must be a positive multiple of m=$m")
+    val sub = dim / m
+    (0 until m).map { j =>
+      kmeansAssignments(
+        df.select(col(idCol), slice(col(vecCol), j * sub + 1, sub)
+          .as(vecCol)),
+        idCol, vecCol, k, iterations)
+        .select(col("vec_id"), lit(j.toLong).as("subspace"),
+          col("cluster").as("code"), col("dist"))
+    }.reduce(_ unionAll _)
+  }
 }

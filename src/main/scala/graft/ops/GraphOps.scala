@@ -407,4 +407,52 @@ object GraphOps {
     }
     dist.select(col("n").as("node"), col("hop"))
   }
+
+  /** Synchronous label-propagation communities (Raghavan, Albert &
+    * Kumara 2007), determinized: every node starts as its own label;
+    * each round every node adopts the label held by MOST of its
+    * neighbors, ties broken toward the smallest label, all nodes
+    * updating from the PREVIOUS generation simultaneously. Fixed
+    * `iters` IS the semantics (the bounded-depth-BFS convention):
+    * asynchronous/random-order LPA is irreproducible by design, and the
+    * synchronous determinized variant can oscillate at a fixpoint — a
+    * fixed round count makes the op exact, engine-portable, and
+    * oracle-unrollable, while still delivering LPA's read (dense
+    * communities lock onto one label within a few rounds; [[kCoreOf]]
+    * finds the cohesive CORE, this PARTITIONS the graph).
+    *
+    * Plan shape per round: one edge⋈label equi-join, one (node, label)
+    * count aggregate, and an argmax window whose rank<=1 filter pushes
+    * into WindowGroupLimit below the node exchange — per-edge work,
+    * node-scale state, each generation localCheckpointed and the
+    * previous one freed ([[graft.ops.Dedup.clusterPairs]]'s block
+    * discipline).
+    *
+    * @return (node, community) — community = the adopted label after
+    *         `iters` rounds (labels are node ids)
+    */
+  def labelPropagationOf(e: DataFrame, iters: Int = 4): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be positive")
+    val adj = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(true)
+    var labels = adj.select(col("src").as("n")).distinct()
+      .select(col("n"), col("n").as("lbl"))
+      .localCheckpoint(true)
+    val byVote = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("c").desc, col("lbl"))
+    for (_ <- 1 to iters) {
+      val counts = adj.join(labels, adj("dst") === labels("n"))
+        .groupBy(col("src"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      val next = counts
+        .withColumn("__rk", row_number().over(byVote))
+        .where(col("__rk") === 1)
+        .select(col("src").as("n"), col("lbl"))
+        .localCheckpoint(true)
+      freeCheckpoint(labels)
+      labels = next
+    }
+    labels.select(col("n").as("node"), col("lbl").as("community"))
+  }
 }

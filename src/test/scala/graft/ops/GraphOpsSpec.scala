@@ -206,4 +206,23 @@ class GraphOpsSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toSeq
     assert(r2 === Seq((1L, 0L), (2L, 1L), (3L, 1L), (4L, 2L)))
   }
+
+  test("labelPropagationOf: hand-traced synchronous rounds on bridged triangles") {
+    // Two triangles {1,2,3} and {4,5,6} bridged by 3-4. Synchronous
+    // majority-with-min-tiebreak, traced by hand from self-labels:
+    // after 2 rounds the left triangle has locked to 1 while the right
+    // is mid-oscillation (4->4, 5/6->3); by round 4 both are stable.
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("u", "v")
+    val two = GraphOps.labelPropagationOf(e, iters = 2).orderBy("node")
+      .as[(Long, Long)].collect().toSeq
+    assert(two === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L),
+      (5L, 3L), (6L, 3L)))
+    val four = GraphOps.labelPropagationOf(e, iters = 4).orderBy("node")
+      .as[(Long, Long)].collect().toSeq
+    assert(four === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 3L),
+      (5L, 3L), (6L, 3L)))
+    intercept[IllegalArgumentException](
+      GraphOps.labelPropagationOf(e, iters = 0))
+  }
 }
