@@ -216,7 +216,7 @@ object SparkEntry {
     * previous round's labels (the engine's synchronous contract).
     * Each round MATERIALIZED: l_{r} is read twice by round r+1.
     */
-  private val labelPropagationOracle: String = {
+  private val lpaCtes: String = {
     val rounds = (1 to 4).map { r =>
       s""",
          |c$r AS (SELECT a.src, l.lbl, CAST(count(*) AS BIGINT) AS c
@@ -229,11 +229,39 @@ object SparkEntry {
       """,
         |adj AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
         |l0 AS MATERIALIZED (SELECT n, n AS lbl FROM (SELECT DISTINCT src AS n FROM adj))""".stripMargin +
-      rounds +
+      rounds
+  }
+
+  private val labelPropagationOracle: String =
+    lpaCtes +
       """
         |SELECT n AS node, CAST(lbl AS BIGINT) AS community
         |FROM l4 ORDER BY node""".stripMargin
-  }
+
+  /** Modularity oracle: the LPA replay's final labels attached to both
+    * edge endpoints, then the same exact-rational per-community
+    * contribution (4·m·e_c − d_c²)/(4m²).
+    */
+  private val communityModularityOracle: String =
+    lpaCtes +
+      """,
+        |lab AS (SELECT n, CAST(lbl AS BIGINT) AS community FROM l4),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+        |tg AS (SELECT lu.community AS cu, lv.community AS cv
+        |  FROM e0 a JOIN lab lu ON a.u = lu.n JOIN lab lv ON a.v = lv.n),
+        |ds AS (SELECT community, CAST(count(*) AS BIGINT) AS degree_sum FROM (
+        |    SELECT cu AS community FROM tg UNION ALL SELECT cv FROM tg) GROUP BY 1),
+        |ie AS (SELECT cu AS community, CAST(count(*) AS BIGINT) AS intra_edges
+        |  FROM tg WHERE cu = cv GROUP BY 1),
+        |sz AS (SELECT community, CAST(count(*) AS BIGINT) AS n_nodes FROM lab GROUP BY 1)
+        |SELECT sz.community, sz.n_nodes,
+        |  CAST(coalesce(ie.intra_edges, 0) AS BIGINT) AS intra_edges,
+        |  CAST(coalesce(ds.degree_sum, 0) AS BIGINT) AS degree_sum,
+        |  floor(CAST(4 * mm.m * coalesce(ie.intra_edges, 0)
+        |      - coalesce(ds.degree_sum, 0) * coalesce(ds.degree_sum, 0) AS DOUBLE)
+        |    / CAST(4 * mm.m * mm.m AS DOUBLE) * 10000 + 0.5) / 10000 AS q_contrib
+        |FROM sz LEFT JOIN ds USING (community) LEFT JOIN ie USING (community)
+        |CROSS JOIN mm ORDER BY community""".stripMargin
 
   /** Connected-components oracle: recursive-CTE label closure over the
     * support-floored co-purchase graph — every (node, reachable-node)
@@ -733,6 +761,19 @@ object SparkEntry {
         "doc_id", "text", threshold = 0.5)
         .localCheckpoint(true))
 
+  /** The 4-round LPA labels over the co-purchase graph, memoized: both
+    * `label_propagation` and `community_modularity` consume the same
+    * iterative loop; the returned frame is already checkpointed (it is
+    * the loop's final generation), so the memo stores node-scale state
+    * only. Same (application, dir) keying as the other memo families.
+    */
+  private val lpaLabelCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def lpaLabels(s: SparkSession, d: String): DataFrame =
+    lpaLabelCache.getOrElseUpdate((s.sparkContext.applicationId, d),
+      GraphOps.labelPropagationOf(basketGraph(s, d)._2, iters = 4))
+
   /** The heavy JVM-lifetime memo families (localCheckpointed frames held
     * by strong TrieMap references) with the graded queries that consume
     * each — the map Bench needs to EVICT a family once its last consumer
@@ -751,12 +792,16 @@ object SparkEntry {
     ("basket_graph",
       Set("copurchase_lift", "triangle_count", "link_predict",
         "pagerank_parts", "k_core_parts", "bfs_hops_parts",
-        "connected_components", "label_propagation"),
+        "connected_components", "label_propagation",
+        "community_modularity"),
       () => basketGraphCache.clear()),
     ("verified_pairs",
       Set("dedup_groups", "dedup_keep_best", "dedup_keep_canonical",
         "neardup_safe_split"),
-      () => verifiedPairCache.clear()))
+      () => verifiedPairCache.clear()),
+    ("lpa_labels",
+      Set("label_propagation", "community_modularity"),
+      () => lpaLabelCache.clear()))
 
   /** Drive a finite streaming frame to completion through a memory sink
     * and hand back the result as a batch frame. `processAllAvailable`
@@ -2754,6 +2799,16 @@ object SparkEntry {
         graft.multimodal.MultimodalOps.decodeMeta(documentsAsMedia(s, d)),
         everyMs = 60000L)
         .orderBy("media_id", "frame_ms")),
+    // Frame-level exact dedup across media: every sampled frame
+    // digested map-side (bytes dropped before the exchange — the
+    // document-dedup discipline), duplicate groups with a
+    // deterministic min-(media, frame) keeper. Byte-identical media
+    // share every frame digest, the duplicate structure a video crawl's
+    // intro/outro frames exhibit.
+    "frame_dedup" -> ((s, d) =>
+      graft.multimodal.MultimodalOps.frameDedup(documentsAsMedia(s, d),
+        everyMs = 60000L)
+        .orderBy("digest")),
     // Aspect-preserving resize planning over decoded dims — the decoder
     // fold is replayed in DuckDB HUGEINT arithmetic (shared decoderFoldCte)
     // and the box-fit math is pure doubles, so target dims hash-check
@@ -3116,11 +3171,15 @@ object SparkEntry {
     // generation. Fixed rounds IS the semantics (async LPA is
     // irreproducible); per round one edge join + count agg + an argmax
     // window whose rank<=1 pushes into WindowGroupLimit.
-    "label_propagation" -> ((s, d) => {
-      val (_, edges, _) = basketGraph(s, d)
-      GraphOps.labelPropagationOf(edges, iters = 4)
-        .orderBy("node")
-    }),
+    "label_propagation" -> ((s, d) =>
+      lpaLabels(s, d).orderBy("node")),
+    // Newman modularity of those communities, per community: did the
+    // 4-round flood find structure (Q > 0) or relabel noise? Two label
+    // attaches + ONE community-keyed aggregate; every contribution the
+    // exact rational (4·m·e_c − d_c²)/(4m²), 4-dp at the very end.
+    "community_modularity" -> ((s, d) =>
+      GraphOps.communityModularity(basketGraph(s, d)._2, lpaLabels(s, d))
+        .orderBy("community")),
     // Connected components of the SUPPORT-FLOORED co-purchase graph
     // (pair count >= 2 — the evidence threshold that splinters the
     // everything-touches-everything basket graph into real communities):
@@ -5008,6 +5067,7 @@ object SparkEntry {
     "holt_winters" -> holtWintersOracle,
     "connected_components" -> connectedComponentsOracle,
     "label_propagation" -> labelPropagationOracle,
+    "community_modularity" -> communityModularityOracle,
     // EWMA replay: the scaled-integer recurrence as a recursive CTE,
     // HUGEINT-exact moments behind the same fixed-IEEE limits, breach
     // compared against the UNROUNDED limits exactly as the engine does.
@@ -6254,6 +6314,28 @@ object SparkEntry {
           |SELECT media_id, unnest(range(0, duration_ms, 60000)) AS frame_ms
           |FROM decoded WHERE duration_ms > 0
           |ORDER BY media_id, frame_ms""".stripMargin),
+    // Frame-dedup replay: the same sampled-frame grid; frame i digests
+    // its own 100-byte window (char substr == byte substr on this ascii
+    // corpus — the decoder fold's own guard), windows past the media end
+    // skipped; the same duplicate rollup with a min-(media, frame)
+    // keeper.
+    "frame_dedup" ->
+      (decoderFoldCte +
+        """,
+          |fr AS (SELECT media_id, unnest(range(0, duration_ms, 60000)) AS frame_ms
+          |  FROM decoded WHERE duration_ms > 0),
+          |dg AS (SELECT fr.media_id, fr.frame_ms,
+          |    md5(substr(d.text, CAST((fr.frame_ms // 60000) * 100 + 1 AS INTEGER), 100)) AS digest
+          |  FROM fr JOIN documents d ON fr.media_id = d.doc_id
+          |  WHERE length(d.text) > (fr.frame_ms // 60000) * 100),
+          |g AS (SELECT digest, CAST(count(*) AS BIGINT) AS n_frames,
+          |    CAST(count(DISTINCT media_id) AS BIGINT) AS n_media,
+          |    min(media_id) AS keep_media
+          |  FROM dg GROUP BY 1 HAVING count(*) > 1)
+          |SELECT g.digest, g.n_frames, g.n_media, g.keep_media,
+          |  (SELECT min(frame_ms) FROM dg
+          |   WHERE dg.digest = g.digest AND dg.media_id = g.keep_media) AS keep_frame_ms
+          |FROM g ORDER BY digest""".stripMargin),
     "media_resize" ->
       (decoderFoldCte +
         """

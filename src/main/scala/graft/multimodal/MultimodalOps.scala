@@ -172,4 +172,52 @@ object MultimodalOps {
         explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs))))
       .select("media_id", "frame_ms")
   }
+
+  /** Frame-level exact dedup across media: digest every sampled frame's
+    * OWN byte window and report the duplicate groups with a
+    * deterministic canonical keeper — the video counterpart of document
+    * exact-dedup (the same intro/outro/test-pattern frames recur across
+    * a crawl's videos; a training pipeline drops all but one). Frame i
+    * hashes bytes [i·frameBytes, (i+1)·frameBytes) of its media — the
+    * content-window digest stands in for a perceptual frame hash the
+    * way [[fakeDecoder]] stands in for a codec, and media sharing an
+    * intro (a byte-prefix) legitimately share exactly the leading
+    * frames' digests, the duplicate structure the op exists to find.
+    * Frames whose window lies past the media's end are skipped (an
+    * empty window is not content; hashing it would weld every short
+    * medium into one giant fake group).
+    *
+    * Scale shape: frame generation is the pure [[frameSamplePlan]]
+    * generator over decoded METADATA (no bytes); bytes re-attach once by
+    * media id (colocatable — a real pipeline fuses decode+digest into
+    * one partition pass and never re-joins) and are dropped at the
+    * digest projection, so the dedup exchange carries (digest, id, ms)
+    * only — the document-dedup discipline. The canonical keeper is an
+    * order-free min(struct), no window function needed.
+    *
+    * @param frameBytes bytes per frame window
+    * @return per duplicate digest: (digest, n_frames, n_media,
+    *         keep_media, keep_frame_ms), groups of 1 omitted
+    */
+  def frameDedup(media: DataFrame, everyMs: Long, frameBytes: Int = 100,
+                 decoder: Decoder = fakeDecoder): DataFrame = {
+    require(frameBytes >= 1, s"frameBytes=$frameBytes must be positive")
+    val frames = frameSamplePlan(decodeMeta(media, decoder), everyMs)
+    val idx = (col("frame_ms") / lit(everyMs)).cast("long")
+    val digests = frames
+      .join(media.select(col("media_id"), col("bytes")), Seq("media_id"))
+      .where(length(col("bytes")) > idx * frameBytes)
+      .select(col("media_id"), col("frame_ms"),
+        md5(col("bytes").substr((idx * frameBytes + 1).cast("int"),
+          lit(frameBytes))).as("digest"))
+    digests
+      .groupBy(col("digest"))
+      .agg(count(lit(1)).as("n_frames"),
+        count_distinct(col("media_id")).as("n_media"),
+        min(struct(col("media_id"), col("frame_ms"))).as("__keep"))
+      .where(col("n_frames") > 1L)
+      .select(col("digest"), col("n_frames"), col("n_media"),
+        col("__keep.media_id").as("keep_media"),
+        col("__keep.frame_ms").as("keep_frame_ms"))
+  }
 }

@@ -225,4 +225,23 @@ class GraphOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       GraphOps.labelPropagationOf(e, iters = 0))
   }
+
+  test("communityModularity: exact rational contributions; whole-graph Q is 0") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("u", "v")
+    // the true two-community split: each triangle has e_c=3, d_c=7 of
+    // m=7 -> (4*7*3 - 49)/(4*49) = 35/196 = 0.1786; total Q = 0.3571
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 3L), (5L, 3L),
+      (6L, 3L)).toDF("node", "community")
+    val got = GraphOps.communityModularity(e, labels).orderBy("community")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 3L, 3L, 7L, 0.1786), (3L, 3L, 3L, 7L, 0.1786)))
+    // one community holding everything scores exactly zero — the
+    // null-model identity (e_c = m, d_c = 2m), a pure-integer cancel
+    import org.apache.spark.sql.functions.{col, lit}
+    val all = GraphOps.communityModularity(e,
+      labels.select(col("node"), lit(1L).as("community")))
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(all === Seq((1L, 6L, 7L, 14L, 0.0)))
+  }
 }

@@ -434,4 +434,24 @@ class StreamingAndMultimodalSpec extends SparkTestBase {
       .as[Long].collect().head
     assert(n == 3L)
   }
+
+  test("multimodal: frameDedup groups shared windows, skips past-the-end frames") {
+    // fixed 2.5 s duration -> frames at 0/1000/2000 ms; 4-byte windows.
+    // Media 1 and 2 share their first two windows (the "shared intro");
+    // media 3 is too short for frame 2, whose empty window must NOT hash.
+    val media = Seq(
+      (1L, "video/fake", "AAAABBBBCCCC".getBytes("UTF-8")),
+      (2L, "video/fake", "AAAABBBBZZZZ".getBytes("UTF-8")),
+      (3L, "video/fake", "AAAAXXXX".getBytes("UTF-8")))
+      .toDF("media_id", "mime", "bytes")
+    val got = MultimodalOps.frameDedup(media, everyMs = 1000L,
+      frameBytes = 4, decoder = _ => (16, 16, 2500L))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+      .map(r => (r._2, r._3, r._4, r._5)).sortBy(_._1)
+    // "BBBB" in media 1,2 (keeper = media 1's frame 1000); "AAAA" in all
+    // three (keeper = media 1's frame 0); singletons omitted
+    assert(got === Seq((2L, 2L, 1L, 1000L), (3L, 3L, 1L, 0L)))
+    intercept[IllegalArgumentException](
+      MultimodalOps.frameDedup(media, everyMs = 1000L, frameBytes = 0))
+  }
 }
