@@ -793,7 +793,7 @@ object SparkEntry {
       Set("copurchase_lift", "triangle_count", "link_predict",
         "pagerank_parts", "k_core_parts", "bfs_hops_parts",
         "connected_components", "label_propagation",
-        "community_modularity"),
+        "community_modularity", "negative_edges"),
       () => basketGraphCache.clear()),
     ("verified_pairs",
       Set("dedup_groups", "dedup_keep_best", "dedup_keep_canonical",
@@ -1852,6 +1852,63 @@ object SparkEntry {
     "bpe_merge_pairs" -> ((s, d) =>
       CorpusOps.bpeMergePairs(Tables.documents(s, d), "text", k = 30)
         .orderBy("rk")),
+
+    // Hard-negative mining for reranker training: per query, the top-5
+    // docs that score high on BM25 while failing the conjunctive truth
+    // — the confusable examples a trained reranker learns from (random
+    // negatives are trivially separable and teach nothing). Shares the
+    // eval tier's fact-scale aggregate; rank<=k via WindowGroupLimit.
+    "hard_negatives" -> ((s, d) =>
+      CorpusOps.hardNegatives(Tables.documents(s, d), "doc_id", "text",
+        queries = Seq(1L -> Seq("spark", "join"),
+          2L -> Seq("stream", "window"),
+          3L -> Seq("hash", "scan")), k = 5)
+        .orderBy("qid", "neg_rank")),
+
+    // Pseudo-relevance-feedback expansion: top-20 terms characterizing
+    // the BM25 top-10 for ("spark","join"), scored f_tf·idf. Shares the
+    // scorer's single fact-scale aggregate; the corpus-df pass is
+    // candidate-filtered map-side by a broadcast of the bounded
+    // feedback vocabulary. Closes the retrieval loop: rank, grade,
+    // IMPROVE the query.
+    "prf_expansion" -> ((s, d) =>
+      CorpusOps.prfExpansion(Tables.documents(s, d), "doc_id", "text",
+        terms = Seq("spark", "join"), k = 10, m = 20)
+        .orderBy("rk")),
+
+    // Difference-in-differences on order value, BUILDING-segment
+    // customers vs the rest, pre/post 1998: the causal read a raw
+    // before/after gets wrong when both groups drift. Four exact
+    // (sum, n) cells off ONE fact-scale aggregate after the broadcast
+    // dimension join; DID is one IEEE expression over them.
+    "did_orders" -> ((s, d) => {
+      val o = Tables.orders(s, d).join(
+        Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      StatOps.didEstimate(o,
+        treated = col("c_mktsegment") === "BUILDING",
+        post = col("o_orderdate") >= lit("1998-01-01").cast("date"),
+        value = CoreOps.moneyCents(col("o_totalprice")))
+    }),
+
+    // CUPED variance reduction: per-customer pre-1998 revenue as the
+    // covariate for post-1998 revenue — var(ŷ) derived ALGEBRAICALLY
+    // from the five exact long sums of one unit-level aggregate (never
+    // a second pass over adjusted rows). Whole currency units, not
+    // cents: Σy² over per-customer TOTALS squares the money scale, and
+    // cents would overflow 2⁶³ at TPC-H magnitudes (the op's documented
+    // bound — this query is the worked example).
+    "cuped_orders" -> ((s, d) => {
+      val cutoff = lit("1998-01-01").cast("date")
+      val o = Tables.orders(s, d)
+        .withColumn("__units",
+          CoreOps.integralDiv(CoreOps.moneyCents(col("o_totalprice")), 100L))
+      StatOps.cupedAdjusted(o, unit = col("o_custkey"),
+        x = when(col("o_orderdate") < cutoff, col("__units"))
+          .otherwise(lit(0L)),
+        y = when(col("o_orderdate") >= cutoff, col("__units"))
+          .otherwise(lit(0L)))
+    }),
 
     // Holt-Winters additive seasonal forecast of weekly order revenue
     // (p=4, α=2/10 β=1/10 γ=3/10, 8 weeks ahead): the seasonal closer of
@@ -3180,6 +3237,18 @@ object SparkEntry {
     "community_modularity" -> ((s, d) =>
       GraphOps.communityModularity(basketGraph(s, d)._2, lpaLabels(s, d))
         .orderBy("community")),
+    // Deterministic negative-edge sampling over the co-purchase graph:
+    // each node hash-draws 2 partners through a rank table (uniform
+    // over the node SET via the distributed prefix sum, never a
+    // single-partition row_number), anti-joined against the edge list —
+    // the link-prediction TRAINING data (positives = edges, negatives =
+    // verified non-edges), hash-seeded so the set is stable across
+    // reshuffles and engines.
+    "negative_edges" -> ((s, d) => {
+      val (_, edges, _) = basketGraph(s, d)
+      GraphOps.negativeEdges(edges, perNode = 2)
+        .orderBy("u", "draw")
+    }),
     // Connected components of the SUPPORT-FLOORED co-purchase graph
     // (pair count >= 2 — the evidence threshold that splinters the
     // everything-touches-everything basket graph into real communities):
@@ -5064,10 +5133,140 @@ object SparkEntry {
         |    CAST(sum(c) AS BIGINT) AS n FROM p GROUP BY 1),
         |r AS (SELECT *, CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rk FROM g)
         |SELECT rk, pair, n_forms, n FROM r WHERE rk <= 30 ORDER BY rk""".stripMargin,
+    // Hard-negative replay: the eval tier's CTEs, ranked over the
+    // non-relevant slice only.
+    "hard_negatives" ->
+      """WITH qt(qid, term) AS (VALUES (1, 'spark'), (1, 'join'),
+        |    (2, 'stream'), (2, 'window'), (3, 'hash'), (3, 'scan')),
+        |nt AS (SELECT qid, CAST(count(*) AS BIGINT) AS nt FROM qt GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT qt.qid, toks.doc_id, toks.term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks JOIN qt ON toks.term = qt.term GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT qid, term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY 1, 2),
+        |contrib AS (SELECT tf.qid, tf.doc_id,
+        |    CAST(floor((ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1)
+        |      * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) * 1000000 + 0.5) AS BIGINT) AS cu
+        |  FROM tf JOIN dfreq USING (qid, term) JOIN dl USING (doc_id) CROSS JOIN st),
+        |sc AS (SELECT qid, doc_id, CAST(sum(cu) AS BIGINT) AS su, CAST(count(*) AS BIGINT) AS rel
+        |  FROM contrib GROUP BY 1, 2)
+        |SELECT CAST(qid AS BIGINT) AS qid, rk AS neg_rank, doc_id, rel, su AS score_micro FROM (
+        |  SELECT s.qid, s.doc_id, s.rel, s.su,
+        |      CAST(row_number() OVER (PARTITION BY s.qid ORDER BY s.su DESC, s.doc_id) AS BIGINT) AS rk
+        |  FROM sc s JOIN nt ON s.qid = nt.qid WHERE s.rel < nt.nt)
+        |WHERE rk <= 5 ORDER BY qid, neg_rank""".stripMargin,
+    // PRF replay: same BM25 single-query CTEs, same top-10 cut, the
+    // same f_tf·ln(N/df) micro scoring over non-query terms.
+    "prf_expansion" ->
+      """WITH qt(term) AS (VALUES ('spark'), ('join')),
+        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT toks.doc_id, toks.term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks JOIN qt ON toks.term = qt.term GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY 1),
+        |contrib AS (SELECT tf.doc_id,
+        |    CAST(floor((ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1)
+        |      * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) * 1000000 + 0.5) AS BIGINT) AS cu
+        |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+        |sc AS (SELECT doc_id, CAST(sum(cu) AS BIGINT) AS su FROM contrib GROUP BY 1),
+        |top AS (SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY su DESC, doc_id) AS rk FROM sc)
+        |  WHERE rk <= 10),
+        |ft AS (SELECT t.term, CAST(count(*) AS BIGINT) AS f_tf,
+        |    CAST(count(DISTINCT t.doc_id) AS BIGINT) AS f_df
+        |  FROM toks t JOIN top ON t.doc_id = top.doc_id
+        |  WHERE t.term NOT IN ('spark', 'join') GROUP BY 1),
+        |cdf AS (SELECT toks.term, CAST(count(DISTINCT toks.doc_id) AS BIGINT) AS df_t
+        |  FROM toks JOIN ft ON toks.term = ft.term GROUP BY 1),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |r AS (SELECT ft.term, ft.f_tf, ft.f_df, cdf.df_t,
+        |    CAST(floor(CAST(ft.f_tf AS DOUBLE) * ln(CAST(nd.n AS DOUBLE) / CAST(cdf.df_t AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS score_micro
+        |  FROM ft JOIN cdf ON ft.term = cdf.term CROSS JOIN nd),
+        |rr AS (SELECT *, CAST(row_number() OVER (ORDER BY score_micro DESC, term) AS BIGINT) AS rk FROM r)
+        |SELECT rk, term, f_tf, f_df, df_t, score_micro,
+        |  floor(CAST(score_micro AS DOUBLE) / 1000000 * 10000 + 0.5) / 10000 AS score
+        |FROM rr WHERE rk <= 20 ORDER BY rk""".stripMargin,
+    // DID replay: the same four exact (sum, n) cells, one IEEE DID.
+    "did_orders" ->
+      """WITH j AS (SELECT (c.c_mktsegment = 'BUILDING') AS t,
+        |    (o.o_orderdate >= DATE '1998-01-01') AS p,
+        |    CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_mktsegment IS NOT NULL AND o.o_orderdate IS NOT NULL
+        |    AND o.o_totalprice IS NOT NULL),
+        |cells AS (SELECT t, p, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS s FROM j GROUP BY 1, 2),
+        |a AS (SELECT
+        |    CAST(coalesce(max(CASE WHEN t AND NOT p THEN n END), 0) AS BIGINT) AS n_tpre,
+        |    max(CASE WHEN t AND NOT p THEN CAST(s AS DOUBLE) / n / 100.0 END) AS m_tpre,
+        |    CAST(coalesce(max(CASE WHEN t AND p THEN n END), 0) AS BIGINT) AS n_tpost,
+        |    max(CASE WHEN t AND p THEN CAST(s AS DOUBLE) / n / 100.0 END) AS m_tpost,
+        |    CAST(coalesce(max(CASE WHEN NOT t AND NOT p THEN n END), 0) AS BIGINT) AS n_cpre,
+        |    max(CASE WHEN NOT t AND NOT p THEN CAST(s AS DOUBLE) / n / 100.0 END) AS m_cpre,
+        |    CAST(coalesce(max(CASE WHEN NOT t AND p THEN n END), 0) AS BIGINT) AS n_cpost,
+        |    max(CASE WHEN NOT t AND p THEN CAST(s AS DOUBLE) / n / 100.0 END) AS m_cpost
+        |  FROM cells)
+        |SELECT n_tpre, floor(m_tpre * 10000 + 0.5) / 10000 AS mean_tpre,
+        |  n_tpost, floor(m_tpost * 10000 + 0.5) / 10000 AS mean_tpost,
+        |  n_cpre, floor(m_cpre * 10000 + 0.5) / 10000 AS mean_cpre,
+        |  n_cpost, floor(m_cpost * 10000 + 0.5) / 10000 AS mean_cpost,
+        |  floor(((m_tpost - m_tpre) - (m_cpost - m_cpre)) * 10000 + 0.5) / 10000 AS did
+        |FROM a""".stripMargin,
+    // CUPED replay: the same five exact sums, the same algebraic
+    // var(y) - cov^2/var(x) — no adjusted-row pass on either engine.
+    "cuped_orders" ->
+      """WITH o AS (SELECT o_custkey AS u,
+        |    CASE WHEN o_orderdate < DATE '1998-01-01' THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 100 ELSE 0 END AS x,
+        |    CASE WHEN o_orderdate >= DATE '1998-01-01' THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 100 ELSE 0 END AS y
+        |  FROM orders WHERE o_custkey IS NOT NULL),
+        |pu AS (SELECT u, CAST(sum(x) AS BIGINT) AS x, CAST(sum(y) AS BIGINT) AS y FROM o GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(y * y) AS BIGINT) AS syy FROM pu)
+        |SELECT n_units,
+        |  CASE WHEN CAST(sxx AS DOUBLE) / CAST(n_units AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n_units AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n_units AS DOUBLE)) = 0.0 THEN NULL
+        |    ELSE floor((CAST(sxy AS DOUBLE) / CAST(n_units AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n_units AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n_units AS DOUBLE)))
+        |      / (CAST(sxx AS DOUBLE) / CAST(n_units AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n_units AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n_units AS DOUBLE))) * 10000 + 0.5) / 10000 END AS theta,
+        |  floor((CAST(syy AS DOUBLE) / CAST(n_units AS DOUBLE) - (CAST(sy AS DOUBLE) / CAST(n_units AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n_units AS DOUBLE))) * 10000 + 0.5) / 10000 AS var_y,
+        |  CASE WHEN CAST(sxx AS DOUBLE) / CAST(n_units AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n_units AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n_units AS DOUBLE)) = 0.0 THEN NULL
+        |    ELSE floor(((CAST(syy AS DOUBLE) / CAST(n_units AS DOUBLE) - (CAST(sy AS DOUBLE) / CAST(n_units AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n_units AS DOUBLE)))
+        |      - (CAST(sxy AS DOUBLE) / CAST(n_units AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n_units AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n_units AS DOUBLE)))
+        |        * (CAST(sxy AS DOUBLE) / CAST(n_units AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n_units AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n_units AS DOUBLE)))
+        |      / (CAST(sxx AS DOUBLE) / CAST(n_units AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n_units AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n_units AS DOUBLE)))) * 10000 + 0.5) / 10000 END AS var_adj,
+        |  CASE WHEN CAST(sxx AS DOUBLE) / CAST(n_units AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n_units AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n_units AS DOUBLE)) = 0.0
+        |      OR CAST(syy AS DOUBLE) / CAST(n_units AS DOUBLE) - (CAST(sy AS DOUBLE) / CAST(n_units AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n_units AS DOUBLE)) = 0.0 THEN NULL
+        |    ELSE floor((CAST(sxy AS DOUBLE) / CAST(n_units AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n_units AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n_units AS DOUBLE)))
+        |      * (CAST(sxy AS DOUBLE) / CAST(n_units AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n_units AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n_units AS DOUBLE)))
+        |      / ((CAST(sxx AS DOUBLE) / CAST(n_units AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n_units AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n_units AS DOUBLE)))
+        |        * (CAST(syy AS DOUBLE) / CAST(n_units AS DOUBLE) - (CAST(sy AS DOUBLE) / CAST(n_units AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n_units AS DOUBLE)))) * 10000 + 0.5) / 10000 END AS reduction
+        |FROM s""".stripMargin,
     "holt_winters" -> holtWintersOracle,
     "connected_components" -> connectedComponentsOracle,
     "label_propagation" -> labelPropagationOracle,
     "community_modularity" -> communityModularityOracle,
+    // Negative-edge replay: ranks via row_number (oracle scale; the
+    // engine's rank is the boundary-invariant prefix sum), the same
+    // md5-hex draw (doc_fingerprint's fold idiom), the same anti-join.
+    "negative_edges" -> (basketEdgesCte +
+      """,
+        |nodes AS (SELECT DISTINCT n FROM (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0)),
+        |rk AS (SELECT n, CAST(row_number() OVER (ORDER BY n) AS BIGINT) AS r FROM nodes),
+        |cnt AS (SELECT CAST(count(*) AS BIGINT) AS c FROM nodes),
+        |draws AS (SELECT rk.n AS u, CAST(i.i AS BIGINT) AS draw FROM rk,
+        |  (SELECT unnest(range(1, 3)) AS i) i),
+        |h AS (SELECT u, draw,
+        |    (list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 9),
+        |      j -> (strpos('0123456789abcdef', substr(md5(CAST(u AS VARCHAR) || '#' || CAST(draw AS VARCHAR)), CAST(j AS INTEGER), 1)) - 1)::BIGINT)),
+        |      (a, x) -> a * 16 + x) % cnt.c) + 1 AS idx
+        |  FROM draws, cnt),
+        |cand AS (SELECT h.u, h.draw, rk.n AS v FROM h JOIN rk ON rk.r = h.idx
+        |  WHERE h.u <> rk.n),
+        |adj AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0)
+        |SELECT u, draw, v FROM cand ANTI JOIN adj USING (u, v)
+        |ORDER BY u, draw""".stripMargin),
     // EWMA replay: the scaled-integer recurrence as a recursive CTE,
     // HUGEINT-exact moments behind the same fixed-IEEE limits, breach
     // compared against the UNROUNDED limits exactly as the engine does.

@@ -1214,6 +1214,112 @@ object CorpusOps {
             / (least(col("n_rel"), lit(k.toLong)) * 1000000.0))).as("ap"))
   }
 
+  /** Hard-negative mining for reranker/embedding training (the DPR /
+    * cross-encoder data recipe): per query, the top-ranked docs that are
+    * NOT relevant — they score high on the lexical ranker while failing
+    * the conjunctive truth, exactly the confusable examples a trained
+    * reranker must learn to push down. Random negatives teach nothing
+    * (trivially separable); these are the ones that move the model.
+    *
+    * Determinism: relevance and ranking are [[retrievalEval]]'s exactly
+    * (BM25 micro score, ties to the smaller id; relevant = contains
+    * EVERY query term); the per-query negative rank is a row_number
+    * over (score desc, id) on the non-relevant slice.
+    *
+    * Scale shape: shares [[bm25QueryScores]]'s single fact-scale
+    * aggregate; the rank<=k filter pushes into WindowGroupLimit; output
+    * is |queries|·k rows.
+    *
+    * @return (qid, neg_rank 1..k, doc id, rel — matched terms (always
+    *         < |q|), score_micro)
+    */
+  def hardNegatives(df: DataFrame, idCol: String, textCol: String,
+                    queries: Seq[(Long, Seq[String])], k: Int,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k=$k must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nTerms = queries.map { case (q, ts) => (q, ts.distinct.size.toLong) }
+      .toDF("qid", "__nt")
+    val byScore = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("__su").desc, col(idCol))
+    bm25QueryScores(df, idCol, textCol, queries, k1, b)
+      .join(broadcast(nTerms), Seq("qid"))
+      .where(col("rel") < col("__nt"))
+      .withColumn("neg_rank", row_number().over(byScore).cast("long"))
+      .where(col("neg_rank") <= k)
+      .select(col("qid"), col("neg_rank"), col(idCol), col("rel"),
+        col("__su").as("score_micro"))
+  }
+
+  /** Pseudo-relevance-feedback query expansion (Rocchio 1971 lineage;
+    * the RM1-lite a self-contained retrieval stack ships): rank the
+    * corpus by BM25 for the query, take the top-k feedback docs, and
+    * score every non-query term they contain by feedback-tf × idf —
+    * the terms that CHARACTERIZE what the query retrieves, fed back as
+    * expansion candidates. Closes the retrieval loop: bm25_topk ranks,
+    * ndcg/mrr grade the ranking, this IMPROVES the query.
+    *
+    * Determinism: the feedback cut totalizes ties like every rank here
+    * (BM25 micro desc, id); score_micro = floor(f_tf·ln(N/df_t)·10⁶+½)
+    * — one ln of a ratio of exact integers per term, exact long f_tf;
+    * the expansion rank totalizes by (score desc, term).
+    *
+    * Scale shape: the ranking shares [[bm25QueryScores]]'s single
+    * fact-scale aggregate; the feedback set is k docs (broadcast); the
+    * candidate tf aggregate runs over the k docs' tokens only; the
+    * corpus-df pass is fact-scale but candidate-filtered MAP-SIDE by a
+    * broadcast of the (bounded) candidate vocabulary before its
+    * aggregate — the classic two-pass PRF plan.
+    *
+    * @param terms the original query terms (excluded from expansion)
+    * @param k     feedback depth (top-k docs)
+    * @param m     expansion terms returned
+    * @return top-m rows: (rk, term, f_tf — occurrences in the feedback
+    *         docs, f_df — feedback docs containing it, df_t — corpus
+    *         docs containing it, score_micro, score 4-dp)
+    */
+  def prfExpansion(df: DataFrame, idCol: String, textCol: String,
+                   terms: Seq[String], k: Int = 10, m: Int = 20,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import CoreOps.rnd
+    require(m >= 1, s"m=$m must be positive")
+    require(k >= 1, s"k=$k must be positive")
+    val scored = bm25QueryScores(df, idCol, textCol, Seq(1L -> terms), k1, b)
+    val byScore = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("__su").desc, col(idCol))
+    val topDocs = scored
+      .withColumn("__rk", row_number().over(byScore))
+      .where(col("__rk") <= k)
+      .select(col(idCol))
+    val toks = df.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val cands = toks
+      .join(broadcast(topDocs), Seq(idCol))
+      .where(!col("term").isin(terms.distinct: _*))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("f_tf"), count_distinct(col(idCol)).as("f_df"))
+    val dfT = toks
+      .join(broadcast(cands.select(col("term"))), Seq("term"))
+      .groupBy(col("term"))
+      .agg(count_distinct(col(idCol)).as("df_t"))
+    val nDocs = df.agg(count(lit(1)).as("__n"))
+    val ranked = cands
+      .join(broadcast(dfT), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_micro", floor(col("f_tf").cast("double")
+        * log(col("__n").cast("double") / col("df_t").cast("double"))
+        * 1000000 + 0.5).cast("long"))
+    val byExp = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_micro").desc, col("term"))
+    ranked
+      .withColumn("rk", row_number().over(byExp).cast("long"))
+      .where(col("rk") <= m)
+      .select(col("rk"), col("term"), col("f_tf"), col("f_df"),
+        col("df_t"), col("score_micro"),
+        rnd(col("score_micro").cast("double") / 1000000.0).as("score"))
+  }
+
   /** Top-k adjacent-token collocations by pointwise mutual information
     * over the bigram distribution (Church & Hanks 1990): which word
     * pairs co-occur far beyond what their marginals predict — the

@@ -456,6 +456,53 @@ object GraphOps {
     labels.select(col("n").as("node"), col("lbl").as("community"))
   }
 
+  /** Deterministic negative-edge sampling for graph-ML training data
+    * (the link-prediction training recipe: positives are edges,
+    * negatives are verified NON-edges): each node draws `perNode`
+    * pseudo-random partners via a content hash, the partner resolves
+    * through a rank table (so the draw is uniform over the node SET,
+    * not the id space, which may be sparse), and an anti-join against
+    * the undirected edge list removes accidental positives. Hash-seeded
+    * like every sampler here ([[graft.ops.CorpusOps.splitBucket]]'s
+    * md5 idiom) — stable under reshuffles, re-ingestion, and engines.
+    *
+    * Scale shape: node ranks come from
+    * [[graft.ops.ScaleOps.globalRunningTotal]]'s two-pass distributed
+    * prefix sum (never a single-partition row_number over the node
+    * table); the partner resolve is a rank-keyed equi-join; the
+    * verification is one anti-join against the edge list. Output is
+    * perNode·|nodes| rows before verification — the training-set scale
+    * the caller asked for, not a blow-up.
+    *
+    * @return (u, draw 1..perNode, v) — verified non-edges; draws that
+    *         landed on self or on a real edge are absent (the standard
+    *         with-rejection contract; re-draw by raising perNode)
+    */
+  def negativeEdges(e: DataFrame, perNode: Int = 2): DataFrame = {
+    require(perNode >= 1, s"perNode=$perNode must be positive")
+    val nodes = e.select(col("u").as("n"))
+      .unionAll(e.select(col("v").as("n"))).distinct()
+    val ranked = ScaleOps.globalRunningTotal(nodes, Seq(col("n")), lit(1L))
+      .select(col("n"), col("cum").as("__r"))
+    val cnt = ranked.agg(count(lit(1)).as("__c"))
+    val draws = ranked.select(col("n").as("u"))
+      .withColumn("draw", explode(sequence(lit(1L), lit(perNode.toLong))))
+      .crossJoin(broadcast(cnt))
+      .withColumn("__idx",
+        conv(substring(md5(concat(col("u").cast("string"), lit("#"),
+          col("draw").cast("string"))), 1, 8), 16, 10).cast("long")
+          % col("__c") + 1L)
+    val cand = draws
+      .join(ranked.select(col("__r").as("__idx"), col("n").as("v")),
+        Seq("__idx"))
+      .where(col("u") =!= col("v"))
+      .select(col("u"), col("draw"), col("v"))
+    val undirected = e.select(col("u"), col("v"))
+      .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    cand.join(undirected, Seq("u", "v"), "left_anti")
+      .select(col("u"), col("draw"), col("v"))
+  }
+
   /** Newman modularity of a node→community assignment over a canonical
     * edge list: Q = Σ_c [ e_c/m − (d_c/2m)² ] — did the partition
     * actually find structure (Q > 0: denser inside communities than a

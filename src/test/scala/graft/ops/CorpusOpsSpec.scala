@@ -623,6 +623,22 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(floored.map(r => (r._2, r._3)) === Seq(("a", "b")))
   }
 
+  test("prfExpansion: feedback terms scored f_tf x idf, query terms excluded") {
+    val docs = Seq(
+      (1L, "spark join fast engine"),
+      (2L, "spark join query engine"),
+      (3L, "other words here")).toDF("doc_id", "text")
+    val got = CorpusOps.prfExpansion(docs, "doc_id", "text",
+      terms = Seq("spark", "join"), k = 10, m = 20)
+      .as[(Long, String, Long, Long, Long, Long, Double)].collect().toSeq
+    // feedback set = docs 1,2; candidates: fast (1*ln3), query (1*ln3)
+    // tie totalized by term; engine (2*ln1.5) third; query terms absent
+    assert(got === Seq(
+      (1L, "fast", 1L, 1L, 1L, 1098612L, 1.0986),
+      (2L, "query", 1L, 1L, 1L, 1098612L, 1.0986),
+      (3L, "engine", 2L, 2L, 2L, 810930L, 0.8109)))
+  }
+
   test("tokenEntropy: uniform source normalizes to 1; degenerate vocab to null") {
     val docs = Seq(("s1", "a b a b"), ("s2", "x x x")).toDF("source", "text")
     val got = CorpusOps.tokenEntropy(docs, "source", "text")
@@ -644,6 +660,21 @@ class CorpusOpsSpec extends SparkTestBase {
     // (n 1) -> 2 forms, n 3; 'aa' 1 form, n 2; 'bc' 1 form, n 1.
     assert(got === Seq(
       (1L, "ab", 2L, 3L), (2L, "aa", 1L, 2L), (3L, "bc", 1L, 1L)))
+  }
+
+  test("hardNegatives: high-scoring non-relevant docs, relevant never leak in") {
+    val docs = Seq(
+      (1L, "x y z"), (2L, "x q z z z z z z z z"), (3L, "y x x"),
+      (4L, "q q q q")).toDF("doc_id", "text")
+    val got = CorpusOps.hardNegatives(docs, "doc_id", "text",
+      queries = Seq(1L -> Seq("x", "q")), k = 5)
+      .orderBy("qid", "neg_rank")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // only doc 2 contains both terms (relevant, excluded); the dense-q
+    // doc 4 is the hardest negative, then the x-heavy 3, then 1
+    assert(got.map(r => (r._1, r._2, r._3, r._4)) === Seq(
+      (1L, 1L, 4L, 1L), (1L, 2L, 3L, 1L), (1L, 3L, 1L, 1L)))
+    assert(!got.map(_._3).contains(2L))
   }
 
   test("retrievalEval: conjunctive relevance — MRR/AP penalize the buried hit") {

@@ -226,6 +226,24 @@ class GraphOpsSpec extends SparkTestBase {
       GraphOps.labelPropagationOf(e, iters = 0))
   }
 
+  test("negativeEdges: verified non-edges, deterministic, partition-invariant") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (7L, 8L)).toDF("u", "v")
+    val got = GraphOps.negativeEdges(e, perNode = 3)
+      .orderBy("u", "draw").as[(Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    // every sampled pair is a genuine non-edge in either orientation
+    val edges = Set((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (7L, 8L)).flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    assert(got.forall { case (u, _, v) => u != v && !edges((u, v)) })
+    assert(got.forall { case (_, d, _) => d >= 1 && d <= 3 })
+    // hash-seeded: identical under a different partitioning
+    val re = GraphOps.negativeEdges(e.repartition(7), perNode = 3)
+      .orderBy("u", "draw").as[(Long, Long, Long)].collect().toSeq
+    assert(re === got)
+    intercept[IllegalArgumentException](GraphOps.negativeEdges(e, 0))
+  }
+
   test("communityModularity: exact rational contributions; whole-graph Q is 0") {
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
       (5L, 6L), (3L, 4L)).toDF("u", "v")

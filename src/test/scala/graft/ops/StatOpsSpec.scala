@@ -507,4 +507,34 @@ class StatOpsSpec extends SparkTestBase {
     // dropped rows to the surviving boundary 5 → 40/8 = 5.0
     assert(got === (("g", 8L, 0L, 2L, 16.25, 5.0, 5.0)))
   }
+
+  test("didEstimate: four hand cells, one interaction") {
+    val rows = Seq(
+      (true, false, 100L), (true, false, 200L), (true, true, 400L),
+      (false, false, 100L), (false, true, 200L))
+      .toDF("t", "p", "cents")
+    val got = StatOps.didEstimate(rows, col("t"), col("p"), col("cents"))
+      .as[(Long, Double, Long, Double, Long, Double, Long, Double, Double)]
+      .collect().head
+    // treated 1.5 -> 4.0 (+2.5), control 1.0 -> 2.0 (+1.0) => DID 1.5
+    assert(got === ((2L, 1.5, 1L, 4.0, 1L, 1.0, 1L, 2.0, 1.5)))
+  }
+
+  test("cupedAdjusted: perfectly-correlated covariate removes all variance") {
+    val rows = Seq((1L, 100L, 200L), (2L, 200L, 400L), (3L, 300L, 600L))
+      .toDF("u", "x", "y")
+    val got = StatOps.cupedAdjusted(rows, col("u"), col("x"), col("y"))
+      .as[(Long, Option[Double], Double, Option[Double], Option[Double])]
+      .collect().head
+    // y = 2x exactly: theta 2, var_y 26666.6667 (the metric's own
+    // units^2), adjusted variance collapses to 0, reduction 1
+    assert(got === ((3L, Some(2.0), 26666.6667, Some(0.0), Some(1.0))))
+    // constant covariate -> var(x)=0 -> loud nulls, never division blowup
+    val flat = StatOps.cupedAdjusted(
+      Seq((1L, 5L, 10L), (2L, 5L, 30L)).toDF("u", "x", "y"),
+      col("u"), col("x"), col("y"))
+      .as[(Long, Option[Double], Double, Option[Double], Option[Double])]
+      .collect().head
+    assert(flat._2.isEmpty && flat._4.isEmpty && flat._5.isEmpty)
+  }
 }
