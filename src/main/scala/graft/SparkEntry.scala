@@ -1891,6 +1891,19 @@ object SparkEntry {
         value = CoreOps.moneyCents(col("o_totalprice")))
     }),
 
+    // Neyman-optimal sampling allocation of a 10k audit budget across
+    // order priorities, ∝ N_h·σ_h of the order value: the label-budget
+    // op that beats proportional whenever strata spreads differ. One
+    // fact-scale aggregate; largest-remainder integer shares sum to the
+    // budget exactly; whole currency units (the CUPED overflow lesson).
+    "neyman_allocation" -> ((s, d) =>
+      StatOps.neymanAllocation(Tables.orders(s, d),
+        stratum = col("o_orderpriority"),
+        value = CoreOps.integralDiv(
+          CoreOps.moneyCents(col("o_totalprice")), 100L),
+        budget = 10000L)
+        .orderBy("stratum")),
+
     // CUPED variance reduction: per-customer pre-1998 revenue as the
     // covariate for post-1998 revenue — var(ŷ) derived ALGEBRAICALLY
     // from the five exact long sums of one unit-level aggregate (never
@@ -3678,6 +3691,17 @@ object SparkEntry {
       EmbeddingOps.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding",
         dim = 64, m = 4, k = 8, iterations = 3)
         .orderBy("vec_id", "subspace")),
+    // PQ asymmetric-distance top-10 for three query vectors: per query
+    // an exact m x k lookup table (driver-built from codebook state,
+    // broadcast); each candidate's distance is the SUM of 4 lookups
+    // keyed by its codes — no vector math per candidate, the serving
+    // plan PQ compression exists for. Codes/codebooks are pq_codes'
+    // exactly; the full ranking hash-matches a 4-quantizer replay.
+    "pq_adc_topk" -> ((s, d) =>
+      EmbeddingOps.pqAdcTopK(Tables.embeddings(s, d), "vec_id",
+        "embedding", dim = 64, m = 4, k = 8, iterations = 3,
+        queryIds = Seq(1L, 2L, 3L), topK = 10)
+        .orderBy("qid", "rank")),
     // Cluster curation composed on the k-means state: the 5 most
     // prototypical members per semantic cluster (SSL-prototypes /
     // SemDeDup's selection step), rank ties on the exact long distance
@@ -4160,6 +4184,28 @@ object SparkEntry {
           s" CAST(d AS BIGINT) AS dist FROM a3_$t")
         .mkString("\nUNION ALL\n") +
       "\nORDER BY vec_id, subspace"
+
+  /** ADC oracle: the four quantizer replays, an exact per-query lookup
+    * table against each FINAL codebook (c2_t), candidate distances as
+    * sums of four lookups keyed by the replayed codes (a3_t), and the
+    * same (distance, id)-totalized top-k.
+    */
+  private val pqAdcOracle: String =
+    "WITH " + (0 until 4).map(t => pqSubspaceCtes(t, t * 16, 16))
+      .mkString(",\n") + ",\n" +
+      (0 until 4).map(t =>
+        s"""lut_$t AS (SELECT qq.vec_id AS qid, c.cl AS code,
+           |    list_sum(list_transform(list_zip(qq.qv, c.cv), x -> (x[1] - x[2]) * (x[1] - x[2]))) AS pd
+           |  FROM q_$t qq CROSS JOIN c2_$t c WHERE qq.vec_id IN (1, 2, 3)),
+           |s_$t AS (SELECT l.qid, a.vec_id, l.pd FROM a3_$t a JOIN lut_$t l ON a.cl = l.code)""".stripMargin)
+        .mkString(",\n") + ",\n" +
+      """u AS (SELECT * FROM s_0 UNION ALL SELECT * FROM s_1
+        |  UNION ALL SELECT * FROM s_2 UNION ALL SELECT * FROM s_3),
+        |adc AS (SELECT qid, vec_id, CAST(sum(pd) AS BIGINT) AS adc_dist
+        |  FROM u GROUP BY 1, 2 HAVING count(*) = 4),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS BIGINT) AS rank FROM adc)
+        |SELECT qid, rank, vec_id, adc_dist FROM r WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "weekly_agg_events" ->
@@ -6907,6 +6953,27 @@ object SparkEntry {
     // Four independent replays of the same Lloyd oracle, one per sliced
     // subspace, unioned into the full code matrix.
     "pq_codes" -> pqCodesOracle,
+    "pq_adc_topk" -> pqAdcOracle,
+    // Neyman replay: same exact per-stratum sums, one IEEE sqrt, the
+    // same largest-remainder integer allocation.
+    "neyman_allocation" ->
+      """WITH s AS (SELECT o_orderpriority AS stratum, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(u) AS BIGINT) AS sy, CAST(sum(u * u) AS BIGINT) AS syy
+        |  FROM (SELECT o_orderpriority,
+        |      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 100 AS u
+        |    FROM orders WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL)
+        |  GROUP BY 1),
+        |t AS (SELECT stratum, n,
+        |    floor(sqrt(CAST(syy AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) * 10000 + 0.5) / 10000 AS sd,
+        |    CAST(floor(sqrt(CAST(syy AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) * CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS w
+        |  FROM s),
+        |tw AS (SELECT CAST(sum(w) AS BIGINT) AS ww FROM t),
+        |sh AS (SELECT t.*, (10000 * t.w) // tw.ww AS fl, (10000 * t.w) % tw.ww AS rem FROM t, tw),
+        |fs AS (SELECT CAST(sum(fl) AS BIGINT) AS fsum FROM sh),
+        |rk AS (SELECT sh.*, CAST(row_number() OVER (ORDER BY rem DESC, stratum) AS BIGINT) AS r FROM sh)
+        |SELECT stratum, n, sd, w,
+        |  CAST(fl + CASE WHEN r <= 10000 - fs.fsum THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM rk, fs ORDER BY stratum""".stripMargin,
     // Same converged state, per-cluster top-5 window — rank ties on the
     // exact long distance break to the smaller id in both engines.
     "cluster_prototypes" -> (kmeansOracleCtes +

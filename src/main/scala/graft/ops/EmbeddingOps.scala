@@ -133,8 +133,30 @@ object EmbeddingOps {
     * @return (vec_id, cluster, dist) — final-iteration assignment and its
     *         exact squared distance in micro-unit² longs.
     */
-  def kmeansAssignments(df: DataFrame, idCol: String, vecCol: String,
-                        k: Int, iterations: Int): DataFrame = {
+  // Assignment through the fused codegen'd kernels
+  // ([[graft.expressions.NearestCentroid]]): one k·dim long loop per
+  // row instead of k interpreted HOF folds — bit-identical to the
+  // composed array_min-over-(dist, cl)-structs form (ExtensionOpsSpec
+  // pins the equality), and the assignment pass is the fact-scale cost
+  // of k-means at 100 TB.
+  private def assignIdCol(cents: Seq[(Long, Seq[Long])]): Column =
+    graft.expressions.NearestCentroid.nearestCentroidId(col("qv"),
+      typedLit(cents.map(_._2)), typedLit(cents.map(_._1)))
+
+  private def assignDistCol(cents: Seq[(Long, Seq[Long])]): Column =
+    graft.expressions.NearestCentroid.nearestCentroidDist(col("qv"),
+      typedLit(cents.map(_._2)))
+
+  /** The shared Lloyd loop behind [[kmeansAssignments]] and
+    * [[pqAdcTopK]]: quantize to the micro-unit grid, init from the k
+    * smallest ids, run `iterations − 1` centroid updates. Returns the
+    * checkpointed quantized frame (vec_id, qv) and the FINAL centroid
+    * state — exposing the codebook is what the PQ serving path needs
+    * and the assignment-only API hides.
+    */
+  private[ops] def lloydState(df: DataFrame, idCol: String, vecCol: String,
+                              k: Int, iterations: Int)
+      : (DataFrame, Seq[(Long, Seq[Long])]) = {
     require(k >= 1, s"k=$k must be positive")
     require(iterations >= 1, s"iterations=$iterations must be positive")
     val q = df.select(col(idCol).as("vec_id"),
@@ -142,24 +164,12 @@ object EmbeddingOps {
           x => floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long"))
           .as("qv"))
       .localCheckpoint(true)
-    // Assignment through the fused codegen'd kernels
-    // ([[graft.expressions.NearestCentroid]]): one k·dim long loop per
-    // row instead of k interpreted HOF folds — bit-identical to the
-    // composed array_min-over-(dist, cl)-structs form (ExtensionOpsSpec
-    // pins the equality), and the assignment pass is the fact-scale cost
-    // of k-means at 100 TB.
-    def assignId(cents: Seq[(Long, Seq[Long])]): Column =
-      graft.expressions.NearestCentroid.nearestCentroidId(col("qv"),
-        typedLit(cents.map(_._2)), typedLit(cents.map(_._1)))
-    def assignDist(cents: Seq[(Long, Seq[Long])]): Column =
-      graft.expressions.NearestCentroid.nearestCentroidDist(col("qv"),
-        typedLit(cents.map(_._2)))
     var centroids: Seq[(Long, Seq[Long])] =
       q.orderBy(col("vec_id")).limit(k).collect()
         .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Long](1)) }
         .toSeq
     for (_ <- 1 until iterations) {
-      val assigned = q.select(col("qv"), assignId(centroids).as("cl"))
+      val assigned = q.select(col("qv"), assignIdCol(centroids).as("cl"))
       centroids = assigned
         .select(col("cl"), posexplode(col("qv")).as(Seq("i", "e")))
         .groupBy(col("cl"), col("i"))
@@ -173,8 +183,14 @@ object EmbeddingOps {
           (cl, dims.sortBy(_._2).map(_._3).toSeq) }
         .sortBy(_._1)
     }
-    q.select(col("vec_id"), assignId(centroids).as("cluster"),
-      assignDist(centroids).as("dist"))
+    (q, centroids)
+  }
+
+  def kmeansAssignments(df: DataFrame, idCol: String, vecCol: String,
+                        k: Int, iterations: Int): DataFrame = {
+    val (q, centroids) = lloydState(df, idCol, vecCol, k, iterations)
+    q.select(col("vec_id"), assignIdCol(centroids).as("cluster"),
+      assignDistCol(centroids).as("dist"))
   }
 
   /** Per-cluster prototype selection over a [[kmeansAssignments]] result:
@@ -398,5 +414,69 @@ object EmbeddingOps {
         .select(col("vec_id"), lit(j.toLong).as("subspace"),
           col("cluster").as("code"), col("dist"))
     }.reduce(_ unionAll _)
+  }
+
+  /** PQ asymmetric-distance top-k search (Jégou et al. 2011 §III-B —
+    * "ADC"): the serving step [[pqCodes]]' compression exists for.
+    * Per query, the exact distance to every CODEWORD goes into an
+    * m×k lookup table; a candidate's approximate distance is then just
+    * the SUM of m table lookups keyed by its codes — no vector math per
+    * candidate, which is the entire point at billions of vectors.
+    *
+    * Determinism: codes and codebooks are [[lloydState]]'s (micro-unit
+    * grid, smallest-ids init, truncating centroid division); each LUT
+    * entry is an exact long Σ(qᵥ−cᵥ)²; the per-candidate ADC distance
+    * is an exact long sum of m entries; the top-k rank totalizes by
+    * (adc_dist, id).
+    *
+    * Scale shape: the per-subspace assignment is map-only with the
+    * codebook as a plan literal; the LUT is |queries|·m·k rows built on
+    * the DRIVER from codebook state (bounded by construction) and
+    * broadcast; candidate scoring is ONE broadcast-join + (query,
+    * candidate) hash aggregate over the code table; rank<=k pushes into
+    * WindowGroupLimit.
+    *
+    * @param queryIds ids of the query vectors (resolved from `df`;
+    *                 absent ids contribute no rows)
+    * @return (qid, rank 1..topK, vec_id, adc_dist) per query — the
+    *         query's own row ranks too (rank 1, distance = its own
+    *         quantization residual), the honest ANN-serving readout
+    */
+  def pqAdcTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                m: Int, k: Int, iterations: Int, queryIds: Seq[Long],
+                topK: Int): DataFrame = {
+    require(m >= 1, s"m=$m must be positive")
+    require(dim >= m && dim % m == 0,
+      s"dim=$dim must be a positive multiple of m=$m")
+    require(queryIds.nonEmpty, "pqAdcTopK needs at least one query id")
+    require(topK >= 1, s"topK=$topK must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sub = dim / m
+    val perSub = (0 until m).map { j =>
+      val (q, cents) = lloydState(
+        df.select(col(idCol), slice(col(vecCol), j * sub + 1, sub)
+          .as(vecCol)),
+        idCol, vecCol, k, iterations)
+      val codes = q.select(col("vec_id"), lit(j.toLong).as("subspace"),
+        assignIdCol(cents).as("code"))
+      val qvecs = q.where(col("vec_id").isin(queryIds: _*)).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      val lut = for ((qid, qv) <- qvecs.toSeq; (cl, cv) <- cents) yield
+        (qid, j.toLong, cl,
+          qv.zip(cv).map { case (a, b) => val d = a - b; d * d }.sum)
+      (codes, lut)
+    }
+    val codes = perSub.map(_._1).reduce(_ unionAll _)
+    val lut = perSub.flatMap(_._2).toDF("qid", "subspace", "code", "pd")
+    val byDist = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adc_dist"), col("vec_id"))
+    codes.join(broadcast(lut), Seq("subspace", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("pd")).as("adc_dist"), count(lit(1)).as("__m"))
+      .where(col("__m") === m.toLong)
+      .withColumn("rank", row_number().over(byDist).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("qid"), col("rank"), col("vec_id"), col("adc_dist"))
   }
 }

@@ -1012,6 +1012,59 @@ object StatOps {
         - (col("__m_cpost") - col("__m_cpre"))).as("did"))
   }
 
+  /** Neyman-optimal stratified sample allocation (Neyman 1934): split a
+    * sampling budget across strata ∝ N_h·σ_h — the allocation that
+    * minimizes the estimator's variance, vs the proportional ∝ N_h a
+    * naive splitter uses (identical only when every stratum has the
+    * same spread). The audit/QA sampling op: spend the label budget
+    * where the metric actually varies.
+    *
+    * Determinism: per-stratum (n, Σy, Σy²) are exact longs; σ_h is ONE
+    * IEEE sqrt (correctly rounded per IEEE-754) over those; the weight
+    * quantizes to w_h = floor(n_h·σ_h + ½) and the integer allocation
+    * is largest-remainder over exact longs ([[graft.ops.CorpusOps]]'s
+    * waterfilling discipline): floor share (B·w_h) div W, remainders
+    * ranked (remainder desc, stratum) — allocations SUM TO B exactly.
+    * Overflow (loud under ANSI): B·w_h < 2⁶³ — a 10⁶ budget against
+    * 10¹²-scale weights fits with headroom.
+    *
+    * Scale shape: ONE fact-scale hash aggregate to the per-stratum
+    * table; the ranking window runs over strata (bounded domain — the
+    * waterfill precedent), never the facts.
+    *
+    * @return per stratum: (stratum, n, sd 4-dp, w, alloc), every
+    *         stratum present (zero-variance strata carry w = 0 and only
+    *         win remainder units if the budget exceeds ΣfloorShares)
+    */
+  def neymanAllocation(df: DataFrame, stratum: Column, value: Column,
+                       budget: Long): DataFrame = {
+    import CoreOps.rnd
+    require(budget >= 1, s"budget=$budget must be positive")
+    val s = df.where(stratum.isNotNull && value.isNotNull)
+      .groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n"),
+        sum(value.cast("long")).as("__sy"),
+        sum(value.cast("long") * value.cast("long")).as("__syy"))
+    val nD = col("n").cast("double")
+    val varH = col("__syy").cast("double") / nD -
+      (col("__sy").cast("double") / nD) * (col("__sy").cast("double") / nD)
+    val t = s.withColumn("sd", rnd(sqrt(varH)))
+      .withColumn("w", floor(sqrt(varH) * nD + 0.5).cast("long"))
+    val tot = t.agg(sum(col("w")).as("__W"))
+    val shares = t.crossJoin(broadcast(tot))
+      .withColumn("__floor",
+        CoreOps.integralDiv(lit(budget) * col("w"), col("__W")))
+      .withColumn("__rem", (lit(budget) * col("w")) % col("__W"))
+    val fsum = shares.agg(sum(col("__floor")).as("__fsum"))
+    val byRem = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rem").desc, col("stratum"))
+    shares.crossJoin(broadcast(fsum))
+      .withColumn("__rk", row_number().over(byRem).cast("long"))
+      .select(col("stratum"), col("n"), col("sd"), col("w"),
+        (col("__floor") + when(col("__rk") <= lit(budget) - col("__fsum"),
+          1L).otherwise(0L)).as("alloc"))
+  }
+
   /** CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013): adjust
     * a per-unit experiment metric by its pre-period covariate —
     * ŷᵢ = yᵢ − θ(xᵢ − x̄) with θ = cov(x,y)/var(x) — and report how much

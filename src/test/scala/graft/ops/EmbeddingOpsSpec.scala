@@ -212,4 +212,38 @@ class EmbeddingOpsSpec extends SparkTestBase {
       EmbeddingOps.pqCodes(df, "vec_id", "embedding", dim = 4, m = 3,
         k = 2, iterations = 1))
   }
+
+  test("pqAdcTopK: the query's own code combo is the ADC minimum; ranks total") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, Seq(0.0f, 0.1f, 9.0f, 9.1f)), (2L, Seq(0.2f, 0.0f, 9.2f, 9.0f)),
+      (3L, Seq(0.1f, 0.2f, 0.0f, 0.1f)), (4L, Seq(9.0f, 9.1f, 0.2f, 0.0f)),
+      (5L, Seq(9.2f, 9.0f, 9.1f, 9.2f)), (6L, Seq(9.1f, 9.2f, 0.1f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val got = EmbeddingOps.pqAdcTopK(df, "vec_id", "embedding",
+      dim = 4, m = 2, k = 2, iterations = 2, queryIds = Seq(1L, 4L),
+      topK = 3).orderBy("qid", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // per query: ranks 1..3, ADC distance non-decreasing, and rank 1 is
+    // the query itself (its own codes pick each subspace's minimal LUT
+    // entry, so no candidate can score below it; ties break to its id
+    // only if another vector shares every code AND has a smaller id —
+    // not the case here)
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet === Set(1L, 4L))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_._2) === Seq(1L, 2L, 3L))
+      assert(rows.map(_._4) === rows.map(_._4).sorted)
+      assert(rows.head._3 === q)
+    }
+    // deterministic under a different input partitioning
+    val re = EmbeddingOps.pqAdcTopK(df.repartition(5), "vec_id",
+      "embedding", dim = 4, m = 2, k = 2, iterations = 2,
+      queryIds = Seq(1L, 4L), topK = 3).orderBy("qid", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(re === got)
+    intercept[IllegalArgumentException](
+      EmbeddingOps.pqAdcTopK(df, "vec_id", "embedding", 4, 2, 2, 2,
+        queryIds = Seq.empty, topK = 3))
+  }
 }

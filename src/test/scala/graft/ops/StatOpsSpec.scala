@@ -508,6 +508,21 @@ class StatOpsSpec extends SparkTestBase {
     assert(got === (("g", 8L, 0L, 2L, 16.25, 5.0, 5.0)))
   }
 
+  test("neymanAllocation: weights n*sd, largest-remainder shares sum to budget") {
+    val rows = Seq(("A", 0L), ("A", 20L), ("B", 5L), ("B", 5L),
+      ("C", 0L), ("C", 0L), ("C", 20L), ("C", 20L)).toDF("s", "v")
+    val got = StatOps.neymanAllocation(rows, col("s"), col("v"),
+      budget = 7L).orderBy("stratum")
+      .as[(String, Long, Double, Long, Long)].collect().toSeq
+    // A: n=2 sd=10 w=20; B: zero-variance w=0; C: n=4 sd=10 w=40; W=60.
+    // floors 2/0/4 leave one unit; C holds the largest remainder (40)
+    assert(got === Seq(("A", 2L, 10.0, 20L, 2L), ("B", 2L, 0.0, 0L, 0L),
+      ("C", 4L, 10.0, 40L, 5L)))
+    assert(got.map(_._5).sum === 7L)
+    intercept[IllegalArgumentException](
+      StatOps.neymanAllocation(rows, col("s"), col("v"), budget = 0L))
+  }
+
   test("didEstimate: four hand cells, one interaction") {
     val rows = Seq(
       (true, false, 100L), (true, false, 200L), (true, true, 400L),
