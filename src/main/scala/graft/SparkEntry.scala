@@ -1891,6 +1891,21 @@ object SparkEntry {
         value = CoreOps.moneyCents(col("o_totalprice")))
     }),
 
+    // Smoothed target encoding of market segment against order value
+    // (m=100 pseudo-counts), with the leave-rest complement mean as the
+    // leakage check: one fact-scale aggregate after the broadcast
+    // dimension join; both encodings single ratios of exact integer
+    // products (the global mean rides as the rational S/N).
+    "target_encoding" -> ((s, d) => {
+      val o = Tables.orders(s, d).join(
+        Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      StatOps.targetEncoding(o, category = col("c_mktsegment"),
+        y = CoreOps.integralDiv(CoreOps.moneyCents(col("o_totalprice")),
+          100L), m = 100L)
+        .orderBy("category")
+    }),
+
     // Neyman-optimal sampling allocation of a 10k audit budget across
     // order priorities, ∝ N_h·σ_h of the order value: the label-budget
     // op that beats proportional whenever strata spreads differ. One
@@ -6954,6 +6969,20 @@ object SparkEntry {
     // subspace, unioned into the full code matrix.
     "pq_codes" -> pqCodesOracle,
     "pq_adc_topk" -> pqAdcOracle,
+    // Target-encoding replay: same exact integer-product ratios.
+    "target_encoding" ->
+      """WITH j AS (SELECT c.c_mktsegment AS category,
+        |    CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) // 100 AS u
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_mktsegment IS NOT NULL AND o.o_totalprice IS NOT NULL),
+        |cats AS (SELECT category, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(u) AS BIGINT) AS sum_y FROM j GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(sum_y) AS BIGINT) AS ss FROM cats)
+        |SELECT category, n, sum_y,
+        |  floor(CAST(sum_y * nn + 100 * ss AS DOUBLE) / CAST(nn * (n + 100) AS DOUBLE) * 10000 + 0.5) / 10000 AS enc,
+        |  CASE WHEN nn = n THEN NULL
+        |    ELSE floor(CAST(ss - sum_y AS DOUBLE) / CAST(nn - n AS DOUBLE) * 10000 + 0.5) / 10000 END AS enc_rest
+        |FROM cats, tot ORDER BY category""".stripMargin,
     // Neyman replay: same exact per-stratum sums, one IEEE sqrt, the
     // same largest-remainder integer allocation.
     "neyman_allocation" ->

@@ -1012,6 +1012,47 @@ object StatOps {
         - (col("__m_cpost") - col("__m_cpre"))).as("did"))
   }
 
+  /** Smoothed target encoding (Micci-Barreca 2001) + the
+    * leave-one-category-out check: per category, the shrunk mean
+    * enc = (Σy_c + m·μ)/(n_c + m) — rare categories pull toward the
+    * global mean instead of memorizing their few labels — plus
+    * enc_rest = (S − Σy_c)/(N − n_c), the complement mean whose gap to
+    * enc is the leakage a category-as-feature would inject. The
+    * feature-engineering op every tabular training pipeline runs, done
+    * with the smoothing that makes it safe.
+    *
+    * Determinism: both encodings are single ratios of exact integer
+    * products — enc = (Σy_c·N + m·S)/(N·(n_c + m)) carries the global
+    * mean as the exact rational S/N rather than a rounded double —
+    * displayed 4-dp. Overflow (loud under ANSI): Σy_c·N < 2⁶³; whole
+    * currency units hold to ~10⁷ rows of ~10⁵-unit values per category
+    * — quantize coarser beyond.
+    *
+    * Scale shape: ONE fact-scale hash aggregate; the global totals are
+    * a broadcast scalar; output is category-count bounded.
+    *
+    * @param m smoothing pseudo-count (categories with n_c ≪ m read as
+    *          the global mean)
+    * @return per category: (category, n, sum_y, enc 4-dp, enc_rest
+    *         4-dp — null when the category holds every row)
+    */
+  def targetEncoding(df: DataFrame, category: Column, y: Column,
+                     m: Long): DataFrame = {
+    import CoreOps.rnd
+    require(m >= 1, s"m=$m must be positive")
+    val cats = df.where(category.isNotNull && y.isNotNull)
+      .groupBy(category.as("category"))
+      .agg(count(lit(1)).as("n"), sum(y.cast("long")).as("sum_y"))
+    val tot = cats.agg(sum(col("n")).as("__N"), sum(col("sum_y")).as("__S"))
+    cats.crossJoin(broadcast(tot))
+      .select(col("category"), col("n"), col("sum_y"),
+        rnd((col("sum_y") * col("__N") + lit(m) * col("__S")).cast("double")
+          / (col("__N") * (col("n") + lit(m))).cast("double")).as("enc"),
+        when(col("__N") === col("n"), lit(null).cast("double"))
+          .otherwise(rnd((col("__S") - col("sum_y")).cast("double")
+            / (col("__N") - col("n")).cast("double"))).as("enc_rest"))
+  }
+
   /** Neyman-optimal stratified sample allocation (Neyman 1934): split a
     * sampling budget across strata ∝ N_h·σ_h — the allocation that
     * minimizes the estimator's variance, vs the proportional ∝ N_h a

@@ -87,6 +87,17 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("pqAdcTopK: LUT broadcasts into the code join; rank<=k hits WindowGroupLimit") {
+    // the serving plan's two claims: candidates join the m x k lookup
+    // table as a BROADCAST (never a shuffle on the code table), and the
+    // per-query top-k keeps window state k-bounded
+    val plan = executedSimple(
+      SparkEntry.queries("pq_adc_topk")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("bpeMergePairs: the pair explosion runs over the aggregated vocabulary") {
     // The scale claim that makes iterative BPE training feasible: the
     // corpus reduces to (word, count) FIRST; only the vocabulary gets

@@ -508,6 +508,24 @@ class StatOpsSpec extends SparkTestBase {
     assert(got === (("g", 8L, 0L, 2L, 16.25, 5.0, 5.0)))
   }
 
+  test("targetEncoding: shrinkage toward the global mean, exact complement") {
+    val rows = Seq(("A", 10L), ("A", 30L), ("B", 100L)).toDF("c", "y")
+    val got = StatOps.targetEncoding(rows, col("c"), col("y"), m = 2L)
+      .orderBy("category")
+      .as[(String, Long, Long, Double, Option[Double])].collect().toSeq
+    // global mean 140/3; A: (40*3 + 2*140)/(3*4) = 400/12 = 33.3333
+    // (raw 20 pulled toward 46.67); B: (100*3 + 280)/(3*3) = 64.4444
+    // (raw 100 shrunk hard — n=1 vs m=2). Complements exact.
+    assert(got === Seq(
+      ("A", 2L, 40L, 33.3333, Some(100.0)),
+      ("B", 1L, 100L, 64.4444, Some(20.0))))
+    // single-category frame: complement undefined, never 0/0
+    val one = StatOps.targetEncoding(
+      Seq(("X", 5L), ("X", 7L)).toDF("c", "y"), col("c"), col("y"), 2L)
+      .as[(String, Long, Long, Double, Option[Double])].collect().head
+    assert(one._5.isEmpty && one._4 === 6.0)
+  }
+
   test("neymanAllocation: weights n*sd, largest-remainder shares sum to budget") {
     val rows = Seq(("A", 0L), ("A", 20L), ("B", 5L), ("B", 5L),
       ("C", 0L), ("C", 0L), ("C", 20L), ("C", 20L)).toDF("s", "v")
