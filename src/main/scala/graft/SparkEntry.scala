@@ -1853,6 +1853,16 @@ object SparkEntry {
       CorpusOps.bpeMergePairs(Tables.documents(s, d), "text", k = 30)
         .orderBy("rk")),
 
+    // Curation-funnel readout (the dataset-card row): per-stage
+    // survivor counts for raw → nonempty → length band [100, 500] →
+    // exact-dedup survivor, shares of raw alongside. Stage flags from
+    // ONE aggregate; the dedup stage is a digest-keyed count (text
+    // never crosses the exchange).
+    "curation_funnel" -> ((s, d) =>
+      CorpusOps.curationFunnel(Tables.documents(s, d), "doc_id", "text",
+        minChars = 100, maxChars = 500)
+        .orderBy("stage_idx")),
+
     // Hard-negative mining for reranker training: per query, the top-5
     // docs that score high on BM25 while failing the conjunctive truth
     // — the confusable examples a trained reranker learns from (random
@@ -1937,6 +1947,19 @@ object SparkEntry {
         y = when(col("o_orderdate") >= cutoff, col("__units"))
           .otherwise(lit(0L)))
     }),
+
+    // Split-conformal 90% band on the Holt forecast: calibration scores
+    // are the fit's exact one-step |residuals|, q the ceil((n+1)·0.9)-th
+    // smallest — finite-sample coverage with no distributional
+    // assumption, the honest uncertainty readout next to the point line.
+    "conformal_interval" -> ((s, d) =>
+      TimeSeriesOps.conformalForecast(
+        Tables.orders(s, d)
+          .groupBy(CoreOps.weekStart(col("o_orderdate")).as("week"))
+          .agg(sum(CoreOps.moneyCents(col("o_totalprice"))).as("rev_cents")),
+        col("week"), col("rev_cents"), aNum = 5, bNum = 3, den = 10,
+        horizon = 4, coverBp = 9000)
+        .orderBy("ord")),
 
     // Holt-Winters additive seasonal forecast of weekly order revenue
     // (p=4, α=2/10 β=1/10 γ=3/10, 8 weeks ahead): the seasonal closer of
@@ -5194,6 +5217,23 @@ object SparkEntry {
         |    CAST(sum(c) AS BIGINT) AS n FROM p GROUP BY 1),
         |r AS (SELECT *, CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rk FROM g)
         |SELECT rk, pair, n_forms, n FROM r WHERE rk <= 30 ORDER BY rk""".stripMargin,
+    // Funnel replay: the same cumulative gates, the dedup stage a
+    // digest-distinct count within the band.
+    "curation_funnel" ->
+      """WITH f AS (SELECT CAST(count(*) AS BIGINT) AS raw,
+        |    CAST(sum(CASE WHEN text IS NOT NULL AND length(text) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN text IS NOT NULL AND length(text) BETWEEN 100 AND 500 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM documents),
+        |d AS (SELECT CAST(count(DISTINCT md5(text)) AS BIGINT) AS n3
+        |  FROM documents WHERE text IS NOT NULL AND length(text) BETWEEN 100 AND 500),
+        |st(stage_idx, stage) AS (VALUES (0, 'raw'), (1, 'nonempty'),
+        |  (2, 'length_band'), (3, 'dedup_survivor'))
+        |SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+        |  CAST(CASE stage_idx WHEN 0 THEN raw WHEN 1 THEN n1 WHEN 2 THEN n2 ELSE n3 END AS BIGINT) AS n_docs,
+        |  CASE WHEN raw = 0 THEN NULL
+        |    ELSE floor(CAST(CASE stage_idx WHEN 0 THEN raw WHEN 1 THEN n1 WHEN 2 THEN n2 ELSE n3 END AS DOUBLE)
+        |      / CAST(raw AS DOUBLE) * 10000 + 0.5) / 10000 END AS pct_of_raw
+        |FROM st, f, d ORDER BY stage_idx""".stripMargin,
     // Hard-negative replay: the eval tier's CTEs, ranked over the
     // non-relevant slice only.
     "hard_negatives" ->
@@ -5305,6 +5345,39 @@ object SparkEntry {
         |        * (CAST(syy AS DOUBLE) / CAST(n_units AS DOUBLE) - (CAST(sy AS DOUBLE) / CAST(n_units AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n_units AS DOUBLE)))) * 10000 + 0.5) / 10000 END AS reduction
         |FROM s""".stripMargin,
     "holt_winters" -> holtWintersOracle,
+    // Conformal replay: the holt recursion verbatim, |residual| order
+    // statistic by integer rank, band as long adds on the forecasts.
+    "conformal_interval" ->
+      """WITH RECURSIVE s AS (SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS ord,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |n AS (SELECT *, CAST(row_number() OVER (ORDER BY ord) AS BIGINT) AS rn FROM s),
+        |r AS (
+        |  SELECT CAST(1 AS BIGINT) AS rn, n1.y * 10 AS l, (n2.y - n1.y) * 10 AS b,
+        |      CAST(NULL AS BIGINT) AS fitted
+        |    FROM n n1, n n2 WHERE n1.rn = 1 AND n2.rn = 2
+        |  UNION ALL
+        |  SELECT rn, l, (3 * (l - lp) + 7 * bp) // 10 AS b, fitted FROM (
+        |    SELECT n.rn, (5 * n.y * 10 + 5 * (r.l + r.b)) // 10 AS l,
+        |        r.l AS lp, r.b AS bp, (r.l + r.b) // 10 AS fitted
+        |    FROM r JOIN n ON n.rn = r.rn + 1)),
+        |fin AS (SELECT r.l, r.b, n.ord FROM r JOIN n USING (rn)
+        |  WHERE rn = (SELECT max(rn) FROM n)),
+        |res AS (SELECT abs(n.y - r.fitted) AS a FROM r JOIN n USING (rn)
+        |  WHERE r.fitted IS NOT NULL),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS ncal FROM res),
+        |kk AS (SELECT CASE WHEN ((ncal + 1) * 9000 + 9999) // 10000 > ncal
+        |    THEN ncal ELSE ((ncal + 1) * 9000 + 9999) // 10000 END AS k, ncal FROM nc),
+        |qv AS (SELECT a AS q FROM (
+        |    SELECT a, CAST(row_number() OVER (ORDER BY a) AS BIGINT) AS rk FROM res) t,
+        |  kk WHERE t.rk = kk.k)
+        |SELECT fin.ord + CAST(7 * h.h AS INTEGER) AS ord,
+        |  (fin.l + h.h * fin.b) // 10 AS fitted,
+        |  (fin.l + h.h * fin.b) // 10 - qv.q AS lo,
+        |  (fin.l + h.h * fin.b) // 10 + qv.q AS hi,
+        |  qv.q AS q, kk.ncal AS n_cal
+        |FROM fin, (SELECT unnest(generate_series(1, 4)) AS h) h, qv, kk
+        |ORDER BY ord""".stripMargin,
     "connected_components" -> connectedComponentsOracle,
     "label_propagation" -> labelPropagationOracle,
     "community_modularity" -> communityModularityOracle,

@@ -1214,6 +1214,61 @@ object CorpusOps {
             / (least(col("n_rel"), lit(k.toLong)) * 1000000.0))).as("ap"))
   }
 
+  /** Curation-funnel readout — the dataset-card row every corpus release
+    * ships: how many documents survive each gate, in order, with the
+    * share of raw. Stages here are the self-contained core of a
+    * curation pass (non-empty → length band → exact-dedup survivor);
+    * real pipelines splice their own gates in, but the SHAPE — one
+    * cumulative filter chain, counted per stage in a single pass — is
+    * the op. A reviewer reads attrition per stage, not just the final
+    * count, which is how over-aggressive gates get caught.
+    *
+    * Scale shape: stage predicates are map-only; the dedup stage is the
+    * standard digest-keyed keep-min (digests only cross the exchange);
+    * the per-stage counts come from ONE aggregate over stage flags, not
+    * one scan per stage.
+    *
+    * @return one row per stage in funnel order: (stage_idx, stage,
+    *         n_docs, pct_of_raw 4-dp)
+    */
+  def curationFunnel(df: DataFrame, idCol: String, textCol: String,
+                     minChars: Int = 100, maxChars: Int = 2000): DataFrame = {
+    import CoreOps.rnd
+    require(minChars >= 0 && maxChars >= minChars,
+      s"bad length band [$minChars, $maxChars]")
+    val nonempty = col(textCol).isNotNull && length(col(textCol)) > 0
+    val inBand = nonempty && length(col(textCol)).between(minChars, maxChars)
+    val flagAgg = df.agg(
+      count(lit(1)).as("__raw"),
+      sum(when(nonempty, 1L).otherwise(0L)).as("__n1"),
+      sum(when(inBand, 1L).otherwise(0L)).as("__n2"))
+    // dedup survivor: one kept id per exact-text digest within the band
+    // — a digest-keyed aggregate (text never crosses the exchange), NOT
+    // a window over a null-digest partition that would hold every
+    // out-of-band row
+    val dedupAgg = df.where(inBand)
+      .select(md5(col(textCol)).as("__dig"))
+      .groupBy(col("__dig")).agg(count(lit(1)).as("__c"))
+      .agg(coalesce(count(lit(1)), lit(0L)).as("__n3"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stages = Seq((0L, "raw"), (1L, "nonempty"), (2L, "length_band"),
+      (3L, "dedup_survivor")).toDF("stage_idx", "stage")
+    stages
+      .crossJoin(broadcast(flagAgg))
+      .crossJoin(broadcast(dedupAgg))
+      .select(col("stage_idx"), col("stage"),
+        when(col("stage_idx") === 0L, col("__raw"))
+          .when(col("stage_idx") === 1L, col("__n1"))
+          .when(col("stage_idx") === 2L, col("__n2"))
+          .otherwise(col("__n3")).as("n_docs"),
+        col("__raw"))
+      .select(col("stage_idx"), col("stage"), col("n_docs"),
+        when(col("__raw") === 0L, lit(null).cast("double"))
+          .otherwise(rnd(col("n_docs").cast("double")
+            / col("__raw").cast("double"))).as("pct_of_raw"))
+  }
+
   /** Hard-negative mining for reranker/embedding training (the DPR /
     * cross-encoder data recipe): per query, the top-ranked docs that are
     * NOT relevant — they score high on the lexical ranker while failing

@@ -739,6 +739,51 @@ object TimeSeriesOps {
       .toDF("ord", "y", "ewma_den", "center", "lcl", "ucl", "breach")
   }
 
+  /** Split-conformal prediction interval on the [[holtLinear]] forecast
+    * (Vovk et al.; Lei et al. 2018 — the distribution-free calibration
+    * recipe): the fitted one-step residuals are the calibration scores,
+    * q = the ⌈(n+1)·cover⌉-th smallest |residual|, and every h-step
+    * forecast ships as [ŷ−q, ŷ+q]. Finite-sample marginal coverage
+    * with NO distributional assumption — the uncertainty readout a
+    * forecast dashboard needs next to the point line, and the honest
+    * one when nobody believes the residuals are Gaussian.
+    *
+    * Determinism: residuals are [[holtLinear]]'s exact longs; the rank
+    * index is pure integer arithmetic (⌈(n+1)·bp/10⁴⌉ capped at n); q
+    * is an exact order statistic; the band endpoints are long adds.
+    *
+    * Scale shape: [[holtLinear]]'s driver-fold contract — everything
+    * here is bounded by the time axis; the fact-scale work happened in
+    * the aggregate that built the series.
+    *
+    * @param coverBp target coverage in basis points (9000 = 90%)
+    * @return per forecast step: (ord, fitted, lo, hi, q, n_cal)
+    */
+  def conformalForecast(series: DataFrame, order: Column, value: Column,
+                        aNum: Long, bNum: Long, den: Long, horizon: Int,
+                        coverBp: Int = 9000, stepDays: Int = 7,
+                        maxLen: Int = 100000): DataFrame = {
+    require(coverBp >= 1 && coverBp <= 9999,
+      s"coverBp=$coverBp must be in [1, 9999]")
+    require(horizon >= 1, s"horizon=$horizon must be positive for a band")
+    val spark = series.sparkSession
+    val rows = holtLinear(series, order, value, aNum, bNum, den, horizon,
+      stepDays, maxLen).collect()
+    val cal = rows.filter(r => r.getString(1) == "fit" && !r.isNullAt(6))
+      .map(r => math.abs(r.getLong(6))).sorted
+    require(cal.nonEmpty,
+      "conformalForecast: no fitted residuals — series too short")
+    val n = cal.length.toLong
+    val k = math.min(n, ((n + 1) * coverBp + 9999L) / 10000L).toInt
+    val q = cal(k - 1)
+    val out = rows.filter(_.getString(1) == "forecast").map { r =>
+      val f = r.getLong(5)
+      (r.getDate(0), f, f - q, f + q, q, n)
+    }.toSeq
+    import spark.implicits._
+    out.toDF("ord", "fitted", "lo", "hi", "q", "n_cal")
+  }
+
   /** Holt-Winters ADDITIVE seasonal smoothing + h-step forecast (Winters
     * 1960; Hyndman & Athanasopoulos FPP §8.3) — [[holtLinear]] plus a
     * period-`p` seasonal state, the forecasting op for series whose

@@ -662,6 +662,23 @@ class CorpusOpsSpec extends SparkTestBase {
       (1L, "ab", 2L, 3L), (2L, "aa", 1L, 2L), (3L, "bc", 1L, 1L)))
   }
 
+  test("curationFunnel: per-stage attrition with shares of raw") {
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, ""),
+      (3L, "abcdefg"), (4L, "abcdefg"), (5L, "ab"),
+      (6L, "aaaaaaaaaaaaaaa")).toDF("doc_id", "text")
+    val got = CorpusOps.curationFunnel(docs, "doc_id", "text",
+      minChars = 5, maxChars = 10).orderBy("stage_idx")
+      .as[(Long, String, Long, Option[Double])].collect().toSeq
+    // 6 raw; 4 nonempty; band [5,10] keeps the two identical 7-char
+    // docs; dedup collapses them to one survivor
+    assert(got === Seq(
+      (0L, "raw", 6L, Some(1.0)), (1L, "nonempty", 4L, Some(0.6667)),
+      (2L, "length_band", 2L, Some(0.3333)),
+      (3L, "dedup_survivor", 1L, Some(0.1667))))
+    intercept[IllegalArgumentException](
+      CorpusOps.curationFunnel(docs, "doc_id", "text", 10, 5))
+  }
+
   test("hardNegatives: high-scoring non-relevant docs, relevant never leak in") {
     val docs = Seq(
       (1L, "x y z"), (2L, "x q z z z z z z z z"), (3L, "y x x"),

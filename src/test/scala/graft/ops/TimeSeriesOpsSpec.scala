@@ -504,6 +504,23 @@ class TimeSeriesOpsSpec extends SparkTestBase {
     assert(long.getMessage.contains("maxLen"))
   }
 
+  test("conformalForecast: exact residual order statistic bands the forecast") {
+    val got = TimeSeriesOps.conformalForecast(
+      holtSeries(10L, 12L, 11L, 15L), col("ord"), col("y"),
+      aNum = 5, bNum = 3, den = 10, horizon = 2, coverBp = 9000)
+      .orderBy("ord")
+      .as[(java.sql.Date, Long, Long, Long, Long, Long)].collect().toSeq
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // holtLinear residuals 0, -3, 1 -> |res| sorted [0,1,3], n=3;
+    // k = min(3, ceil(4*0.9)) = 3 -> q = 3; forecasts 16 and 17
+    assert(got === Seq(
+      (d("2024-01-29"), 16L, 13L, 19L, 3L, 3L),
+      (d("2024-02-05"), 17L, 14L, 20L, 3L, 3L)))
+    intercept[IllegalArgumentException](
+      TimeSeriesOps.conformalForecast(holtSeries(1L, 2L), col("ord"),
+        col("y"), 5, 3, 10, horizon = 1, coverBp = 10000))
+  }
+
   test("holtWinters: hand-folded seasonal recurrence + ring-indexed forecast") {
     val got = TimeSeriesOps.holtWinters(
       holtSeries(10L, 14L, 11L, 15L, 12L), col("ord"), col("y"),
