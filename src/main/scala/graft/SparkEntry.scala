@@ -3740,6 +3740,24 @@ object SparkEntry {
         "embedding", dim = 64, m = 4, k = 8, iterations = 3,
         queryIds = Seq(1L, 2L, 3L), topK = 10)
         .orderBy("qid", "rank")),
+    // Recall@10 of the ADC ranking against the exact L2 top-10 on the
+    // same grid — both deterministic, so the compression-quality number
+    // is an exact fraction the oracle reproduces digit-for-digit
+    // (stronger than sampled recall floors). Exact leg: broadcast query
+    // vectors, map-side zip_with distances, WindowGroupLimit rank.
+    "pq_recall" -> ((s, d) =>
+      EmbeddingOps.pqRecallAtK(Tables.embeddings(s, d), "vec_id",
+        "embedding", dim = 64, m = 4, k = 8, iterations = 3,
+        queryIds = Seq(1L, 2L, 3L), topK = 10)
+        .orderBy("qid")),
+    // Deterministic sparse random projection 64 -> 8: md5-seeded sign
+    // matrix derived on the driver, rides as a plan literal into a
+    // map-only zip_with/aggregate projection — zero exchanges; output
+    // exploded so the grade covers the whole projected matrix.
+    "random_projection" -> ((s, d) =>
+      EmbeddingOps.randomProjection(Tables.embeddings(s, d), "vec_id",
+        "embedding", dim = 64, outDim = 8)
+        .orderBy("vec_id", "k")),
     // Cluster curation composed on the k-means state: the 5 most
     // prototypical members per semantic cluster (SSL-prototypes /
     // SemDeDup's selection step), rank ties on the exact long distance
@@ -4228,7 +4246,7 @@ object SparkEntry {
     * sums of four lookups keyed by the replayed codes (a3_t), and the
     * same (distance, id)-totalized top-k.
     */
-  private val pqAdcOracle: String =
+  private val pqAdcCtes: String =
     "WITH " + (0 until 4).map(t => pqSubspaceCtes(t, t * 16, 16))
       .mkString(",\n") + ",\n" +
       (0 until 4).map(t =>
@@ -4241,9 +4259,34 @@ object SparkEntry {
         |  UNION ALL SELECT * FROM s_2 UNION ALL SELECT * FROM s_3),
         |adc AS (SELECT qid, vec_id, CAST(sum(pd) AS BIGINT) AS adc_dist
         |  FROM u GROUP BY 1, 2 HAVING count(*) = 4),
-        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS BIGINT) AS rank FROM adc)
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS BIGINT) AS rank FROM adc)""".stripMargin
+
+  private val pqAdcOracle: String =
+    pqAdcCtes +
+      """
         |SELECT qid, rank, vec_id, adc_dist FROM r WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin
+
+  /** Recall oracle: the ADC replay joined against the exact full-vector
+    * L2 top-10 (the same micro grid, same tie totalization).
+    */
+  private val pqRecallOracle: String =
+    pqAdcCtes +
+      """,
+        |fullq AS (SELECT vec_id,
+        |    list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |qsel AS (SELECT vec_id AS qid, qv AS qqv FROM fullq WHERE vec_id IN (1, 2, 3)),
+        |ex AS (SELECT qid, vec_id FROM (
+        |    SELECT q2.qid, a.vec_id,
+        |      CAST(row_number() OVER (PARTITION BY q2.qid ORDER BY
+        |        list_sum(list_transform(list_zip(a.qv, q2.qqv), x -> (x[1] - x[2]) * (x[1] - x[2]))), a.vec_id) AS BIGINT) AS rk
+        |    FROM fullq a CROSS JOIN qsel q2)
+        |  WHERE rk <= 10)
+        |SELECT r.qid, CAST(count(*) AS BIGINT) AS n_overlap,
+        |  floor(CAST(count(*) AS DOUBLE) / 10 * 10000 + 0.5) / 10000 AS recall
+        |FROM r JOIN ex ON r.qid = ex.qid AND r.vec_id = ex.vec_id
+        |WHERE r.rank <= 10 GROUP BY 1 ORDER BY 1""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "weekly_agg_events" ->
@@ -7042,6 +7085,23 @@ object SparkEntry {
     // subspace, unioned into the full code matrix.
     "pq_codes" -> pqCodesOracle,
     "pq_adc_topk" -> pqAdcOracle,
+    "pq_recall" -> pqRecallOracle,
+    // Projection replay: the same md5-first-hex-digit-parity sign
+    // matrix, the same exact long dot products.
+    "random_projection" ->
+      """WITH q AS (SELECT vec_id,
+        |    list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |sgn AS (SELECT k.k, d.d,
+        |    CASE WHEN (strpos('0123456789abcdef', substr(md5(CAST(k.k AS VARCHAR) || '#' || CAST(d.d AS VARCHAR)), 1, 1)) - 1) % 2 = 1
+        |      THEN 1 ELSE -1 END AS s
+        |  FROM (SELECT unnest(range(0, 8)) AS k) k,
+        |       (SELECT unnest(range(0, 64)) AS d) d),
+        |x AS (SELECT vec_id, generate_subscripts(qv, 1) - 1 AS d, unnest(qv) AS e FROM q)
+        |SELECT x.vec_id, CAST(sgn.k AS BIGINT) AS k,
+        |  CAST(sum(x.e * sgn.s) AS BIGINT) AS comp
+        |FROM x JOIN sgn ON x.d = sgn.d
+        |GROUP BY 1, 2 ORDER BY vec_id, k""".stripMargin,
     // Target-encoding replay: same exact integer-product ratios.
     "target_encoding" ->
       """WITH j AS (SELECT c.c_mktsegment AS category,

@@ -416,6 +416,49 @@ object EmbeddingOps {
     }.reduce(_ unionAll _)
   }
 
+  /** Deterministic sparse random projection (Achlioptas 2003 signs;
+    * Johnson–Lindenstrauss lineage): project each d-dim vector to
+    * `outDim` components, component k = Σ_d qv_d·s(k,d) with
+    * s(k,d) ∈ {−1,+1} derived from md5("k#d") — the dimensionality-
+    * reduction step before LSH/clustering when d is too wide, seeded by
+    * CONTENT so both engines derive the identical sign matrix (the
+    * [[graft.ops.CorpusOps.splitBucket]] discipline, lifted to a
+    * matrix). No 1/√K scaling: components stay exact micro-unit longs;
+    * distances scale uniformly, which is all the downstream users
+    * (bucketing, top-k) observe.
+    *
+    * Scale shape: the outDim×d sign matrix is derived on the driver
+    * (bounded) and rides as a plan literal into a map-only projection —
+    * zero exchanges; the output is `outDim` exploded rows per vector so
+    * the grade covers the full matrix.
+    *
+    * @return (vec_id, k 0..outDim-1, comp — exact long Σ qv_d·s(k,d))
+    */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, outDim: Int): DataFrame = {
+    require(dim >= 1, s"dim=$dim must be positive")
+    require(outDim >= 1, s"outDim=$outDim must be positive")
+    // md5("k#d") first hex digit's low bit — trivially replayable in SQL
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(k: Int, d: Int): Long = {
+      val h = md.digest(s"$k#$d".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 1) == 1) 1L else -1L
+    }
+    val signs: Seq[Seq[Long]] =
+      (0 until outDim).map(k => (0 until dim).map(d => sign(k, d)))
+    val q = df.select(col(idCol).as("vec_id"),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long"))
+        .as("qv"))
+    val comps = (0 until outDim).map { k =>
+      struct(lit(k.toLong).as("k"),
+        aggregate(zip_with(col("qv"), typedLit(signs(k)),
+          (a, b) => a * b), lit(0L), (acc, x) => acc + x).as("comp"))
+    }
+    q.select(col("vec_id"), explode(array(comps: _*)).as("__p"))
+      .select(col("vec_id"), col("__p.k").as("k"), col("__p.comp").as("comp"))
+  }
+
   /** PQ asymmetric-distance top-k search (Jégou et al. 2011 §III-B —
     * "ADC"): the serving step [[pqCodes]]' compression exists for.
     * Per query, the exact distance to every CODEWORD goes into an
@@ -478,5 +521,48 @@ object EmbeddingOps {
       .withColumn("rank", row_number().over(byDist).cast("long"))
       .where(col("rank") <= topK)
       .select(col("qid"), col("rank"), col("vec_id"), col("adc_dist"))
+  }
+
+  /** Recall@k of [[pqAdcTopK]]'s approximate ranking against the EXACT
+    * L2 top-k on the same micro-unit grid — the "is the compression any
+    * good" number a PQ index ships with (Jégou et al. report exactly
+    * this curve). Both rankings are fully deterministic here, so recall
+    * is an exact fraction the oracle reproduces digit-for-digit — a
+    * strictly stronger statement than the sampled recall floors real
+    * ANN benchmarks settle for.
+    *
+    * Scale shape: the ADC leg is [[pqAdcTopK]]'s; the exact leg
+    * broadcasts the (bounded) query vectors and scores candidates
+    * map-side with one zip_with/aggregate per pair, rank<=k via
+    * WindowGroupLimit; the overlap join is k-bounded per query.
+    *
+    * @return per query: (qid, n_overlap, recall 4-dp)
+    */
+  def pqRecallAtK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                  m: Int, k: Int, iterations: Int, queryIds: Seq[Long],
+                  topK: Int): DataFrame = {
+    import CoreOps.rnd
+    val adc = pqAdcTopK(df, idCol, vecCol, dim, m, k, iterations,
+      queryIds, topK).select(col("qid"), col("vec_id"))
+    val q = df.select(col(idCol).as("vec_id"),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long"))
+        .as("qv"))
+    val qvecs = q.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("qv").as("__qqv"))
+    val byDist = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("__d"), col("vec_id"))
+    val exact = q.crossJoin(broadcast(qvecs))
+      .withColumn("__d", aggregate(
+        zip_with(col("qv"), col("__qqv"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("__rk", row_number().over(byDist))
+      .where(col("__rk") <= topK)
+      .select(col("qid"), col("vec_id"))
+    adc.join(exact, Seq("qid", "vec_id"))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(col("qid"), col("n_overlap"),
+        rnd(col("n_overlap").cast("double") / topK.toDouble).as("recall"))
   }
 }

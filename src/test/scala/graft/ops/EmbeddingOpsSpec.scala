@@ -213,6 +213,47 @@ class EmbeddingOpsSpec extends SparkTestBase {
         k = 2, iterations = 1))
   }
 
+  test("randomProjection: exact signed sums, engine-replayable sign matrix") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f)), (2L, Seq(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = EmbeddingOps.randomProjection(df, "vec_id", "embedding",
+      dim = 3, outDim = 2).orderBy("vec_id", "k")
+      .as[(Long, Long, Long)].collect().toSeq
+    // recompute the md5-parity signs independently and fold by hand
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    def s(k: Int, d: Int): Long = {
+      val h = mdig.digest(s"$k#$d".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 1) == 1) 1L else -1L
+    }
+    val v = Seq(1000000L, 2000000L, 3000000L)
+    val want = for (k <- 0 to 1) yield
+      (1L, k.toLong, (0 to 2).map(d => v(d) * s(k, d)).sum)
+    assert(got.filter(_._1 == 1L) === want)
+    // the zero vector projects to exactly zero in every component
+    assert(got.filter(_._1 == 2L).forall(_._3 == 0L))
+    intercept[IllegalArgumentException](
+      EmbeddingOps.randomProjection(df, "vec_id", "embedding", 3, 0))
+  }
+
+  test("pqRecallAtK: identical-grid self-queries achieve bounded exact overlap") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, Seq(0.0f, 0.1f, 9.0f, 9.1f)), (2L, Seq(0.2f, 0.0f, 9.2f, 9.0f)),
+      (3L, Seq(0.1f, 0.2f, 0.0f, 0.1f)), (4L, Seq(9.0f, 9.1f, 0.2f, 0.0f)),
+      (5L, Seq(9.2f, 9.0f, 9.1f, 9.2f)), (6L, Seq(9.1f, 9.2f, 0.1f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val got = EmbeddingOps.pqRecallAtK(df, "vec_id", "embedding",
+      dim = 4, m = 2, k = 2, iterations = 2, queryIds = Seq(1L, 4L),
+      topK = 2).orderBy("qid")
+      .as[(Long, Long, Double)].collect().toSeq
+    // recall is an exact fraction in (0, 1]; with topK=2 the overlap is
+    // 1 or 2 of 2 — never 0, since the query itself tops both rankings
+    assert(got.map(_._1) === Seq(1L, 4L))
+    assert(got.forall(r => r._2 >= 1L && r._2 <= 2L))
+    assert(got.forall(r => r._3 == r._2 / 2.0))
+  }
+
   test("pqAdcTopK: the query's own code combo is the ADC minimum; ranks total") {
     import org.apache.spark.sql.functions._
     val df = Seq(
