@@ -263,6 +263,41 @@ object SparkEntry {
         |FROM sz LEFT JOIN ds USING (community) LEFT JOIN ie USING (community)
         |CROSS JOIN mm ORDER BY community""".stripMargin
 
+  /** Random-walk oracle: three hash-seeded transitions unrolled over the
+    * rank-indexed adjacency — the same md5 fold, the same
+    * mod-degree-plus-one neighbor pick, per step.
+    */
+  private val randomWalksOracle: String = {
+    def hashExpr(t: Int): String =
+      "list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 9), " +
+        "j -> (strpos('0123456789abcdef', substr(md5(" +
+        s"CAST(w.start AS VARCHAR) || '#' || CAST(w.walk AS VARCHAR) || '#' || '$t' || '#' || CAST(w.cur AS VARCHAR)" +
+        "), CAST(j AS INTEGER), 1)) - 1)::BIGINT)), (a, x) -> a * 16 + x)"
+    val steps = (1 to 3).map { t =>
+      s""",
+         |w$t AS MATERIALIZED (SELECT w.start, w.walk, r.dst AS cur
+         |  FROM w${t - 1} w JOIN rk r ON r.src = w.cur
+         |    AND r.nr = (${hashExpr(t)} % r.d) + 1)""".stripMargin
+    }.mkString
+    basketEdgesCte +
+      """,
+        |adj AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+        |rk AS MATERIALIZED (SELECT src, dst,
+        |    CAST(row_number() OVER (PARTITION BY src ORDER BY dst) AS BIGINT) AS nr,
+        |    CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS d
+        |  FROM adj),
+        |w0 AS MATERIALIZED (SELECT start, CAST(wk.i AS BIGINT) AS walk, start AS cur
+        |  FROM (SELECT DISTINCT src AS start FROM adj),
+        |       (SELECT unnest(range(1, 3)) AS i) wk)""".stripMargin +
+      steps +
+      """
+        |SELECT start, walk, CAST(0 AS BIGINT) AS step, cur AS node FROM w0
+        |UNION ALL SELECT start, walk, CAST(1 AS BIGINT), cur FROM w1
+        |UNION ALL SELECT start, walk, CAST(2 AS BIGINT), cur FROM w2
+        |UNION ALL SELECT start, walk, CAST(3 AS BIGINT), cur FROM w3
+        |ORDER BY start, walk, step""".stripMargin
+  }
+
   /** Connected-components oracle: recursive-CTE label closure over the
     * support-floored co-purchase graph — every (node, reachable-node)
     * pair, then min per node. Independent of the engine's pointer-jump
@@ -793,7 +828,7 @@ object SparkEntry {
       Set("copurchase_lift", "triangle_count", "link_predict",
         "pagerank_parts", "k_core_parts", "bfs_hops_parts",
         "connected_components", "label_propagation",
-        "community_modularity", "negative_edges"),
+        "community_modularity", "negative_edges", "random_walks"),
       () => basketGraphCache.clear()),
     ("verified_pairs",
       Set("dedup_groups", "dedup_keep_best", "dedup_keep_canonical",
@@ -3288,6 +3323,16 @@ object SparkEntry {
     "community_modularity" -> ((s, d) =>
       GraphOps.communityModularity(basketGraph(s, d)._2, lpaLabels(s, d))
         .orderBy("community")),
+    // Deterministic random-walk corpus over the co-purchase graph
+    // (2 walks x 3 steps per node): the DeepWalk training data, every
+    // transition hash-seeded so the corpus is identical across engines
+    // and re-runs. Neighbor ranks ride a node-partitioned window; each
+    // step is one cur-keyed join with a rank filter.
+    "random_walks" -> ((s, d) => {
+      val (_, edges, _) = basketGraph(s, d)
+      GraphOps.randomWalks(edges, walkLen = 3, walksPerNode = 2)
+        .orderBy("start", "walk", "step")
+    }),
     // Deterministic negative-edge sampling over the co-purchase graph:
     // each node hash-draws 2 partners through a rank table (uniform
     // over the node SET via the distributed prefix sum, never a
@@ -5424,6 +5469,7 @@ object SparkEntry {
     "connected_components" -> connectedComponentsOracle,
     "label_propagation" -> labelPropagationOracle,
     "community_modularity" -> communityModularityOracle,
+    "random_walks" -> randomWalksOracle,
     // Negative-edge replay: ranks via row_number (oracle scale; the
     // engine's rank is the boundary-invariant prefix sum), the same
     // md5-hex draw (doc_fingerprint's fold idiom), the same anti-join.

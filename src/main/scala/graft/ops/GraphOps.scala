@@ -503,6 +503,60 @@ object GraphOps {
       .select(col("u"), col("draw"), col("v"))
   }
 
+  /** Deterministic random-walk corpus (DeepWalk, Perozzi et al. 2014;
+    * the skip-gram training data graph embeddings are learned from):
+    * every node starts `walksPerNode` walks; at step t a walk at `cur`
+    * moves to the neighbor whose per-node rank equals
+    * hash(start, walk, t, cur) mod degree(cur) — the md5 idiom every
+    * sampler here uses, so the whole corpus is stable across engines,
+    * reshuffles, and re-ingestion (a re-run trains on the SAME walks,
+    * which is what makes embedding runs comparable).
+    *
+    * Scale shape: the ranked adjacency (neighbor rank is a
+    * node-partitioned window, never global) is materialized ONCE and
+    * re-read per step; each step is one (cur = src)-keyed join whose
+    * rank filter selects exactly one neighbor per walk — walk-scale
+    * state, edge-scale join work per step, `walkLen` bounded rounds
+    * (the BFS convention: fixed depth IS the semantics).
+    *
+    * @return (start, walk 1..walksPerNode, step 0..walkLen, node) —
+    *         step 0 is the start node; walks from isolated nodes don't
+    *         occur (every node in an edge list has degree ≥ 1)
+    */
+  def randomWalks(e: DataFrame, walkLen: Int,
+                  walksPerNode: Int = 1): DataFrame = {
+    require(walkLen >= 1, s"walkLen=$walkLen must be positive")
+    require(walksPerNode >= 1, s"walksPerNode=$walksPerNode must be positive")
+    val adj = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+    val byDst = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dst"))
+    val ranked = adj
+      .withColumn("__nr", row_number().over(byDst).cast("long"))
+      .withColumn("__d", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      .localCheckpoint(true)
+    var state = adj.select(col("src").as("start")).distinct()
+      .withColumn("walk",
+        explode(sequence(lit(1L), lit(walksPerNode.toLong))))
+      .withColumn("cur", col("start"))
+      .localCheckpoint(true)
+    val outs = scala.collection.mutable.ArrayBuffer(
+      state.select(col("start"), col("walk"), lit(0L).as("step"),
+        col("cur").as("node")))
+    for (t <- 1 to walkLen) {
+      val pick = conv(substring(md5(concat_ws("#", col("start"),
+        col("walk"), lit(t), col("cur"))), 1, 8), 16, 10).cast("long")
+      state = state.join(ranked, state("cur") === ranked("src"))
+        .where(col("__nr") === pick % col("__d") + 1L)
+        .select(col("start"), col("walk"), col("dst").as("cur"))
+        .localCheckpoint(true)
+      outs += state.select(col("start"), col("walk"),
+        lit(t.toLong).as("step"), col("cur").as("node"))
+    }
+    outs.reduce(_ unionAll _)
+  }
+
   /** Newman modularity of a node→community assignment over a canonical
     * edge list: Q = Σ_c [ e_c/m − (d_c/2m)² ] — did the partition
     * actually find structure (Q > 0: denser inside communities than a

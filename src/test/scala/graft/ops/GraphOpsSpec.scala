@@ -226,6 +226,43 @@ class GraphOpsSpec extends SparkTestBase {
       GraphOps.labelPropagationOf(e, iters = 0))
   }
 
+  test("randomWalks: matches an independent md5 reference walker, step by step") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    val e = edges.toDF("u", "v")
+    val got = GraphOps.randomWalks(e, walkLen = 2, walksPerNode = 2)
+      .orderBy("start", "walk", "step")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // reference: same adjacency ranks (neighbors sorted asc), same
+    // first-8-hex-md5 pick, recomputed with MessageDigest
+    val und = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val nbrs = und.groupBy(_._1).map { case (n, xs) =>
+      n -> xs.map(_._2).sorted }
+    def pick(start: Long, walk: Long, t: Int, cur: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$start#$walk#$t#$cur".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      val h = java.lang.Long.parseLong(hex, 16)
+      val ns = nbrs(cur)
+      ns((h % ns.size).toInt)
+    }
+    val want = (for {
+      start <- nbrs.keys.toSeq.sorted; walk <- 1L to 2L
+    } yield {
+      var cur = start
+      (start, walk, 0L, cur) +: (1 to 2).map { t =>
+        cur = pick(start, walk, t, cur); (start, walk, t.toLong, cur)
+      }
+    }).flatten
+    assert(got === want.sortBy(r => (r._1, r._2, r._3)))
+    // every transition is a real edge
+    val undSet = und.toSet
+    got.groupBy(r => (r._1, r._2)).values.foreach { walk =>
+      val path = walk.sortBy(_._3).map(_._4)
+      path.zip(path.tail).foreach { case (a, b) =>
+        assert(undSet((a, b)), s"non-edge transition $a->$b") }
+    }
+  }
+
   test("negativeEdges: verified non-edges, deterministic, partition-invariant") {
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
       (6L, 7L), (7L, 8L)).toDF("u", "v")

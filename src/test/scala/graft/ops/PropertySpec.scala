@@ -544,4 +544,75 @@ class PropertySpec extends SparkTestBase {
       assert(xy._3 <= xy._4 + 0.001, s"MI ${xy._3} > H_joint ${xy._4}")
     }
   }
+
+  test("property: neymanAllocation sums to the budget; zero-spread strata get floor shares") {
+    val gen = for {
+      k <- Gen.choose(2, 5)
+      strata <- Gen.listOfN(k, for {
+        n <- Gen.choose(1, 8)
+        vs <- Gen.listOfN(n, Gen.choose(0L, 500L))
+      } yield vs)
+      budget <- Gen.choose(1L, 200L)
+    } yield (strata, budget)
+    forAllSampled(gen, n = 6) { case (strata, budget) =>
+      val rows = strata.zipWithIndex.flatMap { case (vs, i) =>
+        vs.map(v => (s"s$i", v))
+      }.toDF("s", "v")
+      // all-zero-spread inputs divide by W=0 — the documented loud path;
+      // only exercise the defined domain
+      if (strata.exists(vs => vs.distinct.size > 1)) {
+        val got = StatOps.neymanAllocation(rows, col("s"), col("v"), budget)
+          .as[(String, Long, Double, Long, Long)].collect().toSeq
+        assert(got.map(_._5).sum === budget,
+          s"allocs ${got.map(_._5)} must sum to $budget")
+        assert(got.forall(_._5 >= 0))
+        // a zero-weight stratum can only win remainder units
+        got.filter(_._4 == 0L).foreach(r => assert(r._5 <= 1L))
+      }
+    }
+  }
+
+  test("property: curationFunnel counts are monotone non-increasing down the funnel") {
+    val gen = Gen.listOf(Gen.option(Gen.choose(0, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("abcdxy ".toSeq)).map(_.mkString))))
+      .map(_.take(25))
+    forAllSampled(gen, n = 6) { texts =>
+      val rows = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t.orNull) }
+      if (rows.nonEmpty) {
+        val got = CorpusOps.curationFunnel(rows.toDF("doc_id", "text"),
+          "doc_id", "text", minChars = 3, maxChars = 12)
+          .orderBy("stage_idx")
+          .as[(Long, String, Long, Option[Double])].collect().toSeq
+        val counts = got.map(_._3)
+        assert(counts.size === 4)
+        counts.zip(counts.tail).foreach { case (a, b) =>
+          assert(b <= a, s"funnel grew: $counts") }
+        assert(counts.head === rows.size.toLong)
+      }
+    }
+  }
+
+  test("property: negativeEdges never emits an edge, a self-pair, or an unstable set") {
+    val gen = for {
+      n <- Gen.choose(3, 10)
+      extra <- Gen.listOfN(6, Gen.zip(Gen.choose(1L, 10L), Gen.choose(1L, 10L)))
+    } yield (n, extra.filter { case (a, b) => a != b })
+    forAllSampled(gen, n = 5) { case (n, extra) =>
+      val path = (1L until n.toLong).map(i => (i, i + 1))
+      val edges = (path ++ extra).distinct
+      if (edges.nonEmpty) {
+        val e = edges.toDF("u", "v")
+        val got = GraphOps.negativeEdges(e, perNode = 2)
+          .as[(Long, Long, Long)].collect().toSeq
+        val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+        got.foreach { case (u, _, v) =>
+          assert(u != v && !und((u, v)), s"($u,$v) is not a non-edge")
+        }
+        val again = GraphOps.negativeEdges(e.repartition(3), perNode = 2)
+          .as[(Long, Long, Long)].collect().toSeq
+        assert(again.sorted === got.sorted)
+      }
+    }
+  }
 }
