@@ -267,7 +267,7 @@ object SparkEntry {
     * rank-indexed adjacency — the same md5 fold, the same
     * mod-degree-plus-one neighbor pick, per step.
     */
-  private val randomWalksOracle: String = {
+  private val randomWalksCtes: String = {
     def hashExpr(t: Int): String =
       "list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 9), " +
         "j -> (strpos('0123456789abcdef', substr(md5(" +
@@ -290,13 +290,29 @@ object SparkEntry {
         |  FROM (SELECT DISTINCT src AS start FROM adj),
         |       (SELECT unnest(range(1, 3)) AS i) wk)""".stripMargin +
       steps +
-      """
-        |SELECT start, walk, CAST(0 AS BIGINT) AS step, cur AS node FROM w0
-        |UNION ALL SELECT start, walk, CAST(1 AS BIGINT), cur FROM w1
-        |UNION ALL SELECT start, walk, CAST(2 AS BIGINT), cur FROM w2
-        |UNION ALL SELECT start, walk, CAST(3 AS BIGINT), cur FROM w3
-        |ORDER BY start, walk, step""".stripMargin
+      """,
+        |wu AS (SELECT start, walk, CAST(0 AS BIGINT) AS step, cur AS node FROM w0
+        |  UNION ALL SELECT start, walk, CAST(1 AS BIGINT), cur FROM w1
+        |  UNION ALL SELECT start, walk, CAST(2 AS BIGINT), cur FROM w2
+        |  UNION ALL SELECT start, walk, CAST(3 AS BIGINT), cur FROM w3)""".stripMargin
   }
+
+  private val randomWalksOracle: String =
+    randomWalksCtes +
+      """
+        |SELECT start, walk, step, node FROM wu
+        |ORDER BY start, walk, step""".stripMargin
+
+  /** Skip-gram oracle: the walk replay self-joined within (start, walk)
+    * at step distance 1..2, then the same pair aggregate.
+    */
+  private val skipgramPairsOracle: String =
+    randomWalksCtes +
+      """
+        |SELECT a.node AS center, b.node AS context, CAST(count(*) AS BIGINT) AS n
+        |FROM wu a JOIN wu b ON a.start = b.start AND a.walk = b.walk
+        |  AND a.step <> b.step AND abs(a.step - b.step) <= 2
+        |GROUP BY 1, 2 ORDER BY center, context""".stripMargin
 
   /** Connected-components oracle: recursive-CTE label closure over the
     * support-floored co-purchase graph — every (node, reachable-node)
@@ -809,6 +825,19 @@ object SparkEntry {
     lpaLabelCache.getOrElseUpdate((s.sparkContext.applicationId, d),
       GraphOps.labelPropagationOf(basketGraph(s, d)._2, iters = 4))
 
+  /** The 2×3 random-walk corpus, memoized: `random_walks` grades it and
+    * `skipgram_pairs` consumes it — the walk generations are already
+    * checkpointed inside [[GraphOps.randomWalks]], so the memo holds
+    * walk-scale state only.
+    */
+  private val walkCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def gradedWalks(s: SparkSession, d: String): DataFrame =
+    walkCache.getOrElseUpdate((s.sparkContext.applicationId, d),
+      GraphOps.randomWalks(basketGraph(s, d)._2, walkLen = 3,
+        walksPerNode = 2))
+
   /** The heavy JVM-lifetime memo families (localCheckpointed frames held
     * by strong TrieMap references) with the graded queries that consume
     * each — the map Bench needs to EVICT a family once its last consumer
@@ -828,7 +857,8 @@ object SparkEntry {
       Set("copurchase_lift", "triangle_count", "link_predict",
         "pagerank_parts", "k_core_parts", "bfs_hops_parts",
         "connected_components", "label_propagation",
-        "community_modularity", "negative_edges", "random_walks"),
+        "community_modularity", "negative_edges", "random_walks",
+        "skipgram_pairs"),
       () => basketGraphCache.clear()),
     ("verified_pairs",
       Set("dedup_groups", "dedup_keep_best", "dedup_keep_canonical",
@@ -836,7 +866,10 @@ object SparkEntry {
       () => verifiedPairCache.clear()),
     ("lpa_labels",
       Set("label_propagation", "community_modularity"),
-      () => lpaLabelCache.clear()))
+      () => lpaLabelCache.clear()),
+    ("walk_corpus",
+      Set("random_walks", "skipgram_pairs"),
+      () => walkCache.clear()))
 
   /** Drive a finite streaming frame to completion through a memory sink
     * and hand back the result as a batch frame. `processAllAvailable`
@@ -1887,6 +1920,16 @@ object SparkEntry {
     "bpe_merge_pairs" -> ((s, d) =>
       CorpusOps.bpeMergePairs(Tables.documents(s, d), "text", k = 30)
         .orderBy("rk")),
+
+    // Inverse-cloze-task pairs: per document a hash-picked 10-token
+    // chunk becomes the pseudo-query, the remainder its positive
+    // context — the self-supervised (query, passage) pretraining table
+    // a dense retriever starts from. Pure per-row expressions, zero
+    // exchanges; the pick is content-addressed and engine-stable.
+    "ict_pairs" -> ((s, d) =>
+      CorpusOps.ictPairs(Tables.documents(s, d), "doc_id", "text",
+        chunkTokens = 10)
+        .orderBy("doc_id")),
 
     // Curation-funnel readout (the dataset-card row): per-stage
     // survivor counts for raw → nonempty → length band [100, 500] →
@@ -3328,11 +3371,15 @@ object SparkEntry {
     // transition hash-seeded so the corpus is identical across engines
     // and re-runs. Neighbor ranks ride a node-partitioned window; each
     // step is one cur-keyed join with a rank filter.
-    "random_walks" -> ((s, d) => {
-      val (_, edges, _) = basketGraph(s, d)
-      GraphOps.randomWalks(edges, walkLen = 3, walksPerNode = 2)
-        .orderBy("start", "walk", "step")
-    }),
+    "random_walks" -> ((s, d) =>
+      gradedWalks(s, d).orderBy("start", "walk", "step")),
+    // Skip-gram pairs off the same walk corpus (window 2) — the
+    // word2vec-style table a graph-embedding trainer consumes. One
+    // walk-keyed self-join (O(len·window) pairs per walk), one
+    // (center, context) aggregate.
+    "skipgram_pairs" -> ((s, d) =>
+      GraphOps.skipgramPairs(gradedWalks(s, d), window = 2)
+        .orderBy("center", "context")),
     // Deterministic negative-edge sampling over the co-purchase graph:
     // each node hash-draws 2 partners through a rank table (uniform
     // over the node SET via the distributed prefix sum, never a
@@ -5470,6 +5517,21 @@ object SparkEntry {
     "label_propagation" -> labelPropagationOracle,
     "community_modularity" -> communityModularityOracle,
     "random_walks" -> randomWalksOracle,
+    "skipgram_pairs" -> skipgramPairsOracle,
+    // ICT replay: same chunk grid, same md5 pick, same slice-and-join.
+    "ict_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |c AS (SELECT doc_id, l, CAST(len(l) AS BIGINT) AS n,
+        |    (CAST(len(l) AS BIGINT) + 9) // 10 AS nc FROM t),
+        |f AS (SELECT doc_id, l, n, nc,
+        |    (list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 9),
+        |      j -> (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(j AS INTEGER), 1)) - 1)::BIGINT)),
+        |      (a, x) -> a * 16 + x) % nc) AS qi
+        |  FROM c WHERE nc >= 2)
+        |SELECT doc_id, nc AS n_chunks, CAST(qi AS BIGINT) AS q_idx,
+        |  array_to_string(l[CAST(qi * 10 + 1 AS INTEGER) : CAST(least((qi + 1) * 10, n) AS INTEGER)], ' ') AS query,
+        |  array_to_string(l[1 : CAST(qi * 10 AS INTEGER)] || l[CAST((qi + 1) * 10 + 1 AS INTEGER) : CAST(n AS INTEGER)], ' ') AS context
+        |FROM f ORDER BY doc_id""".stripMargin,
     // Negative-edge replay: ranks via row_number (oracle scale; the
     // engine's rank is the boundary-invariant prefix sum), the same
     // md5-hex draw (doc_fingerprint's fold idiom), the same anti-join.

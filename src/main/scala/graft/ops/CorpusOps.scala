@@ -1214,6 +1214,48 @@ object CorpusOps {
             / (least(col("n_rel"), lit(k.toLong)) * 1000000.0))).as("ap"))
   }
 
+  /** Inverse-cloze-task pairs (Lee, Chang & Toutanova 2019 — ORQA's
+    * retriever pretraining): per document, hash-pick one chunk as the
+    * pseudo-QUERY and emit the rest as its positive CONTEXT — the
+    * self-supervised (query, passage) pairs a dense retriever pretrains
+    * on before any labeled data exists. Chunks are fixed token windows
+    * (the corpus has no sentence segmentation; real pipelines swap in a
+    * segmenter, the pairing logic is unchanged); the pick is
+    * content-addressed ([[splitBucket]]'s md5 idiom) so the dataset is
+    * stable across engines and re-runs.
+    *
+    * Scale shape: pure per-row expressions — tokenize, slice, join —
+    * zero exchanges; documents with fewer than two chunks drop (no
+    * context to pair with).
+    *
+    * @return (doc id, n_chunks, q_idx — the picked chunk, query,
+    *         context — the document minus the query chunk)
+    */
+  def ictPairs(df: DataFrame, idCol: String, textCol: String,
+               chunkTokens: Int = 10): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens=$chunkTokens must be positive")
+    val toks = df.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("__t"))
+      .withColumn("__n", size(col("__t")).cast("long"))
+      .withColumn("__nc", CoreOps.integralDiv(
+        col("__n") + (chunkTokens - 1), chunkTokens.toLong))
+      .where(col("__nc") >= 2L)
+    val qi = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % col("__nc")
+    toks
+      .withColumn("q_idx", qi)
+      .select(col(idCol), col("__nc").as("n_chunks"), col("q_idx"),
+        array_join(slice(col("__t"),
+          (col("q_idx") * chunkTokens + 1).cast("int"),
+          lit(chunkTokens)), " ").as("query"),
+        array_join(concat(
+          slice(col("__t"), lit(1), (col("q_idx") * chunkTokens).cast("int")),
+          slice(col("__t"),
+            ((col("q_idx") + 1) * chunkTokens + 1).cast("int"),
+            greatest(col("__n") - (col("q_idx") + 1) * chunkTokens, lit(0L))
+              .cast("int"))), " ").as("context"))
+  }
+
   /** Curation-funnel readout — the dataset-card row every corpus release
     * ships: how many documents survive each gate, in order, with the
     * share of raw. Stages here are the self-contained core of a

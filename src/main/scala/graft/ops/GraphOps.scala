@@ -557,6 +557,33 @@ object GraphOps {
     outs.reduce(_ unionAll _)
   }
 
+  /** Skip-gram training pairs over a [[randomWalks]] corpus — the
+    * second half of the DeepWalk recipe: within each walk, every
+    * (center, context) node pair at step distance 1..window, with
+    * frequencies. This is the exact table a word2vec-style trainer
+    * consumes; deterministic because the walks are.
+    *
+    * Scale shape: one (start, walk)-keyed self-join of the walk corpus
+    * — walks are `walkLen+1` rows each, so the join fan-out is the
+    * O(walkLen·window) pair count per walk, not quadratic blow-up —
+    * then ONE (center, context) hash aggregate.
+    *
+    * @return (center, context, n) — ordered pairs (both directions
+    *         present, the skip-gram convention)
+    */
+  def skipgramPairs(walks: DataFrame, window: Int = 2): DataFrame = {
+    require(window >= 1, s"window=$window must be positive")
+    val a = walks.select(col("start"), col("walk"), col("step").as("__si"),
+      col("node").as("center"))
+    val b = walks.select(col("start"), col("walk"), col("step").as("__sj"),
+      col("node").as("context"))
+    a.join(b, Seq("start", "walk"))
+      .where(col("__si") =!= col("__sj") &&
+        abs(col("__si") - col("__sj")) <= window)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Newman modularity of a node→community assignment over a canonical
     * edge list: Q = Σ_c [ e_c/m − (d_c/2m)² ] — did the partition
     * actually find structure (Q > 0: denser inside communities than a

@@ -662,6 +662,27 @@ class CorpusOpsSpec extends SparkTestBase {
       (1L, "ab", 2L, 3L), (2L, "aa", 1L, 2L), (3L, "bc", 1L, 1L)))
   }
 
+  test("ictPairs: hash-picked chunk out, remainder as context; short docs drop") {
+    val tokens = (1 to 25).map(i => s"t$i")
+    val docs = Seq((7L, tokens.mkString(" ")), (8L, "a b c"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.ictPairs(docs, "doc_id", "text", chunkTokens = 10)
+      .as[(Long, Long, Long, String, String)].collect().toSeq
+    assert(got.map(_._1) === Seq(7L))   // 3-token doc has 1 chunk: dropped
+    val (_, nc, qi, query, context) = got.head
+    assert(nc === 3L)
+    // independent pick: first 8 md5 hex chars of "7" as a number, mod 3
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("7".getBytes("UTF-8")).take(4)
+      .map(b => f"$b%02x").mkString
+    val want = java.lang.Long.parseLong(hex, 16) % 3
+    assert(qi === want)
+    val chunks = tokens.grouped(10).map(_.mkString(" ")).toSeq
+    assert(query === chunks(qi.toInt))
+    assert(context === chunks.zipWithIndex.filter(_._2 != qi.toInt)
+      .map(_._1).mkString(" "))
+  }
+
   test("curationFunnel: per-stage attrition with shares of raw") {
     val docs = Seq((1L, null.asInstanceOf[String]), (2L, ""),
       (3L, "abcdefg"), (4L, "abcdefg"), (5L, "ab"),

@@ -263,6 +263,23 @@ class GraphOpsSpec extends SparkTestBase {
     }
   }
 
+  test("skipgramPairs: step-distance window over walks, both directions") {
+    val walks = Seq((1L, 1L, 0L, 10L), (1L, 1L, 1L, 20L), (1L, 1L, 2L, 30L),
+      (2L, 1L, 0L, 20L), (2L, 1L, 1L, 10L))
+      .toDF("start", "walk", "step", "node")
+    val w2 = GraphOps.skipgramPairs(walks, window = 2)
+      .orderBy("center", "context").as[(Long, Long, Long)].collect().toSeq
+    // walk A (10,20,30): all ordered pairs within distance 2; walk B
+    // (20,10): one adjacent pair each way — (10,20)/(20,10) double up
+    assert(w2 === Seq((10L, 20L, 2L), (10L, 30L, 1L), (20L, 10L, 2L),
+      (20L, 30L, 1L), (30L, 10L, 1L), (30L, 20L, 1L)))
+    val w1 = GraphOps.skipgramPairs(walks, window = 1)
+      .orderBy("center", "context").as[(Long, Long, Long)].collect().toSeq
+    assert(w1 === Seq((10L, 20L, 2L), (20L, 10L, 2L), (20L, 30L, 1L),
+      (30L, 20L, 1L)))
+    intercept[IllegalArgumentException](GraphOps.skipgramPairs(walks, 0))
+  }
+
   test("negativeEdges: verified non-edges, deterministic, partition-invariant") {
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
       (6L, 7L), (7L, 8L)).toDF("u", "v")
