@@ -4870,7 +4870,7 @@ object SparkEntry {
         |  FROM orders WHERE o_orderdate IS NOT NULL AND o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL),
         |m AS (SELECT g, b, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s
         |  FROM base, range(100) t(b)
-        |  WHERE ((k * 100 + b) * 2654435761) % 4294967296 >= 2147483648 GROUP BY 1, 2),
+        |  WHERE (((k * 100 + b) * 2654435761) % 4294967296 + 4294967296) % 4294967296 >= 2147483648 GROUP BY 1, 2),
         |r AS (SELECT g, b, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mn,
         |    row_number() OVER (PARTITION BY g ORDER BY CAST(s AS DOUBLE) / CAST(n AS DOUBLE), b) AS rn,
         |    count(*) OVER (PARTITION BY g) AS cnt FROM m),
@@ -7369,8 +7369,8 @@ object SparkEntry {
         |  UNION ALL SELECT k, true_cnt, 1, ((k * 2654435761 + 40503) % 2147483648) % 512 FROM q
         |  UNION ALL SELECT k, true_cnt, 2, ((k * 2246822519 + 104729) % 2147483648) % 512 FROM q
         |  UNION ALL SELECT k, true_cnt, 3, ((k * 3266489917 + 7919) % 2147483648) % 512 FROM q),
-        |e AS (SELECT k, true_cnt, CAST(min(c) AS BIGINT) AS est_cnt
-        |  FROM qb JOIN cms USING (row, bucket) GROUP BY 1, 2)
+        |e AS (SELECT k, true_cnt, CAST(min(coalesce(c, 0)) AS BIGINT) AS est_cnt
+        |  FROM qb LEFT JOIN cms USING (row, bucket) GROUP BY 1, 2)
         |SELECT k AS part, true_cnt, est_cnt, est_cnt >= true_cnt AS bound_ok
         |FROM e ORDER BY part""".stripMargin,
     // Zipf replay: identical (count desc, token) rank cut, ln of exact

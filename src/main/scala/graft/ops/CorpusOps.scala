@@ -1055,7 +1055,9 @@ object CorpusOps {
     *
     * @param queries (query id, terms) pairs; ids must be distinct
     * @return one row per query id: (qid, n_rel — docs with ≥1 term,
-    *         dcg_micro, idcg_micro, ndcg 4-dp; ndcg null when idcg = 0)
+    *         dcg_micro, idcg_micro, ndcg 4-dp; ndcg null when idcg = 0).
+    *         A query matching NO document still gets its row: n_rel = 0,
+    *         micros 0, ndcg null.
     */
   def ndcgEval(df: DataFrame, idCol: String, textCol: String,
                queries: Seq[(Long, Seq[String])], k: Int,
@@ -1076,7 +1078,17 @@ object CorpusOps {
     // WindowGroupLimit rewrite keeps per-partition window state
     // k-bounded instead of sorting whole query groups.
     val sc = scored.localCheckpoint(true)
-    val nRel = sc.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
+    // Anchor on the SUPPLIED query ids, not on the scored rows: a query
+    // whose terms match no document yields zero scored rows, and the
+    // "@return one row per query id" contract still owes it a row with
+    // n_rel = 0 and null ndcg.
+    val spark0 = df.sparkSession
+    import spark0.implicits._
+    val qids = queries.map(_._1).toDF("qid")
+    val nRel = qids.join(
+      sc.groupBy(col("qid")).agg(count(lit(1)).as("n_rel")),
+      Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_rel"), lit(0L)).as("n_rel"))
     val dcgT = sc.withColumn("__rk", row_number().over(byScore).cast("long"))
       .where(col("__rk") <= k).groupBy(col("qid"))
       .agg(sum(gain(col("__rk"))).as("dcg_micro"))
@@ -1162,7 +1174,8 @@ object CorpusOps {
     *         whole corpus, hits_k — relevant in the top k, first_rank —
     *         rank of the first relevant in the top k, rr_micro,
     *         ap_micro, rr, ap) — first_rank/rr/ap null and micros 0
-    *         when no relevant doc lands in the top k (rr) / exists (ap)
+    *         when no relevant doc lands in the top k (rr) / exists (ap).
+    *         A query matching NO document still gets its row (n_rel = 0).
     */
   def retrievalEval(df: DataFrame, idCol: String, textCol: String,
                     queries: Seq[(Long, Seq[String])], k: Int,
@@ -1179,8 +1192,14 @@ object CorpusOps {
       .join(broadcast(nTerms), Seq("qid"))
       .withColumn("__isrel", (col("rel") === col("__nt")).cast("long"))
       .localCheckpoint(true)
-    val totals = sc.groupBy(col("qid"))
-      .agg(sum(col("__isrel")).as("n_rel"))
+    // Anchor on the SUPPLIED query ids ([[ndcgEval]]'s discipline): a
+    // query matching no document still owes its output row (n_rel = 0,
+    // hits 0, null rr/ap) under the one-row-per-query contract.
+    val qids = queries.map(_._1).toDF("qid")
+    val totals = qids.join(
+      sc.groupBy(col("qid")).agg(sum(col("__isrel")).as("n_rel")),
+      Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_rel"), lit(0L)).as("n_rel"))
     val byScore = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("__su").desc, col(idCol))
     val byRank = org.apache.spark.sql.expressions.Window

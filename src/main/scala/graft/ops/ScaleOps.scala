@@ -457,7 +457,10 @@ object ScaleOps {
     * the 80% line (the inclusive variant would absurdly classify it C),
     * and an entity starting exactly on a cut takes the lower class.
     * Envelope: tot·20 < 2^63 → total value < 4.6×10¹⁷ (loud under
-    * ANSI) — shift to coarser units past that.
+    * ANSI) — shift to coarser units past that. Per-key totals must be
+    * NON-NEGATIVE (loud raise_error otherwise) — a negative total bends
+    * the cumulative curve back and the 80/95 cuts stop meaning anything;
+    * net refunds out or clamp before classifying.
     *
     * Scale shape: one fact-scale hash aggregate to the per-key table,
     * then [[globalRunningTotal]]'s two-pass distributed prefix sum over
@@ -469,12 +472,25 @@ object ScaleOps {
     */
   def abcClassification(df: DataFrame, key: Column,
                         valueCents: Column): DataFrame = {
-    val perKey = df.where(key.isNotNull && valueCents.isNotNull)
+    val perKey0 = df.where(key.isNotNull && valueCents.isNotNull)
       .groupBy(key.as("__k"))
       .agg(sum(valueCents.cast("long")).as("__rev"))
+    // The cumulative-share curve (and the A/B/C cuts on it) is only
+    // meaningful when it is MONOTONE — a refund-heavy key with a
+    // negative total would bend it back and silently misclassify, so
+    // fail loudly instead (the giniByGroup discipline).
+    val perKey = perKey0.select(col("__k"),
+      when(col("__rev") < 0L, raise_error(format_string(
+        "graft.ScaleOps.abcClassification: key %s has negative total" +
+          " %d — ABC needs non-negative per-key value; net refunds out" +
+          " or clamp first", col("__k").cast("string"), col("__rev")))
+        .cast("long")).otherwise(col("__rev")).as("__rev"))
     val cum = globalRunningTotal(perKey,
       Seq(col("__rev").desc, col("__k")), col("__rev"))
-    val tot = cum.agg(max(col("cum")).as("__tot"))
+    // Grand total as a plain SUM over the per-key table, not max(cum):
+    // max of the running curve only equals the total when the curve is
+    // monotone — sum states the intent and costs one bounded aggregate.
+    val tot = perKey.agg(coalesce(sum(col("__rev")), lit(0L)).as("__tot"))
     cum.crossJoin(broadcast(tot))
       .withColumn("__before", col("cum") - col("__rev"))
       .withColumn("abc_class",

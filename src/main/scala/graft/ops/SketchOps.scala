@@ -175,9 +175,13 @@ object SketchOps {
       .select(col("k"), col("true_cnt"), posexplode(array(
         cmsSeeds.map { case (a, b) => bucket(col("k"), a, b) }: _*))
         .as(Seq("row", "bucket")))
-    probes.join(broadcast(cms), Seq("row", "bucket"))
+    // Left join + coalesce 0: a probed (row, bucket) cell no key ever
+    // hashed into is a ZERO counter, and the estimator's min must see it
+    // — an inner join would drop the cell and inflate (or lose) the
+    // estimate for keys absent from df.
+    probes.join(broadcast(cms), Seq("row", "bucket"), "left")
       .groupBy("k", "true_cnt")
-      .agg(min(col("c")).as("est_cnt"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est_cnt"))
       .select(col("k"), col("true_cnt"), col("est_cnt"),
         (col("est_cnt") >= col("true_cnt")).as("bound_ok"))
   }

@@ -413,12 +413,18 @@ object StatOps {
           lit(0L)).as("__d2"))
     val n = col("__n1") + col("__n2")
     val d = col("__d1") + col("__d2")
+    // Guard BOTH downstream products: e1 = d·n1·1e6/n needs d·n1·1e6 <
+    // 2^63, and the very next step multiplies __e1 (up to d·1e6) by
+    // __n2 — so the bound must cover d·max(n1, n2), or an asymmetric
+    // risk set (tiny arm A, huge arm B) overflows e1·n2 first and dies
+    // with a generic ANSI error instead of this actionable one.
+    val nMax = greatest(col("__n1"), col("__n2"))
     val ovf = d > 0L &&
-      col("__n1") > CoreOps.integralDiv(lit(Long.MaxValue / 1000000L), d)
+      nMax > CoreOps.integralDiv(lit(Long.MaxValue / 1000000L), d)
     val guard = raise_error(format_string(
-      "graft.StatOps.logRank overflow: d*n1 = %d*%d >= 2^63/1e6 at one" +
-        " event time — bucket durations coarser first",
-      d, col("__n1"))).cast("long")
+      "graft.StatOps.logRank overflow: d*max(n1,n2) = %d*%d >= 2^63/1e6" +
+        " at one event time — bucket durations coarser first",
+      d, nMax)).cast("long")
     val e1 = when(ovf, guard)
       .otherwise(CoreOps.integralDiv(d * col("__n1") * lit(1000000L), n))
     val terms = byTime
@@ -713,15 +719,29 @@ object StatOps {
     * expression, 4-dp.
     *
     * Scale: the O(n²) pair join runs on the caller-reduced bounded frame
-    * only (same bounded-quadratic contract as mannKendall/theilSen).
+    * only (same bounded-quadratic contract as mannKendall/theilSen) —
+    * and the contract is ENFORCED: the op counts the reduced frame and
+    * fails loudly past `maxN` rows (default 10⁴ → ≤5×10⁷ pairs), the
+    * same loud-precondition treatment as holtLinear's maxLen. A fact
+    * table handed in by mistake dies with an actionable message, not a
+    * silent cartesian explosion.
     *
+    * @param maxN hard row cap on the reduced frame (loud require)
     * @return one row: (n, concordant, discordant, tau_b)
     */
-  def kendallTau(df: DataFrame, x: Column, y: Column): DataFrame = {
+  def kendallTau(df: DataFrame, x: Column, y: Column,
+                 maxN: Int = 10000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import CoreOps.rnd
-    val s = df.where(x.isNotNull && y.isNotNull)
+    require(maxN >= 2, s"maxN=$maxN must be at least 2")
+    val s0 = df.where(x.isNotNull && y.isNotNull)
       .select(x.cast("long").as("__x"), y.cast("long").as("__y"))
+    val nIn = s0.limit(maxN + 1).count()
+    require(nIn <= maxN,
+      s"kendallTau: frame exceeds maxN=$maxN rows — this op's O(n²)" +
+        " pair join is bounded-quadratic by contract; pre-aggregate to" +
+        " a coarser grid or raise maxN deliberately")
+    val s = s0
       .withColumn("__rn", row_number().over(
         Window.orderBy(col("__x"), col("__y"))))
     val a = s.select(col("__rn").as("__ra"), col("__x").as("__xa"),
@@ -765,9 +785,11 @@ object StatOps {
     *
     * Determinism is the whole design: replicate membership is a PURE
     * FUNCTION of (row key, replicate id) — the Knuth multiplicative hash
-    * `((k·reps + b) · 2654435761) mod 2^32`, row included in replicate b
+    * `pmod((k·reps + b) · 2654435761, 2^32)`, row included in replicate b
     * iff the hash lands in the top half — so every engine draws the SAME
-    * "random" samples with no RNG state anywhere. Replicate means are one
+    * "random" samples with no RNG state anywhere. pmod (not %) folds
+    * NEGATIVE keys onto the same wheel, so signed ids participate
+    * instead of silently failing every membership test. Replicate means are one
     * fixed IEEE division of exact long sums; the band picks ranks
     * ⌈q·cnt⌉ (tie-break by replicate id), so ordering is identical
     * everywhere.
@@ -777,8 +799,8 @@ object StatOps {
     * aggregate to (group, replicate) partials — the shuffled volume is
     * |groups|·reps rows, never reps× the fact table. The rank window
     * partitions by group over the reps-bounded replicate table. Overflow
-    * envelope (loud under ANSI): (k·reps + reps)·2654435761 < 2^63 →
-    * k·reps < 3.4×10⁹ — shard the key space past that.
+    * envelope (loud under ANSI): |k·reps + reps|·2654435761 < 2^63 →
+    * |k|·reps < 3.4×10⁹ — shard the key space past that.
     *
     * @param key stable row identity (drives membership; cast to long)
     * @return per group: (n, mean, ci_lo, ci_hi, n_reps), money rescaled
@@ -799,8 +821,13 @@ object StatOps {
       .select(col("g"), col("k"), col("v"),
         explode(sequence(lit(0), lit(reps - 1))).as("__b"))
       .select(col("g"), col("k"), col("v"), col("__b").cast("long").as("b"))
-      .where(((col("k") * lit(reps.toLong) + col("b")) * lit(2654435761L))
-        % lit(4294967296L) >= lit(2147483648L))
+      // pmod, not %: Spark's % keeps the dividend's sign, so a NEGATIVE
+      // key would make the hash negative, the >= 2^31 test always false,
+      // and the row silently vanish from every replicate — pmod folds
+      // both signs onto the same [0, 2^32) wheel (oracle mirrors with
+      // ((x % m) + m) % m).
+      .where(pmod((col("k") * lit(reps.toLong) + col("b"))
+          * lit(2654435761L), lit(4294967296L)) >= lit(2147483648L))
     val repMeans = repMembers.groupBy("g", "b")
       .agg(count(lit(1)).as("__n"), sum(col("v")).as("__s"))
       .select(col("g"), col("b"),

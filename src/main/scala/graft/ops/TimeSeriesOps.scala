@@ -278,16 +278,27 @@ object TimeSeriesOps {
     * Scale shape: the caller reduces facts to the bounded series (one
     * fact-scale aggregate — weeks, days); the O(n²) pair scan runs on
     * that bounded frame only (~10⁵ pairs for a decade of weeks), the same
-    * bounded-quadratic justification as the skyline/waterfill tiers.
-    * Var = 0 (every value tied) leaves Z null — the test is undefined.
+    * bounded-quadratic justification as the skyline/waterfill tiers —
+    * ENFORCED: the op counts the series and fails loudly past `maxN`
+    * rows (default 10⁴ → ≤5×10⁷ pairs), holtLinear's loud-precondition
+    * treatment. Var = 0 (every value tied) leaves Z null — the test is
+    * undefined.
     *
     * @param series pre-aggregated frame, one row per period
+    * @param maxN hard row cap on the series (loud require)
     * @return one row: (n, s_stat, var18, z)
     */
-  def mannKendall(series: DataFrame, order: Column, value: Column): DataFrame = {
+  def mannKendall(series: DataFrame, order: Column, value: Column,
+                  maxN: Int = 10000): DataFrame = {
     import CoreOps.rnd
+    require(maxN >= 2, s"maxN=$maxN must be at least 2")
     val s = series.where(order.isNotNull && value.isNotNull)
       .select(order.as("__o"), value.cast("long").as("__v"))
+    val nIn = s.limit(maxN + 1).count()
+    require(nIn <= maxN,
+      s"mannKendall: series exceeds maxN=$maxN rows — this op's O(n²)" +
+        " pair scan is bounded-quadratic by contract; pre-aggregate to" +
+        " a coarser grid or raise maxN deliberately")
     val a = s.select(col("__o").as("__oa"), col("__v").as("__va"))
     val b = s.select(col("__o").as("__ob"), col("__v").as("__vb"))
     val pairs = a.join(b, col("__oa") < col("__ob"))
@@ -486,14 +497,25 @@ object TimeSeriesOps {
     *
     * Scale shape: caller reduces facts to the bounded series (weeks,
     * days); the O(n²) pair frame and its rank windows live entirely on
-    * that bounded frame — the [[mannKendall]] justification. The
-    * fact-scale work happened in the caller's aggregation.
+    * that bounded frame — the [[mannKendall]] justification, ENFORCED
+    * the same way: a loud `maxN` require (default 10⁴ → ≤5×10⁷ pairs)
+    * before any pair is formed. The fact-scale work happened in the
+    * caller's aggregation.
     *
+    * @param maxN hard row cap on the series (loud require)
     * @return one row: (n, n_pairs, slope, intercept), 4-dp
     */
-  def theilSen(series: DataFrame, order: Column, value: Column): DataFrame = {
+  def theilSen(series: DataFrame, order: Column, value: Column,
+               maxN: Int = 10000): DataFrame = {
     import CoreOps.rnd
-    val s = series.where(order.isNotNull && value.isNotNull)
+    require(maxN >= 2, s"maxN=$maxN must be at least 2")
+    val s1 = series.where(order.isNotNull && value.isNotNull)
+    val nIn = s1.limit(maxN + 1).count()
+    require(nIn <= maxN,
+      s"theilSen: series exceeds maxN=$maxN rows — this op's O(n²)" +
+        " pair frame is bounded-quadratic by contract; pre-aggregate to" +
+        " a coarser grid or raise maxN deliberately")
+    val s = s1
       .select(row_number().over(Window.orderBy(order)).cast("long").as("__x"),
         value.cast("long").as("__v"))
     val a = s.select(col("__x").as("__xa"), col("__v").as("__va"))

@@ -556,17 +556,20 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(got === Seq((1L, 5L, 2261860L, 2630930L, Some(0.8597))))
   }
 
-  test("ndcgEval: perfect ranking is exactly 1; no-hit query emits no row") {
+  test("ndcgEval: perfect ranking is exactly 1; no-hit query still rows") {
     val docs = Seq((1L, "a b c"), (2L, "a x"), (3L, "y z"))
       .toDF("doc_id", "text")
     val got = CorpusOps.ndcgEval(docs, "doc_id", "text",
       queries = Seq(1L -> Seq("a", "b"), 2L -> Seq("absent")), k = 2)
+      .orderBy("qid")
       .as[(Long, Long, Long, Long, Option[Double])].collect().toSeq
     // doc 1 (rel 2) carries both idf terms so it outranks doc 2 (rel 1):
     // BM25 order == ideal order → ndcg exactly 1; 'absent' matches
-    // nothing → qid 2 contributes no row at all.
-    assert(got.map(_._1) === Seq(1L))
+    // nothing, but the one-row-per-query contract still owes qid 2 its
+    // row: n_rel 0, micros 0, ndcg null.
+    assert(got.map(_._1) === Seq(1L, 2L))
     assert(got.head._2 === 2L && got.head._5 === Some(1.0))
+    assert(got(1) === ((2L, 0L, 0L, 0L, None)))
     intercept[IllegalArgumentException](
       CorpusOps.ndcgEval(docs, "doc_id", "text", Seq(1L -> Seq("a"),
         1L -> Seq("b")), k = 2))
@@ -721,7 +724,7 @@ class CorpusOpsSpec extends SparkTestBase {
       (4L, "q q q q")).toDF("doc_id", "text")
     val got = CorpusOps.retrievalEval(docs, "doc_id", "text",
       queries = Seq(1L -> Seq("x"), 2L -> Seq("x", "q"),
-        3L -> Seq("y", "q")), k = 10)
+        3L -> Seq("y", "q"), 4L -> Seq("absent")), k = 10)
       .orderBy("qid")
       .as[(Long, Long, Long, Option[Long], Long, Long,
            Option[Double], Option[Double])].collect().toSeq
@@ -730,9 +733,12 @@ class CorpusOpsSpec extends SparkTestBase {
     // q2 (x,q): only doc 2 contains both, but doc 4's dense q run
     //   outranks its diluted dl=10 — first_rank=2, rr=ap=0.5.
     // q3 (y,q): docs match y or q but none BOTH — n_rel=0, nulls.
+    // q4 (absent): matches NOTHING at all — the one-row-per-query
+    //   contract still owes it a row, zeros and nulls.
     assert(got === Seq(
       (1L, 3L, 3L, Some(1L), 1000000L, 3000000L, Some(1.0), Some(1.0)),
       (2L, 1L, 1L, Some(2L), 500000L, 500000L, Some(0.5), Some(0.5)),
-      (3L, 0L, 0L, None, 0L, 0L, None, None)))
+      (3L, 0L, 0L, None, 0L, 0L, None, None),
+      (4L, 0L, 0L, None, 0L, 0L, None, None)))
   }
 }

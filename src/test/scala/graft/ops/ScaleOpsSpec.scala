@@ -304,6 +304,16 @@ class ScaleOpsSpec extends SparkTestBase {
       .orderBy("abc_class")
       .as[(String, Long, Double, Double)].collect().toSeq
     assert(skew.map(r => (r._1, r._2)) === Seq(("A", 1L), ("C", 1L)))
+    // refund-heavy key netting below zero: the cumulative curve would
+    // bend back and misclassify silently — must die loudly instead
+    val e = intercept[Exception] {
+      ScaleOps.abcClassification(
+        Seq((1L, 50L), (2L, 30L), (2L, -80L)).toDF("k", "cents"),
+        col("k"), col("cents")).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("negative total"), msg)
   }
 
   test("zonemapPruneStats: hand-built files, zone-map intersection, hit counts") {

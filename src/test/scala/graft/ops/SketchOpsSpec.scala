@@ -143,4 +143,17 @@ class SketchOpsSpec extends SparkTestBase {
       .orderBy("k").as[(Long, Long, Long, Boolean)].collect().toSeq
     assert(wide.forall(r => r._3 === r._2), wide.toString)
   }
+
+  test("countMinEstimates: absent key probes empty cells as ZERO, not missing") {
+    import spark.implicits._
+    // key 999 never occurs; with w=512 its cells collide with nothing,
+    // so min over rows must see four zero counters → est 0, bound holds.
+    // (The inner-join version either dropped the key or min'd over only
+    // the non-empty cells — both wrong.)
+    val df = Seq(1L, 1L, 2L).toDF("k")
+    val probes = Seq((1L, 2L), (999L, 0L)).toDF("k", "true_cnt")
+    val got = SketchOps.countMinEstimates(df, col("k"), probes, w = 512)
+      .orderBy("k").as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got === Seq((1L, 2L, 2L, true), (999L, 0L, 0L, true)))
+  }
 }

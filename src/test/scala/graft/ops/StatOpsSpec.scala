@@ -319,6 +319,48 @@ class StatOpsSpec extends SparkTestBase {
     assert(kt(Seq((7L, 1L), (7L, 2L), (7L, 3L)))._4 === None)
   }
 
+  test("kendallTau: bounded-quadratic contract is ENFORCED, not just documented") {
+    // 11 rows over maxN=10 must die loudly BEFORE the O(n²) pair join —
+    // a fact table handed in by mistake gets an actionable message, not
+    // a silent cartesian explosion.
+    val big = (1L to 11L).map(i => (i, i)).toDF("x", "y")
+    val e = intercept[IllegalArgumentException](
+      StatOps.kendallTau(big, col("x"), col("y"), maxN = 10))
+    assert(e.getMessage.contains("bounded-quadratic"), e.getMessage)
+    // at exactly maxN the op runs fine
+    val ok = StatOps.kendallTau((1L to 10L).map(i => (i, i)).toDF("x", "y"),
+      col("x"), col("y"), maxN = 10)
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(ok === ((10L, 45L, 0L, Some(1.0))))
+    intercept[IllegalArgumentException](
+      StatOps.kendallTau(big, col("x"), col("y"), maxN = 1))
+  }
+
+  test("bootstrapMeanCi: NEGATIVE keys participate in replicates (pmod wheel)") {
+    // Signed ids: under % the hash of a negative key is negative, the
+    // >= 2^31 test never passes, and those rows silently vanish from
+    // every replicate. pmod folds them onto the wheel — replay it.
+    val reps = 20
+    val rows = (-50L to 50L).filter(_ != 0L).map(k => ("g", k, k + 100L))
+    val got = StatOps.bootstrapMeanCi(rows.toDF("g", "k", "v"),
+      col("g"), col("k"), col("v"), reps = reps)
+      .as[(String, Long, Double, Option[Double], Option[Double], Long)]
+      .collect().head
+    // every replicate must draw SOME negative key: replay membership
+    val anyNeg = (0 until reps).exists { b =>
+      (-50L to -1L).exists { k =>
+        Math.floorMod((k * reps + b) * 2654435761L, 4294967296L) >= 2147483648L
+      }
+    }
+    assert(anyNeg, "test construction: negatives should be drawable")
+    assert(got._6 === reps.toLong, s"expected $reps replicates, got ${got._6}")
+    // replay one replicate's mean exactly
+    val b0 = rows.filter { case (_, k, _) =>
+      Math.floorMod((k * reps + 0L) * 2654435761L, 4294967296L) >= 2147483648L }
+    assert(b0.exists(_._2 < 0L),
+      "replicate 0 should include a negative key under pmod")
+  }
+
   test("bootstrapMeanCi: matches a driver-side replay of the hash draw") {
     // 200 rows, one group, value == key cents. Replay the EXACT membership
     // function and rank picks in plain Scala; the engine must agree on

@@ -357,6 +357,28 @@ class TimeSeriesOpsSpec extends SparkTestBase {
     assert(robust._3 === 10.0)
   }
 
+  test("mannKendall/theilSen: bounded-quadratic contract ENFORCED") {
+    import spark.implicits._
+    // 11 rows over maxN=10 must die loudly before any pair forms — a
+    // fact table handed in by mistake gets the actionable message, not
+    // a silent O(n²) explosion (holtLinear's maxLen discipline).
+    val big = (1L to 11L).map(i => (i, i)).toDF("t", "v")
+    val e1 = intercept[IllegalArgumentException](
+      TimeSeriesOps.mannKendall(big, col("t"), col("v"), maxN = 10))
+    assert(e1.getMessage.contains("bounded-quadratic"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      TimeSeriesOps.theilSen(big, col("t"), col("v"), maxN = 10))
+    assert(e2.getMessage.contains("bounded-quadratic"), e2.getMessage)
+    // at exactly maxN both run fine
+    val okFrame = (1L to 10L).map(i => (i, 2L * i)).toDF("t", "v")
+    val mkOk = TimeSeriesOps.mannKendall(okFrame, col("t"), col("v"),
+      maxN = 10).as[(Long, Long, Long, Option[Double])].collect().head
+    assert(mkOk._1 === 10L && mkOk._2 === 45L)
+    val tsOk = TimeSeriesOps.theilSen(okFrame, col("t"), col("v"),
+      maxN = 10).as[(Long, Long, Double, Double)].collect().head
+    assert(tsOk === ((10L, 45L, 2.0, 0.0)))
+  }
+
   test("interArrivalBurstiness: hand-computed gaps, per-stream isolation") {
     import spark.implicits._
     // user 1 type a at 0,10,30,40 → gaps (10,20,10): n=3 Σg=40 Σg²=600,
