@@ -912,6 +912,27 @@ object SparkEntry {
       Similarity.trainCodebook(train, nlist = 16)
     })
 
+  /** Clustered-synthetic embedding corpus, derived deterministically
+    * FROM the fixture (no new data): member i sits at center (i mod 50)
+    * plus its own embedding scaled 1/20 — 50 tight, well-separated
+    * clusters whose exact top-10 at sf0.01 is exactly the member's
+    * cluster-mates. The corpus a GOOD quantizer demonstrably separates
+    * (recall 1.0), where the near-random fixture caps honest recall at
+    * ~0.5 regardless of code size. Oracle mirror: [[synthCte]] (same
+    * double-precision op order: c + e/20, quantized downstream).
+    */
+  private def clusteredEmbeddings(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val centers = e.where(col("vec_id") < 50)
+      .select(col("vec_id").as("__g"), col("embedding").as("__c"))
+    e.select(col("vec_id"), pmod(col("vec_id"), lit(50L)).as("__g"),
+        col("embedding"))
+      .join(broadcast(centers), Seq("__g"))
+      .select(col("vec_id"), zip_with(col("__c"), col("embedding"),
+        (c, x) => c.cast("double") + x.cast("double") / lit(20.0))
+        .as("embedding"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- weekly aggregation tier (P7 + A1-A5 + SO1) ----
     "weekly_agg_events" -> ((s, d) => {
@@ -3837,10 +3858,48 @@ object SparkEntry {
     // is an exact fraction the oracle reproduces digit-for-digit
     // (stronger than sampled recall floors). Exact leg: broadcast query
     // vectors, map-side zip_with distances, WindowGroupLimit rank.
+    // Quantizer upgraded m=4/k=8 (16 bits/vector, honest recall
+    // 0.1-0.4) -> m=8/k=16 (32 bits, 0.4-0.6 at the graded SF); the
+    // floor rides in the replayed recall_ok gate.
     "pq_recall" -> ((s, d) =>
       EmbeddingOps.pqRecallAtK(Tables.embeddings(s, d), "vec_id",
-        "embedding", dim = 64, m = 4, k = 8, iterations = 3,
-        queryIds = Seq(1L, 2L, 3L), topK = 10)
+        "embedding", dim = 64, m = 8, k = 16, iterations = 3,
+        queryIds = Seq(1L, 2L, 3L), topK = 10, floor = 0.35)
+        .orderBy("qid")),
+    // The same exact-fraction grade on the clustered-synthetic corpus:
+    // near-random vectors cap honest PQ recall at ~0.5 no matter the
+    // code size — structure the quantizer CAN represent is what it
+    // must demonstrably separate. 50 tight clusters of ~10 members at
+    // the graded SF, k=64 codewords per 16-dim subspace: recall 1.0,
+    // floor 0.9 in the replayed gate.
+    "pq_recall_clustered" -> ((s, d) =>
+      EmbeddingOps.pqRecallAtK(clusteredEmbeddings(s, d), "vec_id",
+        "embedding", dim = 64, m = 4, k = 64, iterations = 3,
+        queryIds = Seq(1L, 2L, 3L), topK = 10, floor = 0.9)
+        .orderBy("qid")),
+    // IVFADC (Jegou et al. 2011 SIII-C): coarse routing + residual-PQ
+    // ADC scoring within probed cells — knn_ivf's router and
+    // pq_adc_topk's LUT serving COMPOSED into the billion-vector plan.
+    // Candidates outside probed cells are pruned by the (cell,
+    // subspace, code) join key itself (PlanSpec pins the key); ~39% of
+    // the corpus is scored at nlist=8/nprobe=3. recallVsBrute contract:
+    // oracle computes the exact top-10, quality rides in recall_ok
+    // (measured minima 0.3 at sf0.01 / 0.4 at sf0.001; floor 0.25).
+    "knn_ivfadc_topk" -> ((s, d) =>
+      EmbeddingOps.ivfadcRecall(Tables.embeddings(s, d), "vec_id",
+        "embedding", dim = 64, nlist = 8, nprobe = 3, m = 4, k = 8,
+        iterations = 3, queryIds = Seq(1L, 2L, 3L), topK = 10,
+        floor = 0.25)
+        .orderBy("qid")),
+    // IVFADC on the clustered corpus — the config's scale story made
+    // measurable: 16 coarse cells over 50 planted clusters, probe 3,
+    // score ~25% of the corpus, recall 1.0 (floor 0.9). Routing finds
+    // the structure; residual PQ resolves within it.
+    "knn_ivfadc_clustered" -> ((s, d) =>
+      EmbeddingOps.ivfadcRecall(clusteredEmbeddings(s, d), "vec_id",
+        "embedding", dim = 64, nlist = 16, nprobe = 3, m = 4, k = 8,
+        iterations = 3, queryIds = Seq(1L, 2L, 3L), topK = 10,
+        floor = 0.9)
         .orderBy("qid")),
     // Deterministic sparse random projection 64 -> 8: md5-seeded sign
     // matrix derived on the driver, rides as a plan literal into a
@@ -4289,15 +4348,20 @@ object SparkEntry {
   /** One PQ subspace's oracle block: [[kmeansOracleCtes]] with the
     * embedding sliced to [lo+1, lo+len] (DuckDB list slicing is 1-based
     * inclusive, matching Spark's `slice(col, lo+1, len)`) and every CTE
-    * name suffixed so four quantizers coexist in one WITH list.
+    * name suffixed so m quantizers coexist in one WITH list.
+    * Parameterized by codebook size `k` (the c0 init LIMIT) and source
+    * relation `src` so the same replay covers the base (m=4, k=8,
+    * embeddings) family, the upgraded pq_recall quantizer (m=8, k=16),
+    * and the clustered-synthetic grade (k=64 over the synth CTE).
     */
-  private def pqSubspaceCtes(t: Int, lo: Int, len: Int): String = {
+  private def pqSubspaceCtes(t: Int, lo: Int, len: Int, k: Int = 8,
+                             src: String = "embeddings"): String = {
     val sl = s"embedding[${lo + 1}:${lo + len}]"
     s"""q_$t AS (SELECT vec_id,
        |    list_transform($sl, e -> CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
-       |  FROM embeddings),
+       |  FROM $src),
        |c0_$t AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, qv AS cv
-       |  FROM q_$t ORDER BY vec_id LIMIT 8),
+       |  FROM q_$t ORDER BY vec_id LIMIT $k),
        |a1_$t AS (SELECT vec_id, cl, qv FROM (
        |    SELECT q.vec_id, c.cl, q.qv,
        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
@@ -4333,52 +4397,79 @@ object SparkEntry {
         .mkString("\nUNION ALL\n") +
       "\nORDER BY vec_id, subspace"
 
-  /** ADC oracle: the four quantizer replays, an exact per-query lookup
-    * table against each FINAL codebook (c2_t), candidate distances as
-    * sums of four lookups keyed by the replayed codes (a3_t), and the
-    * same (distance, id)-totalized top-k.
+  /** ADC oracle CTE chain, parameterized: m quantizer replays (subspace
+    * width `len`, codebook size `k`, over `src`), an exact per-query
+    * lookup table against each FINAL codebook (c2_t), candidate
+    * distances as sums of m lookups keyed by the replayed codes (a3_t),
+    * and the same (distance, id)-totalized ranking. `prefix` injects a
+    * leading CTE (the clustered-synthetic corpus) ahead of the replays.
     */
-  private val pqAdcCtes: String =
-    "WITH " + (0 until 4).map(t => pqSubspaceCtes(t, t * 16, 16))
-      .mkString(",\n") + ",\n" +
-      (0 until 4).map(t =>
+  private def pqAdcCtesFor(m: Int, len: Int, k: Int, src: String,
+                           qids: String, prefix: String = ""): String =
+    "WITH " + prefix +
+      (0 until m).map(t => pqSubspaceCtes(t, t * len, len, k, src))
+        .mkString(",\n") + ",\n" +
+      (0 until m).map(t =>
         s"""lut_$t AS (SELECT qq.vec_id AS qid, c.cl AS code,
            |    list_sum(list_transform(list_zip(qq.qv, c.cv), x -> (x[1] - x[2]) * (x[1] - x[2]))) AS pd
-           |  FROM q_$t qq CROSS JOIN c2_$t c WHERE qq.vec_id IN (1, 2, 3)),
+           |  FROM q_$t qq CROSS JOIN c2_$t c WHERE qq.vec_id IN ($qids)),
            |s_$t AS (SELECT l.qid, a.vec_id, l.pd FROM a3_$t a JOIN lut_$t l ON a.cl = l.code)""".stripMargin)
         .mkString(",\n") + ",\n" +
-      """u AS (SELECT * FROM s_0 UNION ALL SELECT * FROM s_1
-        |  UNION ALL SELECT * FROM s_2 UNION ALL SELECT * FROM s_3),
-        |adc AS (SELECT qid, vec_id, CAST(sum(pd) AS BIGINT) AS adc_dist
-        |  FROM u GROUP BY 1, 2 HAVING count(*) = 4),
-        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS BIGINT) AS rank FROM adc)""".stripMargin
+      "u AS (" + (0 until m).map(t => s"SELECT * FROM s_$t")
+        .mkString("\n  UNION ALL ") + "),\n" +
+      s"""adc AS (SELECT qid, vec_id, CAST(sum(pd) AS BIGINT) AS adc_dist
+         |  FROM u GROUP BY 1, 2 HAVING count(*) = $m),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS BIGINT) AS rank FROM adc)""".stripMargin
 
   private val pqAdcOracle: String =
-    pqAdcCtes +
+    pqAdcCtesFor(4, 16, 8, "embeddings", "1, 2, 3") +
       """
         |SELECT qid, rank, vec_id, adc_dist FROM r WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin
 
-  /** Recall oracle: the ADC replay joined against the exact full-vector
-    * L2 top-10 (the same micro grid, same tie totalization).
+  /** Recall oracle builder: the ADC replay joined against the exact
+    * full-vector L2 top-`topK` (same micro grid, same tie totalization),
+    * with the floor gate replayed as the recall_ok column.
     */
+  private def pqRecallOracleFor(m: Int, len: Int, k: Int, src: String,
+                                qids: String, topK: Int, floor: Double,
+                                prefix: String = ""): String =
+    pqAdcCtesFor(m, len, k, src, qids, prefix) +
+      s""",
+         |fullq AS (SELECT vec_id,
+         |    list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+         |  FROM $src),
+         |qsel AS (SELECT vec_id AS qid, qv AS qqv FROM fullq WHERE vec_id IN ($qids)),
+         |ex AS (SELECT qid, vec_id FROM (
+         |    SELECT q2.qid, a.vec_id,
+         |      CAST(row_number() OVER (PARTITION BY q2.qid ORDER BY
+         |        list_sum(list_transform(list_zip(a.qv, q2.qqv), x -> (x[1] - x[2]) * (x[1] - x[2]))), a.vec_id) AS BIGINT) AS rk
+         |    FROM fullq a CROSS JOIN qsel q2)
+         |  WHERE rk <= $topK)
+         |SELECT r.qid, CAST(count(*) AS BIGINT) AS n_overlap,
+         |  floor(CAST(count(*) AS DOUBLE) / $topK * 10000 + 0.5) / 10000 AS recall,
+         |  floor(CAST(count(*) AS DOUBLE) / $topK * 10000 + 0.5) / 10000 >= $floor AS recall_ok
+         |FROM r JOIN ex ON r.qid = ex.qid AND r.vec_id = ex.vec_id
+         |WHERE r.rank <= $topK GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The clustered-synthetic corpus CTE shared by the `_clustered`
+    * grades: 50 tight clusters derived deterministically FROM the
+    * fixture — member i sits at center (i mod 50) plus its own
+    * embedding scaled 1/20. Mirrors [[clusteredEmbeddings]] exactly
+    * (same double-precision op order).
+    */
+  private val synthCte: String =
+    """synth AS (SELECT e.vec_id,
+      |    list_transform(list_zip(c.embedding, e.embedding),
+      |      x -> CAST(x[1] AS DOUBLE) + CAST(x[2] AS DOUBLE) / 20.0) AS embedding
+      |  FROM embeddings e JOIN embeddings c ON c.vec_id = e.vec_id % 50),
+      |""".stripMargin
+
   private val pqRecallOracle: String =
-    pqAdcCtes +
-      """,
-        |fullq AS (SELECT vec_id,
-        |    list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
-        |  FROM embeddings),
-        |qsel AS (SELECT vec_id AS qid, qv AS qqv FROM fullq WHERE vec_id IN (1, 2, 3)),
-        |ex AS (SELECT qid, vec_id FROM (
-        |    SELECT q2.qid, a.vec_id,
-        |      CAST(row_number() OVER (PARTITION BY q2.qid ORDER BY
-        |        list_sum(list_transform(list_zip(a.qv, q2.qqv), x -> (x[1] - x[2]) * (x[1] - x[2]))), a.vec_id) AS BIGINT) AS rk
-        |    FROM fullq a CROSS JOIN qsel q2)
-        |  WHERE rk <= 10)
-        |SELECT r.qid, CAST(count(*) AS BIGINT) AS n_overlap,
-        |  floor(CAST(count(*) AS DOUBLE) / 10 * 10000 + 0.5) / 10000 AS recall
-        |FROM r JOIN ex ON r.qid = ex.qid AND r.vec_id = ex.vec_id
-        |WHERE r.rank <= 10 GROUP BY 1 ORDER BY 1""".stripMargin
+    pqRecallOracleFor(8, 8, 16, "embeddings", "1, 2, 3", 10, 0.35)
+
+  private val pqRecallClusteredOracle: String =
+    pqRecallOracleFor(4, 16, 64, "synth", "1, 2, 3", 10, 0.9, synthCte)
 
   def oracleSql: Map[String, String] = Map(
     "weekly_agg_events" ->
@@ -7194,6 +7285,16 @@ object SparkEntry {
     "pq_codes" -> pqCodesOracle,
     "pq_adc_topk" -> pqAdcOracle,
     "pq_recall" -> pqRecallOracle,
+    "pq_recall_clustered" -> pqRecallClusteredOracle,
+    // IVFADC recall contracts (the knn_ivf_topk pattern): the oracle
+    // computes the exact top-10's existence (n_true) and demands
+    // recall_ok=TRUE — the routed tier's quality claim is hash-gated.
+    "knn_ivfadc_topk" ->
+      """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS n_true, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id IN (1, 2, 3) ORDER BY qid""".stripMargin,
+    "knn_ivfadc_clustered" ->
+      """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS n_true, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id IN (1, 2, 3) ORDER BY qid""".stripMargin,
     // Projection replay: the same md5-first-hex-digit-parity sign
     // matrix, the same exact long dot products.
     "random_projection" ->

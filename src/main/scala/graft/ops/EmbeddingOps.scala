@@ -157,13 +157,24 @@ object EmbeddingOps {
   private[ops] def lloydState(df: DataFrame, idCol: String, vecCol: String,
                               k: Int, iterations: Int)
       : (DataFrame, Seq[(Long, Seq[Long])]) = {
-    require(k >= 1, s"k=$k must be positive")
-    require(iterations >= 1, s"iterations=$iterations must be positive")
     val q = df.select(col(idCol).as("vec_id"),
         transform(col(vecCol),
           x => floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long"))
           .as("qv"))
       .localCheckpoint(true)
+    (q, lloydQuantized(q, k, iterations))
+  }
+
+  /** The Lloyd loop over an ALREADY-quantized (vec_id, qv) frame — split
+    * from [[lloydState]] so [[ivfadcTopK]] can train sub-quantizers on
+    * integer RESIDUAL slices without a second ×1e6 quantization pass.
+    * The frame is re-scanned once per iteration; callers pass a
+    * checkpointed frame (or a narrow projection of one).
+    */
+  private[ops] def lloydQuantized(q: DataFrame, k: Int,
+                                  iterations: Int): Seq[(Long, Seq[Long])] = {
+    require(k >= 1, s"k=$k must be positive")
+    require(iterations >= 1, s"iterations=$iterations must be positive")
     var centroids: Seq[(Long, Seq[Long])] =
       q.orderBy(col("vec_id")).limit(k).collect()
         .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Long](1)) }
@@ -183,7 +194,7 @@ object EmbeddingOps {
           (cl, dims.sortBy(_._2).map(_._3).toSeq) }
         .sortBy(_._1)
     }
-    (q, centroids)
+    centroids
   }
 
   def kmeansAssignments(df: DataFrame, idCol: String, vecCol: String,
@@ -536,14 +547,38 @@ object EmbeddingOps {
     * map-side with one zip_with/aggregate per pair, rank<=k via
     * WindowGroupLimit; the overlap join is k-bounded per query.
     *
-    * @return per query: (qid, n_overlap, recall 4-dp)
+    * The quality claim is stated IN the output: `recall_ok` gates each
+    * query's recall against `floor` — a quantizer regression below the
+    * floor flips the boolean and fails the hash compare even before a
+    * reader looks at the fractions.
+    *
+    * @param floor minimum acceptable recall; rides as the recall_ok gate
+    * @return per query: (qid, n_overlap, recall 4-dp, recall_ok)
     */
   def pqRecallAtK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                   m: Int, k: Int, iterations: Int, queryIds: Seq[Long],
-                  topK: Int): DataFrame = {
+                  topK: Int, floor: Double = 0.0): DataFrame = {
     import CoreOps.rnd
     val adc = pqAdcTopK(df, idCol, vecCol, dim, m, k, iterations,
       queryIds, topK).select(col("qid"), col("vec_id"))
+    val exact = exactL2TopK(df, idCol, vecCol, queryIds, topK)
+    adc.join(exact, Seq("qid", "vec_id"))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(col("qid"), col("n_overlap"),
+        rnd(col("n_overlap").cast("double") / topK.toDouble).as("recall"))
+      .withColumn("recall_ok", col("recall") >= floor)
+  }
+
+  /** Exact L2 top-k on the micro-unit grid — the ground-truth leg the
+    * PQ/IVFADC recall gates compare against: broadcast the (bounded)
+    * query vectors, score every candidate map-side with one
+    * zip_with/aggregate, rank (dist, id)-totalized, rank<=k via
+    * WindowGroupLimit. The query's own row ranks (dist 0), matching the
+    * serving legs' convention.
+    */
+  private def exactL2TopK(df: DataFrame, idCol: String, vecCol: String,
+                          queryIds: Seq[Long], topK: Int): DataFrame = {
     val q = df.select(col(idCol).as("vec_id"),
       transform(col(vecCol),
         x => floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long"))
@@ -552,17 +587,131 @@ object EmbeddingOps {
       .select(col("vec_id").as("qid"), col("qv").as("__qqv"))
     val byDist = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("__d"), col("vec_id"))
-    val exact = q.crossJoin(broadcast(qvecs))
+    q.crossJoin(broadcast(qvecs))
       .withColumn("__d", aggregate(
         zip_with(col("qv"), col("__qqv"), (a, b) => (a - b) * (a - b)),
         lit(0L), (acc, x) => acc + x))
       .withColumn("__rk", row_number().over(byDist))
       .where(col("__rk") <= topK)
       .select(col("qid"), col("vec_id"))
-    adc.join(exact, Seq("qid", "vec_id"))
+  }
+
+  private def l2(a: Seq[Long], b: Seq[Long]): Long =
+    a.zip(b).map { case (x, y) => val d = x - y; d * d }.sum
+
+  /** IVFADC top-k serving (Jégou, Douze & Schmid 2011 §III-C) — the two
+    * ANN halves COMPOSED into the production billion-vector plan:
+    * a coarse quantizer routes each query to its `nprobe` nearest of
+    * `nlist` cells, and within probed cells candidates are scored by
+    * asymmetric distance over a PRODUCT quantizer of the coarse
+    * RESIDUAL (x − q1(x)) — the candidate set shrinks by the cell
+    * fanout AND per-candidate cost drops to m table lookups. This is
+    * what [[graft.functions.Similarity.knnIvf]] (routes but scores full
+    * vectors) and [[pqAdcTopK]] (LUT-scores but scans ALL candidates)
+    * each did half of.
+    *
+    * Determinism: coarse and sub-quantizers are [[lloydQuantized]]'s
+    * (micro grid, smallest-ids init, truncating centroid division);
+    * residuals are exact long subtractions; routing picks cells by
+    * (exact L2, cell id); every LUT entry and ADC sum is an exact long;
+    * the top-k rank totalizes by (adc_dist, id).
+    *
+    * Scale shape — the part that matters at 10⁹ vectors: the coarse
+    * assignment and residual are map-only over the checkpointed
+    * quantized frame (codebooks ride as plan literals); per-query LUTs
+    * (|queries|·nprobe·m·k rows) are built on the DRIVER from bounded
+    * codebook state and BROADCAST; candidate scoring joins the code
+    * table on (cell, subspace, code) — a candidate whose cell no query
+    * probes never matches, so the scored set is CELL-PRUNED by the join
+    * key itself, never a full-corpus scan (PlanSpec pins the key);
+    * rank<=topK pushes into WindowGroupLimit.
+    *
+    * @param queryIds ids of the query vectors (resolved from `df`)
+    * @return (qid, rank 1..topK, vec_id, adc_dist) per query — the
+    *         query's own row ranks too, [[pqAdcTopK]]'s convention
+    */
+  def ivfadcTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                 nlist: Int, nprobe: Int, m: Int, k: Int, iterations: Int,
+                 queryIds: Seq[Long], topK: Int): DataFrame = {
+    require(m >= 1, s"m=$m must be positive")
+    require(dim >= m && dim % m == 0,
+      s"dim=$dim must be a positive multiple of m=$m")
+    require(nlist >= 1, s"nlist=$nlist must be positive")
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"nprobe=$nprobe must be in [1, nlist=$nlist]")
+    require(queryIds.nonEmpty, "ivfadcTopK needs at least one query id")
+    require(topK >= 1, s"topK=$topK must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sub = dim / m
+    // Coarse quantizer over FULL vectors; residual = x − q1(x), exact
+    // longs on the micro grid. The map literal (not positional
+    // element_at) survives coarse cells emptying out mid-Lloyd.
+    val (q, coarse) = lloydState(df, idCol, vecCol, nlist, iterations)
+    val coarseMap = coarse.toMap
+    val r = q.select(col("vec_id"), col("qv"),
+        assignIdCol(coarse).as("cell"))
+      .withColumn("rv", zip_with(col("qv"),
+        element_at(typedLit(coarseMap), col("cell")), (a, b) => a - b))
+      .localCheckpoint(true)
+    // Sub-quantizers on residual slices; the candidate's cell rides
+    // with its codes so scoring can key on it.
+    val perSub = (0 until m).map { j =>
+      val sl = r.select(col("vec_id"), col("cell"),
+        slice(col("rv"), j * sub + 1, sub).as("qv"))
+      val cb = lloydQuantized(sl.select(col("vec_id"), col("qv")),
+        k, iterations)
+      val codes = sl.select(col("vec_id"), col("cell"),
+        lit(j.toLong).as("subspace"), assignIdCol(cb).as("code"))
+      (codes, cb)
+    }
+    // Driver-side routing + LUTs: queries × nprobe × m × k rows, all
+    // from bounded state (query vectors + codebooks), broadcast.
+    val qvecs = q.where(col("vec_id").isin(queryIds: _*)).collect()
+      .map(row => (row.getLong(0), row.getSeq[Long](1).toSeq)).toSeq
+    val lutRows = for {
+      (qid, qv) <- qvecs
+      (cell, _) <- coarse.map { case (cl, cv) => (cl, l2(qv, cv)) }
+        .sortBy { case (cl, dd) => (dd, cl) }.take(nprobe)
+      qr = qv.zip(coarseMap(cell)).map { case (a, b) => a - b }
+      j <- 0 until m
+      (code, cw) <- perSub(j)._2
+    } yield (qid, cell, j.toLong, code,
+      l2(qr.slice(j * sub, (j + 1) * sub), cw))
+    val lut = lutRows.toDF("qid", "cell", "subspace", "code", "pd")
+    val codes = perSub.map(_._1).reduce(_ unionAll _)
+    val byDist = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adc_dist"), col("vec_id"))
+    codes.join(broadcast(lut), Seq("cell", "subspace", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("pd")).as("adc_dist"), count(lit(1)).as("__m"))
+      .where(col("__m") === m.toLong)
+      .withColumn("rank", row_number().over(byDist).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("qid"), col("rank"), col("vec_id"), col("adc_dist"))
+  }
+
+  /** Recall gate for [[ivfadcTopK]] against the exact L2 top-k — the
+    * [[graft.functions.Similarity.recallVsBrute]] contract shape: the
+    * oracle computes the exact top-k (n_true) and demands
+    * recall_ok=TRUE, so the routed+compressed tier's quality claim is
+    * hash-gated. Floors are measured per-SF minima with margin.
+    *
+    * @return per query: (qid, n_true, recall_ok)
+    */
+  def ivfadcRecall(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                   nlist: Int, nprobe: Int, m: Int, k: Int, iterations: Int,
+                   queryIds: Seq[Long], topK: Int,
+                   floor: Double): DataFrame = {
+    val ann = ivfadcTopK(df, idCol, vecCol, dim, nlist, nprobe, m, k,
+      iterations, queryIds, topK).select(col("qid"), col("vec_id"))
+    exactL2TopK(df, idCol, vecCol, queryIds, topK)
+      .join(ann.withColumn("__hit", lit(1)), Seq("qid", "vec_id"), "left")
       .groupBy(col("qid"))
-      .agg(count(lit(1)).as("n_overlap"))
-      .select(col("qid"), col("n_overlap"),
-        rnd(col("n_overlap").cast("double") / topK.toDouble).as("recall"))
+      .agg(count(lit(1)).as("n_true"),
+        (sum(coalesce(col("__hit"), lit(0))).cast("double") / count(lit(1)))
+          .as("__recall"))
+      .select(col("qid"), col("n_true"),
+        (col("__recall") >= floor).as("recall_ok"))
   }
 }

@@ -892,4 +892,24 @@ class PlanSpec extends SparkTestBase {
     val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(hashEx <= 3, s"expected <=3 hash exchanges, got $hashEx:\n$plan")
   }
+
+  test("knn_ivfadc_topk: candidate scoring is CELL-pruned — the LUT join keys on cell") {
+    // The IVFADC contract: a candidate whose coarse cell no query
+    // probes must never be scored. Structurally that means the
+    // broadcast LUT join's key INCLUDES the cell column — scoring keyed
+    // only on (subspace, code) would re-admit the whole corpus per
+    // query (pqAdcTopK's exhaustive shape, exactly what this operator
+    // exists to avoid).
+    val ann = EmbeddingOps.ivfadcTopK(
+      Tables.embeddings(spark, sf), "vec_id", "embedding", dim = 64,
+      nlist = 8, nprobe = 3, m = 4, k = 8, iterations = 3,
+      queryIds = Seq(1L, 2L, 3L), topK = 10)
+    val plan = executedFormatted(ann)
+    // FormattedMode lists join keys; find the LUT join and demand cell
+    // leads its key triple
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.matches("(?s).*Left keys \\[3\\]: \\[cell.*") ||
+      plan.matches("(?s).*Left keys: \\[cell.*"),
+      s"LUT join must key on (cell, subspace, code):\n$plan")
+  }
 }

@@ -245,13 +245,67 @@ class EmbeddingOpsSpec extends SparkTestBase {
       .toDF("vec_id", "embedding")
     val got = EmbeddingOps.pqRecallAtK(df, "vec_id", "embedding",
       dim = 4, m = 2, k = 2, iterations = 2, queryIds = Seq(1L, 4L),
-      topK = 2).orderBy("qid")
-      .as[(Long, Long, Double)].collect().toSeq
+      topK = 2, floor = 0.5).orderBy("qid")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
     // recall is an exact fraction in (0, 1]; with topK=2 the overlap is
     // 1 or 2 of 2 — never 0, since the query itself tops both rankings
     assert(got.map(_._1) === Seq(1L, 4L))
     assert(got.forall(r => r._2 >= 1L && r._2 <= 2L))
     assert(got.forall(r => r._3 == r._2 / 2.0))
+    // the floor gate rides in the output: every recall here is >= 0.5
+    assert(got.forall(_._4))
+  }
+
+  test("ivfadcTopK: candidates outside probed cells are NEVER scored") {
+    import org.apache.spark.sql.functions._
+    // Two well-separated clusters; ids interleave (A odd, B even) so the
+    // smallest-ids Lloyd init seeds one coarse centroid per cluster and
+    // the 2-cell partition is exact. nprobe=1: each query probes ONLY
+    // its own cluster's cell — the other cluster must be invisible to
+    // it, whatever its ADC distance would have been.
+    val df = Seq(
+      (1L, Seq(0.0f, 0.1f, 0.0f, 0.0f)), (3L, Seq(0.1f, 0.0f, 0.1f, 0.0f)),
+      (5L, Seq(0.0f, 0.0f, 0.1f, 0.1f)),
+      (2L, Seq(9.0f, 9.1f, 9.0f, 9.0f)), (4L, Seq(9.1f, 9.0f, 9.1f, 9.0f)),
+      (6L, Seq(9.0f, 9.0f, 9.1f, 9.1f)))
+      .toDF("vec_id", "embedding")
+    val got = EmbeddingOps.ivfadcTopK(df, "vec_id", "embedding",
+      dim = 4, nlist = 2, nprobe = 1, m = 2, k = 2, iterations = 2,
+      queryIds = Seq(1L, 2L), topK = 6).orderBy("qid", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val byQ = got.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(byQ(1L) === Set(1L, 3L, 5L), byQ.toString)
+    assert(byQ(2L) === Set(2L, 4L, 6L), byQ.toString)
+    // the query's own row tops its ranking (zero coarse+PQ residual)
+    assert(got.filter(_._2 == 1L).map(r => (r._1, r._3)) ===
+      Seq((1L, 1L), (2L, 2L)))
+    // deterministic under a different input partitioning
+    val re = EmbeddingOps.ivfadcTopK(df.repartition(5), "vec_id",
+      "embedding", dim = 4, nlist = 2, nprobe = 1, m = 2, k = 2,
+      iterations = 2, queryIds = Seq(1L, 2L), topK = 6)
+      .orderBy("qid", "rank").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(re === got)
+    intercept[IllegalArgumentException](
+      EmbeddingOps.ivfadcTopK(df, "vec_id", "embedding", 4, 2, 3, 2, 2, 2,
+        Seq(1L), 3))
+  }
+
+  test("ivfadcRecall: cluster-mates recalled perfectly through 1-cell probing") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, Seq(0.0f, 0.1f, 0.0f, 0.0f)), (3L, Seq(0.1f, 0.0f, 0.1f, 0.0f)),
+      (5L, Seq(0.0f, 0.0f, 0.1f, 0.1f)),
+      (2L, Seq(9.0f, 9.1f, 9.0f, 9.0f)), (4L, Seq(9.1f, 9.0f, 9.1f, 9.0f)),
+      (6L, Seq(9.0f, 9.0f, 9.1f, 9.1f)))
+      .toDF("vec_id", "embedding")
+    // exact top-3 of each query IS its cluster (mates are nearer than
+    // anything across the gap), and the probed cell contains exactly the
+    // cluster — recall 1.0 while scoring half the corpus
+    val got = EmbeddingOps.ivfadcRecall(df, "vec_id", "embedding",
+      dim = 4, nlist = 2, nprobe = 1, m = 2, k = 2, iterations = 2,
+      queryIds = Seq(1L, 2L), topK = 3, floor = 0.9).orderBy("qid")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(got === Seq((1L, 3L, true), (2L, 3L, true)))
   }
 
   test("pqAdcTopK: the query's own code combo is the ADC minimum; ranks total") {
