@@ -1941,6 +1941,16 @@ object SparkEntry {
     "bpe_merge_pairs" -> ((s, d) =>
       CorpusOps.bpeMergePairs(Tables.documents(s, d), "text", k = 30)
         .orderBy("rk")),
+    // The loop bpe_merge_pairs proved one step of, run to 8 merges:
+    // corpus collapses to the segmented (form, count) vocabulary ONCE;
+    // each round is a vocabulary-scale pair agg + 1-row argmax + a
+    // map-only string rewrite, re-checkpointed with the superseded
+    // generation freed. The oracle unrolls all 8 rounds as chained CTEs
+    // (the pagerank discipline) — merges, including multi-char ones
+    // (round 6 merges m+er), hash-match end to end.
+    "bpe_train_merges" -> ((s, d) =>
+      CorpusOps.bpeTrainMerges(Tables.documents(s, d), "text", rounds = 8)
+        .orderBy("round")),
 
     // Inverse-cloze-task pairs: per document a hash-picked 10-token
     // chunk becomes the pseudo-query, the remainder its positive
@@ -2879,6 +2889,22 @@ object SparkEntry {
           && col("doc_id") < 10000),
         "doc_id", "text", threshold = 0.5)
         .orderBy("id_a", "id_b")),
+    // Incremental NEAR-dup: the band manifest of the "existing" half is
+    // probed by the "batch" half — only colliding (band, bucket)
+    // candidates re-verify, batch-internal pairs come off the standard
+    // banded self-join, and the union with the previously-known pairs
+    // must equal the FULL-corpus run: the oracle is minhash_lsh_pairs'
+    // exhaustive exact-jaccard truth over the whole slice verbatim
+    // (incremental == full, the selective_recompute proof pattern).
+    "incremental_neardup" -> ((s, d) => {
+      val slice = Tables.documents(s, d)
+        .where(pmod(col("doc_id"), lit(10)) === 1 && col("doc_id") < 10000)
+      Dedup.incrementalNearDupPairs(
+        batch = slice.where(pmod(expr("doc_id div 10"), lit(2)) === 1),
+        existing = slice.where(pmod(expr("doc_id div 10"), lit(2)) === 0),
+        "doc_id", "text", threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
     // MinHash estimator quality, oracle-gated: DuckDB recomputes the
     // exhaustive exact-jaccard truth set (n_truth must hash-match) and
     // expects both booleans TRUE — recall of the banded candidates over
@@ -4471,6 +4497,35 @@ object SparkEntry {
   private val pqRecallClusteredOracle: String =
     pqRecallOracleFor(4, 16, 64, "synth", "1, 2, 3", 10, 0.9, synthCte)
 
+  /** Iterated-BPE oracle: the segmented weighted vocabulary (v0), then
+    * `rounds` chained CTE rounds of (adjacent-pair counts → 1-row
+    * argmax → greedy string replace) — [[graft.ops.CorpusOps
+    * .bpeTrainMerges]]' loop unrolled the way pagerank_parts unrolls
+    * its iterations. An exhausted round leaves its m_i empty and every
+    * later CTE empty, mirroring the engine's early stop.
+    */
+  private val bpeTrainOracle: String = {
+    val rounds = 8
+    val v0 =
+      """v0 AS (SELECT regexp_replace(w, '(.)', '(\1)', 'g') AS seg, c FROM (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) >= 2 GROUP BY 1))""".stripMargin
+    val per = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""p$i AS (SELECT s[x] AS l, s[x+1] AS r, CAST(count(*) AS BIGINT) AS n_forms, CAST(sum(c) AS BIGINT) AS n FROM (
+         |    SELECT string_split(seg[2:-2], ')(') AS s, c FROM v$p),
+         |    LATERAL (SELECT unnest(range(1, len(s))) AS x) WHERE len(s) >= 2 GROUP BY 1, 2),
+         |m$i AS (SELECT l, r, n_forms, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+         |v$i AS (SELECT replace(seg, '(' || l || ')(' || r || ')', '(' || l || r || ')') AS seg, c FROM v$p CROSS JOIN m$i)""".stripMargin
+    }
+    "WITH " + (v0 +: per).mkString(",\n") + "\n" +
+      (1 to rounds).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS round, l AS left_sym, r AS right_sym," +
+          s" l || r AS merged, n_forms, n FROM m$i")
+        .mkString("\nUNION ALL\n") + "\nORDER BY round"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "weekly_agg_events" ->
       """SELECT date_trunc('week', ts) AS week, event_type AS dim,
@@ -5443,6 +5498,11 @@ object SparkEntry {
         |    CAST(sum(c) AS BIGINT) AS n FROM p GROUP BY 1),
         |r AS (SELECT *, CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rk FROM g)
         |SELECT rk, pair, n_forms, n FROM r WHERE rk <= 30 ORDER BY rk""".stripMargin,
+    // Full BPE training replay: the segmented vocabulary once, then 8
+    // chained (pairs -> argmax -> replace) CTE rounds — greedy
+    // left-to-right merge application is plain `replace` in both
+    // engines thanks to the delimiter wrapping.
+    "bpe_train_merges" -> bpeTrainOracle,
     // Funnel replay: the same cumulative gates, the dedup stage a
     // digest-distinct count within the band.
     "curation_funnel" ->
@@ -6813,6 +6873,20 @@ object SparkEntry {
     // pair set on its (disjoint, capped) slice — no semantic block in the
     // Spark plan; the oracle's lang equi-join is absent here deliberately.
     "minhash_lsh_pairs" ->
+      """WITH docs AS (SELECT * FROM documents WHERE doc_id % 10 = 1 AND doc_id < 10000),
+        |toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM docs),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt FROM toks GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (SELECT id_a, id_b, shared,
+        |  floor((CAST(shared AS DOUBLE) / (sa.nt + sb.nt - shared)) * 10000 + 0.5) / 10000 AS jaccard
+        |  FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id)
+        |SELECT id_a, id_b, shared, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    // The incremental run's contract IS the full-corpus truth: same
+    // slice, same exhaustive exact-jaccard oracle as minhash_lsh_pairs —
+    // a pair the manifest probe missed (or invented) hash-fails here.
+    "incremental_neardup" ->
       """WITH docs AS (SELECT * FROM documents WHERE doc_id % 10 = 1 AND doc_id < 10000),
         |toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM docs),
         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt FROM toks GROUP BY 1),

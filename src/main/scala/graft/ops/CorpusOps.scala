@@ -1559,6 +1559,101 @@ object CorpusOps {
       .select(col("rk"), col("pair"), col("n_forms"), col("n"))
   }
 
+  /** Segmented weighted vocabulary for [[bpeTrainMerges]]: the ONE
+    * corpus-scale aggregate of the whole training loop. Each word
+    * becomes a delimiter-wrapped symbol string — "abc" → "(a)(b)(c)" —
+    * so a merge is ONE string replace: `(l)(r)` → `(lr)`, greedy
+    * left-to-right non-overlapping in both engines (standard `replace`
+    * semantics), with the parens making cross-symbol matches impossible
+    * (symbols are letter runs; parens never occur inside one).
+    * Checkpointed: every training round re-reads THIS frame's
+    * descendants, never the corpus.
+    */
+  private[ops] def bpeVocabSeg(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .select(regexp_replace(col("w"), "(.)", "($1)").as("seg"), col("c"))
+      .localCheckpoint(true)
+
+  /** Adjacent-symbol pair counts over a segmented vocabulary — one
+    * round's candidate statistics: unwrap the delimiters, split into
+    * symbols, zip-shift into adjacent pairs, ONE vocabulary-scale hash
+    * aggregate. (n — frequency-weighted occurrence count, the BPE
+    * statistic; n_forms — vocabulary slots containing the pair.)
+    */
+  private[ops] def bpeRoundPairs(vocab: DataFrame): DataFrame = {
+    val syms = vocab.select(col("c"),
+      split(expr("substring(seg, 2, length(seg) - 2)"), "\\)\\(").as("__s"))
+      .where(size(col("__s")) >= 2)
+      .select(col("c"),
+        slice(col("__s"), lit(1), size(col("__s")) - 1).as("ls"),
+        slice(col("__s"), lit(2), size(col("__s")) - 1).as("rs"))
+    syms
+      .select(col("c"), explode(arrays_zip(col("ls"), col("rs"))).as("__p"))
+      .select(col("__p.ls").as("l"), col("__p.rs").as("r"), col("c"))
+      .groupBy(col("l"), col("r"))
+      .agg(count(lit(1)).as("n_forms"), sum(col("c")).as("n"))
+  }
+
+  /** Iterated BPE training (Sennrich, Haddow & Birch 2016) — the loop
+    * [[bpeMergePairs]] proved one step of, now run to `rounds` merges:
+    * each round counts adjacent symbol pairs over the weighted
+    * vocabulary, takes the argmax (n desc, then (l, r) — ties
+    * totalized), applies the merge to every form, and re-counts. The
+    * output IS the trained merge table a subword tokenizer ships.
+    *
+    * Determinism: counts are exact longs; the argmax order is total;
+    * the merge application is engine-identical `replace` (greedy
+    * left-to-right non-overlapping — the delimiter wrapping in
+    * [[bpeVocabSeg]] is what makes one string replace implement the
+    * symbol-sequence rewrite EXACTLY, "aaaa" → "(aa)(aa)").
+    *
+    * Scale shape — the 100 TB tokenizer-training plan: the corpus
+    * collapses to the (segmented form, count) vocabulary ONCE
+    * (checkpointed); every round's exchange is VOCABULARY-scale (the
+    * pair hash-agg), the argmax is one driver-side 1-row action (the
+    * pagerank-loop discipline), the merge is a map-only string rewrite,
+    * and each round's vocab re-checkpoints eagerly with the superseded
+    * generation freed — plan depth and lineage stay O(1) per round.
+    * Rounds that find no pair left stop early.
+    *
+    * @return one row per realized merge round: (round 1.., left_sym,
+    *         right_sym, merged, n_forms, n) ordered by round
+    */
+  def bpeTrainMerges(df: DataFrame, textCol: String,
+                     rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds=$rounds must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var vocab = bpeVocabSeg(df, textCol)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long, Long)]
+    var exhausted = false
+    for (round <- 1 to rounds if !exhausted) {
+      val top = bpeRoundPairs(vocab)
+        .orderBy(col("n").desc, col("l"), col("r")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val row = top.head
+        val (l, r) = (row.getString(0), row.getString(1))
+        merges += ((round.toLong, l, r, l + r, row.getLong(2),
+          row.getLong(3)))
+        val next = vocab.select(
+          regexp_replace(col("seg"),
+            lit(java.util.regex.Pattern.quote(s"($l)($r)")),
+            lit(java.util.regex.Matcher.quoteReplacement(s"(${l + r})")))
+            .as("seg"),
+          col("c")).localCheckpoint(true)
+        vocab.unpersist(true)
+        vocab = next
+      }
+    }
+    vocab.unpersist(true)
+    merges.toSeq.toDF("round", "left_sym", "right_sym", "merged",
+      "n_forms", "n")
+  }
+
   def pmiCollocations(df: DataFrame, textCol: String,
                       minCount: Long = 5L, k: Int = 30): DataFrame = {
     import CoreOps.rnd

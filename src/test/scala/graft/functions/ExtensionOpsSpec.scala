@@ -280,6 +280,31 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(scale == exhaustive)
   }
 
+  test("incrementalNearDupPairs: manifest probe + known pairs == full-corpus run") {
+    // The selective_recompute proof on the near-dup tier: split the
+    // fixture by id parity, run the incremental path (existing-half
+    // manifest probed by the batch half), and demand the result SET
+    // equals the full-corpus verified run — cross-batch pairs come off
+    // the probe, batch-internal off the self-join, known off the
+    // previous run, nothing duplicated, nothing lost.
+    val d = graft.Tables.documents(spark, sfTest)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "shared", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val inc = pairSet(Dedup.incrementalNearDupPairs(
+      batch = d.where(pmod($"doc_id", lit(2)) === 1),
+      existing = d.where(pmod($"doc_id", lit(2)) === 0),
+      "doc_id", "text", threshold = 0.5))
+    val full = pairSet(Dedup.verifiedNearDupPairs(d, "doc_id", "text", 0.5))
+    assert(full.nonEmpty)
+    assert(inc == full)
+    // and the incremental frame has no duplicate pair rows
+    val incDf = Dedup.incrementalNearDupPairs(
+      d.where(pmod($"doc_id", lit(2)) === 1),
+      d.where(pmod($"doc_id", lit(2)) === 0), "doc_id", "text", 0.5)
+    assert(incDf.count() === incDf.select("id_a", "id_b").distinct().count())
+  }
+
   test("clusterPairs finds connected components with min-id labels") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
       .toDF("id_a", "id_b")

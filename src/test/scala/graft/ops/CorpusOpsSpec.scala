@@ -665,6 +665,46 @@ class CorpusOpsSpec extends SparkTestBase {
       (1L, "ab", 2L, 3L), (2L, "aa", 1L, 2L), (3L, "bc", 1L, 1L)))
   }
 
+  test("bpeTrainMerges: hand-traced rounds, greedy overlap, merged symbols re-merge") {
+    // vocab: abab:3, aaaa:2, ab:1. Round 1 slots: (a,b) 2 in abab (n 6)
+    //   + 1 in ab (n 1) → n_forms 3, n 7; (b,a) n 3; (a,a) 3 slots in
+    //   aaaa → n 6. Argmax (a,b) → abab=(ab)(ab), ab=(ab).
+    // Round 2: (ab,ab) n 3; (a,a) still 3 raw slots, n 6 → merge (a,a);
+    //   GREEDY replace turns (a)(a)(a)(a) into (aa)(aa), NOT (aa)(a)(a).
+    // Round 3: (aa,aa) n 2 vs (ab,ab) n 3 → merged symbols re-merge to
+    //   abab. Round 4: (aa,aa) → aaaa. Round 5: nothing left — stop.
+    val docs = (Seq.fill(3)("abab") ++ Seq.fill(2)("aaaa") ++ Seq("ab"))
+      .map(w => Tuple1(w)).toDF("text")
+    val got = CorpusOps.bpeTrainMerges(docs, "text", rounds = 10)
+      .orderBy("round")
+      .as[(Long, String, String, String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "a", "b", "ab", 3L, 7L),
+      (2L, "a", "a", "aa", 3L, 6L),
+      (3L, "ab", "ab", "abab", 1L, 3L),
+      (4L, "aa", "aa", "aaaa", 1L, 2L)))
+    intercept[IllegalArgumentException](
+      CorpusOps.bpeTrainMerges(docs, "text", rounds = 0))
+  }
+
+  test("bpeTrainMerges: per-round work is vocabulary-scale — no corpus rescan") {
+    // The 100 TB contract: after bpeVocabSeg's one corpus aggregate,
+    // every round's pair count reads the CHECKPOINTED vocabulary — a
+    // round plan containing a parquet/file scan would mean the corpus
+    // is re-tokenized per merge.
+    val docs = Seq("abc abd", "abc").toDF("text")
+    val vocab = CorpusOps.bpeVocabSeg(docs, "text")
+    val roundPlan = CorpusOps.bpeRoundPairs(vocab)
+      .queryExecution.executedPlan.toString
+    assert(roundPlan.contains("ExistingRDD") || roundPlan.contains("Scan rdd"),
+      s"round input should be the checkpoint RDD:\n$roundPlan")
+    assert(!roundPlan.contains("FileScan") && !roundPlan.contains("parquet"),
+      s"round plan must not rescan the corpus:\n$roundPlan")
+    // exactly one exchange: the vocabulary-scale pair hash-agg
+    val ex = "Exchange".r.findAllIn(roundPlan).size
+    assert(ex === 1, s"expected 1 vocab-scale exchange, got $ex:\n$roundPlan")
+  }
+
   test("ictPairs: hash-picked chunk out, remainder as context; short docs drop") {
     val tokens = (1 to 25).map(i => s"t$i")
     val docs = Seq((7L, tokens.mkString(" ")), (8L, "a b c"))
