@@ -1791,6 +1791,17 @@ object SparkEntry {
           * lit(20L),
         bins = 10)
         .orderBy("bin")),
+    // Murphy decomposition over the same scorer and bin grid: Brier =
+    // REL − RES + UNC, every squared term an exact micro² long before
+    // its sum, the direct fact-scale Brier alongside so the binning
+    // residual is visible. One row, four IEEE divisions at the end.
+    "brier_decomposition" -> ((s, d) =>
+      StatOps.brierDecomposition(
+        Tables.events(s, d).where(col("value").isNotNull),
+        col("event_type") === "purchase",
+        least(CoreOps.moneyCents(col("value")).cast("long"), lit(50000L))
+          * lit(20L),
+        bins = 10)),
 
     // Multi-touch attribution: first/last/linear credit per channel for
     // every user path that reaches a purchase — integer micro-credit
@@ -1951,6 +1962,14 @@ object SparkEntry {
     "bpe_train_merges" -> ((s, d) =>
       CorpusOps.bpeTrainMerges(Tables.documents(s, d), "text", rounds = 8)
         .orderBy("round")),
+    // The trained tokenizer APPLIED: encode every word occurrence with
+    // the 8-merge table (chained greedy replaces, map-only) and read
+    // the numbers a tokenizer decision cares about — tokens/word and
+    // chars/token compression per source. Train small, apply wide.
+    "bpe_encode_stats" -> ((s, d) =>
+      CorpusOps.bpeEncodeStats(Tables.documents(s, d), "source", "text",
+        rounds = 8)
+        .orderBy("source")),
 
     // Inverse-cloze-task pairs: per document a hash-picked 10-token
     // chunk becomes the pseudo-query, the remainder its positive
@@ -2650,6 +2669,15 @@ object SparkEntry {
         col("n_chars"), expr("cast(substr(source, 4) as bigint) + 1"),
         budgetShareMicro = 600000L)
         .orderBy("source")),
+    // Temperature-scaled mixture (T=2, the mT5/XLM-R smoothing): target
+    // share ∝ √count with Hamilton largest-remainder apportionment —
+    // Σ alloc == budget exactly, and the √ path is IEEE-correctly-
+    // rounded in both engines (the reason T is restricted to sqrt
+    // chains; see scaladoc).
+    "mixture_temperature" -> ((s, d) =>
+      CorpusOps.temperatureAllocation(Tables.documents(s, d), "source",
+        budget = 100000L, temperature = 2)
+        .orderBy("source")),
     // Corpus mixture report: docs/tokens per (lang, split) with each
     // stratum's 4-dp share of total tokens — the data-mixture table.
     "corpus_mixture" -> ((s, d) => {
@@ -2822,6 +2850,14 @@ object SparkEntry {
         .select("doc_id", "s_en", "s_de", "s_es", "s_fr", "lang_pred")
         .orderBy("doc_id")
     }),
+    // Cohen's κ between the DECLARED language label and the heuristic
+    // lang-ID prediction — the label-noise audit a labeling pipeline
+    // runs between annotators (here: metadata vs heuristic; the zh docs
+    // the 4-language wordlist cannot predict keep κ honestly below 1).
+    // κ = (n·agree − e)/(n² − e), exact integers to the last division.
+    "annotator_kappa" -> ((s, d) =>
+      StatOps.cohensKappa(Tables.documents(s, d),
+        col("lang"), TextFunctions.langPredict(col("text")))),
     "quality_score" -> ((s, d) =>
       TextFunctions.withQualityColumns(Tables.documents(s, d), "text")
         .select("doc_id", "n_tokens", "stop_ratio", "digit_ratio", "quality")
@@ -3859,6 +3895,15 @@ object SparkEntry {
       EmbeddingOps.kmeansAssignments(Tables.embeddings(s, d),
         "vec_id", "embedding", k = 8, iterations = 3)
         .orderBy("vec_id")),
+    // IVF cell-occupancy balance — the diagnostic the inverted file's
+    // probe-cost model rides on (a hot cell degrades routed queries
+    // toward the full scan). Same coarse quantizer replay as
+    // kmeans_embed; everything after the cell aggregate is
+    // nlist-bounded.
+    "ivf_cell_stats" -> ((s, d) =>
+      EmbeddingOps.ivfCellStats(Tables.embeddings(s, d), "vec_id",
+        "embedding", nlist = 8, iterations = 3)
+        .orderBy("cell")),
     // Product quantization: 4 subspaces x 8 codewords over the 64-dim
     // embeddings, each subspace the same deterministic Lloyd loop as
     // kmeans_embed — the full n x 4 code matrix hash-matches a DuckDB
@@ -4504,14 +4549,18 @@ object SparkEntry {
     * its iterations. An exhausted round leaves its m_i empty and every
     * later CTE empty, mirroring the engine's early stop.
     */
-  private val bpeTrainOracle: String = {
-    val rounds = 8
+  private val bpeRounds = 8
+
+  /** The training CTE chain shared by the two BPE oracles (v0 and
+    * `bpeRounds` × (p_i, m_i, v_i) blocks, no leading WITH).
+    */
+  private val bpeTrainCtes: String = {
     val v0 =
       """v0 AS (SELECT regexp_replace(w, '(.)', '(\1)', 'g') AS seg, c FROM (
         |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |  WHERE length(w) >= 2 GROUP BY 1))""".stripMargin
-    val per = (1 to rounds).map { i =>
+    val per = (1 to bpeRounds).map { i =>
       val p = i - 1
       s"""p$i AS (SELECT s[x] AS l, s[x+1] AS r, CAST(count(*) AS BIGINT) AS n_forms, CAST(sum(c) AS BIGINT) AS n FROM (
          |    SELECT string_split(seg[2:-2], ')(') AS s, c FROM v$p),
@@ -4519,11 +4568,41 @@ object SparkEntry {
          |m$i AS (SELECT l, r, n_forms, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
          |v$i AS (SELECT replace(seg, '(' || l || ')(' || r || ')', '(' || l || r || ')') AS seg, c FROM v$p CROSS JOIN m$i)""".stripMargin
     }
-    "WITH " + (v0 +: per).mkString(",\n") + "\n" +
-      (1 to rounds).map(i =>
+    (v0 +: per).mkString(",\n")
+  }
+
+  private val bpeTrainOracle: String =
+    "WITH " + bpeTrainCtes + "\n" +
+      (1 to bpeRounds).map(i =>
         s"SELECT CAST($i AS BIGINT) AS round, l AS left_sym, r AS right_sym," +
           s" l || r AS merged, n_forms, n FROM m$i")
         .mkString("\nUNION ALL\n") + "\nORDER BY round"
+
+  /** Encode oracle: the trained m_i merges applied in order to EVERY
+    * word occurrence (chained scalar-subquery replaces — each m_i is a
+    * 1-row CTE on this corpus), then the per-source stats. Assumes all
+    * `bpeRounds` rounds realize (they do on this fixture; the engine
+    * side would simply chain fewer replaces on an exhausted corpus).
+    */
+  private val bpeEncodeOracle: String = {
+    val e0 =
+      """words AS (SELECT source, w, CAST(length(w) AS BIGINT) AS chars FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents WHERE source IS NOT NULL)
+        |  WHERE length(w) >= 1),
+        |e0 AS (SELECT source, chars, regexp_replace(w, '(.)', '(\1)', 'g') AS seg FROM words)""".stripMargin
+    val steps = (1 to bpeRounds).map { i =>
+      val p = i - 1
+      s"""e$i AS (SELECT source, chars, replace(seg,
+         |    '(' || (SELECT l FROM m$i) || ')(' || (SELECT r FROM m$i) || ')',
+         |    '(' || (SELECT l || r FROM m$i) || ')') AS seg FROM e$p)""".stripMargin
+    }
+    "WITH " + bpeTrainCtes + ",\n" + (e0 +: steps).mkString(",\n") + "\n" +
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(chars) AS BIGINT) AS n_chars,
+         |  CAST(sum(length(seg) - length(replace(seg, '(', ''))) AS BIGINT) AS n_tokens,
+         |  floor(CAST(sum(length(seg) - length(replace(seg, '(', ''))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS tokens_per_word,
+         |  floor(CAST(sum(chars) AS DOUBLE) / sum(length(seg) - length(replace(seg, '(', ''))) * 10000 + 0.5) / 10000 AS chars_per_token
+         |FROM e$bpeRounds GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -5185,6 +5264,29 @@ object SparkEntry {
         |  CAST((pos * 1000000) // n AS BIGINT) AS frac_pos_micro,
         |  CAST(ssum // n - (pos * 1000000) // n AS BIGINT) AS gap_micro
         |FROM b ORDER BY bin""".stripMargin,
+    // Murphy replay: same binning, exact micro² term sums, the direct
+    // fact-scale Brier, four IEEE divisions in the same order.
+    "brier_decomposition" ->
+      """WITH s AS (SELECT least(CAST(floor(value * 100 + 0.5) AS BIGINT), 50000) * 20 AS sm,
+        |    CAST(event_type = 'purchase' AS INT) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT least((sm * 10) // 1000000, 9) AS bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS pos, CAST(sum(sm) AS BIGINT) AS ssum
+        |  FROM s GROUP BY 1),
+        |g AS (SELECT n, CAST(ssum // n - (pos * 1000000) // n AS BIGINT) AS gap,
+        |    CAST((pos * 1000000) // n AS BIGINT) AS fp FROM b),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS pos FROM b),
+        |ob AS (SELECT CAST((pos * 1000000) // n AS BIGINT) AS obar FROM t),
+        |terms AS (SELECT CAST(coalesce(sum(g.n * g.gap * g.gap), 0) AS BIGINT) AS rel2,
+        |    CAST(coalesce(sum(g.n * (g.fp - ob.obar) * (g.fp - ob.obar)), 0) AS BIGINT) AS res2
+        |  FROM g, ob),
+        |d AS (SELECT CAST(coalesce(sum((sm - y * 1000000) * (sm - y * 1000000)), 0) AS BIGINT) AS b2 FROM s)
+        |SELECT t.n, t.pos,
+        |  floor(CAST(b2 AS DOUBLE) / 1e12 / CAST(t.n AS DOUBLE) * 10000 + 0.5) / 10000 AS brier,
+        |  floor(CAST(rel2 AS DOUBLE) / 1e12 / CAST(t.n AS DOUBLE) * 10000 + 0.5) / 10000 AS reliability,
+        |  floor(CAST(res2 AS DOUBLE) / 1e12 / CAST(t.n AS DOUBLE) * 10000 + 0.5) / 10000 AS resolution,
+        |  floor(CAST(t.pos AS DOUBLE) * CAST(t.n - t.pos AS DOUBLE) / CAST(t.n * t.n AS DOUBLE) * 10000 + 0.5) / 10000 AS uncertainty
+        |FROM t, terms, d""".stripMargin,
     // Attribution replay: same conversion instant (min purchase ts), same
     // strict-before touch set, same (ts, event_id) total order, same
     // integer micro-credit with the linear remainder on the last touch.
@@ -5503,6 +5605,9 @@ object SparkEntry {
     // left-to-right merge application is plain `replace` in both
     // engines thanks to the delimiter wrapping.
     "bpe_train_merges" -> bpeTrainOracle,
+    // Training replay + the 8 merges applied to every word occurrence,
+    // then per-source token/compression stats.
+    "bpe_encode_stats" -> bpeEncodeOracle,
     // Funnel replay: the same cumulative gates, the dedup stage a
     // digest-distinct count within the band.
     "curation_funnel" ->
@@ -6550,6 +6655,24 @@ object SparkEntry {
     // same cross-multiplied saturation predicate over prefix sums, and
     // the same largest-remainder distribution — `div`/`%` on both sides
     // are the matching truncating operators.
+    // Temperature replay: sqrt weights on the micro grid (IEEE sqrt is
+    // correctly rounded — the engine-portability reason T is a sqrt
+    // chain), Hamilton base // + largest-remainder rank.
+    "mixture_temperature" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        |w AS (SELECT source, n_docs,
+        |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS weight_micro FROM c),
+        |t AS (SELECT CAST(sum(weight_micro) AS BIGINT) AS tw FROM w),
+        |b AS (SELECT source, n_docs, weight_micro,
+        |    CAST((100000 * weight_micro) // tw AS BIGINT) AS base,
+        |    CAST((100000 * weight_micro) % tw AS BIGINT) AS rem FROM w, t),
+        |p AS (SELECT CAST(100000 - sum(base) AS BIGINT) AS leftover FROM b),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rn FROM b)
+        |SELECT source, n_docs, weight_micro,
+        |  CAST(base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc,
+        |  floor((CAST(base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS DOUBLE) / 100000.0) * 10000 + 0.5) / 10000 AS share
+        |FROM r, p ORDER BY source""".stripMargin,
     "mixture_waterfill" ->
       """WITH per AS (
         |  SELECT source, CAST(substr(source, 4) AS BIGINT) + 1 AS weight,
@@ -6775,6 +6898,33 @@ object SparkEntry {
         |       WHEN s_es >= s_fr THEN 'es'
         |       ELSE 'fr' END AS lang_pred
         |FROM s ORDER BY doc_id""".stripMargin,
+    // Kappa replay: the lang_id CASE as rater B, exact confusion
+    // integers to the final divisions.
+    "annotator_kappa" ->
+      """WITH s AS (SELECT lang AS a,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','and','of','to'], t))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['der','die','das','und','ist'], t))) AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['el','la','de','los','y'], t))) AS BIGINT) AS s_es,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['le','les','et','des','une'], t))) AS BIGINT) AS s_fr
+        |FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+        |pr AS (SELECT a,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |       WHEN s_es >= s_fr THEN 'es'
+        |       ELSE 'fr' END AS b FROM s),
+        |conf AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM pr GROUP BY 1, 2),
+        |na AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(coalesce(sum(CASE WHEN a = b THEN c END), 0) AS BIGINT) AS agree FROM conf),
+        |ra AS (SELECT a AS l, CAST(sum(c) AS BIGINT) AS ra FROM conf GROUP BY 1),
+        |rb AS (SELECT b AS l, CAST(sum(c) AS BIGINT) AS rb FROM conf GROUP BY 1),
+        |lab AS (SELECT CAST(count(*) AS BIGINT) AS n_labels FROM (SELECT l FROM ra UNION SELECT l FROM rb)),
+        |e AS (SELECT CAST(coalesce(sum(ra.ra * rb.rb), 0) AS BIGINT) AS e FROM ra JOIN rb USING (l))
+        |SELECT n, n_labels, agree,
+        |  floor(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) * 10000 + 0.5) / 10000 AS po,
+        |  floor(CAST(e AS DOUBLE) / CAST(n * n AS DOUBLE) * 10000 + 0.5) / 10000 AS pe,
+        |  CASE WHEN n * n = e THEN NULL
+        |    ELSE floor(CAST(n * agree - e AS DOUBLE) / CAST(n * n - e AS DOUBLE) * 10000 + 0.5) / 10000 END AS kappa
+        |FROM na, lab, e""".stripMargin,
     "quality_score" ->
       """WITH t AS (SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -7354,6 +7504,16 @@ object SparkEntry {
       """
         |SELECT vec_id, cl AS cluster, CAST(d AS BIGINT) AS dist
         |FROM a3 ORDER BY vec_id""".stripMargin),
+    // Cell-occupancy rollup off the same coarse-quantizer replay.
+    "ivf_cell_stats" -> (kmeansOracleCtes +
+      """,
+        |cells AS (SELECT cl AS cell, CAST(count(*) AS BIGINT) AS n_members FROM a3 GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_members) AS BIGINT) AS n, CAST(max(n_members) AS BIGINT) AS mx,
+        |    CAST(count(*) AS BIGINT) AS k FROM cells)
+        |SELECT cell, n_members,
+        |  floor(CAST(n_members AS DOUBLE) / CAST(n AS DOUBLE) * 10000 + 0.5) / 10000 AS share,
+        |  floor(CAST(mx AS DOUBLE) * CAST(k AS DOUBLE) / CAST(n AS DOUBLE) * 10000 + 0.5) / 10000 AS imbalance
+        |FROM cells, t ORDER BY cell""".stripMargin),
     // Four independent replays of the same Lloyd oracle, one per sliced
     // subspace, unioned into the full code matrix.
     "pq_codes" -> pqCodesOracle,

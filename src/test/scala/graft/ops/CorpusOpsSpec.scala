@@ -687,6 +687,50 @@ class CorpusOpsSpec extends SparkTestBase {
       CorpusOps.bpeTrainMerges(docs, "text", rounds = 0))
   }
 
+  test("temperatureAllocation: sqrt weights, Hamilton apportionment sums to budget") {
+    // counts 1/4/16, T=2 → weights 1:2:4 of budget 7 → exact 1/2/4,
+    // zero leftover
+    val docs = (Seq.fill(1)("s1") ++ Seq.fill(4)("s2") ++ Seq.fill(16)("s3"))
+      .map(s => (s, "x")).toDF("source", "text")
+    val t2 = CorpusOps.temperatureAllocation(docs, "source", budget = 7L,
+      temperature = 2).orderBy("source")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(t2.map(r => (r._1, r._2, r._4)) ===
+      Seq(("s1", 1L, 1L), ("s2", 4L, 2L), ("s3", 16L, 4L)))
+    assert(t2.map(_._4).sum === 7L)
+    // T=1 (plain proportional), budget 10 over 1:4:16 — bases 0/1/7,
+    // remainders 10/19/13 of 21 → the 2 leftover seats go to s2 then s3
+    val t1 = CorpusOps.temperatureAllocation(docs, "source", budget = 10L,
+      temperature = 1).orderBy("source")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(t1.map(r => (r._1, r._4)) ===
+      Seq(("s1", 0L), ("s2", 2L), ("s3", 8L)))
+    assert(t1.map(_._4).sum === 10L)
+    // T=4 still sums exactly; higher count never gets a smaller alloc
+    val t4 = CorpusOps.temperatureAllocation(docs, "source", budget = 101L,
+      temperature = 4).orderBy("source")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(t4.map(_._4).sum === 101L)
+    assert(t4.sortBy(_._2).map(_._4) === t4.sortBy(_._2).map(_._4).sorted)
+    intercept[IllegalArgumentException](
+      CorpusOps.temperatureAllocation(docs, "source", 10L, temperature = 3))
+    intercept[IllegalArgumentException](
+      CorpusOps.temperatureAllocation(docs, "source", 0L))
+  }
+
+  test("bpeEncodeStats: trained merges applied greedily, per-source compression") {
+    // vocab: abab:1, ab:1, aaaa:1. Round 1 ties (a,a) n=3 vs (a,b) n=3
+    // → (a,a) by the (l, r) tiebreak; round 2 merges (a,b).
+    // Encoding: abab→(ab)(ab)=2 toks, ab→(ab)=1, aaaa→(aa)(aa)=2.
+    val docs = Seq(("A", "abab ab"), ("B", "aaaa")).toDF("source", "text")
+    val got = CorpusOps.bpeEncodeStats(docs, "source", "text", rounds = 2)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got === Seq(
+      ("A", 2L, 6L, 3L, 1.5, 2.0),
+      ("B", 1L, 4L, 2L, 2.0, 2.0)))
+  }
+
   test("bpeTrainMerges: per-round work is vocabulary-scale — no corpus rescan") {
     // The 100 TB contract: after bpeVocabSeg's one corpus aggregate,
     // every round's pair count reads the CHECKPOINTED vocabulary — a

@@ -290,6 +290,21 @@ class EmbeddingOpsSpec extends SparkTestBase {
         Seq(1L), 3))
   }
 
+  test("ivfCellStats: balanced 2-cell corpus reads share 0.5, imbalance 1.0") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, Seq(0.0f, 0.1f, 0.0f, 0.0f)), (3L, Seq(0.1f, 0.0f, 0.1f, 0.0f)),
+      (5L, Seq(0.0f, 0.0f, 0.1f, 0.1f)),
+      (2L, Seq(9.0f, 9.1f, 9.0f, 9.0f)), (4L, Seq(9.1f, 9.0f, 9.1f, 9.0f)),
+      (6L, Seq(9.0f, 9.0f, 9.1f, 9.1f)))
+      .toDF("vec_id", "embedding")
+    val got = EmbeddingOps.ivfCellStats(df, "vec_id", "embedding",
+      nlist = 2, iterations = 2).orderBy("cell")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(_._2) === Seq(3L, 3L))
+    assert(got.forall(r => r._3 == 0.5 && r._4 == 1.0), got.toString)
+  }
+
   test("ivfadcRecall: cluster-mates recalled perfectly through 1-cell probing") {
     import org.apache.spark.sql.functions._
     val df = Seq(

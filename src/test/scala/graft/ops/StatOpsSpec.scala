@@ -336,6 +336,50 @@ class StatOpsSpec extends SparkTestBase {
       StatOps.kendallTau(big, col("x"), col("y"), maxN = 1))
   }
 
+  test("cohensKappa: hand confusion matrix, degenerate and disjoint labels") {
+    // (x,x)×20 (y,y)×10 (x,y)×5 (y,x)×5: n=40, agree=30, po=0.75;
+    // margins 25/15 both sides → e=850, pe=850/1600=0.5313;
+    // κ=(1200−850)/(1600−850)=0.4667
+    val rows = Seq.fill(20)(("x", "x")) ++ Seq.fill(10)(("y", "y")) ++
+      Seq.fill(5)(("x", "y")) ++ Seq.fill(5)(("y", "x"))
+    val got = StatOps.cohensKappa(rows.toDF("a", "b"), col("a"), col("b"))
+      .as[(Long, Long, Long, Double, Double, Option[Double])].collect().head
+    assert(got === ((40L, 2L, 30L, 0.75, 0.5313, Some(0.4667))))
+    // every rating identical: pe = 1 → κ undefined, not a crash
+    val const = StatOps.cohensKappa(
+      Seq.fill(5)(("z", "z")).toDF("a", "b"), col("a"), col("b"))
+      .as[(Long, Long, Long, Double, Double, Option[Double])].collect().head
+    assert(const === ((5L, 1L, 5L, 1.0, 1.0, None)))
+    // disjoint label sets: zero agreement, zero chance agreement → κ=0
+    val disj = StatOps.cohensKappa(
+      Seq.fill(4)(("a", "b")).toDF("a", "b"), col("a"), col("b"))
+      .as[(Long, Long, Long, Double, Double, Option[Double])].collect().head
+    assert(disj === ((4L, 2L, 0L, 0.0, 0.0, Some(0.0))))
+  }
+
+  test("brierDecomposition: perfect and constant forecasters, Murphy identity") {
+    // perfect forecaster: brier 0, REL 0, RES = UNC = 0.25 (10+10 rows)
+    val perfect = (1L to 10L).map(_ => (1, 1000000L)) ++
+      (1L to 10L).map(_ => (0, 0L))
+    val p = StatOps.brierDecomposition(perfect.toDF("y", "sm"),
+      col("y") === 1, col("sm"), bins = 10)
+      .as[(Long, Long, Double, Double, Double, Double)].collect().head
+    assert(p === ((20L, 10L, 0.0, 0.0, 0.25, 0.25)))
+    // constant 0.5 forecaster: brier 0.25 = 0 − 0 + 0.25
+    val flat = (1L to 10L).map(_ => (1, 500000L)) ++
+      (1L to 10L).map(_ => (0, 500000L))
+    val f = StatOps.brierDecomposition(flat.toDF("y", "sm"),
+      col("y") === 1, col("sm"), bins = 10)
+      .as[(Long, Long, Double, Double, Double, Double)].collect().head
+    assert(f === ((20L, 10L, 0.25, 0.0, 0.0, 0.25)))
+    // out-of-range score dies loudly (reliabilityBins' guard)
+    val e = intercept[Exception] {
+      StatOps.brierDecomposition(Seq((1, 2000000L)).toDF("y", "sm"),
+        col("y") === 1, col("sm")).collect()
+    }
+    assert(messageOf(e).contains("outside [0, 1e6]"), messageOf(e))
+  }
+
   test("bootstrapMeanCi: NEGATIVE keys participate in replicates (pmod wheel)") {
     // Signed ids: under % the hash of a negative key is negative, the
     // >= 2^31 test never passes, and those rows silently vanish from
