@@ -2989,6 +2989,19 @@ object SparkEntry {
       Dedup.simhashReplayableBandedPairs(Tables.documents(s, d), "doc_id",
         "text", maxHamming = 3)
         .orderBy("id_a", "id_b")),
+    // Incremental SimHash near-dup: the batch probes the existing
+    // corpus's Hamming band manifest; pigeonhole losslessness holds
+    // across frames, so known + internal + cross pairs hash-match the
+    // SAME full-corpus brute-force oracle as simhash_hamming —
+    // incremental == full on the second near-dup modality too.
+    "incremental_simhash" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalSimhashPairs(
+        batch = docs.where(pmod(col("doc_id"), lit(2)) === 1),
+        existing = docs.where(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
     // SimHash quality companion, oracle-gated end to end: the SAME
     // Hamming-LSH banding join as simhash_hamming (shared
     // bandedHammingPairs core), run with the engine-replayable md5-fold
@@ -4325,6 +4338,13 @@ object SparkEntry {
     // Salting must be RESULT-INVISIBLE: the oracle computes the plain
     // unsalted aggregation/join — any leak of the salt into results (lost
     // rows, doubled partials, salt column escaping) breaks the hash.
+    // The pre-flight that DECIDES whether salting is needed: per-key
+    // counts reduce to their count-of-counts histogram, read out as the
+    // top-key share, exact p50/p99 key sizes, and key entropy. Two hash
+    // aggregates; everything else runs on the count-domain-bounded
+    // histogram.
+    "key_skew_report" -> ((s, d) =>
+      ScaleOps.keySkewReport(Tables.lineitem(s, d), col("l_partkey"))),
     "salted_agg" -> ((s, d) =>
       ScaleOps.saltedSum(
         Tables.orders(s, d)
@@ -7058,6 +7078,8 @@ object SparkEntry {
     // document's md5 fingerprint and brute-forces all pairs — quadratic is
     // fine oracle-side at sf0.01 (the engine side stays the banded join).
     "simhash_hamming" -> simhashBruteOracle("", 3),
+    // Incremental == full on the Hamming tier: same brute-force oracle.
+    "incremental_simhash" -> simhashBruteOracle("", 3),
     "knn_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10),
         |p AS (SELECT qid, e.vec_id AS cid, list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) AS cos
@@ -7984,6 +8006,29 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks_kept,
         |  string_agg(chunk_text, ' ' ORDER BY chunk_id) AS text
         |FROM surv GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Skew-report replay: count-of-counts, exact rank picks, the
+    // tokenEntropy micro recipe over key counts.
+    "key_skew_report" ->
+      """WITH pk AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+        |h AS (SELECT c, CAST(count(*) AS BIGINT) AS kc FROM pk GROUP BY 1),
+        |t AS (SELECT CAST(coalesce(sum(c * kc), 0) AS BIGINT) AS n_rows,
+        |    CAST(coalesce(sum(kc), 0) AS BIGINT) AS n_keys,
+        |    CAST(max(c) AS BIGINT) AS max_key_rows,
+        |    CAST(coalesce(sum(kc * CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)), 0) AS BIGINT) AS clnc
+        |  FROM h),
+        |r AS (SELECT c, sum(kc) OVER (ORDER BY c) AS cum FROM h),
+        |p50 AS (SELECT CAST(min(c) AS BIGINT) AS p50 FROM r, t
+        |  WHERE cum >= CAST(ceil(0.5 * CAST(n_keys AS DOUBLE)) AS BIGINT)),
+        |p99 AS (SELECT CAST(min(c) AS BIGINT) AS p99 FROM r, t
+        |  WHERE cum >= CAST(ceil(0.99 * CAST(n_keys AS DOUBLE)) AS BIGINT))
+        |SELECT n_rows, n_keys, max_key_rows,
+        |  floor(CAST(max_key_rows AS DOUBLE) / CAST(n_rows AS DOUBLE) * 10000 + 0.5) / 10000 AS top_share,
+        |  p50 AS p50_key_rows, p99 AS p99_key_rows,
+        |  floor((ln(CAST(n_rows AS DOUBLE)) - CAST(clnc AS DOUBLE) / (CAST(n_rows AS DOUBLE) * 1000000.0)) * 10000 + 0.5) / 10000 AS entropy,
+        |  CASE WHEN n_keys = 1 THEN NULL
+        |    ELSE floor(((ln(CAST(n_rows AS DOUBLE)) - CAST(clnc AS DOUBLE) / (CAST(n_rows AS DOUBLE) * 1000000.0)) / ln(CAST(n_keys AS DOUBLE))) * 10000 + 0.5) / 10000 END AS norm_entropy
+        |FROM t, p50, p99""".stripMargin,
     "salted_agg" ->
       """SELECT o_orderpriority,
         |  floor((CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS total_price

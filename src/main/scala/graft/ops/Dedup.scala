@@ -592,6 +592,21 @@ object Dedup {
     * production variant runs.
     */
   private def bandedHammingPairs(h: DataFrame, maxHamming: Int): DataFrame = {
+    val banded = hammingBandRows(h, maxHamming)
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct() // a pair can agree on several bands
+  }
+
+  /** The banded (id, sh, band, bval) rows behind the Hamming-LSH joins —
+    * and the SimHash band MANIFEST's schema for the incremental path:
+    * maxHamming + 1 bands per fingerprint, keyed by (band, band value).
+    */
+  private def hammingBandRows(h: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"maxHamming=$maxHamming outside [0, 7]: bands = maxHamming + 1 must " +
         "keep ≥ 8 bits per band to stay selective")
@@ -602,20 +617,48 @@ object Dedup {
     // self-join onto one task): free under a sort-merge self-join at
     // scale, restores parallelism locally when the broadcast join would
     // pin the pair stream to the scan's single partition.
-    val banded = h.select(col("id"), col("sh"),
+    h.select(col("id"), col("sh"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), j -> " +
         s"CASE WHEN j = ${bands - 1} THEN shiftrightunsigned(sh, j * $w) " +
         s"ELSE shiftrightunsigned(sh, j * $w) & ${(1L << w) - 1} END)"))
         .as(Seq("band", "bval")))
       .repartition(h.sparkSession.sparkContext.defaultParallelism,
         col("band"), col("bval"))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
-          && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+  }
+
+  /** Incremental SimHash near-dup — [[incrementalNearDupPairs]]' manifest
+    * pattern on the Hamming-LSH tier: the existing corpus's band rows
+    * are the persisted manifest, the batch probes it on (band, band
+    * value), colliding pairs verify with ONE bit_count (the Hamming
+    * check IS the verification), batch-internal pairs come off the
+    * standard banded self-join, and the union with the known pairs
+    * provably equals the full-corpus run — the pigeonhole losslessness
+    * (≤ maxHamming differing bits across maxHamming + 1 bands force ≥ 1
+    * identical band) holds for cross-batch pairs exactly as it does
+    * within one frame, so the graded oracle can be the full-corpus
+    * brute-force Hamming truth.
+    *
+    * Precondition: `batch` and `existing` id sets are disjoint.
+    *
+    * @return (id_a, id_b, hamming) — known ∪ new pairs
+    */
+  def incrementalSimhashPairs(batch: DataFrame, existing: DataFrame,
+                              idCol: String, textCol: String,
+                              maxHamming: Int = 3): DataFrame = {
+    def prep(df: DataFrame) = df.select(col(idCol).as("id"),
+      simhashReplayable64(textCol).as("sh"))
+    val manifest = hammingBandRows(prep(existing), maxHamming)
+    val probes = hammingBandRows(prep(batch), maxHamming)
+    val cross = probes.as("a").join(manifest.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .distinct() // a pair can agree on several bands
+      .distinct()
+    val internal = bandedHammingPairs(prep(batch), maxHamming)
+    val known = bandedHammingPairs(prep(existing), maxHamming)
+    known.unionByName(internal).unionByName(cross)
   }
 
   /** Engine-replayable 64-bit SimHash: the token hash is the first 16 hex

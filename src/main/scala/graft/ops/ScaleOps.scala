@@ -565,4 +565,68 @@ object ScaleOps {
       .withColumn("scan_ratio", rnd(col("files_scanned").cast("double")
         / col("n_files").cast("double")))
   }
+
+  /** Join/aggregation key skew report — the pre-flight a distributed
+    * plan runs BEFORE choosing between a plain hash join, salting
+    * ([[saltedAggregate]]/[[saltedJoin]]), or an AQE skew split: per-key
+    * row counts reduced to their count-of-counts histogram, read out as
+    * the top-key share (the fraction one task would own), exact p50/p99
+    * key sizes, and the key-distribution entropy (ln n_keys = uniform;
+    * → 0 = one key owns the table).
+    *
+    * Exactness: the quantile picks are rank ⌈q·n_keys⌉ over the
+    * cumulative count-of-counts (exact integers, the
+    * [[exactQuantiles]] formulation); the entropy accumulates
+    * floor(c·ln c·1e6 + ½)·k_c as exact longs ([[graft.ops.CorpusOps
+    * .tokenEntropy]]'s recipe) so the sum is order-independent; shares
+    * and the final entropy are fixed IEEE expressions, 4-dp.
+    *
+    * Scale shape: ONE fact-scale keys-only hash aggregate (map-side
+    * partials), then a second aggregate to the count-of-counts
+    * histogram — bounded by DISTINCT COUNT VALUES, typically tiny even
+    * for billions of keys; the cumulative window and every readout run
+    * on that bounded table, checkpointed once for its three consumers.
+    *
+    * @return one row: (n_rows, n_keys, max_key_rows, top_share,
+    *         p50_key_rows, p99_key_rows, entropy, norm_entropy)
+    */
+  def keySkewReport(df: DataFrame, key: Column): DataFrame = {
+    import CoreOps.rnd
+    import org.apache.spark.sql.expressions.Window
+    val perKey = df.where(key.isNotNull)
+      .groupBy(key.as("__k")).agg(count(lit(1)).as("__c"))
+    val h = perKey.groupBy(col("__c")).agg(count(lit(1)).as("__kc"))
+      .localCheckpoint(true)
+    val tot = h.agg(
+      coalesce(sum(col("__c") * col("__kc")), lit(0L)).as("n_rows"),
+      coalesce(sum(col("__kc")), lit(0L)).as("n_keys"),
+      max(col("__c")).as("max_key_rows"),
+      coalesce(sum(col("__kc") * floor(col("__c").cast("double")
+        * log(col("__c").cast("double")) * 1000000 + 0.5).cast("long")),
+        lit(0L)).as("__clnc_micro"))
+    // exact rank picks over the bounded histogram's cumulative keys
+    val wCum = Window.orderBy(col("__c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = h.withColumn("__cum", sum(col("__kc")).over(wCum))
+      .crossJoin(broadcast(tot.select(col("n_keys").as("__nk"))))
+    def pick(q: Double, out: String): DataFrame =
+      ranked.where(col("__cum") >=
+          ceil(lit(q) * col("__nk").cast("double")).cast("long"))
+        .agg(min(col("__c")).as(out))
+    tot.crossJoin(broadcast(pick(0.50, "p50_key_rows")))
+      .crossJoin(broadcast(pick(0.99, "p99_key_rows")))
+      .select(col("n_rows"), col("n_keys"), col("max_key_rows"),
+        rnd(col("max_key_rows").cast("double") / col("n_rows").cast("double"))
+          .as("top_share"),
+        col("p50_key_rows"), col("p99_key_rows"),
+        rnd(log(col("n_rows").cast("double"))
+          - col("__clnc_micro").cast("double")
+            / (col("n_rows").cast("double") * 1000000.0)).as("entropy"),
+        when(col("n_keys") === 1L, lit(null).cast("double"))
+          .otherwise(rnd(
+            (log(col("n_rows").cast("double"))
+              - col("__clnc_micro").cast("double")
+                / (col("n_rows").cast("double") * 1000000.0))
+              / log(col("n_keys").cast("double")))).as("norm_entropy"))
+  }
 }

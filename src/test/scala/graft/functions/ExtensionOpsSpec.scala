@@ -305,6 +305,25 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(incDf.count() === incDf.select("id_a", "id_b").distinct().count())
   }
 
+  test("incrementalSimhashPairs: manifest probe == full-corpus Hamming run") {
+    // Pigeonhole losslessness holds across frames: parity-split the
+    // fixture, probe the existing half's band manifest with the batch
+    // half, and demand the pair set equals the full banded run (which
+    // itself provably equals the brute-force Hamming scan).
+    val d = graft.Tables.documents(spark, sfTest)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val inc = pairSet(Dedup.incrementalSimhashPairs(
+      batch = d.where(pmod($"doc_id", lit(2)) === 1),
+      existing = d.where(pmod($"doc_id", lit(2)) === 0),
+      "doc_id", "text", maxHamming = 3))
+    val full = pairSet(Dedup.simhashReplayableBandedPairs(
+      d, "doc_id", "text", maxHamming = 3))
+    assert(full.nonEmpty)
+    assert(inc == full)
+  }
+
   test("clusterPairs finds connected components with min-id labels") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
       .toDF("id_a", "id_b")

@@ -316,6 +316,33 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(msg.contains("negative total"), msg)
   }
 
+  test("keySkewReport: hand histogram — shares, exact rank picks, entropy recipe") {
+    import spark.implicits._
+    // keys a×6 b×2 c×1 d×1: n_rows 10, n_keys 4, max 6, top_share 0.6;
+    // count-of-counts cum (1,2)(2,3)(6,4): p50 rank ⌈2⌉ → 1, p99 rank
+    // ⌈3.96⌉=4 → 6
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
+      .toDF("k")
+    val got = ScaleOps.keySkewReport(df, col("k"))
+      .as[(Long, Long, Long, Double, Long, Long, Double, Option[Double])]
+      .collect().head
+    assert((got._1, got._2, got._3, got._4, got._5, got._6) ===
+      ((10L, 4L, 6L, 0.6, 1L, 6L)))
+    // entropy replay with the exact same micro recipe
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val clnc = 2L * math.floor(1.0 * math.log(1.0) * 1e6 + 0.5).toLong +
+      math.floor(2.0 * math.log(2.0) * 1e6 + 0.5).toLong +
+      math.floor(6.0 * math.log(6.0) * 1e6 + 0.5).toLong
+    val ent = math.log(10.0) - clnc.toDouble / (10.0 * 1e6)
+    assert(got._7 === r4(ent))
+    assert(got._8 === Some(r4(ent / math.log(4.0))))
+    // single-key table: norm_entropy undefined, not a crash
+    val one = ScaleOps.keySkewReport(Seq("x", "x").toDF("k"), col("k"))
+      .as[(Long, Long, Long, Double, Long, Long, Double, Option[Double])]
+      .collect().head
+    assert((one._1, one._2, one._8) === ((2L, 1L, None)))
+  }
+
   test("zonemapPruneStats: hand-built files, zone-map intersection, hit counts") {
     // 8 rows laid out by k, 4 per file: file0 has x 1-4 / y 10-40,
     // file1 x 5-8 / y 50-80. Rectangle [2,3]x[20,30] intersects only
