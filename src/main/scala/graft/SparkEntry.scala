@@ -3227,6 +3227,25 @@ object SparkEntry {
           col("user_id"))
         .orderBy("click_id", "purchase_id")
     }),
+    // LEFT OUTER stream-stream join, graded on its null side: clicks
+    // that never converted within the hour, emitted only once the final
+    // watermark (max ts − 2 h, advanced by the no-data micro-batch)
+    // closes their join window — the deterministic subset the oracle
+    // recomputes with the same NOT EXISTS + watermark-cutoff predicate.
+    // Clicks whose window is still open at shutdown stay in state and
+    // emit nothing, exactly as production would hold them.
+    "stream_join_unmatched" -> ((s, d) => {
+      val src = graft.streaming.EventsStreaming
+        .readEventsStream(s, stagedEvents(s, d))
+      val joined = graft.streaming.EventsStreaming.streamStreamLeftJoin(
+        src.where(col("event_type") === "click"),
+        src.where(col("event_type") === "purchase"), within = "1 hour")
+      runStreamToTable(s, joined, "unmatched")
+        .where(col("r_id").isNull)
+        .select(col("l_id").as("click_id"), col("l_ts").as("click_ts"),
+          col("user_id"))
+        .orderBy("click_id")
+    }),
     // Streaming Welford z-scores, graded: the finite source arrives as ONE
     // micro-batch (no maxFilesPerTrigger), so the per-key fold runs in
     // (ts, event_id) order over each key's full history — the oracle
@@ -7295,6 +7314,24 @@ object SparkEntry {
         |  AND r.ts <= l.ts + INTERVAL 1 HOUR
         |WHERE l.event_type = 'click' AND r.event_type = 'purchase'
         |ORDER BY click_id, purchase_id""".stripMargin,
+    // Null-side replay: unmatched-in-window clicks whose join window
+    // closed under the final GLOBAL watermark. Each side's watermark
+    // node sees only its own filtered stream, so the global watermark is
+    // min(max click ts, max purchase ts) − 2 h — pinned empirically
+    // (the last click itself is held: its own arrival defines the
+    // click-side watermark, which can never pass it).
+    "stream_join_unmatched" ->
+      """WITH mx AS (SELECT least(
+        |    max(ts) FILTER (WHERE event_type = 'click'),
+        |    max(ts) FILTER (WHERE event_type = 'purchase')) AS m FROM events),
+        |c AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id AS click_id, c.ts AS click_ts, c.user_id
+        |FROM c, mx
+        |WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+        |    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+        |  AND c.ts + INTERVAL 1 HOUR < mx.m - INTERVAL 2 HOURS
+        |ORDER BY click_id""".stripMargin,
     // Inclusive-prefix running moments per event_type in (ts, event_id)
     // order — the batch replay of the streaming Welford fold (ddof=1,
     // std==0/n<2 → z=0).

@@ -347,6 +347,43 @@ class StreamingAndMultimodalSpec extends SparkTestBase {
     assert(streamed.count() > 0)
   }
 
+  test("left-outer stream-stream join: matched == inner; nulls are the watermark-closed unmatched set") {
+    val dir = stagedEventsDir
+    def side(t: String) = EventsStreaming.readEventsStream(spark, dir)
+      .where(col("event_type") === t)
+    val q = EventsStreaming.streamStreamLeftJoin(
+      side("click"), side("purchase"), within = "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssloj_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ssloj_out")
+    val e = graft.Tables.events(spark, sfTest)
+    val bl = e.where($"event_type" === "click")
+      .select($"user_id", $"event_id".as("l_id"), $"ts".as("l_ts"))
+    val br = e.where($"event_type" === "purchase")
+      .select($"user_id".as("r_user"), $"event_id".as("r_id"), $"ts".as("r_ts"))
+    val inner = bl.join(br, $"user_id" === $"r_user" &&
+      $"r_ts" >= $"l_ts" && $"r_ts" <= $"l_ts" + expr("INTERVAL 1 hour"))
+    // matched rows are exactly the inner join's
+    assert(streamed.where($"r_id".isNotNull).count() == inner.count())
+    // null rows: unmatched clicks whose window closed under the final
+    // GLOBAL watermark min(max click, max purchase) − 2 h — each side's
+    // watermark node sees only its own filtered stream
+    val wm = e.agg(least(
+      max(when($"event_type" === "click", $"ts")),
+      max(when($"event_type" === "purchase", $"ts")))).collect()(0)
+      .getTimestamp(0)
+    val unmatched = bl.join(br, $"user_id" === $"r_user" &&
+        $"r_ts" >= $"l_ts" && $"r_ts" <= $"l_ts" + expr("INTERVAL 1 hour"),
+        "left_anti")
+      .where($"l_ts" + expr("INTERVAL 1 hour") <
+        lit(wm) - expr("INTERVAL 2 hours"))
+    val gotNull = streamed.where($"r_id".isNull).select("l_id")
+      .as[Long].collect().toSet
+    val wantNull = unmatched.select("l_id").as[Long].collect().toSet
+    assert(gotNull == wantNull && gotNull.nonEmpty)
+  }
+
   test("raw zone write partitions by ingest week and prunes on read") {
     val dir = java.nio.file.Files.createTempDirectory("raw-zone").toString
     val e = graft.Tables.events(spark, sfTest)
