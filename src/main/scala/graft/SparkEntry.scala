@@ -3091,6 +3091,15 @@ object SparkEntry {
       graft.multimodal.MultimodalOps.frameDedup(documentsAsMedia(s, d),
         everyMs = 60000L)
         .orderBy("digest")),
+    // Perceptual frame near-dup: aHash-64 per sampled frame window
+    // (bit = pixel above the frame mean, exact integers), paired
+    // through the SimHash tier's Hamming-LSH banding — never all-pairs.
+    // The oracle refolds every fingerprint and brute-forces the Hamming
+    // truth, so the banding join is hash-graded end to end at radius 3.
+    "frame_neardup_ahash" -> ((s, d) =>
+      graft.multimodal.MultimodalOps.framePerceptualPairs(
+        documentsAsMedia(s, d), everyMs = 60000L, maxHamming = 3)
+        .orderBy("media_a", "frame_a_ms", "media_b", "frame_b_ms")),
     // Aspect-preserving resize planning over decoded dims — the decoder
     // fold is replayed in DuckDB HUGEINT arithmetic (shared decoderFoldCte)
     // and the box-fit math is pure doubles, so target dims hash-check
@@ -4049,6 +4058,14 @@ object SparkEntry {
     "heavy_hitters" -> ((s, d) =>
       CorpusOps.heavyHitters(Tables.documents(s, d), "text", minShare = 0.01)
         .orderBy("token")),
+    // Per-doc trigram uniqueness: share of a doc's distinct trigrams
+    // no other doc contains (order-free corpus-count companion to the
+    // first-occurrence ngram_novelty). Two hash aggregates + one
+    // gram-keyed join.
+    "ngram_uniqueness" -> ((s, d) =>
+      CorpusOps.ngramUniqueness(Tables.documents(s, d), "doc_id", "text",
+        n = 3)
+        .orderBy("doc_id")),
     // Pairwise source vocabulary overlap: Jaccard + containment of
     // distinct-token sets per source pair — aggregate near-dup between
     // SOURCES, the mixture-design read. Token-keyed self-join with
@@ -7176,6 +7193,37 @@ object SparkEntry {
           |  (SELECT min(frame_ms) FROM dg
           |   WHERE dg.digest = g.digest AND dg.media_id = g.keep_media) AS keep_frame_ms
           |FROM g ORDER BY digest""".stripMargin),
+    // aHash replay: same 64-byte windows, same integer above-mean bit
+    // fold, brute-force Hamming truth at radius 3 (the quadratic scan is
+    // oracle-side only; the engine runs the banded join).
+    "frame_neardup_ahash" ->
+      (decoderFoldCte +
+        """,
+          |fr AS (SELECT media_id, unnest(range(0, duration_ms, 60000)) AS frame_ms
+          |  FROM decoded WHERE duration_ms > 0),
+          |w AS (SELECT fr.media_id, fr.frame_ms,
+          |    substr(d.text, CAST((fr.frame_ms // 60000) * 64 + 1 AS INTEGER), 64) AS w
+          |  FROM fr JOIN documents d ON fr.media_id = d.doc_id
+          |  WHERE length(d.text) >= ((fr.frame_ms // 60000) + 1) * 64),
+          |px AS (SELECT media_id, frame_ms,
+          |    list_transform(range(1, 65), j -> ord(substr(w, CAST(j AS INTEGER), 1))::BIGINT) AS ps
+          |  FROM w),
+          |fp AS (SELECT media_id, frame_ms,
+          |    list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 32), j ->
+          |      CASE WHEN ps[CAST(j + 1 AS INTEGER)] * 64 > list_sum(ps) THEN (1::BIGINT << CAST(j AS INTEGER)) ELSE 0::BIGINT END)),
+          |      (a, b) -> a | b) AS sh_lo,
+          |    list_reduce(list_prepend(0::BIGINT, list_transform(range(32, 64), j ->
+          |      CASE WHEN ps[CAST(j + 1 AS INTEGER)] * 64 > list_sum(ps) THEN (1::BIGINT << CAST(j - 32 AS INTEGER)) ELSE 0::BIGINT END)),
+          |      (a, b) -> a | b) AS sh_hi
+          |  FROM px),
+          |prs AS (SELECT a.media_id AS media_a, a.frame_ms AS frame_a_ms,
+          |    b.media_id AS media_b, b.frame_ms AS frame_b_ms,
+          |    CAST(bit_count(xor(a.sh_lo, b.sh_lo)) + bit_count(xor(a.sh_hi, b.sh_hi)) AS INT) AS hamming
+          |  FROM fp a JOIN fp b ON (a.media_id < b.media_id
+          |    OR (a.media_id = b.media_id AND a.frame_ms < b.frame_ms)))
+          |SELECT media_a, frame_a_ms, media_b, frame_b_ms, hamming
+          |FROM prs WHERE hamming <= 3
+          |ORDER BY media_a, frame_a_ms, media_b, frame_b_ms""".stripMargin),
     "media_resize" ->
       (decoderFoldCte +
         """
@@ -7729,6 +7777,18 @@ object SparkEntry {
         |kk AS (SELECT doc_id FROM k WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.dig IS NOT DISTINCT FROM k.dig))
         |SELECT d.doc_id, d.lang, d.n_chars FROM documents d JOIN kk USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // Uniqueness replay: same distinct (doc, gram) incidence, same
+    // corpus counts, one IEEE share per doc.
+    "ngram_uniqueness" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS gram
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i)
+        |  WHERE len(toks) >= 3),
+        |c AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(sum(CASE WHEN c.cnt = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_unique,
+        |  floor(CAST(coalesce(sum(CASE WHEN c.cnt = 1 THEN 1 ELSE 0 END), 0) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS uniqueness
+        |FROM g JOIN c USING (gram) GROUP BY 1 ORDER BY 1""".stripMargin,
     "heavy_hitters" ->
       """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
         |c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),

@@ -220,4 +220,64 @@ object MultimodalOps {
         col("__keep.media_id").as("keep_media"),
         col("__keep.frame_ms").as("keep_frame_ms"))
   }
+
+  /** Perceptual frame NEAR-dup — the aHash step [[frameDedup]]'s exact
+    * digests cannot do (re-encoded or slightly-corrupted frames share
+    * no md5): each sampled frame's 64-byte window folds to the classic
+    * average hash (bit j set iff pixel j is above the frame mean —
+    * exact integer comparison p_j·64 > Σp, no float mean), and frames
+    * pair through the SAME Hamming-LSH banding join the SimHash text
+    * tier runs — never an all-pairs scan. Byte values stand in for
+    * decoded pixels exactly the way [[fakeDecoder]] stands in for a
+    * codec: swap the window expression for a real luma plane and
+    * everything downstream (fingerprint fold, banding, Hamming verify)
+    * is already the production plan.
+    *
+    * Scale shape: frame grid from decoded METADATA; windows attach by
+    * media id once and reduce IMMEDIATELY to (composite frame id,
+    * 64-bit fingerprint) before any exchange — the banding join sees 16
+    * bytes per frame, never the media. Composite id = media_id·2²⁰ +
+    * frame index (loud require: index < 2²⁰, media_id < 2⁴³).
+    *
+    * @return (media_a, frame_a_ms, media_b, frame_b_ms, hamming) with
+    *         (media, frame) pairs ordered lexicographically
+    */
+  def framePerceptualPairs(media: DataFrame, everyMs: Long,
+                           maxHamming: Int = 3,
+                           decoder: Decoder = fakeDecoder): DataFrame = {
+    val n = 64
+    val frames = frameSamplePlan(decodeMeta(media, decoder), everyMs)
+    val idx = (col("frame_ms") / lit(everyMs)).cast("long")
+    val guardId = when(
+      idx >= lit(1048576L) || col("media_id") >= lit(8796093022208L),
+      raise_error(format_string(
+        "graft.MultimodalOps.framePerceptualPairs: frame index %d /" +
+          " media id %d overflow the composite key — lengthen everyMs" +
+          " or re-key media first", idx, col("media_id"))).cast("long"))
+      .otherwise(col("media_id") * lit(1048576L) + idx)
+    // aHash-64 with expression-level let-binding: the pixel array binds
+    // once per frame, its sum once per frame — without the nested
+    // single-element-array lets the sum would re-fold per BIT.
+    val fpSql =
+      s"""transform(array(transform(sequence(1, $n), j ->
+         |    CAST(ascii(substr(__w, j, 1)) AS BIGINT))), ps ->
+         |  transform(array(aggregate(ps, 0L, (a, x) -> a + x)), s ->
+         |    aggregate(sequence(0, ${n - 1}), 0L, (acc, j) ->
+         |      acc | CASE WHEN element_at(ps, j + 1) * ${n}L > s
+         |        THEN shiftleft(1L, j) ELSE 0L END))[0])[0]""".stripMargin
+    val fp = frames
+      .join(media.select(col("media_id"),
+        col("bytes").cast("string").as("__t")), Seq("media_id"))
+      .where(length(col("__t")) >= (idx + 1L) * n)
+      .select(guardId.as("id"),
+        col("__t").substr((idx * n + 1L).cast("int"), lit(n)).as("__w"))
+      .select(col("id"), expr(fpSql).as("sh"))
+    graft.ops.Dedup.hammingPairsOf(fp, maxHamming)
+      .select(
+        expr("id_a div 1048576").as("media_a"),
+        (pmod(col("id_a"), lit(1048576L)) * everyMs).as("frame_a_ms"),
+        expr("id_b div 1048576").as("media_b"),
+        (pmod(col("id_b"), lit(1048576L)) * everyMs).as("frame_b_ms"),
+        col("hamming"))
+  }
 }

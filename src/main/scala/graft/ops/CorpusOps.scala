@@ -1718,6 +1718,46 @@ object CorpusOps {
       "n_forms", "n")
   }
 
+  /** Per-document n-gram UNIQUENESS — the corpus-count companion to
+    * [[ngramNovelty]]'s ordered first-occurrence read: the share of a
+    * document's DISTINCT word n-grams that occur in NO other document
+    * (corpus count exactly 1), order-free. Low uniqueness flags
+    * boilerplate/template documents that near-dup measures under
+    * threshold miss; high uniqueness marks content worth its tokens.
+    *
+    * Scale shape: ONE fact-scale explode to distinct (doc, gram)
+    * incidence rows, a gram-keyed hash aggregate for corpus counts, one
+    * join back on the gram key, and a doc-keyed rollup — the standard
+    * two-aggregate inverted-index shape; no gram list ever collects.
+    *
+    * @param n gram width in tokens; documents with fewer than n tokens
+    *          emit no row
+    * @return per doc: (doc id, n_grams — distinct, n_unique — corpus
+    *         count 1, novelty 4-dp)
+    */
+  def ngramUniqueness(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3): DataFrame = {
+    import CoreOps.rnd
+    require(n >= 1, s"n=$n must be positive")
+    val toks = df.select(col(idCol), TextFunctions.tokens(col(textCol))
+      .as("__toks"))
+      .where(size(col("__toks")) >= n)
+    val grams = toks.select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("__toks")) - (n - 1)),
+        i => array_join(slice(col("__toks"), i, lit(n)), " "))).as("gram"))
+      .distinct()
+    val counts = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("__cnt"))
+    grams.join(counts, Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(when(col("__cnt") === 1L, 1L).otherwise(0L)), lit(0L))
+          .as("n_unique"))
+      .select(col(idCol), col("n_grams"), col("n_unique"),
+        rnd(col("n_unique").cast("double") / col("n_grams").cast("double"))
+          .as("uniqueness"))
+  }
+
   /** Apply a trained BPE merge table to the corpus and report the
     * numbers a tokenizer decision actually reads: tokens per word and
     * the chars-per-token compression ratio, per source. Trains via

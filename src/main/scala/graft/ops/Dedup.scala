@@ -602,6 +602,14 @@ object Dedup {
       .distinct() // a pair can agree on several bands
   }
 
+  /** Hamming-LSH pairing over a caller-prepared (id, sh) fingerprint
+    * frame — the banding join shared with the SimHash tier, exposed for
+    * other 64-bit perceptual fingerprints (the multimodal aHash path).
+    */
+  private[graft] def hammingPairsOf(h: DataFrame,
+                                    maxHamming: Int): DataFrame =
+    bandedHammingPairs(h, maxHamming)
+
   /** The banded (id, sh, band, bval) rows behind the Hamming-LSH joins —
     * and the SimHash band MANIFEST's schema for the incremental path:
     * maxHamming + 1 bands per fingerprint, keyed by (band, band value).

@@ -687,6 +687,19 @@ class CorpusOpsSpec extends SparkTestBase {
       CorpusOps.bpeTrainMerges(docs, "text", rounds = 0))
   }
 
+  test("ngramUniqueness: corpus-count-1 share, short docs drop, repeats collapse") {
+    // d1/d2 share "a b c"; each owns one unique trigram → 0.5 each;
+    // d3 has < 3 tokens → no row; d4 repeats its gram (distinct first)
+    val docs = Seq((1L, "a b c d"), (2L, "a b c x"), (3L, "q q"),
+      (4L, "m m m m")).toDF("doc_id", "text")
+    val got = CorpusOps.ngramUniqueness(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // d4: grams {"m m m"} (two slots, ONE distinct), unique to d4 → 1.0
+    assert(got === Seq(
+      (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (4L, 1L, 1L, 1.0)))
+  }
+
   test("temperatureAllocation: sqrt weights, Hamilton apportionment sums to budget") {
     // counts 1/4/16, T=2 → weights 1:2:4 of budget 7 → exact 1/2/4,
     // zero leftover

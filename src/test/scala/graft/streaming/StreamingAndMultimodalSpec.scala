@@ -427,6 +427,29 @@ class StreamingAndMultimodalSpec extends SparkTestBase {
     assert(frames.where($"media_id" === 2L).count() == (d0 + 999) / 1000)
   }
 
+  test("multimodal: framePerceptualPairs — identical windows pair at 0, far windows never") {
+    // custom decoder pins duration so each media yields frames 0 and
+    // 60000 (idx 0, 1); windows are 64-char slices of the text "pixels"
+    val twoFrames: MultimodalOps.Decoder = _ => (16, 16, 120000L)
+    val wA = "a" * 32 + "z" * 32   // half low / half high pixels
+    val wB = "z" * 32 + "a" * 32   // complementary bit order: hamming 64
+    val media = Seq(
+      (1L, wA + wB),   // frames: (1,0)=wA, (1,60000)=wB
+      (2L, wA + wA))   // frames: (2,0)=wA, (2,60000)=wA
+      .toDF("media_id", "text")
+      .select(col("media_id"), lit("text/plain").as("mime"),
+        col("text").cast("binary").as("bytes"))
+    val got = MultimodalOps.framePerceptualPairs(media, everyMs = 60000L,
+      maxHamming = 3, decoder = twoFrames)
+      .orderBy("media_a", "frame_a_ms", "media_b", "frame_b_ms")
+      .as[(Long, Long, Long, Long, Int)].collect().toSeq
+    // the three wA frames pair pairwise at hamming 0 (including the
+    // same-media pair); wB pairs with nothing at radius 3
+    assert(got === Seq(
+      (1L, 0L, 2L, 0L, 0), (1L, 0L, 2L, 60000L, 0),
+      (2L, 0L, 2L, 60000L, 0)))
+  }
+
   test("multimodal: resizePlan fits the box preserving aspect ratio, never upscales") {
     val meta = Seq(
       (1L, 512, 256),   // landscape 2:1 → halves into 256x256 box
