@@ -4066,6 +4066,13 @@ object SparkEntry {
       CorpusOps.ngramUniqueness(Tables.documents(s, d), "doc_id", "text",
         n = 3)
         .orderBy("doc_id")),
+    // Deterministic 2-epoch dataloader order: md5("e#id") permutations,
+    // positions off the two-pass distributed prefix sum (range exchange,
+    // never a single-partition row_number). Content-addressed → every
+    // engine derives the identical order, resumable by position range.
+    "epoch_shuffle" -> ((s, d) =>
+      CorpusOps.epochShuffle(Tables.documents(s, d), "doc_id", epochs = 2)
+        .orderBy("epoch", "position")),
     // Pairwise source vocabulary overlap: Jaccard + containment of
     // distinct-token sets per source pair — aggregate near-dup between
     // SOURCES, the mixture-design read. Token-keyed self-join with
@@ -7777,6 +7784,15 @@ object SparkEntry {
         |kk AS (SELECT doc_id FROM k WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.dig IS NOT DISTINCT FROM k.dig))
         |SELECT d.doc_id, d.lang, d.n_chars FROM documents d JOIN kk USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // Shuffle replay: the same md5 order, ranked (the oracle's
+    // row_number is fine AT ORACLE SCALE; the engine side carries the
+    // distributed prefix-sum contract).
+    "epoch_shuffle" ->
+      """SELECT CAST(e AS BIGINT) AS epoch, doc_id AS id,
+        |  CAST(row_number() OVER (PARTITION BY e
+        |    ORDER BY md5(CAST(e AS VARCHAR) || '#' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS position
+        |FROM documents, (SELECT unnest([0, 1]) AS e)
+        |ORDER BY epoch, position""".stripMargin,
     // Uniqueness replay: same distinct (doc, gram) incidence, same
     // corpus counts, one IEEE share per doc.
     "ngram_uniqueness" ->

@@ -1718,6 +1718,38 @@ object CorpusOps {
       "n_forms", "n")
   }
 
+  /** Deterministic per-epoch training order — the content-addressed
+    * shuffle a distributed dataloader needs: epoch e's permutation
+    * orders documents by md5("e#id") (tiebreak id), so every worker on
+    * every engine derives the SAME order with no RNG state, different
+    * epochs decorrelate (the hash reseeds per epoch), and position is a
+    * pure function of (epoch, corpus) — resumable mid-epoch by
+    * position range.
+    *
+    * Scale shape: positions come from [[graft.ops.ScaleOps
+    * .globalRunningTotal]]'s two-pass distributed prefix sum over the
+    * hash order (range exchange + partition-local sorts) — NEVER a
+    * single-partition row_number, which is the trap a naive
+    * "row_number() over (order by hash)" shuffle falls into at corpus
+    * scale. One pass per epoch; epochs union as plan branches.
+    *
+    * @return (epoch 0.., id, position 1..n within the epoch)
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epochs: Int): DataFrame = {
+    require(epochs >= 1, s"epochs=$epochs must be positive")
+    val base = df.select(col(idCol).cast("long").as("id"))
+      .where(col("id").isNotNull)
+    (0 until epochs).map { e =>
+      val keyed = base.select(col("id"),
+        md5(concat_ws("#", lit(e.toString), col("id").cast("string")))
+          .as("__h"))
+      graft.ops.ScaleOps.globalRunningTotal(keyed,
+        Seq(col("__h"), col("id")), lit(1L))
+        .select(lit(e.toLong).as("epoch"), col("id"),
+          col("cum").as("position"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Per-document n-gram UNIQUENESS — the corpus-count companion to
     * [[ngramNovelty]]'s ordered first-occurrence read: the share of a
     * document's DISTINCT word n-grams that occur in NO other document

@@ -893,6 +893,25 @@ class PlanSpec extends SparkTestBase {
     assert(hashEx <= 3, s"expected <=3 hash exchanges, got $hashEx:\n$plan")
   }
 
+  test("epoch_shuffle: positions via range exchange, never a single-partition window") {
+    // The trap this op exists to avoid: row_number() OVER (ORDER BY
+    // hash) funnels the corpus through ONE task. The distributed
+    // prefix sum's plan must show a range exchange and ZERO window
+    // operators.
+    val plan = executedSimple(
+      SparkEntry.queries("epoch_shuffle")(spark, sf))
+    assert(plan.contains("Exchange rangepartitioning"),
+      s"expected a range exchange:\n$plan")
+    // the final orderBy is the artifact sort; no Window operator may
+    // appear anywhere (the pid-offset window lives on a bounded
+    // partition-count frame inside globalRunningTotal — it shows as
+    // Window over __pid rows; allow only that shape)
+    val windows = "Window \\[".r.findAllIn(plan).toList
+    assert(windows.size <= 2, s"unexpected window operators:\n$plan")
+    assert(!plan.contains("row_number() windowspecdefinition(md5"),
+      s"hash-ordered row_number window must not exist:\n$plan")
+  }
+
   test("knn_ivfadc_topk: candidate scoring is CELL-pruned — the LUT join keys on cell") {
     // The IVFADC contract: a candidate whose coarse cell no query
     // probes must never be scored. Structurally that means the

@@ -687,6 +687,32 @@ class CorpusOpsSpec extends SparkTestBase {
       CorpusOps.bpeTrainMerges(docs, "text", rounds = 0))
   }
 
+  test("epochShuffle: per-epoch permutation, epochs decorrelate, partition-invariant") {
+    val docs = (1L to 40L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val got = CorpusOps.epochShuffle(docs, "doc_id", epochs = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    val byEpoch = got.groupBy(_._1)
+    assert(byEpoch.keySet === Set(0L, 1L))
+    // each epoch is a full 1..n permutation
+    byEpoch.values.foreach { rows =>
+      assert(rows.map(_._3).sorted === (1L to 40L))
+      assert(rows.map(_._2).toSet === (1L to 40L).toSet)
+    }
+    // the two epochs are genuinely different orders
+    val ord0 = byEpoch(0L).sortBy(_._3).map(_._2)
+    val ord1 = byEpoch(1L).sortBy(_._3).map(_._2)
+    assert(ord0 !== ord1)
+    // and the order replays the md5 rank exactly
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(e: Int, id: Long) =
+      md.digest(s"$e#$id".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(ord0 === (1L to 40L).sortBy(id => (h(0, id), id)))
+    // partition-layout invariance (the prefix-sum boundary contract)
+    val re = CorpusOps.epochShuffle(docs.repartition(7), "doc_id", 2)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(re === got.sorted)
+  }
+
   test("ngramUniqueness: corpus-count-1 share, short docs drop, repeats collapse") {
     // d1/d2 share "a b c"; each owns one unique trigram → 0.5 each;
     // d3 has < 3 tokens → no row; d4 repeats its gram (distinct first)
