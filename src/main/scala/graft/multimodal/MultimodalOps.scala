@@ -237,11 +237,32 @@ object MultimodalOps {
     * media id once and reduce IMMEDIATELY to (composite frame id,
     * 64-bit fingerprint) before any exchange — the banding join sees 16
     * bytes per frame, never the media. Composite id = media_id·2²⁰ +
-    * frame index (loud require: index < 2²⁰, media_id < 2⁴³).
+    * frame index (loud require: index < 2²⁰, media_id < 2⁴³). The
+    * fingerprint is the fused [[graft.expressions.AHash64]] kernel
+    * (two allocation-free byte passes in whole-stage codegen);
+    * [[aHash64Composed]] is the spec's reference semantics.
     *
     * @return (media_a, frame_a_ms, media_b, frame_b_ms, hamming) with
     *         (media, frame) pairs ordered lexicographically
     */
+  /** The composable aHash formulation, kept as the spec's reference
+    * semantics for the fused [[graft.expressions.AHash64]] kernel (same
+    * role as the other `*Composed` references): the pixel array binds
+    * once per frame via a single-element-array let, its sum once more —
+    * without the nested lets the sum would re-fold per BIT.
+    */
+  private[graft] def aHash64Composed(windowCol: String): Column = {
+    val n = 64
+    val w = windowCol
+    expr(
+      s"""transform(array(transform(sequence(1, $n), j ->
+         |    CAST(ascii(substr($w, j, 1)) AS BIGINT))), ps ->
+         |  transform(array(aggregate(ps, 0L, (a, x) -> a + x)), s ->
+         |    aggregate(sequence(0, ${n - 1}), 0L, (acc, j) ->
+         |      acc | CASE WHEN element_at(ps, j + 1) * ${n}L > s
+         |        THEN shiftleft(1L, j) ELSE 0L END))[0])[0]""".stripMargin)
+  }
+
   def framePerceptualPairs(media: DataFrame, everyMs: Long,
                            maxHamming: Int = 3,
                            decoder: Decoder = fakeDecoder): DataFrame = {
@@ -255,23 +276,14 @@ object MultimodalOps {
           " media id %d overflow the composite key — lengthen everyMs" +
           " or re-key media first", idx, col("media_id"))).cast("long"))
       .otherwise(col("media_id") * lit(1048576L) + idx)
-    // aHash-64 with expression-level let-binding: the pixel array binds
-    // once per frame, its sum once per frame — without the nested
-    // single-element-array lets the sum would re-fold per BIT.
-    val fpSql =
-      s"""transform(array(transform(sequence(1, $n), j ->
-         |    CAST(ascii(substr(__w, j, 1)) AS BIGINT))), ps ->
-         |  transform(array(aggregate(ps, 0L, (a, x) -> a + x)), s ->
-         |    aggregate(sequence(0, ${n - 1}), 0L, (acc, j) ->
-         |      acc | CASE WHEN element_at(ps, j + 1) * ${n}L > s
-         |        THEN shiftleft(1L, j) ELSE 0L END))[0])[0]""".stripMargin
     val fp = frames
       .join(media.select(col("media_id"),
         col("bytes").cast("string").as("__t")), Seq("media_id"))
       .where(length(col("__t")) >= (idx + 1L) * n)
       .select(guardId.as("id"),
         col("__t").substr((idx * n + 1L).cast("int"), lit(n)).as("__w"))
-      .select(col("id"), expr(fpSql).as("sh"))
+      .select(col("id"),
+        graft.expressions.AHash64.ahash(col("__w")).as("sh"))
     graft.ops.Dedup.hammingPairsOf(fp, maxHamming)
       .select(
         expr("id_a div 1048576").as("media_a"),

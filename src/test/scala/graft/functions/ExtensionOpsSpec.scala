@@ -305,6 +305,25 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(incDf.count() === incDf.select("id_a", "id_b").distinct().count())
   }
 
+  test("AHash64 fused kernel is bit-identical to the composed HOF form") {
+    // real fixture text windows + crafted edges: short window (< 64
+    // chars — zero-pixels past the end), uniform window (no bit can
+    // exceed the mean), half/half split
+    val d = graft.Tables.documents(spark, sfTest)
+      .select(substring($"text", 1, 64).as("w"))
+      .unionAll(Seq("abc", "z" * 64, "a" * 32 + "z" * 32)
+        .toDF("w"))
+    val diff = d.select(
+        graft.expressions.AHash64.ahash($"w").as("fast"),
+        graft.multimodal.MultimodalOps.aHash64Composed("w").as("ref"))
+      .where($"fast" =!= $"ref")
+    assert(diff.count() == 0)
+    // uniform window: every p·64 == sum, never >, fp = 0
+    val z = Seq("z" * 64).toDF("w")
+      .select(graft.expressions.AHash64.ahash($"w")).as[Long].collect().head
+    assert(z === 0L)
+  }
+
   test("incrementalSimhashPairs: manifest probe == full-corpus Hamming run") {
     // Pigeonhole losslessness holds across frames: parity-split the
     // fixture, probe the existing half's band manifest with the batch
