@@ -1795,6 +1795,15 @@ object SparkEntry {
     // REL − RES + UNC, every squared term an exact micro² long before
     // its sum, the direct fact-scale Brier alongside so the binning
     // residual is visible. One row, four IEEE divisions at the end.
+    // Weekly purchase-rate Wilson bands: the error bar a conversion
+    // readout ships with, correct at small n / extreme rates where the
+    // Wald band collapses. One (n, pos) aggregate; the interval is one
+    // fixed IEEE expression both engines evaluate identically.
+    "wilson_rates" -> ((s, d) =>
+      StatOps.wilsonIntervals(Tables.events(s, d),
+        date_trunc("week", col("ts")), col("event_type") === "purchase")
+        .withColumnRenamed("g", "week")
+        .orderBy("week")),
     "brier_decomposition" -> ((s, d) =>
       StatOps.brierDecomposition(
         Tables.events(s, d).where(col("value").isNotNull),
@@ -5327,6 +5336,23 @@ object SparkEntry {
         |  CAST((pos * 1000000) // n AS BIGINT) AS frac_pos_micro,
         |  CAST(ssum // n - (pos * 1000000) // n AS BIGINT) AS gap_micro
         |FROM b ORDER BY bin""".stripMargin,
+    // Wilson replay: identical expression order; z² written as the
+    // product 1.96 * 1.96 (the exact double the engine computes), never
+    // the decimal 3.8416 (which parses to a DIFFERENT double).
+    "wilson_rates" ->
+      """WITH a AS (SELECT date_trunc('week', ts) AS week, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(event_type = 'purchase' AS INT)) AS BIGINT) AS pos
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1),
+        |e AS (SELECT week, n, pos,
+        |    CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |    CAST(n AS DOUBLE) AS nd FROM a)
+        |SELECT week, n, pos,
+        |  floor(p * 10000 + 0.5) / 10000 AS rate,
+        |  floor(((p + (1.96 * 1.96) / (2.0 * nd)) / (1.0 + (1.96 * 1.96) / nd)
+        |    - (1.96 * sqrt(p * (1.0 - p) / nd + (1.96 * 1.96) / (4.0 * nd * nd))) / (1.0 + (1.96 * 1.96) / nd)) * 10000 + 0.5) / 10000 AS wilson_lo,
+        |  floor(((p + (1.96 * 1.96) / (2.0 * nd)) / (1.0 + (1.96 * 1.96) / nd)
+        |    + (1.96 * sqrt(p * (1.0 - p) / nd + (1.96 * 1.96) / (4.0 * nd * nd))) / (1.0 + (1.96 * 1.96) / nd)) * 10000 + 0.5) / 10000 AS wilson_hi
+        |FROM e ORDER BY week""".stripMargin,
     // Murphy replay: same binning, exact micro² term sums, the direct
     // fact-scale Brier, four IEEE divisions in the same order.
     "brier_decomposition" ->

@@ -513,6 +513,44 @@ object StatOps {
         (col("mean_pred_micro") - col("frac_pos_micro")).as("gap_micro"))
   }
 
+  /** Per-group Wilson score interval (Wilson 1927) for a binary rate —
+    * the error bar a conversion/defect-rate readout ships with, correct
+    * where the naive ±z√(p̂q̂/n) Wald band fails (small n, p̂ near 0/1:
+    * Wald collapses to zero width at p̂ ∈ {0, 1}; Wilson never does):
+    * center = (p̂ + z²/2n) / (1 + z²/n), half-width =
+    * z·√(p̂q̂/n + z²/4n²) / (1 + z²/n).
+    *
+    * Determinism: (n, pos) are exact longs off one hash aggregate; the
+    * interval is ONE fixed IEEE expression over them (√ is correctly
+    * rounded by IEEE 754; the z² literal parses to the same double in
+    * both engines), 4-dp displayed.
+    *
+    * Scale shape: one fact-scale hash aggregate to the per-group
+    * (n, pos) table; everything after is group-count bounded, map-only.
+    *
+    * @param z normal quantile (default 1.96 — the 95 % band)
+    * @return per group: (g, n, pos, rate, wilson_lo, wilson_hi), 4-dp
+    */
+  def wilsonIntervals(df: DataFrame, group: Column, success: Column,
+                      z: Double = 1.96): DataFrame = {
+    import CoreOps.rnd
+    require(z > 0, s"z=$z must be positive")
+    val agged = df.where(group.isNotNull && success.isNotNull)
+      .groupBy(group.as("g"))
+      .agg(count(lit(1)).as("n"), sum(success.cast("int")).as("pos"))
+    val nD = col("n").cast("double")
+    val p = col("pos").cast("double") / nD
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / nD
+    val center = (p + z2 / (lit(2.0) * nD)) / denom
+    val hw = (lit(z) * sqrt(p * (lit(1.0) - p) / nD
+      + z2 / (lit(4.0) * nD * nD))) / denom
+    agged.select(col("g"), col("n"), col("pos"),
+      rnd(p).as("rate"),
+      rnd(center - hw).as("wilson_lo"),
+      rnd(center + hw).as("wilson_hi"))
+  }
+
   /** Cohen's κ inter-annotator agreement (Cohen 1960) — the label-noise
     * read a data-labeling pipeline runs between two raters (or a rater
     * and a heuristic): κ = (p_o − p_e)/(1 − p_e), chance-corrected

@@ -336,6 +336,37 @@ class StatOpsSpec extends SparkTestBase {
       StatOps.kendallTau(big, col("x"), col("y"), maxN = 1))
   }
 
+  test("wilsonIntervals: hand case, extreme-rate behavior vs the Wald collapse") {
+    // g1: 3/4 successes → p̂ 0.75; replay the closed form in Scala
+    // (same IEEE op order as the Column expression)
+    val rows = Seq(("g1", true), ("g1", true), ("g1", true), ("g1", false),
+      ("g2", false), ("g2", false))
+    val got = StatOps.wilsonIntervals(rows.toDF("g", "s"), col("g"), col("s"))
+      .orderBy("g")
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    def wilson(n: Long, pos: Long): (Double, Double) = {
+      val nd = n.toDouble; val p = pos.toDouble / nd; val z2 = 1.96 * 1.96
+      val denom = 1.0 + z2 / nd
+      val c = (p + z2 / (2.0 * nd)) / denom
+      val hw = (1.96 * math.sqrt(p * (1.0 - p) / nd
+        + z2 / (4.0 * nd * nd))) / denom
+      (r4(c - hw), r4(c + hw))
+    }
+    assert(got(0) === (("g1", 4L, 3L, 0.75) match {
+      case (g, n, pos, rate) =>
+        val (lo, hi) = wilson(n, pos); (g, n, pos, rate, lo, hi)
+    }))
+    // p̂ = 0: the Wald band collapses to [0, 0]; Wilson stays a real
+    // interval strictly inside (0, 1) at its upper end
+    val (lo2, hi2) = wilson(2L, 0L)
+    assert(got(1) === (("g2", 2L, 0L, 0.0, lo2, hi2)))
+    assert(hi2 > 0.0 && hi2 < 1.0, s"upper bound $hi2")
+    intercept[IllegalArgumentException](
+      StatOps.wilsonIntervals(rows.toDF("g", "s"), col("g"), col("s"),
+        z = 0.0))
+  }
+
   test("cohensKappa: hand confusion matrix, degenerate and disjoint labels") {
     // (x,x)×20 (y,y)×10 (x,y)×5 (y,x)×5: n=40, agree=30, po=0.75;
     // margins 25/15 both sides → e=850, pe=850/1600=0.5313;
