@@ -1971,13 +1971,18 @@ object SparkEntry {
     "bpe_train_merges" -> ((s, d) =>
       CorpusOps.bpeTrainMerges(Tables.documents(s, d), "text", rounds = 8)
         .orderBy("round")),
-    // The trained tokenizer APPLIED: encode every word occurrence with
-    // the 8-merge table (chained greedy replaces, map-only) and read
-    // the numbers a tokenizer decision cares about — tokens/word and
-    // chars/token compression per source. Train small, apply wide.
+    // The trained tokenizer APPLIED at a REAL merge count (64 rounds):
+    // the encode is vocabulary-scale — training's final segmented
+    // vocabulary already carries every merge, so the per-form token
+    // count is one expression over it and the corpus-scale pass is ONE
+    // broadcast join of occurrences against (form → n_tokens). Plan
+    // depth on the fact side is independent of the merge count
+    // (PlanSpec pins: one broadcast join, zero regex rewrites on the
+    // corpus). Train small, apply wide — now true at production
+    // vocabulary sizes, not just toy ones.
     "bpe_encode_stats" -> ((s, d) =>
       CorpusOps.bpeEncodeStats(Tables.documents(s, d), "source", "text",
-        rounds = 8)
+        rounds = 64)
         .orderBy("source")),
 
     // Inverse-cloze-task pairs: per document a hash-picked 10-token
@@ -4623,28 +4628,39 @@ object SparkEntry {
     */
   private val bpeRounds = 8
 
-  /** The training CTE chain shared by the two BPE oracles (v0 and
-    * `bpeRounds` × (p_i, m_i, v_i) blocks, no leading WITH).
+  /** Encode grade runs the trained tokenizer at a REAL merge count —
+    * the round-10 verdict's scale test for the vocabulary-scale encode
+    * path (plan depth must not grow with the merge table). The sf0.01
+    * fixture exhausts at 89 merges, so all 64 realize.
     */
-  private val bpeTrainCtes: String = {
+  private val bpeEncodeRounds = 64
+
+  /** The training CTE chain shared by the two BPE oracles (v0 and
+    * `rounds` × (p_i, m_i, v_i) blocks, no leading WITH). v_i/m_i are
+    * MATERIALIZED: each v_i is referenced twice (p_{i+1} and v_{i+1}),
+    * so DuckDB's default CTE inlining re-evaluates the chain
+    * exponentially in the round count — harmless at 8 rounds, a
+    * non-terminating plan at 64.
+    */
+  private def bpeTrainCtesFor(rounds: Int): String = {
     val v0 =
-      """v0 AS (SELECT regexp_replace(w, '(.)', '(\1)', 'g') AS seg, c FROM (
+      """v0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', '(\1)', 'g') AS seg, c FROM (
         |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |  WHERE length(w) >= 2 GROUP BY 1))""".stripMargin
-    val per = (1 to bpeRounds).map { i =>
+    val per = (1 to rounds).map { i =>
       val p = i - 1
       s"""p$i AS (SELECT s[x] AS l, s[x+1] AS r, CAST(count(*) AS BIGINT) AS n_forms, CAST(sum(c) AS BIGINT) AS n FROM (
          |    SELECT string_split(seg[2:-2], ')(') AS s, c FROM v$p),
          |    LATERAL (SELECT unnest(range(1, len(s))) AS x) WHERE len(s) >= 2 GROUP BY 1, 2),
-         |m$i AS (SELECT l, r, n_forms, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
-         |v$i AS (SELECT replace(seg, '(' || l || ')(' || r || ')', '(' || l || r || ')') AS seg, c FROM v$p CROSS JOIN m$i)""".stripMargin
+         |m$i AS MATERIALIZED (SELECT l, r, n_forms, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+         |v$i AS MATERIALIZED (SELECT replace(seg, '(' || l || ')(' || r || ')', '(' || l || r || ')') AS seg, c FROM v$p CROSS JOIN m$i)""".stripMargin
     }
     (v0 +: per).mkString(",\n")
   }
 
   private val bpeTrainOracle: String =
-    "WITH " + bpeTrainCtes + "\n" +
+    "WITH " + bpeTrainCtesFor(bpeRounds) + "\n" +
       (1 to bpeRounds).map(i =>
         s"SELECT CAST($i AS BIGINT) AS round, l AS left_sym, r AS right_sym," +
           s" l || r AS merged, n_forms, n FROM m$i")
@@ -4652,9 +4668,11 @@ object SparkEntry {
 
   /** Encode oracle: the trained m_i merges applied in order to EVERY
     * word occurrence (chained scalar-subquery replaces — each m_i is a
-    * 1-row CTE on this corpus), then the per-source stats. Assumes all
-    * `bpeRounds` rounds realize (they do on this fixture; the engine
-    * side would simply chain fewer replaces on an exhausted corpus).
+    * 1-row CTE on this corpus), then the per-source stats. Exhaustion-
+    * proof: an empty m_i makes its scalar subqueries NULL and the
+    * coalesce falls back to the unmodified seg, mirroring the engine's
+    * early stop (the sf0.01 fixture realizes all 64, but the oracle
+    * must not depend on that).
     */
   private val bpeEncodeOracle: String = {
     val e0 =
@@ -4662,19 +4680,20 @@ object SparkEntry {
         |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents WHERE source IS NOT NULL)
         |  WHERE length(w) >= 1),
         |e0 AS (SELECT source, chars, regexp_replace(w, '(.)', '(\1)', 'g') AS seg FROM words)""".stripMargin
-    val steps = (1 to bpeRounds).map { i =>
+    val steps = (1 to bpeEncodeRounds).map { i =>
       val p = i - 1
-      s"""e$i AS (SELECT source, chars, replace(seg,
+      s"""e$i AS (SELECT source, chars, coalesce(replace(seg,
          |    '(' || (SELECT l FROM m$i) || ')(' || (SELECT r FROM m$i) || ')',
-         |    '(' || (SELECT l || r FROM m$i) || ')') AS seg FROM e$p)""".stripMargin
+         |    '(' || (SELECT l || r FROM m$i) || ')'), seg) AS seg FROM e$p)""".stripMargin
     }
-    "WITH " + bpeTrainCtes + ",\n" + (e0 +: steps).mkString(",\n") + "\n" +
+    "WITH " + bpeTrainCtesFor(bpeEncodeRounds) + ",\n" +
+      (e0 +: steps).mkString(",\n") + "\n" +
       s"""SELECT source, CAST(count(*) AS BIGINT) AS n_words,
          |  CAST(sum(chars) AS BIGINT) AS n_chars,
          |  CAST(sum(length(seg) - length(replace(seg, '(', ''))) AS BIGINT) AS n_tokens,
          |  floor(CAST(sum(length(seg) - length(replace(seg, '(', ''))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS tokens_per_word,
          |  floor(CAST(sum(chars) AS DOUBLE) / sum(length(seg) - length(replace(seg, '(', ''))) * 10000 + 0.5) / 10000 AS chars_per_token
-         |FROM e$bpeRounds GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM e$bpeEncodeRounds GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(

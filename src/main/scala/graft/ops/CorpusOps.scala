@@ -1623,21 +1623,42 @@ object CorpusOps {
       .select(col("rk"), col("pair"), col("n_forms"), col("n"))
   }
 
+  /** Loud precondition for the BPE tier's delimiter-wrapped symbol
+    * encoding: a word containing '(' / ')' would corrupt symbol
+    * boundaries (the wrapping relies on parens never occurring INSIDE a
+    * symbol), and a line terminator is skipped by the `(.)` wrapping
+    * regex entirely — both would silently skew pair counts and the
+    * open-delimiter token count in [[bpeEncodeStats]], identically in
+    * engine and oracle, so the hash grade could never catch it. Fail
+    * loudly instead of fingerprinting garbage.
+    */
+  private def bpeSafeWord(w: Column): Column =
+    when(w.rlike("[()\\n\\r\\u0085\\u2028\\u2029]"),
+      raise_error(format_string(
+        "graft.CorpusOps BPE: word %s contains a delimiter paren or " +
+          "line terminator — the (sym) wrapping requires paren-free " +
+          "single-line words; clean the corpus first", w)).cast("string"))
+      .otherwise(w)
+
   /** Segmented weighted vocabulary for [[bpeTrainMerges]]: the ONE
     * corpus-scale aggregate of the whole training loop. Each word
     * becomes a delimiter-wrapped symbol string — "abc" → "(a)(b)(c)" —
     * so a merge is ONE string replace: `(l)(r)` → `(lr)`, greedy
     * left-to-right non-overlapping in both engines (standard `replace`
     * semantics), with the parens making cross-symbol matches impossible
-    * (symbols are letter runs; parens never occur inside one).
-    * Checkpointed: every training round re-reads THIS frame's
-    * descendants, never the corpus.
+    * (symbols are letter runs; [[bpeSafeWord]] enforces that parens and
+    * line terminators never occur inside one — loudly, not by
+    * assumption). Checkpointed: every training round re-reads THIS
+    * frame's descendants, never the corpus.
     */
   private[ops] def bpeVocabSeg(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
       .where(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .select(regexp_replace(col("w"), "(.)", "($1)").as("seg"), col("c"))
+      // guard on the aggregated vocabulary — every distinct word is
+      // checked, at vocabulary scale instead of per occurrence
+      .select(regexp_replace(bpeSafeWord(col("w")), "(.)", "($1)").as("seg"),
+        col("c"))
       .localCheckpoint(true)
 
   /** Adjacent-symbol pair counts over a segmented vocabulary — one
@@ -1687,16 +1708,42 @@ object CorpusOps {
     */
   def bpeTrainMerges(df: DataFrame, textCol: String,
                      rounds: Int): DataFrame = {
+    val (merges, vocab) = bpeTrainLoop(df, textCol, rounds)
+    vocab.unpersist(true)
+    merges
+  }
+
+  /** The shared training loop: returns BOTH the merge table and the
+    * FINAL segmented vocabulary (checkpointed — every trained merge
+    * already applied to every form). The final vocab is what makes
+    * [[bpeEncodeStats]]' encode pass vocabulary-scale: the per-form
+    * token count is already sitting in it, no per-merge rewrite ever
+    * touches the corpus. Callers that don't consume the vocab must
+    * unpersist it ([[bpeTrainMerges]] does).
+    */
+  private def bpeTrainLoop(df: DataFrame, textCol: String,
+                           rounds: Int): (DataFrame, DataFrame) = {
     require(rounds >= 1, s"rounds=$rounds must be positive")
     val spark = df.sparkSession
     import spark.implicits._
+    // Per-round checkpoints are LAZY: round N's argmax job is what
+    // materializes generation N−1's rewrite (the clusterPairs
+    // single-job-per-round discipline) — an eager checkpoint would run
+    // a second, redundant job per merge, and at a production merge
+    // count the loop's cost is pure job overhead. A generation may
+    // only be freed AFTER its successor materializes (lazy lineage
+    // truncates to the checkpoint; freeing the parent first would drop
+    // the only copy), hence the two-generation window.
     var vocab = bpeVocabSeg(df, textCol)
+    var prev: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long, Long)]
     var exhausted = false
     for (round <- 1 to rounds if !exhausted) {
       val top = bpeRoundPairs(vocab)
         .orderBy(col("n").desc, col("l"), col("r")).limit(1).collect()
+      // `vocab` is materialized now — its parent generation is free
+      if (prev != null) { prev.unpersist(true); prev = null }
       if (top.isEmpty) exhausted = true
       else {
         val row = top.head
@@ -1708,14 +1755,17 @@ object CorpusOps {
             lit(java.util.regex.Pattern.quote(s"($l)($r)")),
             lit(java.util.regex.Matcher.quoteReplacement(s"(${l + r})")))
             .as("seg"),
-          col("c")).localCheckpoint(true)
-        vocab.unpersist(true)
+          col("c")).localCheckpoint(false)
+        prev = vocab
         vocab = next
       }
     }
-    vocab.unpersist(true)
-    merges.toSeq.toDF("round", "left_sym", "right_sym", "merged",
-      "n_forms", "n")
+    // The final generation may still be lazy — materialize it before
+    // freeing its parent, so callers hand downstream plans a sealed
+    // checkpoint (bpeEncodeStats' broadcast build reads it directly).
+    if (prev != null) { vocab.count(); prev.unpersist(true) }
+    (merges.toSeq.toDF("round", "left_sym", "right_sym", "merged",
+      "n_forms", "n"), vocab)
   }
 
   /** Deterministic per-epoch training order — the content-addressed
@@ -1792,18 +1842,27 @@ object CorpusOps {
 
   /** Apply a trained BPE merge table to the corpus and report the
     * numbers a tokenizer decision actually reads: tokens per word and
-    * the chars-per-token compression ratio, per source. Trains via
-    * [[bpeTrainMerges]] (driver-bounded merge list), then ENCODES every
-    * word occurrence map-only: delimiter-wrap, apply the merges in
-    * training order (each one engine-identical greedy `replace`), count
-    * surviving symbols as the open-delimiter count — no per-row loops,
-    * no UDF, the whole encode is `rounds` chained string rewrites
-    * inside whole-stage codegen.
+    * the chars-per-token compression ratio, per source.
     *
-    * Scale shape: training is [[bpeTrainMerges]]' vocabulary-scale
-    * loop; encoding is ONE map-only pass over the corpus + one
-    * source-keyed hash aggregate. This is the tokenize-the-corpus cost
-    * model at 100 TB: train small, apply wide.
+    * The encode is VOCABULARY-scale, not merge-chain-scale: training's
+    * final segmented vocabulary ([[bpeTrainLoop]]) already carries
+    * every merge applied to every DISTINCT form, so the per-form token
+    * count is one expression over it — count the open delimiters — and
+    * the form itself is recovered by stripping them (symbols
+    * concatenate back to the original word). The corpus-scale pass is
+    * then ONE map-side broadcast join of word occurrences against that
+    * (form → token count) table. A 30k-merge production vocabulary
+    * costs the corpus pass exactly what an 8-merge toy one does — the
+    * merge count never appears in the fact-side plan (the previous
+    * formulation chained one `regexp_replace` PER MERGE over every
+    * occurrence, linear plan growth that would not survive codegen at
+    * real merge counts).
+    *
+    * Scale shape at 100 TB: train small (vocabulary-scale loop, driver
+    * argmax, per-round checkpoint+free), apply wide (one broadcast
+    * hash join + one source-keyed hash aggregate over the corpus).
+    * Words shorter than the vocabulary's 2-char floor encode as one
+    * symbol — the coalesce arm of the join.
     *
     * @return per source: (source, n_words, n_chars, n_tokens,
     *         tokens_per_word 4-dp, chars_per_token 4-dp)
@@ -1811,22 +1870,20 @@ object CorpusOps {
   def bpeEncodeStats(df: DataFrame, sourceCol: String, textCol: String,
                      rounds: Int): DataFrame = {
     import CoreOps.rnd
-    val merges = bpeTrainMerges(df, textCol, rounds)
-      .orderBy("round").collect()
-      .map(r => (r.getString(1), r.getString(2))).toSeq
-    val seg0 = regexp_replace(col("w"), "(.)", "($1)")
-    val encoded = merges.foldLeft(seg0) { case (seg, (l, r)) =>
-      regexp_replace(seg,
-        lit(java.util.regex.Pattern.quote(s"($l)($r)")),
-        lit(java.util.regex.Matcher.quoteReplacement(s"(${l + r})")))
-    }
+    val (_, finalVocab) = bpeTrainLoop(df, textCol, rounds)
+    // (form → n_tokens) off the final vocabulary: strip the delimiters
+    // to recover the word, count '(' for the surviving symbol count
+    val formTokens = finalVocab.select(
+      translate(col("seg"), "()", "").as("w"),
+      (length(col("seg")) - length(translate(col("seg"), "(", "")))
+        .cast("long").as("__vt"))
     df.where(col(sourceCol).isNotNull)
       .select(col(sourceCol).as("source"),
         explode(TextFunctions.tokens(col(textCol))).as("w"))
       .where(length(col("w")) >= 1)
+      .join(broadcast(formTokens), Seq("w"), "left")
       .select(col("source"), length(col("w")).cast("long").as("__chars"),
-        (length(encoded) - length(translate(encoded, "(", "")))
-          .cast("long").as("__toks"))
+        coalesce(col("__vt"), lit(1L)).as("__toks"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_words"),
         sum(col("__chars")).as("n_chars"),

@@ -912,6 +912,31 @@ class PlanSpec extends SparkTestBase {
       s"hash-ordered row_number window must not exist:\n$plan")
   }
 
+  test("bpe_encode_stats: corpus pass is ONE broadcast join — plan depth independent of merge count") {
+    // The round-10 scale fix: the previous encode chained one
+    // regexp_replace per trained merge over every word OCCURRENCE —
+    // fact-side plan growth linear in the merge table, unviable at a
+    // production 30k-merge vocabulary. The vocabulary-scale encode
+    // keeps every rewrite on the checkpointed vocab loop; the
+    // corpus-scale pass is one broadcast probe of (form → n_tokens).
+    // Pin both halves: zero regex rewrites anywhere in the executed
+    // plan (the vocab side enters as a sealed checkpoint scan), and a
+    // plan that is LINE-FOR-LINE the same size at 2 and 8 merges.
+    val docs = Tables.documents(spark, sf)
+    def planAt(rounds: Int) = executedSimple(
+      CorpusOps.bpeEncodeStats(docs, "source", "text", rounds))
+    val p2 = planAt(2)
+    val p8 = planAt(8)
+    Seq(p2, p8).foreach { p =>
+      assert(!p.contains("regexp_replace"),
+        s"no per-merge rewrite may reach the corpus pass:\n$p")
+      val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+      assert(bhj === 1, s"expected exactly 1 broadcast join, got $bhj:\n$p")
+    }
+    assert(p2.linesIterator.size === p8.linesIterator.size,
+      s"plan depth grew with the merge count:\n$p2\n--- vs ---\n$p8")
+  }
+
   test("knn_ivfadc_topk: candidate scoring is CELL-pruned — the LUT join keys on cell") {
     // The IVFADC contract: a candidate whose coarse cell no query
     // probes must never be scored. Structurally that means the

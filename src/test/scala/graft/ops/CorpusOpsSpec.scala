@@ -768,6 +768,33 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(got === Seq(
       ("A", 2L, 6L, 3L, 1.5, 2.0),
       ("B", 1L, 4L, 2L, 2.0, 2.0)))
+    // rounds beyond exhaustion: training stops early (4 realizable
+    // merges), every form collapses to ONE symbol, and the
+    // vocabulary-scale encode reads that final state — no per-merge
+    // fact-side chain to run off the end of
+    val full = CorpusOps.bpeEncodeStats(docs, "source", "text", rounds = 50)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(full === Seq(
+      ("A", 2L, 6L, 2L, 1.0, 3.0),
+      ("B", 1L, 4L, 1L, 1.0, 4.0)))
+  }
+
+  test("BPE guard: words with delimiter parens or line terminators fail loudly") {
+    // The (sym) wrapping relies on parens never occurring inside a
+    // symbol and on `(.)` seeing every char — a '(' or a newline in a
+    // word would silently corrupt symbol boundaries IDENTICALLY in
+    // engine and oracle, which the hash grade can never catch. The
+    // precondition is enforced, not assumed.
+    val bad = Seq(("A", "ok(word here")).toDF("source", "text")
+    val e = intercept[Exception](
+      CorpusOps.bpeTrainMerges(bad, "text", rounds = 2).collect())
+    assert(e.getMessage.contains("delimiter paren"), e.getMessage)
+    val nl = Seq(("A", "ok")).toDF("source", "text")
+      .select(col("source"), concat(lit("a"), lit("\n"), lit("b")).as("text"))
+    val e2 = intercept[Exception](
+      CorpusOps.bpeEncodeStats(nl, "source", "text", rounds = 1).collect())
+    assert(e2.getMessage.contains("line terminator"), e2.getMessage)
   }
 
   test("bpeTrainMerges: per-round work is vocabulary-scale — no corpus rescan") {
