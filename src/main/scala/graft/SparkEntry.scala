@@ -521,6 +521,27 @@ object SparkEntry {
       (sized, edges, degrees)
     })
 
+  /** The hub-filtered, center-partitioned wedge adjacency at the graded
+    * cap, memoized like the edge list it derives from. Round-10's
+    * remaining bench-hygiene defect (r9 task 5, link_predict run-2 at
+    * 2.95× min) traced to exactly this table: each EXECUTION rebuilt and
+    * re-checkpointed it, so run N executed on top of runs 1..N−1's dead
+    * adjacency blocks — reclaimable only when driver GC happened to feed
+    * the ContextCleaner. One shared checkpoint removes the per-run
+    * scratch entirely (and is the production shape the scaladoc already
+    * claimed: the adjacency is a per-snapshot derived table, not
+    * per-query scratch). Separate cache from [[basketGraph]] so the
+    * eleven other family members don't pay its build on first touch.
+    */
+  private val linkAdjCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def linkAdjacency(s: SparkSession, d: String): DataFrame =
+    linkAdjCache.getOrElseUpdate((s.sparkContext.applicationId, d), {
+      val (_, edges, deg) = basketGraph(s, d)
+      GraphOps.linkPredictionAdjacency(edges, deg, maxDegree = 100L)
+    })
+
   private def weeklyFormatAgg(events: DataFrame): DataFrame =
     events
       .withColumn("week", CoreOps.weekStart(col("ts")))
@@ -860,6 +881,9 @@ object SparkEntry {
         "community_modularity", "negative_edges", "random_walks",
         "skipgram_pairs"),
       () => basketGraphCache.clear()),
+    ("link_adj",
+      Set("link_predict"),
+      () => linkAdjCache.clear()),
     ("verified_pairs",
       Set("dedup_groups", "dedup_keep_best", "dedup_keep_canonical",
         "neardup_safe_split"),
@@ -2312,8 +2336,8 @@ object SparkEntry {
     // the candidate table to evidenced pairs.
     "link_predict" -> ((s, d) => {
       val (_, edges, deg) = basketGraph(s, d)
-      GraphOps.linkPredictionsOf(edges, deg,
-        maxDegree = 100L, minCommon = 10L)
+      GraphOps.linkPredictionsOnAdj(linkAdjacency(s, d), edges, deg,
+        minCommon = 10L)
         .orderBy("id_a", "id_b")
     }),
 

@@ -145,31 +145,49 @@ object GraphOps {
     * share a checkpointed table instead of re-deriving it per use).
     */
   def linkPredictionsOf(e: DataFrame, deg: DataFrame,
-                        maxDegree: Long, minCommon: Long): DataFrame = {
+                        maxDegree: Long, minCommon: Long): DataFrame =
+    linkPredictionsOnAdj(linkPredictionAdjacency(e, deg, maxDegree),
+      e, deg, minCommon)
+
+  /** The hub-filtered (center, leaf) adjacency [[linkPredictionsOnAdj]]
+    * wedges over, materialized pre-partitioned by center — split out so
+    * callers can build it ONCE per graph snapshot and share it across
+    * executions (the production shape: the adjacency is a derived table
+    * every wedge-style query reads, not per-query scratch; SparkEntry
+    * memoizes it exactly like the edge list itself).
+    *
+    * Both directions, hub centers dropped. The drop is an anti-join
+    * against the HUB set (nodes above the cap) — a power-law graph has
+    * few hubs, so the filter side broadcasts and the adjacency stream
+    * reaches the wedge self-join without an extra node-keyed shuffle;
+    * joining the (node-cardinality) kept-set instead would shuffle the
+    * adjacency once more for the same answer. The self-join consumes
+    * the adjacency twice, and left lazy each side re-instantiated the
+    * union + anti-join + its own center exchange and sort (round-7
+    * plan: two identical Exchanges feeding the wedge SortMergeJoin —
+    * exchange reuse did not canonicalize them together). One
+    * repartition + local sort + eager localCheckpoint pins a single
+    * copy both sides read with ZERO further exchange or sort.
+    */
+  def linkPredictionAdjacency(e: DataFrame, deg: DataFrame,
+                              maxDegree: Long): DataFrame = {
     require(maxDegree >= 1, s"maxDegree=$maxDegree must be positive")
-    require(minCommon >= 1, s"minCommon=$minCommon must be positive")
-    // (center, leaf) adjacency, both directions, hub centers dropped.
-    // The drop is an anti-join against the HUB set (nodes above the cap)
-    // — a power-law graph has few hubs, so the filter side broadcasts and
-    // the adjacency stream reaches the wedge self-join without an extra
-    // node-keyed shuffle; joining the (node-cardinality) kept-set instead
-    // would shuffle the adjacency once more for the same answer.
-    // MATERIALIZED pre-partitioned by center: the self-join below consumes
-    // the adjacency twice, and left lazy each side re-instantiated the
-    // union + anti-join + its own center exchange and sort (round-7 plan:
-    // two identical Exchanges feeding the wedge SortMergeJoin — exchange
-    // reuse did not canonicalize them together). One repartition + local
-    // sort + eager localCheckpoint pins a single copy both sides read with
-    // ZERO further exchange or sort. At 100 TB this is exactly the
-    // production shape: materialize the hub-filtered adjacency once per
-    // snapshot (it is consumed by every wedge-style query), never twice.
-    val adj = e.select(col("u").as("center"), col("v").as("leaf"))
+    e.select(col("u").as("center"), col("v").as("leaf"))
       .unionAll(e.select(col("v").as("center"), col("u").as("leaf")))
       .join(broadcast(deg.where(col("d") > maxDegree)
         .select(col("n").as("center"))), Seq("center"), "left_anti")
       .repartition(col("center"))
       .sortWithinPartitions("center", "leaf")
       .localCheckpoint(true)
+  }
+
+  /** [[linkPredictions]] over a pre-built [[linkPredictionAdjacency]]:
+    * the wedge pair-up, common-neighbor floor, distance-2 anti-join and
+    * Jaccard attach — everything downstream of the shared adjacency.
+    */
+  def linkPredictionsOnAdj(adj: DataFrame, e: DataFrame, deg: DataFrame,
+                           minCommon: Long): DataFrame = {
+    require(minCommon >= 1, s"minCommon=$minCommon must be positive")
     // Wedge pair-up as a center-keyed self-join. The tempting
     // gather-then-explode alternative (collect_list per capped center,
     // HOF pair expansion) measured 3.6× SLOWER in ISOLATED single-query
