@@ -4027,19 +4027,23 @@ object SparkEntry {
         "embedding", dim = 64, m = 4, k = 64, iterations = 3,
         queryIds = Seq(1L, 2L, 3L), topK = 10, floor = 0.9)
         .orderBy("qid")),
-    // IVFADC (Jegou et al. 2011 SIII-C): coarse routing + residual-PQ
-    // ADC scoring within probed cells — knn_ivf's router and
-    // pq_adc_topk's LUT serving COMPOSED into the billion-vector plan.
-    // Candidates outside probed cells are pruned by the (cell,
-    // subspace, code) join key itself (PlanSpec pins the key); ~39% of
-    // the corpus is scored at nlist=8/nprobe=3. recallVsBrute contract:
-    // oracle computes the exact top-10, quality rides in recall_ok
-    // (measured minima 0.3 at sf0.01 / 0.4 at sf0.001; floor 0.25).
+    // IVFADC+R (Jegou et al. 2011 SIII-C serving + SIV re-ranking):
+    // coarse routing + residual-PQ ADC scoring within probed cells,
+    // then the ADC top-R (R=50, 5x topK) re-scored EXACTLY against the
+    // full vectors — the standard refinement that recovers the recall
+    // residual-PQ compression gives up. Candidates outside probed
+    // cells are pruned by the (cell, subspace, code) join key itself
+    // (PlanSpec pins the key, re-rank on); the exact leg is a
+    // broadcast probe of the 150-row candidate set, never a scan.
+    // recallVsBrute contract: oracle computes the exact top-10,
+    // quality rides in recall_ok (re-ranked minima 0.6 across
+    // sf0.001-0.1, vs 0.3-0.4 un-re-ranked; floor 0.5 — double the
+    // plain-ADC gate).
     "knn_ivfadc_topk" -> ((s, d) =>
       EmbeddingOps.ivfadcRecall(Tables.embeddings(s, d), "vec_id",
         "embedding", dim = 64, nlist = 8, nprobe = 3, m = 4, k = 8,
         iterations = 3, queryIds = Seq(1L, 2L, 3L), topK = 10,
-        floor = 0.25)
+        floor = 0.5, rerank = 50)
         .orderBy("qid")),
     // IVFADC on the clustered corpus — the config's scale story made
     // measurable: 16 coarse cells over 50 planted clusters, probe 3,

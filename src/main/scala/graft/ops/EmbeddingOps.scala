@@ -626,13 +626,26 @@ object EmbeddingOps {
     * key itself, never a full-corpus scan (PlanSpec pins the key);
     * rank<=topK pushes into WindowGroupLimit.
     *
+    * IVFADC+R (§IV of the same paper) via `rerank`: the ADC pass keeps
+    * its top-`rerank` candidates per query (R = 3-5×topK is the
+    * standard setting) and those — already tiny and cell-pruned — are
+    * re-scored EXACTLY against the full vectors, recovering most of the
+    * recall the residual-PQ compression gave up. The exact leg is a
+    * broadcast probe of the |queries|·R candidate set into the
+    * quantized frame (map-side, no shuffle, never a scan): per-query
+    * serving cost grows by R exact distances, not by corpus size.
+    *
     * @param queryIds ids of the query vectors (resolved from `df`)
+    * @param rerank 0 = plain ADC ranks (off); R ≥ topK = exact
+    *               re-ranking of the ADC top-R
     * @return (qid, rank 1..topK, vec_id, adc_dist) per query — the
-    *         query's own row ranks too, [[pqAdcTopK]]'s convention
+    *         query's own row ranks too, [[pqAdcTopK]]'s convention;
+    *         adc_dist stays the compressed-domain score (what the
+    *         index served), rank reflects the exact re-rank when on
     */
   def ivfadcTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                  nlist: Int, nprobe: Int, m: Int, k: Int, iterations: Int,
-                 queryIds: Seq[Long], topK: Int): DataFrame = {
+                 queryIds: Seq[Long], topK: Int, rerank: Int = 0): DataFrame = {
     require(m >= 1, s"m=$m must be positive")
     require(dim >= m && dim % m == 0,
       s"dim=$dim must be a positive multiple of m=$m")
@@ -641,6 +654,8 @@ object EmbeddingOps {
       s"nprobe=$nprobe must be in [1, nlist=$nlist]")
     require(queryIds.nonEmpty, "ivfadcTopK needs at least one query id")
     require(topK >= 1, s"topK=$topK must be positive")
+    require(rerank == 0 || rerank >= topK,
+      s"rerank=$rerank must be 0 (off) or >= topK=$topK")
     val spark = df.sparkSession
     import spark.implicits._
     val sub = dim / m
@@ -669,6 +684,12 @@ object EmbeddingOps {
     // from bounded state (query vectors + codebooks), broadcast.
     val qvecs = q.where(col("vec_id").isin(queryIds: _*)).collect()
       .map(row => (row.getLong(0), row.getSeq[Long](1).toSeq)).toSeq
+    // Loud precondition (op-family discipline): a typo'd query id must
+    // fail, not silently truncate the result to the ids that resolved.
+    require(qvecs.size == queryIds.distinct.size,
+      s"ivfadcTopK: query ids absent from df: " +
+        s"${(queryIds.distinct.toSet -- qvecs.map(_._1)).toSeq.sorted
+          .mkString(", ")}")
     val lutRows = for {
       (qid, qv) <- qvecs
       (cell, _) <- coarse.map { case (cl, cv) => (cl, l2(qv, cv)) }
@@ -682,13 +703,33 @@ object EmbeddingOps {
     val codes = perSub.map(_._1).reduce(_ unionAll _)
     val byDist = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("adc_dist"), col("vec_id"))
-    codes.join(broadcast(lut), Seq("cell", "subspace", "code"))
+    val adc = codes.join(broadcast(lut), Seq("cell", "subspace", "code"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("pd")).as("adc_dist"), count(lit(1)).as("__m"))
       .where(col("__m") === m.toLong)
       .withColumn("rank", row_number().over(byDist).cast("long"))
-      .where(col("rank") <= topK)
-      .select(col("qid"), col("rank"), col("vec_id"), col("adc_dist"))
+    if (rerank == 0)
+      adc.where(col("rank") <= topK)
+        .select(col("qid"), col("rank"), col("vec_id"), col("adc_dist"))
+    else {
+      // IVFADC+R: the ADC top-R candidate set (|queries|·R rows, still
+      // cell-pruned) broadcasts into the quantized frame for an EXACT
+      // re-score — a map-side probe keyed on the candidate ids, never a
+      // corpus scan — then re-ranks on (exact L2, id)-totalized order.
+      val cands = adc.where(col("rank") <= rerank)
+        .select(col("qid"), col("vec_id"), col("adc_dist"))
+      val qdf = qvecs.toDF("qid", "__qqv")
+      val byExact = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("__ed"), col("vec_id"))
+      q.join(broadcast(cands), Seq("vec_id"))
+        .join(broadcast(qdf), Seq("qid"))
+        .withColumn("__ed", aggregate(
+          zip_with(col("qv"), col("__qqv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+        .withColumn("rank", row_number().over(byExact).cast("long"))
+        .where(col("rank") <= topK)
+        .select(col("qid"), col("rank"), col("vec_id"), col("adc_dist"))
+    }
   }
 
   /** IVF cell-occupancy statistics — the balance diagnostic an inverted
@@ -737,9 +778,9 @@ object EmbeddingOps {
   def ivfadcRecall(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                    nlist: Int, nprobe: Int, m: Int, k: Int, iterations: Int,
                    queryIds: Seq[Long], topK: Int,
-                   floor: Double): DataFrame = {
+                   floor: Double, rerank: Int = 0): DataFrame = {
     val ann = ivfadcTopK(df, idCol, vecCol, dim, nlist, nprobe, m, k,
-      iterations, queryIds, topK).select(col("qid"), col("vec_id"))
+      iterations, queryIds, topK, rerank).select(col("qid"), col("vec_id"))
     exactL2TopK(df, idCol, vecCol, queryIds, topK)
       .join(ann.withColumn("__hit", lit(1)), Seq("qid", "vec_id"), "left")
       .groupBy(col("qid"))

@@ -944,10 +944,12 @@ class PlanSpec extends SparkTestBase {
     // only on (subspace, code) would re-admit the whole corpus per
     // query (pqAdcTopK's exhaustive shape, exactly what this operator
     // exists to avoid).
+    // rerank on (the graded IVFADC+R shape): the exact leg must ride as
+    // broadcast probes, leaving the LUT join's cell-keyed pruning intact
     val ann = EmbeddingOps.ivfadcTopK(
       Tables.embeddings(spark, sf), "vec_id", "embedding", dim = 64,
       nlist = 8, nprobe = 3, m = 4, k = 8, iterations = 3,
-      queryIds = Seq(1L, 2L, 3L), topK = 10)
+      queryIds = Seq(1L, 2L, 3L), topK = 10, rerank = 50)
     val plan = executedFormatted(ann)
     // FormattedMode lists join keys; find the LUT join and demand cell
     // leads its key triple
@@ -955,5 +957,9 @@ class PlanSpec extends SparkTestBase {
     assert(plan.matches("(?s).*Left keys \\[3\\]: \\[cell.*") ||
       plan.matches("(?s).*Left keys: \\[cell.*"),
       s"LUT join must key on (cell, subspace, code):\n$plan")
+    // the exact re-rank never sort-merges: candidate set and query
+    // vectors are both broadcast into the quantized frame
+    assert(!plan.contains("SortMergeJoin"),
+      s"re-rank leg must be broadcast probes, not a shuffled join:\n$plan")
   }
 }

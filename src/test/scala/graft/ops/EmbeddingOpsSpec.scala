@@ -290,6 +290,38 @@ class EmbeddingOpsSpec extends SparkTestBase {
         Seq(1L), 3))
   }
 
+  test("ivfadcTopK rerank (+R): exact order within probed cells, still cell-pruned") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, Seq(0.0f, 0.1f, 0.0f, 0.0f)), (3L, Seq(0.1f, 0.0f, 0.1f, 0.0f)),
+      (5L, Seq(0.0f, 0.0f, 0.1f, 0.1f)),
+      (2L, Seq(9.0f, 9.1f, 9.0f, 9.0f)), (4L, Seq(9.1f, 9.0f, 9.1f, 9.0f)),
+      (6L, Seq(9.0f, 9.0f, 9.1f, 9.1f)))
+      .toDF("vec_id", "embedding")
+    // R covers the whole probed cell → the served ranking IS the exact
+    // L2 ranking over the cell: self first (distance 0), then the two
+    // mates — exact-distance ties totalized by id
+    val got = EmbeddingOps.ivfadcTopK(df, "vec_id", "embedding",
+      dim = 4, nlist = 2, nprobe = 1, m = 2, k = 2, iterations = 2,
+      queryIds = Seq(1L, 2L), topK = 3, rerank = 6)
+      .orderBy("qid", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) === Seq(
+      (1L, 1L, 1L), (1L, 2L, 3L), (1L, 3L, 5L),
+      (2L, 1L, 2L), (2L, 2L, 4L), (2L, 3L, 6L)))
+    // the re-rank leg must not re-admit the unprobed cell
+    assert(got.filter(_._1 == 1L).map(_._3).toSet.subsetOf(Set(1L, 3L, 5L)))
+    // rerank below topK is a contract error, not a silent truncation
+    intercept[IllegalArgumentException](
+      EmbeddingOps.ivfadcTopK(df, "vec_id", "embedding", 4, 2, 1, 2, 2, 2,
+        Seq(1L), topK = 3, rerank = 2))
+    // a query id absent from the corpus fails loudly, naming the id
+    val e = intercept[IllegalArgumentException](
+      EmbeddingOps.ivfadcTopK(df, "vec_id", "embedding", 4, 2, 1, 2, 2, 2,
+        Seq(1L, 99L), topK = 3))
+    assert(e.getMessage.contains("99"), e.getMessage)
+  }
+
   test("ivfCellStats: balanced 2-cell corpus reads share 0.5, imbalance 1.0") {
     import org.apache.spark.sql.functions._
     val df = Seq(
