@@ -772,6 +772,33 @@ object SparkEntry {
       (ot, ct)
     })
 
+  /** The incremental near-dup BAND MANIFEST staged once per (app, dir)
+    * as a (band, bucket)-bucketed table — the production contract made
+    * literal: the previous run's banded rows are PERSISTED, bucketed by
+    * exactly the probe join's key, so a new batch's probe reads the
+    * manifest with ZERO exchange on the manifest side (PlanSpec pins
+    * it). Covers the same "existing" half the in-memory
+    * incremental_neardup query re-signs per call. Same pre-write
+    * repartition-by-the-bucket-spec discipline as
+    * [[bucketedOrdersCustomer]] (one sorted file per bucket).
+    */
+  private val neardupManifestCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def neardupManifestTable(s: SparkSession, d: String): String =
+    neardupManifestCache.getOrElseUpdate((s.sparkContext.applicationId, d), {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val mt = s"graft_neardup_manifest_$tag"
+      val existing = Tables.documents(s, d)
+        .where(pmod(col("doc_id"), lit(10)) === 1 && col("doc_id") < 10000
+          && pmod(expr("doc_id div 10"), lit(2)) === 0)
+      ScaleOps.writeBucketed(
+        Dedup.bandManifest(existing, "doc_id", "text")
+          .repartition(8, col("band"), col("bucket")),
+        mt, Seq("band", "bucket"), buckets = 8)
+      mt
+    })
+
   /** Events staged once per dir as a HIVE-PARTITIONED parquet layout
     * (`partitionBy(event_type)`) — the fixture for the graded
     * partition-pruning query: a predicate on the partition column must
@@ -2979,6 +3006,23 @@ object SparkEntry {
         "doc_id", "text", threshold = 0.5)
         .orderBy("id_a", "id_b")
     }),
+    // The persisted-manifest variant: the SAME incremental contract, but
+    // the batch probes a (band, bucket)-BUCKETED manifest table read
+    // back from the warehouse — the layout an ingest pipeline would
+    // append after every batch. The probe join runs with zero exchange
+    // on the manifest side (PlanSpec pins it); the oracle is the same
+    // full-corpus exhaustive truth, so bucketed-incremental == full by
+    // hash.
+    "incremental_neardup_bucketed" -> ((s, d) => {
+      val slice = Tables.documents(s, d)
+        .where(pmod(col("doc_id"), lit(10)) === 1 && col("doc_id") < 10000)
+      Dedup.incrementalNearDupPairsOnManifest(
+        batch = slice.where(pmod(expr("doc_id div 10"), lit(2)) === 1),
+        manifest = s.table(neardupManifestTable(s, d)),
+        existing = slice.where(pmod(expr("doc_id div 10"), lit(2)) === 0),
+        "doc_id", "text", threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
     // MinHash estimator quality, oracle-gated: DuckDB recomputes the
     // exhaustive exact-jaccard truth set (n_truth must hash-match) and
     // expects both booleans TRUE — recall of the banded candidates over
@@ -4686,6 +4730,23 @@ object SparkEntry {
     }
     (v0 +: per).mkString(",\n")
   }
+
+  /** ONE definition of the incremental near-dup truth — the full-corpus
+    * exhaustive exact-jaccard run over the graded slice — shared by the
+    * in-memory and bucketed-manifest variants: the persistence layout is
+    * a plan property, the answer contract is identical.
+    */
+  private val incrementalNeardupOracle: String =
+    """WITH docs AS (SELECT * FROM documents WHERE doc_id % 10 = 1 AND doc_id < 10000),
+      |toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM docs),
+      |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt FROM toks GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+      |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |j AS (SELECT id_a, id_b, shared,
+      |  floor((CAST(shared AS DOUBLE) / (sa.nt + sb.nt - shared)) * 10000 + 0.5) / 10000 AS jaccard
+      |  FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id)
+      |SELECT id_a, id_b, shared, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
 
   private val bpeTrainOracle: String =
     "WITH " + bpeTrainCtesFor(bpeRounds) + "\n" +
@@ -7172,17 +7233,11 @@ object SparkEntry {
     // The incremental run's contract IS the full-corpus truth: same
     // slice, same exhaustive exact-jaccard oracle as minhash_lsh_pairs —
     // a pair the manifest probe missed (or invented) hash-fails here.
-    "incremental_neardup" ->
-      """WITH docs AS (SELECT * FROM documents WHERE doc_id % 10 = 1 AND doc_id < 10000),
-        |toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM docs),
-        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt FROM toks GROUP BY 1),
-        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
-        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |j AS (SELECT id_a, id_b, shared,
-        |  floor((CAST(shared AS DOUBLE) / (sa.nt + sb.nt - shared)) * 10000 + 0.5) / 10000 AS jaccard
-        |  FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id)
-        |SELECT id_a, id_b, shared, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "incremental_neardup" -> incrementalNeardupOracle,
+    // Identical truth for the bucketed-manifest variant: the persisted
+    // layout must change the PLAN (zero manifest-side exchange), never
+    // the answer.
+    "incremental_neardup_bucketed" -> incrementalNeardupOracle,
     // Replays the md5-fold fingerprint (two 32-bit halves, per-occurrence
     // ±1 votes per bit) and the brute-force Hamming scan the pigeonhole
     // banding provably equals. list(h) aggregation order is arbitrary but

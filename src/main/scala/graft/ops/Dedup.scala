@@ -371,10 +371,37 @@ object Dedup {
                               idCol: String, textCol: String,
                               threshold: Double, k: Int = 32,
                               bands: Int = 32,
-                              shingleSize: Int = 1): DataFrame = {
+                              shingleSize: Int = 1): DataFrame =
+    incrementalNearDupPairsOnManifest(batch,
+      bandManifest(existing, idCol, textCol, k, bands, shingleSize),
+      existing, idCol, textCol, threshold, k, bands, shingleSize)
+
+  /** The persisted-manifest schema, built from a corpus: the banded
+    * (id, bhs, band, bucket) rows of every existing document — what an
+    * ingest pipeline WRITES after each batch (bucketed by (band,
+    * bucket), so the next batch's probe join reads it exchange-free)
+    * and what [[incrementalNearDupPairsOnManifest]] probes.
+    */
+  def bandManifest(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 32, bands: Int = 32,
+                   shingleSize: Int = 1): DataFrame =
+    bandedRows(sigsOf(df, idCol, textCol, k, shingleSize), k, bands)
+
+  /** [[incrementalNearDupPairs]] probing a PRE-BUILT (typically
+    * persisted, (band, bucket)-bucketed) manifest instead of re-signing
+    * the existing corpus: the production shape, where the manifest is
+    * the previous run's output read back from storage. `manifest` must
+    * be [[bandManifest]]'s schema over `existing` with the same
+    * k/bands/shingleSize.
+    */
+  def incrementalNearDupPairsOnManifest(batch: DataFrame,
+                                        manifest: DataFrame,
+                                        existing: DataFrame,
+                                        idCol: String, textCol: String,
+                                        threshold: Double, k: Int = 32,
+                                        bands: Int = 32,
+                                        shingleSize: Int = 1): DataFrame = {
     val sigsB = sigsOf(batch, idCol, textCol, k, shingleSize)
-    val manifest = bandedRows(
-      sigsOf(existing, idCol, textCol, k, shingleSize), k, bands)
     val probes = bandedRows(sigsB, k, bands)
     // Cross pairs: batch probes the manifest on the (band, bucket) key;
     // cross-band duplicates die in-stage via the first-agreeing-band

@@ -226,7 +226,16 @@ object ScaleOps {
     * 100 TB fact tables.
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int): Unit =
+    writeBucketed(df, table, Seq(bucketCol), buckets)
+
+  /** Multi-column bucketing — the composite-key manifests (e.g. the
+    * near-dup band manifest keyed (band, bucket)) use this so an
+    * equi-join on the full key tuple reads the table exchange-free.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
                     buckets: Int): Unit = {
+    require(bucketCols.nonEmpty, "writeBucketed needs at least one column")
     // Overwrite must win even when only the DIRECTORY survived: a fresh
     // session's in-memory catalog has no entry for the name, but the
     // warehouse directory outlives the previous JVM, and saveAsTable's
@@ -239,7 +248,8 @@ object ScaleOps {
       s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
     df.write.mode("overwrite")
-      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet").saveAsTable(table)
   }
 

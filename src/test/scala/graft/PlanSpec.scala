@@ -617,6 +617,54 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("incremental near-dup: bucketed band manifest joins with ZERO manifest-side exchange") {
+    // The persisted-manifest contract: the manifest is written bucketed
+    // by exactly the probe join's (band, bucket) key, so the batch's
+    // probe reads it with no exchange above the manifest scan — at
+    // 100 TB the manifest is the big side (the whole corpus's banded
+    // rows) and re-shuffling it per batch would defeat the incremental
+    // design. Differential pin: the identical probe join against a
+    // NON-bucketed copy of the same rows needs exactly one more
+    // exchange (the manifest side's). Broadcast is disabled — at the
+    // fixture size AQE would broadcast the manifest and never exercise
+    // the bucket path this test exists to prove.
+    val docs = Tables.documents(spark, sf)
+      .where(pmod(col("doc_id"), lit(10)) === 1 && col("doc_id") < 10000)
+    val existing = docs.where(pmod(expr("doc_id div 10"), lit(2)) === 0)
+    val batch = docs.where(pmod(expr("doc_id div 10"), lit(2)) === 1)
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      ScaleOps.writeBucketed(
+        Dedup.bandManifest(existing, "doc_id", "text")
+          .repartition(8, col("band"), col("bucket")),
+        "graft_test_neardup_manifest", Seq("band", "bucket"), buckets = 8)
+      Dedup.bandManifest(existing, "doc_id", "text").write
+        .mode("overwrite").saveAsTable("graft_test_neardup_plain")
+      def probeJoin(manifestTable: String) =
+        Dedup.bandManifest(batch, "doc_id", "text").as("a")
+          .join(spark.table(manifestTable).as("b"),
+            col("a.band") === col("b.band")
+              && col("a.bucket") === col("b.bucket"))
+      val bucketed = probeJoin("graft_test_neardup_manifest")
+      val planB = executedSimple(bucketed)
+      val planBF = bucketed.queryExecution.explainString(FormattedMode)
+      val planP = executedSimple(probeJoin("graft_test_neardup_plain"))
+      assert(planB.contains("SortMergeJoin"), planB)
+      assert(planBF.contains("Bucketed: true"),
+        s"manifest scan must use the bucket layout:\n$planBF")
+      val exB = "Exchange".r.findAllIn(planB).size
+      val exP = "Exchange".r.findAllIn(planP).size
+      assert(exB === exP - 1,
+        s"bucketed manifest should save exactly the manifest-side " +
+          s"exchange (bucketed=$exB, plain=$exP):\n$planB\n--- vs ---\n$planP")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+      spark.sql("DROP TABLE IF EXISTS graft_test_neardup_manifest")
+      spark.sql("DROP TABLE IF EXISTS graft_test_neardup_plain")
+    }
+  }
+
   test("groupQuantilesByHistogram: one 10^7-row group — exact answers, bounded plan") {
     // The scaladoc claim made concrete: the exact tier's per-group
     // percentile buffer (WeeklyAgg.weeklyStatsCore) holds every raw value
