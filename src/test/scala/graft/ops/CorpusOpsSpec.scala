@@ -713,6 +713,27 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(re === got.sorted)
   }
 
+  test("epochShuffleResume: suffix equals the full epoch's slice — no skip, no replay") {
+    val docs = (1L to 40L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val full = CorpusOps.epochShuffle(docs, "doc_id", epochs = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+      .filter(_._1 == 1L).sortBy(_._3)
+    val resumed = CorpusOps.epochShuffleResume(docs, "doc_id",
+      epoch = 1, fromPosition = 17L)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._3)
+    assert(resumed === full.filter(_._3 >= 17L))
+    // boundary contracts: resume at 1 is the whole epoch; past the end
+    // is empty; position 0 is a contract error
+    assert(CorpusOps.epochShuffleResume(docs, "doc_id", 1, 1L).count()
+      === 40L)
+    assert(CorpusOps.epochShuffleResume(docs, "doc_id", 1, 41L).count()
+      === 0L)
+    intercept[IllegalArgumentException](
+      CorpusOps.epochShuffleResume(docs, "doc_id", 1, 0L))
+    intercept[IllegalArgumentException](
+      CorpusOps.epochShuffleResume(docs, "doc_id", -1, 1L))
+  }
+
   test("ngramUniqueness: corpus-count-1 share, short docs drop, repeats collapse") {
     // d1/d2 share "a b c"; each owns one unique trigram → 0.5 each;
     // d3 has < 3 tokens → no row; d4 repeats its gram (distinct first)
