@@ -4493,6 +4493,33 @@ object SparkEntry {
           CoreOps.rnd(col("sum___cents").cast("double") / 100.0)
             .as("total_price"))
         .orderBy("o_orderpriority")),
+    // key_skew_report's read CLOSED INTO the decision it documents:
+    // the pre-flight picks salted vs plain aggregation, and the choice
+    // itself is graded — the oracle replays the decision rule
+    // (4-dp top_share > 0.05) alongside the sums, so a mis-routed plan
+    // flips the `salted` boolean and hash-fails. event_type's top key
+    // owns ~20% of events at every SF → the salted path (PlanSpec pins
+    // the salt derivation in the plan)...
+    "skew_aware_agg_hot" -> ((s, d) =>
+      ScaleOps.skewAwareSum(
+        Tables.events(s, d)
+          .withColumn("__cents", CoreOps.moneyCents(col("value"))),
+        "event_type", "__cents")
+        .select(col("event_type"),
+          CoreOps.rnd(col("sum___cents").cast("double") / 100.0)
+            .as("total_value"), col("salted"))
+        .orderBy("event_type")),
+    // ...while o_custkey's top customer owns ≤1.2% → the plain
+    // one-exchange aggregate, pinned salt-free.
+    "skew_aware_agg_uniform" -> ((s, d) =>
+      ScaleOps.skewAwareSum(
+        Tables.orders(s, d)
+          .withColumn("__cents", CoreOps.moneyCents(col("o_totalprice"))),
+        "o_custkey", "__cents")
+        .select(col("o_custkey"),
+          CoreOps.rnd(col("sum___cents").cast("double") / 100.0)
+            .as("total_price"), col("salted"))
+        .orderBy("o_custkey")),
     "salted_join" -> ((s, d) =>
       ScaleOps.saltedJoin(Tables.orders(s, d), Tables.customer(s, d),
         "o_custkey", "c_custkey", buckets = 8)
@@ -8295,6 +8322,23 @@ object SparkEntry {
       """SELECT o_orderpriority,
         |  floor((CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS total_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The adaptive variants replay the DECISION RULE, not just the sums:
+    // the same 4-dp top_share the engine's pre-flight reads, compared
+    // against the same 0.05 threshold.
+    "skew_aware_agg_hot" ->
+      """WITH s AS (SELECT floor(CAST(max(cnt) AS DOUBLE) / sum(cnt) * 10000 + 0.5) / 10000 > 0.05 AS salted
+        |  FROM (SELECT count(*) AS cnt FROM events WHERE event_type IS NOT NULL GROUP BY event_type))
+        |SELECT event_type,
+        |  floor((CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS total_value,
+        |  s.salted
+        |FROM events, s GROUP BY 1, 3 ORDER BY 1""".stripMargin,
+    "skew_aware_agg_uniform" ->
+      """WITH s AS (SELECT floor(CAST(max(cnt) AS DOUBLE) / sum(cnt) * 10000 + 0.5) / 10000 > 0.05 AS salted
+        |  FROM (SELECT count(*) AS cnt FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey))
+        |SELECT o_custkey,
+        |  floor((CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS total_price,
+        |  s.salted
+        |FROM orders, s GROUP BY 1, 3 ORDER BY 1""".stripMargin,
     "salted_join" ->
       """SELECT c.c_mktsegment,
         |  CAST(count(*) AS BIGINT) AS n_orders,

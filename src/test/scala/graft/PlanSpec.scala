@@ -617,6 +617,24 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("skew-aware agg: hot key takes the salted two-phase plan, uniform key the plain one") {
+    // The adaptive contract in the PLAN, not just the boolean: the hot
+    // variant must actually aggregate over (key, salt) — the
+    // deterministic row-hash salt derivation shows as xxhash64+pmod and
+    // the plan carries two aggregate exchanges — while the uniform
+    // variant must stay the plain single-exchange hash aggregate with
+    // no salt machinery at all.
+    val hot = executedSimple(
+      SparkEntry.queries("skew_aware_agg_hot")(spark, sf))
+    assert(hot.contains("xxhash64"), s"hot key must salt:\n$hot")
+    val uniform = executedSimple(
+      SparkEntry.queries("skew_aware_agg_uniform")(spark, sf))
+    assert(!uniform.contains("xxhash64"),
+      s"uniform key must not pay the salted two-phase plan:\n$uniform")
+    val ex = "Exchange hashpartitioning".r.findAllIn(uniform).size
+    assert(ex === 1, s"plain path is one hash exchange, got $ex:\n$uniform")
+  }
+
   test("incremental near-dup: bucketed band manifest joins with ZERO manifest-side exchange") {
     // The persisted-manifest contract: the manifest is written bucketed
     // by exactly the probe join's (band, bucket) key, so the batch's

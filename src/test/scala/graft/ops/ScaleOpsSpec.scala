@@ -343,6 +343,30 @@ class ScaleOpsSpec extends SparkTestBase {
     assert((one._1, one._2, one._8) === ((2L, 1L, None)))
   }
 
+  test("skewAwareSum: threshold routes salted vs plain, sums identical either way") {
+    import spark.implicits._
+    // keys a×6 b×2 c×1 d×1 with value = 1 each: top_share 0.6
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+    val expected = Seq(("a", 15L), ("b", 13L), ("c", 8L), ("d", 9L))
+    // top_share 0.6 > 0.5 → salted; > 0.7 → plain; sums identical
+    val hot = ScaleOps.skewAwareSum(df, "k", "v", topShareMax = 0.5)
+      .orderBy("k").as[(String, Long, Boolean)].collect().toSeq
+    assert(hot === expected.map { case (k, s) => (k, s, true) })
+    val plain = ScaleOps.skewAwareSum(df, "k", "v", topShareMax = 0.7)
+      .orderBy("k").as[(String, Long, Boolean)].collect().toSeq
+    assert(plain === expected.map { case (k, s) => (k, s, false) })
+    // the decision reads the report's 4-dp share: 0.6 is NOT > 0.6
+    val edge = ScaleOps.skewAwareSum(df, "k", "v", topShareMax = 0.6)
+      .orderBy("k").as[(String, Long, Boolean)].collect().toSeq
+    assert(edge.forall(!_._3))
+    // empty frame: nothing to salt, empty result, no crash
+    assert(ScaleOps.skewAwareSum(df.where(lit(false)), "k", "v").count()
+      === 0L)
+    intercept[IllegalArgumentException](
+      ScaleOps.skewAwareSum(df, "k", "v", topShareMax = 0.0))
+  }
+
   test("zonemapPruneStats: hand-built files, zone-map intersection, hit counts") {
     // 8 rows laid out by k, 4 per file: file0 has x 1-4 / y 10-40,
     // file1 x 5-8 / y 50-80. Rectangle [2,3]x[20,30] intersects only
