@@ -5740,7 +5740,8 @@ object SparkEntry {
         |ids AS (SELECT qid, CAST(sum(CAST(floor(CAST(rel AS DOUBLE) / (ln(CAST(rk AS DOUBLE) + 1.0) / ln(2.0)) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS idcg_micro
         |  FROM (SELECT qid, rel, CAST(row_number() OVER (PARTITION BY qid ORDER BY rel DESC, doc_id) AS BIGINT) AS rk FROM sc)
         |  WHERE rk <= 10 GROUP BY 1),
-        |nr AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel FROM sc GROUP BY 1)
+        |nr AS (SELECT q.qid, CAST(count(sc.doc_id) AS BIGINT) AS n_rel
+        |  FROM (SELECT DISTINCT qid FROM qt) q LEFT JOIN sc USING (qid) GROUP BY 1)
         |SELECT CAST(nr.qid AS BIGINT) AS qid, nr.n_rel,
         |  coalesce(ds.dcg_micro, 0) AS dcg_micro, coalesce(ids.idcg_micro, 0) AS idcg_micro,
         |  CASE WHEN coalesce(ids.idcg_micro, 0) = 0 THEN NULL
@@ -5767,7 +5768,8 @@ object SparkEntry {
         |sc AS (SELECT contrib.qid, doc_id, CAST(sum(cu) AS BIGINT) AS su,
         |    CAST(CAST(count(*) AS BIGINT) = max(nt.nt) AS BIGINT) AS isrel
         |  FROM contrib JOIN nt ON contrib.qid = nt.qid GROUP BY 1, 2),
-        |tot AS (SELECT qid, CAST(sum(isrel) AS BIGINT) AS n_rel FROM sc GROUP BY 1),
+        |tot AS (SELECT q.qid, CAST(coalesce(sum(sc.isrel), 0) AS BIGINT) AS n_rel
+        |  FROM (SELECT DISTINCT qid FROM qt) q LEFT JOIN sc USING (qid) GROUP BY 1),
         |ranked AS (SELECT qid, isrel,
         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY su DESC, doc_id) AS BIGINT) AS rk FROM sc),
         |top AS (SELECT qid, isrel, rk,

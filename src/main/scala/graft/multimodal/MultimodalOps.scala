@@ -276,12 +276,26 @@ object MultimodalOps {
           " media id %d overflow the composite key — lengthen everyMs" +
           " or re-key media first", idx, col("media_id"))).cast("long"))
       .otherwise(col("media_id") * lit(1048576L) + idx)
+    // The window slices with CHARACTER semantics (length/substr over the
+    // bytes cast to string) while AHash64 hashes raw UTF-8 bytes — the
+    // two agree exactly on ASCII media bytes (the fakeDecoder contract)
+    // and silently diverge past 0x7F. Enforce the contract loudly: a
+    // non-ASCII window (octet_length > length) fails instead of
+    // fingerprinting different pixels than the composed reference would.
+    val win = col("__t").substr((idx * n + 1L).cast("int"), lit(n))
+    val guardWin = when(octet_length(win) =!= length(win),
+      raise_error(format_string(
+        "graft.MultimodalOps.framePerceptualPairs: media %d frame %d " +
+          "window contains non-ASCII bytes — the character-sliced " +
+          "window and the byte-hashing AHash64 kernel would disagree; " +
+          "decode to a real luma plane first", col("media_id"), idx))
+        .cast("string"))
+      .otherwise(win)
     val fp = frames
       .join(media.select(col("media_id"),
         col("bytes").cast("string").as("__t")), Seq("media_id"))
       .where(length(col("__t")) >= (idx + 1L) * n)
-      .select(guardId.as("id"),
-        col("__t").substr((idx * n + 1L).cast("int"), lit(n)).as("__w"))
+      .select(guardId.as("id"), guardWin.as("__w"))
       .select(col("id"),
         graft.expressions.AHash64.ahash(col("__w")).as("sh"))
     graft.ops.Dedup.hammingPairsOf(fp, maxHamming)

@@ -448,6 +448,18 @@ class StreamingAndMultimodalSpec extends SparkTestBase {
     assert(got === Seq(
       (1L, 0L, 2L, 0L, 0), (1L, 0L, 2L, 60000L, 0),
       (2L, 0L, 2L, 60000L, 0)))
+    // non-ASCII media bytes fail LOUDLY: the character-sliced window and
+    // the byte-hashing AHash64 kernel would disagree past 0x7F, so the
+    // ASCII contract is enforced rather than silently fingerprinting
+    // different pixels than the composed reference
+    val nonAscii = Seq((1L, "é" * 64))
+      .toDF("media_id", "text")
+      .select(col("media_id"), lit("text/plain").as("mime"),
+        col("text").cast("binary").as("bytes"))
+    val e = intercept[Exception](
+      MultimodalOps.framePerceptualPairs(nonAscii, everyMs = 60000L,
+        maxHamming = 3, decoder = twoFrames).collect())
+    assert(e.getMessage.contains("non-ASCII"), e.getMessage)
   }
 
   test("multimodal: resizePlan fits the box preserving aspect ratio, never upscales") {
