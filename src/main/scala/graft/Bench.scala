@@ -238,6 +238,20 @@ object Bench {
     if (pat.findFirstIn(readme).isDefined) {
       java.nio.file.Files.writeString(p, pat.replaceAllIn(readme, repl))
       System.err.println(s"[bench] README bench figure synced: $repl")
+      // Round-10 verdict finding 1: a graded bench that lands AFTER the
+      // last README commit leaves the committed tree contradicting the
+      // durable record until someone remembers to commit the re-synced
+      // sentence. Make the sync atomic with the run: STAGE the rewrite
+      // in the same step, so whatever commit closes the round carries
+      // figure and artifact together. Best-effort — outside a git repo
+      // (or without git) the write alone is still correct.
+      try {
+        val rc = new ProcessBuilder("git", "add", "README.md")
+          .inheritIO().start().waitFor()
+        if (rc != 0) System.err.println(s"[bench] git add README.md rc=$rc")
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] README staging skipped: ${e.getMessage}")
+      }
     }
   }
 }

@@ -783,12 +783,15 @@ object SparkEntry {
     * [[bucketedOrdersCustomer]] (one sorted file per bucket).
     */
   private val neardupManifestCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String),
+      (String, String)]
 
-  private def neardupManifestTable(s: SparkSession, d: String): String =
+  /** @return (bucketed band-manifest table, known verified-pairs table) */
+  private def neardupState(s: SparkSession, d: String): (String, String) =
     neardupManifestCache.getOrElseUpdate((s.sparkContext.applicationId, d), {
       val tag = java.lang.Integer.toHexString(d.hashCode)
       val mt = s"graft_neardup_manifest_$tag"
+      val pt = s"graft_neardup_pairs_$tag"
       val existing = Tables.documents(s, d)
         .where(pmod(col("doc_id"), lit(10)) === 1 && col("doc_id") < 10000
           && pmod(expr("doc_id div 10"), lit(2)) === 0)
@@ -796,7 +799,16 @@ object SparkEntry {
         Dedup.bandManifest(existing, "doc_id", "text")
           .repartition(8, col("band"), col("bucket")),
         mt, Seq("band", "bucket"), buckets = 8)
-      mt
+      // the second prior-run artifact: the verified pair list — plain
+      // storage, it is only unioned downstream, never joined
+      s.sql(s"DROP TABLE IF EXISTS $pt")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), pt)
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+      Dedup.verifiedNearDupPairs(existing, "doc_id", "text",
+        threshold = 0.5).write.mode("overwrite").saveAsTable(pt)
+      (mt, pt)
     })
 
   /** Events staged once per dir as a HIVE-PARTITIONED parquet layout
@@ -3018,7 +3030,25 @@ object SparkEntry {
         .where(pmod(col("doc_id"), lit(10)) === 1 && col("doc_id") < 10000)
       Dedup.incrementalNearDupPairsOnManifest(
         batch = slice.where(pmod(expr("doc_id div 10"), lit(2)) === 1),
-        manifest = s.table(neardupManifestTable(s, d)),
+        manifest = s.table(neardupState(s, d)._1),
+        existing = slice.where(pmod(expr("doc_id div 10"), lit(2)) === 0),
+        "doc_id", "text", threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+    // BOTH prior-run artifacts persisted — the shape the ingest pipeline
+    // actually runs: the bucketed manifest is probed AND the known pair
+    // list is read back (plain table, only unioned), so the existing
+    // corpus is never re-signed and never re-self-joined; it is read
+    // only to verify colliding candidates. Same full-corpus truth
+    // oracle: persisted-incremental == full by hash.
+    "incremental_neardup_persisted" -> ((s, d) => {
+      val slice = Tables.documents(s, d)
+        .where(pmod(col("doc_id"), lit(10)) === 1 && col("doc_id") < 10000)
+      val (mt, pt) = neardupState(s, d)
+      Dedup.incrementalNearDupPairsOnState(
+        batch = slice.where(pmod(expr("doc_id div 10"), lit(2)) === 1),
+        manifest = s.table(mt),
+        knownPairs = s.table(pt),
         existing = slice.where(pmod(expr("doc_id div 10"), lit(2)) === 0),
         "doc_id", "text", threshold = 0.5)
         .orderBy("id_a", "id_b")
@@ -7277,6 +7307,10 @@ object SparkEntry {
     // layout must change the PLAN (zero manifest-side exchange), never
     // the answer.
     "incremental_neardup_bucketed" -> incrementalNeardupOracle,
+    // ...and for the fully-persisted variant (manifest + known pairs
+    // both read back): storage format is a plan property, the answer
+    // contract is the same exhaustive truth.
+    "incremental_neardup_persisted" -> incrementalNeardupOracle,
     // Replays the md5-fold fingerprint (two 32-bit halves, per-occurrence
     // ±1 votes per bit) and the brute-force Hamming scan the pigeonhole
     // banding provably equals. list(h) aggregation order is arbitrary but

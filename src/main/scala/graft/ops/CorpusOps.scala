@@ -1811,10 +1811,10 @@ object CorpusOps {
     * and takes the suffix `position >= fromPosition` — no shuffle
     * state, no RNG stream to replay, and the suffix provably equals the
     * full epoch's slice (the graded oracle replays the whole epoch and
-    * slices it). Cost: the same ONE prefix-sum pass as a fresh epoch —
-    * at 100 TB a resume costs a scan, never a re-shuffle of delivered
-    * batches; the range-exchange plan also means a position-suffix
-    * filter discards whole leading ranges at the exchange boundary.
+    * slices it). Cost: the same ONE prefix-sum pass as a fresh epoch
+    * (the filter applies after positions are derived — resuming costs a
+    * recompute of the permutation, never a re-shuffle or re-read of the
+    * already-delivered batches themselves).
     *
     * @param fromPosition 1-based position to resume AT (inclusive)
     * @return (epoch, id, position >= fromPosition) of the one epoch
