@@ -811,6 +811,35 @@ object SparkEntry {
       (mt, pt)
     })
 
+  /** The SimHash tier's persisted state, symmetric to [[neardupState]]:
+    * the (band, bval)-bucketed Hamming band manifest plus the known
+    * banded-pair list over the even-id half of the full corpus.
+    */
+  private val simhashStateCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String),
+      (String, String)]
+
+  private def simhashState(s: SparkSession, d: String): (String, String) =
+    simhashStateCache.getOrElseUpdate((s.sparkContext.applicationId, d), {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val mt = s"graft_simhash_manifest_$tag"
+      val pt = s"graft_simhash_pairs_$tag"
+      val existing = Tables.documents(s, d)
+        .where(pmod(col("doc_id"), lit(2)) === 0)
+      ScaleOps.writeBucketed(
+        Dedup.simhashBandManifest(existing, "doc_id", "text", maxHamming = 3)
+          .repartition(8, col("band"), col("bval")),
+        mt, Seq("band", "bval"), buckets = 8)
+      s.sql(s"DROP TABLE IF EXISTS $pt")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), pt)
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+      Dedup.simhashReplayableBandedPairs(existing, "doc_id", "text",
+        maxHamming = 3).write.mode("overwrite").saveAsTable(pt)
+      (mt, pt)
+    })
+
   /** Events staged once per dir as a HIVE-PARTITIONED parquet layout
     * (`partitionBy(event_type)`) — the fixture for the graded
     * partition-pruning query: a predicate on the partition column must
@@ -3111,6 +3140,21 @@ object SparkEntry {
       Dedup.incrementalSimhashPairs(
         batch = docs.where(pmod(col("doc_id"), lit(2)) === 1),
         existing = docs.where(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+    // The persisted-state variant on the Hamming tier: the bucketed band
+    // manifest is probed and the known pair list is read back, so the
+    // existing corpus is neither re-fingerprinted nor — the expensive
+    // half — re-self-joined. Same full-corpus brute-force oracle:
+    // persisted-incremental == full by hash.
+    "incremental_simhash_persisted" -> ((s, d) => {
+      val (mt, pt) = simhashState(s, d)
+      Dedup.incrementalSimhashPairsOnState(
+        batch = Tables.documents(s, d)
+          .where(pmod(col("doc_id"), lit(2)) === 1),
+        manifest = s.table(mt),
+        knownPairs = s.table(pt),
         "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b")
     }),
@@ -7324,6 +7368,9 @@ object SparkEntry {
     "simhash_hamming" -> simhashBruteOracle("", 3),
     // Incremental == full on the Hamming tier: same brute-force oracle.
     "incremental_simhash" -> simhashBruteOracle("", 3),
+    // same truth for the persisted-state variant: storage layout is a
+    // plan property, never the answer
+    "incremental_simhash_persisted" -> simhashBruteOracle("", 3),
     "knn_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10),
         |p AS (SELECT qid, e.vec_id AS cid, list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) AS cos

@@ -702,10 +702,40 @@ object Dedup {
     */
   def incrementalSimhashPairs(batch: DataFrame, existing: DataFrame,
                               idCol: String, textCol: String,
-                              maxHamming: Int = 3): DataFrame = {
+                              maxHamming: Int = 3): DataFrame =
+    incrementalSimhashPairsOnState(batch,
+      simhashBandManifest(existing, idCol, textCol, maxHamming),
+      simhashReplayableBandedPairs(existing, idCol, textCol, maxHamming),
+      idCol, textCol, maxHamming)
+
+  /** The persisted SimHash manifest schema, built from a corpus: the
+    * (id, sh, band, bval) band rows of every existing document — what
+    * an ingest pipeline writes after each batch (bucketed by (band,
+    * bval) for the exchange-free probe) and what
+    * [[incrementalSimhashPairsOnState]] probes. The [[bandManifest]]
+    * counterpart on the Hamming tier.
+    */
+  def simhashBandManifest(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3): DataFrame =
+    hammingBandRows(df.select(col(idCol).as("id"),
+      simhashReplayable64(textCol).as("sh")), maxHamming)
+
+  /** [[incrementalSimhashPairs]] with BOTH prior-run artifacts read
+    * back — the persisted band manifest probed, the known pair list
+    * unioned (plain storage; never joined) — so the existing corpus is
+    * not re-fingerprinted and, crucially, its banded SELF-join (the
+    * expensive half) never re-runs. Per-batch cost: batch-scale
+    * fingerprints + a manifest probe + one bit_count per collision.
+    * The [[incrementalNearDupPairsOnState]] counterpart on the Hamming
+    * tier.
+    */
+  def incrementalSimhashPairsOnState(batch: DataFrame,
+                                     manifest: DataFrame,
+                                     knownPairs: DataFrame,
+                                     idCol: String, textCol: String,
+                                     maxHamming: Int = 3): DataFrame = {
     def prep(df: DataFrame) = df.select(col(idCol).as("id"),
       simhashReplayable64(textCol).as("sh"))
-    val manifest = hammingBandRows(prep(existing), maxHamming)
     val probes = hammingBandRows(prep(batch), maxHamming)
     val cross = probes.as("a").join(manifest.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval"))
@@ -715,8 +745,8 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .distinct()
     val internal = bandedHammingPairs(prep(batch), maxHamming)
-    val known = bandedHammingPairs(prep(existing), maxHamming)
-    known.unionByName(internal).unionByName(cross)
+    knownPairs.select(col("id_a"), col("id_b"), col("hamming"))
+      .unionByName(internal).unionByName(cross)
   }
 
   /** Engine-replayable 64-bit SimHash: the token hash is the first 16 hex
