@@ -1651,8 +1651,8 @@ object CorpusOps {
     * assumption). Checkpointed: every training round re-reads THIS
     * frame's descendants, never the corpus.
     */
-  private[ops] def bpeVocabSeg(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+  private[ops] def bpeVocabSeg(df: DataFrame, textCol: String): DataFrame = {
+    val agg = df.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
       .where(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       // guard on the aggregated vocabulary — every distinct word is
@@ -1660,6 +1660,27 @@ object CorpusOps {
       .select(regexp_replace(bpeSafeWord(col("w")), "(.)", "($1)").as("seg"),
         col("c"))
       .localCheckpoint(true)
+    // Size the training frame to the VOCABULARY, not to the corpus
+    // aggregate's partitioning: every one of `rounds` iterations maps
+    // over this frame, so carrying the corpus-shuffle partition count
+    // into the loop multiplies per-round task overhead by rounds for no
+    // parallelism gain (a 30k-row vocabulary does not need 32 tasks —
+    // and a 10M-form one still gets what it needs from the row bound).
+    // coalesce is shuffle-free; the count reads the sealed checkpoint.
+    val parts = math.max(1L, math.min(
+      agg.sparkSession.sparkContext.defaultParallelism.toLong,
+      agg.count() / 100000L + 1L)).toInt
+    val sized = agg.coalesce(parts).localCheckpoint(true)
+    unpersistCheckpoint(agg)
+    sized
+  }
+
+  /** Free a superseded localCheckpoint's blocks (the
+    * [[graft.ops.Dedup]] discipline, shared here by the BPE loop). */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
 
   /** Adjacent-symbol pair counts over a segmented vocabulary — one
     * round's candidate statistics: unwrap the delimiters, split into

