@@ -4287,6 +4287,18 @@ object SparkEntry {
       CorpusOps.duplicatedSpans(Tables.documents(s, d), "doc_id", "text",
         n = 15)
         .orderBy("doc_id")),
+    // The EXCISION half of the same method: first global occurrence of
+    // each duplicated 15-token span survives, later occurrences mark
+    // their token ranges, position-level union excises them, documents
+    // reassemble from surviving tokens. Engine groups by span digest;
+    // the oracle replays by span TEXT — the hash match doubles as a
+    // digest-collision check, and the reassembled text itself is graded
+    // (921 excised occurrences / 1243 dropped tokens on the sf0.01
+    // fixture).
+    "exact_substr_dedup" -> ((s, d) =>
+      CorpusOps.exactSubstrDedup(Tables.documents(s, d), "doc_id", "text",
+        n = 15)
+        .orderBy("doc_id")),
     // BM25 sparse retrieval over the corpus for a fixed query-term set —
     // ranking compares associative micro-unit longs, so top-k membership
     // and order are engine-exact, not float-wobble-exact.
@@ -8163,6 +8175,27 @@ object SparkEntry {
         |  CASE WHEN COALESCE(n_spans, 0) = 0 THEN NULL
         |       ELSE floor((CAST(n_dup_spans AS DOUBLE) / n_spans) * 10000 + 0.5) / 10000 END AS dup_frac
         |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // Excision replay by span TEXT (engine uses digests — the hash match
+    // is also a collision check): same global (doc, pos) first-survivor
+    // rule, same position-level union, same reassembly.
+    "exact_substr_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |occ AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, array_to_string(toks[i:i+14], ' ') AS gram
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 13)) AS i) WHERE len(toks) >= 15),
+        |w AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS tot,
+        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk FROM occ),
+        |drops AS (SELECT DISTINCT doc_id, pos + d AS p FROM w,
+        |  LATERAL (SELECT unnest(range(0, 15)) AS d) WHERE tot > 1 AND rk > 1),
+        |tok AS (SELECT doc_id, CAST(i AS BIGINT) AS p, toks[i] AS tok
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)),
+        |kept AS (SELECT tok.doc_id, tok.p, tok.tok FROM tok
+        |  ANTI JOIN drops ON tok.doc_id = drops.doc_id AND tok.p = drops.p),
+        |re AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY p) AS txt FROM kept GROUP BY 1)
+        |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(re.n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(re.txt, '') AS text_dedup
+        |FROM documents d LEFT JOIN re USING (doc_id) ORDER BY doc_id""".stripMargin,
     // Per-term contributions quantized to micro-unit BIGINTs before the
     // per-doc sum (associative), ranked on the long — mirrors the Spark
     // side exactly; the double appears only in the displayed 4-dp score.

@@ -585,6 +585,71 @@ object CorpusOps {
           .otherwise(rnd(col("n_dup_spans").cast("double") / col("n_spans"))))
   }
 
+  /** Exact-substring dedup EXCISION — the removal half of Lee et al.
+    * 2022 that [[duplicatedSpans]] only detects: every word n-gram span
+    * that occurs more than once in the corpus keeps its FIRST
+    * occurrence (global (doc, position) order — deterministic, no tie
+    * to break) and every later occurrence marks its token range for
+    * removal; a token is excised when ANY marked range covers it, so
+    * overlapping duplicated spans merge naturally at position level,
+    * and documents reassemble from the surviving tokens. This is the
+    * sliding-window dedup a fixed-chunk pass ([[dropDuplicateChunks]])
+    * cannot do: a duplicate at any offset is caught, not just at chunk
+    * boundaries.
+    *
+    * Scale shape: span DIGESTS (never span text) cross the one
+    * fact×position exchange; occurrence rank and count ride a single
+    * digest-partitioned window over those rows ([[duplicatedSpans]]'
+    * shape); the drop-set explode is bounded by the DUPLICATION MASS
+    * (excised occurrences × n), not the corpus; reassembly buffers one
+    * document's tokens per group (the [[dropDuplicateChunks]]
+    * contract). Greedy position-union is the standard approximation —
+    * residual duplication created by excision itself is not re-chased.
+    *
+    * @return per document: (id, n_tokens, n_kept, text_dedup — ""
+    *         when everything was excised)
+    */
+  def exactSubstrDedup(df: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame = {
+    require(n >= 1, s"n=$n must be positive")
+    val toks = df.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("__toks"))
+    val occ = toks
+      .withColumn("__k", size(col("__toks")) - (n - 1))
+      .where(col("__k") >= 1)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(1, __k), i -> " +
+          s"md5(cast(array_join(slice(__toks, i, $n), ' ') as binary)))"))
+        .as(Seq("__i0", "__gh")))
+      .select(col(idCol), (col("__i0") + 1).cast("long").as("pos"),
+        col("__gh"))
+    val excised = occ
+      .withColumn("__tot",
+        count(lit(1)).over(Window.partitionBy(col("__gh"))))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__gh")).orderBy(col(idCol), col("pos"))))
+      .where(col("__tot") > 1 && col("__rk") > 1)
+    val drops = excised.select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("__p"))
+      .distinct()
+    val kept = toks
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("__p0", "__tok")))
+      .select(col(idCol), (col("__p0") + 1).cast("long").as("__p"),
+        col("__tok"))
+      .join(drops, Seq(idCol, "__p"), "left_anti")
+    val re = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__p"), col("__tok")))),
+          x => x.getField("__tok")), " ").as("__txt"))
+    df.select(col(idCol),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(re, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("__n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("__txt"), lit("")).as("text_dedup"))
+  }
+
   /** BM25 top-k retrieval (Lucene/Robertson formulation): score every
     * document containing at least one of `queryTerms` by
     * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) with

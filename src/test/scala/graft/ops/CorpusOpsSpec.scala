@@ -713,6 +713,32 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(re === got.sorted)
   }
 
+  test("exactSubstrDedup: first occurrence survives, overlaps merge, full-dup doc empties") {
+    // n=2 spans. "a b" occurs at (1,1), (2,2), (3,1), (3,3), (3,5):
+    // (1,1) survives; the rest excise. "b a" occurs at (3,2), (3,4):
+    // (3,2) survives as a SPAN but its positions are already covered by
+    // the merged "a b" excisions — position-level union empties d3.
+    val docs = Seq(
+      (1L, "a b c d"),    // untouched (its span is every dup's FIRST)
+      (2L, "x a b y"),    // excises positions 2-3 → "x y"
+      (3L, "a b a b a b") // every position covered → ""
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.exactSubstrDedup(docs, "doc_id", "text", n = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 4L, 4L, "a b c d"),
+      (2L, 4L, 2L, "x y"),
+      (3L, 6L, 0L, "")))
+    // short docs (no spans) pass through untouched
+    val short = CorpusOps.exactSubstrDedup(
+      Seq((9L, "solo")).toDF("doc_id", "text"), "doc_id", "text", n = 2)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(short === Seq((9L, 1L, 1L, "solo")))
+    intercept[IllegalArgumentException](
+      CorpusOps.exactSubstrDedup(docs, "doc_id", "text", n = 0))
+  }
+
   test("epochShuffleResume: suffix equals the full epoch's slice — no skip, no replay") {
     val docs = (1L to 40L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     val full = CorpusOps.epochShuffle(docs, "doc_id", epochs = 2)
