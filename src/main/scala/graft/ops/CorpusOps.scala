@@ -1977,6 +1977,14 @@ object CorpusOps {
     * Words shorter than the vocabulary's 2-char floor encode as one
     * symbol — the coalesce arm of the join.
     *
+    * Lifetime note: the FINAL vocabulary generation backs the returned
+    * plan's broadcast side, so it stays localCheckpoint-persisted until
+    * the caller's action completes and driver GC feeds the
+    * ContextCleaner — one vocabulary-scale block set per call. Callers
+    * running many encodes in one JVM can free it deterministically by
+    * walking the result plan's LogicalRDD leaves (the
+    * Dedup.unpersistCheckpoint pattern) after their action.
+    *
     * @return per source: (source, n_words, n_chars, n_tokens,
     *         tokens_per_word 4-dp, chars_per_token 4-dp)
     */
