@@ -29,6 +29,15 @@ object SparkEntry {
   // determinism lesson was that two drifting spellings of the same grid
   // computation flipped boundary values — the grid scaffolding (bounds,
   // week axis, dim dropna, left join) must have a single definition.
+  /** The 15-token license-style sentence the excision skew fixture
+    * appends to every document — one gram at corpus-cardinality
+    * occurrence count, the hot-digest case `exact_substr_dedup_skew`
+    * exists to grade. Single-space lowercase so the engine's
+    * space-split tokenizer and the oracle's string_split agree. */
+  private val excisionBoilerplate =
+    "this document is provided as is without warranty of any kind " +
+      "express or implied whatsoever"
+
   private val priceMeanAgg =
     "CASE WHEN count(__cents) = 0 THEN NULL\n" +
       "              ELSE floor((CAST(sum(__cents) AS DOUBLE) / 100.0 / count(__cents)) * 10000 + 0.5) / 10000 END AS price_mean"
@@ -4299,6 +4308,21 @@ object SparkEntry {
       CorpusOps.exactSubstrDedup(Tables.documents(s, d), "doc_id", "text",
         n = 15)
         .orderBy("doc_id")),
+    // The BOILERPLATE-SKEW fixture the de-skewed excision plan is graded
+    // on: the same 15-token license-style sentence appended to EVERY
+    // document puts one gram at corpus-cardinality occurrence count —
+    // the hot-digest case the r11 window-based first-occurrence pick
+    // would have funneled into a single straggler task. The two-phase
+    // min(struct(id, pos)) + count aggregate reduces it map-side (the
+    // join back on the hot digest is AQE-splittable); the oracle replays
+    // the identically-appended corpus by span TEXT. Every document ends
+    // up excising the boilerplate except the global first (min doc_id).
+    "exact_substr_dedup_skew" -> ((s, d) =>
+      CorpusOps.exactSubstrDedup(
+        Tables.documents(s, d).withColumn("text",
+          concat_ws(" ", col("text"), lit(excisionBoilerplate))),
+        "doc_id", "text", n = 15)
+        .orderBy("doc_id")),
     // BM25 sparse retrieval over the corpus for a fixed query-term set —
     // ranking compares associative micro-unit longs, so top-k membership
     // and order are engine-exact, not float-wobble-exact.
@@ -8196,6 +8220,28 @@ object SparkEntry {
         |  CAST(coalesce(re.n_kept, 0) AS BIGINT) AS n_kept,
         |  coalesce(re.txt, '') AS text_dedup
         |FROM documents d LEFT JOIN re USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // The skew fixture replayed on the identically-appended corpus (the
+    // oracle works by span TEXT where the engine works by digest):
+    // concat_ws on both sides so NULL-text handling matches exactly.
+    "exact_substr_dedup_skew" ->
+      s"""WITH d0 AS (SELECT doc_id, concat_ws(' ', text, '$excisionBoilerplate') AS text FROM documents),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d0),
+        |occ AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, array_to_string(toks[i:i+14], ' ') AS gram
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 13)) AS i) WHERE len(toks) >= 15),
+        |w AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS tot,
+        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk FROM occ),
+        |drops AS (SELECT DISTINCT doc_id, pos + d AS p FROM w,
+        |  LATERAL (SELECT unnest(range(0, 15)) AS d) WHERE tot > 1 AND rk > 1),
+        |tok AS (SELECT doc_id, CAST(i AS BIGINT) AS p, toks[i] AS tok
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)),
+        |kept AS (SELECT tok.doc_id, tok.p, tok.tok FROM tok
+        |  ANTI JOIN drops ON tok.doc_id = drops.doc_id AND tok.p = drops.p),
+        |re AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY p) AS txt FROM kept GROUP BY 1)
+        |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(re.n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(re.txt, '') AS text_dedup
+        |FROM d0 d LEFT JOIN re USING (doc_id) ORDER BY doc_id""".stripMargin,
     // Per-term contributions quantized to micro-unit BIGINTs before the
     // per-doc sum (associative), ranked on the long — mirrors the Spark
     // side exactly; the double appears only in the displayed 4-dp score.
@@ -8447,14 +8493,16 @@ object SparkEntry {
         |SELECT event_type,
         |  floor((CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS total_value,
         |  s.salted
-        |FROM events, s GROUP BY 1, 3 ORDER BY 1""".stripMargin,
+        |FROM events, s WHERE event_type IS NOT NULL
+        |GROUP BY 1, 3 ORDER BY 1""".stripMargin,
     "skew_aware_agg_uniform" ->
       """WITH s AS (SELECT floor(CAST(max(cnt) AS DOUBLE) / sum(cnt) * 10000 + 0.5) / 10000 > 0.05 AS salted
         |  FROM (SELECT count(*) AS cnt FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey))
         |SELECT o_custkey,
         |  floor((CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS total_price,
         |  s.salted
-        |FROM orders, s GROUP BY 1, 3 ORDER BY 1""".stripMargin,
+        |FROM orders, s WHERE o_custkey IS NOT NULL
+        |GROUP BY 1, 3 ORDER BY 1""".stripMargin,
     "salted_join" ->
       """SELECT c.c_mktsegment,
         |  CAST(count(*) AS BIGINT) AS n_orders,

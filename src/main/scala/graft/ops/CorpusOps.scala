@@ -553,13 +553,19 @@ object CorpusOps {
     * Scale shape: span occurrences collapse to (id, digest, count) rows in
     * the first hash aggregation (map-side partials; the md5 digest — never
     * span text — is what exchanges), and the corpus total per digest is a
-    * WINDOW over those already-reduced rows rather than a re-aggregation
-    * joined back — the span explode is evaluated exactly once (a groupBy
-    * re-derivation would evaluate the generator subtree once per branch;
-    * exchange reuse does not bridge an aggregation). Documents too short to
-    * have spans re-enter via a left join with an explicit NULL `dup_frac`
-    * (0/0 is undefined, not 0 — and ANSI double division by zero would kill
-    * the job).
+    * second HASH AGGREGATE joined back on the digest — never a window over
+    * the incidence rows: a window puts every row of a hot gram into ONE
+    * partition and ONE sort, so a corpus-wide boilerplate span (license
+    * header, template sentence — the exact content this signal exists to
+    * flag) becomes a straggler task at 100×, while the two-phase aggregate
+    * reduces it map-side and the skewed join back is AQE-splittable. The
+    * incidence frame feeds both the totals aggregate and the join back, so
+    * it materializes once (localCheckpoint — exchange reuse does not
+    * bridge an aggregation, and a re-derivation would evaluate the span
+    * generator once per branch). Documents too short to have spans
+    * re-enter via a left join with an explicit NULL `dup_frac` (0/0 is
+    * undefined, not 0 — and ANSI double division by zero would kill the
+    * job).
     *
     * @return one row per input document:
     *         (id, n_spans, n_dup_spans, dup_frac 4-dp | NULL).
@@ -570,8 +576,10 @@ object CorpusOps {
     val perDoc = spanStream(df, idCol, textCol, n)
       .groupBy(col(idCol), md5(col("gram").cast("binary")).as("__gh"))
       .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val totals = perDoc.groupBy(col("__gh")).agg(sum(col("__c")).as("__tot"))
     val agg = perDoc
-      .withColumn("__tot", sum("__c").over(Window.partitionBy(col("__gh"))))
+      .join(totals, Seq("__gh"))
       .groupBy(col(idCol))
       .agg(sum("__c").as("__n_spans"),
         sum(when(col("__tot") > 1, col("__c")).otherwise(0L)).as("__n_dup"))
@@ -598,11 +606,21 @@ object CorpusOps {
     * boundaries.
     *
     * Scale shape: span DIGESTS (never span text) cross the one
-    * fact×position exchange; occurrence rank and count ride a single
-    * digest-partitioned window over those rows ([[duplicatedSpans]]'
-    * shape); the drop-set explode is bounded by the DUPLICATION MASS
-    * (excised occurrences × n), not the corpus; reassembly buffers one
-    * document's tokens per group (the [[dropDuplicateChunks]]
+    * fact×position exchange; the first-occurrence pick is a two-phase
+    * hash aggregate — `min(struct(id, pos))` + `count(*)` per digest,
+    * map-side partials, skew-immune — joined back on the digest, NEVER
+    * a window over raw occurrence rows: a window would put every
+    * occurrence of a corpus-wide boilerplate span (the exact content
+    * this operator exists to excise) into ONE partition and ONE sort —
+    * a straggler task at 100× — while the join back on a hot digest is
+    * AQE-splittable. The duplicated-digest side of that join carries
+    * only digests with count > 1, bounded by the duplication mass. The
+    * occurrence frame feeds both the aggregate and the join back, so it
+    * materializes once (localCheckpoint of compact (id, pos, digest)
+    * rows — a re-derivation would tokenize and explode the corpus once
+    * per branch). The drop-set explode is bounded by the DUPLICATION
+    * MASS (excised occurrences × n), not the corpus; reassembly buffers
+    * one document's tokens per group (the [[dropDuplicateChunks]]
     * contract). Greedy position-union is the standard approximation —
     * residual duplication created by excision itself is not re-chased.
     *
@@ -623,12 +641,20 @@ object CorpusOps {
         .as(Seq("__i0", "__gh")))
       .select(col(idCol), (col("__i0") + 1).cast("long").as("pos"),
         col("__gh"))
+      .localCheckpoint(true)
+    // struct ordering is lexicographic by field position, so
+    // min(struct(id, pos)) IS the global first occurrence — the same
+    // total order the excision rule demands, computed as a partial-merge
+    // hash aggregate instead of a per-digest sort
+    val firsts = occ
+      .groupBy(col("__gh"))
+      .agg(min(struct(col(idCol), col("pos"))).as("__first"),
+        count(lit(1)).as("__tot"))
+      .where(col("__tot") > 1)
     val excised = occ
-      .withColumn("__tot",
-        count(lit(1)).over(Window.partitionBy(col("__gh"))))
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy(col("__gh")).orderBy(col(idCol), col("pos"))))
-      .where(col("__tot") > 1 && col("__rk") > 1)
+      .join(firsts, Seq("__gh"))
+      .where(col(idCol) =!= col("__first").getField(idCol)
+        || col("pos") =!= col("__first").getField("pos"))
     val drops = excised.select(col(idCol),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("__p"))
       .distinct()
@@ -1740,12 +1766,12 @@ object CorpusOps {
     sized
   }
 
-  /** Free a superseded localCheckpoint's blocks (the
-    * [[graft.ops.Dedup]] discipline, shared here by the BPE loop). */
+  /** Free a superseded localCheckpoint's blocks — [[Dedup
+    * .unpersistCheckpoint]], the one shared LogicalRDD-walk free
+    * (`Dataset.unpersist` is a CacheManager call and a NO-OP for
+    * checkpointed frames; see Dedup's scaladoc). */
   private def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(blocking = false))
+    Dedup.unpersistCheckpoint(df)
 
   /** Adjacent-symbol pair counts over a segmented vocabulary — one
     * round's candidate statistics: unwrap the delimiters, split into
@@ -1795,7 +1821,7 @@ object CorpusOps {
   def bpeTrainMerges(df: DataFrame, textCol: String,
                      rounds: Int): DataFrame = {
     val (merges, vocab) = bpeTrainLoop(df, textCol, rounds)
-    vocab.unpersist(true)
+    unpersistCheckpoint(vocab)
     merges
   }
 
@@ -1829,7 +1855,8 @@ object CorpusOps {
       val top = bpeRoundPairs(vocab)
         .orderBy(col("n").desc, col("l"), col("r")).limit(1).collect()
       // `vocab` is materialized now — its parent generation is free
-      if (prev != null) { prev.unpersist(true); prev = null }
+      // (via the RDD walk: Dataset.unpersist is a no-op on checkpoints)
+      if (prev != null) { unpersistCheckpoint(prev); prev = null }
       if (top.isEmpty) exhausted = true
       else {
         val row = top.head
@@ -1849,7 +1876,7 @@ object CorpusOps {
     // The final generation may still be lazy — materialize it before
     // freeing its parent, so callers hand downstream plans a sealed
     // checkpoint (bpeEncodeStats' broadcast build reads it directly).
-    if (prev != null) { vocab.count(); prev.unpersist(true) }
+    if (prev != null) { vocab.count(); unpersistCheckpoint(prev) }
     (merges.toSeq.toDF("round", "left_sym", "right_sym", "merged",
       "n_forms", "n"), vocab)
   }
@@ -1920,10 +1947,16 @@ object CorpusOps {
     * boilerplate/template documents that near-dup measures under
     * threshold miss; high uniqueness marks content worth its tokens.
     *
-    * Scale shape: ONE fact-scale explode to distinct (doc, gram)
-    * incidence rows, a gram-keyed hash aggregate for corpus counts, one
-    * join back on the gram key, and a doc-keyed rollup — the standard
-    * two-aggregate inverted-index shape; no gram list ever collects.
+    * Scale shape: ONE fact-scale explode to distinct (doc, digest)
+    * incidence rows — the gram is md5'd BEFORE the distinct, so only
+    * (id, 16-byte digest) ever crosses an exchange, never gram text
+    * (the [[duplicatedSpans]] discipline; the oracle groups by the gram
+    * text itself, so the hash grade doubles as a collision check) — a
+    * digest-keyed hash aggregate for corpus counts, one join back on
+    * the digest, and a doc-keyed rollup. The incidence frame feeds both
+    * the counts aggregate and the join back, so it materializes once
+    * (localCheckpoint; exchange reuse does not bridge an aggregation).
+    * No gram list ever collects.
     *
     * @param n gram width in tokens; documents with fewer than n tokens
     *          emit no row
@@ -1939,11 +1972,13 @@ object CorpusOps {
       .where(size(col("__toks")) >= n)
     val grams = toks.select(col(idCol), explode(transform(
         sequence(lit(1), size(col("__toks")) - (n - 1)),
-        i => array_join(slice(col("__toks"), i, lit(n)), " "))).as("gram"))
+        i => md5(array_join(slice(col("__toks"), i, lit(n)), " ")
+          .cast("binary")))).as("__gh"))
       .distinct()
-    val counts = grams.groupBy(col("gram"))
+      .localCheckpoint(true)
+    val counts = grams.groupBy(col("__gh"))
       .agg(count(lit(1)).as("__cnt"))
-    grams.join(counts, Seq("gram"))
+    grams.join(counts, Seq("__gh"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         coalesce(sum(when(col("__cnt") === 1L, 1L).otherwise(0L)), lit(0L))
@@ -2002,6 +2037,13 @@ object CorpusOps {
       .select(col(sourceCol).as("source"),
         explode(TextFunctions.tokens(col(textCol))).as("w"))
       .where(length(col("w")) >= 1)
+      // the delimiter guard must cover EVERY corpus word, not only the
+      // length>=2 forms that reach the vocabulary: a single-character
+      // '(' would otherwise slip through the coalesce fallback as "1
+      // token" while a delimiter-wrapping oracle counts its parens —
+      // a silent divergence of exactly the class the guard exists to
+      // surface loudly (map-side rlike, no exchange impact)
+      .select(col("source"), bpeSafeWord(col("w")).as("w"))
       .join(broadcast(formTokens), Seq("w"), "left")
       .select(col("source"), length(col("w")).cast("long").as("__chars"),
         coalesce(col("__vt"), lit(1L)).as("__toks"))

@@ -470,8 +470,16 @@ object Dedup {
     * JVM. The checkpointed RDD sits in the plan as a public `LogicalRDD`
     * leaf; unpersisting is async (non-blocking) and safe because callers
     * only pass generations no later plan reads.
+    *
+    * PUBLIC because callers of checkpoint-returning operators need the
+    * same lever: e.g. [[graft.ops.CorpusOps.bpeEncodeStats]] hands back a
+    * plan whose broadcast side reads the final BPE vocabulary checkpoint
+    * — a JVM running many encodes frees each superseded vocabulary by
+    * passing the consumed result (or the vocabulary frame) here after its
+    * action completes, instead of accumulating one vocabulary-scale block
+    * set per call until driver GC feeds the ContextCleaner.
     */
-  private[ops] def unpersistCheckpoint(df: DataFrame): Unit =
+  def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))

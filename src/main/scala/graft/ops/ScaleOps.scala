@@ -614,23 +614,56 @@ object ScaleOps {
     * The comparison uses the report's 4-dp `top_share` verbatim, so the
     * engine and a replaying oracle evaluate the same rounded number.
     * At 100 TB this is the pre-flight a pipeline runs once per
-    * ingest snapshot, caching the decision per (table, key).
+    * ingest snapshot, caching the decision per (table, key) — and the
+    * builder enforces exactly that: the decision is MEMOIZED per
+    * (application, canonical input plan, key, threshold), so composing
+    * the same aggregate repeatedly (or re-building the plan per bench
+    * run) runs the report job once per JVM, not once per call (the
+    * codebook / basket-graph memo contract). The first touch is still
+    * an EAGER driver action at plan-construction time — the
+    * bloom-sizing / IVF-codebook eager contract, stated here loudly:
+    * building this plan runs a bounded 1-row pre-flight job even if the
+    * returned frame is never acted on.
     *
-    * @return per key: (key, sum_<valueCol>, salted)
+    * NULL keys are EXCLUDED from the output: [[keySkewReport]] already
+    * ignores them (a NULL key is not a skew candidate — it can't be
+    * salted meaningfully), so routing them through either plan would
+    * aggregate a group the decision never saw; callers wanting the NULL
+    * bucket aggregate it separately.
+    *
+    * @return per key (key IS NOT NULL): (key, sum_<valueCol>, salted)
     */
   def skewAwareSum(df: DataFrame, key: String, valueCol: String,
                    topShareMax: Double = 0.05,
                    buckets: Int = 16): DataFrame = {
     require(topShareMax > 0.0 && topShareMax < 1.0,
       s"topShareMax=$topShareMax must be in (0, 1)")
-    val report = keySkewReport(df, col(key)).select("top_share").head()
-    // an empty frame has no top key — nothing to salt
-    val salted = !report.isNullAt(0) && report.getDouble(0) > topShareMax
+    val base = df.where(col(key).isNotNull)
+    val fp = (df.sparkSession.sparkContext.applicationId,
+      base.queryExecution.analyzed.semanticHash(), key, topShareMax)
+    val salted = skewDecisionCache.getOrElseUpdate(fp, {
+      skewPreflights.incrementAndGet()
+      val report = keySkewReport(base, col(key)).select("top_share").head()
+      // an empty frame has no top key — nothing to salt
+      !report.isNullAt(0) && report.getDouble(0) > topShareMax
+    })
     val agg =
-      if (salted) saltedSum(df, Seq(key), valueCol, buckets)
-      else df.groupBy(col(key)).agg(sum(valueCol).as(s"sum_$valueCol"))
+      if (salted) saltedSum(base, Seq(key), valueCol, buckets)
+      else base.groupBy(col(key)).agg(sum(valueCol).as(s"sum_$valueCol"))
     agg.withColumn("salted", lit(salted))
   }
+
+  /** [[skewAwareSum]]'s decision memo: keyed by the analyzed plan's
+    * semanticHash so two builds of the same canonical input share one
+    * pre-flight. JVM lifetime — the immutable-testdata contract every
+    * memo in this repo carries. */
+  private val skewDecisionCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, String, Double), Boolean]
+
+  /** Pre-flight counter, exposed for the spec that pins "one report job
+    * across repeated builder calls". */
+  private[graft] val skewPreflights =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 
   def keySkewReport(df: DataFrame, key: Column): DataFrame = {
     import CoreOps.rnd

@@ -542,15 +542,18 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
-  test("duplicatedSpans: the span explode runs exactly once (window totals, no re-derived join)") {
+  test("duplicatedSpans: the span explode runs exactly once (checkpointed incidence, no re-derived branch)") {
     val plan = executedSimple(
       graft.ops.CorpusOps.duplicatedSpans(Tables.documents(spark, sf),
         "doc_id", "text", n = 15))
-    // a groupBy+join spelling of the corpus totals re-evaluates the
-    // generator subtree under a second branch — at 100 TB that is the
-    // whole token stream twice; the window spelling holds it at one
-    assert(plan.linesIterator.count(_.contains("Generate explode")) == 1,
-      plan)
+    // the (id, digest, count) incidence materializes ONCE (the totals
+    // aggregate and the join back both read the checkpoint), so the
+    // returned plan contains ZERO generator nodes — the span explode
+    // already ran, exactly once, at checkpoint build. A re-derived
+    // groupBy branch would show a second explode; the r11 window
+    // spelling held it at one but funneled every hot gram into one
+    // sort partition (the excision skew finding).
+    assert(!plan.contains("Generate explode"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
@@ -633,6 +636,51 @@ class PlanSpec extends SparkTestBase {
       s"uniform key must not pay the salted two-phase plan:\n$uniform")
     val ex = "Exchange hashpartitioning".r.findAllIn(uniform).size
     assert(ex === 1, s"plain path is one hash exchange, got $ex:\n$uniform")
+  }
+
+  test("exact-substring excision: first-occurrence pick is a hash aggregate — no window over raw occurrences") {
+    // r11's one weak component, fixed at the cause: occurrence rank and
+    // count rode Window.partitionBy(digest) over RAW (doc, pos) rows —
+    // one partition and ONE SORT per gram, a straggler task when a
+    // corpus-wide boilerplate span (the exact content this operator
+    // exists to excise) owns 10^8 occurrences at 100×. The de-skewed
+    // plan carries NO window operator anywhere: the first-occurrence
+    // pick is min(struct(id, pos)) + count per digest (partial-merge
+    // hash aggregate, skew-immune) joined back on the digest — and the
+    // boilerplate-skew graded variant proves it on a corpus where one
+    // gram occurs once per document.
+    Seq("exact_substr_dedup", "exact_substr_dedup_skew").foreach { q =>
+      val plan = executedSimple(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("Window"),
+        s"$q must not window over raw occurrences:\n$plan")
+      assert(!plan.contains("row_number"),
+        s"$q must not rank occurrences by sort:\n$plan")
+    }
+  }
+
+  test("dup_spans: corpus totals are an aggregate joined back — no digest window") {
+    // The milder sibling of the excision skew finding: the per-digest
+    // total previously rode a window over the (doc, digest, count)
+    // incidence — still one partition per hot gram. Same fix shape:
+    // hash aggregate + join back, zero window operators in the plan.
+    val plan = executedSimple(SparkEntry.queries("dup_spans")(spark, sf))
+    assert(!plan.contains("Window"),
+      s"dup_spans must not window over incidence rows:\n$plan")
+  }
+
+  test("ngram_uniqueness: only digests cross the exchanges; incidence reads once") {
+    // r11 finding: the gram STRING crossed three exchanges (distinct,
+    // counts, join back) against the repo's own digest discipline. The
+    // fix md5s the gram BEFORE the distinct and checkpoints the
+    // (id, 16-B digest) incidence for its two consumers — so the
+    // returned plan reads the checkpoint (zero parquet scans) and no
+    // gram-text column survives into any exchange.
+    val plan = executedSimple(
+      SparkEntry.queries("ngram_uniqueness")(spark, sf))
+    assert(!plan.contains("Scan parquet"),
+      s"incidence must enter as the one checkpoint:\n$plan")
+    assert(!plan.contains("gram#"),
+      s"gram text must not survive past the map side:\n$plan")
   }
 
   test("incremental near-dup: bucketed band manifest joins with ZERO manifest-side exchange") {

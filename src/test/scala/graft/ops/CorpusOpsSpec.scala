@@ -842,6 +842,35 @@ class CorpusOpsSpec extends SparkTestBase {
     val e2 = intercept[Exception](
       CorpusOps.bpeEncodeStats(nl, "source", "text", rounds = 1).collect())
     assert(e2.getMessage.contains("line terminator"), e2.getMessage)
+    // a SINGLE-CHARACTER '(' never reaches the length>=2 vocabulary, so
+    // the vocab-side guard alone would let it slip through the encode's
+    // coalesce fallback as "1 token" while a delimiter-counting oracle
+    // sees 2 — the occurrence-pass guard catches it loudly instead
+    val single = Seq(("A", "ok ( ok")).toDF("source", "text")
+    val e3 = intercept[Exception](
+      CorpusOps.bpeEncodeStats(single, "source", "text", rounds = 1)
+        .collect())
+    assert(e3.getMessage.contains("delimiter paren"), e3.getMessage)
+  }
+
+  test("bpeEncodeStats lifetime: superseded generations freed in-loop, zero blocks after the public free") {
+    // The r11 ADVICE finding made a pin: Dataset.unpersist is a NO-OP on
+    // localCheckpointed frames (CacheManager never saw them), so the
+    // loop must free superseded generations via the LogicalRDD walk —
+    // after the encode's action, exactly ONE checkpoint block set (the
+    // final vocabulary backing the broadcast side) may remain, and the
+    // public Dedup.unpersistCheckpoint helper frees that one too (the
+    // lever a many-encodes-per-JVM caller needs).
+    val docs = Seq(("A", "abab ab"), ("B", "aaaa")).toDF("source", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val stats = CorpusOps.bpeEncodeStats(docs, "source", "text", rounds = 3)
+    stats.collect()
+    val resident = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(resident.size === 1,
+      s"expected only the final vocabulary's block set, got: $resident")
+    Dedup.unpersistCheckpoint(stats)
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty, s"blocks not freed by the public helper: $after")
   }
 
   test("bpeTrainMerges: per-round work is vocabulary-scale — no corpus rescan") {

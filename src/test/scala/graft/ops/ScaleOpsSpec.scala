@@ -367,6 +367,32 @@ class ScaleOpsSpec extends SparkTestBase {
       ScaleOps.skewAwareSum(df, "k", "v", topShareMax = 0.0))
   }
 
+  test("skewAwareSum: one pre-flight report job across repeated builder calls") {
+    import spark.implicits._
+    // The eager-pre-flight ADVICE finding closed: composing the same
+    // aggregate twice (same canonical input plan, key, threshold) must
+    // run the keySkewReport action ONCE — the decision is memoized the
+    // way SparkEntry memoizes codebooks. The two frames are built
+    // independently so the pin covers re-derivation, not object reuse.
+    def build() = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+    val before = ScaleOps.skewPreflights.get()
+    val r1 = ScaleOps.skewAwareSum(build(), "k", "v", topShareMax = 0.31)
+      .orderBy("k").as[(String, Long, Boolean)].collect().toSeq
+    assert(ScaleOps.skewPreflights.get() - before === 1L)
+    val r2 = ScaleOps.skewAwareSum(build(), "k", "v", topShareMax = 0.31)
+      .orderBy("k").as[(String, Long, Boolean)].collect().toSeq
+    assert(ScaleOps.skewPreflights.get() - before === 1L,
+      "second builder call re-ran the pre-flight report")
+    assert(r1 === r2)
+    // NULL keys are excluded: the report never saw them, so neither
+    // routed plan aggregates them
+    val withNull = build().union(Seq((null: String, 99L)).toDF("k", "v"))
+    val keys = ScaleOps.skewAwareSum(withNull, "k", "v", topShareMax = 0.31)
+      .select("k").as[String].collect()
+    assert(!keys.contains(null))
+  }
+
   test("zonemapPruneStats: hand-built files, zone-map intersection, hit counts") {
     // 8 rows laid out by k, 4 per file: file0 has x 1-4 / y 10-40,
     // file1 x 5-8 / y 50-80. Rectangle [2,3]x[20,30] intersects only
