@@ -2024,9 +2024,38 @@ object CorpusOps {
     *         tokens_per_word 4-dp, chars_per_token 4-dp)
     */
   def bpeEncodeStats(df: DataFrame, sourceCol: String, textCol: String,
-                     rounds: Int): DataFrame = {
+                     rounds: Int): DataFrame =
+    bpeEncodeStats(df, sourceCol, textCol, bpeTrain(df, textCol, rounds))
+
+  /** A trained BPE tokenizer: the realized merge table and the FINAL
+    * segmented vocabulary (checkpointed — every merge already applied
+    * to every distinct form). Train ONCE per corpus snapshot, apply to
+    * any number of encode passes ([[bpeEncodeStats]], [[bpeEncodeIds]])
+    * — the 100 TB contract is train-small / apply-wide, and re-training
+    * per encode would repeat the loop's per-round jobs for
+    * bit-identical output. Retire the model by freeing `vocab`'s
+    * checkpoint blocks with [[Dedup.unpersistCheckpoint]].
+    */
+  case class BpeModel(merges: DataFrame, vocab: DataFrame)
+
+  /** Run the BPE training loop and keep BOTH halves — see [[BpeModel]].
+    * [[bpeTrainMerges]] is the merges-only convenience (it frees the
+    * vocabulary); this is the entry point for encode consumers.
+    */
+  def bpeTrain(df: DataFrame, textCol: String, rounds: Int): BpeModel = {
+    val (merges, vocab) = bpeTrainLoop(df, textCol, rounds)
+    BpeModel(merges, vocab)
+  }
+
+  /** [[bpeEncodeStats]] against an already-trained [[BpeModel]] — the
+    * apply-wide half on its own, so several encode passes (or the
+    * id-sequence materialization in [[bpeEncodeIds]]) share one
+    * training run. Same contract and plan shape as the rounds overload.
+    */
+  def bpeEncodeStats(df: DataFrame, sourceCol: String, textCol: String,
+                     model: BpeModel): DataFrame = {
     import CoreOps.rnd
-    val (_, finalVocab) = bpeTrainLoop(df, textCol, rounds)
+    val finalVocab = model.vocab
     // (form → n_tokens) off the final vocabulary: strip the delimiters
     // to recover the word, count '(' for the surviving symbol count
     val formTokens = finalVocab.select(
@@ -2056,6 +2085,84 @@ object CorpusOps {
           .as("tokens_per_word"),
         rnd(col("n_chars").cast("double") / col("n_tokens").cast("double"))
           .as("chars_per_token"))
+  }
+
+  /** Encode the corpus to token-ID SEQUENCES — the tokenize step a
+    * training pipeline actually feeds downstream ([[bpeEncodeStats]]
+    * reports the numbers; this materializes the ids, so
+    * [[packSequences]] packs REAL sequence lengths and a dataloader
+    * reads real ids, not estimates).
+    *
+    * Id assignment is deterministic and engine-replayable: the symbol
+    * universe is every symbol surviving in the final vocabulary plus
+    * every single-character corpus word (those never enter the
+    * length≥2 vocabulary and encode as themselves), ordered by (first
+    * merge round that produced the symbol — 0 for base symbols, so
+    * un-merged symbols come first lexicographically — then the symbol
+    * itself). That is the standard "base alphabet, then merges in merge
+    * order" BPE id convention, with ties impossible (the universe is
+    * distinct).
+    *
+    * Scale shape: the id table is VOCABULARY-bounded (its row_number
+    * window is the [[bpeMergePairs]] top-k contract — a bounded frame,
+    * never the corpus); the corpus pass is one tokenize + two broadcast
+    * hash joins (form → symbol array, symbol → id) with NO per-merge
+    * fact-side work; per-document assembly buffers one document's ids
+    * in its aggregation group (the [[dropDuplicateChunks]] reassembly
+    * contract). The single-character distinct is one keys-only
+    * aggregate producing an alphabet-sized output. Words are guarded by
+    * [[bpeSafeWord]] at occurrence scope, as in the stats encode.
+    *
+    * @return per document with ≥1 non-empty word: (id, n_tokens,
+    *         token_ids — int array in document order)
+    */
+  def bpeEncodeIds(df: DataFrame, idCol: String, textCol: String,
+                   model: BpeModel): DataFrame = {
+    val formSyms = model.vocab.select(
+      translate(col("seg"), "()", "").as("w"),
+      split(expr("substring(seg, 2, length(seg) - 2)"), "\\)\\(")
+        .as("__syms"))
+    val vocabSyms = formSyms
+      .select(explode(col("__syms")).as("sym")).distinct()
+    val charSyms = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("sym"))
+      .where(length(col("sym")) === 1).distinct()
+    val mergeRounds = model.merges
+      .select(col("merged").as("sym"), col("round"))
+      .groupBy(col("sym")).agg(min(col("round")).as("__mrnd"))
+    val byRoundThenSym = org.apache.spark.sql.expressions.Window
+      .orderBy(coalesce(col("__mrnd"), lit(0L)), col("sym"))
+    val ids = vocabSyms.unionByName(charSyms).distinct()
+      .join(mergeRounds, Seq("sym"), "left")
+      .withColumn("token_id", row_number().over(byRoundThenSym).cast("int"))
+      .select(col("sym"), col("token_id"))
+    val occ = df.select(col(idCol),
+        posexplode(TextFunctions.tokens(col(textCol)))
+          .as(Seq("__wp", "__w0")))
+      .where(length(col("__w0")) >= 1)
+      .select(col(idCol), col("__wp").cast("long").as("__wp"),
+        bpeSafeWord(col("__w0")).as("w"))
+    val syms = occ.join(broadcast(formSyms), Seq("w"), "left")
+      .select(col(idCol), col("__wp"),
+        posexplode(coalesce(col("__syms"), array(col("w"))))
+          .as(Seq("__sp", "sym")))
+    // a symbol outside the universe (an OOV length≥2 word encoded
+    // against a model trained on a DIFFERENT corpus) fails loudly — a
+    // silent inner-join drop would truncate sequences undetectably
+    syms.join(broadcast(ids), Seq("sym"), "left")
+      .select(col(idCol), col("__wp"), col("__sp"),
+        coalesce(col("token_id"), raise_error(format_string(
+          "graft.CorpusOps.bpeEncodeIds: symbol %s is not in the " +
+            "model's vocabulary — the encode corpus must be covered by " +
+            "the training corpus's forms plus single-character words",
+          col("sym"))).cast("int")).as("token_id"))
+      .groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(
+          col("__wp").as("wp"), col("__sp").cast("long").as("sp"),
+          col("token_id").as("tid")))),
+        x => x.getField("tid")).as("token_ids"))
+      .select(col(idCol), size(col("token_ids")).cast("long").as("n_tokens"),
+        col("token_ids"))
   }
 
   def pmiCollocations(df: DataFrame, textCol: String,

@@ -1051,6 +1051,32 @@ class PlanSpec extends SparkTestBase {
       s"plan depth grew with the merge count:\n$p2\n--- vs ---\n$p8")
   }
 
+  test("bpe_encode_ids: fact pass is two broadcast probes, plan depth independent of merge count") {
+    // The id materialization keeps the stats encode's contract: zero
+    // per-merge rewrites on the corpus (the vocab enters as the sealed
+    // checkpoint), broadcast probes only (two on the fact side — form →
+    // symbols, symbol → id — plus the merge-round attach inside the
+    // vocab-bounded id-table build), and a plan that is line-for-line
+    // the same size at 2 and 6 merges. The id table's row_number window
+    // and its single-partition exchange run on the vocab-bounded
+    // broadcast side, never the corpus.
+    val docs = Tables.documents(spark, sf)
+    def planAt(rounds: Int) = executedSimple(
+      graft.ops.CorpusOps.bpeEncodeIds(docs, "doc_id", "text",
+        graft.ops.CorpusOps.bpeTrain(docs, "text", rounds)))
+    val p2 = planAt(2)
+    val p6 = planAt(6)
+    Seq(p2, p6).foreach { p =>
+      assert(!p.contains("regexp_replace"),
+        s"no per-merge rewrite may reach the corpus pass:\n$p")
+      val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+      assert(bhj === 3, s"expected exactly 3 broadcast joins, got $bhj:\n$p")
+      assert(!p.contains("SortMergeJoin"), p)
+    }
+    assert(p2.linesIterator.size === p6.linesIterator.size,
+      s"plan depth grew with the merge count:\n$p2\n--- vs ---\n$p6")
+  }
+
   test("knn_ivfadc_topk: candidate scoring is CELL-pruned — the LUT join keys on cell") {
     // The IVFADC contract: a candidate whose coarse cell no query
     // probes must never be scored. Structurally that means the

@@ -873,6 +873,26 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(after.isEmpty, s"blocks not freed by the public helper: $after")
   }
 
+  test("bpeEncodeIds: deterministic ids (base lexicographic, then merge order), real sequences") {
+    // vocab abab:1, ab:1, aaaa:1 (the bpeEncodeStats fixture +
+    // single-char word "a"). Round 1 merges (a,a), round 2 (a,b) →
+    // final segs abab=(ab)(ab), ab=(ab), aaaa=(aa)(aa). Universe
+    // {a, aa, ab}; ids by (first merge round, symbol): a=1 (base),
+    // aa=2 (round 1), ab=3 (round 2).
+    val docs = Seq((1L, "abab ab a"), (2L, "aaaa")).toDF("doc_id", "text")
+    val model = CorpusOps.bpeTrain(docs, "text", rounds = 2)
+    val got = CorpusOps.bpeEncodeIds(docs, "doc_id", "text", model)
+      .orderBy("doc_id")
+      .as[(Long, Long, Seq[Int])].collect().toSeq
+    assert(got === Seq((1L, 4L, Seq(3, 3, 3, 1)), (2L, 2L, Seq(2, 2))))
+    // an OOV symbol (a corpus the model never saw) fails loudly — a
+    // silent join drop would truncate training sequences undetectably
+    val oov = Seq((9L, "zz qq")).toDF("doc_id", "text")
+    val e = intercept[Exception](
+      CorpusOps.bpeEncodeIds(oov, "doc_id", "text", model).collect())
+    assert(e.getMessage.contains("not in the"), e.getMessage)
+  }
+
   test("bpeTrainMerges: per-round work is vocabulary-scale — no corpus rescan") {
     // The 100 TB contract: after bpeVocabSeg's one corpus aggregate,
     // every round's pair count reads the CHECKPOINTED vocabulary — a
