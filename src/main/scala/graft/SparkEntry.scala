@@ -684,6 +684,30 @@ object SparkEntry {
 
   private val streamRuns = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** The graded near-dup BATCH slice staged as a 3-file parquet dir so a
+    * file stream delivers it as three micro-batches (maxFilesPerTrigger
+    * 1) — the streaming-ingest fixture for `stream_neardup_incremental`.
+    * Range-partitioned by doc_id for a deterministic file split; the
+    * emitted pair SET is delivery-order-invariant anyway (each pair is
+    * found exactly once: internally when both docs share a micro-batch,
+    * else when the later doc probes the manifest that already holds the
+    * earlier one). Memoized like [[stagedEvents]].
+    */
+  private val stagedDocDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def stagedDocBatches(s: SparkSession, d: String): String =
+    stagedDocDirs.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-docs-stream").toString
+      Tables.documents(s, d)
+        .where(pmod(col("doc_id"), lit(10)) === 1 && col("doc_id") < 10000
+          && pmod(expr("doc_id div 10"), lit(2)) === 1)
+        .repartitionByRange(3, col("doc_id"))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+
   /** Events re-staged once per (sfDir, format) into a temp dir — the
     * alternate-format ingestion fixtures (ORC, JSON lines). Same memoize
     * contract as [[stagedEvents]]; the graded queries prove the engine
@@ -2887,6 +2911,51 @@ object SparkEntry {
         .orderBy("lang", "split")
     }),
 
+    // The FULL governance chain a 2026 pretraining pipeline runs — every
+    // stage exists (and passes) as a singleton above; this query proves
+    // the COMPOSITION end to end: normalize → exact dedup (min-id
+    // digest keep) → exact-substring EXCISION (n=15, first global
+    // occurrence survives) → near-dup REMOVAL at 0.8 on the excised
+    // text (LSH-verified pairs → connected components → canonical keep;
+    // the oracle's exhaustive pair set doubles as an LSH recall gate) →
+    // decontamination against the held-out eval slice (8-gram overlap;
+    // eval never enters the pipeline corpus) → quality gate (≥ 0.4 on
+    // the excised text) → content-addressed split → per-(lang, split)
+    // mixture report, id_sum pinning exactly which documents survived.
+    // Exchange discipline: digests key every dedup/excision exchange;
+    // the one token-carrying shuffle is excision's reassembly; the
+    // victim/contaminated sets are id-only anti-join sides.
+    "corpus_prep_full" -> ((s, d) => {
+      val all = Tables.documents(s, d)
+      val corpus = all.where(pmod(col("doc_id"), lit(10)) =!= 7)
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.normalizeText(col("text")).as("norm"))
+      val evalSide = all.where(pmod(col("doc_id"), lit(10)) === 7)
+        .select(col("doc_id"),
+          TextFunctions.normalizeText(col("text")).as("text_dedup"))
+      val exact = Dedup.dropExact(corpus, "doc_id", "norm")
+      val excised = exact.select(col("doc_id"), col("lang"))
+        .join(CorpusOps.exactSubstrDedup(exact, "doc_id", "norm", n = 15)
+          .select(col("doc_id"), col("text_dedup")), Seq("doc_id"))
+      val neardup = Dedup.dropNearDupsFromPairs(excised, "doc_id",
+        Dedup.verifiedNearDupPairs(excised, "doc_id", "text_dedup",
+          threshold = 0.8))
+      val clean = neardup.join(
+        CorpusOps.decontaminate(neardup, evalSide, "doc_id", "text_dedup",
+            n = 8)
+          .where(!col("contaminated")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val gated = TextFunctions.withQualityColumns(clean, "text_dedup")
+        .where(col("quality") >= 0.4)
+      CorpusOps.assignSplit(gated, "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("n_tokens"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("lang", "split")
+    }),
+
     // Text normalization ahead of dedup: the normalized digest is the
     // dedup key, and md5 is engine-portable so the whole row (digest
     // included) hash-checks against DuckDB byte-for-byte.
@@ -3132,6 +3201,79 @@ object SparkEntry {
         knownPairs = s.table(pt),
         existing = slice.where(pmod(expr("doc_id div 10"), lit(2)) === 0),
         "doc_id", "text", threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+    // The STREAMING ingest loop closed over the same persisted state:
+    // the batch slice arrives as THREE micro-batches (file stream,
+    // maxFilesPerTrigger=1); every micro-batch probes the
+    // manifest-so-far (seeded from the persisted bucketed manifest,
+    // grown by each batch's own banded rows), verifies candidates
+    // against the corpus-so-far, and emits only its NEW pairs — the
+    // existing corpus is never re-signed, never re-self-joined, and no
+    // micro-batch re-finds a prior batch's pairs. The union of the
+    // read-back known-pair list and all micro-batch emissions must
+    // hash-match the same full-corpus truth oracle the batch
+    // incremental variants grade against: streaming-incremental ==
+    // batch-incremental == full.
+    "stream_neardup_incremental" -> ((s, d) => {
+      val slice = Tables.documents(s, d)
+        .where(pmod(col("doc_id"), lit(10)) === 1 && col("doc_id") < 10000)
+      val existing0 = slice.where(pmod(expr("doc_id div 10"), lit(2)) === 0)
+      val (mt, pt) = neardupState(s, d)
+      val run = streamRuns.incrementAndGet()
+      val mtS = s"graft_stream_nd_manifest_$run"
+      val corpusS = s"graft_stream_nd_corpus_$run"
+      val outS = s"graft_stream_nd_pairs_$run"
+      // stream-local state: manifest seeded from the persisted table,
+      // corpus-so-far seeded with the existing half, output empty.
+      // Drop stale same-name leftovers first — the run counter restarts
+      // per JVM while the warehouse persists across them (the
+      // neardupState discipline).
+      Seq(mtS, corpusS, outS).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), t)
+        loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(loc, true)
+      }
+      s.table(mt).write.saveAsTable(mtS)
+      existing0.write.saveAsTable(corpusS)
+      s.table(pt).limit(0).write.saveAsTable(outS)
+      val src = s.readStream.schema(Tables.documents(s, d).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stagedDocBatches(s, d))
+      val q = graft.streaming.EventsStreaming
+        .foreachBatchWriter(src, identity) { (b, _) =>
+          // the micro-batch feeds the probe, the manifest update, and
+          // the corpus append — pin it once (and free it after)
+          val bb = b.localCheckpoint(true)
+          try {
+            // knownPairs EMPTY per batch: emissions are new pairs only,
+            // so the cross-batch union needs no dedup pass
+            Dedup.incrementalNearDupPairsOnState(bb, s.table(mtS),
+              s.table(pt).limit(0), s.table(corpusS), "doc_id", "text",
+              threshold = 0.5)
+              .write.mode("append").saveAsTable(outS)
+            // state update AFTER the emit, so a batch never probes its
+            // own banded rows (its internal pairs are already counted)
+            Dedup.bandManifest(bb, "doc_id", "text")
+              .write.mode("append").saveAsTable(mtS)
+            bb.write.mode("append").saveAsTable(corpusS)
+            // the micro-batch frame writes through its own CLONED
+            // session, which refreshes only the clone's relation cache —
+            // the outer session (whose s.table() plans the next probe)
+            // would keep serving the stale pre-append file listing, so
+            // later micro-batches would silently probe the seed manifest
+            // only (measured: 148 missing cross-batch pairs at sf0.001)
+            s.catalog.refreshTable(mtS)
+            s.catalog.refreshTable(corpusS)
+            s.catalog.refreshTable(outS)
+          } finally Dedup.unpersistCheckpoint(bb)
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(pt).select("id_a", "id_b", "shared", "jaccard")
+        .unionByName(
+          s.table(outS).select("id_a", "id_b", "shared", "jaccard"))
         .orderBy("id_a", "id_b")
     }),
     // MinHash estimator quality, oracle-gated: DuckDB recomputes the
@@ -7220,6 +7362,76 @@ object SparkEntry {
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // The whole governance chain replayed stage by stage: normalize,
+    // min-id exact dedup, 15-token excision (by span TEXT where the
+    // engine uses digests), exhaustive 0.8 jaccard pairs + recursive
+    // transitive closure for the near-dup victims (grading the LSH
+    // path's recall along the way), 8-gram decontamination against the
+    // held-out slice, the quality formula, the md5 split, and the
+    // mixture rollup.
+    "corpus_prep_full" ->
+      """WITH RECURSIVE all0 AS (SELECT doc_id, lang,
+        |    trim(regexp_replace(lower(regexp_replace(text, '(?i)https?://\S+', '', 'g')), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |corp AS (SELECT * FROM all0 WHERE doc_id % 10 <> 7),
+        |ev AS (SELECT norm FROM all0 WHERE doc_id % 10 = 7),
+        |k AS (SELECT min(doc_id) AS keep_id FROM corp GROUP BY md5(norm)),
+        |ex AS (SELECT * FROM corp WHERE doc_id IN (SELECT keep_id FROM k)),
+        |t AS (SELECT doc_id, lang, string_split(norm, ' ') AS toks FROM ex),
+        |occ AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, array_to_string(toks[i:i+14], ' ') AS gram
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 13)) AS i) WHERE len(toks) >= 15),
+        |w AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS tot,
+        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk FROM occ),
+        |drops AS (SELECT DISTINCT doc_id, pos + dd AS p FROM w,
+        |  LATERAL (SELECT unnest(range(0, 15)) AS dd) WHERE tot > 1 AND rk > 1),
+        |tok AS (SELECT doc_id, CAST(i AS BIGINT) AS p, toks[i] AS tok
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)),
+        |kept AS (SELECT tok.doc_id, tok.p, tok.tok FROM tok
+        |  ANTI JOIN drops ON tok.doc_id = drops.doc_id AND tok.p = drops.p),
+        |exc AS (SELECT e.doc_id, e.lang, coalesce(re.txt, '') AS txt FROM ex e
+        |  LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS txt
+        |    FROM kept GROUP BY 1) re USING (doc_id)),
+        |toks2 AS (SELECT doc_id, unnest(list_distinct(string_split(txt, ' '))) AS tk FROM exc),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt FROM toks2 GROUP BY 1),
+        |prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+        |  FROM toks2 a JOIN toks2 b ON a.tk = b.tk AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jac AS (SELECT id_a, id_b,
+        |  floor((CAST(shared AS DOUBLE) / (sa.nt + sb.nt - shared)) * 10000 + 0.5) / 10000 AS jaccard
+        |  FROM prs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id),
+        |near AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM near UNION SELECT id_b, id_a FROM near),
+        |reach(src, dst) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |victims AS (SELECT src AS doc_id FROM reach GROUP BY 1 HAVING src <> min(dst)),
+        |nd AS (SELECT * FROM exc ANTI JOIN victims USING (doc_id)),
+        |tt AS (SELECT doc_id, string_split(txt, ' ') AS st FROM nd),
+        |tg AS (SELECT DISTINCT doc_id, array_to_string(st[i:i+7], ' ') AS g
+        |  FROM tt, LATERAL (SELECT unnest(range(1, len(st) - 6)) AS i)),
+        |eg AS (SELECT DISTINCT array_to_string(st[i:i+7], ' ') AS g
+        |  FROM (SELECT string_split(norm, ' ') AS st FROM ev),
+        |  LATERAL (SELECT unnest(range(1, len(st) - 6)) AS i)),
+        |conta AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (g)),
+        |cl AS (SELECT * FROM nd ANTI JOIN conta USING (doc_id)),
+        |q AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(txt, ' ')) AS BIGINT) AS n_tokens,
+        |    floor((CAST(len(list_filter(string_split(txt, ' '), x -> list_contains(['the','a','and','of','to'], x))) AS DOUBLE)
+        |      / greatest(len(string_split(txt, ' ')), 1)) * 10000 + 0.5) / 10000 AS stop_ratio,
+        |    floor((CASE WHEN length(txt) = 0 THEN 0.0
+        |      ELSE CAST(length(txt) - length(regexp_replace(txt, '[0-9]', '', 'g')) AS DOUBLE) / length(txt) END) * 10000 + 0.5) / 10000 AS digit_ratio
+        |  FROM cl),
+        |f AS (SELECT *, floor((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+        |    + stop_ratio * 0.3 + (1.0 - digit_ratio) * 0.2) * 10000 + 0.5) / 10000 AS quality FROM q),
+        |g2 AS (SELECT * FROM f WHERE quality >= 0.4),
+        |b2 AS (SELECT *, list_reduce(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT),
+        |    (a, x) -> a * 16 + x) % 100 AS bucket FROM g2),
+        |s2 AS (SELECT *, CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM b2)
+        |SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM s2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_normalize" ->
       """WITH n AS (SELECT doc_id,
         |    trim(regexp_replace(lower(regexp_replace(text, '(?i)https?://\S+', '', 'g')), '\s+', ' ', 'g')) AS norm
@@ -7499,6 +7711,9 @@ object SparkEntry {
     // both read back): storage format is a plan property, the answer
     // contract is the same exhaustive truth.
     "incremental_neardup_persisted" -> incrementalNeardupOracle,
+    // Streaming-incremental == batch-incremental == full: the one truth
+    // oracle grades all three layouts of the same contract.
+    "stream_neardup_incremental" -> incrementalNeardupOracle,
     // Replays the md5-fold fingerprint (two 32-bit halves, per-occurrence
     // ±1 votes per bit) and the brute-force Hamming scan the pigeonhole
     // banding provably equals. list(h) aggregation order is arbitrary but
