@@ -244,11 +244,25 @@ object Bench {
       // sentence. Make the sync atomic with the run: STAGE the rewrite
       // in the same step, so whatever commit closes the round carries
       // figure and artifact together. Best-effort — outside a git repo
-      // (or without git) the write alone is still correct.
+      // (or without git) the write alone is still correct. ANCHORED
+      // (r11 ADVICE): a bench binary must not mutate an arbitrary
+      // repo's index from whatever cwd it was launched in — resolve the
+      // repo root first and only stage when the rewritten README is the
+      // one inside it.
       try {
-        val rc = new ProcessBuilder("git", "add", "README.md")
-          .inheritIO().start().waitFor()
-        if (rc != 0) System.err.println(s"[bench] git add README.md rc=$rc")
+        val rootProc = new ProcessBuilder("git", "rev-parse",
+          "--show-toplevel").start()
+        val root = new String(rootProc.getInputStream.readAllBytes()).trim
+        val ok = rootProc.waitFor() == 0 && root.nonEmpty &&
+          p.toAbsolutePath.normalize
+            .startsWith(java.nio.file.Paths.get(root).toAbsolutePath
+              .normalize)
+        if (ok) {
+          val rc = new ProcessBuilder("git", "add", "README.md")
+            .inheritIO().start().waitFor()
+          if (rc != 0) System.err.println(s"[bench] git add README.md rc=$rc")
+        } else System.err.println(
+          "[bench] README staging skipped: not inside the repo root")
       } catch { case e: Exception =>
         System.err.println(s"[bench] README staging skipped: ${e.getMessage}")
       }

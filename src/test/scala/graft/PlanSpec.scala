@@ -668,6 +668,20 @@ class PlanSpec extends SparkTestBase {
       s"dup_spans must not window over incidence rows:\n$plan")
   }
 
+  test("corpus_prep_full: the composed chain carries no window and no cartesian") {
+    // The whole governance chain (normalize → exact dedup → excision →
+    // near-dup removal → decontamination → gate → split → report) must
+    // inherit the de-skewed excision shape: ZERO window operators
+    // anywhere in the composed plan (the CC labels enter as a sealed
+    // checkpoint; the first-occurrence pick is the hash aggregate), and
+    // no cartesian product from any stage's join graph.
+    val plan = executedSimple(
+      SparkEntry.queries("corpus_prep_full")(spark, sf))
+    assert(!plan.contains("Window"),
+      s"chain must stay window-free:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("ngram_uniqueness: only digests cross the exchanges; incidence reads once") {
     // r11 finding: the gram STRING crossed three exchanges (distinct,
     // counts, join back) against the repo's own digest discipline. The
