@@ -4542,6 +4542,67 @@ object SparkEntry {
     "ngram_lm_score" -> ((s, d) =>
       CorpusOps.charTrigramNll(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
+    // Model-BASED filtering — the trained-classifier gate (fastText-style
+    // quality/language classifier of the GPT-3 / CCNet curation recipes)
+    // distilled to its closed-form multinomial-NB core: train on the
+    // held-in mod-5 slices, predict the held-out slice's language.
+    // Micro-log integer scores make the argmax engine-exact; the oracle
+    // replays the ENTIRE train+apply dataflow in SQL, grading the model
+    // fit and the prediction together.
+    "nb_lang_classify" -> ((s, d) => {
+      val all = Tables.documents(s, d)
+      CorpusOps.nbClassify(
+        all.where(pmod(col("doc_id"), lit(5)) =!= 1),
+        all.where(pmod(col("doc_id"), lit(5)) === 1),
+        "doc_id", "text", "lang")
+        .orderBy("doc_id")
+    }),
+    // The classifier-bootstrap a real curation pipeline runs: HEURISTIC
+    // labels (the quality-score gate) train the model on one slice, the
+    // model gates the rest — per predicted class: volume, membership
+    // checksum, and agreement with the heuristic on the held-out side.
+    // Reuses nbClassify verbatim; the oracle replays heuristic labeling
+    // AND the full train+apply dataflow.
+    "model_quality_gate" -> ((s, d) => {
+      val lab = TextFunctions
+        .withQualityColumns(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("text"),
+          when(col("quality") >= 0.4, "good").otherwise("bad")
+            .as("qlabel"))
+      CorpusOps.nbClassify(
+        lab.where(pmod(col("doc_id"), lit(3)) === 0),
+        lab.where(pmod(col("doc_id"), lit(3)) =!= 0),
+        "doc_id", "text", "qlabel")
+        .groupBy(col("pred_qlabel"))
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
+          sum("is_correct").as("n_agree"))
+        .orderBy("pred_qlabel")
+    }),
+    // DSIR data selection (Xie et al. 2023): hashed-unigram importance
+    // weights of raw documents against the held-out target slice's
+    // feature distribution, top-200 kept. The distributions are
+    // 4096-bounded whatever the corpus size; scoring is one broadcast
+    // probe of the per-doc bucket counts.
+    "dsir_select" -> ((s, d) => {
+      val all = Tables.documents(s, d)
+      CorpusOps.dsirSelect(
+        all.where(pmod(col("doc_id"), lit(10)) =!= 7),
+        all.where(pmod(col("doc_id"), lit(10)) === 7),
+        "doc_id", "text", k = 200)
+        .orderBy("rank")
+    }),
+    // CCNet head/middle/tail perplexity stratification per language:
+    // tertile thresholds via the ⌈q·n⌉ histogram path (never a raw-row
+    // window), bucket assignment a pure function of (lang, score).
+    "perplexity_buckets" -> ((s, d) =>
+      CorpusOps.perplexityBuckets(Tables.documents(s, d),
+        "doc_id", "text", "lang")
+        .orderBy("lang", "bucket")),
+    // Corpus diversity report: distinct-n ratio per (lang, n) for
+    // n ∈ {2,3} — grams digested before the single fact-scale exchange.
+    "distinct_ngram_ratio" -> ((s, d) =>
+      CorpusOps.distinctNgramRatio(Tables.documents(s, d), "text", "lang")
+        .orderBy("lang", "n")),
     // Exact PER-GROUP quantiles through the histogram path — the scale
     // alternative to the weekly tier's in-memory percentile buffer,
     // exact at ANY group size (windows run over histogram rows, a
@@ -8616,6 +8677,156 @@ object SparkEntry {
         |  FROM scored GROUP BY 1)
         |SELECT doc_id, n_tri, floor((CAST(su AS DOUBLE) / 1000000 / n_tri) * 10000 + 0.5) / 10000 AS avg_nll
         |FROM agg ORDER BY doc_id""".stripMargin,
+    // Full NB train+apply replay: same Laplace smoothing, same micro-log
+    // quantization per term, same (score DESC, label ASC) argmax.
+    "nb_lang_classify" ->
+      """WITH train AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 1),
+        |test AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 1),
+        |tt AS (SELECT lang AS l, unnest(string_split(text, ' ')) AS w FROM train),
+        |cwc AS (SELECT l, w, CAST(count(*) AS BIGINT) AS c FROM tt GROUP BY 1, 2),
+        |totc AS (SELECT l, CAST(sum(c) AS BIGINT) AS tot FROM cwc GROUP BY 1),
+        |vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM cwc),
+        |pri AS (SELECT lang AS l, CAST(count(*) AS BIGINT) AS nd FROM train GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM train),
+        |cls AS (SELECT pri.l,
+        |    CAST(floor(ln(CAST(nd AS DOUBLE) / n) * 1000000 + 0.5) AS BIGINT) AS lprior,
+        |    CAST(floor(ln(1.0 / (tot + v)) * 1000000 + 0.5) AS BIGINT) AS lp0,
+        |    tot + v AS den
+        |  FROM pri JOIN totc ON pri.l = totc.l CROSS JOIN nn CROSS JOIN vv),
+        |model AS (SELECT cwc.l, cwc.w,
+        |    CAST(floor(ln(CAST(c + 1 AS DOUBLE) / den) * 1000000 + 0.5) AS BIGINT) AS lp
+        |  FROM cwc JOIN cls ON cwc.l = cls.l),
+        |dt AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM
+        |    (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM test) GROUP BY 1, 2),
+        |sc AS (SELECT dt.doc_id, cls.l,
+        |    CAST(min(cls.lprior) + sum(coalesce(model.lp, cls.lp0) * dt.c) AS BIGINT) AS score
+        |  FROM dt CROSS JOIN cls LEFT JOIN model ON model.l = cls.l AND model.w = dt.w
+        |  GROUP BY 1, 2),
+        |best AS (SELECT doc_id, l, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, l) AS rk FROM sc)
+        |SELECT t.doc_id, t.lang, b.l AS pred_lang,
+        |  CAST(CASE WHEN t.lang = b.l THEN 1 ELSE 0 END AS BIGINT) AS is_correct,
+        |  b.score AS score_micro
+        |FROM test t JOIN best b ON t.doc_id = b.doc_id AND b.rk = 1
+        |ORDER BY t.doc_id""".stripMargin,
+    // Heuristic labeling (the quality_score pipeline verbatim, 4-dp
+    // stage rounding included) + the same NB train+apply replay,
+    // aggregated per predicted class.
+    "model_quality_gate" ->
+      """WITH t0 AS (SELECT doc_id, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','and','of','to'], t))) AS BIGINT) AS hits,
+        |    length(text) AS lc,
+        |    length(regexp_replace(text, '[0-9]', '', 'g')) AS lnd
+        |  FROM documents),
+        |r AS (SELECT doc_id, text, n_tokens,
+        |    floor((CAST(hits AS DOUBLE) / greatest(n_tokens, 1)) * 10000 + 0.5) / 10000 AS stop_ratio,
+        |    floor((CASE WHEN lc = 0 THEN 0.0 ELSE CAST(lc - lnd AS DOUBLE) / lc END) * 10000 + 0.5) / 10000 AS digit_ratio
+        |  FROM t0),
+        |lab AS (SELECT doc_id, text,
+        |    CASE WHEN floor((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5 + stop_ratio * 0.3 + (1.0 - digit_ratio) * 0.2) * 10000 + 0.5) / 10000 >= 0.4
+        |      THEN 'good' ELSE 'bad' END AS l
+        |  FROM r),
+        |train AS (SELECT doc_id, l, text FROM lab WHERE doc_id % 3 = 0),
+        |test AS (SELECT doc_id, l, text FROM lab WHERE doc_id % 3 <> 0),
+        |tt AS (SELECT l, unnest(string_split(text, ' ')) AS w FROM train),
+        |cwc AS (SELECT l, w, CAST(count(*) AS BIGINT) AS c FROM tt GROUP BY 1, 2),
+        |totc AS (SELECT l, CAST(sum(c) AS BIGINT) AS tot FROM cwc GROUP BY 1),
+        |vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM cwc),
+        |pri AS (SELECT l, CAST(count(*) AS BIGINT) AS nd FROM train GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM train),
+        |cls AS (SELECT pri.l,
+        |    CAST(floor(ln(CAST(nd AS DOUBLE) / n) * 1000000 + 0.5) AS BIGINT) AS lprior,
+        |    CAST(floor(ln(1.0 / (tot + v)) * 1000000 + 0.5) AS BIGINT) AS lp0,
+        |    tot + v AS den
+        |  FROM pri JOIN totc ON pri.l = totc.l CROSS JOIN nn CROSS JOIN vv),
+        |model AS (SELECT cwc.l, cwc.w,
+        |    CAST(floor(ln(CAST(c + 1 AS DOUBLE) / den) * 1000000 + 0.5) AS BIGINT) AS lp
+        |  FROM cwc JOIN cls ON cwc.l = cls.l),
+        |dt AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM
+        |    (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM test) GROUP BY 1, 2),
+        |sc AS (SELECT dt.doc_id, cls.l,
+        |    CAST(min(cls.lprior) + sum(coalesce(model.lp, cls.lp0) * dt.c) AS BIGINT) AS score
+        |  FROM dt CROSS JOIN cls LEFT JOIN model ON model.l = cls.l AND model.w = dt.w
+        |  GROUP BY 1, 2),
+        |best AS (SELECT doc_id, l, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, l) AS rk FROM sc)
+        |SELECT b.l AS pred_qlabel, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(t.doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(CASE WHEN t.l = b.l THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+        |FROM test t JOIN best b ON t.doc_id = b.doc_id AND b.rk = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // DSIR replay: the 8-hex-char md5 bucket is the strpos/list_reduce
+    // idiom the split oracles use; smoothing and micro-log quantization
+    // term-for-term identical to the engine.
+    "dsir_select" ->
+      """WITH raw AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
+        |tgt AS (SELECT text FROM documents WHERE doc_id % 10 = 7),
+        |rb AS (SELECT doc_id, list_reduce(list_transform(range(1, 9),
+        |      i -> (strpos('0123456789abcdef', substr(md5(w), CAST(i AS INTEGER), 1)) - 1)::BIGINT),
+        |      (a, x) -> a * 16 + x) % 4096 AS b
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM raw)),
+        |tb AS (SELECT list_reduce(list_transform(range(1, 9),
+        |      i -> (strpos('0123456789abcdef', substr(md5(w), CAST(i AS INTEGER), 1)) - 1)::BIGINT),
+        |      (a, x) -> a * 16 + x) % 4096 AS b
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM tgt)),
+        |rd AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM rb GROUP BY 1),
+        |td AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM tb GROUP BY 1),
+        |rt AS (SELECT CAST(sum(ct) AS BIGINT) AS tr FROM rd),
+        |ttot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt FROM td),
+        |wt AS (SELECT rd.b,
+        |    CAST(floor(ln(CAST(coalesce(td.ct, 0) + 1 AS DOUBLE) / (tt + 4096)) * 1000000 + 0.5) AS BIGINT)
+        |    - CAST(floor(ln(CAST(rd.ct + 1 AS DOUBLE) / (tr + 4096)) * 1000000 + 0.5) AS BIGINT) AS wmic
+        |  FROM rd LEFT JOIN td USING (b) CROSS JOIN ttot CROSS JOIN rt),
+        |db AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM rb GROUP BY 1, 2),
+        |sc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(sum(wmic * c) AS BIGINT) AS weight_micro
+        |  FROM db JOIN wt USING (b) GROUP BY 1),
+        |top AS (SELECT *, CAST(row_number() OVER (ORDER BY weight_micro DESC, doc_id) AS BIGINT) AS rank
+        |  FROM sc ORDER BY weight_micro DESC, doc_id LIMIT 200)
+        |SELECT rank, doc_id, n_tokens, weight_micro,
+        |  floor((CAST(weight_micro AS DOUBLE) / 1000000 / n_tokens) * 10000 + 0.5) / 10000 AS avg_logratio
+        |FROM top ORDER BY rank""".stripMargin,
+    // Tertiles via the sorted-list ⌈q·n⌉ pick — identical to the engine's
+    // "min value whose cumulative count reaches the rank" histogram rule.
+    "perplexity_buckets" ->
+      """WITH tri0 AS (SELECT doc_id, text, unnest(range(1, len(text) - 1)) AS i
+        |  FROM documents WHERE len(text) >= 3),
+        |tri AS (SELECT doc_id, substr(text, i, 3) AS tri FROM tri0),
+        |tc AS (SELECT tri, CAST(count(*) AS BIGINT) AS ct FROM tri GROUP BY 1),
+        |pc AS (SELECT substr(tri, 1, 2) AS pre, CAST(sum(ct) AS BIGINT) AS cp FROM tc GROUP BY 1),
+        |model AS (SELECT tc.tri, ct, cp FROM tc JOIN pc ON substr(tc.tri, 1, 2) = pc.pre),
+        |nus AS (SELECT doc_id, CAST(floor(-ln(CAST(ct AS DOUBLE) / cp) * 1000000 + 0.5) AS BIGINT) AS nu
+        |  FROM tri JOIN model USING (tri)),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri, CAST(sum(nu) AS BIGINT) AS su
+        |  FROM nus GROUP BY 1),
+        |scored AS (SELECT agg.doc_id, d.lang,
+        |    CAST(floor((CAST(su AS DOUBLE) / 1000000 / n_tri) * 10000 + 0.5) AS BIGINT) AS q
+        |  FROM agg JOIN documents d USING (doc_id)),
+        |th AS (SELECT lang, list_sort(list(q)) AS l, CAST(count(*) AS BIGINT) AS n
+        |  FROM scored GROUP BY 1),
+        |t2 AS (SELECT lang, l[CAST(ceil(n / 3.0) AS BIGINT)] AS t1,
+        |    l[CAST(ceil(n * 2.0 / 3.0) AS BIGINT)] AS t2 FROM th),
+        |b AS (SELECT s.lang, s.doc_id, s.q,
+        |    CASE WHEN q <= t1 THEN 'head' WHEN q <= t2 THEN 'middle' ELSE 'tail' END AS bucket
+        |  FROM scored s JOIN t2 USING (lang))
+        |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  floor((CAST(sum(q) AS DOUBLE) / 10000 / count(*)) * 10000 + 0.5) / 10000 AS avg_score
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "distinct_ngram_ratio" ->
+      """WITH toks AS (SELECT lang, string_split(text, ' ') AS t FROM documents),
+        |g2 AS (SELECT lang, CAST(2 AS BIGINT) AS n,
+        |    md5(array_to_string(t[i:i+1], ' ')) AS gh
+        |  FROM (SELECT lang, t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2)),
+        |g3 AS (SELECT lang, CAST(3 AS BIGINT) AS n,
+        |    md5(array_to_string(t[i:i+2], ' ')) AS gh
+        |  FROM (SELECT lang, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3)),
+        |g AS (SELECT * FROM g2 UNION ALL SELECT * FROM g3)
+        |SELECT lang, n, CAST(count(*) AS BIGINT) AS total_grams,
+        |  CAST(count(DISTINCT gh) AS BIGINT) AS distinct_grams,
+        |  floor((CAST(count(DISTINCT gh) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS distinct_ratio
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "weekly_quantiles_histogram" ->
       """WITH v AS (SELECT date_trunc('week', o_orderdate) AS week, o_orderpriority AS dim,
         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c

@@ -2272,4 +2272,285 @@ object CorpusOps {
         rnd(deltaRaw / sqrt(pd.cast("double") / numA.cast("double")
           + pd.cast("double") / numB.cast("double"))).as("z"))
   }
+
+  /** Micro-unit natural log: ln quantized to 1e-6 longs, the library's
+    * engine-portable fixed point for additive log-space scores (same
+    * idiom as [[charTrigramNll]] / [[pmiCollocations]] — each TERM is
+    * quantized, so the downstream sum is exact integer arithmetic and
+    * partition-layout-independent).
+    */
+  private def qlog(c: Column): Column =
+    floor(log(c) * 1000000 + 0.5).cast("long")
+
+  /** Multinomial Naive Bayes text classifier, trained and applied in one
+    * plan — the model-based filtering stage of a pretraining pipeline
+    * (the fastText-classifier shape behind GPT-3/LLaMA "quality
+    * classifier" and CCNet language-ID gates), distilled to its
+    * closed-form core so the whole thing is a deterministic dataflow:
+    * no SGD, no epochs, just counting.
+    *
+    * Model: P(c) = n_docs_c / N; P(w|c) = (count(w,c)+1) / (tokens_c+V)
+    * (Laplace smoothing over the TRAIN vocabulary V). A token never seen
+    * in train gets the same smoothed floor 1/(tokens_c+V) — the
+    * coalesce default below covers both "unseen anywhere" and "unseen in
+    * this class" uniformly. Prediction is argmax over classes of
+    * log P(c) + Σ_w n_w·log P(w|c), ties broken by ascending label.
+    *
+    * Determinism: every log term is quantized to micro-unit longs BEFORE
+    * the per-document sum ([[qlog]]), so class scores are exact integers
+    * and the argmax (min of (−score, label) structs) is total-ordered —
+    * no float-accumulation-order hazard between engines or partition
+    * layouts.
+    *
+    * Scale shape: the model is vocab×|C| bounded regardless of corpus
+    * size, so it BROADCASTS. The test side collapses to per-(doc, token)
+    * COUNTS in its first and only fact-scale exchange, fans out by the
+    * |C|-row class frame (a bounded broadcast nested loop), probes the
+    * broadcast model map-side, and reduces per (doc, class) then per doc.
+    * At 100 TB: one shuffle of token counts, everything else map-side.
+    *
+    * @return one row per test document: (id, label, pred label, is_correct
+    *         0/1, best score in micro-log units)
+    */
+  def nbClassify(train: DataFrame, test: DataFrame, idCol: String,
+                 textCol: String, labelCol: String): DataFrame = {
+    val toks = train.where(col(labelCol).isNotNull)
+      .select(col(labelCol).as("__l"),
+        explode(TextFunctions.tokens(col(textCol))).as("__w"))
+    // vocab×|C| bounded; materialized ONCE (rule (g)) — it feeds the
+    // class totals, the vocabulary size, and the likelihood table, and
+    // each re-evaluation would re-scan the whole train corpus
+    val cntWC = toks.groupBy(col("__l"), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val totC = cntWC.groupBy(col("__l")).agg(sum(col("__c")).as("__tot"))
+    val vocab = cntWC.select(col("__w")).distinct()
+      .agg(count(lit(1)).as("__v"))
+    val priors = train.where(col(labelCol).isNotNull)
+      .groupBy(col(labelCol).as("__l")).agg(count(lit(1)).as("__nd"))
+      .localCheckpoint(true)
+    val nDocs = priors.agg(sum(col("__nd")).as("__n"))
+    // |C|-row class frame: prior, unseen-token floor, smoothing
+    // denominator; checkpointed because it feeds both the likelihood
+    // table and the per-document fan-out
+    val classes = priors.join(totC, "__l")
+      .crossJoin(nDocs).crossJoin(vocab)
+      .select(col("__l"),
+        qlog(col("__nd").cast("double") / col("__n").cast("double"))
+          .as("__lprior"),
+        qlog(lit(1.0) / (col("__tot") + col("__v")).cast("double"))
+          .as("__lp0"),
+        (col("__tot") + col("__v")).as("__den"))
+      .localCheckpoint(true)
+    val model = cntWC.join(classes.select("__l", "__den"), "__l")
+      .select(col("__l"), col("__w"),
+        qlog((col("__c") + 1).cast("double") / col("__den").cast("double"))
+          .as("__lp"))
+    // fact side: per-(doc, token) counts FIRST — the only full-scale
+    // exchange — then a bounded |C|-way fan-out against broadcast frames
+    val docToks = test
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol)))
+        .as("__w"))
+      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__c"))
+    val scored = docToks
+      .crossJoin(broadcast(classes.select("__l", "__lprior", "__lp0")))
+      .join(broadcast(model), Seq("__l", "__w"), "left")
+      .withColumn("__t", coalesce(col("__lp"), col("__lp0")) * col("__c"))
+      .groupBy(col(idCol), col("__l"))
+      .agg((min(col("__lprior")) + sum(col("__t"))).as("__score"))
+    val best = scored.groupBy(col(idCol))
+      .agg(min(struct((-col("__score")).as("__ns"), col("__l").as("__pl")))
+        .as("__best"))
+      .select(col(idCol), col("__best.__pl").as("__pred"),
+        (-col("__best.__ns")).as("score_micro"))
+    test.select(col(idCol), col(labelCol))
+      .join(best, Seq(idCol))
+      .select(col(idCol), col(labelCol),
+        col("__pred").as(s"pred_$labelCol"),
+        when(col(labelCol) === col("__pred"), 1L).otherwise(0L)
+          .as("is_correct"),
+        col("score_micro"))
+  }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): score each raw-corpus document by how much more
+    * likely its hashed n-gram bag is under a TARGET distribution than
+    * under the raw distribution, and keep the top-k. The
+    * domain-adaptation selection stage of a pretraining pipeline: the
+    * target slice is small curated text (here a held-out corpus slice),
+    * the raw side is the crawl.
+    *
+    * Features are word unigrams hashed into `buckets` md5 buckets (the
+    * same engine-portable hex-prefix hash as [[splitBucket]]), so both
+    * distributions are `buckets`-bounded whatever the corpus size.
+    * Per-bucket weight w(b) = qlog((ct_target(b)+1)/(T_target+B)) −
+    * qlog((ct_raw(b)+1)/(T_raw+B)) (Laplace-smoothed), a micro-unit
+    * long; a document's importance is the count-weighted sum over its
+    * token buckets — exact integer arithmetic end to end, ties broken
+    * by ascending id.
+    *
+    * Scale shape: the two distribution fits are fact-scale hash
+    * aggregates that REDUCE to ≤`buckets` rows; the weight table
+    * broadcasts; the scoring side collapses to per-(doc, bucket) counts
+    * in one exchange and probes the broadcast map-side. Top-k is
+    * Spark's distributed TakeOrdered, never a single-partition sort.
+    *
+    * @return k rows: (rank, id, n_tokens, weight_micro, avg_logratio
+    *         4-dp) ordered by rank
+    */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String, k: Int, buckets: Int = 4096): DataFrame = {
+    import CoreOps.rnd
+    require(k >= 1 && buckets >= 2, s"k=$k, buckets=$buckets out of range")
+    def bucketOf(w: Column): Column =
+      conv(substring(md5(w), 1, 8), 16, 10).cast("long") % buckets
+    // per-(doc, bucket) counts materialize ONCE and serve both the raw
+    // distribution fit and the scoring probe — one scan of the raw text
+    // instead of two, the compact-incidence checkpoint idiom of
+    // [[exactSubstrDedup]]
+    val docBuckets = raw
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol)))
+        .as("__w"))
+      .select(col(idCol), bucketOf(col("__w")).as("__b"))
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val rawDist = docBuckets.groupBy(col("__b"))
+      .agg(sum(col("__c")).as("__ct"))
+      .localCheckpoint(true)
+    val tgtDist = target
+      .select(explode(TextFunctions.tokens(col(textCol))).as("__w"))
+      .select(bucketOf(col("__w")).as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
+      .localCheckpoint(true)
+    val tTot = tgtDist.agg(sum(col("__ct")).as("__tt"))
+    val rTot = rawDist.agg(sum(col("__ct")).as("__tr"))
+    // every bucket that can appear in scoring appears in rawDist (the
+    // scoring corpus IS the raw corpus), so a left join from the raw
+    // side covers the domain; missing target mass smooths to +1
+    val weights = rawDist
+      .join(tgtDist.withColumnRenamed("__ct", "__ctt"), Seq("__b"), "left")
+      .crossJoin(tTot).crossJoin(rTot)
+      .select(col("__b"),
+        (qlog((coalesce(col("__ctt"), lit(0L)) + 1).cast("double")
+            / (col("__tt") + buckets).cast("double")) -
+          qlog((col("__ct") + 1).cast("double")
+            / (col("__tr") + buckets).cast("double"))).as("__wmic"))
+    docBuckets.join(broadcast(weights), "__b")
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_tokens"),
+        sum(col("__wmic") * col("__c")).as("weight_micro"))
+      .orderBy(col("weight_micro").desc, col(idCol))
+      .limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(
+        col("weight_micro").desc, col(idCol))).cast("long"))
+      .select(col("rank"), col(idCol), col("n_tokens"),
+        col("weight_micro"),
+        rnd(col("weight_micro").cast("double") / 1000000.0
+          / col("n_tokens")).as("avg_logratio"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    * document with the corpus char-trigram LM ([[charTrigramNll]]), then
+    * split each language's documents into head/middle/tail tertiles by
+    * score — the standard quality stratification a crawl pipeline runs
+    * before choosing what to keep (head = most in-distribution).
+    *
+    * Tertile boundaries use the library's ⌈q·n⌉ order-statistic
+    * convention on the 4-dp-quantized score: t1 = the ⌈n/3⌉-th smallest
+    * score, t2 = the ⌈2n/3⌉-th; a document lands in head if score ≤ t1,
+    * middle if ≤ t2, else tail. Value thresholds (not rank slices) keep
+    * the assignment a pure function of (lang, score) — deterministic
+    * under ties across engines.
+    *
+    * Scale shape: thresholds come from a per-(lang, score) HISTOGRAM —
+    * the same skew-immune path as the weekly quantile tier: cumulative
+    * counts run over histogram rows (bounded by the 4-dp score domain),
+    * never over raw documents, so a dominant language never funnels its
+    * documents into one window partition. The per-lang threshold table
+    * broadcasts back onto the scored stream map-side.
+    *
+    * @return one row per (lang, bucket): (lang, bucket, n_docs, id_sum,
+    *         avg score 4-dp) ordered by lang, bucket
+    */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+                        langCol: String): DataFrame = {
+    import CoreOps.rnd
+    // compact (id, lang, quantized-score) rows materialize ONCE — the
+    // trigram LM fit + scoring pass feeds both the threshold histogram
+    // and the bucket assignment (rule (g))
+    val scored = charTrigramNll(df, idCol, textCol)
+      .join(df.select(col(idCol), col(langCol)), Seq(idCol))
+      .select(col(idCol), col(langCol),
+        floor(col("avg_nll") * 10000 + 0.5).cast("long").as("__q"))
+      .localCheckpoint(true)
+    val hist = scored.groupBy(col(langCol), col("__q"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(col(langCol)).orderBy(col("__q"))
+    val withCum = hist
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(
+        Window.partitionBy(col(langCol))))
+    val thresholds = withCum
+      .groupBy(col(langCol))
+      .agg(
+        min(when(col("__cum") >= ceil(col("__n") / 3.0), col("__q")))
+          .as("__t1"),
+        min(when(col("__cum") >= ceil(col("__n") * 2.0 / 3.0), col("__q")))
+          .as("__t2"))
+    scored.join(broadcast(thresholds), Seq(langCol))
+      .withColumn("bucket",
+        when(col("__q") <= col("__t1"), "head")
+          .when(col("__q") <= col("__t2"), "middle")
+          .otherwise("tail"))
+      .groupBy(col(langCol), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(idCol)).as("id_sum"),
+        rnd(sum(col("__q")).cast("double") / 10000.0 / count(lit(1)))
+          .as("avg_score"))
+  }
+
+  /** Distinct-n diversity (Li et al. 2016's distinct-n, corpus-level):
+    * per language and n ∈ {2, 3}, the ratio of DISTINCT word n-grams to
+    * total n-gram occurrences — the templated-content / mode-collapse
+    * detector a corpus QA report carries alongside the repetition
+    * signals tier: a language whose distinct-2 ratio collapses is being
+    * flooded by boilerplate.
+    *
+    * Scale shape: ONE pass over the text (both n values generated from
+    * one tokens array, exploded once), grams md5-DIGESTED before the
+    * only fact-scale exchange (the repo's digest discipline — gram text
+    * never ships), then per-(lang, n, digest) counts reduce to the
+    * per-(lang, n) totals: sum(c) = occurrences, count(*) = distinct.
+    *
+    * @return one row per (lang, n): (lang, n, total_grams,
+    *         distinct_grams, distinct_ratio 4-dp) ordered by lang, n
+    */
+  def distinctNgramRatio(df: DataFrame, textCol: String,
+                         langCol: String): DataFrame = {
+    import CoreOps.rnd
+    // sequence(1, k) counts DOWN for k <= 0 (the [[ngramSet]] guard), so
+    // generate ascending over the token positions and filter to valid
+    // starts — an empty filter result is a typed empty array, keeping
+    // both n values in one explode over one text scan
+    def gramStructs(n: Int): Column = expr(
+      s"""transform(
+         |  filter(sequence(1, size(__toks)),
+         |    i -> i <= size(__toks) - ${n - 1}),
+         |  i -> struct(cast($n as bigint) as n,
+         |    md5(cast(array_join(slice(__toks, i, $n), ' ') as binary))
+         |      as gh))""".stripMargin)
+    val grams = df
+      .select(col(langCol), TextFunctions.tokens(col(textCol))
+        .as("__toks"))
+      .select(col(langCol),
+        explode(concat(gramStructs(2), gramStructs(3))).as("__g"))
+      .select(col(langCol), col("__g.n").as("n"), col("__g.gh").as("__gh"))
+    grams.groupBy(col(langCol), col("n"), col("__gh"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(langCol), col("n"))
+      .agg(sum(col("__c")).as("total_grams"),
+        count(lit(1)).as("distinct_grams"))
+      .withColumn("distinct_ratio",
+        rnd(col("distinct_grams").cast("double") / col("total_grams")))
+  }
 }

@@ -347,42 +347,80 @@ object GraphOps {
     * textually identical to the fixpoint — the property that makes an
     * iterative algorithm hash-gradeable at all).
     *
-    * Plan shape per round: one degree hash-aggregate (node key) + two
-    * semi-joins of the edge list against the surviving-node table (node
-    * keys) — edge-scale work, node-scale state, the surviving edge list
-    * localCheckpointed so lineage stays flat across rounds (the same
-    * iterative-plan discipline as [[pageRanksOf]]). The per-round driver
-    * count is one scalar (the fixpoint test), not data.
+    * Plan shape per round (DELTA peel): the maintained degree table
+    * yields the removed wave R; surviving neighbors decrement by their
+    * edge count into R (two semi+anti probes of the edge list — R
+    * BROADCASTS once the bulk first wave passes, making them map-side)
+    * and the edge list drops R's edges. No per-round full degree
+    * re-aggregation: after round one, the only shuffle is the
+    * touched-node-scale loss count. State is localCheckpointed and the
+    * superseded generation freed each round (the same iterative-plan
+    * discipline as [[pageRanksOf]]). The per-round driver count is one
+    * scalar (the wave size — which doubles as the broadcast decision),
+    * not data.
     *
     * @return (node, core_degree) for k-core members — within-core degree,
     *         ≥ k by construction
     */
-  def kCoreOf(e: DataFrame, k: Long, maxPeels: Int = 10): DataFrame = {
+  def kCoreOf(e: DataFrame, k: Long, maxPeels: Int = 10,
+              broadcastRem: Long = 5000000L): DataFrame = {
     require(k >= 1, s"k=$k must be positive")
     require(maxPeels >= 1, s"maxPeels=$maxPeels must be positive")
+    // DELTA peel: maintain the degree table and, per round, recompute
+    // only what the removed wave touched — the classic distributed
+    // k-core refinement. Each round removes R = {n : d(n) < k}, then
+    // DECREMENTS surviving neighbors by their edges into R instead of
+    // re-aggregating the whole edge list. After the bulk first wave R
+    // is small, so (cnt is already on hand for the loop test) it ships
+    // as a BROADCAST and the round's edge-side work is four map-side
+    // hash probes — no per-round edge-scale shuffle at all, vs one
+    // full degree aggregation per round in the recompute spelling.
+    // Same fixpoint, same wave structure, same maxPeels contract: the
+    // oracle's 10-round full-recompute unroll grades it unchanged.
     var cur = e.select(col("u"), col("v")).localCheckpoint(true)
-    var m = cur.count()
-    var stable = false
+    var deg = nodeDegrees(cur).localCheckpoint(true)
+    var converged = false
     var rounds = 0
-    while (!stable && rounds < maxPeels) {
-      val keep = nodeDegrees(cur).where(col("d") >= k).select(col("n"))
-      val next = cur
-        .join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
-        .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
-        .select(col("u"), col("v"))
+    while (!converged && rounds < maxPeels) {
+      val remPlain = deg.where(col("d") < k).select(col("n"))
         .localCheckpoint(true)
-      val m2 = next.count()
-      stable = m2 == m
-      m = m2
-      freeCheckpoint(cur) // previous round's blocks, superseded by next
-      cur = next
+      val cnt = remPlain.count()
+      if (cnt == 0L) {
+        converged = true
+        freeCheckpoint(remPlain)
+      } else {
+        val rem =
+          if (cnt <= broadcastRem) broadcast(remPlain) else remPlain
+        val remU = rem.withColumnRenamed("n", "u")
+        val remV = rem.withColumnRenamed("n", "v")
+        // a survivor's loss = its edges whose OTHER end is removed;
+        // edges with both ends removed decrement nobody
+        val lossU = cur.join(remV, Seq("v"), "left_semi")
+          .join(remU, Seq("u"), "left_anti")
+          .groupBy(col("u").as("n")).agg(count(lit(1)).as("__lu"))
+        val lossV = cur.join(remU, Seq("u"), "left_semi")
+          .join(remV, Seq("v"), "left_anti")
+          .groupBy(col("v").as("n")).agg(count(lit(1)).as("__lv"))
+        val nextDeg = deg.join(rem, Seq("n"), "left_anti")
+          .join(lossU, Seq("n"), "left")
+          .join(lossV, Seq("n"), "left")
+          .select(col("n"),
+            (col("d") - coalesce(col("__lu"), lit(0L))
+              - coalesce(col("__lv"), lit(0L))).as("d"))
+          .localCheckpoint(true)
+        val nextCur = cur.join(remU, Seq("u"), "left_anti")
+          .join(remV, Seq("v"), "left_anti")
+          .localCheckpoint(true)
+        freeCheckpoint(deg); freeCheckpoint(cur)
+        freeCheckpoint(remPlain)
+        deg = nextDeg; cur = nextCur
+      }
       rounds += 1
     }
-    require(stable || m == 0L,
+    require(converged,
       s"k-core peel did not converge within $maxPeels rounds — raise" +
         " maxPeels (the oracle unroll must cover the fixpoint)")
-    nodeDegrees(cur)
-      .select(col("n").as("node"), col("d").as("core_degree"))
+    deg.select(col("n").as("node"), col("d").as("core_degree"))
   }
 
   /** Bounded-depth BFS from the graph's max-degree hub (ties to the

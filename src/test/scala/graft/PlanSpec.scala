@@ -1116,4 +1116,57 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"),
       s"re-rank leg must be broadcast probes, not a shuffled join:\n$plan")
   }
+
+  test("nb_lang_classify: model probes broadcast, class fan-out is the bounded nested loop") {
+    // The NB model is vocab×|C| bounded whatever the corpus size, so the
+    // likelihood probe must be a BroadcastHashJoin and the per-document
+    // class fan-out a |C|-row BroadcastNestedLoopJoin — a shuffled join
+    // on either would move the fact-scale token counts once per class.
+    val plan = executedSimple(
+      SparkEntry.queries("nb_lang_classify")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("dsir_select: weight table broadcasts, top-k is TakeOrdered, incidence reads once") {
+    // Both feature distributions reduce to <=4096 rows and broadcast;
+    // the per-(doc, bucket) incidence enters as ONE checkpoint (it feeds
+    // the raw fit AND the scoring probe — without it the raw text would
+    // scan twice); the global top-k must be distributed TakeOrdered,
+    // never a single-partition full sort.
+    val plan = executedSimple(SparkEntry.queries("dsir_select")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered, not a global sort:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("perplexity_buckets: thresholds broadcast back; scored frame enters as the one checkpoint") {
+    // The tertile thresholds come from the per-(lang, score) HISTOGRAM
+    // (bounded domain), never from ranking raw documents, and the scored
+    // frame materializes once for its two consumers — so the returned
+    // plan reads the checkpoint (zero parquet scans) and the threshold
+    // attach is a broadcast.
+    val plan = executedSimple(
+      SparkEntry.queries("perplexity_buckets")(spark, sf))
+    assert(!plan.contains("Scan parquet"),
+      s"scored frame must enter as the one checkpoint:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("distinct_ngram_ratio: only gram digests cross the exchange") {
+    // The gram text is md5-digested in the scan projection (the repo's
+    // digest discipline): no exchange may partition on — or carry — the
+    // joined gram string, and no window/rank machinery belongs in what
+    // is a two-level hash aggregate.
+    val plan = executedSimple(
+      SparkEntry.queries("distinct_ngram_ratio")(spark, sf))
+    "Exchange [^\\n]*".r.findAllIn(plan).foreach { ex =>
+      assert(!ex.contains("array_join"),
+        s"gram text must not cross an exchange:\n$ex")
+    }
+    assert(!plan.contains("Window"), plan)
+  }
 }

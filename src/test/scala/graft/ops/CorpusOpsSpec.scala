@@ -989,4 +989,76 @@ class CorpusOpsSpec extends SparkTestBase {
       (3L, 0L, 0L, None, 0L, 0L, None, None),
       (4L, 0L, 0L, None, 0L, 0L, None, None)))
   }
+
+  test("nbClassify: hand-checked argmax, unseen tokens hit the smoothed floor") {
+    // class a favors 'x', class b favors 'y'; equal priors, equal class
+    // token mass (5 each) so the unseen-token floors coincide exactly
+    val train = Seq((1L, "a", "x x y"), (2L, "a", "x x"),
+      (3L, "b", "y y x"), (4L, "b", "y y")).toDF("id", "lab", "text")
+    val testDf = Seq((10L, "a", "x x"), (11L, "b", "y"),
+      (12L, "a", "zz zz")).toDF("id", "lab", "text")
+    val out = CorpusOps.nbClassify(train, testDf, "id", "text", "lab")
+      .orderBy("id").collect()
+    assert(out.length == 3, "one row per test document")
+    assert(out(0).getAs[String]("pred_lab") == "a")
+    assert(out(0).getAs[Long]("is_correct") == 1L)
+    assert(out(1).getAs[String]("pred_lab") == "b")
+    // doc 12: both tokens unseen ANYWHERE -> both classes score the
+    // identical floor 2*ln(1/(5+2)) + equal prior; the tie must break
+    // to the lexicographically smaller label, deterministically
+    assert(out(2).getAs[String]("pred_lab") == "a")
+    // exact micro-log score: 2*qlog(1/7) + qlog(1/2)
+    val expected = 2L * math.floor(math.log(1.0 / 7) * 1e6 + 0.5).toLong +
+      math.floor(math.log(0.5) * 1e6 + 0.5).toLong
+    assert(out(2).getAs[Long]("score_micro") == expected)
+  }
+
+  test("dsirSelect: target-flavored docs outrank, rank dense, k bound holds") {
+    val raw = Seq((1L, "aa aa aa"), (2L, "bb bb bb"), (3L, "aa bb aa"))
+      .toDF("id", "text")
+    val target = Seq((9L, "aa aa aa aa")).toDF("id", "text")
+    val rows = CorpusOps.dsirSelect(raw, target, "id", "text", k = 2)
+      .collect()
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L))
+    // the pure-'aa' doc matches the target distribution best, the
+    // mixed doc second; the pure-'bb' doc is cut by k
+    assert(rows.map(_.getAs[Long]("id")).toSeq == Seq(1L, 3L))
+    assert(rows.head.getAs[Long]("weight_micro") >
+      rows(1).getAs[Long]("weight_micro"))
+    intercept[IllegalArgumentException](
+      CorpusOps.dsirSelect(raw, target, "id", "text", k = 0))
+  }
+
+  test("perplexityBuckets: tertiles partition each language, scores ordered") {
+    val docs = graft.Tables.documents(spark, sfTest)
+    val out = CorpusOps.perplexityBuckets(docs, "doc_id", "text", "lang")
+      .collect()
+    val perLang = out.groupBy(_.getAs[String]("lang"))
+    val langCounts = docs.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    perLang.foreach { case (lang, rows) =>
+      // every document of the language lands in exactly one bucket
+      assert(rows.map(_.getAs[Long]("n_docs")).sum == langCounts(lang))
+      assert(rows.map(_.getAs[String]("bucket")).toSet
+        .subsetOf(Set("head", "middle", "tail")))
+      // value thresholds order the bucket means: head <= middle <= tail
+      val m = rows.map(r =>
+        r.getAs[String]("bucket") -> r.getAs[Double]("avg_score")).toMap
+      for (a <- m.get("head"); b <- m.get("middle")) assert(a <= b)
+      for (b <- m.get("middle"); c <- m.get("tail")) assert(b <= c)
+    }
+  }
+
+  test("distinctNgramRatio: hand-counted grams, short docs only emit valid n") {
+    val df = Seq((1L, "en", "a b"), (2L, "en", "a b c"), (3L, "fr", "x"))
+      .toDF("id", "lang", "text")
+    val got = CorpusOps.distinctNgramRatio(df, "text", "lang")
+      .orderBy("lang", "n")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    // en 2-grams: "a b" (doc1), "a b","b c" (doc2) -> 3 total, 2 distinct
+    // en 3-grams: "a b c" only; fr: single token -> no grams at all
+    assert(got === Seq(
+      ("en", 2L, 3L, 2L, 0.6667),
+      ("en", 3L, 1L, 1L, 1.0)))
+  }
 }
