@@ -4435,6 +4435,29 @@ object SparkEntry {
     "epoch_shuffle" -> ((s, d) =>
       CorpusOps.epochShuffle(Tables.documents(s, d), "doc_id", epochs = 2)
         .orderBy("epoch", "position")),
+    // Mixture weights → the single deterministic stream the loader
+    // feeds the trainer: stride scheduling on an exact integer clock
+    // ((2i−1)·lcm/w), every prefix within one doc of its weighted
+    // share. Both ranks ride the two-pass prefix sum — never a
+    // per-source or whole-corpus row_number window.
+    "mixture_interleave" -> ((s, d) =>
+      CorpusOps.mixtureInterleave(Tables.documents(s, d), "doc_id",
+        "lang", Seq("de" -> 15L, "en" -> 40L, "es" -> 15L,
+          "fr" -> 15L, "zh" -> 15L))
+        .orderBy("position")),
+    // Easy-first curriculum epoch: heuristic-quality difficulty levels
+    // (0 easiest), content-addressed shuffle inside each level, position
+    // from ONE prefix-sum pass — ordered training's counterpart of
+    // epoch_shuffle, resumable the same way.
+    "curriculum_order" -> ((s, d) => {
+      val lab = TextFunctions
+        .withQualityColumns(Tables.documents(s, d), "text")
+        .select(col("doc_id"),
+          when(col("quality") >= 0.6, 0L)
+            .when(col("quality") >= 0.4, 1L).otherwise(2L).as("level"))
+      CorpusOps.curriculumOrder(lab, "doc_id", "level")
+        .orderBy("position")
+    }),
     // The resumability claim GRADED: a job killed mid-epoch re-derives
     // epoch 1's permutation and takes the suffix from position 201 —
     // position is a pure function of (epoch, corpus), so the oracle's
@@ -8469,6 +8492,42 @@ object SparkEntry {
         |    ORDER BY md5(CAST(e AS VARCHAR) || '#' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS position
         |FROM documents, (SELECT unnest([0, 1]) AS e)
         |ORDER BY epoch, position""".stripMargin,
+    // Stride-clock replay: per-source rank via the window (oracle
+    // scale), the same exact integer virtual times, the same
+    // (clock, source) total order.
+    "mixture_interleave" ->
+      """WITH ranked AS (SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS i
+        |  FROM documents),
+        |w AS (SELECT * FROM (VALUES ('de', 8), ('en', 3), ('es', 8), ('fr', 8), ('zh', 8)) AS t(lang, stride)),
+        |vt AS (SELECT doc_id, r.lang, CAST((2 * i - 1) * stride AS BIGINT) AS vt_num
+        |  FROM ranked r JOIN w ON r.lang = w.lang)
+        |SELECT CAST(row_number() OVER (ORDER BY vt_num, lang) AS BIGINT) AS position,
+        |  doc_id AS id, lang, vt_num
+        |FROM vt ORDER BY position""".stripMargin,
+    // Quality-derived difficulty levels (the quality_score stages,
+    // 4-dp rounding included) + the same (level, md5, id) total order.
+    "curriculum_order" ->
+      """WITH t0 AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','and','of','to'], t))) AS BIGINT) AS hits,
+        |    length(text) AS lc,
+        |    length(regexp_replace(text, '[0-9]', '', 'g')) AS lnd
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |    floor((CAST(hits AS DOUBLE) / greatest(n_tokens, 1)) * 10000 + 0.5) / 10000 AS stop_ratio,
+        |    floor((CASE WHEN lc = 0 THEN 0.0 ELSE CAST(lc - lnd AS DOUBLE) / lc END) * 10000 + 0.5) / 10000 AS digit_ratio,
+        |    n_tokens
+        |  FROM t0),
+        |lvl AS (SELECT doc_id,
+        |    CASE WHEN q >= 0.6 THEN 0 WHEN q >= 0.4 THEN 1 ELSE 2 END AS level
+        |  FROM (SELECT doc_id,
+        |      floor((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5 + stop_ratio * 0.3 + (1.0 - digit_ratio) * 0.2) * 10000 + 0.5) / 10000 AS q
+        |    FROM r))
+        |SELECT CAST(row_number() OVER (ORDER BY level, md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS position,
+        |  doc_id AS id, CAST(level AS BIGINT) AS level
+        |FROM lvl ORDER BY position""".stripMargin,
     // Resume truth: the FULL epoch-1 permutation replayed, then sliced
     // at the resume position — the engine's suffix must equal the
     // full-epoch slice exactly (positions included), or resuming would

@@ -1940,6 +1940,96 @@ object CorpusOps {
     epochOrder(df, idCol, epoch).where(col("position") >= fromPosition)
   }
 
+  /** Stride-scheduled mixture interleave — the step between "per-source
+    * mixture weights" and "the single deterministic stream a data loader
+    * actually feeds the trainer": source s with weight w emits its i-th
+    * document at virtual time (2i−1)/(2w) (classic stride scheduling),
+    * and the global order sorts by that clock — so every prefix of the
+    * stream holds each source within one document of its weighted share,
+    * with no RNG anywhere. Per-source order is content-addressed
+    * (md5 of the id — the [[epochShuffle]] key), so the interleave is a
+    * pure function of (corpus, weights): reproducible across runs,
+    * engines, and partition layouts.
+    *
+    * Scale shape: virtual times are exact integers ((2i−1)·(L/w) with L
+    * the weights' lcm — no float clock drift at any corpus size), and
+    * BOTH ranks ride [[ScaleOps.globalRunningTotal]]'s two-pass
+    * range-partition prefix sum: the per-source rank comes off ONE
+    * global pass ordered (source, hash, id) minus a source-bounded
+    * cumulative offset (broadcast) — never a per-source window, which
+    * would funnel a dominant source into one sort partition — and the
+    * final position is a second pass over the integer clock.
+    *
+    * @param weights (stratum, weight>0); rows whose stratum has no
+    *                weight are dropped (a gate upstream decides corpus
+    *                membership, not the scheduler)
+    * @return (position 1.., id, stratum, vt_num — the scaled integer
+    *         clock the position sorts by)
+    */
+  def mixtureInterleave(df: DataFrame, idCol: String, strataCol: String,
+                        weights: Seq[(String, Long)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      s"weights must be positive: $weights")
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate stratum in $weights")
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcmAll = weights.map(_._2).reduce((a, b) => a / gcd(a, b) * b)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wdf = weights.map { case (s, w) => (s, lcmAll / w) }
+      .toDF("__s", "__stride")
+    val base = df
+      .select(col(idCol).cast("long").as("id"),
+        col(strataCol).as("__s"),
+        md5(col(idCol).cast("string")).as("__h"))
+      .join(broadcast(wdf), Seq("__s"))
+    // global prefix over (stratum, hash, id); per-stratum rank = that
+    // prefix minus the count of all earlier strata (stratum-bounded
+    // cumulative offsets, broadcast back)
+    val ranked = graft.ops.ScaleOps.globalRunningTotal(base,
+      Seq(col("__s"), col("__h"), col("id")), lit(1L))
+    val offs = ranked.groupBy(col("__s")).agg(count(lit(1)).as("__n"))
+      .withColumn("__soff", coalesce(sum(col("__n")).over(
+        Window.orderBy(col("__s")).rowsBetween(Long.MinValue, -1)),
+        lit(0L)))
+      .select(col("__s"), col("__soff"))
+    val clocked = ranked.join(broadcast(offs), Seq("__s"))
+      .select(col("id"), col("__s"),
+        (((col("cum") - col("__soff")) * 2 - 1) * col("__stride"))
+          .as("__vt"))
+    graft.ops.ScaleOps.globalRunningTotal(clocked,
+      Seq(col("__vt"), col("__s")), lit(1L))
+      .select(col("cum").as("position"), col("id"),
+        col("__s").as(strataCol), col("__vt").as("vt_num"))
+  }
+
+  /** Curriculum ordering: a deterministic easy-first epoch — documents
+    * sort by an integer difficulty LEVEL the caller grades them into
+    * (0 = easiest first), with a content-addressed shuffle inside each
+    * level (the [[epochShuffle]] md5 key, so level cohorts stream in a
+    * reproducible but uncorrelated order). The ordered-training
+    * counterpart of [[epochShuffle]]'s uniform permutation; position is
+    * a pure function of (corpus, level assignment) — resumable the same
+    * way [[epochShuffleResume]] is.
+    *
+    * Scale shape: ONE [[ScaleOps.globalRunningTotal]] prefix-sum pass
+    * ordered (level, hash, id) — never a single-partition
+    * "row_number over the whole corpus" window.
+    *
+    * @return (position 1.., id, level)
+    */
+  def curriculumOrder(df: DataFrame, idCol: String,
+                      levelCol: String): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(levelCol).cast("long").as("__lvl"),
+      md5(col(idCol).cast("string")).as("__h"))
+    graft.ops.ScaleOps.globalRunningTotal(base,
+      Seq(col("__lvl"), col("__h"), col("id")), lit(1L))
+      .select(col("cum").as("position"), col("id"),
+        col("__lvl").as(levelCol))
+  }
+
   /** Per-document n-gram UNIQUENESS — the corpus-count companion to
     * [[ngramNovelty]]'s ordered first-occurrence read: the share of a
     * document's DISTINCT word n-grams that occur in NO other document

@@ -1156,6 +1156,27 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("mixture_interleave / curriculum_order: positions ride the prefix sum — only bounded windows") {
+    // Both orderings come from globalRunningTotal's two-pass prefix sum.
+    // The only Window operators allowed are the documented bounded ones:
+    // the __pid offsets window (cluster-size frame) and the
+    // stratum-offset window (__n over |strata| rows) — NEVER a
+    // row_number over raw corpus rows, which is the single-partition
+    // trap these operators exist to avoid.
+    Seq("mixture_interleave", "curriculum_order").foreach { q =>
+      val plan = executedSimple(SparkEntry.queries(q)(spark, sf))
+      assert(plan.contains("ExistingRDD"),
+        s"$q: expected the checkpointed range-partitioned pass:\n$plan")
+      val windows = "Window \\[".r.findAllIn(plan).size
+      val bounded =
+        "Window \\[[^\\n]*(__pid|__n)".r.findAllIn(plan).size
+      assert(windows === bounded,
+        s"$q: unexpected raw-row window ($bounded of $windows):\n$plan")
+      assert(!plan.contains("row_number"),
+        s"$q: positions must come from the prefix sum, not a rank:\n$plan")
+    }
+  }
+
   test("distinct_ngram_ratio: only gram digests cross the exchange") {
     // The gram text is md5-digested in the scan projection (the repo's
     // digest discipline): no exchange may partition on — or carry — the

@@ -1049,6 +1049,43 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("mixtureInterleave: stride clock keeps every prefix near its weighted share") {
+    // 6 a-docs at weight 2 vs 3 b-docs at weight 1: lcm 2 gives strides
+    // (a=1, b=2), clocks a:1,3,5,7,9,11 / b:2,6,10 — the merged order is
+    // a b a a b a a b a, dense positions, independent of which doc got
+    // which in-stratum rank
+    val docs = ((1L to 6L).map(i => (i, "a")) ++
+      (11L to 13L).map(i => (i, "b"))).toDF("id", "s")
+    val out = CorpusOps.mixtureInterleave(docs, "id", "s",
+      Seq("a" -> 2L, "b" -> 1L)).orderBy("position")
+    val rows = out.collect()
+    assert(rows.map(_.getAs[Long]("position")).toSeq == (1L to 9L))
+    assert(rows.map(_.getAs[String]("s")).toSeq ==
+      Seq("a", "b", "a", "a", "b", "a", "a", "b", "a"))
+    // pure function of (corpus, weights): a second evaluation is
+    // byte-identical
+    val again = CorpusOps.mixtureInterleave(docs, "id", "s",
+      Seq("a" -> 2L, "b" -> 1L)).orderBy("position").collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // strata without a weight are dropped (membership is the gate's job)
+    val dropped = CorpusOps.mixtureInterleave(
+      docs.unionByName(Seq((99L, "zz")).toDF("id", "s")), "id", "s",
+      Seq("a" -> 2L, "b" -> 1L))
+    assert(dropped.count() == 9L)
+    intercept[IllegalArgumentException](
+      CorpusOps.mixtureInterleave(docs, "id", "s", Seq("a" -> 0L)))
+  }
+
+  test("curriculumOrder: levels stream easiest-first, dense positions") {
+    val docs = Seq((1L, 2L), (2L, 0L), (3L, 1L), (4L, 0L), (5L, 1L))
+      .toDF("id", "lvl")
+    val rows = CorpusOps.curriculumOrder(docs, "id", "lvl")
+      .orderBy("position").collect()
+    assert(rows.map(_.getAs[Long]("position")).toSeq == (1L to 5L))
+    // level blocks are contiguous and ascending
+    assert(rows.map(_.getAs[Long]("lvl")).toSeq == Seq(0L, 0L, 1L, 1L, 2L))
+  }
+
   test("distinctNgramRatio: hand-counted grams, short docs only emit valid n") {
     val df = Seq((1L, "en", "a b"), (2L, "en", "a b c"), (3L, "fr", "x"))
       .toDF("id", "lang", "text")
