@@ -889,6 +889,38 @@ object SparkEntry {
       (mt, pt)
     })
 
+  /** The COSINE tier's persisted state, symmetric to [[neardupState]] /
+    * [[simhashState]]: the (tbl, bkt)-bucketed SRP manifest plus the
+    * known verified cosine pair list over the even-id half of the capped
+    * embedding slice.
+    */
+  private val cosineStateCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String),
+      (String, String)]
+
+  private def cosineState(s: SparkSession, d: String): (String, String) =
+    cosineStateCache.getOrElseUpdate((s.sparkContext.applicationId, d), {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val mt = s"graft_cosine_manifest_$tag"
+      val pt = s"graft_cosine_pairs_$tag"
+      val existing = Tables.embeddings(s, d)
+        .where(col("vec_id") < 2000 && pmod(col("vec_id"), lit(2)) === 0)
+      graft.ops.ScaleOps.writeBucketed(
+        graft.functions.Similarity.srpBandRows(existing, "vec_id",
+          "embedding", bits = 4, tables = 24)
+          .repartition(8, col("tbl"), col("bkt")),
+        mt, Seq("tbl", "bkt"), buckets = 8)
+      s.sql(s"DROP TABLE IF EXISTS $pt")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), pt)
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+      graft.functions.Similarity.cosineNearDupPairs(existing, "vec_id",
+        "embedding", threshold = 0.4, bits = 4, tables = 24)
+        .write.mode("overwrite").saveAsTable(pt)
+      (mt, pt)
+    })
+
   /** Events staged once per dir as a HIVE-PARTITIONED parquet layout
     * (`partitionBy(event_type)`) — the fixture for the graded
     * partition-pruning query: a predicate on the partition column must
@@ -4094,6 +4126,53 @@ object SparkEntry {
             .as("recall_ok"),
           coalesce(col("__n_lsh") === col("__n_hit"), lit(true))
             .as("precision_ok"))
+    }),
+    // Incremental ingest for the THIRD near-dup modality: the batch half
+    // probes the persisted (tbl, bkt)-bucketed SRP manifest and the
+    // read-back pair list — the existing corpus is never re-projected
+    // through the hyperplanes and never re-self-joined. All three legs
+    // (known, cross, internal) apply the same first-agreeing-table rule,
+    // so incremental == full is a SET IDENTITY measured as a value
+    // (incr_equals_full); recall/precision grade against the exhaustive
+    // truth like cosine_dedup_quality.
+    "incremental_cosine_persisted" -> ((s, d) => {
+      val slice = Tables.embeddings(s, d).where(col("vec_id") < 2000)
+      val (mt, pt) = cosineState(s, d)
+      // feeds the equality compare, the recall join, and the precision
+      // count — pin it once
+      val incr = graft.functions.Similarity.cosineNearDupPairsOnState(
+        batch = slice.where(pmod(col("vec_id"), lit(2)) === 1),
+        manifest = s.table(mt), knownPairs = s.table(pt),
+        existing = slice.where(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", threshold = 0.4, bits = 4, tables = 24)
+        .localCheckpoint(true)
+      val full = graft.functions.Similarity.cosineNearDupPairs(slice,
+        "vec_id", "embedding", threshold = 0.4, bits = 4, tables = 24)
+      val truth = graft.functions.Similarity.cosinePairsExhaustive(slice,
+        "vec_id", "embedding", threshold = 0.4)
+        .select(col("id_a"), col("id_b"), lit(1).as("__t"))
+      val eq = incr.select(col("id_a"), col("id_b"), lit(1).as("__i"))
+        .join(full.select(col("id_a"), col("id_b"), lit(1).as("__f")),
+          Seq("id_a", "id_b"), "full_outer")
+        .agg(sum(when(col("__i").isNull || col("__f").isNull, 1L)
+          .otherwise(0L)).as("__mism"))
+      truth
+        .join(incr.select(col("id_a"), col("id_b"), lit(1).as("__l")),
+          Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          sum(when(col("__t").isNotNull, 1L).otherwise(0L)).as("n_true"),
+          sum(when(col("__t").isNotNull && col("__l").isNotNull, 1L)
+            .otherwise(0L)).as("__hit"),
+          sum(when(col("__l").isNotNull && col("__t").isNull, 1L)
+            .otherwise(0L)).as("__extra"))
+        .crossJoin(eq)
+        .select(
+          coalesce(col("n_true"), lit(0L)).as("n_true"),
+          (col("__mism") === 0L).as("incr_equals_full"),
+          when(coalesce(col("n_true"), lit(0L)) === 0, lit(true))
+            .otherwise(col("__hit").cast("double") / col("n_true") >= 0.95)
+            .as("recall_ok"),
+          (coalesce(col("__extra"), lit(0L)) === 0L).as("precision_ok"))
     }),
     // SemDeDup-style semantic dedup with the deterministic keep-first rule
     // (drop any vector with a lower-id neighbor at cosine >= 0.4), graded
@@ -8275,6 +8354,16 @@ object SparkEntry {
         |t AS (SELECT a.vec_id AS ia, b.vec_id AS ib FROM e a JOIN e b ON a.vec_id < b.vec_id
         |  WHERE floor(list_cosine_similarity(a.v, b.v) * 10000 + 0.5) / 10000 >= 0.4)
         |SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ok, TRUE AS precision_ok
+        |FROM t""".stripMargin,
+    // Same exhaustive-truth shape; incr_equals_full and the quality
+    // booleans carry the engine-measured contracts (a regression flips a
+    // bit and fails the hash compare).
+    "incremental_cosine_persisted" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 2000),
+        |t AS (SELECT a.vec_id AS ia, b.vec_id AS ib FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE floor(list_cosine_similarity(a.v, b.v) * 10000 + 0.5) / 10000 >= 0.4)
+        |SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS incr_equals_full,
+        |  TRUE AS recall_ok, TRUE AS precision_ok
         |FROM t""".stripMargin,
     "orc_source_agg" -> altFormatOracleSql,
     "jsonl_source_agg" -> altFormatOracleSql,

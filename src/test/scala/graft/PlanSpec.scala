@@ -697,6 +697,50 @@ class PlanSpec extends SparkTestBase {
       s"gram text must not survive past the map side:\n$plan")
   }
 
+  test("incremental cosine: bucketed SRP manifest probes with ZERO manifest-side exchange") {
+    // The cosine tier's persisted-manifest contract, same differential
+    // pin as the MinHash one below: the probe join against the
+    // (tbl, bkt)-bucketed manifest needs exactly one fewer exchange than
+    // the identical join against a non-bucketed copy — the saved
+    // exchange IS the manifest side's, the corpus-scale frame an
+    // incremental batch must never re-shuffle.
+    val e = Tables.embeddings(spark, sf)
+    val existing = e.where(pmod(col("vec_id"), lit(2)) === 0)
+    val batch = e.where(pmod(col("vec_id"), lit(2)) === 1)
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      ScaleOps.writeBucketed(
+        Similarity.srpBandRows(existing, "vec_id", "embedding",
+          bits = 4, tables = 24)
+          .repartition(8, col("tbl"), col("bkt")),
+        "graft_test_cosine_manifest", Seq("tbl", "bkt"), buckets = 8)
+      Similarity.srpBandRows(existing, "vec_id", "embedding",
+        bits = 4, tables = 24).write
+        .mode("overwrite").saveAsTable("graft_test_cosine_plain")
+      def probeJoin(manifestTable: String) =
+        Similarity.srpBandRows(batch, "vec_id", "embedding",
+          bits = 4, tables = 24).as("a")
+          .join(spark.table(manifestTable).as("b"),
+            col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt"))
+      val bucketed = probeJoin("graft_test_cosine_manifest")
+      val planB = executedSimple(bucketed)
+      val planBF = bucketed.queryExecution.explainString(FormattedMode)
+      val planP = executedSimple(probeJoin("graft_test_cosine_plain"))
+      assert(planBF.contains("Bucketed: true"),
+        s"manifest scan must use the bucket layout:\n$planBF")
+      val exB = "Exchange".r.findAllIn(planB).size
+      val exP = "Exchange".r.findAllIn(planP).size
+      assert(exB === exP - 1,
+        s"bucketed SRP manifest should save exactly the manifest-side " +
+          s"exchange (bucketed=$exB, plain=$exP):\n$planB\n--- vs ---\n$planP")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+      spark.sql("DROP TABLE IF EXISTS graft_test_cosine_manifest")
+      spark.sql("DROP TABLE IF EXISTS graft_test_cosine_plain")
+    }
+  }
+
   test("incremental near-dup: bucketed band manifest joins with ZERO manifest-side exchange") {
     // The persisted-manifest contract: the manifest is written bucketed
     // by exactly the probe join's (band, bucket) key, so the batch's

@@ -750,6 +750,28 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(truth.nonEmpty && lsh.size.toDouble / truth.size >= 0.95)
   }
 
+  test("cosineNearDupPairsOnState: incremental over persisted rows equals the full run") {
+    // split the fixture corpus, derive the "prior run" artifacts from the
+    // even half, probe with the odd half — the union must be SET-equal to
+    // a full-corpus LSH run (all three legs share the first-agreeing-
+    // table rule, so this is an identity, not a recall statement)
+    val e = graft.Tables.embeddings(spark, sfTest)
+    val existing = e.where(col("vec_id") % 2 === 0)
+    val batch = e.where(col("vec_id") % 2 === 1)
+    val manifest = Similarity.srpBandRows(existing, "vec_id", "embedding",
+      bits = 4, tables = 24)
+    val known = Similarity.cosineNearDupPairs(existing, "vec_id",
+      "embedding", threshold = 0.4, bits = 4, tables = 24)
+    val incr = Similarity.cosineNearDupPairsOnState(batch, manifest,
+      known, existing, "vec_id", "embedding", threshold = 0.4,
+      bits = 4, tables = 24)
+      .as[(Long, Long, Double)].collect().toSet
+    val full = Similarity.cosineNearDupPairs(e, "vec_id", "embedding",
+      threshold = 0.4, bits = 4, tables = 24)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(incr === full && full.nonEmpty)
+  }
+
   test("mutualTopOne: only reciprocal pairs survive; hub's satellites drop") {
     // a and b are each other's top-1; c's top-1 is b, but b's is a — so c
     // pairs with nobody (the hub-satellite asymmetry mutuality exists to
