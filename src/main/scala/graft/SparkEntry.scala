@@ -708,6 +708,29 @@ object SparkEntry {
       dir
     })
 
+  /** The cosine BATCH half staged as a 3-file parquet dir — the
+    * streaming-ingest fixture for `stream_cosine_incremental`, the
+    * embedding analog of [[stagedDocBatches]]. Range-partitioned by
+    * vec_id for a deterministic file split; the emitted pair SET is
+    * delivery-order-invariant for the same reason (each pair is found
+    * exactly once — internally if the two vectors share a micro-batch,
+    * else when the later one probes the manifest already holding the
+    * earlier).
+    */
+  private val stagedEmbDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def stagedEmbBatches(s: SparkSession, d: String): String =
+    stagedEmbDirs.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-emb-stream").toString
+      Tables.embeddings(s, d)
+        .where(col("vec_id") < 2000 && pmod(col("vec_id"), lit(2)) === 1)
+        .repartitionByRange(3, col("vec_id"))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+
   /** Events re-staged once per (sfDir, format) into a temp dir — the
     * alternate-format ingestion fixtures (ORC, JSON lines). Same memoize
     * contract as [[stagedEvents]]; the graded queries prove the engine
@@ -4169,6 +4192,90 @@ object SparkEntry {
         .select(
           coalesce(col("n_true"), lit(0L)).as("n_true"),
           (col("__mism") === 0L).as("incr_equals_full"),
+          when(coalesce(col("n_true"), lit(0L)) === 0, lit(true))
+            .otherwise(col("__hit").cast("double") / col("n_true") >= 0.95)
+            .as("recall_ok"),
+          (coalesce(col("__extra"), lit(0L)) === 0L).as("precision_ok"))
+    }),
+    // The STREAMING ingest loop closed over the cosine tier's persisted
+    // state — the embedding analog of stream_neardup_incremental: three
+    // micro-batches each probe the SRP manifest-so-far, verify against
+    // the corpus-so-far, emit only NEW pairs, and append their own
+    // banded rows; the existing corpus is never re-projected. The union
+    // of the read-back pair list and all emissions carries the same
+    // contract row as incremental_cosine_persisted — with the set
+    // identity now proving streaming == full.
+    "stream_cosine_incremental" -> ((s, d) => {
+      val slice = Tables.embeddings(s, d).where(col("vec_id") < 2000)
+      val existing0 = slice.where(pmod(col("vec_id"), lit(2)) === 0)
+      val (mt, pt) = cosineState(s, d)
+      val run = streamRuns.incrementAndGet()
+      val mtS = s"graft_stream_cos_manifest_$run"
+      val corpusS = s"graft_stream_cos_corpus_$run"
+      val outS = s"graft_stream_cos_pairs_$run"
+      Seq(mtS, corpusS, outS).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), t)
+        loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(loc, true)
+      }
+      s.table(mt).write.saveAsTable(mtS)
+      existing0.write.saveAsTable(corpusS)
+      s.table(pt).limit(0).write.saveAsTable(outS)
+      val src = s.readStream.schema(Tables.embeddings(s, d).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stagedEmbBatches(s, d))
+      val q = graft.streaming.EventsStreaming
+        .foreachBatchWriter(src, identity) { (b, _) =>
+          val bb = b.localCheckpoint(true)
+          try {
+            // knownPairs EMPTY per batch: emissions are new pairs only
+            graft.functions.Similarity.cosineNearDupPairsOnState(bb,
+              s.table(mtS), s.table(pt).limit(0), s.table(corpusS),
+              "vec_id", "embedding", threshold = 0.4, bits = 4,
+              tables = 24)
+              .write.mode("append").saveAsTable(outS)
+            // state update AFTER the emit, so a batch never probes its
+            // own banded rows
+            graft.functions.Similarity.srpBandRows(bb, "vec_id",
+              "embedding", bits = 4, tables = 24)
+              .write.mode("append").saveAsTable(mtS)
+            bb.write.mode("append").saveAsTable(corpusS)
+            // refresh the OUTER session's relation cache (foreachBatch
+            // writes go through the micro-batch's cloned session)
+            s.catalog.refreshTable(mtS)
+            s.catalog.refreshTable(corpusS)
+            s.catalog.refreshTable(outS)
+          } finally Dedup.unpersistCheckpoint(bb)
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      val streamed = s.table(pt).select("id_a", "id_b", "cos_sim")
+        .unionByName(s.table(outS).select("id_a", "id_b", "cos_sim"))
+        .localCheckpoint(true)
+      val full = graft.functions.Similarity.cosineNearDupPairs(slice,
+        "vec_id", "embedding", threshold = 0.4, bits = 4, tables = 24)
+      val truth = graft.functions.Similarity.cosinePairsExhaustive(slice,
+        "vec_id", "embedding", threshold = 0.4)
+        .select(col("id_a"), col("id_b"), lit(1).as("__t"))
+      val eq = streamed.select(col("id_a"), col("id_b"), lit(1).as("__i"))
+        .join(full.select(col("id_a"), col("id_b"), lit(1).as("__f")),
+          Seq("id_a", "id_b"), "full_outer")
+        .agg(sum(when(col("__i").isNull || col("__f").isNull, 1L)
+          .otherwise(0L)).as("__mism"))
+      truth
+        .join(streamed.select(col("id_a"), col("id_b"), lit(1).as("__l")),
+          Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          sum(when(col("__t").isNotNull, 1L).otherwise(0L)).as("n_true"),
+          sum(when(col("__t").isNotNull && col("__l").isNotNull, 1L)
+            .otherwise(0L)).as("__hit"),
+          sum(when(col("__l").isNotNull && col("__t").isNull, 1L)
+            .otherwise(0L)).as("__extra"))
+        .crossJoin(eq)
+        .select(
+          coalesce(col("n_true"), lit(0L)).as("n_true"),
+          (col("__mism") === 0L).as("stream_equals_full"),
           when(coalesce(col("n_true"), lit(0L)) === 0, lit(true))
             .otherwise(col("__hit").cast("double") / col("n_true") >= 0.95)
             .as("recall_ok"),
@@ -8363,6 +8470,15 @@ object SparkEntry {
         |t AS (SELECT a.vec_id AS ia, b.vec_id AS ib FROM e a JOIN e b ON a.vec_id < b.vec_id
         |  WHERE floor(list_cosine_similarity(a.v, b.v) * 10000 + 0.5) / 10000 >= 0.4)
         |SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS incr_equals_full,
+        |  TRUE AS recall_ok, TRUE AS precision_ok
+        |FROM t""".stripMargin,
+    // Streaming == batch == full: one truth oracle for every layout of
+    // the cosine incremental contract.
+    "stream_cosine_incremental" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 2000),
+        |t AS (SELECT a.vec_id AS ia, b.vec_id AS ib FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE floor(list_cosine_similarity(a.v, b.v) * 10000 + 0.5) / 10000 >= 0.4)
+        |SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS stream_equals_full,
         |  TRUE AS recall_ok, TRUE AS precision_ok
         |FROM t""".stripMargin,
     "orc_source_agg" -> altFormatOracleSql,
