@@ -731,6 +731,27 @@ object SparkEntry {
       dir
     })
 
+  /** The SimHash BATCH half (odd ids of the full corpus) staged as a
+    * 3-file parquet dir — the streaming-ingest fixture for
+    * `stream_simhash_incremental`. Delivery-order-invariant like its
+    * siblings; here additionally LOSSLESS (pigeonhole banding), so the
+    * streamed union grades against the exact Hamming truth, not a
+    * contract boolean.
+    */
+  private val stagedSimhashDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def stagedSimhashBatches(s: SparkSession, d: String): String =
+    stagedSimhashDirs.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-simhash-stream").toString
+      Tables.documents(s, d)
+        .where(pmod(col("doc_id"), lit(2)) === 1)
+        .repartitionByRange(3, col("doc_id"))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+
   /** Events re-staged once per (sfDir, format) into a temp dir — the
     * alternate-format ingestion fixtures (ORC, JSON lines). Same memoize
     * contract as [[stagedEvents]]; the graded queries prove the engine
@@ -3413,6 +3434,50 @@ object SparkEntry {
         manifest = s.table(mt),
         knownPairs = s.table(pt),
         "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+    // The SimHash streaming loop — with a property neither sibling has:
+    // pigeonhole banding is LOSSLESS, so the streamed union is graded
+    // against the exact brute-force Hamming truth (the same oracle as
+    // the batch incremental and full variants), not a contract boolean:
+    // streaming == batch-incremental == full == truth, all by hash.
+    "stream_simhash_incremental" -> ((s, d) => {
+      val (mt, pt) = simhashState(s, d)
+      val run = streamRuns.incrementAndGet()
+      val mtS = s"graft_stream_sh_manifest_$run"
+      val outS = s"graft_stream_sh_pairs_$run"
+      Seq(mtS, outS).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), t)
+        loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(loc, true)
+      }
+      s.table(mt).write.saveAsTable(mtS)
+      s.table(pt).limit(0).write.saveAsTable(outS)
+      val src = s.readStream.schema(Tables.documents(s, d).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stagedSimhashBatches(s, d))
+      val q = graft.streaming.EventsStreaming
+        .foreachBatchWriter(src, identity) { (b, _) =>
+          val bb = b.localCheckpoint(true)
+          try {
+            // fingerprints travel IN the manifest rows, so no
+            // corpus-so-far table exists at all: the probe verifies
+            // Hamming distance from (a.sh, b.sh) directly
+            Dedup.incrementalSimhashPairsOnState(bb, s.table(mtS),
+              s.table(pt).limit(0), "doc_id", "text", maxHamming = 3)
+              .write.mode("append").saveAsTable(outS)
+            Dedup.simhashBandManifest(bb, "doc_id", "text",
+              maxHamming = 3)
+              .write.mode("append").saveAsTable(mtS)
+            s.catalog.refreshTable(mtS)
+            s.catalog.refreshTable(outS)
+          } finally Dedup.unpersistCheckpoint(bb)
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(pt).select("id_a", "id_b", "hamming")
+        .unionByName(s.table(outS).select("id_a", "id_b", "hamming"))
         .orderBy("id_a", "id_b")
     }),
     // SimHash quality companion, oracle-gated end to end: the SAME
@@ -8008,6 +8073,8 @@ object SparkEntry {
     // same truth for the persisted-state variant: storage layout is a
     // plan property, never the answer
     "incremental_simhash_persisted" -> simhashBruteOracle("", 3),
+    // Streaming == batch-incremental == full == brute truth, one oracle.
+    "stream_simhash_incremental" -> simhashBruteOracle("", 3),
     "knn_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10),
         |p AS (SELECT qid, e.vec_id AS cid, list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) AS cos
