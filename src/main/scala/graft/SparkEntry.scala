@@ -1026,6 +1026,20 @@ object SparkEntry {
         "doc_id", "text", threshold = 0.5)
         .localCheckpoint(true))
 
+  /** The corpus char-trigram NLL scores, memoized: `ngram_lm_score`
+    * grades them directly and `perplexity_buckets` stratifies on them —
+    * the LM fit + scoring pass (the trigram tier's dominant cost) runs
+    * once per (application, dir). Checkpointed: doc-scale (id, n_tri,
+    * avg_nll) rows only.
+    */
+  private val trigramNllCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def gradedTrigramNll(s: SparkSession, d: String): DataFrame =
+    trigramNllCache.getOrElseUpdate((s.sparkContext.applicationId, d),
+      CorpusOps.charTrigramNll(Tables.documents(s, d), "doc_id", "text")
+        .localCheckpoint(true))
+
   /** The 4-round LPA labels over the co-purchase graph, memoized: both
     * `label_propagation` and `community_modularity` consume the same
     * iterative loop; the returned frame is already checkpointed (it is
@@ -1086,7 +1100,10 @@ object SparkEntry {
       () => lpaLabelCache.clear()),
     ("walk_corpus",
       Set("random_walks", "skipgram_pairs"),
-      () => walkCache.clear()))
+      () => walkCache.clear()),
+    ("trigram_nll",
+      Set("ngram_lm_score", "perplexity_buckets"),
+      () => trigramNllCache.clear()))
 
   /** Drive a finite streaming frame to completion through a memory sink
     * and hand back the result as a batch frame. `processAllAvailable`
@@ -4814,8 +4831,7 @@ object SparkEntry {
     // model. Model fit + scoring both graded; the micro-unit quantization
     // makes the per-doc sums bit-identical across engines.
     "ngram_lm_score" -> ((s, d) =>
-      CorpusOps.charTrigramNll(Tables.documents(s, d), "doc_id", "text")
-        .orderBy("doc_id")),
+      gradedTrigramNll(s, d).orderBy("doc_id")),
     // Model-BASED filtering — the trained-classifier gate (fastText-style
     // quality/language classifier of the GPT-3 / CCNet curation recipes)
     // distilled to its closed-form multinomial-NB core: train on the
@@ -4870,7 +4886,8 @@ object SparkEntry {
     // window), bucket assignment a pure function of (lang, score).
     "perplexity_buckets" -> ((s, d) =>
       CorpusOps.perplexityBuckets(Tables.documents(s, d),
-        "doc_id", "text", "lang")
+        "doc_id", "text", "lang",
+        precomputedNll = Some(gradedTrigramNll(s, d)))
         .orderBy("lang", "bucket")),
     // Corpus diversity report: distinct-n ratio per (lang, n) for
     // n ∈ {2,3} — grams digested before the single fact-scale exchange.

@@ -2563,12 +2563,17 @@ object CorpusOps {
     *         avg score 4-dp) ordered by lang, bucket
     */
   def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
-                        langCol: String): DataFrame = {
+                        langCol: String,
+                        precomputedNll: Option[DataFrame] = None)
+      : DataFrame = {
     import CoreOps.rnd
     // compact (id, lang, quantized-score) rows materialize ONCE — the
     // trigram LM fit + scoring pass feeds both the threshold histogram
-    // and the bucket assignment (rule (g))
-    val scored = charTrigramNll(df, idCol, textCol)
+    // and the bucket assignment (rule (g)); callers that already hold
+    // the scores (the memoized graded family) pass them in instead of
+    // re-fitting the LM
+    val scored = precomputedNll
+      .getOrElse(charTrigramNll(df, idCol, textCol))
       .join(df.select(col(idCol), col(langCol)), Seq(idCol))
       .select(col(idCol), col(langCol),
         floor(col("avg_nll") * 10000 + 0.5).cast("long").as("__q"))
