@@ -4232,6 +4232,19 @@ object SparkEntry {
           coalesce(col("__n_lsh") === col("__n_hit"), lit(true))
             .as("precision_ok"))
     }),
+    // Representation drift monitor: PSI between the two snapshot halves'
+    // embedding distributions over 4 fixed ±1 projections (md5-derived
+    // signs, literal-identical in the oracle). Map-only projection +
+    // one (direction, bin) hash aggregate per side; PSI on the bounded
+    // histogram with micro-quantized terms.
+    "embed_drift_psi" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      EmbeddingOps.embeddingDriftPsi(
+        e.where(pmod(col("vec_id"), lit(2)) === 0),
+        e.where(pmod(col("vec_id"), lit(2)) === 1),
+        "embedding", dims = 64, projections = 4, binWidth = 0.5)
+        .orderBy("p")
+    }),
     // Incremental ingest for the THIRD near-dup modality: the batch half
     // probes the persisted (tbl, bkt)-bucketed SRP manifest and the
     // read-back pair list — the existing corpus is never re-projected
@@ -5439,6 +5452,42 @@ object SparkEntry {
       |  floor((CAST(shared AS DOUBLE) / (sa.nt + sb.nt - shared)) * 10000 + 0.5) / 10000 AS jaccard
       |  FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id)
       |SELECT id_a, id_b, shared, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
+
+  /** Drift oracle, built programmatically: the ±1 sign literals come from
+    * the SAME [[EmbeddingOps.driftSigns]] the engine uses, so
+    * cross-engine agreement on the projections is literal equality; the
+    * fold is sequential in both engines (the EmbeddingOps object-doc
+    * contract), and every PSI term is micro-quantized before the sum.
+    */
+  private val embedDriftOracle: String = {
+    val signs = graft.ops.EmbeddingOps.driftSigns(4, 64)
+    def proj(p: Int) =
+      s"list_reduce(list_transform(range(1, 65), i -> v[CAST(i AS INTEGER)]" +
+        s" * ([${signs(p).mkString(", ")}])[CAST(i AS INTEGER)])," +
+        " (acc, x) -> acc + x)"
+    def side(tbl: String) = (0 until 4).map { p =>
+      s"SELECT CAST($p AS BIGINT) AS p, CAST(floor(floor(${proj(p)}" +
+        s" * 10000 + 0.5) / 10000 / 0.5) AS BIGINT) AS bin FROM $tbl"
+    }.mkString(" UNION ALL ")
+    s"""WITH ea AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 2 = 0 AND len(embedding) = 64),
+       |eb AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 2 = 1 AND len(embedding) = 64),
+       |pa AS (${side("ea")}),
+       |pb AS (${side("eb")}),
+       |ha AS (SELECT p, bin, CAST(count(*) AS BIGINT) AS ca FROM pa GROUP BY 1, 2),
+       |hb AS (SELECT p, bin, CAST(count(*) AS BIGINT) AS cb FROM pb GROUP BY 1, 2),
+       |j AS (SELECT p, bin, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+       |  FROM ha FULL OUTER JOIN hb USING (p, bin)),
+       |t AS (SELECT p, CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+       |    CAST(count(*) AS BIGINT) AS n_bins FROM j GROUP BY 1),
+       |terms AS (SELECT j.p,
+       |    CAST(floor((CAST(ca + 1 AS DOUBLE) / (na + n_bins) - CAST(cb + 1 AS DOUBLE) / (nb + n_bins))
+       |      * ln((CAST(ca + 1 AS DOUBLE) / (na + n_bins)) / (CAST(cb + 1 AS DOUBLE) / (nb + n_bins))) * 1000000 + 0.5) AS BIGINT) AS tm,
+       |    n_bins, na, nb
+       |  FROM j JOIN t USING (p))
+       |SELECT p, min(n_bins) AS n_bins, min(na) AS n_a, min(nb) AS n_b,
+       |  floor((CAST(sum(tm) AS DOUBLE) / 1000000) * 10000 + 0.5) / 10000 AS psi
+       |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   private val bpeTrainOracle: String =
     "WITH " + bpeTrainCtesFor(bpeRounds) + "\n" +
@@ -8556,6 +8605,7 @@ object SparkEntry {
         |SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS incr_equals_full,
         |  TRUE AS recall_ok, TRUE AS precision_ok
         |FROM t""".stripMargin,
+    "embed_drift_psi" -> embedDriftOracle,
     // Streaming == batch == full: one truth oracle for every layout of
     // the cosine incremental contract.
     "stream_cosine_incremental" ->

@@ -790,4 +790,82 @@ object EmbeddingOps {
       .select(col("qid"), col("n_true"),
         (col("__recall") >= floor).as("recall_ok"))
   }
+
+  /** Deterministic ±1 projection signs for [[embeddingDriftPsi]]: the
+    * parity of the LAST hex digit of md5("p#i") — derived, not magic,
+    * and trivially replayable by any engine with md5 (the oracle embeds
+    * the same literals, so cross-engine agreement is literal equality).
+    */
+  def driftSigns(projections: Int, dims: Int): Seq[Seq[Double]] = {
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (0 until projections).map(p => (0 until dims).map { i =>
+      if ((Integer.parseInt(md5Hex(s"$p#$i").takeRight(1), 16) & 1) == 1)
+        1.0 else -1.0
+    })
+  }
+
+  /** Embedding-space DRIFT between two corpus snapshots — the
+    * representation-health monitor a pipeline runs when the upstream
+    * embedder, corpus mix, or preprocessing changes: project both sides
+    * onto `projections` fixed ±1 directions ([[driftSigns]]), histogram
+    * the 1-D projections (bins of `binWidth` on the 4-dp-rounded value),
+    * and report the Population Stability Index per direction
+    * (Laplace-smoothed over the union bin set, the standard scalar-drift
+    * treatment lifted to embeddings). PSI ≈ 0 ⇒ same distribution;
+    * > 0.25 is the conventional "investigate" line.
+    *
+    * Determinism: the projection is a SEQUENTIAL left fold over the
+    * parquet list order (the object-doc contract — bit-identical in any
+    * engine), rounded to 4 dp BEFORE binning; each bin's PSI term is
+    * micro-quantized before the per-direction sum.
+    *
+    * Scale shape: map-only projection + ONE (direction, bin) hash
+    * aggregate per side; everything after runs on the bin-bounded
+    * histogram. Vectors not of `dims` length are excluded (zip_with
+    * against the sign array would null-poison them silently otherwise).
+    *
+    * @return one row per direction: (p, n_bins, n_a, n_b, psi 4-dp)
+    */
+  def embeddingDriftPsi(a: DataFrame, b: DataFrame, vecCol: String,
+                        dims: Int, projections: Int = 4,
+                        binWidth: Double = 0.5): DataFrame = {
+    import CoreOps.rnd
+    require(dims >= 1 && projections >= 1 && binWidth > 0,
+      s"dims=$dims, projections=$projections, binWidth=$binWidth")
+    val signs = driftSigns(projections, dims)
+    def projExpr(p: Int): Column = expr(
+      s"""aggregate(zip_with($vecCol,
+         |  array(${signs(p).map(s => s"${s}D").mkString(", ")}),
+         |  (x, s) -> CAST(x AS DOUBLE) * s),
+         |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+    def hist(df: DataFrame, cnt: String): DataFrame = df
+      .where(size(col(vecCol)) === dims)
+      .select(explode(array((0 until projections).map(p =>
+        struct(lit(p.toLong).as("p"),
+          floor(rnd(projExpr(p)) / binWidth).cast("long").as("bin"))): _*))
+        .as("__pb"))
+      .select(col("__pb.p").as("p"), col("__pb.bin").as("bin"))
+      .groupBy(col("p"), col("bin")).agg(count(lit(1)).as(cnt))
+    val joined = hist(a, "__ca").join(hist(b, "__cb"),
+        Seq("p", "bin"), "full_outer")
+      .select(col("p"), col("bin"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val tot = joined.groupBy(col("p"))
+      .agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"),
+        count(lit(1)).as("n_bins"))
+    val qa = (col("__ca") + 1).cast("double") /
+      (col("__na") + col("n_bins")).cast("double")
+    val qb = (col("__cb") + 1).cast("double") /
+      (col("__nb") + col("n_bins")).cast("double")
+    joined.join(tot, Seq("p"))
+      .withColumn("__t",
+        floor((qa - qb) * log(qa / qb) * 1000000 + 0.5).cast("long"))
+      .groupBy(col("p"))
+      .agg(min(col("n_bins")).as("n_bins"), min(col("__na")).as("n_a"),
+        min(col("__nb")).as("n_b"),
+        rnd(sum(col("__t")).cast("double") / 1000000.0).as("psi"))
+  }
 }

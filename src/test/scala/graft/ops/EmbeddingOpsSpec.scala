@@ -388,4 +388,26 @@ class EmbeddingOpsSpec extends SparkTestBase {
       EmbeddingOps.pqAdcTopK(df, "vec_id", "embedding", 4, 2, 2, 2,
         queryIds = Seq.empty, topK = 3))
   }
+  test("embeddingDriftPsi: identical snapshots read exactly zero; a shift reads drift") {
+    val e = graft.Tables.embeddings(spark, sfTest)
+    // identical sides: every bin has ca == cb, every smoothed term is 0,
+    // so psi is EXACTLY 0.0 per direction (not approximately)
+    val same = EmbeddingOps.embeddingDriftPsi(e, e, "embedding", dims = 64)
+      .select("p", "psi").as[(Long, Double)].collect().toMap
+    assert(same.size == 4 && same.values.forall(_ == 0.0))
+    // shift one side by a constant along every dim: projections move by
+    // shift * sum(signs), histograms separate, psi strictly positive
+    val shifted = e.select(col("vec_id"),
+      expr("transform(embedding, x -> x + CAST(2.0 AS FLOAT))")
+        .as("embedding"))
+    val drift = EmbeddingOps.embeddingDriftPsi(e, shifted, "embedding",
+      dims = 64).select("p", "psi").as[(Long, Double)].collect().toMap
+    assert(drift.values.forall(_ > 0.25), s"expected drift, got $drift")
+    // vectors of the wrong width are excluded, not null-poisoned
+    val short = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    assert(EmbeddingOps.embeddingDriftPsi(short, short, "embedding",
+      dims = 64).count() == 0L)
+    intercept[IllegalArgumentException](
+      EmbeddingOps.embeddingDriftPsi(e, e, "embedding", dims = 0))
+  }
 }
