@@ -3034,13 +3034,21 @@ object SparkEntry {
       val evalSide = all.where(pmod(col("doc_id"), lit(10)) === 7)
         .select(col("doc_id"),
           TextFunctions.normalizeText(col("text")).as("text_dedup"))
+      // stage frames each feed TWO consumers (rule (g)): exact feeds the
+      // id/lang projection AND the excision pass; excised feeds the LSH
+      // pair proposal AND the drop join; neardup feeds decontamination
+      // AND the semi join — left lazy, each consumer re-runs the whole
+      // upstream chain from the scan
       val exact = Dedup.dropExact(corpus, "doc_id", "norm")
+        .localCheckpoint(true)
       val excised = exact.select(col("doc_id"), col("lang"))
         .join(CorpusOps.exactSubstrDedup(exact, "doc_id", "norm", n = 15)
           .select(col("doc_id"), col("text_dedup")), Seq("doc_id"))
+        .localCheckpoint(true)
       val neardup = Dedup.dropNearDupsFromPairs(excised, "doc_id",
         Dedup.verifiedNearDupPairs(excised, "doc_id", "text_dedup",
           threshold = 0.8))
+        .localCheckpoint(true)
       val clean = neardup.join(
         CorpusOps.decontaminate(neardup, evalSide, "doc_id", "text_dedup",
             n = 8)
