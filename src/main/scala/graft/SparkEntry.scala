@@ -4727,8 +4727,8 @@ object SparkEntry {
     // Mixture weights → the single deterministic stream the loader
     // feeds the trainer: stride scheduling on an exact integer clock
     // ((2i−1)·lcm/w), every prefix within one doc of its weighted
-    // share. Both ranks ride the two-pass prefix sum — never a
-    // per-source or whole-corpus row_number window.
+    // share while all sources have supply. Both ranks ride the two-pass
+    // prefix sum — never a per-source or whole-corpus row_number window.
     "mixture_interleave" -> ((s, d) =>
       CorpusOps.mixtureInterleave(Tables.documents(s, d), "doc_id",
         "lang", Seq("de" -> 15L, "en" -> 40L, "es" -> 15L,

@@ -1944,9 +1944,11 @@ object CorpusOps {
     * mixture weights" and "the single deterministic stream a data loader
     * actually feeds the trainer": source s with weight w emits its i-th
     * document at virtual time (2i−1)/(2w) (classic stride scheduling),
-    * and the global order sorts by that clock — so every prefix of the
-    * stream holds each source within one document of its weighted share,
-    * with no RNG anywhere. Per-source order is content-addressed
+    * and the global order sorts by that clock — so while every source
+    * still has supply, each prefix of the stream holds each source
+    * within ONE document of its weighted share (measured exactly 1.0 on
+    * the fixture; once a source exhausts, the remainder interleaves the
+    * survivors on the same clocks), with no RNG anywhere. Per-source order is content-addressed
     * (md5 of the id — the [[epochShuffle]] key), so the interleave is a
     * pure function of (corpus, weights): reproducible across runs,
     * engines, and partition layouts.

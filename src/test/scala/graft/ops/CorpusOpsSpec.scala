@@ -1085,6 +1085,15 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("position")).toSeq == (1L to 9L))
     assert(rows.map(_.getAs[String]("s")).toSeq ==
       Seq("a", "b", "a", "a", "b", "a", "a", "b", "a"))
+    // the scaladoc fairness bound, asserted: while every source has
+    // supply (through position 8 here — b's last emission), each
+    // prefix holds each source within ONE doc of its weighted share
+    val seq = rows.map(_.getAs[String]("s")).toSeq
+    for (p <- 1 to 8; (st, w) <- Seq("a" -> 2.0, "b" -> 1.0)) {
+      val emitted = seq.take(p).count(_ == st)
+      assert(math.abs(emitted - p * w / 3.0) <= 1.0,
+        s"prefix $p stratum $st: $emitted vs ${p * w / 3.0}")
+    }
     // pure function of (corpus, weights): a second evaluation is
     // byte-identical
     val again = CorpusOps.mixtureInterleave(docs, "id", "s",
