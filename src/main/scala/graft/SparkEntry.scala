@@ -965,6 +965,27 @@ object SparkEntry {
       (mt, pt)
     })
 
+  /** The capped slice's exhaustive cosine truth and full-corpus LSH pair
+    * set, memoized: BOTH cosine incremental layouts (batch-persisted and
+    * streaming) grade against the same two frames — without the memo each
+    * query re-runs the quadratic truth slice and the full LSH pipeline.
+    * Checkpointed: pair-scale rows only.
+    */
+  private val cosineTruthCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String),
+      (DataFrame, DataFrame)]
+
+  private def cosineTruthAndFull(s: SparkSession,
+                                 d: String): (DataFrame, DataFrame) =
+    cosineTruthCache.getOrElseUpdate((s.sparkContext.applicationId, d), {
+      val slice = Tables.embeddings(s, d).where(col("vec_id") < 2000)
+      (graft.functions.Similarity.cosinePairsExhaustive(slice, "vec_id",
+          "embedding", threshold = 0.4).localCheckpoint(true),
+        graft.functions.Similarity.cosineNearDupPairs(slice, "vec_id",
+          "embedding", threshold = 0.4, bits = 4, tables = 24)
+          .localCheckpoint(true))
+    })
+
   /** Events staged once per dir as a HIVE-PARTITIONED parquet layout
     * (`partitionBy(event_type)`) — the fixture for the graded
     * partition-pruning query: a predicate on the partition column must
@@ -1103,7 +1124,10 @@ object SparkEntry {
       () => walkCache.clear()),
     ("trigram_nll",
       Set("ngram_lm_score", "perplexity_buckets"),
-      () => trigramNllCache.clear()))
+      () => trigramNllCache.clear()),
+    ("cosine_truth",
+      Set("incremental_cosine_persisted", "stream_cosine_incremental"),
+      () => cosineTruthCache.clear()))
 
   /** Drive a finite streaming frame to completion through a memory sink
     * and hand back the result as a batch frame. `processAllAvailable`
@@ -4272,10 +4296,8 @@ object SparkEntry {
         existing = slice.where(pmod(col("vec_id"), lit(2)) === 0),
         "vec_id", "embedding", threshold = 0.4, bits = 4, tables = 24)
         .localCheckpoint(true)
-      val full = graft.functions.Similarity.cosineNearDupPairs(slice,
-        "vec_id", "embedding", threshold = 0.4, bits = 4, tables = 24)
-      val truth = graft.functions.Similarity.cosinePairsExhaustive(slice,
-        "vec_id", "embedding", threshold = 0.4)
+      val (truthPairs, full) = cosineTruthAndFull(s, d)
+      val truth = truthPairs
         .select(col("id_a"), col("id_b"), lit(1).as("__t"))
       val eq = incr.select(col("id_a"), col("id_b"), lit(1).as("__i"))
         .join(full.select(col("id_a"), col("id_b"), lit(1).as("__f")),
@@ -4356,10 +4378,8 @@ object SparkEntry {
       val streamed = s.table(pt).select("id_a", "id_b", "cos_sim")
         .unionByName(s.table(outS).select("id_a", "id_b", "cos_sim"))
         .localCheckpoint(true)
-      val full = graft.functions.Similarity.cosineNearDupPairs(slice,
-        "vec_id", "embedding", threshold = 0.4, bits = 4, tables = 24)
-      val truth = graft.functions.Similarity.cosinePairsExhaustive(slice,
-        "vec_id", "embedding", threshold = 0.4)
+      val (truthPairs, full) = cosineTruthAndFull(s, d)
+      val truth = truthPairs
         .select(col("id_a"), col("id_b"), lit(1).as("__t"))
       val eq = streamed.select(col("id_a"), col("id_b"), lit(1).as("__i"))
         .join(full.select(col("id_a"), col("id_b"), lit(1).as("__f")),
@@ -4583,6 +4603,27 @@ object SparkEntry {
       EmbeddingOps.kmeansAssignments(Tables.embeddings(s, d),
         "vec_id", "embedding", k = 8, iterations = 3)
         .orderBy("vec_id")),
+    // Cluster-BALANCED sampling — the diversity-preserving selection
+    // recipe (the SemDeDup/DCLM-style "cluster, then sample evenly"
+    // pass): deterministic k-means clusters the embeddings, a
+    // content-addressed quota draws up to 25 per cluster, and the graded
+    // row carries volume + the sample's id checksum per cluster so
+    // membership is hash-gated. Oracle replays the integer k-means AND
+    // the md5 pick order.
+    "cluster_balanced_sample" -> ((s, d) => {
+      val assign = EmbeddingOps.kmeansAssignments(Tables.embeddings(s, d),
+        "vec_id", "embedding", k = 8, iterations = 3)
+        .select(col("vec_id"), col("cluster"))
+        .localCheckpoint(true)
+      val sampled = CorpusOps.stratifiedQuota(assign, "cluster",
+        "vec_id", quota = 25)
+      assign.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_total"))
+        .join(sampled.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_sampled"),
+            sum(col("vec_id")).as("sample_id_sum")), Seq("cluster"))
+        .orderBy("cluster")
+    }),
     // IVF cell-occupancy balance — the diagnostic the inverted file's
     // probe-cost model rides on (a hot cell degrades routed queries
     // toward the full scan). Same coarse quantizer replay as
@@ -8664,6 +8705,19 @@ object SparkEntry {
       """
         |SELECT vec_id, cl AS cluster, CAST(d AS BIGINT) AS dist
         |FROM a3 ORDER BY vec_id""".stripMargin),
+    // Same k-means replay + the md5 pick order, aggregated per cluster.
+    "cluster_balanced_sample" -> (kmeansOracleCtes +
+      """,
+        |rk AS (SELECT vec_id, cl,
+        |    row_number() OVER (PARTITION BY cl
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |  FROM a3),
+        |tot AS (SELECT cl, CAST(count(*) AS BIGINT) AS n_total FROM a3 GROUP BY 1),
+        |smp AS (SELECT cl, CAST(count(*) AS BIGINT) AS n_sampled,
+        |    CAST(sum(vec_id) AS BIGINT) AS sample_id_sum
+        |  FROM rk WHERE rn <= 25 GROUP BY 1)
+        |SELECT tot.cl AS cluster, n_total, n_sampled, sample_id_sum
+        |FROM tot JOIN smp ON tot.cl = smp.cl ORDER BY 1""".stripMargin),
     // Cell-occupancy rollup off the same coarse-quantizer replay.
     "ivf_cell_stats" -> (kmeansOracleCtes +
       """,
