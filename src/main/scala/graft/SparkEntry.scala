@@ -986,6 +986,39 @@ object SparkEntry {
           .localCheckpoint(true))
     })
 
+  /** The frame (aHash) tier's persisted state, symmetric to
+    * [[simhashState]]: the (band, bval)-bucketed Hamming band manifest
+    * plus the known pair list — both in the PACKED (media·2²⁰ + frame)
+    * id space — over the even-media half.
+    */
+  private val frameStateCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String),
+      (String, String)]
+
+  private def frameState(s: SparkSession, d: String): (String, String) =
+    frameStateCache.getOrElseUpdate((s.sparkContext.applicationId, d), {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val mt = s"graft_frame_manifest_$tag"
+      val pt = s"graft_frame_pairs_$tag"
+      // fingerprints feed the manifest AND the pair list — decode once
+      val fp = graft.multimodal.MultimodalOps.frameFingerprints(
+        documentsAsMedia(s, d)
+          .where(pmod(col("media_id"), lit(2)) === 0), everyMs = 60000L)
+        .localCheckpoint(true)
+      graft.ops.ScaleOps.writeBucketed(
+        Dedup.hammingBandManifestOf(fp, maxHamming = 3)
+          .repartition(8, col("band"), col("bval")),
+        mt, Seq("band", "bval"), buckets = 8)
+      s.sql(s"DROP TABLE IF EXISTS $pt")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), pt)
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+      Dedup.hammingPairsOf(fp, maxHamming = 3)
+        .write.mode("overwrite").saveAsTable(pt)
+      (mt, pt)
+    })
+
   /** Events staged once per dir as a HIVE-PARTITIONED parquet layout
     * (`partitionBy(event_type)`) — the fixture for the graded
     * partition-pruning query: a predicate on the partition column must
@@ -3627,6 +3660,22 @@ object SparkEntry {
       graft.multimodal.MultimodalOps.framePerceptualPairs(
         documentsAsMedia(s, d), everyMs = 60000L, maxHamming = 3)
         .orderBy("media_a", "frame_a_ms", "media_b", "frame_b_ms")),
+    // The FOURTH modality's incremental layout: odd-media frame
+    // fingerprints probe the persisted (band, bval)-bucketed aHash
+    // manifest + read-back pair list (fingerprints travel IN the
+    // manifest — the even half is never re-decoded, never re-banded).
+    // Pigeonhole banding is lossless, so incremental == full == brute
+    // Hamming truth under the SAME oracle as frame_neardup_ahash.
+    "incremental_frame_neardup" -> ((s, d) => {
+      val (mt, pt) = frameState(s, d)
+      val batchFp = graft.multimodal.MultimodalOps.frameFingerprints(
+        documentsAsMedia(s, d)
+          .where(pmod(col("media_id"), lit(2)) === 1), everyMs = 60000L)
+      graft.multimodal.MultimodalOps.decodeFramePairKeys(
+        Dedup.incrementalHammingPairsOnState(batchFp, s.table(mt),
+          s.table(pt), maxHamming = 3), everyMs = 60000L)
+        .orderBy("media_a", "frame_a_ms", "media_b", "frame_b_ms")
+    }),
     // Aspect-preserving resize planning over decoded dims — the decoder
     // fold is replayed in DuckDB HUGEINT arithmetic (shared decoderFoldCte)
     // and the box-fit math is pure doubles, so target dims hash-check
@@ -5537,6 +5586,39 @@ object SparkEntry {
        |  floor((CAST(sum(tm) AS DOUBLE) / 1000000) * 10000 + 0.5) / 10000 AS psi
        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  /** The aHash frame near-dup truth — shared verbatim by the full
+    * banding join AND the incremental-on-state layout (pigeonhole
+    * banding is lossless, so both equal the brute Hamming scan).
+    */
+  private val frameNeardupOracle: String =
+      (decoderFoldCte +
+        """,
+          |fr AS (SELECT media_id, unnest(range(0, duration_ms, 60000)) AS frame_ms
+          |  FROM decoded WHERE duration_ms > 0),
+          |w AS (SELECT fr.media_id, fr.frame_ms,
+          |    substr(d.text, CAST((fr.frame_ms // 60000) * 64 + 1 AS INTEGER), 64) AS w
+          |  FROM fr JOIN documents d ON fr.media_id = d.doc_id
+          |  WHERE length(d.text) >= ((fr.frame_ms // 60000) + 1) * 64),
+          |px AS (SELECT media_id, frame_ms,
+          |    list_transform(range(1, 65), j -> ord(substr(w, CAST(j AS INTEGER), 1))::BIGINT) AS ps
+          |  FROM w),
+          |fp AS (SELECT media_id, frame_ms,
+          |    list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 32), j ->
+          |      CASE WHEN ps[CAST(j + 1 AS INTEGER)] * 64 > list_sum(ps) THEN (1::BIGINT << CAST(j AS INTEGER)) ELSE 0::BIGINT END)),
+          |      (a, b) -> a | b) AS sh_lo,
+          |    list_reduce(list_prepend(0::BIGINT, list_transform(range(32, 64), j ->
+          |      CASE WHEN ps[CAST(j + 1 AS INTEGER)] * 64 > list_sum(ps) THEN (1::BIGINT << CAST(j - 32 AS INTEGER)) ELSE 0::BIGINT END)),
+          |      (a, b) -> a | b) AS sh_hi
+          |  FROM px),
+          |prs AS (SELECT a.media_id AS media_a, a.frame_ms AS frame_a_ms,
+          |    b.media_id AS media_b, b.frame_ms AS frame_b_ms,
+          |    CAST(bit_count(xor(a.sh_lo, b.sh_lo)) + bit_count(xor(a.sh_hi, b.sh_hi)) AS INT) AS hamming
+          |  FROM fp a JOIN fp b ON (a.media_id < b.media_id
+          |    OR (a.media_id = b.media_id AND a.frame_ms < b.frame_ms)))
+          |SELECT media_a, frame_a_ms, media_b, frame_b_ms, hamming
+          |FROM prs WHERE hamming <= 3
+          |ORDER BY media_a, frame_a_ms, media_b, frame_b_ms""".stripMargin)
 
   private val bpeTrainOracle: String =
     "WITH " + bpeTrainCtesFor(bpeRounds) + "\n" +
@@ -8270,34 +8352,10 @@ object SparkEntry {
     // aHash replay: same 64-byte windows, same integer above-mean bit
     // fold, brute-force Hamming truth at radius 3 (the quadratic scan is
     // oracle-side only; the engine runs the banded join).
-    "frame_neardup_ahash" ->
-      (decoderFoldCte +
-        """,
-          |fr AS (SELECT media_id, unnest(range(0, duration_ms, 60000)) AS frame_ms
-          |  FROM decoded WHERE duration_ms > 0),
-          |w AS (SELECT fr.media_id, fr.frame_ms,
-          |    substr(d.text, CAST((fr.frame_ms // 60000) * 64 + 1 AS INTEGER), 64) AS w
-          |  FROM fr JOIN documents d ON fr.media_id = d.doc_id
-          |  WHERE length(d.text) >= ((fr.frame_ms // 60000) + 1) * 64),
-          |px AS (SELECT media_id, frame_ms,
-          |    list_transform(range(1, 65), j -> ord(substr(w, CAST(j AS INTEGER), 1))::BIGINT) AS ps
-          |  FROM w),
-          |fp AS (SELECT media_id, frame_ms,
-          |    list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 32), j ->
-          |      CASE WHEN ps[CAST(j + 1 AS INTEGER)] * 64 > list_sum(ps) THEN (1::BIGINT << CAST(j AS INTEGER)) ELSE 0::BIGINT END)),
-          |      (a, b) -> a | b) AS sh_lo,
-          |    list_reduce(list_prepend(0::BIGINT, list_transform(range(32, 64), j ->
-          |      CASE WHEN ps[CAST(j + 1 AS INTEGER)] * 64 > list_sum(ps) THEN (1::BIGINT << CAST(j - 32 AS INTEGER)) ELSE 0::BIGINT END)),
-          |      (a, b) -> a | b) AS sh_hi
-          |  FROM px),
-          |prs AS (SELECT a.media_id AS media_a, a.frame_ms AS frame_a_ms,
-          |    b.media_id AS media_b, b.frame_ms AS frame_b_ms,
-          |    CAST(bit_count(xor(a.sh_lo, b.sh_lo)) + bit_count(xor(a.sh_hi, b.sh_hi)) AS INT) AS hamming
-          |  FROM fp a JOIN fp b ON (a.media_id < b.media_id
-          |    OR (a.media_id = b.media_id AND a.frame_ms < b.frame_ms)))
-          |SELECT media_a, frame_a_ms, media_b, frame_b_ms, hamming
-          |FROM prs WHERE hamming <= 3
-          |ORDER BY media_a, frame_a_ms, media_b, frame_b_ms""".stripMargin),
+    "frame_neardup_ahash" -> frameNeardupOracle,
+    // Lossless pigeonhole banding: incremental == full == brute truth,
+    // one oracle (the stream_simhash_incremental argument, frame tier).
+    "incremental_frame_neardup" -> frameNeardupOracle,
     "media_resize" ->
       (decoderFoldCte +
         """

@@ -265,7 +265,29 @@ object MultimodalOps {
 
   def framePerceptualPairs(media: DataFrame, everyMs: Long,
                            maxHamming: Int = 3,
-                           decoder: Decoder = fakeDecoder): DataFrame = {
+                           decoder: Decoder = fakeDecoder): DataFrame =
+    decodeFramePairKeys(graft.ops.Dedup.hammingPairsOf(
+      frameFingerprints(media, everyMs, decoder), maxHamming), everyMs)
+
+  /** The composite (media, frame)-keyed pair columns back out of the
+    * packed long key — shared by the full banding join above and the
+    * incremental probe (`incremental_frame_neardup`).
+    */
+  def decodeFramePairKeys(pairs: DataFrame, everyMs: Long): DataFrame =
+    pairs.select(
+      expr("id_a div 1048576").as("media_a"),
+      (pmod(col("id_a"), lit(1048576L)) * everyMs).as("frame_a_ms"),
+      expr("id_b div 1048576").as("media_b"),
+      (pmod(col("id_b"), lit(1048576L)) * everyMs).as("frame_b_ms"),
+      col("hamming"))
+
+  /** The sampled frames' 64-bit aHash fingerprints as a generic (id, sh)
+    * frame (id = media_id·2²⁰ + frame index, overflow-guarded) — the
+    * input of [[framePerceptualPairs]]' banding join and the unit the
+    * incremental tier persists/probes.
+    */
+  def frameFingerprints(media: DataFrame, everyMs: Long,
+                        decoder: Decoder = fakeDecoder): DataFrame = {
     val n = 64
     val frames = frameSamplePlan(decodeMeta(media, decoder), everyMs)
     val idx = (col("frame_ms") / lit(everyMs)).cast("long")
@@ -298,12 +320,6 @@ object MultimodalOps {
       .select(guardId.as("id"), guardWin.as("__w"))
       .select(col("id"),
         graft.expressions.AHash64.ahash(col("__w")).as("sh"))
-    graft.ops.Dedup.hammingPairsOf(fp, maxHamming)
-      .select(
-        expr("id_a div 1048576").as("media_a"),
-        (pmod(col("id_a"), lit(1048576L)) * everyMs).as("frame_a_ms"),
-        expr("id_b div 1048576").as("media_b"),
-        (pmod(col("id_b"), lit(1048576L)) * everyMs).as("frame_b_ms"),
-        col("hamming"))
+    fp
   }
 }

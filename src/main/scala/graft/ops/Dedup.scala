@@ -728,6 +728,40 @@ object Dedup {
     hammingBandRows(df.select(col(idCol).as("id"),
       simhashReplayable64(textCol).as("sh")), maxHamming)
 
+  /** [[simhashBandManifest]] over a caller-prepared (id, sh) fingerprint
+    * frame — the manifest builder for OTHER 64-bit Hamming fingerprints
+    * (the multimodal aHash tier), same schema, same (band, bval)
+    * bucketing contract.
+    */
+  def hammingBandManifestOf(fp: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingBandRows(fp, maxHamming)
+
+  /** The incremental Hamming probe over a caller-prepared (id, sh)
+    * batch fingerprint frame — the fingerprint-agnostic core of
+    * [[incrementalSimhashPairsOnState]], exposed so every 64-bit Hamming
+    * modality (SimHash text, aHash frames) shares one probe: batch
+    * internal pairs via the banding self-join, cross pairs via the
+    * persisted manifest (fingerprints travel IN the manifest rows — no
+    * corpus re-read at all), known pairs unioned. Pigeonhole banding is
+    * lossless, so the union equals the full run exactly.
+    */
+  def incrementalHammingPairsOnState(batchFp: DataFrame,
+                                     manifest: DataFrame,
+                                     knownPairs: DataFrame,
+                                     maxHamming: Int = 3): DataFrame = {
+    val probes = hammingBandRows(batchFp, maxHamming)
+    val cross = probes.as("a").join(manifest.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+    val internal = bandedHammingPairs(batchFp, maxHamming)
+    knownPairs.select(col("id_a"), col("id_b"), col("hamming"))
+      .unionByName(internal).unionByName(cross)
+  }
+
   /** [[incrementalSimhashPairs]] with BOTH prior-run artifacts read
     * back — the persisted band manifest probed, the known pair list
     * unioned (plain storage; never joined) — so the existing corpus is
