@@ -253,16 +253,19 @@ object Bench {
         val rootProc = new ProcessBuilder("git", "rev-parse",
           "--show-toplevel").start()
         val root = new String(rootProc.getInputStream.readAllBytes()).trim
+        // the rewritten file must BE the repo-root README.md, not merely
+        // live somewhere inside the repo — a subdirectory README with a
+        // matching sentence must never be rewritten into the index
         val ok = rootProc.waitFor() == 0 && root.nonEmpty &&
-          p.toAbsolutePath.normalize
-            .startsWith(java.nio.file.Paths.get(root).toAbsolutePath
-              .normalize)
+          p.toAbsolutePath.normalize ==
+            java.nio.file.Paths.get(root, "README.md").toAbsolutePath
+              .normalize
         if (ok) {
           val rc = new ProcessBuilder("git", "add", "README.md")
             .inheritIO().start().waitFor()
           if (rc != 0) System.err.println(s"[bench] git add README.md rc=$rc")
         } else System.err.println(
-          "[bench] README staging skipped: not inside the repo root")
+          "[bench] README staging skipped: not the repo-root README")
       } catch { case e: Exception =>
         System.err.println(s"[bench] README staging skipped: ${e.getMessage}")
       }

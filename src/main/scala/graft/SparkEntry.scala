@@ -1160,7 +1160,16 @@ object SparkEntry {
       () => trigramNllCache.clear()),
     ("cosine_truth",
       Set("incremental_cosine_persisted", "stream_cosine_incremental"),
-      () => cosineTruthCache.clear()))
+      () => cosineTruthCache.clear()),
+    ("bpe_model",
+      Set("bpe_encode_stats", "bpe_encode_ids", "bpe_pack_ids"),
+      () => {
+        bpeModels.values.foreach { m =>
+          Dedup.unpersistCheckpoint(m.merges)
+          Dedup.unpersistCheckpoint(m.vocab)
+        }
+        bpeModels.clear()
+      }))
 
   /** Drive a finite streaming frame to completion through a memory sink
     * and hand back the result as a batch frame. `processAllAvailable`
@@ -4365,7 +4374,7 @@ object SparkEntry {
         .crossJoin(eq)
         .select(
           coalesce(col("n_true"), lit(0L)).as("n_true"),
-          (col("__mism") === 0L).as("incr_equals_full"),
+          (coalesce(col("__mism"), lit(0L)) === 0L).as("incr_equals_full"),
           when(coalesce(col("n_true"), lit(0L)) === 0, lit(true))
             .otherwise(col("__hit").cast("double") / col("n_true") >= 0.95)
             .as("recall_ok"),
@@ -4447,7 +4456,7 @@ object SparkEntry {
         .crossJoin(eq)
         .select(
           coalesce(col("n_true"), lit(0L)).as("n_true"),
-          (col("__mism") === 0L).as("stream_equals_full"),
+          (coalesce(col("__mism"), lit(0L)) === 0L).as("stream_equals_full"),
           when(coalesce(col("n_true"), lit(0L)) === 0, lit(true))
             .otherwise(col("__hit").cast("double") / col("n_true") >= 0.95)
             .as("recall_ok"),
@@ -9198,7 +9207,7 @@ object SparkEntry {
     // Full NB train+apply replay: same Laplace smoothing, same micro-log
     // quantization per term, same (score DESC, label ASC) argmax.
     "nb_lang_classify" ->
-      """WITH train AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 1),
+      """WITH train AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 1 AND lang IS NOT NULL),
         |test AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 1),
         |tt AS (SELECT lang AS l, unnest(string_split(text, ' ')) AS w FROM train),
         |cwc AS (SELECT l, w, CAST(count(*) AS BIGINT) AS c FROM tt GROUP BY 1, 2),

@@ -339,7 +339,11 @@ object Similarity {
                                 idCol: String, vecCol: String,
                                 threshold: Double, bits: Int = 4,
                                 tables: Int = 16): DataFrame = {
+    // batch SRP rows materialize ONCE (rule (g)): the manifest probe
+    // and the internal self-join both read them — left lazy, each leg
+    // re-projects the whole batch through the hyperplanes
     val probes = srpBandRows(batch, idCol, vecCol, bits, tables)
+      .localCheckpoint(true)
     val cross = probes.as("a").join(manifest.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt"))
       .where(graft.expressions.FirstAgreeingIndex

@@ -649,8 +649,15 @@ object Dedup {
     * oracle-gated variant exercises EXACTLY the banding join the
     * production variant runs.
     */
-  private def bandedHammingPairs(h: DataFrame, maxHamming: Int): DataFrame = {
-    val banded = hammingBandRows(h, maxHamming)
+  private def bandedHammingPairs(h: DataFrame, maxHamming: Int): DataFrame =
+    bandedPairsFromRows(hammingBandRows(h, maxHamming), maxHamming)
+
+  /** The banding self-join over already-banded rows — split out so the
+    * incremental probe can run it over the SAME materialized band rows
+    * its manifest probe reads (rule (g): one fingerprint pass, two legs).
+    */
+  private def bandedPairsFromRows(banded: DataFrame,
+                                  maxHamming: Int): DataFrame =
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
           && col("a.id") < col("b.id"))
@@ -658,7 +665,6 @@ object Dedup {
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct() // a pair can agree on several bands
-  }
 
   /** Hamming-LSH pairing over a caller-prepared (id, sh) fingerprint
     * frame — the banding join shared with the SimHash tier, exposed for
@@ -749,7 +755,11 @@ object Dedup {
                                      manifest: DataFrame,
                                      knownPairs: DataFrame,
                                      maxHamming: Int = 3): DataFrame = {
-    val probes = hammingBandRows(batchFp, maxHamming)
+    // the batch fingerprints materialize ONCE (rule (g)): the manifest
+    // probe and the internal banding self-join both read the same band
+    // rows — left lazy, each leg would re-decode/re-fingerprint the
+    // whole batch from the scan
+    val probes = hammingBandRows(batchFp, maxHamming).localCheckpoint(true)
     val cross = probes.as("a").join(manifest.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval"))
       .select(least(col("a.id"), col("b.id")).as("id_a"),
@@ -757,7 +767,7 @@ object Dedup {
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
-    val internal = bandedHammingPairs(batchFp, maxHamming)
+    val internal = bandedPairsFromRows(probes, maxHamming)
     knownPairs.select(col("id_a"), col("id_b"), col("hamming"))
       .unionByName(internal).unionByName(cross)
   }

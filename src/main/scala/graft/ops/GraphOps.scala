@@ -414,6 +414,18 @@ object GraphOps {
         freeCheckpoint(deg); freeCheckpoint(cur)
         freeCheckpoint(remPlain)
         deg = nextDeg; cur = nextCur
+        // an emptied edge list IS the fixpoint (the old recompute
+        // spelling's `m == 0` escape): every surviving degree is
+        // provably 0 now (each survivor's edges all went to removed
+        // nodes and were counted in its loss), so the k >= 1 core is
+        // empty — without this, flushing the zero-degree survivors
+        // would cost one more removal round plus the empty-wave check,
+        // and a graph the recompute spelling finished inside maxPeels
+        // would throw the non-convergence require here
+        if (nextCur.count() == 0L) {
+          converged = true
+          deg = nextDeg.where(col("d") >= k)
+        }
       }
       rounds += 1
     }

@@ -190,6 +190,14 @@ class GraphOpsSpec extends SparkTestBase {
     val e = intercept[IllegalArgumentException](
       GraphOps.kCoreOf(path, k = 2, maxPeels = 1))
     assert(e.getMessage.contains("did not converge"))
+    // the empty-edge escape: a 7-path peels its edge list empty in 3
+    // waves; without treating that as the fixpoint, the delta peel
+    // would burn a 4th wave flushing the zero-degree center plus a 5th
+    // confirming — and throw at maxPeels = 4 on a graph the recompute
+    // spelling finished (the review regression)
+    val path7 = GraphOps.canonicalEdges(
+      (1L to 6L).map(i => (i, i + 1)).toDF("a", "b"), "a", "b")
+    assert(GraphOps.kCoreOf(path7, k = 2, maxPeels = 4).count() === 0L)
   }
 
   test("bfsHopsOf: hub source (max degree, min id), hop truncation exact") {
