@@ -1161,6 +1161,34 @@ class PlanSpec extends SparkTestBase {
       s"re-rank leg must be broadcast probes, not a shuffled join:\n$plan")
   }
 
+  test("embed_drift_psi: PSI runs on the one checkpointed histogram — no scan, no window") {
+    // The projections are map-only and the (direction, bin) histogram is
+    // bin-bounded and materialized ONCE (it feeds the totals and the
+    // term join) — so the returned plan reads the checkpoint (zero
+    // parquet scans) and carries no window and no rank machinery.
+    val plan = executedSimple(
+      SparkEntry.queries("embed_drift_psi")(spark, sf))
+    assert(plan.contains("ExistingRDD"),
+      s"expected the checkpointed histogram:\n$plan")
+    assert(!plan.contains("Scan parquet"),
+      s"PSI must not re-run the projection scans:\n$plan")
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("incremental_frame_neardup: batch fingerprints enter once; manifest scan is bucketed") {
+    // The batch's band rows materialize once for the manifest probe and
+    // the internal self-join (the review finding: each leg re-decoded
+    // and re-fingerprinted the whole odd half), and the persisted
+    // manifest reads through its (band, bval) bucket layout.
+    val df = SparkEntry.queries("incremental_frame_neardup")(spark, sf)
+    val plan = executedSimple(df)
+    val planF = df.queryExecution.explainString(FormattedMode)
+    assert(plan.contains("ExistingRDD"),
+      s"batch band rows must enter as the one checkpoint:\n$plan")
+    assert(planF.contains("Bucketed: true"),
+      s"manifest scan must use the bucket layout:\n$planF")
+  }
+
   test("nb_lang_classify: model probes broadcast, class fan-out is the bounded nested loop") {
     // The NB model is vocab×|C| bounded whatever the corpus size, so the
     // likelihood probe must be a BroadcastHashJoin and the per-document
