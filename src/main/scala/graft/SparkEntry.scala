@@ -650,6 +650,24 @@ object SparkEntry {
     bpeModels.getOrElseUpdate((s.sparkContext.applicationId, d),
       CorpusOps.bpeTrain(Tables.documents(s, d), "text", bpeEncodeRounds))
 
+  /** The corpus encoded to token-id sequences ONCE per (application,
+    * dir) — the apply-wide product all four id-level consumers read
+    * (`bpe_encode_ids` explodes it, `bpe_pack_ids` and
+    * `bpe_pack_report` pack its real lengths, `bpe_decode_roundtrip`
+    * inverts it): without the memo each query re-runs the tokenize +
+    * double-broadcast-join encode pass for bit-identical output.
+    * Checkpointed: (id, n_tokens, token_ids) rows — corpus-token-scale,
+    * the same magnitude as the source text. Evicted by its memo family
+    * after the last consumer.
+    */
+  private val bpeEncodedCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def bpeEncoded(s: SparkSession, d: String): DataFrame =
+    bpeEncodedCache.getOrElseUpdate((s.sparkContext.applicationId, d),
+      CorpusOps.bpeEncodeIds(Tables.documents(s, d), "doc_id", "text",
+        bpeModel(s, d)).localCheckpoint(true))
+
   private def evalGramBloom(s: SparkSession, d: String): Option[Array[Byte]] =
     evalGramBlooms.getOrElseUpdate(d, {
       val eval = Tables.documents(s, d)
@@ -1019,6 +1037,39 @@ object SparkEntry {
       (mt, pt)
     })
 
+  /** The ANN serving tier's persisted state, symmetric to the dedup
+    * manifests: a codebook trained ONCE on the even-id half plus that
+    * half's posting rows as a cell-bucketed table — what an inverted-file
+    * service has on disk between ingest batches. The incremental query
+    * appends new vectors through one assignment pass (the codebook never
+    * moves, the existing corpus is never re-assigned) and serves from the
+    * grown table.
+    */
+  private val ivfPostingStateCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String),
+      (Similarity.IvfCodebook, String)]
+
+  private def ivfPostingState(s: SparkSession,
+                              d: String): (Similarity.IvfCodebook, String) =
+    ivfPostingStateCache.getOrElseUpdate((s.sparkContext.applicationId, d), {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val pt = s"graft_ivf_postings_$tag"
+      val existing = Tables.embeddings(s, d)
+        .where(pmod(col("vec_id"), lit(2)) === 0)
+      // the ivfCodebooks sampling discipline: a key-mod sample when it
+      // holds enough rows for a stable fit, the full half otherwise
+      val sample = existing.where(pmod(col("vec_id"), lit(5)) === 0
+        && col("vec_id") < 50000)
+      val train = if (sample.select("vec_id").take(160).length >= 160) sample
+        else existing
+      val cb = Similarity.trainCodebook(train, nlist = 16)
+      ScaleOps.writeBucketed(
+        Similarity.ivfAssign(existing, "vec_id", "embedding", cb)
+          .repartition(8, col("cell")),
+        pt, Seq("cell"), buckets = 8)
+      (cb, pt)
+    })
+
   /** Events staged once per dir as a HIVE-PARTITIONED parquet layout
     * (`partitionBy(event_type)`) — the fixture for the graded
     * partition-pruning query: a predicate on the partition column must
@@ -1148,27 +1199,51 @@ object SparkEntry {
     ("verified_pairs",
       Set("dedup_groups", "dedup_keep_best", "dedup_keep_canonical",
         "neardup_safe_split"),
-      () => verifiedPairCache.clear()),
+      () => {
+        verifiedPairCache.values.foreach(Dedup.unpersistCheckpoint)
+        verifiedPairCache.clear()
+      }),
     ("lpa_labels",
       Set("label_propagation", "community_modularity"),
       () => lpaLabelCache.clear()),
     ("walk_corpus",
       Set("random_walks", "skipgram_pairs"),
       () => walkCache.clear()),
+    // the checkpointed-frame families unpersist their blocks EXPLICITLY
+    // before dropping the strong reference (the bpe_model discipline) —
+    // clear() alone leaves reclamation to the next GC's ContextCleaner
+    // sweep, leaking block-manager storage for the whole interval on
+    // every invalidation cycle
     ("trigram_nll",
       Set("ngram_lm_score", "perplexity_buckets"),
-      () => trigramNllCache.clear()),
+      () => {
+        trigramNllCache.values.foreach(Dedup.unpersistCheckpoint)
+        trigramNllCache.clear()
+      }),
     ("cosine_truth",
       Set("incremental_cosine_persisted", "stream_cosine_incremental"),
-      () => cosineTruthCache.clear()),
+      () => {
+        cosineTruthCache.values.foreach { case (t, f) =>
+          Dedup.unpersistCheckpoint(t); Dedup.unpersistCheckpoint(f)
+        }
+        cosineTruthCache.clear()
+      }),
     ("bpe_model",
-      Set("bpe_encode_stats", "bpe_encode_ids", "bpe_pack_ids"),
+      Set("bpe_encode_stats", "bpe_encode_ids", "bpe_pack_ids",
+        "bpe_decode_roundtrip", "bpe_pack_report"),
       () => {
         bpeModels.values.foreach { m =>
           Dedup.unpersistCheckpoint(m.merges)
           Dedup.unpersistCheckpoint(m.vocab)
         }
         bpeModels.clear()
+      }),
+    ("bpe_encoded",
+      Set("bpe_encode_ids", "bpe_pack_ids", "bpe_decode_roundtrip",
+        "bpe_pack_report"),
+      () => {
+        bpeEncodedCache.values.foreach(Dedup.unpersistCheckpoint)
+        bpeEncodedCache.clear()
       }))
 
   /** Drive a finite streaming frame to completion through a memory sink
@@ -2291,8 +2366,7 @@ object SparkEntry {
     // deterministic: base symbols lexicographic, then merges in merge
     // order.
     "bpe_encode_ids" -> ((s, d) =>
-      CorpusOps.bpeEncodeIds(Tables.documents(s, d), "doc_id", "text",
-        bpeModel(s, d))
+      bpeEncoded(s, d)
         .select(col("doc_id"), posexplode(col("token_ids"))
           .as(Seq("__p0", "token_id")))
         .select(col("doc_id"), (col("__p0") + 1).cast("long").as("pos"),
@@ -2300,16 +2374,53 @@ object SparkEntry {
         .orderBy("doc_id", "pos")),
     // packSequences fed REAL encoded-sequence lengths (size(token_ids))
     // instead of whitespace estimates — the id materialization and the
-    // packing layout composed, both off the one memoized model.
+    // packing layout composed, both off the one memoized encode pass.
     "bpe_pack_ids" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val enc = CorpusOps.bpeEncodeIds(docs, "doc_id", "text",
-        bpeModel(s, d))
       CorpusOps.packSequences(
-        docs.select(col("doc_id"), col("source")).join(enc, Seq("doc_id")),
+        docs.select(col("doc_id"), col("source"))
+          .join(bpeEncoded(s, d), Seq("doc_id")),
         "doc_id", "source", size(col("token_ids")).cast("long"),
         budget = 256)
         .orderBy("doc_id")
+    }),
+    // The lossless-tokenizer roundtrip a shipped tokenizer owes its
+    // consumers: decode ∘ encode = id, graded per document. The decoded
+    // stream loses word boundaries (ids carry no delimiter), so the
+    // reconstruction target is the text with the split delimiter
+    // removed. Contract-boolean oracle (the repo's LSH-quality
+    // convention): DuckDB emits literal TRUE per nonempty document; the
+    // engine must EARN it by matching the real source text — any
+    // symbol→id permutation, vocabulary drift, or assembly-order bug
+    // flips the value (and a dropped document breaks the row count).
+    "bpe_decode_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dec = CorpusOps.bpeDecode(bpeEncoded(s, d), "doc_id",
+        CorpusOps.bpeTokenIdTable(docs, "text", bpeModel(s, d)))
+      docs.select(col("doc_id"),
+          translate(col("text"), " ", "").as("__exp"))
+        .where(length(col("__exp")) > 0)
+        .join(dec, Seq("doc_id"))
+        .select(col("doc_id"),
+          (col("decoded") === col("__exp")).as("roundtrip_ok"))
+        .orderBy("doc_id")
+    }),
+    // The dataset-card row for the pack step: per shard, how many
+    // budget-256 training sequences the layout fills, the padding left
+    // in the tail sequence, and how many documents span a pack boundary
+    // — a packing regression reads as a metric here, not only as a hash
+    // change in the full bpe_pack_ids layout. Same replayed layout as
+    // the oracle's (the bpePackIdsOracle CTEs aggregated per shard).
+    "bpe_pack_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      CorpusOps.packReport(
+        CorpusOps.packSequences(
+          docs.select(col("doc_id"), col("source"))
+            .join(bpeEncoded(s, d), Seq("doc_id")),
+          "doc_id", "source", size(col("token_ids")).cast("long"),
+          budget = 256),
+        budget = 256)
+        .orderBy("shard")
     }),
 
     // Inverse-cloze-task pairs: per document a hash-picked 10-token
@@ -3404,14 +3515,21 @@ object SparkEntry {
       // Drop stale same-name leftovers first — the run counter restarts
       // per JVM while the warehouse persists across them (the
       // neardupState discipline).
-      Seq(mtS, corpusS, outS).foreach { t =>
+      Seq(corpusS, outS).foreach { t =>
         s.sql(s"DROP TABLE IF EXISTS $t")
         val loc = new org.apache.hadoop.fs.Path(
           s.conf.get("spark.sql.warehouse.dir"), t)
         loc.getFileSystem(s.sparkContext.hadoopConfiguration)
           .delete(loc, true)
       }
-      s.table(mt).write.saveAsTable(mtS)
+      // the working manifest keeps the persisted table's (band, bucket)
+      // bucket layout — seeded bucketed and grown bucketed, so every
+      // micro-batch probe reads the GROWING manifest exchange-free like
+      // the batch-persisted variant (a plain saveAsTable copy would
+      // re-shuffle it on every probe); writeBucketed drops stale state
+      ScaleOps.writeBucketed(
+        s.table(mt).repartition(8, col("band"), col("bucket")),
+        mtS, Seq("band", "bucket"), buckets = 8)
       existing0.write.saveAsTable(corpusS)
       s.table(pt).limit(0).write.saveAsTable(outS)
       val src = s.readStream.schema(Tables.documents(s, d).schema)
@@ -3431,8 +3549,8 @@ object SparkEntry {
               .write.mode("append").saveAsTable(outS)
             // state update AFTER the emit, so a batch never probes its
             // own banded rows (its internal pairs are already counted)
-            Dedup.bandManifest(bb, "doc_id", "text")
-              .write.mode("append").saveAsTable(mtS)
+            ScaleOps.appendBucketed(Dedup.bandManifest(bb, "doc_id", "text"),
+              mtS, Seq("band", "bucket"), buckets = 8)
             bb.write.mode("append").saveAsTable(corpusS)
             // the micro-batch frame writes through its own CLONED
             // session, which refreshes only the clone's relation cache —
@@ -3537,14 +3655,20 @@ object SparkEntry {
       val run = streamRuns.incrementAndGet()
       val mtS = s"graft_stream_sh_manifest_$run"
       val outS = s"graft_stream_sh_pairs_$run"
-      Seq(mtS, outS).foreach { t =>
+      Seq(outS).foreach { t =>
         s.sql(s"DROP TABLE IF EXISTS $t")
         val loc = new org.apache.hadoop.fs.Path(
           s.conf.get("spark.sql.warehouse.dir"), t)
         loc.getFileSystem(s.sparkContext.hadoopConfiguration)
           .delete(loc, true)
       }
-      s.table(mt).write.saveAsTable(mtS)
+      // seed + grow the working manifest BUCKETED on (band, bval) — the
+      // persisted table's layout — so each micro-batch probe reads the
+      // growing manifest exchange-free (the batch-persisted variant's
+      // pinned property); writeBucketed drops stale same-name state
+      ScaleOps.writeBucketed(
+        s.table(mt).repartition(8, col("band"), col("bval")),
+        mtS, Seq("band", "bval"), buckets = 8)
       s.table(pt).limit(0).write.saveAsTable(outS)
       val src = s.readStream.schema(Tables.documents(s, d).schema)
         .option("maxFilesPerTrigger", "1")
@@ -3559,9 +3683,10 @@ object SparkEntry {
             Dedup.incrementalSimhashPairsOnState(bb, s.table(mtS),
               s.table(pt).limit(0), "doc_id", "text", maxHamming = 3)
               .write.mode("append").saveAsTable(outS)
-            Dedup.simhashBandManifest(bb, "doc_id", "text",
-              maxHamming = 3)
-              .write.mode("append").saveAsTable(mtS)
+            ScaleOps.appendBucketed(
+              Dedup.simhashBandManifest(bb, "doc_id", "text",
+                maxHamming = 3),
+              mtS, Seq("band", "bval"), buckets = 8)
             s.catalog.refreshTable(mtS)
             s.catalog.refreshTable(outS)
           } finally Dedup.unpersistCheckpoint(bb)
@@ -3626,6 +3751,52 @@ object SparkEntry {
         Similarity.knnBrute(q, e, k = 3), floor = 0.3)
         .orderBy("qid")
     }),
+    // Incremental IVF APPEND — the serving analog of the dedup
+    // manifests: the persisted cell-bucketed posting table (even half,
+    // fixed codebook) grows by ONE assignment pass over the new batch
+    // (odd half) — the codebook never refits, the existing postings are
+    // never re-assigned — and queries serve from the grown table with
+    // cells read from storage. Graded on two contracts: per-query
+    // recall vs the exact top-3 over the FULL corpus (the ANN floor
+    // convention), and append == full-rebuild as a SET IDENTITY over
+    // (cid, cell) — assignment is deterministic given the codebook, so
+    // the incremental table must equal assigning the whole corpus from
+    // scratch.
+    "incremental_ivf_append" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val (cb, pt) = ivfPostingState(s, d)
+      val run = streamRuns.incrementAndGet()
+      val ptW = s"graft_ivf_work_$run"
+      // working copy per run (the streaming-loop discipline): seeded
+      // bucketed from the persisted table, batch appended bucketed —
+      // bench re-runs never double-append the persisted state
+      ScaleOps.writeBucketed(
+        s.table(pt).repartition(8, col("cell")),
+        ptW, Seq("cell"), buckets = 8)
+      ScaleOps.appendBucketed(
+        Similarity.ivfAssign(
+          e.where(pmod(col("vec_id"), lit(2)) === 1),
+          "vec_id", "embedding", cb),
+        ptW, Seq("cell"), buckets = 8)
+      s.catalog.refreshTable(ptW)
+      val q = e.where(col("vec_id") < 10)
+      val ann = Similarity.knnIvfOnPostings(q, s.table(ptW), k = 3,
+        nprobe = 8, codebook = cb)
+      val eq = s.table(ptW)
+        .select(col("cid"), col("cell"), lit(1).as("__i"))
+        .join(Similarity.ivfAssign(e, "vec_id", "embedding", cb)
+          .select(col("cid"), col("cell"), lit(1).as("__f")),
+          Seq("cid", "cell"), "full_outer")
+        .agg(sum(when(col("__i").isNull || col("__f").isNull, 1L)
+          .otherwise(0L)).as("__mism"))
+      Similarity.recallVsBrute(ann, Similarity.knnBrute(q, e, k = 3),
+          floor = 0.3)
+        .crossJoin(broadcast(eq))
+        .select(col("qid"), col("n_true"), col("recall_ok"),
+          (coalesce(col("__mism"), lit(0L)) === 0L)
+            .as("append_equals_full"))
+        .orderBy("qid")
+    }),
 
     // ---- training-data extension tier: multimodal columns ----
     // Portable metadata path over opaque bytes.
@@ -3683,6 +3854,70 @@ object SparkEntry {
       graft.multimodal.MultimodalOps.decodeFramePairKeys(
         Dedup.incrementalHammingPairsOnState(batchFp, s.table(mt),
           s.table(pt), maxHamming = 3), everyMs = 60000L)
+        .orderBy("media_a", "frame_a_ms", "media_b", "frame_b_ms")
+    }),
+    // The FOURTH modality's streaming loop — frames close the set:
+    // MinHash, cosine-SRP, SimHash, and now aHash frames all run the
+    // same micro-batch shape (probe the manifest-so-far, emit only NEW
+    // pairs, append your own band rows AFTER the emit, refresh the
+    // outer session's relation cache). The odd-media half arrives as
+    // three file-stream batches; each batch decodes its own frames
+    // only (the even half is never re-decoded — fingerprints travel IN
+    // the manifest). Pigeonhole banding is lossless, so the union of
+    // the read-back pair list and all emissions grades against the
+    // SAME brute-force Hamming truth as frame_neardup_ahash:
+    // streaming == batch-incremental == full == truth, all by hash.
+    "stream_frame_incremental" -> ((s, d) => {
+      val (mt, pt) = frameState(s, d)
+      val run = streamRuns.incrementAndGet()
+      val mtS = s"graft_stream_fr_manifest_$run"
+      val outS = s"graft_stream_fr_pairs_$run"
+      Seq(outS).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), t)
+        loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(loc, true)
+      }
+      // working manifest seeded + grown BUCKETED on (band, bval) — the
+      // persisted table's layout, so every probe reads the growing
+      // manifest exchange-free; writeBucketed drops stale state
+      ScaleOps.writeBucketed(
+        s.table(mt).repartition(8, col("band"), col("bval")),
+        mtS, Seq("band", "bval"), buckets = 8)
+      s.table(pt).limit(0).write.saveAsTable(outS)
+      // the odd-doc staging dir doubles as the odd-MEDIA feed (media_id
+      // = doc_id); each micro-batch projects its rows to media and
+      // fingerprints its own frames only
+      val src = s.readStream.schema(Tables.documents(s, d).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stagedSimhashBatches(s, d))
+      val q = graft.streaming.EventsStreaming
+        .foreachBatchWriter(src, identity) { (b, _) =>
+          val fp = graft.multimodal.MultimodalOps.frameFingerprints(
+            b.select(col("doc_id").as("media_id"),
+              lit("text/plain").as("mime"),
+              col("text").cast("binary").as("bytes")),
+            everyMs = 60000L).localCheckpoint(true)
+          try {
+            // knownPairs EMPTY per batch: emissions are new pairs only
+            Dedup.incrementalHammingPairsOnState(fp, s.table(mtS),
+              s.table(pt).limit(0), maxHamming = 3)
+              .write.mode("append").saveAsTable(outS)
+            // state update AFTER the emit, so a batch never probes its
+            // own band rows
+            ScaleOps.appendBucketed(
+              Dedup.hammingBandManifestOf(fp, maxHamming = 3),
+              mtS, Seq("band", "bval"), buckets = 8)
+            s.catalog.refreshTable(mtS)
+            s.catalog.refreshTable(outS)
+          } finally Dedup.unpersistCheckpoint(fp)
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      graft.multimodal.MultimodalOps.decodeFramePairKeys(
+        s.table(pt).select("id_a", "id_b", "hamming")
+          .unionByName(s.table(outS).select("id_a", "id_b", "hamming")),
+        everyMs = 60000L)
         .orderBy("media_a", "frame_a_ms", "media_b", "frame_b_ms")
     }),
     // Aspect-preserving resize planning over decoded dims — the decoder
@@ -4396,14 +4631,20 @@ object SparkEntry {
       val mtS = s"graft_stream_cos_manifest_$run"
       val corpusS = s"graft_stream_cos_corpus_$run"
       val outS = s"graft_stream_cos_pairs_$run"
-      Seq(mtS, corpusS, outS).foreach { t =>
+      Seq(corpusS, outS).foreach { t =>
         s.sql(s"DROP TABLE IF EXISTS $t")
         val loc = new org.apache.hadoop.fs.Path(
           s.conf.get("spark.sql.warehouse.dir"), t)
         loc.getFileSystem(s.sparkContext.hadoopConfiguration)
           .delete(loc, true)
       }
-      s.table(mt).write.saveAsTable(mtS)
+      // seed + grow the working manifest BUCKETED on (tbl, bkt) — the
+      // persisted SRP table's layout — so each micro-batch probe reads
+      // the growing manifest exchange-free (the batch-persisted
+      // variant's pinned property); writeBucketed drops stale state
+      ScaleOps.writeBucketed(
+        s.table(mt).repartition(8, col("tbl"), col("bkt")),
+        mtS, Seq("tbl", "bkt"), buckets = 8)
       existing0.write.saveAsTable(corpusS)
       s.table(pt).limit(0).write.saveAsTable(outS)
       val src = s.readStream.schema(Tables.embeddings(s, d).schema)
@@ -4421,9 +4662,10 @@ object SparkEntry {
               .write.mode("append").saveAsTable(outS)
             // state update AFTER the emit, so a batch never probes its
             // own banded rows
-            graft.functions.Similarity.srpBandRows(bb, "vec_id",
-              "embedding", bits = 4, tables = 24)
-              .write.mode("append").saveAsTable(mtS)
+            ScaleOps.appendBucketed(
+              graft.functions.Similarity.srpBandRows(bb, "vec_id",
+                "embedding", bits = 4, tables = 24),
+              mtS, Seq("tbl", "bkt"), buckets = 8)
             bb.write.mode("append").saveAsTable(corpusS)
             // refresh the OUTER session's relation cache (foreachBatch
             // writes go through the micro-batch's cloned session)
@@ -4673,7 +4915,11 @@ object SparkEntry {
         "vec_id", "embedding", k = 8, iterations = 3)
         .select(col("vec_id"), col("cluster"))
         .localCheckpoint(true)
-      val sampled = CorpusOps.stratifiedQuota(assign, "cluster",
+      // prefix-sum spelling: with k = 8 strata over the WHOLE embedding
+      // corpus, the window quota would funnel everything into ≤ 8 sort
+      // partitions — the single-partition-window trap. Same pick order
+      // and kept set (spec-pinned equal), scale-safe rank.
+      val sampled = CorpusOps.stratifiedQuotaPrefix(assign, "cluster",
         "vec_id", quota = 25)
       assign.groupBy(col("cluster"))
         .agg(count(lit(1)).as("n_total"))
@@ -4965,6 +5211,22 @@ object SparkEntry {
         all.where(pmod(col("doc_id"), lit(5)) =!= 1),
         all.where(pmod(col("doc_id"), lit(5)) === 1),
         "doc_id", "text", "lang")
+        .orderBy("doc_id")
+    }),
+    // The PRODUCTION posture of the same classifier, graded: features
+    // hashed into 64 md5 buckets (the fastText trick), so the model is
+    // buckets×|C| bounded — a web-scale vocabulary broadcasts by CHOICE,
+    // not by luck. 64 buckets forces real collisions at every SF; the
+    // oracle replays the bucket hash (the dsir_select md5-fold idiom)
+    // and the entire train+apply dataflow over the bucketed features,
+    // so the hashed model's fit AND its predictions are hash-gated
+    // end to end, exactly like the exact-token variant.
+    "nb_lang_classify_hashed" -> ((s, d) => {
+      val all = Tables.documents(s, d)
+      CorpusOps.nbClassify(
+        all.where(pmod(col("doc_id"), lit(5)) =!= 1),
+        all.where(pmod(col("doc_id"), lit(5)) === 1),
+        "doc_id", "text", "lang", hashBuckets = Some(64))
         .orderBy("doc_id")
     }),
     // The classifier-bootstrap a real curation pipeline runs: HEURISTIC
@@ -5727,6 +5989,81 @@ object SparkEntry {
          |  CAST((cum - n_tokens) // 256 AS BIGINT) AS pack_id,
          |  CAST((cum - n_tokens) % 256 AS BIGINT) AS pack_offset
          |FROM c2 ORDER BY doc_id""".stripMargin
+  }
+
+  /** Pack-efficiency oracle: the SAME replayed layout as
+    * [[bpePackIdsOracle]] (shared CTE chain through c2), aggregated per
+    * shard — sequence count, tail padding, fill ratio, boundary-spanning
+    * documents. A divergence in either the encode lengths or the packing
+    * arithmetic flips the report hash.
+    */
+  private val bpePackReportOracle: String = {
+    val r = bpeEncodeRounds
+    "WITH " + bpeTrainCtesFor(r) + ",\n" +
+      s"""vmap AS (SELECT replace(replace(seg, '(', ''), ')', '') AS w,
+         |    CAST(length(seg) - length(replace(seg, '(', '')) AS BIGINT) AS nt FROM v$r),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |words AS (SELECT doc_id, toks[i] AS w
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)
+         |  WHERE length(toks[i]) >= 1),
+         |cnt AS (SELECT doc_id, CAST(sum(coalesce(nt, 1)) AS BIGINT) AS n_tokens
+         |  FROM words LEFT JOIN vmap USING (w) GROUP BY 1),
+         |j AS (SELECT d.doc_id, d.source AS shard, c.n_tokens
+         |  FROM documents d JOIN cnt c USING (doc_id)),
+         |c2 AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM j),
+         |agg AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |    CAST((sum(n_tokens) + 255) // 256 AS BIGINT) AS n_packs,
+         |    CAST(sum(CASE WHEN (cum - n_tokens) % 256 + n_tokens > 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning
+         |  FROM c2 GROUP BY 1)
+         |SELECT shard, n_docs, n_tokens, n_packs, n_spanning,
+         |  CAST(n_packs * 256 - n_tokens AS BIGINT) AS tail_waste,
+         |  floor(CAST(n_tokens AS DOUBLE) / (n_packs * 256) * 10000 + 0.5) / 10000 AS fill_ratio
+         |FROM agg ORDER BY shard""".stripMargin
+  }
+
+  /** The [[oracleSql nb_lang_classify]] dataflow with every feature
+    * hashed into 64 md5 buckets before counting — the dsir_select
+    * md5-fold idiom cast to VARCHAR, matching the engine's
+    * `conv(substring(md5(w), 1, 8), 16, 10) % 64` bucket string
+    * digit-for-digit.
+    */
+  private val nbHashedOracle: String = {
+    val bucket = "CAST(list_reduce(list_transform(range(1, 9), " +
+      "i -> (strpos('0123456789abcdef', substr(md5(w0), CAST(i AS INTEGER), 1)) - 1)::BIGINT), " +
+      "(a, x) -> a * 16 + x) % 64 AS VARCHAR)"
+    s"""WITH train AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 1 AND lang IS NOT NULL),
+       |test AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 1),
+       |tt AS (SELECT l, $bucket AS w FROM (
+       |    SELECT lang AS l, unnest(string_split(text, ' ')) AS w0 FROM train)),
+       |cwc AS (SELECT l, w, CAST(count(*) AS BIGINT) AS c FROM tt GROUP BY 1, 2),
+       |totc AS (SELECT l, CAST(sum(c) AS BIGINT) AS tot FROM cwc GROUP BY 1),
+       |vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM cwc),
+       |pri AS (SELECT lang AS l, CAST(count(*) AS BIGINT) AS nd FROM train GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM train),
+       |cls AS (SELECT pri.l,
+       |    CAST(floor(ln(CAST(nd AS DOUBLE) / n) * 1000000 + 0.5) AS BIGINT) AS lprior,
+       |    CAST(floor(ln(1.0 / (tot + v)) * 1000000 + 0.5) AS BIGINT) AS lp0,
+       |    tot + v AS den
+       |  FROM pri JOIN totc ON pri.l = totc.l CROSS JOIN nn CROSS JOIN vv),
+       |model AS (SELECT cwc.l, cwc.w,
+       |    CAST(floor(ln(CAST(c + 1 AS DOUBLE) / den) * 1000000 + 0.5) AS BIGINT) AS lp
+       |  FROM cwc JOIN cls ON cwc.l = cls.l),
+       |dt AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM
+       |    (SELECT doc_id, $bucket AS w FROM (
+       |      SELECT doc_id, unnest(string_split(text, ' ')) AS w0 FROM test)) GROUP BY 1, 2),
+       |sc AS (SELECT dt.doc_id, cls.l,
+       |    CAST(min(cls.lprior) + sum(coalesce(model.lp, cls.lp0) * dt.c) AS BIGINT) AS score
+       |  FROM dt CROSS JOIN cls LEFT JOIN model ON model.l = cls.l AND model.w = dt.w
+       |  GROUP BY 1, 2),
+       |best AS (SELECT doc_id, l, score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, l) AS rk FROM sc)
+       |SELECT t.doc_id, t.lang, b.l AS pred_lang,
+       |  CAST(CASE WHEN t.lang = b.l THEN 1 ELSE 0 END AS BIGINT) AS is_correct,
+       |  b.score AS score_micro
+       |FROM test t JOIN best b ON t.doc_id = b.doc_id AND b.rk = 1
+       |ORDER BY t.doc_id""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -6753,6 +7090,14 @@ object SparkEntry {
     "bpe_encode_stats" -> bpeEncodeOracle,
     "bpe_encode_ids" -> bpeEncodeIdsOracle,
     "bpe_pack_ids" -> bpePackIdsOracle,
+    // Roundtrip contract: decode(encode(doc)) must equal the document's
+    // delimiter-stripped text — the oracle grants TRUE only per nonempty
+    // document, the engine has to earn it against the real source text
+    // (and a dropped document fails the row count).
+    "bpe_decode_roundtrip" ->
+      """SELECT doc_id, TRUE AS roundtrip_ok FROM documents
+        |WHERE length(replace(text, ' ', '')) > 0 ORDER BY doc_id""".stripMargin,
+    "bpe_pack_report" -> bpePackReportOracle,
     // Funnel replay: the same cumulative gates, the dedup stage a
     // digest-distinct count within the band.
     "curation_funnel" ->
@@ -8307,6 +8652,12 @@ object SparkEntry {
     "knn_ivf_topk" ->
       """SELECT vec_id AS qid, CAST(3 AS BIGINT) AS n_true, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 10 ORDER BY qid""".stripMargin,
+    // Incremental IVF: same recall-floor convention, plus the
+    // append == full-rebuild set identity as a hash-gated boolean.
+    "incremental_ivf_append" ->
+      """SELECT vec_id AS qid, CAST(3 AS BIGINT) AS n_true, TRUE AS recall_ok,
+        |  TRUE AS append_equals_full
+        |FROM embeddings WHERE vec_id < 10 ORDER BY qid""".stripMargin,
     // MinHash quality: n_truth is the exhaustive exact-jaccard pair count
     // (recomputed here), and the recall / estimator-error floors must hold.
     "minhash_quality" ->
@@ -8365,6 +8716,10 @@ object SparkEntry {
     // Lossless pigeonhole banding: incremental == full == brute truth,
     // one oracle (the stream_simhash_incremental argument, frame tier).
     "incremental_frame_neardup" -> frameNeardupOracle,
+    // streaming == batch-incremental == full == brute truth: lossless
+    // pigeonhole banding lets the fourth streaming loop grade against
+    // the exact Hamming scan like its batch siblings.
+    "stream_frame_incremental" -> frameNeardupOracle,
     "media_resize" ->
       (decoderFoldCte +
         """
@@ -9236,6 +9591,7 @@ object SparkEntry {
         |  b.score AS score_micro
         |FROM test t JOIN best b ON t.doc_id = b.doc_id AND b.rk = 1
         |ORDER BY t.doc_id""".stripMargin,
+    "nb_lang_classify_hashed" -> nbHashedOracle,
     // Heuristic labeling (the quality_score pipeline verbatim, 4-dp
     // stage rounding included) + the same NB train+apply replay,
     // aggregated per predicted class.

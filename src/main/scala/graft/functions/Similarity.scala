@@ -209,26 +209,56 @@ object Similarity {
   def knnIvf(queries: DataFrame, candidates: DataFrame, k: Int,
              nlist: Int = 16, nprobe: Int = 4,
              codebook: Option[IvfCodebook] = None): DataFrame = {
-    val cents = typedLit(codebook.getOrElse(trainCodebook(candidates, nlist))
-      .centroids)
-    def topCells(vecCol: Column, n: Int): Column = {
-      // coalesce: cosineFast returns NULL for a zero-norm vector or
-      // centroid (deliberately, instead of NaN) — but sort_array is
-      // ascending NULLS FIRST, so an un-coalesced NULL similarity would
-      // rank the degenerate cell BEST for every vector, collapsing recall.
-      // MaxValue sends it to the back instead.
-      val scored = transform(cents, (c, idx) => struct(
-        coalesce(
-          lit(0d) - graft.expressions.CosineSimilarity.cosineFast(vecCol, c),
-          lit(Double.MaxValue)).as("ns"),
-        idx.as("cell")))
-      transform(slice(sort_array(scored), 1, n), s => s.getField("cell"))
-    }
+    val cb = codebook.getOrElse(trainCodebook(candidates, nlist))
+    knnIvfOnPostings(queries,
+      ivfAssign(candidates, "vec_id", "embedding", cb), k, nprobe, cb)
+  }
+
+  /** Nearest-`n` codebook cells of a vector, as a pure per-row
+    * expression over the literal centroid array (the [[knnIvf]] cell
+    * router, shared with the posting builder and the serving probe).
+    */
+  private def ivfTopCells(cents: Column, vecCol: Column, n: Int): Column = {
+    // coalesce: cosineFast returns NULL for a zero-norm vector or
+    // centroid (deliberately, instead of NaN) — but sort_array is
+    // ascending NULLS FIRST, so an un-coalesced NULL similarity would
+    // rank the degenerate cell BEST for every vector, collapsing recall.
+    // MaxValue sends it to the back instead.
+    val scored = transform(cents, (c, idx) => struct(
+      coalesce(
+        lit(0d) - graft.expressions.CosineSimilarity.cosineFast(vecCol, c),
+        lit(Double.MaxValue)).as("ns"),
+      idx.as("cell")))
+    transform(slice(sort_array(scored), 1, n), s => s.getField("cell"))
+  }
+
+  /** Assign every vector to its nearest codebook cell — the IVF POSTING
+    * rows `(cid, ce, cell)` an inverted file persists. A pure per-row
+    * expression (scan → project, no exchange), which is what makes the
+    * incremental story cheap: appending a new batch to a persisted
+    * posting table costs one assignment pass over the batch alone — the
+    * existing corpus is never re-assigned, and the codebook never moves.
+    */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+                codebook: IvfCodebook): DataFrame = {
+    val cents = typedLit(codebook.centroids)
+    df.select(col(idCol).as("cid"), col(vecCol).as("ce"),
+      element_at(ivfTopCells(cents, col(vecCol), 1), 1).as("cell"))
+  }
+
+  /** [[knnIvf]] served from a PRE-ASSIGNED posting frame (cells read
+    * from storage, not recomputed) — the probe an ANN service runs
+    * against its persisted inverted file. Each query probes its
+    * `nprobe` nearest centroids; only those cells' postings are ranked.
+    * A posting table bucketed on `cell` is read exchange-free.
+    */
+  def knnIvfOnPostings(queries: DataFrame, postings: DataFrame, k: Int,
+                       nprobe: Int, codebook: IvfCodebook): DataFrame = {
+    val cents = typedLit(codebook.centroids)
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-      explode(topCells(col("embedding"), nprobe)).as("cell"))
-    val c = candidates.select(col("vec_id").as("cid"), col("embedding").as("ce"),
-      element_at(topCells(col("embedding"), 1), 1).as("cell"))
-    val pairs = c.join(broadcast(q), Seq("cell")).where(col("cid") =!= col("qid"))
+      explode(ivfTopCells(cents, col("embedding"), nprobe)).as("cell"))
+    val pairs = postings.join(broadcast(q), Seq("cell"))
+      .where(col("cid") =!= col("qid"))
       .withColumn("cos",
         graft.expressions.CosineSimilarity.cosineFast(col("qe"), col("ce")))
     topK(pairs, k)

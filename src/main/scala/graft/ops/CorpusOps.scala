@@ -275,6 +275,35 @@ object CorpusOps {
       .where(col("rn") <= quota)
   }
 
+  /** [[stratifiedQuota]] through the prefix-sum path — for FEW strata
+    * over a huge corpus (the cluster-balanced-sample shape: k clusters
+    * over every embedding), where the window spelling funnels the whole
+    * corpus into at most |strata| sort partitions. Same pick order,
+    * same output contract (input columns + `rn`), same kept set: the
+    * rank is [[graft.ops.ScaleOps.globalRunningTotal]]'s two-pass
+    * range-partition prefix sum ordered (stratum, md5(key), key) minus
+    * broadcast per-stratum offsets — the [[mixtureInterleave]]
+    * discipline; the only window left runs over the |strata|-row offset
+    * frame.
+    */
+  def stratifiedQuotaPrefix(df: DataFrame, strataCol: String,
+                            keyCol: String, quota: Int): DataFrame = {
+    require(quota >= 1, s"quota=$quota must be positive")
+    val base = df.withColumn("__h", md5(col(keyCol).cast("string")))
+    val ranked = graft.ops.ScaleOps.globalRunningTotal(base,
+      Seq(col(strataCol), col("__h"), col(keyCol)), lit(1L))
+    val offs = ranked.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__soff", coalesce(sum(col("__n")).over(
+        Window.orderBy(col(strataCol)).rowsBetween(Long.MinValue, -1)),
+        lit(0L)))
+      .select(col(strataCol), col("__soff"))
+    ranked.join(broadcast(offs), Seq(strataCol))
+      .withColumn("rn", col("cum") - col("__soff"))
+      .where(col("rn") <= quota)
+      .drop("__h", "cum", "__soff")
+  }
+
   /** Target-weighted mixture waterfilling: given desired per-source mixing
     * weights and each source's AVAILABLE tokens, allocate a global token
     * budget so every source gets `weight`-proportional share capped at its
@@ -1976,7 +2005,19 @@ object CorpusOps {
       s"duplicate stratum in $weights")
     @annotation.tailrec
     def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
-    val lcmAll = weights.map(_._2).reduce((a, b) => a / gcd(a, b) * b)
+    // multiplyExact: coprime or large weights can push the lcm past
+    // Long range, and unchecked overflow would silently corrupt every
+    // stride (negative clocks reorder the whole interleave) — the
+    // "exact integers at any corpus size" claim holds only if overflow
+    // fails loudly instead
+    val lcmAll =
+      try weights.map(_._2).reduce((a, b) =>
+        Math.multiplyExact(a / gcd(a, b), b))
+      catch { case _: ArithmeticException =>
+        throw new IllegalArgumentException(
+          "mixtureInterleave: the weights' lcm overflows Long — " +
+            s"express the recipe in a coarser ratio: $weights")
+      }
     val spark = df.sparkSession
     import spark.implicits._
     val wdf = weights.map { case (s, w) => (s, lcmAll / w) }
@@ -1996,9 +2037,23 @@ object CorpusOps {
         Window.orderBy(col("__s")).rowsBetween(Long.MinValue, -1)),
         lit(0L)))
       .select(col("__s"), col("__soff"))
+    // row-level overflow guard for the clock product (2·rank − 1)·stride:
+    // rank ≤ (MaxValue/stride + 1) div 2 ⟺ the odd factor fits — spelled
+    // (m − 1)/2 + 1 (identical for m ≥ 1) so the guard itself cannot
+    // overflow at stride = 1 where m = MaxValue — checked
+    // per row IN the plan (codegen'd comparison, no extra pass) so a
+    // corpus long enough to overflow its stride fails loudly instead of
+    // interleaving on wrapped-negative virtual times
+    val rank = col("cum") - col("__soff")
     val clocked = ranked.join(broadcast(offs), Seq("__s"))
       .select(col("id"), col("__s"),
-        (((col("cum") - col("__soff")) * 2 - 1) * col("__stride"))
+        when(rank <= (lit(Long.MaxValue) / col("__stride") - 1L) / 2L + 1L,
+          (rank * 2 - 1) * col("__stride"))
+          .otherwise(raise_error(concat(
+            lit("mixtureInterleave: virtual time overflows Long at rank "),
+            rank.cast("string"), lit(" x stride "),
+            col("__stride").cast("string"),
+            lit(" — express the recipe in a coarser ratio"))))
           .as("__vt"))
     graft.ops.ScaleOps.globalRunningTotal(clocked,
       Seq(col("__vt"), col("__s")), lit(1L))
@@ -2210,24 +2265,8 @@ object CorpusOps {
     */
   def bpeEncodeIds(df: DataFrame, idCol: String, textCol: String,
                    model: BpeModel): DataFrame = {
-    val formSyms = model.vocab.select(
-      translate(col("seg"), "()", "").as("w"),
-      split(expr("substring(seg, 2, length(seg) - 2)"), "\\)\\(")
-        .as("__syms"))
-    val vocabSyms = formSyms
-      .select(explode(col("__syms")).as("sym")).distinct()
-    val charSyms = df
-      .select(explode(TextFunctions.tokens(col(textCol))).as("sym"))
-      .where(length(col("sym")) === 1).distinct()
-    val mergeRounds = model.merges
-      .select(col("merged").as("sym"), col("round"))
-      .groupBy(col("sym")).agg(min(col("round")).as("__mrnd"))
-    val byRoundThenSym = org.apache.spark.sql.expressions.Window
-      .orderBy(coalesce(col("__mrnd"), lit(0L)), col("sym"))
-    val ids = vocabSyms.unionByName(charSyms).distinct()
-      .join(mergeRounds, Seq("sym"), "left")
-      .withColumn("token_id", row_number().over(byRoundThenSym).cast("int"))
-      .select(col("sym"), col("token_id"))
+    val formSyms = bpeFormSyms(model)
+    val ids = bpeTokenIdTable(df, textCol, model)
     val occ = df.select(col(idCol),
         posexplode(TextFunctions.tokens(col(textCol)))
           .as(Seq("__wp", "__w0")))
@@ -2255,6 +2294,112 @@ object CorpusOps {
         x => x.getField("tid")).as("token_ids"))
       .select(col(idCol), size(col("token_ids")).cast("long").as("n_tokens"),
         col("token_ids"))
+  }
+
+  /** The model's (word → surviving symbol array) table off the final
+    * segmented vocabulary — shared by [[bpeEncodeIds]]' occurrence join
+    * and [[bpeTokenIdTable]]'s symbol universe. Vocabulary-bounded.
+    */
+  private def bpeFormSyms(model: BpeModel): DataFrame =
+    model.vocab.select(
+      translate(col("seg"), "()", "").as("w"),
+      split(expr("substring(seg, 2, length(seg) - 2)"), "\\)\\(")
+        .as("__syms"))
+
+  /** The deterministic symbol → token-id table for (corpus, model) —
+    * exactly the assignment [[bpeEncodeIds]] encodes with, exposed so
+    * [[bpeDecode]] inverts the SAME table (and a spec can audit it).
+    * Universe: every symbol surviving in the final vocabulary plus every
+    * single-character corpus word; order: first producing merge round
+    * (0 for base symbols), then the symbol. Vocabulary-bounded — the
+    * row_number window runs over the bounded symbol frame, never the
+    * corpus.
+    */
+  def bpeTokenIdTable(df: DataFrame, textCol: String,
+                      model: BpeModel): DataFrame = {
+    val vocabSyms = bpeFormSyms(model)
+      .select(explode(col("__syms")).as("sym")).distinct()
+    val charSyms = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("sym"))
+      .where(length(col("sym")) === 1).distinct()
+    val mergeRounds = model.merges
+      .select(col("merged").as("sym"), col("round"))
+      .groupBy(col("sym")).agg(min(col("round")).as("__mrnd"))
+    val byRoundThenSym = org.apache.spark.sql.expressions.Window
+      .orderBy(coalesce(col("__mrnd"), lit(0L)), col("sym"))
+    vocabSyms.unionByName(charSyms).distinct()
+      .join(mergeRounds, Seq("sym"), "left")
+      .withColumn("token_id", row_number().over(byRoundThenSym).cast("int"))
+      .select(col("sym"), col("token_id"))
+  }
+
+  /** Decode [[bpeEncodeIds]] output back to text — the lossless-tokenizer
+    * roundtrip check (decode ∘ encode = id) a shipped tokenizer owes its
+    * consumers: token ids join back to symbols through the SAME id table
+    * the encode assigned from, and per-document concatenation in stream
+    * order rebuilds the document. Word boundaries are not represented in
+    * the flat id stream, so the reconstruction target is the document's
+    * text with the split delimiter removed (tokens split on ' ':
+    * `translate(text, " ", "")`).
+    *
+    * Scale shape: one explode of the id arrays, one broadcast join to the
+    * vocabulary-bounded id table (an unknown id fails loudly — a silent
+    * drop would hide exactly the corruption this check exists to catch),
+    * one per-document assembly whose in-group sort is bounded by document
+    * length (the [[bpeEncodeIds]] reassembly contract).
+    *
+    * @param encoded [[bpeEncodeIds]] output: (idCol, n_tokens, token_ids)
+    * @param ids     [[bpeTokenIdTable]] for the same (corpus, model)
+    * @return (idCol, decoded) — whitespace-free reconstructed text
+    */
+  def bpeDecode(encoded: DataFrame, idCol: String,
+                ids: DataFrame): DataFrame =
+    encoded
+      .select(col(idCol), posexplode(col("token_ids"))
+        .as(Seq("__p", "token_id")))
+      .join(broadcast(ids), Seq("token_id"), "left")
+      .select(col(idCol), col("__p"),
+        coalesce(col("sym"), raise_error(format_string(
+          "graft.CorpusOps.bpeDecode: token id %s is not in the model's" +
+            " id table — the sequence was encoded with a different" +
+            " (corpus, model)", col("token_id").cast("string"))))
+          .as("sym"))
+      .groupBy(col(idCol))
+      .agg(concat_ws("", transform(array_sort(collect_list(struct(
+          col("__p").as("p"), col("sym").as("sym")))),
+        x => x.getField("sym"))).as("decoded"))
+
+  /** Per-shard packing-efficiency report over a [[packSequences]] layout
+    * — the dataset-card row for the pack step: how many budget-sized
+    * training sequences the shard fills, how much of the final sequence
+    * is padding (the only waste this layout produces — documents stream
+    * contiguously and split across pack boundaries), and how many
+    * documents span a boundary (the attention-masking consumers care
+    * about). A packing regression surfaces as a readable metric here,
+    * not only as a hash change in the full layout.
+    *
+    * Pure aggregation of the layout frame (one hash exchange on the
+    * shard key, shard-bounded output):
+    *  - n_packs = ⌈n_tokens / budget⌉ — exact for the contiguous stream;
+    *  - tail_waste = n_packs·budget − n_tokens (padding in the last pack);
+    *  - fill_ratio = n_tokens / (n_packs·budget), 4 dp;
+    *  - n_spanning = documents with pack_offset + n_tokens > budget.
+    */
+  def packReport(packed: DataFrame, budget: Int): DataFrame = {
+    import CoreOps.rnd
+    require(budget > 0, s"budget=$budget must be positive")
+    packed.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("pack_offset") + col("n_tokens") > budget, 1L)
+          .otherwise(0L)).as("n_spanning"))
+      .withColumn("n_packs",
+        CoreOps.integralDiv(col("n_tokens") + (budget - 1), budget.toLong))
+      .select(col("shard"), col("n_docs"), col("n_tokens"), col("n_packs"),
+        col("n_spanning"),
+        (col("n_packs") * budget - col("n_tokens")).as("tail_waste"),
+        rnd(col("n_tokens").cast("double")
+          / (col("n_packs") * budget).cast("double")).as("fill_ratio"))
   }
 
   def pmiCollocations(df: DataFrame, textCol: String,

@@ -407,6 +407,18 @@ object GraphOps {
           .select(col("n"),
             (col("d") - coalesce(col("__lu"), lit(0L))
               - coalesce(col("__lv"), lit(0L))).as("d"))
+          // a survivor decremented to degree 0 leaves the table NOW —
+          // exactly as the recompute spelling drops it implicitly (a
+          // node with no remaining edges has no nodeDegrees row). Kept,
+          // it would cost an extra removal wave whenever OTHER
+          // components still hold edges (so the empty-edge-list escape
+          // below can't fire), and a graph that converged in exactly
+          // maxPeels rounds under recompute would throw the
+          // non-convergence require (regression-tested). Sound: d is
+          // the node's exact degree in nextCur, so d = 0 ⟹ no edges ⟹
+          // it can never decrement anyone later, and k ≥ 1 ⟹ it is
+          // never core output.
+          .where(col("d") > 0)
           .localCheckpoint(true)
         val nextCur = cur.join(remU, Seq("u"), "left_anti")
           .join(remV, Seq("v"), "left_anti")
@@ -415,13 +427,11 @@ object GraphOps {
         freeCheckpoint(remPlain)
         deg = nextDeg; cur = nextCur
         // an emptied edge list IS the fixpoint (the old recompute
-        // spelling's `m == 0` escape): every surviving degree is
-        // provably 0 now (each survivor's edges all went to removed
-        // nodes and were counted in its loss), so the k >= 1 core is
-        // empty — without this, flushing the zero-degree survivors
-        // would cost one more removal round plus the empty-wave check,
-        // and a graph the recompute spelling finished inside maxPeels
-        // would throw the non-convergence require here
+        // spelling's `m == 0` escape): every survivor's edges went to
+        // removed nodes, so with the d > 0 flush above nextDeg is empty
+        // and the k >= 1 core is provably empty — the escape spares the
+        // final confirming empty-wave round (cnt == 0 next iteration),
+        // keeping the wave count equal to the recompute spelling's
         if (nextCur.count() == 0L) {
           converged = true
           deg = nextDeg.where(col("d") >= k)

@@ -253,6 +253,29 @@ object ScaleOps {
       .format("parquet").saveAsTable(table)
   }
 
+  /** Append a batch into an existing bucketed table under the SAME
+    * bucket spec — the incremental-manifest grow path: the streaming
+    * near-dup loops seed their working manifest from the persisted
+    * bucketed table and append each micro-batch's band rows through
+    * this, so every later probe still reads the manifest bucketed on
+    * the join key (a plain append would silently drop the layout and
+    * re-shuffle the GROWING manifest on every probe). Spark's bucketed
+    * scan keys files by bucket id, so multi-file buckets keep the
+    * hash-partitioning property (only the sorted-scan metadata is
+    * forfeited, which the hash probe never used); the pre-write
+    * repartition keeps each append to one file per bucket. saveAsTable
+    * itself validates the spec against the existing table.
+    */
+  def appendBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                     buckets: Int): Unit = {
+    require(bucketCols.nonEmpty, "appendBucketed needs at least one column")
+    df.repartition(buckets, bucketCols.map(col): _*)
+      .write.mode("append")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet").saveAsTable(table)
+  }
+
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
                    key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)

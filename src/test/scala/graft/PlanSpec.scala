@@ -1189,6 +1189,20 @@ class PlanSpec extends SparkTestBase {
       s"manifest scan must use the bucket layout:\n$planF")
   }
 
+  test("incremental_ivf_append: cells read from the stored postings, queries broadcast") {
+    // The serving probe must join the tiny (qid × nprobe) side broadcast
+    // against the posting TABLE — cells come from storage (the append
+    // contract), never a re-assignment of the existing corpus, and
+    // nothing in the plan may fall back to a cartesian scan.
+    val df = SparkEntry.queries("incremental_ivf_append")(spark, sf)
+    val plan = executedSimple(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val planF = df.queryExecution.explainString(FormattedMode)
+    assert(planF.contains("graft_ivf_work"),
+      s"serving must read the grown posting table:\n$planF")
+  }
+
   test("nb_lang_classify: model probes broadcast, class fan-out is the bounded nested loop") {
     // The NB model is vocab×|C| bounded whatever the corpus size, so the
     // likelihood probe must be a BroadcastHashJoin and the per-document
@@ -1247,6 +1261,21 @@ class PlanSpec extends SparkTestBase {
       assert(!plan.contains("row_number"),
         s"$q: positions must come from the prefix sum, not a rank:\n$plan")
     }
+  }
+
+  test("cluster_balanced_sample: quota rides the prefix sum — no per-cluster rank window") {
+    // With k = 8 clusters a row_number window would funnel the entire
+    // embedding corpus into ≤ 8 sort partitions. The quota must come off
+    // globalRunningTotal's range-partitioned prefix sum; the only Window
+    // allowed is over the bounded offset frames (__pid / __n).
+    val plan = executedSimple(
+      SparkEntry.queries("cluster_balanced_sample")(spark, sf))
+    val windows = "Window \\[".r.findAllIn(plan).size
+    val bounded = "Window \\[[^\\n]*(__pid|__n)".r.findAllIn(plan).size
+    assert(windows === bounded,
+      s"unexpected raw-row window ($bounded of $windows):\n$plan")
+    assert(!plan.contains("row_number"),
+      s"the quota rank must come from the prefix sum:\n$plan")
   }
 
   test("distinct_ngram_ratio: only gram digests cross the exchange") {

@@ -531,6 +531,35 @@ class ExtensionOpsSpec extends SparkTestBase {
     }
   }
 
+  test("ivfAssign/knnIvfOnPostings: append equals rebuild; serving matches knnIvf") {
+    val e = graft.Tables.embeddings(spark, sfTest)
+    val cb = Similarity.trainCodebook(
+      e.where($"vec_id" % 2 === 0), nlist = 4)
+    // assignment is per-row and codebook-fixed, so assigning the halves
+    // separately and unioning IS the full rebuild — the set identity the
+    // graded incremental_ivf_append holds as a boolean
+    val full = Similarity.ivfAssign(e, "vec_id", "embedding", cb)
+      .select("cid", "cell").as[(Long, Int)].collect().toSet
+    val appended = Similarity
+      .ivfAssign(e.where($"vec_id" % 2 === 0), "vec_id", "embedding", cb)
+      .unionByName(Similarity
+        .ivfAssign(e.where($"vec_id" % 2 === 1), "vec_id", "embedding", cb))
+      .select("cid", "cell").as[(Long, Int)].collect().toSet
+    assert(appended === full)
+    // serving from pre-assigned postings returns exactly what the
+    // inline-assignment path returns (same codebook, same nprobe)
+    val q = e.where($"vec_id" < 3)
+    def ranked(df: org.apache.spark.sql.DataFrame) = df
+      .select($"qid", $"cid", $"rnk".cast("long")).as[(Long, Long, Long)]
+      .collect().toSet
+    val inline = ranked(Similarity.knnIvf(q, e, k = 3, nlist = 4,
+      nprobe = 2, codebook = Some(cb)))
+    val served = ranked(Similarity.knnIvfOnPostings(q,
+      Similarity.ivfAssign(e, "vec_id", "embedding", cb), k = 3,
+      nprobe = 2, codebook = cb))
+    assert(served === inline)
+  }
+
   test("ANN recall floors: the graded configs clear their contracts on real data") {
     // The graded queries assert per-query recall >= 0.3 via recallVsBrute;
     // this pins the stronger measured numbers (deterministic: fixed data,

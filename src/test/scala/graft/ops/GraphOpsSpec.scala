@@ -198,6 +198,20 @@ class GraphOpsSpec extends SparkTestBase {
     val path7 = GraphOps.canonicalEdges(
       (1L to 6L).map(i => (i, i + 1)).toDF("a", "b"), "a", "b")
     assert(GraphOps.kCoreOf(path7, k = 2, maxPeels = 4).count() === 0L)
+    // zero-degree survivors flush in the SAME wave (the review
+    // regression): path 10−11−12 beside a 4-clique under k=2 — wave 1
+    // removes {10, 12} and decrements 11 to degree 0, but the clique
+    // still holds edges so the empty-edge escape can't fire. The
+    // recompute spelling converges in 2 rounds (11 simply vanishes from
+    // nodeDegrees); before the d > 0 flush the delta peel burned a 3rd
+    // wave removing 11 and threw at maxPeels = 2.
+    val mixed = GraphOps.canonicalEdges(
+      (Seq((10L, 11L), (11L, 12L)) ++
+        Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+        .toDF("a", "b"), "a", "b")
+    val core = GraphOps.kCoreOf(mixed, k = 2, maxPeels = 2)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(core === Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
   }
 
   test("bfsHopsOf: hub source (max degree, min id), hop truncation exact") {
