@@ -2432,6 +2432,19 @@ object SparkEntry {
       CorpusOps.ictPairs(Tables.documents(s, d), "doc_id", "text",
         chunkTokens = 10)
         .orderBy("doc_id")),
+    // The ICT pairs dealt into the in-batch-negatives layout a
+    // contrastive dataloader consumes: batch/slot off the two-pass
+    // prefix sum in content-addressed order — a pure function of the
+    // corpus, never a corpus-wide row_number window. The full
+    // assignment is hash-graded (the oracle replays the md5 order and
+    // the integer deal).
+    "contrastive_batches" -> ((s, d) =>
+      CorpusOps.contrastiveBatches(
+        CorpusOps.ictPairs(Tables.documents(s, d), "doc_id", "text",
+          chunkTokens = 10).select(col("doc_id")),
+        "doc_id", batchSize = 64)
+        .select(col("doc_id"), col("batch_id"), col("slot"))
+        .orderBy("doc_id")),
 
     // Curation-funnel readout (the dataset-card row): per-stage
     // survivor counts for raw → nonempty → length band [100, 500] →
@@ -5146,6 +5159,30 @@ object SparkEntry {
       CorpusOps.duplicatedSpans(Tables.documents(s, d), "doc_id", "text",
         n = 15)
         .orderBy("doc_id")),
+    // Winnowing (Schleimer et al. SIGMOD'03, the MOSS sketch): per-doc
+    // fingerprint volume + membership checksum — every selected
+    // (hash, pos) participates, so a selection-rule drift (window size,
+    // tie direction, truncated-suffix windows) flips the hash. The
+    // oracle replays gram md5s, the encoded min key, and the window
+    // scan verbatim.
+    "winnow_fingerprints" -> ((s, d) =>
+      CorpusOps.winnowFingerprints(Tables.documents(s, d), "doc_id",
+        "text", k = 3, w = 4)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fps"),
+          sum(conv(substring(col("fp_hash"), 1, 8), 16, 10).cast("long")
+            + col("fp_pos")).as("fp_checksum"))
+        .orderBy("doc_id")),
+    // The MOSS match report: pairs meeting on fingerprint hashes (digest
+    // equi-join, never all-pairs), over-common fingerprints dropped
+    // first (boilerplate carries no signal AND is the hot-key hazard),
+    // pair survives with >= 2 distinct shared fingerprints. Positional
+    // robustness the whole-doc sketches lack: any shared 6-word run
+    // (w + k − 1) is guaranteed a shared fingerprint.
+    "winnow_pairs" -> ((s, d) =>
+      CorpusOps.winnowPairs(Tables.documents(s, d), "doc_id", "text",
+        k = 3, w = 4, minShared = 2L, maxDocFreq = 50L)
+        .orderBy("id_a", "id_b")),
     // The EXCISION half of the same method: first global occurrence of
     // each duplicated 15-token span survives, later occurrences mark
     // their token ranges, position-level union excises them, documents
@@ -5990,6 +6027,25 @@ object SparkEntry {
          |  CAST((cum - n_tokens) % 256 AS BIGINT) AS pack_offset
          |FROM c2 ORDER BY doc_id""".stripMargin
   }
+
+  /** The winnowing selection replayed: word-3-gram md5 stream per doc,
+    * min over each 4-hash window of the encoded key `hash ∥ lpad(10¹² −
+    * pos)` (ties to the rightmost position BY the key), window starts
+    * only, distinct (hash, pos). Shared by both winnow oracles.
+    */
+  private val winnowFpCte: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |pos AS (SELECT doc_id, CAST(len(t) - 2 AS BIGINT) AS kk, t,
+      |    unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+      |g AS (SELECT doc_id, kk, CAST(i AS BIGINT) AS pos,
+      |    md5(array_to_string(t[i:i+2], ' ')) AS h FROM pos),
+      |keyd AS (SELECT doc_id, kk, pos,
+      |    h || lpad(CAST(1000000000000 - pos AS VARCHAR), 13, '0') AS key FROM g),
+      |sel AS (SELECT doc_id, kk, pos, min(key) OVER (PARTITION BY doc_id
+      |    ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s FROM keyd),
+      |fp AS (SELECT DISTINCT doc_id, substr(s, 1, 32) AS fp_hash,
+      |    1000000000000 - CAST(substr(s, 33, 13) AS BIGINT) AS fp_pos
+      |  FROM sel WHERE pos <= greatest(kk - 3, 1))""".stripMargin
 
   /** Pack-efficiency oracle: the SAME replayed layout as
     * [[bpePackIdsOracle]] (shared CTE chain through c2), aggregated per
@@ -7278,6 +7334,19 @@ object SparkEntry {
         |  array_to_string(l[CAST(qi * 10 + 1 AS INTEGER) : CAST(least((qi + 1) * 10, n) AS INTEGER)], ' ') AS query,
         |  array_to_string(l[1 : CAST(qi * 10 AS INTEGER)] || l[CAST((qi + 1) * 10 + 1 AS INTEGER) : CAST(n AS INTEGER)], ' ') AS context
         |FROM f ORDER BY doc_id""".stripMargin,
+    // The in-batch-negatives deal replayed: ICT eligibility (>= 2
+    // chunks), md5 content-addressed order (row_number at oracle scale;
+    // the engine's rank is the prefix sum), integer batch/slot.
+    "contrastive_batches" ->
+      """WITH e AS (SELECT doc_id,
+        |    (CAST(len(string_split(text, ' ')) AS BIGINT) + 9) // 10 AS nc
+        |  FROM documents),
+        |el AS (SELECT doc_id FROM e WHERE nc >= 2),
+        |r AS (SELECT doc_id, CAST(row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk FROM el)
+        |SELECT doc_id, CAST((rk - 1) // 64 AS BIGINT) AS batch_id,
+        |  CAST((rk - 1) % 64 AS BIGINT) AS slot
+        |FROM r ORDER BY doc_id""".stripMargin,
     // Negative-edge replay: ranks via row_number (oracle scale; the
     // engine's rank is the boundary-invariant prefix sum), the same
     // md5-hex draw (doc_fingerprint's fold idiom), the same anti-join.
@@ -9473,6 +9542,29 @@ object SparkEntry {
         |  CASE WHEN COALESCE(n_spans, 0) = 0 THEN NULL
         |       ELSE floor((CAST(n_dup_spans AS DOUBLE) / n_spans) * 10000 + 0.5) / 10000 END AS dup_frac
         |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // Winnowing replay: same gram md5s, same encoded min key (the tie
+    // rule lives IN the key string), same window scan, same
+    // window-starts-only cut — the checksum folds 8 hex chars of every
+    // selected hash plus its position, so fingerprint MEMBERSHIP is
+    // graded, not just volume.
+    "winnow_fingerprints" -> (winnowFpCte +
+      """
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+        |  CAST(sum(list_reduce(list_transform(range(1, 9),
+        |    j -> (strpos('0123456789abcdef', substr(fp_hash, CAST(j AS INTEGER), 1)) - 1)::BIGINT),
+        |    (a, x) -> a * 16 + x) + fp_pos) AS BIGINT) AS fp_checksum
+        |FROM fp GROUP BY 1 ORDER BY doc_id""".stripMargin),
+    "winnow_pairs" -> (winnowFpCte +
+      """,
+        |fpd AS (SELECT DISTINCT doc_id, fp_hash FROM fp),
+        |rare AS (SELECT fp_hash FROM (
+        |    SELECT fp_hash, count(DISTINCT doc_id) AS df FROM fpd GROUP BY 1)
+        |  WHERE df <= 50),
+        |kept AS (SELECT fpd.doc_id, fpd.fp_hash FROM fpd JOIN rare USING (fp_hash))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(count(*) AS BIGINT) AS shared_fp
+        |FROM kept a JOIN kept b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b""".stripMargin),
     // Excision replay by span TEXT (engine uses digests — the hash match
     // is also a collision check): same global (doc, pos) first-survivor
     // rule, same position-level union, same reassembly.

@@ -571,6 +571,129 @@ object CorpusOps {
         .as("gram"))
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 —
+    * the MOSS algorithm): per document, the word-k-gram hash stream is
+    * scanned with a window of `w` consecutive hashes and each window
+    * contributes its MINIMUM hash, ties to the RIGHTMOST position (the
+    * paper's robust-winnowing rule); the distinct selected (hash, pos)
+    * set is the document's fingerprint sketch, density ~2/(w+1).
+    * Guarantee: any shared run of at least w + k − 1 words is caught by
+    * at least one shared fingerprint — a POSITIONAL robustness property
+    * the whole-document sketches (MinHash set resemblance, SimHash bit
+    * fold) don't give, which is why plagiarism/boilerplate detectors
+    * winnow instead of minhashing.
+    *
+    * Engine-replayable: the gram hash is md5 hex, and the tie rule is
+    * encoded IN the min key — `hash ∥ lpad(10¹² − pos)` — so ONE plain
+    * `min()` realizes "smallest hash, rightmost position" identically
+    * on any engine (no arg_min/ties-unspecified constructs). Documents
+    * with fewer than w grams winnow as a single window (their global
+    * min), the standard short-document convention.
+    *
+    * Scale shape: grams digest in the scan projection (gram text never
+    * crosses an exchange); the window scan partitions by DOCUMENT — a
+    * bounded frame, one document's hash stream, never the corpus — and
+    * the output is the sparse fingerprint set.
+    *
+    * @return distinct (idCol, fp_hash — 32-char md5 hex, fp_pos —
+    *         1-based gram start of the selected occurrence)
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1, s"k=$k must be positive")
+    require(w >= 1, s"w=$w must be positive")
+    val grams = df
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .withColumn("__k", (size(col("__toks")) - (k - 1)).cast("long"))
+      .where(col("__k") >= 1)
+      .select(col(idCol), col("__k"), posexplode(expr(
+        s"transform(sequence(1, __k), i -> array_join(slice(__toks, i, $k), ' '))"))
+        .as(Seq("__p0", "__g")))
+      .select(col(idCol), col("__k"),
+        (col("__p0") + 1).cast("long").as("pos"),
+        md5(col("__g").cast("binary")).as("__h"))
+    val key = concat(col("__h"),
+      lpad((lit(1000000000000L) - col("pos")).cast("string"), 13, "0"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos")).rowsBetween(0, w - 1)
+    grams
+      .withColumn("__sel", min(key).over(win))
+      // window STARTS only: positions past __k − (w − 1) see truncated
+      // suffix windows whose minima the algorithm never selects (the
+      // greatest(…, 1) keeps the single whole-document window of a
+      // shorter-than-w doc)
+      .where(col("pos") <= greatest(col("__k") - (w - 1), lit(1L)))
+      .select(col(idCol),
+        substring(col("__sel"), 1, 32).as("fp_hash"),
+        (lit(1000000000000L) - substring(col("__sel"), 33, 13).cast("long"))
+          .as("fp_pos"))
+      .distinct()
+  }
+
+  /** Document pairs sharing winnowing fingerprints — the MOSS match
+    * report: candidates meet on the fingerprint hash (an equi-join on
+    * the digest, the LSH-bucket shape — never all-pairs), ubiquitous
+    * fingerprints are dropped first (a hash present in more than
+    * `maxDocFreq` documents is boilerplate by definition and would both
+    * explode the self-join and carry no discriminating signal — the
+    * MOSS "ignore over-common fingerprints" rule and this repo's
+    * hot-key discipline in one), and a pair survives with the count of
+    * DISTINCT shared fingerprint hashes ≥ `minShared`.
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 3, w: Int = 4, minShared: Long = 2L,
+                  maxDocFreq: Long = 50L): DataFrame = {
+    require(minShared >= 1, s"minShared=$minShared must be positive")
+    require(maxDocFreq >= 2, s"maxDocFreq=$maxDocFreq must allow a pair")
+    val fp = winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol).as("id"), col("fp_hash"))
+      // distinct (id, hash): a hash selected at several positions of one
+      // document is one vote, and the self-join must not multiply pairs
+      .distinct()
+      .localCheckpoint(true)
+    val rare = fp.groupBy(col("fp_hash"))
+      .agg(countDistinct(col("id")).as("__df"))
+      .where(col("__df") <= maxDocFreq)
+      .select(col("fp_hash"))
+    val kept = fp.join(rare, Seq("fp_hash"))
+    kept.as("a").join(kept.as("b"),
+        col("a.fp_hash") === col("b.fp_hash")
+          && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .where(col("shared_fp") >= minShared)
+  }
+
+  /** Deterministic in-batch-negatives layout — the dataloader shape
+    * contrastive retrieval/CLIP-style training actually consumes: the
+    * training pairs are dealt into fixed-size batches in
+    * content-addressed order (md5(id), id — the [[epochShuffle]] key),
+    * so within a batch every example's B−1 neighbors are its in-batch
+    * negatives, and the whole layout is a pure function of the corpus:
+    * reproducible across runs, engines, and partition layouts, and
+    * auditable (a given doc's batch assignment is recomputable).
+    *
+    * Scale shape: ONE [[graft.ops.ScaleOps.globalRunningTotal]]
+    * prefix-sum pass — never a corpus-wide row_number window; batch and
+    * slot are integer arithmetic off the rank. The tail batch may be
+    * short (its examples simply have fewer negatives), the standard
+    * drop-last-or-pad decision left to the caller.
+    *
+    * @return input columns + (batch_id 0.., slot 0..batchSize−1)
+    */
+  def contrastiveBatches(pairs: DataFrame, idCol: String,
+                         batchSize: Int): DataFrame = {
+    require(batchSize >= 2,
+      s"batchSize=$batchSize needs at least one in-batch negative")
+    val base = pairs.withColumn("__h", md5(col(idCol).cast("string")))
+    graft.ops.ScaleOps.globalRunningTotal(base,
+      Seq(col("__h"), col(idCol)), lit(1L))
+      .withColumn("batch_id",
+        CoreOps.integralDiv(col("cum") - 1, batchSize.toLong))
+      .withColumn("slot", (col("cum") - 1) % batchSize)
+      .drop("__h", "cum")
+  }
+
   /** Cross-document repeated-span profile — the exact-substring-duplication
     * signal of "Deduplicating Training Data Makes Language Models Better"
     * (Lee et al. 2022), at word-n-gram granularity: for each document, how

@@ -1278,6 +1278,29 @@ class PlanSpec extends SparkTestBase {
       s"the quota rank must come from the prefix sum:\n$plan")
   }
 
+  test("winnow_pairs: candidates meet on the digest — no cartesian, no gram text in exchanges") {
+    // The MOSS match join is an equi-join on the fingerprint hash (the
+    // LSH-bucket shape); gram text must be digested in the scan
+    // projection and never partition — or ride — an exchange.
+    val plan = executedSimple(SparkEntry.queries("winnow_pairs")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    "Exchange [^\\n]*".r.findAllIn(plan).foreach { ex =>
+      assert(!ex.contains("array_join"),
+        s"gram text must not cross an exchange:\n$ex")
+    }
+  }
+
+  test("contrastive_batches: the deal rides the prefix sum — only bounded windows") {
+    val plan = executedSimple(
+      SparkEntry.queries("contrastive_batches")(spark, sf))
+    val windows = "Window \\[".r.findAllIn(plan).size
+    val bounded = "Window \\[[^\\n]*(__pid|__n)".r.findAllIn(plan).size
+    assert(windows === bounded,
+      s"unexpected raw-row window ($bounded of $windows):\n$plan")
+    assert(!plan.contains("row_number"),
+      s"batch/slot must come from the prefix sum, not a rank:\n$plan")
+  }
+
   test("distinct_ngram_ratio: only gram digests cross the exchange") {
     // The gram text is md5-digested in the scan projection (the repo's
     // digest discipline): no exchange may partition on — or carry — the

@@ -1128,6 +1128,70 @@ class CorpusOpsSpec extends SparkTestBase {
       CorpusOps.mixtureInterleave(docs, "id", "s", Seq("a" -> 0L)))
   }
 
+  test("winnowFingerprints: matches a driver replay; the w+k-1 guarantee holds") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y z a b c d e f q r"), // shares the 6-word run "a b c d e f"
+      (3L, "p q"), // shorter than k: no grams, no fingerprints
+      (4L, "m n o")) // one gram: the single whole-doc window
+      .toDF("id", "text")
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def replay(text: String): Set[(String, Long)] = {
+      val toks = text.split(" ", -1)
+      if (toks.length < 3) return Set.empty
+      val hs = toks.sliding(3).map(_.mkString(" ")).zipWithIndex
+        .map { case (g, i) => (md5hex(g), (i + 1).toLong) }.toVector
+      (1 to math.max(hs.length - 3, 1)).map { s0 =>
+        hs.slice(s0 - 1, math.min(s0 + 3, hs.length))
+          .minBy { case (h, p) => (h, -p) }
+      }.toSet
+    }
+    val got = CorpusOps.winnowFingerprints(docs, "id", "text", k = 3, w = 4)
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    val want = Map(
+      1L -> replay("a b c d e f g h"),
+      2L -> replay("x y z a b c d e f q r"),
+      4L -> replay("m n o"))
+    assert(got === want)
+    assert(got(4L).size === 1) // single whole-doc window
+    // the winnowing guarantee: a shared run of w + k − 1 = 6 words
+    // yields at least one shared fingerprint HASH
+    assert(got(1L).map(_._1).intersect(got(2L).map(_._1)).nonEmpty)
+    // and winnowPairs surfaces exactly that pair at minShared = 1
+    val pairs = CorpusOps.winnowPairs(docs, "id", "text", k = 3, w = 4,
+      minShared = 1L, maxDocFreq = 50L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) === Seq((1L, 2L)))
+  }
+
+  test("contrastiveBatches: dense md5-ordered deal, replayed on the driver") {
+    val ids = (1L to 10L)
+    val df = ids.map(i => (i, s"doc $i")).toDF("id", "payload")
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val order = ids.sortBy(i => (md5hex(i.toString), i))
+    val want = order.zipWithIndex.map { case (id, r) =>
+      id -> ((r / 4).toLong, (r % 4).toLong)
+    }.toMap
+    val got = CorpusOps.contrastiveBatches(df, "id", batchSize = 4)
+      .select("id", "batch_id", "slot")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === want)
+    // pure function of the corpus: re-evaluation is identical
+    val again = CorpusOps.contrastiveBatches(df, "id", batchSize = 4)
+      .select("id", "batch_id", "slot")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(again === want)
+    intercept[IllegalArgumentException](
+      CorpusOps.contrastiveBatches(df, "id", batchSize = 1))
+  }
+
   test("bpeDecode: inverts bpeEncodeIds exactly; an unknown id fails loudly") {
     // "ab ab cd e" repeated forms: the merge loop realizes (a,b) at
     // least; whatever the model learns, decode ∘ encode must rebuild
