@@ -3388,6 +3388,19 @@ object SparkEntry {
       TextFunctions.withQualityColumns(Tables.documents(s, d), "text")
         .select("doc_id", "n_tokens", "stop_ratio", "digit_ratio", "quality")
         .orderBy("doc_id")),
+    // Quality-score drift per language between corpus halves — the
+    // text-feature drift monitor (the embed_drift_psi analog on the
+    // cheap features): integer-binned 4-dp scores, Laplace-smoothed
+    // micro-unit PSI terms, oracle replays the whole quality pipeline
+    // AND the PSI arithmetic term-for-term.
+    "quality_drift_psi" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      CorpusOps.qualityDriftPsi(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0),
+        docs.where(pmod(col("doc_id"), lit(2)) === 1),
+        "text", "lang")
+        .orderBy("lang")
+    }),
     // Gopher-style within-document repetition filters: duplicate-token and
     // duplicate-bigram fractions (per-row expressions) + most-frequent-
     // token dominance (explode + two hash-aggs).
@@ -8568,6 +8581,36 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, stop_ratio, digit_ratio,
         |  floor((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5 + stop_ratio * 0.3 + (1.0 - digit_ratio) * 0.2) * 10000 + 0.5) / 10000 AS quality
         |FROM r ORDER BY doc_id""".stripMargin,
+    // Quality replay (the model_quality_gate stages, 4-dp stage rounding
+    // included) + integer binning + the embed_drift_psi PSI arithmetic.
+    "quality_drift_psi" ->
+      """WITH t0 AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','and','of','to'], t))) AS BIGINT) AS hits,
+        |    length(text) AS lc,
+        |    length(regexp_replace(text, '[0-9]', '', 'g')) AS lnd
+        |  FROM documents WHERE lang IS NOT NULL),
+        |r AS (SELECT doc_id, lang, n_tokens,
+        |    floor((CAST(hits AS DOUBLE) / greatest(n_tokens, 1)) * 10000 + 0.5) / 10000 AS stop_ratio,
+        |    floor((CASE WHEN lc = 0 THEN 0.0 ELSE CAST(lc - lnd AS DOUBLE) / lc END) * 10000 + 0.5) / 10000 AS digit_ratio
+        |  FROM t0),
+        |q AS (SELECT doc_id, lang,
+        |    least((CAST(floor((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5 + stop_ratio * 0.3 + (1.0 - digit_ratio) * 0.2) * 10000 + 0.5) AS BIGINT) * 20) // 10000, 19) AS bin
+        |  FROM r),
+        |ha AS (SELECT lang, bin, CAST(count(*) AS BIGINT) AS ca FROM q WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |hb AS (SELECT lang, bin, CAST(count(*) AS BIGINT) AS cb FROM q WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+        |j AS (SELECT lang, bin, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |  FROM ha FULL OUTER JOIN hb USING (lang, bin)),
+        |tt AS (SELECT lang, CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+        |    CAST(count(*) AS BIGINT) AS n_bins FROM j GROUP BY 1),
+        |terms AS (SELECT j.lang,
+        |    CAST(floor((CAST(ca + 1 AS DOUBLE) / (na + n_bins) - CAST(cb + 1 AS DOUBLE) / (nb + n_bins))
+        |      * ln((CAST(ca + 1 AS DOUBLE) / (na + n_bins)) / (CAST(cb + 1 AS DOUBLE) / (nb + n_bins))) * 1000000 + 0.5) AS BIGINT) AS tm,
+        |    n_bins, na, nb
+        |  FROM j JOIN tt USING (lang))
+        |SELECT lang, min(n_bins) AS n_bins, min(na) AS n_a, min(nb) AS n_b,
+        |  floor((CAST(sum(tm) AS DOUBLE) / 1000000) * 10000 + 0.5) / 10000 AS psi
+        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
     "repetition_signals" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,

@@ -571,6 +571,64 @@ object CorpusOps {
         .as("gram"))
   }
 
+  /** Quality-score drift monitor — the TEXT-feature analog of
+    * [[graft.ops.EmbeddingOps.embeddingDriftPsi]]: Population Stability
+    * Index per stratum between two corpus snapshots, over the heuristic
+    * quality score ([[TextFunctions.withQualityColumns]]) binned into 20
+    * fixed-width cells. The ingest-gate dashboard row that catches "this
+    * crawl snapshot changed character" from the cheap text features,
+    * before any embedding or model does.
+    *
+    * Determinism: the 4-dp score is re-quantized to q·10⁴ BEFORE
+    * binning, so the bin edge is integer arithmetic (`q10k·20 div 10⁴`,
+    * capped at 19) — never a float multiply two engines must round
+    * identically at a boundary. PSI terms are Laplace-smoothed and
+    * micro-quantized before the per-stratum integer sum (the
+    * [[graft.ops.EmbeddingOps.embeddingDriftPsi]] discipline).
+    *
+    * Scale shape: one fact-scale hash aggregate per side onto the
+    * (stratum, 20-bin) histogram — everything downstream is
+    * histogram-bounded; the joined histogram materializes once (rule
+    * (g): it feeds the totals and the term join).
+    *
+    * @return per stratum: (strataCol, n_bins — realized, n_a, n_b,
+    *         psi 4-dp); PSI < 0.1 is the conventional "stable" band
+    */
+  def qualityDriftPsi(a: DataFrame, b: DataFrame, textCol: String,
+                      strataCol: String): DataFrame = {
+    import CoreOps.rnd
+    def hist(df: DataFrame, cnt: String): DataFrame =
+      TextFunctions
+        .withQualityColumns(df.where(col(strataCol).isNotNull), textCol)
+        .select(col(strataCol).as("__s"),
+          least(CoreOps.integralDiv(
+            floor(col("quality") * 10000 + 0.5).cast("long") * 20, 10000L),
+            lit(19L)).as("bin"))
+        .groupBy(col("__s"), col("bin")).agg(count(lit(1)).as(cnt))
+    val joined = hist(a, "__ca")
+      .join(hist(b, "__cb"), Seq("__s", "bin"), "full_outer")
+      .select(col("__s"), col("bin"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+      .localCheckpoint(true)
+    val tot = joined.groupBy(col("__s"))
+      .agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"),
+        count(lit(1)).as("n_bins"))
+    val qa = (col("__ca") + 1).cast("double") /
+      (col("__na") + col("n_bins")).cast("double")
+    val qb = (col("__cb") + 1).cast("double") /
+      (col("__nb") + col("n_bins")).cast("double")
+    joined.join(tot, Seq("__s"))
+      .withColumn("__t",
+        floor((qa - qb) * log(qa / qb) * 1000000 + 0.5).cast("long"))
+      .groupBy(col("__s"))
+      .agg(min(col("n_bins")).as("n_bins"), min(col("__na")).as("n_a"),
+        min(col("__nb")).as("n_b"),
+        rnd(sum(col("__t")).cast("double") / 1000000.0).as("psi"))
+      .select(col("__s").as(strataCol), col("n_bins"), col("n_a"),
+        col("n_b"), col("psi"))
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 —
     * the MOSS algorithm): per document, the word-k-gram hash stream is
     * scanned with a window of `w` consecutive hashes and each window

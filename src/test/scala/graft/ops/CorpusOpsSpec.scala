@@ -1128,6 +1128,25 @@ class CorpusOpsSpec extends SparkTestBase {
       CorpusOps.mixtureInterleave(docs, "id", "s", Seq("a" -> 0L)))
   }
 
+  test("qualityDriftPsi: identical snapshots read zero; a shifted snapshot reads positive") {
+    val a = Seq((1L, "en", "the a and of to"), (2L, "en", "x y z"),
+      (3L, "de", "the quick brown fox"), (4L, null.asInstanceOf[String], "dropped"))
+      .toDF("id", "lang", "text")
+    // same distribution on both sides: every (pa − pb) term is exactly 0
+    val same = CorpusOps.qualityDriftPsi(a, a, "text", "lang")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(same.nonEmpty)
+    assert(same.forall(_._5 == 0.0), same.mkString(", "))
+    // NULL strata never contribute
+    assert(!same.exists(_._1 == null))
+    // a digit-heavy, stopword-free snapshot shifts the quality bins
+    val b = Seq((1L, "en", "9 9 9 9 9 9"), (2L, "en", "99 98 97"),
+      (3L, "de", "1 2 3 4 5 6 7 8 9")).toDF("id", "lang", "text")
+    val drift = CorpusOps.qualityDriftPsi(a, b, "text", "lang")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(drift.forall(_._5 > 0.0), drift.mkString(", "))
+  }
+
   test("winnowFingerprints: matches a driver replay; the w+k-1 guarantee holds") {
     val docs = Seq(
       (1L, "a b c d e f g h"),
