@@ -1037,6 +1037,60 @@ object SparkEntry {
       (mt, pt)
     })
 
+  /** The WINNOWING tier's persisted state — the fifth dedup modality's
+    * incremental layout, symmetric to [[neardupState]]: the even-half
+    * fingerprint manifest bucketed on the hash (the probe join's key),
+    * the over-common-hash blocklist FROZEN at build time (the
+    * production MOSS posture — and what makes incremental == full an
+    * exact identity; see
+    * [[graft.ops.CorpusOps.incrementalWinnowPairsOnState]]), and the
+    * known pair list.
+    */
+  private val winnowStateCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String),
+      (String, String, String)]
+
+  /** @return (bucketed fingerprint-manifest table, frozen blocklist
+    *         table, known verified-pairs table) */
+  private def winnowState(s: SparkSession,
+                          d: String): (String, String, String) =
+    winnowStateCache.getOrElseUpdate((s.sparkContext.applicationId, d), {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val mt = s"graft_winnow_manifest_$tag"
+      val bt = s"graft_winnow_block_$tag"
+      val pt = s"graft_winnow_pairs_$tag"
+      val fps = CorpusOps.winnowFingerprints(
+        Tables.documents(s, d).where(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text", k = 3, w = 4)
+        .select(col("doc_id").as("id"), col("fp_hash")).distinct()
+        .localCheckpoint(true)
+      Seq(bt, pt).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), t)
+        loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(loc, true)
+      }
+      fps.groupBy(col("fp_hash"))
+        .agg(countDistinct(col("id")).as("__df"))
+        .where(col("__df") > 50).select(col("fp_hash"))
+        .write.saveAsTable(bt)
+      ScaleOps.writeBucketed(
+        fps.join(s.table(bt), Seq("fp_hash"), "left_anti")
+          .repartition(8, col("fp_hash")),
+        mt, Seq("fp_hash"), buckets = 8)
+      val m = s.table(mt)
+      m.as("a").join(m.as("b"),
+          col("a.fp_hash") === col("b.fp_hash")
+            && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("shared_fp"))
+        .where(col("shared_fp") >= 2L)
+        .write.saveAsTable(pt)
+      Dedup.unpersistCheckpoint(fps)
+      (mt, bt, pt)
+    })
+
   /** The ANN serving tier's persisted state, symmetric to the dedup
     * manifests: a codebook trained ONCE on the even-id half plus that
     * half's posting rows as a cell-bucketed table — what an inverted-file
@@ -5196,6 +5250,24 @@ object SparkEntry {
       CorpusOps.winnowPairs(Tables.documents(s, d), "doc_id", "text",
         k = 3, w = 4, minShared = 2L, maxDocFreq = 50L)
         .orderBy("id_a", "id_b")),
+    // The fifth modality's incremental layout: odd-half fingerprints
+    // probe the persisted hash-bucketed manifest + frozen blocklist +
+    // read-back pair list — the even half is never re-winnowed, never
+    // re-self-joined. The frozen-blocklist semantics make
+    // incremental == full an EXACT identity (the per-snapshot df cut
+    // would be anti-monotone under appends), and the oracle replays the
+    // whole thing: all five dedup modalities (MinHash, SimHash, cosine,
+    // frames, winnowing) now carry persisted incremental state.
+    "incremental_winnow_persisted" -> ((s, d) => {
+      val (mt, bt, pt) = winnowState(s, d)
+      val batchFp = CorpusOps.winnowFingerprints(
+        Tables.documents(s, d).where(pmod(col("doc_id"), lit(2)) === 1),
+        "doc_id", "text", k = 3, w = 4)
+        .select(col("doc_id").as("id"), col("fp_hash"))
+      CorpusOps.incrementalWinnowPairsOnState(batchFp, s.table(mt),
+        s.table(bt), s.table(pt), minShared = 2L)
+        .orderBy("id_a", "id_b")
+    }),
     // The EXCISION half of the same method: first global occurrence of
     // each duplicated 15-token span survives, later occurrences mark
     // their token ranges, position-level union excises them, documents
@@ -9604,6 +9676,22 @@ object SparkEntry {
         |    SELECT fp_hash, count(DISTINCT doc_id) AS df FROM fpd GROUP BY 1)
         |  WHERE df <= 50),
         |kept AS (SELECT fpd.doc_id, fpd.fp_hash FROM fpd JOIN rare USING (fp_hash))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(count(*) AS BIGINT) AS shared_fp
+        |FROM kept a JOIN kept b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b""".stripMargin),
+    // Incremental replay: the SAME full-corpus pair set, with the
+    // over-common cut frozen to the even half (the state-build corpus) —
+    // exactly the engine's manifest + blocklist + known-pairs union.
+    "incremental_winnow_persisted" -> (winnowFpCte +
+      """,
+        |fpd AS (SELECT DISTINCT doc_id, fp_hash FROM fp),
+        |blk AS (SELECT fp_hash FROM (
+        |    SELECT fp_hash, count(DISTINCT doc_id) AS df FROM fpd
+        |    WHERE doc_id % 2 = 0 GROUP BY 1)
+        |  WHERE df > 50),
+        |kept AS (SELECT doc_id, fp_hash FROM fpd
+        |  WHERE fp_hash NOT IN (SELECT fp_hash FROM blk))
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(count(*) AS BIGINT) AS shared_fp
         |FROM kept a JOIN kept b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id

@@ -722,6 +722,56 @@ object CorpusOps {
       .where(col("shared_fp") >= minShared)
   }
 
+  /** The winnowing tier's persisted-state probe — the fifth dedup
+    * modality joins the incremental family: a new batch's fingerprints
+    * probe the PERSISTED fingerprint manifest (bucketed on the hash for
+    * the exchange-free read) instead of re-winnowing the existing
+    * corpus, known pairs are read back (plain storage, only unioned),
+    * and the union of known + batch-internal + cross pairs equals a
+    * full run over the whole corpus.
+    *
+    * Semantics note (deliberate, documented): the over-common-hash cut
+    * is a FROZEN blocklist computed when the state was built — the
+    * production MOSS posture (the ignore-list is derived from the
+    * reference corpus and applied to submissions), and the choice that
+    * makes incremental == full an exact identity. [[winnowPairs]]'
+    * snapshot-global `maxDocFreq` re-derives the cut per run, so a
+    * growing corpus could RETIRE a hash — an anti-monotone edit no
+    * append-only layout can reproduce.
+    *
+    * @param batchFp    [[winnowFingerprints]] of the new batch,
+    *                   projected to (id, fp_hash)
+    * @param manifest   persisted (id, fp_hash) rows of the existing
+    *                   corpus, blocklist-free by construction
+    * @param blocklist  (fp_hash) rows frozen at state build
+    * @param knownPairs (id_a, id_b, shared_fp) read back from the
+    *                   prior run
+    */
+  def incrementalWinnowPairsOnState(batchFp: DataFrame, manifest: DataFrame,
+                                    blocklist: DataFrame,
+                                    knownPairs: DataFrame,
+                                    minShared: Long = 2L): DataFrame = {
+    require(minShared >= 1, s"minShared=$minShared must be positive")
+    // one distinct (id, hash) frame feeds BOTH the cross probe and the
+    // internal self-join (rule (g))
+    val kept = batchFp.select(col("id"), col("fp_hash")).distinct()
+      .join(blocklist, Seq("fp_hash"), "left_anti")
+      .localCheckpoint(true)
+    val cross = kept.as("a").join(manifest.as("b"),
+        col("a.fp_hash") === col("b.fp_hash"))
+      .groupBy(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .where(col("shared_fp") >= minShared)
+    val internal = kept.as("a").join(kept.as("b"),
+        col("a.fp_hash") === col("b.fp_hash") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .where(col("shared_fp") >= minShared)
+    knownPairs.select(col("id_a"), col("id_b"), col("shared_fp"))
+      .unionByName(internal).unionByName(cross)
+  }
+
   /** Deterministic in-batch-negatives layout — the dataloader shape
     * contrastive retrieval/CLIP-style training actually consumes: the
     * training pairs are dealt into fixed-size batches in

@@ -1290,6 +1290,19 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("incremental_winnow_persisted: batch fingerprints enter once; manifest reads bucketed") {
+    // The batch's distinct (id, hash) rows materialize once for the
+    // cross probe AND the internal self-join; the persisted manifest
+    // reads through its fp_hash bucket layout.
+    val df = SparkEntry.queries("incremental_winnow_persisted")(spark, sf)
+    val plan = executedSimple(df)
+    val planF = df.queryExecution.explainString(FormattedMode)
+    assert(plan.contains("ExistingRDD"),
+      s"batch fingerprints must enter as the one checkpoint:\n$plan")
+    assert(planF.contains("Bucketed: true"),
+      s"manifest scan must use the bucket layout:\n$planF")
+  }
+
   test("contrastive_batches: the deal rides the prefix sum — only bounded windows") {
     val plan = executedSimple(
       SparkEntry.queries("contrastive_batches")(spark, sf))

@@ -1186,6 +1186,48 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(pairs.map(p => (p._1, p._2)) === Seq((1L, 2L)))
   }
 
+  test("incrementalWinnowPairsOnState: union equals the frozen-blocklist full run") {
+    // docs 2/4 (even) are the existing corpus, 1/3 (odd) the batch;
+    // doc 1 duplicates doc 2, and docs 2/4 share the "a b c d e f" run
+    // whose fingerprints a df>1 blocklist freezes OUT — the cut must
+    // bite identically on the incremental and the full spelling
+    val docs = Seq(
+      (2L, "a b c d e f g h"),
+      (4L, "x y z a b c d e f q r"),
+      (1L, "a b c d e f g h"),
+      (3L, "m n o p q r s t u v")).toDF("id", "text")
+    val even = docs.where($"id" % 2 === 0)
+    val fpsE = CorpusOps.winnowFingerprints(even, "id", "text")
+      .select($"id", $"fp_hash").distinct()
+    val blk = fpsE.groupBy("fp_hash")
+      .agg(countDistinct($"id").as("df")).where($"df" > 1)
+      .select("fp_hash")
+    val manifest = fpsE.join(blk, Seq("fp_hash"), "left_anti")
+    def pairsOf(fps: org.apache.spark.sql.DataFrame) =
+      fps.as("a").join(fps.as("b"),
+          $"a.fp_hash" === $"b.fp_hash" && $"a.id" < $"b.id")
+        .groupBy($"a.id".as("id_a"), $"b.id".as("id_b"))
+        .agg(count(lit(1)).as("shared_fp"))
+        .where($"shared_fp" >= 1)
+    val known = pairsOf(manifest)
+    val batchFp = CorpusOps.winnowFingerprints(
+      docs.where($"id" % 2 === 1), "id", "text")
+      .select($"id", $"fp_hash")
+    val got = CorpusOps.incrementalWinnowPairsOnState(batchFp, manifest,
+      blk, known, minShared = 1L)
+      .as[(Long, Long, Long)].collect().toSet
+    val full = pairsOf(CorpusOps.winnowFingerprints(docs, "id", "text")
+        .select($"id", $"fp_hash").distinct()
+        .join(blk, Seq("fp_hash"), "left_anti"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === full)
+    // the duplicate pair survives through its un-blocked fingerprints
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L))
+    // the blocklist bit: 2-4 may only pair through non-frozen hashes
+    val blocked = blk.as[String].collect().toSet
+    assert(blocked.nonEmpty)
+  }
+
   test("contrastiveBatches: dense md5-ordered deal, replayed on the driver") {
     val ids = (1L to 10L)
     val df = ids.map(i => (i, s"doc $i")).toDF("id", "payload")
