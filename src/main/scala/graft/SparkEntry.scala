@@ -5268,6 +5268,60 @@ object SparkEntry {
         s.table(bt), s.table(pt), minShared = 2L)
         .orderBy("id_a", "id_b")
     }),
+    // The FIFTH streaming loop — every dedup modality now has one: the
+    // odd half arrives as three micro-batches, each winnows only ITS
+    // documents, probes the manifest-so-far under the frozen blocklist,
+    // emits only NEW pairs, and appends its (blocklist-filtered)
+    // fingerprints bucketed AFTER the emit. shared_fp counts are
+    // delivery-order-invariant: a pair is emitted exactly once, when
+    // its later document arrives, and by then the earlier document's
+    // fingerprints are all in the manifest — so the streamed union
+    // carries the same exact counts and grades against the SAME
+    // frozen-blocklist full-run oracle as the batch incremental.
+    "stream_winnow_incremental" -> ((s, d) => {
+      val (mt, bt, pt) = winnowState(s, d)
+      val run = streamRuns.incrementAndGet()
+      val mtS = s"graft_stream_wn_manifest_$run"
+      val outS = s"graft_stream_wn_pairs_$run"
+      Seq(outS).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), t)
+        loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(loc, true)
+      }
+      ScaleOps.writeBucketed(
+        s.table(mt).repartition(8, col("fp_hash")),
+        mtS, Seq("fp_hash"), buckets = 8)
+      s.table(pt).limit(0).write.saveAsTable(outS)
+      val src = s.readStream.schema(Tables.documents(s, d).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stagedSimhashBatches(s, d))
+      val q = graft.streaming.EventsStreaming
+        .foreachBatchWriter(src, identity) { (b, _) =>
+          val fp = CorpusOps.winnowFingerprints(b, "doc_id", "text",
+            k = 3, w = 4)
+            .select(col("doc_id").as("id"), col("fp_hash")).distinct()
+            .localCheckpoint(true)
+          try {
+            // knownPairs EMPTY per batch: emissions are new pairs only
+            CorpusOps.incrementalWinnowPairsOnState(fp, s.table(mtS),
+              s.table(bt), s.table(pt).limit(0), minShared = 2L)
+              .write.mode("append").saveAsTable(outS)
+            // state update AFTER the emit (a batch never probes its own
+            // rows), blocklist-filtered like the persisted manifest
+            ScaleOps.appendBucketed(
+              fp.join(s.table(bt), Seq("fp_hash"), "left_anti"),
+              mtS, Seq("fp_hash"), buckets = 8)
+            s.catalog.refreshTable(mtS)
+            s.catalog.refreshTable(outS)
+          } finally Dedup.unpersistCheckpoint(fp)
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(pt).select("id_a", "id_b", "shared_fp")
+        .unionByName(s.table(outS).select("id_a", "id_b", "shared_fp"))
+        .orderBy("id_a", "id_b")
+    }),
     // The EXCISION half of the same method: first global occurrence of
     // each duplicated 15-token span survives, later occurrences mark
     // their token ranges, position-level union excises them, documents
@@ -9684,6 +9738,21 @@ object SparkEntry {
     // over-common cut frozen to the even half (the state-build corpus) —
     // exactly the engine's manifest + blocklist + known-pairs union.
     "incremental_winnow_persisted" -> (winnowFpCte +
+      """,
+        |fpd AS (SELECT DISTINCT doc_id, fp_hash FROM fp),
+        |blk AS (SELECT fp_hash FROM (
+        |    SELECT fp_hash, count(DISTINCT doc_id) AS df FROM fpd
+        |    WHERE doc_id % 2 = 0 GROUP BY 1)
+        |  WHERE df > 50),
+        |kept AS (SELECT doc_id, fp_hash FROM fpd
+        |  WHERE fp_hash NOT IN (SELECT fp_hash FROM blk))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(count(*) AS BIGINT) AS shared_fp
+        |FROM kept a JOIN kept b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b""".stripMargin),
+    // streaming == batch-incremental == full under the same frozen cut:
+    // the loop's union grades against the identical replay.
+    "stream_winnow_incremental" -> (winnowFpCte +
       """,
         |fpd AS (SELECT DISTINCT doc_id, fp_hash FROM fp),
         |blk AS (SELECT fp_hash FROM (
