@@ -1289,6 +1289,7 @@ object SparkEntry {
         bpeModels.values.foreach { m =>
           Dedup.unpersistCheckpoint(m.merges)
           Dedup.unpersistCheckpoint(m.vocab)
+          Dedup.unpersistCheckpoint(m.baseChars)
         }
         bpeModels.clear()
       }),
@@ -2450,7 +2451,7 @@ object SparkEntry {
     "bpe_decode_roundtrip" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val dec = CorpusOps.bpeDecode(bpeEncoded(s, d), "doc_id",
-        CorpusOps.bpeTokenIdTable(docs, "text", bpeModel(s, d)))
+        CorpusOps.bpeTokenIdTable(bpeModel(s, d)))
       docs.select(col("doc_id"),
           translate(col("text"), " ", "").as("__exp"))
         .where(length(col("__exp")) > 0)

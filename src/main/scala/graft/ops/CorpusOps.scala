@@ -2414,15 +2414,32 @@ object CorpusOps {
     * bit-identical output. Retire the model by freeing `vocab`'s
     * checkpoint blocks with [[Dedup.unpersistCheckpoint]].
     */
-  case class BpeModel(merges: DataFrame, vocab: DataFrame)
+  /** @param baseChars the TRAINING corpus's distinct single-character
+    *                   words, frozen with the model — single-char words
+    *                   never enter the length≥2 vocabulary yet need ids,
+    *                   and deriving them from the ENCODE batch instead
+    *                   would let a new shard's novel character silently
+    *                   SHIFT every later token id (ids must be a
+    *                   property of the model, not of the batch; a novel
+    *                   symbol at encode time raises instead)
+    */
+  case class BpeModel(merges: DataFrame, vocab: DataFrame,
+                      baseChars: DataFrame)
 
   /** Run the BPE training loop and keep BOTH halves — see [[BpeModel]].
     * [[bpeTrainMerges]] is the merges-only convenience (it frees the
-    * vocabulary); this is the entry point for encode consumers.
+    * vocabulary); this is the entry point for encode consumers. Also
+    * freezes the base alphabet (see [[BpeModel.baseChars]]) — one
+    * alphabet-scale distinct over the training corpus, checkpointed so
+    * id-table consumers never re-scan the corpus.
     */
   def bpeTrain(df: DataFrame, textCol: String, rounds: Int): BpeModel = {
     val (merges, vocab) = bpeTrainLoop(df, textCol, rounds)
-    BpeModel(merges, vocab)
+    val baseChars = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("sym"))
+      .where(length(col("sym")) === 1).distinct()
+      .localCheckpoint(true)
+    BpeModel(merges, vocab, baseChars)
   }
 
   /** [[bpeEncodeStats]] against an already-trained [[BpeModel]] — the
@@ -2497,7 +2514,7 @@ object CorpusOps {
   def bpeEncodeIds(df: DataFrame, idCol: String, textCol: String,
                    model: BpeModel): DataFrame = {
     val formSyms = bpeFormSyms(model)
-    val ids = bpeTokenIdTable(df, textCol, model)
+    val ids = bpeTokenIdTable(model)
     val occ = df.select(col(idCol),
         posexplode(TextFunctions.tokens(col(textCol)))
           .as(Seq("__wp", "__w0")))
@@ -2537,22 +2554,21 @@ object CorpusOps {
       split(expr("substring(seg, 2, length(seg) - 2)"), "\\)\\(")
         .as("__syms"))
 
-  /** The deterministic symbol → token-id table for (corpus, model) —
+  /** The deterministic symbol → token-id table of a [[BpeModel]] —
     * exactly the assignment [[bpeEncodeIds]] encodes with, exposed so
     * [[bpeDecode]] inverts the SAME table (and a spec can audit it).
-    * Universe: every symbol surviving in the final vocabulary plus every
-    * single-character corpus word; order: first producing merge round
-    * (0 for base symbols), then the symbol. Vocabulary-bounded — the
-    * row_number window runs over the bounded symbol frame, never the
-    * corpus.
+    * Universe: every symbol surviving in the final vocabulary plus the
+    * model's FROZEN base alphabet ([[BpeModel.baseChars]]); order:
+    * first producing merge round (0 for base symbols), then the symbol.
+    * A pure function of the MODEL — encoding new shards can never shift
+    * a shipped id (a shard with an out-of-universe symbol raises in
+    * [[bpeEncodeIds]] instead). Vocabulary-bounded — the row_number
+    * window runs over the bounded symbol frame, never the corpus.
     */
-  def bpeTokenIdTable(df: DataFrame, textCol: String,
-                      model: BpeModel): DataFrame = {
+  def bpeTokenIdTable(model: BpeModel): DataFrame = {
     val vocabSyms = bpeFormSyms(model)
       .select(explode(col("__syms")).as("sym")).distinct()
-    val charSyms = df
-      .select(explode(TextFunctions.tokens(col(textCol))).as("sym"))
-      .where(length(col("sym")) === 1).distinct()
+    val charSyms = model.baseChars.select(col("sym"))
     val mergeRounds = model.merges
       .select(col("merged").as("sym"), col("round"))
       .groupBy(col("sym")).agg(min(col("round")).as("__mrnd"))
@@ -2580,7 +2596,7 @@ object CorpusOps {
     * length (the [[bpeEncodeIds]] reassembly contract).
     *
     * @param encoded [[bpeEncodeIds]] output: (idCol, n_tokens, token_ids)
-    * @param ids     [[bpeTokenIdTable]] for the same (corpus, model)
+    * @param ids     [[bpeTokenIdTable]] of the same model
     * @return (idCol, decoded) — whitespace-free reconstructed text
     */
   def bpeDecode(encoded: DataFrame, idCol: String,

@@ -1128,6 +1128,36 @@ class CorpusOpsSpec extends SparkTestBase {
       CorpusOps.mixtureInterleave(docs, "id", "s", Seq("a" -> 0L)))
   }
 
+  test("bpeTokenIdTable: ids are a property of the MODEL — new shards cannot shift them") {
+    // the shipped-tokenizer contract: the id table derives from the
+    // trained model's frozen universe (vocab symbols + training-corpus
+    // base alphabet), so encoding ANY later shard reuses identical ids
+    val train = Seq((1L, "ab ab cd e"), (2L, "ab e e")).toDF("id", "text")
+    val model = CorpusOps.bpeTrain(train, "text", rounds = 4)
+    val ids1 = CorpusOps.bpeTokenIdTable(model)
+      .as[(String, Int)].collect().toMap
+    val ids2 = CorpusOps.bpeTokenIdTable(model)
+      .as[(String, Int)].collect().toMap
+    assert(ids1 === ids2)
+    // a shard inside the universe encodes against the SAME table
+    val shard = Seq((9L, "ab e")).toDF("id", "text")
+    val enc = CorpusOps.bpeEncodeIds(shard, "id", "text", model)
+    val dec = CorpusOps.bpeDecode(enc, "id",
+      CorpusOps.bpeTokenIdTable(model))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dec === Map(9L -> "abe"))
+    // a shard with a NOVEL single-character word raises loudly — before
+    // the freeze it would have silently entered the universe and
+    // SHIFTED every lexicographically-later id
+    val novel = Seq((10L, "ab z")).toDF("id", "text")
+    val e = intercept[Exception](
+      CorpusOps.bpeEncodeIds(novel, "id", "text", model).collect())
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c => Option(c.getMessage)
+      .exists(_.contains("not in the model's vocabulary"))), s"got: $e")
+  }
+
   test("qualityDriftPsi: identical snapshots read zero; a shifted snapshot reads positive") {
     val a = Seq((1L, "en", "the a and of to"), (2L, "en", "x y z"),
       (3L, "de", "the quick brown fox"), (4L, null.asInstanceOf[String], "dropped"))
@@ -1260,7 +1290,7 @@ class CorpusOpsSpec extends SparkTestBase {
     val docs = Seq((1L, "ab ab cd e"), (2L, "ab e e"), (3L, "   "))
       .toDF("id", "text")
     val model = CorpusOps.bpeTrain(docs, "text", rounds = 4)
-    val ids = CorpusOps.bpeTokenIdTable(docs, "text", model)
+    val ids = CorpusOps.bpeTokenIdTable(model)
     val enc = CorpusOps.bpeEncodeIds(docs, "id", "text", model)
     val dec = CorpusOps.bpeDecode(enc, "id", ids)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
