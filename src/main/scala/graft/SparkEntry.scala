@@ -1309,6 +1309,31 @@ object SparkEntry {
     * Unique query names keep bench re-runs from colliding on the temp
     * view.
     */
+  /** Materialize a streaming loop's RESULT eagerly, then drop the
+    * loop's per-run working tables. Each loop creates up to three
+    * warehouse tables per invocation (manifest-so-far, corpus-so-far,
+    * emissions) under a fresh run counter — left behind, they
+    * accumulate across bench re-runs and JVMs, and the loops' own
+    * saveAsTable/catalog operations degrade against the growing
+    * warehouse (measured on the r13 record: ~200 stale dirs pushed
+    * stream_cosine_incremental to 1.6× its isolated cost; a clean
+    * warehouse reads 0.9×). The eager localCheckpoint pins the result
+    * rows before the tables vanish; blocks are pair-scale and freed by
+    * the ContextCleaner like every other checkpoint.
+    */
+  private def materializeAndDropTables(s: SparkSession, df: DataFrame,
+                                       tables: String*): DataFrame = {
+    val out = df.localCheckpoint(true)
+    tables.foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), t)
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+    }
+    out
+  }
+
   private def runStreamToTable(s: SparkSession, df: DataFrame, name: String,
       mode: org.apache.spark.sql.streaming.OutputMode =
         org.apache.spark.sql.streaming.OutputMode.Append): DataFrame = {
@@ -3645,9 +3670,11 @@ object SparkEntry {
           } finally Dedup.unpersistCheckpoint(bb)
         }.start()
       try q.processAllAvailable() finally q.stop()
-      s.table(pt).select("id_a", "id_b", "shared", "jaccard")
-        .unionByName(
-          s.table(outS).select("id_a", "id_b", "shared", "jaccard"))
+      materializeAndDropTables(s,
+        s.table(pt).select("id_a", "id_b", "shared", "jaccard")
+          .unionByName(
+            s.table(outS).select("id_a", "id_b", "shared", "jaccard")),
+        mtS, corpusS, outS)
         .orderBy("id_a", "id_b")
     }),
     // MinHash estimator quality, oracle-gated: DuckDB recomputes the
@@ -3773,8 +3800,10 @@ object SparkEntry {
           } finally Dedup.unpersistCheckpoint(bb)
         }.start()
       try q.processAllAvailable() finally q.stop()
-      s.table(pt).select("id_a", "id_b", "hamming")
-        .unionByName(s.table(outS).select("id_a", "id_b", "hamming"))
+      materializeAndDropTables(s,
+        s.table(pt).select("id_a", "id_b", "hamming")
+          .unionByName(s.table(outS).select("id_a", "id_b", "hamming")),
+        mtS, outS)
         .orderBy("id_a", "id_b")
     }),
     // SimHash quality companion, oracle-gated end to end: the SAME
@@ -3996,8 +4025,10 @@ object SparkEntry {
         }.start()
       try q.processAllAvailable() finally q.stop()
       graft.multimodal.MultimodalOps.decodeFramePairKeys(
-        s.table(pt).select("id_a", "id_b", "hamming")
-          .unionByName(s.table(outS).select("id_a", "id_b", "hamming")),
+        materializeAndDropTables(s,
+          s.table(pt).select("id_a", "id_b", "hamming")
+            .unionByName(s.table(outS).select("id_a", "id_b", "hamming")),
+          mtS, outS),
         everyMs = 60000L)
         .orderBy("media_a", "frame_a_ms", "media_b", "frame_b_ms")
     }),
@@ -4756,9 +4787,10 @@ object SparkEntry {
           } finally Dedup.unpersistCheckpoint(bb)
         }.start()
       try q.processAllAvailable() finally q.stop()
-      val streamed = s.table(pt).select("id_a", "id_b", "cos_sim")
-        .unionByName(s.table(outS).select("id_a", "id_b", "cos_sim"))
-        .localCheckpoint(true)
+      val streamed = materializeAndDropTables(s,
+        s.table(pt).select("id_a", "id_b", "cos_sim")
+          .unionByName(s.table(outS).select("id_a", "id_b", "cos_sim")),
+        mtS, corpusS, outS)
       val (truthPairs, full) = cosineTruthAndFull(s, d)
       val truth = truthPairs
         .select(col("id_a"), col("id_b"), lit(1).as("__t"))
@@ -5319,8 +5351,10 @@ object SparkEntry {
           } finally Dedup.unpersistCheckpoint(fp)
         }.start()
       try q.processAllAvailable() finally q.stop()
-      s.table(pt).select("id_a", "id_b", "shared_fp")
-        .unionByName(s.table(outS).select("id_a", "id_b", "shared_fp"))
+      materializeAndDropTables(s,
+        s.table(pt).select("id_a", "id_b", "shared_fp")
+          .unionByName(s.table(outS).select("id_a", "id_b", "shared_fp")),
+        mtS, outS)
         .orderBy("id_a", "id_b")
     }),
     // The EXCISION half of the same method: first global occurrence of
