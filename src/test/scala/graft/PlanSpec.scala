@@ -30,14 +30,16 @@ class PlanSpec extends SparkTestBase {
     df
   }
 
-  private def simpleOf(df: DataFrame): String = {
-    val s = df.queryExecution.explainString(SimpleMode)
-    // AQE prints "== Final Plan ==" followed by "== Initial Plan ==";
-    // assertions must read only the final one or every operator counts
-    // twice.
+  // AQE prints "== Final Plan ==" followed by "== Initial Plan ==";
+  // assertions must read only the final one or every operator counts
+  // twice.
+  private def stripInitialPlan(s: String): String = {
     val initial = s.indexOf("== Initial Plan ==")
     if (initial >= 0) s.substring(0, initial) else s
   }
+
+  private def simpleOf(df: DataFrame): String =
+    stripInitialPlan(df.queryExecution.explainString(SimpleMode))
 
   private def executedSimple(df: DataFrame): String = simpleOf(executed(df))
 
@@ -1189,18 +1191,27 @@ class PlanSpec extends SparkTestBase {
       s"manifest scan must use the bucket layout:\n$planF")
   }
 
-  test("incremental_ivf_append: cells read from the stored postings, queries broadcast") {
+  test("incremental_ivf_append: cells read from the stored postings, queries broadcast, work table dropped") {
     // The serving probe must join the tiny (qid × nprobe) side broadcast
     // against the posting TABLE — cells come from storage (the append
     // contract), never a re-assignment of the existing corpus, and
-    // nothing in the plan may fall back to a cartesian scan.
+    // nothing in the plan may fall back to a cartesian scan. The query
+    // is self-cleaning: the returned frame is the materialized
+    // checkpoint, so the serving-plan assertions read the explains the
+    // query captured BEFORE dropping its per-run working table — and the
+    // warehouse must come back without any graft_ivf_work_* dir.
     val df = SparkEntry.queries("incremental_ivf_append")(spark, sf)
-    val plan = executedSimple(df)
+    assert(df.count() > 0)
+    val plan = stripInitialPlan(
+      SparkEntry.capturedPlans("incremental_ivf_append.simple"))
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
-    val planF = df.queryExecution.explainString(FormattedMode)
+    val planF = SparkEntry.capturedPlans("incremental_ivf_append.formatted")
     assert(planF.contains("graft_ivf_work"),
       s"serving must read the grown posting table:\n$planF")
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("graft_ivf_work")),
+      "self-cleaning contract: no graft_ivf_work_* table may survive the run")
   }
 
   test("nb_lang_classify: model probes broadcast, class fan-out is the bounded nested loop") {
