@@ -3308,6 +3308,14 @@ object SparkEntry {
     // occurrence survives) → near-dup REMOVAL at 0.8 on the excised
     // text (LSH-verified pairs → connected components → canonical keep;
     // the oracle's exhaustive pair set doubles as an LSH recall gate) →
+    // MOSS-match removal (winnowing, the POSITIONAL fifth modality: a
+    // doc sharing ANY rare fingerprint with an EARLIER survivor drops.
+    // minShared=1 — NOT the report tier's 2 — because this stage runs
+    // after 15-gram excision and 0.8 near-dup removal, so what's left
+    // to catch is exactly the 6–14-token shared run (w+k−1=6 is the
+    // winnowing detection guarantee) too short for excision and too
+    // small for jaccard; at 2 the stage provably never fires on what
+    // the upstream stages already cleaned) →
     // decontamination against the held-out eval slice (8-gram overlap;
     // eval never enters the pipeline corpus) → quality gate (≥ 0.4 on
     // the excised text) → content-addressed split → per-(lang, split)
@@ -3346,8 +3354,17 @@ object SparkEntry {
         Dedup.verifiedNearDupPairs(excised, "doc_id", "text_dedup",
           threshold = 0.8))
         .localCheckpoint(true)
-      val clean = neardup.join(
-        CorpusOps.decontaminate(neardup, evalSide, "doc_id", "text_dedup",
+      // MOSS-match removal: drop the LATER document of every winnowing
+      // match (earlier-survives, the canonical-keep convention) — the
+      // victim set is id-only, so the anti join ships ids, never text
+      val moss = neardup.join(
+        CorpusOps.winnowPairs(neardup, "doc_id", "text_dedup",
+            k = 3, w = 4, minShared = 1L, maxDocFreq = 50L)
+          .select(col("id_b").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      val clean = moss.join(
+        CorpusOps.decontaminate(moss, evalSide, "doc_id", "text_dedup",
             n = 8)
           .where(!col("contaminated")).select("doc_id"),
         Seq("doc_id"), "left_semi")
@@ -8575,14 +8592,33 @@ object SparkEntry {
         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
         |victims AS (SELECT src AS doc_id FROM reach GROUP BY 1 HAVING src <> min(dst)),
         |nd AS (SELECT * FROM exc ANTI JOIN victims USING (doc_id)),
-        |tt AS (SELECT doc_id, string_split(txt, ' ') AS st FROM nd),
+        |wt AS (SELECT doc_id, string_split(txt, ' ') AS t FROM nd),
+        |wpos AS (SELECT doc_id, CAST(len(t) - 2 AS BIGINT) AS kk, t,
+        |  unnest(range(1, len(t) - 1)) AS i FROM wt WHERE len(t) >= 3),
+        |wg AS (SELECT doc_id, kk, CAST(i AS BIGINT) AS pos,
+        |  md5(array_to_string(t[i:i+2], ' ')) AS h FROM wpos),
+        |wkey AS (SELECT doc_id, kk, pos,
+        |  h || lpad(CAST(1000000000000 - pos AS VARCHAR), 13, '0') AS key FROM wg),
+        |wsel AS (SELECT doc_id, kk, pos, min(key) OVER (PARTITION BY doc_id
+        |  ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s FROM wkey),
+        |wfp AS (SELECT DISTINCT doc_id, substr(s, 1, 32) AS fp_hash
+        |  FROM wsel WHERE pos <= greatest(kk - 3, 1)),
+        |wrare AS (SELECT fp_hash FROM (
+        |    SELECT fp_hash, count(DISTINCT doc_id) AS df FROM wfp GROUP BY 1)
+        |  WHERE df <= 50),
+        |wkept AS (SELECT wfp.doc_id, wfp.fp_hash FROM wfp JOIN wrare USING (fp_hash)),
+        |wvict AS (SELECT DISTINCT b.doc_id FROM wkept a JOIN wkept b
+        |  ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 1),
+        |moss AS (SELECT * FROM nd ANTI JOIN wvict USING (doc_id)),
+        |tt AS (SELECT doc_id, string_split(txt, ' ') AS st FROM moss),
         |tg AS (SELECT DISTINCT doc_id, array_to_string(st[i:i+7], ' ') AS g
         |  FROM tt, LATERAL (SELECT unnest(range(1, len(st) - 6)) AS i)),
         |eg AS (SELECT DISTINCT array_to_string(st[i:i+7], ' ') AS g
         |  FROM (SELECT string_split(norm, ' ') AS st FROM ev),
         |  LATERAL (SELECT unnest(range(1, len(st) - 6)) AS i)),
         |conta AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (g)),
-        |cl AS (SELECT * FROM nd ANTI JOIN conta USING (doc_id)),
+        |cl AS (SELECT * FROM moss ANTI JOIN conta USING (doc_id)),
         |q AS (SELECT doc_id, lang,
         |    CAST(len(string_split(txt, ' ')) AS BIGINT) AS n_tokens,
         |    floor((CAST(len(list_filter(string_split(txt, ' '), x -> list_contains(['the','a','and','of','to'], x))) AS DOUBLE)

@@ -672,11 +672,13 @@ class PlanSpec extends SparkTestBase {
 
   test("corpus_prep_full: the composed chain carries no window and no cartesian") {
     // The whole governance chain (normalize → exact dedup → excision →
-    // near-dup removal → decontamination → gate → split → report) must
-    // inherit the de-skewed excision shape: ZERO window operators
-    // anywhere in the composed plan (the CC labels enter as a sealed
-    // checkpoint; the first-occurrence pick is the hash aggregate), and
-    // no cartesian product from any stage's join graph.
+    // near-dup removal → MOSS-match removal → decontamination → gate →
+    // split → report) must inherit the de-skewed excision shape: ZERO
+    // window operators anywhere in the composed plan (the CC labels and
+    // the winnow victims enter as sealed checkpoints — winnowing's own
+    // per-DOCUMENT window is the blessed bounded frame and runs inside
+    // the moss checkpoint; the first-occurrence pick is the hash
+    // aggregate), and no cartesian product from any stage's join graph.
     val plan = executedSimple(
       SparkEntry.queries("corpus_prep_full")(spark, sf))
     assert(!plan.contains("Window"),
@@ -1224,6 +1226,27 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("nb_lang_classify_hashed: model exchanges are bucket-bounded — no raw token crosses") {
+    // The hashed variant's whole point is that the model side is
+    // buckets×|C| bounded BY CONSTRUCTION: tokens reduce to md5 bucket
+    // ids map-side (inside the project under the explode), so no
+    // exchange anywhere in the plan may carry the raw token column
+    // (__w0) — the structural proof that "model size is a choice, not a
+    // corpus property". Probe shape matches the exact path: broadcast
+    // likelihood probe, bounded |C|-row class fan-out, no cartesian.
+    val df = SparkEntry.queries("nb_lang_classify_hashed")(spark, sf)
+    val plan = executedSimple(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val planF = df.queryExecution.explainString(FormattedMode)
+    val exchBlocks = planF.split("\n\n").filter(_.contains("Exchange"))
+    assert(exchBlocks.nonEmpty, s"no exchange found:\n$planF")
+    assert(exchBlocks.forall(!_.contains("__w0#")),
+      "raw token column shipped through an exchange — the bucket hash " +
+        s"must run map-side:\n${exchBlocks.filter(_.contains("__w0#")).mkString("\n\n")}")
   }
 
   test("dsir_select: weight table broadcasts, top-k is TakeOrdered, incidence reads once") {
