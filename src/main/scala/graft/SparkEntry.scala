@@ -3138,6 +3138,43 @@ object SparkEntry {
       CorpusOps.packSequences(Tables.documents(s, d), "doc_id", "lang",
         TextFunctions.tokenCount(col("text")), budget = 512)
         .orderBy("doc_id")),
+    // Best-fit-decreasing WHOLE-document packing vs the naive next-fit
+    // baseline — the loader answer to the tail waste bpe_pack_report
+    // made visible, for document-aligned sequences (no spanning docs).
+    // Per shard: the BFD bin count, fill ratio, and two layout checksums
+    // (doc-weighted bin and offset sums pin exactly WHICH doc landed in
+    // WHICH bin at WHAT offset through the oracle's recursive-CTE
+    // replay), beside the next-fit bin count; `bfd_no_worse` grades the
+    // packing win as a measured per-shard contract. Budget 128 against
+    // 10–100-token docs forces real multi-doc bins at every SF.
+    "pack_sequences_bfd" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bfd = CorpusOps.packSequencesBfd(docs, "doc_id", "source",
+        TextFunctions.tokenCount(col("text")), budget = 128)
+      val nf = CorpusOps.packSequencesNextFit(docs, "doc_id", "source",
+        TextFunctions.tokenCount(col("text")), budget = 128)
+      val repB = bfd.groupBy("shard").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        (max("bin_id") + 1).as("n_bins_bfd"),
+        sum(col("doc_id") * (col("bin_id") + 1)).as("bin_checksum"),
+        sum(col("doc_id") * col("bin_offset")).as("offset_checksum"))
+      val repN = nf.groupBy("shard")
+        .agg((max("bin_id") + 1).as("n_bins_greedy"))
+      repB.join(repN, Seq("shard"))
+        .select(col("shard"), col("n_docs"), col("n_tokens"),
+          col("n_bins_bfd"),
+          CoreOps.rnd(col("n_tokens").cast("double")
+            / (col("n_bins_bfd") * 128).cast("double"))
+            .as("fill_ratio_bfd"),
+          col("bin_checksum"), col("offset_checksum"),
+          col("n_bins_greedy"),
+          CoreOps.rnd(col("n_tokens").cast("double")
+            / (col("n_bins_greedy") * 128).cast("double"))
+            .as("fill_ratio_greedy"),
+          (col("n_bins_bfd") <= col("n_bins_greedy")).as("bfd_no_worse"))
+        .orderBy("shard")
+    }),
     // TF-IDF top-3 terms per doc, rank ties broken by term.
     "tfidf_top_terms" -> ((s, d) =>
       CorpusOps.topTerms(Tables.documents(s, d), "doc_id", "text", k = 3)
@@ -8354,6 +8391,56 @@ object SparkEntry {
         |  CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id,
         |  CAST((cum - n_tokens) % 512 AS BIGINT) AS pack_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+    // Both integer deals replayed move-for-move as recursive CTEs: one
+    // iteration per shard rank, bins as a LIST column, the best-fit pick
+    // via list_min(list_filter) + list_position (first occurrence = the
+    // lowest-index tie rule, identical to the engine's array_position).
+    "pack_sequences_bfd" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, source AS shard,
+        |    least(CAST(len(string_split(text, ' ')) AS BIGINT), 128) AS len FROM documents),
+        |it AS (SELECT *, CAST(row_number() OVER (PARTITION BY shard ORDER BY len DESC, doc_id) AS BIGINT) AS r FROM t),
+        |bfd AS (
+        |  SELECT shard, CAST(0 AS BIGINT) AS r, CAST(NULL AS BIGINT) AS doc_id,
+        |    CAST(NULL AS BIGINT) AS len, CAST(NULL AS BIGINT) AS bin_id,
+        |    CAST(NULL AS BIGINT) AS bin_offset, CAST([] AS BIGINT[]) AS rems
+        |  FROM (SELECT DISTINCT shard FROM it)
+        |  UNION ALL
+        |  SELECT i.shard, i.r, i.doc_id, i.len,
+        |    CASE WHEN list_min(list_filter(f.rems, x -> x >= i.len)) IS NULL
+        |      THEN len(f.rems)
+        |      ELSE list_position(f.rems, list_min(list_filter(f.rems, x -> x >= i.len))) - 1 END,
+        |    CASE WHEN list_min(list_filter(f.rems, x -> x >= i.len)) IS NULL
+        |      THEN 0
+        |      ELSE 128 - list_min(list_filter(f.rems, x -> x >= i.len)) END,
+        |    CASE WHEN list_min(list_filter(f.rems, x -> x >= i.len)) IS NULL
+        |      THEN list_append(f.rems, 128 - i.len)
+        |      ELSE list_concat(list_concat(
+        |          f.rems[1:list_position(f.rems, list_min(list_filter(f.rems, x -> x >= i.len))) - 1],
+        |          [list_min(list_filter(f.rems, x -> x >= i.len)) - i.len]),
+        |          f.rems[list_position(f.rems, list_min(list_filter(f.rems, x -> x >= i.len))) + 1:len(f.rems)]) END
+        |  FROM bfd f JOIN it i ON i.shard = f.shard AND i.r = f.r + 1),
+        |it2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS r FROM t),
+        |nf AS (
+        |  SELECT shard, CAST(0 AS BIGINT) AS r, CAST(0 AS BIGINT) AS rem, CAST(0 AS BIGINT) AS nb
+        |  FROM (SELECT DISTINCT shard FROM it2)
+        |  UNION ALL
+        |  SELECT i.shard, i.r,
+        |    CASE WHEN f.nb = 0 OR f.rem < i.len THEN 128 - i.len ELSE f.rem - i.len END,
+        |    CASE WHEN f.nb = 0 OR f.rem < i.len THEN f.nb + 1 ELSE f.nb END
+        |  FROM nf f JOIN it2 i ON i.shard = f.shard AND i.r = f.r + 1),
+        |nfb AS (SELECT shard, CAST(max(nb) AS BIGINT) AS n_bins_greedy FROM nf GROUP BY 1),
+        |rep AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len) AS BIGINT) AS n_tokens,
+        |    CAST(max(bin_id) + 1 AS BIGINT) AS n_bins_bfd,
+        |    CAST(sum(doc_id * (bin_id + 1)) AS BIGINT) AS bin_checksum,
+        |    CAST(sum(doc_id * bin_offset) AS BIGINT) AS offset_checksum
+        |  FROM bfd WHERE r >= 1 GROUP BY 1)
+        |SELECT rep.shard, n_docs, n_tokens, n_bins_bfd,
+        |  floor(CAST(n_tokens AS DOUBLE) / (n_bins_bfd * 128) * 10000 + 0.5) / 10000 AS fill_ratio_bfd,
+        |  bin_checksum, offset_checksum, n_bins_greedy,
+        |  floor(CAST(n_tokens AS DOUBLE) / (n_bins_greedy * 128) * 10000 + 0.5) / 10000 AS fill_ratio_greedy,
+        |  (n_bins_bfd <= n_bins_greedy) AS bfd_no_worse
+        |FROM rep JOIN nfb USING (shard) ORDER BY rep.shard""".stripMargin,
     "tfidf_top_terms" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),

@@ -426,6 +426,24 @@ class PlanSpec extends SparkTestBase {
       s"raw text shipped through a digest exchange:\n${exchBlocks.mkString("\n\n")}")
   }
 
+  test("pack_sequences_bfd: shards fold row-locally — (id, len) in the exchange, never text, no window") {
+    // Bin packing is order-dependent state, so the sequential unit is
+    // the shard: docs reduce to (sort key, id, effective length) in the
+    // scan projection — the shard exchange must not carry the text
+    // column — and the whole deal is ONE aggregate expression per shard
+    // row (no Window machinery, no per-bin join graph, no cartesian).
+    val df = SparkEntry.queries("pack_sequences_bfd")(spark, sf)
+    val plan = executedSimple(df)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val planF = df.queryExecution.explainString(FormattedMode)
+    val exchBlocks = planF.split("\n\n").filter(_.contains("Exchange"))
+    assert(exchBlocks.nonEmpty, s"no exchange found:\n$planF")
+    assert(exchBlocks.forall(!_.contains("text#")),
+      s"document text shipped through an exchange:\n${
+        exchBlocks.filter(_.contains("text#")).mkString("\n\n")}")
+  }
+
   test("global_topk: TakeOrderedAndProject, never a global range sort") {
     val plan = executedSimple(SparkEntry.queries("global_topk")(spark, sf))
     // orderBy+limit must compile to per-partition heap top-k (a 100 TB

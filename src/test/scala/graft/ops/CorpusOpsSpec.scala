@@ -101,6 +101,61 @@ class CorpusOpsSpec extends SparkTestBase {
       (4L, 1L, 88L), (10L, 0L, 0L), (11L, 1L, 88L)))
   }
 
+  test("packSequencesBfd: best-fit-decreasing deal, hand-checked") {
+    // lengths 60,50,40,30,20 @ budget 100, sorted DESC:
+    //  60 -> new bin0 (rem 40); 50 -> new bin1 (rem 50)
+    //  40 -> best fit is bin0 (rem 40 < 50) -> rem 0, offset 60
+    //  30 -> bin1 (rem 20, offset 50); 20 -> bin1 (rem 0, offset 80)
+    // => 2 bins, both exactly full
+    val df = Seq((1L, "s", 60L), (2L, "s", 50L), (3L, "s", 40L),
+      (4L, "s", 30L), (5L, "s", 20L)).toDF("id", "src", "nt")
+    val bfd = CorpusOps.packSequencesBfd(df, "id", "src", col("nt"), 100)
+      .orderBy("id").select("id", "bin_id", "bin_offset")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(bfd == Seq((1L, 0L, 0L), (2L, 1L, 0L), (3L, 0L, 60L),
+      (4L, 1L, 50L), (5L, 1L, 80L)))
+    // next-fit in id order wastes a third bin: 60|50,40|30,20
+    val nf = CorpusOps.packSequencesNextFit(df, "id", "src", col("nt"), 100)
+      .orderBy("id").select("id", "bin_id", "bin_offset")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(nf == Seq((1L, 0L, 0L), (2L, 1L, 0L), (3L, 1L, 50L),
+      (4L, 2L, 0L), (5L, 2L, 30L)))
+  }
+
+  test("packSequencesBfd: ties go to the lowest bin index; oversize docs truncate") {
+    // two bins at equal remainder 40: the 40-token doc must land in bin 0
+    val tie = Seq((1L, "s", 60L), (2L, "s", 60L), (3L, "s", 40L))
+      .toDF("id", "src", "nt")
+    val t = CorpusOps.packSequencesBfd(tie, "id", "src", col("nt"), 100)
+      .orderBy("id").select("id", "bin_id").as[(Long, Long)].collect().toSeq
+    assert(t == Seq((1L, 0L), (2L, 1L), (3L, 0L)))
+    // a doc longer than the budget occupies exactly one full bin
+    val big = Seq((1L, "s", 150L), (2L, "s", 100L)).toDF("id", "src", "nt")
+    val b = CorpusOps.packSequencesBfd(big, "id", "src", col("nt"), 100)
+      .orderBy("id").select("id", "n_tokens", "bin_id", "bin_offset")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(b == Seq((1L, 100L, 0L, 0L), (2L, 100L, 1L, 0L)))
+  }
+
+  test("packSequencesBfd: shards pack independently; every doc fits its bin") {
+    val docs = graft.Tables.documents(spark, sfTest)
+    val bfd = CorpusOps.packSequencesBfd(docs, "doc_id", "source",
+      graft.functions.TextFunctions.tokenCount(col("text")), 128)
+    // no bin overflows: per (shard, bin) token sum <= budget
+    val over = bfd.groupBy("shard", "bin_id")
+      .agg(sum("n_tokens").as("s")).where(col("s") > 128).count()
+    assert(over == 0)
+    // offsets are consistent: within a bin, docs tile without overlap
+    val bad = bfd.groupBy("shard", "bin_id")
+      .agg(sum("n_tokens").as("s"), max(col("bin_offset") + col("n_tokens"))
+        .as("end"))
+      .where(col("s") =!= col("end")).count()
+    assert(bad == 0)
+    // every doc appears exactly once
+    assert(bfd.count() == docs.count())
+    assert(bfd.select("doc_id").distinct().count() == docs.count())
+  }
+
   test("chunkDocuments: strided windows cover every token, exact overlap") {
     // 10 tokens, chunk 4, stride 2 → chunks at 0/2/4/6; the last covers
     // t6..t9 so coverage is complete; adjacent chunks overlap by 2.
