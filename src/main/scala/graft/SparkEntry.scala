@@ -1124,6 +1124,41 @@ object SparkEntry {
       (cb, pt)
     })
 
+  /** The ADC tier's persisted serving state — [[ivfPostingState]] one
+    * compression level up: a frozen [[EmbeddingOps.IvfadcModel]] (coarse
+    * router + m residual sub-quantizers, trained ONCE on the even-id
+    * half) plus that half's (vec_id, cell, subspace, code) rows as a
+    * cell-bucketed table. Appending a batch costs one map-only encode
+    * pass over the batch alone; codes are a property of the model, so
+    * append == full re-encode as an exact set identity.
+    */
+  private val ivfadcPostingStateCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String),
+      (EmbeddingOps.IvfadcModel, String)]
+
+  private def ivfadcPostingState(s: SparkSession, d: String)
+      : (EmbeddingOps.IvfadcModel, String) =
+    ivfadcPostingStateCache.getOrElseUpdate(
+      (s.sparkContext.applicationId, d), {
+        val tag = java.lang.Integer.toHexString(d.hashCode)
+        val pt = s"graft_ivfadc_postings_$tag"
+        val existing = Tables.embeddings(s, d)
+          .where(pmod(col("vec_id"), lit(2)) === 0)
+        // m=8 × k=16 (32 bits/vector), DOUBLE knn_ivfadc_topk's m=4×k=8:
+        // a codebook that never saw the appended half needs the extra
+        // capacity (measured: 12-bit codes bottom at 0.1 recall on the
+        // grown sf0.1 table even probing 5/8 cells; 32-bit + R=100
+        // re-rank reads 0.6+) — the "model size is a choice" lever
+        // pulled in the direction a frozen-codebook service pulls it
+        val model = EmbeddingOps.ivfadcTrain(existing, "vec_id",
+          "embedding", dim = 64, nlist = 8, m = 8, k = 16, iterations = 3)
+        ScaleOps.writeBucketed(
+          EmbeddingOps.ivfadcEncode(existing, "vec_id", "embedding", model)
+            .repartition(8, col("cell")),
+          pt, Seq("cell"), buckets = 8)
+        (model, pt)
+      })
+
   /** Events staged once per dir as a HIVE-PARTITIONED parquet layout
     * (`partitionBy(event_type)`) — the fixture for the graded
     * partition-pruning query: a predicate on the partition column must
@@ -3992,6 +4027,52 @@ object SparkEntry {
       // graft_ivf_work dir per bench run is the same warehouse-
       // accumulation class the streaming loops self-clean for
       selfCleaning(s, "incremental_ivf_append", out, ptW)
+    }),
+    // The ADC tier's persisted-append story — incremental_ivf_append one
+    // compression level up, completing the serving-state matrix: the new
+    // batch's PQ codes are encoded against the FROZEN model (coarse cell
+    // → exact residual → m sub-codes, one map-only pass over the batch;
+    // the even half is never re-encoded, the codebooks never move),
+    // appended to the persisted cell-bucketed code table, and queries
+    // serve from the grown table via the driver-built LUT broadcast —
+    // candidates meet it on (cell, subspace, code), the cell-pruned key.
+    // Grades BOTH the recall floor over the FULL corpus (IVFADC+R
+    // serving: the ADC top-100 — still posting-driven and cell-pruned —
+    // re-scored exactly; measured minima 0.6 at every SF, floor 0.5,
+    // the knn_ivfadc_topk convention) AND append == full re-encode as a
+    // set identity over (vec_id, cell, subspace, code).
+    "incremental_ivfadc_append" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val (model, pt) = ivfadcPostingState(s, d)
+      val run = streamRuns.incrementAndGet()
+      val ptW = s"graft_ivfadc_work_$run"
+      ScaleOps.writeBucketed(
+        s.table(pt).repartition(8, col("cell")), ptW, Seq("cell"),
+        buckets = 8)
+      ScaleOps.appendBucketed(
+        EmbeddingOps.ivfadcEncode(
+          e.where(pmod(col("vec_id"), lit(2)) === 1),
+          "vec_id", "embedding", model),
+        ptW, Seq("cell"), buckets = 8)
+      s.catalog.refreshTable(ptW)
+      val eq = s.table(ptW)
+        .select(col("vec_id"), col("cell"), col("subspace"), col("code"),
+          lit(1).as("__i"))
+        .join(EmbeddingOps.ivfadcEncode(e, "vec_id", "embedding", model)
+          .select(col("vec_id"), col("cell"), col("subspace"), col("code"),
+            lit(1).as("__f")),
+          Seq("vec_id", "cell", "subspace", "code"), "full_outer")
+        .agg(sum(when(col("__i").isNull || col("__f").isNull, 1L)
+          .otherwise(0L)).as("__mism"))
+      val out = EmbeddingOps.ivfadcRecallOnCodes(e, "vec_id", "embedding",
+          s.table(ptW), model, nprobe = 5, queryIds = Seq(1L, 2L, 3L),
+          topK = 10, floor = 0.5, rerank = 100)
+        .crossJoin(broadcast(eq))
+        .select(col("qid"), col("n_true"), col("recall_ok"),
+          (coalesce(col("__mism"), lit(0L)) === 0L)
+            .as("append_equals_full"))
+        .orderBy("qid")
+      selfCleaning(s, "incremental_ivfadc_append", out, ptW)
     }),
 
     // ---- training-data extension tier: multimodal columns ----
@@ -9086,6 +9167,14 @@ object SparkEntry {
       """SELECT vec_id AS qid, CAST(3 AS BIGINT) AS n_true, TRUE AS recall_ok,
         |  TRUE AS append_equals_full
         |FROM embeddings WHERE vec_id < 10 ORDER BY qid""".stripMargin,
+    // Same contract shape one compression level up: the engine measures
+    // plain-ADC recall from the grown code table (floor 0.2) and the
+    // append == full-re-encode set identity; the oracle pins both claims
+    // plus the exact-truth row count.
+    "incremental_ivfadc_append" ->
+      """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS n_true, TRUE AS recall_ok,
+        |  TRUE AS append_equals_full
+        |FROM embeddings WHERE vec_id IN (1, 2, 3) ORDER BY qid""".stripMargin,
     // MinHash quality: n_truth is the exhaustive exact-jaccard pair count
     // (recomputed here), and the recall / estimator-error floors must hold.
     "minhash_quality" ->

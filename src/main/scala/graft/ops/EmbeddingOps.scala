@@ -791,6 +791,176 @@ object EmbeddingOps {
         (col("__recall") >= floor).as("recall_ok"))
   }
 
+  /** Frozen IVFADC index state — what a production PQ service persists
+    * between ingest batches: the coarse router plus the m residual
+    * sub-quantizer codebooks, all on [[lloydState]]'s exact micro-unit
+    * grid. The model is (nlist + m·k) centroid vectors of driver-side
+    * state; token of the whole design: model size is a build-time
+    * CHOICE, never a corpus property.
+    */
+  case class IvfadcModel(dim: Int, m: Int,
+                         coarse: Seq[(Long, Seq[Long])],
+                         subs: Seq[Seq[(Long, Seq[Long])]]) {
+    require(m >= 1 && dim >= m && dim % m == 0,
+      s"dim=$dim must be a positive multiple of m=$m")
+    def sub: Int = dim / m
+  }
+
+  /** Train the frozen [[IvfadcModel]] on `df` — [[ivfadcTopK]]'s
+    * training half, split out so append-time encoding and serving can
+    * run against state that NEVER refits (the incremental contract:
+    * codes are a property of the model, so an appended batch can't
+    * shift a shipped code).
+    */
+  def ivfadcTrain(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                  nlist: Int, m: Int, k: Int,
+                  iterations: Int): IvfadcModel = {
+    require(nlist >= 1, s"nlist=$nlist must be positive")
+    val (q, coarse) = lloydState(df, idCol, vecCol, nlist, iterations)
+    val coarseMap = coarse.toMap
+    val sub = dim / m
+    val r = q.select(col("vec_id"), col("qv"),
+        assignIdCol(coarse).as("cell"))
+      .withColumn("rv", zip_with(col("qv"),
+        element_at(typedLit(coarseMap), col("cell")), (a, b) => a - b))
+      .localCheckpoint(true)
+    val subs = (0 until m).map { j =>
+      lloydQuantized(
+        r.select(col("vec_id"), slice(col("rv"), j * sub + 1, sub)
+          .as("qv")), k, iterations)
+    }
+    IvfadcModel(dim, m, coarse, subs)
+  }
+
+  /** Pure per-row IVFADC encoding against a FROZEN model: coarse cell,
+    * residual, m sub-quantizer codes — (vec_id, cell, subspace, code).
+    * This is the whole cost of appending a batch to a persisted ADC
+    * index: map-only (codebooks ride as plan literals; the one
+    * checkpoint materializes the residual frame for its m consumers),
+    * no exchange, no visit to the existing corpus. Deterministic given
+    * the model, so append == full re-encode as a set identity.
+    */
+  def ivfadcEncode(df: DataFrame, idCol: String, vecCol: String,
+                   model: IvfadcModel): DataFrame = {
+    val coarseMap = model.coarse.toMap
+    val r = df.select(col(idCol).as("vec_id"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long"))
+          .as("qv"))
+      .select(col("vec_id"), col("qv"),
+        assignIdCol(model.coarse).as("cell"))
+      .withColumn("rv", zip_with(col("qv"),
+        element_at(typedLit(coarseMap), col("cell")), (a, b) => a - b))
+      .localCheckpoint(true)
+    (0 until model.m).map { j =>
+      r.select(col("vec_id"), col("cell"),
+          slice(col("rv"), j * model.sub + 1, model.sub).as("qv"))
+        .select(col("vec_id"), col("cell"), lit(j.toLong).as("subspace"),
+          assignIdCol(model.subs(j)).as("code"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** IVFADC top-k served from a STORED code table — [[ivfadcTopK]]'s
+    * serving half against persisted postings: per-query LUTs built on
+    * the driver from the frozen model + the (bounded) query vectors and
+    * broadcast; candidates meet the LUT on (cell, subspace, code) — the
+    * cell-pruned join, never a corpus scan; rank totalizes by
+    * (adc_dist, vec_id). With `rerank` = R ≥ topK, the ADC top-R is
+    * re-scored exactly (IVFADC+R) via a broadcast id-probe into `qdf`.
+    *
+    * `qdf` is the corpus vector frame: queries resolve from it by id,
+    * and the +R leg reads candidate vectors from it (by id, bounded —
+    * never a scan of the persisted code half).
+    */
+  def knnIvfadcOnCodes(qdf: DataFrame, idCol: String, vecCol: String,
+                       queryIds: Seq[Long], codes: DataFrame,
+                       model: IvfadcModel, nprobe: Int,
+                       topK: Int, rerank: Int = 0): DataFrame = {
+    require(nprobe >= 1 && nprobe <= model.coarse.size,
+      s"nprobe=$nprobe must be in [1, nlist=${model.coarse.size}]")
+    require(queryIds.nonEmpty, "knnIvfadcOnCodes needs at least one query")
+    require(topK >= 1, s"topK=$topK must be positive")
+    require(rerank == 0 || rerank >= topK,
+      s"rerank=$rerank must be 0 (off) or >= topK=$topK")
+    val spark = qdf.sparkSession
+    import spark.implicits._
+    val coarseMap = model.coarse.toMap
+    val qvecs = qdf.select(col(idCol).as("vec_id"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long"))
+          .as("qv"))
+      .where(col("vec_id").isin(queryIds: _*)).collect()
+      .map(row => (row.getLong(0), row.getSeq[Long](1).toSeq)).toSeq
+    require(qvecs.size == queryIds.distinct.size,
+      s"knnIvfadcOnCodes: query ids absent from qdf: " +
+        s"${(queryIds.distinct.toSet -- qvecs.map(_._1)).toSeq.sorted
+          .mkString(", ")}")
+    val sub = model.sub
+    val lutRows = for {
+      (qid, qv) <- qvecs
+      (cell, _) <- model.coarse.map { case (cl, cv) => (cl, l2(qv, cv)) }
+        .sortBy { case (cl, dd) => (dd, cl) }.take(nprobe)
+      qr = qv.zip(coarseMap(cell)).map { case (a, b) => a - b }
+      j <- 0 until model.m
+      (code, cw) <- model.subs(j)
+    } yield (qid, cell, j.toLong, code,
+      l2(qr.slice(j * sub, (j + 1) * sub), cw))
+    val lut = lutRows.toDF("qid", "cell", "subspace", "code", "pd")
+    val byDist = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adc_dist"), col("vec_id"))
+    val adc = codes.join(broadcast(lut), Seq("cell", "subspace", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("pd")).as("adc_dist"), count(lit(1)).as("__m"))
+      .where(col("__m") === model.m.toLong)
+      .withColumn("rank", row_number().over(byDist).cast("long"))
+    if (rerank == 0)
+      adc.where(col("rank") <= topK)
+        .select(col("qid"), col("rank"), col("vec_id"), col("adc_dist"))
+    else {
+      // IVFADC+R off the stored codes: the candidate set STILL comes
+      // from the posting table (cell-pruned, |queries|·R rows); only
+      // those ids are re-scored exactly — a broadcast probe into the
+      // quantized corpus keyed on the candidate ids, never a scan of
+      // the persisted half.
+      val cands = adc.where(col("rank") <= rerank)
+        .select(col("qid"), col("vec_id"), col("adc_dist"))
+      val qdf2 = qvecs.toDF("qid", "__qqv")
+      val corpus = qdf.select(col(idCol).as("vec_id"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long"))
+          .as("qv"))
+      val byExact = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("__ed"), col("vec_id"))
+      corpus.join(broadcast(cands), Seq("vec_id"))
+        .join(broadcast(qdf2), Seq("qid"))
+        .withColumn("__ed", aggregate(
+          zip_with(col("qv"), col("__qqv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+        .withColumn("rank", row_number().over(byExact).cast("long"))
+        .where(col("rank") <= topK)
+        .select(col("qid"), col("rank"), col("vec_id"), col("adc_dist"))
+    }
+  }
+
+  /** [[ivfadcRecall]]'s contract shape for the stored-code serving path:
+    * exact L2 truth over the FULL corpus, recall_ok gated at `floor`.
+    */
+  def ivfadcRecallOnCodes(df: DataFrame, idCol: String, vecCol: String,
+                          codes: DataFrame, model: IvfadcModel,
+                          nprobe: Int, queryIds: Seq[Long], topK: Int,
+                          floor: Double, rerank: Int = 0): DataFrame = {
+    val ann = knnIvfadcOnCodes(df, idCol, vecCol, queryIds, codes, model,
+      nprobe, topK, rerank).select(col("qid"), col("vec_id"))
+    exactL2TopK(df, idCol, vecCol, queryIds, topK)
+      .join(ann.withColumn("__hit", lit(1)), Seq("qid", "vec_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_true"),
+        (sum(coalesce(col("__hit"), lit(0))).cast("double") / count(lit(1)))
+          .as("__recall"))
+      .select(col("qid"), col("n_true"),
+        (col("__recall") >= floor).as("recall_ok"))
+  }
+
   /** Deterministic ±1 projection signs for [[embeddingDriftPsi]]: the
     * parity of the LAST hex digit of md5("p#i") — derived, not magic,
     * and trivially replayable by any engine with md5 (the oracle embeds

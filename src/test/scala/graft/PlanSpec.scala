@@ -1234,6 +1234,27 @@ class PlanSpec extends SparkTestBase {
       "self-cleaning contract: no graft_ivf_work_* table may survive the run")
   }
 
+  test("incremental_ivfadc_append: codes read from the stored table, LUT broadcast, work table dropped") {
+    // The ADC serving probe joins the driver-built LUT (broadcast)
+    // against the posting TABLE on (cell, subspace, code) — codes come
+    // from storage, the existing half is never re-encoded on the serving
+    // path, nothing falls back to a cartesian scan — and the per-run
+    // working table self-cleans like the flat tier's.
+    val df = SparkEntry.queries("incremental_ivfadc_append")(spark, sf)
+    assert(df.count() > 0)
+    val plan = stripInitialPlan(
+      SparkEntry.capturedPlans("incremental_ivfadc_append.simple"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val planF =
+      SparkEntry.capturedPlans("incremental_ivfadc_append.formatted")
+    assert(planF.contains("graft_ivfadc_work"),
+      s"serving must read the grown code table:\n$planF")
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("graft_ivfadc_work")),
+      "self-cleaning contract: no graft_ivfadc_work_* table may survive")
+  }
+
   test("nb_lang_classify: model probes broadcast, class fan-out is the bounded nested loop") {
     // The NB model is vocab×|C| bounded whatever the corpus size, so the
     // likelihood probe must be a BroadcastHashJoin and the per-document

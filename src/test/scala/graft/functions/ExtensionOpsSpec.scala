@@ -560,6 +560,43 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(served === inline)
   }
 
+  test("ivfadcEncode/knnIvfadcOnCodes: append equals re-encode; serving matches ivfadcTopK") {
+    import graft.ops.EmbeddingOps
+    val e = graft.Tables.embeddings(spark, sfTest)
+    val model = EmbeddingOps.ivfadcTrain(e, "vec_id", "embedding",
+      dim = 64, nlist = 4, m = 4, k = 8, iterations = 3)
+    // encoding is per-row and model-fixed: halves encoded separately and
+    // unioned IS the full re-encode — the set identity the graded
+    // incremental_ivfadc_append holds as a boolean
+    def codeSet(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id", $"cell", $"subspace", $"code")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val full = codeSet(EmbeddingOps.ivfadcEncode(e, "vec_id",
+      "embedding", model))
+    val appended = codeSet(
+      EmbeddingOps.ivfadcEncode(e.where($"vec_id" % 2 === 0),
+        "vec_id", "embedding", model)
+      .unionByName(EmbeddingOps.ivfadcEncode(
+        e.where($"vec_id" % 2 === 1), "vec_id", "embedding", model)))
+    assert(appended === full)
+    // serving from pre-encoded codes returns exactly what the
+    // train-and-serve monolith returns (same Lloyd state, same LUTs,
+    // same totalized ranks) — with and without the +R exact re-rank
+    def ranked2(df: org.apache.spark.sql.DataFrame) = df
+      .select($"qid", $"rank", $"vec_id").as[(Long, Long, Long)]
+      .collect().toSet
+    val codes = EmbeddingOps.ivfadcEncode(e, "vec_id", "embedding", model)
+    for (rr <- Seq(0, 20)) {
+      val inline = ranked2(EmbeddingOps.ivfadcTopK(e, "vec_id",
+        "embedding", dim = 64, nlist = 4, nprobe = 2, m = 4, k = 8,
+        iterations = 3, queryIds = Seq(1L, 2L), topK = 5, rerank = rr))
+      val served = ranked2(EmbeddingOps.knnIvfadcOnCodes(e, "vec_id",
+        "embedding", Seq(1L, 2L), codes, model, nprobe = 2, topK = 5,
+        rerank = rr))
+      assert(served === inline, s"rerank=$rr")
+    }
+  }
+
   test("ANN recall floors: the graded configs clear their contracts on real data") {
     // The graded queries assert per-query recall >= 0.3 via recallVsBrute;
     // this pins the stronger measured numbers (deterministic: fixed data,
