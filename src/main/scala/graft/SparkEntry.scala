@@ -711,6 +711,28 @@ object SparkEntry {
     * else when the later doc probes the manifest that already holds the
     * earlier one). Memoized like [[stagedEvents]].
     */
+  /** The drift-gate ingest fixture: the doc_id%10==5 slice stamped with
+    * an explicit `batch_id = (doc_id div 10) % 3` and RANGE-partitioned
+    * on it — ranges are disjoint, so one batch_id never splits across
+    * files, which is what makes each micro-batch's per-batch PSI
+    * COMPLETE whatever the file→trigger mapping. Memoized per sfDir.
+    */
+  private val stagedQpsiDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def stagedQpsiBatches(s: SparkSession, d: String): String =
+    stagedQpsiDirs.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-qpsi-stream").toString
+      Tables.documents(s, d)
+        .where(pmod(col("doc_id"), lit(10)) === 5)
+        .select(col("doc_id"), col("lang"), col("text"),
+          expr("(doc_id div 10) % 3").as("batch_id"))
+        .repartitionByRange(3, col("batch_id"))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+
   private val stagedDocDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -3596,6 +3618,64 @@ object SparkEntry {
         docs.where(pmod(col("doc_id"), lit(2)) === 1),
         "text", "lang")
         .orderBy("lang")
+    }),
+    // The drift monitor DEPLOYED: a foreachBatch ingest gate that scores
+    // every arriving micro-batch's per-language quality histogram
+    // against a FROZEN reference snapshot (computed once, checkpointed —
+    // the histogram a production gate pins at deploy time) and appends
+    // the per-(batch, lang) PSI readout — exactly
+    // CorpusOps.qualityDriftPsi per batch, which is the graded claim.
+    // Batch membership is the deterministic (doc_id div 10) % 3 stamp
+    // (range-partitioned staging keeps a batch whole per file), so the
+    // oracle replays every batch's full quality pipeline AND PSI
+    // arithmetic term-for-term.
+    "stream_quality_psi" -> ((s, d) => {
+      val run = streamRuns.incrementAndGet()
+      val outS = s"graft_qpsi_out_$run"
+      val docs = Tables.documents(s, d)
+      val reference = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .localCheckpoint(true)
+      // seed the result table with the empty schema so a drained stream
+      // always leaves a readable table
+      CorpusOps.qualityDriftPsi(reference.limit(0), reference.limit(0),
+          "text", "lang")
+        .withColumn("batch_id", lit(0L)).limit(0)
+        .write.saveAsTable(outS)
+      val src = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("batch_id",
+            org.apache.spark.sql.types.LongType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stagedQpsiBatches(s, d))
+      val q = graft.streaming.EventsStreaming
+        .foreachBatchWriter(src, identity) { (b, _) =>
+          val bb = b.localCheckpoint(true)
+          try {
+            // <=3 distinct stamps by construction — a bounded collect
+            val bids = bb.select("batch_id").distinct()
+              .collect().map(_.getLong(0)).sorted
+            bids.foreach { bid =>
+              CorpusOps.qualityDriftPsi(reference,
+                  bb.where(col("batch_id") === bid), "text", "lang")
+                .withColumn("batch_id", lit(bid))
+                .write.mode("append").saveAsTable(outS)
+            }
+            s.catalog.refreshTable(outS)
+          } finally Dedup.unpersistCheckpoint(bb)
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      materializeAndDropTables(s,
+        s.table(outS).select(col("batch_id"), col("lang"), col("n_bins"),
+          col("n_a"), col("n_b"), col("psi"))
+          .orderBy("batch_id", "lang"),
+        outS)
     }),
     // Gopher-style within-document repetition filters: duplicate-token and
     // duplicate-bigram fractions (per-row expressions) + most-frequent-
@@ -9008,6 +9088,41 @@ object SparkEntry {
         |SELECT lang, min(n_bins) AS n_bins, min(na) AS n_a, min(nb) AS n_b,
         |  floor((CAST(sum(tm) AS DOUBLE) / 1000000) * 10000 + 0.5) / 10000 AS psi
         |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The deployed gate replayed: the SAME quality pipeline and PSI
+    // arithmetic, once per deterministic (doc_id div 10) % 3 batch stamp
+    // against the frozen doc_id%10==0 reference histogram.
+    "stream_quality_psi" ->
+      """WITH t0 AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','and','of','to'], t))) AS BIGINT) AS hits,
+        |    length(text) AS lc,
+        |    length(regexp_replace(text, '[0-9]', '', 'g')) AS lnd
+        |  FROM documents WHERE lang IS NOT NULL),
+        |r AS (SELECT doc_id, lang, n_tokens,
+        |    floor((CAST(hits AS DOUBLE) / greatest(n_tokens, 1)) * 10000 + 0.5) / 10000 AS stop_ratio,
+        |    floor((CASE WHEN lc = 0 THEN 0.0 ELSE CAST(lc - lnd AS DOUBLE) / lc END) * 10000 + 0.5) / 10000 AS digit_ratio
+        |  FROM t0),
+        |q AS (SELECT doc_id, lang,
+        |    least((CAST(floor((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5 + stop_ratio * 0.3 + (1.0 - digit_ratio) * 0.2) * 10000 + 0.5) AS BIGINT) * 20) // 10000, 19) AS bin
+        |  FROM r),
+        |ha AS (SELECT lang, bin, CAST(count(*) AS BIGINT) AS ca FROM q WHERE doc_id % 10 = 0 GROUP BY 1, 2),
+        |bq AS (SELECT (doc_id // 10) % 3 AS batch_id, lang, bin FROM q WHERE doc_id % 10 = 5),
+        |bids AS (SELECT DISTINCT batch_id FROM bq),
+        |hb AS (SELECT batch_id, lang, bin, CAST(count(*) AS BIGINT) AS cb FROM bq GROUP BY 1, 2, 3),
+        |hab AS (SELECT batch_id, lang, bin, ca FROM ha CROSS JOIN bids),
+        |j AS (SELECT batch_id, lang, bin, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |  FROM hab FULL OUTER JOIN hb USING (batch_id, lang, bin)),
+        |tt AS (SELECT batch_id, lang, CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+        |    CAST(count(*) AS BIGINT) AS n_bins FROM j GROUP BY 1, 2),
+        |terms AS (SELECT j.batch_id, j.lang,
+        |    CAST(floor((CAST(ca + 1 AS DOUBLE) / (na + n_bins) - CAST(cb + 1 AS DOUBLE) / (nb + n_bins))
+        |      * ln((CAST(ca + 1 AS DOUBLE) / (na + n_bins)) / (CAST(cb + 1 AS DOUBLE) / (nb + n_bins))) * 1000000 + 0.5) AS BIGINT) AS tm,
+        |    n_bins, na, nb
+        |  FROM j JOIN tt USING (batch_id, lang))
+        |SELECT CAST(batch_id AS BIGINT) AS batch_id, lang,
+        |  min(n_bins) AS n_bins, min(na) AS n_a, min(nb) AS n_b,
+        |  floor((CAST(sum(tm) AS DOUBLE) / 1000000) * 10000 + 0.5) / 10000 AS psi
+        |FROM terms GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "repetition_signals" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,

@@ -499,6 +499,32 @@ class StreamingAndMultimodalSpec extends SparkTestBase {
     assert(knn.count() == 2)
   }
 
+  test("stream_quality_psi: the deployed gate equals the batch monitor per stamp") {
+    // The streaming drift gate's whole claim is "qualityDriftPsi per
+    // micro-batch against the frozen reference" — so the drained loop's
+    // table must equal computing the batch op directly on each
+    // deterministic batch stamp. Catches double-appends, missed
+    // refreshes, and reference drift inside the loop plumbing.
+    val streamed = graft.SparkEntry.queries("stream_quality_psi")(
+      spark, sfTest)
+      .select("batch_id", "lang", "n_bins", "n_a", "n_b", "psi")
+      .as[(Long, String, Long, Long, Long, Double)].collect().toSet
+    val docs = graft.Tables.documents(spark, sfTest)
+    val reference = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val direct = (0L until 3L).flatMap { bid =>
+      graft.ops.CorpusOps.qualityDriftPsi(reference,
+          docs.where(pmod(col("doc_id"), lit(10)) === 5
+            && expr("(doc_id div 10) % 3") === bid),
+          "text", "lang")
+        .withColumn("batch_id", lit(bid))
+        .select("batch_id", "lang", "n_bins", "n_a", "n_b", "psi")
+        .as[(Long, String, Long, Long, Long, Double)].collect()
+    }.toSet
+    assert(streamed === direct)
+    assert(streamed.nonEmpty)
+  }
+
   test("multimodal: metadata-only byte length never touches the decoder") {
     val media = Seq((1L, "image/png", "abc".getBytes("UTF-8")))
       .toDF("media_id", "mime", "bytes")
