@@ -733,6 +733,30 @@ object SparkEntry {
       dir
     })
 
+  /** The decontamination gate's frozen state: DISTINCT 8-gram digests of
+    * the held-out eval slice (doc_id%10==7) as a digest-bucketed table —
+    * what a deployed ingest gate pins at eval-freeze time. Gram text
+    * reduces to its 16-byte md5 in the scan projection; only digests
+    * ever sit in the manifest or cross its probe join. Memoized per
+    * sfDir like the dedup manifests.
+    */
+  private val decontamStateCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def decontamState(s: SparkSession, d: String): String =
+    decontamStateCache.getOrElseUpdate((s.sparkContext.applicationId, d), {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val mt = s"graft_evalgrams_$tag"
+      ScaleOps.writeBucketed(
+        CorpusOps.ngramSet(
+          Tables.documents(s, d).where(pmod(col("doc_id"), lit(10)) === 7),
+          "doc_id", "text", n = 8)
+          .select(md5(col("gram").cast("binary")).as("g")).distinct()
+          .repartition(8, col("g")),
+        mt, Seq("g"), buckets = 8)
+      mt
+    })
+
   private val stagedDocDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -3259,6 +3283,57 @@ object SparkEntry {
         .crossJoin(s50.agg(count(lit(1)).as("n_50")))
         .crossJoin(s10.join(s50, Seq("doc_id"), "left_anti")
           .agg(count(lit(1)).as("n_escaped")))
+    }),
+    // Temperature-scaled (α = 1/2, sqrt — correctly-rounded IEEE, unlike
+    // libm pow) source mixture over the skewed lang axis: √n-smoothed
+    // rates toward a 0.5·N budget, realized as the content-addressed md5
+    // draw — upsamples the tail langs relative to en exactly as the
+    // mT5/XLM-R recipe intends; rate_micro is the exact integer rate and
+    // id_sum pins sampled-set MEMBERSHIP per source.
+    "mixture_temperature" -> ((s, d) =>
+      CorpusOps.temperatureMixture(Tables.documents(s, d), "doc_id",
+        "lang", targetFrac = 0.5)
+        .orderBy("source")),
+    // The decontamination gate DEPLOYED: each arriving micro-batch's
+    // distinct 8-grams digest map-side and probe the FROZEN eval-gram
+    // manifest (digest-bucketed, built once at eval-freeze time); every
+    // document emits its (n_shared_ngrams, contaminated) verdict exactly
+    // once — per-doc rows are delivery-order-invariant by construction,
+    // so the oracle replays the whole gate over the same slice.
+    "stream_decontaminate" -> ((s, d) => {
+      val run = streamRuns.incrementAndGet()
+      val outS = s"graft_deconta_out_$run"
+      val mt = decontamState(s, d)
+      Tables.documents(s, d).limit(0)
+        .select(col("doc_id"), lit(0L).as("n_shared_ngrams"),
+          lit(false).as("contaminated"))
+        .write.saveAsTable(outS)
+      val src = s.readStream.schema(Tables.documents(s, d).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stagedDocBatches(s, d))
+      val q = graft.streaming.EventsStreaming
+        .foreachBatchWriter(src, identity) { (b, _) =>
+          val bb = b.localCheckpoint(true)
+          try {
+            val hits = CorpusOps.ngramSet(bb, "doc_id", "text", n = 8)
+              .select(col("doc_id"),
+                md5(col("gram").cast("binary")).as("g"))
+              .join(s.table(mt), Seq("g"))
+              .groupBy(col("doc_id"))
+              .agg(count(lit(1)).as("n_shared_ngrams"))
+            bb.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+              .select(col("doc_id"),
+                coalesce(col("n_shared_ngrams"), lit(0L))
+                  .as("n_shared_ngrams"),
+                (coalesce(col("n_shared_ngrams"), lit(0L)) > 0)
+                  .as("contaminated"))
+              .write.mode("append").saveAsTable(outS)
+            s.catalog.refreshTable(outS)
+          } finally Dedup.unpersistCheckpoint(bb)
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      materializeAndDropTables(s,
+        s.table(outS).orderBy("doc_id"), outS)
     }),
     // Benchmark decontamination: flag train-split docs sharing any 8-token
     // n-gram with the held-out test split (the GPT-3-style collision
@@ -8634,6 +8709,46 @@ object SparkEntry {
         |  (SELECT CAST(sum(doc_id) AS BIGINT) FROM b WHERE bucket < 1000) AS id_sum_10,
         |  (SELECT CAST(count(*) AS BIGINT) FROM b WHERE bucket < 5000) AS n_50,
         |  CAST(0 AS BIGINT) AS n_escaped""".stripMargin,
+    // √n weights quantize to micro-longs BEFORE the normalizing sum;
+    // the rate dag is exact-integer-valued doubles end to end, and the
+    // draw is the same md5 fold % 1e6 as the engine's splitBucket.
+    "mixture_temperature" ->
+      """WITH cnt AS (SELECT lang AS source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_docs,
+        |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS wm FROM cnt),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n, CAST(sum(wm) AS BIGINT) AS z FROM w),
+        |rates AS (SELECT source, n_docs,
+        |    least(1000000, CAST(floor(
+        |      CAST(wm AS DOUBLE) / CAST(z AS DOUBLE)
+        |      * (CAST(n AS DOUBLE) * 0.5) / CAST(n_docs AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS rate_micro
+        |  FROM w CROSS JOIN tot),
+        |sam AS (SELECT d.lang AS source, CAST(count(*) AS BIGINT) AS n_sampled,
+        |    CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+        |  FROM documents d JOIN rates ON d.lang = rates.source
+        |  WHERE list_reduce(list_transform(range(1, 9),
+        |      i -> (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT),
+        |      (a, x) -> a * 16 + x) % 1000000 < rate_micro
+        |  GROUP BY 1)
+        |SELECT r.source, n_docs, rate_micro,
+        |  coalesce(n_sampled, 0) AS n_sampled, coalesce(id_sum, 0) AS id_sum
+        |FROM rates r LEFT JOIN sam USING (source) ORDER BY source""".stripMargin,
+    // The gate replayed over the staged slice: distinct 8-grams per doc
+    // vs the eval slice's distinct gram set, exact shared counts.
+    "stream_decontaminate" ->
+      """WITH tr AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 10 = 1 AND doc_id < 10000 AND (doc_id // 10) % 2 = 1),
+        |tg AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM tr),
+        |  LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i)),
+        |eg AS (SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS g
+        |  FROM (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 10 = 7),
+        |  LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i)),
+        |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_ngrams
+        |  FROM tg JOIN eg USING (g) GROUP BY 1)
+        |SELECT tr.doc_id, coalesce(n_shared_ngrams, 0) AS n_shared_ngrams,
+        |  coalesce(n_shared_ngrams, 0) > 0 AS contaminated
+        |FROM tr LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin,
     // range(1, len(t) - 6) = the n-gram start positions 1 .. len-n+1 for
     // n = 8 (DuckDB range is end-exclusive; t[i:i+7] is an 8-token slice).
     "decontaminate_ngrams" ->

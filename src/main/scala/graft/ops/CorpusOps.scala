@@ -94,6 +94,68 @@ object CorpusOps {
     df.where(splitBucket(col(keyCol), buckets) <
       floor(weight * lit(buckets.toDouble)).cast("long"))
 
+  /** Temperature-scaled source mixture — the α-smoothed multinomial the
+    * multilingual/multi-source pretraining recipes sample with (mT5 §3.1,
+    * XLM-R: p_i ∝ n_i^α, α < 1 upsamples the tail, α = 1 is natural
+    * proportions) at α = 1/2: per-source sampling rates toward a
+    * `targetFrac`·N document budget, REALIZED as the content-addressed
+    * md5 draw ([[weightedSample]]'s bucket space), so the sampled set is
+    * a pure function of the corpus — reproducible across engines, runs,
+    * and partitionings, and monotone in the rate.
+    *
+    * α is FIXED at 1/2 — the sqrt smoothing — deliberately: IEEE-754
+    * sqrt is CORRECTLY ROUNDED on every engine, while libm pow(x, α) is
+    * only ≤1-ulp accurate and differs across platforms, which would
+    * reintroduce last-ulp drift exactly at the floor(·10⁶) rate
+    * quantization this op stakes its replayability on. (mT5's published
+    * settings bracket 0.5; T5's multilingual ancestor used 0.5 itself.)
+    *
+    * Determinism discipline: the smoothed weights √n_i quantize to
+    * micro-unit longs BEFORE the normalizing sum (a double sum over
+    * sources would be accumulation-order noise); every rate is then a
+    * fixed dag of exact-integer-valued doubles — floor(·1e6 + 0.5) to
+    * the final micro-rate both engines reproduce bit-for-bit. Rates cap
+    * at 1 (a tail source wanting more than it has is taken whole — the
+    * standard clamp; the realized total then undershoots the budget
+    * honestly rather than oversampling heads).
+    *
+    * Scale shape: ONE source-keyed hash aggregate (sources are bounded);
+    * rates broadcast back onto rows; the draw is a map-side filter.
+    *
+    * @return per source: n_docs, rate_micro (the exact integer rate ×
+    *         10⁶), n_sampled, sampled-id checksum
+    */
+  def temperatureMixture(df: DataFrame, keyCol: String, sourceCol: String,
+                         targetFrac: Double = 0.5): DataFrame = {
+    require(targetFrac > 0.0 && targetFrac <= 1.0,
+      s"targetFrac=$targetFrac must be in (0, 1]")
+    val cnt = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val wMicro = floor(sqrt(col("n_docs").cast("double")) * 1e6
+      + lit(0.5)).cast("long")
+    val tot = cnt.agg(sum(col("n_docs")).as("__n"),
+      sum(wMicro).as("__z"))
+    val rates = cnt.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        least(lit(1000000L), floor(
+          wMicro.cast("double") / col("__z").cast("double")
+            * (col("__n").cast("double") * lit(targetFrac))
+            / col("n_docs").cast("double") * 1e6 + lit(0.5))
+          .cast("long")).as("rate_micro"))
+      .localCheckpoint(true)
+    val sampled = df
+      .select(col(keyCol).as("__k"), col(sourceCol).as("source"))
+      .join(broadcast(rates.select(col("source"), col("rate_micro"))),
+        Seq("source"))
+      .where(splitBucket(col("__k"), 1000000) < col("rate_micro"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("__k")).as("id_sum"))
+    rates.join(sampled, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("rate_micro"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("id_sum"), lit(0L)).as("id_sum"))
+  }
+
   /** Greedy sequential context-window packing: documents are laid out in
     * `idCol` order within each shard, and each lands at byte-offset-style
     * token position `cum - n_tokens`; `pack_id` is that position divided
@@ -2524,8 +2586,17 @@ object CorpusOps {
     *         tokens_per_word 4-dp, chars_per_token 4-dp)
     */
   def bpeEncodeStats(df: DataFrame, sourceCol: String, textCol: String,
-                     rounds: Int): DataFrame =
-    bpeEncodeStats(df, sourceCol, textCol, bpeTrain(df, textCol, rounds))
+                     rounds: Int): DataFrame = {
+    val model = bpeTrain(df, textCol, rounds)
+    // This convenience never exposes the model, and the stats pass reads
+    // only the vocabulary — the frozen base alphabet (checkpointed for
+    // id-table consumers) frees NOW, deterministically, instead of
+    // whenever the ContextCleaner's GC sweep happens to run (the
+    // lifetime spec measured exactly this: one leaked alphabet-scale
+    // block set per rounds-overload call until a driver GC).
+    Dedup.unpersistCheckpoint(model.baseChars)
+    bpeEncodeStats(df, sourceCol, textCol, model)
+  }
 
   /** A trained BPE tokenizer: the realized merge table and the FINAL
     * segmented vocabulary (checkpointed — every merge already applied

@@ -101,6 +101,34 @@ class CorpusOpsSpec extends SparkTestBase {
       (4L, 1L, 88L), (10L, 0L, 0L), (11L, 1L, 88L)))
   }
 
+  test("temperatureMixture: sqrt smoothing upsamples the tail, rates are exact micro-longs") {
+    // uniform sources: every rate collapses to targetFrac exactly
+    val uni = (0L until 400L).map(i => (i, s"s${i % 4}")).toDF("id", "src")
+    val u = CorpusOps.temperatureMixture(uni, "id", "src", targetFrac = 0.5)
+      .select("source", "rate_micro").as[(String, Long)].collect().toMap
+    assert(u.values.toSet == Set(500000L))
+    // 9:1 skew at α=1/2: w = (3, 1) over n = (360, 40); the tail's rate
+    // must exceed the head's and BOTH exceed/undershoot targetFrac the
+    // mT5 way (head downsampled, tail upsampled)
+    val skew = (0L until 400L).map(i =>
+      (i, if (i < 360) "big" else "small")).toDF("id", "src")
+    val r = CorpusOps.temperatureMixture(skew, "id", "src",
+      targetFrac = 0.5)
+      .select("source", "n_docs", "rate_micro", "n_sampled")
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    // exact: w_micro = (18973666, 6324555); rates = w/Σw * 200 / n
+    assert(r("big")._3 < 500000L && r("small")._3 > 500000L)
+    assert(r("big")._3 == 416667L, r("big").toString) // 0.75*200/360
+    assert(r("small")._3 == 1000000L) // 0.25*200/40 = 1.25 -> clamped
+    assert(r("small")._4 == 40L) // clamp takes the tail whole
+    // the draw is content-addressed: a rate can only ADD members
+    val lo = CorpusOps.temperatureMixture(skew, "id", "src",
+      targetFrac = 0.25).select("source", "n_sampled")
+      .as[(String, Long)].collect().toMap
+    assert(lo("big") <= r("big")._4)
+  }
+
   test("packSequencesBfd: best-fit-decreasing deal, hand-checked") {
     // lengths 60,50,40,30,20 @ budget 100, sorted DESC:
     //  60 -> new bin0 (rem 40); 50 -> new bin1 (rem 50)

@@ -525,6 +525,27 @@ class StreamingAndMultimodalSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("stream_decontaminate: the deployed gate equals the batch decontaminate op") {
+    // The loop's claim is "CorpusOps.decontaminate semantics against the
+    // frozen eval-gram manifest" — the drained per-doc verdicts must
+    // equal the batch op run on the same slice vs the same eval side.
+    val streamed = graft.SparkEntry.queries("stream_decontaminate")(
+      spark, sfTest)
+      .select("doc_id", "n_shared_ngrams", "contaminated")
+      .as[(Long, Long, Boolean)].collect().toSet
+    val docs = graft.Tables.documents(spark, sfTest)
+    val direct = graft.ops.CorpusOps.decontaminate(
+      docs.where(pmod(col("doc_id"), lit(10)) === 1
+        && col("doc_id") < 10000
+        && pmod(expr("doc_id div 10"), lit(2)) === 1),
+      docs.where(pmod(col("doc_id"), lit(10)) === 7),
+      "doc_id", "text", n = 8)
+      .select("doc_id", "n_shared_ngrams", "contaminated")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(streamed === direct)
+    assert(streamed.nonEmpty)
+  }
+
   test("multimodal: metadata-only byte length never touches the decoder") {
     val media = Seq((1L, "image/png", "abc".getBytes("UTF-8")))
       .toDF("media_id", "mime", "bytes")
