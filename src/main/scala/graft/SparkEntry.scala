@@ -3284,13 +3284,15 @@ object SparkEntry {
         .crossJoin(s10.join(s50, Seq("doc_id"), "left_anti")
           .agg(count(lit(1)).as("n_escaped")))
     }),
-    // Temperature-scaled (α = 1/2, sqrt — correctly-rounded IEEE, unlike
-    // libm pow) source mixture over the skewed lang axis: √n-smoothed
-    // rates toward a 0.5·N budget, realized as the content-addressed md5
-    // draw — upsamples the tail langs relative to en exactly as the
-    // mT5/XLM-R recipe intends; rate_micro is the exact integer rate and
-    // id_sum pins sampled-set MEMBERSHIP per source.
-    "mixture_temperature" -> ((s, d) =>
+    // The temperature mixture REALIZED: where mixture_temperature solves
+    // the √n-smoothed ALLOCATION (Hamilton apportionment of an abstract
+    // budget), this draws the actual per-document sample — per-source
+    // rates toward a 0.5·N budget (same sqrt smoothing, same
+    // IEEE-correctly-rounded rationale), realized as the
+    // content-addressed md5 draw over the skewed lang axis; rate_micro
+    // is the exact integer rate and id_sum pins sampled-set MEMBERSHIP
+    // per source, which no allocation table can.
+    "mixture_temperature_draw" -> ((s, d) =>
       CorpusOps.temperatureMixture(Tables.documents(s, d), "doc_id",
         "lang", targetFrac = 0.5)
         .orderBy("source")),
@@ -8712,7 +8714,7 @@ object SparkEntry {
     // √n weights quantize to micro-longs BEFORE the normalizing sum;
     // the rate dag is exact-integer-valued doubles end to end, and the
     // draw is the same md5 fold % 1e6 as the engine's splitBucket.
-    "mixture_temperature" ->
+    "mixture_temperature_draw" ->
       """WITH cnt AS (SELECT lang AS source, CAST(count(*) AS BIGINT) AS n_docs
         |  FROM documents GROUP BY 1),
         |w AS (SELECT source, n_docs,
