@@ -3491,6 +3491,13 @@ object SparkEntry {
     // eval never enters the pipeline corpus) → quality gate (≥ 0.4 on
     // the excised text) → content-addressed split → per-(lang, split)
     // mixture report, id_sum pinning exactly which documents survived.
+    // The embedding-space modalities (cosine near-dup, SemDeDup
+    // keep-first, embed_decontaminate) gate SEPARATELY by design:
+    // embeddings cover only part of this corpus (2000 of 5000 ids at
+    // sf0.1 — the real-pipeline situation where embedding coverage lags
+    // the crawl), so a semantic stage here would silently pass the
+    // uncovered majority; the text chain uses only features every
+    // document has.
     // Exchange discipline: digests key every dedup/excision exchange;
     // the one token-carrying shuffle is excision's reassembly; the
     // victim/contaminated sets are id-only anti-join sides.

@@ -426,6 +426,19 @@ class PlanSpec extends SparkTestBase {
       s"raw text shipped through a digest exchange:\n${exchBlocks.mkString("\n\n")}")
   }
 
+  test("mixture_temperature_draw: rates broadcast back, the draw is a map-side filter") {
+    // The source-rate table is bounded (one row per source) and must
+    // broadcast onto the corpus; the realized draw is the md5 bucket
+    // filter applied map-side — no sort-merge exchange of corpus rows
+    // against a 5-row dim, no window, no cartesian.
+    val plan = executedSimple(
+      SparkEntry.queries("mixture_temperature_draw")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("pack_sequences_bfd: shards fold row-locally — (id, len) in the exchange, never text, no window") {
     // Bin packing is order-dependent state, so the sequential unit is
     // the shard: docs reduce to (sort key, id, effective length) in the
