@@ -1170,6 +1170,69 @@ object SparkEntry {
       (cb, pt)
     })
 
+  /** The governance chain's stage frames, memoized per (application,
+    * dir): `corpus_prep_full` consumes the final gate while
+    * `corpus_prep_attrition` reads EVERY stage's survivors — without the
+    * memo the attrition report would re-run exact dedup, substring
+    * excision, near-dup verification, MOSS matching and decontamination
+    * from the scan. The checkpointed members are corpus-slice-scale; the
+    * memoFamilies evictor frees their blocks after the family's last
+    * consumer, like the other heavy families. `corpus` stays lazy (one
+    * scan + map-side normalize — cheaper to recompute than to hold).
+    */
+  private case class CorpusPrepFrames(corpus: DataFrame, exact: DataFrame,
+                                      excised: DataFrame, neardup: DataFrame,
+                                      moss: DataFrame, clean: DataFrame)
+
+  private val corpusPrepCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String),
+      CorpusPrepFrames]
+
+  private def corpusPrepFrames(s: SparkSession,
+                               d: String): CorpusPrepFrames =
+    corpusPrepCache.getOrElseUpdate((s.sparkContext.applicationId, d), {
+      val all = Tables.documents(s, d)
+      val corpus = all
+        .where(pmod(col("doc_id"), lit(5)) === 0 && col("doc_id") < 20000)
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.normalizeText(col("text")).as("norm"))
+      val evalSide = all.where(pmod(col("doc_id"), lit(10)) === 7)
+        .select(col("doc_id"),
+          TextFunctions.normalizeText(col("text")).as("text_dedup"))
+      // stage frames each feed TWO consumers (rule (g)): exact feeds the
+      // id/lang projection AND the excision pass; excised feeds the LSH
+      // pair proposal AND the drop join; neardup feeds the MOSS pair
+      // proposal AND its anti join; moss feeds decontamination AND the
+      // semi join — left lazy, each consumer re-runs the whole upstream
+      // chain from the scan
+      val exact = Dedup.dropExact(corpus, "doc_id", "norm")
+        .localCheckpoint(true)
+      val excised = exact.select(col("doc_id"), col("lang"))
+        .join(CorpusOps.exactSubstrDedup(exact, "doc_id", "norm", n = 15)
+          .select(col("doc_id"), col("text_dedup")), Seq("doc_id"))
+        .localCheckpoint(true)
+      val neardup = Dedup.dropNearDupsFromPairs(excised, "doc_id",
+        Dedup.verifiedNearDupPairs(excised, "doc_id", "text_dedup",
+          threshold = 0.8))
+        .localCheckpoint(true)
+      // MOSS-match removal: drop the LATER document of every winnowing
+      // match (earlier-survives, the canonical-keep convention) — the
+      // victim set is id-only, so the anti join ships ids, never text
+      val moss = neardup.join(
+        CorpusOps.winnowPairs(neardup, "doc_id", "text_dedup",
+            k = 3, w = 4, minShared = 1L, maxDocFreq = 50L)
+          .select(col("id_b").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      val clean = moss.join(
+        CorpusOps.decontaminate(moss, evalSide, "doc_id", "text_dedup",
+            n = 8)
+          .where(!col("contaminated")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
+      CorpusPrepFrames(corpus, exact, excised, neardup, moss, clean)
+    })
+
   /** The ADC tier's persisted serving state — [[ivfPostingState]] one
     * compression level up: a frozen [[EmbeddingOps.IvfadcModel]] (coarse
     * router + m residual sub-quantizers, trained ONCE on the even-id
@@ -1354,6 +1417,15 @@ object SparkEntry {
       () => {
         trigramNllCache.values.foreach(Dedup.unpersistCheckpoint)
         trigramNllCache.clear()
+      }),
+    ("corpus_prep_frames",
+      Set("corpus_prep_attrition", "corpus_prep_full"),
+      () => {
+        corpusPrepCache.values.foreach { fr =>
+          Seq(fr.exact, fr.excised, fr.neardup, fr.moss, fr.clean)
+            .foreach(Dedup.unpersistCheckpoint)
+        }
+        corpusPrepCache.clear()
       }),
     ("cosine_truth",
       Set("incremental_cosine_persisted", "stream_cosine_incremental"),
@@ -3509,44 +3581,11 @@ object SparkEntry {
     // candidates (measured 61 s of pure verification). The oracle
     // replays the same slice exhaustively, so the recall gate holds.
     "corpus_prep_full" -> ((s, d) => {
-      val all = Tables.documents(s, d)
-      val corpus = all
-        .where(pmod(col("doc_id"), lit(5)) === 0 && col("doc_id") < 20000)
-        .select(col("doc_id"), col("lang"),
-          TextFunctions.normalizeText(col("text")).as("norm"))
-      val evalSide = all.where(pmod(col("doc_id"), lit(10)) === 7)
-        .select(col("doc_id"),
-          TextFunctions.normalizeText(col("text")).as("text_dedup"))
-      // stage frames each feed TWO consumers (rule (g)): exact feeds the
-      // id/lang projection AND the excision pass; excised feeds the LSH
-      // pair proposal AND the drop join; neardup feeds decontamination
-      // AND the semi join — left lazy, each consumer re-runs the whole
-      // upstream chain from the scan
-      val exact = Dedup.dropExact(corpus, "doc_id", "norm")
-        .localCheckpoint(true)
-      val excised = exact.select(col("doc_id"), col("lang"))
-        .join(CorpusOps.exactSubstrDedup(exact, "doc_id", "norm", n = 15)
-          .select(col("doc_id"), col("text_dedup")), Seq("doc_id"))
-        .localCheckpoint(true)
-      val neardup = Dedup.dropNearDupsFromPairs(excised, "doc_id",
-        Dedup.verifiedNearDupPairs(excised, "doc_id", "text_dedup",
-          threshold = 0.8))
-        .localCheckpoint(true)
-      // MOSS-match removal: drop the LATER document of every winnowing
-      // match (earlier-survives, the canonical-keep convention) — the
-      // victim set is id-only, so the anti join ships ids, never text
-      val moss = neardup.join(
-        CorpusOps.winnowPairs(neardup, "doc_id", "text_dedup",
-            k = 3, w = 4, minShared = 1L, maxDocFreq = 50L)
-          .select(col("id_b").as("doc_id")),
-        Seq("doc_id"), "left_anti")
-        .localCheckpoint(true)
-      val clean = moss.join(
-        CorpusOps.decontaminate(moss, evalSide, "doc_id", "text_dedup",
-            n = 8)
-          .where(!col("contaminated")).select("doc_id"),
-        Seq("doc_id"), "left_semi")
-      val gated = TextFunctions.withQualityColumns(clean, "text_dedup")
+      // stage frames come from the memoized chain builder
+      // (corpusPrepFrames — shared with corpus_prep_attrition, evicted
+      // by its memo family after the last consumer)
+      val gated = TextFunctions
+        .withQualityColumns(corpusPrepFrames(s, d).clean, "text_dedup")
         .where(col("quality") >= 0.4)
       CorpusOps.assignSplit(gated, "doc_id",
         Seq("train" -> 80, "val" -> 10, "test" -> 10))
@@ -3555,6 +3594,37 @@ object SparkEntry {
           sum("n_tokens").as("n_tokens"),
           sum("doc_id").as("id_sum"))
         .orderBy("lang", "split")
+    }),
+    // The chain's dataset-card LINEAGE table: per governance stage, the
+    // surviving document count, the id checksum (exactly WHICH docs
+    // survive, not just how many), and the surviving token mass —
+    // excision shows up as token loss at constant doc count, every
+    // removal stage as doc loss. Reads the same memoized stage frames
+    // corpus_prep_full consumes; the oracle replays the identical CTE
+    // chain (one shared definition) and aggregates each stage.
+    "corpus_prep_attrition" -> ((s, d) => {
+      val fr = corpusPrepFrames(s, d)
+      def stage(ord: Long, name: String, df: DataFrame,
+                textCol: String): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"),
+            coalesce(sum(TextFunctions.tokenCount(col(textCol))), lit(0L))
+              .as("n_tokens"))
+          .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
+            col("n_docs"), col("id_sum"), col("n_tokens"))
+      val gated = TextFunctions
+        .withQualityColumns(fr.clean, "text_dedup")
+        .where(col("quality") >= 0.4)
+      Seq(
+        stage(1L, "corpus", fr.corpus, "norm"),
+        stage(2L, "exact_dedup", fr.exact, "norm"),
+        stage(3L, "substr_excision", fr.excised, "text_dedup"),
+        stage(4L, "near_dup", fr.neardup, "text_dedup"),
+        stage(5L, "moss_match", fr.moss, "text_dedup"),
+        stage(6L, "decontam", fr.clean, "text_dedup"),
+        stage(7L, "quality_gate", gated, "text_dedup"))
+        .reduce(_ unionByName _)
+        .orderBy("stage_ord")
     }),
 
     // Text normalization ahead of dedup: the normalized digest is the
@@ -6538,6 +6608,87 @@ object SparkEntry {
     * pos)` (ties to the rightmost position BY the key), window starts
     * only, distinct (hash, pos). Shared by both winnow oracles.
     */
+  /** The governance chain's shared oracle CTE chain (normalize →
+    * slice → exact dedup → excision → near-dup CC removal → winnow
+    * MOSS removal → decontamination → quality columns) — ONE
+    * definition feeding both the corpus_prep_full mixture readout and
+    * the corpus_prep_attrition lineage readout (the dense-grid
+    * single-definition determinism lesson applied to the chain).
+    */
+  private val corpusPrepCtes: String =
+    """WITH RECURSIVE all0 AS (SELECT doc_id, lang,
+        |    trim(regexp_replace(lower(regexp_replace(text, '(?i)https?://\S+', '', 'g')), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |corp AS (SELECT * FROM all0 WHERE doc_id % 5 = 0 AND doc_id < 20000),
+        |ev AS (SELECT norm FROM all0 WHERE doc_id % 10 = 7),
+        |k AS (SELECT min(doc_id) AS keep_id FROM corp GROUP BY md5(norm)),
+        |ex AS (SELECT * FROM corp WHERE doc_id IN (SELECT keep_id FROM k)),
+        |t AS (SELECT doc_id, lang, string_split(norm, ' ') AS toks FROM ex),
+        |occ AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, array_to_string(toks[i:i+14], ' ') AS gram
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 13)) AS i) WHERE len(toks) >= 15),
+        |w AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS tot,
+        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk FROM occ),
+        |drops AS (SELECT DISTINCT doc_id, pos + dd AS p FROM w,
+        |  LATERAL (SELECT unnest(range(0, 15)) AS dd) WHERE tot > 1 AND rk > 1),
+        |tok AS (SELECT doc_id, CAST(i AS BIGINT) AS p, toks[i] AS tok
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)),
+        |kept AS (SELECT tok.doc_id, tok.p, tok.tok FROM tok
+        |  ANTI JOIN drops ON tok.doc_id = drops.doc_id AND tok.p = drops.p),
+        |exc AS (SELECT e.doc_id, e.lang, coalesce(re.txt, '') AS txt FROM ex e
+        |  LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS txt
+        |    FROM kept GROUP BY 1) re USING (doc_id)),
+        |toks2 AS (SELECT doc_id, unnest(list_distinct(string_split(txt, ' '))) AS tk FROM exc),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt FROM toks2 GROUP BY 1),
+        |prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+        |  FROM toks2 a JOIN toks2 b ON a.tk = b.tk AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jac AS (SELECT id_a, id_b,
+        |  floor((CAST(shared AS DOUBLE) / (sa.nt + sb.nt - shared)) * 10000 + 0.5) / 10000 AS jaccard
+        |  FROM prs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id),
+        |near AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM near UNION SELECT id_b, id_a FROM near),
+        |reach(src, dst) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |victims AS (SELECT src AS doc_id FROM reach GROUP BY 1 HAVING src <> min(dst)),
+        |nd AS (SELECT * FROM exc ANTI JOIN victims USING (doc_id)),
+        |wt AS (SELECT doc_id, string_split(txt, ' ') AS t FROM nd),
+        |wpos AS (SELECT doc_id, CAST(len(t) - 2 AS BIGINT) AS kk, t,
+        |  unnest(range(1, len(t) - 1)) AS i FROM wt WHERE len(t) >= 3),
+        |wg AS (SELECT doc_id, kk, CAST(i AS BIGINT) AS pos,
+        |  md5(array_to_string(t[i:i+2], ' ')) AS h FROM wpos),
+        |wkey AS (SELECT doc_id, kk, pos,
+        |  h || lpad(CAST(1000000000000 - pos AS VARCHAR), 13, '0') AS key FROM wg),
+        |wsel AS (SELECT doc_id, kk, pos, min(key) OVER (PARTITION BY doc_id
+        |  ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s FROM wkey),
+        |wfp AS (SELECT DISTINCT doc_id, substr(s, 1, 32) AS fp_hash
+        |  FROM wsel WHERE pos <= greatest(kk - 3, 1)),
+        |wrare AS (SELECT fp_hash FROM (
+        |    SELECT fp_hash, count(DISTINCT doc_id) AS df FROM wfp GROUP BY 1)
+        |  WHERE df <= 50),
+        |wkept AS (SELECT wfp.doc_id, wfp.fp_hash FROM wfp JOIN wrare USING (fp_hash)),
+        |wvict AS (SELECT DISTINCT b.doc_id FROM wkept a JOIN wkept b
+        |  ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 1),
+        |moss AS (SELECT * FROM nd ANTI JOIN wvict USING (doc_id)),
+        |tt AS (SELECT doc_id, string_split(txt, ' ') AS st FROM moss),
+        |tg AS (SELECT DISTINCT doc_id, array_to_string(st[i:i+7], ' ') AS g
+        |  FROM tt, LATERAL (SELECT unnest(range(1, len(st) - 6)) AS i)),
+        |eg AS (SELECT DISTINCT array_to_string(st[i:i+7], ' ') AS g
+        |  FROM (SELECT string_split(norm, ' ') AS st FROM ev),
+        |  LATERAL (SELECT unnest(range(1, len(st) - 6)) AS i)),
+        |conta AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (g)),
+        |cl AS (SELECT * FROM moss ANTI JOIN conta USING (doc_id)),
+        |q AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(txt, ' ')) AS BIGINT) AS n_tokens,
+        |    floor((CAST(len(list_filter(string_split(txt, ' '), x -> list_contains(['the','a','and','of','to'], x))) AS DOUBLE)
+        |      / greatest(len(string_split(txt, ' ')), 1)) * 10000 + 0.5) / 10000 AS stop_ratio,
+        |    floor((CASE WHEN length(txt) = 0 THEN 0.0
+        |      ELSE CAST(length(txt) - length(regexp_replace(txt, '[0-9]', '', 'g')) AS DOUBLE) / length(txt) END) * 10000 + 0.5) / 10000 AS digit_ratio
+        |  FROM cl),
+        |f AS (SELECT *, floor((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+        |    + stop_ratio * 0.3 + (1.0 - digit_ratio) * 0.2) * 10000 + 0.5) / 10000 AS quality FROM q)""".stripMargin
+
   private val winnowFpCte: String =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |pos AS (SELECT doc_id, CAST(len(t) - 2 AS BIGINT) AS kk, t,
@@ -8927,79 +9078,7 @@ object SparkEntry {
     // path's recall along the way), 8-gram decontamination against the
     // held-out slice, the quality formula, the md5 split, and the
     // mixture rollup.
-    "corpus_prep_full" ->
-      """WITH RECURSIVE all0 AS (SELECT doc_id, lang,
-        |    trim(regexp_replace(lower(regexp_replace(text, '(?i)https?://\S+', '', 'g')), '\s+', ' ', 'g')) AS norm
-        |  FROM documents),
-        |corp AS (SELECT * FROM all0 WHERE doc_id % 5 = 0 AND doc_id < 20000),
-        |ev AS (SELECT norm FROM all0 WHERE doc_id % 10 = 7),
-        |k AS (SELECT min(doc_id) AS keep_id FROM corp GROUP BY md5(norm)),
-        |ex AS (SELECT * FROM corp WHERE doc_id IN (SELECT keep_id FROM k)),
-        |t AS (SELECT doc_id, lang, string_split(norm, ' ') AS toks FROM ex),
-        |occ AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, array_to_string(toks[i:i+14], ' ') AS gram
-        |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 13)) AS i) WHERE len(toks) >= 15),
-        |w AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS tot,
-        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk FROM occ),
-        |drops AS (SELECT DISTINCT doc_id, pos + dd AS p FROM w,
-        |  LATERAL (SELECT unnest(range(0, 15)) AS dd) WHERE tot > 1 AND rk > 1),
-        |tok AS (SELECT doc_id, CAST(i AS BIGINT) AS p, toks[i] AS tok
-        |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)),
-        |kept AS (SELECT tok.doc_id, tok.p, tok.tok FROM tok
-        |  ANTI JOIN drops ON tok.doc_id = drops.doc_id AND tok.p = drops.p),
-        |exc AS (SELECT e.doc_id, e.lang, coalesce(re.txt, '') AS txt FROM ex e
-        |  LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS txt
-        |    FROM kept GROUP BY 1) re USING (doc_id)),
-        |toks2 AS (SELECT doc_id, unnest(list_distinct(string_split(txt, ' '))) AS tk FROM exc),
-        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt FROM toks2 GROUP BY 1),
-        |prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
-        |  FROM toks2 a JOIN toks2 b ON a.tk = b.tk AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |jac AS (SELECT id_a, id_b,
-        |  floor((CAST(shared AS DOUBLE) / (sa.nt + sb.nt - shared)) * 10000 + 0.5) / 10000 AS jaccard
-        |  FROM prs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id),
-        |near AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM near UNION SELECT id_b, id_a FROM near),
-        |reach(src, dst) AS (
-        |  SELECT DISTINCT src, src FROM edges
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-        |victims AS (SELECT src AS doc_id FROM reach GROUP BY 1 HAVING src <> min(dst)),
-        |nd AS (SELECT * FROM exc ANTI JOIN victims USING (doc_id)),
-        |wt AS (SELECT doc_id, string_split(txt, ' ') AS t FROM nd),
-        |wpos AS (SELECT doc_id, CAST(len(t) - 2 AS BIGINT) AS kk, t,
-        |  unnest(range(1, len(t) - 1)) AS i FROM wt WHERE len(t) >= 3),
-        |wg AS (SELECT doc_id, kk, CAST(i AS BIGINT) AS pos,
-        |  md5(array_to_string(t[i:i+2], ' ')) AS h FROM wpos),
-        |wkey AS (SELECT doc_id, kk, pos,
-        |  h || lpad(CAST(1000000000000 - pos AS VARCHAR), 13, '0') AS key FROM wg),
-        |wsel AS (SELECT doc_id, kk, pos, min(key) OVER (PARTITION BY doc_id
-        |  ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s FROM wkey),
-        |wfp AS (SELECT DISTINCT doc_id, substr(s, 1, 32) AS fp_hash
-        |  FROM wsel WHERE pos <= greatest(kk - 3, 1)),
-        |wrare AS (SELECT fp_hash FROM (
-        |    SELECT fp_hash, count(DISTINCT doc_id) AS df FROM wfp GROUP BY 1)
-        |  WHERE df <= 50),
-        |wkept AS (SELECT wfp.doc_id, wfp.fp_hash FROM wfp JOIN wrare USING (fp_hash)),
-        |wvict AS (SELECT DISTINCT b.doc_id FROM wkept a JOIN wkept b
-        |  ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 1),
-        |moss AS (SELECT * FROM nd ANTI JOIN wvict USING (doc_id)),
-        |tt AS (SELECT doc_id, string_split(txt, ' ') AS st FROM moss),
-        |tg AS (SELECT DISTINCT doc_id, array_to_string(st[i:i+7], ' ') AS g
-        |  FROM tt, LATERAL (SELECT unnest(range(1, len(st) - 6)) AS i)),
-        |eg AS (SELECT DISTINCT array_to_string(st[i:i+7], ' ') AS g
-        |  FROM (SELECT string_split(norm, ' ') AS st FROM ev),
-        |  LATERAL (SELECT unnest(range(1, len(st) - 6)) AS i)),
-        |conta AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (g)),
-        |cl AS (SELECT * FROM moss ANTI JOIN conta USING (doc_id)),
-        |q AS (SELECT doc_id, lang,
-        |    CAST(len(string_split(txt, ' ')) AS BIGINT) AS n_tokens,
-        |    floor((CAST(len(list_filter(string_split(txt, ' '), x -> list_contains(['the','a','and','of','to'], x))) AS DOUBLE)
-        |      / greatest(len(string_split(txt, ' ')), 1)) * 10000 + 0.5) / 10000 AS stop_ratio,
-        |    floor((CASE WHEN length(txt) = 0 THEN 0.0
-        |      ELSE CAST(length(txt) - length(regexp_replace(txt, '[0-9]', '', 'g')) AS DOUBLE) / length(txt) END) * 10000 + 0.5) / 10000 AS digit_ratio
-        |  FROM cl),
-        |f AS (SELECT *, floor((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
-        |    + stop_ratio * 0.3 + (1.0 - digit_ratio) * 0.2) * 10000 + 0.5) / 10000 AS quality FROM q),
+    "corpus_prep_full" -> (corpusPrepCtes + """,
         |g2 AS (SELECT * FROM f WHERE quality >= 0.4),
         |b2 AS (SELECT *, list_reduce(list_transform(range(1, 9),
         |    i -> (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT),
@@ -9008,7 +9087,35 @@ object SparkEntry {
         |SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
-        |FROM s2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM s2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    // Per-stage lineage replay off the SAME CTE chain — one definition,
+    // two graded readouts.
+    "corpus_prep_attrition" -> (corpusPrepCtes + """
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_ord, 'corpus' AS stage,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum,
+        |    CAST(coalesce(sum(len(string_split(norm, ' '))), 0) AS BIGINT) AS n_tokens
+        |  FROM corp
+        |  UNION ALL SELECT CAST(2 AS BIGINT), 'exact_dedup', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+        |    CAST(coalesce(sum(len(string_split(norm, ' '))), 0) AS BIGINT) FROM ex
+        |  UNION ALL SELECT CAST(3 AS BIGINT), 'substr_excision', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+        |    CAST(coalesce(sum(len(string_split(txt, ' '))), 0) AS BIGINT) FROM exc
+        |  UNION ALL SELECT CAST(4 AS BIGINT), 'near_dup', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+        |    CAST(coalesce(sum(len(string_split(txt, ' '))), 0) AS BIGINT) FROM nd
+        |  UNION ALL SELECT CAST(5 AS BIGINT), 'moss_match', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+        |    CAST(coalesce(sum(len(string_split(txt, ' '))), 0) AS BIGINT) FROM moss
+        |  UNION ALL SELECT CAST(6 AS BIGINT), 'decontam', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+        |    CAST(coalesce(sum(len(string_split(txt, ' '))), 0) AS BIGINT) FROM cl
+        |  UNION ALL SELECT CAST(7 AS BIGINT), 'quality_gate', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+        |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM f WHERE quality >= 0.4
+        |) ORDER BY stage_ord""".stripMargin),
     "text_normalize" ->
       """WITH n AS (SELECT doc_id,
         |    trim(regexp_replace(lower(regexp_replace(text, '(?i)https?://\S+', '', 'g')), '\s+', ' ', 'g')) AS norm

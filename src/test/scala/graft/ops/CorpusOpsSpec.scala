@@ -101,6 +101,27 @@ class CorpusOpsSpec extends SparkTestBase {
       (4L, 1L, 88L), (10L, 0L, 0L), (11L, 1L, 88L)))
   }
 
+  test("corpus_prep_attrition: lineage is monotone and consistent with the chain readout") {
+    // docs and tokens can only shrink stage over stage (excision shrinks
+    // tokens at constant docs); the final stage's totals must equal the
+    // corpus_prep_full mixture report's — the two readouts share one
+    // memoized chain, so a drift here means the lineage table lies.
+    val att = graft.SparkEntry.queries("corpus_prep_attrition")(
+      spark, sfTest)
+      .select("stage_ord", "n_docs", "n_tokens", "id_sum")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(att.map(_._1).toSeq == (1L to 7L))
+    att.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2, s"docs grew: $a -> $b")
+      assert(b._3 <= a._3, s"tokens grew: $a -> $b")
+    }
+    val full = graft.SparkEntry.queries("corpus_prep_full")(spark, sfTest)
+      .agg(sum("n_docs"), sum("n_tokens"), sum("id_sum"))
+      .as[(Long, Long, Long)].collect().head
+    val last = att.last
+    assert((last._2, last._3, last._4) === full)
+  }
+
   test("temperatureMixture: sqrt smoothing upsamples the tail, rates are exact micro-longs") {
     // uniform sources: every rate collapses to targetFrac exactly
     val uni = (0L until 400L).map(i => (i, s"s${i % 4}")).toDF("id", "src")
