@@ -733,6 +733,29 @@ object SparkEntry {
       dir
     })
 
+  /** The embedding drift-gate ingest fixture — [[stagedQpsiBatches]] in
+    * embedding space: the vec_id%10==5 slice stamped with batch_id =
+    * (vec_id div 10) % 3 and RANGE-partitioned on the stamp, so one
+    * batch_id never splits across files and each micro-batch's PSI
+    * readout is complete whatever the file→trigger mapping. Memoized
+    * per sfDir.
+    */
+  private val stagedEpsiDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def stagedEpsiBatches(s: SparkSession, d: String): String =
+    stagedEpsiDirs.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-epsi-stream").toString
+      Tables.embeddings(s, d)
+        .where(pmod(col("vec_id"), lit(10)) === 5)
+        .select(col("vec_id"), col("embedding"),
+          expr("(vec_id div 10) % 3").as("batch_id"))
+        .repartitionByRange(3, col("batch_id"))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+
   /** The decontamination gate's frozen state: DISTINCT 8-gram digests of
     * the held-out eval slice (doc_id%10==7) as a digest-bucketed table —
     * what a deployed ingest gate pins at eval-freeze time. Gram text
@@ -5083,6 +5106,65 @@ object SparkEntry {
         "embedding", dims = 64, projections = 4, binWidth = 0.5)
         .orderBy("p")
     }),
+    // The embedding drift monitor DEPLOYED — stream_quality_psi's twin in
+    // representation space: a foreachBatch ingest gate that projects every
+    // arriving micro-batch onto the frozen ±1 directions and scores its
+    // per-direction histogram against a FROZEN reference snapshot
+    // (vec_id%10==0, checkpointed once — the histogram a production gate
+    // pins when the embedder version freezes), appending the per-(batch,
+    // direction) PSI readout — exactly EmbeddingOps.embeddingDriftPsi per
+    // batch, which is the graded claim. Batch membership is the
+    // deterministic (vec_id div 10) % 3 stamp (range-partitioned staging
+    // keeps a stamp whole per file), so the oracle replays every batch's
+    // projection, binning, and PSI arithmetic term-for-term.
+    "stream_embed_psi" -> ((s, d) => {
+      val run = streamRuns.incrementAndGet()
+      val outS = s"graft_epsi_out_$run"
+      val reference = Tables.embeddings(s, d)
+        .where(pmod(col("vec_id"), lit(10)) === 0)
+        .select(col("vec_id"), col("embedding"))
+        .localCheckpoint(true)
+      // seed the result table with the empty schema so a drained stream
+      // always leaves a readable table
+      EmbeddingOps.embeddingDriftPsi(reference.limit(0), reference.limit(0),
+          "embedding", dims = 64, projections = 4, binWidth = 0.5)
+        .withColumn("batch_id", lit(0L)).limit(0)
+        .write.saveAsTable(outS)
+      val src = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)),
+          org.apache.spark.sql.types.StructField("batch_id",
+            org.apache.spark.sql.types.LongType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stagedEpsiBatches(s, d))
+      val q = graft.streaming.EventsStreaming
+        .foreachBatchWriter(src, identity) { (b, _) =>
+          val bb = b.localCheckpoint(true)
+          try {
+            // <=3 distinct stamps by construction — a bounded collect
+            val bids = bb.select("batch_id").distinct()
+              .collect().map(_.getLong(0)).sorted
+            bids.foreach { bid =>
+              EmbeddingOps.embeddingDriftPsi(reference,
+                  bb.where(col("batch_id") === bid),
+                  "embedding", dims = 64, projections = 4, binWidth = 0.5)
+                .withColumn("batch_id", lit(bid))
+                .write.mode("append").saveAsTable(outS)
+            }
+            s.catalog.refreshTable(outS)
+          } finally Dedup.unpersistCheckpoint(bb)
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      materializeAndDropTables(s,
+        s.table(outS).select(col("batch_id"), col("p"), col("n_bins"),
+          col("n_a"), col("n_b"), col("psi"))
+          .orderBy("batch_id", "p"),
+        outS)
+    }),
     // Incremental ingest for the THIRD near-dup modality: the batch half
     // probes the persisted (tbl, bkt)-bucketed SRP manifest and the
     // read-back pair list — the existing corpus is never re-projected
@@ -6468,6 +6550,50 @@ object SparkEntry {
        |SELECT p, min(n_bins) AS n_bins, min(na) AS n_a, min(nb) AS n_b,
        |  floor((CAST(sum(tm) AS DOUBLE) / 1000000) * 10000 + 0.5) / 10000 AS psi
        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** The deployed embedding gate replayed — [[embedDriftOracle]] with a
+    * batch dimension: the SAME fixed-sign projection, 4-dp rounding,
+    * integer binning, and micro-unit PSI arithmetic, once per
+    * deterministic (vec_id div 10) % 3 batch stamp against the frozen
+    * vec_id%10==0 reference histogram (union bin set per batch via the
+    * reference × batches cross join, exactly the engine's per-batch
+    * full-outer histogram join).
+    */
+  private val streamEmbedPsiOracle: String = {
+    val signs = graft.ops.EmbeddingOps.driftSigns(4, 64)
+    def proj(p: Int) =
+      s"list_reduce(list_transform(range(1, 65), i -> v[CAST(i AS INTEGER)]" +
+        s" * ([${signs(p).mkString(", ")}])[CAST(i AS INTEGER)])," +
+        " (acc, x) -> acc + x)"
+    val refSide = (0 until 4).map { p =>
+      s"SELECT CAST($p AS BIGINT) AS p, CAST(floor(floor(${proj(p)}" +
+        s" * 10000 + 0.5) / 10000 / 0.5) AS BIGINT) AS bin FROM er"
+    }.mkString(" UNION ALL ")
+    val batchSide = (0 until 4).map { p =>
+      s"SELECT batch_id, CAST($p AS BIGINT) AS p, CAST(floor(floor(${proj(p)}" +
+        s" * 10000 + 0.5) / 10000 / 0.5) AS BIGINT) AS bin FROM eb"
+    }.mkString(" UNION ALL ")
+    s"""WITH er AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 10 = 0 AND len(embedding) = 64),
+       |eb AS (SELECT (vec_id // 10) % 3 AS batch_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 10 = 5 AND len(embedding) = 64),
+       |pa AS ($refSide),
+       |pb AS ($batchSide),
+       |ha AS (SELECT p, bin, CAST(count(*) AS BIGINT) AS ca FROM pa GROUP BY 1, 2),
+       |bids AS (SELECT DISTINCT batch_id FROM eb),
+       |hb AS (SELECT batch_id, p, bin, CAST(count(*) AS BIGINT) AS cb FROM pb GROUP BY 1, 2, 3),
+       |hab AS (SELECT batch_id, p, bin, ca FROM ha CROSS JOIN bids),
+       |j AS (SELECT batch_id, p, bin, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+       |  FROM hab FULL OUTER JOIN hb USING (batch_id, p, bin)),
+       |tt AS (SELECT batch_id, p, CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+       |    CAST(count(*) AS BIGINT) AS n_bins FROM j GROUP BY 1, 2),
+       |terms AS (SELECT j.batch_id, j.p,
+       |    CAST(floor((CAST(ca + 1 AS DOUBLE) / (na + n_bins) - CAST(cb + 1 AS DOUBLE) / (nb + n_bins))
+       |      * ln((CAST(ca + 1 AS DOUBLE) / (na + n_bins)) / (CAST(cb + 1 AS DOUBLE) / (nb + n_bins))) * 1000000 + 0.5) AS BIGINT) AS tm,
+       |    n_bins, na, nb
+       |  FROM j JOIN tt USING (batch_id, p))
+       |SELECT CAST(batch_id AS BIGINT) AS batch_id, p, min(n_bins) AS n_bins, min(na) AS n_a, min(nb) AS n_b,
+       |  floor((CAST(sum(tm) AS DOUBLE) / 1000000) * 10000 + 0.5) / 10000 AS psi
+       |FROM terms GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
   /** The aHash frame near-dup truth — shared verbatim by the full
@@ -9940,6 +10066,7 @@ object SparkEntry {
         |  TRUE AS recall_ok, TRUE AS precision_ok
         |FROM t""".stripMargin,
     "embed_drift_psi" -> embedDriftOracle,
+    "stream_embed_psi" -> streamEmbedPsiOracle,
     // Streaming == batch == full: one truth oracle for every layout of
     // the cosine incremental contract.
     "stream_cosine_incremental" ->

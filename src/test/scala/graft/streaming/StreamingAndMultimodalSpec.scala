@@ -525,6 +525,32 @@ class StreamingAndMultimodalSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("stream_embed_psi: the deployed gate equals the batch monitor per stamp") {
+    // Same claim as the quality gate, lifted to representation space:
+    // the drained loop's table must equal embeddingDriftPsi computed
+    // directly on each deterministic batch stamp against the frozen
+    // vec_id%10==0 reference. Catches double-appends, missed refreshes,
+    // and reference drift inside the loop plumbing.
+    val streamed = graft.SparkEntry.queries("stream_embed_psi")(
+      spark, sfTest)
+      .select("batch_id", "p", "n_bins", "n_a", "n_b", "psi")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    val emb = graft.Tables.embeddings(spark, sfTest)
+    val reference = emb.where(pmod(col("vec_id"), lit(10)) === 0)
+      .select(col("vec_id"), col("embedding"))
+    val direct = (0L until 3L).flatMap { bid =>
+      graft.ops.EmbeddingOps.embeddingDriftPsi(reference,
+          emb.where(pmod(col("vec_id"), lit(10)) === 5
+            && expr("(vec_id div 10) % 3") === bid),
+          "embedding", dims = 64, projections = 4, binWidth = 0.5)
+        .withColumn("batch_id", lit(bid))
+        .select("batch_id", "p", "n_bins", "n_a", "n_b", "psi")
+        .as[(Long, Long, Long, Long, Long, Double)].collect()
+    }.toSet
+    assert(streamed === direct)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream_decontaminate: the deployed gate equals the batch decontaminate op") {
     // The loop's claim is "CorpusOps.decontaminate semantics against the
     // frozen eval-gram manifest" — the drained per-doc verdicts must
