@@ -4204,6 +4204,18 @@ object SparkEntry {
         .withColumn("rnk", col("rnk").cast("long"))
         .orderBy("qid", "rnk")
     }),
+    // SQ8 code-space serving: top-3 by INTEGER squared L2 over the
+    // shared per-dim codebook codes (embed_quantize_dims' codes), with
+    // the float-space exact top-3 recomputed as the audit half and the
+    // per-query overlap graded as recall@3. Every ranked row hash-matches
+    // the oracle — a strictly stronger contract than the LSH/IVF recall
+    // floors, available because the ranking key is integer.
+    "knn_sq8_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      EmbeddingOps.knnSq8Report(e.where(col("vec_id") < 10), e,
+        "vec_id", "embedding", k = 3)
+        .orderBy("qid", "rnk")
+    }),
     // Reciprocal nearest-neighbor pairs over the decile slice: the
     // high-precision pairing rule (mutuality kills hub pairs). Quantized
     // cosine ranking so both engines cut identical top-1s; the mutual
@@ -5488,6 +5500,19 @@ object SparkEntry {
           <= EmbeddingOps.int8Scale(vec) / 2 + lit(1e-12)).as("err_ok"))
         .orderBy("vec_id")
     }),
+    // Per-DIMENSION affine SQ8 — the serving-stack scalar quantization
+    // (one corpus-level (min, max) per dimension, so codes stay mutually
+    // comparable across vectors — the property embed_quantize's
+    // per-vector absmax scale destroys). The 2×64-value codebook is the
+    // ONLY product of the corpus exchange (posexplode min/max partial-aggs
+    // map-side) and re-attaches as a broadcast single row; every code is
+    // pinned per vector through the sum + position-weighted checksum +
+    // range, and the half-step reconstruction bound is the graded
+    // contract. Oracle replays codebook and codes exactly.
+    "embed_quantize_dims" -> ((s, d) =>
+      EmbeddingOps.quantizeDimsReport(Tables.embeddings(s, d),
+        "vec_id", "embedding")
+        .orderBy("vec_id")),
 
     // Deterministic k-means (micro-unit grid, smallest-k-ids init, ties
     // to the smallest cluster, truncating integer centroid division):
@@ -9614,6 +9639,31 @@ object SparkEntry {
         |r AS (SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM p)
         |SELECT qid, cid, rnk, floor((cos) * 10000 + 0.5) / 10000 AS cos_sim
         |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    // Full replay of BOTH ranking passes: the integer code-space top-3
+    // (shared per-dim codebook) and the micro-quantized float truth,
+    // then the overlap — every ranked row and the recall hash-match.
+    "knn_sq8_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT unnest(range(1, len(v)+1)) AS pos, unnest(list_transform(range(1, len(v)+1), i -> v[CAST(i AS INTEGER)])) AS x FROM e),
+        |cbd AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM x GROUP BY 1),
+        |cb AS (SELECT list(mn ORDER BY pos) AS mns, list((mx - mn) / 255.0 ORDER BY pos) AS scs FROM cbd),
+        |codes AS (SELECT vec_id, v,
+        |    list_transform(range(1, len(v)+1), i -> CASE WHEN scs[CAST(i AS INTEGER)] = 0 THEN 0::BIGINT
+        |      ELSE greatest(0::BIGINT, least(255::BIGINT, CAST(floor((v[CAST(i AS INTEGER)] - mns[CAST(i AS INTEGER)]) / scs[CAST(i AS INTEGER)] + 0.5) AS BIGINT))) END) AS qv
+        |  FROM e CROSS JOIN cb),
+        |qs AS (SELECT * FROM codes WHERE vec_id < 10),
+        |p AS (SELECT qs.vec_id AS qid, c.vec_id AS cid,
+        |    CAST(list_sum(list_transform(range(1, len(qs.qv)+1), i -> (qs.qv[CAST(i AS INTEGER)] - c.qv[CAST(i AS INTEGER)]) * (qs.qv[CAST(i AS INTEGER)] - c.qv[CAST(i AS INTEGER)]))) AS BIGINT) AS d2,
+        |    CAST(floor(list_reduce(list_prepend(0.0, list_transform(range(1, len(qs.v)+1), i -> (qs.v[CAST(i AS INTEGER)] - c.v[CAST(i AS INTEGER)]) * (qs.v[CAST(i AS INTEGER)] - c.v[CAST(i AS INTEGER)]))), (a, b) -> a + b) * 1000000 + 0.5) AS BIGINT) AS fq2
+        |  FROM qs, codes c WHERE c.vec_id <> qs.vec_id),
+        |r1 AS (SELECT qid, cid, d2, row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS rnk FROM p),
+        |r2 AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY fq2, cid) AS rnk FROM p),
+        |s1 AS (SELECT qid, CAST(rnk AS BIGINT) AS rnk, cid, d2 FROM r1 WHERE rnk <= 3),
+        |s2 AS (SELECT qid, cid FROM r2 WHERE rnk <= 3),
+        |rc AS (SELECT s1.qid AS rqid, count(s2.cid) AS m FROM s1 LEFT JOIN s2 ON s1.qid = s2.qid AND s1.cid = s2.cid GROUP BY 1)
+        |SELECT qid, rnk, cid, d2,
+        |  floor((CAST(m AS DOUBLE) / 3) * 10000 + 0.5) / 10000 AS recall_k
+        |FROM s1 JOIN rc ON s1.qid = rc.rqid ORDER BY qid, rnk""".stripMargin,
     "mutual_knn_pairs" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id % 10 = 0),
         |p AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
@@ -10266,6 +10316,25 @@ object SparkEntry {
         |  list_min(qv) AS q_min, list_max(qv) AS q_max,
         |  list_max(list_transform(range(1, len(qv) + 1),
         |    i -> abs(qv[i]::DOUBLE * sc - embedding[i]::DOUBLE))) <= sc / 2 + 1e-12 AS err_ok
+        |FROM q ORDER BY vec_id""".stripMargin,
+    // Codebook (per-dim min/max over exactly-widened floats) + affine
+    // codes + position-weighted checksum + half-step bound, replayed
+    // list-for-list.
+    "embed_quantize_dims" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT unnest(range(1, len(v)+1)) AS pos, unnest(list_transform(range(1, len(v)+1), i -> v[CAST(i AS INTEGER)])) AS x FROM e),
+        |cbd AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM x GROUP BY 1),
+        |cb AS (SELECT list(mn ORDER BY pos) AS mns, list((mx - mn) / 255.0 ORDER BY pos) AS scs FROM cbd),
+        |q AS (SELECT vec_id, v, mns, scs,
+        |    list_transform(range(1, len(v)+1), i -> CASE WHEN scs[CAST(i AS INTEGER)] = 0 THEN 0::BIGINT
+        |      ELSE greatest(0::BIGINT, least(255::BIGINT, CAST(floor((v[CAST(i AS INTEGER)] - mns[CAST(i AS INTEGER)]) / scs[CAST(i AS INTEGER)] + 0.5) AS BIGINT))) END) AS qv
+        |  FROM e CROSS JOIN cb)
+        |SELECT vec_id,
+        |  CAST(coalesce(list_sum(qv), 0) AS BIGINT) AS q_sum,
+        |  CAST(coalesce(list_sum(list_transform(range(1, len(qv)+1), i -> qv[CAST(i AS INTEGER)] * i)), 0) AS BIGINT) AS q_dot,
+        |  list_min(qv) AS q_min, list_max(qv) AS q_max,
+        |  coalesce(list_max(list_transform(range(1, len(qv)+1),
+        |    i -> abs(qv[CAST(i AS INTEGER)]::DOUBLE * scs[CAST(i AS INTEGER)] + mns[CAST(i AS INTEGER)] - v[CAST(i AS INTEGER)]) - scs[CAST(i AS INTEGER)] / 2)), 0) <= 1e-9 AS err_ok
         |FROM q ORDER BY vec_id""".stripMargin,
     "funnel_conversion" ->
       """WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'signup' GROUP BY 1),

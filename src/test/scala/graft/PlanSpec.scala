@@ -1413,4 +1413,33 @@ class PlanSpec extends SparkTestBase {
     }
     assert(!plan.contains("Window"), plan)
   }
+
+  test("embed_quantize_dims: codebook attaches as ONE broadcast row, no window/SMJ") {
+    // The per-dim SQ8 claim: the corpus exchange produces only the d-row
+    // codebook (posexplode min/max partial-aggs map-side), which comes
+    // back as a single broadcast row — so the plan carries exactly one
+    // 1-row BroadcastNestedLoopJoin and nothing rank- or merge-shaped.
+    val plan = executedSimple(
+      SparkEntry.queries("embed_quantize_dims")(spark, sf))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size === 1, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("knn_sq8_topk: broadcast-only joins, rank<=k pushes into WindowGroupLimit") {
+    // Code-space serving shape: corpus encodes map-side against the
+    // broadcast codebook row, queries broadcast against the encoded
+    // corpus, each ranking pass collapses through WindowGroupLimit
+    // before any exchange, and the recall legs join k-bounded tables —
+    // nothing may sort-merge or fall back to a cartesian scan.
+    val plan = executedSimple(
+      SparkEntry.queries("knn_sq8_topk")(spark, sf))
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the truth leg re-derives pairs: codebook ×2 (queries, corpus) +
+    // the query broadcast — never more than these three unkeyed attaches
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 3, plan)
+  }
 }

@@ -388,6 +388,62 @@ class EmbeddingOpsSpec extends SparkTestBase {
       EmbeddingOps.pqAdcTopK(df, "vec_id", "embedding", 4, 2, 2, 2,
         queryIds = Seq.empty, topK = 3))
   }
+  test("dimCodebook/quantizeDimsCodes: extremes map to 0/255, constant dim codes 0") {
+    // dim0 spans [0, 2] → sc = 2/255: x=0 codes 0, x=2 codes 255,
+    // x=1 codes floor(127.5 + 0.5) = 128. dim1 is constant → sc = 0,
+    // every code 0 and reconstruction is exactly mn.
+    val df = vecDf(1L -> Seq(0.0f, 10.0f), 2L -> Seq(1.0f, 10.0f),
+      3L -> Seq(2.0f, 10.0f))
+    val cb = EmbeddingOps.dimCodebookRow(df, "embedding")
+    val got = df.crossJoin(broadcast(cb))
+      .select(col("vec_id"),
+        EmbeddingOps.quantizeDimsCodes(col("embedding"),
+          col("__mns"), col("__scs")).as("q"))
+      .orderBy("vec_id")
+      .as[(Long, Seq[Long])].collect().toSeq
+    assert(got === Seq(1L -> Seq(0L, 0L), 2L -> Seq(128L, 0L),
+      3L -> Seq(255L, 0L)))
+    // the codebook row itself: mns in pos order, constant dim's sc = 0
+    val row = cb.head()
+    assert(row.getSeq[Double](0) === Seq(0.0, 10.0))
+    assert(row.getSeq[Double](1)(1) === 0.0)
+  }
+
+  test("quantizeDimsReport: half-step bound holds corpus-wide; codes stay in [0,255]") {
+    val rep = EmbeddingOps.quantizeDimsReport(
+      graft.Tables.embeddings(spark, sfTest), "vec_id", "embedding")
+    val rows = rep.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("err_ok")))
+    assert(rows.forall(r => r.getAs[Long]("q_min") >= 0L
+      && r.getAs[Long]("q_max") <= 255L))
+    // the corpus-level codebook REALIZES the shared range: some vector
+    // touches 0 and some touches 255 in at least one dimension
+    assert(rows.exists(_.getAs[Long]("q_min") == 0L))
+    assert(rows.exists(_.getAs[Long]("q_max") == 255L))
+  }
+
+  test("knnSq8Report: total ranks, monotone code distance, recall in (0,1]") {
+    val e = graft.Tables.embeddings(spark, sfTest)
+    val got = EmbeddingOps.knnSq8Report(e.where(col("vec_id") < 5), e,
+      "vec_id", "embedding", k = 3).orderBy("qid", "rnk")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_._2) === Seq(1L, 2L, 3L))       // ranks total
+      assert(rows.map(_._4) === rows.map(_._4).sorted) // d2 monotone
+      assert(rows.forall(_._3 != q))                   // self excluded
+      assert(rows.forall(r => r._5 > 0.0 && r._5 <= 1.0))
+    }
+    // integer ranking keys → layout invariance is exact
+    val re = EmbeddingOps.knnSq8Report(e.where(col("vec_id") < 5),
+      e.repartition(7), "vec_id", "embedding", k = 3)
+      .orderBy("qid", "rnk")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(re === got)
+  }
+
   test("embeddingDriftPsi: identical snapshots read exactly zero; a shift reads drift") {
     val e = graft.Tables.embeddings(spark, sfTest)
     // identical sides: every bin has ca == cb, every smoothed term is 0,
