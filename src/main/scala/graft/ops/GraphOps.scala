@@ -445,6 +445,155 @@ object GraphOps {
     deg.select(col("n").as("node"), col("d").as("core_degree"))
   }
 
+  /** Exact per-EDGE triangle support `(u, v, sup)` of a canonical edge
+    * list — the [[triangleCountsOf]] degree-oriented enumeration (each
+    * triangle emitted exactly once, O(m^1.5) whatever the hubs do) with
+    * the per-node explode replaced by the triangle's three canonical
+    * edges. Edges in no triangle have no row (callers coalesce 0).
+    * Returned EAGERLY checkpointed: the enumeration's oriented working
+    * frame is freed before returning, so each call leaves no blocks
+    * behind beyond its own result (callers free that when superseded).
+    */
+  def edgeSupports(e: DataFrame): DataFrame = {
+    val deg = nodeDegrees(e)
+    val withDeg = e
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+    val headFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val oriented = withDeg.select(
+      when(headFirst, col("u")).otherwise(col("v")).as("src"),
+      when(headFirst, col("v")).otherwise(col("u")).as("dst"),
+      when(headFirst, col("dv")).otherwise(col("du")).as("dd"))
+      .localCheckpoint(true)
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          struct(col("e1.dd"), col("e1.dst")) <
+            struct(col("e2.dd"), col("e2.dst")))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"))
+      .join(oriented.select(col("src").as("b"), col("dst").as("c")),
+        Seq("b", "c"))
+    val sup = tri.select(explode(array(
+        struct(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v")),
+        struct(least(col("a"), col("c")).as("u"),
+          greatest(col("a"), col("c")).as("v")),
+        struct(least(col("b"), col("c")).as("u"),
+          greatest(col("b"), col("c")).as("v")))).as("__e"))
+      .select(col("__e.u").as("u"), col("__e.v").as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
+      .localCheckpoint(true)
+    freeCheckpoint(oriented)
+    sup
+  }
+
+  /** Triangle supports for a SPECIFIC pair set (the delta-truss probe):
+    * sup(u, v) = |N(u) ∩ N(v)| over the given two-directional adjacency
+    * `(s, t)` — one node-keyed fan-out from the pair list plus one
+    * pair-keyed semi probe, never a corpus-wide wedge enumeration. Pairs
+    * with no common neighbor are absent (callers coalesce 0).
+    */
+  private def supportsFor(pairs: DataFrame, adj: DataFrame): DataFrame =
+    pairs.join(adj.select(col("s").as("u"), col("t").as("z")), Seq("u"))
+      .join(adj.select(col("s").as("v"), col("t").as("z")),
+        Seq("v", "z"), "left_semi")
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
+
+  /** k-truss decomposition (fixed k): iteratively remove every edge in
+    * fewer than k−2 triangles until the graph stabilizes — the maximal
+    * subgraph where EVERY edge has ≥ k−2 triangle supporters (Cohen
+    * 2008). A k-core can still be a star-glued sponge (nodes vouch for
+    * each other through disjoint neighborhoods); the truss demands every
+    * EDGE sit in overlapping neighborhoods, the stronger community
+    * signal.
+    *
+    * Like [[kCoreOf]] the peel is a MONOTONE fixpoint (rounds only
+    * remove, removal order cannot change the maximal result), so the
+    * engine runs to the fixpoint, FAILS LOUDLY past `maxPeels`, and an
+    * oracle unrolling exactly `maxPeels` full-recompute rounds is
+    * textually the fixpoint.
+    *
+    * Plan shape (DELTA peel): the full O(m^1.5) [[edgeSupports]]
+    * enumeration runs ONCE; after that, a round recomputes supports only
+    * for edges that LOST a triangle — an edge's support changes only if
+    * a removed edge closed one of its triangles, so the affected set is
+    * the removed wave's triangle partners (found by a wave-seeded
+    * common-neighbor probe, wave broadcast once the bulk first wave
+    * passes). Each round costs node/pair-keyed joins sized by the wave's
+    * triangle neighborhood plus one edge-scale anti join — never a
+    * second corpus-wide wedge enumeration. State is localCheckpointed
+    * and the superseded generation freed per round ([[pageRanksOf]]
+    * discipline).
+    *
+    * @return (u, v, support) for every surviving edge — its exact
+    *         triangle count within the truss, ≥ k−2 by construction
+    */
+  def trussOf(e: DataFrame, k: Long, maxPeels: Int = 12,
+              broadcastRem: Long = 5000000L): DataFrame = {
+    require(k >= 3, s"k=$k must be at least 3 (the smallest truss)")
+    require(maxPeels >= 1, s"maxPeels=$maxPeels must be positive")
+    var cur = e.select(col("u"), col("v")).localCheckpoint(true)
+    val sup0 = edgeSupports(cur)
+    var sup = cur.join(sup0, Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        coalesce(col("sup"), lit(0L)).as("sup"))
+      .localCheckpoint(true)
+    freeCheckpoint(sup0)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxPeels) {
+      val remPlain = sup.where(col("sup") < k - 2)
+        .select(col("u"), col("v")).localCheckpoint(true)
+      val cnt = remPlain.count()
+      if (cnt == 0L) {
+        converged = true
+        freeCheckpoint(remPlain)
+      } else {
+        val rem =
+          if (cnt <= broadcastRem) broadcast(remPlain) else remPlain
+        val nextCur = cur.join(rem, Seq("u", "v"), "left_anti")
+          .localCheckpoint(true)
+        def adjOf(g: DataFrame) =
+          g.select(col("u").as("s"), col("v").as("t"))
+            .unionAll(g.select(col("v").as("s"), col("u").as("t")))
+        // triangles the wave destroyed, read off the BEFORE graph: for
+        // a removed (u, v), every z in N(u) ∩ N(v) names two partner
+        // edges whose support just dropped
+        val wedges = rem
+          .join(adjOf(cur).select(col("s").as("u"), col("t").as("z")),
+            Seq("u"))
+          .join(adjOf(cur).select(col("s").as("v"), col("t").as("z")),
+            Seq("v", "z"), "left_semi")
+        val affected = wedges.select(explode(array(
+            struct(least(col("u"), col("z")).as("u"),
+              greatest(col("u"), col("z")).as("v")),
+            struct(least(col("v"), col("z")).as("u"),
+              greatest(col("v"), col("z")).as("v")))).as("__e"))
+          .select(col("__e.u").as("u"), col("__e.v").as("v")).distinct()
+          .join(rem, Seq("u", "v"), "left_anti")
+          .localCheckpoint(true)
+        val supAff = affected
+          .join(supportsFor(affected, adjOf(nextCur)), Seq("u", "v"),
+            "left")
+          .select(col("u"), col("v"),
+            coalesce(col("sup"), lit(0L)).as("sup"))
+        val nextSup = sup.join(rem, Seq("u", "v"), "left_anti")
+          .join(affected, Seq("u", "v"), "left_anti")
+          .unionAll(supAff)
+          .localCheckpoint(true)
+        freeCheckpoint(sup); freeCheckpoint(cur)
+        freeCheckpoint(remPlain); freeCheckpoint(affected)
+        sup = nextSup; cur = nextCur
+      }
+      rounds += 1
+    }
+    require(converged,
+      s"k-truss peel did not converge within $maxPeels rounds — raise" +
+        " maxPeels (the oracle unroll must cover the fixpoint)")
+    sup.select(col("u"), col("v"), col("sup").as("support"))
+  }
+
   /** Bounded-depth BFS from the graph's max-degree hub (ties to the
     * smallest id): `(node, hop)` for every node within `maxHops` of the
     * source — the influence-radius / contamination-spread read

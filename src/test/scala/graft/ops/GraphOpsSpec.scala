@@ -214,6 +214,49 @@ class GraphOpsSpec extends SparkTestBase {
     assert(core === Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
   }
 
+  test("edgeSupports: exact per-edge triangle tallies on a hand graph") {
+    // K4 {1,2,3,4}: every edge closes with the other two vertices →
+    // support 2 each. The pendant edge (1,5) sits in no triangle → no
+    // row (callers coalesce 0).
+    val e = GraphOps.canonicalEdges(
+      (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)) :+
+        ((1L, 5L))).toDF("a", "b"), "a", "b")
+    val got = GraphOps.edgeSupports(e).orderBy("u", "v")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L)))
+  }
+
+  test("trussOf: pendant triangles cascade away, the K4 survives k=4") {
+    // K4 {1,2,3,4} + triangle {3,4,5} + triangle {4,5,6}. k=4 demands
+    // support ≥ 2: wave 1 removes (4,6),(5,6) (sup 1) and (3,5) (sup 1);
+    // (4,5) survives wave 1 on sup 2 (partners 3 and 6) but both its
+    // triangles just lost an edge — wave 2 removes it at sup 0. The
+    // fixpoint is the K4, every edge at support exactly 2, and the edge
+    // (3,4) keeps its K4 support after losing its pendant triangle.
+    val e = GraphOps.canonicalEdges(
+      (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)) ++
+        Seq((3L, 5L), (4L, 5L)) ++ Seq((4L, 6L), (5L, 6L)))
+        .toDF("a", "b"), "a", "b")
+    val got = GraphOps.trussOf(e, k = 4, maxPeels = 3).orderBy("u", "v")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L)))
+    // the 2-wave cascade needs maxPeels ≥ 3 (2 removal waves + the
+    // confirming empty wave): 2 must fail loudly, not return a
+    // non-fixpoint
+    val err = intercept[IllegalArgumentException](
+      GraphOps.trussOf(e, k = 4, maxPeels = 2))
+    assert(err.getMessage.contains("did not converge"))
+    // k=3 (support ≥ 1) keeps every triangle edge, drops nothing else
+    // here except nothing — all 10 edges sit in a triangle
+    assert(GraphOps.trussOf(e, k = 3, maxPeels = 2).count() === 10L)
+    // layout invariance of the delta peel
+    val re = GraphOps.trussOf(e.repartition(7), k = 4, maxPeels = 3)
+      .orderBy("u", "v").as[(Long, Long, Long)].collect().toSeq
+    assert(re === got)
+  }
+
   test("bfsHopsOf: hub source (max degree, min id), hop truncation exact") {
     // edges 1−2, 1−3, 3−4, 4−5: degrees 1:2, 3:2, 4:2, 2:1, 5:1 — the
     // (d desc, n) source pick is node 1; hops 0/1/1/2/3.
