@@ -248,6 +248,36 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY u, v""".stripMargin
   }
 
+  /** CDC chunk-dedup oracle: the identical window polynomial (Σ_j
+    * g(c_{i−j})·33^j mod 2³¹, g the Knuth byte mix), boundary cut,
+    * span reassembly, and min-(doc, chunk) keeper rule, replayed
+    * per-index with list_filter — positional independence is exactly
+    * what makes the hash engine-replayable.
+    */
+  private val cdcChunkOracle: String = {
+    val pows = Iterator.iterate(1L)(p => p * 33 % 2147483648L)
+      .take(8).toSeq
+    val terms = (0 until 8).map(j =>
+      s"((ord(substr(text, CAST(i - $j AS INTEGER), 1)) * 2654435761)" +
+        s" % 2147483648) * ${pows(j)} % 2147483648").mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+       |b AS (SELECT doc_id, text, n,
+       |    CASE WHEN n < 8 THEN CAST([] AS BIGINT[]) ELSE list_filter(range(8, n + 1), i -> ($terms) % 32 = 0) END AS bnd
+       |  FROM d),
+       |sp AS (SELECT doc_id, text, list_prepend(CAST(0 AS BIGINT), list_append(list_filter(bnd, i -> i < n), n)) AS bs FROM b),
+       |ch AS (SELECT doc_id, unnest(range(1, len(bs))) AS k, bs, text FROM sp),
+       |cc AS (SELECT doc_id, CAST(k - 1 AS BIGINT) AS chunk_id,
+       |    bs[CAST(k + 1 AS INTEGER)] - bs[CAST(k AS INTEGER)] AS ln,
+       |    md5(substr(text, CAST(bs[CAST(k AS INTEGER)] + 1 AS INTEGER), CAST(bs[CAST(k + 1 AS INTEGER)] - bs[CAST(k AS INTEGER)] AS INTEGER))) AS dig
+       |  FROM ch),
+       |keep AS (SELECT dig, min(struct_pack(doc_id := doc_id, chunk_id := chunk_id)) AS k FROM cc GROUP BY 1)
+       |SELECT cc.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(CASE WHEN keep.k.doc_id = cc.doc_id AND keep.k.chunk_id = cc.chunk_id THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_chunks,
+       |  CAST(sum(CASE WHEN keep.k.doc_id = cc.doc_id AND keep.k.chunk_id = cc.chunk_id THEN 0 ELSE cc.ln END) AS BIGINT) AS dup_chars
+       |FROM cc JOIN keep ON cc.dig = keep.dig
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Label-propagation oracle: four synchronous rounds unrolled as
     * chained CTEs — per round, neighbor-label counts then the
     * (count desc, label) argmax per node, every round reading ONLY the
@@ -6270,6 +6300,31 @@ object SparkEntry {
       CorpusOps.dropDuplicateChunks(Tables.documents(s, d), "doc_id", "text",
         chunkTokens = 16)
         .orderBy("doc_id")),
+    // Content-defined chunk dedup — the SHIFT-RESISTANT sixth member of
+    // the chunking/dedup family: boundaries fall where the trailing
+    // 8-char window hash hits 0 mod 32, so a prefix insertion re-derives
+    // the same downstream chunks where dedup_chunks' fixed offsets lose
+    // every one. Per doc: chunk count, chunks whose digest appeared
+    // earlier (min (doc, chunk) keeper — dropDuplicateChunks' rule), and
+    // the dedupable character mass. Chunk text reduces to its md5 in the
+    // scan projection; only digests cross the keeper exchange.
+    "cdc_chunk_dedup" -> ((s, d) => {
+      val cc = CorpusOps.cdcChunks(Tables.documents(s, d), "doc_id",
+        "text")
+        .select(col("doc_id"), col("chunk_id"), col("n_chars"),
+          md5(col("chunk_text").cast("binary")).as("__dig"))
+      val keep = cc.groupBy(col("__dig"))
+        .agg(min(struct(col("doc_id"), col("chunk_id"))).as("__k"))
+      val isKeeper = col("__k.doc_id") === col("doc_id") &&
+        col("__k.chunk_id") === col("chunk_id")
+      cc.join(keep, Seq("__dig"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(isKeeper, 0L).otherwise(1L)).as("n_dup_chunks"),
+          sum(when(isKeeper, 0L).otherwise(col("n_chars")))
+            .as("dup_chars"))
+        .orderBy("doc_id")
+    }),
 
     // ---- scale tier: skew mitigation, oracle-gated ----
     // Salting must be RESULT-INVISIBLE: the oracle computes the plain
@@ -11038,6 +11093,7 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks_kept,
         |  string_agg(chunk_text, ' ' ORDER BY chunk_id) AS text
         |FROM surv GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cdc_chunk_dedup" -> cdcChunkOracle,
     // Skew-report replay: count-of-counts, exact rank picks, the
     // tokenEntropy micro recipe over key counts.
     "key_skew_report" ->

@@ -378,6 +378,63 @@ object CorpusOps {
           s => s.getField("chunk_text")), " ").as(textCol))
   }
 
+  /** Content-defined chunking (CDC) — the SHIFT-RESISTANT complement of
+    * [[chunkDocuments]]'s fixed token windows: chunk boundaries fall
+    * where a fixed-width rolling hash of the trailing `window` characters
+    * hits 0 mod `divisor` (the Rabin/FastCDC family; Muthitacharoen et
+    * al. SOSP'01), so inserting a prefix SHIFTS every downstream byte but
+    * re-derives the SAME boundaries once the window clears the edit —
+    * fixed-offset chunking loses every chunk after an insertion, CDC
+    * loses at most the chunks touching it. Expected chunk length ≈
+    * `divisor` characters.
+    *
+    * The hash is a positional window polynomial (Σ_j g(c_{i−j})·33^j mod
+    * 2³¹, g the Knuth-multiplicative byte mix), NOT the gear/Rabin
+    * incremental recurrence: each position's value depends only on its
+    * own window, so boundary detection is a per-index `filter` any
+    * engine replays literally — the same positional-independence trade
+    * winnowing's window scheme makes. The price is FastCDC's min-size
+    * suppression (eligibility would depend on the previous boundary — a
+    * sequential dependency); adjacent boundaries simply yield short
+    * chunks, harmless to dedup semantics. O(n·window) map-side work per
+    * document, no shuffle, no UDF.
+    *
+    * @return one row per chunk: (id, chunk_id, start_char 0-based,
+    *         n_chars, chunk_text); chunks concatenate back to the exact
+    *         source text. Null/empty documents contribute no rows.
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                window: Int = 8, divisor: Long = 32L): DataFrame = {
+    require(window >= 1, s"window=$window must be positive")
+    require(divisor >= 2, s"divisor=$divisor must be at least 2")
+    val pows = Iterator.iterate(1L)(p => p * 33 % 2147483648L)
+      .take(window).toSeq
+    val terms = (0 until window).map(j =>
+      s"((ascii(substr(__t, CAST(i - $j AS INT), 1)) * 2654435761L)" +
+        s" % 2147483648L) * ${pows(j)}L % 2147483648L").mkString(" + ")
+    df.where(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol), col(textCol).as("__t"),
+        length(col(textCol)).cast("long").as("__n"))
+      .withColumn("__bnd", expr(
+        s"""CASE WHEN __n < $window THEN CAST(array() AS ARRAY<BIGINT>)
+           |ELSE filter(sequence(CAST($window AS BIGINT), __n),
+           |  i -> ($terms) % $divisor = 0) END""".stripMargin))
+      // interior boundaries only (a boundary AT the end would duplicate
+      // the appended n into a zero-length chunk)
+      .withColumn("__bs", expr(
+        "concat(array(CAST(0 AS BIGINT)), filter(__bnd, i -> i < __n)," +
+          " array(__n))"))
+      .withColumn("__k", explode(expr("sequence(1, size(__bs) - 1)")))
+      .select(col(idCol),
+        (col("__k") - 1).cast("long").as("chunk_id"),
+        expr("element_at(__bs, __k)").as("start_char"),
+        expr("element_at(__bs, __k + 1) - element_at(__bs, __k)")
+          .as("n_chars"),
+        expr("substr(__t, CAST(element_at(__bs, __k) + 1 AS INT)," +
+          " CAST(element_at(__bs, __k + 1) - element_at(__bs, __k)" +
+          " AS INT))").as("chunk_text"))
+  }
+
   /** Distinct word n-grams per document as (id, gram) rows. The per-doc
     * dedup happens BEFORE the generator (`array_distinct` on the in-plan
     * gram array), so no shuffle is spent de-duplicating within documents —

@@ -1414,6 +1414,22 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("cdc_chunk_dedup: chunk text never crosses an exchange, no rank machinery") {
+    // The CDC claim: boundary detection and the chunk substrings are
+    // map-side scan work; the keeper aggregate and join ride the 16-byte
+    // md5 digest only — no exchange may partition on or carry the chunk
+    // text (or the raw document), and nothing rank- or cartesian-shaped
+    // belongs in a digest group-by.
+    val plan = executedSimple(
+      SparkEntry.queries("cdc_chunk_dedup")(spark, sf))
+    "Exchange [^\\n]*".r.findAllIn(plan).foreach { ex =>
+      assert(!ex.contains("chunk_text") && !ex.contains("substr"),
+        s"chunk text must not cross an exchange:\n$ex")
+    }
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("embed_quantize_dims: codebook attaches as ONE broadcast row, no window/SMJ") {
     // The per-dim SQ8 claim: the corpus exchange produces only the d-row
     // codebook (posexplode min/max partial-aggs map-side), which comes
