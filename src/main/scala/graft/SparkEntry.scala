@@ -254,7 +254,7 @@ object SparkEntry {
     * per-index with list_filter — positional independence is exactly
     * what makes the hash engine-replayable.
     */
-  private val cdcChunkOracle: String = {
+  private val cdcChunkCtes: String = {
     val pows = Iterator.iterate(1L)(p => p * 33 % 2147483648L)
       .take(8).toSeq
     val terms = (0 until 8).map(j =>
@@ -266,17 +266,46 @@ object SparkEntry {
        |  FROM d),
        |sp AS (SELECT doc_id, text, list_prepend(CAST(0 AS BIGINT), list_append(list_filter(bnd, i -> i < n), n)) AS bs FROM b),
        |ch AS (SELECT doc_id, unnest(range(1, len(bs))) AS k, bs, text FROM sp),
-       |cc AS (SELECT doc_id, CAST(k - 1 AS BIGINT) AS chunk_id,
+       |cc AS MATERIALIZED (SELECT doc_id, CAST(k - 1 AS BIGINT) AS chunk_id,
        |    bs[CAST(k + 1 AS INTEGER)] - bs[CAST(k AS INTEGER)] AS ln,
        |    md5(substr(text, CAST(bs[CAST(k AS INTEGER)] + 1 AS INTEGER), CAST(bs[CAST(k + 1 AS INTEGER)] - bs[CAST(k AS INTEGER)] AS INTEGER))) AS dig
-       |  FROM ch),
-       |keep AS (SELECT dig, min(struct_pack(doc_id := doc_id, chunk_id := chunk_id)) AS k FROM cc GROUP BY 1)
-       |SELECT cc.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
-       |  CAST(sum(CASE WHEN keep.k.doc_id = cc.doc_id AND keep.k.chunk_id = cc.chunk_id THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_chunks,
-       |  CAST(sum(CASE WHEN keep.k.doc_id = cc.doc_id AND keep.k.chunk_id = cc.chunk_id THEN 0 ELSE cc.ln END) AS BIGINT) AS dup_chars
-       |FROM cc JOIN keep ON cc.dig = keep.dig
-       |GROUP BY 1 ORDER BY 1""".stripMargin
+       |  FROM ch)""".stripMargin
   }
+
+  private val cdcChunkOracle: String = cdcChunkCtes +
+    """,
+      |keep AS (SELECT dig, min(struct_pack(doc_id := doc_id, chunk_id := chunk_id)) AS k FROM cc GROUP BY 1)
+      |SELECT cc.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+      |  CAST(sum(CASE WHEN keep.k.doc_id = cc.doc_id AND keep.k.chunk_id = cc.chunk_id THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_chunks,
+      |  CAST(sum(CASE WHEN keep.k.doc_id = cc.doc_id AND keep.k.chunk_id = cc.chunk_id THEN 0 ELSE cc.ln END) AS BIGINT) AS dup_chars
+      |FROM cc JOIN keep ON cc.dig = keep.dig
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Shared (doc, distinct chunk digest) prefix for the CDC pair-tier
+    * oracles — the [[cdcChunkCtes]] chain reduced to the fingerprint
+    * frame the winnow-style cut/join replays run on.
+    */
+  private val cdcFpdCte: String = cdcChunkCtes +
+    """,
+      |fpd AS (SELECT DISTINCT doc_id, dig AS fp_hash FROM cc)""".stripMargin
+
+  /** Full-corpus CDC pair replay under the FROZEN even-half blocklist —
+    * the engine's manifest + blocklist + known-pairs union for both the
+    * batch-incremental and the streaming loop (same identity argument as
+    * the winnow tier).
+    */
+  private val cdcIncrementalOracle: String = cdcFpdCte +
+    """,
+      |blk AS (SELECT fp_hash FROM (
+      |    SELECT fp_hash, count(DISTINCT doc_id) AS df FROM fpd
+      |    WHERE doc_id % 2 = 0 GROUP BY 1)
+      |  WHERE df > 50),
+      |kept AS (SELECT doc_id, fp_hash FROM fpd
+      |  WHERE fp_hash NOT IN (SELECT fp_hash FROM blk))
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(count(*) AS BIGINT) AS shared_fp
+      |FROM kept a JOIN kept b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b""".stripMargin
 
   /** Label-propagation oracle: four synchronous rounds unrolled as
     * chained CTEs — per round, neighbor-label counts then the
@@ -1191,6 +1220,54 @@ object SparkEntry {
         Tables.documents(s, d).where(pmod(col("doc_id"), lit(2)) === 0),
         "doc_id", "text", k = 3, w = 4)
         .select(col("doc_id").as("id"), col("fp_hash")).distinct()
+        .localCheckpoint(true)
+      Seq(bt, pt).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), t)
+        loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(loc, true)
+      }
+      fps.groupBy(col("fp_hash"))
+        .agg(countDistinct(col("id")).as("__df"))
+        .where(col("__df") > 50).select(col("fp_hash"))
+        .write.saveAsTable(bt)
+      ScaleOps.writeBucketed(
+        fps.join(s.table(bt), Seq("fp_hash"), "left_anti")
+          .repartition(8, col("fp_hash")),
+        mt, Seq("fp_hash"), buckets = 8)
+      val m = s.table(mt)
+      m.as("a").join(m.as("b"),
+          col("a.fp_hash") === col("b.fp_hash")
+            && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("shared_fp"))
+        .where(col("shared_fp") >= 2L)
+        .write.saveAsTable(pt)
+      Dedup.unpersistCheckpoint(fps)
+      (mt, bt, pt)
+    })
+
+  /** The CDC chunk modality's persisted state — [[winnowState]]'s layout
+    * with CDC chunk digests as the fingerprints (the state machinery is
+    * fingerprint-agnostic): bucketed (id, fp_hash) manifest of the even
+    * half, the FROZEN over-common blocklist derived from it, and the
+    * read-back even-even pair list.
+    */
+  private val cdcStateCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String),
+      (String, String, String)]
+
+  private def cdcState(s: SparkSession,
+                       d: String): (String, String, String) =
+    cdcStateCache.getOrElseUpdate((s.sparkContext.applicationId, d), {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val mt = s"graft_cdc_manifest_$tag"
+      val bt = s"graft_cdc_block_$tag"
+      val pt = s"graft_cdc_pairs_$tag"
+      val fps = CorpusOps.cdcFingerprints(
+        Tables.documents(s, d).where(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text")
         .localCheckpoint(true)
       Seq(bt, pt).foreach { t =>
         s.sql(s"DROP TABLE IF EXISTS $t")
@@ -5915,6 +5992,81 @@ object SparkEntry {
           val fp = CorpusOps.winnowFingerprints(b, "doc_id", "text",
             k = 3, w = 4)
             .select(col("doc_id").as("id"), col("fp_hash")).distinct()
+            .localCheckpoint(true)
+          try {
+            // knownPairs EMPTY per batch: emissions are new pairs only
+            CorpusOps.incrementalWinnowPairsOnState(fp, s.table(mtS),
+              s.table(bt), s.table(pt).limit(0), minShared = 2L)
+              .write.mode("append").saveAsTable(outS)
+            // state update AFTER the emit (a batch never probes its own
+            // rows), blocklist-filtered like the persisted manifest
+            ScaleOps.appendBucketed(
+              fp.join(s.table(bt), Seq("fp_hash"), "left_anti"),
+              mtS, Seq("fp_hash"), buckets = 8)
+            s.catalog.refreshTable(mtS)
+            s.catalog.refreshTable(outS)
+          } finally Dedup.unpersistCheckpoint(fp)
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      materializeAndDropTables(s,
+        s.table(pt).select("id_a", "id_b", "shared_fp")
+          .unionByName(s.table(outS).select("id_a", "id_b", "shared_fp")),
+        mtS, outS)
+        .orderBy("id_a", "id_b")
+    }),
+    // The MOSS match report at CDC chunk granularity: pairs meet on the
+    // content-defined chunk digest (shift-resistant, so an edited copy
+    // keeps matching); over-common chunks dropped first, pair survives
+    // with >= 2 distinct shared digests. winnow_pairs' cut/join
+    // discipline over the sixth modality's fingerprints.
+    "cdc_chunk_pairs" -> ((s, d) =>
+      CorpusOps.cdcChunkPairs(Tables.documents(s, d), "doc_id", "text",
+        minShared = 2L, maxDocFreq = 50L)
+        .orderBy("id_a", "id_b")),
+    // The CDC modality's incremental layout — the winnow state machinery
+    // rides unchanged (fingerprint-agnostic): odd-half chunk digests
+    // probe the persisted hash-bucketed manifest + frozen blocklist +
+    // read-back pair list; the even half is never re-chunked, never
+    // re-self-joined, and the frozen cut makes incremental == full an
+    // EXACT identity the oracle replays.
+    "incremental_cdc_persisted" -> ((s, d) => {
+      val (mt, bt, pt) = cdcState(s, d)
+      val batchFp = CorpusOps.cdcFingerprints(
+        Tables.documents(s, d).where(pmod(col("doc_id"), lit(2)) === 1),
+        "doc_id", "text")
+      CorpusOps.incrementalWinnowPairsOnState(batchFp, s.table(mt),
+        s.table(bt), s.table(pt), minShared = 2L)
+        .orderBy("id_a", "id_b")
+    }),
+    // The SIXTH streaming loop: the odd half arrives as three
+    // micro-batches, each chunks only ITS documents, probes the
+    // manifest-so-far under the frozen blocklist, emits only NEW pairs,
+    // appends its digests bucketed AFTER the emit. Delivery-order
+    // invariance holds by the winnow argument: a pair emits exactly
+    // once, when its later document arrives, by which time the earlier
+    // document's digests are all in the manifest.
+    "stream_cdc_incremental" -> ((s, d) => {
+      val (mt, bt, pt) = cdcState(s, d)
+      val run = streamRuns.incrementAndGet()
+      val mtS = s"graft_stream_cdc_manifest_$run"
+      val outS = s"graft_stream_cdc_pairs_$run"
+      Seq(outS).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), t)
+        loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(loc, true)
+      }
+      ScaleOps.writeBucketed(
+        s.table(mt).repartition(8, col("fp_hash")),
+        mtS, Seq("fp_hash"), buckets = 8)
+      s.table(pt).limit(0).write.saveAsTable(outS)
+      val src = s.readStream.schema(Tables.documents(s, d).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stagedSimhashBatches(s, d))
+      val q = graft.streaming.EventsStreaming
+        .foreachBatchWriter(src, identity) { (b, _) =>
+          val fp = CorpusOps.cdcFingerprints(b, "doc_id", "text")
             .localCheckpoint(true)
           try {
             // knownPairs EMPTY per batch: emissions are new pairs only
@@ -11094,6 +11246,18 @@ object SparkEntry {
         |  string_agg(chunk_text, ' ' ORDER BY chunk_id) AS text
         |FROM surv GROUP BY 1 ORDER BY 1""".stripMargin,
     "cdc_chunk_dedup" -> cdcChunkOracle,
+    "cdc_chunk_pairs" -> (cdcFpdCte +
+      """,
+        |rare AS (SELECT fp_hash FROM (
+        |    SELECT fp_hash, count(DISTINCT doc_id) AS df FROM fpd GROUP BY 1)
+        |  WHERE df <= 50),
+        |kept AS (SELECT fpd.doc_id, fpd.fp_hash FROM fpd JOIN rare USING (fp_hash))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(count(*) AS BIGINT) AS shared_fp
+        |FROM kept a JOIN kept b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b""".stripMargin),
+    "incremental_cdc_persisted" -> cdcIncrementalOracle,
+    "stream_cdc_incremental" -> cdcIncrementalOracle,
     // Skew-report replay: count-of-counts, exact rank picks, the
     // tokenEntropy micro recipe over key counts.
     "key_skew_report" ->

@@ -435,6 +435,54 @@ object CorpusOps {
           " AS INT))").as("chunk_text"))
   }
 
+  /** Distinct CDC chunk digests per document as (id, fp_hash) — the
+    * fingerprint frame the chunk-level pair / incremental / streaming
+    * tier rides. The winnowing state machinery
+    * ([[incrementalWinnowPairsOnState]]) is fingerprint-agnostic, so the
+    * CDC modality reuses it verbatim: only the fingerprint SELECTION
+    * differs (content-defined chunk content vs windowed-min gram
+    * hashes). Chunk text reduces to md5 in the scan projection — only
+    * digests ever cross an exchange.
+    */
+  def cdcFingerprints(df: DataFrame, idCol: String, textCol: String,
+                      window: Int = 8, divisor: Long = 32L): DataFrame =
+    cdcChunks(df, idCol, textCol, window, divisor)
+      .select(col(idCol).as("id"),
+        md5(col("chunk_text").cast("binary")).as("fp_hash"))
+      .distinct()
+
+  /** Document pairs sharing CDC chunks — the MOSS match report at chunk
+    * granularity ([[winnowPairs]]' cut/join discipline over
+    * [[cdcChunks]] digests): candidates meet on the chunk digest (an
+    * equi-join, never all-pairs), chunks present in more than
+    * `maxDocFreq` documents are dropped first (boilerplate carries no
+    * discriminating signal AND is the hot-key hazard), and a pair
+    * survives with the count of DISTINCT shared chunk digests ≥
+    * `minShared`. Because the chunking is shift-resistant, a shared run
+    * keeps producing shared digests after an edit moves it — the
+    * cross-document property fixed-offset chunk dedup cannot give.
+    */
+  def cdcChunkPairs(df: DataFrame, idCol: String, textCol: String,
+                    minShared: Long = 2L,
+                    maxDocFreq: Long = 50L): DataFrame = {
+    require(minShared >= 1, s"minShared=$minShared must be positive")
+    require(maxDocFreq >= 2, s"maxDocFreq=$maxDocFreq must allow a pair")
+    // one distinct (id, hash) frame feeds the df cut AND both self-join
+    // sides (rule (g))
+    val fp = cdcFingerprints(df, idCol, textCol).localCheckpoint(true)
+    val rare = fp.groupBy(col("fp_hash"))
+      .agg(countDistinct(col("id")).as("__df"))
+      .where(col("__df") <= maxDocFreq)
+      .select(col("fp_hash"))
+    val kept = fp.join(rare, Seq("fp_hash"))
+    kept.as("a").join(kept.as("b"),
+        col("a.fp_hash") === col("b.fp_hash")
+          && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .where(col("shared_fp") >= minShared)
+  }
+
   /** Distinct word n-grams per document as (id, gram) rows. The per-doc
     * dedup happens BEFORE the generator (`array_distinct` on the in-plan
     * gram array), so no shuffle is spent de-duplicating within documents —

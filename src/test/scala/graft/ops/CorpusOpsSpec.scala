@@ -382,6 +382,33 @@ class CorpusOpsSpec extends SparkTestBase {
       .as[(Long, Long, Long, Long, String)].collect().toSeq)
   }
 
+  test("cdcChunkPairs: an edited copy still pairs; the df cut silences boilerplate") {
+    val body = (1 to 60)
+      .map(i => s"token$i word${i * 7 % 13} item${i * 31 % 97}")
+      .mkString(" ")
+    val docs = Seq(
+      (1L, body),
+      (2L, "PREFIX 12345 " + body),            // shifted copy
+      (3L, "completely different content here entirely unrelated words"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.cdcChunkPairs(docs, "doc_id", "text",
+      minShared = 2L, maxDocFreq = 50L)
+      .as[(Long, Long, Long)].collect().toSeq
+    // the shifted copy re-derives the shared chunks → exactly one pair,
+    // with nearly all of doc 1's chunks shared
+    assert(got.map(p => (p._1, p._2)) === Seq((1L, 2L)))
+    assert(got.head._3 >= 5, s"expected many shared chunks: ${got.head._3}")
+    // maxDocFreq = 1: every shared digest sits in 2 docs → all cut → no
+    // pairs survive (the boilerplate-silencing rule)
+    assert(CorpusOps.cdcChunkPairs(docs, "doc_id", "text",
+      minShared = 1L, maxDocFreq = 2L).count() === 1L)
+    assert(CorpusOps.cdcChunkPairs(docs.union(docs
+        .select(col("doc_id") + 10, col("text"))), "doc_id", "text",
+      minShared = 1L, maxDocFreq = 2L)
+      .where(col("shared_fp") >= 5).count() === 0L,
+      "digests now in 4 docs must fall to the df <= 2 cut")
+  }
+
   test("heavyHitters: exact shares, threshold on the raw ratio, minors dropped") {
     val docs = Seq((1L, "a a a b"), (2L, "a b c")).toDF("id", "text")
     // counts: a=4, b=2, c=1, total=7
