@@ -4340,6 +4340,19 @@ object SparkEntry {
         .withColumn("rnk", col("rnk").cast("long"))
         .orderBy("qid", "rnk")
     }),
+    // IVF serving over SQ8 codes with EVERYTHING deterministic — the
+    // FAISS IndexIVFScalarQuantizer shape: cells from the micro-unit
+    // Lloyd loop (kmeans_embed's machinery), nprobe=2 cells probed by
+    // exact integer centroid distance, candidates ranked by integer
+    // code-space L2, brute SQ8 top-3 as the audit leg. Probed cells,
+    // served neighbors, distances, AND recall all hash-match the
+    // oracle — the fully-replayable counterpart of knn_ivf_topk's
+    // recall-floor contract.
+    "knn_ivf_sq8" -> ((s, d) =>
+      EmbeddingOps.knnIvfSq8(Tables.embeddings(s, d), "vec_id",
+        "embedding", nlist = 8, nprobe = 2, iterations = 3,
+        queryIds = (0L until 10L), topK = 3)
+        .orderBy("qid", "rnk")),
     // SQ8 code-space serving: top-3 by INTEGER squared L2 over the
     // shared per-dim codebook codes (embed_quantize_dims' codes), with
     // the float-space exact top-3 recomputed as the audit half and the
@@ -6606,6 +6619,49 @@ object SparkEntry {
       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
       |        list_sum(list_transform(list_zip(q.qv, c.cv), x -> (x[1] - x[2]) * (x[1] - x[2]))), c.cl) AS rn
       |    FROM q CROSS JOIN c2 c) WHERE rn = 1)""".stripMargin
+
+  /** IVF-over-SQ8 serving replay: [[kmeansOracleCtes]]' final state (a3
+    * cells + the c2 centroids they were assigned against), the
+    * embed_quantize_dims codebook/codes (suffixed _8), the nprobe=2
+    * integer centroid probe, the cell-restricted integer code-space
+    * top-3, and the brute audit leg with its overlap — every stage of
+    * the serving path replayed, nothing floored.
+    */
+  private val ivfSq8Oracle: String = kmeansOracleCtes +
+    """,
+      |e8 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |x8 AS (SELECT unnest(range(1, len(v)+1)) AS pos, unnest(list_transform(range(1, len(v)+1), i -> v[CAST(i AS INTEGER)])) AS x FROM e8),
+      |cbd8 AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM x8 GROUP BY 1),
+      |cb8 AS (SELECT list(mn ORDER BY pos) AS mns, list((mx - mn) / 255.0 ORDER BY pos) AS scs FROM cbd8),
+      |codes AS (SELECT vec_id,
+      |    list_transform(range(1, len(v)+1), i -> CASE WHEN scs[CAST(i AS INTEGER)] = 0 THEN 0::BIGINT
+      |      ELSE greatest(0::BIGINT, least(255::BIGINT, CAST(floor((v[CAST(i AS INTEGER)] - mns[CAST(i AS INTEGER)]) / scs[CAST(i AS INTEGER)] + 0.5) AS BIGINT))) END) AS code
+      |  FROM e8 CROSS JOIN cb8),
+      |qm AS (SELECT vec_id AS qid, qv FROM q WHERE vec_id < 10),
+      |prb AS (SELECT qid, cell FROM (
+      |    SELECT qm.qid, c.cl AS cell,
+      |      row_number() OVER (PARTITION BY qm.qid ORDER BY
+      |        list_sum(list_transform(list_zip(qm.qv, c.cv), x -> (x[1] - x[2]) * (x[1] - x[2]))), c.cl) AS rn
+      |    FROM qm CROSS JOIN c2 c) WHERE rn <= 2),
+      |qc AS (SELECT vec_id AS qid, code AS qcode FROM codes WHERE vec_id < 10),
+      |cw AS (SELECT codes.vec_id, codes.code, a3.cl AS cell FROM codes JOIN a3 ON codes.vec_id = a3.vec_id),
+      |srv AS (SELECT qid, CAST(rn AS BIGINT) AS rnk, cid, cell, d2 FROM (
+      |    SELECT p.qid, cw.vec_id AS cid, cw.cell,
+      |      list_sum(list_transform(list_zip(qc.qcode, cw.code), x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d2,
+      |      row_number() OVER (PARTITION BY p.qid ORDER BY
+      |        list_sum(list_transform(list_zip(qc.qcode, cw.code), x -> (x[1] - x[2]) * (x[1] - x[2]))), cw.vec_id) AS rn
+      |    FROM prb p JOIN cw ON p.cell = cw.cell JOIN qc ON qc.qid = p.qid
+      |    WHERE cw.vec_id <> p.qid) WHERE rn <= 3),
+      |brt AS (SELECT qid, cid FROM (
+      |    SELECT qc.qid, cw.vec_id AS cid,
+      |      row_number() OVER (PARTITION BY qc.qid ORDER BY
+      |        list_sum(list_transform(list_zip(qc.qcode, cw.code), x -> (x[1] - x[2]) * (x[1] - x[2]))), cw.vec_id) AS rn
+      |    FROM qc CROSS JOIN cw WHERE cw.vec_id <> qc.qid) WHERE rn <= 3),
+      |rc AS (SELECT srv.qid AS rqid, count(brt.cid) AS m FROM srv
+      |  LEFT JOIN brt ON srv.qid = brt.qid AND srv.cid = brt.cid GROUP BY 1)
+      |SELECT qid, rnk, cid, CAST(cell AS BIGINT) AS cell, CAST(d2 AS BIGINT) AS d2,
+      |  floor((CAST(m AS DOUBLE) / 3) * 10000 + 0.5) / 10000 AS recall_k
+      |FROM srv JOIN rc ON srv.qid = rc.rqid ORDER BY qid, rnk""".stripMargin
 
   /** One PQ subspace's oracle block: [[kmeansOracleCtes]] with the
     * embedding sliced to [lo+1, lo+len] (DuckDB list slicing is 1-based
@@ -9888,6 +9944,7 @@ object SparkEntry {
         |r AS (SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM p)
         |SELECT qid, cid, rnk, floor((cos) * 10000 + 0.5) / 10000 AS cos_sim
         |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    "knn_ivf_sq8" -> ivfSq8Oracle,
     // Full replay of BOTH ranking passes: the integer code-space top-3
     // (shared per-dim codebook) and the micro-quantized float truth,
     // then the overlap — every ranked row and the recall hash-match.

@@ -1126,6 +1126,102 @@ object EmbeddingOps {
     })
   }
 
+  /** IVF serving over SQ8 codes with EVERYTHING deterministic — the
+    * production FAISS IndexIVFScalarQuantizer shape, graded end to end
+    * by hash equality rather than the recall floors the MLlib-codebook
+    * IVF tier settles for: coarse cells come from the deterministic
+    * micro-unit Lloyd loop ([[kmeansAssignments]]' machinery), queries
+    * probe their `nprobe` nearest cells by exact integer
+    * query-to-centroid distance (ties to the smaller cell), candidates
+    * in probed cells are ranked by INTEGER squared L2 over the shared
+    * per-dim SQ8 codebook codes ([[quantizeDimsCodes]]), and the brute
+    * SQ8 top-k over the whole corpus rides beside it as the audit leg
+    * with the per-query overlap graded as recall@k. No float ever
+    * enters a ranking key, so probed cells, served neighbors, distances,
+    * and recall all replay bit-for-bit on any engine.
+    *
+    * Scale shape: one Lloyd pass (map-only assignment + (cluster, dim)
+    * aggregate per iteration), the corpus SQ8-encodes map-side against
+    * the broadcast 1-row codebook, the (qid × nprobe) probe table and
+    * the query codes broadcast against the cell-partitioned corpus, and
+    * each ranking pass collapses through WindowGroupLimit to |Q|·k rows.
+    * The brute leg is the AUDIT half — a production server runs only
+    * the cell-pruned pass.
+    */
+  def knnIvfSq8(df: DataFrame, idCol: String, vecCol: String,
+                nlist: Int, nprobe: Int, iterations: Int,
+                queryIds: Seq[Long], topK: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"need 1 <= nprobe=$nprobe <= nlist=$nlist")
+    require(topK >= 1, s"topK=$topK must be positive")
+    require(queryIds.nonEmpty, "queryIds must be non-empty")
+    val (q, cents) = lloydState(df, idCol, vecCol, nlist, iterations)
+    val assigned = q.select(col("vec_id"),
+      assignIdCol(cents).as("cell"))
+    val cb = dimCodebookRow(df, vecCol)
+    // (vec_id, cell, SQ8 code) — consumed by the candidate leg, the
+    // query side, and the brute audit leg: one materialization
+    val coded = df.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(cb))
+      .select(col("vec_id"),
+        quantizeDimsCodes(col("__v"), col("__mns"), col("__scs"))
+          .as("code"))
+      .join(assigned, Seq("vec_id"))
+      .localCheckpoint(true)
+    graft.ops.Dedup.unpersistCheckpoint(q)
+    // nprobe nearest cells per query by exact integer centroid distance
+    val centLit = typedLit(cents.map { case (cl, cv) => (cl, cv) })
+    val qMicro = df.where(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("qid"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long"))
+          .as("qv"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("__cd"), col("cell"))
+    val probe = qMicro
+      .select(col("qid"), explode(centLit).as("__c"), col("qv"))
+      .select(col("qid"), col("__c._1").as("cell"),
+        aggregate(zip_with(col("qv"), col("__c._2"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (s, x) => s + x).as("__cd"))
+      .withColumn("__r", row_number().over(wProbe))
+      .where(col("__r") <= nprobe)
+      .select(col("qid"), col("cell"))
+    val qCodes = coded.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("code").as("qcode"))
+    val probeC = broadcast(probe.join(qCodes, Seq("qid")))
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (s, x) => s + x)
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("d2"), col("cid"))
+    val served = coded.join(probeC, Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"), col("cell"),
+        d2(col("qcode"), col("code")).as("d2"))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .where(col("rnk") <= topK)
+      .localCheckpoint(true)
+    val brute = coded.crossJoin(broadcast(qCodes))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        d2(col("qcode"), col("code")).as("d2"))
+      .withColumn("rnk", row_number().over(wRank))
+      .where(col("rnk") <= topK)
+      .select(col("qid"), col("cid"))
+    val hits = served.select(col("qid"), col("cid"))
+      .join(brute, Seq("qid", "cid"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("__m"))
+    val rec = served.select("qid").distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        CoreOps.rnd(coalesce(col("__m"), lit(0L)).cast("double") / topK)
+          .as("recall_k"))
+    served.join(rec, Seq("qid"))
+      .select(col("qid"), col("rnk"), col("cid"), col("cell"),
+        col("d2"), col("recall_k"))
+  }
+
   /** Embedding-space DRIFT between two corpus snapshots — the
     * representation-health monitor a pipeline runs when the upstream
     * embedder, corpus mix, or preprocessing changes: project both sides

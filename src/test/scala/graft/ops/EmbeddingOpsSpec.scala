@@ -444,6 +444,36 @@ class EmbeddingOpsSpec extends SparkTestBase {
     assert(re === got)
   }
 
+  test("knnIvfSq8: unprobed cells are invisible; blob mates serve at recall 1.0") {
+    // Two far-apart blobs, ids interleaved so the smallest-ids Lloyd
+    // init seeds one coarse centroid per blob; nprobe=1 → each query
+    // sees ONLY its own cell, and since the exact SQ8 top-2 is the blob
+    // (mates nearer than anything across the gap), recall reads 1.0
+    // while half the corpus is never scored.
+    val df = Seq(
+      (1L, Seq(0.0f, 0.1f, 0.0f, 0.0f)), (3L, Seq(0.1f, 0.0f, 0.1f, 0.0f)),
+      (5L, Seq(0.0f, 0.0f, 0.1f, 0.1f)),
+      (2L, Seq(9.0f, 9.1f, 9.0f, 9.0f)), (4L, Seq(9.1f, 9.0f, 9.1f, 9.0f)),
+      (6L, Seq(9.0f, 9.0f, 9.1f, 9.1f)))
+      .toDF("vec_id", "embedding")
+    val got = EmbeddingOps.knnIvfSq8(df, "vec_id", "embedding",
+      nlist = 2, nprobe = 1, iterations = 2, queryIds = Seq(1L, 2L),
+      topK = 2).orderBy("qid", "rnk")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    val byQ = got.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(byQ === Map(1L -> Set(3L, 5L), 2L -> Set(4L, 6L)))
+    assert(got.forall(_._6 === 1.0), got.toString)
+    // integer keys end to end → exact layout invariance
+    val re = EmbeddingOps.knnIvfSq8(df.repartition(5), "vec_id",
+      "embedding", nlist = 2, nprobe = 1, iterations = 2,
+      queryIds = Seq(1L, 2L), topK = 2).orderBy("qid", "rnk")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(re === got)
+    intercept[IllegalArgumentException](
+      EmbeddingOps.knnIvfSq8(df, "vec_id", "embedding", 2, 3, 2,
+        Seq(1L), 2))
+  }
+
   test("embeddingDriftPsi: identical snapshots read exactly zero; a shift reads drift") {
     val e = graft.Tables.embeddings(spark, sfTest)
     // identical sides: every bin has ca == cb, every smoothed term is 0,
