@@ -2791,6 +2791,45 @@ object SparkEntry {
         .select(col("doc_id"), (col("__p0") + 1).cast("long").as("pos"),
           col("token_id"))
         .orderBy("doc_id", "pos")),
+    // The tokenizer DEPLOYED: a foreachBatch ingest loop encodes every
+    // arriving micro-batch against the FROZEN full-corpus BPE model
+    // (train once at deploy — the memoized model; ids are a property of
+    // the model, a novel symbol raises rather than shifting shipped
+    // ids), appending per-doc token count + the position-weighted id
+    // checksum. The oracle replays training AND the slice's whole
+    // segmentation, so ingest-time tokenization is proven equal to the
+    // batch encode id-for-id.
+    "stream_bpe_encode" -> ((s, d) => {
+      val run = streamRuns.incrementAndGet()
+      val outS = s"graft_bpe_out_$run"
+      val model = bpeModel(s, d)
+      Tables.documents(s, d).limit(0)
+        .select(col("doc_id"), lit(0L).as("n_tokens"),
+          lit(0L).as("id_dot"))
+        .write.saveAsTable(outS)
+      val src = s.readStream.schema(Tables.documents(s, d).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stagedDocBatches(s, d))
+      val q = graft.streaming.EventsStreaming
+        .foreachBatchWriter(src, identity) { (b, _) =>
+          val bb = b.localCheckpoint(true)
+          try {
+            CorpusOps.bpeEncodeIds(bb, "doc_id", "text", model)
+              .select(col("doc_id"),
+                size(col("token_ids")).cast("long").as("n_tokens"),
+                aggregate(zip_with(col("token_ids"),
+                    sequence(lit(1L),
+                      size(col("token_ids")).cast("long")),
+                    (t, i) => t.cast("long") * i),
+                  lit(0L), (a, x) => a + x).as("id_dot"))
+              .write.mode("append").saveAsTable(outS)
+            s.catalog.refreshTable(outS)
+          } finally Dedup.unpersistCheckpoint(bb)
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      materializeAndDropTables(s,
+        s.table(outS).orderBy("doc_id"), outS)
+    }),
     // packSequences fed REAL encoded-sequence lengths (size(token_ids))
     // instead of whitespace estimates — the id materialization and the
     // packing layout composed, both off the one memoized encode pass.
@@ -7033,6 +7072,46 @@ object SparkEntry {
          |ORDER BY doc_id, pos""".stripMargin
   }
 
+  /** Streaming-encode oracle: [[bpeEncodeIdsOracle]]'s replay — full
+    * training, the SAME full-corpus id table (univ/ids derive from ALL
+    * words; the id table is a property of the frozen model, never of
+    * the arriving slice) — with the encode target filtered to the
+    * staged ingest slice and aggregated per document (token count +
+    * position-weighted id checksum).
+    */
+  private val streamBpeEncodeOracle: String = {
+    val r = bpeEncodeRounds
+    val allm = (1 to r)
+      .map(i => s"SELECT $i AS rnd, l || r AS sym FROM m$i")
+      .mkString("\n  UNION ALL ")
+    "WITH " + bpeTrainCtesFor(r) + ",\n" +
+      s"""allm AS ($allm),
+         |mm AS (SELECT sym, CAST(min(rnd) AS BIGINT) AS mrnd FROM allm GROUP BY 1),
+         |vmap AS (SELECT replace(replace(seg, '(', ''), ')', '') AS w,
+         |    string_split(seg[2:-2], ')(') AS syms FROM v$r),
+         |ta AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |wordsAll AS (SELECT doc_id, CAST(i AS BIGINT) AS wp, toks[i] AS w
+         |  FROM ta, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)
+         |  WHERE length(toks[i]) >= 1),
+         |univ AS (SELECT DISTINCT sym FROM (SELECT unnest(syms) AS sym FROM vmap)
+         |  UNION SELECT DISTINCT w AS sym FROM wordsAll WHERE length(w) = 1),
+         |ids AS (SELECT sym, CAST(row_number() OVER (ORDER BY coalesce(mrnd, 0), sym) AS INT) AS token_id
+         |  FROM univ LEFT JOIN mm USING (sym)),
+         |words AS (SELECT doc_id, wp, w FROM wordsAll
+         |  WHERE doc_id % 10 = 1 AND doc_id < 10000 AND (doc_id // 10) % 2 = 1),
+         |enc AS (SELECT doc_id, wp, coalesce(v.syms, list_value(words.w)) AS syms
+         |  FROM words LEFT JOIN vmap v USING (w)),
+         |flat AS (SELECT doc_id, wp, CAST(j AS BIGINT) AS sp, syms[j] AS sym
+         |  FROM enc, LATERAL (SELECT unnest(range(1, len(syms) + 1)) AS j)),
+         |pos AS (SELECT doc_id,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wp, sp) AS BIGINT) AS pos,
+         |    ids.token_id
+         |  FROM flat JOIN ids USING (sym))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(pos * token_id) AS BIGINT) AS id_dot
+         |FROM pos GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
+
   /** Packing oracle on REAL sequence lengths: the replayed final
     * vocabulary gives each word's surviving symbol count; per-doc sums
     * are the encoded lengths packSequences lays out (same integer
@@ -8257,6 +8336,7 @@ object SparkEntry {
     // then per-source token/compression stats.
     "bpe_encode_stats" -> bpeEncodeOracle,
     "bpe_encode_ids" -> bpeEncodeIdsOracle,
+    "stream_bpe_encode" -> streamBpeEncodeOracle,
     "bpe_pack_ids" -> bpePackIdsOracle,
     // Roundtrip contract: decode(encode(doc)) must equal the document's
     // delimiter-stripped text — the oracle grants TRUE only per nonempty

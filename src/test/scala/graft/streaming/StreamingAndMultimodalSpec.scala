@@ -551,6 +551,32 @@ class StreamingAndMultimodalSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("stream_bpe_encode: ingest-time tokenization equals the batch encode") {
+    // The loop's claim is "bpeEncodeIds against the FROZEN model per
+    // micro-batch" — the drained per-doc (count, id-checksum) rows must
+    // equal the batch encode run on the same slice. Catches model
+    // re-training inside the loop, id-table drift, and double-appends.
+    val streamed = graft.SparkEntry.queries("stream_bpe_encode")(
+      spark, sfTest)
+      .as[(Long, Long, Long)].collect().toSet
+    val slice = graft.Tables.documents(spark, sfTest)
+      .where(pmod(col("doc_id"), lit(10)) === 1 && col("doc_id") < 10000
+        && pmod(expr("doc_id div 10"), lit(2)) === 1)
+    val model = graft.ops.CorpusOps.bpeTrain(
+      graft.Tables.documents(spark, sfTest), "text", rounds = 64)
+    val direct = graft.ops.CorpusOps.bpeEncodeIds(slice, "doc_id", "text",
+      model)
+      .select(col("doc_id"),
+        size(col("token_ids")).cast("long").as("n_tokens"),
+        aggregate(zip_with(col("token_ids"),
+            sequence(lit(1L), size(col("token_ids")).cast("long")),
+          (t, i) => t.cast("long") * i), lit(0L), (a, x) => a + x)
+          .as("id_dot"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed === direct)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream_decontaminate: the deployed gate equals the batch decontaminate op") {
     // The loop's claim is "CorpusOps.decontaminate semantics against the
     // frozen eval-gram manifest" — the drained per-doc verdicts must
