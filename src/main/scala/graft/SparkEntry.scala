@@ -3845,6 +3845,66 @@ object SparkEntry {
         TextFunctions.tokenCountBpeish(col("text")).as("n_tokens_bpeish"),
         length(col("text")).cast("long").as("n_chars_calc"))
         .orderBy("doc_id")),
+    // Heaps-law vocabulary-growth audit: the corpus is dealt into 16
+    // content-addressed prefixes (first md5(doc_id) hex digit — no
+    // global rank, the bucket is a pure function of the id), and per
+    // cumulative prefix the audit reads document mass, token mass, and
+    // DISTINCT vocabulary (each type charged to its first bucket via
+    // one min-aggregate over token digests). A healthy crawl grows
+    // vocabulary sublinearly (V ≈ k·N^β, β < 1); a flattening curve
+    // reads as the corpus exhausting its diversity. All-integer
+    // outputs, so the curve hash-matches exactly; the cumulative pass
+    // runs over the 16-row bucket frame, never the corpus.
+    "vocab_growth" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 1)," +
+            " 16, 10) AS BIGINT)").as("bucket"),
+          TextFunctions.tokens(col("text")).as("__toks"))
+        .where(col("__toks").isNotNull)
+      val tok = docs.select(col("bucket"),
+        explode(col("__toks")).as("__w"))
+        .select(col("bucket"), md5(col("__w").cast("binary")).as("__g"))
+        .localCheckpoint(true)
+      val newTypes = tok.groupBy(col("__g"))
+        .agg(min(col("bucket")).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("__nv"))
+      val mass = tok.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("__nt"))
+      val nd = docs.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("__ndoc"))
+      // bigram types saturate far later than the unigram vocabulary —
+      // the column that keeps the curve informative on a small-vocab
+      // corpus
+      // CASE guard BEFORE sequence(1, n-1): a one-token doc would count
+      // DOWN (the ngramSet lesson) and fabricate out-of-range bigrams
+      val newBigrams = docs.select(col("bucket"), explode(expr(
+          "CASE WHEN size(__toks) < 2 THEN CAST(array() AS ARRAY<STRING>)" +
+            " ELSE transform(sequence(1, size(__toks) - 1)," +
+            " i -> concat(element_at(__toks, i), ' '," +
+            " element_at(__toks, i + 1))) END")).as("__b"))
+        .select(col("bucket"), md5(col("__b").cast("binary")).as("__g"))
+        .groupBy(col("__g")).agg(min(col("bucket")).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("__nb"))
+      import org.apache.spark.sql.expressions.Window
+      val w16 = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      s.range(16).select(col("id").as("bucket"))
+        .join(nd, Seq("bucket"), "left")
+        .join(mass, Seq("bucket"), "left")
+        .join(newTypes, Seq("bucket"), "left")
+        .join(newBigrams, Seq("bucket"), "left")
+        .select(col("bucket"),
+          sum(coalesce(col("__ndoc"), lit(0L))).over(w16)
+            .as("n_docs_cum"),
+          sum(coalesce(col("__nt"), lit(0L))).over(w16)
+            .as("n_tokens_cum"),
+          sum(coalesce(col("__nv"), lit(0L))).over(w16)
+            .as("vocab_cum"),
+          sum(coalesce(col("__nb"), lit(0L))).over(w16)
+            .as("bigram_vocab_cum"))
+        .orderBy("bucket")
+    }),
     // Duplicate-group formation: connected components over near-dup pairs
     // (min-label propagation vs the oracle's recursive transitive
     // closure). Edges come from the scale path — MinHash-LSH candidates
@@ -11383,6 +11443,29 @@ object SparkEntry {
         |  string_agg(chunk_text, ' ' ORDER BY chunk_id) AS text
         |FROM surv GROUP BY 1 ORDER BY 1""".stripMargin,
     "cdc_chunk_dedup" -> cdcChunkOracle,
+    // Content-addressed prefix deal + first-bucket charging for both
+    // type inventories; every output an exact integer.
+    "vocab_growth" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) AS bucket,
+        |    string_split(text, ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |tok AS (SELECT bucket, md5(unnest(toks)) AS g FROM d),
+        |nt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ntk FROM tok GROUP BY 1),
+        |nv AS (SELECT fb AS bucket, CAST(count(*) AS BIGINT) AS nvv FROM (SELECT g, min(bucket) AS fb FROM tok GROUP BY 1) GROUP BY 1),
+        |bgr AS (SELECT bucket, md5(unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_transform(range(1, len(toks)), i -> toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i + 1 AS INTEGER)]) END)) AS g FROM d),
+        |nb AS (SELECT fb AS bucket, CAST(count(*) AS BIGINT) AS nbb FROM (SELECT g, min(bucket) AS fb FROM bgr GROUP BY 1) GROUP BY 1),
+        |ndoc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ndc FROM d GROUP BY 1),
+        |b AS (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS bucket)
+        |SELECT b.bucket,
+        |  CAST(sum(coalesce(ndc, 0)) OVER (ORDER BY b.bucket) AS BIGINT) AS n_docs_cum,
+        |  CAST(sum(coalesce(ntk, 0)) OVER (ORDER BY b.bucket) AS BIGINT) AS n_tokens_cum,
+        |  CAST(sum(coalesce(nvv, 0)) OVER (ORDER BY b.bucket) AS BIGINT) AS vocab_cum,
+        |  CAST(sum(coalesce(nbb, 0)) OVER (ORDER BY b.bucket) AS BIGINT) AS bigram_vocab_cum
+        |FROM b LEFT JOIN ndoc ON b.bucket = ndoc.bucket LEFT JOIN nt ON b.bucket = nt.bucket
+        |  LEFT JOIN nv ON b.bucket = nv.bucket LEFT JOIN nb ON b.bucket = nb.bucket
+        |ORDER BY b.bucket""".stripMargin,
     "cdc_chunk_pairs" -> (cdcFpdCte +
       """,
         |rare AS (SELECT fp_hash FROM (
