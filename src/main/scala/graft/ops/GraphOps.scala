@@ -494,11 +494,20 @@ object GraphOps {
     * pair-keyed semi probe, never a corpus-wide wedge enumeration. Pairs
     * with no common neighbor are absent (callers coalesce 0).
     */
-  private def supportsFor(pairs: DataFrame, adj: DataFrame): DataFrame =
-    pairs.join(adj.select(col("s").as("u"), col("t").as("z")), Seq("u"))
-      .join(adj.select(col("s").as("v"), col("t").as("z")),
-        Seq("v", "z"), "left_semi")
+  private def supportsFor(pairs: DataFrame, adj: DataFrame,
+                          broadcastFan: Boolean): DataFrame = {
+    // pairs is wave-bounded → broadcast build; adj streams map-side
+    val fan = broadcast(pairs)
+      .join(adj.select(col("s").as("u"), col("t").as("z")), Seq("u"))
+    // membership of (v, z): adj rows are distinct, so the inner join is
+    // the semi join — and with the fan broadcast (small waves) the
+    // check is a second map-side pass over the adjacency instead of an
+    // adjacency-scale shuffle
+    val fanB = if (broadcastFan) broadcast(fan) else fan
+    fanB.join(adj.select(col("s").as("v"), col("t").as("z")),
+        Seq("v", "z"))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
+  }
 
   /** k-truss decomposition (fixed k): iteratively remove every edge in
     * fewer than k−2 triangles until the graph stabilizes — the maximal
@@ -510,21 +519,25 @@ object GraphOps {
     *
     * Like [[kCoreOf]] the peel is a MONOTONE fixpoint (rounds only
     * remove, removal order cannot change the maximal result), so the
-    * engine runs to the fixpoint, FAILS LOUDLY past `maxPeels`, and an
-    * oracle unrolling exactly `maxPeels` full-recompute rounds is
-    * textually the fixpoint.
+    * engine runs to the fixpoint, FAILS LOUDLY past `maxPeels` REMOVAL
+    * waves (the empty frontier that proves convergence is read off the
+    * last wave's own recomputed supports, not a separate confirming
+    * round), and an oracle unrolling ≥ that many full-recompute rounds
+    * is textually the fixpoint.
     *
-    * Plan shape (DELTA peel): the full O(m^1.5) [[edgeSupports]]
-    * enumeration runs ONCE; after that, a round recomputes supports only
-    * for edges that LOST a triangle — an edge's support changes only if
-    * a removed edge closed one of its triangles, so the affected set is
-    * the removed wave's triangle partners (found by a wave-seeded
-    * common-neighbor probe, wave broadcast once the bulk first wave
-    * passes). Each round costs node/pair-keyed joins sized by the wave's
-    * triangle neighborhood plus one edge-scale anti join — never a
-    * second corpus-wide wedge enumeration. State is localCheckpointed
-    * and the superseded generation freed per round ([[pageRanksOf]]
-    * discipline).
+    * Plan shape (FRONTIER peel): the full O(m^1.5) [[edgeSupports]]
+    * enumeration runs once up front (and once more per BULK wave — a
+    * wave removing > 10 % of the edges, whose triangle neighborhood
+    * approaches the whole graph anyway); every other wave recomputes
+    * supports only for edges that LOST a triangle — a support changes
+    * only when a removed edge closed one of its triangles, so the next
+    * frontier is provably a subset of this wave's affected set, and the
+    * per-wave state writes are FRONTIER-scale (removed list + support
+    * overrides over a fixed checkpointed base), never edge-scale. With
+    * the frontier and its fan-outs broadcast, a small wave's two
+    * membership checks are map-side streams over the live adjacency —
+    * zero edge-scale shuffles, zero edge-scale checkpoints per tail
+    * wave.
     *
     * @return (u, v, support) for every surviving edge — its exact
     *         triangle count within the truss, ≥ k−2 by construction
@@ -533,65 +546,129 @@ object GraphOps {
               broadcastRem: Long = 5000000L): DataFrame = {
     require(k >= 3, s"k=$k must be at least 3 (the smallest truss)")
     require(maxPeels >= 1, s"maxPeels=$maxPeels must be positive")
-    var cur = e.select(col("u"), col("v")).localCheckpoint(true)
-    val sup0 = edgeSupports(cur)
-    var sup = cur.join(sup0, Seq("u", "v"), "left")
+    val e0 = e.select(col("u"), col("v")).localCheckpoint(true)
+    var curCnt = e0.count()
+    val sup0 = edgeSupports(e0)
+    // FRONTIER peel state: `base` (full (u, v, sup), checkpointed,
+    // REWRITTEN only by bulk waves), plus two WAVE-SCALE accumulators —
+    // edges removed since base, and the latest support override for
+    // edges whose support changed since base. The invariant that makes
+    // this work: entering a wave, every live edge outside the current
+    // removal frontier has sup ≥ k−2, and a support only changes when a
+    // removed edge destroys one of its triangles — so the NEXT frontier
+    // is always a subset of this wave's affected set, and a tail wave
+    // touches nothing edge-scale beyond two map-side adjacency streams.
+    var base = e0.join(sup0, Seq("u", "v"), "left")
       .select(col("u"), col("v"),
         coalesce(col("sup"), lit(0L)).as("sup"))
       .localCheckpoint(true)
-    freeCheckpoint(sup0)
-    var converged = false
+    freeCheckpoint(sup0); freeCheckpoint(e0)
+    // source-FREE empty accumulators (a LocalRelation, not a projection
+    // of `base`): freeCheckpoint walks a plan for LogicalRDDs, so an
+    // empty spelled `base.limit(0)` would free base itself when the
+    // accumulator is superseded
+    def emptyLike(df: DataFrame): DataFrame =
+      df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        df.schema)
+    val emptyUV = emptyLike(base.select(col("u"), col("v")))
+    var removedAcc = emptyUV
+    var ovAcc = emptyLike(base)
+    def adjOf(g: DataFrame) =
+      g.select(col("u").as("s"), col("v").as("t"))
+        .unionAll(g.select(col("v").as("s"), col("u").as("t")))
+    // the first frontier comes from the one full scan of base
+    var rem = base.where(col("sup") < k - 2)
+      .select(col("u"), col("v")).localCheckpoint(true)
+    var cnt = rem.count()
     var rounds = 0
-    while (!converged && rounds < maxPeels) {
-      val remPlain = sup.where(col("sup") < k - 2)
-        .select(col("u"), col("v")).localCheckpoint(true)
-      val cnt = remPlain.count()
-      if (cnt == 0L) {
-        converged = true
-        freeCheckpoint(remPlain)
-      } else {
-        val rem =
-          if (cnt <= broadcastRem) broadcast(remPlain) else remPlain
-        val nextCur = cur.join(rem, Seq("u", "v"), "left_anti")
+    while (cnt > 0 && rounds < maxPeels) {
+      val __t0 = System.nanoTime()
+      val remB = if (cnt <= broadcastRem) broadcast(rem) else rem
+      if (cnt * 10L > curCnt) {
+        // BULK wave (typically the first): its triangle neighborhood
+        // approaches the whole graph, so recompute supports outright
+        // (same exact values, same wave structure — the oracle cannot
+        // tell) and fold the accumulators into a fresh base.
+        val nextCur = base
+          .join(broadcast(removedAcc), Seq("u", "v"), "left_anti")
+          .join(remB, Seq("u", "v"), "left_anti")
+          .select(col("u"), col("v"))
+        val s1 = edgeSupports(nextCur)
+        val nb = nextCur.join(s1, Seq("u", "v"), "left")
+          .select(col("u"), col("v"),
+            coalesce(col("sup"), lit(0L)).as("sup"))
           .localCheckpoint(true)
-        def adjOf(g: DataFrame) =
-          g.select(col("u").as("s"), col("v").as("t"))
-            .unionAll(g.select(col("v").as("s"), col("u").as("t")))
-        // triangles the wave destroyed, read off the BEFORE graph: for
-        // a removed (u, v), every z in N(u) ∩ N(v) names two partner
-        // edges whose support just dropped
-        val wedges = rem
-          .join(adjOf(cur).select(col("s").as("u"), col("t").as("z")),
-            Seq("u"))
-          .join(adjOf(cur).select(col("s").as("v"), col("t").as("z")),
-            Seq("v", "z"), "left_semi")
+        freeCheckpoint(s1); freeCheckpoint(base)
+        freeCheckpoint(removedAcc); freeCheckpoint(ovAcc)
+        base = nb
+        removedAcc = emptyUV
+        ovAcc = emptyLike(base)
+        freeCheckpoint(rem)
+        rem = base.where(col("sup") < k - 2)
+          .select(col("u"), col("v")).localCheckpoint(true)
+      } else {
+        // SMALL wave: the removal frontier and everything derived from
+        // it broadcast, so both membership checks are map-side streams
+        // over the (lazily derived) live adjacency — no edge-scale
+        // shuffle, no edge-scale checkpoint. A frontier edge has fewer
+        // than k−2 common neighbors by definition, so wedges and the
+        // affected set are frontier-bounded.
+        val adjBefore = adjOf(base
+          .join(broadcast(removedAcc), Seq("u", "v"), "left_anti"))
+        val wedges = broadcast(remB
+          .join(adjBefore.select(col("s").as("u"), col("t").as("z")),
+            Seq("u")))
+          .join(adjBefore.select(col("s").as("v"), col("t").as("z")),
+            Seq("v", "z"))
         val affected = wedges.select(explode(array(
             struct(least(col("u"), col("z")).as("u"),
               greatest(col("u"), col("z")).as("v")),
             struct(least(col("v"), col("z")).as("u"),
               greatest(col("v"), col("z")).as("v")))).as("__e"))
           .select(col("__e.u").as("u"), col("__e.v").as("v")).distinct()
-          .join(rem, Seq("u", "v"), "left_anti")
+          .join(remB, Seq("u", "v"), "left_anti")
           .localCheckpoint(true)
+        val nextRemoved = removedAcc.unionAll(rem.select(col("u"),
+          col("v"))).localCheckpoint(true)
+        val adjAfter = adjOf(base
+          .join(broadcast(nextRemoved), Seq("u", "v"), "left_anti"))
         val supAff = affected
-          .join(supportsFor(affected, adjOf(nextCur)), Seq("u", "v"),
-            "left")
+          .join(supportsFor(affected, adjAfter, broadcastFan = true),
+            Seq("u", "v"), "left")
           .select(col("u"), col("v"),
             coalesce(col("sup"), lit(0L)).as("sup"))
-        val nextSup = sup.join(rem, Seq("u", "v"), "left_anti")
-          .join(affected, Seq("u", "v"), "left_anti")
+          .localCheckpoint(true)
+        val nextOv = ovAcc
+          .join(remB, Seq("u", "v"), "left_anti")
+          .join(broadcast(affected), Seq("u", "v"), "left_anti")
           .unionAll(supAff)
           .localCheckpoint(true)
-        freeCheckpoint(sup); freeCheckpoint(cur)
-        freeCheckpoint(remPlain); freeCheckpoint(affected)
-        sup = nextSup; cur = nextCur
+        freeCheckpoint(removedAcc); freeCheckpoint(ovAcc)
+        freeCheckpoint(affected); freeCheckpoint(rem)
+        removedAcc = nextRemoved
+        ovAcc = nextOv
+        // the next frontier: only just-recomputed supports can have
+        // dropped below the threshold
+        rem = supAff.where(col("sup") < k - 2)
+          .select(col("u"), col("v")).localCheckpoint(true)
+        freeCheckpoint(supAff)
       }
+      curCnt = curCnt - cnt
+      val prev = cnt
+      cnt = rem.count()
+      if (sys.env.contains("GRAFT_TRUSS_DEBUG"))
+        println(f"[truss] wave $rounds: removed $prev, next $cnt, " +
+          f"${(System.nanoTime() - __t0) / 1e9}%.2f s")
       rounds += 1
     }
-    require(converged,
+    require(cnt == 0,
       s"k-truss peel did not converge within $maxPeels rounds — raise" +
         " maxPeels (the oracle unroll must cover the fixpoint)")
-    sup.select(col("u"), col("v"), col("sup").as("support"))
+    base.join(broadcast(removedAcc), Seq("u", "v"), "left_anti")
+      .join(ovAcc.withColumnRenamed("sup", "__ov"), Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        coalesce(col("__ov"), col("sup")).as("support"))
   }
 
   /** Bounded-depth BFS from the graph's max-degree hub (ties to the

@@ -242,11 +242,12 @@ class GraphOpsSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().toSeq
     assert(got === Seq((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
       (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L)))
-    // the 2-wave cascade needs maxPeels ≥ 3 (2 removal waves + the
-    // confirming empty wave): 2 must fail loudly, not return a
-    // non-fixpoint
+    // the 2-wave cascade needs maxPeels ≥ 2 (maxPeels counts REMOVAL
+    // waves — the empty frontier after the last wave is read off that
+    // wave's own recomputed supports, not a separate confirming round):
+    // 1 must fail loudly, not return a non-fixpoint
     val err = intercept[IllegalArgumentException](
-      GraphOps.trussOf(e, k = 4, maxPeels = 2))
+      GraphOps.trussOf(e, k = 4, maxPeels = 1))
     assert(err.getMessage.contains("did not converge"))
     // k=3 (support ≥ 1) keeps every triangle edge, drops nothing else
     // here except nothing — all 10 edges sit in a triangle
