@@ -606,8 +606,18 @@ object SparkEntry {
   private def basketGraph(s: SparkSession,
                           d: String): (DataFrame, DataFrame, DataFrame) =
     basketGraphCache.getOrElseUpdate((s.sparkContext.applicationId, d), {
-      val sized = BasketOps.cappedBasketItems(Tables.lineitem(s, d),
-        "l_orderkey", "l_partkey", maxBasketSize = 6).localCheckpoint(true)
+      // checkpointFanOut on the basket key: the checkpoint's own
+      // partitioning is what coOccurrenceEdges' basket self-join runs at
+      // (equi key `b`, so the pinned exchange is the one the join needs).
+      // The EDGE checkpoint deliberately stays at AQE's narrow width: the
+      // enumeration-heavy consumers re-widen internally at their oriented
+      // frame (GraphOps.edgeSupports/triangleCountsOf), while the
+      // iterative peels (k-core, BFS, LPA) run many tiny waves over the
+      // edge list where extra width is pure task-launch overhead
+      // (measured: a 32-wide edge memo took k_core_parts 3.6 s → 6.7 s).
+      val sized = ScaleOps.checkpointFanOut(
+        BasketOps.cappedBasketItems(Tables.lineitem(s, d),
+          "l_orderkey", "l_partkey", maxBasketSize = 6), col("b"))
       val edges = GraphOps.coOccurrenceEdges(sized, "b", "i")
         .localCheckpoint(true)
       // Degrees ride in the memo too: link_predict consumes the table

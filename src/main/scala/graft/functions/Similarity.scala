@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.CoreOps
+import graft.ops.{CoreOps, ScaleOps}
 
 /** Similarity search over embedding columns (`ARRAY<FLOAT>`): brute-force
   * cosine top-k as the exact baseline, and an LSH-bucketed variant as the
@@ -89,8 +89,13 @@ object Similarity {
   def knnBrute(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("qid"),
       col("embedding").as("qe")))
-    val c = candidates.select(col("vec_id").as("cid"),
-      col("embedding").as("ce"))
+    // fanOut: the broadcast cross join streams at the candidate scan's
+    // width — one task on a single-row-group fixture — and the per-pair
+    // cosine below is the op's whole cost (ScaleOps.fanOut: no-op at
+    // scale / on derived inputs)
+    val c = ScaleOps.fanOut(candidates, col("vec_id"))
+      .select(col("vec_id").as("cid"),
+        col("embedding").as("ce"))
     val pairs = c.crossJoin(q).where(col("cid") =!= col("qid"))
       .withColumn("cos",
         graft.expressions.CosineSimilarity.cosineFast(col("qe"), col("ce")))
@@ -308,8 +313,9 @@ object Similarity {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, bits: Int = 4,
                          tables: Int = 16): DataFrame = {
-    val basis = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      srpBuckets(vecCol, bits, tables).as("bkts"))
+    val basis = ScaleOps.fanOut(df, col(idCol))
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        srpBuckets(vecCol, bits, tables).as("bkts"))
     val banded = basis.select(col("id"), col("bkts"),
       posexplode(col("bkts")).as(Seq("tbl", "bkt")))
       .repartition(df.sparkSession.sparkContext.defaultParallelism,
@@ -339,7 +345,7 @@ object Similarity {
     */
   def srpBandRows(df: DataFrame, idCol: String, vecCol: String,
                   bits: Int = 4, tables: Int = 16): DataFrame =
-    df.select(col(idCol).as("id"),
+    ScaleOps.fanOut(df, col(idCol)).select(col(idCol).as("id"),
         srpBuckets(vecCol, bits, tables).as("bkts"))
       .select(col("id"), col("bkts"),
         posexplode(col("bkts")).as(Seq("tbl", "bkt")))
@@ -413,7 +419,11 @@ object Similarity {
     */
   def cosinePairsExhaustive(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // fanOut: the range self-join below is a broadcast nested loop whose
+    // output runs at the LEFT side's scan width, and the per-pair cosine
+    // is the whole cost
+    val v = ScaleOps.fanOut(df, col(idCol))
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
     v.select(col("id").as("id_a"), col("vec").as("va"))
       .join(v.select(col("id").as("id_b"), col("vec").as("vb")),
         col("id_a") < col("id_b"))
@@ -467,9 +477,10 @@ object Similarity {
     val q = broadcast(queries.select(col("vec_id").as("qid"),
       col("embedding").as("qe"),
       posexplode(srpBuckets("embedding", bits, tables)).as(Seq("tbl", "bkt"))))
-    val c = candidates.select(col("vec_id").as("cid"),
-      col("embedding").as("ce"),
-      posexplode(srpBuckets("embedding", bits, tables)).as(Seq("tbl", "bkt")))
+    val c = ScaleOps.fanOut(candidates, col("vec_id"))
+      .select(col("vec_id").as("cid"),
+        col("embedding").as("ce"),
+        posexplode(srpBuckets("embedding", bits, tables)).as(Seq("tbl", "bkt")))
     val pairs = c.join(q, Seq("tbl", "bkt")).where(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
         graft.expressions.CosineSimilarity.cosineFast(col("qe"), col("ce"))

@@ -412,7 +412,12 @@ object CorpusOps {
     val terms = (0 until window).map(j =>
       s"element_at(__gv, CAST(i - $j AS INT)) * ${pows(j)}L" +
         s" % 2147483648L").mkString(" + ")
-    df.where(col(textCol).isNotNull && length(col(textCol)) > 0)
+    // fanOut: the rolling-hash boundary scan below is the op's whole cost
+    // and runs in the SCAN stage — on a single-row-group fixture that is
+    // one task however many cores the session has (no-op at scale / on
+    // derived inputs; see ScaleOps.fanOut)
+    ScaleOps.fanOut(df, col(idCol))
+      .where(col(textCol).isNotNull && length(col(textCol)) > 0)
       .select(col(idCol), col(textCol).as("__t"),
         length(col(textCol)).cast("long").as("__n"))
       // the per-char byte mix is precomputed ONCE per row into an array
@@ -502,7 +507,10 @@ object CorpusOps {
   def ngramSet(df: DataFrame, idCol: String, textCol: String,
                n: Int): DataFrame = {
     require(n >= 1, s"n=$n must be positive")
-    df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+    // fanOut: tokenize + gram explode run in the scan stage (see
+    // ScaleOps.fanOut — no-op at scale / on derived inputs)
+    ScaleOps.fanOut(df, col(idCol))
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
       .withColumn("__k", size(col("__toks")) - (n - 1))
       // guard BEFORE sequence(1, __k): for a too-short doc __k <= 0 and
       // sequence would count DOWN (step -1), fabricating out-of-range grams
@@ -861,7 +869,8 @@ object CorpusOps {
   private def spanStream(df: DataFrame, idCol: String, textCol: String,
                          n: Int): DataFrame = {
     require(n >= 1, s"n=$n must be positive")
-    df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+    ScaleOps.fanOut(df, col(idCol))
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
       .withColumn("__k", size(col("__toks")) - (n - 1))
       .where(col("__k") >= 1)
       .select(col(idCol), explode(expr(
@@ -958,7 +967,7 @@ object CorpusOps {
                          k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1, s"k=$k must be positive")
     require(w >= 1, s"w=$w must be positive")
-    val grams = df
+    val grams = ScaleOps.fanOut(df, col(idCol))
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
       .withColumn("__k", (size(col("__toks")) - (k - 1)).cast("long"))
       .where(col("__k") >= 1)
@@ -1188,7 +1197,7 @@ object CorpusOps {
   def exactSubstrDedup(df: DataFrame, idCol: String, textCol: String,
                        n: Int): DataFrame = {
     require(n >= 1, s"n=$n must be positive")
-    val toks = df.select(col(idCol),
+    val toks = ScaleOps.fanOut(df, col(idCol)).select(col(idCol),
       TextFunctions.tokens(col(textCol)).as("__toks"))
     val occ = toks
       .withColumn("__k", size(col("__toks")) - (n - 1))
@@ -1262,7 +1271,7 @@ object CorpusOps {
     import CoreOps.rnd
     require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
     require(k >= 1, s"k=$k must be positive")
-    val docs = df.select(col(idCol),
+    val docs = ScaleOps.fanOut(df, col(idCol)).select(col(idCol),
       TextFunctions.tokens(col(textCol)).as("__toks"))
       .withColumn("__dl", size(col("__toks")).cast("long"))
     val stats = docs.agg(
@@ -1325,7 +1334,8 @@ object CorpusOps {
     // the wire before counting — the pipeline's dominant shuffle)
     // disappears entirely. Only the charset³-bounded model aggregation
     // and the per-document result rows reach an exchange now.
-    val td = df.select(col(idCol), col(textCol).as("__t"))
+    val td = ScaleOps.fanOut(df, col(idCol))
+      .select(col(idCol), col(textCol).as("__t"))
       .select(col(idCol),
         explode(graft.expressions.TrigramCounts.trigramCounts(col("__t")))
           .as("__tc"))
@@ -1674,7 +1684,8 @@ object CorpusOps {
     * changes only the generator, not this plan shape.
     */
   def tokenCooccurrence(df: DataFrame, textCol: String): DataFrame =
-    df.select(TextFunctions.tokens(col(textCol)).as("__t"))
+    ScaleOps.fanOut(df, col(textCol))
+      .select(TextFunctions.tokens(col(textCol)).as("__t"))
       .select(explode(col("__t")).as("i"), col("__t"))
       .select(col("i"), explode(col("__t")).as("j"))
       .groupBy("i", "j").agg(count(lit(1)).as("s"))
@@ -1728,7 +1739,7 @@ object CorpusOps {
     val patArity = patGrams.groupBy(_._1).view.mapValues(_.size.toLong).toSeq
     val grams = patGrams.toDF("pattern", "tri")
     val arity = patArity.toDF("pattern", "__need")
-    val docTris = df.select(col(idCol),
+    val docTris = ScaleOps.fanOut(df, col(idCol)).select(col(idCol),
         explode(graft.expressions.TrigramCounts.trigramCounts(col(textCol)))
           .as("__tc"))
       .select(col(idCol), col("__tc.tri").as("tri"))
@@ -1836,7 +1847,7 @@ object CorpusOps {
     import spark.implicits._
     val qt = queries.flatMap { case (q, ts) => ts.distinct.map((q, _)) }
       .toDF("qid", "term")
-    val docs = df.select(col(idCol),
+    val docs = ScaleOps.fanOut(df, col(idCol)).select(col(idCol),
       TextFunctions.tokens(col(textCol)).as("__toks"))
       .withColumn("__dl", size(col("__toks")).cast("long"))
     val stats = docs.agg(
@@ -2301,7 +2312,8 @@ object CorpusOps {
     * frame's descendants, never the corpus.
     */
   private[ops] def bpeVocabSeg(df: DataFrame, textCol: String): DataFrame = {
-    val agg = df.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+    val agg = ScaleOps.fanOut(df, col(textCol))
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
       .where(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       // guard on the aggregated vocabulary — every distinct word is

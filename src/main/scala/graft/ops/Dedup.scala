@@ -201,7 +201,10 @@ object Dedup {
 
   private def sigsOf(df: DataFrame, idCol: String, textCol: String,
                      k: Int, shingleSize: Int): DataFrame =
-    df.select(col(idCol).as("id"),
+    // fanOut: the k-permutation shingle signature is the op's whole
+    // per-row cost and runs in the scan stage (ScaleOps.fanOut — no-op
+    // at scale / on derived inputs)
+    ScaleOps.fanOut(df, col(idCol)).select(col(idCol).as("id"),
       minhashSignature(textCol, k, shingleSize).as("sig"))
 
   /** Candidate (id_a, id_b) pairs only — for callers that re-verify with
@@ -641,7 +644,8 @@ object Dedup {
   def simhashBandedPairs(df: DataFrame, idCol: String, textCol: String,
                          maxHamming: Int = 3): DataFrame =
     bandedHammingPairs(
-      df.select(col(idCol).as("id"), simhash64(textCol).as("sh")), maxHamming)
+      ScaleOps.fanOut(df, col(idCol))
+        .select(col(idCol).as("id"), simhash64(textCol).as("sh")), maxHamming)
 
   /** The Hamming-LSH banding core over a prepared (id, sh) frame — shared
     * by the xxhash64 production path ([[simhashBandedPairs]]) and the
@@ -849,7 +853,8 @@ object Dedup {
                                    textCol: String,
                                    maxHamming: Int = 3): DataFrame =
     bandedHammingPairs(
-      df.select(col(idCol).as("id"), simhashReplayable64(textCol).as("sh")),
+      ScaleOps.fanOut(df, col(idCol))
+        .select(col(idCol).as("id"), simhashReplayable64(textCol).as("sh")),
       maxHamming)
 
   /** Near-dup pairs by SimHash Hamming distance within a blocking key.
@@ -860,8 +865,9 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    blockCol: String, maxHamming: Int): DataFrame = {
-    val h = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      simhash64(textCol).as("sh"))
+    val h = ScaleOps.fanOut(df, col(idCol))
+      .select(col(idCol).as("id"), col(blockCol).as("blk"),
+        simhash64(textCol).as("sh"))
     h.as("a").join(h.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .withColumn("hamming", bit_count(col("a.sh").bitwiseXOR(col("b.sh"))))
@@ -902,6 +908,14 @@ object Dedup {
       col("head").as("h_b"))
     a.join(b, Seq("block"))
       .where(col("id_a") < col("id_b"))
+      // the O(prefixLen·maxDist) DP below is the op's whole cost and a
+      // block-keyed join leaves it at |blocks|-way parallelism (a lang
+      // block key has single digits of distinct values); spread the pair
+      // stream session-wide before paying it — the hammingBandRows
+      // explicit-count discipline (AQE's byte-target would coalesce the
+      // kilobyte pair rows right back onto a few tasks)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("id_a"), col("id_b"))
       // threshold variant: banded O(len·maxDist) DP with early exit
       // (returns -1 past the bound) instead of the full O(len²) table —
       // for kept pairs the returned distance is the exact classic value,

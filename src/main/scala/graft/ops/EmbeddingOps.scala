@@ -211,7 +211,9 @@ object EmbeddingOps {
         quantizeDimsCodes(col(vecCol), col("__mns"), col("__scs")).as(q),
         col(vecCol).as(v))
     val qs = coded(queries, "qid", "qq", "qv")
-    val cs = coded(corpus, "cid", "cq", "cv")
+    // fanOut: the broadcast cross join + per-pair code/float distances
+    // below run at the corpus scan's width (ScaleOps.fanOut)
+    val cs = coded(ScaleOps.fanOut(corpus, col(idCol)), "cid", "cq", "cv")
     val pairs = cs.crossJoin(broadcast(qs)).where(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
         aggregate(zip_with(col("qq"), col("cq"),
@@ -307,6 +309,11 @@ object EmbeddingOps {
   private[ops] def lloydState(df: DataFrame, idCol: String, vecCol: String,
                               k: Int, iterations: Int)
       : (DataFrame, Seq[(Long, Seq[Long])]) = {
+    // Deliberately NOT fanned out (ScaleOps.checkpointFanOut): the Lloyd
+    // loop is the tiny-iterative-stage pattern — `iterations` × (assign +
+    // agg + collect) jobs over a narrow frame, where extra width is pure
+    // task-launch overhead (measured: a 32-wide q took pq_recall 1.9 s →
+    // 11.5 s through pqCodes' m independent loops).
     val q = df.select(col(idCol).as("vec_id"),
         transform(col(vecCol),
           x => floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long"))
@@ -522,7 +529,8 @@ object EmbeddingOps {
     import CoreOps.rnd
     val q = transform(col(vecCol),
       x => floor(x.cast("double") * lit(10000.0) + lit(0.5)).cast("long"))
-    val pairs = df.where(col(vecCol).isNotNull).select(q.as("v"))
+    val pairs = ScaleOps.fanOut(df.where(col(vecCol).isNotNull), col(vecCol))
+      .select(q.as("v"))
       .select(col("v"), posexplode(col("v")).as(Seq("i", "vi")))
       .select(col("i"), col("vi"),
         posexplode(expr("slice(v, i + 1, size(v) - i)")).as(Seq("p", "vj")))

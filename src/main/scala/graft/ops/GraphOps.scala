@@ -101,11 +101,16 @@ object GraphOps {
     // lesson as the link_predict adjacency). One edge-scale checkpoint of
     // three long columns serves all three.
     val headFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
-    val oriented = withDeg.select(
+    // checkpointFanOut: the wedge self-join below is the suite's heaviest
+    // CPU stage (~150 M candidate rows at sf0.1) and consumes the
+    // checkpoint's OWN partitioning — without the clamp it inherits the
+    // byte-sized handful of partitions AQE left on the edge frame and
+    // runs a few threads wide. Keyed on src: the self-join's equi key,
+    // so the pinned exchange is the one the join needs anyway.
+    val oriented = ScaleOps.checkpointFanOut(withDeg.select(
       when(headFirst, col("u")).otherwise(col("v")).as("src"),
       when(headFirst, col("v")).otherwise(col("u")).as("dst"),
-      when(headFirst, col("dv")).otherwise(col("du")).as("dd"))
-      .localCheckpoint(true)
+      when(headFirst, col("dv")).otherwise(col("du")).as("dd")), col("src"))
 
     val tri = oriented.as("e1")
       .join(oriented.as("e2"),
@@ -115,9 +120,13 @@ object GraphOps {
       .select(col("e1.src").as("a"), col("e1.dst").as("b"),
         col("e2.dst").as("c"))
       // The closing edge b—c is oriented b→c in the same total order, so
-      // one equi-join on the pair key decides membership.
-      .join(oriented.select(col("src").as("b"), col("dst").as("c")),
-        Seq("b", "c"))
+      // one equi-join on the pair key decides membership. The wedge
+      // stream is O(m^1.5) — the plan's largest intermediate BY FAR — so
+      // it must never cross an exchange: when the edge list is small
+      // enough, BROADCAST it and let the wedges stream map-side into the
+      // closing probe + partial agg (at sf0.1 this removes a ~150 M-row
+      // shuffle; at edge counts past the cap the shuffled plan returns).
+      .join(closingProbe(oriented), Seq("b", "c"))
 
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
@@ -179,6 +188,25 @@ object GraphOps {
       .repartition(col("center"))
       .sortWithinPartitions("center", "leaf")
       .localCheckpoint(true)
+      // Width clamp AFTER materialization (the probe is free on the
+      // checkpointed RDD): the count-free repartition above is
+      // AQE-coalescible by bytes, and this checkpoint's partitioning is
+      // what the 50 M-row wedge self-join runs at — a 9-partition
+      // adjacency serialized the suite's biggest stage to a third of the
+      // session. In the small regime re-materialize at session width
+      // (same key, same sort, trivially cheap by definition); at scale
+      // the guard no-ops and never narrows a wide adjacency.
+      .transform { cp =>
+        val want = cp.sparkSession.sparkContext.defaultParallelism
+        if (cp.rdd.getNumPartitions >= want) cp
+        else {
+          val wide = cp.repartition(want, col("center"))
+            .sortWithinPartitions("center", "leaf")
+            .localCheckpoint(true)
+          Dedup.unpersistCheckpoint(cp)
+          wide
+        }
+      }
   }
 
   /** [[linkPredictions]] over a pre-built [[linkPredictionAdjacency]]:
@@ -332,6 +360,20 @@ object GraphOps {
   private def freeCheckpoint(df: DataFrame): Unit =
     Dedup.unpersistCheckpoint(df)
 
+  /** The (b, c) closing-edge side of a wedge-closure join over a
+    * CHECKPOINTED oriented edge list — broadcast when the edge list is
+    * small enough to ship (the count is a sub-ms read off the
+    * materialized RDD), so the O(m^1.5) wedge stream stays map-side
+    * instead of crossing a shuffle that dwarfs every other byte in the
+    * plan. Past the cap (2 longs × 20 M rows ≈ a few hundred MB framed)
+    * the planner's shuffled join returns — the 100 TB graph path.
+    */
+  private def closingProbe(oriented: DataFrame,
+                           broadcastEdges: Long = 20000000L): DataFrame = {
+    val probe = oriented.select(col("src").as("b"), col("dst").as("c"))
+    if (oriented.count() <= broadcastEdges) broadcast(probe) else probe
+  }
+
   /** k-core decomposition (fixed k): iteratively peel nodes of degree
     * < k until the graph stabilizes — what survives is the maximal
     * subgraph where EVERY node keeps ≥ k within-subgraph neighbors, the
@@ -460,11 +502,12 @@ object GraphOps {
       .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
     val headFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
-    val oriented = withDeg.select(
+    // same clamp as [[triangleCountsOf]]: the wedge stage reads the
+    // checkpoint's own partitioning, so pin it to session width here
+    val oriented = ScaleOps.checkpointFanOut(withDeg.select(
       when(headFirst, col("u")).otherwise(col("v")).as("src"),
       when(headFirst, col("v")).otherwise(col("u")).as("dst"),
-      when(headFirst, col("dv")).otherwise(col("du")).as("dd"))
-      .localCheckpoint(true)
+      when(headFirst, col("dv")).otherwise(col("du")).as("dd")), col("src"))
     val tri = oriented.as("e1")
       .join(oriented.as("e2"),
         col("e1.src") === col("e2.src") &&
@@ -472,8 +515,9 @@ object GraphOps {
             struct(col("e2.dd"), col("e2.dst")))
       .select(col("e1.src").as("a"), col("e1.dst").as("b"),
         col("e2.dst").as("c"))
-      .join(oriented.select(col("src").as("b"), col("dst").as("c")),
-        Seq("b", "c"))
+      // same broadcast closing probe as [[triangleCountsOf]]: the wedge
+      // stream never crosses an exchange when the edge list fits
+      .join(closingProbe(oriented), Seq("b", "c"))
     val sup = tri.select(explode(array(
         struct(least(col("a"), col("b")).as("u"),
           greatest(col("a"), col("b")).as("v")),
@@ -558,6 +602,9 @@ object GraphOps {
     // removed edge destroys one of its triangles — so the NEXT frontier
     // is always a subset of this wave's affected set, and a tail wave
     // touches nothing edge-scale beyond two map-side adjacency streams.
+    // base stays at its natural (narrow) width: every tail wave runs
+    // several small map-side passes over it, where width is task-launch
+    // overhead — the heavy enumeration re-widens inside edgeSupports.
     var base = e0.join(sup0, Seq("u", "v"), "left")
       .select(col("u"), col("v"),
         coalesce(col("sup"), lit(0L)).as("sup"))
@@ -585,7 +632,13 @@ object GraphOps {
     while (cnt > 0 && rounds < maxPeels) {
       val __t0 = System.nanoTime()
       val remB = if (cnt <= broadcastRem) broadcast(rem) else rem
-      if (cnt * 10L > curCnt) {
+      // Bulk crossover at 2 % (was 10 %): measured at sf0.1, a wave
+      // removing 8.9 % of the live edges cost 28-63 s down the frontier
+      // path (its affected set's broadcast fan is millions of rows) vs
+      // ~7 s for the full recompute the threshold was guarding — the
+      // frontier path only wins when the wave's triangle neighborhood is
+      // genuinely small relative to the graph.
+      if (cnt * 50L > curCnt) {
         // BULK wave (typically the first): its triangle neighborhood
         // approaches the whole graph, so recompute supports outright
         // (same exact values, same wave structure — the oracle cannot

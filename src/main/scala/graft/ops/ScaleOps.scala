@@ -10,6 +10,87 @@ import org.apache.spark.sql.functions._
   */
 object ScaleOps {
 
+  /** Scale-adaptive checkpoint fan-out: eagerly localCheckpoint `df`, and
+    * if the materialized width came out below the session's
+    * `defaultParallelism`, re-materialize hash-partitioned by `keys` at
+    * that width. Exists because CPU cost and byte size diverge at the
+    * small end: a single-file parquet scan is ONE task whatever the
+    * per-row work (one row group = one split), and AQE's coalescing
+    * targets bytes (`parallelismFirst` floors partitions at 1 MB), so a
+    * kilobyte-scale frame feeding an O(m^1.5) wedge enumeration or a
+    * per-row signature kernel runs 1-5 threads on a 32-core session. At
+    * production scale the guard no-ops — a 100 TB scan already has orders
+    * of magnitude more splits than cores — so this is the "derive
+    * parallelism from the input" rule's missing low-end clamp, not a
+    * local-mode constant (the width is the session's core count, never a
+    * number tuned to this box).
+    *
+    * Hash repartition (never round-robin): no sort-before-repartition
+    * cost, and row placement is a pure function of the key so task
+    * retries/speculation reproduce the same layout (SPARK-38388 class).
+    * The explicit partition count also pins the exchange against AQE
+    * re-coalescing (user-specified counts are exempt), so a downstream
+    * operator keyed the same way inherits the full width exchange-free.
+    */
+  /** Lazy variant of [[checkpointFanOut]] for SCAN-LEVEL frames (a
+    * parquet read or materialized checkpoint, possibly
+    * filtered/projected): probe the frame's split count — pure planning
+    * on an exchange-free frame — and hash-repartition by `keys` to
+    * session width only in the single-digit-split regime. Same scale
+    * story as [[checkpointFanOut]]: a production-scale scan already has
+    * more splits than cores, so this no-ops and the plan is unchanged.
+    *
+    * Placed at the ENTRY of per-row-expensive operators (signature
+    * kernels, gram exploders, chunkers) so every caller gets the clamp.
+    * The guard below makes that safe: the width probe materializes the
+    * frame's RDD, which on a plan containing exchanges EXECUTES the
+    * adaptive stages (and the repartitioned result would then re-execute
+    * them — measured doubling a memo build when probed above a join), so
+    * any input that is not scan-level passes through UNTOUCHED rather
+    * than risking double execution. Conservative by design: a derived
+    * input keeps its own width.
+    */
+  def fanOut(df: DataFrame, keys: Column*): DataFrame = {
+    require(keys.nonEmpty, "fanOut needs at least one key column")
+    def scanLevel(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Boolean = p match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode => true
+      case prj: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        scanLevel(prj.child)
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        scanLevel(f.child)
+      case _ => false
+    }
+    if (!scanLevel(df.queryExecution.optimizedPlan)) df
+    else {
+      val want = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions >= want) df
+      else df.repartition(want, keys: _*)
+    }
+  }
+
+  def checkpointFanOut(df: DataFrame, keys: Column*): DataFrame = {
+    require(keys.nonEmpty, "checkpointFanOut needs at least one key column")
+    // Materialize FIRST, inspect after: the width probe must run on the
+    // checkpointed RDD, where it is free. (`df.rdd.getNumPartitions` on the
+    // un-checkpointed frame executes every adaptive query stage to finalize
+    // the AQE plan, and the repartition then re-executes the same lineage —
+    // measured doubling the whole graph-memo build when the probe sat
+    // before the checkpoint.)
+    val cp = df.localCheckpoint(true)
+    val want = cp.sparkSession.sparkContext.defaultParallelism
+    if (cp.rdd.getNumPartitions >= want) cp
+    else {
+      // Provably-small regime (fewer materialized partitions than cores ⇒
+      // the frame is at most a few MB under AQE's byte-floored coalesce):
+      // re-materialize at session width, keyed so downstream operators
+      // keyed the same way inherit the exchange, and free the narrow copy.
+      val wide = cp.repartition(want, keys: _*).localCheckpoint(true)
+      Dedup.unpersistCheckpoint(cp)
+      wide
+    }
+  }
+
   /** Approximate weekly stats: HLL distinct counts (mergeable, constant
     * memory) and quantile sketches (`percentile_approx`) replace the exact
     * distinct-rewrite and per-group value buffering of

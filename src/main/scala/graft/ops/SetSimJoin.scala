@@ -59,9 +59,13 @@ object SetSimJoin {
     // computation; both frames are corpus-bounded (one row per doc / per
     // prefix token), and at 100 TB they are exactly the artifacts a
     // production run would persist between stages.
-    val base = df.select(col(idCol).as("id") +:
-      Dedup.shingles(textCol, 1).as("arr") +:
-      blocking.map(col): _*)
+    // fanOut BEFORE the select: the tokenize pays during this checkpoint's
+    // materialization, at the scan's width (ScaleOps.fanOut — no-op at
+    // scale / on derived inputs)
+    val base = ScaleOps.fanOut(df, col(idCol))
+      .select(col(idCol).as("id") +:
+        Dedup.shingles(textCol, 1).as("arr") +:
+        blocking.map(col): _*)
       .withColumn("sz", size(col("arr")).cast("long"))
       .localCheckpoint(true)
     val toks = base.select(col("id") +: explode(col("arr")).as("tok") +:

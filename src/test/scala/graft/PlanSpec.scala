@@ -46,6 +46,18 @@ class PlanSpec extends SparkTestBase {
   private def executedFormatted(df: DataFrame): String =
     executed(df).queryExecution.explainString(FormattedMode)
 
+  /** Hash exchanges EXCLUDING the small-input width clamp
+    * (ScaleOps.fanOut — prints as REPARTITION_BY_NUM): the clamp is a
+    * deliberate session-width repartition that exists only in the
+    * few-splits regime, so plan-shape pins about FACT-SCALE shuffles
+    * must not count it (and must keep failing if a real shuffle of the
+    * guarded stream appears).
+    */
+  private def factHashExchanges(plan: String): Int =
+    plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") &&
+        !l.contains("REPARTITION_BY_NUM"))
+
   test("lookup join: dimension side broadcasts, no sort-merge exchange") {
     val plan = executedSimple(SparkEntry.queries("lookup_join")(spark, sf))
     assert(plan.contains("BroadcastHashJoin"))
@@ -371,7 +383,10 @@ class PlanSpec extends SparkTestBase {
       .where(BloomOps.mightContain(bloom, col("gram")))
     val plan = executedSimple(probe)
     assert(plan.contains("might_contain"), s"no bloom probe in plan:\n$plan")
-    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+    // the only exchange allowed is ngramSet's small-input width clamp
+    // (REPARTITION_BY_NUM) — the probe itself stays join-free and adds
+    // no exchange of its own
+    assert(factHashExchanges(plan) === 0 && !plan.contains("Join"),
       s"bloom probe should be map-only:\n$plan")
   }
 
@@ -944,7 +959,7 @@ class PlanSpec extends SparkTestBase {
     // per-document result rows — the raw (id, tri) instance stream never
     // becomes rows, so no exchange anywhere carries it
     assert(plan.contains("BroadcastHashJoin"), plan)
-    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    val hashEx = factHashExchanges(plan)
     assert(hashEx <= 3, s"expected <=3 hash exchanges, got $hashEx:\n$plan")
   }
 
@@ -962,7 +977,7 @@ class PlanSpec extends SparkTestBase {
       SparkEntry.queries("embed_covariance")(spark, sf))
     val gens = "Generate posexplode".r.findAllIn(plan).size
     assert(gens === 2, s"expected 2 posexplodes, got $gens:\n$plan")
-    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    val hashEx = factHashExchanges(plan)
     assert(hashEx === 1, s"expected 1 hash exchange, got $hashEx:\n$plan")
     // partial aggregation BEFORE the exchange is what bounds its volume
     // to d(d+1)/2 rows per partition
