@@ -6,6 +6,39 @@ import graft.SparkTestBase
 class ScaleOpsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("fanOut widens a narrow scan to session width, preserves rows") {
+    val docs = graft.Tables.documents(spark, sfTest)
+    val wide = ScaleOps.fanOut(docs, col("doc_id"))
+    val want = spark.sparkContext.defaultParallelism
+    // the fixture is a single-row-group file: the clamp must fire, pin
+    // an explicit-count hash exchange, and change no row
+    assert(wide.rdd.getNumPartitions === want)
+    assert(wide.queryExecution.optimizedPlan.toString
+      .contains("RepartitionByExpression"),
+      wide.queryExecution.optimizedPlan.toString)
+    assert(wide.count() === docs.count())
+    assert(wide.agg(sum("doc_id")).head.getLong(0) ===
+      docs.agg(sum("doc_id")).head.getLong(0))
+  }
+
+  test("fanOut leaves derived (non-scan-level) frames untouched") {
+    val docs = graft.Tables.documents(spark, sfTest)
+    // an aggregation is not scan-level: probing its width would execute
+    // the adaptive stages, so the guard must pass it through unchanged
+    val derived = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    val out = ScaleOps.fanOut(derived, col("lang"))
+    assert(out eq derived)
+  }
+
+  test("checkpointFanOut re-materializes narrow checkpoints at session width") {
+    val docs = graft.Tables.documents(spark, sfTest)
+      .select(col("doc_id"), col("lang"))
+    val cp = ScaleOps.checkpointFanOut(docs, col("doc_id"))
+    assert(cp.rdd.getNumPartitions ===
+      spark.sparkContext.defaultParallelism)
+    assert(cp.count() === docs.count())
+  }
+
   test("approxWeeklyStats tracks the exact stats within tolerance") {
     // One large group: percentile_approx returns an actual element (no
     // interpolation), so tiny groups can legitimately deviate by a whole
