@@ -746,7 +746,8 @@ object SparkEntry {
 
   private def bpeModel(s: SparkSession, d: String): CorpusOps.BpeModel =
     bpeModels.getOrElseUpdate((s.sparkContext.applicationId, d),
-      CorpusOps.bpeTrain(Tables.documents(s, d), "text", bpeEncodeRounds))
+      CorpusOps.bpeTrain(Tables.documents(s, d), "text", bpeEncodeRounds,
+        fanKey = Some(col("doc_id"))))
 
   /** The corpus encoded to token-id sequences ONCE per (application,
     * dir) — the apply-wide product all four id-level consumers read
@@ -2773,7 +2774,8 @@ object SparkEntry {
     // (the pagerank discipline) — merges, including multi-char ones
     // (round 6 merges m+er), hash-match end to end.
     "bpe_train_merges" -> ((s, d) =>
-      CorpusOps.bpeTrainMerges(Tables.documents(s, d), "text", rounds = 8)
+      CorpusOps.bpeTrainMerges(Tables.documents(s, d), "text", rounds = 8,
+        fanKey = Some(col("doc_id")))
         .orderBy("round")),
     // The trained tokenizer APPLIED at a REAL merge count (64 rounds):
     // the encode is vocabulary-scale — training's final segmented
@@ -6015,7 +6017,8 @@ object SparkEntry {
     // eigen-solve actually decomposes at 100 TB. Replay-exact: the
     // oracle re-runs the same quantized iteration as chained CTEs.
     "cooc_principal" -> ((s, d) => {
-      val g = CorpusOps.tokenCooccurrence(Tables.documents(s, d), "text")
+      val g = CorpusOps.tokenCooccurrence(Tables.documents(s, d), "text",
+        fanKey = Some(col("doc_id")))
       EmbeddingOps.powerIterate(g, iters = 6, shift = 100000L)
         .select(col("i").as("token"), col("v"), col("lambda"))
         .orderBy("token")

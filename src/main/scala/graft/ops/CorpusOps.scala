@@ -1683,8 +1683,14 @@ object CorpusOps {
     * structurally with a context WINDOW (pairs ∝ tokens·window), which
     * changes only the generator, not this plan shape.
     */
-  def tokenCooccurrence(df: DataFrame, textCol: String): DataFrame =
-    ScaleOps.fanOut(df, col(textCol))
+  def tokenCooccurrence(df: DataFrame, textCol: String,
+                        fanKey: Option[Column] = None): DataFrame =
+    // fanKey: the width clamp's repartition key. Callers with a row id
+    // should pass it — keying on the TEXT hashes the full document per
+    // row, and on a dedup-heavy corpus identical texts collapse onto one
+    // partition, partially defeating the clamp. The text fallback keeps
+    // the keyless call sites working.
+    ScaleOps.fanOut(df, fanKey.getOrElse(col(textCol)))
       .select(TextFunctions.tokens(col(textCol)).as("__t"))
       .select(explode(col("__t")).as("i"), col("__t"))
       .select(col("i"), explode(col("__t")).as("j"))
@@ -2132,14 +2138,24 @@ object CorpusOps {
       .withColumn("__rk", row_number().over(byScore))
       .where(col("__rk") <= k)
       .select(col(idCol))
-    val toks = df.select(col(idCol),
-      explode(TextFunctions.tokens(col(textCol))).as("term"))
-    val cands = toks
+    // Feedback-term counts: SELECT the k feedback docs BEFORE
+    // tokenizing (the row filter commutes with the per-row explode) —
+    // the previous spelling exploded the whole corpus's tokens and
+    // joined after, paying a corpus-scale tokenize for a k-doc
+    // aggregate.
+    val cands = df
       .join(broadcast(topDocs), Seq(idCol))
+      .select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
       .where(!col("term").isin(terms.distinct: _*))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("f_tf"), count_distinct(col(idCol)).as("f_df"))
-    val dfT = toks
+    // The corpus-df pass is the ONE genuinely fact-scale tokenize left —
+    // fan it to session width (ScaleOps.fanOut: no-op at scale); the
+    // candidate filter stays a map-side broadcast probe before the agg.
+    val dfT = ScaleOps.fanOut(df, col(idCol))
+      .select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
       .join(broadcast(cands.select(col("term"))), Seq("term"))
       .groupBy(col("term"))
       .agg(count_distinct(col(idCol)).as("df_t"))
@@ -2311,8 +2327,11 @@ object CorpusOps {
     * assumption). Checkpointed: every training round re-reads THIS
     * frame's descendants, never the corpus.
     */
-  private[ops] def bpeVocabSeg(df: DataFrame, textCol: String): DataFrame = {
-    val agg = ScaleOps.fanOut(df, col(textCol))
+  private[ops] def bpeVocabSeg(df: DataFrame, textCol: String,
+                               fanKey: Option[Column] = None): DataFrame = {
+    // fanKey: see tokenCooccurrence — id-keyed fan-out spreads
+    // duplicate-heavy corpora and skips hashing full texts per row
+    val agg = ScaleOps.fanOut(df, fanKey.getOrElse(col(textCol)))
       .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
       .where(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
@@ -2388,9 +2407,9 @@ object CorpusOps {
     * @return one row per realized merge round: (round 1.., left_sym,
     *         right_sym, merged, n_forms, n) ordered by round
     */
-  def bpeTrainMerges(df: DataFrame, textCol: String,
-                     rounds: Int): DataFrame = {
-    val (merges, vocab) = bpeTrainLoop(df, textCol, rounds)
+  def bpeTrainMerges(df: DataFrame, textCol: String, rounds: Int,
+                     fanKey: Option[Column] = None): DataFrame = {
+    val (merges, vocab) = bpeTrainLoop(df, textCol, rounds, fanKey)
     unpersistCheckpoint(vocab)
     merges
   }
@@ -2403,8 +2422,9 @@ object CorpusOps {
     * touches the corpus. Callers that don't consume the vocab must
     * unpersist it ([[bpeTrainMerges]] does).
     */
-  private def bpeTrainLoop(df: DataFrame, textCol: String,
-                           rounds: Int): (DataFrame, DataFrame) = {
+  private def bpeTrainLoop(df: DataFrame, textCol: String, rounds: Int,
+                           fanKey: Option[Column] = None)
+    : (DataFrame, DataFrame) = {
     require(rounds >= 1, s"rounds=$rounds must be positive")
     val spark = df.sparkSession
     import spark.implicits._
@@ -2416,7 +2436,7 @@ object CorpusOps {
     // only be freed AFTER its successor materializes (lazy lineage
     // truncates to the checkpoint; freeing the parent first would drop
     // the only copy), hence the two-generation window.
-    var vocab = bpeVocabSeg(df, textCol)
+    var vocab = bpeVocabSeg(df, textCol, fanKey)
     var prev: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long, Long)]
@@ -2752,8 +2772,9 @@ object CorpusOps {
     * alphabet-scale distinct over the training corpus, checkpointed so
     * id-table consumers never re-scan the corpus.
     */
-  def bpeTrain(df: DataFrame, textCol: String, rounds: Int): BpeModel = {
-    val (merges, vocab) = bpeTrainLoop(df, textCol, rounds)
+  def bpeTrain(df: DataFrame, textCol: String, rounds: Int,
+               fanKey: Option[Column] = None): BpeModel = {
+    val (merges, vocab) = bpeTrainLoop(df, textCol, rounds, fanKey)
     val baseChars = df
       .select(explode(TextFunctions.tokens(col(textCol))).as("sym"))
       .where(length(col("sym")) === 1).distinct()

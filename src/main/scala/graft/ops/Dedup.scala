@@ -900,13 +900,20 @@ object Dedup {
                         maxDist: Int = 55): DataFrame = {
     require(prefixLen >= 1, s"prefixLen=$prefixLen must be positive")
     require(maxDist >= 0, s"maxDist=$maxDist must be non-negative")
-    val heads = df.select(col(blockCol).as("block"), col(idCol).as("id"),
-      substring(col(textCol), 1, prefixLen).as("head"))
+    val heads = ScaleOps.fanOut(df, col(idCol))
+      .select(col(blockCol).as("block"), col(idCol).as("id"),
+        substring(col(textCol), 1, prefixLen).as("head"))
     val a = heads.select(col("block"), col("id").as("id_a"),
       col("head").as("h_a"))
     val b = heads.select(col("block"), col("id").as("id_b"),
       col("head").as("h_b"))
-    a.join(b, Seq("block"))
+    // BROADCAST the probe side: the op's documented contract is bounded
+    // blocks/samples (quadratic within a block), so one side always fits
+    // the broadcast budget — the block equi-join then generates pairs
+    // map-side instead of exchanging + sorting both sides on a
+    // single-digit-cardinality block key (a 2-exchange SortMergeJoin on
+    // ~5 distinct keys, i.e. a skewed shuffle for nothing).
+    a.join(broadcast(b), Seq("block"))
       .where(col("id_a") < col("id_b"))
       // the O(prefixLen·maxDist) DP below is the op's whole cost and a
       // block-keyed join leaves it at |blocks|-way parallelism (a lang

@@ -362,17 +362,90 @@ object GraphOps {
 
   /** The (b, c) closing-edge side of a wedge-closure join over a
     * CHECKPOINTED oriented edge list — broadcast when the edge list is
-    * small enough to ship (the count is a sub-ms read off the
-    * materialized RDD), so the O(m^1.5) wedge stream stays map-side
+    * small enough to ship, so the O(m^1.5) wedge stream stays map-side
     * instead of crossing a shuffle that dwarfs every other byte in the
-    * plan. Past the cap (2 longs × 20 M rows ≈ a few hundred MB framed)
-    * the planner's shuffled join returns — the 100 TB graph path.
+    * plan. Past the budget the planner's shuffled join returns — the
+    * 100 TB graph path.
+    *
+    * The decision is a BYTE budget, not a row count: the cached size of
+    * the checkpointed RDD (a driver-local block-manager read — building
+    * this frame launches NO job) must fit `thresholdMultiple` ×
+    * `spark.sql.autoBroadcastJoinThreshold`. A hashed relation's
+    * in-memory footprint runs a few × its cached deserialized bytes
+    * (UnsafeHashedRelation page + pointer overhead), so the multiple is
+    * deliberately small — with the default 10 MB threshold the budget is
+    * 80 MB of cached edge blocks (~1.5 M edges), far below the raw
+    * 20 M-row cap this replaces, and it scales with the session's own
+    * broadcast sizing instead of ignoring it. A disabled auto-broadcast
+    * threshold (≤ 0) disables this probe too.
     */
   private def closingProbe(oriented: DataFrame,
-                           broadcastEdges: Long = 20000000L): DataFrame = {
+                           thresholdMultiple: Long = 8L): DataFrame = {
+    val spark = oriented.sparkSession
     val probe = oriented.select(col("src").as("b"), col("dst").as("c"))
-    if (oriented.count() <= broadcastEdges) broadcast(probe) else probe
+    val budget = thresholdMultiple * org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(spark.conf
+        .get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    // the checkpointed RDD's cached bytes, read off the block manager —
+    // no count() job at DataFrame-construction time (plan building must
+    // stay side-effect-free; this runs once per edgeSupports call and
+    // once per k-truss bulk wave)
+    val rddIds = oriented.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.toSet
+    val bytes = spark.sparkContext.getRDDStorageInfo
+      .filter(i => rddIds.contains(i.id))
+      .map(i => i.memSize + i.diskSize).sum
+    if (budget > 0 && rddIds.nonEmpty && bytes <= budget) broadcast(probe)
+    else probe
   }
+
+  /** Rows of a wave-scale frame collected to the driver when they fit
+    * `cap`, else None: one count job decides (the same count the
+    * checkpointed spelling pays anyway), one collect delivers — never a
+    * `limit()`, whose escalating partition sweep (1, 4, 16, … — each
+    * round a separate job) measurably COSTS more jobs than it saves on
+    * multi-partition frames. The LOCAL representation is what makes a
+    * tiny peel wave cheap — a LocalRelation re-consumes, filters, and
+    * BROADCASTS with zero further Spark jobs (a BroadcastExchange over
+    * a LocalTableScan collects driver-side), so the per-wave fixed cost
+    * drops from ~a dozen scheduled jobs (checkpoints + counts +
+    * broadcast materializations) to the genuinely distributed passes.
+    * Call it on cheap-to-re-execute plans (filters over a checkpoint) —
+    * the two jobs each run the plan once. Driver posture: the wave
+    * BROADCAST decision already collects up to `broadcastRem` rows to
+    * the driver, so a cap at or below it adds no new memory class.
+    */
+  private def tryCollectLocal(df: DataFrame, cap: Long)
+    : Option[Array[org.apache.spark.sql.Row]] =
+    if (df.count() <= cap) Some(df.collect()) else None
+
+  /** Run `f` with adaptive execution OFF (set/restore — the
+    * runStreamToTable bracket discipline). For a PROVABLY wave-bounded
+    * plan whose joins are all broadcast-hinted, AQE has no decision
+    * left to make, but it still materializes every broadcast as its own
+    * query stage with a driver event-queue round-trip per stage —
+    * measured as the dominant fixed cost of a tiny k-truss tail wave
+    * (~0.5 s per action on an 11-edge frontier). Non-adaptive planning
+    * runs the same plan as ONE job with the broadcasts built on
+    * futures. Heavy, genuinely adaptive plans (the bulk-wave
+    * enumeration) stay outside the bracket.
+    */
+  private def withAqeOff[T](spark: org.apache.spark.sql.SparkSession)
+                           (f: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val before = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try f finally spark.conf.set(key, before)
+  }
+
+  /** A LocalRelation-backed frame over driver-held rows (zero-job
+    * consumption — see [[tryCollectLocal]]). */
+  private def localDf(spark: org.apache.spark.sql.SparkSession,
+                      rows: Array[org.apache.spark.sql.Row],
+                      schema: org.apache.spark.sql.types.StructType)
+    : DataFrame =
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
 
   /** k-core decomposition (fixed k): iteratively peel nodes of degree
     * < k until the graph stabilizes — what survives is the maximal
@@ -424,6 +497,13 @@ object GraphOps {
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxPeels) {
+      // NOTE (r15): the k-truss tail-wave driver-local representation
+      // was tried here too and measurably LOST (~0.6 s at sf0.1): a
+      // k-core wave is node-scale (not frontier-bounded like a truss
+      // tail wave), and each round's two state actions rebuild the
+      // wave's broadcast from the LocalRelation on the driver,
+      // single-threaded — more expensive than the one distributed
+      // checkpoint+broadcast it replaced. Kept distributed.
       val remPlain = deg.where(col("d") < k).select(col("n"))
         .localCheckpoint(true)
       val cnt = remPlain.count()
@@ -497,6 +577,20 @@ object GraphOps {
     * behind beyond its own result (callers free that when superseded).
     */
   def edgeSupports(e: DataFrame): DataFrame = {
+    val (triS, oriented) = triangleStream(e)
+    val sup = supportsFromTriangles(triS).localCheckpoint(true)
+    freeCheckpoint(oriented)
+    sup
+  }
+
+  /** The LAZY (a, b, c) triangle stream of a canonical edge list (the
+    * degree-oriented enumeration, each triangle once) plus the oriented
+    * checkpoint backing it — the caller must free the checkpoint after
+    * consuming the stream. Factored out so [[edgeSupports]] can keep
+    * streaming triangles straight into its aggregate while the k-truss
+    * peel can RETAIN the materialized list instead.
+    */
+  private def triangleStream(e: DataFrame): (DataFrame, DataFrame) = {
     val deg = nodeDegrees(e)
     val withDeg = e
       .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
@@ -518,7 +612,19 @@ object GraphOps {
       // same broadcast closing probe as [[triangleCountsOf]]: the wedge
       // stream never crosses an exchange when the edge list fits
       .join(closingProbe(oriented), Seq("b", "c"))
-    val sup = tri.select(explode(array(
+      .select(col("a"), col("b"), col("c"))
+    (tri, oriented)
+  }
+
+  /** Per-edge support counts off a triangle list/stream: explode each
+    * triangle's three canonical edges, count per edge. LAZY — callers
+    * materialize. Exactness note the truss peel rides on: a triangle of
+    * an edge-induced subgraph is exactly a triangle of the parent graph
+    * whose three edges all survive, so supports recomputed from a
+    * FILTERED list equal supports re-enumerated on the subgraph.
+    */
+  private def supportsFromTriangles(tri: DataFrame): DataFrame =
+    tri.select(explode(array(
         struct(least(col("a"), col("b")).as("u"),
           greatest(col("a"), col("b")).as("v")),
         struct(least(col("a"), col("c")).as("u"),
@@ -527,9 +633,15 @@ object GraphOps {
           greatest(col("b"), col("c")).as("v")))).as("__e"))
       .select(col("__e.u").as("u"), col("__e.v").as("v"))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
-      .localCheckpoint(true)
+
+  /** [[triangleStream]] materialized: the caller owns freeing the
+    * returned checkpoint. Used by the k-truss peel below triangle-
+    * retention scale. */
+  private def materializedTriangles(e: DataFrame): DataFrame = {
+    val (triS, oriented) = triangleStream(e)
+    val tri = triS.localCheckpoint(true)
     freeCheckpoint(oriented)
-    sup
+    tri
   }
 
   /** Triangle supports for a SPECIFIC pair set (the delta-truss probe):
@@ -587,12 +699,29 @@ object GraphOps {
     *         triangle count within the truss, ≥ k−2 by construction
     */
   def trussOf(e: DataFrame, k: Long, maxPeels: Int = 12,
-              broadcastRem: Long = 5000000L): DataFrame = {
+              broadcastRem: Long = 5000000L,
+              driverWaveCap: Long = 65536L,
+              triRetainEdges: Long = 4000000L): DataFrame = {
     require(k >= 3, s"k=$k must be at least 3 (the smallest truss)")
     require(maxPeels >= 1, s"maxPeels=$maxPeels must be positive")
+    val spark = e.sparkSession
+    import org.apache.spark.sql.Row
     val e0 = e.select(col("u"), col("v")).localCheckpoint(true)
     var curCnt = e0.count()
-    val sup0 = edgeSupports(e0)
+    // TRIANGLE RETENTION (the destroyed-triangle rework): below
+    // `triRetainEdges` edges, materialize the init enumeration's
+    // triangle list ONCE and recount each bulk wave's supports by
+    // FILTERING it (a triangle survives iff its three edges survive —
+    // exact on an edge-induced subgraph, see supportsFromTriangles)
+    // instead of re-running the O(m^1.5) wedge enumeration per bulk
+    // wave. The knob is edge-count-derived (never core-count): past it
+    // the triangle list is not a safe materialization (triangles can
+    // grow far superlinearly in edges) and the streaming re-enumeration
+    // below is the 100 TB path, unchanged.
+    var tri: DataFrame =
+      if (curCnt <= triRetainEdges) materializedTriangles(e0) else null
+    val sup0 =
+      if (tri != null) supportsFromTriangles(tri) else edgeSupports(e0)
     // FRONTIER peel state: `base` (full (u, v, sup), checkpointed,
     // REWRITTEN only by bulk waves), plus two WAVE-SCALE accumulators —
     // edges removed since base, and the latest support override for
@@ -605,33 +734,70 @@ object GraphOps {
     // base stays at its natural (narrow) width: every tail wave runs
     // several small map-side passes over it, where width is task-launch
     // overhead — the heavy enumeration re-widens inside edgeSupports.
+    //
+    // The accumulators and the frontier live DRIVER-LOCAL whenever they
+    // fit `driverWaveCap` ([[tryCollectLocal]] — at or below the row
+    // count the wave broadcast already collects to the driver): a tail
+    // wave's fixed cost was ~a dozen scheduled jobs (five eager
+    // checkpoints, a count, and several broadcast materializations of
+    // wave-scale frames — measured 0.9–1.9 s per ≤1,205-edge wave at
+    // sf0.1, pure overhead), and with local state the same wave runs
+    // exactly its two distributed adjacency passes. Past the cap every
+    // frame falls back to the checkpointed spelling below — identical
+    // algebra, the 100 TB path.
     var base = e0.join(sup0, Seq("u", "v"), "left")
       .select(col("u"), col("v"),
         coalesce(col("sup"), lit(0L)).as("sup"))
       .localCheckpoint(true)
-    freeCheckpoint(sup0); freeCheckpoint(e0)
-    // source-FREE empty accumulators (a LocalRelation, not a projection
-    // of `base`): freeCheckpoint walks a plan for LogicalRDDs, so an
-    // empty spelled `base.limit(0)` would free base itself when the
-    // accumulator is superseded
-    def emptyLike(df: DataFrame): DataFrame =
-      df.sparkSession.createDataFrame(
-        df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        df.schema)
-    val emptyUV = emptyLike(base.select(col("u"), col("v")))
-    var removedAcc = emptyUV
-    var ovAcc = emptyLike(base)
+    // the retained-triangle sup0 is LAZY over tri — freeing it would
+    // walk the plan to tri's own checkpoint and release the list we
+    // just decided to keep
+    if (tri == null) freeCheckpoint(sup0)
+    freeCheckpoint(e0)
+    val uvSchema = base.select(col("u"), col("v")).schema
+    val supSchema = base.schema
+    def emptyLocal(schema: org.apache.spark.sql.types.StructType) =
+      localDf(spark, Array.empty[Row], schema)
+    def keyOf(r: Row) = (r.getLong(0), r.getLong(1))
+    // rows mirror: Some(rows) ⇔ the frame is a LocalRelation over them
+    var removedRows: Option[Array[Row]] = Some(Array.empty[Row])
+    var removedAcc: DataFrame = emptyLocal(uvSchema)
+    var ovRows: Option[Array[Row]] = Some(Array.empty[Row])
+    var ovAcc: DataFrame = emptyLocal(supSchema)
+    var remRows: Option[Array[Row]] = None
+    var rem: DataFrame = null
+    var cnt = 0L
+    // Materialize a frontier: LOCAL when it fits the driver cap (count
+    // + collect — two cheap jobs on a filter-over-checkpoint plan),
+    // else the checkpointed spelling, reusing the count already taken.
+    // The cap is deliberately MUCH smaller than the broadcast cap: a
+    // LocalRelation's broadcast is (re)built on the driver,
+    // single-threaded, once per consuming action — a win for the tiny
+    // tail waves this exists for, a measured LOSS for an 87k-row bulk
+    // frontier consumed by three actions (distributed broadcast builds
+    // parallelize).
+    def setRem(plan: DataFrame): Unit = {
+      val c = plan.count()
+      if (c <= driverWaveCap) {
+        val rs = plan.collect()
+        remRows = Some(rs); rem = localDf(spark, rs, uvSchema)
+        cnt = rs.length.toLong
+      } else {
+        remRows = None; rem = plan.localCheckpoint(true)
+        cnt = c
+      }
+    }
     def adjOf(g: DataFrame) =
       g.select(col("u").as("s"), col("v").as("t"))
         .unionAll(g.select(col("v").as("s"), col("u").as("t")))
     // the first frontier comes from the one full scan of base
-    var rem = base.where(col("sup") < k - 2)
-      .select(col("u"), col("v")).localCheckpoint(true)
-    var cnt = rem.count()
+    setRem(base.where(col("sup") < k - 2).select(col("u"), col("v")))
     var rounds = 0
     while (cnt > 0 && rounds < maxPeels) {
       val __t0 = System.nanoTime()
-      val remB = if (cnt <= broadcastRem) broadcast(rem) else rem
+      val waveCnt = cnt
+      val remB = if (remRows.isDefined || cnt <= broadcastRem)
+        broadcast(rem) else rem
       // Bulk crossover at 2 % (was 10 %): measured at sf0.1, a wave
       // removing 8.9 % of the live edges cost 28-63 s down the frontier
       // path (its affected set's broadcast fan is millions of rows) vs
@@ -647,19 +813,34 @@ object GraphOps {
           .join(broadcast(removedAcc), Seq("u", "v"), "left_anti")
           .join(remB, Seq("u", "v"), "left_anti")
           .select(col("u"), col("v"))
-        val s1 = edgeSupports(nextCur)
+        val s1 =
+          if (tri != null) {
+            // destroyed-triangle recount: drop every triangle touching
+            // an edge removed since the list's snapshot (prior waves'
+            // accumulator + this frontier — both wave-scale), recount
+            // supports off the survivors. No re-enumeration.
+            val rmAll = removedAcc.unionAll(rem.select(col("u"), col("v")))
+            def live(t: DataFrame, x: String, y: String) =
+              t.join(broadcast(rmAll),
+                least(col(x), col(y)) === col("u") &&
+                  greatest(col(x), col(y)) === col("v"), "left_anti")
+            val t2 = live(live(live(tri, "a", "b"), "a", "c"), "b", "c")
+              .localCheckpoint(true)
+            freeCheckpoint(tri); tri = t2
+            supportsFromTriangles(tri)
+          } else edgeSupports(nextCur)
         val nb = nextCur.join(s1, Seq("u", "v"), "left")
           .select(col("u"), col("v"),
             coalesce(col("sup"), lit(0L)).as("sup"))
           .localCheckpoint(true)
-        freeCheckpoint(s1); freeCheckpoint(base)
+        if (tri == null) freeCheckpoint(s1)
+        freeCheckpoint(base)
         freeCheckpoint(removedAcc); freeCheckpoint(ovAcc)
         base = nb
-        removedAcc = emptyUV
-        ovAcc = emptyLike(base)
-        freeCheckpoint(rem)
-        rem = base.where(col("sup") < k - 2)
-          .select(col("u"), col("v")).localCheckpoint(true)
+        removedRows = Some(Array.empty[Row]); removedAcc = emptyLocal(uvSchema)
+        ovRows = Some(Array.empty[Row]); ovAcc = emptyLocal(supSchema)
+        if (remRows.isEmpty) freeCheckpoint(rem)
+        setRem(base.where(col("sup") < k - 2).select(col("u"), col("v")))
       } else {
         // SMALL wave: the removal frontier and everything derived from
         // it broadcast, so both membership checks are map-side streams
@@ -674,50 +855,105 @@ object GraphOps {
             Seq("u")))
           .join(adjBefore.select(col("s").as("v"), col("t").as("z")),
             Seq("v", "z"))
-        val affected = wedges.select(explode(array(
+        val affectedPlan = wedges.select(explode(array(
             struct(least(col("u"), col("z")).as("u"),
               greatest(col("u"), col("z")).as("v")),
             struct(least(col("v"), col("z")).as("u"),
               greatest(col("v"), col("z")).as("v")))).as("__e"))
           .select(col("__e.u").as("u"), col("__e.v").as("v")).distinct()
           .join(remB, Seq("u", "v"), "left_anti")
-          .localCheckpoint(true)
-        val nextRemoved = removedAcc.unionAll(rem.select(col("u"),
-          col("v"))).localCheckpoint(true)
-        val adjAfter = adjOf(base
-          .join(broadcast(nextRemoved), Seq("u", "v"), "left_anti"))
-        val supAff = affected
-          .join(supportsFor(affected, adjAfter, broadcastFan = true),
-            Seq("u", "v"), "left")
-          .select(col("u"), col("v"),
-            coalesce(col("sup"), lit(0L)).as("sup"))
-          .localCheckpoint(true)
-        val nextOv = ovAcc
-          .join(remB, Seq("u", "v"), "left_anti")
-          .join(broadcast(affected), Seq("u", "v"), "left_anti")
-          .unionAll(supAff)
-          .localCheckpoint(true)
-        freeCheckpoint(removedAcc); freeCheckpoint(ovAcc)
-        freeCheckpoint(affected); freeCheckpoint(rem)
-        removedAcc = nextRemoved
-        ovAcc = nextOv
-        // the next frontier: only just-recomputed supports can have
-        // dropped below the threshold
-        rem = supAff.where(col("sup") < k - 2)
-          .select(col("u"), col("v")).localCheckpoint(true)
-        freeCheckpoint(supAff)
+        // The affected set is PROVABLY wave-bounded: a frontier edge's
+        // wedge count through the live adjacency equals its recorded
+        // support (< k−2 by selection, computed against exactly this
+        // adjacency state), so |affected| ≤ 2·(k−2)·|frontier| — when
+        // that bound fits the driver cap, ONE plain collect (no count,
+        // no limit escalation) fetches it.
+        val affLocal =
+          if (remRows.isDefined && removedRows.isDefined &&
+              ovRows.isDefined && 2L * (k - 2) * cnt <= driverWaveCap)
+            Some(withAqeOff(spark)(affectedPlan.collect()))
+          else None
+        if (sys.env.contains("GRAFT_TRUSS_DEBUG"))
+          println(f"[truss]   affected collected in " +
+            f"${(System.nanoTime() - __t0) / 1e9}%.2f s (local=${affLocal.isDefined})")
+        affLocal match {
+          case Some(aRows) =>
+            // DRIVER-LOCAL tail wave: the two jobs below (affected
+            // collect above + the support aggregation collect) are the
+            // wave's only distributed work; the set algebra over rem /
+            // removed / override state — identical to the DataFrame
+            // spelling in the fallback branch — runs on driver arrays.
+            val affected = localDf(spark, aRows, uvSchema)
+            val nextRemovedRows = removedRows.get ++ remRows.get
+            val nextRemoved = localDf(spark, nextRemovedRows, uvSchema)
+            val adjAfter = adjOf(base
+              .join(broadcast(nextRemoved), Seq("u", "v"), "left_anti"))
+            // left-join + coalesce(0) spelled driver-side: pairs absent
+            // from the aggregation have zero surviving triangles
+            val got = withAqeOff(spark)(
+              supportsFor(affected, adjAfter, broadcastFan = true)
+                .collect()).map(r => keyOf(r) -> r.getLong(2)).toMap
+            if (sys.env.contains("GRAFT_TRUSS_DEBUG"))
+              println(f"[truss]   supports collected in " +
+                f"${(System.nanoTime() - __t0) / 1e9}%.2f s")
+            val supRows: Array[Row] = aRows.map { r =>
+              Row(r.getLong(0), r.getLong(1),
+                got.getOrElse(keyOf(r), 0L))
+            }
+            val remKeys = remRows.get.map(keyOf).toSet
+            val affKeys = aRows.map(keyOf).toSet
+            val nextOvRows = ovRows.get.filterNot(r =>
+              remKeys(keyOf(r)) || affKeys(keyOf(r))) ++ supRows
+            removedRows = Some(nextRemovedRows); removedAcc = nextRemoved
+            ovRows = Some(nextOvRows)
+            ovAcc = localDf(spark, nextOvRows, supSchema)
+            // the next frontier: only just-recomputed supports can have
+            // dropped below the threshold
+            val nextRem = supRows.filter(_.getLong(2) < k - 2)
+              .map(r => Row(r.getLong(0), r.getLong(1)))
+            remRows = Some(nextRem); rem = localDf(spark, nextRem, uvSchema)
+            cnt = nextRem.length.toLong
+          case None =>
+            // past the driver cap (or mixed state after a prior
+            // fallback): the checkpointed spelling — same algebra
+            val affected = affectedPlan.localCheckpoint(true)
+            val nextRemoved = removedAcc.unionAll(rem.select(col("u"),
+              col("v"))).localCheckpoint(true)
+            val adjAfter = adjOf(base
+              .join(broadcast(nextRemoved), Seq("u", "v"), "left_anti"))
+            val supAff = affected
+              .join(supportsFor(affected, adjAfter, broadcastFan = true),
+                Seq("u", "v"), "left")
+              .select(col("u"), col("v"),
+                coalesce(col("sup"), lit(0L)).as("sup"))
+              .localCheckpoint(true)
+            val nextOv = ovAcc
+              .join(remB, Seq("u", "v"), "left_anti")
+              .join(broadcast(affected), Seq("u", "v"), "left_anti")
+              .unionAll(supAff)
+              .localCheckpoint(true)
+            freeCheckpoint(removedAcc); freeCheckpoint(ovAcc)
+            freeCheckpoint(affected)
+            if (remRows.isEmpty) freeCheckpoint(rem)
+            removedRows = None; removedAcc = nextRemoved
+            ovRows = None; ovAcc = nextOv
+            setRem(supAff.where(col("sup") < k - 2)
+              .select(col("u"), col("v")))
+            freeCheckpoint(supAff)
+        }
       }
-      curCnt = curCnt - cnt
-      val prev = cnt
-      cnt = rem.count()
+      curCnt = curCnt - waveCnt
       if (sys.env.contains("GRAFT_TRUSS_DEBUG"))
-        println(f"[truss] wave $rounds: removed $prev, next $cnt, " +
+        println(f"[truss] wave $rounds: removed $waveCnt, next $cnt, " +
           f"${(System.nanoTime() - __t0) / 1e9}%.2f s")
       rounds += 1
     }
     require(cnt == 0,
       s"k-truss peel did not converge within $maxPeels rounds — raise" +
         " maxPeels (the oracle unroll must cover the fixpoint)")
+    // the result reads only base + the accumulators; the retained
+    // triangle list has served its last recount
+    if (tri != null) freeCheckpoint(tri)
     base.join(broadcast(removedAcc), Seq("u", "v"), "left_anti")
       .join(ovAcc.withColumnRenamed("sup", "__ov"), Seq("u", "v"), "left")
       .select(col("u"), col("v"),

@@ -52,11 +52,38 @@ class PlanSpec extends SparkTestBase {
     * few-splits regime, so plan-shape pins about FACT-SCALE shuffles
     * must not count it (and must keep failing if a real shuffle of the
     * guarded stream appears).
+    *
+    * The exclusion matches the clamp PRECISELY, not every explicit-count
+    * repartition (which can carry fact-scale data — e.g. the
+    * editDistancePairs pair-stream spread prints the same tag): the
+    * exchange must (a) repartition to exactly the session's
+    * defaultParallelism and (b) sit directly above a scan-level subtree
+    * (Project/Filter over a scan or checkpoint leaf — fanOut's own
+    * placement guard). Anything else counts as a fact exchange and
+    * fails the pin.
     */
-  private def factHashExchanges(plan: String): Int =
-    plan.linesIterator.count(l =>
-      l.contains("Exchange hashpartitioning") &&
-        !l.contains("REPARTITION_BY_NUM"))
+  private def factHashExchanges(plan: String): Int = {
+    val lines = plan.linesIterator.toVector
+    def depth(l: String): Int =
+      "^[\\s:+\\-]*".r.findFirstIn(l).get.length
+    def op(l: String): String =
+      l.substring(depth(l)).replaceFirst("^\\*\\(\\d+\\) ", "")
+    val want = spark.sparkContext.defaultParallelism
+    val scanLevelOps = Seq("Project", "Filter", "Scan", "FileScan",
+      "ColumnarToRow", "InputAdapter", "WholeStageCodegen")
+    lines.zipWithIndex.count { case (l, i) =>
+      l.contains("Exchange hashpartitioning") && {
+        val isClamp = l.contains(s", $want), REPARTITION_BY_NUM") && {
+          val d = depth(l)
+          lines.drop(i + 1).takeWhile(x => depth(x) > d).forall { x =>
+            val o = op(x)
+            o.isEmpty || scanLevelOps.exists(o.startsWith)
+          }
+        }
+        !isClamp
+      }
+    }
+  }
 
   test("lookup join: dimension side broadcasts, no sort-merge exchange") {
     val plan = executedSimple(SparkEntry.queries("lookup_join")(spark, sf))
