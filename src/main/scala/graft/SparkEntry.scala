@@ -649,6 +649,25 @@ object SparkEntry {
       GraphOps.linkPredictionAdjacency(edges, deg, maxDegree = 100L)
     })
 
+  /** The co-purchase graph's TRIANGLE LIST, memoized like the edge list
+    * it derives from (same (application, dir) key, same JVM-lifetime /
+    * immutable-testdata contract): `triangle_count`'s per-node tally and
+    * `k_truss_parts`' support peel read the SAME once-per-triangle
+    * enumeration, and before this cache each ran its own O(m^1.5) wedge
+    * join over the identical graph — the suite's single heaviest stage,
+    * twice. At 100 TB the analog is the maintained triangle/support
+    * index every triangle-family consumer reads (written once per edge
+    * snapshot), not per-query scratch. Separate cache from
+    * [[basketGraph]] so non-triangle family members don't pay the
+    * enumeration on first touch.
+    */
+  private val basketTriCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def basketTriangles(s: SparkSession, d: String): DataFrame =
+    basketTriCache.getOrElseUpdate((s.sparkContext.applicationId, d),
+      GraphOps.triangleList(basketGraph(s, d)._2))
+
   private def weeklyFormatAgg(events: DataFrame): DataFrame =
     events
       .withColumn("week", CoreOps.weekStart(col("ts")))
@@ -1564,6 +1583,12 @@ object SparkEntry {
     ("link_adj",
       Set("link_predict"),
       () => linkAdjCache.clear()),
+    ("basket_triangles",
+      Set("triangle_count", "k_truss_parts"),
+      () => {
+        basketTriCache.values.foreach(Dedup.unpersistCheckpoint)
+        basketTriCache.clear()
+      }),
     ("verified_pairs",
       Set("dedup_groups", "dedup_keep_best", "dedup_keep_canonical",
         "neardup_safe_split"),
@@ -3222,8 +3247,12 @@ object SparkEntry {
     // plan); the engine's orientation emits the identical triangle set
     // from its minimum (degree, id) vertex — same tally, hub-proof plan.
     "triangle_count" -> ((s, d) => {
-      val (_, edges, deg) = basketGraph(s, d)
-      GraphOps.triangleCountsOf(edges, deg)
+      val (_, _, deg) = basketGraph(s, d)
+      // per-node tallies off the SHARED memoized triangle list — the
+      // same once-per-triangle stream triangleCountsOf enumerates, so
+      // the tally is identical and the O(m^1.5) wedge join runs once
+      // per JVM for the whole triangle family instead of per query
+      GraphOps.triangleCountsOfList(basketTriangles(s, d), deg)
         .orderBy("node")
     }),
 
@@ -5105,7 +5134,8 @@ object SparkEntry {
     // peeling is monotone, so round 12 IS the fixpoint.
     "k_truss_parts" -> ((s, d) => {
       val (_, edges, _) = basketGraph(s, d)
-      GraphOps.trussOf(edges, k = 4, maxPeels = 12)
+      GraphOps.trussOf(edges, k = 4, maxPeels = 12,
+        sharedTriangles = Some(basketTriangles(s, d)))
         .orderBy("u", "v")
     }),
     // Influence radius: BFS to 4 hops from the co-purchase hub (max

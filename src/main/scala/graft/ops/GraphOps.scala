@@ -634,15 +634,33 @@ object GraphOps {
       .select(col("__e.u").as("u"), col("__e.v").as("v"))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
 
-  /** [[triangleStream]] materialized: the caller owns freeing the
-    * returned checkpoint. Used by the k-truss peel below triangle-
-    * retention scale. */
-  private def materializedTriangles(e: DataFrame): DataFrame = {
+  /** [[triangleStream]] materialized — one (a, b, c) row per triangle,
+    * eagerly checkpointed; the caller owns freeing it
+    * ([[graft.ops.Dedup.unpersistCheckpoint]]). Public because the
+    * triangle list is a SHARED per-snapshot artifact: per-node counts
+    * ([[triangleCountsOfList]]) and the k-truss peel ([[trussOf]]'s
+    * `sharedTriangles`) both read it, so a caller running several
+    * triangle-family operators over one graph enumerates ONCE — the
+    * production posture (a maintained triangle/support index) rather
+    * than a per-query O(m^1.5) re-enumeration.
+    */
+  def triangleList(e: DataFrame): DataFrame = {
     val (triS, oriented) = triangleStream(e)
     val tri = triS.localCheckpoint(true)
     freeCheckpoint(oriented)
     tri
   }
+
+  /** [[triangleCountsOf]] read off a pre-built [[triangleList]]: the
+    * per-node explode + tally + degree attach, no enumeration. Output
+    * identical to [[triangleCountsOf]] on the same edge list (both
+    * tally the same once-per-triangle stream).
+    */
+  def triangleCountsOfList(tri: DataFrame, deg: DataFrame): DataFrame =
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+      .join(deg.select(col("n").as("node"), col("d").as("degree")), "node")
+      .select(col("node"), col("degree"), col("n_triangles"))
 
   /** Triangle supports for a SPECIFIC pair set (the delta-truss probe):
     * sup(u, v) = |N(u) ∩ N(v)| over the given two-directional adjacency
@@ -701,7 +719,8 @@ object GraphOps {
   def trussOf(e: DataFrame, k: Long, maxPeels: Int = 12,
               broadcastRem: Long = 5000000L,
               driverWaveCap: Long = 65536L,
-              triRetainEdges: Long = 4000000L): DataFrame = {
+              triRetainEdges: Long = 4000000L,
+              sharedTriangles: Option[DataFrame] = None): DataFrame = {
     require(k >= 3, s"k=$k must be at least 3 (the smallest truss)")
     require(maxPeels >= 1, s"maxPeels=$maxPeels must be positive")
     val spark = e.sparkSession
@@ -718,8 +737,14 @@ object GraphOps {
     // the triangle list is not a safe materialization (triangles can
     // grow far superlinearly in edges) and the streaming re-enumeration
     // below is the 100 TB path, unchanged.
-    var tri: DataFrame =
-      if (curCnt <= triRetainEdges) materializedTriangles(e0) else null
+    //
+    // `sharedTriangles`: a caller-owned [[triangleList]] of EXACTLY
+    // this edge list (the shared per-snapshot index) — used as the
+    // retention list without re-enumerating, never freed here (the
+    // first bulk-wave filter copies into an owned generation).
+    var triOwned = sharedTriangles.isEmpty
+    var tri: DataFrame = sharedTriangles.getOrElse(
+      if (curCnt <= triRetainEdges) triangleList(e0) else null)
     val sup0 =
       if (tri != null) supportsFromTriangles(tri) else edgeSupports(e0)
     // FRONTIER peel state: `base` (full (u, v, sup), checkpointed,
@@ -826,7 +851,8 @@ object GraphOps {
                   greatest(col(x), col(y)) === col("v"), "left_anti")
             val t2 = live(live(live(tri, "a", "b"), "a", "c"), "b", "c")
               .localCheckpoint(true)
-            freeCheckpoint(tri); tri = t2
+            if (triOwned) freeCheckpoint(tri)
+            tri = t2; triOwned = true
             supportsFromTriangles(tri)
           } else edgeSupports(nextCur)
         val nb = nextCur.join(s1, Seq("u", "v"), "left")
@@ -952,8 +978,9 @@ object GraphOps {
       s"k-truss peel did not converge within $maxPeels rounds — raise" +
         " maxPeels (the oracle unroll must cover the fixpoint)")
     // the result reads only base + the accumulators; the retained
-    // triangle list has served its last recount
-    if (tri != null) freeCheckpoint(tri)
+    // triangle list has served its last recount (a caller-shared list
+    // is the caller's to free)
+    if (tri != null && triOwned) freeCheckpoint(tri)
     base.join(broadcast(removedAcc), Seq("u", "v"), "left_anti")
       .join(ovAcc.withColumnRenamed("sup", "__ov"), Seq("u", "v"), "left")
       .select(col("u"), col("v"),

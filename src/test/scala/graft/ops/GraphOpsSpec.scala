@@ -256,6 +256,38 @@ class GraphOpsSpec extends SparkTestBase {
     val re = GraphOps.trussOf(e.repartition(7), k = 4, maxPeels = 3)
       .orderBy("u", "v").as[(Long, Long, Long)].collect().toSeq
     assert(re === got)
+    // the shared-triangle-index entry point: identical fixpoint, and
+    // the caller's list survives the peel (the peel copies into an
+    // owned generation on its first bulk-wave filter — a freed shared
+    // list would fail any later consumer's read)
+    val sharedTri = GraphOps.triangleList(e)
+    val viaShared = GraphOps.trussOf(e, k = 4, maxPeels = 3,
+      sharedTriangles = Some(sharedTri))
+      .orderBy("u", "v").as[(Long, Long, Long)].collect().toSeq
+    assert(viaShared === got)
+    assert(sharedTri.count() === 6L,
+      "the shared triangle list must survive the peel un-freed")
+    // forcing the NON-retained path (cap 0 edges) must reach the same
+    // fixpoint through the streaming re-enumeration
+    val streamed = GraphOps.trussOf(e, k = 4, maxPeels = 3,
+      triRetainEdges = 0L)
+      .orderBy("u", "v").as[(Long, Long, Long)].collect().toSeq
+    assert(streamed === got)
+  }
+
+  test("triangleCountsOfList: identical tallies to the enumerating entry point") {
+    val e = GraphOps.canonicalEdges(
+      (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)) ++
+        Seq((3L, 5L), (4L, 5L)) :+ ((1L, 6L))).toDF("a", "b"), "a", "b")
+    val deg = GraphOps.nodeDegrees(e)
+    val direct = GraphOps.triangleCountsOf(e, deg).orderBy("node")
+      .as[(Long, Long, Long)].collect().toSeq
+    val tri = GraphOps.triangleList(e)
+    val viaList = GraphOps.triangleCountsOfList(tri, deg).orderBy("node")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(viaList === direct)
+    // K4: 4 triangles of the clique + {3,4,5} = 5 triangles total
+    assert(tri.count() === 5L)
   }
 
   test("bfsHopsOf: hub source (max degree, min id), hop truncation exact") {
